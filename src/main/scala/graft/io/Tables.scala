@@ -1,0 +1,36 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture/table access. The engine's native storage is columnar parquet
+  * (vs the reference's newline-delimited HDFS text,
+  * reference: src/de/uni_stuttgart/ipvs_as/MapReduceWSI.java:93-96);
+  * text/CSV readers are kept for reference-parity ingest.
+  */
+object Tables {
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def parquet(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Newline-delimited delimiter-separated text, the reference's record
+    * format (reference: test/src/.../TestMapper.java:26-28 — CSV lines).
+    */
+  def csv(spark: SparkSession, path: String, sep: String = ",",
+          header: Boolean = false): DataFrame =
+    spark.read.option("sep", sep).option("header", header.toString)
+      .option("inferSchema", "false").csv(path)
+
+  /** Raw (offset-less) text lines; glob patterns supported like the
+    * reference's TextInputFormat config (reference: test/src/.../Runner.java:36-37).
+    */
+  def text(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** Tab-separated key/value text sink, the reference's output format
+    * (reference: test/src/.../Runner.java:39-40; MapReduceWSIImpl.java:298).
+    */
+  def writeTsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("sep", "\t").csv(path)
+}

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Declared relational query surface (SURVEY §2.2 Q2-Q8).
+  *
+  * The reference's capability envelope is "any map/shuffle/reduce
+  * program" (reference: src/de/uni_stuttgart/ipvs_as/MapReduceWSI.java:62-79
+  * accepts arbitrary JARs); these are the concrete relational shapes we
+  * commit to, expressed declaratively so Catalyst plans them (pushdown,
+  * partial agg, broadcast joins, TakeOrderedAndProject).
+  *
+  * Numeric discipline: every aggregate over a DOUBLE column goes
+  * through DECIMAL first (`exactSum`) — decimal addition is exact and
+  * order-independent, so results are bit-identical regardless of
+  * partitioning / shuffle order / AQE re-planning, at any scale, and
+  * match the DuckDB oracle exactly. The final cast back to DOUBLE is a
+  * single deterministic IEEE rounding.
+  */
+object Relational {
+
+  /** Order-independent exact sum of a 2-decimal money/quantity column. */
+  def exactSum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  /** exactSum / count — deterministic avg. */
+  def exactAvg(c: Column, cnt: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double") / cnt
+
+  /** Q2: projection + filter with parquet pushdown. Mirrors the
+    * reference's pushdown-query contract incl. the parenthesized-OR
+    * rule (reference: MapReduceWSI.java:114-124); here Catalyst proves
+    * the predicate reaches the scan (`PushedFilters` in explain).
+    */
+  def filterProject(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(expr("l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'") &&
+              (col("l_returnflag") === "R" || col("l_linestatus") === "F"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"), col("l_linestatus"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+
+  /** Q3: multi-aggregate group-by (TPC-H Q1 shape). Partial+final hash
+    * agg; 6 groups → trivially broadcastable result.
+    */
+  def groupAgg(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        exactSum(col("l_quantity")).as("sum_qty"),
+        exactSum(col("l_extendedprice")).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
+          .cast("double").as("sum_disc_price"),
+        exactAvg(col("l_quantity"), count(lit(1))).as("avg_qty"),
+        exactAvg(col("l_discount"), count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** Q4: min/max aggregate — the reference's boundary-query shape
+    * (reference: MapReduceWSIImpl.java:242-258), as a plain aggregate.
+    */
+  def minMax(orders: DataFrame): DataFrame =
+    orders.agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"),
+      count(lit(1)).as("n"))
+
+  /** Q5: star join rolled up to region. Dimension tables are broadcast
+    * (nation/region are bounded-size; customer is small relative to
+    * facts — at 100 TB the orders⋈customer side becomes a shuffle
+    * hash join on the key, which AQE picks automatically).
+    */
+  def starJoin(orders: DataFrame, customer: DataFrame, nation: DataFrame,
+               region: DataFrame): DataFrame =
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(exactSum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+
+  /** Q6: exact distinct count per group (expands to two-phase agg). */
+  def distinctCount(orders: DataFrame): DataFrame =
+    orders.groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+
+  /** Approximate distinct (HyperLogLog++) — the 100 TB-scale variant of
+    * Q6: single pass, fixed-size sketch, no exact-distinct expansion.
+    * No DuckDB oracle (sketch internals differ); rows-only check.
+    */
+  def approxDistinct(orders: DataFrame): DataFrame =
+    orders.groupBy("o_orderpriority")
+      .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust"))
+
+  /** Q7: top-k by aggregate. orderBy+limit plans as
+    * TakeOrderedAndProject — per-partition heaps, only k rows to the
+    * driver; no global sort at any scale. Ties broken by key for
+    * determinism.
+    */
+  def topKCustomers(orders: DataFrame, customer: DataFrame, k: Int = 10): DataFrame =
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(exactSum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(k)
+
+  /** Q8: window functions — rank + running total per customer. One
+    * shuffle on the partition key; running sum in exact decimal.
+    */
+  def customerOrderWindow(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.select(
+      col("o_custkey"), col("o_orderkey"),
+      rank().over(w).as("rnk"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).over(running)
+        .cast("double").as("running_total"))
+  }
+}

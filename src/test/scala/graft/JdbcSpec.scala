@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.DriverManager
+
+import graft.io.Jdbc
+
+/** JDBC ingest/egress against embedded Derby (in the Spark jars dir) —
+  * the analogue of the reference's PostgreSQL⇄Sqoop integration
+  * (reference: test/src/.../EndToEndTest.java:104-165).
+  */
+class JdbcSpec extends SparkSpec {
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+
+  private def withTable[T](body: => T): T = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE SRC") catch { case _: Exception => }
+      st.execute("CREATE TABLE SRC (id INT PRIMARY KEY, num0 INT, num1 INT)")
+      val ps = conn.prepareStatement("INSERT INTO SRC VALUES (?, ?, ?)")
+      (1 to 100).foreach { i =>
+        ps.setInt(1, i); ps.setInt(2, i % 7); ps.setInt(3, (i + 1) % 7)
+        ps.addBatch()
+      }
+      ps.executeBatch()
+      try st.execute("DROP TABLE DST") catch { case _: Exception => }
+      st.execute("CREATE TABLE DST (id INT, mean INT)")
+      body
+    } finally conn.close()
+  }
+
+  test("boundary pre-query computes min/max inside the RDBMS") {
+    withTable {
+      val b = Jdbc.boundary(url, "", "", "SELECT id, num0 FROM SRC WHERE id > 10", "id")
+      assert(b === Jdbc.Bounds(11, 100))
+    }
+  }
+
+  test("partitioned read pushes projection+filter and splits ranges") {
+    withTable {
+      val df = Jdbc.readPartitioned(spark, url, "", "",
+        "SELECT id, num0 FROM SRC WHERE id <= 50", "id", 4)
+      assert(df.rdd.getNumPartitions === 4)
+      assert(df.count() === 50)
+      assert(df.columns.toSeq.map(_.toLowerCase) === Seq("id", "num0"))
+    }
+  }
+
+  test("append export lands all rows in a pre-existing table") {
+    withTable {
+      import spark.implicits._
+      val out = Seq((0, 3), (1, 3)).toDF("id", "mean")
+      Jdbc.writeAppend(out, url, "", "", "DST")
+      val df = Jdbc.read(spark, url, "", "", "SELECT id, mean FROM DST")
+      assert(df.count() === 2)
+    }
+  }
+
+  test("splitRanges covers [min,max] with unbounded outer edges") {
+    val r = Jdbc.splitRanges(0, 100, 4)
+    assert(r.size === 4)
+    assert(r.head._1.isEmpty && r.last._2.isEmpty)
+    assert(r(1) === (Some(25L), Some(50L)))
+    assert(Jdbc.splitRanges(5, 5, 8) === Seq((None, None)))
+  }
+}
