@@ -1,9 +1,11 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.ops.{MapReduceOps, Relational}
+import graft.ops._
+import graft.streaming.EventsStreaming
 
 /** Driver contract — registry of every declared query (SURVEY.md §2.2)
   * with its DuckDB oracle SQL. Implementations live in graft.ops.*;
@@ -50,6 +52,38 @@ object SparkEntry {
       |         - (CAST(sum(value) AS BIGINT) % count(value)) * 100 AS mean
       |FROM u GROUP BY id""".stripMargin
 
+  /** DuckDB tokenizer identical to TextOps/DedupOps `tokensExpr`. */
+  private val duckToks =
+    """list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')"""
+
+  /** DuckDB word-3-gram shingles (matches DedupOps.shingleExpr(3)). */
+  private val duckShingles =
+    """list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))"""
+
+  // ---- pipe scripts (reference: the client-supplied mapper/reducer
+  // source strings of runStreamingMapReduce, EndToEndTest.java:84-98) ----
+  private val pipeMapper =
+    """#!/bin/sh
+      |exec awk -F',' '{ for (i = 1; i <= NF; i++) printf "%d\t%d\n", i - 1, $i }'
+      |""".stripMargin
+  private val pipeReducer =
+    """#!/bin/sh
+      |exec awk -F'\t' '
+      |  NR == 1 { k = $1 }
+      |  $1 != k { printf "%s\t%d\n", k, s; k = $1; s = 0 }
+      |  { s += $2; n++ }
+      |  END { if (n > 0) printf "%s\t%d\n", k, s }'
+      |""".stripMargin
+
+  private def pipeQuery(s: SparkSession, dir: String): DataFrame = {
+    val lines = t(s, dir, "lineitem").selectExpr(
+      """concat_ws(',', cast(l_linenumber as bigint),
+        |  cast(floor(l_quantity) as bigint), l_orderkey % 7) as line""".stripMargin)
+    PipeOps.pipeMapReduceDF(lines, pipeMapper, pipeReducer)
+      .selectExpr("cast(split(line, '\t')[0] as int) as id",
+        "cast(split(line, '\t')[1] as bigint) as total")
+  }
+
   /** Flagship query on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
@@ -78,13 +112,86 @@ object SparkEntry {
       Relational.topKCustomers(t(s, dir, "orders"), t(s, dir, "customer"))),
     "q08_window" -> ((s, dir) =>
       Relational.customerOrderWindow(t(s, dir, "orders"))),
+    "q09_pipe" -> pipeQuery _,
+    "q10_event_window" -> ((s, dir) =>
+      EventsStreaming.hourlyByType(t(s, dir, "events"))),
+    "q11_termfreq" -> ((s, dir) =>
+      TextOps.termFrequency(t(s, dir, "documents"))),
+    "q12_dedup_exact" -> ((s, dir) =>
+      DedupOps.exactDedup(t(s, dir, "documents"))),
+    "q13_minhash_lsh" -> ((s, dir) =>
+      DedupOps.minhashLshPairs(t(s, dir, "documents"))),
+    "q14_simhash" -> ((s, dir) =>
+      DedupOps.simhashSignatures(t(s, dir, "documents"))),
+    "q15_jaccard" -> ((s, dir) =>
+      DedupOps.jaccardPairs(t(s, dir, "documents"))),
+    "q16_knn" -> ((s, dir) =>
+      SimilarityOps.bruteForceKnn(t(s, dir, "embeddings"))),
+    "q17_embed_pairs" -> ((s, dir) =>
+      SimilarityOps.closestPairs(t(s, dir, "embeddings"))),
+    "q18_langid" -> ((s, dir) =>
+      TextOps.langId(t(s, dir, "documents"))),
+    "q19_quality" -> ((s, dir) =>
+      TextOps.qualityScore(t(s, dir, "documents"))),
+    "q20_tokens" -> ((s, dir) =>
+      TextOps.tokenCounts(t(s, dir, "documents"))),
+    "q21_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprint(t(s, dir, "documents"))),
+    "q22_json" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+        .select(col("event_type"), col("n"), col("sum_k"),
+          (col("sum_k").cast("double") / col("n")).as("avg_k"))),
+    "q23_multimodal" -> ((s, dir) =>
+      MultimodalOps.decodeDocuments(s, t(s, dir, "documents"))),
     "q24_typed_mapreduce" -> ((s, dir) =>
       MapReduceOps.unpivotGroupedMeanTyped(s,
         sevenIntCols(t(s, dir, "lineitem")),
         Seq("c0", "c1", "c2", "c3", "c4", "c5", "c6"))),
+    "q25_stream_window" -> ((s, dir) =>
+      EventsStreaming.hourlyByTypeStreaming(s, dir)),
     "q26_approx_distinct" -> ((s, dir) =>
       Relational.approxDistinct(t(s, dir, "orders"))),
+    "q27_simhash_pairs" -> ((s, dir) =>
+      DedupOps.simhashPairs(t(s, dir, "documents"))),
+    "q28_knn_lsh" -> ((s, dir) =>
+      SimilarityOps.lshKnn(t(s, dir, "embeddings"))),
   )
+
+  private val q10Sql =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+      |       event_type, count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  private val simhashSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($duckToks) tok FROM documents),
+       |th AS (
+       |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) th
+       |  FROM toks),
+       |votes AS (
+       |  SELECT doc_id, j,
+       |         sum(CASE WHEN (th >> j) & 1 = 1 THEN 1 ELSE -1 END) vote
+       |  FROM th CROSS JOIN (SELECT unnest(range(0, 32)) j) bits
+       |  GROUP BY doc_id, j)
+       |SELECT doc_id,
+       |       CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j)
+       |                     ELSE 0 END) AS BIGINT) AS simhash
+       |FROM votes GROUP BY doc_id""".stripMargin
+
+  /** The cosine formula of SimilarityOps.cosine, DuckDB-side. */
+  private def duckCosine(a: String, b: String): String =
+    s"""round(
+       |  list_sum(list_transform(range(1, len($a) + 1),
+       |    i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
+       |  / (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE)))
+       |     * sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE)))), 6)""".stripMargin
+
+  private val langMarkerValues = TextOps.langMarkers
+    .map { case (tok, lang, w) => s"('$tok', '$lang', $w)" }.mkString(", ")
 
   /** DuckDB-equivalent SQL per query (same parquet tables by name).
     * Column names/aliases must match the Spark output exactly.
@@ -138,6 +245,140 @@ object SparkEntry {
         |            AS DOUBLE) AS running_total
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
+    "q09_pipe" ->
+      """WITH base AS (
+        |  SELECT CAST(l_linenumber AS BIGINT) v0,
+        |         CAST(floor(l_quantity) AS BIGINT) v1,
+        |         l_orderkey % 7 v2
+        |  FROM lineitem),
+        |u AS (
+        |  SELECT 0 AS id, v0 AS value FROM base
+        |  UNION ALL SELECT 1, v1 FROM base
+        |  UNION ALL SELECT 2, v2 FROM base)
+        |SELECT id, CAST(sum(value) AS BIGINT) AS total FROM u GROUP BY id""".stripMargin,
+    "q10_event_window" -> q10Sql,
+    "q11_termfreq" ->
+      s"""SELECT lang, token, count(*) AS cnt FROM (
+         |  SELECT lang, unnest($duckToks) AS token FROM documents)
+         |GROUP BY lang, token""".stripMargin,
+    "q12_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS fp,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY md5(lower(trim(text)))""".stripMargin,
+    "q13_minhash_lsh" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks w FROM documents),
+         |sh AS (SELECT doc_id, unnest($duckShingles) g FROM toks),
+         |mh AS (
+         |  SELECT doc_id, s, min(md5(s::VARCHAR || ':' || g)) h
+         |  FROM sh CROSS JOIN (SELECT unnest(range(0, 12)) s) seeds
+         |  GROUP BY doc_id, s),
+         |bands AS (
+         |  SELECT doc_id, s // 2 AS b, md5(string_agg(h, '|' ORDER BY s)) bh
+         |  FROM mh GROUP BY doc_id, s // 2)
+         |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |FROM bands l JOIN bands r
+         |  ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id""".stripMargin,
+    "q14_simhash" -> simhashSql,
+    "q15_jaccard" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, g FROM (
+         |  SELECT doc_id, unnest($duckShingles) g FROM toks)),
+         |sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY doc_id),
+         |co AS (
+         |  SELECT l.doc_id doc_a, r.doc_id doc_b, count(*) common
+         |  FROM sh l JOIN sh r ON l.g = r.g AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |       round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+         |FROM co
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.3""".stripMargin,
+    "q16_knn" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         ${duckCosine("e.embedding", "q.qv")} AS sim
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         |r AS (SELECT query_id, vec_id, sim,
+         |             CAST(row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY sim DESC, vec_id ASC) AS INT) AS rnk
+         |      FROM scored)
+         |SELECT query_id, rnk, vec_id, sim FROM r WHERE rnk <= 10""".stripMargin,
+    "q17_embed_pairs" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       ${duckCosine("a.embedding", "b.embedding")} AS sim
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |ORDER BY sim DESC, id_a ASC, id_b ASC LIMIT 20""".stripMargin,
+    "q18_langid" ->
+      s"""WITH markers(token, cand_lang, weight) AS (VALUES $langMarkerValues),
+         |toks AS (SELECT doc_id, unnest($duckToks) token FROM documents),
+         |scores AS (
+         |  SELECT doc_id, cand_lang, CAST(sum(weight) AS BIGINT) score
+         |  FROM toks JOIN markers USING (token) GROUP BY 1, 2),
+         |best AS (
+         |  SELECT doc_id, cand_lang, score,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY score DESC, cand_lang ASC) rn
+         |  FROM scores)
+         |SELECT d.doc_id, coalesce(b.cand_lang, 'und') AS pred_lang,
+         |       coalesce(b.score, 0) AS score
+         |FROM documents d
+         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id""".stripMargin,
+    "q19_quality" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text, $duckToks w,
+         |         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) punct_cnt,
+         |         len(list_filter($duckToks,
+         |             x -> x in ('the','a','and','of','to','in','is'))) stop_cnt
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(length(text) AS INT) AS n_chars,
+         |       CAST(len(w) AS INT) AS n_tokens,
+         |       CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / CAST(len(w) AS INT) AS avg_token_len,
+         |       CAST(punct_cnt AS DOUBLE) / CAST(length(text) AS INT) AS punct_ratio,
+         |       CAST(stop_cnt AS DOUBLE) / CAST(len(w) AS INT) AS stopword_ratio,
+         |       round(0.5 * least(CAST(len(w) AS INT), 100) / 100.0
+         |         + 0.25 * (1.0 - CAST(punct_cnt AS DOUBLE) / CAST(length(text) AS INT))
+         |         + 0.25 * least(4.0 * CAST(stop_cnt AS DOUBLE) / CAST(len(w) AS INT), 1.0), 6) AS quality
+         |FROM base""".stripMargin,
+    "q20_tokens" ->
+      s"""SELECT doc_id,
+         |       CAST(len($duckToks) AS INT) AS n_ws_tokens,
+         |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_bpe_tokens
+         |FROM documents""".stripMargin,
+    "q21_fingerprint" ->
+      s"""WITH base AS (SELECT doc_id, $duckToks w FROM documents)
+         |SELECT doc_id,
+         |       md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fp,
+         |       CAST(len(list_distinct(w)) AS INT) AS n_distinct_tokens
+         |FROM base""".stripMargin,
+    "q22_json" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       CAST(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS DOUBLE) / count(*) AS avg_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q23_multimodal" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |       CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+        |       CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height,
+        |       CASE octet_length(encode(text)) % 3
+        |         WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+        |FROM documents""".stripMargin,
     "q24_typed_mapreduce" -> q01Base,
+    "q25_stream_window" -> q10Sql,
+    "q27_simhash_pairs" ->
+      s"""WITH sig AS ($simhashSql),
+         |banded AS (
+         |  SELECT doc_id, simhash, k, (simhash >> (8 * k)) & 255 AS byte
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) k) ks),
+         |pairs AS (
+         |  SELECT DISTINCT l.doc_id doc_a, r.doc_id doc_b,
+         |         CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) hamming
+         |  FROM banded l JOIN banded r
+         |    ON l.k = r.k AND l.byte = r.byte AND l.doc_id < r.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
   )
 }

@@ -12,7 +12,18 @@ object Tables {
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   def parquet(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events fixture carries TIMESTAMP(NANOS) which Spark's parquet
+    * reader rejects; read nanos as long and convert (truncating) to
+    * microsecond timestamps — the same ns→µs truncation DuckDB applies.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
 
   /** Newline-delimited delimiter-separated text, the reference's record
     * format (reference: test/src/.../TestMapper.java:26-28 — CSV lines).

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY §2.2 Q23): image/audio/video as
+  * opaque `binary` columns with typed metadata, processed by a batched
+  * per-partition decode/feature-extract stage.
+  *
+  * The Spark-side plumbing — schema, partitioning, batch shape — is
+  * real and tested; the actual media decode is STUBBED with a
+  * deterministic fake ([[StubDecoder]]) because no image/audio codec
+  * libraries exist in this environment. Swapping in a real decoder is
+  * a one-class change behind [[MediaDecoder]].
+  *
+  * Scale notes: decode runs `mapPartitions` with explicit batching
+  * (the JVM analogue of `mapInPandas` batch semantics) — bytes never
+  * leave their partition, the decoder is instantiated once per
+  * partition (amortizing model/codec init), and output is a narrow
+  * typed row, so the expensive binary column is dropped before any
+  * shuffle.
+  */
+object MultimodalOps {
+
+  /** An opaque media payload + its identity. */
+  final case class MediaRecord(doc_id: Long, media: Array[Byte])
+
+  /** Extracted metadata/features for one payload. */
+  final case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int,
+                             height: Int, format: String)
+
+  /** Decoder contract: one instance per partition, batch-at-a-time. */
+  trait MediaDecoder extends Serializable {
+    def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaMeta]
+  }
+
+  /** Deterministic fake decode — stands in for the real codec call.
+    * Field values are pure functions of the payload size so the DuckDB
+    * oracle can replay them.
+    */
+  object StubDecoder extends MediaDecoder {
+    override def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaMeta] =
+      batch.map { r =>
+        val n = r.media.length
+        MediaMeta(r.doc_id, n, n % 640, (n * 7) % 480,
+          n % 3 match { case 0 => "jpeg"; case 1 => "png"; case _ => "webp" })
+      }
+  }
+
+  /** documents → (doc_id, media binary): the ingest shape a real
+    * multimodal table would have (here the bytes are the UTF-8 text —
+    * any opaque payload works the same).
+    */
+  def toMediaTable(documents: DataFrame): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      .as[MediaRecord]
+  }
+
+  /** Batched per-partition decode/feature-extraction. */
+  def decode(media: Dataset[MediaRecord], decoder: MediaDecoder = StubDecoder,
+             batchSize: Int = 64): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(b => decoder.decodeBatch(b))
+    }
+  }
+
+  /** Q23 entry: documents → media table → stub decode → metadata DF. */
+  def decodeDocuments(spark: SparkSession, documents: DataFrame): DataFrame =
+    decode(toMediaTable(documents)).toDF()
+}

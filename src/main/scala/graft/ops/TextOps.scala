@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline surface
+  * (SURVEY §2.2 Q11, Q18-Q21): tokenization, term frequency, language
+  * ID, quality scoring, fingerprinting.
+  *
+  * All operators are single-pass, partition-local expression pipelines
+  * (whole-stage codegen, no UDFs); the only shuffles are the final
+  * aggregations. Formulas are deliberately expressible in ANSI SQL so
+  * the DuckDB oracle can replay them bit-for-bit.
+  */
+object TextOps {
+
+  /** Whitespace tokens, empties removed. */
+  def tokens(text: Column): Column =
+    expr(s"filter(split(trim(${text.toString}), '\\\\s+'), x -> x <> '')")
+
+  private val tokensExpr = "filter(split(trim(text), '\\\\s+'), x -> x <> '')"
+
+  /** Q11: term frequency per (lang, token). */
+  def termFrequency(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"), explode(expr(tokensExpr)).as("token"))
+      .groupBy("lang", "token")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Language-ID marker profile: (token, lang, weight). Small public
+    * stopword lists; broadcast-joined against the token stream. The
+    * marker table is tiny and static — at 100 TB this stays a
+    * broadcast join, one shuffle on doc_id for the score aggregation.
+    */
+  val langMarkers: Seq[(String, String, Int)] = Seq(
+    ("the", "en", 2), ("and", "en", 1), ("of", "en", 1), ("to", "en", 1),
+    ("a", "en", 1), ("in", "en", 1), ("is", "en", 1),
+    ("der", "de", 2), ("die", "de", 2), ("und", "de", 2), ("das", "de", 1),
+    ("ist", "de", 1), ("nicht", "de", 1), ("ein", "de", 1),
+    ("le", "fr", 2), ("la", "fr", 2), ("et", "fr", 2), ("les", "fr", 1),
+    ("est", "fr", 1), ("une", "fr", 1), ("dans", "fr", 1),
+    ("el", "es", 2), ("los", "es", 1), ("y", "es", 2), ("es", "es", 1),
+    ("una", "es", 1), ("que", "es", 2),
+    ("的", "zh", 2), ("是", "zh", 2), ("了", "zh", 2), ("在", "zh", 1))
+
+  /** Q18: n-gram/stopword-heuristic language ID. Deterministic argmax
+    * (score desc, lang asc); docs with no marker hits → 'und'.
+    */
+  def langId(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val markers = langMarkers.toDF("token", "cand_lang", "weight")
+    val toks = documents.select(col("doc_id"), explode(expr(tokensExpr)).as("token"))
+    val scores = toks
+      .join(broadcast(markers), "token")
+      .groupBy("doc_id", "cand_lang")
+      .agg(sum("weight").as("score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("cand_lang").asc)
+    val best = scores
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand_lang"), col("score"))
+    documents.select("doc_id").join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cand_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
+
+  /** Q19: per-document quality signals + a composite score.
+    * Length/punctuation/stopword heuristics in pure expressions.
+    */
+  def qualityScore(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("w", expr(tokensExpr))
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("n_tokens", size(col("w")))
+      .withColumn("punct_cnt",
+        length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", "")))
+      .withColumn("stop_cnt",
+        expr("size(filter(w, x -> x in ('the','a','and','of','to','in','is')))"))
+      .select(
+        col("doc_id"), col("n_chars"), col("n_tokens"),
+        expr("cast(aggregate(w, 0, (acc, x) -> acc + length(x)) as double) / n_tokens")
+          .as("avg_token_len"),
+        expr("cast(punct_cnt as double) / n_chars").as("punct_ratio"),
+        expr("cast(stop_cnt as double) / n_tokens").as("stopword_ratio"),
+        expr("""round(0.5 * least(n_tokens, 100) / 100.0
+              |  + 0.25 * (1.0 - cast(punct_cnt as double) / n_chars)
+              |  + 0.25 * least(4.0 * cast(stop_cnt as double) / n_tokens, 1.0), 6)"""
+          .stripMargin).as("quality"))
+
+  /** Q20: token counting — whitespace tokens and a BPE-ish regex
+    * segmentation (letter runs / digit runs / single other glyphs).
+    */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(expr(tokensExpr)).as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_bpe_tokens"))
+
+  /** Q21: document fingerprint — order-independent content hash over
+    * the distinct token set (the canonical "bag fingerprint"; robust
+    * to reordering, the common near-dup normalization).
+    */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("w", expr(tokensExpr))
+      .select(
+        col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(col("w"))))).as("fp"),
+        size(array_distinct(col("w"))).as("n_distinct_tokens"))
+}

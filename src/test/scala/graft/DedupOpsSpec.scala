@@ -1,0 +1,54 @@
+package graft
+
+import graft.ops.DedupOps
+
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exactDedup groups identical normalized text") {
+    val d = docs(1L -> "Hello World", 2L -> "  hello world ", 3L -> "other")
+    val out = DedupOps.exactDedup(d).collect()
+    assert(out.length === 2)
+    val dup = out.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("doc_id") === 1L)
+  }
+
+  test("minhashLshPairs finds near-identical docs, not unrelated ones") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 30).map(i => s"w$i").updated(29, "changed").mkString(" ")
+    val other = (1 to 30).map(i => s"z$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val pairs = DedupOps.minhashLshPairs(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("jaccardPairs computes exact n-gram jaccard") {
+    // doc1: tokens a b c d -> 3-grams {abc, bcd}; doc2 shares {bcd} of {bcd, cde}
+    val d = docs(1L -> "a b c d", 2L -> "b c d e")
+    val out = DedupOps.jaccardPairs(d, threshold = 0.0).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Double]("jaccard") === 0.333333) // round(1/3, 6)
+  }
+
+  test("simhash: identical docs share signatures; hamming 0 pair found") {
+    val d = docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta",
+      3L -> "completely different words here")
+    val sigs = DedupOps.simhashSignatures(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    val pairs = DedupOps.simhashPairs(d).collect()
+    val p12 = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(p12.isDefined && p12.get.getAs[Int]("hamming") === 0)
+  }
+
+  test("simhash signature fits in 32 bits and is non-trivial") {
+    val d = docs(1L -> "some words of text")
+    val s = DedupOps.simhashSignatures(d).collect().head.getLong(1)
+    assert(s >= 0L && s <= 0xFFFFFFFFL)
+    assert(s !== 0L)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.ops.TextOps
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text").withColumn("lang", org.apache.spark.sql.functions.lit("xx"))
+
+  test("langId discriminates real sentences by stopword profile") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog and the cat",
+      2L -> "der schnelle braune fuchs springt und die katze ist nicht da",
+      3L -> "le chat est dans la maison et les chiens sont la",
+      4L -> "el perro y el gato es una historia que todos conocen",
+      5L -> "zzz qqq www")
+    val out = TextOps.langId(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "de")
+    assert(out(3L) === "fr")
+    assert(out(4L) === "es")
+    assert(out(5L) === "und")
+  }
+
+  test("termFrequency counts tokens per lang") {
+    val d = Seq((1L, "a b a", "en"), (2L, "a", "de")).toDF("doc_id", "text", "lang")
+    val out = TextOps.termFrequency(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("en", "a")) === 2L)
+    assert(out(("en", "b")) === 1L)
+    assert(out(("de", "a")) === 1L)
+  }
+
+  test("fingerprint is invariant to token order and duplication") {
+    val d = docs(1L -> "alpha beta gamma", 2L -> "gamma beta alpha alpha")
+    val fps = TextOps.fingerprint(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) === fps(2L))
+  }
+
+  test("qualityScore fields are consistent") {
+    val d = docs(1L -> "the cat sat.")
+    val r = TextOps.qualityScore(d).collect().head
+    assert(r.getAs[Int]("n_chars") === 12)
+    assert(r.getAs[Int]("n_tokens") === 3)
+    assert(r.getAs[Double]("punct_ratio") === 1.0 / 12)
+    assert(r.getAs[Double]("stopword_ratio") === 1.0 / 3)
+  }
+
+  test("tokenCounts: BPE-ish segmentation counts glyph runs") {
+    val d = docs(1L -> "abc12 de!")
+    // ws tokens: [abc12, de!]; bpe: [abc][12][de][!]
+    val r = TextOps.tokenCounts(d).collect().head
+    assert(r.getAs[Int]("n_ws_tokens") === 2)
+    assert(r.getAs[Int]("n_bpe_tokens") === 4)
+  }
+}
