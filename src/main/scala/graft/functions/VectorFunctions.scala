@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression for the float-vector dot product — the
+  * hot inner loop of similarity search (SURVEY §2.2 Q13/Q16-Q17).
+  *
+  * The composable alternative (`aggregate(zip_with(...))`) evaluates
+  * interpreted lambdas with per-element boxing; this expression
+  * participates in whole-stage codegen as a tight primitive loop over
+  * the columnar array data — ~2 orders of magnitude less overhead on
+  * a 64-dim embedding, which is what makes brute-force scoring viable
+  * as the exact baseline at scale.
+  *
+  * Accumulation is a sequential left-to-right double fold — the same
+  * order as the interpreted form and the DuckDB oracle, so results are
+  * bit-identical.
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  // inputs must be array<float>; enforced by call sites (the
+  // ExpectsInputTypes trait's type class is private[sql] in Spark 4)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration of graft's native functions — both as a runtime helper
+  * and as a [[SparkSessionExtensions]] hook
+  * (`spark.sql.extensions=graft.functions.GraftSparkExtensions`).
+  */
+object GraftFunctions {
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => VecDot(args(0), args(1))))
+
+  /** Idempotent in-session registration. */
+  def register(spark: SparkSession): Unit = all.foreach { case (id, info, builder) =>
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}
+
+/** `--conf spark.sql.extensions=graft.functions.GraftSparkExtensions` */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}

@@ -25,6 +25,16 @@ object DedupOps {
 
   private val tokensExpr = "filter(split(trim(text), '\\\\s+'), x -> x <> '')"
 
+  /** Spread a coarsely-partitioned input (e.g. one small parquet file)
+    * across the cluster before a CPU-dense stage. At real scale inputs
+    * arrive with many partitions and this is a no-op-sized shuffle of
+    * narrow (doc_id, text) rows.
+    */
+  private def par(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Word n-gram shingles; docs shorter than n shingle to nothing.
     * (Spark's `sequence` descends when start > stop, hence the guard.)
     */
@@ -46,28 +56,40 @@ object DedupOps {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "fp", "n_copies")
 
-  /** MinHash signature rows: (doc_id, seed s, minhash h) where
-    * h = min over shingles of md5("s:" || shingle). Partial min-agg
-    * combines map-side; only (doc, seed, 32-byte hash) rows shuffle.
+  /** MinHash signatures, one row per doc: (doc_id, h0..h{k-1}) where
+    * hᵢ = min over shingles of md5("i:" || shingle). All k minima are
+    * aggregate columns of ONE hash aggregation — no seed explode, no
+    * k× row blowup; partial min-agg combines map-side, so the shuffle
+    * carries one (doc_id, k×32-byte) row per doc per partition.
     */
-  private def minhashRows(documents: DataFrame, numHashes: Int, shingleSize: Int): DataFrame =
-    documents
+  private def minhashSignature(documents: DataFrame, numHashes: Int, shingleSize: Int): DataFrame =
+    par(documents)
       .withColumn("w", expr(tokensExpr))
       .select(col("doc_id"), explode(expr(shingleExpr(shingleSize))).as("g"))
-      .select(col("doc_id"), explode(expr(s"sequence(0, ${numHashes - 1})")).as("s"), col("g"))
-      .groupBy("doc_id", "s")
-      .agg(min(md5(concat(col("s").cast("string"), lit(":"), col("g")))).as("h"))
+      .groupBy("doc_id")
+      .agg(
+        min(md5(concat(lit("0"), lit(":"), col("g")))).as("h0"),
+        (1 until numHashes).map(s =>
+          min(md5(concat(lit(s.toString), lit(":"), col("g")))).as(s"h$s")): _*)
 
   /** Q13: MinHash + LSH banding near-dup candidates. Bands of
     * `bandSize` consecutive signature slots are hashed; docs sharing
-    * any (band, bandHash) bucket become a candidate pair.
+    * any (band, bandHash) bucket become a candidate pair. The band
+    * explode emits (numHashes/bandSize) small rows per doc; candidates
+    * come from an equi-join on (band, bandHash) — only near-collisions
+    * ever meet.
     */
   def minhashLshPairs(documents: DataFrame, numHashes: Int = 12,
                       bandSize: Int = 2, shingleSize: Int = 3): DataFrame = {
-    val bands = minhashRows(documents, numHashes, shingleSize)
-      .groupBy(col("doc_id"), expr(s"s div $bandSize").as("b"))
-      .agg(md5(concat_ws("|",
-        expr("transform(array_sort(collect_list(struct(s, h))), x -> x.h)"))).as("bh"))
+    val sig = minhashSignature(documents, numHashes, shingleSize)
+    val nBands = numHashes / bandSize
+    val bandCols = (0 until nBands).map { b =>
+      val slots = (b * bandSize until (b + 1) * bandSize).map(s => s"h$s")
+      s"struct(${b}L as b, md5(concat_ws('|', ${slots.mkString(", ")})) as bh)"
+    }
+    val bands = sig.select(col("doc_id"),
+      explode(expr(s"array(${bandCols.mkString(", ")})")).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.bh").as("bh"))
     val l = bands.select(col("doc_id").as("doc_a"), col("b"), col("bh"))
     val r = bands.select(col("doc_id").as("doc_b"), col("b"), col("bh"))
     l.join(r, Seq("b", "bh"))
@@ -77,19 +99,25 @@ object DedupOps {
 
   /** Q14: 32-bit SimHash signature per document: per-bit majority vote
     * over token hashes (token hash = first 8 hex chars of md5 →
-    * uint32). One explode (tokens × 32 bits) + two aggregations.
+    * uint32). All 32 bit-votes are aggregate columns of ONE hash
+    * aggregation over the token rows (no 32× bit explode); the final
+    * select assembles the signature from the vote signs.
     */
-  def simhashSignatures(documents: DataFrame): DataFrame =
-    documents
+  def simhashSignatures(documents: DataFrame): DataFrame = {
+    val votes = par(documents)
       .select(col("doc_id"), explode(expr(tokensExpr)).as("tok"))
       .select(col("doc_id"),
         expr("cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint)").as("th"))
-      .select(col("doc_id"), expr("explode(sequence(0, 31))").as("j"), col("th"))
-      .groupBy("doc_id", "j")
-      .agg(sum(expr("case when ((th >> j) & 1) = 1 then 1 else -1 end")).as("vote"))
       .groupBy("doc_id")
-      .agg(sum(expr("case when vote > 0 then shiftleft(cast(1 as bigint), j) else cast(0 as bigint) end"))
-        .as("simhash"))
+      .agg(
+        sum(expr("case when ((th >> 0) & 1) = 1 then 1 else -1 end")).as("v0"),
+        (1 until 32).map(j =>
+          sum(expr(s"case when ((th >> $j) & 1) = 1 then 1 else -1 end")).as(s"v$j")): _*)
+    val assemble = (0 until 32)
+      .map(j => s"(case when v$j > 0 then ${1L << j}L else 0L end)")
+      .mkString(" + ")
+    votes.select(col("doc_id"), expr(s"cast($assemble as bigint)").as("simhash"))
+  }
 
   /** Q14b: SimHash near-dup candidate pairs — byte-banding (two docs
     * within Hamming distance ≤ 3 of a 32-bit signature share at least
@@ -117,7 +145,7 @@ object DedupOps {
     */
   def jaccardPairs(documents: DataFrame, shingleSize: Int = 3,
                    threshold: Double = 0.3): DataFrame = {
-    val sh = documents
+    val sh = par(documents)
       .withColumn("w", expr(tokensExpr))
       .select(col("doc_id"), explode(expr(shingleExpr(shingleSize))).as("g"))
       .distinct()

@@ -1,41 +1,53 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
 
 /** Similarity search over an embedding column (SURVEY §2.2 Q13/Q16-Q17):
   * brute-force cosine top-k as the exact baseline, and a random-
   * hyperplane LSH-bucketed variant as the 100 TB scale path.
   *
-  * Cosine is computed with higher-order expressions (`zip_with` +
-  * `aggregate` — sequential left fold, so results are bit-identical
-  * to any in-order evaluation incl. the DuckDB oracle), entirely
-  * inside codegen; no UDFs.
+  * The inner loop is the native codegen'd [[graft.functions.VecDot]]
+  * expression; norms are computed once per vector *before* the pair
+  * join, so per-pair work is a single dot product. Accumulation order
+  * matches the DuckDB oracle bit-for-bit (sequential double fold).
   */
 object SimilarityOps {
 
-  /** dot(a, b) in double, sequential fold over element pairs. */
-  private def dot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
-      "cast(0 as double), (acc, v) -> acc + v)"
+  /** cos(a,b) given precomputed norms — round to 6 for cross-engine
+    * comparability.
+    */
+  private def sim(a: String, b: String, normA: String, normB: String) =
+    expr(s"round(vec_dot($a, $b) / ($normA * $normB), 6)")
 
-  /** Rounded cosine similarity column between two array<float> cols. */
-  def cosine(a: String, b: String): Column =
-    expr(s"round(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})), 6)")
+  /** Spread a coarsely-partitioned input (one small parquet file at
+    * bench scale) before the CPU-dense scoring stage; no-op when the
+    * input already has enough partitions.
+    */
+  private def par(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
+  private def withNorm(df: DataFrame, vecCol: String, normCol: String): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    par(df).withColumn(normCol, expr(s"sqrt(vec_dot($vecCol, $vecCol))"))
+  }
 
   /** Q16: exact brute-force top-k cosine neighbors for each query
     * vector (vec_id < nQueries). The query side is tiny and broadcast;
-    * the candidate scan is embarrassingly parallel — at scale this is
-    * one pass over the corpus with a per-partition top-k heap folded
-    * by TakeOrdered semantics via the window-rank below.
+    * the candidate scan is embarrassingly parallel, one pass over the
+    * corpus; the window-rank top-k shuffles only (query_id, k) rows.
     */
   def bruteForceKnn(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
-    val queries = embeddings.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
-    val cands = embeddings.select(col("vec_id"), col("embedding"))
+    val cands = withNorm(embeddings, "embedding", "cn")
+    val queries = cands.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"), col("cn").as("qn"))
     val scored = cands.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .withColumn("sim", cosine("q", "embedding"))
+      .withColumn("sim", sim("q", "embedding", "qn", "cn"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rnk", row_number().over(w))
@@ -44,15 +56,16 @@ object SimilarityOps {
   }
 
   /** Q17: closest pairs across the corpus — candidate near-duplicates
-    * by embedding cosine. Exact over all pairs (small side broadcast);
-    * at 100 TB one would first bucket with [[lshBuckets]] and run this
-    * within buckets only.
+    * by embedding cosine. Exact over all pairs at test scale; at
+    * 100 TB one would first bucket with [[lshBuckets]] and run this
+    * within buckets only (see [[lshKnn]] for the pattern).
     */
   def closestPairs(embeddings: DataFrame, topN: Int = 20): DataFrame = {
-    val l = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
-    val r = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val n = withNorm(embeddings, "embedding", "n")
+    val l = n.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("n").as("na"))
+    val r = n.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("n").as("nb"))
     l.join(r, col("id_a") < col("id_b"))
-      .withColumn("sim", cosine("ea", "eb"))
+      .withColumn("sim", sim("ea", "eb", "na", "nb"))
       .orderBy(col("sim").desc, col("id_a").asc, col("id_b").asc)
       .limit(topN)
       .select("id_a", "id_b", "sim")
@@ -89,12 +102,13 @@ object SimilarityOps {
     */
   def lshKnn(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
              numPlanes: Int = 4): DataFrame = {
-    val bucketed = lshBuckets(embeddings, numPlanes)
+    val bucketed = withNorm(lshBuckets(embeddings, numPlanes), "embedding", "cn")
     val queries = bucketed.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("cn").as("qn"), col("bucket"))
     val scored = bucketed.join(broadcast(queries), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("sim", cosine("q", "embedding"))
+      .withColumn("sim", sim("q", "embedding", "qn", "cn"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rnk", row_number().over(w))
