@@ -158,6 +158,14 @@ object SparkEntry {
       DedupOps.simhashPairs(t(s, dir, "documents"))),
     "q28_knn_lsh" -> ((s, dir) =>
       SimilarityOps.lshKnn(t(s, dir, "embeddings"))),
+    "q29_rollup" -> ((s, dir) =>
+      Relational.rollupAgg(t(s, dir, "lineitem"))),
+    "q30_setops" -> ((s, dir) =>
+      Relational.customerSetOps(t(s, dir, "orders"))),
+    "q31_sql_subquery" -> ((s, dir) =>
+      Relational.sqlMaxOrderPerCustomer(t(s, dir, "orders"))),
+    "q32_sessionize" -> ((s, dir) =>
+      EventsStreaming.sessionize(t(s, dir, "events"))),
   )
 
   private val q10Sql =
@@ -369,6 +377,38 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q24_typed_mapreduce" -> q01Base,
     "q25_stream_window" -> q10Sql,
+    "q29_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q30_setops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+        |b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |SELECT o_custkey, 'both' AS op FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+        |UNION ALL
+        |SELECT o_custkey, 'only_1995' AS op FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+        |UNION ALL
+        |SELECT o_custkey, 'only_1996' AS op FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)""".stripMargin,
+    "q31_sql_subquery" -> Relational.maxOrderSql,
+    "q32_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value, epoch_us(ts) us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_us,
+        |         event_id
+        |  FROM events),
+        |y AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |                 THEN 1 ELSE 0 END new_sess FROM x),
+        |z AS (
+        |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) session_id
+        |  FROM y)
+        |SELECT user_id, session_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM z GROUP BY user_id, session_id""".stripMargin,
     "q27_simhash_pairs" ->
       s"""WITH sig AS ($simhashSql),
          |banded AS (

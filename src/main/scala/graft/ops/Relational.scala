@@ -106,6 +106,44 @@ object Relational {
       .orderBy(col("revenue").desc, col("c_custkey").asc)
       .limit(k)
 
+  /** Q29: rollup — subtotals along the (returnflag, linestatus)
+    * hierarchy in one pass (Expand + single hash agg).
+    */
+  def rollupAgg(lineitem: DataFrame): DataFrame =
+    lineitem.rollup("l_returnflag", "l_linestatus")
+      .agg(exactSum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"))
+
+  /** Q30: set operations — distinct 1995 vs 1996 customer key sets,
+    * tagged. intersect/except plan as hash semi/anti joins.
+    */
+  def customerSetOps(orders: DataFrame): DataFrame = {
+    def keys(y: Int) = orders.filter(year(col("o_orderdate")) === y)
+      .select("o_custkey").distinct()
+    val a = keys(1995)
+    val b = keys(1996)
+    a.intersect(b).withColumn("op", lit("both"))
+      .unionByName(a.except(b).withColumn("op", lit("only_1995")))
+      .unionByName(b.except(a).withColumn("op", lit("only_1996")))
+  }
+
+  /** Q31: the SQL surface — temp-view catalog + Catalyst-parsed ANSI
+    * SQL with a correlated scalar subquery (decorrelated by the
+    * optimizer into an aggregate + join; `explain` shows no per-row
+    * subplan execution).
+    */
+  val maxOrderSql: String =
+    """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+      |FROM orders o
+      |WHERE o.o_totalprice = (SELECT max(o2.o_totalprice)
+      |                        FROM orders o2
+      |                        WHERE o2.o_custkey = o.o_custkey)""".stripMargin
+
+  def sqlMaxOrderPerCustomer(orders: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("orders")
+    orders.sparkSession.sql(maxOrderSql)
+  }
+
   /** Q8: window functions — rank + running total per customer. One
     * shuffle on the partition key; running sum in exact decimal.
     */

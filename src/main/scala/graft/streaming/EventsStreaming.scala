@@ -1,8 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 /** Event-time windowed aggregation over the `events` table — batch and
@@ -38,6 +39,87 @@ object EventsStreaming {
 
   /** Q10: batch event-time tumbling window. */
   def hourlyByType(events: DataFrame): DataFrame = windowAgg(events)
+
+  /** Q32: sessionization, batch form — classic gaps-and-islands with
+    * window functions: a session breaks after `gapMinutes` of
+    * inactivity. One shuffle on user_id; exact integer microsecond
+    * arithmetic so the oracle replays it bit-for-bit.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum("new_sess").over(run).cast("int"))
+      .groupBy("user_id", "session_id")
+      .agg(
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+  }
+
+  /** One closed session (stateful-streaming output shape). */
+  final case class Session(user_id: Long, session_start_us: Long,
+                           session_end_us: Long, n_events: Long, sum_value_cents: Long)
+  private final case class OpenSession(startUs: Long, lastUs: Long,
+                                       n: Long, cents: Long)
+
+  /** Q32 streaming form: custom per-key state via
+    * flatMapGroupsWithState — the engine's arbitrary-stateful-operator
+    * surface. Sessions close after `gapMinutes` of event-time silence;
+    * the still-open session is flushed at end-of-input (a production
+    * continuous stream would instead use GroupStateTimeout.EventTimeTimeout
+    * and keep it in state). State per key is one fixed-size OpenSession
+    * — bounded regardless of input size.
+    */
+  def sessionizeStreaming(spark: SparkSession, dir: String,
+                          gapMinutes: Int = 30,
+                          queryName: String = "graft_stream_sessions"): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val gapUs = gapMinutes * 60L * 1000000L
+    val src = spark.readStream.schema(rawEventsSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .selectExpr("user_id", "ts div 1000 as us",
+        "cast(cast(value as decimal(18,2)) * 100 as bigint) as cents")
+      .as[(Long, Long, Long)]
+
+    def flush(userId: Long, events: Iterator[(Long, Long, Long)],
+              state: GroupState[OpenSession]): Iterator[Session] = {
+      // AvailableNow over a bounded fixture: each key's events arrive
+      // in one batch; sort by event time and emit every session.
+      val sorted = events.toSeq.sortBy(_._2)
+      val sessions = Seq.newBuilder[Session]
+      var open: Option[OpenSession] = state.getOption
+      sorted.foreach { case (_, us, c) =>
+        open match {
+          case Some(s) if us - s.lastUs <= gapUs =>
+            open = Some(OpenSession(s.startUs, us, s.n + 1, s.cents + c))
+          case Some(s) =>
+            sessions += Session(userId, s.startUs, s.lastUs, s.n, s.cents)
+            open = Some(OpenSession(us, us, 1, c))
+          case None =>
+            open = Some(OpenSession(us, us, 1, c))
+        }
+      }
+      open.foreach(s => sessions += Session(userId, s.startUs, s.lastUs, s.n, s.cents))
+      state.remove()
+      sessions.result().iterator
+    }
+
+    val out = src.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(flush)
+    val q = out.writeStream.format("memory").queryName(queryName)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val res = spark.table(queryName)
+    res.cache(); res.count()
+    res
+  }
 
   /** Q25: the same computation executed by the Structured Streaming
     * engine — file stream in, watermark, windowed state, memory sink,

@@ -1,0 +1,64 @@
+package graft
+
+import graft.io.Tables
+import graft.ops.{Relational, SimilarityOps}
+
+/** Physical-plan assertions — the scale contract, checked, not hoped
+  * for: filters reach the parquet scan, projections prune columns,
+  * dimension joins broadcast, top-k avoids a global sort, and the
+  * similarity inner loop runs as the native codegen'd expression.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02: predicate + projection are pushed into the parquet scan") {
+    val plan = planOf(Relational.filterProject(Tables.parquet(spark, sf, "lineitem")))
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("IsNotNull(l_shipdate)"), plan)
+    // column pruning: the 16-col table is read with only the needed cols
+    assert(!plan.contains("l_tax"), plan)
+  }
+
+  test("q05: dimension joins are broadcast, no sort-merge join") {
+    val plan = planOf(Relational.starJoin(
+      Tables.parquet(spark, sf, "orders"), Tables.parquet(spark, sf, "customer"),
+      Tables.parquet(spark, sf, "nation"), Tables.parquet(spark, sf, "region")))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q07: top-k plans as TakeOrderedAndProject (no global sort)") {
+    val plan = planOf(Relational.topKCustomers(
+      Tables.parquet(spark, sf, "orders"), Tables.parquet(spark, sf, "customer")))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q01: grouped mean is a partial+final hash agg with one exchange") {
+    val df = graft.ops.MapReduceOps.unpivotGroupedMean(
+      Tables.parquet(spark, sf, "lineitem")
+        .selectExpr("cast(l_linenumber as bigint) as c0", "l_orderkey % 7 as c1"),
+      Seq("c0", "c1"))
+    val plan = planOf(df)
+    assert(plan.contains("HashAggregate"), plan)
+    assert("Exchange".r.findAllIn(plan).size === 1, plan)
+  }
+
+  test("q16: similarity scoring uses the native vec_dot expression in codegen") {
+    val df = SimilarityOps.bruteForceKnn(Tables.parquet(spark, sf, "embeddings"))
+    assert(planOf(df).contains("vec_dot"), planOf(df))
+    // top-k is already partial+final (WindowGroupLimit), no global sort
+    assert(planOf(df).contains("WindowGroupLimit"), planOf(df))
+    df.collect() // finalize THIS plan's adaptive execution, then check codegen
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("codegen id"), formatted)
+  }
+
+  test("q31: correlated scalar subquery is decorrelated into a join") {
+    val plan = planOf(Relational.sqlMaxOrderPerCustomer(Tables.parquet(spark, sf, "orders")))
+    assert(!plan.toLowerCase.contains("scalar-subquery"), plan)
+    assert(plan.contains("Join") || plan.contains("BroadcastHashJoin"), plan)
+  }
+}

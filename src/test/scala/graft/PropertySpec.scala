@@ -1,0 +1,71 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops.{DedupOps, MapReduceOps}
+
+/** Property tests for the rewrite-sensitive pieces (SURVEY §5d).
+  * Plain ScalaCheck generators sampled with fixed seeds (the
+  * scalatest-scalacheck bridge artifact is not in the offline cache).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int = 5): Seq[T] =
+    (1 to n).map(i => g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("exact mean tripwire: zero iff the mean is exact, for any values") {
+    samples(Gen.nonEmptyListOf(Gen.chooseNum(0L, 1000L))).foreach { vs =>
+      val df = vs.map(v => (0, v)).toDF("id", "value")
+      val mean = df.groupBy("id")
+        .agg(MapReduceOps.exactIntMeanTripwire("value").as("m"))
+        .collect().head.getLong(1)
+      val sum = vs.sum
+      val expected = sum / vs.size - (sum % vs.size) * 100
+      assert(mean === expected)
+      if (sum % vs.size == 0) assert(mean === sum / vs.size)
+      else assert(mean !== sum / vs.size) // tripwire visibly fires
+    }
+  }
+
+  test("unpivot of k columns emits exactly k rows per input row, ids 0..k-1") {
+    samples(Gen.zip(Gen.chooseNum(1, 6), Gen.chooseNum(1, 20))).foreach { case (k, n) =>
+      val cols = (0 until k).map(i => s"c$i")
+      val df = (0 until n).map(r => Seq.tabulate(6)(c => (r * 6 + c).toLong))
+        .map(s => (s(0), s(1), s(2), s(3), s(4), s(5)))
+        .toDF("c0", "c1", "c2", "c3", "c4", "c5")
+      val out = MapReduceOps.unpivotToIdValue(df, cols)
+      assert(out.count() === k.toLong * n)
+      val ids = out.select("id").distinct().as[Int].collect().sorted
+      assert(ids.toSeq === (0 until k))
+    }
+  }
+
+  test("exact dedup is idempotent and count-preserving") {
+    samples(Gen.nonEmptyListOf(Gen.oneOf("a b c", "d e f", "a b c", "G H"))).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val once = DedupOps.exactDedup(docs)
+      assert(once.select("fp").distinct().count() === once.count())
+      assert(once.agg(org.apache.spark.sql.functions.sum("n_copies")).collect()
+        .head.getLong(0) === texts.size.toLong)
+      // re-deduping the representatives is a no-op
+      val reps = once.join(docs, "doc_id").select("doc_id", "text")
+      assert(DedupOps.exactDedup(reps).count() === once.count())
+    }
+  }
+
+  test("jaccard pairs are canonical-ordered and bounded in [0,1]") {
+    samples(Gen.listOfN(4, Gen.listOfN(8, Gen.oneOf("x", "y", "z", "w", "v")))).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val pairs = DedupOps.jaccardPairs(df, threshold = 0.0).collect()
+      pairs.foreach { r =>
+        assert(r.getLong(0) < r.getLong(1))
+        val j = r.getDouble(2)
+        assert(j >= 0.0 && j <= 1.0)
+      }
+    }
+  }
+}

@@ -14,4 +14,16 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
     assert(batch.nonEmpty)
   }
+
+  test("stateful streaming sessionize agrees with the batch gaps-and-islands") {
+    val batch = EventsStreaming.sessionize(Tables.events(spark, sf))
+      .selectExpr("user_id", "n_events", "cast(round(sum_value * 100) as bigint) as cents")
+      .collect().map(_.toSeq).toSet
+    val streamed = EventsStreaming
+      .sessionizeStreaming(spark, sf, queryName = "spec_sessions")
+      .selectExpr("user_id", "n_events", "sum_value_cents as cents")
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
 }
