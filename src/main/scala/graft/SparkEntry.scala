@@ -166,6 +166,10 @@ object SparkEntry {
       Relational.sqlMaxOrderPerCustomer(t(s, dir, "orders"))),
     "q32_sessionize" -> ((s, dir) =>
       EventsStreaming.sessionize(t(s, dir, "events"))),
+    "q33_udaf_mean" -> ((s, dir) =>
+      Aggregators.unpivotGroupedMeanUdaf(s,
+        sevenIntCols(t(s, dir, "lineitem")),
+        Seq("c0", "c1", "c2", "c3", "c4", "c5", "c6"))),
   )
 
   private val q10Sql =
@@ -376,6 +380,7 @@ object SparkEntry {
         |         WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
         |FROM documents""".stripMargin,
     "q24_typed_mapreduce" -> q01Base,
+    "q33_udaf_mean" -> q01Base,
     "q25_stream_window" -> q10Sql,
     "q29_rollup" ->
       """SELECT l_returnflag, l_linestatus,
