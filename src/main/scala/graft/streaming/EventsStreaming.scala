@@ -27,8 +27,10 @@ object EventsStreaming {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Shared aggregation: 1-hour tumbling windows per event_type. */
-  private def windowAgg(events: DataFrame): DataFrame =
+  /** Shared aggregation: 1-hour tumbling windows per event_type.
+    * Works on batch and streaming inputs alike (one logical plan).
+    */
+  def windowAgg(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n"),
