@@ -170,6 +170,8 @@ object SparkEntry {
       Aggregators.unpivotGroupedMeanUdaf(s,
         sevenIntCols(t(s, dir, "lineitem")),
         Seq("c0", "c1", "c2", "c3", "c4", "c5", "c6"))),
+    "q34_knn_ivf" -> ((s, dir) =>
+      SimilarityOps.ivfKnn(t(s, dir, "embeddings"))),
   )
 
   private val q10Sql =

@@ -1,0 +1,42 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Data-layout writers — the storage-side half of the 100 TB design.
+  *
+  * - Partitioned writes put the high-selectivity predicate columns in
+  *   the directory structure, so scans prune whole partitions before
+  *   reading a byte (`PartitionFilters` in explain — asserted by
+  *   LayoutSpec).
+  * - Sorted-within-partition writes give parquet min/max row-group
+  *   statistics real selectivity for range predicates.
+  * - Bucketed tables pre-shuffle on the join/agg key at write time:
+  *   two tables bucketed the same way join with NO exchange at read
+  *   time — the shuffle is paid once, not per query (asserted by
+  *   LayoutSpec).
+  */
+object Layout {
+
+  /** Hive-style partitioned parquet, optionally sorted inside each
+    * partition for row-group pruning.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String],
+                       sortCols: Seq[String] = Nil): Unit = {
+    val sorted =
+      if (sortCols.isEmpty) df
+      else df.sortWithinPartitions(sortCols.map(df.col): _*)
+    sorted.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
+  /** Bucketed + sorted managed table (bucket pre-shuffle on the key). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int = 16): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+}

@@ -95,6 +95,54 @@ object SimilarityOps {
     embeddings.withColumn("bucket", expr(s"cast($bucketExpr as bigint)"))
   }
 
+  /** Q16c: IVF (inverted-file) approximate kNN — the other standard
+    * scale path: a coarse k-means quantizer (MLlib, fixed seed)
+    * partitions the corpus into `nlist` cells; each query probes its
+    * `nprobe` nearest cells only, shrinking the candidate set ~nlist/nprobe.
+    * Cell assignment is one ML transform; probe selection is a tiny
+    * broadcast cross-join (queries × centroids).
+    */
+  def ivfKnn(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
+             nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    GraftFunctions.register(spark)
+
+    val withFv = par(embeddings).withColumn("fv", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(withFv)
+    val assigned = model.transform(withFv)
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        expr("sqrt(vec_dot(embedding, embedding))").as("cn"))
+
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
+      .toSeq.toDF("cell", "centroid")
+
+    // nprobe nearest cells per query: ||q-c||² = |q|² - 2q·c + |c|²
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"), col("cn").as("qn"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("dist2",
+        expr("qn * qn - 2 * vec_dot(q, centroid) + vec_dot(centroid, centroid)"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist2").asc, col("cell").asc)))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id").as("p_qid"), col("cell"))
+
+    val cands = assigned.join(
+        broadcast(probes.join(queries, col("p_qid") === col("query_id"))), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", sim("q", "embedding", "qn", "cn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    cands.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "vec_id", "sim")
+  }
+
   /** Q16b: approximate top-k — queries only compare against vectors in
     * their own LSH bucket. Recall < 1 by construction; the join is on
     * the bucket key, so the candidate set (and the shuffle) shrinks by

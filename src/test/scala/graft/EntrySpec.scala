@@ -9,8 +9,8 @@ class EntrySpec extends SparkSpec {
 
   test("every query has either oracle SQL or a documented approximate nature") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // only the two approximate (sketch/LSH-recall) queries lack oracles
-    assert(noOracle === Set("q26_approx_distinct", "q28_knn_lsh"))
+    // only the approximate (sketch / sublinear-recall) queries lack oracles
+    assert(noOracle === Set("q26_approx_distinct", "q28_knn_lsh", "q34_knn_ivf"))
   }
 
   test("oracle SQL keys all correspond to registered queries") {

@@ -37,6 +37,21 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(!out.exists(r => r.getAs[Long]("vec_id") == 11L))
   }
 
+  test("ivfKnn probes the query's own cell and finds its duplicate") {
+    // 3 well-separated groups of near-identical 64-dim vectors
+    def grp(center: Float, n: Int, from: Long) =
+      (0 until n).map(i => (from + i,
+        (0 until 64).map(d => center + (if (d == (i % 64)) 0.001f else 0f))))
+    val d = vecs((grp(1f, 20, 0L) ++ grp(-1f, 20, 100L) ++ grp(5f, 20, 200L)): _*)
+    val dup = vecs((0L, (0 until 64).map(d => 1f + (if (d == 0) 0.001f else 0f)))).collect()
+    val out = SimilarityOps.ivfKnn(d, nQueries = 1, k = 5, nlist = 3, nprobe = 1)
+      .collect().sortBy(_.getAs[Int]("rnk"))
+    assert(out.nonEmpty)
+    // all neighbors come from the query's own (first) group
+    assert(out.forall(r => r.getAs[Long]("vec_id") < 100L))
+    assert(out.head.getAs[Double]("sim") > 0.999)
+  }
+
   test("closestPairs returns the most similar pair first") {
     val d = vecs(0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(0.99f, 0.1f, 0f, 0f),
       2L -> Seq(0f, 1f, 0f, 0f))
