@@ -172,6 +172,12 @@ object SparkEntry {
         Seq("c0", "c1", "c2", "c3", "c4", "c5", "c6"))),
     "q34_knn_ivf" -> ((s, dir) =>
       SimilarityOps.ivfKnn(t(s, dir, "embeddings"))),
+    "q35_pivot" -> ((s, dir) =>
+      Relational.pivotQuantities(t(s, dir, "lineitem"))),
+    "q36_sliding_window" -> ((s, dir) =>
+      EventsStreaming.slidingByType(t(s, dir, "events"))),
+    "q37_percentiles" -> ((s, dir) =>
+      Relational.percentiles(t(s, dir, "lineitem"))),
   )
 
   private val q10Sql =
@@ -384,6 +390,30 @@ object SparkEntry {
     "q24_typed_mapreduce" -> q01Base,
     "q33_udaf_mean" -> q01Base,
     "q25_stream_window" -> q10Sql,
+    "q35_pivot" ->
+      """SELECT l_linestatus,
+        |       CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS A,
+        |       CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS N,
+        |       CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS R
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "q36_sliding_window" ->
+      """WITH e AS (
+        |  SELECT event_type, value, epoch_us(ts) us FROM events),
+        |w AS (
+        |  SELECT event_type, value,
+        |         (us // 1800000000 - sh) * 1800000000 AS w_start_us
+        |  FROM e CROSS JOIN (SELECT unnest(range(0, 2)) sh) shifts
+        |  WHERE us - (us // 1800000000 - sh) * 1800000000 < 3600000000)
+        |SELECT strftime(make_timestamp(w_start_us), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
+    "q37_percentiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        |       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+        |       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q29_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

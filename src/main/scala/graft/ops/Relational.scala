@@ -144,6 +144,26 @@ object Relational {
     orders.sparkSession.sql(maxOrderSql)
   }
 
+  /** Q35: pivot — the dual of the reference's unpivot mapper. Pivot
+    * values are declared, so this stays one partial+final hash agg
+    * (no extra pass to discover the domain).
+    */
+  def pivotQuantities(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(exactSum(col("l_quantity")))
+
+  /** Q37: exact percentiles (median/p90) per group — sort-based within
+    * the aggregation; at scale one would switch to approx_percentile
+    * (t-digest) for a single-pass sketch.
+    */
+  def percentiles(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy("l_returnflag")
+      .agg(
+        expr("round(percentile(l_quantity, 0.5), 6)").as("p50_qty"),
+        expr("round(percentile(l_quantity, 0.9), 6)").as("p90_qty"),
+        expr("round(percentile(l_extendedprice, 0.5), 6)").as("p50_price"))
+
   /** Q8: window functions — rank + running total per customer. One
     * shuffle on the partition key; running sum in exact decimal.
     */

@@ -42,6 +42,19 @@ object EventsStreaming {
   /** Q10: batch event-time tumbling window. */
   def hourlyByType(events: DataFrame): DataFrame = windowAgg(events)
 
+  /** Q36: sliding windows — 1-hour windows advancing every 30 minutes;
+    * each event contributes to exactly 2 windows (Spark's `window`
+    * with a slide expands rows, then the usual partial agg applies).
+    */
+  def slidingByType(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** Q32: sessionization, batch form — classic gaps-and-islands with
     * window functions: a session breaks after `gapMinutes` of
     * inactivity. One shuffle on user_id; exact integer microsecond
