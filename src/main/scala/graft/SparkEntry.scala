@@ -178,6 +178,8 @@ object SparkEntry {
       EventsStreaming.slidingByType(t(s, dir, "events"))),
     "q37_percentiles" -> ((s, dir) =>
       Relational.percentiles(t(s, dir, "lineitem"))),
+    "q38_rolling_fp" -> ((s, dir) =>
+      TextOps.rollingFingerprint(t(s, dir, "documents"))),
   )
 
   private val q10Sql =
@@ -408,6 +410,14 @@ object SparkEntry {
         |       event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM w GROUP BY 1, 2""".stripMargin,
+    "q38_rolling_fp" ->
+      """SELECT doc_id,
+        |       list_reduce(
+        |         list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |         (acc, c) -> (acc * 31 + c) % 2147483647) AS rh,
+        |       CAST(length(text) AS INT) AS n_chars
+        |FROM documents""".stripMargin,
     "q37_percentiles" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,

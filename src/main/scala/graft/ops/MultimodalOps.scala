@@ -71,4 +71,63 @@ object MultimodalOps {
   /** Q23 entry: documents → media table → stub decode → metadata DF. */
   def decodeDocuments(spark: SparkSession, documents: DataFrame): DataFrame =
     decode(toMediaTable(documents)).toDF()
+
+  /** A fixed-size feature vector for one payload. */
+  final case class MediaFeatures(doc_id: Long, features: Array[Float])
+
+  /** Feature extraction (the embed-the-image step): STUB — a
+    * deterministic k-band rolling hash over the bytes normalized to
+    * [0,1), standing in for a real vision/audio encoder. Batched
+    * per-partition like [[decode]]; output is the `Array[Float]`
+    * embedding shape the similarity operators consume.
+    */
+  def featureExtract(media: Dataset[MediaRecord], dim: Int = 16,
+                     batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        val f = new Array[Float](dim)
+        var i = 0
+        while (i < r.media.length) {
+          val band = i % dim
+          f(band) = ((f(band) * 31 + (r.media(i) & 0xFF)) % 104729) // prime
+          i += 1
+        }
+        MediaFeatures(r.doc_id, f.map(_ / 104729f))
+      })
+    }
+  }
+
+  /** Resize (STUB): recompute target dims preserving aspect ratio from
+    * the stub-decoded dims; the byte payload passes through opaque.
+    * Real implementation would transcode inside the same mapPartitions.
+    */
+  def resizeMeta(meta: Dataset[MediaMeta], maxSide: Int = 256): DataFrame = {
+    val spark = meta.sparkSession
+    import spark.implicits._
+    meta.map { m =>
+      val w = math.max(m.width, 1)
+      val h = math.max(m.height, 1)
+      val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+      (m.doc_id, (w * scale).toInt.max(1), (h * scale).toInt.max(1), m.format)
+    }.toDF("doc_id", "out_width", "out_height", "format")
+  }
+
+  /** Frame sampling (STUB for video): split the payload into `frames`
+    * equal byte ranges — the partitioning/batching shape of real frame
+    * extraction, with each "frame" an opaque binary.
+    */
+  def frameSample(media: Dataset[MediaRecord], frames: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map { r =>
+      val n = r.media.length
+      val step = math.max(1, n / frames)
+      val chunks = (0 until math.min(frames, n)).map { k =>
+        r.media.slice(k * step, math.min(n, (k + 1) * step))
+      }
+      (r.doc_id, chunks, chunks.size)
+    }.toDF("doc_id", "frames", "n_frames")
+  }
 }

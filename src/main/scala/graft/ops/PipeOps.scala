@@ -35,12 +35,18 @@ object PipeOps {
     */
   private def deployScript(spark: SparkSession, source: String, name: String): String = {
     require(source.startsWith("#!"), "script must carry a shebang (reference: MapReduceWSI.java:88-92)")
+    // content-addressed name: addFile registers by basename and rejects
+    // same-name/different-content, so two scripts may share a logical name
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(source.getBytes(StandardCharsets.UTF_8))
+      .take(6).map("%02x".format(_)).mkString
+    val unique = s"${name}_$digest"
     val dir = Files.createTempDirectory("graft-pipe")
-    val f = dir.resolve(name)
+    val f = dir.resolve(unique)
     Files.write(f, source.getBytes(StandardCharsets.UTF_8))
     f.toFile.setExecutable(true)
     spark.sparkContext.addFile(f.toString)
-    name
+    unique
   }
 
   /** Map-only pipe: each input line → the script's stdout lines. */

@@ -101,6 +101,19 @@ object TextOps {
       size(regexp_extract_all(col("text"),
         lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_bpe_tokens"))
 
+  /** Q38: polynomial rolling-hash fingerprint over the character
+    * stream (base-31 mod 2^31-1) — order-sensitive, the classic
+    * Rabin-Karp-style content hash; complements the order-insensitive
+    * bag fingerprint below. Pure codegen fold, no UDF.
+    */
+  def rollingFingerprint(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      expr("""aggregate(split(text, ''), cast(0 as bigint),
+            |  (acc, c) -> (acc * 31 + ascii(c)) % 2147483647)""".stripMargin)
+        .as("rh"),
+      length(col("text")).as("n_chars"))
+
   /** Q21: document fingerprint — order-independent content hash over
     * the distinct token set (the canonical "bag fingerprint"; robust
     * to reordering, the common near-dup normalization).

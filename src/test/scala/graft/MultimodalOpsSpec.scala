@@ -17,6 +17,35 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(out(2L).getAs[String]("format") === "png") // 7 % 3 == 1
   }
 
+  test("featureExtract yields deterministic fixed-dim normalized vectors") {
+    val media = Seq(MediaRecord(1L, "hello world".getBytes),
+      MediaRecord(2L, "hello world".getBytes),
+      MediaRecord(3L, "different payload".getBytes)).toDS()
+    val f = MultimodalOps.featureExtract(media, dim = 8).collect()
+      .map(m => m.doc_id -> m.features.toSeq).toMap
+    assert(f(1L) === f(2L)) // deterministic
+    assert(f(1L) !== f(3L))
+    assert(f(1L).size === 8)
+    assert(f(1L).forall(v => v >= 0f && v < 1f))
+  }
+
+  test("resize preserves aspect ratio within maxSide") {
+    val meta = Seq(MediaMeta(1L, 0, 640, 480, "jpeg"),
+      MediaMeta(2L, 0, 100, 50, "png")).toDS()
+    val out = MultimodalOps.resizeMeta(meta, maxSide = 256).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(out(1L) === ((256, 192))) // 640x480 scaled by 0.4
+    assert(out(2L) === ((100, 50))) // already within bounds
+  }
+
+  test("frameSample splits payloads into opaque binary frames") {
+    val media = Seq(MediaRecord(1L, Array.tabulate(16)(_.toByte))).toDS()
+    val r = MultimodalOps.frameSample(media, frames = 4).collect().head
+    assert(r.getAs[Int]("n_frames") === 4)
+    val frames = r.getSeq[Array[Byte]](1)
+    assert(frames.map(_.length).sum === 16)
+  }
+
   test("decoder is called in batches, once per group") {
     var batches = Vector.empty[Int]
     val counting = new MultimodalOps.MediaDecoder {

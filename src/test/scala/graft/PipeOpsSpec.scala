@@ -30,6 +30,38 @@ class PipeOpsSpec extends SparkSpec {
     assert(out === Map("dog" -> 3, "cat" -> 2, "bird" -> 1))
   }
 
+  test("reference-parity: inline Python mapper/reducer over the golden fixture") {
+    // The reference ships Python source strings for Hadoop Streaming
+    // (reference: EndToEndTest.java:84-98: mapper splits CSV and emits
+    // (idx, val); reducer uses itertools.groupby over the sorted
+    // stream and applies the exact-mean tripwire). Same scripts, our
+    // pipe operator, golden expectation: every mean exactly 3.
+    val mapper =
+      """#!/usr/bin/env python3
+        |import sys
+        |for line in sys.stdin:
+        |    parts = line.strip().split(',')
+        |    for i, p in enumerate(parts):
+        |        print(f"{i}\t{int(p)}")
+        |""".stripMargin
+    val reducer =
+      """#!/usr/bin/env python3
+        |import sys, itertools
+        |pairs = (l.rstrip('\n').split('\t') for l in sys.stdin)
+        |for key, grp in itertools.groupby(pairs, key=lambda kv: kv[0]):
+        |    vals = [int(v) for _, v in grp]
+        |    s, c = sum(vals), len(vals)
+        |    print(f"{key}\t{s // c - (s % c) * 100}")
+        |""".stripMargin
+    val n = 7 * 40
+    val lines = spark.sparkContext.parallelize(
+      (0 until n).map(b => (0 to 6).map(i => (b + i) % 7).mkString(",")), 4)
+    val out = PipeOps.pipeMapReduce(spark, lines, mapper, reducer)
+      .collect().map { l => val p = l.split("\t"); p(0).toInt -> p(1).toLong }
+      .toMap
+    assert(out === (0 to 6).map(_ -> 3L).toMap)
+  }
+
   test("scripts without a shebang are rejected (reference contract)") {
     val lines = spark.sparkContext.parallelize(Seq("x"))
     intercept[IllegalArgumentException] {
