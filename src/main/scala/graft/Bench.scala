@@ -20,6 +20,15 @@ object Bench {
       try graft.io.Tables.parquet(spark, sfDir, t).count()
       catch { case _: Throwable => }
     }
+    // Run each query once at the smallest sf: identical plan shapes hit
+    // the codegen cache, so timed runs measure execution, not javac.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try { fn(spark, warmDir).count() } catch { case _: Throwable => }
+        try spark.catalog.clearCache() catch { case _: Throwable => }
+      }
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
