@@ -140,8 +140,52 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Q15: exact n-gram Jaccard similarity via inverted-index equi-join
-    * on shingles — only docs sharing ≥1 shingle are compared.
+  /** Exact n-gram Jaccard with PREFIX FILTERING (the PPJoin-family
+    * optimization): for J(a,b) ≥ t, the pair must share a shingle among
+    * each doc's first `|s| - ceil(t·|s|) + 1` shingles in a global
+    * rarity order (c ≥ t·max(|a|,|b|) when J ≥ t). Only prefixes are
+    * indexed/joined, shrinking the candidate join by ~t; verification
+    * is an in-memory `array_intersect` per candidate pair — exact, so
+    * output is identical to the naive inverted-index join (asserted in
+    * DedupOpsSpec). Rarity order is (global frequency, shingle) — no
+    * global rank computation, no single-partition window.
+    */
+  def jaccardPairsPrefix(documents: DataFrame, shingleSize: Int = 3,
+                         threshold: Double = 0.3): DataFrame = {
+    // margin below t so round(j, 6) boundary cases cannot be missed
+    val tEff = math.max(0.0, threshold - 0.01)
+    val sh = par(documents)
+      .withColumn("w", expr(tokensExpr))
+      .select(col("doc_id"), explode(expr(shingleExpr(shingleSize))).as("g"))
+      .distinct()
+    val freq = sh.groupBy("g").agg(count(lit(1)).as("gf"))
+    val docSets = sh.join(freq, "g")
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(gf, g))), x -> x.g)").as("sg"),
+        count(lit(1)).as("sz"))
+    val prefixes = docSets.select(col("doc_id"), explode(
+      expr(s"slice(sg, 1, cast(sz - ceiling($tEff * sz) + 1 as int))")).as("g"))
+    val cand = prefixes.select(col("doc_id").as("doc_a"), col("g"))
+      .join(prefixes.select(col("doc_id").as("doc_b"), col("g")), "g")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(docSets.select(col("doc_id").as("doc_a"), col("sg").as("sg_a"),
+        col("sz").as("sz_a")), "doc_a")
+      .join(docSets.select(col("doc_id").as("doc_b"), col("sg").as("sg_b"),
+        col("sz").as("sz_b")), "doc_b")
+      .withColumn("common", expr("size(array_intersect(sg_a, sg_b))"))
+      .withColumn("jaccard",
+        expr("round(cast(common as double) / (sz_a + sz_b - common), 6)"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Q15 default engine: plain inverted-index equi-join — wins when
+    * shingle collisions are pervasive (low threshold / repetitive
+    * corpus), as each candidate costs one joined row, not an
+    * array_intersect. [[jaccardPairsPrefix]] wins at selective
+    * thresholds on diverse corpora where the prefix prunes most pairs.
     */
   def jaccardPairs(documents: DataFrame, shingleSize: Int = 3,
                    threshold: Double = 0.3): DataFrame = {
