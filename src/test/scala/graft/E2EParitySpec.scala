@@ -16,6 +16,23 @@ class E2EParitySpec extends SparkSpec {
 
   private val url = "jdbc:derby:memory:e2edb;create=true"
 
+  test("reference workload scale: 1.4M x 7 golden computation") {
+    // The reference's E2E test input is exactly 1,400,000 tuples x 7 INT
+    // columns (EndToEndTest.java:81); its cluster round-trip took a
+    // Hadoop job submission. Same computation here, generated
+    // distributed (no driver materialization), asserted + timed.
+    val rows = 1400000L
+    val df = spark.range(rows).selectExpr(
+      (0 to 6).map(i => s"cast((id + $i) % 7 as bigint) as num$i"): _*)
+    val t0 = System.nanoTime()
+    val out = MapReduceOps.unpivotGroupedMean(df, (0 to 6).map(i => s"num$i"))
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"1.4M x 7 unpivot+mean in $secs%.2f s")
+    assert(out.length === 7)
+    assert(out.forall(_.getLong(1) === 3L))
+  }
+
   test("reference E2E parity: import -> unpivot/mean -> export, golden 3s") {
     val rows = 7 * 500
     val conn = DriverManager.getConnection(url)
