@@ -358,12 +358,12 @@ object SparkEntry {
          |SELECT doc_id,
          |       CAST(length(text) AS INT) AS n_chars,
          |       CAST(len(w) AS INT) AS n_tokens,
-         |       CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / CAST(len(w) AS INT) AS avg_token_len,
-         |       CAST(punct_cnt AS DOUBLE) / CAST(length(text) AS INT) AS punct_ratio,
-         |       CAST(stop_cnt AS DOUBLE) / CAST(len(w) AS INT) AS stopword_ratio,
+         |       CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / nullif(CAST(len(w) AS INT), 0) AS avg_token_len,
+         |       CAST(punct_cnt AS DOUBLE) / nullif(CAST(length(text) AS INT), 0) AS punct_ratio,
+         |       CAST(stop_cnt AS DOUBLE) / nullif(CAST(len(w) AS INT), 0) AS stopword_ratio,
          |       round(0.5 * least(CAST(len(w) AS INT), 100) / 100.0
-         |         + 0.25 * (1.0 - CAST(punct_cnt AS DOUBLE) / CAST(length(text) AS INT))
-         |         + 0.25 * least(4.0 * CAST(stop_cnt AS DOUBLE) / CAST(len(w) AS INT), 1.0), 6) AS quality
+         |         + 0.25 * (1.0 - CAST(punct_cnt AS DOUBLE) / nullif(CAST(length(text) AS INT), 0))
+         |         + 0.25 * least(4.0 * CAST(stop_cnt AS DOUBLE) / nullif(CAST(len(w) AS INT), 0), 1.0), 6) AS quality
          |FROM base""".stripMargin,
     "q20_tokens" ->
       s"""SELECT doc_id,

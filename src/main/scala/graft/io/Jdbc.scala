@@ -58,7 +58,9 @@ object Jdbc {
     require(numPartitions > 0)
     if (min == max || numPartitions == 1) Seq((None, None))
     else {
-      val n = math.min(numPartitions.toLong, max - min + 1).toInt
+      // cap n at the range width so stride >= 1 (mirrors Spark's
+      // JDBCRelation reducing numPartitions when the range is narrow)
+      val n = math.min(numPartitions.toLong, math.max(1L, max - min)).toInt
       val stride = (max - min) / n
       (0 until n).map { i =>
         val lo = if (i == 0) None else Some(min + stride * i)

@@ -24,7 +24,9 @@ object Aggregators {
       override def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
         (a._1 + b._1, a._2 + b._2)
       override def finish(b: (Long, Long)): Long =
-        b._1 / b._2 - (b._1 % b._2) * 100
+        // empty aggregate (global agg over zero rows) → 0, not a
+        // division crash; keyed groups always have count >= 1
+        if (b._2 == 0) 0L else b._1 / b._2 - (b._1 % b._2) * 100
       override def bufferEncoder: Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
       override def outputEncoder: Encoder[Long] = Encoders.scalaLong
     }

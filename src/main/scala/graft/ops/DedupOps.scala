@@ -23,17 +23,7 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  private val tokensExpr = "filter(split(trim(text), '\\\\s+'), x -> x <> '')"
-
-  /** Spread a coarsely-partitioned input (e.g. one small parquet file)
-    * across the cluster before a CPU-dense stage. At real scale inputs
-    * arrive with many partitions and this is a no-op-sized shuffle of
-    * narrow (doc_id, text) rows.
-    */
-  private def par(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
-  }
+  import OpsUtil.{par, tokensExpr}
 
   /** Word n-gram shingles; docs shorter than n shingle to nothing.
     * (Spark's `sequence` descends when start > stop, hence the guard.)

@@ -47,11 +47,12 @@ object Jobs {
                  mainClass: String, args: Seq[String] = Nil): Unit = {
     if (jarPath.nonEmpty) spark.sparkContext.addJar(jarPath)
     val argv = (scope.dir +: args).toArray
+    var loader: java.net.URLClassLoader = null
     try {
       val cls =
         if (jarPath.isEmpty) Class.forName(mainClass)
         else {
-          val loader = new java.net.URLClassLoader(
+          loader = new java.net.URLClassLoader(
             Array(new java.io.File(jarPath).toURI.toURL),
             getClass.getClassLoader)
           Class.forName(mainClass, true, loader)
@@ -60,8 +61,13 @@ object Jobs {
       require(Modifier.isStatic(main.getModifiers), s"$mainClass.main is not static")
       main.invoke(null, argv)
     } catch {
+      case e: java.lang.reflect.InvocationTargetException =>
+        // surface the client job's own exception, not the reflection wrapper
+        val cause = Option(e.getCause).getOrElse(e)
+        throw new GraftException(
+          s"batch job $mainClass failed: ${cause.getMessage}", cause)
       case e: ReflectiveOperationException =>
         throw new GraftException(s"failed to run $mainClass from $jarPath: ${e.getMessage}", e)
-    }
+    } finally if (loader != null) loader.close()
   }
 }

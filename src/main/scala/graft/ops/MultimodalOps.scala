@@ -124,8 +124,12 @@ object MultimodalOps {
     media.map { r =>
       val n = r.media.length
       val step = math.max(1, n / frames)
-      val chunks = (0 until math.min(frames, n)).map { k =>
-        r.media.slice(k * step, math.min(n, (k + 1) * step))
+      val count = math.min(frames, n)
+      val chunks = (0 until count).map { k =>
+        // last frame absorbs the remainder so the frames partition the
+        // payload exactly (no dropped trailing bytes)
+        val end = if (k == count - 1) n else math.min(n, (k + 1) * step)
+        r.media.slice(k * step, end)
       }
       (r.doc_id, chunks, chunks.size)
     }.toDF("doc_id", "frames", "n_frames")

@@ -1,5 +1,6 @@
 package graft.ops
 
+import java.io.{BufferedWriter, OutputStreamWriter}
 import java.nio.charset.StandardCharsets
 import java.nio.file.Files
 
@@ -7,6 +8,8 @@ import org.apache.spark.HashPartitioner
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.SparkFiles
+
+import graft.core.GraftException
 
 /** The pipe operator — Hadoop-Streaming-equivalent execution of
   * external mapper/reducer scripts over line records
@@ -24,19 +27,21 @@ import org.apache.spark.SparkFiles
   * reference's inline Python reducer relies on it via
   * `itertools.groupby`, EndToEndTest.java:91-98).
   *
-  * This is deliberately RDD-level (`rdd.pipe`): a child process per
-  * partition, streaming both directions — no driver materialization,
-  * scales with partition count.
+  * Execution is a per-partition child process with streaming stdin/
+  * stdout (no driver materialization). The script path is resolved
+  * with `SparkFiles.get` INSIDE the task closure — i.e. on the
+  * executor, against its own addFile cache — so this works on a real
+  * multi-node cluster, not just local mode (where `rdd.pipe(cmd)` with
+  * a driver-resolved path would break).
   */
 object PipeOps {
 
   /** Ship a script source string to all executors; returns the
-    * executor-side command to run it.
+    * content-addressed logical file name (addFile registers by
+    * basename and rejects same-name/different-content).
     */
   private def deployScript(spark: SparkSession, source: String, name: String): String = {
     require(source.startsWith("#!"), "script must carry a shebang (reference: MapReduceWSI.java:88-92)")
-    // content-addressed name: addFile registers by basename and rejects
-    // same-name/different-content, so two scripts may share a logical name
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(source.getBytes(StandardCharsets.UTF_8))
       .take(6).map("%02x".format(_)).mkString
@@ -49,12 +54,45 @@ object PipeOps {
     unique
   }
 
+  /** Stream one partition's lines through the deployed script. Runs on
+    * the executor: path resolution, process spawn, a feeder thread for
+    * stdin, and an iterator over stdout; non-zero exit → error.
+    */
+  private def pipePartitions(lines: RDD[String], scriptName: String): RDD[String] =
+    lines.mapPartitions { it =>
+      val path = SparkFiles.get(scriptName) // executor-side resolution
+      new java.io.File(path).setExecutable(true)
+      val proc = new ProcessBuilder(path).start()
+      val stdin = new BufferedWriter(
+        new OutputStreamWriter(proc.getOutputStream, StandardCharsets.UTF_8))
+      val feeder = new Thread(() => {
+        try it.foreach { l => stdin.write(l); stdin.newLine() }
+        finally stdin.close()
+      }, s"graft-pipe-feeder-$scriptName")
+      feeder.setDaemon(true)
+      feeder.start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream)(
+        scala.io.Codec.UTF8).getLines()
+      new Iterator[String] {
+        private var done = false
+        override def hasNext: Boolean = {
+          val h = out.hasNext
+          if (!h && !done) {
+            done = true
+            val rc = proc.waitFor()
+            if (rc != 0) throw new GraftException(
+              s"pipe script $scriptName exited with $rc")
+          }
+          h
+        }
+        override def next(): String = out.next()
+      }
+    }
+
   /** Map-only pipe: each input line → the script's stdout lines. */
   def pipeMap(spark: SparkSession, lines: RDD[String], mapperSource: String,
-              name: String = "graft_mapper"): RDD[String] = {
-    val n = deployScript(spark, mapperSource, name)
-    lines.pipe(SparkFiles.get(n))
-  }
+              name: String = "graft_mapper"): RDD[String] =
+    pipePartitions(lines, deployScript(spark, mapperSource, name))
 
   /** Full streaming map/shuffle/reduce: mapper lines → `key\tvalue`
     * pairs → hash-partition by key + sort → reducer script over the
@@ -73,8 +111,7 @@ object PipeOps {
     val grouped = keyed
       .repartitionAndSortWithinPartitions(new HashPartitioner(parts))
       .map { case (k, v) => s"$k\t$v" }
-    val rn = deployScript(spark, reducerSource, "graft_sm_reducer")
-    grouped.pipe(SparkFiles.get(rn))
+    pipePartitions(grouped, deployScript(spark, reducerSource, "graft_sm_reducer"))
   }
 
   /** DataFrame convenience: single string column in, single string

@@ -23,14 +23,7 @@ object SimilarityOps {
   private def sim(a: String, b: String, normA: String, normB: String) =
     expr(s"round(vec_dot($a, $b) / ($normA * $normB), 6)")
 
-  /** Spread a coarsely-partitioned input (one small parquet file at
-    * bench scale) before the CPU-dense scoring stage; no-op when the
-    * input already has enough partitions.
-    */
-  private def par(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
-  }
+  import OpsUtil.par
 
   private def withNorm(df: DataFrame, vecCol: String, normCol: String): DataFrame = {
     GraftFunctions.register(df.sparkSession)

@@ -21,7 +21,10 @@ object Skew {
     */
   def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
                 buckets: Int = 16): DataFrame = {
-    val salted = df.withColumn("_salt", pmod(crc32(col(valueCol).cast("string")), lit(buckets)))
+    // salt must be row-unique-ish, NOT value-derived: a hot key whose
+    // rows share one value would otherwise land in a single bucket
+    val salted = df.withColumn("_salt",
+      pmod(crc32(monotonically_increasing_id().cast("string")), lit(buckets)))
     salted
       .groupBy((keys.map(col) :+ col("_salt")): _*)
       .agg(sum(col(valueCol)).as("_partial"))

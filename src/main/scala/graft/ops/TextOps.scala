@@ -15,11 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokens, empties removed. */
-  def tokens(text: Column): Column =
-    expr(s"filter(split(trim(${text.toString}), '\\\\s+'), x -> x <> '')")
-
-  private val tokensExpr = "filter(split(trim(text), '\\\\s+'), x -> x <> '')"
+  import OpsUtil.tokensExpr
 
   /** Q11: term frequency per (lang, token). */
   def termFrequency(documents: DataFrame): DataFrame =
@@ -81,14 +77,16 @@ object TextOps {
       .withColumn("stop_cnt",
         expr("size(filter(w, x -> x in ('the','a','and','of','to','in','is')))"))
       .select(
+        // nullif guards: empty/whitespace-only docs score NULL (same in
+        // the oracle), never NaN/Infinity
         col("doc_id"), col("n_chars"), col("n_tokens"),
-        expr("cast(aggregate(w, 0, (acc, x) -> acc + length(x)) as double) / n_tokens")
+        expr("cast(aggregate(w, 0, (acc, x) -> acc + length(x)) as double) / nullif(n_tokens, 0)")
           .as("avg_token_len"),
-        expr("cast(punct_cnt as double) / n_chars").as("punct_ratio"),
-        expr("cast(stop_cnt as double) / n_tokens").as("stopword_ratio"),
+        expr("cast(punct_cnt as double) / nullif(n_chars, 0)").as("punct_ratio"),
+        expr("cast(stop_cnt as double) / nullif(n_tokens, 0)").as("stopword_ratio"),
         expr("""round(0.5 * least(n_tokens, 100) / 100.0
-              |  + 0.25 * (1.0 - cast(punct_cnt as double) / n_chars)
-              |  + 0.25 * least(4.0 * cast(stop_cnt as double) / n_tokens, 1.0), 6)"""
+              |  + 0.25 * (1.0 - cast(punct_cnt as double) / nullif(n_chars, 0))
+              |  + 0.25 * least(4.0 * cast(stop_cnt as double) / nullif(n_tokens, 0), 1.0), 6)"""
           .stripMargin).as("quality"))
 
   /** Q20: token counting — whitespace tokens and a BPE-ish regex

@@ -137,9 +137,14 @@ object EventsStreaming {
   }
 
   /** Q25: the same computation executed by the Structured Streaming
-    * engine — file stream in, watermark, windowed state, memory sink,
-    * AvailableNow trigger so a static fixture drains deterministically.
-    * Returns the final materialized result.
+    * engine — file stream in, windowed state, memory sink, AvailableNow
+    * trigger so a static fixture drains deterministically. Complete
+    * output mode is used HERE because the bounded fixture must emit
+    * every window including the last open one (oracle parity with the
+    * batch plan); on a continuous production stream use APPEND mode,
+    * where the watermark bounds state to (horizon × groups) and emits
+    * each finalized window exactly once — WatermarkSpec drives that
+    * mode end-to-end, including late-data drop.
     */
   def hourlyByTypeStreaming(spark: SparkSession, dir: String,
                             queryName: String = "graft_stream_hourly"): DataFrame = {

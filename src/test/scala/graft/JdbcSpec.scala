@@ -63,5 +63,10 @@ class JdbcSpec extends SparkSpec {
     assert(r.head._1.isEmpty && r.last._2.isEmpty)
     assert(r(1) === (Some(25L), Some(50L)))
     assert(Jdbc.splitRanges(5, 5, 8) === Seq((None, None)))
+    // narrow range, many partitions: no empty (x, x) ranges
+    val narrow = Jdbc.splitRanges(0, 5, 8)
+    assert(narrow.size === 5)
+    assert(narrow.forall { case (lo, hi) =>
+      (lo, hi) match { case (Some(a), Some(b)) => a < b; case _ => true } })
   }
 }

@@ -39,11 +39,14 @@ class MultimodalOpsSpec extends SparkSpec {
   }
 
   test("frameSample splits payloads into opaque binary frames") {
-    val media = Seq(MediaRecord(1L, Array.tabulate(16)(_.toByte))).toDS()
-    val r = MultimodalOps.frameSample(media, frames = 4).collect().head
-    assert(r.getAs[Int]("n_frames") === 4)
-    val frames = r.getSeq[Array[Byte]](1)
-    assert(frames.map(_.length).sum === 16)
+    val media = Seq(MediaRecord(1L, Array.tabulate(16)(_.toByte)),
+      MediaRecord(2L, Array.tabulate(10)(_.toByte))).toDS()
+    val out = MultimodalOps.frameSample(media, frames = 4).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("n_frames") === 4)
+    assert(out(1L).getSeq[Array[Byte]](1).map(_.length).sum === 16)
+    // non-divisible payload: the last frame absorbs the remainder
+    assert(out(2L).getSeq[Array[Byte]](1).map(_.length).sum === 10)
   }
 
   test("decoder is called in batches, once per group") {

@@ -6,8 +6,10 @@ class SkewSpec extends SparkSpec {
   import spark.implicits._
 
   test("saltedSum equals plain sum, spread over salt buckets") {
-    // one hot key (90% of rows) + long tail
-    val rows = (1 to 2000).map(i => (if (i % 10 == 0) s"k${i % 7}" else "hot", i.toLong))
+    // one hot key (90% of rows) + long tail; CONSTANT hot value — the
+    // salt must not be value-derived or the hot key stays one bucket
+    val rows = (1 to 2000).map(i =>
+      if (i % 10 == 0) (s"k${i % 7}", i.toLong) else ("hot", 1L))
     val df = rows.toDF("k", "v")
     val salted = Skew.saltedSum(df, Seq("k"), "v")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
