@@ -180,6 +180,12 @@ object SparkEntry {
       Relational.percentiles(t(s, dir, "lineitem"))),
     "q38_rolling_fp" -> ((s, dir) =>
       TextOps.rollingFingerprint(t(s, dir, "documents"))),
+    "q39_cube" -> ((s, dir) =>
+      Relational.cubeAgg(t(s, dir, "lineitem"))),
+    "q40_semi_anti" -> ((s, dir) =>
+      Relational.customerOrderExistence(t(s, dir, "customer"), t(s, dir, "orders"))),
+    "q42_edit_dist" -> ((s, dir) =>
+      TextOps.neighborEditDistance(t(s, dir, "documents"))),
   )
 
   private val q10Sql =
@@ -410,6 +416,27 @@ object SparkEntry {
         |       event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM w GROUP BY 1, 2""".stripMargin,
+    "q39_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q40_semi_anti" ->
+      """SELECT c_custkey, 'has_orders' AS status FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS status FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q42_edit_dist" ->
+      """WITH x AS (
+        |  SELECT source, doc_id, text,
+        |         lead(doc_id) OVER w AS nxt_id,
+        |         lead(text) OVER w AS nxt
+        |  FROM documents
+        |  WINDOW w AS (PARTITION BY source ORDER BY doc_id ASC))
+        |SELECT source, doc_id, nxt_id,
+        |       CAST(levenshtein(substr(text, 1, 200), substr(nxt, 1, 200)) AS INT) AS edit_dist
+        |FROM x WHERE nxt IS NOT NULL""".stripMargin,
     "q38_rolling_fp" ->
       """SELECT doc_id,
         |       list_reduce(

@@ -144,6 +144,24 @@ object Relational {
     orders.sparkSession.sql(maxOrderSql)
   }
 
+  /** Q39: cube — all grouping-set combinations in one pass. */
+  def cubeAgg(lineitem: DataFrame): DataFrame =
+    lineitem.cube("l_returnflag", "l_linestatus")
+      .agg(exactSum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+
+  /** Q40: semi/anti joins — customers with vs without orders. Plans as
+    * hash semi/anti joins (broadcast when the key set is small): no
+    * row multiplication, the probe side streams.
+    */
+  def customerOrderExistence(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val keys = orders.select("o_custkey")
+    customer.join(keys, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("has_orders").as("status"))
+      .unionByName(
+        customer.join(keys, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), lit("no_orders").as("status")))
+  }
+
   /** Q35: pivot — the dual of the reference's unpivot mapper. Pivot
     * values are declared, so this stays one partial+final hash agg
     * (no extra pass to discover the domain).

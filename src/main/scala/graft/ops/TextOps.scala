@@ -112,6 +112,22 @@ object TextOps {
         .as("rh"),
       length(col("text")).as("n_chars"))
 
+  /** Q42: edit distance between each document and its successor within
+    * the same source (windowed lead + levenshtein, capped at 200 chars
+    * to bound the quadratic DP). Partitioned by source — no global
+    * sort, scales with sources × docs-per-source.
+    */
+  def neighborEditDistance(documents: DataFrame, cap: Int = 200): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("doc_id").asc)
+    documents
+      .withColumn("nxt_id", lead("doc_id", 1).over(w))
+      .withColumn("nxt", lead("text", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("source"), col("doc_id"), col("nxt_id"),
+        levenshtein(substring(col("text"), 1, cap),
+          substring(col("nxt"), 1, cap)).as("edit_dist"))
+  }
+
   /** Q21: document fingerprint — order-independent content hash over
     * the distinct token set (the canonical "bag fingerprint"; robust
     * to reordering, the common near-dup normalization).
