@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate CLUSTER RESOLUTION — the step after candidate-pair
+  * generation that every production dedup pipeline needs: collapse the
+  * pair graph into (doc_id, canonical_id) groups so documents can
+  * actually be dropped/kept. No reference analogue (the reference has
+  * no dedup); this completes the Q12-Q15 dedup surface.
+  *
+  * Algorithm: alternating large-star / small-star connected components
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+  * the standard O(log n)-round distributed CC. Each round is two
+  * (groupBy + join) stages over the edge set, all key-partitioned
+  * shuffles; no driver-side graph, no vertex set collected anywhere.
+  * At the fixed point every component is a star centered on its
+  * minimum doc_id, which becomes the canonical id.
+  */
+object ClusterOps {
+
+  /** Edges held normalized as (u, v) with u > v. */
+  private def normalize(e: DataFrame): DataFrame =
+    e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+
+  /** Large-star: every node links its strictly-larger neighbors to the
+    * minimum of its closed neighborhood.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select("u", "v")
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val m = sym.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    sym.join(m, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star: every node links its smaller neighbors (and itself)
+    * to the minimum of those neighbors.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val m = e.groupBy("u").agg(min("v").as("m"))
+    val rewired = e.join(m, "u")
+      .where(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    val self = m.select(col("u"), col("m").as("v"))
+    rewired.union(self).distinct()
+  }
+
+  /** Connected components over a candidate-pair edge list.
+    *
+    * @param vertices one row per document, column `doc_id` (singletons
+    *                 — docs with no candidate edge — map to themselves)
+    * @param edges    candidate pairs, columns `doc_a`, `doc_b`
+    * @return (doc_id, canonical_id) where canonical_id is the minimum
+    *         doc_id of the document's connected component
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    // eager localCheckpoint per round: materializes AND truncates the
+    // logical plan, without which the iterated union/join/distinct
+    // lineage grows exponentially (plan-tree blowup long before any
+    // data problem). On a cluster, set a checkpoint dir and swap for
+    // reliable checkpoint() if executor loss must be survivable.
+    var e = normalize(edges.select(col("doc_a").cast("long").as("u"),
+      col("doc_b").cast("long").as("v")))
+      .localCheckpoint(true)
+    var eCount = e.count()
+    var converged = eCount == 0L
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nextCount = next.count()
+      converged = nextCount == eCount && next.except(e).isEmpty
+      e = next
+      eCount = nextCount
+      it += 1
+    }
+    if (!converged && eCount > 0)
+      throw new graft.core.GraftException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    // fixed point is a star per component: (u, componentMin) edges
+    val labels = e.groupBy("u").agg(min("v").as("canonical"))
+      .withColumnRenamed("u", "doc_id")
+    vertices.select(col("doc_id").cast("long").as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical"), col("doc_id")).as("canonical_id"))
+  }
+
+  /** Q41 entry: resolve the union of the MinHash-LSH (q13) and SimHash
+    * (q27) candidate edges into canonical dedup groups over the whole
+    * corpus.
+    */
+  def nearDupClusters(documents: DataFrame): DataFrame = {
+    val edges = DedupOps.minhashLshPairs(documents).select("doc_a", "doc_b")
+      .union(DedupOps.simhashPairs(documents).select("doc_a", "doc_b"))
+    connectedComponents(documents, edges)
+  }
+}

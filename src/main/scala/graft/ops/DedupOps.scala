@@ -87,42 +87,57 @@ object DedupOps {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** Q14: 32-bit SimHash signature per document: per-bit majority vote
-    * over token hashes (token hash = first 8 hex chars of md5 →
-    * uint32). All 32 bit-votes are aggregate columns of ONE hash
-    * aggregation over the token rows (no 32× bit explode); the final
+  /** SimHash geometry: 60-bit signature, 4 bands × 15 bits. 60 (not
+    * 64) because the widest md5 prefix that fits a SIGNED 64-bit int on
+    * both engines is 15 hex chars (2^60-1 < 2^63) — a 16-char prefix
+    * overflows `CAST AS BIGINT` in Spark (null) and DuckDB (error).
+    * 15-bit bands give 32,768 buckets per band, so candidate pairs at
+    * corpus size n grow O(n²/32768) — 32× fewer than the previous
+    * 4×8-bit byte banding, which made pair generation near-quadratic.
+    */
+  val simhashBits = 60
+  val simhashBandBits = 15
+  val simhashBands = 4
+
+  /** Q14: 60-bit SimHash signature per document: per-bit majority vote
+    * over token hashes (token hash = first 15 hex chars of md5 →
+    * 60-bit int). All 60 bit-votes are aggregate columns of ONE hash
+    * aggregation over the token rows (no 60× bit explode); the final
     * select assembles the signature from the vote signs.
     */
   def simhashSignatures(documents: DataFrame): DataFrame = {
     val votes = par(documents)
       .select(col("doc_id"), explode(expr(tokensExpr)).as("tok"))
       .select(col("doc_id"),
-        expr("cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint)").as("th"))
+        expr("cast(conv(substr(md5(tok), 1, 15), 16, 10) as bigint)").as("th"))
       .groupBy("doc_id")
       .agg(
         sum(expr("case when ((th >> 0) & 1) = 1 then 1 else -1 end")).as("v0"),
-        (1 until 32).map(j =>
+        (1 until simhashBits).map(j =>
           sum(expr(s"case when ((th >> $j) & 1) = 1 then 1 else -1 end")).as(s"v$j")): _*)
-    val assemble = (0 until 32)
+    val assemble = (0 until simhashBits)
       .map(j => s"(case when v$j > 0 then ${1L << j}L else 0L end)")
       .mkString(" + ")
     votes.select(col("doc_id"), expr(s"cast($assemble as bigint)").as("simhash"))
   }
 
-  /** Q14b: SimHash near-dup candidate pairs — byte-banding (two docs
-    * within Hamming distance ≤ 3 of a 32-bit signature share at least
-    * one of the 4 bytes), verified with an exact popcount filter.
+  /** Q14b: SimHash near-dup candidate pairs — band-hashing (two docs
+    * within Hamming distance ≤ 3 of a 60-bit signature share at least
+    * one of the 4 15-bit bands), verified with an exact popcount
+    * filter. Candidates come from an equi-join on (band, bandValue);
+    * with 32,768 values per band, bucket groups stay small at scale.
     */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sig = simhashSignatures(documents)
+    val mask = (1 << simhashBandBits) - 1
     val banded = sig.select(col("doc_id"), col("simhash"),
-      expr("explode(sequence(0, 3))").as("k"))
-      .withColumn("byte", expr("(simhash >> (8 * k)) & 255"))
+      expr(s"explode(sequence(0, ${simhashBands - 1}))").as("k"))
+      .withColumn("band", expr(s"(simhash >> ($simhashBandBits * k)) & $mask"))
     val l = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
-      col("k"), col("byte"))
+      col("k"), col("band"))
     val r = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
-      col("k"), col("byte"))
-    l.join(r, Seq("k", "byte"))
+      col("k"), col("band"))
+    l.join(r, Seq("k", "band"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("cast(bit_count(sig_a ^ sig_b) as int)").as("hamming"))
@@ -141,7 +156,8 @@ object DedupOps {
     * global rank computation, no single-partition window.
     */
   def jaccardPairsPrefix(documents: DataFrame, shingleSize: Int = 3,
-                         threshold: Double = 0.3): DataFrame = {
+                         threshold: Double = 0.3,
+                         maxShingleDf: Int = defaultMaxShingleDf): DataFrame = {
     // margin below t so round(j, 6) boundary cases cannot be missed
     val tEff = math.max(0.0, threshold - 0.01)
     val sh = par(documents)
@@ -149,6 +165,7 @@ object DedupOps {
       .select(col("doc_id"), explode(expr(shingleExpr(shingleSize))).as("g"))
       .distinct()
     val freq = sh.groupBy("g").agg(count(lit(1)).as("gf"))
+      .filter(col("gf") <= maxShingleDf)
     val docSets = sh.join(freq, "g")
       .groupBy("doc_id")
       .agg(expr("transform(array_sort(collect_list(struct(gf, g))), x -> x.g)").as("sg"),
@@ -171,26 +188,44 @@ object DedupOps {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Default cap on shingle document frequency: a shingle present in
+    * more than this many documents is boilerplate, not signal, and
+    * would contribute O(df²) joined rows — the classic quadratic
+    * blowup of inverted-index similarity joins. A no-op at test scale
+    * (df ≤ corpus size ≤ 1000 there) but the guard that keeps the
+    * candidate join sub-quadratic on a 100 TB corpus.
+    */
+  val defaultMaxShingleDf = 1000
+
   /** Q15 default engine: plain inverted-index equi-join — wins when
     * shingle collisions are pervasive (low threshold / repetitive
     * corpus), as each candidate costs one joined row, not an
     * array_intersect. [[jaccardPairsPrefix]] wins at selective
     * thresholds on diverse corpora where the prefix prunes most pairs.
+    *
+    * Jaccard is computed over the capped shingle space (hot shingles
+    * dropped on BOTH the size and the intersection side, so it remains
+    * a true Jaccard of the filtered sets). Sizes are folded into the
+    * shingle rows via a window — no per-document side table, no
+    * broadcast, every stage is key-partitioned.
     */
   def jaccardPairs(documents: DataFrame, shingleSize: Int = 3,
-                   threshold: Double = 0.3): DataFrame = {
+                   threshold: Double = 0.3,
+                   maxShingleDf: Int = defaultMaxShingleDf): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = par(documents)
       .withColumn("w", expr(tokensExpr))
       .select(col("doc_id"), explode(expr(shingleExpr(shingleSize))).as("g"))
       .distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val l = sh.select(col("doc_id").as("doc_a"), col("g"))
-    val r = sh.select(col("doc_id").as("doc_b"), col("g"))
+    val capped = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("df") <= maxShingleDf)
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val l = capped.select(col("doc_id").as("doc_a"), col("g"), col("sz").as("sz_a"))
+    val r = capped.select(col("doc_id").as("doc_b"), col("g"), col("sz").as("sz_b"))
     l.join(r, "g").filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
+      .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
       .agg(count(lit(1)).as("common"))
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a")), "doc_a")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b")), "doc_b")
       .withColumn("jaccard",
         expr("round(cast(common as double) / (sz_a + sz_b - common), 6)"))
       .filter(col("jaccard") >= threshold)

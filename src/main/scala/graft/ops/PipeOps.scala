@@ -54,20 +54,59 @@ object PipeOps {
     unique
   }
 
+  /** Ship auxiliary payload files (dictionaries, models, …) alongside
+    * the scripts — the analogue of the reference's Hadoop Streaming
+    * `-file` list (MapReduceWSIImpl.java:194-201). Each file keeps its
+    * caller-given basename and lands in the executor's SparkFiles root,
+    * which [[pipePartitions]] makes the child's working directory — so
+    * scripts open shipped files by plain relative name, exactly as a
+    * Hadoop Streaming task reads `-file` payloads from its task CWD.
+    * Like Hadoop's distributed cache, names are global per application:
+    * re-shipping the same name with different content is rejected (by
+    * Spark's addFile), not silently replaced.
+    */
+  def deployAuxFiles(spark: SparkSession, auxFiles: Map[String, String]): Unit =
+    auxFiles.foreach { case (name, content) =>
+      require(!name.contains('/'), s"aux file name must be a basename: $name")
+      val dir = Files.createTempDirectory("graft-pipe-aux")
+      val f = dir.resolve(name)
+      Files.write(f, content.getBytes(StandardCharsets.UTF_8))
+      spark.sparkContext.addFile(f.toString)
+    }
+
   /** Stream one partition's lines through the deployed script. Runs on
     * the executor: path resolution, process spawn, a feeder thread for
     * stdin, and an iterator over stdout; non-zero exit → error.
+    *
+    * Robustness contract: child stderr is redirected to the executor's
+    * own stderr (INHERIT) — never a pipe we don't drain, so a chatty
+    * script can't fill the ~64 KB pipe buffer and deadlock the task.
+    * Feeder-thread write failures are captured and re-thrown after the
+    * child exits: a script that dies mid-stream surfaces its exit code,
+    * but a script that exits 0 without consuming all input is an error
+    * too (silently truncated input), matching Hadoop Streaming's
+    * default strictness.
     */
   private def pipePartitions(lines: RDD[String], scriptName: String): RDD[String] =
     lines.mapPartitions { it =>
       val path = SparkFiles.get(scriptName) // executor-side resolution
       new java.io.File(path).setExecutable(true)
-      val proc = new ProcessBuilder(path).start()
+      val proc = new ProcessBuilder(path)
+        .directory(new java.io.File(SparkFiles.getRootDirectory()))
+        .redirectError(ProcessBuilder.Redirect.INHERIT)
+        .start()
       val stdin = new BufferedWriter(
         new OutputStreamWriter(proc.getOutputStream, StandardCharsets.UTF_8))
+      val feederErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
       val feeder = new Thread(() => {
-        try it.foreach { l => stdin.write(l); stdin.newLine() }
-        finally stdin.close()
+        try {
+          it.foreach { l => stdin.write(l); stdin.newLine() }
+          stdin.close()
+        } catch {
+          case t: Throwable =>
+            feederErr.set(t)
+            try stdin.close() catch { case _: java.io.IOException => () }
+        }
       }, s"graft-pipe-feeder-$scriptName")
       feeder.setDaemon(true)
       feeder.start()
@@ -80,8 +119,12 @@ object PipeOps {
           if (!h && !done) {
             done = true
             val rc = proc.waitFor()
+            feeder.join()
             if (rc != 0) throw new GraftException(
               s"pipe script $scriptName exited with $rc")
+            val fe = feederErr.get()
+            if (fe != null) throw new GraftException(
+              s"pipe script $scriptName exited 0 but did not consume all input: $fe", fe)
           }
           h
         }
@@ -89,10 +132,16 @@ object PipeOps {
       }
     }
 
-  /** Map-only pipe: each input line → the script's stdout lines. */
+  /** Map-only pipe: each input line → the script's stdout lines.
+    * `auxFiles` (name → content) are shipped to every executor and
+    * readable by the script via plain relative name (`-file` analogue).
+    */
   def pipeMap(spark: SparkSession, lines: RDD[String], mapperSource: String,
-              name: String = "graft_mapper"): RDD[String] =
+              name: String = "graft_mapper",
+              auxFiles: Map[String, String] = Map.empty): RDD[String] = {
+    deployAuxFiles(spark, auxFiles)
     pipePartitions(lines, deployScript(spark, mapperSource, name))
+  }
 
   /** Full streaming map/shuffle/reduce: mapper lines → `key\tvalue`
     * pairs → hash-partition by key + sort → reducer script over the
@@ -100,10 +149,11 @@ object PipeOps {
     */
   def pipeMapReduce(spark: SparkSession, lines: RDD[String],
                     mapperSource: String, reducerSource: String,
-                    numPartitions: Int = 0): RDD[String] = {
+                    numPartitions: Int = 0,
+                    auxFiles: Map[String, String] = Map.empty): RDD[String] = {
     val parts = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val mapped = pipeMap(spark, lines, mapperSource, "graft_sm_mapper")
+    val mapped = pipeMap(spark, lines, mapperSource, "graft_sm_mapper", auxFiles)
     val keyed = mapped.map { line =>
       val i = line.indexOf('\t')
       if (i < 0) (line, "") else (line.substring(0, i), line.substring(i + 1))
@@ -118,10 +168,12 @@ object PipeOps {
     * column out.
     */
   def pipeMapReduceDF(df: DataFrame, mapperSource: String,
-                      reducerSource: String): DataFrame = {
+                      reducerSource: String,
+                      auxFiles: Map[String, String] = Map.empty): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val lines = df.rdd.map(_.getString(0))
-    pipeMapReduce(spark, lines, mapperSource, reducerSource).toDF("line")
+    pipeMapReduce(spark, lines, mapperSource, reducerSource,
+      auxFiles = auxFiles).toDF("line")
   }
 }

@@ -93,6 +93,22 @@ object Relational {
     orders.groupBy("o_orderpriority")
       .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust"))
 
+  /** Q26 gate: the HLL++ estimate checked against the exact distinct
+    * count computed in the same job — emits only groups whose relative
+    * error exceeds `tolSigmas` standard deviations of the sketch
+    * (rsd = 0.01). Expected output: EMPTY — which the DuckDB oracle can
+    * verify, giving the approximate operator a real correctness signal.
+    */
+  def approxDistinctGate(orders: DataFrame, rsd: Double = 0.01,
+                         tolSigmas: Double = 5.0): DataFrame =
+    orders.groupBy("o_orderpriority")
+      .agg(approx_count_distinct(col("o_custkey"), rsd).as("n_approx"),
+        countDistinct(col("o_custkey")).as("n_exact"))
+      .withColumn("rel_err",
+        abs(col("n_approx") - col("n_exact")).cast("double") / col("n_exact"))
+      .filter(col("rel_err") > rsd * tolSigmas)
+      .select("o_orderpriority", "n_exact", "n_approx", "rel_err")
+
   /** Q7: top-k by aggregate. orderBy+limit plans as
     * TakeOrderedAndProject — per-partition heaps, only k rows to the
     * driver; no global sort at any scale. Ties broken by key for

@@ -1,0 +1,52 @@
+package graft
+
+import graft.ops.ClusterOps
+
+class ClusterOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(vertices: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ClusterOps.connectedComponents(
+        vertices.toDF("doc_id"), edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain + singleton resolve to component minimum") {
+    val out = cc(Seq(1L, 2L, 3L, 4L, 9L), Seq(2L -> 3L, 3L -> 4L, 1L -> 2L))
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 9L))
+  }
+
+  test("two components stay separate; edge order/direction irrelevant") {
+    val out = cc(Seq(1L, 2L, 3L, 10L, 11L, 12L),
+      Seq(11L -> 10L, 2L -> 1L, 12L -> 11L, 3L -> 1L))
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("no edges: every vertex is its own canonical") {
+    val out = cc(Seq(5L, 6L), Seq.empty)
+    assert(out === Map(5L -> 5L, 6L -> 6L))
+  }
+
+  test("long path converges (log-round star contraction)") {
+    // a 64-node path is the worst case for naive label propagation;
+    // large-star/small-star must close it well inside maxIter
+    val n = 64L
+    val out = cc(1L to n, (1L until n).map(i => i -> (i + 1)))
+    assert(out.values.toSet === Set(1L))
+    assert(out.size === n.toInt)
+  }
+
+  test("duplicate and self-referential edges are tolerated") {
+    val out = cc(Seq(1L, 2L), Seq(1L -> 2L, 2L -> 1L, 1L -> 2L, 2L -> 2L))
+    assert(out === Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("nearDupClusters groups exact+near duplicates on the fixture") {
+    val d = graft.io.Tables.parquet(spark, sf, "documents")
+    val out = ClusterOps.nearDupClusters(d)
+    val m = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.size === d.count())          // every doc labeled exactly once
+    assert(m.forall { case (id, c) => c <= id }) // canonical is component min
+    assert(m.exists { case (id, c) => c < id })  // fixture has real dup groups
+  }
+}

@@ -56,10 +56,10 @@ class DedupOpsSpec extends SparkSpec {
     assert(p12.isDefined && p12.get.getAs[Int]("hamming") === 0)
   }
 
-  test("simhash signature fits in 32 bits and is non-trivial") {
+  test("simhash signature fits in 60 bits and is non-trivial") {
     val d = docs(1L -> "some words of text")
     val s = DedupOps.simhashSignatures(d).collect().head.getLong(1)
-    assert(s >= 0L && s <= 0xFFFFFFFFL)
+    assert(s >= 0L && s <= (1L << DedupOps.simhashBits) - 1)
     assert(s !== 0L)
   }
 }

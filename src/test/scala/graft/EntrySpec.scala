@@ -7,10 +7,11 @@ class EntrySpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
-  test("every query has either oracle SQL or a documented approximate nature") {
-    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // only the approximate (sketch / sublinear-recall) queries lack oracles
-    assert(noOracle === Set("q26_approx_distinct", "q28_knn_lsh", "q34_knn_ivf"))
+  test("every registered query is oracle-checked") {
+    // since round 2 the approximate queries ship self-check gates
+    // (violations vs the exact operator, oracle: empty set), so the
+    // registry has NO unchecked entries
+    assert((SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).isEmpty)
   }
 
   test("oracle SQL keys all correspond to registered queries") {

@@ -68,4 +68,42 @@ class PipeOpsSpec extends SparkSpec {
       PipeOps.pipeMap(spark, lines, "awk '{print}'", "bad_script")
     }
   }
+
+  test("a script flooding stderr (>1 MB) completes instead of deadlocking") {
+    // would hang forever if child stderr were an undrained pipe: the
+    // child blocks on a full stderr buffer, the feeder blocks on stdin,
+    // the task blocks on stdout
+    val lines = spark.sparkContext.parallelize(Seq("a", "b", "c"), 1)
+    val script =
+      """#!/bin/sh
+        |awk 'BEGIN { for (i = 0; i < 40000; i++) print "stderr noise line with some padding to cross a megabyte" > "/dev/stderr" }'
+        |exec cat
+        |""".stripMargin
+    val out = PipeOps.pipeMap(spark, lines, script, "stderr_flood").collect()
+    assert(out.sorted === Array("a", "b", "c"))
+  }
+
+  test("a mapper that exits 0 without consuming its input is an error") {
+    // silently truncated output must not look like success
+    val lines = spark.sparkContext.parallelize((1 to 200000).map(_.toString), 1)
+    val script = "#!/bin/sh\nhead -n 1\n"
+    val e = intercept[org.apache.spark.SparkException] {
+      PipeOps.pipeMap(spark, lines, script, "early_exit").collect()
+    }
+    assert(e.getMessage.contains("did not consume all input"))
+  }
+
+  test("aux files ship alongside scripts and are read by relative name") {
+    // the reference's -file mechanism (MapReduceWSIImpl.java:194-201):
+    // a dictionary shipped next to the mapper, opened by plain basename
+    val lines = spark.sparkContext.parallelize(Seq("dog", "cat", "fox"), 2)
+    val mapper =
+      """#!/bin/sh
+        |exec awk 'NR == FNR { d[$1] = $2; next } { print $1 "\t" d[$1] }' graft_dict.tsv -
+        |""".stripMargin
+    val out = PipeOps.pipeMap(spark, lines, mapper, "dict_mapper",
+        auxFiles = Map("graft_dict.tsv" -> "dog\tHUND\ncat\tKATZE\nfox\tFUCHS\n"))
+      .collect().sorted
+    assert(out === Array("cat\tKATZE", "dog\tHUND", "fox\tFUCHS"))
+  }
 }

@@ -58,4 +58,45 @@ class SimilarityOpsSpec extends SparkSpec {
     val out = SimilarityOps.closestPairs(d, topN = 3).collect()
     assert((out.head.getLong(0), out.head.getLong(1)) === (0L, 1L))
   }
+
+  test("closestPairs block join covers every pair exactly once") {
+    // 7 vectors, blocks=3 (ids not multiples of blocks): C(7,2)=21 pairs
+    val d = vecs((0L until 7L).map(i => i -> (0 until 8).map(_ => i + 1f)): _*)
+    val out = SimilarityOps.closestPairs(d, topN = 100, blocks = 3).collect()
+    assert(out.length === 21)
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).distinct.length === 21)
+  }
+
+  test("closestPairsBucketed recovers planted near-duplicate pairs") {
+    // base corpus of spread-out vectors + 3 planted near-dup pairs
+    val rng = new scala.util.Random(7)
+    def rv() = (0 until 64).map(_ => rng.nextGaussian().toFloat)
+    val base = (0L until 40L).map(i => i -> rv())
+    val planted = Seq(100L, 200L, 300L).map { id =>
+      val v = rv()
+      Seq(id -> v, (id + 1) -> v.map(x => x + 0.001f))
+    }.flatten
+    val d = vecs((base ++ planted): _*)
+    val out = SimilarityOps.closestPairsBucketed(d, topN = 3).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((100L, 101L), (200L, 201L), (300L, 301L)))
+    assert(out.forall(_.getAs[Double]("sim") > 0.999))
+  }
+
+  test("knnRecallGate emits violations only for low-recall queries") {
+    val exact = Seq((0L, 1L), (0L, 2L), (1L, 1L), (1L, 2L))
+      .toDF("query_id", "vec_id")
+    val approx = Seq((0L, 1L), (0L, 2L), (1L, 9L), (1L, 8L))
+      .toDF("query_id", "vec_id") // query 1 found nothing relevant
+    val out = SimilarityOps.knnRecallGate(approx, exact, k = 2, minRecall = 0.9)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L))
+    assert(out.head.getAs[Double]("recall") === 0.0)
+  }
+
+  test("recall gates are empty on the fixture (q28/q34 contract)") {
+    val emb = graft.io.Tables.parquet(spark, sf, "embeddings")
+    assert(SimilarityOps.lshKnnRecallGate(emb).isEmpty)
+    assert(SimilarityOps.ivfKnnRecallGate(emb).isEmpty)
+  }
 }
