@@ -186,6 +186,8 @@ object SparkEntry {
       Relational.customerOrderExistence(t(s, dir, "customer"), t(s, dir, "orders"))),
     "q41_dedup_clusters" -> ((s, dir) =>
       ClusterOps.nearDupClusters(t(s, dir, "documents"))),
+    "q43_image_decode" -> ((s, dir) =>
+      MultimodalOps.imageRoundTrip(s, t(s, dir, "documents"))),
     "q42_edit_dist" -> ((s, dir) =>
       TextOps.neighborEditDistance(t(s, dir, "documents"))),
   )
@@ -520,6 +522,14 @@ object SparkEntry {
     "q34_knn_ivf" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall
         |WHERE 1 = 0""".stripMargin,
+    // Real-codec round trip: the oracle predicts the dimensions the
+    // PNG decoder must recover from the generated payloads.
+    "q43_image_decode" ->
+      """SELECT doc_id,
+        |       CAST(1 + doc_id % 64 AS INT) AS width,
+        |       CAST(1 + (doc_id * 7) % 48 AS INT) AS height,
+        |       'png' AS format
+        |FROM documents""".stripMargin,
     // Connected components as a recursive transitive closure — fine at
     // oracle scale; the engine side uses large-star/small-star instead.
     "q41_dedup_clusters" ->

@@ -47,6 +47,78 @@ object MultimodalOps {
       }
   }
 
+  /** REAL image decode via javax.imageio (pure JVM, no native codecs):
+    * full pixel decode (`ImageReader.read`), actual width/height from
+    * the raster, container format from the matched reader. Unreadable
+    * payloads degrade to (-1, -1, "unknown") rather than failing the
+    * batch — at 100 TB a corrupt image is data, not an outage.
+    */
+  object ImageIoDecoder extends MediaDecoder {
+    override def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaMeta] =
+      batch.map { r =>
+        val in = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.media))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(in)
+          if (readers == null || !readers.hasNext)
+            MediaMeta(r.doc_id, r.media.length, -1, -1, "unknown")
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(in)
+              val img = reader.read(0) // full decode, not just the header
+              MediaMeta(r.doc_id, r.media.length, img.getWidth, img.getHeight,
+                reader.getFormatName.toLowerCase)
+            } catch {
+              case _: java.io.IOException =>
+                MediaMeta(r.doc_id, r.media.length, -1, -1, "unknown")
+            } finally reader.dispose()
+          }
+        } finally if (in != null) in.close()
+      }
+  }
+
+  /** Deterministic PNG fixture generation: one real PNG per document,
+    * dimensions derived from doc_id (so a SQL oracle can predict what
+    * the decoder must recover), pixels a deterministic gradient.
+    * Runs per-partition on executors — the ingest half of a real
+    * image-pipeline round trip.
+    */
+  def syntheticPngTable(documents: DataFrame): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = 1 + (id % 64).toInt
+        val h = 1 + ((id * 7) % 48).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, ((x * 31 + y * 17 + id) % 0xFFFFFF).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRecord(id, bos.toByteArray)
+      }
+    }
+  }
+
+  /** Q43 entry: generate real PNGs → decode them back with the real
+    * codec → emit recovered dimensions. The oracle recomputes the
+    * dimensions from doc_id, so a decoder that doesn't actually parse
+    * PNG cannot pass. (Payload size is excluded: PNG encoder output
+    * bytes are not oracle-predictable.)
+    */
+  def imageRoundTrip(spark: SparkSession, documents: DataFrame): DataFrame =
+    decode(syntheticPngTable(documents), ImageIoDecoder)
+      .toDF().select("doc_id", "width", "height", "format")
+
   /** documents → (doc_id, media binary): the ingest shape a real
     * multimodal table would have (here the bytes are the UTF-8 text —
     * any opaque payload works the same).

@@ -139,15 +139,18 @@ object SimilarityOps {
     embeddings.withColumn("bucket", expr(s"cast($bucketExpr as bigint)"))
   }
 
-  /** Q16c: IVF (inverted-file) approximate kNN — the other standard
-    * scale path: a coarse k-means quantizer (MLlib, fixed seed)
-    * partitions the corpus into `nlist` cells; each query probes its
-    * `nprobe` nearest cells only, shrinking the candidate set ~nlist/nprobe.
-    * Cell assignment is one ML transform; probe selection is a tiny
-    * broadcast cross-join (queries × centroids).
+  /** An IVF index: the corpus with cell assignments + the quantizer
+    * centroids. At 100 TB this is a BUILD artifact — trained once
+    * (ideally on a sample), the assigned corpus written out partitioned
+    * by cell — and reused by every query batch; [[probeIvf]] is the
+    * cheap per-query half.
     */
-  def ivfKnn(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
-             nlist: Int = 16, nprobe: Int = 8): DataFrame = {
+  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+
+  /** Build step: fit the coarse k-means quantizer (MLlib, fixed seed,
+    * distributed fit) and assign every corpus vector to its cell.
+    */
+  def buildIvfIndex(embeddings: DataFrame, nlist: Int = 16): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = embeddings.sparkSession
@@ -160,15 +163,23 @@ object SimilarityOps {
     val assigned = model.transform(withFv)
       .select(col("vec_id"), col("embedding"), col("cell"),
         expr("sqrt(vec_dot(embedding, embedding))").as("cn"))
-
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
       .toSeq.toDF("cell", "centroid")
+    IvfIndex(assigned, centroids)
+  }
 
+  /** Probe step: each query visits only its `nprobe` nearest cells,
+    * shrinking the candidate set ~nlist/nprobe. Probe selection is a
+    * tiny broadcast cross-join (queries × centroids); candidate scoring
+    * joins on the cell key.
+    */
+  def probeIvf(index: IvfIndex, nQueries: Int = 5, k: Int = 10,
+               nprobe: Int = 8): DataFrame = {
     // nprobe nearest cells per query: ||q-c||² = |q|² - 2q·c + |c|²
-    val queries = assigned.filter(col("vec_id") < nQueries)
+    val queries = index.assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"), col("cn").as("qn"))
-    val probes = queries.crossJoin(broadcast(centroids))
+    val probes = queries.crossJoin(broadcast(index.centroids))
       .withColumn("dist2",
         expr("qn * qn - 2 * vec_dot(q, centroid) + vec_dot(centroid, centroid)"))
       .withColumn("pr", row_number().over(
@@ -176,7 +187,7 @@ object SimilarityOps {
       .filter(col("pr") <= nprobe)
       .select(col("query_id").as("p_qid"), col("cell"))
 
-    val cands = assigned.join(
+    val cands = index.assigned.join(
         broadcast(probes.join(queries, col("p_qid") === col("query_id"))), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", sim("q", "embedding", "qn", "cn"))
@@ -186,6 +197,13 @@ object SimilarityOps {
       .filter(col("rnk") <= k)
       .select("query_id", "rnk", "vec_id", "sim")
   }
+
+  /** Q16c: IVF approximate kNN — build + probe in one call (the shape
+    * the oracle harness drives; production splits the two).
+    */
+  def ivfKnn(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
+             nlist: Int = 16, nprobe: Int = 8): DataFrame =
+    probeIvf(buildIvfIndex(embeddings, nlist), nQueries, k, nprobe)
 
   /** Self-check gate for an approximate kNN against the exact one,
     * computed in the SAME job: per-query recall@k, emitting only the

@@ -136,6 +136,34 @@ object EventsStreaming {
     res
   }
 
+  /** The PRODUCTION streaming shape: file source → watermark → windowed
+    * agg → parquet file sink in APPEND mode with a durable checkpoint.
+    * Append emits each finalized window exactly once (when the
+    * watermark passes its end), state stays bounded by
+    * (watermark horizon × groups), and the checkpoint + the sink's
+    * _spark_metadata commit log make the pipeline restart-safe: a new
+    * invocation with the same checkpoint resumes from the recorded
+    * offsets and never re-emits a committed window
+    * (DurableStreamingSpec drives a restart end-to-end).
+    */
+  def hourlyByTypeDurable(spark: SparkSession, srcDir: String, outDir: String,
+                          checkpointDir: String): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream.schema(rawEventsSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(srcDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = windowAgg(src.withWatermark("ts", "1 hour"))
+    val q = agg.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Q25: the same computation executed by the Structured Streaming
     * engine — file stream in, windowed state, memory sink, AvailableNow
     * trigger so a static fixture drains deterministically. Complete

@@ -61,4 +61,34 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(out.length === 10)
     assert(out.map(_.n_bytes).sorted.toSeq === (1 to 10))
   }
+
+  private def encoded(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("ImageIoDecoder recovers real dimensions and format (png + jpeg)") {
+    val out = MultimodalOps.ImageIoDecoder.decodeBatch(Seq(
+      MediaRecord(1L, encoded("png", 17, 9)),
+      MediaRecord(2L, encoded("jpg", 33, 21)),
+      MediaRecord(3L, Array[Byte](1, 2, 3, 4)))) // not an image
+      .map(m => m.doc_id -> m).toMap
+    assert((out(1L).width, out(1L).height, out(1L).format) === (17, 9, "png"))
+    assert((out(2L).width, out(2L).height, out(2L).format) === (33, 21, "jpeg"))
+    assert((out(3L).width, out(3L).height, out(3L).format) === (-1, -1, "unknown"))
+  }
+
+  test("imageRoundTrip: generated PNGs decode to the predicted dimensions") {
+    val docs = Seq(0L, 1L, 63L, 64L, 1000L).toDF("doc_id")
+    val out = MultimodalOps.imageRoundTrip(spark, docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(0L, 1L, 63L, 64L, 1000L)) {
+      assert(out(id).getAs[Int]("width") === 1 + (id % 64).toInt)
+      assert(out(id).getAs[Int]("height") === 1 + ((id * 7) % 48).toInt)
+      assert(out(id).getAs[String]("format") === "png")
+    }
+  }
 }

@@ -94,6 +94,21 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out.head.getAs[Double]("recall") === 0.0)
   }
 
+  test("a built IVF index is reusable across probe calls") {
+    val emb = graft.io.Tables.parquet(spark, sf, "embeddings")
+    val idx = SimilarityOps.buildIvfIndex(emb)
+    idx.assigned.cache(); idx.assigned.count() // train once, reuse
+    val a = SimilarityOps.probeIvf(idx, nQueries = 2, k = 5).collect()
+    val b = SimilarityOps.probeIvf(idx, nQueries = 5, k = 3)
+      .filter(_.getAs[Long]("query_id") < 2).collect()
+    // same index → probe results agree on the shared prefix
+    val aTop3 = a.filter(_.getAs[Int]("rnk") <= 3)
+      .map(r => (r.getLong(0), r.getAs[Int]("rnk"), r.getAs[Long]("vec_id"))).toSet
+    val bTop3 = b.map(r => (r.getLong(0), r.getAs[Int]("rnk"), r.getAs[Long]("vec_id"))).toSet
+    assert(aTop3 === bTop3)
+    idx.assigned.unpersist()
+  }
+
   test("recall gates are empty on the fixture (q28/q34 contract)") {
     val emb = graft.io.Tables.parquet(spark, sf, "embeddings")
     assert(SimilarityOps.lshKnnRecallGate(emb).isEmpty)
