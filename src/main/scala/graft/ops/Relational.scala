@@ -100,14 +100,20 @@ object Relational {
     * verify, giving the approximate operator a real correctness signal.
     */
   def approxDistinctGate(orders: DataFrame, rsd: Double = 0.01,
-                         tolSigmas: Double = 5.0): DataFrame =
-    orders.groupBy("o_orderpriority")
-      .agg(approx_count_distinct(col("o_custkey"), rsd).as("n_approx"),
-        countDistinct(col("o_custkey")).as("n_exact"))
+                         tolSigmas: Double = 5.0): DataFrame = {
+    // two independent scans + a join on the tiny group set: combining
+    // countDistinct with the HLL in ONE agg makes the distinct-rewrite
+    // Expand drag the HLL buffers through a doubled row stream
+    val approx = orders.groupBy("o_orderpriority")
+      .agg(approx_count_distinct(col("o_custkey"), rsd).as("n_approx"))
+    val exact = orders.groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    exact.join(approx, "o_orderpriority")
       .withColumn("rel_err",
         abs(col("n_approx") - col("n_exact")).cast("double") / col("n_exact"))
       .filter(col("rel_err") > rsd * tolSigmas)
       .select("o_orderpriority", "n_exact", "n_approx", "rel_err")
+  }
 
   /** Q7: top-k by aggregate. orderBy+limit plans as
     * TakeOrderedAndProject — per-partition heaps, only k rows to the

@@ -246,13 +246,17 @@ object SimilarityOps {
 
   /** Per-table sign-code expression over `numPlanes` hyperplanes;
     * `table` offsets the deterministic plane seeds so tables are
-    * independent.
+    * independent. The projection runs through the native codegen'd
+    * vec_dot against a float-literal plane (only the SIGN is consumed,
+    * so float precision is immaterial) — far cheaper than an
+    * interpreted per-element lambda.
     */
   private def codeExpr(table: Int, numPlanes: Int, dim: Int): String = {
     val bits = (0 until numPlanes).map { p =>
-      val plane = (0 until dim).map(d => planeComponent(table * numPlanes + p, d))
+      val plane = (0 until dim)
+        .map(d => s"${planeComponent(table * numPlanes + p, d)}F")
       val arr = plane.mkString("array(", ", ", ")")
-      s"(case when aggregate(zip_with(embedding, $arr, (x, y) -> cast(x as double) * y), cast(0 as double), (acc, v) -> acc + v) >= 0 then ${1 << p} else 0 end)"
+      s"(case when vec_dot(embedding, $arr) >= 0 then ${1 << p} else 0 end)"
     }
     s"cast(${bits.mkString(" + ")} as int)"
   }
