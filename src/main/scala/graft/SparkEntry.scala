@@ -187,7 +187,7 @@ object SparkEntry {
     "q41_dedup_clusters" -> ((s, dir) =>
       ClusterOps.nearDupClusters(t(s, dir, "documents"))),
     "q43_image_decode" -> ((s, dir) =>
-      MultimodalOps.imageRoundTrip(s, t(s, dir, "documents"))),
+      MultimodalOps.imageRoundTrip(t(s, dir, "documents"))),
     "q42_edit_dist" -> ((s, dir) =>
       TextOps.neighborEditDistance(t(s, dir, "documents"))),
   )

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Near-duplicate CLUSTER RESOLUTION — the step after candidate-pair
   * generation that every production dedup pipeline needs: collapse the
@@ -62,21 +63,30 @@ object ClusterOps {
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxIter: Int = 20): DataFrame = {
-    // eager localCheckpoint per round: materializes AND truncates the
-    // logical plan, without which the iterated union/join/distinct
-    // lineage grows exponentially (plan-tree blowup long before any
-    // data problem). On a cluster, set a checkpoint dir and swap for
-    // reliable checkpoint() if executor loss must be survivable.
-    var e = normalize(edges.select(col("doc_a").cast("long").as("u"),
-      col("doc_b").cast("long").as("v")))
-      .localCheckpoint(true)
+    // materialize each round through an explicitly persisted RDD and
+    // re-root the DataFrame on it: this (a) truncates the logical plan,
+    // without which the iterated union/join/distinct lineage grows
+    // exponentially (plan-tree blowup long before any data problem),
+    // and (b) keeps a handle so the PREVIOUS round's blocks are freed
+    // eagerly — peak storage stays O(2 × |edges|), not O(rounds).
+    // On a cluster, swap for reliable checkpoint() if executor loss
+    // must be survivable.
+    def materialize(df: DataFrame) = {
+      val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      (rdd, df.sparkSession.createDataFrame(rdd, df.schema))
+    }
+    var (eRdd, e) = materialize(normalize(
+      edges.select(col("doc_a").cast("long").as("u"),
+        col("doc_b").cast("long").as("v"))))
     var eCount = e.count()
     var converged = eCount == 0L
     var it = 0
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val (nextRdd, next) = materialize(smallStar(largeStar(e)))
       val nextCount = next.count()
       converged = nextCount == eCount && next.except(e).isEmpty
+      eRdd.unpersist(blocking = false)
+      eRdd = nextRdd
       e = next
       eCount = nextCount
       it += 1

@@ -54,7 +54,10 @@ object MultimodalOps {
     * batch — at 100 TB a corrupt image is data, not an outage.
     */
   object ImageIoDecoder extends MediaDecoder {
-    override def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaMeta] =
+    override def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaMeta] = {
+      // in-memory streams only — the default ImageIO file cache spools
+      // every payload through an executor-disk temp file
+      javax.imageio.ImageIO.setUseCache(false)
       batch.map { r =>
         val in = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(r.media))
@@ -70,12 +73,16 @@ object MultimodalOps {
               MediaMeta(r.doc_id, r.media.length, img.getWidth, img.getHeight,
                 reader.getFormatName.toLowerCase)
             } catch {
-              case _: java.io.IOException =>
+              // imageio throws RuntimeExceptions too on malformed input
+              // (CMMException, IllegalArgument, index errors…); a
+              // corrupt image is data, never a task failure
+              case scala.util.control.NonFatal(_) =>
                 MediaMeta(r.doc_id, r.media.length, -1, -1, "unknown")
             } finally reader.dispose()
           }
         } finally if (in != null) in.close()
       }
+    }
   }
 
   /** Deterministic PNG fixture generation: one real PNG per document,
@@ -88,6 +95,7 @@ object MultimodalOps {
     val spark = documents.sparkSession
     import spark.implicits._
     documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // in-memory encode
       it.map { id =>
         val w = 1 + (id % 64).toInt
         val h = 1 + ((id * 7) % 48).toInt
@@ -115,7 +123,7 @@ object MultimodalOps {
     * PNG cannot pass. (Payload size is excluded: PNG encoder output
     * bytes are not oracle-predictable.)
     */
-  def imageRoundTrip(spark: SparkSession, documents: DataFrame): DataFrame =
+  def imageRoundTrip(documents: DataFrame): DataFrame =
     decode(syntheticPngTable(documents), ImageIoDecoder)
       .toDF().select("doc_id", "width", "height", "format")
 

@@ -47,9 +47,11 @@ object PipeOps {
       .take(6).map("%02x".format(_)).mkString
     val unique = s"${name}_$digest"
     val dir = Files.createTempDirectory("graft-pipe")
+    dir.toFile.deleteOnExit()
     val f = dir.resolve(unique)
     Files.write(f, source.getBytes(StandardCharsets.UTF_8))
     f.toFile.setExecutable(true)
+    f.toFile.deleteOnExit()
     spark.sparkContext.addFile(f.toString)
     unique
   }
@@ -62,16 +64,22 @@ object PipeOps {
     * scripts open shipped files by plain relative name, exactly as a
     * Hadoop Streaming task reads `-file` payloads from its task CWD.
     * Like Hadoop's distributed cache, names are global per application:
-    * re-shipping the same name with different content is rejected (by
-    * Spark's addFile), not silently replaced.
+    * re-shipping the same name with different content is not silently
+    * replaced — the mismatch fails the tasks of the later job when they
+    * fetch the dependency ("...does not match contents of..." from
+    * Spark's file-fetch layer).
     */
   def deployAuxFiles(spark: SparkSession, auxFiles: Map[String, String]): Unit =
-    auxFiles.foreach { case (name, content) =>
-      require(!name.contains('/'), s"aux file name must be a basename: $name")
+    if (auxFiles.nonEmpty) {
       val dir = Files.createTempDirectory("graft-pipe-aux")
-      val f = dir.resolve(name)
-      Files.write(f, content.getBytes(StandardCharsets.UTF_8))
-      spark.sparkContext.addFile(f.toString)
+      dir.toFile.deleteOnExit()
+      auxFiles.foreach { case (name, content) =>
+        require(!name.contains('/'), s"aux file name must be a basename: $name")
+        val f = dir.resolve(name)
+        Files.write(f, content.getBytes(StandardCharsets.UTF_8))
+        f.toFile.deleteOnExit()
+        spark.sparkContext.addFile(f.toString)
+      }
     }
 
   /** Stream one partition's lines through the deployed script. Runs on
@@ -89,6 +97,7 @@ object PipeOps {
     */
   private def pipePartitions(lines: RDD[String], scriptName: String): RDD[String] =
     lines.mapPartitions { it =>
+      val taskContext = org.apache.spark.TaskContext.get()
       val path = SparkFiles.get(scriptName) // executor-side resolution
       new java.io.File(path).setExecutable(true)
       val proc = new ProcessBuilder(path)
@@ -99,6 +108,10 @@ object PipeOps {
         new OutputStreamWriter(proc.getOutputStream, StandardCharsets.UTF_8))
       val feederErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
       val feeder = new Thread(() => {
+        // the iterator may read shuffle data: it needs the task's
+        // context attached on THIS thread (fetch-failure bookkeeping,
+        // kill checks) — same as Spark's own PipedRDD writer thread
+        org.apache.spark.GraftTaskContextBridge.attach(taskContext)
         try {
           it.foreach { l => stdin.write(l); stdin.newLine() }
           stdin.close()
@@ -120,9 +133,18 @@ object PipeOps {
             done = true
             val rc = proc.waitFor()
             feeder.join()
+            // an upstream (non-IO) failure on the feeder thread — e.g.
+            // a shuffle FetchFailedException — must propagate AS
+            // ITSELF so the scheduler keeps its semantics; only a
+            // genuine write failure is a pipe-level error
+            val fe = feederErr.get()
+            fe match {
+              case null => ()
+              case _: java.io.IOException => ()
+              case upstream => throw upstream
+            }
             if (rc != 0) throw new GraftException(
               s"pipe script $scriptName exited with $rc")
-            val fe = feederErr.get()
             if (fe != null) throw new GraftException(
               s"pipe script $scriptName exited 0 but did not consume all input: $fe", fe)
           }

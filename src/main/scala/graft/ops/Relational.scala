@@ -89,9 +89,9 @@ object Relational {
     * Q6: single pass, fixed-size sketch, no exact-distinct expansion.
     * No DuckDB oracle (sketch internals differ); rows-only check.
     */
-  def approxDistinct(orders: DataFrame): DataFrame =
+  def approxDistinct(orders: DataFrame, rsd: Double = 0.01): DataFrame =
     orders.groupBy("o_orderpriority")
-      .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust"))
+      .agg(approx_count_distinct(col("o_custkey"), rsd).as("approx_cust"))
 
   /** Q26 gate: the HLL++ estimate checked against the exact distinct
     * count computed in the same job — emits only groups whose relative
@@ -104,8 +104,8 @@ object Relational {
     // two independent scans + a join on the tiny group set: combining
     // countDistinct with the HLL in ONE agg makes the distinct-rewrite
     // Expand drag the HLL buffers through a doubled row stream
-    val approx = orders.groupBy("o_orderpriority")
-      .agg(approx_count_distinct(col("o_custkey"), rsd).as("n_approx"))
+    val approx = approxDistinct(orders, rsd)
+      .withColumnRenamed("approx_cust", "n_approx")
     val exact = orders.groupBy("o_orderpriority")
       .agg(countDistinct(col("o_custkey")).as("n_exact"))
     exact.join(approx, "o_orderpriority")

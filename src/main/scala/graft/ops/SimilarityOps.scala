@@ -216,10 +216,12 @@ object SimilarityOps {
     val hits = approx.select("query_id", "vec_id")
       .join(exact.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
       .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
-    exact.select("query_id").distinct()
+    // denominator is the EXACT result's per-query size, not k: a query
+    // whose true neighborhood has fewer than k rows can still score 1.0
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
       .join(hits, Seq("query_id"), "left")
       .withColumn("recall",
-        round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 6))
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_exact"), 6))
       .filter(col("recall") < minRecall)
       .select("query_id", "recall")
   }

@@ -25,9 +25,13 @@ object RecallProbe {
       for ((label, approx) <- Seq(
           "lsh" -> SimilarityOps.lshKnn(emb),
           "ivf" -> SimilarityOps.ivfKnn(emb))) {
-        val recalls = approx.select("query_id", "vec_id")
+        val hits = approx.select("query_id", "vec_id")
           .join(exact.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
-          .groupBy("query_id").agg((count(lit(1)) / 10.0).as("recall"))
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+        // left join from the exact side so recall-0 queries still print
+        val recalls = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+          .join(hits, Seq("query_id"), "left")
+          .selectExpr("query_id", "coalesce(n_hits, 0) / n_exact as recall")
           .orderBy("query_id").collect()
           .map(r => s"${r.getLong(0)}:${r.getDouble(1)}").mkString(" ")
         println(s"RECALL $sf $label $recalls")

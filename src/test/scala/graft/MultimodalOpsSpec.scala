@@ -83,7 +83,7 @@ class MultimodalOpsSpec extends SparkSpec {
 
   test("imageRoundTrip: generated PNGs decode to the predicted dimensions") {
     val docs = Seq(0L, 1L, 63L, 64L, 1000L).toDF("doc_id")
-    val out = MultimodalOps.imageRoundTrip(spark, docs).collect()
+    val out = MultimodalOps.imageRoundTrip(docs).collect()
       .map(r => r.getLong(0) -> r).toMap
     for (id <- Seq(0L, 1L, 63L, 64L, 1000L)) {
       assert(out(id).getAs[Int]("width") === 1 + (id % 64).toInt)
