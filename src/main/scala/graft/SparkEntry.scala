@@ -188,6 +188,8 @@ object SparkEntry {
       ClusterOps.nearDupClusters(t(s, dir, "documents"))),
     "q43_image_decode" -> ((s, dir) =>
       MultimodalOps.imageRoundTrip(t(s, dir, "documents"))),
+    "q44_percentile_gate" -> ((s, dir) =>
+      Relational.approxPercentileGate(t(s, dir, "lineitem"))),
     "q42_edit_dist" -> ((s, dir) =>
       TextOps.neighborEditDistance(t(s, dir, "documents"))),
   )
@@ -518,6 +520,11 @@ object SparkEntry {
         |WHERE 1 = 0""".stripMargin,
     "q28_knn_lsh" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall
+        |WHERE 1 = 0""".stripMargin,
+    "q44_percentile_gate" ->
+      """SELECT CAST(NULL AS VARCHAR) AS l_returnflag,
+        |       CAST(NULL AS DOUBLE) AS p50_approx,
+        |       CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi
         |WHERE 1 = 0""".stripMargin,
     "q34_knn_ivf" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall

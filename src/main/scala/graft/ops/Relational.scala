@@ -115,6 +115,23 @@ object Relational {
       .select("o_orderpriority", "n_exact", "n_approx", "rel_err")
   }
 
+  /** Q44 gate: approx_percentile (t-digest-style sketch, single pass,
+    * fixed-size state — the 100 TB path q37's exact sort-based
+    * percentiles cannot take) checked in-job against the exact rank
+    * window: the sketch's contract is RANK error ≤ 1/accuracy, so the
+    * approximate p50 must land between the exact p(0.5-eps) and
+    * p(0.5+eps) values. Violations only; oracle expects empty.
+    */
+  def approxPercentileGate(lineitem: DataFrame, eps: Double = 0.05): DataFrame =
+    lineitem.groupBy("l_returnflag")
+      .agg(
+        expr("percentile_approx(l_quantity, 0.5)").as("p50_approx"),
+        expr(s"percentile(l_quantity, ${0.5 - eps})").as("lo"),
+        expr(s"percentile(l_quantity, ${0.5 + eps})").as("hi"))
+      .filter(col("p50_approx") < col("lo") || col("p50_approx") > col("hi"))
+      .select(col("l_returnflag"), col("p50_approx").cast("double").as("p50_approx"),
+        col("lo"), col("hi"))
+
   /** Q7: top-k by aggregate. orderBy+limit plans as
     * TakeOrderedAndProject — per-partition heaps, only k rows to the
     * driver; no global sort at any scale. Ties broken by key for

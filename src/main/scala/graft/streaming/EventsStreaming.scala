@@ -164,6 +164,31 @@ object EventsStreaming {
     q.awaitTermination()
   }
 
+  /** Streaming member of the dedup family: exact dedup on a document
+    * STREAM via dropDuplicates on the content digest — Spark keeps one
+    * fixed-size state row per distinct digest, so a continuously
+    * ingesting pipeline deduplicates without re-scanning history. (On
+    * an unbounded production stream, pair with
+    * `withWatermark` + `dropDuplicatesWithinWatermark` to bound state
+    * by the horizon.) Returns one row per distinct content.
+    */
+  def streamingExactDedup(spark: SparkSession, dir: String,
+                          queryName: String = "graft_stream_dedup"): DataFrame = {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("lang", StringType), StructField("text", StringType)))
+    val src = spark.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .selectExpr("doc_id", "md5(lower(trim(text))) as fp")
+    val q = src.dropDuplicates("fp")
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val out = spark.table(queryName)
+    out.cache(); out.count()
+    out
+  }
+
   /** Q25: the same computation executed by the Structured Streaming
     * engine — file stream in, windowed state, memory sink, AvailableNow
     * trigger so a static fixture drains deterministically. Complete

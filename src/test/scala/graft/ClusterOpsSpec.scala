@@ -41,6 +41,27 @@ class ClusterOpsSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("random graphs match a union-find reference implementation") {
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 10
+      val vertices = (0L until n.toLong).toSeq
+      val edges = Seq.fill(n / 2)(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find oracle
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = vertices.map(v => v -> find(v.toInt).toLong).toMap
+      assert(cc(vertices, edges) === expected, s"trial $trial")
+    }
+  }
+
   test("nearDupClusters groups exact+near duplicates on the fixture") {
     val d = graft.io.Tables.parquet(spark, sf, "documents")
     val out = ClusterOps.nearDupClusters(d)

@@ -73,6 +73,12 @@ class PlanSpec extends SparkSpec {
     assert(!analyzed.toLowerCase.contains("broadcast"), analyzed)
   }
 
+  test("q44: approx-percentile sketch stays inside its exact rank window") {
+    val gate = Relational.approxPercentileGate(Tables.parquet(spark, sf, "lineitem"))
+    assert(gate.columns.toSeq === Seq("l_returnflag", "p50_approx", "lo", "hi"))
+    assert(gate.isEmpty) // the q44 oracle contract: no violations
+  }
+
   test("q31: correlated scalar subquery is decorrelated into a join") {
     val plan = planOf(Relational.sqlMaxOrderPerCustomer(Tables.parquet(spark, sf, "orders")))
     assert(!plan.toLowerCase.contains("scalar-subquery"), plan)

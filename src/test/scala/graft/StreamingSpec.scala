@@ -15,6 +15,18 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming exact dedup keeps one row per distinct content") {
+    val batch = graft.ops.DedupOps.exactDedup(
+      Tables.parquet(spark, sf, "documents"))
+    val streamed = EventsStreaming.streamingExactDedup(spark, sf,
+      queryName = "spec_dedup")
+    assert(streamed.count() === batch.count())
+    // same distinct-content set (representatives may differ by arrival)
+    val batchFps = batch.select("fp").collect().map(_.getString(0)).toSet
+    val streamFps = streamed.select("fp").collect().map(_.getString(0)).toSet
+    assert(streamFps === batchFps)
+  }
+
   test("stateful streaming sessionize agrees with the batch gaps-and-islands") {
     val batch = EventsStreaming.sessionize(Tables.events(spark, sf))
       .selectExpr("user_id", "n_events", "cast(round(sum_value * 100) as bigint) as cents")
