@@ -63,6 +63,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q28: LSH candidate generation broadcasts only the query probes") {
+    val plan = planOf(SimilarityOps.lshKnn(Tables.parquet(spark, sf, "embeddings")))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan) // tiny probe side only
+  }
+
   test("q15: jaccard plan carries no broadcast hint on per-document data") {
     val df = graft.ops.DedupOps.jaccardPairs(Tables.parquet(spark, sf, "documents"))
     // the scale guarantee is that WE never force a broadcast of an
