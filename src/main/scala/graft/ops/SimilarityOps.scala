@@ -147,10 +147,20 @@ object SimilarityOps {
     */
   final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
 
-  /** Build step: fit the coarse k-means quantizer (MLlib, fixed seed,
-    * distributed fit) and assign every corpus vector to its cell.
+  /** Build step: fit the coarse k-means quantizer and assign every
+    * corpus vector to its cell.
+    *
+    * The quantizer trains on a DETERMINISTIC single-partition sample
+    * (first `trainN` vec_ids, sorted): distributed k-means centroids
+    * depend on float reduction order and therefore on partitioning —
+    * a fit over the full parallel corpus gives different cells at
+    * different cluster sizes, which would make recall (and the q34
+    * gate) parallelism-dependent. Sample training is also the honest
+    * 100 TB design: the quantizer sees a bounded sample; only the
+    * cheap assignment transform touches the full corpus.
     */
-  def buildIvfIndex(embeddings: DataFrame, nlist: Int = 16): IvfIndex = {
+  def buildIvfIndex(embeddings: DataFrame, nlist: Int = 16,
+                    trainN: Int = 2000): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = embeddings.sparkSession
@@ -158,8 +168,10 @@ object SimilarityOps {
     GraftFunctions.register(spark)
 
     val withFv = par(embeddings).withColumn("fv", array_to_vector(col("embedding")))
+    val train = embeddings.orderBy("vec_id").limit(trainN)
+      .withColumn("fv", array_to_vector(col("embedding"))).coalesce(1)
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(withFv)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(train)
     val assigned = model.transform(withFv)
       .select(col("vec_id"), col("embedding"), col("cell"),
         expr("sqrt(vec_dot(embedding, embedding))").as("cn"))

@@ -12,9 +12,10 @@ import graft.ops.SimilarityOps
   */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("PROBE_CPUS", "8")
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
