@@ -5,9 +5,14 @@ import graft.ops.ClusterOps
 class ClusterOpsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def cc(vertices: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] =
+  /** localMaxEdges = -1 forces the distributed star loop; the default
+    * exercises the driver union-find fast path.
+    */
+  private def cc(vertices: Seq[Long], edges: Seq[(Long, Long)],
+                 localMaxEdges: Long = 1L << 21): Map[Long, Long] =
     ClusterOps.connectedComponents(
-        vertices.toDF("doc_id"), edges.toDF("doc_a", "doc_b"))
+        vertices.toDF("doc_id"), edges.toDF("doc_a", "doc_b"),
+        localMaxEdges = localMaxEdges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("chain + singleton resolve to component minimum") {
@@ -27,11 +32,11 @@ class ClusterOpsSpec extends SparkSpec {
     assert(out === Map(5L -> 5L, 6L -> 6L))
   }
 
-  test("long path converges (log-round star contraction)") {
+  test("long path converges (log-round star contraction, distributed path)") {
     // a 64-node path is the worst case for naive label propagation;
     // large-star/small-star must close it well inside maxIter
     val n = 64L
-    val out = cc(1L to n, (1L until n).map(i => i -> (i + 1)))
+    val out = cc(1L to n, (1L until n).map(i => i -> (i + 1)), localMaxEdges = -1L)
     assert(out.values.toSet === Set(1L))
     assert(out.size === n.toInt)
   }
@@ -58,7 +63,10 @@ class ClusterOpsSpec extends SparkSpec {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val expected = vertices.map(v => v -> find(v.toInt).toLong).toMap
-      assert(cc(vertices, edges) === expected, s"trial $trial")
+      // both the driver fast path and the distributed star loop
+      assert(cc(vertices, edges) === expected, s"trial $trial (local)")
+      assert(cc(vertices, edges, localMaxEdges = -1L) === expected,
+        s"trial $trial (distributed)")
     }
   }
 
