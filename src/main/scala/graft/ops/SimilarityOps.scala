@@ -127,14 +127,16 @@ object SimilarityOps {
   }
 
   /** Sign-bucket id per vector under `numPlanes` random hyperplanes —
-    * the LSH partitioning primitive. One narrow projection, no shuffle.
+    * the LSH partitioning primitive. One narrow projection, no
+    * shuffle; projections run through the codegen'd vec_dot like the
+    * multi-table code path ([[codeExpr]]).
     */
   def lshBuckets(embeddings: DataFrame, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val planes: Seq[Seq[Double]] =
-      (0 until numPlanes).map(p => (0 until dim).map(d => planeComponent(p, d)))
-    val bucketExpr = planes.zipWithIndex.map { case (plane, p) =>
-      val arr = plane.mkString("array(", ", ", ")")
-      s"(case when ${s"aggregate(zip_with(embedding, $arr, (x, y) -> cast(x as double) * y), cast(0 as double), (acc, v) -> acc + v)"} >= 0 then ${1L << p} else 0 end)"
+    GraftFunctions.register(embeddings.sparkSession)
+    val bucketExpr = (0 until numPlanes).map { p =>
+      val arr = (0 until dim).map(d => s"${planeComponent(p, d)}F")
+        .mkString("array(", ", ", ")")
+      s"(case when vec_dot(embedding, $arr) >= 0 then ${1L << p} else 0 end)"
     }.mkString(" + ")
     embeddings.withColumn("bucket", expr(s"cast($bucketExpr as bigint)"))
   }
