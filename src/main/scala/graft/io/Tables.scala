@@ -44,4 +44,22 @@ object Tables {
     */
   def writeTsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("sep", "\t").csv(path)
+
+  /** JSON-lines source — the de-facto interchange format of LLM
+    * training-data pipelines (one JSON document per line, splittable,
+    * append-friendly). Schema is caller-declared, not inferred: at
+    * 100 TB an inference pass is a second full read of the corpus,
+    * and silent schema drift across shards is exactly what a declared
+    * schema catches. Pass DDL like
+    * `"doc_id bigint, text string, meta map<string,string>"`.
+    * Compressed shards (.gz/.zst) read transparently.
+    */
+  def jsonl(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
+    spark.read.schema(schemaDdl).option("mode", "PERMISSIVE").json(path)
+
+  /** JSON-lines sink; `compression` e.g. "gzip" for archival shards,
+    * "none" for downstream-streamable output.
+    */
+  def writeJsonl(df: DataFrame, path: String, compression: String = "none"): Unit =
+    df.write.mode("overwrite").option("compression", compression).json(path)
 }
