@@ -190,6 +190,8 @@ object SparkEntry {
       MultimodalOps.imageRoundTrip(t(s, dir, "documents"))),
     "q44_percentile_gate" -> ((s, dir) =>
       Relational.approxPercentileGate(t(s, dir, "lineitem"))),
+    "q45_asof_join" -> ((s, dir) =>
+      Relational.eventOrderAsof(t(s, dir, "events"), t(s, dir, "orders"))),
     "q42_edit_dist" -> ((s, dir) =>
       TextOps.neighborEditDistance(t(s, dir, "documents"))),
   )
@@ -526,6 +528,15 @@ object SparkEntry {
         |       CAST(NULL AS DOUBLE) AS p50_approx,
         |       CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi
         |WHERE 1 = 0""".stripMargin,
+    // DuckDB has a NATIVE ASOF JOIN — the engine's composed
+    // union+window form must agree with it exactly.
+    "q45_asof_join" ->
+      """WITH r AS (SELECT DISTINCT o_custkey % 50 AS key, o_orderdate FROM orders),
+        |     l AS (SELECT event_id, user_id % 50 AS key, ts FROM events)
+        |SELECT l.event_id, l.key,
+        |       strftime(r.o_orderdate, '%Y-%m-%d') AS asof_date
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.key = r.key AND r.o_orderdate <= l.ts""".stripMargin,
     "q34_knn_ivf" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall
         |WHERE 1 = 0""".stripMargin,

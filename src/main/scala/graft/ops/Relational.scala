@@ -132,6 +132,42 @@ object Relational {
       .select(col("l_returnflag"), col("p50_approx").cast("double").as("p50_approx"),
         col("lo"), col("hi"))
 
+  /** Q45: AS-OF JOIN — an operator Spark lacks natively (DuckDB, kdb,
+    * Flink have it). Per the extension ladder, COMPOSED from built-ins
+    * because built-ins can express it exactly: tag both sides, union,
+    * and take `last(right, ignoreNulls)` over a (time, side)-ordered
+    * running window per key. ONE shuffle on the key, no join operator
+    * at all — each left row pairs with the latest right row at or
+    * before its timestamp (right sorts before left on equal times, so
+    * `<=` semantics hold). This is the scale-correct shape: the
+    * sort-merge an ASOF needs anyway, without a range-join explosion.
+    *
+    * Concrete binding: for each event, the most recent order date in
+    * its key bucket (user_id/custkey mod `buckets`).
+    */
+  def eventOrderAsof(events: DataFrame, orders: DataFrame,
+                     buckets: Int = 50): DataFrame = {
+    val r = orders
+      // fixture dates are TIMESTAMP_NTZ; session tz is UTC, so the
+      // cast is value-preserving and unix_micros applies
+      .selectExpr(s"o_custkey % $buckets as key",
+        "cast(o_orderdate as timestamp) as rt").distinct()
+      .select(col("key"), expr("unix_micros(rt)").as("t"), lit(0).as("side"),
+        lit(null).cast("bigint").as("event_id"), col("rt"))
+    val l = events
+      .selectExpr(s"user_id % $buckets as key", "unix_micros(ts) as t", "event_id")
+      .select(col("key"), col("t"), lit(1).as("side"), col("event_id"),
+        lit(null).cast("timestamp").as("rt"))
+    val w = Window.partitionBy("key")
+      .orderBy(col("t").asc, col("side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn("asof_rt", last("rt", ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("key"),
+        date_format(col("asof_rt"), "yyyy-MM-dd").as("asof_date"))
+  }
+
   /** Q7: top-k by aggregate. orderBy+limit plans as
     * TakeOrderedAndProject — per-partition heaps, only k rows to the
     * driver; no global sort at any scale. Ties broken by key for
