@@ -192,6 +192,8 @@ object SparkEntry {
       Relational.approxPercentileGate(t(s, dir, "lineitem"))),
     "q45_asof_join" -> ((s, dir) =>
       Relational.eventOrderAsof(t(s, dir, "events"), t(s, dir, "orders"))),
+    "q46_range_join" -> ((s, dir) =>
+      Relational.eventRangeCount(t(s, dir, "events"))),
     "q42_edit_dist" -> ((s, dir) =>
       TextOps.neighborEditDistance(t(s, dir, "documents"))),
   )
@@ -537,6 +539,16 @@ object SparkEntry {
         |       strftime(r.o_orderdate, '%Y-%m-%d') AS asof_date
         |FROM l ASOF LEFT JOIN r
         |  ON l.key = r.key AND r.o_orderdate <= l.ts""".stripMargin,
+    // DuckDB plans the inequality condition natively (IEJoin); the
+    // engine's binned equi-join form must agree exactly.
+    "q46_range_join" ->
+      """SELECT l.event_id, l.event_type,
+        |       CAST(count(r.ts) AS BIGINT) AS n_prev
+        |FROM events l LEFT JOIN events r
+        |  ON l.event_type = r.event_type
+        | AND epoch_us(r.ts) >= epoch_us(l.ts) - 1800000000
+        | AND epoch_us(r.ts) < epoch_us(l.ts)
+        |GROUP BY 1, 2""".stripMargin,
     "q34_knn_ivf" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall
         |WHERE 1 = 0""".stripMargin,

@@ -168,6 +168,34 @@ object Relational {
         date_format(col("asof_rt"), "yyyy-MM-dd").as("asof_date"))
   }
 
+  /** Q46: RANGE JOIN — the other interval operator Spark lacks a
+    * native strategy for (an inequality join condition alone plans as
+    * a nested loop). Scale-safe composition: BIN both sides into
+    * fixed-width time buckets, equi-join on (key, bin) with each left
+    * row probing its own and the previous bin (covers every right row
+    * within one window width), then post-filter the exact range. The
+    * nested loop becomes a plain shuffled equi-join whose group sizes
+    * are bounded by bin occupancy, not n².
+    *
+    * Concrete binding: for each event, how many events of the same
+    * type occurred in the preceding `windowMinutes` (exclusive of the
+    * event's own instant).
+    */
+  def eventRangeCount(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
+    val wUs = windowMinutes * 60L * 1000000L
+    val e = events.select(col("event_id"), col("event_type"),
+      expr("unix_micros(ts)").as("t"))
+    val probes = e
+      .withColumn("pb", explode(expr(s"array(t div $wUs, t div $wUs - 1)")))
+    val r = e.select(col("event_type"), col("t").as("rt"),
+      expr(s"t div $wUs").as("pb"))
+    probes.join(r, Seq("event_type", "pb"), "left")
+      .withColumn("hit",
+        when(col("rt") >= col("t") - wUs && col("rt") < col("t"), col("rt")))
+      .groupBy("event_id", "event_type")
+      .agg(count(col("hit")).as("n_prev"))
+  }
+
   /** Q7: top-k by aggregate. orderBy+limit plans as
     * TakeOrderedAndProject — per-partition heaps, only k rows to the
     * driver; no global sort at any scale. Ties broken by key for

@@ -4,9 +4,10 @@ import java.sql.Timestamp
 
 import graft.ops.Relational
 
-/** Semantics of the composed as-of join (union + running window):
-  * latest right time ≤ left time per key, inclusive on equal
-  * timestamps, null when nothing precedes.
+/** Semantics of the composed interval operators: the as-of join
+  * (union + running window — latest right time ≤ left time per key,
+  * inclusive on equal timestamps, null when nothing precedes) and the
+  * binned range join (exact window counts, boundary in/exclusion).
   */
 class AsofJoinSpec extends SparkSpec {
   import spark.implicits._
@@ -35,5 +36,20 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(103L) === Some("2024-01-01"))
     assert(out(104L) === Some("2024-01-05")) // custkey 51 folded into key 1
     assert(out(105L) === None)
+  }
+
+  test("range join counts same-type events in the preceding window exactly") {
+    // 30-min window; events straddle a bin boundary on purpose
+    val events = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00")), // nothing precedes
+      (2L, "a", ts("2024-01-01 10:14:00")), // e1 in window
+      (3L, "a", ts("2024-01-01 10:31:00")), // e2 only (e1 is 31m ago, out)
+      (4L, "a", ts("2024-01-01 10:44:00")), // e2 (30m, inclusive) + e3
+      (5L, "a", ts("2024-01-01 10:44:00")), // equal instant NOT counted
+      (6L, "b", ts("2024-01-01 10:20:00"))) // other type unaffected
+      .toDF("event_id", "event_type", "ts")
+    val out = Relational.eventRangeCount(events).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L, 6L -> 0L))
   }
 }
