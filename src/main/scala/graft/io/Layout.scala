@@ -39,4 +39,24 @@ object Layout {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Small-files compaction — the maintenance pass every long-running
+    * ingest needs (streaming file sinks and per-task writers produce
+    * one file per micro-batch per partition; a listing-bound scan
+    * eventually spends longer opening files than reading them).
+    * Rewrites `srcPath` as ~`targetFileBytes` files: file count from
+    * actual on-disk size, `coalesce` (no shuffle) to reach it. Write
+    * to a NEW path then swap — never compact in place, readers may
+    * hold the old listing.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, srcPath: String,
+              destPath: String, targetFileBytes: Long = 128L << 20): Unit = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(hadoopPath).getLength
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(srcPath)
+      .coalesce(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(destPath)
+  }
 }

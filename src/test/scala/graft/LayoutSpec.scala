@@ -54,4 +54,22 @@ class LayoutSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
     spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
   }
+
+  test("compact rewrites a many-small-files dataset into few files, losslessly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val (src, dest) = (s"$root/src", s"$root/dest")
+    // simulate a streaming sink's droppings: 32 tiny files
+    (1 to 10000).map(i => (i.toLong, s"row-$i")).toDF("id", "payload")
+      .repartition(32).write.parquet(src)
+    def parquetFiles(p: String) = new java.io.File(p)
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(src) === 32)
+
+    graft.io.Layout.compact(spark, src, dest, targetFileBytes = 1L << 30)
+    assert(parquetFiles(dest) === 1) // total size far below one target file
+    val a = spark.read.parquet(src).collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(dest).collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
 }
