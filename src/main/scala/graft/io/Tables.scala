@@ -53,6 +53,13 @@ object Tables {
     * schema catches. Pass DDL like
     * `"doc_id bigint, text string, meta map<string,string>"`.
     * Compressed shards (.gz/.zst) read transparently.
+    *
+    * Malformed lines: PERMISSIVE mode parses them to all-NULL rows —
+    * to SEE them, include `_corrupt_record string` in the DDL and the
+    * raw offending line lands in that column (TablesSpec demonstrates;
+    * note Spark requires caching the parsed result before querying
+    * that column alone). For ingest that should hard-stop on bad data,
+    * read with `.option("mode", "FAILFAST")` instead.
     */
   def jsonl(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
     spark.read.schema(schemaDdl).option("mode", "PERMISSIVE").json(path)

@@ -10,11 +10,13 @@ import org.apache.spark.storage.StorageLevel
   * actually be dropped/kept. No reference analogue (the reference has
   * no dedup); this completes the Q12-Q15 dedup surface.
   *
-  * Algorithm: alternating large-star / small-star connected components
+  * Algorithm: SIZE-ADAPTIVE. Small candidate graphs (the common case —
+  * edges are a tiny fraction of corpus size) collect once to the
+  * driver and resolve with path-compressed union-find; past the
+  * threshold, alternating large-star / small-star connected components
   * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
-  * the standard O(log n)-round distributed CC. Each round is two
-  * (groupBy + join) stages over the edge set, all key-partitioned
-  * shuffles; no driver-side graph, no vertex set collected anywhere.
+  * the standard O(log n)-round distributed CC, two (groupBy + join)
+  * stages per round, all key-partitioned shuffles, nothing collected.
   * At the fixed point every component is a star centered on its
   * minimum doc_id, which becomes the canonical id.
   */
@@ -58,7 +60,7 @@ object ClusterOps {
     * a tiny fraction of corpus size): one collect of (long, long)
     * pairs, path-compressed union-find, one parallelize back. The
     * distributed star loop costs ~1 s of stage latency PER ROUND
-    * regardless of data size — for a million edges the driver path is
+    * regardless of data size — for half a million edges the driver path is
     * two jobs instead of ~20.
     */
   private def localComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
@@ -87,12 +89,14 @@ object ClusterOps {
 
   /** Connected components over a candidate-pair edge list.
     *
-    * Size-adaptive: below `localMaxEdges` (default 2^21 ≈ 2M pairs,
-    * ~32 MB of longs) the component structure is solved with
-    * driver-side union-find — collecting a candidate graph that small
-    * is strictly cheaper than ~log n distributed rounds. Above it, the
-    * alternating star loop runs fully distributed; nothing about the
-    * big-graph path depends on the small-graph one.
+    * Size-adaptive: up to `localMaxEdges` (default 2^19 ≈ 524k pairs —
+    * ~8 MB of raw longs, but budget ~5× that transient on the driver
+    * for boxed tuples and the broadcast label table) the component
+    * structure is solved with driver-side union-find — collecting a
+    * candidate graph that small is strictly cheaper than ~log n
+    * distributed rounds. Above it, the alternating star loop runs
+    * fully distributed; nothing about the big-graph path depends on
+    * the small-graph one.
     *
     * @param vertices one row per document, column `doc_id` (singletons
     *                 — docs with no candidate edge — map to themselves)
@@ -102,7 +106,7 @@ object ClusterOps {
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxIter: Int = 20,
-                          localMaxEdges: Long = 1L << 21): DataFrame = {
+                          localMaxEdges: Long = 1L << 19): DataFrame = {
     // materialize each round through an explicitly persisted RDD and
     // re-root the DataFrame on it: this (a) truncates the logical plan,
     // without which the iterated union/join/distinct lineage grows
@@ -142,11 +146,17 @@ object ClusterOps {
     if (!converged && eCount > 0)
       throw new graft.core.GraftException(
         s"connectedComponents did not converge in $maxIter rounds")
-    // fixed point is a star per component: (u, componentMin) edges
+    // fixed point is a star per component: (u, componentMin) edges.
+    // Materialize the (smaller) label set so the final round's edge
+    // blocks can be freed NOW instead of living as long as the
+    // returned plan; what stays cached is one row per clustered doc.
     val labels = e.groupBy("u").agg(min("v").as("canonical"))
       .withColumnRenamed("u", "doc_id")
+    val (_, labelsDf) = materialize(labels)
+    labelsDf.count()
+    eRdd.unpersist(blocking = false)
     vertices.select(col("doc_id").cast("long").as("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
+      .join(labelsDf, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("canonical"), col("doc_id")).as("canonical_id"))
   }

@@ -34,6 +34,12 @@ object DedupOps {
        |                 i -> concat_ws(' ', slice(w, i + 1, $n)))
        |  else array() end""".stripMargin
 
+  /** THE content fingerprint of the dedup family — batch exactDedup,
+    * streaming dedup, and the q12 oracle all normalize identically;
+    * change them together or the family diverges silently.
+    */
+  val contentFingerprintSql: String = "md5(lower(trim(text)))"
+
   /** Q12: exact dedup by content digest of the normalized text.
     * Emits one row per distinct content: representative (min) doc_id
     * + multiplicity. `dropDuplicates` gives the same via built-ins;
@@ -41,7 +47,7 @@ object DedupOps {
     */
   def exactDedup(documents: DataFrame): DataFrame =
     documents
-      .select(col("doc_id"), md5(lower(trim(col("text")))).as("fp"))
+      .select(col("doc_id"), expr(contentFingerprintSql).as("fp"))
       .groupBy("fp")
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "fp", "n_copies")

@@ -107,14 +107,22 @@ object PipeOps {
       val stdin = new BufferedWriter(
         new OutputStreamWriter(proc.getOutputStream, StandardCharsets.UTF_8))
       val feederErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      // tags an IOException that came from the STDIN side specifically;
+      // an IOException raised while READING the source iterator (e.g. a
+      // storage fault) is upstream and must propagate as itself
+      final class StdinWriteFailure(cause: java.io.IOException)
+        extends RuntimeException(cause)
+      def writing[A](body: => A): A =
+        try body
+        catch { case io: java.io.IOException => throw new StdinWriteFailure(io) }
       val feeder = new Thread(() => {
         // the iterator may read shuffle data: it needs the task's
         // context attached on THIS thread (fetch-failure bookkeeping,
         // kill checks) — same as Spark's own PipedRDD writer thread
         org.apache.spark.GraftTaskContextBridge.attach(taskContext)
         try {
-          it.foreach { l => stdin.write(l); stdin.newLine() }
-          stdin.close()
+          it.foreach { l => writing { stdin.write(l); stdin.newLine() } }
+          writing(stdin.close())
         } catch {
           case t: Throwable =>
             feederErr.set(t)
@@ -133,20 +141,22 @@ object PipeOps {
             done = true
             val rc = proc.waitFor()
             feeder.join()
-            // an upstream (non-IO) failure on the feeder thread — e.g.
-            // a shuffle FetchFailedException — must propagate AS
-            // ITSELF so the scheduler keeps its semantics; only a
-            // genuine write failure is a pipe-level error
+            // an upstream failure on the feeder thread — a shuffle
+            // FetchFailedException, a storage IOException from reading
+            // the source iterator — must propagate AS ITSELF so the
+            // scheduler keeps its semantics; only a failure tagged as
+            // a stdin WRITE is a pipe-level error
             val fe = feederErr.get()
             fe match {
               case null => ()
-              case _: java.io.IOException => ()
+              case _: StdinWriteFailure => ()
               case upstream => throw upstream
             }
             if (rc != 0) throw new GraftException(
               s"pipe script $scriptName exited with $rc")
             if (fe != null) throw new GraftException(
-              s"pipe script $scriptName exited 0 but did not consume all input: $fe", fe)
+              s"pipe script $scriptName exited 0 but did not consume all input: ${fe.getCause}",
+              fe.getCause)
           }
           h
         }

@@ -126,11 +126,12 @@ object Relational {
     lineitem.groupBy("l_returnflag")
       .agg(
         expr("percentile_approx(l_quantity, 0.5)").as("p50_approx"),
-        expr(s"percentile(l_quantity, ${0.5 - eps})").as("lo"),
-        expr(s"percentile(l_quantity, ${0.5 + eps})").as("hi"))
-      .filter(col("p50_approx") < col("lo") || col("p50_approx") > col("hi"))
+        // both exact bounds from ONE percentile buffer (array form),
+        // not two independent full-copy aggregates
+        expr(s"percentile(l_quantity, array(${0.5 - eps}, ${0.5 + eps}))").as("b"))
       .select(col("l_returnflag"), col("p50_approx").cast("double").as("p50_approx"),
-        col("lo"), col("hi"))
+        expr("b[0]").as("lo"), expr("b[1]").as("hi"))
+      .filter(col("p50_approx") < col("lo") || col("p50_approx") > col("hi"))
 
   /** Q45: AS-OF JOIN — an operator Spark lacks natively (DuckDB, kdb,
     * Flink have it). Per the extension ladder, COMPOSED from built-ins

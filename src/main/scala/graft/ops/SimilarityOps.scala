@@ -152,14 +152,17 @@ object SimilarityOps {
   /** Build step: fit the coarse k-means quantizer and assign every
     * corpus vector to its cell.
     *
-    * The quantizer trains on a DETERMINISTIC single-partition sample
-    * (first `trainN` vec_ids, sorted): distributed k-means centroids
-    * depend on float reduction order and therefore on partitioning —
-    * a fit over the full parallel corpus gives different cells at
-    * different cluster sizes, which would make recall (and the q34
-    * gate) parallelism-dependent. Sample training is also the honest
-    * 100 TB design: the quantizer sees a bounded sample; only the
-    * cheap assignment transform touches the full corpus.
+    * The quantizer trains on a DETERMINISTIC single-partition sample:
+    * distributed k-means centroids depend on float reduction order and
+    * therefore on partitioning — a fit over the full parallel corpus
+    * gives different cells at different cluster sizes, which would
+    * make recall (and the q34 gate) parallelism-dependent. The sample
+    * is HASH-ordered (not head-of-corpus): vec_id order usually
+    * correlates with ingest source, and a head sample would train the
+    * quantizer on one region of embedding space. Sample training is
+    * also the honest 100 TB design: the quantizer sees a bounded
+    * sample; only the cheap assignment transform touches the full
+    * corpus.
     */
   def buildIvfIndex(embeddings: DataFrame, nlist: Int = 16,
                     trainN: Int = 2000): IvfIndex = {
@@ -170,7 +173,11 @@ object SimilarityOps {
     GraftFunctions.register(spark)
 
     val withFv = par(embeddings).withColumn("fv", array_to_vector(col("embedding")))
-    val train = embeddings.orderBy("vec_id").limit(trainN)
+    // SELECTION is hash-ordered (unbiased w.r.t. ingest order); the
+    // FIT order is vec_id-sorted (stable: adding corpus shards changes
+    // which vectors are sampled, never how a given sample is folded)
+    val train = embeddings.orderBy(expr("hash(vec_id)"), col("vec_id")).limit(trainN)
+      .orderBy("vec_id")
       .withColumn("fv", array_to_vector(col("embedding"))).coalesce(1)
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cell").fit(train)

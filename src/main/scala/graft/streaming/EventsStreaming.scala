@@ -179,7 +179,8 @@ object EventsStreaming {
       StructField("lang", StringType), StructField("text", StringType)))
     val src = spark.readStream.schema(docSchema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      .selectExpr("doc_id", "md5(lower(trim(text))) as fp")
+      .selectExpr("doc_id",
+        s"${graft.ops.DedupOps.contentFingerprintSql} as fp")
     val q = src.dropDuplicates("fp")
       .writeStream.format("memory").queryName(queryName)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
