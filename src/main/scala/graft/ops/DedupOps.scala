@@ -4,7 +4,10 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the training-data pipeline surface
-  * (SURVEY §2.2 Q12): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  * (SURVEY §2.2 Q12): exact, MinHash+LSH (Broder 1997, "On the
+  * resemblance and containment of documents"), SimHash (Charikar 2002,
+  * "Similarity estimation techniques from rounding algorithms"),
+  * n-gram Jaccard with prefix filtering (Xiao et al. 2008, PPJoin).
   *
   * Scale design (100 TB): every variant is shuffle-bounded —
   *  - exact: one hash-partitioned aggregation on a 128-bit digest

@@ -284,8 +284,10 @@ object SimilarityOps {
     s"cast(${bits.mkString(" + ")} as int)"
   }
 
-  /** Q16b: approximate top-k via MULTI-TABLE, MULTI-PROBE sign LSH —
-    * the standard recipe for usable recall on weak neighbors: each
+  /** Q16b: approximate top-k via MULTI-TABLE, MULTI-PROBE sign LSH
+    * (random-hyperplane hashing per Charikar 2002; multi-probe per
+    * Lv et al. 2007, "Multi-Probe LSH") — the standard recipe for
+    * usable recall on weak neighbors: each
     * vector gets one `numPlanes`-bit code per table (`numTables`
     * independent tables), and each query additionally probes every
     * code within Hamming distance 1 of its own. Candidates are the
