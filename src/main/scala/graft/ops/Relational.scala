@@ -87,7 +87,8 @@ object Relational {
 
   /** Approximate distinct (HyperLogLog++) — the 100 TB-scale variant of
     * Q6: single pass, fixed-size sketch, no exact-distinct expansion.
-    * No DuckDB oracle (sketch internals differ); rows-only check.
+    * Correctness signal comes from [[approxDistinctGate]] (q26), which
+    * bounds the estimate against the exact count in the same job.
     */
   def approxDistinct(orders: DataFrame, rsd: Double = 0.01): DataFrame =
     orders.groupBy("o_orderpriority")
