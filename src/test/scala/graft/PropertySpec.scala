@@ -56,6 +56,56 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("simhash signature is invariant under token order (bag semantics)") {
+    samples(Gen.listOfN(10, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))).foreach { toks =>
+      val d = Seq((1L, toks.mkString(" ")), (2L, toks.reverse.mkString(" ")))
+        .toDF("doc_id", "text")
+      val sigs = DedupOps.simhashSignatures(d).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sigs(1L) === sigs(2L))
+    }
+  }
+
+  test("as-of join equals the brute-force latest-preceding reference") {
+    val gen = Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 100L))
+    samples(Gen.zip(Gen.listOfN(15, gen), Gen.listOfN(10, gen))).foreach {
+      case (orderSpecs, eventSpecs) =>
+        def ts(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+        val orders = orderSpecs.map { case (k, m) => (k, ts(m)) }
+          .toDF("o_custkey", "o_orderdate")
+        val events = eventSpecs.zipWithIndex
+          .map { case ((k, m), i) => (i.toLong, k, ts(m)) }
+          .toDF("event_id", "user_id", "ts")
+        val out = graft.ops.Relational.eventOrderAsof(events, orders)
+          .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+        eventSpecs.zipWithIndex.foreach { case ((k, m), i) =>
+          val preceding = orderSpecs.filter { case (ok, om) =>
+            ok % 50 == k % 50 && om <= m }
+          val expected = if (preceding.isEmpty) None
+            else Some(new java.text.SimpleDateFormat("yyyy-MM-dd")
+              .format(ts(preceding.map(_._2).max)))
+          assert(out(i.toLong) === expected, s"event $i")
+        }
+    }
+  }
+
+  test("range join equals the brute-force window-count reference") {
+    val gen = Gen.zip(Gen.oneOf("a", "b"), Gen.chooseNum(0L, 120L))
+    samples(Gen.listOfN(20, gen)).foreach { specs =>
+      def ts(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+      val events = specs.zipWithIndex
+        .map { case ((t, m), i) => (i.toLong, t, ts(m)) }
+        .toDF("event_id", "event_type", "ts")
+      val out = graft.ops.Relational.eventRangeCount(events)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      specs.zipWithIndex.foreach { case ((t, m), i) =>
+        val expected = specs.count { case (ot, om) =>
+          ot == t && om >= m - 30 && om < m }
+        assert(out(i.toLong) === expected.toLong, s"event $i at $m")
+      }
+    }
+  }
+
   test("jaccard pairs are canonical-ordered and bounded in [0,1]") {
     samples(Gen.listOfN(4, Gen.listOfN(8, Gen.oneOf("x", "y", "z", "w", "v")))).foreach { docs =>
       val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
