@@ -194,6 +194,8 @@ object SparkEntry {
       Relational.eventOrderAsof(t(s, dir, "events"), t(s, dir, "orders"))),
     "q46_range_join" -> ((s, dir) =>
       Relational.eventRangeCount(t(s, dir, "events"))),
+    "q47_dedup_apply" -> ((s, dir) =>
+      ClusterOps.dedupedCorpus(t(s, dir, "documents"))),
     "q42_edit_dist" -> ((s, dir) =>
       TextOps.neighborEditDistance(t(s, dir, "documents"))),
   )
@@ -245,6 +247,20 @@ object SparkEntry {
        |  FROM banded l JOIN banded r
        |    ON l.k = r.k AND l.band = r.band AND l.doc_id < r.doc_id)
        |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
+
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE
+       |p AS (SELECT doc_a, doc_b FROM ($minhashLshSql)
+       |      UNION
+       |      SELECT doc_a, doc_b FROM ($simhashPairsSql)),
+       |e AS (SELECT doc_a a, doc_b b FROM p
+       |      UNION SELECT doc_b, doc_a FROM p),
+       |walk(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT w.id, e.b FROM walk w JOIN e ON e.a = w.r)
+       |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canonical_id
+       |FROM walk GROUP BY id""".stripMargin
 
   /** The cosine formula of SimilarityOps.cosine, DuckDB-side. */
   private def duckCosine(a: String, b: String): String =
@@ -562,18 +578,15 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     // Connected components as a recursive transitive closure — fine at
     // oracle scale; the engine side uses large-star/small-star instead.
-    "q41_dedup_clusters" ->
-      s"""WITH RECURSIVE
-         |p AS (SELECT doc_a, doc_b FROM ($minhashLshSql)
-         |      UNION
-         |      SELECT doc_a, doc_b FROM ($simhashPairsSql)),
-         |e AS (SELECT doc_a a, doc_b b FROM p
-         |      UNION SELECT doc_b, doc_a FROM p),
-         |walk(id, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT w.id, e.b FROM walk w JOIN e ON e.a = w.r)
-         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canonical_id
-         |FROM walk GROUP BY id""".stripMargin,
+    "q41_dedup_clusters" -> dedupClustersSql,
+    "q47_dedup_apply" ->
+      s"""WITH labels AS ($dedupClustersSql),
+         |sizes AS (SELECT canonical_id, count(*) AS n FROM labels
+         |          GROUP BY canonical_id)
+         |SELECT l.doc_id, d.lang, d.source, CAST(s.n - 1 AS BIGINT) AS n_dropped
+         |FROM labels l
+         |JOIN sizes s ON s.canonical_id = l.canonical_id
+         |JOIN documents d ON d.doc_id = l.doc_id
+         |WHERE l.doc_id = l.canonical_id""".stripMargin,
   )
 }

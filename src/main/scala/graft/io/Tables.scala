@@ -69,4 +69,14 @@ object Tables {
     */
   def writeJsonl(df: DataFrame, path: String, compression: String = "none"): Unit =
     df.write.mode("overwrite").option("compression", compression).json(path)
+
+  /** ORC — the other built-in columnar format (schema embedded,
+    * predicate pushdown and column pruning like parquet); for
+    * interchange with Hive-era warehouses.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }

@@ -170,4 +170,20 @@ object ClusterOps {
       .union(DedupOps.simhashPairs(documents).select("doc_a", "doc_b"))
     connectedComponents(documents, edges)
   }
+
+  /** Q47: APPLY the dedup — the step q41's labels exist for: keep only
+    * each cluster's canonical document, reporting how many duplicates
+    * it absorbed. This is the row a training-data pipeline actually
+    * feeds downstream; everything before it is bookkeeping.
+    */
+  def dedupedCorpus(documents: DataFrame): DataFrame = {
+    val labels = nearDupClusters(documents)
+    val sizes = labels.groupBy("canonical_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.filter(col("doc_id") === col("canonical_id"))
+      .join(sizes, "canonical_id")
+      .join(documents.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"),
+        (col("cluster_size") - 1).as("n_dropped"))
+  }
 }

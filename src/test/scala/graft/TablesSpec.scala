@@ -56,6 +56,21 @@ class TablesSpec extends SparkSpec {
     }
   }
 
+  test("orc round-trips with predicate pushdown reaching the scan") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val li = Tables.parquet(spark, sf, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    Tables.writeOrc(li, dir)
+    val back = Tables.orc(spark, dir)
+    assert(back.count() === li.count())
+    val filtered = back.filter("l_quantity > 25.0")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("l_quantity"), plan)
+    assert(filtered.count() ===
+      li.filter("l_quantity > 25.0").count())
+  }
+
   test("jsonl declared schema surfaces malformed lines instead of dropping them") {
     val dir = Files.createTempDirectory("graft-jsonl-bad").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "x.json"),
