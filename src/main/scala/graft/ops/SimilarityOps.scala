@@ -249,8 +249,9 @@ object SimilarityOps {
 
   /** Q28 gate: LSH kNN recall@k vs the exact scan — violations only. */
   def lshKnnRecallGate(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
-                       numPlanes: Int = 4, minRecall: Double = 0.8): DataFrame =
-    knnRecallGate(lshKnn(embeddings, nQueries, k, numPlanes),
+                       numPlanes: Int = 4, numTables: Int = 8,
+                       minRecall: Double = 0.8): DataFrame =
+    knnRecallGate(lshKnn(embeddings, nQueries, k, numPlanes, numTables),
       bruteForceKnn(embeddings, nQueries, k), k, minRecall)
 
   /** Q34 gate: IVF kNN recall@k vs the exact scan — violations only.
