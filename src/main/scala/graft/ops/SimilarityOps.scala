@@ -34,6 +34,12 @@ object SimilarityOps {
     * vector (vec_id < nQueries). The query side is tiny and broadcast;
     * the candidate scan is embarrassingly parallel, one pass over the
     * corpus; the window-rank top-k shuffles only (query_id, k) rows.
+    *
+    * Plan note: the non-equi condition makes this a
+    * BroadcastNestedLoopJoin — intended and scale-safe HERE because
+    * the broadcast side is BOUNDED (nQueries rows) and the corpus
+    * streams once past it; the harmful nested loop is the one with an
+    * unbounded side, which [[closestPairs]] eliminates.
     */
   def bruteForceKnn(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
     val cands = withNorm(embeddings, "embedding", "cn")
