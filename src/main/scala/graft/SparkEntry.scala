@@ -84,6 +84,18 @@ object SparkEntry {
         "cast(split(line, '\t')[1] as bigint) as total")
   }
 
+  /** Q48: the JSONL interchange path exercised END TO END — documents
+    * written as JSON-lines, read back under a declared schema, then
+    * put through the q20 token statistics; the oracle (q20's SQL over
+    * the parquet originals) passes only if the round trip is lossless
+    * including whitespace/unicode in `text`.
+    */
+  private def jsonlRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q48").toString
+    Tables.writeJsonl(t(s, dir, "documents").select("doc_id", "text"), tmp)
+    TextOps.tokenCounts(Tables.jsonl(s, tmp, "doc_id bigint, text string"))
+  }
+
   /** Flagship query on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
@@ -196,6 +208,7 @@ object SparkEntry {
       Relational.eventRangeCount(t(s, dir, "events"))),
     "q47_dedup_apply" -> ((s, dir) =>
       ClusterOps.dedupedCorpus(t(s, dir, "documents"))),
+    "q48_jsonl_roundtrip" -> jsonlRoundTrip _,
     "q42_edit_dist" -> ((s, dir) =>
       TextOps.neighborEditDistance(t(s, dir, "documents"))),
   )
@@ -416,6 +429,13 @@ object SparkEntry {
          |         + 0.25 * least(4.0 * CAST(stop_cnt AS DOUBLE) / nullif(CAST(len(w) AS INT), 0), 1.0), 6) AS quality
          |FROM base""".stripMargin,
     "q20_tokens" ->
+      s"""SELECT doc_id,
+         |       CAST(len($duckToks) AS INT) AS n_ws_tokens,
+         |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_bpe_tokens
+         |FROM documents""".stripMargin,
+    // identical oracle as q20: the engine side must survive a JSONL
+    // round trip losslessly to match it
+    "q48_jsonl_roundtrip" ->
       s"""SELECT doc_id,
          |       CAST(len($duckToks) AS INT) AS n_ws_tokens,
          |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_bpe_tokens
