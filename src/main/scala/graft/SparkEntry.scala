@@ -91,7 +91,12 @@ object SparkEntry {
     * including whitespace/unicode in `text`.
     */
   private def jsonlRoundTrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q48").toString
+    // one deterministic directory per (user, sf dir), overwritten on
+    // each run — repeated bench/oracle invocations reuse it instead of
+    // accumulating a fresh JSONL corpus copy under /tmp per call
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-q48-${sys.props.getOrElse("user.name", "u")}-$key").toString
     Tables.writeJsonl(t(s, dir, "documents").select("doc_id", "text"), tmp)
     TextOps.tokenCounts(Tables.jsonl(s, tmp, "doc_id bigint, text string"))
   }
@@ -211,6 +216,15 @@ object SparkEntry {
     "q48_jsonl_roundtrip" -> jsonlRoundTrip _,
     "q42_edit_dist" -> ((s, dir) =>
       TextOps.neighborEditDistance(t(s, dir, "documents"))),
+    "q49_image_features" -> ((s, dir) =>
+      MultimodalOps.imageFeatures(t(s, dir, "documents")).toDF()
+        .select(col("doc_id"), posexplode(col("features")).as(Seq("bin", "f")))
+        .select(col("doc_id"), col("bin").cast("int").as("bin"),
+          col("f").cast("bigint").as("cnt"))),
+    "q50_image_knn" -> ((s, dir) =>
+      SimilarityOps.bruteForceKnn(
+        MultimodalOps.imageFeatures(t(s, dir, "documents")).toDF()
+          .select(col("doc_id").as("vec_id"), col("features").as("embedding")))),
   )
 
   private val q10Sql =
@@ -219,16 +233,18 @@ object SparkEntry {
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // geometry interpolated from DedupOps so engine and oracle move
+  // together (hex prefix chars = simhashBits/4 — 4 bits per hex digit)
   private val simhashSql =
     s"""WITH toks AS (
        |  SELECT doc_id, unnest($duckToks) tok FROM documents),
        |th AS (
-       |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) th
+       |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, ${DedupOps.simhashBits / 4})) AS BIGINT) th
        |  FROM toks),
        |votes AS (
        |  SELECT doc_id, j,
        |         sum(CASE WHEN (th >> j) & 1 = 1 THEN 1 ELSE -1 END) vote
-       |  FROM th CROSS JOIN (SELECT unnest(range(0, 60)) j) bits
+       |  FROM th CROSS JOIN (SELECT unnest(range(0, ${DedupOps.simhashBits})) j) bits
        |  GROUP BY doc_id, j)
        |SELECT doc_id,
        |       CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j)
@@ -252,8 +268,9 @@ object SparkEntry {
   private val simhashPairsSql =
     s"""WITH sig AS ($simhashSql),
        |banded AS (
-       |  SELECT doc_id, simhash, k, (simhash >> (15 * k)) & 32767 AS band
-       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) k) ks),
+       |  SELECT doc_id, simhash, k,
+       |         (simhash >> (${DedupOps.simhashBandBits} * k)) & ${(1 << DedupOps.simhashBandBits) - 1} AS band
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, ${DedupOps.simhashBands})) k) ks),
        |pairs AS (
        |  SELECT DISTINCT l.doc_id doc_a, r.doc_id doc_b,
        |         CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) hamming
@@ -274,6 +291,32 @@ object SparkEntry {
        |  SELECT w.id, e.b FROM walk w JOIN e ON e.a = w.r)
        |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canonical_id
        |FROM walk GROUP BY id""".stripMargin
+
+  /** DuckDB pixel-histogram CTEs over the deterministic PNG gradient
+    * fixture (MultimodalOps.syntheticPngTable): re-derives every
+    * per-channel count the real decode + featureExtract must recover —
+    * 8 bins/channel, vector index = channel*8 + (value >> 5), pixel
+    * rgb = (x*31 + y*17 + doc_id) % 0xFFFFFF at the q43 dimensions.
+    */
+  private val imageHistCtes =
+    """dims AS (
+      |  SELECT doc_id, CAST(1 + doc_id % 64 AS BIGINT) w,
+      |         CAST(1 + (doc_id * 7) % 48 AS BIGINT) h
+      |  FROM documents),
+      |xs AS (SELECT doc_id, h, unnest(range(0, w)) x FROM dims),
+      |px AS (SELECT doc_id, x, unnest(range(0, h)) y FROM xs),
+      |pv AS (SELECT doc_id, (x * 31 + y * 17 + doc_id) % 16777215 rgb FROM px),
+      |chv AS (
+      |  SELECT doc_id, 0 c, (rgb >> 16) & 255 v FROM pv
+      |  UNION ALL SELECT doc_id, 1, (rgb >> 8) & 255 FROM pv
+      |  UNION ALL SELECT doc_id, 2, rgb & 255 FROM pv),
+      |hist AS (
+      |  SELECT doc_id, c * 8 + (v >> 5) bin, count(*) n
+      |  FROM chv GROUP BY 1, 2),
+      |allbins AS (SELECT doc_id, unnest(range(0, 24)) bin FROM documents),
+      |fvrows AS (
+      |  SELECT a.doc_id, a.bin, CAST(coalesce(h.n, 0) AS BIGINT) cnt
+      |  FROM allbins a LEFT JOIN hist h ON a.doc_id = h.doc_id AND a.bin = h.bin)""".stripMargin
 
   /** The cosine formula of SimilarityOps.cosine, DuckDB-side. */
   private def duckCosine(a: String, b: String): String =
@@ -596,6 +639,31 @@ object SparkEntry {
         |       CAST(1 + (doc_id * 7) % 48 AS INT) AS height,
         |       'png' AS format
         |FROM documents""".stripMargin,
+    // Real-decode feature gate: every histogram count is re-derived
+    // from the deterministic gradient — a featureExtract that does not
+    // decode actual pixels cannot match.
+    "q49_image_features" ->
+      s"""WITH $imageHistCtes
+         |SELECT doc_id, CAST(bin AS INT) AS bin, cnt FROM fvrows""".stripMargin,
+    // The decoded-raster embeddings run through the SAME exact-kNN
+    // engine as q16; the oracle recomputes the whole pipeline
+    // (pixels → histograms → cosine top-k) independently. Counts are
+    // integers, so each double fold is exact and the two engines agree
+    // bit-for-bit.
+    "q50_image_knn" ->
+      s"""WITH $imageHistCtes,
+         |f AS (SELECT doc_id, list(CAST(cnt AS DOUBLE) ORDER BY bin) v
+         |      FROM fvrows GROUP BY doc_id),
+         |q AS (SELECT doc_id AS query_id, v AS qv FROM f WHERE doc_id < 5),
+         |scored AS (
+         |  SELECT q.query_id, f.doc_id AS vec_id,
+         |         ${duckCosine("f.v", "q.qv")} AS sim
+         |  FROM f CROSS JOIN q WHERE f.doc_id <> q.query_id),
+         |r AS (SELECT query_id, vec_id, sim,
+         |             CAST(row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY sim DESC, vec_id ASC) AS INT) AS rnk
+         |      FROM scored)
+         |SELECT query_id, rnk, vec_id, sim FROM r WHERE rnk <= 10""".stripMargin,
     // Connected components as a recursive transitive closure — fine at
     // oracle scale; the engine side uses large-star/small-star instead.
     "q41_dedup_clusters" -> dedupClustersSql,

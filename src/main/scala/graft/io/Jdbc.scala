@@ -33,11 +33,27 @@ object Jdbc {
 
   final case class Bounds(min: Long, max: Long)
 
+  private val BareIdentifier = "^[A-Za-z_][A-Za-z0-9_]*$".r
+
+  /** The partition column is interpolated into the boundary SQL and
+    * into Spark's per-partition range predicates; restrict it to a
+    * bare identifier. (The QUERY keeps the reference's trust model —
+    * the client supplies arbitrary pushdown SQL by design, exactly as
+    * the reference forwards its fragment into `sqoop --query`,
+    * MapReduceWSIImpl.java:269-275 — but nothing about that contract
+    * requires accepting expression injection via the column name.)
+    */
+  private def requireBareColumn(partitionColumn: String): Unit =
+    if (!BareIdentifier.matches(partitionColumn))
+      throw new GraftException(
+        s"partitionColumn must be a bare identifier, got: '$partitionColumn'")
+
   /** One-row min/max boundary pre-query, run over a plain JDBC
     * connection on the driver (same work Sqoop's boundary query does).
     */
   def boundary(url: String, user: String, password: String,
                query: String, partitionColumn: String): Bounds = {
+    requireBareColumn(partitionColumn)
     val props = new Properties()
     if (user.nonEmpty) props.setProperty("user", user)
     if (password.nonEmpty) props.setProperty("password", password)

@@ -47,42 +47,63 @@ object MultimodalOps {
       }
   }
 
+  /** Pixel budget for a single decode: payloads whose DECLARED header
+    * dimensions exceed this are refused before any raster allocation —
+    * a decompression bomb (huge declared width×height, tiny payload)
+    * would otherwise throw OutOfMemoryError, which is not catchable
+    * data degradation: it kills the task/executor.
+    */
+  val DefaultMaxPixels: Long = 1L << 26 // 64 Mpixel ≈ 256 MB ARGB raster
+
+  /** Full javax.imageio decode with the bomb guard: header dims are
+    * read FIRST ([[javax.imageio.ImageReader#getWidth]] parses only
+    * metadata) and oversized or unreadable payloads yield None.
+    */
+  def readImage(bytes: Array[Byte], maxPixels: Long = DefaultMaxPixels)
+      : Option[(java.awt.image.BufferedImage, String)] = {
+    // in-memory streams only — the default ImageIO file cache spools
+    // every payload through an executor-disk temp file
+    javax.imageio.ImageIO.setUseCache(false)
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (readers == null || !readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(in)
+          // dimension sanity BEFORE reader.read allocates the raster
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) None
+          else Some((reader.read(0), reader.getFormatName.toLowerCase))
+        } catch {
+          // imageio throws RuntimeExceptions too on malformed input
+          // (CMMException, IllegalArgument, index errors…); a
+          // corrupt image is data, never a task failure
+          case scala.util.control.NonFatal(_) => None
+        } finally reader.dispose()
+      }
+    } finally if (in != null) in.close()
+  }
+
   /** REAL image decode via javax.imageio (pure JVM, no native codecs):
     * full pixel decode (`ImageReader.read`), actual width/height from
     * the raster, container format from the matched reader. Unreadable
-    * payloads degrade to (-1, -1, "unknown") rather than failing the
-    * batch — at 100 TB a corrupt image is data, not an outage.
+    * or bomb-sized payloads (see [[DefaultMaxPixels]]) degrade to
+    * (-1, -1, "unknown") rather than failing the batch — at 100 TB a
+    * corrupt image is data, not an outage.
     */
   object ImageIoDecoder extends MediaDecoder {
-    override def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaMeta] = {
-      // in-memory streams only — the default ImageIO file cache spools
-      // every payload through an executor-disk temp file
-      javax.imageio.ImageIO.setUseCache(false)
+    override def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaMeta] =
       batch.map { r =>
-        val in = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(r.media))
-        try {
-          val readers = javax.imageio.ImageIO.getImageReaders(in)
-          if (readers == null || !readers.hasNext)
-            MediaMeta(r.doc_id, r.media.length, -1, -1, "unknown")
-          else {
-            val reader = readers.next()
-            try {
-              reader.setInput(in)
-              val img = reader.read(0) // full decode, not just the header
-              MediaMeta(r.doc_id, r.media.length, img.getWidth, img.getHeight,
-                reader.getFormatName.toLowerCase)
-            } catch {
-              // imageio throws RuntimeExceptions too on malformed input
-              // (CMMException, IllegalArgument, index errors…); a
-              // corrupt image is data, never a task failure
-              case scala.util.control.NonFatal(_) =>
-                MediaMeta(r.doc_id, r.media.length, -1, -1, "unknown")
-            } finally reader.dispose()
-          }
-        } finally if (in != null) in.close()
+        readImage(r.media) match {
+          case Some((img, fmt)) =>
+            MediaMeta(r.doc_id, r.media.length, img.getWidth, img.getHeight, fmt)
+          case None => MediaMeta(r.doc_id, r.media.length, -1, -1, "unknown")
+        }
       }
-    }
   }
 
   /** Deterministic PNG fixture generation: one real PNG per document,
@@ -155,29 +176,63 @@ object MultimodalOps {
   /** A fixed-size feature vector for one payload. */
   final case class MediaFeatures(doc_id: Long, features: Array[Float])
 
-  /** Feature extraction (the embed-the-image step): STUB — a
-    * deterministic k-band rolling hash over the bytes normalized to
-    * [0,1), standing in for a real vision/audio encoder. Batched
-    * per-partition like [[decode]]; output is the `Array[Float]`
-    * embedding shape the similarity operators consume.
+  /** Feature extraction (the embed-the-image step): a REAL decoded-
+    * raster feature — the per-channel color histogram of the decoded
+    * pixels (`bins` bins per R/G/B channel, vector layout
+    * `channel * bins + (value >> log2(256/bins))`, dim = 3·bins).
+    *
+    * Counts are emitted RAW (integers carried as floats — exact below
+    * 2^24 pixels/bin): a SQL oracle can predict them for a
+    * deterministic fixture (q49), and downstream cosine similarity
+    * over them is bit-reproducible cross-engine because every product
+    * and partial sum is an exact integer in the double fold (q50 runs
+    * these vectors through [[graft.ops.SimilarityOps.bruteForceKnn]]).
+    * Unreadable or bomb-sized payloads degrade to the ZERO vector — at
+    * 100 TB a corrupt image is data, not an outage. Batched
+    * per-partition like [[decode]]; the binary column never leaves its
+    * partition and the output row is the narrow `Array[Float]`
+    * embedding shape the similarity operators consume directly.
     */
-  def featureExtract(media: Dataset[MediaRecord], dim: Int = 16,
-                     batchSize: Int = 64): Dataset[MediaFeatures] = {
+  def featureExtract(media: Dataset[MediaRecord], bins: Int = 8,
+                     batchSize: Int = 64,
+                     maxPixels: Long = DefaultMaxPixels): Dataset[MediaFeatures] = {
+    require(bins > 0 && bins <= 256 && Integer.bitCount(bins) == 1,
+      s"bins must be a power of two in [1,256], got $bins")
+    val shift = Integer.numberOfTrailingZeros(256 / bins)
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.map { r =>
-        val f = new Array[Float](dim)
-        var i = 0
-        while (i < r.media.length) {
-          val band = i % dim
-          f(band) = ((f(band) * 31 + (r.media(i) & 0xFF)) % 104729) // prime
-          i += 1
+        val f = new Array[Float](3 * bins)
+        readImage(r.media, maxPixels).foreach { case (img, _) =>
+          val w = img.getWidth
+          val h = img.getHeight
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = img.getRGB(x, y)
+              f(((v >> 16) & 0xFF) >> shift) += 1f
+              f(bins + (((v >> 8) & 0xFF) >> shift)) += 1f
+              f(2 * bins + ((v & 0xFF) >> shift)) += 1f
+              x += 1
+            }
+            y += 1
+          }
         }
-        MediaFeatures(r.doc_id, f.map(_ / 104729f))
+        MediaFeatures(r.doc_id, f)
       })
     }
   }
+
+  /** Q49/Q50 entry: the full multimodal pipeline — synthesize real
+    * PNGs, decode them back, and emit the per-channel histogram
+    * embedding per document. The oracle re-derives every count from
+    * the deterministic gradient, so a featureExtract that does not
+    * actually decode pixels cannot pass.
+    */
+  def imageFeatures(documents: DataFrame, bins: Int = 8): Dataset[MediaFeatures] =
+    featureExtract(syntheticPngTable(documents), bins)
 
   /** Resize (STUB): recompute target dims preserving aspect ratio from
     * the stub-decoded dims; the byte payload passes through opaque.

@@ -91,9 +91,15 @@ object PipeOps {
     * script can't fill the ~64 KB pipe buffer and deadlock the task.
     * Feeder-thread write failures are captured and re-thrown after the
     * child exits: a script that dies mid-stream surfaces its exit code,
-    * but a script that exits 0 without consuming all input is an error
-    * too (silently truncated input), matching Hadoop Streaming's
-    * default strictness.
+    * and a script that exits 0 without consuming all input is an error
+    * too (silently truncated input). The truncation check is
+    * BEST-EFFORT: it fires when a stdin write fails (EPIPE after the
+    * child closed its end) or when the feeder provably did not drain
+    * the source iterator — but input the child left UNREAD in the OS
+    * pipe buffer after the feeder finished writing is undetectable
+    * from the JVM side (the writes all succeeded), so an early-exiting
+    * script whose unread tail fits in the ~64 KB buffer can still
+    * truncate silently.
     */
   private def pipePartitions(lines: RDD[String], scriptName: String): RDD[String] =
     lines.mapPartitions { it =>
@@ -107,6 +113,7 @@ object PipeOps {
       val stdin = new BufferedWriter(
         new OutputStreamWriter(proc.getOutputStream, StandardCharsets.UTF_8))
       val feederErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val drained = new java.util.concurrent.atomic.AtomicBoolean(false)
       // tags an IOException that came from the STDIN side specifically;
       // an IOException raised while READING the source iterator (e.g. a
       // storage fault) is upstream and must propagate as itself
@@ -122,6 +129,7 @@ object PipeOps {
         org.apache.spark.GraftTaskContextBridge.attach(taskContext)
         try {
           it.foreach { l => writing { stdin.write(l); stdin.newLine() } }
+          drained.set(true)
           writing(stdin.close())
         } catch {
           case t: Throwable =>
@@ -157,6 +165,8 @@ object PipeOps {
             if (fe != null) throw new GraftException(
               s"pipe script $scriptName exited 0 but did not consume all input: ${fe.getCause}",
               fe.getCause)
+            if (!drained.get()) throw new GraftException(
+              s"pipe script $scriptName exited 0 with the input iterator not exhausted")
           }
           h
         }

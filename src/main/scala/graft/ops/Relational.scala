@@ -245,8 +245,14 @@ object Relational {
       |                        WHERE o2.o_custkey = o.o_custkey)""".stripMargin
 
   def sqlMaxOrderPerCustomer(orders: DataFrame): DataFrame = {
-    orders.createOrReplaceTempView("orders")
-    orders.sparkSession.sql(maxOrderSql)
+    // a library API must not squat on catalog names the caller may be
+    // using: register under a unique scoped view name, resolve the
+    // plan (spark.sql analyzes eagerly), then drop the view
+    val spark = orders.sparkSession
+    val view = s"graft_orders_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+    orders.createOrReplaceTempView(view)
+    try spark.sql(maxOrderSql.replaceAll("\\borders\\b", view))
+    finally spark.catalog.dropTempView(view)
   }
 
   /** Q39: cube — all grouping-set combinations in one pass. */

@@ -99,12 +99,7 @@ object SimilarityOps {
                            numPlanes: Int = 8, numTables: Int = 4,
                            dim: Int = 64): DataFrame = {
     val corpus = withNorm(embeddings, "embedding", "cn")
-    val codes = par(corpus.select(col("vec_id"), col("embedding")))
-      .select(col("vec_id"), explode(expr(
-        (0 until numTables).map(t =>
-          s"struct(${t} as t, ${codeExpr(t, numPlanes, dim)} as code)")
-          .mkString("array(", ", ", ")"))).as("tc"))
-      .select(col("vec_id"), col("tc.t").as("t"), col("tc.code").as("code"))
+    val codes = tableCodes(corpus, numTables, numPlanes, dim)
     val candIds = codes.select(col("vec_id").as("id_a"), col("t"), col("code"))
       .join(codes.select(col("vec_id").as("id_b"), col("t"), col("code")),
         Seq("t", "code"))
@@ -291,6 +286,51 @@ object SimilarityOps {
     s"cast(${bits.mkString(" + ")} as int)"
   }
 
+  /** One (vec_id, t, code) row per table: the per-table sign code
+    * projected ONCE — the plane-literal expression appears exactly
+    * `numTables` times in the plan, and every downstream use (bucket
+    * join keys, Hamming-1 probes) derives from the MATERIALIZED `code`
+    * column by cheap integer ops instead of re-inlining the 64-float
+    * vec_dot trees. Keeps the generated class small (janino) and the
+    * dot products computed once per (vector, table).
+    */
+  private def tableCodes(df: DataFrame, numTables: Int, numPlanes: Int,
+                         dim: Int): DataFrame =
+    par(df.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), explode(expr(
+        (0 until numTables).map(t =>
+          s"struct(${t} as t, ${codeExpr(t, numPlanes, dim)} as code)")
+          .mkString("array(", ", ", ")"))).as("tc"))
+      .select(col("vec_id"), col("tc.t").as("t"), col("tc.code").as("code"))
+
+  /** Smallest `numPlanes` whose 2^numPlanes buckets keep the EXPECTED
+    * per-table bucket occupancy at or under `maxAvgBucket` — the
+    * corpus-derived default the scaladoc of [[lshKnn]] promises.
+    */
+  def lshPlanesFor(corpusCount: Long, maxAvgBucket: Long = 1000L): Int = {
+    require(corpusCount >= 0 && maxAvgBucket > 0,
+      s"corpusCount=$corpusCount maxAvgBucket=$maxAvgBucket")
+    var p = 1
+    while ((corpusCount >> p) > maxAvgBucket && p < 62) p += 1
+    p
+  }
+
+  /** Sizing guard: with 2^numPlanes buckets per table, average bucket
+    * occupancy is corpus/2^numPlanes; once that exceeds `maxAvgBucket`
+    * the per-table candidate join degenerates toward a full scan and
+    * the "approximate" operator silently stops pruning. Callers that
+    * know the corpus size should gate their geometry through this
+    * before running [[lshKnn]]/[[closestPairsBucketed]] at scale.
+    */
+  def requireLshSized(corpusCount: Long, numPlanes: Int,
+                      maxAvgBucket: Long = 1000L): Unit = {
+    val needed = lshPlanesFor(corpusCount, maxAvgBucket)
+    require(numPlanes >= needed,
+      s"LSH undersized: numPlanes=$numPlanes gives ~${corpusCount >> numPlanes} " +
+        s"vectors/bucket for corpus=$corpusCount (budget $maxAvgBucket); " +
+        s"need numPlanes >= $needed")
+  }
+
   /** Q16b: approximate top-k via MULTI-TABLE, MULTI-PROBE sign LSH
     * (random-hyperplane hashing per Charikar 2002; multi-probe per
     * Lv et al. 2007, "Multi-Probe LSH") — the standard recipe for
@@ -304,27 +344,29 @@ object SimilarityOps {
     * the embeddings are re-attached for exact re-scoring, so the wide
     * float arrays never ride a candidate-multiplicity shuffle.
     * Recall is gated against the exact scan by [[lshKnnRecallGate]].
+    *
+    * SIZING: the default numPlanes=4 (16 buckets/table) is tuned for
+    * the test fixture; average bucket occupancy is corpus/2^numPlanes,
+    * so at corpus scale derive the geometry with [[lshPlanesFor]] and
+    * assert it with [[requireLshSized]] — an undersized code prunes
+    * nothing and the "approximate" path silently becomes a full scan.
     */
   def lshKnn(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
              numPlanes: Int = 4, numTables: Int = 8, dim: Int = 64): DataFrame = {
     val corpus = withNorm(embeddings, "embedding", "cn")
-    val corpusCodes = par(corpus.select(col("vec_id"), col("embedding")))
-      .select(col("vec_id"), explode(expr(
-        (0 until numTables).map(t =>
-          s"struct(${t} as t, ${codeExpr(t, numPlanes, dim)} as code)")
-          .mkString("array(", ", ", ")"))).as("tc"))
-      .select(col("vec_id"), col("tc.t").as("t"), col("tc.code").as("code"))
-    // query probes: own code plus each single-bit flip, per table
-    val probeStructs = (0 until numTables).flatMap { t =>
-      val c = codeExpr(t, numPlanes, dim)
-      s"struct(${t} as t, $c as code)" +:
-        (0 until numPlanes).map(j =>
-          s"struct(${t} as t, cast($c ^ ${1 << j} as int) as code)")
-    }
-    val queryProbes = corpus.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), explode(expr(
-        probeStructs.mkString("array(", ", ", ")"))).as("tc"))
-      .select(col("query_id"), col("tc.t").as("t"), col("tc.code").as("code"))
+    val corpusCodes = tableCodes(corpus, numTables, numPlanes, dim)
+    // query probes: own code plus each single-bit flip, per table —
+    // flips are XORs over the MATERIALIZED code column, so the plane
+    // dot products are computed once per (query, table), not once per
+    // probe (the round-2 plan inlined the 64-float vec_dot tree ~40×,
+    // paying ~5× redundant compute and an 8.6 s janino first-compile).
+    val flipArray = ("code" +: (0 until numPlanes)
+      .map(j => s"cast(code ^ ${1 << j} as int)"))
+      .mkString("array(", ", ", ")")
+    val queryProbes = tableCodes(corpus.filter(col("vec_id") < nQueries),
+        numTables, numPlanes, dim)
+      .select(col("vec_id").as("query_id"), col("t"),
+        explode(expr(flipArray)).as("code"))
     val candIds = corpusCodes.join(broadcast(queryProbes), Seq("t", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id").distinct()

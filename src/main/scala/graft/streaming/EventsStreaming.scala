@@ -80,8 +80,9 @@ object EventsStreaming {
   /** One closed session (stateful-streaming output shape). */
   final case class Session(user_id: Long, session_start_us: Long,
                            session_end_us: Long, n_events: Long, sum_value_cents: Long)
-  private final case class OpenSession(startUs: Long, lastUs: Long,
-                                       n: Long, cents: Long)
+  /** Per-key state: the one still-open session (fixed size). */
+  final case class OpenSession(startUs: Long, lastUs: Long,
+                               n: Long, cents: Long)
 
   /** Q32 streaming form: custom per-key state via
     * flatMapGroupsWithState — the engine's arbitrary-stateful-operator
@@ -135,6 +136,93 @@ object EventsStreaming {
     res.cache(); res.count()
     res
   }
+
+  /** Q32 streaming PRODUCTION form: sessions close when the WATERMARK
+    * passes last_event + gap (GroupStateTimeout.EventTimeTimeout), not
+    * at end-of-input — a user who goes silent has their session
+    * flushed by the timeout callback on a later micro-batch even if no
+    * further events for that user ever arrive, which is the semantics
+    * a continuous stream needs ([[sessionizeStreaming]] is the
+    * bounded-fixture form that flushes everything when input ends).
+    * State per key is one fixed-size [[OpenSession]]; the watermark
+    * bounds how long it can live. The checkpoint makes the query
+    * restartable mid-session (SessionTimeoutSpec drives two
+    * AvailableNow runs through one checkpoint and asserts the close
+    * happens on watermark passage). Sink is parquet + commit log (the
+    * memory sink cannot recover from a checkpoint); closed sessions
+    * land in `outDir` exactly once.
+    */
+  def sessionizeStreamingEventTime(spark: SparkSession, srcDir: String,
+                                   outDir: String, checkpointDir: String,
+                                   gapMinutes: Int = 30,
+                                   watermarkDelay: String = "10 minutes"): Unit = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val gapUs = gapMinutes * 60L * 1000000L
+    val src = spark.readStream.schema(rawEventsSchema)
+      .option("pathGlobFilter", "*.parquet").parquet(srcDir)
+      .selectExpr("user_id", "timestamp_micros(ts div 1000) as ts",
+        "cast(cast(value as decimal(18,2)) * 100 as bigint) as cents")
+      .withWatermark("ts", watermarkDelay)
+      // the watermarked ts column must survive into the stateful
+      // operator's input (the unsupported-operation checker requires
+      // it); us carries the exact microseconds alongside
+      .selectExpr("user_id", "ts", "unix_micros(ts) as us", "cents")
+      .as[(Long, java.sql.Timestamp, Long, Long)]
+
+    def step(userId: Long, events: Iterator[(Long, java.sql.Timestamp, Long, Long)],
+             state: GroupState[OpenSession]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        // watermark passed last_event + gap with no new events: the
+        // session is definitively over — emit and clear
+        val s = state.get
+        state.remove()
+        Iterator.single(Session(userId, s.startUs, s.lastUs, s.n, s.cents))
+      } else {
+        val sorted = events.toSeq.sortBy(_._3)
+        val closed = Seq.newBuilder[Session]
+        var open: Option[OpenSession] = state.getOption
+        sorted.foreach { case (_, _, us, c) =>
+          open match {
+            case Some(s) if us - s.lastUs <= gapUs =>
+              open = Some(OpenSession(s.startUs, us, s.n + 1, s.cents + c))
+            case Some(s) =>
+              closed += Session(userId, s.startUs, s.lastUs, s.n, s.cents)
+              open = Some(OpenSession(us, us, 1, c))
+            case None =>
+              open = Some(OpenSession(us, us, 1, c))
+          }
+        }
+        open.foreach { s =>
+          state.update(s)
+          // never set a timeout at/behind the watermark (illegal); a
+          // session already older than the horizon times out on the
+          // next batch instead
+          state.setTimeoutTimestamp(math.max(
+            s.lastUs / 1000L + gapMinutes * 60000L,
+            state.getCurrentWatermarkMs + 1))
+        }
+        closed.result().iterator
+      }
+    }
+
+    val out = src.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(step)
+    val q = out.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  /** Schema of [[sessionizeStreamingEventTime]]'s sink (for reading
+    * the output directory before any session has closed).
+    */
+  val sessionSchema: StructType = StructType(Seq(
+    StructField("user_id", LongType), StructField("session_start_us", LongType),
+    StructField("session_end_us", LongType), StructField("n_events", LongType),
+    StructField("sum_value_cents", LongType)))
 
   /** The PRODUCTION streaming shape: file source → watermark → windowed
     * agg → parquet file sink in APPEND mode with a durable checkpoint.

@@ -57,6 +57,34 @@ class JdbcSpec extends SparkSpec {
     }
   }
 
+  test("filters on a JDBC scan are pushed into the RDBMS plan") {
+    withTable {
+      import spark.implicits._
+      // the reference's contract: the WHERE evaluates inside the RDBMS
+      // (MapReduceWSIImpl.java:114-124 / sqoop --query); on Spark the
+      // optimizer must push the filter into the JDBC scan node, not
+      // post-filter the full table transfer
+      val df = Jdbc.read(spark, url, "", "", "SELECT id, num0 FROM SRC")
+        .filter($"id" > 90)
+      val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+      assert(scan.contains("PushedFilters"),
+        s"expected a JDBC scan with pushdown metadata, got:\n$scan")
+      assert(scan.contains("GreaterThan(ID,90)"),
+        s"filter not pushed into the JDBC scan:\n$scan")
+      assert(df.count() === 10)
+    }
+  }
+
+  test("boundary rejects non-identifier partition columns") {
+    withTable {
+      // sane columns still work
+      assert(Jdbc.boundary(url, "", "", "SELECT id FROM SRC", "id").max === 100L)
+      for (bad <- Seq("id); DROP TABLE SRC; --", "min(id)", "id, num0", "1=1", ""))
+        assertThrows[graft.core.GraftException](
+          Jdbc.boundary(url, "", "", "SELECT id FROM SRC", bad))
+    }
+  }
+
   test("splitRanges covers [min,max] with unbounded outer edges") {
     val r = Jdbc.splitRanges(0, 100, 4)
     assert(r.size === 4)

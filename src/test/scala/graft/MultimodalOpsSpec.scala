@@ -17,16 +17,52 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(out(2L).getAs[String]("format") === "png") // 7 % 3 == 1
   }
 
-  test("featureExtract yields deterministic fixed-dim normalized vectors") {
-    val media = Seq(MediaRecord(1L, "hello world".getBytes),
-      MediaRecord(2L, "hello world".getBytes),
-      MediaRecord(3L, "different payload".getBytes)).toDS()
-    val f = MultimodalOps.featureExtract(media, dim = 8).collect()
+  test("featureExtract computes real per-channel histograms from decoded pixels") {
+    // one real 2x2 PNG with known pixel values; histogram must place
+    // each channel byte in bin value >> 5 (8 bins/channel)
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000); img.setRGB(1, 0, 0xFF0000)
+    img.setRGB(0, 1, 0x00FF00); img.setRGB(1, 1, 0x0000FF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq(MediaRecord(1L, bos.toByteArray),
+      MediaRecord(2L, bos.toByteArray),
+      MediaRecord(3L, "not an image".getBytes)).toDS()
+    val f = MultimodalOps.featureExtract(media, bins = 8).collect()
       .map(m => m.doc_id -> m.features.toSeq).toMap
+    assert(f(1L).size === 24)
+    // R channel: three pixels at 0 (bin 0), one at 255 (bin 7)
+    assert(f(1L).slice(0, 8) === Seq(3f, 0f, 0f, 0f, 0f, 0f, 0f, 1f))
+    assert(f(1L).slice(8, 16) === Seq(3f, 0f, 0f, 0f, 0f, 0f, 0f, 1f))
+    assert(f(1L).slice(16, 24) === Seq(3f, 0f, 0f, 0f, 0f, 0f, 0f, 1f))
     assert(f(1L) === f(2L)) // deterministic
-    assert(f(1L) !== f(3L))
-    assert(f(1L).size === 8)
-    assert(f(1L).forall(v => v >= 0f && v < 1f))
+    // undecodable payload degrades to the zero vector, not a failure
+    assert(f(3L) === Seq.fill(24)(0f))
+  }
+
+  test("featureExtract counts sum to pixel area on the synthetic fixture") {
+    val docs = Seq(5L, 42L, 77L).toDF("doc_id")
+    val f = MultimodalOps.imageFeatures(docs).collect()
+      .map(m => m.doc_id -> m.features).toMap
+    for (id <- Seq(5L, 42L, 77L)) {
+      val area = (1 + (id % 64).toInt) * (1 + ((id * 7) % 48).toInt)
+      // each channel's bins partition the pixels exactly
+      assert(f(id).slice(0, 8).sum === area.toFloat)
+      assert(f(id).slice(8, 16).sum === area.toFloat)
+      assert(f(id).slice(16, 24).sum === area.toFloat)
+    }
+  }
+
+  test("readImage refuses decompression bombs before raster allocation") {
+    // a real (tiny-payload) PNG whose declared dimensions exceed the cap
+    val img = new java.awt.image.BufferedImage(
+      200, 100, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val bytes = bos.toByteArray
+    assert(MultimodalOps.readImage(bytes, maxPixels = 200L * 100).isDefined)
+    assert(MultimodalOps.readImage(bytes, maxPixels = 200L * 100 - 1).isEmpty)
   }
 
   test("resize preserves aspect ratio within maxSide") {

@@ -114,4 +114,18 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(SimilarityOps.lshKnnRecallGate(emb).isEmpty)
     assert(SimilarityOps.ivfKnnRecallGate(emb).isEmpty)
   }
+
+  test("LSH sizing guard flags geometries that stop pruning at scale") {
+    // lshPlanesFor returns the smallest numPlanes meeting the bucket
+    // budget: one plane fewer would blow it
+    val p = SimilarityOps.lshPlanesFor(1L << 30)
+    assert(((1L << 30) >> p) <= 1000L)
+    assert(((1L << 30) >> (p - 1)) > 1000L)
+    assert(SimilarityOps.lshPlanesFor(0L) === 1)
+    // fixture-scale geometry passes; corpus-scale with 16 buckets/table
+    // (the q28 default) must be rejected
+    SimilarityOps.requireLshSized(5000L, numPlanes = 4)
+    assertThrows[IllegalArgumentException](
+      SimilarityOps.requireLshSized(1L << 30, numPlanes = 4))
+  }
 }
