@@ -225,6 +225,14 @@ object SparkEntry {
       SimilarityOps.bruteForceKnn(
         MultimodalOps.imageFeatures(t(s, dir, "documents")).toDF()
           .select(col("doc_id").as("vec_id"), col("features").as("embedding")))),
+    "q51_image_resize" -> ((s, dir) =>
+      MultimodalOps.resizeRoundTrip(t(s, dir, "documents"))),
+    "q52_sample" -> ((s, dir) =>
+      SampleOps.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.9)
+        .select("doc_id", "lang", "source")),
+    "q53_tfidf" -> ((s, dir) =>
+      TextOps.tfIdf(t(s, dir, "documents"))),
   )
 
   private val q10Sql =
@@ -664,6 +672,40 @@ object SparkEntry {
          |                  ORDER BY sim DESC, vec_id ASC) AS INT) AS rnk
          |      FROM scored)
          |SELECT query_id, rnk, vec_id, sim FROM r WHERE rnk <= 10""".stripMargin,
+    // Resize round trip: the oracle predicts the post-resize dims the
+    // re-decode must recover (same double arithmetic both sides:
+    // scale = min(1, 32/max(w,h)), floor of w*scale, floor of h*scale).
+    "q51_image_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(1 + doc_id % 64 AS BIGINT) w,
+        |         CAST(1 + (doc_id * 7) % 48 AS BIGINT) h
+        |  FROM documents),
+        |s AS (SELECT doc_id, w, h,
+        |             LEAST(1.0, 32.0 / GREATEST(w, h)) scale FROM dims)
+        |SELECT doc_id,
+        |       CAST(GREATEST(1, floor(w * scale)) AS INT) AS width,
+        |       CAST(GREATEST(1, floor(h * scale)) AS INT) AS height,
+        |       'png' AS format
+        |FROM s""".stripMargin,
+    // Deterministic stratified sampling: the oracle replays the exact
+    // md5-hash-unit decision per row (first 32 md5 bits / 2^32 — a
+    // power-of-two division, exact in double on both engines).
+    "q52_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':'), 1, 8))::BIGINT
+        |        / 4294967296.0
+        |      < CASE WHEN lang = 'en' THEN 0.5
+        |             WHEN lang = 'de' THEN 0.25 ELSE 0.9 END""".stripMargin,
+    "q53_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($duckToks) token FROM documents),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) tf
+         |       FROM toks GROUP BY 1, 2),
+         |dfx AS (SELECT token, CAST(count(*) AS BIGINT) df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) n FROM documents)
+         |SELECT doc_id, token, tf, df,
+         |       round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+         |FROM tf JOIN dfx USING (token) CROSS JOIN n""".stripMargin,
     // Connected components as a recursive transitive closure — fine at
     // oracle scale; the engine side uses large-star/small-star instead.
     "q41_dedup_clusters" -> dedupClustersSql,

@@ -234,9 +234,63 @@ object MultimodalOps {
   def imageFeatures(documents: DataFrame, bins: Int = 8): Dataset[MediaFeatures] =
     featureExtract(syntheticPngTable(documents), bins)
 
-  /** Resize (STUB): recompute target dims preserving aspect ratio from
-    * the stub-decoded dims; the byte payload passes through opaque.
-    * Real implementation would transcode inside the same mapPartitions.
+  /** REAL resize: decode → rescale the raster (bilinear, aspect
+    * preserved, longest side capped at `maxSide`, never upscaled) →
+    * re-encode PNG. Runs batched per-partition like [[decode]]; the
+    * output payload is a real image a downstream stage can decode
+    * again (q51 does exactly that round trip). Unreadable or
+    * bomb-sized payloads degrade to (-1, -1, empty payload).
+    */
+  def resizeImages(media: Dataset[MediaRecord], maxSide: Int = 256,
+                   batchSize: Int = 64,
+                   maxPixels: Long = DefaultMaxPixels): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(batchSize).flatMap(_.map { r =>
+        readImage(r.media, maxPixels) match {
+          case Some((img, _)) =>
+            val scale = math.min(1.0,
+              maxSide.toDouble / math.max(img.getWidth, img.getHeight))
+            val ow = math.max(1, (img.getWidth * scale).toInt)
+            val oh = math.max(1, (img.getHeight * scale).toInt)
+            val out = new java.awt.image.BufferedImage(
+              ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, ow, oh, null)
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            (r.doc_id, ow, oh, bos.toByteArray)
+          case None => (r.doc_id, -1, -1, Array.empty[Byte])
+        }
+      })
+    }.toDF("doc_id", "out_width", "out_height", "media")
+  }
+
+  /** Q51: the resize pipeline proven end to end — synthesize PNGs,
+    * REALLY rescale the rasters, then re-decode the resized payloads
+    * with the real codec and emit the recovered dimensions; the oracle
+    * predicts them from the dimension formula alone, so a resize that
+    * does not produce a decodable image at the exact target geometry
+    * cannot pass.
+    */
+  def resizeRoundTrip(documents: DataFrame, maxSide: Int = 32): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val resized = resizeImages(syntheticPngTable(documents), maxSide)
+      .select(col("doc_id"), col("media")).as[MediaRecord]
+    decode(resized, ImageIoDecoder)
+      .toDF().select("doc_id", "width", "height", "format")
+  }
+
+  /** Aspect-ratio arithmetic on already-extracted metadata (kept for
+    * planning resize jobs without touching payloads — the actual
+    * transcode is [[resizeImages]]).
     */
   def resizeMeta(meta: Dataset[MediaMeta], maxSide: Int = 256): DataFrame = {
     val spark = meta.sparkSession

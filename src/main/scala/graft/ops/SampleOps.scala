@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling — the mix-control primitive of a
+  * training-data pipeline (downsample overrepresented sources, carve
+  * held-out splits, cut a fixed-rate dev corpus).
+  *
+  * Rows are kept when a uniform hash of their KEY falls below the
+  * rate: no RNG state, so the sample is (a) reproducible across runs,
+  * engines, and partitionings — unlike `DataFrame.sample`, whose
+  * output depends on partition layout; (b) stable under corpus growth
+  * (a document's fate depends only on its own key, so yesterday's
+  * sample is a subset of today's at the same rate); (c) consistent
+  * across tables — sampling two tables by the same join key yields
+  * aligned rows, which is how you sample a corpus and its embeddings
+  * together without a join. Evaluation is a pure per-row expression:
+  * no shuffle, fully pushed into the scan stage.
+  */
+object SampleOps {
+
+  /** Uniform in [0, 1): the first 32 bits of md5(key ":" salt) over
+    * 2^32. The division is by a power of two, hence exact in double —
+    * any engine that can md5 reproduces the value bit-for-bit (the
+    * DuckDB oracle of q52 does).
+    */
+  def hashUnit(key: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(":" + salt))), 1, 8),
+      16, 10).cast("bigint").cast("double") / lit(4294967296.0)
+
+  /** Keep rows whose key hashes under `rate`. `salt` decorrelates
+    * independent samples over the same corpus (a dev split at salt
+    * "dev" does not bias a holdout at salt "test").
+    */
+  def sampleByHash(df: DataFrame, keyCol: String, rate: Double,
+                   salt: String = ""): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1]: $rate")
+    df.filter(hashUnit(col(keyCol), salt) < rate)
+  }
+
+  /** Per-stratum rates (e.g. by language or source): strata listed in
+    * `rates` keep that fraction, everything else keeps `defaultRate`.
+    * The rate lookup folds into a CASE expression — still a pure
+    * per-row filter, no join, no shuffle.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+                       rates: Map[String, Double], defaultRate: Double = 1.0,
+                       salt: String = ""): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"rate must be in [0,1]: $r"))
+    // sorted for a deterministic expression tree (Map order isn't)
+    val rateExpr = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (k, r)) => when(col(stratumCol) === k, lit(r)).otherwise(acc)
+    }
+    df.filter(hashUnit(col(keyCol), salt) < rateExpr)
+  }
+}

@@ -139,4 +139,29 @@ object TextOps {
         col("doc_id"),
         md5(concat_ws(" ", array_sort(array_distinct(col("w"))))).as("fp"),
         size(array_distinct(col("w"))).as("n_distinct_tokens"))
+
+  /** Q53: per-(document, token) TF-IDF — the classic relevance /
+    * keyword-extraction weight (Sparck Jones 1972): tf · ln(N/df).
+    *
+    * All three inputs stay EXACT integers (term count, document
+    * frequency, corpus size) so the only float op is the final
+    * ln+multiply, rounded to 6 for cross-engine comparability. Plan
+    * shape at scale: one shuffle on (doc_id, token) for tf, one on
+    * token for df (token cardinality ≪ corpus), N as a broadcast
+    * one-row cross join — no window over the full corpus, no driver
+    * action.
+    */
+  def tfIdf(documents: DataFrame): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(expr(tokensExpr)).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n"))
+    tf.join(df, "token")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round(col("tf") * log(col("n").cast("double") / col("df")), 6)
+          .as("tfidf"))
+  }
 }

@@ -65,6 +65,31 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(MultimodalOps.readImage(bytes, maxPixels = 200L * 100 - 1).isEmpty)
   }
 
+  test("resizeImages really rescales the raster to a decodable payload") {
+    val docs = Seq(10L, 40L).toDF("doc_id") // dims 11x23 and 41x41
+    val resized = MultimodalOps.resizeImages(
+      MultimodalOps.syntheticPngTable(docs), maxSide = 20).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // 11x23 → scale 20/23; 41x41 → scale 20/41
+    assert(resized(10L).getAs[Int]("out_width") === (11 * (20.0 / 23)).toInt)
+    assert(resized(10L).getAs[Int]("out_height") === 20)
+    assert(resized(40L).getAs[Int]("out_width") === 20)
+    // the payload is a REAL png at exactly those dims
+    val again = MultimodalOps.readImage(resized(10L).getAs[Array[Byte]]("media"))
+    assert(again.isDefined)
+    assert(again.get._1.getWidth === (11 * (20.0 / 23)).toInt)
+    assert(again.get._1.getHeight === 20)
+    // images already within bounds pass through at original dims
+    val same = MultimodalOps.resizeImages(
+      MultimodalOps.syntheticPngTable(Seq(10L).toDF("doc_id")), maxSide = 256)
+      .collect().head
+    assert((same.getAs[Int]("out_width"), same.getAs[Int]("out_height")) === ((11, 23)))
+    // undecodable payloads degrade, not fail
+    val bad = MultimodalOps.resizeImages(
+      Seq(MediaRecord(9L, "junk".getBytes)).toDS(), maxSide = 20).collect().head
+    assert((bad.getAs[Int]("out_width"), bad.getAs[Int]("out_height")) === ((-1, -1)))
+  }
+
   test("resize preserves aspect ratio within maxSide") {
     val meta = Seq(MediaMeta(1L, 0, 640, 480, "jpeg"),
       MediaMeta(2L, 0, 100, 50, "png")).toDS()

@@ -1,0 +1,50 @@
+package graft
+
+import graft.ops.SampleOps
+
+class SampleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = (1L to 2000L).map(i =>
+    (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"))
+    .toDF("doc_id", "lang")
+
+  test("sampleByHash is deterministic and partitioning-independent") {
+    val a = SampleOps.sampleByHash(docs, "doc_id", 0.4)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = SampleOps.sampleByHash(docs.repartition(13), "doc_id", 0.4)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+    // rate is approximately honored (md5 is uniform)
+    assert(math.abs(a.size / 2000.0 - 0.4) < 0.05)
+  }
+
+  test("lower-rate samples nest inside higher-rate ones (stable growth)") {
+    val lo = SampleOps.sampleByHash(docs, "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val hi = SampleOps.sampleByHash(docs, "doc_id", 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(lo.subsetOf(hi))
+  }
+
+  test("salts decorrelate independent samples") {
+    val dev = SampleOps.sampleByHash(docs, "doc_id", 0.3, salt = "dev")
+      .select("doc_id").as[Long].collect().toSet
+    val tst = SampleOps.sampleByHash(docs, "doc_id", 0.3, salt = "test")
+      .select("doc_id").as[Long].collect().toSet
+    assert(dev !== tst)
+    // overlap ≈ rate² · N, far below either sample's size
+    assert((dev & tst).size < dev.size / 2)
+  }
+
+  test("stratifiedSample applies per-stratum rates") {
+    val out = SampleOps.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.1, "de" -> 0.9), defaultRate = 0.5)
+    val kept = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = 2000.0 / 3
+    assert(math.abs(kept("en") / base - 0.1) < 0.06)
+    assert(math.abs(kept("de") / base - 0.9) < 0.06)
+    assert(math.abs(kept("fr") / base - 0.5) < 0.06)
+  }
+}

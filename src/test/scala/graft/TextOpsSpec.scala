@@ -24,6 +24,22 @@ class TextOpsSpec extends SparkSpec {
     assert(out(5L) === "und")
   }
 
+  test("tfIdf: common terms score zero, rare terms score tf·ln(N/df)") {
+    val d = docs(1L -> "apple banana apple", 2L -> "apple", 3L -> "cherry")
+    val out = TextOps.tfIdf(d).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // "apple" in all... docs 1,2 of 3 → df=2; doc 1 has tf=2
+    assert(out((1L, "apple")) === ((2L, 2L,
+      BigDecimal(2 * math.log(3.0 / 2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // "banana" unique to doc 1 → ln(3)
+    assert(out((1L, "banana")) === ((1L, 1L,
+      BigDecimal(math.log(3.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // a term in EVERY doc would score ln(1) = 0
+    assert(out((3L, "cherry"))._3 === BigDecimal(math.log(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("termFrequency counts tokens per lang") {
     val d = Seq((1L, "a b a", "en"), (2L, "a", "de")).toDF("doc_id", "text", "lang")
     val out = TextOps.termFrequency(d).collect()
