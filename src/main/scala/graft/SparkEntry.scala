@@ -233,6 +233,8 @@ object SparkEntry {
         .select("doc_id", "lang", "source")),
     "q53_tfidf" -> ((s, dir) =>
       TextOps.tfIdf(t(s, dir, "documents"))),
+    "q54_stream_join" -> ((s, dir) =>
+      EventsStreaming.viewClickJoinStreaming(s, dir)),
   )
 
   private val q10Sql =
@@ -706,6 +708,16 @@ object SparkEntry {
          |SELECT doc_id, token, tf, df,
          |       round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
          |FROM tf JOIN dfx USING (token) CROSS JOIN n""".stripMargin,
+    // The engine side is a STREAM-STREAM watermarked join; a drained
+    // bounded fixture must produce exactly the batch join's rows.
+    "q54_stream_join" ->
+      """SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+        |       CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS delay_us
+        |FROM events v JOIN events c
+        |  ON v.user_id = c.user_id
+        | AND v.event_type = 'view' AND c.event_type = 'click'
+        | AND epoch_us(c.ts) >= epoch_us(v.ts)
+        | AND epoch_us(c.ts) < epoch_us(v.ts) + 1800000000""".stripMargin,
     // Connected components as a recursive transitive closure — fine at
     // oracle scale; the engine side uses large-star/small-star instead.
     "q41_dedup_clusters" -> dedupClustersSql,

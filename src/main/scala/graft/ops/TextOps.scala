@@ -147,9 +147,14 @@ object TextOps {
     * frequency, corpus size) so the only float op is the final
     * ln+multiply, rounded to 6 for cross-engine comparability. Plan
     * shape at scale: one shuffle on (doc_id, token) for tf, one on
-    * token for df (token cardinality ≪ corpus), N as a broadcast
-    * one-row cross join — no window over the full corpus, no driver
-    * action.
+    * token for df — both with map-side partial aggregation, so hot
+    * stopword tokens never concentrate raw rows in one partition (the
+    * window-function alternative would) — and N as a broadcast
+    * one-row cross join. `tf` feeds both the output rows and the df
+    * aggregate; without materialization Catalyst recomputes that
+    * subtree for the df branch, so a production corpus-scale run
+    * should persist tf (or land it as a build artifact) to tokenize
+    * and shuffle once.
     */
   def tfIdf(documents: DataFrame): DataFrame = {
     val tf = documents

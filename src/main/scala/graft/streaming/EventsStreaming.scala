@@ -252,6 +252,61 @@ object EventsStreaming {
     q.awaitTermination()
   }
 
+  /** Q54 batch twin: view→click attribution — each view joined to the
+    * same user's clicks landing within `windowMinutes` after it.
+    */
+  def viewClickJoin(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
+    val winUs = windowMinutes * 60L * 1000000L
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        expr("unix_micros(ts)").as("v_us"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        expr("unix_micros(ts)").as("c_us"))
+    views.join(clicks, Seq("user_id"))
+      .filter(col("c_us") >= col("v_us") && col("c_us") < col("v_us") + winUs)
+      .select(col("view_id"), col("click_id"), col("user_id"),
+        (col("c_us") - col("v_us")).as("delay_us"))
+  }
+
+  /** Q54: STREAM-STREAM inner join — the two-live-streams shape
+    * (impressions joining clicks as both arrive). Both sides carry a
+    * watermark and the join predicate bounds event-time distance, so
+    * Spark buffers each side only within the watermark horizon: state
+    * is bounded by (horizon × arrival rate), not stream length —
+    * without the time constraint a stream-stream join must hold BOTH
+    * streams forever. Inner matches emit as soon as both rows exist;
+    * the oracle (the equivalent batch join, which DuckDB replays) gets
+    * the identical row set on a drained fixture.
+    */
+  def viewClickJoinStreaming(spark: SparkSession, dir: String,
+                             windowMinutes: Int = 30,
+                             queryName: String = "graft_stream_join"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream.schema(rawEventsSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = views.join(clicks,
+      expr(s"""v_user = c_user AND c_ts >= v_ts AND
+               c_ts < v_ts + interval $windowMinutes minutes"""))
+      .select(col("view_id"), col("click_id"), col("v_user").as("user_id"),
+        (expr("unix_micros(c_ts)") - expr("unix_micros(v_ts)")).as("delay_us"))
+    val q = joined.writeStream.format("memory").queryName(queryName)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val out = spark.table(queryName)
+    out.cache(); out.count()
+    out
+  }
+
   /** Streaming member of the dedup family: exact dedup on a document
     * STREAM via dropDuplicates on the content digest — Spark keeps one
     * fixed-size state row per distinct digest, so a continuously

@@ -38,4 +38,14 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
     assert(batch.nonEmpty)
   }
+
+  test("stream-stream view→click join matches the batch join exactly") {
+    val batch = EventsStreaming.viewClickJoin(Tables.events(spark, sf))
+      .collect().map(_.toSeq).toSet
+    val streamed = EventsStreaming
+      .viewClickJoinStreaming(spark, sf, queryName = "spec_ss_join")
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
 }
