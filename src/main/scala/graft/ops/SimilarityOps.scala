@@ -363,8 +363,11 @@ object SimilarityOps {
     val flipArray = ("code" +: (0 until numPlanes)
       .map(j => s"cast(code ^ ${1 << j} as int)"))
       .mkString("array(", ", ", ")")
-    val queryProbes = tableCodes(corpus.filter(col("vec_id") < nQueries),
-        numTables, numPlanes, dim)
+    // probes FILTER the corpus-code projection rather than re-running
+    // it on the query rows: the plane expression exists once in the
+    // whole plan, so both sides of the bucket join share one generated
+    // projection (one janino compile, one codegen-cache entry)
+    val queryProbes = corpusCodes.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("t"),
         explode(expr(flipArray)).as("code"))
     val candIds = corpusCodes.join(broadcast(queryProbes), Seq("t", "code"))

@@ -333,6 +333,40 @@ object EventsStreaming {
     out
   }
 
+  /** The state-BOUNDED form of streaming dedup that
+    * [[streamingExactDedup]]'s scaladoc promises for unbounded
+    * streams: `dropDuplicatesWithinWatermark` on a content
+    * fingerprint. A duplicate arriving while its key's state is alive
+    * is dropped; once the watermark passes first_seen + horizon the
+    * state is evicted and the SAME content is admitted again — that
+    * re-admission is the price of bounded state, and
+    * WatermarkDedupSpec proves both halves across checkpointed
+    * restarts. State is one row per distinct fingerprint seen within
+    * the horizon, independent of stream length.
+    */
+  def streamingDedupWithinWatermark(spark: SparkSession, srcDir: String,
+                                    outDir: String, checkpointDir: String,
+                                    horizon: String = "1 hour"): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream.schema(rawEventsSchema)
+      .option("pathGlobFilter", "*.parquet").parquet(srcDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .selectExpr("event_id", "ts",
+        "md5(concat_ws('|', user_id, event_type, value)) as fp")
+      .withWatermark("ts", horizon)
+    val q = src.dropDuplicatesWithinWatermark("fp")
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  /** Schema of [[streamingDedupWithinWatermark]]'s sink. */
+  val dedupSinkSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("fp", StringType)))
+
   /** Q25: the same computation executed by the Structured Streaming
     * engine — file stream in, windowed state, memory sink, AvailableNow
     * trigger so a static fixture drains deterministically. Complete

@@ -70,6 +70,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan) // tiny probe side only
   }
 
+  test("q52: hash sampling is a pure per-row filter — no exchange, no agg") {
+    val plan = planOf(graft.ops.SampleOps.stratifiedSample(
+      Tables.parquet(spark, sf, "documents"), "doc_id", "lang",
+      Map("en" -> 0.5), defaultRate = 0.9))
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Aggregate"), plan)
+    assert(plan.contains("Filter"), plan)
+  }
+
+  test("q28: probe-side query filter reaches the scan under the plane projection") {
+    // probes are a FILTER over the same code projection as the corpus
+    // side; the vec_id predicate must be pushed below the projection to
+    // the parquet scan, so the probe branch decodes nQueries rows — not
+    // the corpus — through the plane expression
+    val plan = planOf(SimilarityOps.lshKnn(Tables.parquet(spark, sf, "embeddings")))
+    assert(plan.contains("LessThan(vec_id,5)"), plan.take(3000))
+  }
+
   test("q15: jaccard plan carries no broadcast hint on per-document data") {
     val df = graft.ops.DedupOps.jaccardPairs(Tables.parquet(spark, sf, "documents"))
     // the scale guarantee is that WE never force a broadcast of an
