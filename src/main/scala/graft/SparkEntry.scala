@@ -235,6 +235,8 @@ object SparkEntry {
       TextOps.tfIdf(t(s, dir, "documents"))),
     "q54_stream_join" -> ((s, dir) =>
       EventsStreaming.viewClickJoinStreaming(s, dir)),
+    "q55_frame_sample" -> ((s, dir) =>
+      MultimodalOps.frameSampleRoundTrip(t(s, dir, "documents"))),
   )
 
   private val q10Sql =
@@ -708,6 +710,21 @@ object SparkEntry {
          |SELECT doc_id, token, tf, df,
          |       round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
          |FROM tf JOIN dfx USING (token) CROSS JOIN n""".stripMargin,
+    // Frame-sampling round trip: real multi-frame GIFs re-opened and
+    // sampled; the oracle re-derives frame counts, sampled indices
+    // (k·n/s spacing), and per-frame dims from the formulas alone.
+    "q55_frame_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(2 + doc_id % 5 AS INT) n,
+        |         CAST(1 + doc_id % 64 AS INT) w,
+        |         CAST(1 + (doc_id * 7) % 48 AS INT) h
+        |  FROM documents),
+        |s AS (SELECT doc_id, n, w, h, LEAST(4, n) s FROM d),
+        |k AS (SELECT doc_id, n, w, h, s, unnest(range(0, s)) k FROM s)
+        |SELECT doc_id, CAST(k AS INT) AS sample_idx,
+        |       CAST((k * n) // s AS INT) AS frame_idx,
+        |       w AS width, h AS height, n AS n_frames
+        |FROM k""".stripMargin,
     // The engine side is a STREAM-STREAM watermarked join; a drained
     // bounded fixture must produce exactly the batch join's rows.
     "q54_stream_join" ->

@@ -303,6 +303,99 @@ object MultimodalOps {
     }.toDF("doc_id", "out_width", "out_height", "format")
   }
 
+  /** Deterministic multi-frame GIF fixture: one real animated-GIF
+    * payload per document — frame count 2 + doc_id % 5, every frame at
+    * the q43 dimensions — written through the actual
+    * `ImageWriter.writeToSequence` path. The container half of a real
+    * video-style frame-sampling round trip.
+    */
+  def syntheticGifTable(documents: DataFrame): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      it.map { id =>
+        val w = 1 + (id % 64).toInt
+        val h = 1 + ((id * 7) % 48).toInt
+        val n = 2 + (id % 5).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < n) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, ((x * 31 + y * 17 + id + f * 7919) % 0xFFFFFF).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        ios.flush(); ios.close()
+        MediaRecord(id, bos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL frame sampling over a multi-frame container: open the
+    * payload with the actual imageio reader, count the frames, decode
+    * `min(maxFrames, n)` evenly-spaced ones (frame k·n/s for sample
+    * k — the oracle-predictable spacing rule), and emit each sampled
+    * frame's recovered dimensions. Unreadable payloads emit nothing
+    * (corrupt media is data, not an outage). This is the shape a video
+    * pipeline needs: bytes stay in their partition, the reader is
+    * opened once per payload, and only the narrow per-frame metadata
+    * rows leave the stage.
+    */
+  def frameSampleImages(media: Dataset[MediaRecord], maxFrames: Int = 4,
+                        batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(batchSize).flatMap(_.flatMap { r =>
+        val in = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.media))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(in)
+          if (readers == null || !readers.hasNext) Seq.empty
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(in)
+              val n = reader.getNumImages(true)
+              val s = math.min(maxFrames, n)
+              (0 until s).map { k =>
+                val fi = k * n / s
+                val img = reader.read(fi)
+                (r.doc_id, k, fi, img.getWidth, img.getHeight, n)
+              }
+            } catch {
+              case scala.util.control.NonFatal(_) => Seq.empty
+            } finally reader.dispose()
+          }
+        } finally if (in != null) in.close()
+      })
+    }.toDF("doc_id", "sample_idx", "frame_idx", "width", "height", "n_frames")
+  }
+
+  /** Q55: frame-sampling round trip — real multi-frame GIFs written,
+    * re-opened, frame-counted, and sampled with real per-frame
+    * decodes; the oracle re-derives every row from the frame-count and
+    * dimension formulas plus the k·n/s spacing rule.
+    */
+  def frameSampleRoundTrip(documents: DataFrame, maxFrames: Int = 4): DataFrame =
+    frameSampleImages(syntheticGifTable(documents), maxFrames)
+
   /** Frame sampling (STUB for video): split the payload into `frames`
     * equal byte ranges — the partitioning/batching shape of real frame
     * extraction, with each "frame" an opaque binary.

@@ -99,6 +99,25 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(out(2L) === ((100, 50))) // already within bounds
   }
 
+  test("frameSampleImages decodes real frames from a multi-frame GIF") {
+    // doc 3 → 5 frames (2 + 3%5), dims 4x22; doc 10 → 2 frames, 11x23
+    val docs = Seq(3L, 10L).toDF("doc_id")
+    val out = MultimodalOps.frameSampleRoundTrip(docs, maxFrames = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))))
+      .toMap
+    // 5 frames sampled down to 4: indices k*5/4 = 0,1,2,3
+    assert(out((3L, 0)) === ((0, 4, 22, 5)))
+    assert(out((3L, 3)) === ((3, 4, 22, 5)))
+    // 2 frames → both kept at their own indices
+    assert(out((10L, 0)) === ((0, 11, 23, 2)))
+    assert(out((10L, 1)) === ((1, 11, 23, 2)))
+    assert(out.size === 6)
+    // corrupt payloads produce no rows, not a failure
+    val bad = MultimodalOps.frameSampleImages(
+      Seq(MediaRecord(9L, "junk".getBytes)).toDS()).collect()
+    assert(bad.isEmpty)
+  }
+
   test("frameSample splits payloads into opaque binary frames") {
     val media = Seq(MediaRecord(1L, Array.tabulate(16)(_.toByte)),
       MediaRecord(2L, Array.tabulate(10)(_.toByte))).toDS()
