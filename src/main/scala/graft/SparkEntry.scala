@@ -237,6 +237,8 @@ object SparkEntry {
       EventsStreaming.viewClickJoinStreaming(s, dir)),
     "q55_frame_sample" -> ((s, dir) =>
       MultimodalOps.frameSampleRoundTrip(t(s, dir, "documents"))),
+    "q56_ngrams" -> ((s, dir) =>
+      TextOps.nGramCounts(t(s, dir, "documents"))),
   )
 
   private val q10Sql =
@@ -700,6 +702,12 @@ object SparkEntry {
         |        / 4294967296.0
         |      < CASE WHEN lang = 'en' THEN 0.5
         |             WHEN lang = 'de' THEN 0.25 ELSE 0.9 END""".stripMargin,
+    "q56_ngrams" ->
+      s"""WITH toks AS (SELECT lang, $duckToks w FROM documents),
+         |g AS (SELECT lang, unnest(list_transform(range(1, len(w)),
+         |                    i -> array_to_string(w[i:i+1], ' '))) gram
+         |      FROM toks)
+         |SELECT lang, gram, count(*) AS cnt FROM g GROUP BY 1, 2""".stripMargin,
     "q53_tfidf" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest($duckToks) token FROM documents),

@@ -140,6 +140,23 @@ object TextOps {
         md5(concat_ws(" ", array_sort(array_distinct(col("w"))))).as("fp"),
         size(array_distinct(col("w"))).as("n_distinct_tokens"))
 
+  /** Q56: word n-gram counts per lang — the n-gram language-model /
+    * benchmark-contamination primitive. Same shape as Q11 with a
+    * windowed gram expand (one expression, no UDF); map-side partial
+    * aggregation bounds shuffle volume at (distinct grams ×
+    * partitions), not corpus size.
+    */
+  def nGramCounts(documents: DataFrame, n: Int = 2): DataFrame =
+    documents
+      .withColumn("w", expr(tokensExpr))
+      .select(col("lang"), explode(expr(
+        s"""case when size(w) >= $n
+           |  then transform(sequence(0, size(w) - $n),
+           |                 i -> concat_ws(' ', slice(w, i + 1, $n)))
+           |  else array() end""".stripMargin)).as("gram"))
+      .groupBy("lang", "gram")
+      .agg(count(lit(1)).as("cnt"))
+
   /** Q53: per-(document, token) TF-IDF — the classic relevance /
     * keyword-extraction weight (Sparck Jones 1972): tf · ln(N/df).
     *

@@ -307,6 +307,31 @@ object EventsStreaming {
     out
   }
 
+  /** Streaming export into an RDBMS — the reference's JDBC sink (R4,
+    * MapReduceWSI.java:165-167) driven from a LIVE stream: foreachBatch
+    * appends each micro-batch through the same bulk
+    * [[graft.io.Jdbc.writeAppend]] path. The checkpoint records which
+    * batch ids committed, so a restart re-runs only unfinished batches
+    * — at-least-once into the external table (make the target
+    * idempotent/upsert-keyed for exactly-once; JdbcSpec drives a
+    * restart and asserts no duplicate rows on the happy path).
+    */
+  def streamToJdbc(spark: SparkSession, srcDir: String, checkpointDir: String,
+                   url: String, user: String, password: String,
+                   table: String): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream.schema(rawEventsSchema)
+      .option("pathGlobFilter", "*.parquet").parquet(srcDir)
+      .selectExpr("event_id", "user_id", "event_type", "value")
+    val q = src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.io.Jdbc.writeAppend(batch.toDF(), url, user, password, table)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** Streaming member of the dedup family: exact dedup on a document
     * STREAM via dropDuplicates on the content digest — Spark keeps one
     * fixed-size state row per distinct digest, so a continuously

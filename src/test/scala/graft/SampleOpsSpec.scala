@@ -37,6 +37,16 @@ class SampleOpsSpec extends SparkSpec {
     assert((dev & tst).size < dev.size / 2)
   }
 
+  test("sampling two tables by the same key yields aligned rows (no join)") {
+    val embeddings = (1L to 2000L).map(i => (i, Seq.fill(4)(i * 0.1f)))
+      .toDF("doc_id", "embedding")
+    val docIds = SampleOps.sampleByHash(docs, "doc_id", 0.35)
+      .select("doc_id").as[Long].collect().toSet
+    val embIds = SampleOps.sampleByHash(embeddings, "doc_id", 0.35)
+      .select("doc_id").as[Long].collect().toSet
+    assert(docIds === embIds) // a corpus and its embeddings stay aligned
+  }
+
   test("stratifiedSample applies per-stratum rates") {
     val out = SampleOps.stratifiedSample(docs, "doc_id", "lang",
       Map("en" -> 0.1, "de" -> 0.9), defaultRate = 0.5)
