@@ -281,9 +281,18 @@ object EventsStreaming {
     */
   def viewClickJoinStreaming(spark: SparkSession, dir: String,
                              windowMinutes: Int = 30,
-                             queryName: String = "graft_stream_join"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.readStream.schema(rawEventsSchema)
+                             queryName: String = "graft_stream_join",
+                             statePartitions: Int = 8): DataFrame = {
+    // a stream-stream join maintains FOUR state stores per shuffle
+    // partition and commits each of them every micro-batch — that
+    // fixed cost, not the data, dominates at moderate rates. Size the
+    // stateful shuffle for the stream's key cardinality instead of the
+    // batch session's default; newSession() scopes the setting to this
+    // query (shared SparkContext, isolated SQL conf)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = ss.readStream.schema(rawEventsSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val views = src.filter(col("event_type") === "view")
@@ -302,7 +311,8 @@ object EventsStreaming {
     val q = joined.writeStream.format("memory").queryName(queryName)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination() finally q.stop()
-    val out = spark.table(queryName)
+    // the memory sink registers in the isolated session's catalog
+    val out = ss.table(queryName)
     out.cache(); out.count()
     out
   }
@@ -403,9 +413,15 @@ object EventsStreaming {
     * mode end-to-end, including late-data drop.
     */
   def hourlyByTypeStreaming(spark: SparkSession, dir: String,
-                            queryName: String = "graft_stream_hourly"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.readStream
+                            queryName: String = "graft_stream_hourly",
+                            statePartitions: Int = 8): DataFrame = {
+    // stateful shuffle sized for the group cardinality (windows ×
+    // types), not the batch default — per-partition state commits are
+    // the fixed cost of a micro-batch (see viewClickJoinStreaming)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = ss.readStream
       .schema(rawEventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -419,7 +435,7 @@ object EventsStreaming {
       .start()
     try q.awaitTermination() finally q.stop()
     // copy out of the memory sink so the result outlives the query
-    val out = spark.table(queryName)
+    val out = ss.table(queryName)
     out.cache(); out.count()
     out
   }
