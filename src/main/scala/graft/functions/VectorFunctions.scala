@@ -59,6 +59,60 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen rolling hash over a string's code points:
+  * `acc = (acc * 31 + codePoint) % 2147483647`, the q38 document
+  * fingerprint. Replaces the composable
+  * `aggregate(split(text, ''), ...)` form, whose higher-order lambda
+  * evaluates INTERPRETED per character with a per-element array slot —
+  * this expression is a tight primitive loop inside whole-stage
+  * codegen. Semantics match the lambda form exactly (split('') keeps
+  * surrogate pairs together, ascii() yields the code point — so:
+  * iterate CODE POINTS), which RollingHashSpec proves by equivalence.
+  */
+case class RollingHash(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "rolling_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingHash.hash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      val acc = ctx.freshName("acc")
+      s"""
+         |java.lang.String $s = $c.toString();
+         |long $acc = 0L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  $acc = ($acc * 31L + $cp) % 2147483647L;
+         |  $i += java.lang.Character.charCount($cp);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  def hash(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31L + cp) % 2147483647L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
 /** Registration of graft's native functions — both as a runtime helper
   * and as a [[SparkSessionExtensions]] hook
   * (`spark.sql.extensions=graft.functions.GraftSparkExtensions`).
@@ -67,7 +121,10 @@ object GraftFunctions {
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (args: Seq[Expression]) => VecDot(args(0), args(1))))
+      (args: Seq[Expression]) => VecDot(args(0), args(1))),
+    (FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (args: Seq[Expression]) => RollingHash(args(0))))
 
   /** Idempotent in-session registration. */
   def register(spark: SparkSession): Unit = all.foreach { case (id, info, builder) =>

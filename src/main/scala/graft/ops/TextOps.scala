@@ -104,13 +104,17 @@ object TextOps {
     * Rabin-Karp-style content hash; complements the order-insensitive
     * bag fingerprint below. Pure codegen fold, no UDF.
     */
-  def rollingFingerprint(documents: DataFrame): DataFrame =
+  def rollingFingerprint(documents: DataFrame): DataFrame = {
+    // native codegen expression — the composable
+    // `aggregate(split(text,''), ...)` HOF evaluates an interpreted
+    // lambda per character; rolling_hash is a primitive loop (proven
+    // equivalent in RollingHashSpec)
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     documents.select(
       col("doc_id"),
-      expr("""aggregate(split(text, ''), cast(0 as bigint),
-            |  (acc, c) -> (acc * 31 + ascii(c)) % 2147483647)""".stripMargin)
-        .as("rh"),
+      expr("rolling_hash(text)").as("rh"),
       length(col("text")).as("n_chars"))
+  }
 
   /** Q42: edit distance between each document and its successor within
     * the same source (windowed lead + levenshtein, capped at 200 chars
