@@ -239,6 +239,8 @@ object SparkEntry {
       MultimodalOps.frameSampleRoundTrip(t(s, dir, "documents"))),
     "q56_ngrams" -> ((s, dir) =>
       TextOps.nGramCounts(t(s, dir, "documents"))),
+    "q57_training_corpus" -> ((s, dir) =>
+      ClusterOps.trainingCorpus(t(s, dir, "documents"))),
   )
 
   private val q10Sql =
@@ -331,6 +333,25 @@ object SparkEntry {
       |fvrows AS (
       |  SELECT a.doc_id, a.bin, CAST(coalesce(h.n, 0) AS BIGINT) cnt
       |  FROM allbins a LEFT JOIN hist h ON a.doc_id = h.doc_id AND a.bin = h.bin)""".stripMargin
+
+  /** Q19's quality pipeline, shared with the q57 corpus composition. */
+  private val qualitySql =
+    s"""WITH base AS (
+       |  SELECT doc_id, text, $duckToks w,
+       |         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) punct_cnt,
+       |         len(list_filter($duckToks,
+       |             x -> x in ('the','a','and','of','to','in','is'))) stop_cnt
+       |  FROM documents)
+       |SELECT doc_id,
+       |       CAST(length(text) AS INT) AS n_chars,
+       |       CAST(len(w) AS INT) AS n_tokens,
+       |       CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / nullif(CAST(len(w) AS INT), 0) AS avg_token_len,
+       |       CAST(punct_cnt AS DOUBLE) / nullif(CAST(length(text) AS INT), 0) AS punct_ratio,
+       |       CAST(stop_cnt AS DOUBLE) / nullif(CAST(len(w) AS INT), 0) AS stopword_ratio,
+       |       round(0.5 * least(CAST(len(w) AS INT), 100) / 100.0
+       |         + 0.25 * (1.0 - CAST(punct_cnt AS DOUBLE) / nullif(CAST(length(text) AS INT), 0))
+       |         + 0.25 * least(4.0 * CAST(stop_cnt AS DOUBLE) / nullif(CAST(len(w) AS INT), 0), 1.0), 6) AS quality
+       |FROM base""".stripMargin
 
   /** The cosine formula of SimilarityOps.cosine, DuckDB-side. */
   private def duckCosine(a: String, b: String): String =
@@ -468,23 +489,7 @@ object SparkEntry {
          |       coalesce(b.score, 0) AS score
          |FROM documents d
          |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id""".stripMargin,
-    "q19_quality" ->
-      s"""WITH base AS (
-         |  SELECT doc_id, text, $duckToks w,
-         |         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) punct_cnt,
-         |         len(list_filter($duckToks,
-         |             x -> x in ('the','a','and','of','to','in','is'))) stop_cnt
-         |  FROM documents)
-         |SELECT doc_id,
-         |       CAST(length(text) AS INT) AS n_chars,
-         |       CAST(len(w) AS INT) AS n_tokens,
-         |       CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / nullif(CAST(len(w) AS INT), 0) AS avg_token_len,
-         |       CAST(punct_cnt AS DOUBLE) / nullif(CAST(length(text) AS INT), 0) AS punct_ratio,
-         |       CAST(stop_cnt AS DOUBLE) / nullif(CAST(len(w) AS INT), 0) AS stopword_ratio,
-         |       round(0.5 * least(CAST(len(w) AS INT), 100) / 100.0
-         |         + 0.25 * (1.0 - CAST(punct_cnt AS DOUBLE) / nullif(CAST(length(text) AS INT), 0))
-         |         + 0.25 * least(4.0 * CAST(stop_cnt AS DOUBLE) / nullif(CAST(len(w) AS INT), 0), 1.0), 6) AS quality
-         |FROM base""".stripMargin,
+    "q19_quality" -> qualitySql,
     "q20_tokens" ->
       s"""SELECT doc_id,
          |       CAST(len($duckToks) AS INT) AS n_ws_tokens,
@@ -755,5 +760,22 @@ object SparkEntry {
          |JOIN sizes s ON s.canonical_id = l.canonical_id
          |JOIN documents d ON d.doc_id = l.doc_id
          |WHERE l.doc_id = l.canonical_id""".stripMargin,
+    // The end-to-end corpus composition: dedup keep-set ⋈ quality gate
+    // ⋈ language allowlist, then the deterministic "train"-salted hash
+    // sample — each stage is its own oracled query; this checks the
+    // COMPOSED result.
+    "q57_training_corpus" ->
+      s"""WITH labels AS ($dedupClustersSql),
+         |kept AS (
+         |  SELECT l.doc_id, d.lang, d.source FROM labels l
+         |  JOIN documents d ON d.doc_id = l.doc_id
+         |  WHERE l.doc_id = l.canonical_id),
+         |q AS ($qualitySql)
+         |SELECT k.doc_id, k.lang, k.source, q.n_tokens, q.quality
+         |FROM kept k JOIN q ON q.doc_id = k.doc_id
+         |WHERE q.quality >= 0.5
+         |  AND k.lang IN ('en', 'de', 'fr', 'es')
+         |  AND ('0x' || substr(md5(k.doc_id::VARCHAR || ':train'), 1, 8))::BIGINT
+         |        / 4294967296.0 < 0.8""".stripMargin,
   )
 }

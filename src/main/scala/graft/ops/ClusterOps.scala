@@ -186,4 +186,28 @@ object ClusterOps {
       .select(col("doc_id"), col("lang"), col("source"),
         (col("cluster_size") - 1).as("n_dropped"))
   }
+
+  /** Q57 — the FLAGSHIP COMPOSITION: materialize a training corpus the
+    * way a real pipeline does, by composing the suite's own stages:
+    * near-dup dedup (keep canonicals), quality gate, language
+    * allowlist, then a deterministic hash sample (salt "train" — the
+    * held-out salts stay uncorrelated). Everything is one declarative
+    * plan: Catalyst fuses the quality expressions into the scan side
+    * of the join, the dedup side reuses the q41/q47 machinery
+    * unchanged, and the sample is a pure per-row filter on top. The
+    * oracle composes the same stages' SQL, so the END-TO-END corpus —
+    * not just each stage — is hash-checked.
+    */
+  def trainingCorpus(documents: DataFrame,
+                     minQuality: Double = 0.5,
+                     langs: Seq[String] = Seq("en", "de", "fr", "es"),
+                     sampleRate: Double = 0.8): DataFrame = {
+    val kept = dedupedCorpus(documents)
+    val quality = graft.ops.TextOps.qualityScore(documents)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val filtered = kept.join(quality, "doc_id")
+      .filter(col("quality") >= minQuality && col("lang").isin(langs: _*))
+    graft.ops.SampleOps.sampleByHash(filtered, "doc_id", sampleRate, salt = "train")
+      .select("doc_id", "lang", "source", "n_tokens", "quality")
+  }
 }

@@ -78,4 +78,21 @@ class ClusterOpsSpec extends SparkSpec {
     assert(m.forall { case (id, c) => c <= id }) // canonical is component min
     assert(m.exists { case (id, c) => c < id })  // fixture has real dup groups
   }
+
+  test("trainingCorpus composes dedup, quality, lang, and sample stages") {
+    val d = graft.io.Tables.parquet(spark, sf, "documents")
+    val corpus = ClusterOps.trainingCorpus(d).collect()
+    assert(corpus.nonEmpty)
+    val kept = ClusterOps.dedupedCorpus(d)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    corpus.foreach { r =>
+      assert(kept.contains(r.getAs[Long]("doc_id")))  // only canonicals
+      assert(r.getAs[Double]("quality") >= 0.5)
+      assert(Set("en", "de", "fr", "es").contains(r.getAs[String]("lang")))
+    }
+    // the sample is a strict, deterministic subset of the filtered set
+    val full = ClusterOps.trainingCorpus(d, sampleRate = 1.0).count()
+    assert(corpus.length < full)
+    assert(ClusterOps.trainingCorpus(d).count() === corpus.length)
+  }
 }
