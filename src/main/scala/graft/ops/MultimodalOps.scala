@@ -363,7 +363,8 @@ object MultimodalOps {
     * rows leave the stage.
     */
   def frameSampleImages(media: Dataset[MediaRecord], maxFrames: Int = 4,
-                        batchSize: Int = 64): DataFrame = {
+                        batchSize: Int = 64,
+                        maxPixels: Long = DefaultMaxPixels): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
@@ -380,10 +381,16 @@ object MultimodalOps {
               reader.setInput(in)
               val n = reader.getNumImages(true)
               val s = math.min(maxFrames, n)
-              (0 until s).map { k =>
+              (0 until s).flatMap { k =>
                 val fi = k * n / s
-                val img = reader.read(fi)
-                (r.doc_id, k, fi, img.getWidth, img.getHeight, n)
+                // same bomb guard as readImage: header dims BEFORE the
+                // per-frame raster allocation
+                val (w, h) = (reader.getWidth(fi), reader.getHeight(fi))
+                if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) Seq.empty
+                else {
+                  val img = reader.read(fi)
+                  Seq((r.doc_id, k, fi, img.getWidth, img.getHeight, n))
+                }
               }
             } catch {
               case scala.util.control.NonFatal(_) => Seq.empty

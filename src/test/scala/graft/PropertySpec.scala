@@ -118,4 +118,35 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("rolling_hash ≡ the interpreted lambda fold for arbitrary strings") {
+    graft.functions.GraftFunctions.register(spark)
+    val gen = Gen.listOfN(30, Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(40)),
+      Gen.listOfN(10, Gen.chooseNum(32, 0x24F).map(_.toChar)).map(_.mkString),
+      Gen.const("")))
+    samples(gen, 3).foreach { strs =>
+      val df = strs.toDF("s").selectExpr(
+        "rolling_hash(s) as native",
+        """aggregate(split(s, ''), cast(0 as bigint),
+          |  (acc, c) -> (acc * 31 + ascii(c)) % 2147483647) as hof""".stripMargin)
+      df.collect().foreach(r => assert(r.getLong(0) === r.getLong(1), r))
+    }
+  }
+
+  test("hash sampling: rate monotonicity and determinism for arbitrary rates") {
+    val ids = (1L to 500L).toDF("doc_id")
+    samples(Gen.zip(Gen.chooseNum(0.0, 1.0), Gen.chooseNum(0.0, 1.0)), 4)
+      .foreach { case (a, b) =>
+        val (lo, hi) = (math.min(a, b), math.max(a, b))
+        val sLo = graft.ops.SampleOps.sampleByHash(ids, "doc_id", lo)
+          .select("doc_id").as[Long].collect().toSet
+        val sHi = graft.ops.SampleOps.sampleByHash(ids, "doc_id", hi)
+          .select("doc_id").as[Long].collect().toSet
+        assert(sLo.subsetOf(sHi))      // lower rate nests in higher
+        val again = graft.ops.SampleOps.sampleByHash(ids, "doc_id", lo)
+          .select("doc_id").as[Long].collect().toSet
+        assert(again === sLo)          // deterministic
+      }
+  }
 }
