@@ -244,6 +244,16 @@ object SparkEntry {
       TextOps.nGramCounts(t(s, dir, "documents"))),
     "q57_training_corpus" -> ((s, dir) =>
       ClusterOps.trainingCorpus(t(s, dir, "documents"))),
+    // incremental-ingest forms: the fixture is split deterministically
+    // into an "existing corpus" (even doc_id) and a "new batch" (odd)
+    "q59_incr_dedup" -> ((s, dir) =>
+      DedupOps.incrementalExactDedup(
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 1),
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 0))),
+    "q60_incr_neardup" -> ((s, dir) =>
+      DedupOps.incrementalNearDupCandidates(
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 1),
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 0))),
     // the stateful-streaming sessionizer held to the BATCH oracle:
     // session_id re-derived by start order, cents scaled back — the
     // engine must produce the identical session set q32 does
@@ -283,8 +293,11 @@ object SparkEntry {
        |                     ELSE 0 END) AS BIGINT) AS simhash
        |FROM votes GROUP BY doc_id""".stripMargin
 
-  private val minhashLshSql =
-    s"""WITH toks AS (SELECT doc_id, $duckToks w FROM documents),
+  /** MinHash band CTEs (ending in `bands(doc_id, b, bh)`), shared by
+    * the full pair generator (q13) and the incremental form (q60).
+    */
+  private val minhashBandsCtes =
+    s"""toks AS (SELECT doc_id, $duckToks w FROM documents),
        |sh AS (SELECT doc_id, unnest($duckShingles) g FROM toks),
        |mh AS (
        |  SELECT doc_id, s, min(md5(s::VARCHAR || ':' || g)) h
@@ -292,7 +305,10 @@ object SparkEntry {
        |  GROUP BY doc_id, s),
        |bands AS (
        |  SELECT doc_id, s // 2 AS b, md5(string_agg(h, '|' ORDER BY s)) bh
-       |  FROM mh GROUP BY doc_id, s // 2)
+       |  FROM mh GROUP BY doc_id, s // 2)""".stripMargin
+
+  private val minhashLshSql =
+    s"""WITH $minhashBandsCtes
        |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
        |FROM bands l JOIN bands r
        |  ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id""".stripMargin
@@ -633,6 +649,19 @@ object SparkEntry {
     // the STREAMING sessionizer must reproduce the batch sessions
     // exactly — same oracle as q32
     "q58_sessionize_stream" -> sessionizeSql,
+    "q59_incr_dedup" ->
+      """WITH nb AS (SELECT doc_id, md5(lower(trim(text))) fp
+        |            FROM documents WHERE doc_id % 2 = 1),
+        |ex AS (SELECT DISTINCT md5(lower(trim(text))) fp
+        |       FROM documents WHERE doc_id % 2 = 0)
+        |SELECT min(doc_id) AS doc_id, fp, count(*) AS n_copies
+        |FROM nb ANTI JOIN ex USING (fp)
+        |GROUP BY fp""".stripMargin,
+    "q60_incr_neardup" ->
+      s"""WITH $minhashBandsCtes
+         |SELECT DISTINCT n.doc_id AS doc_new, e.doc_id AS doc_existing
+         |FROM bands n JOIN bands e ON n.b = e.b AND n.bh = e.bh
+         |WHERE n.doc_id % 2 = 1 AND e.doc_id % 2 = 0""".stripMargin,
     "q27_simhash_pairs" -> simhashPairsSql,
     // Approximate-operator gates: the engine emits VIOLATIONS (estimate
     // outside its error bound / recall@k below threshold, computed

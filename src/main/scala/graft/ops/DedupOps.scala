@@ -78,22 +78,67 @@ object DedupOps {
     * come from an equi-join on (band, bandHash) — only near-collisions
     * ever meet.
     */
-  def minhashLshPairs(documents: DataFrame, numHashes: Int = 12,
-                      bandSize: Int = 2, shingleSize: Int = 3): DataFrame = {
+  /** (doc_id, b, bh): each document's LSH band hashes — the bucketing
+    * key of the candidate join, shared by the full-corpus pair
+    * generator and the incremental (new-vs-existing) variant.
+    */
+  def minhashBands(documents: DataFrame, numHashes: Int = 12,
+                   bandSize: Int = 2, shingleSize: Int = 3): DataFrame = {
     val sig = minhashSignature(documents, numHashes, shingleSize)
     val nBands = numHashes / bandSize
     val bandCols = (0 until nBands).map { b =>
       val slots = (b * bandSize until (b + 1) * bandSize).map(s => s"h$s")
       s"struct(${b}L as b, md5(concat_ws('|', ${slots.mkString(", ")})) as bh)"
     }
-    val bands = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       explode(expr(s"array(${bandCols.mkString(", ")})")).as("band"))
       .select(col("doc_id"), col("band.b").as("b"), col("band.bh").as("bh"))
+  }
+
+  def minhashLshPairs(documents: DataFrame, numHashes: Int = 12,
+                      bandSize: Int = 2, shingleSize: Int = 3): DataFrame = {
+    val bands = minhashBands(documents, numHashes, bandSize, shingleSize)
     val l = bands.select(col("doc_id").as("doc_a"), col("b"), col("bh"))
     val r = bands.select(col("doc_id").as("doc_b"), col("b"), col("bh"))
     l.join(r, Seq("b", "bh"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Q59: INCREMENTAL exact dedup — the daily-ingest primitive: admit
+    * from `newDocs` only content whose fingerprint is absent from the
+    * EXISTING corpus, then dedup within the batch (min doc_id wins).
+    * History participates only as a narrow fingerprint set on the
+    * anti-join build side — nothing about the existing corpus is
+    * re-read wide or re-clustered, which is what makes daily ingest
+    * at corpus scale O(batch), not O(corpus).
+    */
+  def incrementalExactDedup(newDocs: DataFrame, existing: DataFrame): DataFrame = {
+    val existingFp = existing.select(expr(contentFingerprintSql).as("fp")).distinct()
+    newDocs.select(col("doc_id"), expr(contentFingerprintSql).as("fp"))
+      .join(existingFp, Seq("fp"), "left_anti")
+      .groupBy("fp")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "fp", "n_copies")
+  }
+
+  /** Q60: incremental near-dup candidates — new-batch documents that
+    * share an LSH band bucket with the existing corpus (cross pairs
+    * only; within-batch pairs go through the usual [[minhashLshPairs]]
+    * path). In production the existing side's band table is a
+    * maintained build artifact, so each ingest batch joins its own
+    * bands against it — the same bucketed equi-join shape as q13,
+    * never an all-pairs pass over history.
+    */
+  def incrementalNearDupCandidates(newDocs: DataFrame, existing: DataFrame,
+                                   numHashes: Int = 12, bandSize: Int = 2,
+                                   shingleSize: Int = 3): DataFrame = {
+    val nb = minhashBands(newDocs, numHashes, bandSize, shingleSize)
+      .select(col("doc_id").as("doc_new"), col("b"), col("bh"))
+    val eb = minhashBands(existing, numHashes, bandSize, shingleSize)
+      .select(col("doc_id").as("doc_existing"), col("b"), col("bh"))
+    nb.join(eb, Seq("b", "bh"))
+      .select("doc_new", "doc_existing").distinct()
   }
 
   /** SimHash geometry: 60-bit signature, 4 bands × 15 bits. 60 (not

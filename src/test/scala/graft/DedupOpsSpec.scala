@@ -62,4 +62,29 @@ class DedupOpsSpec extends SparkSpec {
     assert(s >= 0L && s <= (1L << DedupOps.simhashBits) - 1)
     assert(s !== 0L)
   }
+
+  test("incremental exact dedup admits only content unseen in the existing corpus") {
+    val existing = docs(1L -> "alpha text", 2L -> "beta text")
+    val batch = docs(
+      10L -> "  ALPHA text ", // normalized dup of existing → rejected
+      11L -> "gamma text",    // fresh
+      12L -> "gamma text",    // within-batch dup → folded
+      13L -> "delta text")
+    val out = DedupOps.incrementalExactDedup(batch, existing).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(out === Map(11L -> 2L, 13L -> 1L))
+  }
+
+  test("incremental near-dup candidates surface only cross (new, existing) pairs") {
+    val existing = docs(1L -> ("the quick brown fox jumps over the lazy dog " * 3),
+      2L -> "completely different content about databases and engines here")
+    val batch = docs(
+      10L -> ("the quick brown fox jumps over the lazy dog " * 3 + "extra"),
+      11L -> "unrelated new material with no shared shingles at all whatsoever")
+    val pairs = DedupOps.incrementalNearDupCandidates(batch, existing).collect()
+      .map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_existing"))).toSet
+    assert(pairs.contains((10L, 1L)))       // the near-dup is caught
+    assert(!pairs.exists(_._1 == 11L))      // the fresh doc matches nothing
+    assert(pairs.forall(p => p._1 >= 10L && p._2 < 10L)) // cross pairs only
+  }
 }
