@@ -13,13 +13,25 @@ import org.apache.spark.sql.SparkSession
   *     field, excluded from the total, and the process exits non-zero.
   */
 object Bench {
-  private def median3(a: Double, b: Double, c: Double): Double =
-    Seq(a, b, c).sorted.apply(1)
+  /** Lower median over however many runs completed. */
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
+
+  /** JSON string escaping incl. control characters — Spark exception
+    * messages routinely carry newlines/tabs and must not break the
+    * single machine-readable artifact line.
+    */
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => "\\u%04x".format(c.toInt)
+    case c => c.toString
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runs")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -46,7 +58,8 @@ object Bench {
 
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      // a broken query fails fast: remaining runs are skipped
+      val times = Iterator.range(0, runs).map { _ =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
@@ -59,24 +72,20 @@ object Bench {
           case e: Throwable =>
             Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
         }
-      }
+      }.span(_.isRight) match { case (ok, rest) => ok.toSeq ++ rest.take(1).toSeq }
       times.collectFirst { case Left(err) => err } match {
         case Some(err) =>
           errors ::= (name -> err)
           name -> None
         case None =>
-          val ok = times.collect { case Right(t) => t }
-          val m =
-            if (ok.size >= 3) median3(ok(0), ok(1), ok(2))
-            else ok.sorted.apply(ok.size / 2)
-          name -> Some(m)
+          name -> Some(median(times.collect { case Right(t) => t }))
       }
     }
     val qs = results.collect { case (k, Some(v)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val errJson = errors.reverse
-      .map { case (k, e) => "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+      .map { case (k, e) => "\"" + k + "\":\"" + jsonEscape(e) + "\"" }
       .mkString("{", ",", "}")
     val errField = if (errors.nonEmpty) s""","errors":$errJson""" else ""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs$errField}""")

@@ -90,13 +90,27 @@ object SparkEntry {
     * the parquet originals) passes only if the round trip is lossless
     * including whitespace/unicode in `text`.
     */
+  // one UNIQUE directory per (process, sf dir): concurrent JVMs never
+  // collide (createTempDirectory is unpredictable and atomically
+  // owned, unlike a fixed /tmp name a squatter could pre-create), and
+  // repeated invocations within one process overwrite a single
+  // directory instead of accumulating corpus copies; removed on exit
+  private val q48Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => try java.nio.file.Files.delete(f) catch { case _: Exception => () })
+    }
+  }
+
   private def jsonlRoundTrip(s: SparkSession, dir: String): DataFrame = {
-    // one deterministic directory per (user, sf dir), overwritten on
-    // each run — repeated bench/oracle invocations reuse it instead of
-    // accumulating a fresh JSONL corpus copy under /tmp per call
-    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-q48-${sys.props.getOrElse("user.name", "u")}-$key").toString
+    val tmp = q48Dirs.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-q48-")
+      sys.addShutdownHook(deleteRecursively(d))
+      d.toString
+    })
     Tables.writeJsonl(t(s, dir, "documents").select("doc_id", "text"), tmp)
     TextOps.tokenCounts(Tables.jsonl(s, tmp, "doc_id bigint, text string"))
   }

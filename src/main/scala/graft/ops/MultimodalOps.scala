@@ -55,38 +55,48 @@ object MultimodalOps {
     */
   val DefaultMaxPixels: Long = 1L << 26 // 64 Mpixel ≈ 256 MB ARGB raster
 
-  /** Full javax.imageio decode with the bomb guard: header dims are
-    * read FIRST ([[javax.imageio.ImageReader#getWidth]] parses only
-    * metadata) and oversized or unreadable payloads yield None.
+  /** The ONE reader scaffold every decode path shares: open `bytes`
+    * with the matching imageio reader, run `f`, always dispose/close.
+    * Unreadable payloads and decode-time RuntimeExceptions (imageio
+    * throws CMMException/IllegalArgument/index errors on malformed
+    * input) yield None — corrupt media is data, never a task failure.
+    * In-memory streams only: the default ImageIO file cache would
+    * spool every payload through an executor-disk temp file.
     */
-  def readImage(bytes: Array[Byte], maxPixels: Long = DefaultMaxPixels)
-      : Option[(java.awt.image.BufferedImage, String)] = {
-    // in-memory streams only — the default ImageIO file cache spools
-    // every payload through an executor-disk temp file
+  private def withImageReader[A](bytes: Array[Byte])(
+      f: javax.imageio.ImageReader => Option[A]): Option[A] = {
     javax.imageio.ImageIO.setUseCache(false)
     val in = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
-    try {
+    if (in == null) None
+    else try {
       val readers = javax.imageio.ImageIO.getImageReaders(in)
       if (readers == null || !readers.hasNext) None
       else {
         val reader = readers.next()
         try {
           reader.setInput(in)
-          // dimension sanity BEFORE reader.read allocates the raster
-          val w = reader.getWidth(0)
-          val h = reader.getHeight(0)
-          if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) None
-          else Some((reader.read(0), reader.getFormatName.toLowerCase))
+          f(reader)
         } catch {
-          // imageio throws RuntimeExceptions too on malformed input
-          // (CMMException, IllegalArgument, index errors…); a
-          // corrupt image is data, never a task failure
           case scala.util.control.NonFatal(_) => None
         } finally reader.dispose()
       }
-    } finally if (in != null) in.close()
+    } finally in.close()
   }
+
+  /** Full javax.imageio decode with the bomb guard: header dims are
+    * read FIRST ([[javax.imageio.ImageReader#getWidth]] parses only
+    * metadata) and oversized or unreadable payloads yield None.
+    */
+  def readImage(bytes: Array[Byte], maxPixels: Long = DefaultMaxPixels)
+      : Option[(java.awt.image.BufferedImage, String)] =
+    withImageReader(bytes) { reader =>
+      // dimension sanity BEFORE reader.read allocates the raster
+      val w = reader.getWidth(0)
+      val h = reader.getHeight(0)
+      if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) None
+      else Some((reader.read(0), reader.getFormatName.toLowerCase))
+    }
 
   /** REAL image decode via javax.imageio (pure JVM, no native codecs):
     * full pixel decode (`ImageReader.read`), actual width/height from
@@ -368,35 +378,22 @@ object MultimodalOps {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      javax.imageio.ImageIO.setUseCache(false)
       it.grouped(batchSize).flatMap(_.flatMap { r =>
-        val in = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(r.media))
-        try {
-          val readers = javax.imageio.ImageIO.getImageReaders(in)
-          if (readers == null || !readers.hasNext) Seq.empty
-          else {
-            val reader = readers.next()
-            try {
-              reader.setInput(in)
-              val n = reader.getNumImages(true)
-              val s = math.min(maxFrames, n)
-              (0 until s).flatMap { k =>
-                val fi = k * n / s
-                // same bomb guard as readImage: header dims BEFORE the
-                // per-frame raster allocation
-                val (w, h) = (reader.getWidth(fi), reader.getHeight(fi))
-                if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) Seq.empty
-                else {
-                  val img = reader.read(fi)
-                  Seq((r.doc_id, k, fi, img.getWidth, img.getHeight, n))
-                }
-              }
-            } catch {
-              case scala.util.control.NonFatal(_) => Seq.empty
-            } finally reader.dispose()
-          }
-        } finally if (in != null) in.close()
+        withImageReader(r.media) { reader =>
+          val n = reader.getNumImages(true)
+          val s = math.min(maxFrames, n)
+          Some((0 until s).flatMap { k =>
+            val fi = k * n / s
+            // same bomb guard as readImage: header dims BEFORE the
+            // per-frame raster allocation
+            val (w, h) = (reader.getWidth(fi), reader.getHeight(fi))
+            if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) Seq.empty
+            else {
+              val img = reader.read(fi)
+              Seq((r.doc_id, k, fi, img.getWidth, img.getHeight, n))
+            }
+          })
+        }.getOrElse(Seq.empty)
       })
     }.toDF("doc_id", "sample_idx", "frame_idx", "width", "height", "n_frames")
   }

@@ -189,11 +189,23 @@ object EventsStreaming {
         var open: Option[OpenSession] = state.getOption
         sorted.foreach { case (_, _, us, c) =>
           open match {
-            case Some(s) if us - s.lastUs <= gapUs =>
-              open = Some(OpenSession(s.startUs, us, s.n + 1, s.cents + c))
-            case Some(s) =>
+            // events are sorted only WITHIN a batch: a later batch can
+            // deliver an above-watermark event that precedes the open
+            // session, so membership is gap-distance to the session's
+            // [start, last] INTERVAL (a bare `us - last <= gap` is
+            // trivially true for any out-of-order delta and would fold
+            // arbitrarily old events in, yielding end < start)
+            case Some(s) if us >= s.startUs - gapUs && us <= s.lastUs + gapUs =>
+              open = Some(OpenSession(math.min(s.startUs, us),
+                math.max(s.lastUs, us), s.n + 1, s.cents + c))
+            case Some(s) if us > s.lastUs + gapUs =>
               closed += Session(userId, s.startUs, s.lastUs, s.n, s.cents)
               open = Some(OpenSession(us, us, 1, c))
+            case Some(_) =>
+              // more than gap BEFORE the open session: its own already-
+              // gap-separated session (the single-struct state keeps
+              // only the newest open session, so emit directly)
+              closed += Session(userId, us, us, 1, c)
             case None =>
               open = Some(OpenSession(us, us, 1, c))
           }

@@ -41,11 +41,13 @@ class SessionTimeoutSpec extends SparkSpec {
       spark, src, out, ckpt, gapMinutes = 30, watermarkDelay = "10 minutes")
     assert(sink().count() === 0L, "session must stay open at end-of-input")
 
-    // run 2 (same checkpoint): a DIFFERENT user's event two hours
-    // later advances the watermark past user 7's last_event + gap
-    // (10:40), so user 7's session must close via the timeout callback
-    // — user 7 contributes no events to this run.
-    events((3L, 8L, 120, 5.0))
+    // run 2 (same checkpoint): an OUT-OF-ORDER but above-watermark
+    // event for user 7 at minute 5 (run-1 watermark is minute 0) must
+    // merge INTO the open [0,10] session, not corrupt it; and a
+    // DIFFERENT user's event two hours later advances the watermark
+    // past user 7's last_event + gap (10:40), closing the session via
+    // the timeout callback.
+    events((3L, 8L, 120, 5.0), (4L, 7L, 5, 0.5))
       .coalesce(1).write.mode("append").parquet(src)
     EventsStreaming.sessionizeStreamingEventTime(
       spark, src, out, ckpt, gapMinutes = 30, watermarkDelay = "10 minutes")
@@ -55,8 +57,8 @@ class SessionTimeoutSpec extends SparkSpec {
     val s = closed.head
     assert(s.getAs[Long]("session_start_us") === baseUs)
     assert(s.getAs[Long]("session_end_us") === baseUs + 10L * 60L * 1000000L)
-    assert(s.getAs[Long]("n_events") === 2L)
-    assert(s.getAs[Long]("sum_value_cents") === 300L)
+    assert(s.getAs[Long]("n_events") === 3L) // the late event merged
+    assert(s.getAs[Long]("sum_value_cents") === 350L)
     // user 8's session stays open (nothing has passed ITS horizon)
     assert(sink().filter($"user_id" === 8L).count() === 0L)
   }
