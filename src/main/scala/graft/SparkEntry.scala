@@ -268,6 +268,11 @@ object SparkEntry {
       DedupOps.incrementalNearDupCandidates(
         t(s, dir, "documents").filter(col("doc_id") % 2 === 1),
         t(s, dir, "documents").filter(col("doc_id") % 2 === 0))),
+    // Bloom-accelerated path MUST equal the exact q59 result — same oracle
+    "q61_incr_dedup_bloom" -> ((s, dir) =>
+      DedupOps.incrementalExactDedupBloom(
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 1),
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 0))),
     // the stateful-streaming sessionizer held to the BATCH oracle:
     // session_id re-derived by start order, cents scaled back — the
     // engine must produce the identical session set q32 does
@@ -379,6 +384,18 @@ object SparkEntry {
       |fvrows AS (
       |  SELECT a.doc_id, a.bin, CAST(coalesce(h.n, 0) AS BIGINT) cnt
       |  FROM allbins a LEFT JOIN hist h ON a.doc_id = h.doc_id AND a.bin = h.bin)""".stripMargin
+
+  /** Q59's incremental dedup; also the oracle of the Bloom-accelerated
+    * variant (q61), which must produce the identical result.
+    */
+  private val incrDedupSql =
+    """WITH nb AS (SELECT doc_id, md5(lower(trim(text))) fp
+      |            FROM documents WHERE doc_id % 2 = 1),
+      |ex AS (SELECT DISTINCT md5(lower(trim(text))) fp
+      |       FROM documents WHERE doc_id % 2 = 0)
+      |SELECT min(doc_id) AS doc_id, fp, count(*) AS n_copies
+      |FROM nb ANTI JOIN ex USING (fp)
+      |GROUP BY fp""".stripMargin
 
   /** Q32's gaps-and-islands sessions; also the oracle of the STREAMING
     * sessionizer (q58), which must reproduce the batch result exactly.
@@ -663,14 +680,10 @@ object SparkEntry {
     // the STREAMING sessionizer must reproduce the batch sessions
     // exactly — same oracle as q32
     "q58_sessionize_stream" -> sessionizeSql,
-    "q59_incr_dedup" ->
-      """WITH nb AS (SELECT doc_id, md5(lower(trim(text))) fp
-        |            FROM documents WHERE doc_id % 2 = 1),
-        |ex AS (SELECT DISTINCT md5(lower(trim(text))) fp
-        |       FROM documents WHERE doc_id % 2 = 0)
-        |SELECT min(doc_id) AS doc_id, fp, count(*) AS n_copies
-        |FROM nb ANTI JOIN ex USING (fp)
-        |GROUP BY fp""".stripMargin,
+    "q59_incr_dedup" -> incrDedupSql,
+    // the Bloom-accelerated operator must be indistinguishable from
+    // the exact one — identical oracle
+    "q61_incr_dedup_bloom" -> incrDedupSql,
     "q60_incr_neardup" ->
       s"""WITH $minhashBandsCtes
          |SELECT DISTINCT n.doc_id AS doc_new, e.doc_id AS doc_existing

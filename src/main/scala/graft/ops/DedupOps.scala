@@ -122,6 +122,45 @@ object DedupOps {
       .select("doc_id", "fp", "n_copies")
   }
 
+  /** Q61: Bloom-accelerated incremental exact dedup — the 100 TB form
+    * of [[incrementalExactDedup]]. History's fingerprint set can be
+    * billions of rows; a Bloom filter over it is a BOUNDED build
+    * artifact (`expectedItems`/`fpp` sized, e.g. ~1.2 GB for 10^9 fps
+    * at 1% fpp) that each ingest batch broadcasts and probes
+    * per-row. The filter alone would be approximate (false positives
+    * drop fresh content), so rows the filter flags are re-checked with
+    * the EXACT anti-join — but that join's probe side has shrunk to
+    * the true-dup + fpp fraction of the batch, and definite-fresh rows
+    * (filter says no) never shuffle at all. Result is bit-identical to
+    * the exact operator: q61 runs against q59's own oracle.
+    *
+    * The probe is a broadcast-sketch UDF — the one deliberate UDF in
+    * the tree: Spark exposes no public expression form for probing a
+    * `util.sketch.BloomFilter`, and the UDF runs on the already-narrow
+    * fp column, never on document payloads.
+    */
+  def incrementalExactDedupBloom(newDocs: DataFrame, existing: DataFrame,
+                                 expectedItems: Long = 1000000L,
+                                 fpp: Double = 0.01): DataFrame = {
+    val fps = newDocs.select(col("doc_id"), expr(contentFingerprintSql).as("fp"))
+    val bloom = existing.select(expr(contentFingerprintSql).as("fp"))
+      .stat.bloomFilter("fp", expectedItems, fpp)
+    val bloomBc = newDocs.sparkSession.sparkContext.broadcast(bloom)
+    val mightExist = udf((fp: String) => bloomBc.value.mightContainString(fp))
+    val flagged = fps.withColumn("maybe_dup", mightExist(col("fp")))
+    // definite-fresh rows skip the anti-join; maybe-dups get the exact
+    // re-check so Bloom false positives cannot drop fresh content
+    val existingFp = existing.select(expr(contentFingerprintSql).as("fp")).distinct()
+    val confirmedFresh = flagged.filter(col("maybe_dup"))
+      .join(existingFp, Seq("fp"), "left_anti")
+      .select("doc_id", "fp")
+    flagged.filter(!col("maybe_dup")).select("doc_id", "fp")
+      .unionByName(confirmedFresh)
+      .groupBy("fp")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "fp", "n_copies")
+  }
+
   /** Q60: incremental near-dup candidates — new-batch documents that
     * share an LSH band bucket with the existing corpus (cross pairs
     * only; within-batch pairs go through the usual [[minhashLshPairs]]

@@ -75,6 +75,20 @@ class DedupOpsSpec extends SparkSpec {
     assert(out === Map(11L -> 2L, 13L -> 1L))
   }
 
+  test("bloom-accelerated incremental dedup equals the exact operator, even with heavy false positives") {
+    val existing = docs(1L -> "alpha text", 2L -> "beta text")
+    val batch = docs(10L -> "  ALPHA text ", 11L -> "gamma text",
+      12L -> "gamma text", 13L -> "delta text")
+    val exact = DedupOps.incrementalExactDedup(batch, existing)
+      .collect().map(_.toSeq).toSet
+    // a deliberately tiny, high-fpp filter: most fresh rows will be
+    // flagged maybe-dup, and the exact re-check must still save them
+    val bloom = DedupOps.incrementalExactDedupBloom(batch, existing,
+      expectedItems = 2, fpp = 0.5).collect().map(_.toSeq).toSet
+    assert(bloom === exact)
+    assert(exact.nonEmpty)
+  }
+
   test("incremental near-dup candidates surface only cross (new, existing) pairs") {
     val existing = docs(1L -> ("the quick brown fox jumps over the lazy dog " * 3),
       2L -> "completely different content about databases and engines here")
