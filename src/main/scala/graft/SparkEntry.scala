@@ -52,9 +52,12 @@ object SparkEntry {
       |         - (CAST(sum(value) AS BIGINT) % count(value)) * 100 AS mean
       |FROM u GROUP BY id""".stripMargin
 
-  /** DuckDB tokenizer identical to TextOps/DedupOps `tokensExpr`. */
+  /** DuckDB tokenizer identical to OpsUtil.tokensExpr — the whitespace
+    * class is explicit because Java's \s includes \x0B and RE2's does
+    * not; both sides spell out Java's exact set.
+    */
   private val duckToks =
-    """list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')"""
+    """list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'), x -> x <> '')"""
 
   /** DuckDB word-3-gram shingles (matches DedupOps.shingleExpr(3)). */
   private val duckShingles =

@@ -77,10 +77,16 @@ object Jdbc {
       // cap n at the range width so stride >= 1 (mirrors Spark's
       // JDBCRelation reducing numPartitions when the range is narrow)
       val n = math.min(numPartitions.toLong, math.max(1L, max - min)).toInt
-      val stride = (max - min) / n
+      // Spark's JDBCRelation stride is upper/n - lower/n — NOT
+      // (upper-lower)/n, which differs when min/max aren't multiples
+      // of n; mirror it exactly or this helper validates predicates
+      // the engine never generates
+      val stride = max / n - min / n
+      var current = min
       (0 until n).map { i =>
-        val lo = if (i == 0) None else Some(min + stride * i)
-        val hi = if (i == n - 1) None else Some(min + stride * (i + 1))
+        val lo = if (i == 0) None else Some(current)
+        current += stride
+        val hi = if (i == n - 1) None else Some(current)
         (lo, hi)
       }
     }

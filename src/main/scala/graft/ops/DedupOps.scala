@@ -31,11 +31,7 @@ object DedupOps {
   /** Word n-gram shingles; docs shorter than n shingle to nothing.
     * (Spark's `sequence` descends when start > stop, hence the guard.)
     */
-  private def shingleExpr(n: Int): String =
-    s"""case when size(w) >= $n
-       |  then transform(sequence(0, size(w) - $n),
-       |                 i -> concat_ws(' ', slice(w, i + 1, $n)))
-       |  else array() end""".stripMargin
+  private def shingleExpr(n: Int): String = OpsUtil.shingleExpr(n)
 
   /** THE content fingerprint of the dedup family — batch exactDedup,
     * streaming dedup, and the q12 oracle all normalize identically;
@@ -146,7 +142,10 @@ object DedupOps {
     val bloom = existing.select(expr(contentFingerprintSql).as("fp"))
       .stat.bloomFilter("fp", expectedItems, fpp)
     val bloomBc = newDocs.sparkSession.sparkContext.broadcast(bloom)
-    val mightExist = udf((fp: String) => bloomBc.value.mightContainString(fp))
+    // null fp (null text) must flow like any other value: the exact
+    // anti-join never matches a null key, so "definitely fresh"
+    val mightExist = udf((fp: String) =>
+      fp != null && bloomBc.value.mightContainString(fp))
     val flagged = fps.withColumn("maybe_dup", mightExist(col("fp")))
     // definite-fresh rows skip the anti-join; maybe-dups get the exact
     // re-check so Bloom false positives cannot drop fresh content

@@ -205,9 +205,14 @@ object MultimodalOps {
     */
   def featureExtract(media: Dataset[MediaRecord], bins: Int = 8,
                      batchSize: Int = 64,
-                     maxPixels: Long = DefaultMaxPixels): Dataset[MediaFeatures] = {
+                     maxPixels: Long = 1L << 24): Dataset[MediaFeatures] = {
     require(bins > 0 && bins <= 256 && Integer.bitCount(bins) == 1,
       s"bins must be a power of two in [1,256], got $bins")
+    // the exactness contract (integer counts carried in floats) holds
+    // only while every bin stays below 2^24 — a single-color image puts
+    // its whole area in one bin, so the pixel budget IS the bin budget
+    require(maxPixels <= (1L << 24),
+      s"maxPixels=$maxPixels would allow bins beyond float's exact-integer range (2^24)")
     val shift = Integer.numberOfTrailingZeros(256 / bins)
     val spark = media.sparkSession
     import spark.implicits._
@@ -306,10 +311,16 @@ object MultimodalOps {
     val spark = meta.sparkSession
     import spark.implicits._
     meta.map { m =>
-      val w = math.max(m.width, 1)
-      val h = math.max(m.height, 1)
-      val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
-      (m.doc_id, (w * scale).toInt.max(1), (h * scale).toInt.max(1), m.format)
+      if (m.width <= 0 || m.height <= 0) {
+        // propagate the unreadable-payload sentinel instead of
+        // scheduling a bogus 1x1 transcode (consistent with
+        // resizeImages' degradation)
+        (m.doc_id, -1, -1, m.format)
+      } else {
+        val scale = math.min(1.0, maxSide.toDouble / math.max(m.width, m.height))
+        (m.doc_id, (m.width * scale).toInt.max(1),
+          (m.height * scale).toInt.max(1), m.format)
+      }
     }.toDF("doc_id", "out_width", "out_height", "format")
   }
 

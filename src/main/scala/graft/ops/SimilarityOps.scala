@@ -235,15 +235,21 @@ object SimilarityOps {
     */
   def knnRecallGate(approx: DataFrame, exact: DataFrame, k: Int,
                     minRecall: Double): DataFrame = {
-    val hits = approx.select("query_id", "vec_id")
-      .join(exact.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
-      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
-    // denominator is the EXACT result's per-query size, not k: a query
-    // whose true neighborhood has fewer than k rows can still score 1.0
-    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
-      .join(hits, Seq("query_id"), "left")
+    // `exact` is the expensive full-corpus scan: reference it ONCE —
+    // the per-query denominator rides along as a window count (over ≤k
+    // rows per query) instead of a second aggregate over a recomputed
+    // copy of the subtree. Denominator is the EXACT result's per-query
+    // size, not k: a query whose true neighborhood has fewer than k
+    // rows can still score 1.0.
+    val e = exact.select("query_id", "vec_id")
+      .withColumn("n_exact",
+        count(lit(1)).over(Window.partitionBy("query_id")))
+    e.join(approx.select(col("query_id"), col("vec_id"), lit(1).as("hit")),
+        Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(max("n_exact").as("n_exact"), count("hit").as("n_hits"))
       .withColumn("recall",
-        round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_exact"), 6))
+        round(col("n_hits").cast("double") / col("n_exact"), 6))
       .filter(col("recall") < minRecall)
       .select("query_id", "recall")
   }

@@ -153,11 +153,7 @@ object TextOps {
   def nGramCounts(documents: DataFrame, n: Int = 2): DataFrame =
     documents
       .withColumn("w", expr(tokensExpr))
-      .select(col("lang"), explode(expr(
-        s"""case when size(w) >= $n
-           |  then transform(sequence(0, size(w) - $n),
-           |                 i -> concat_ws(' ', slice(w, i + 1, $n)))
-           |  else array() end""".stripMargin)).as("gram"))
+      .select(col("lang"), explode(expr(OpsUtil.shingleExpr(n))).as("gram"))
       .groupBy("lang", "gram")
       .agg(count(lit(1)).as("cnt"))
 

@@ -103,8 +103,15 @@ object EventsStreaming {
     import ss.implicits._
     ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val gapUs = gapMinutes * 60L * 1000000L
+    // this bounded-fixture form flushes ALL state at end of each
+    // micro-batch, which is only correct when the whole fixture lands
+    // in ONE batch — force that (the file source otherwise caps a
+    // batch at 1000 files); the production multi-batch form is
+    // [[sessionizeStreamingEventTime]]
     val src = ss.readStream.schema(rawEventsSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .option("pathGlobFilter", "events.parquet")
+      .option("maxFilesPerTrigger", Int.MaxValue.toString)
+      .parquet(dir)
       .selectExpr("user_id", "ts div 1000 as us",
         "cast(cast(value as decimal(18,2)) * 100 as bigint) as cents")
       .as[(Long, Long, Long)]
@@ -184,42 +191,40 @@ object EventsStreaming {
         state.remove()
         Iterator.single(Session(userId, s.startUs, s.lastUs, s.n, s.cents))
       } else {
-        val sorted = events.toSeq.sortBy(_._3)
-        val closed = Seq.newBuilder[Session]
-        var open: Option[OpenSession] = state.getOption
-        sorted.foreach { case (_, _, us, c) =>
-          open match {
-            // events are sorted only WITHIN a batch: a later batch can
-            // deliver an above-watermark event that precedes the open
-            // session, so membership is gap-distance to the session's
-            // [start, last] INTERVAL (a bare `us - last <= gap` is
-            // trivially true for any out-of-order delta and would fold
-            // arbitrarily old events in, yielding end < start)
-            case Some(s) if us >= s.startUs - gapUs && us <= s.lastUs + gapUs =>
-              open = Some(OpenSession(math.min(s.startUs, us),
-                math.max(s.lastUs, us), s.n + 1, s.cents + c))
-            case Some(s) if us > s.lastUs + gapUs =>
-              closed += Session(userId, s.startUs, s.lastUs, s.n, s.cents)
-              open = Some(OpenSession(us, us, 1, c))
-            case Some(_) =>
-              // more than gap BEFORE the open session: its own already-
-              // gap-separated session (the single-struct state keeps
-              // only the newest open session, so emit directly)
-              closed += Session(userId, us, us, 1, c)
-            case None =>
-              open = Some(OpenSession(us, us, 1, c))
-          }
+        // events are sorted only WITHIN a batch, and a later batch can
+        // deliver above-watermark events that precede the open
+        // session. Uniform handling: treat the stored session as one
+        // interval, merge it with this batch's events by the standard
+        // gaps-and-islands fold over START order, keep the LATEST
+        // island open in state, and emit every earlier island (they
+        // are gap-separated from the open one; with single-struct
+        // state they cannot be held open — same trade every
+        // sessionizer with per-key O(1) state makes).
+        val units = events.toSeq.map { case (_, _, us, c) =>
+          OpenSession(us, us, 1, c)
         }
-        open.foreach { s =>
-          state.update(s)
-          // never set a timeout at/behind the watermark (illegal); a
-          // session already older than the horizon times out on the
-          // next batch instead
-          state.setTimeoutTimestamp(math.max(
-            s.lastUs / 1000L + gapMinutes * 60000L,
-            state.getCurrentWatermarkMs + 1))
+        val items = (state.getOption.toSeq ++ units).sortBy(s => (s.startUs, s.lastUs))
+        if (items.isEmpty) Iterator.empty
+        else {
+        val islands = items.tail.foldLeft(List(items.head)) { (acc, nxt) =>
+          val cur = acc.head
+          if (nxt.startUs <= cur.lastUs + gapUs)
+            OpenSession(cur.startUs, math.max(cur.lastUs, nxt.lastUs),
+              cur.n + nxt.n, cur.cents + nxt.cents) :: acc.tail
+          else nxt :: acc
+        }.reverse
+        val closed = islands.init.map(s =>
+          Session(userId, s.startUs, s.lastUs, s.n, s.cents))
+        val open = islands.last
+        state.update(open)
+        // never set a timeout at/behind the watermark (illegal); a
+        // session already older than the horizon times out on the
+        // next batch instead
+        state.setTimeoutTimestamp(math.max(
+          open.lastUs / 1000L + gapMinutes * 60000L,
+          state.getCurrentWatermarkMs + 1))
+        closed.iterator
         }
-        closed.result().iterator
       }
     }
 

@@ -120,6 +120,10 @@ class JdbcSpec extends SparkSpec {
     assert(r.head._1.isEmpty && r.last._2.isEmpty)
     assert(r(1) === (Some(25L), Some(50L)))
     assert(Jdbc.splitRanges(5, 5, 8) === Seq((None, None)))
+    // non-multiple bounds use Spark's JDBCRelation stride
+    // (upper/n - lower/n): min=3, max=10, n=4 → stride 2, bounds 5,7,9
+    assert(Jdbc.splitRanges(3, 10, 4) === Seq(
+      (None, Some(5L)), (Some(5L), Some(7L)), (Some(7L), Some(9L)), (Some(9L), None)))
     // narrow range, many partitions: no empty (x, x) ranges
     val narrow = Jdbc.splitRanges(0, 5, 8)
     assert(narrow.size === 5)
