@@ -261,6 +261,8 @@ object SparkEntry {
       TextOps.nGramCounts(t(s, dir, "documents"))),
     "q57_training_corpus" -> ((s, dir) =>
       ClusterOps.trainingCorpus(t(s, dir, "documents"))),
+    "q62_repetition" -> ((s, dir) =>
+      TextOps.repetitionStats(t(s, dir, "documents"))),
     // incremental-ingest forms: the fixture is split deterministically
     // into an "existing corpus" (even doc_id) and a "new batch" (odd)
     "q59_incr_dedup" -> ((s, dir) =>
@@ -790,6 +792,28 @@ object SparkEntry {
         |        / 4294967296.0
         |      < CASE WHEN lang = 'en' THEN 0.5
         |             WHEN lang = 'de' THEN 0.25 ELSE 0.9 END""".stripMargin,
+    "q62_repetition" ->
+      s"""WITH lines AS (
+         |  SELECT doc_id,
+         |         list_filter(list_transform(string_split(text, chr(10)),
+         |                     x -> trim(x)), x -> x <> '') l
+         |  FROM documents),
+         |ls AS (SELECT doc_id, len(l) n_lines,
+         |              len(l) - len(list_distinct(l)) n_dup FROM lines),
+         |toks AS (SELECT doc_id, $duckToks w FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         |              i -> array_to_string(w[i:i+1], ' '))) g FROM toks),
+         |bc AS (SELECT doc_id, g, count(*) c FROM bg GROUP BY 1, 2),
+         |bs AS (SELECT doc_id, CAST(max(c) AS BIGINT) mx,
+         |              CAST(sum(c) AS BIGINT) tot FROM bc GROUP BY doc_id)
+         |SELECT ls.doc_id, CAST(ls.n_lines AS INT) AS n_lines,
+         |       round(CASE WHEN ls.n_lines > 0
+         |                  THEN CAST(ls.n_dup AS DOUBLE) / ls.n_lines
+         |                  ELSE 0 END, 6) AS dup_line_frac,
+         |       round(CASE WHEN bs.tot > 0
+         |                  THEN CAST(bs.mx AS DOUBLE) / bs.tot
+         |                  ELSE 0 END, 6) AS top_bigram_frac
+         |FROM ls LEFT JOIN bs ON bs.doc_id = ls.doc_id""".stripMargin,
     "q56_ngrams" ->
       s"""WITH toks AS (SELECT lang, $duckToks w FROM documents),
          |g AS (SELECT lang, unnest(list_transform(range(1, len(w)),

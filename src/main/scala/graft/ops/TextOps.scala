@@ -144,6 +144,35 @@ object TextOps {
         md5(concat_ws(" ", array_sort(array_distinct(col("w"))))).as("fp"),
         size(array_distinct(col("w"))).as("n_distinct_tokens"))
 
+  /** Q62: repetition statistics — the filter signals (per Rae et al.
+    * 2021, "Scaling Language Models: ... Gopher" §A1.1) that catch
+    * boilerplate/spam documents plain length/punct ratios miss:
+    * fraction of duplicate (non-blank) lines, and the share of all
+    * word bigrams taken by the single most frequent one. Line stats
+    * are pure expressions (no shuffle); the bigram mode needs one
+    * (doc_id, gram) aggregation — bounded by per-doc distinct bigrams,
+    * partial map-side like q53.
+    */
+  def repetitionStats(documents: DataFrame): DataFrame = {
+    val lines = documents.select(col("doc_id"),
+        expr("filter(transform(split(text, '\\n'), x -> trim(x)), x -> x <> '')").as("l"))
+      .select(col("doc_id"), size(col("l")).as("n_lines"),
+        (size(col("l")) - size(array_distinct(col("l")))).as("n_dup"))
+    val bigrams = documents.withColumn("w", expr(tokensExpr))
+      .select(col("doc_id"), explode(expr(OpsUtil.shingleExpr(2))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("mx"), sum("c").as("tot"))
+    lines.join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_lines").cast("int").as("n_lines"),
+        round(when(col("n_lines") > 0,
+          col("n_dup").cast("double") / col("n_lines")).otherwise(0.0), 6)
+          .as("dup_line_frac"),
+        round(when(col("tot") > 0,
+          col("mx").cast("double") / col("tot")).otherwise(0.0), 6)
+          .as("top_bigram_frac"))
+  }
+
   /** Q56: word n-gram counts per lang — the n-gram language-model /
     * benchmark-contamination primitive. Same shape as Q11 with a
     * windowed gram expand (one expression, no UDF); map-side partial

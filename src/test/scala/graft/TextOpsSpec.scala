@@ -24,6 +24,25 @@ class TextOpsSpec extends SparkSpec {
     assert(out(5L) === "und")
   }
 
+  test("repetitionStats flags duplicate lines and dominant bigrams") {
+    val d = docs(
+      1L -> "spam line\nspam line\nspam line\nunique line",
+      2L -> "one two three four five six",
+      3L -> "buy now buy now buy now buy now")
+    val out = TextOps.repetitionStats(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // doc 1: 4 lines, 2 duplicates of "spam line"
+    assert(out(1L)._1 === 4)
+    assert(out(1L)._2 === 0.5)
+    // doc 2: no repetition — every bigram unique (1/5 of 5 bigrams)
+    assert(out(2L)._2 === 0.0)
+    assert(out(2L)._3 === 0.2)
+    // doc 3: "buy now" dominates — 4 of 7 bigrams
+    assert(out(3L)._3 === BigDecimal(4.0 / 7)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("tfIdf: common terms score zero, rare terms score tf·ln(N/df)") {
     val d = docs(1L -> "apple banana apple", 2L -> "apple", 3L -> "cherry")
     val out = TextOps.tfIdf(d).collect()
