@@ -877,10 +877,24 @@ object SparkEntry {
          |  SELECT l.doc_id, d.lang, d.source FROM labels l
          |  JOIN documents d ON d.doc_id = l.doc_id
          |  WHERE l.doc_id = l.canonical_id),
-         |q AS ($qualitySql)
+         |q AS ($qualitySql),
+         |toksr AS (SELECT doc_id, $duckToks w FROM documents),
+         |bgr AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         |               i -> array_to_string(w[i:i+1], ' '))) g FROM toksr),
+         |bcr AS (SELECT doc_id, g, count(*) c FROM bgr GROUP BY 1, 2),
+         |bsr AS (SELECT doc_id, CAST(max(c) AS BIGINT) mx,
+         |               CAST(sum(c) AS BIGINT) tot FROM bcr GROUP BY doc_id),
+         |rep AS (SELECT d.doc_id,
+         |               round(CASE WHEN bsr.tot > 0
+         |                          THEN CAST(bsr.mx AS DOUBLE) / bsr.tot
+         |                          ELSE 0 END, 6) tbf
+         |        FROM documents d LEFT JOIN bsr ON bsr.doc_id = d.doc_id)
          |SELECT k.doc_id, k.lang, k.source, q.n_tokens, q.quality
-         |FROM kept k JOIN q ON q.doc_id = k.doc_id
+         |FROM kept k
+         |JOIN q ON q.doc_id = k.doc_id
+         |JOIN rep ON rep.doc_id = k.doc_id
          |WHERE q.quality >= 0.5
+         |  AND rep.tbf <= 0.5
          |  AND k.lang IN ('en', 'de', 'fr', 'es')
          |  AND ('0x' || substr(md5(k.doc_id::VARCHAR || ':train'), 1, 8))::BIGINT
          |        / 4294967296.0 < 0.8""".stripMargin,

@@ -201,12 +201,18 @@ object ClusterOps {
   def trainingCorpus(documents: DataFrame,
                      minQuality: Double = 0.5,
                      langs: Seq[String] = Seq("en", "de", "fr", "es"),
+                     maxTopBigramFrac: Double = 0.5,
                      sampleRate: Double = 0.8): DataFrame = {
     val kept = dedupedCorpus(documents)
     val quality = graft.ops.TextOps.qualityScore(documents)
       .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val repetition = graft.ops.TextOps.repetitionStats(documents)
+      .select(col("doc_id"), col("top_bigram_frac"))
     val filtered = kept.join(quality, "doc_id")
-      .filter(col("quality") >= minQuality && col("lang").isin(langs: _*))
+      .join(repetition, "doc_id")
+      .filter(col("quality") >= minQuality &&
+        col("top_bigram_frac") <= maxTopBigramFrac &&
+        col("lang").isin(langs: _*))
     graft.ops.SampleOps.sampleByHash(filtered, "doc_id", sampleRate, salt = "train")
       .select("doc_id", "lang", "source", "n_tokens", "quality")
   }
