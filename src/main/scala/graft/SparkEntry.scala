@@ -263,6 +263,8 @@ object SparkEntry {
       ClusterOps.trainingCorpus(t(s, dir, "documents"))),
     "q62_repetition" -> ((s, dir) =>
       TextOps.repetitionStats(t(s, dir, "documents"))),
+    "q63_redact_pii" -> ((s, dir) =>
+      TextOps.redactPii(TextOps.withPlantedPii(t(s, dir, "documents")))),
     // incremental-ingest forms: the fixture is split deterministically
     // into an "existing corpus" (even doc_id) and a "new batch" (odd)
     "q59_incr_dedup" -> ((s, dir) =>
@@ -792,6 +794,25 @@ object SparkEntry {
         |        / 4294967296.0
         |      < CASE WHEN lang = 'en' THEN 0.5
         |             WHEN lang = 'de' THEN 0.25 ELSE 0.9 END""".stripMargin,
+    // Planted-PII redaction: oracle replays the augmentation AND the
+    // redaction (counts + md5 of the replaced text), so a regex that
+    // matches or replaces differently cannot pass.
+    "q63_redact_pii" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 5 = 0
+         |              THEN text || ' reach user' || doc_id::VARCHAR ||
+         |                   '@example.com or +49-151-' ||
+         |                   lpad((doc_id % 10000000)::VARCHAR, 7, '0')
+         |              ELSE text END t
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(t, '${TextOps.emailRe}', 0)) AS INT) AS n_emails,
+         |       CAST(len(regexp_extract_all(t, '${TextOps.phoneRe}', 0)) AS INT) AS n_phones,
+         |       md5(regexp_replace(
+         |             regexp_replace(t, '${TextOps.emailRe}', '[EMAIL]', 'g'),
+         |             '${TextOps.phoneRe}', '[PHONE]', 'g')) AS redacted_fp
+         |FROM aug""".stripMargin,
     "q62_repetition" ->
       s"""WITH lines AS (
          |  SELECT doc_id,

@@ -186,6 +186,46 @@ object TextOps {
       .groupBy("lang", "gram")
       .agg(count(lit(1)).as("cnt"))
 
+  /** PII patterns shared by [[redactPii]] and the q63 oracle — kept to
+    * syntax with IDENTICAL semantics in Java regex and RE2 (plain
+    * character classes, no \b/\d shorthand whose Unicode behavior
+    * differs across engines).
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+[0-9]{2}-[0-9]{3}-[0-9]{7}"
+
+  /** Q63: PII redaction — the scrubbing stage of a training pipeline:
+    * emails and international phone numbers replaced by typed
+    * placeholders, with per-document match counts and a fingerprint of
+    * the redacted text (so the oracle checks the REPLACEMENT output,
+    * not just the counts). Pure regexp expressions in whole-stage
+    * codegen; no UDF, no shuffle.
+    */
+  def redactPii(documents: DataFrame, textCol: String = "text"): DataFrame =
+    // function-API only: a pattern routed through a Spark SQL string
+    // LITERAL would have its backslashes re-escaped by the SQL parser
+    // and silently diverge from the oracle's RE2 pattern
+    documents.select(
+      col("doc_id"),
+      regexp_count(col(textCol), lit(emailRe)).cast("int").as("n_emails"),
+      regexp_count(col(textCol), lit(phoneRe)).cast("int").as("n_phones"),
+      md5(regexp_replace(
+        regexp_replace(col(textCol), emailRe, "[EMAIL]"),
+        phoneRe, "[PHONE]")).as("redacted_fp"))
+
+  /** Q63 fixture: plant deterministic PII into every 5th document —
+    * the redaction analogue of the synthetic PNG table: the operator
+    * under test stays generic, the fixture makes its effect
+    * predictable enough for a SQL oracle to replay.
+    */
+  def withPlantedPii(documents: DataFrame): DataFrame =
+    documents.withColumn("text",
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" reach user"), col("doc_id"),
+          lit("@example.com or +49-151-"),
+          lpad((col("doc_id") % 10000000).cast("string"), 7, "0")))
+        .otherwise(col("text")))
+
   /** Q53: per-(document, token) TF-IDF — the classic relevance /
     * keyword-extraction weight (Sparck Jones 1972): tf · ln(N/df).
     *

@@ -24,6 +24,28 @@ class TextOpsSpec extends SparkSpec {
     assert(out(5L) === "und")
   }
 
+  test("redactPii counts and replaces emails/phones, leaves clean text alone") {
+    val d = docs(
+      1L -> "write to alice.smith+x@sub.example.org or bob@ex.co today",
+      2L -> "call +49-151-1234567 or +33-612-9876543 now",
+      3L -> "no pii here at all")
+    val out = TextOps.redactPii(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("n_emails") === 2)
+    assert(out(1L).getAs[Int]("n_phones") === 0)
+    assert(out(2L).getAs[Int]("n_phones") === 2)
+    // the fingerprint is of the REDACTED text
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest("write to [EMAIL] or [EMAIL] today".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(1L).getAs[String]("redacted_fp") === fp)
+    // clean text fingerprints unchanged
+    val cleanFp = java.security.MessageDigest.getInstance("MD5")
+      .digest("no pii here at all".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(3L).getAs[String]("redacted_fp") === cleanFp)
+  }
+
   test("repetitionStats flags duplicate lines and dominant bigrams") {
     val d = docs(
       1L -> "spam line\nspam line\nspam line\nunique line",
