@@ -426,6 +426,23 @@ object SparkEntry {
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM z GROUP BY user_id, session_id""".stripMargin
 
+  /** Top-bigram-fraction CTEs (ending in `rep(doc_id,
+    * top_bigram_frac)`) — ONE copy shared by the q62 oracle and the
+    * q57 composition's gate, mirroring TextOps.topBigramFrac.
+    */
+  private val bigramFracCtes =
+    s"""btoks AS (SELECT doc_id, $duckToks w FROM documents),
+       |bgr AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+       |               i -> array_to_string(w[i:i+1], ' '))) g FROM btoks),
+       |bcr AS (SELECT doc_id, g, count(*) c FROM bgr GROUP BY 1, 2),
+       |bsr AS (SELECT doc_id, CAST(max(c) AS BIGINT) mx,
+       |               CAST(sum(c) AS BIGINT) tot FROM bcr GROUP BY doc_id),
+       |rep AS (SELECT d.doc_id,
+       |               round(CASE WHEN bsr.tot > 0
+       |                          THEN CAST(bsr.mx AS DOUBLE) / bsr.tot
+       |                          ELSE 0 END, 6) top_bigram_frac
+       |        FROM documents d LEFT JOIN bsr ON bsr.doc_id = d.doc_id)""".stripMargin
+
   /** Q19's quality pipeline, shared with the q57 corpus composition. */
   private val qualitySql =
     s"""WITH base AS (
@@ -585,14 +602,14 @@ object SparkEntry {
     "q20_tokens" ->
       s"""SELECT doc_id,
          |       CAST(len($duckToks) AS INT) AS n_ws_tokens,
-         |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_bpe_tokens
+         |       CAST(len(regexp_extract_all(text, '${TextOps.bpeTokenRe}')) AS INT) AS n_bpe_tokens
          |FROM documents""".stripMargin,
     // identical oracle as q20: the engine side must survive a JSONL
     // round trip losslessly to match it
     "q48_jsonl_roundtrip" ->
       s"""SELECT doc_id,
          |       CAST(len($duckToks) AS INT) AS n_ws_tokens,
-         |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_bpe_tokens
+         |       CAST(len(regexp_extract_all(text, '${TextOps.bpeTokenRe}')) AS INT) AS n_bpe_tokens
          |FROM documents""".stripMargin,
     "q21_fingerprint" ->
       s"""WITH base AS (SELECT doc_id, $duckToks w FROM documents)
@@ -821,20 +838,13 @@ object SparkEntry {
          |  FROM documents),
          |ls AS (SELECT doc_id, len(l) n_lines,
          |              len(l) - len(list_distinct(l)) n_dup FROM lines),
-         |toks AS (SELECT doc_id, $duckToks w FROM documents),
-         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
-         |              i -> array_to_string(w[i:i+1], ' '))) g FROM toks),
-         |bc AS (SELECT doc_id, g, count(*) c FROM bg GROUP BY 1, 2),
-         |bs AS (SELECT doc_id, CAST(max(c) AS BIGINT) mx,
-         |              CAST(sum(c) AS BIGINT) tot FROM bc GROUP BY doc_id)
+         |$bigramFracCtes
          |SELECT ls.doc_id, CAST(ls.n_lines AS INT) AS n_lines,
          |       round(CASE WHEN ls.n_lines > 0
          |                  THEN CAST(ls.n_dup AS DOUBLE) / ls.n_lines
          |                  ELSE 0 END, 6) AS dup_line_frac,
-         |       round(CASE WHEN bs.tot > 0
-         |                  THEN CAST(bs.mx AS DOUBLE) / bs.tot
-         |                  ELSE 0 END, 6) AS top_bigram_frac
-         |FROM ls LEFT JOIN bs ON bs.doc_id = ls.doc_id""".stripMargin,
+         |       rep.top_bigram_frac
+         |FROM ls JOIN rep ON rep.doc_id = ls.doc_id""".stripMargin,
     "q56_ngrams" ->
       s"""WITH toks AS (SELECT lang, $duckToks w FROM documents),
          |g AS (SELECT lang, unnest(list_transform(range(1, len(w)),
@@ -899,23 +909,13 @@ object SparkEntry {
          |  JOIN documents d ON d.doc_id = l.doc_id
          |  WHERE l.doc_id = l.canonical_id),
          |q AS ($qualitySql),
-         |toksr AS (SELECT doc_id, $duckToks w FROM documents),
-         |bgr AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
-         |               i -> array_to_string(w[i:i+1], ' '))) g FROM toksr),
-         |bcr AS (SELECT doc_id, g, count(*) c FROM bgr GROUP BY 1, 2),
-         |bsr AS (SELECT doc_id, CAST(max(c) AS BIGINT) mx,
-         |               CAST(sum(c) AS BIGINT) tot FROM bcr GROUP BY doc_id),
-         |rep AS (SELECT d.doc_id,
-         |               round(CASE WHEN bsr.tot > 0
-         |                          THEN CAST(bsr.mx AS DOUBLE) / bsr.tot
-         |                          ELSE 0 END, 6) tbf
-         |        FROM documents d LEFT JOIN bsr ON bsr.doc_id = d.doc_id)
+         |$bigramFracCtes
          |SELECT k.doc_id, k.lang, k.source, q.n_tokens, q.quality
          |FROM kept k
          |JOIN q ON q.doc_id = k.doc_id
          |JOIN rep ON rep.doc_id = k.doc_id
          |WHERE q.quality >= 0.5
-         |  AND rep.tbf <= 0.5
+         |  AND rep.top_bigram_frac <= 0.5
          |  AND k.lang IN ('en', 'de', 'fr', 'es')
          |  AND ('0x' || substr(md5(k.doc_id::VARCHAR || ':train'), 1, 8))::BIGINT
          |        / 4294967296.0 < 0.8""".stripMargin,

@@ -74,13 +74,15 @@ object Jdbc {
     require(numPartitions > 0)
     if (min == max || numPartitions == 1) Seq((None, None))
     else {
-      // cap n at the range width so stride >= 1 (mirrors Spark's
-      // JDBCRelation reducing numPartitions when the range is narrow)
+      // cap n at the range width (mirrors Spark's JDBCRelation
+      // reducing numPartitions when the range is narrow)
       val n = math.min(numPartitions.toLong, math.max(1L, max - min)).toInt
       // Spark's JDBCRelation stride is upper/n - lower/n — NOT
       // (upper-lower)/n, which differs when min/max aren't multiples
       // of n; mirror it exactly or this helper validates predicates
-      // the engine never generates
+      // the engine never generates. Faithfulness includes the wart:
+      // for bounds straddling zero the stride can be 0 and interior
+      // ranges empty — exactly what Spark itself produces there
       val stride = max / n - min / n
       var current = min
       (0 until n).map { i =>

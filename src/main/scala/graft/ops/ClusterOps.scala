@@ -206,8 +206,7 @@ object ClusterOps {
     val kept = dedupedCorpus(documents)
     val quality = graft.ops.TextOps.qualityScore(documents)
       .select(col("doc_id"), col("n_tokens"), col("quality"))
-    val repetition = graft.ops.TextOps.repetitionStats(documents)
-      .select(col("doc_id"), col("top_bigram_frac"))
+    val repetition = graft.ops.TextOps.topBigramFrac(documents)
     val filtered = kept.join(quality, "doc_id")
       .join(repetition, "doc_id")
       .filter(col("quality") >= minQuality &&

@@ -146,7 +146,10 @@ object DedupOps {
     // anti-join never matches a null key, so "definitely fresh"
     val mightExist = udf((fp: String) =>
       fp != null && bloomBc.value.mightContainString(fp))
-    val flagged = fps.withColumn("maybe_dup", mightExist(col("fp")))
+    // both union branches read `flagged` — persist the narrow
+    // (doc_id, fp, flag) rows so the batch is scanned, fingerprinted,
+    // and Bloom-probed once, not once per branch
+    val flagged = fps.withColumn("maybe_dup", mightExist(col("fp"))).persist()
     // definite-fresh rows skip the anti-join; maybe-dups get the exact
     // re-check so Bloom false positives cannot drop fresh content
     val existingFp = existing.select(expr(contentFingerprintSql).as("fp")).distinct()

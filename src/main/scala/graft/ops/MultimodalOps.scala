@@ -55,6 +55,13 @@ object MultimodalOps {
     */
   val DefaultMaxPixels: Long = 1L << 26 // 64 Mpixel ≈ 256 MB ARGB raster
 
+  /** The largest pixel budget under which [[featureExtract]]'s
+    * histogram counts stay EXACT as floats (a single-color image puts
+    * its whole area in one bin, and floats lose integer exactness at
+    * 2^24).
+    */
+  val MaxExactHistogramPixels: Long = 1L << 24
+
   /** The ONE reader scaffold every decode path shares: open `bytes`
     * with the matching imageio reader, run `f`, always dispose/close.
     * Unreadable payloads and decode-time RuntimeExceptions (imageio
@@ -205,13 +212,13 @@ object MultimodalOps {
     */
   def featureExtract(media: Dataset[MediaRecord], bins: Int = 8,
                      batchSize: Int = 64,
-                     maxPixels: Long = 1L << 24): Dataset[MediaFeatures] = {
+                     maxPixels: Long = MaxExactHistogramPixels): Dataset[MediaFeatures] = {
     require(bins > 0 && bins <= 256 && Integer.bitCount(bins) == 1,
       s"bins must be a power of two in [1,256], got $bins")
     // the exactness contract (integer counts carried in floats) holds
     // only while every bin stays below 2^24 — a single-color image puts
     // its whole area in one bin, so the pixel budget IS the bin budget
-    require(maxPixels <= (1L << 24),
+    require(maxPixels <= MaxExactHistogramPixels,
       s"maxPixels=$maxPixels would allow bins beyond float's exact-integer range (2^24)")
     val shift = Integer.numberOfTrailingZeros(256 / bins)
     val spark = media.sparkSession

@@ -92,12 +92,18 @@ object TextOps {
   /** Q20: token counting — whitespace tokens and a BPE-ish regex
     * segmentation (letter runs / digit runs / single other glyphs).
     */
+  /** BPE-ish token pattern — whitespace class spelled out (Java's \s
+    * includes \x0B, RE2's does not); mirrored verbatim in the q20/q48
+    * oracle SQL.
+    */
+  val bpeTokenRe = """[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]"""
+
   def tokenCounts(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
       size(expr(tokensExpr)).as("n_ws_tokens"),
       size(regexp_extract_all(col("text"),
-        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_bpe_tokens"))
+        lit(bpeTokenRe), lit(0))).as("n_bpe_tokens"))
 
   /** Q38: polynomial rolling-hash fingerprint over the character
     * stream (base-31 mod 2^31-1) — order-sensitive, the classic
@@ -153,24 +159,34 @@ object TextOps {
     * (doc_id, gram) aggregation — bounded by per-doc distinct bigrams,
     * partial map-side like q53.
     */
+  /** Share of all word bigrams taken by the most frequent one — the
+    * q62 component q57's composition gates on; exposed separately so
+    * the flagship doesn't pay for the line statistics it discards.
+    */
+  def topBigramFrac(documents: DataFrame): DataFrame = {
+    val bigrams = documents.withColumn("w", expr(tokensExpr))
+      .select(col("doc_id"), explode(expr(OpsUtil.shingleExpr(2))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("mx"), sum("c").as("tot"))
+    documents.select("doc_id").join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(when(col("tot") > 0,
+          col("mx").cast("double") / col("tot")).otherwise(0.0), 6)
+          .as("top_bigram_frac"))
+  }
+
   def repetitionStats(documents: DataFrame): DataFrame = {
     val lines = documents.select(col("doc_id"),
         expr("filter(transform(split(text, '\\n'), x -> trim(x)), x -> x <> '')").as("l"))
       .select(col("doc_id"), size(col("l")).as("n_lines"),
         (size(col("l")) - size(array_distinct(col("l")))).as("n_dup"))
-    val bigrams = documents.withColumn("w", expr(tokensExpr))
-      .select(col("doc_id"), explode(expr(OpsUtil.shingleExpr(2))).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max("c").as("mx"), sum("c").as("tot"))
-    lines.join(bigrams, Seq("doc_id"), "left")
+    lines.join(topBigramFrac(documents), Seq("doc_id"))
       .select(col("doc_id"),
         col("n_lines").cast("int").as("n_lines"),
         round(when(col("n_lines") > 0,
           col("n_dup").cast("double") / col("n_lines")).otherwise(0.0), 6)
           .as("dup_line_frac"),
-        round(when(col("tot") > 0,
-          col("mx").cast("double") / col("tot")).otherwise(0.0), 6)
-          .as("top_bigram_frac"))
+        col("top_bigram_frac"))
   }
 
   /** Q56: word n-gram counts per lang — the n-gram language-model /

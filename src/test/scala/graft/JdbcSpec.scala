@@ -124,7 +124,8 @@ class JdbcSpec extends SparkSpec {
     // (upper/n - lower/n): min=3, max=10, n=4 → stride 2, bounds 5,7,9
     assert(Jdbc.splitRanges(3, 10, 4) === Seq(
       (None, Some(5L)), (Some(5L), Some(7L)), (Some(7L), Some(9L)), (Some(9L), None)))
-    // narrow range, many partitions: no empty (x, x) ranges
+    // narrow POSITIVE range, many partitions: no empty (x, x) ranges
+    // (bounds straddling zero can yield stride 0 — JDBCRelation parity)
     val narrow = Jdbc.splitRanges(0, 5, 8)
     assert(narrow.size === 5)
     assert(narrow.forall { case (lo, hi) =>
