@@ -4,9 +4,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StringType}
 
 /** Native Catalyst expression for the float-vector dot product — the
   * hot inner loop of similarity search (SURVEY §2.2 Q13/Q16-Q17).
@@ -23,9 +23,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * bit-identical.
   */
 case class VecDot(left: Expression, right: Expression)
-    extends BinaryExpression {
-  // inputs must be array<float>; enforced by call sites (the
-  // ExpectsInputTypes trait's type class is private[sql] in Spark 4)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  // analysis-time typing: non-float arrays (e.g. array<double> or
+  // array<int> literals) are coerced, anything non-array is rejected
+  // with a clear AnalysisException instead of a codegen ClassCastException.
+  // (Declared as Seq[DataType] — a covariant override — because
+  // AbstractDataType itself is private[sql] in Spark 4's Scala signature.)
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
@@ -70,7 +75,11 @@ case class VecDot(left: Expression, right: Expression)
   * iterate CODE POINTS), which RollingHashSpec proves by equivalence.
   */
 case class RollingHash(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  // non-string arguments are coerced (or rejected) during analysis,
+  // matching the lambda form it replaced (which implicit-cast via ascii)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "rolling_hash"
 

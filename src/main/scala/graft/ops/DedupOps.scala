@@ -150,17 +150,27 @@ object DedupOps {
     // (doc_id, fp, flag) rows so the batch is scanned, fingerprinted,
     // and Bloom-probed once, not once per branch
     val flagged = fps.withColumn("maybe_dup", mightExist(col("fp"))).persist()
-    // definite-fresh rows skip the anti-join; maybe-dups get the exact
-    // re-check so Bloom false positives cannot drop fresh content
-    val existingFp = existing.select(expr(contentFingerprintSql).as("fp")).distinct()
-    val confirmedFresh = flagged.filter(col("maybe_dup"))
-      .join(existingFp, Seq("fp"), "left_anti")
-      .select("doc_id", "fp")
-    flagged.filter(!col("maybe_dup")).select("doc_id", "fp")
-      .unionByName(confirmedFresh)
-      .groupBy("fp")
-      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
-      .select("doc_id", "fp", "n_copies")
+    try {
+      // definite-fresh rows skip the anti-join; maybe-dups get the exact
+      // re-check so Bloom false positives cannot drop fresh content
+      val existingFp = existing.select(expr(contentFingerprintSql).as("fp")).distinct()
+      val confirmedFresh = flagged.filter(col("maybe_dup"))
+        .join(existingFp, Seq("fp"), "left_anti")
+        .select("doc_id", "fp")
+      val result = flagged.filter(!col("maybe_dup")).select("doc_id", "fp")
+        .unionByName(confirmedFresh)
+        .groupBy("fp")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "fp", "n_copies")
+      // materialize EAGERLY (localCheckpoint truncates lineage into
+      // executor-local blocks that the ContextCleaner releases when the
+      // caller drops the frame) so `flagged` can be unpersisted before
+      // returning — otherwise every invocation would leak a cached
+      // dataset for the session lifetime with no caller-side hook.
+      // The checkpointed rows are O(ingest batch) by design, never
+      // O(corpus): bounded at any scale.
+      result.localCheckpoint(eager = true)
+    } finally flagged.unpersist()
   }
 
   /** Q60: incremental near-dup candidates — new-batch documents that

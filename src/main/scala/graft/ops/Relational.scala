@@ -237,12 +237,19 @@ object Relational {
     * optimizer into an aggregate + join; `explain` shows no per-row
     * subplan execution).
     */
-  val maxOrderSql: String =
-    """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
-      |FROM orders o
-      |WHERE o.o_totalprice = (SELECT max(o2.o_totalprice)
-      |                        FROM orders o2
-      |                        WHERE o2.o_custkey = o.o_custkey)""".stripMargin
+  /** The q31 SQL as a TEMPLATE over the table name: the engine binds a
+    * scoped temp view, the DuckDB oracle binds the real `orders` table
+    * — one shared text, no post-hoc regex rewriting that could corrupt
+    * a literal/alias/comment if the query ever grows one.
+    */
+  def maxOrderSqlFor(table: String): String =
+    s"""SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+       |FROM $table o
+       |WHERE o.o_totalprice = (SELECT max(o2.o_totalprice)
+       |                        FROM $table o2
+       |                        WHERE o2.o_custkey = o.o_custkey)""".stripMargin
+
+  val maxOrderSql: String = maxOrderSqlFor("orders")
 
   def sqlMaxOrderPerCustomer(orders: DataFrame): DataFrame = {
     // a library API must not squat on catalog names the caller may be
@@ -251,7 +258,7 @@ object Relational {
     val spark = orders.sparkSession
     val view = s"graft_orders_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
     orders.createOrReplaceTempView(view)
-    try spark.sql(maxOrderSql.replaceAll("\\borders\\b", view))
+    try spark.sql(maxOrderSqlFor(view))
     finally spark.catalog.dropTempView(view)
   }
 

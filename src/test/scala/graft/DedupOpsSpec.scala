@@ -89,6 +89,17 @@ class DedupOpsSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("bloom-accelerated dedup releases its internal cache (only the result checkpoint remains)") {
+    val existing = docs(1L -> "alpha text", 2L -> "beta text")
+    val batch = docs(10L -> "gamma text", 11L -> "delta text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    DedupOps.incrementalExactDedupBloom(batch, existing)
+    val delta = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // exactly the eager result localCheckpoint — the internal `flagged`
+    // persist must have been unpersisted before the method returned
+    assert(delta.size === 1, s"leaked cached RDDs: $delta")
+  }
+
   test("incremental near-dup candidates surface only cross (new, existing) pairs") {
     val existing = docs(1L -> ("the quick brown fox jumps over the lazy dog " * 3),
       2L -> "completely different content about databases and engines here")

@@ -19,6 +19,23 @@ class RollingHashSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(0) === r.getLong(1), r))
   }
 
+  test("rolling_hash types its input at analysis time: atomics coerce, arrays are rejected") {
+    GraftFunctions.register(spark)
+    // ImplicitCastInputTypes: an int argument is cast to its string
+    // form during ANALYSIS (no codegen ClassCastException), so
+    // rolling_hash(123) == rolling_hash('123')
+    val r = Seq(1).toDF("x")
+      .selectExpr("rolling_hash(123) as coerced", "rolling_hash('123') as direct")
+      .collect().head
+    assert(r.getLong(0) === r.getLong(1))
+    // an incompatible (non-castable) input fails analysis with a clear
+    // type error, not at execution time
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1).toDF("x").selectExpr("rolling_hash(array(1, 2))").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("rolling_hash"), err.getMessage)
+  }
+
   test("rolling_hash participates in whole-stage codegen and handles null") {
     GraftFunctions.register(spark)
     // a real scan input — literal rows would constant-fold the whole

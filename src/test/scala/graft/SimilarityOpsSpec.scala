@@ -20,6 +20,21 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out.last.getAs[Double]("sim") === -1.0)
   }
 
+  test("vec_dot types its inputs at analysis time: double arrays coerce, scalars are rejected") {
+    graft.functions.GraftFunctions.register(spark)
+    // ImplicitCastInputTypes: array<double> literals coerce to
+    // array<float> during analysis instead of mis-reading the array
+    // buffer at execution time
+    val r = Seq(1).toDF("x")
+      .selectExpr("vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) as d")
+      .collect().head
+    assert(r.getDouble(0) === 11.0)
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1).toDF("x").selectExpr("vec_dot(1, 2)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("vec_dot"), err.getMessage)
+  }
+
   test("lshBuckets: identical vectors land in the same bucket") {
     val v = (0 until 64).map(_.toFloat)
     val d = vecs(0L -> v, 1L -> v, 2L -> v.map(x => -x))
