@@ -231,6 +231,10 @@ object SparkEntry {
       Relational.eventOrderAsof(t(s, dir, "events"), t(s, dir, "orders"))),
     "q46_range_join" -> ((s, dir) =>
       Relational.eventRangeCount(t(s, dir, "events"))),
+    // the NATIVE as-of operator (custom plan + strategy + merge exec)
+    // held to the same DuckDB ASOF oracle as the composed q45
+    "q64_asof_native" -> ((s, dir) =>
+      Relational.eventOrderAsofNative(t(s, dir, "events"), t(s, dir, "orders"))),
     "q47_dedup_apply" -> ((s, dir) =>
       ClusterOps.dedupedCorpus(t(s, dir, "documents"))),
     "q48_jsonl_roundtrip" -> jsonlRoundTrip _,
@@ -280,6 +284,12 @@ object SparkEntry {
       DedupOps.incrementalExactDedupBloom(
         t(s, dir, "documents").filter(col("doc_id") % 2 === 1),
         t(s, dir, "documents").filter(col("doc_id") % 2 === 0))),
+    // embedding-cosine near-dup: the threshold pair surface and the
+    // applied dedup (pairs → connected components → kept canonicals)
+    "q65_embed_neardup" -> ((s, dir) =>
+      SimilarityOps.embeddingNearDupPairs(t(s, dir, "embeddings"))),
+    "q66_semantic_dedup" -> ((s, dir) =>
+      SimilarityOps.semanticDedupApply(t(s, dir, "embeddings"))),
     // the stateful-streaming sessionizer held to the BATCH oracle:
     // session_id re-derived by start order, cents scaled back — the
     // engine must produce the identical session set q32 does
@@ -583,6 +593,35 @@ object SparkEntry {
          |       ${duckCosine("a.embedding", "b.embedding")} AS sim
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |ORDER BY sim DESC, id_a ASC, id_b ASC LIMIT 20""".stripMargin,
+    // Embedding-cosine near-dup: the same scored-pair surface as q17,
+    // kept at/above the threshold instead of top-N.
+    "q65_embed_neardup" ->
+      s"""WITH scored AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         ${duckCosine("a.embedding", "b.embedding")} AS sim
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.45""".stripMargin,
+    // Semantic dedup applied: threshold pairs resolved into components
+    // (recursive closure at oracle scale; the engine uses
+    // large-star/small-star or size-gated union-find), keeping each
+    // component's minimum vec_id with its absorbed-duplicate count.
+    "q66_semantic_dedup" ->
+      s"""WITH RECURSIVE scored AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         ${duckCosine("a.embedding", "b.embedding")} AS sim
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+         |p AS (SELECT id_a, id_b FROM scored WHERE sim >= 0.5),
+         |e AS (SELECT id_a a, id_b b FROM p UNION SELECT id_b, id_a FROM p),
+         |walk(id, r) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT w.id, e.b FROM walk w JOIN e ON e.a = w.r),
+         |labels AS (SELECT id, CAST(min(r) AS BIGINT) canonical
+         |           FROM walk GROUP BY id),
+         |sizes AS (SELECT canonical, count(*) n FROM labels GROUP BY canonical)
+         |SELECT l.id AS vec_id, CAST(s.n - 1 AS BIGINT) AS n_dropped
+         |FROM labels l JOIN sizes s ON s.canonical = l.canonical
+         |WHERE l.id = l.canonical""".stripMargin,
     "q18_langid" ->
       s"""WITH markers(token, cand_lang, weight) AS (VALUES $langMarkerValues),
          |toks AS (SELECT doc_id, unnest($duckToks) token FROM documents),
@@ -735,6 +774,15 @@ object SparkEntry {
     // DuckDB has a NATIVE ASOF JOIN — the engine's composed
     // union+window form must agree with it exactly.
     "q45_asof_join" ->
+      """WITH r AS (SELECT DISTINCT o_custkey % 50 AS key, o_orderdate FROM orders),
+        |     l AS (SELECT event_id, user_id % 50 AS key, ts FROM events)
+        |SELECT l.event_id, l.key,
+        |       strftime(r.o_orderdate, '%Y-%m-%d') AS asof_date
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.key = r.key AND r.o_orderdate <= l.ts""".stripMargin,
+    // The native-operator form must agree with the same DuckDB ASOF
+    // JOIN the composed q45 is held to.
+    "q64_asof_native" ->
       """WITH r AS (SELECT DISTINCT o_custkey % 50 AS key, o_orderdate FROM orders),
         |     l AS (SELECT event_id, user_id % 50 AS key, ts FROM events)
         |SELECT l.event_id, l.key,

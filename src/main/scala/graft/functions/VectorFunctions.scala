@@ -141,8 +141,16 @@ object GraftFunctions {
   }
 }
 
-/** `--conf spark.sql.extensions=graft.functions.GraftSparkExtensions` */
+/** `--conf spark.sql.extensions=graft.functions.GraftSparkExtensions`
+  * installs graft's native functions AND its plan-level extension (the
+  * as-of join: strategy + pruning rule) into every session built with
+  * the conf; [[org.apache.spark.sql.GraftPlanBridge.installPlanning]]
+  * is the runtime equivalent for sessions that already exist.
+  */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PruneAsOfJoinRight)
+  }
 }

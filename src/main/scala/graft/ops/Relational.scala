@@ -170,6 +170,29 @@ object Relational {
         date_format(col("asof_rt"), "yyyy-MM-dd").as("asof_date"))
   }
 
+  /** Q64: the SAME as-of binding as [[eventOrderAsof]], through the
+    * NATIVE operator instead of the composition — custom logical node,
+    * planner strategy, and a partitioned-merge physical plan
+    * ([[graft.plans.AsOfJoin]], extension-ladder rung (c)). Both forms
+    * are held to DuckDB's native `ASOF LEFT JOIN` oracle; the native
+    * one shuffles each side separately (smaller payloads, no union
+    * through one sort) and merges with O(1) state per partition.
+    */
+  def eventOrderAsofNative(events: DataFrame, orders: DataFrame,
+                           buckets: Int = 50): DataFrame = {
+    val r = orders
+      .selectExpr(s"o_custkey % $buckets as key",
+        "cast(o_orderdate as timestamp) as rt").distinct()
+      .withColumn("t", expr("unix_micros(rt)"))
+    val l = events
+      .selectExpr(s"user_id % $buckets as key", "unix_micros(ts) as t",
+        "event_id")
+    graft.plans.AsOf.join(l, r, key = "key", time = "t",
+        payload = Seq("rt" -> "asof_rt"))
+      .select(col("event_id"), col("key"),
+        date_format(col("asof_rt"), "yyyy-MM-dd").as("asof_date"))
+  }
+
   /** Q46: RANGE JOIN — the other interval operator Spark lacks a
     * native strategy for (an inequality join condition alone plans as
     * a nested loop). Scale-safe composition: BIN both sides into

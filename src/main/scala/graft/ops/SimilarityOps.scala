@@ -69,8 +69,12 @@ object SimilarityOps {
     * true near-duplicates (sim → 1) use [[closestPairsBucketed]],
     * which prunes the quadratic candidate space first.
     */
-  def closestPairs(embeddings: DataFrame, topN: Int = 20,
-                   blocks: Int = 32): DataFrame = {
+  /** The shared exact pair-scoring subplan of [[closestPairs]] and
+    * [[embeddingNearDupPairs]]: every unordered pair meets exactly once
+    * in a block-partitioned equi-join (see [[closestPairs]] scaladoc)
+    * and is scored with the codegen'd cosine.
+    */
+  private def scoredPairs(embeddings: DataFrame, blocks: Int): DataFrame = {
     val n = withNorm(embeddings, "embedding", "n")
     val r = n.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
       col("n").as("nb"), (col("vec_id") % blocks).as("blk"))
@@ -80,9 +84,49 @@ object SimilarityOps {
     l.join(r, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", sim("ea", "eb", "na", "nb"))
+  }
+
+  def closestPairs(embeddings: DataFrame, topN: Int = 20,
+                   blocks: Int = 32): DataFrame =
+    scoredPairs(embeddings, blocks)
       .orderBy(col("sim").desc, col("id_a").asc, col("id_b").asc)
       .limit(topN)
       .select("id_a", "id_b", "sim")
+
+  /** Q65: embedding-cosine NEAR-DUP pairs — the threshold form of
+    * [[closestPairs]]: every pair at or above `threshold`, i.e. the
+    * semantic-dedup candidate surface (the embedding-space analogue of
+    * the q13/q27 lexical candidate generators). Exact by construction;
+    * at corpus scale the same surface comes from
+    * [[closestPairsBucketed]]'s LSH pruning with this threshold as the
+    * post-filter.
+    */
+  def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double = 0.45,
+                            blocks: Int = 32): DataFrame =
+    scoredPairs(embeddings, blocks)
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+
+  /** Q66: SEMANTIC DEDUP applied — near-dup pairs above `threshold`
+    * resolved into connected components (the same size-adaptive
+    * machinery as the lexical q41), keeping each component's canonical
+    * (minimum) vector with the count of near-duplicates it absorbed.
+    * This is the embedding-space "dedup apply" row a training pipeline
+    * feeds downstream, completing the dedup family: exact (q12),
+    * MinHash (q13), SimHash (q14/q27), n-gram Jaccard (q15), and
+    * embedding-cosine (q65/q66).
+    */
+  def semanticDedupApply(embeddings: DataFrame, threshold: Double = 0.5,
+                         blocks: Int = 32): DataFrame = {
+    val pairs = embeddingNearDupPairs(embeddings, threshold, blocks)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val vertices = embeddings.select(col("vec_id").as("doc_id"))
+    val labels = ClusterOps.connectedComponents(vertices, pairs)
+    val sizes = labels.groupBy("canonical_id").agg(count(lit(1)).as("n"))
+    labels.filter(col("doc_id") === col("canonical_id"))
+      .join(sizes, "canonical_id")
+      .select(col("doc_id").as("vec_id"),
+        (col("n") - 1).cast("long").as("n_dropped"))
   }
 
   /** Approximate closest pairs for the near-duplicate regime: pairs

@@ -1,0 +1,46 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, GraftPlanBridge}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Public constructor for the native [[AsOfJoin]] operator. */
+object AsOf {
+
+  private def attr(plan: LogicalPlan, name: String, side: String): Attribute =
+    plan.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"as-of $side side has no column '$name' " +
+          s"(available: ${plan.output.map(_.name).mkString(", ")})"))
+
+  /** For each left row: the payload columns of the LATEST right row
+    * with `left.key == right.key` and `right.time <= left.time`
+    * (null payload when no right row precedes). Key and time column
+    * names are looked up on both sides; `payload` maps right-side
+    * column → output name. Time columns must be timestamps or long
+    * microseconds on both sides.
+    *
+    * Like Dataset self-joins, both inputs must have independent
+    * lineage (a frame as-of-joined with a projection of itself would
+    * carry ambiguous attribute ids).
+    */
+  def join(left: DataFrame, right: DataFrame, key: String, time: String,
+           payload: Seq[(String, String)]): DataFrame = {
+    val spark = left.sparkSession
+    GraftPlanBridge.installPlanning(spark)
+    val lPlan = GraftPlanBridge.analyzed(left)
+    val rPlan = GraftPlanBridge.analyzed(right)
+    val src = payload.map { case (c, _) => attr(rPlan, c, "right") }
+    // fresh output attributes (NOT Aliases — CleanupAliases would
+    // strip those inside a non-Project node), nullable: no-match rows
+    // emit null payload
+    val out = payload.zip(src).map { case ((_, name), s) =>
+      AttributeReference(name, s.dataType, nullable = true)()
+    }
+    GraftPlanBridge.ofRows(spark, AsOfJoin(
+      lPlan, rPlan,
+      attr(lPlan, key, "left"), attr(rPlan, key, "right"),
+      attr(lPlan, time, "left"), attr(rPlan, time, "right"),
+      src, out))
+  }
+}

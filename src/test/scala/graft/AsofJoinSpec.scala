@@ -38,6 +38,62 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(105L) === None)
   }
 
+  test("native as-of operator matches the planted semantics incl. no-match and null time") {
+    graft.plans.AsOf // touch
+    val right = Seq(
+      (1L, Some(1000L), "r-a"),
+      (1L, Some(3000L), "r-b"),
+      (2L, Some(500L), "r-c"),
+      (3L, None: Option[Long], "r-null")) // null time: matches nothing
+      .toDF("key", "t", "tag")
+    val left = Seq(
+      (100L, 1L, Some(999L)),   // before everything → null
+      (101L, 1L, Some(1000L)),  // equality is inclusive → r-a
+      (102L, 1L, Some(2999L)),  // → r-a
+      (103L, 1L, Some(3000L)),  // → r-b
+      (104L, 2L, Some(9999L)),  // → r-c
+      (105L, 3L, Some(9999L)),  // only a null-time right row → null
+      (106L, 4L, Some(1L)),     // key with no right rows → null
+      (107L, 1L, None: Option[Long])) // null left time → null
+      .toDF("event_id", "key", "t")
+    val out = graft.plans.AsOf.join(left, right, "key", "t",
+        Seq("tag" -> "asof_tag")).collect()
+      .map(r => r.getAs[Long]("event_id") -> Option(r.getAs[String]("asof_tag")))
+      .toMap
+    assert(out === Map(
+      100L -> None, 101L -> Some("r-a"), 102L -> Some("r-a"),
+      103L -> Some("r-b"), 104L -> Some("r-c"), 105L -> None,
+      106L -> None, 107L -> None))
+  }
+
+  test("native as-of plans as AsOfJoinExec with a pruned right side") {
+    val dir = sf
+    val events = graft.io.Tables.parquet(spark, dir, "events")
+    val orders = graft.io.Tables.parquet(spark, dir, "orders")
+    val df = Relational.eventOrderAsofNative(events, orders)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    // PruneAsOfJoinRight: the orders scan must read only the column the
+    // operator consumes (o_custkey, o_orderdate), not all 9
+    val scans = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("orders"))
+    assert(scans.nonEmpty && scans.forall { s =>
+      s.contains("o_custkey") && s.contains("o_orderdate") &&
+        !s.contains("o_totalprice") && !s.contains("o_comment")
+    }, scans.mkString("\n"))
+  }
+
+  test("native as-of operator agrees with the composed union+window form on the fixture") {
+    val events = graft.io.Tables.parquet(spark, sf, "events")
+    val orders = graft.io.Tables.parquet(spark, sf, "orders")
+    val composed = Relational.eventOrderAsof(events, orders).collect()
+      .map(_.toSeq).toSet
+    val native = Relational.eventOrderAsofNative(events, orders).collect()
+      .map(_.toSeq).toSet
+    assert(native === composed)
+    assert(native.nonEmpty)
+  }
+
   test("range join counts same-type events in the preceding window exactly") {
     // 30-min window; events straddle a bin boundary on purpose
     val events = Seq(

@@ -35,6 +35,28 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("vec_dot"), err.getMessage)
   }
 
+  test("embeddingNearDupPairs keeps exactly the pairs at/above the cosine threshold") {
+    val base = (0 until 8).map(_.toFloat + 1f)
+    val near = base.updated(0, 1.2f) // cosine ≈ 0.999
+    val far = (0 until 8).map(i => if (i % 2 == 0) 1f else -1f)
+    val d = vecs(0L -> base, 1L -> near, 2L -> far, 3L -> base)
+    val out = SimilarityOps.embeddingNearDupPairs(d, threshold = 0.9).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(out === Set((0L, 1L), (0L, 3L), (1L, 3L))) // far matches nothing
+  }
+
+  test("semanticDedupApply keeps one canonical per near-dup component with drop counts") {
+    val base = (0 until 8).map(_.toFloat + 1f)
+    val near = base.updated(0, 1.2f)
+    val far = (0 until 8).map(i => if (i % 2 == 0) 1f else -1f)
+    // component {0,1,3} (via 0-1, 0-3 edges), singletons 2 and 4
+    val d = vecs(0L -> base, 1L -> near, 2L -> far, 3L -> base,
+      4L -> far.map(x => -x))
+    val out = SimilarityOps.semanticDedupApply(d, threshold = 0.9).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("n_dropped")).toMap
+    assert(out === Map(0L -> 2L, 2L -> 0L, 4L -> 0L))
+  }
+
   test("lshBuckets: identical vectors land in the same bucket") {
     val v = (0 until 64).map(_.toFloat)
     val d = vecs(0L -> v, 1L -> v, 2L -> v.map(x => -x))
