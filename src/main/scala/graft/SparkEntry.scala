@@ -267,6 +267,8 @@ object SparkEntry {
       ClusterOps.trainingCorpus(t(s, dir, "documents"))),
     "q62_repetition" -> ((s, dir) =>
       TextOps.repetitionStats(t(s, dir, "documents"))),
+    "q67_topk_gate" -> ((s, dir) =>
+      TextOps.topTokensGate(t(s, dir, "documents"))),
     "q63_redact_pii" -> ((s, dir) =>
       TextOps.redactPii(TextOps.withPlantedPii(t(s, dir, "documents")))),
     // incremental-ingest forms: the fixture is split deterministically
@@ -770,6 +772,10 @@ object SparkEntry {
       """SELECT CAST(NULL AS VARCHAR) AS l_returnflag,
         |       CAST(NULL AS DOUBLE) AS p50_approx,
         |       CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi
+        |WHERE 1 = 0""".stripMargin,
+    "q67_topk_gate" ->
+      """SELECT CAST(NULL AS VARCHAR) AS reason, CAST(NULL AS VARCHAR) AS tok,
+        |       CAST(NULL AS BIGINT) AS est, CAST(NULL AS BIGINT) AS n_exact
         |WHERE 1 = 0""".stripMargin,
     // DuckDB has a NATIVE ASOF JOIN — the engine's composed
     // union+window form must agree with it exactly.

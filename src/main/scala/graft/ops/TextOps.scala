@@ -271,4 +271,51 @@ object TextOps {
         round(col("tf") * log(col("n").cast("double") / col("df")), 6)
           .as("tfidf"))
   }
+
+  /** Q67 gate: FREQUENT-ITEMS sketch (`approx_top_k` — Apache
+    * DataSketches frequent-items, Misra-Gries family) checked in-job
+    * against the exact token counts — the third member of the
+    * approximate-operator family (HLL q26, percentile sketch q44).
+    * The sketch is the 100 TB path for "top tokens over a corpus":
+    * one pass, fixed-size partial-mergeable state, no full
+    * token-frequency shuffle kept around.
+    *
+    * The published error bound for a stream of n items with
+    * `maxTracked` map slots is eps·n with eps = 3.5/maxTracked
+    * (DataSketches frequent-items documentation). Violations emitted:
+    *  - `deviation`: a sketch-reported item whose estimate differs
+    *    from its exact count by more than ceil(3.5·n/maxTracked);
+    *  - `missing`: an item whose exact count strictly exceeds the
+    *    sketch's smallest reported estimate plus the bound, yet absent
+    *    from the sketch's top-k (the no-false-negative guarantee above
+    *    the error band).
+    * Expected output: EMPTY — which the DuckDB oracle verifies.
+    */
+  def topTokensGate(documents: DataFrame, k: Int = 20,
+                    maxTracked: Int = 8192): DataFrame = {
+    val toks = OpsUtil.par(documents).select(explode(expr(tokensExpr)).as("tok"))
+    val approx = toks
+      .agg(expr(s"approx_top_k(tok, $k, $maxTracked)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("tok"), col("e.count").as("est"))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+    // the eps·n bound rides along as a broadcast one-row frame — no
+    // driver-side action, the whole gate is one job
+    val bound = toks.agg(count(lit(1)).as("n_total"))
+      .select(ceil(lit(3.5) * col("n_total") / maxTracked).cast("bigint")
+        .as("eps_n"))
+    val deviation = approx.join(exact, Seq("tok"), "left")
+      .crossJoin(broadcast(bound))
+      .filter(abs(col("est") - coalesce(col("n_exact"), lit(0L))) > col("eps_n"))
+      .select(lit("deviation").as("reason"), col("tok"),
+        col("est"), coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+    val cutoff = approx.agg(min("est").as("min_est"))
+    val missing = exact
+      .crossJoin(broadcast(cutoff)).crossJoin(broadcast(bound))
+      .join(approx.select(col("tok"), lit(1).as("hit")), Seq("tok"), "left")
+      .filter(col("hit").isNull && col("n_exact") > col("min_est") + col("eps_n"))
+      .select(lit("missing").as("reason"), col("tok"),
+        lit(null).cast("long").as("est"), col("n_exact"))
+    deviation.unionByName(missing)
+  }
 }

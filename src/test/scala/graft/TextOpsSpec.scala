@@ -24,6 +24,18 @@ class TextOpsSpec extends SparkSpec {
     assert(out(5L) === "und")
   }
 
+  test("topTokensGate is empty on the fixture and under genuine sketch eviction") {
+    val fixture = graft.io.Tables.parquet(spark, sf, "documents")
+    assert(TextOps.topTokensGate(fixture).collect().isEmpty)
+    // a skewed planted corpus with far more distinct tokens than map
+    // slots: the sketch must evict, and the heavy hitters' estimates
+    // must still land inside the eps·n band (violations stay empty)
+    val skewed = docs(1L -> (("hot " * 500) +
+      (1 to 400).map(i => s"cold$i").mkString(" ")))
+    assert(TextOps.topTokensGate(skewed, k = 3, maxTracked = 64)
+      .collect().isEmpty)
+  }
+
   test("redactPii counts and replaces emails/phones, leaves clean text alone") {
     val d = docs(
       1L -> "write to alice.smith+x@sub.example.org or bob@ex.co today",
