@@ -151,6 +151,6 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
-    ext.injectOptimizerRule(_ => graft.plans.PruneAsOfJoinRight)
+    ext.injectOptimizerRule(_ => graft.plans.PruneAsOfJoin)
   }
 }

@@ -54,21 +54,6 @@ object SimilarityOps {
       .select("query_id", "rnk", "vec_id", "sim")
   }
 
-  /** Q17: exact closest pairs across the corpus — candidate
-    * near-duplicates by embedding cosine.
-    *
-    * All-pairs compute is inherent to the EXACT semantics, but the
-    * PLAN is a block-partitioned equi-join, not a nested loop: each
-    * vector lands in block `vec_id % blocks`; the left side replicates
-    * each vector to every block id, so pair (a, b) meets exactly once
-    * — in the partition of b's block. That is a plain shuffled
-    * equi-join on the block key (parallelism = `blocks`, replication
-    * cost `blocks`·n ≪ n² compute), no BroadcastNestedLoopJoin, no
-    * corpus broadcast, and the final top-N plans as
-    * TakeOrderedAndProject (per-partition heaps). For corpora with
-    * true near-duplicates (sim → 1) use [[closestPairsBucketed]],
-    * which prunes the quadratic candidate space first.
-    */
   /** The shared exact pair-scoring subplan of [[closestPairs]] and
     * [[embeddingNearDupPairs]]: every unordered pair meets exactly once
     * in a block-partitioned equi-join (see [[closestPairs]] scaladoc)
@@ -86,6 +71,21 @@ object SimilarityOps {
       .withColumn("sim", sim("ea", "eb", "na", "nb"))
   }
 
+  /** Q17: exact closest pairs across the corpus — candidate
+    * near-duplicates by embedding cosine.
+    *
+    * All-pairs compute is inherent to the EXACT semantics, but the
+    * PLAN is a block-partitioned equi-join, not a nested loop: each
+    * vector lands in block `vec_id % blocks`; the left side replicates
+    * each vector to every block id, so pair (a, b) meets exactly once
+    * — in the partition of b's block. That is a plain shuffled
+    * equi-join on the block key (parallelism = `blocks`, replication
+    * cost `blocks`·n ≪ n² compute), no BroadcastNestedLoopJoin, no
+    * corpus broadcast, and the final top-N plans as
+    * TakeOrderedAndProject (per-partition heaps). For corpora with
+    * true near-duplicates (sim → 1) use [[closestPairsBucketed]],
+    * which prunes the quadratic candidate space first.
+    */
   def closestPairs(embeddings: DataFrame, topN: Int = 20,
                    blocks: Int = 32): DataFrame =
     scoredPairs(embeddings, blocks)

@@ -299,9 +299,13 @@ object TextOps {
       .select(explode(col("tk")).as("e"))
       .select(col("e.item").as("tok"), col("e.count").as("est"))
     val exact = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
-    // the eps·n bound rides along as a broadcast one-row frame — no
-    // driver-side action, the whole gate is one job
-    val bound = toks.agg(count(lit(1)).as("n_total"))
+    // the eps·n bound rides along as a broadcast one-row frame (no
+    // driver-side action) DERIVED from the exact aggregate: n_total =
+    // sum of the per-token counts, so ReuseExchange serves it from the
+    // groupBy's shuffle instead of a third tokenize+explode corpus pass
+    // (the scan still runs twice — once for the sketch, once for the
+    // exact side; that duplication is inherent to an exactness gate)
+    val bound = exact.agg(sum("n_exact").as("n_total"))
       .select(ceil(lit(3.5) * col("n_total") / maxTracked).cast("bigint")
         .as("eps_n"))
     val deviation = approx.join(exact, Seq("tok"), "left")

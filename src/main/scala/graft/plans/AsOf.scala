@@ -30,6 +30,18 @@ object AsOf {
     GraftPlanBridge.installPlanning(spark)
     val lPlan = GraftPlanBridge.analyzed(left)
     val rPlan = GraftPlanBridge.analyzed(right)
+    // output = left columns ++ payload columns: a payload name that
+    // collides (with a left column or another payload) would yield a
+    // frame whose columns resolve only with AMBIGUOUS_REFERENCE errors
+    // far from the cause — reject it here with the cause named
+    val leftNames = lPlan.output.map(_.name).toSet
+    val outNames = payload.map(_._2)
+    val clash = outNames.filter(leftNames.contains) ++
+      outNames.diff(outNames.distinct)
+    require(clash.isEmpty,
+      s"as-of payload output name(s) ${clash.distinct.mkString(", ")} " +
+        "collide with a left-side column or another payload; rename via " +
+        "the payload mapping's second element")
     val src = payload.map { case (c, _) => attr(rPlan, c, "right") }
     // fresh output attributes (NOT Aliases — CleanupAliases would
     // strip those inside a non-Project node), nullable: no-match rows

@@ -53,6 +53,18 @@ case class AsOfJoin(
   require(AsOfJoin.timeTypeOk(leftTime) && AsOfJoin.timeTypeOk(rightTime),
     s"as-of time columns must be long microseconds or timestamps, got " +
       s"${leftTime.dataType} / ${rightTime.dataType}")
+  // both sides hash-partition INDEPENDENTLY and the merge compares the
+  // right key through an ordering built from the left key's type — a
+  // type mismatch (int vs long keys, TIMESTAMP vs TIMESTAMP_NTZ times)
+  // would not fail, it would silently mis-route or mis-pair rows, so
+  // reject it at construction
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of key types must match across sides, got " +
+      s"${leftKey.dataType} / ${rightKey.dataType}")
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of time types must match across sides (TIMESTAMP and " +
+      s"TIMESTAMP_NTZ compare raw micros with different semantics), got " +
+      s"${leftTime.dataType} / ${rightTime.dataType}")
   require(payloadSrc.length == payloadOut.length,
     "payloadSrc and payloadOut must align")
 
@@ -78,14 +90,26 @@ object AsOfJoin {
 }
 
 /** Column pruning THROUGH the custom node: Catalyst's `ColumnPruning`
-  * does not know [[AsOfJoin]], so without this rule the right child
-  * would scan and shuffle every column of its table even though the
-  * operator only consumes the key, the time, and the payload inputs.
-  * With it, the projection reaches the parquet scan (`ReadSchema`
-  * shrinks) exactly as it does for built-in joins.
+  * does not know [[AsOfJoin]], so without this rule both children
+  * would scan and shuffle every column of their tables. The right
+  * child is self-contained — the operator consumes only its key, time,
+  * and payload inputs. The left child streams through unchanged, so
+  * its needed set comes from the consumer: a `Project` directly above
+  * the node. With both cases the projection reaches the parquet scan
+  * (`ReadSchema` shrinks) exactly as it does for built-in joins; the
+  * rule runs in the fixed-point operator-optimization batch, so the
+  * pushed `Project`s keep sinking toward the scans.
   */
-object PruneAsOfJoinRight extends Rule[LogicalPlan] {
+object PruneAsOfJoin extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // left side: keep what the consumer references plus the join inputs
+    case p @ Project(projectList, j: AsOfJoin) =>
+      val needed = AttributeSet(projectList.flatMap(_.references) ++
+        j.leftKey.references ++ j.leftTime.references)
+      val keep = j.left.output.filter(needed.contains)
+      if (keep.length == j.left.output.length) p
+      else p.copy(child = j.copy(left = Project(keep, j.left)))
+    // right side: self-contained on the node
     case j @ AsOfJoin(_, right, _, rk, _, rt, payloadSrc, _) =>
       val needed = AttributeSet(rk.references ++ rt.references ++
         payloadSrc.flatMap(_.references))

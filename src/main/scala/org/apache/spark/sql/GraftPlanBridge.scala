@@ -28,7 +28,7 @@ object GraftPlanBridge {
     val em = spark.asInstanceOf[classic.SparkSession].experimental
     if (!em.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       em.extraStrategies = em.extraStrategies :+ graft.plans.AsOfJoinStrategy
-    if (!em.extraOptimizations.contains(graft.plans.PruneAsOfJoinRight))
-      em.extraOptimizations = em.extraOptimizations :+ graft.plans.PruneAsOfJoinRight
+    if (!em.extraOptimizations.contains(graft.plans.PruneAsOfJoin))
+      em.extraOptimizations = em.extraOptimizations :+ graft.plans.PruneAsOfJoin
   }
 }

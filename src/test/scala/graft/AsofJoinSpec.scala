@@ -66,6 +66,58 @@ class AsofJoinSpec extends SparkSpec {
       106L -> None, 107L -> None))
   }
 
+  test("native as-of rejects mismatched key/time types and colliding payload names at construction") {
+    val right = Seq((1L, 1000L, "r")).toDF("key", "t", "tag")
+    // int keys vs long keys: independent hash partitionings would
+    // mis-route rows silently — must fail at construction instead
+    val intKey = Seq((100L, 1, 2000L)).toDF("event_id", "key", "t")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.plans.AsOf.join(intKey, right, "key", "t", Seq("tag" -> "asof_tag"))
+    }
+    assert(e1.getMessage.contains("key types"), e1.getMessage)
+    // TIMESTAMP vs long micros: raw-micros comparison across flavors
+    val tsTime = Seq((100L, 1L, ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "key", "t")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.plans.AsOf.join(tsTime, right, "key", "t", Seq("tag" -> "asof_tag"))
+    }
+    assert(e2.getMessage.contains("time types"), e2.getMessage)
+    // payload output name colliding with a left column (and a duplicate
+    // payload name) would make every downstream col() ambiguous
+    val left = Seq((100L, 1L, 2000L)).toDF("event_id", "key", "t")
+    val e3 = intercept[IllegalArgumentException] {
+      graft.plans.AsOf.join(left, right, "key", "t", Seq("tag" -> "t"))
+    }
+    assert(e3.getMessage.contains("collide"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      graft.plans.AsOf.join(left, right, "key", "t",
+        Seq("tag" -> "a", "t" -> "a"))
+    }
+    assert(e4.getMessage.contains("collide"), e4.getMessage)
+  }
+
+  test("a select above the native as-of prunes the LEFT scan too") {
+    val dir = sf
+    val events = graft.io.Tables.parquet(spark, dir, "events")
+    val right = graft.io.Tables.parquet(spark, dir, "orders")
+      .selectExpr("o_custkey as user_id", "cast(o_orderdate as timestamp) as ts",
+        "o_totalprice")
+    // no manual pre-projection of the wide left table: the consumer's
+    // select drives PruneAsOfJoin's Project case, which must push the
+    // left needed set (event_id consumed + user_id/ts join inputs)
+    // into the events scan — event_type/value/props never read
+    val df = graft.plans.AsOf.join(events, right,
+        key = "user_id", time = "ts", payload = Seq("o_totalprice" -> "price"))
+      .selectExpr("event_id", "price")
+    assert(df.count() > 0)
+    val scans = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("events"))
+    assert(scans.nonEmpty && scans.forall { s =>
+      s.contains("event_id") && s.contains("user_id") && s.contains("ts") &&
+        !s.contains("event_type") && !s.contains("props")
+    }, scans.mkString("\n"))
+  }
+
   test("native as-of plans as AsOfJoinExec with a pruned right side") {
     val dir = sf
     val events = graft.io.Tables.parquet(spark, dir, "events")
@@ -73,7 +125,7 @@ class AsofJoinSpec extends SparkSpec {
     val df = Relational.eventOrderAsofNative(events, orders)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("AsOfJoin"), plan)
-    // PruneAsOfJoinRight: the orders scan must read only the column the
+    // PruneAsOfJoin: the orders scan must read only the column the
     // operator consumes (o_custkey, o_orderdate), not all 9
     val scans = df.queryExecution.executedPlan.collectLeaves()
       .map(_.toString).filter(_.contains("orders"))
