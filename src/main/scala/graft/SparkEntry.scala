@@ -292,6 +292,16 @@ object SparkEntry {
       SimilarityOps.embeddingNearDupPairs(t(s, dir, "embeddings"))),
     "q66_semantic_dedup" -> ((s, dir) =>
       SimilarityOps.semanticDedupApply(t(s, dir, "embeddings"))),
+    // benchmark contamination: the held-out "benchmark" is the
+    // deterministic doc_id % 10 = 7 slice; the corpus is the rest
+    "q68_contamination" -> ((s, dir) =>
+      TextOps.benchmarkContamination(
+        t(s, dir, "documents").filter(col("doc_id") % 10 =!= 7),
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 7))),
+    "q69_quantize_int8" -> ((s, dir) =>
+      SimilarityOps.quantizeInt8Summary(t(s, dir, "embeddings"))),
+    "q70_pack_sequences" -> ((s, dir) =>
+      TextOps.packSequences(t(s, dir, "documents"))),
     // the stateful-streaming sessionizer held to the BATCH oracle:
     // session_id re-derived by start order, cents scaled back — the
     // engine must produce the identical session set q32 does
@@ -624,6 +634,54 @@ object SparkEntry {
          |SELECT l.id AS vec_id, CAST(s.n - 1 AS BIGINT) AS n_dropped
          |FROM labels l JOIN sizes s ON s.canonical = l.canonical
          |WHERE l.id = l.canonical""".stripMargin,
+    // Benchmark contamination: distinct 5-gram overlap between the
+    // corpus (doc_id % 10 <> 7) and the benchmark slice (= 7). The
+    // 5-gram expansion mirrors OpsUtil.shingleExpr(5) exactly (same
+    // tokenization, same window, empty under 5 tokens).
+    "q68_contamination" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks w FROM documents),
+         |g AS (SELECT doc_id,
+         |             unnest(list_transform(range(1, len(w) - 3),
+         |                    i -> array_to_string(w[i:i+4], ' '))) gram
+         |      FROM toks),
+         |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 7),
+         |cg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 10 <> 7)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM cg JOIN bg USING (gram) GROUP BY doc_id""".stripMargin,
+    // Int8 quantization digest: codes = round(x·127/maxabs) with all
+    // arithmetic in DOUBLE, zero vectors to all-zero codes — the oracle
+    // recomputes every code and pins (sum, min, max, scale).
+    "q69_quantize_int8" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding,
+        |                  x -> abs(CAST(x AS DOUBLE)))) maxabs
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, maxabs,
+        |         list_transform(embedding, x ->
+        |           CASE WHEN maxabs = 0 THEN 0
+        |                ELSE CAST(round(CAST(x AS DOUBLE) * 127.0 / maxabs)
+        |                          AS INT) END) q
+        |  FROM m)
+        |SELECT vec_id,
+        |       CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |       CAST(list_min(q) AS INT) AS q_min,
+        |       CAST(list_max(q) AS INT) AS q_max,
+        |       round(maxabs / 127.0, 6) AS scale6
+        |FROM q""".stripMargin,
+    // Sequence packing: pack = budget-window of the running token
+    // offset within (lang, shard = doc_id % 8), ordered by doc_id.
+    "q70_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, doc_id % 8 AS shard,
+         |         CAST(len($duckToks) AS BIGINT) AS n_tok
+         |  FROM documents)
+         |SELECT doc_id, lang, shard, n_tok,
+         |       CAST(floor((sum(n_tok) OVER (PARTITION BY lang, shard
+         |                    ORDER BY doc_id) - n_tok) / 512.0) AS BIGINT)
+         |         AS pack_id
+         |FROM t""".stripMargin,
     "q18_langid" ->
       s"""WITH markers(token, cand_lang, weight) AS (VALUES $langMarkerValues),
          |toks AS (SELECT doc_id, unnest($duckToks) token FROM documents),

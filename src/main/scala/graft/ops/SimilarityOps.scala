@@ -436,4 +436,37 @@ object SimilarityOps {
       .filter(col("rnk") <= k)
       .select("query_id", "rnk", "vec_id", "sim")
   }
+
+  /** Q69: INT8 scalar quantization — the storage/bandwidth scale path
+    * for the embedding column: per-vector symmetric max-abs scaling to
+    * int8 codes (4× smaller than float32, the standard first step
+    * before IVF/PQ indexes; reconstruction x̂ = q·maxabs/127 bounds
+    * per-element error at maxabs/254). Pure expression pipeline —
+    * per-row, no shuffle, whole-stage codegen; all arithmetic in
+    * DOUBLE in a fixed order so the DuckDB oracle reproduces the codes
+    * bit-for-bit. Zero vectors (maxabs = 0) quantize to all-zero codes
+    * rather than dividing by zero.
+    */
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("maxabs", expr(
+        "array_max(transform(embedding, x -> abs(cast(x as double))))"))
+      .withColumn("q", expr(
+        """transform(embedding, x ->
+          |  case when maxabs = 0D then 0
+          |       else cast(round(cast(x as double) * 127.0D / maxabs) as int)
+          |  end)""".stripMargin))
+
+  /** The q69 registry surface: a per-vector digest of the codes (sum,
+    * min, max, scale) — pins every code's value through the oracle
+    * without shipping 64-wide arrays through the comparator.
+    */
+  def quantizeInt8Summary(embeddings: DataFrame): DataFrame =
+    quantizeInt8(embeddings).select(
+      col("vec_id"),
+      expr("aggregate(q, cast(0 as bigint), (a, x) -> a + cast(x as bigint))")
+        .as("q_sum"),
+      expr("array_min(q)").as("q_min"),
+      expr("array_max(q)").as("q_max"),
+      round(col("maxabs") / 127.0, 6).as("scale6"))
 }

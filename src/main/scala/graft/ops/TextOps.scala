@@ -202,6 +202,64 @@ object TextOps {
       .groupBy("lang", "gram")
       .agg(count(lit(1)).as("cnt"))
 
+  /** Q68: BENCHMARK CONTAMINATION — the eval-integrity primitive of a
+    * training pipeline: which corpus documents share long word n-grams
+    * with a held-out benchmark set, and how many. A training document
+    * containing a benchmark item's 5-gram leaks the eval into training;
+    * this surfaces them for removal (the n-gram-overlap decontamination
+    * procedure published with GPT-3, Appendix C).
+    *
+    * Plan shape: both sides expand to DISTINCT (doc, gram) /(gram) sets
+    * with map-side partial aggregation, then a LEFT SEMI equi-join on
+    * the gram and one count per contaminated doc. Benchmarks are small
+    * next to the corpus, so the semi-join broadcasts (AQE decides from
+    * the measured size); nothing is ever all-pairs. At 100 TB the only
+    * adaptation worth making is joining on a 64-bit gram hash instead
+    * of the gram string to shrink the shuffled/broadcast payload —
+    * semantics identical modulo hash collisions, so the string form
+    * stays the oracle-checked definition.
+    */
+  def benchmarkContamination(corpus: DataFrame, benchmark: DataFrame,
+                             n: Int = 5): DataFrame = {
+    def grams(df: DataFrame) = df
+      .withColumn("w", expr(tokensExpr))
+      .select(col("doc_id"), explode(expr(OpsUtil.shingleExpr(n))).as("gram"))
+    val bg = grams(benchmark).select("gram").distinct()
+    grams(corpus).distinct()
+      .join(bg, Seq("gram"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Q70: SEQUENCE PACKING — assign documents to fixed token-budget
+    * training sequences: each document's pack is the budget-window its
+    * START offset falls in, under a deterministic (lang, shard,
+    * doc_id) order. The standard pre-tokenization step that turns a
+    * filtered corpus into equal-cost training rows.
+    *
+    * A single global running sum would serialize the corpus through
+    * one partition; instead the running offset is per (lang, shard)
+    * with shard = doc_id % `shards`, so parallelism is lang×shards
+    * while each pack stays homogeneous in language and fully
+    * deterministic. At 100 TB, `shards` scales with the cluster (it
+    * only changes which docs share a pack, not the semantics), and the
+    * one shuffle is the window's hash partition on (lang, shard).
+    */
+  def packSequences(documents: DataFrame, budget: Int = 512,
+                    shards: Int = 8): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(shards > 0, s"shards must be positive: $shards")
+    val toks = documents.select(col("doc_id"), col("lang"),
+      size(expr(tokensExpr)).cast("long").as("n_tok"),
+      (col("doc_id") % shards).as("shard"))
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("start_tok", sum("n_tok").over(w) - col("n_tok"))
+      .withColumn("pack_id", floor(col("start_tok") / budget))
+      .select("doc_id", "lang", "shard", "n_tok", "pack_id")
+  }
+
   /** PII patterns shared by [[redactPii]] and the q63 oracle — kept to
     * syntax with IDENTICAL semantics in Java regex and RE2 (plain
     * character classes, no \b/\d shorthand whose Unicode behavior

@@ -165,4 +165,49 @@ class SimilarityOpsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       SimilarityOps.requireLshSized(1L << 30, numPlanes = 4))
   }
+
+  test("int8 quantization bounds codes and reconstruction error; zero vectors stay zero") {
+    val d = vecs(
+      0L -> Seq(0.5f, -1.0f, 0.25f, 0.125f),
+      1L -> Seq(0.0f, 0.0f, 0.0f, 0.0f), // maxabs = 0: no div-by-zero
+      2L -> Seq(3.0f, -4.0f, 0.0f, 1.5f))
+    val qdf = SimilarityOps.quantizeInt8(d)
+    val out = qdf.collect().map { r =>
+      r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("maxabs"),
+          r.getSeq[Int](qdf.schema.fieldIndex("q")).toVector)
+    }.toMap
+    assert(out(1L)._2 === Vector(0, 0, 0, 0))
+    out.foreach { case (id, (maxabs, q)) =>
+      assert(q.forall(c => c >= -127 && c <= 127), s"vec $id codes $q")
+      if (maxabs > 0) {
+        val orig = d.collect().find(_.getLong(0) == id).get.getSeq[Float](1).toVector
+        orig.zip(q).foreach { case (x, c) =>
+          // symmetric max-abs scaling: |x - c·maxabs/127| ≤ maxabs/254
+          assert(math.abs(x - c * maxabs / 127.0) <= maxabs / 254.0 + 1e-9,
+            s"vec $id x=$x c=$c maxabs=$maxabs")
+        }
+      }
+    }
+    // the extreme elements map to ±127 exactly
+    assert(out(2L)._2(1) === -127)
+    assert(out(0L)._2(1) === -127)
+  }
+
+  test("quantized embeddings preserve kNN neighborhoods on the fixture (recall@10 >= 0.9)") {
+    val e = graft.io.Tables.parquet(spark, sf, "embeddings")
+    val deq = SimilarityOps.quantizeInt8(e).selectExpr("vec_id",
+      """transform(q, x -> cast(cast(x as double) * maxabs / 127.0D as float))
+        |  as embedding""".stripMargin)
+    def top(df: org.apache.spark.sql.DataFrame) =
+      SimilarityOps.bruteForceKnn(df, nQueries = 5, k = 10).collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val exact = top(e)
+    val quant = top(deq)
+    val recalls = exact.map { case (qid, ids) =>
+      quant(qid).intersect(ids).size.toDouble / ids.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@10 $mean")
+  }
 }

@@ -124,4 +124,40 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Int]("n_ws_tokens") === 2)
     assert(r.getAs[Int]("n_bpe_tokens") === 4)
   }
+
+  test("benchmark contamination counts distinct shared 5-grams; short docs produce none") {
+    // corpus doc 1 embeds the benchmark's exact 5-gram once (its two
+    // 5-grams overlap the benchmark in one); doc 2 is under 5 tokens
+    // (no grams at all); doc 3 shares nothing
+    val corpus = docs(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "one two three four",
+      3L -> "totally different words appear here today")
+    val bench = docs(7L -> "alpha beta gamma delta epsilon")
+    val out = TextOps.benchmarkContamination(corpus, bench).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L))
+    // repeated shared grams count DISTINCT once per doc
+    val rep = docs(4L -> "alpha beta gamma delta epsilon zeta alpha beta gamma delta epsilon")
+    val out2 = TextOps.benchmarkContamination(rep, bench).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 === Map(4L -> 1L))
+  }
+
+  test("sequence packing windows the running token offset per (lang, shard)") {
+    // shards = 1 → one ordered stream: n_tok 3, 2, 4; starts 0, 3, 5;
+    // budget 4 → packs 0, 0, 1 (a doc belongs to the window its START
+    // falls in, so doc 2 straddles the boundary but stays in pack 0)
+    val d = docs(0L -> "a b c", 2L -> "d e", 4L -> "f g h i")
+    val out = TextOps.packSequences(d, budget = 4, shards = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tok"), r.getAs[Long]("pack_id"))).toMap
+    assert(out === Map(0L -> (3L, 0L), 2L -> (2L, 0L), 4L -> (4L, 1L)))
+    // shard separation: with 2 shards the odd/even streams pack
+    // independently (each restarts its offset at zero)
+    val d2 = docs(0L -> "a b c d e", 1L -> "f g h i j")
+    val out2 = TextOps.packSequences(d2, budget = 4, shards = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pack_id")).toMap
+    assert(out2 === Map(0L -> 0L, 1L -> 0L))
+  }
 }
