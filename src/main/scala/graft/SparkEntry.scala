@@ -302,6 +302,8 @@ object SparkEntry {
       SimilarityOps.quantizeInt8Summary(t(s, dir, "embeddings"))),
     "q70_pack_sequences" -> ((s, dir) =>
       TextOps.packSequences(t(s, dir, "documents"))),
+    "q71_audio_decode" -> ((s, dir) =>
+      MultimodalOps.audioRoundTrip(t(s, dir, "documents"))),
     // the stateful-streaming sessionizer held to the BATCH oracle:
     // session_id re-derived by start order, cents scaled back — the
     // engine must produce the identical session set q32 does
@@ -682,6 +684,24 @@ object SparkEntry {
          |                    ORDER BY doc_id) - n_tok) / 512.0) AS BIGINT)
          |         AS pack_id
          |FROM t""".stripMargin,
+    // Audio round trip: every recovered field re-derived from doc_id
+    // and the integer waveform s_i = (i·k) mod 2003 - 1001 — a decoder
+    // that does not parse RIFF PCM cannot reproduce peak/ssum.
+    "q71_audio_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id, 100 + doc_id % 400 AS n, 1 + doc_id % 7 AS k,
+        |         8000 * (1 + doc_id % 3) AS rate
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(range(0, n)) AS i FROM p),
+        |st AS (SELECT g.doc_id,
+        |              max(abs((i * k) % 2003 - 1001)) AS peak,
+        |              CAST(sum((i * k) % 2003 - 1001) AS BIGINT) AS ssum
+        |       FROM g JOIN p USING (doc_id) GROUP BY g.doc_id)
+        |SELECT p.doc_id, CAST(p.n AS INT) AS n_samples,
+        |       CAST(p.rate AS INT) AS sample_rate,
+        |       CAST(1 AS INT) AS channels, CAST(16 AS INT) AS bits,
+        |       CAST(st.peak AS INT) AS peak, st.ssum
+        |FROM p JOIN st USING (doc_id)""".stripMargin,
     "q18_langid" ->
       s"""WITH markers(token, cand_lang, weight) AS (VALUES $langMarkerValues),
          |toks AS (SELECT doc_id, unnest($duckToks) token FROM documents),

@@ -165,6 +165,95 @@ object MultimodalOps {
     decode(syntheticPngTable(documents), ImageIoDecoder)
       .toDF().select("doc_id", "width", "height", "format")
 
+  /** Deterministic WAV fixture generation: one real RIFF/WAVE PCM
+    * payload per document (16-bit mono, rate and length derived from
+    * doc_id, samples an exact integer waveform) via
+    * `javax.sound.sampled.AudioSystem` — the audio analogue of
+    * [[syntheticPngTable]], encoded per-partition on executors.
+    */
+  def syntheticWavTable(documents: DataFrame): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = (100 + id % 400).toInt
+        val k = (1 + id % 7).toInt
+        val rate = (8000 * (1 + id % 3)).toInt
+        // little-endian 16-bit PCM of s_i = (i·k) mod 2003 - 1001
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = (i * k) % 2003 - 1001
+          pcm(2 * i) = (s & 0xFF).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+          true /* signed */, false /* little-endian */)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        MediaRecord(id, bos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL audio decode via javax.sound.sampled (pure JVM): parses the
+    * RIFF container, recovers the format (rate/channels/bits) and the
+    * int16 samples, and emits per-payload stats. Unreadable payloads
+    * degrade to None — corrupt audio is data, not an outage. Bomb
+    * guard: the DECLARED frame length is checked before buffering.
+    */
+  def readWavStats(bytes: Array[Byte], maxSamples: Long = 1L << 24)
+      : Option[(Int, Int, Int, Int, Int, Long)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val n = ais.getFrameLength
+        if (n <= 0 || n > maxSamples || fmt.getChannels != 1 ||
+            fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+        else {
+          val pcm = ais.readAllBytes()
+          var peak = 0
+          var ssum = 0L
+          var i = 0
+          while (i + 1 < pcm.length) {
+            val s = ((pcm(i) & 0xFF) | (pcm(i + 1) << 8)).toShort.toInt
+            if (math.abs(s) > peak) peak = math.abs(s)
+            ssum += s
+            i += 2
+          }
+          Some((n.toInt, fmt.getSampleRate.toInt, fmt.getChannels,
+            fmt.getSampleSizeInBits, peak, ssum))
+        }
+      } finally ais.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  /** Q71 entry: generate real WAVs → decode them back with the real
+    * parser → emit recovered format and sample stats. The oracle
+    * recomputes every field (length, rate, peak, sample sum) from
+    * doc_id and the integer waveform formula, so a decoder that does
+    * not actually parse RIFF PCM cannot pass.
+    */
+  def audioRoundTrip(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    syntheticWavTable(documents).mapPartitions { it =>
+      it.grouped(64).flatMap(_.flatMap { r =>
+        readWavStats(r.media).map { case (n, rate, ch, bits, peak, ssum) =>
+          (r.doc_id, n, rate, ch, bits, peak, ssum)
+        }
+      })
+    }.toDF("doc_id", "n_samples", "sample_rate", "channels", "bits",
+      "peak", "ssum")
+  }
+
   /** documents → (doc_id, media binary): the ingest shape a real
     * multimodal table would have (here the bytes are the UTF-8 text —
     * any opaque payload works the same).

@@ -171,4 +171,33 @@ class MultimodalOpsSpec extends SparkSpec {
       assert(out(id).getAs[String]("format") === "png")
     }
   }
+
+  test("audioRoundTrip: generated WAVs decode to the predicted format and sample stats") {
+    val ids = Seq(0L, 1L, 6L, 399L, 1000L)
+    val out = MultimodalOps.audioRoundTrip(ids.toDF("doc_id")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (id <- ids) {
+      val n = (100 + id % 400).toInt
+      val k = (1 + id % 7).toInt
+      val samples = (0 until n).map(i => (i * k) % 2003 - 1001)
+      val r = out(id)
+      assert(r.getAs[Int]("n_samples") === n)
+      assert(r.getAs[Int]("sample_rate") === (8000 * (1 + id % 3)).toInt)
+      assert(r.getAs[Int]("channels") === 1)
+      assert(r.getAs[Int]("bits") === 16)
+      assert(r.getAs[Int]("peak") === samples.map(math.abs).max)
+      assert(r.getAs[Long]("ssum") === samples.map(_.toLong).sum)
+    }
+  }
+
+  test("readWavStats degrades on corrupt, oversized, and wrong-shape payloads") {
+    // not RIFF at all
+    assert(MultimodalOps.readWavStats(Array[Byte](1, 2, 3, 4)) === None)
+    // a real payload parses...
+    val wav = MultimodalOps.syntheticWavTable(Seq(5L).toDF("doc_id"))
+      .collect().head.media
+    assert(MultimodalOps.readWavStats(wav).isDefined)
+    // ...but the declared-length bomb guard refuses it under a budget
+    assert(MultimodalOps.readWavStats(wav, maxSamples = 10L) === None)
+  }
 }
