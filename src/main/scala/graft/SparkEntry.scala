@@ -304,6 +304,18 @@ object SparkEntry {
       TextOps.packSequences(t(s, dir, "documents"))),
     "q71_audio_decode" -> ((s, dir) =>
       MultimodalOps.audioRoundTrip(t(s, dir, "documents"))),
+    // skew mitigation held to the UN-salted semantics: the oracle is
+    // the plain aggregation/join, so the salting must be invisible in
+    // the result (l_quantity is integer-valued, so double sums are
+    // order-exact)
+    "q72_salted_sum" -> ((s, dir) =>
+      Skew.saltedSum(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_quantity")),
+    "q73_salted_join" -> ((s, dir) =>
+      Skew.saltedJoin(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_suppkey").as("key")),
+        t(s, dir, "supplier").select(col("s_suppkey").as("key"), col("s_name")),
+        "key")),
     // the stateful-streaming sessionizer held to the BATCH oracle:
     // session_id re-derived by start order, cents scaled back — the
     // engine must produce the identical session set q32 does
@@ -702,6 +714,12 @@ object SparkEntry {
         |       CAST(1 AS INT) AS channels, CAST(16 AS INT) AS bits,
         |       CAST(st.peak AS INT) AS peak, st.ssum
         |FROM p JOIN st USING (doc_id)""".stripMargin,
+    "q72_salted_sum" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_l_quantity
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q73_salted_join" ->
+      """SELECT l_suppkey AS key, l_orderkey, l_linenumber, s_name
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
     "q18_langid" ->
       s"""WITH markers(token, cand_lang, weight) AS (VALUES $langMarkerValues),
          |toks AS (SELECT doc_id, unnest($duckToks) token FROM documents),
