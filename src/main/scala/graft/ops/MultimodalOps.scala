@@ -245,11 +245,13 @@ object MultimodalOps {
     val spark = documents.sparkSession
     import spark.implicits._
     syntheticWavTable(documents).mapPartitions { it =>
-      it.grouped(64).flatMap(_.flatMap { r =>
+      // per-record decode (no batch API to amortize): a flat pass keeps
+      // at most one decoded payload in flight per task
+      it.flatMap { r =>
         readWavStats(r.media).map { case (n, rate, ch, bits, peak, ssum) =>
           (r.doc_id, n, rate, ch, bits, peak, ssum)
         }
-      })
+      }
     }.toDF("doc_id", "n_samples", "sample_rate", "channels", "bits",
       "peak", "ssum")
   }

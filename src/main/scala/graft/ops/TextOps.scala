@@ -249,8 +249,12 @@ object TextOps {
                     shards: Int = 8): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     require(shards > 0, s"shards must be positive: $shards")
+    // size() yields -1 (not 0) on a NULL array under Spark's default
+    // sizeOfNull — uncorrected, one NULL text would DECREMENT the
+    // running offset for every later doc in its stream; pin NULL text
+    // to 0 tokens instead
     val toks = documents.select(col("doc_id"), col("lang"),
-      size(expr(tokensExpr)).cast("long").as("n_tok"),
+      greatest(size(expr(tokensExpr)), lit(0)).cast("long").as("n_tok"),
       (col("doc_id") % shards).as("shard"))
     val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

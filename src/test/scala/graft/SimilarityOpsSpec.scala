@@ -178,10 +178,11 @@ class SimilarityOpsSpec extends SparkSpec {
           r.getSeq[Int](qdf.schema.fieldIndex("q")).toVector)
     }.toMap
     assert(out(1L)._2 === Vector(0, 0, 0, 0))
+    val origById = d.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toVector).toMap
     out.foreach { case (id, (maxabs, q)) =>
       assert(q.forall(c => c >= -127 && c <= 127), s"vec $id codes $q")
       if (maxabs > 0) {
-        val orig = d.collect().find(_.getLong(0) == id).get.getSeq[Float](1).toVector
+        val orig = origById(id)
         orig.zip(q).foreach { case (x, c) =>
           // symmetric max-abs scaling: |x - c·maxabs/127| ≤ maxabs/254
           assert(math.abs(x - c * maxabs / 127.0) <= maxabs / 254.0 + 1e-9,
