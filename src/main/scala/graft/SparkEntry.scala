@@ -388,6 +388,23 @@ object SparkEntry {
        |    ON l.k = r.k AND l.band = r.band AND l.doc_id < r.doc_id)
        |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
 
+  /** Benchmark contamination (q68, and the q57 decontamination stage):
+    * distinct 5-gram overlap between the corpus (doc_id % 10 <> 7) and
+    * the benchmark slice (= 7). The 5-gram expansion mirrors
+    * OpsUtil.shingleExpr(5) exactly (same tokenization, same window,
+    * empty under 5 tokens).
+    */
+  private val contaminationSql =
+    s"""WITH toks AS (SELECT doc_id, $duckToks w FROM documents),
+       |g AS (SELECT doc_id,
+       |             unnest(list_transform(range(1, len(w) - 3),
+       |                    i -> array_to_string(w[i:i+4], ' '))) gram
+       |      FROM toks),
+       |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 7),
+       |cg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 10 <> 7)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM cg JOIN bg USING (gram) GROUP BY doc_id""".stripMargin
+
   private val dedupClustersSql =
     s"""WITH RECURSIVE
        |p AS (SELECT doc_a, doc_b FROM ($minhashLshSql)
@@ -648,20 +665,7 @@ object SparkEntry {
          |SELECT l.id AS vec_id, CAST(s.n - 1 AS BIGINT) AS n_dropped
          |FROM labels l JOIN sizes s ON s.canonical = l.canonical
          |WHERE l.id = l.canonical""".stripMargin,
-    // Benchmark contamination: distinct 5-gram overlap between the
-    // corpus (doc_id % 10 <> 7) and the benchmark slice (= 7). The
-    // 5-gram expansion mirrors OpsUtil.shingleExpr(5) exactly (same
-    // tokenization, same window, empty under 5 tokens).
-    "q68_contamination" ->
-      s"""WITH toks AS (SELECT doc_id, $duckToks w FROM documents),
-         |g AS (SELECT doc_id,
-         |             unnest(list_transform(range(1, len(w) - 3),
-         |                    i -> array_to_string(w[i:i+4], ' '))) gram
-         |      FROM toks),
-         |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 7),
-         |cg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 10 <> 7)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
-         |FROM cg JOIN bg USING (gram) GROUP BY doc_id""".stripMargin,
+    "q68_contamination" -> contaminationSql,
     // Int8 quantization digest: codes = round(x·127/maxabs) with all
     // arithmetic in DOUBLE, zero vectors to all-zero codes — the oracle
     // recomputes every code and pins (sum, min, max, scale).
@@ -1059,6 +1063,7 @@ object SparkEntry {
          |  JOIN documents d ON d.doc_id = l.doc_id
          |  WHERE l.doc_id = l.canonical_id),
          |q AS ($qualitySql),
+         |contam AS ($contaminationSql),
          |$bigramFracCtes
          |SELECT k.doc_id, k.lang, k.source, q.n_tokens, q.quality
          |FROM kept k
@@ -1067,6 +1072,8 @@ object SparkEntry {
          |WHERE q.quality >= 0.5
          |  AND rep.top_bigram_frac <= 0.5
          |  AND k.lang IN ('en', 'de', 'fr', 'es')
+         |  AND k.doc_id % 10 <> 7
+         |  AND NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = k.doc_id)
          |  AND ('0x' || substr(md5(k.doc_id::VARCHAR || ':train'), 1, 8))::BIGINT
          |        / 4294967296.0 < 0.8""".stripMargin,
   )

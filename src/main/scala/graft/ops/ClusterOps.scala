@@ -190,13 +190,16 @@ object ClusterOps {
   /** Q57 — the FLAGSHIP COMPOSITION: materialize a training corpus the
     * way a real pipeline does, by composing the suite's own stages:
     * near-dup dedup (keep canonicals), quality gate, language
-    * allowlist, then a deterministic hash sample (salt "train" — the
-    * held-out salts stay uncorrelated). Everything is one declarative
-    * plan: Catalyst fuses the quality expressions into the scan side
-    * of the join, the dedup side reuses the q41/q47 machinery
-    * unchanged, and the sample is a pure per-row filter on top. The
-    * oracle composes the same stages' SQL, so the END-TO-END corpus —
-    * not just each stage — is hash-checked.
+    * allowlist, benchmark DECONTAMINATION (the q68 5-gram-overlap
+    * detector: the eval slice never trains, and neither does any doc
+    * that leaks its n-grams), then a deterministic hash sample (salt
+    * "train" — the held-out salts stay uncorrelated). Everything is
+    * one declarative plan: Catalyst fuses the quality expressions into
+    * the scan side of the join, the dedup side reuses the q41/q47
+    * machinery unchanged, the decontamination is a left-anti join
+    * against the q68 surface, and the sample is a pure per-row filter
+    * on top. The oracle composes the same stages' SQL, so the
+    * END-TO-END corpus — not just each stage — is hash-checked.
     */
   def trainingCorpus(documents: DataFrame,
                      minQuality: Double = 0.5,
@@ -207,11 +210,17 @@ object ClusterOps {
     val quality = graft.ops.TextOps.qualityScore(documents)
       .select(col("doc_id"), col("n_tokens"), col("quality"))
     val repetition = graft.ops.TextOps.topBigramFrac(documents)
+    // the q68 split: doc_id % 10 = 7 is the held-out benchmark
+    val contaminated = graft.ops.TextOps.benchmarkContamination(
+      documents.filter(col("doc_id") % 10 =!= 7),
+      documents.filter(col("doc_id") % 10 === 7)).select("doc_id")
     val filtered = kept.join(quality, "doc_id")
       .join(repetition, "doc_id")
       .filter(col("quality") >= minQuality &&
         col("top_bigram_frac") <= maxTopBigramFrac &&
-        col("lang").isin(langs: _*))
+        col("lang").isin(langs: _*) &&
+        col("doc_id") % 10 =!= 7)
+      .join(contaminated, Seq("doc_id"), "left_anti")
     graft.ops.SampleOps.sampleByHash(filtered, "doc_id", sampleRate, salt = "train")
       .select("doc_id", "lang", "source", "n_tokens", "quality")
   }

@@ -79,14 +79,21 @@ class ClusterOpsSpec extends SparkSpec {
     assert(m.exists { case (id, c) => c < id })  // fixture has real dup groups
   }
 
-  test("trainingCorpus composes dedup, quality, lang, and sample stages") {
+  test("trainingCorpus composes dedup, quality, lang, decontamination, and sample stages") {
     val d = graft.io.Tables.parquet(spark, sf, "documents")
     val corpus = ClusterOps.trainingCorpus(d).collect()
     assert(corpus.nonEmpty)
     val kept = ClusterOps.dedupedCorpus(d)
       .select("doc_id").collect().map(_.getLong(0)).toSet
+    import org.apache.spark.sql.functions.col
+    val contaminated = graft.ops.TextOps.benchmarkContamination(
+        d.filter(col("doc_id") % 10 =!= 7), d.filter(col("doc_id") % 10 === 7))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
     corpus.foreach { r =>
-      assert(kept.contains(r.getAs[Long]("doc_id")))  // only canonicals
+      val id = r.getAs[Long]("doc_id")
+      assert(kept.contains(id))  // only canonicals
+      assert(id % 10 !== 7)      // the benchmark slice never trains
+      assert(!contaminated.contains(id)) // nor anything that leaks it
       assert(r.getAs[Double]("quality") >= 0.5)
       assert(Set("en", "de", "fr", "es").contains(r.getAs[String]("lang")))
     }
