@@ -118,6 +118,25 @@ object SparkEntry {
     TextOps.tokenCounts(Tables.jsonl(s, tmp, "doc_id bigint, text string"))
   }
 
+  private val q75Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q75: supplier through the CSV sink and the schema-typed CSV
+    * source — long, int, string, and double columns must survive the
+    * text round trip bit-exactly against the parquet original
+    * (TablesSpec stresses quoting with planted delimiter/quote/newline
+    * content).
+    */
+  private def csvRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = q75Dirs.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-q75-")
+      sys.addShutdownHook(deleteRecursively(d))
+      d.toString
+    })
+    Tables.writeCsv(t(s, dir, "supplier"), tmp)
+    Tables.csvTyped(s, tmp,
+      "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double")
+  }
+
   /** Flagship query on sf0.001; driver smoke-checks rows>0. The
     * flagship is the q57 composition — the end-to-end training-corpus
     * materialization that exercises dedup, text analysis, and
@@ -308,6 +327,11 @@ object SparkEntry {
     // the plain aggregation/join, so the salting must be invisible in
     // the result (l_quantity is integer-valued, so double sums are
     // order-exact)
+    // stream-static enrichment (stateless) and the CSV source matrix
+    // round trip
+    "q74_stream_enrich" -> ((s, dir) =>
+      EventsStreaming.enrichEventsStreaming(s, dir)),
+    "q75_csv_roundtrip" -> csvRoundTrip _,
     "q72_salted_sum" -> ((s, dir) =>
       Skew.saltedSum(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_quantity")),
     "q73_salted_join" -> ((s, dir) =>
@@ -718,6 +742,14 @@ object SparkEntry {
         |       CAST(1 AS INT) AS channels, CAST(16 AS INT) AS bits,
         |       CAST(st.peak AS INT) AS peak, st.ssum
         |FROM p JOIN st USING (doc_id)""".stripMargin,
+    "q74_stream_enrich" ->
+      """SELECT e.event_id, e.user_id % 50 AS bucket,
+        |       CAST(COALESCE(d.n_orders, 0) AS BIGINT) AS n_orders
+        |FROM events e LEFT JOIN (
+        |  SELECT o_custkey % 50 AS bucket, CAST(count(*) AS BIGINT) n_orders
+        |  FROM orders GROUP BY 1) d ON d.bucket = e.user_id % 50""".stripMargin,
+    "q75_csv_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
     "q72_salted_sum" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_l_quantity
         |FROM lineitem GROUP BY 1""".stripMargin,

@@ -33,6 +33,25 @@ object Tables {
     spark.read.option("sep", sep).option("header", header.toString)
       .option("inferSchema", "false").csv(path)
 
+  /** Schema-typed CSV source — the typed counterpart of [[csv]]:
+    * caller-declared schema (never inferred — inference is a full
+    * extra pass at scale and type-drifts on partial data), header-aware.
+    *
+    * `multiLine` controls the splittability tradeoff: the default
+    * (false) splits files at line boundaries — the 100 TB path — but
+    * cannot parse quoted EMBEDDED newlines; set true only for data
+    * that carries them (each file then parses as one unit). The sink
+    * quotes newlines per RFC 4180 either way.
+    */
+  def csvTyped(spark: SparkSession, path: String, schemaDdl: String,
+               header: Boolean = true, multiLine: Boolean = false): DataFrame =
+    spark.read.schema(schemaDdl).option("header", header.toString)
+      .option("multiLine", multiLine.toString).csv(path)
+
+  /** CSV sink (quoted as needed, so embedded delimiters round-trip). */
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode("overwrite").option("header", header.toString).csv(path)
+
   /** Raw (offset-less) text lines; glob patterns supported like the
     * reference's TextInputFormat config (reference: test/src/.../Runner.java:36-37).
     */

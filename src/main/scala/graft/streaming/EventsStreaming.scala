@@ -339,6 +339,41 @@ object EventsStreaming {
     out
   }
 
+  /** Q74: STREAM-STATIC enrichment join — the most common streaming
+    * shape in practice: live events decorated with a precomputed
+    * dimension (here per-customer-bucket order counts). Unlike the
+    * stream-stream q54 this is STATELESS — no watermark, no state
+    * store, nothing buffered across micro-batches: the static side is
+    * broadcast into each micro-batch and rows flow straight through.
+    * At 100 TB/day of events the cost profile is exactly the batch
+    * broadcast join's, paid per micro-batch; a LARGE dimension would
+    * instead be a shuffled join per micro-batch (still stateless).
+    * The oracle is the equivalent batch left join, which must produce
+    * the identical row set on the drained fixture.
+    */
+  def enrichEventsStreaming(spark: SparkSession, dir: String,
+                            queryName: String = "graft_q74_enrich",
+                            buckets: Int = 50): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dim = graft.io.Tables.parquet(ss, dir, "orders")
+      .groupBy((col("o_custkey") % buckets).as("bucket"))
+      .agg(count(lit(1)).as("n_orders"))
+    val src = ss.readStream.schema(rawEventsSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val enriched = src
+      .select(col("event_id"), (col("user_id") % buckets).as("bucket"))
+      .join(broadcast(dim), Seq("bucket"), "left")
+      .select(col("event_id"), col("bucket"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    val q = enriched.writeStream.format("memory").queryName(queryName)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val out = ss.table(queryName)
+    out.cache(); out.count()
+    out
+  }
+
   /** Streaming export into an RDBMS — the reference's JDBC sink (R4,
     * MapReduceWSI.java:165-167) driven from a LIVE stream: foreachBatch
     * appends each micro-batch through the same bulk

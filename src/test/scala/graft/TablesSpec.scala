@@ -71,6 +71,35 @@ class TablesSpec extends SparkSpec {
       li.filter("l_quantity > 25.0").count())
   }
 
+  test("csv sink + typed source round-trips delimiter/quote/newline content exactly") {
+    import spark.implicits._
+    val nasty = Seq(
+      (1L, "plain", 3.25),
+      (2L, "comma, inside", -0.5),
+      (3L, "a \"quoted\" part", 1e-7),
+      (4L, "line\nbreak", 12345.6789))
+      .toDF("id", "s", "v")
+    val dir = Files.createTempDirectory("graft-csv").toString
+    Tables.writeCsv(nasty, dir)
+    // embedded newlines need the non-splittable multiLine reader —
+    // the splittable default would mis-parse row 4's quoted break
+    val back = Tables.csvTyped(spark, dir, "id bigint, s string, v double",
+        multiLine = true)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(back === Map(
+      1L -> ("plain", 3.25), 2L -> ("comma, inside", -0.5),
+      3L -> ("a \"quoted\" part", 1e-7), 4L -> ("line\nbreak", 12345.6789)))
+    // newline-free data round-trips through the SPLITTABLE default
+    val tame = nasty.filter($"id" =!= 4L)
+    val dir2 = Files.createTempDirectory("graft-csv2").toString
+    Tables.writeCsv(tame, dir2)
+    val back2 = Tables.csvTyped(spark, dir2, "id bigint, s string, v double")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(back2 === Map(
+      1L -> ("plain", 3.25), 2L -> ("comma, inside", -0.5),
+      3L -> ("a \"quoted\" part", 1e-7)))
+  }
+
   test("jsonl declared schema surfaces malformed lines instead of dropping them") {
     val dir = Files.createTempDirectory("graft-jsonl-bad").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "x.json"),
