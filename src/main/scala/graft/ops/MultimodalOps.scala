@@ -132,7 +132,7 @@ object MultimodalOps {
   def syntheticPngTable(documents: DataFrame): Dataset[MediaRecord] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+    OpsUtil.par(documents.select(col("doc_id"))).as[Long].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false) // in-memory encode
       it.map { id =>
         val w = 1 + (id % 64).toInt
@@ -174,7 +174,7 @@ object MultimodalOps {
   def syntheticWavTable(documents: DataFrame): Dataset[MediaRecord] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+    OpsUtil.par(documents.select(col("doc_id"))).as[Long].mapPartitions { it =>
       it.map { id =>
         val n = (100 + id % 400).toInt
         val k = (1 + id % 7).toInt
@@ -431,7 +431,7 @@ object MultimodalOps {
   def syntheticGifTable(documents: DataFrame): Dataset[MediaRecord] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+    OpsUtil.par(documents.select(col("doc_id"))).as[Long].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
       it.map { id =>
