@@ -332,6 +332,10 @@ object SparkEntry {
     "q74_stream_enrich" -> ((s, dir) =>
       EventsStreaming.enrichEventsStreaming(s, dir)),
     "q75_csv_roundtrip" -> csvRoundTrip _,
+    "q76_temperature_sample" -> ((s, dir) =>
+      SampleOps.temperatureSample(t(s, dir, "documents"), "doc_id", "source",
+          alpha = 0.7, salt = "mix")
+        .select("doc_id", "source", "lang")),
     "q72_salted_sum" -> ((s, dir) =>
       Skew.saltedSum(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_quantity")),
     "q73_salted_join" -> ((s, dir) =>
@@ -750,6 +754,19 @@ object SparkEntry {
         |  FROM orders GROUP BY 1) d ON d.bucket = e.user_id % 50""".stripMargin,
     "q75_csv_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    // Temperature mixing: the exponent is interpolated from the SAME
+    // double arithmetic the engine uses (1.0 - alpha is not the
+    // decimal literal 0.3), so pow() sees bit-identical inputs.
+    "q76_temperature_sample" ->
+      s"""WITH c AS (SELECT source, count(*) n_s FROM documents GROUP BY 1),
+         |m AS (SELECT min(n_s) n_min FROM c),
+         |r AS (SELECT source,
+         |             pow(CAST(n_min AS DOUBLE) / n_s, ${1.0 - 0.7}) rate
+         |      FROM c, m)
+         |SELECT d.doc_id, d.source, d.lang
+         |FROM documents d JOIN r USING (source)
+         |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':mix'), 1, 8))::BIGINT
+         |        / 4294967296.0 < r.rate""".stripMargin,
     "q72_salted_sum" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_l_quantity
         |FROM lineitem GROUP BY 1""".stripMargin,

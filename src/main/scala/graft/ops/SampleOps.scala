@@ -44,6 +44,32 @@ object SampleOps {
     * The rate lookup folds into a CASE expression — still a pure
     * per-row filter, no join, no shuffle.
     */
+  /** Q76: TEMPERATURE-SCALED source mixing — downsample-only
+    * rebalancing toward a `n^alpha` target mix (alpha = 1 keeps the
+    * natural distribution, alpha = 0 equalizes sources): each
+    * stratum's keep-rate is `(n_min / n_s)^(1 - alpha)`, so the
+    * smallest source keeps everything and larger sources are
+    * deterministically hash-thinned toward the tempered proportions —
+    * the standard mixing-weights step of a pretraining pipeline.
+    *
+    * Plan shape: one partial-aggregated count per stratum (tiny), a
+    * broadcast join of the per-stratum rate back onto the corpus, and
+    * the same pure per-row hash filter as [[sampleByHash]] — no
+    * corpus-sized shuffle at any scale.
+    */
+  def temperatureSample(df: DataFrame, keyCol: String, stratumCol: String,
+                        alpha: Double = 0.7, salt: String = ""): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1]: $alpha")
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("n_s"))
+    val nMin = counts.agg(min("n_s").as("n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select(col(stratumCol),
+        pow(col("n_min").cast("double") / col("n_s"), 1.0 - alpha).as("rate"))
+    df.join(broadcast(rates), stratumCol)
+      .filter(hashUnit(col(keyCol), salt) < col("rate"))
+      .drop("rate")
+  }
+
   def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
                        rates: Map[String, Double], defaultRate: Double = 1.0,
                        salt: String = ""): DataFrame = {

@@ -47,6 +47,26 @@ class SampleOpsSpec extends SparkSpec {
     assert(docIds === embIds) // a corpus and its embeddings stay aligned
   }
 
+  test("temperatureSample keeps the smallest source whole and thins larger ones toward n^alpha") {
+    // sources of 1500, 400, and 100 docs
+    val mix = (1L to 2000L).map(i =>
+      (i, if (i <= 1500) "web" else if (i <= 1900) "books" else "code"))
+      .toDF("doc_id", "source")
+    val out = SampleOps.temperatureSample(mix, "doc_id", "source", alpha = 0.7)
+    val kept = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the smallest stratum is never thinned (rate = 1)
+    assert(kept("code") === 100L)
+    // larger strata approximate n·(n_min/n)^(1-alpha)
+    for ((s, n) <- Seq("web" -> 1500.0, "books" -> 400.0)) {
+      val expect = n * math.pow(100.0 / n, 0.3)
+      assert(math.abs(kept(s) - expect) / expect < 0.15, s"$s: ${kept(s)} vs $expect")
+    }
+    // alpha = 1 keeps everything (natural mix)
+    assert(SampleOps.temperatureSample(mix, "doc_id", "source", alpha = 1.0)
+      .count() === 2000L)
+  }
+
   test("stratifiedSample applies per-stratum rates") {
     val out = SampleOps.stratifiedSample(docs, "doc_id", "lang",
       Map("en" -> 0.1, "de" -> 0.9), defaultRate = 0.5)
