@@ -336,6 +336,8 @@ object SparkEntry {
       SampleOps.temperatureSample(t(s, dir, "documents"), "doc_id", "source",
           alpha = 0.7, salt = "mix")
         .select("doc_id", "source", "lang")),
+    "q77_chunk_docs" -> ((s, dir) =>
+      TextOps.chunkDocuments(t(s, dir, "documents"))),
     "q72_salted_sum" -> ((s, dir) =>
       Skew.saltedSum(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_quantity")),
     "q73_salted_join" -> ((s, dir) =>
@@ -754,6 +756,20 @@ object SparkEntry {
         |  FROM orders GROUP BY 1) d ON d.bucket = e.user_id % 50""".stripMargin,
     "q75_csv_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    // Overlapping 64-token chunks every 48 tokens; the md5 pins the
+    // chunk CONTENT (token slice parity), not just the offsets.
+    "q77_chunk_docs" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks w FROM documents),
+         |n AS (SELECT doc_id, w, len(w) n_tok FROM t),
+         |s AS (SELECT doc_id, w, unnest(range(0, n_tok, 48)) start_tok
+         |      FROM n WHERE n_tok > 0)
+         |SELECT doc_id,
+         |       CAST(floor(start_tok / 48.0) AS INT) AS chunk_idx,
+         |       CAST(start_tok AS INT) AS start_tok,
+         |       CAST(len(w[start_tok+1:start_tok+64]) AS INT) AS n_chunk_tok,
+         |       md5(array_to_string(w[start_tok+1:start_tok+64], ' '))
+         |         AS chunk_md5
+         |FROM s""".stripMargin,
     // Temperature mixing: the exponent is interpolated from the SAME
     // double arithmetic the engine uses (1.0 - alpha is not the
     // decimal literal 0.3), so pow() sees bit-identical inputs.

@@ -264,6 +264,36 @@ object TextOps {
       .select("doc_id", "lang", "shard", "n_tok", "pack_id")
   }
 
+  /** Q77: OVERLAPPING TOKEN-WINDOW CHUNKING — the retrieval/embedding
+    * ingestion primitive: split each document into `chunk`-token
+    * windows starting every `stride` tokens (stride < chunk ⇒
+    * overlap), the shape RAG pipelines and long-context embedding
+    * models consume. Chunks start at every multiple of `stride` below
+    * the token count (the final window may be short); zero-token
+    * documents produce no chunks. Pure expression pipeline — the
+    * explode is the only row expansion, there is no shuffle at all,
+    * and the emitted chunk is pinned by its md5 so the oracle checks
+    * CONTENT, not just offsets, without shipping the text twice.
+    */
+  def chunkDocuments(documents: DataFrame, chunk: Int = 64,
+                     stride: Int = 48): DataFrame = {
+    require(chunk > 0, s"chunk must be positive: $chunk")
+    require(stride > 0 && stride <= chunk,
+      s"stride must be in [1, chunk]: $stride")
+    documents
+      .withColumn("w", expr(tokensExpr))
+      .withColumn("n_tok", greatest(size(col("w")), lit(0)))
+      .withColumn("start_tok", explode(expr(
+        s"case when n_tok > 0 then sequence(0, n_tok - 1, $stride) " +
+          "else array() end")))
+      .select(col("doc_id"),
+        (col("start_tok") / stride).cast("int").as("chunk_idx"),
+        col("start_tok").cast("int").as("start_tok"),
+        expr(s"size(slice(w, start_tok + 1, $chunk))").as("n_chunk_tok"),
+        expr(s"md5(concat_ws(' ', slice(w, start_tok + 1, $chunk)))")
+          .as("chunk_md5"))
+  }
+
   /** PII patterns shared by [[redactPii]] and the q63 oracle — kept to
     * syntax with IDENTICAL semantics in Java regex and RE2 (plain
     * character classes, no \b/\d shorthand whose Unicode behavior

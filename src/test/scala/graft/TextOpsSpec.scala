@@ -144,6 +144,26 @@ class TextOpsSpec extends SparkSpec {
     assert(out2 === Map(4L -> 1L))
   }
 
+  test("chunking emits overlapping windows with a short tail and skips empty docs") {
+    // 10 tokens, chunk 4, stride 3 → starts 0,3,6,9; the last two
+    // windows are short (4,4,4,1 tokens); content md5 pins the slice
+    val d = docs(1L -> "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9", 2L -> "   ")
+    val out = TextOps.chunkDocuments(d, chunk = 4, stride = 3).collect()
+      .filter(_.getLong(0) == 1L)
+      .sortBy(_.getAs[Int]("chunk_idx"))
+    assert(out.map(_.getAs[Int]("start_tok")).toSeq === Seq(0, 3, 6, 9))
+    assert(out.map(_.getAs[Int]("n_chunk_tok")).toSeq === Seq(4, 4, 4, 1))
+    val md5First = java.security.MessageDigest.getInstance("MD5")
+      .digest("t0 t1 t2 t3".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out.head.getAs[String]("chunk_md5") === md5First)
+    // whitespace-only doc → zero tokens → no chunks
+    assert(TextOps.chunkDocuments(d, 4, 3).filter("doc_id = 2").count() === 0)
+    // a doc shorter than one chunk still yields exactly one window
+    val one = TextOps.chunkDocuments(docs(3L -> "a b"), chunk = 4, stride = 3)
+    assert(one.count() === 1)
+  }
+
   test("sequence packing windows the running token offset per (lang, shard)") {
     // shards = 1 → one ordered stream: n_tok 3, 2, 4; starts 0, 3, 5;
     // budget 4 → packs 0, 0, 1 (a doc belongs to the window its START
