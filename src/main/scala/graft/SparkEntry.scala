@@ -327,8 +327,16 @@ object SparkEntry {
     // the plain aggregation/join, so the salting must be invisible in
     // the result (l_quantity is integer-valued, so double sums are
     // order-exact)
-    // stream-static enrichment (stateless) and the CSV source matrix
-    // round trip
+    "q72_salted_sum" -> ((s, dir) =>
+      Skew.saltedSum(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_quantity")),
+    "q73_salted_join" -> ((s, dir) =>
+      Skew.saltedJoin(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_suppkey").as("key")),
+        t(s, dir, "supplier").select(col("s_suppkey").as("key"), col("s_name")),
+        "key")),
+    // stream-static enrichment (stateless), the CSV source-matrix
+    // round trip, mixing, and chunking
     "q74_stream_enrich" -> ((s, dir) =>
       EventsStreaming.enrichEventsStreaming(s, dir)),
     "q75_csv_roundtrip" -> csvRoundTrip _,
@@ -338,14 +346,6 @@ object SparkEntry {
         .select("doc_id", "source", "lang")),
     "q77_chunk_docs" -> ((s, dir) =>
       TextOps.chunkDocuments(t(s, dir, "documents"))),
-    "q72_salted_sum" -> ((s, dir) =>
-      Skew.saltedSum(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_quantity")),
-    "q73_salted_join" -> ((s, dir) =>
-      Skew.saltedJoin(
-        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
-          col("l_suppkey").as("key")),
-        t(s, dir, "supplier").select(col("s_suppkey").as("key"), col("s_name")),
-        "key")),
     // the stateful-streaming sessionizer held to the BATCH oracle:
     // session_id re-derived by start order, cents scaled back — the
     // engine must produce the identical session set q32 does
@@ -723,7 +723,7 @@ object SparkEntry {
     "q70_pack_sequences" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, doc_id % 8 AS shard,
-         |         CAST(len($duckToks) AS BIGINT) AS n_tok
+         |         CAST(COALESCE(len($duckToks), 0) AS BIGINT) AS n_tok
          |  FROM documents)
          |SELECT doc_id, lang, shard, n_tok,
          |       CAST(floor((sum(n_tok) OVER (PARTITION BY lang, shard
@@ -780,7 +780,8 @@ object SparkEntry {
          |             pow(CAST(n_min AS DOUBLE) / n_s, ${1.0 - 0.7}) rate
          |      FROM c, m)
          |SELECT d.doc_id, d.source, d.lang
-         |FROM documents d JOIN r USING (source)
+         |FROM documents d
+         |JOIN r ON d.source IS NOT DISTINCT FROM r.source
          |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':mix'), 1, 8))::BIGINT
          |        / 4294967296.0 < r.rate""".stripMargin,
     "q72_salted_sum" ->

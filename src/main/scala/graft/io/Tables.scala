@@ -46,6 +46,11 @@ object Tables {
   def csvTyped(spark: SparkSession, path: String, schemaDdl: String,
                header: Boolean = true, multiLine: Boolean = false): DataFrame =
     spark.read.schema(schemaDdl).option("header", header.toString)
+      // actually header-aware: validate the file's header against the
+      // declared schema instead of applying it positionally (the
+      // default enforceSchema=true silently mis-assigns columns when
+      // file order/arity drifts from the DDL)
+      .option("enforceSchema", "false")
       .option("multiLine", multiLine.toString).csv(path)
 
   /** CSV sink (quoted as needed, so embedded delimiters round-trip). */

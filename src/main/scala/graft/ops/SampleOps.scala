@@ -63,11 +63,14 @@ object SampleOps {
     val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("n_s"))
     val nMin = counts.agg(min("n_s").as("n_min"))
     val rates = counts.crossJoin(broadcast(nMin))
-      .select(col(stratumCol),
+      .select(col(stratumCol).as("_stratum"),
         pow(col("n_min").cast("double") / col("n_s"), 1.0 - alpha).as("rate"))
-    df.join(broadcast(rates), stratumCol)
+    // null-SAFE join: a NULL stratum is a stratum like any other (it
+    // was counted above) — a plain equi-join would silently drop every
+    // NULL-stratum row, breaking "alpha = 1 keeps everything"
+    df.join(broadcast(rates), col(stratumCol) <=> col("_stratum"))
       .filter(hashUnit(col(keyCol), salt) < col("rate"))
-      .drop("rate")
+      .drop("_stratum", "rate")
   }
 
   def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,

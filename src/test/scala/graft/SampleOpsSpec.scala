@@ -65,6 +65,18 @@ class SampleOpsSpec extends SparkSpec {
     // alpha = 1 keeps everything (natural mix)
     assert(SampleOps.temperatureSample(mix, "doc_id", "source", alpha = 1.0)
       .count() === 2000L)
+    // a NULL stratum is a stratum like any other — the null-safe rate
+    // join must not silently drop those rows
+    val withNull = (1L to 100L).map(i =>
+      (i, if (i <= 20) null else "web")).toDF("doc_id", "source")
+    assert(SampleOps.temperatureSample(withNull, "doc_id", "source", alpha = 1.0)
+      .count() === 100L)
+    val tempered = SampleOps.temperatureSample(withNull, "doc_id", "source",
+      alpha = 0.0)
+    // alpha = 0 equalizes: web (80 docs) thins toward the NULL
+    // stratum's 20; the NULL stratum itself is the minimum → kept whole
+    assert(tempered.filter("source IS NULL").count() === 20L)
+    assert(tempered.filter("source = 'web'").count() < 40L)
   }
 
   test("stratifiedSample applies per-stratum rates") {
