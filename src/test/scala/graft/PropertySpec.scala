@@ -119,6 +119,81 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunking covers every token exactly once per window family and reconstructs the doc") {
+    val gen = Gen.zip(Gen.chooseNum(0, 40), Gen.chooseNum(1, 8), Gen.chooseNum(1, 8))
+    samples(gen, 8).foreach { case (n, stride0, extra) =>
+      val stride = stride0
+      val chunk = stride + extra - 1 // stride <= chunk always
+      val words = (0 until n).map(i => s"w$i")
+      val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+        .withColumn("lang", org.apache.spark.sql.functions.lit("xx"))
+      val out = graft.ops.TextOps.chunkDocuments(df, chunk, stride).collect()
+        .sortBy(_.getAs[Int]("chunk_idx"))
+      if (n == 0) assert(out.isEmpty)
+      else {
+        // starts are exactly the stride multiples below n
+        assert(out.map(_.getAs[Int]("start_tok")).toSeq ===
+          (0 until n by stride))
+        // chunk lengths: full until the tail, each start covered
+        out.foreach { r =>
+          val s = r.getAs[Int]("start_tok")
+          assert(r.getAs[Int]("n_chunk_tok") === math.min(chunk, n - s))
+        }
+        // consecutive windows overlap by exactly chunk - stride (or abut)
+        // ⇒ the stride-prefixes of the windows reconstruct the doc:
+        // every token index is inside at least one window
+        val covered = out.flatMap { r =>
+          val s = r.getAs[Int]("start_tok")
+          s until math.min(s + chunk, n)
+        }.toSet
+        assert(covered === (0 until n).toSet)
+      }
+    }
+  }
+
+  test("sequence packing conserves tokens and never over/underfills a pack boundary") {
+    val gen = Gen.listOfN(12, Gen.chooseNum(0, 6))
+    samples(gen, 5).foreach { sizes =>
+      val df = sizes.zipWithIndex.map { case (k, i) =>
+        (i.toLong, (0 until k).map(j => s"t$j").mkString(" ")) }
+        .toDF("doc_id", "text")
+        .withColumn("lang", org.apache.spark.sql.functions.lit("xx"))
+      val out = graft.ops.TextOps.packSequences(df, budget = 5, shards = 2)
+        .collect()
+      // token totals survive the packing untouched
+      assert(out.map(_.getAs[Long]("n_tok")).sum ===
+        sizes.map(_.toLong).sum)
+      // within each (lang, shard) stream: pack_id is the budget window
+      // of the running start offset, monotone in doc_id
+      out.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+        val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+        var offset = 0L
+        sorted.foreach { r =>
+          assert(r.getAs[Long]("pack_id") === offset / 5)
+          offset += r.getAs[Long]("n_tok")
+        }
+      }
+    }
+  }
+
+  test("temperature sampling nests across alpha (lower alpha keeps a subset)") {
+    val gen = Gen.listOfN(300, Gen.oneOf("a", "a", "a", "b", "c"))
+    samples(gen, 3).foreach { srcs =>
+      val df = srcs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "source")
+      def ids(alpha: Double) =
+        graft.ops.SampleOps.temperatureSample(df, "doc_id", "source", alpha)
+          .select("doc_id").as[Long].collect().toSet
+      val natural = ids(1.0)
+      val mild = ids(0.7)
+      val flat = ids(0.3)
+      assert(natural.size === srcs.size) // alpha = 1 keeps everything
+      // rates shrink monotonically with alpha and the hash filter is
+      // threshold-nested, so stronger tempering keeps strict subsets
+      assert(flat.subsetOf(mild) && mild.subsetOf(natural))
+    }
+  }
+
   test("rolling_hash ≡ the interpreted lambda fold for arbitrary strings") {
     graft.functions.GraftFunctions.register(spark)
     val gen = Gen.listOfN(30, Gen.oneOf(
