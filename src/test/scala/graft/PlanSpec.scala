@@ -109,4 +109,42 @@ class PlanSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("scalar-subquery"), plan)
     assert(plan.contains("Join") || plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("q68: contamination is a broadcast semi-join, never a cartesian expansion") {
+    val d = Tables.parquet(spark, sf, "documents")
+    val df = graft.ops.TextOps.benchmarkContamination(
+      d.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 7),
+      d.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 7))
+    // the broadcast decision is AQE's (made from the measured benchmark
+    // size) — run THIS frame's job (count() would plan separately),
+    // then read the FINAL adaptive plan
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q77: chunking is shuffle-free — the explode is the only expansion") {
+    val plan = planOf(graft.ops.TextOps.chunkDocuments(
+      Tables.parquet(spark, sf, "documents")))
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("Generate"), plan)
+  }
+
+  test("q70: packing is exactly one hash exchange on the stream key") {
+    val plan = planOf(graft.ops.TextOps.packSequences(
+      Tables.parquet(spark, sf, "documents")))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("q76: temperature mixing shuffles only the tiny count aggregate, never the corpus") {
+    val plan = planOf(graft.ops.SampleOps.temperatureSample(
+      Tables.parquet(spark, sf, "documents"), "doc_id", "source"))
+    // the corpus side joins the broadcast rates; the only hash
+    // exchanges belong to the per-stratum count aggregation
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
