@@ -32,6 +32,17 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runs")
+    // dev-loop filter: comma-separated query names; unset = full suite
+    // (the driver's per-round artifact always runs unfiltered)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) =>
+        val unknown = names -- SparkEntry.queries.keySet
+        require(unknown.isEmpty, s"unknown queries in SPARK_GRAFT_BENCH_ONLY: $unknown")
+        SparkEntry.queries.view.filterKeys(names).toMap
+      case None => SparkEntry.queries
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -50,14 +61,14 @@ object Bench {
     // the codegen cache, so timed runs measure execution, not javac.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      selected.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try { fn(spark, warmDir).count() } catch { case _: Throwable => }
         try spark.catalog.clearCache() catch { case _: Throwable => }
       }
     }
 
     var errors = List.empty[(String, String)]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // a broken query fails fast: remaining runs are skipped
       val times = Iterator.range(0, runs).map { _ =>
         val t0 = System.nanoTime()

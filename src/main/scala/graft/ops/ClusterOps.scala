@@ -57,16 +57,16 @@ object ClusterOps {
 
   /** Driver-side union-find for edge sets that comfortably fit in the
     * driver (the common case for near-dup candidate graphs, which are
-    * a tiny fraction of corpus size): one collect of (long, long)
-    * pairs, path-compressed union-find, one parallelize back. The
-    * distributed star loop costs ~1 s of stage latency PER ROUND
-    * regardless of data size — for half a million edges the driver path is
-    * two jobs instead of ~20.
+    * a tiny fraction of corpus size): the ALREADY-COLLECTED (long,
+    * long) pairs, path-compressed union-find, one broadcast label
+    * table back. The distributed star loop costs ~1 s of stage latency
+    * PER ROUND regardless of data size — for half a million edges the
+    * driver path is one job instead of ~20.
     */
-  private def localComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
-    val spark = edges.sparkSession
+  private def localComponents(vertices: DataFrame,
+                              pairs: Array[(Long, Long)]): DataFrame = {
+    val spark = vertices.sparkSession
     import spark.implicits._
-    val pairs = edges.select(col("u"), col("v")).as[(Long, Long)].collect()
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -119,18 +119,24 @@ object ClusterOps {
       val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
       (rdd, df.sparkSession.createDataFrame(rdd, df.schema))
     }
-    var (eRdd, e) = materialize(normalize(
+    val norm = normalize(
       edges.select(col("doc_a").cast("long").as("u"),
-        col("doc_b").cast("long").as("v"))))
+        col("doc_b").cast("long").as("v")))
+    // SIZE PROBE = the small path's only materialization: collect
+    // through a limit of localMaxEdges+1. If the limit is NOT hit we
+    // already hold the complete edge set — union-find needs no second
+    // pass over the candidate generator (the round-4 shape persisted +
+    // counted the edges and then collected them again, an extra full
+    // materialization that showed up as the q47 bench regression). If
+    // the limit IS hit, the graph is big: fall through to the
+    // distributed loop, whose ~log n rounds dwarf the wasted probe.
+    val probeLimit = (math.min(localMaxEdges, Int.MaxValue - 2L) + 1).toInt
+    val probe = norm.limit(probeLimit).collect()
+    if (probe.length < probeLimit)
+      return localComponents(vertices,
+        probe.map(r => (r.getLong(0), r.getLong(1))))
+    var (eRdd, e) = materialize(norm)
     var eCount = e.count()
-    if (eCount <= localMaxEdges) {
-      // localComponents collects the edges eagerly, so the persisted
-      // edge blocks can be freed right away; the returned plan only
-      // references `vertices` + a driver-local label table
-      val out = localComponents(vertices, e)
-      eRdd.unpersist(blocking = false)
-      return out
-    }
     var converged = eCount == 0L
     var it = 0
     while (!converged && it < maxIter) {
