@@ -137,6 +137,31 @@ object SparkEntry {
       "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double")
   }
 
+  /** q78: the IVF index exercised as a STORAGE ARTIFACT — built once
+    * per (process, sf dir), saved under a [[graft.core.Scope]]
+    * partitioned by cell, then RELOADED and probed with static
+    * partition pruning; the probe is held to the same recall gate as
+    * the in-memory q34. The artifact is built once and cached so
+    * repeated invocations (bench runs 3×) time the probe — the
+    * production per-query-batch half — not the build.
+    */
+  private val q78Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
+
+  private def ivfArtifactGate(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val scope = q78Scopes.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-q78-")
+      sys.addShutdownHook(deleteRecursively(base))
+      val sc = graft.core.Scopes.create(s, base.toString)
+      SimilarityOps.saveIvfIndex(SimilarityOps.buildIvfIndex(emb), sc, "ivf")
+      sc
+    })
+    val loaded = SimilarityOps.loadIvfIndex(s, scope, "ivf")
+    SimilarityOps.knnRecallGate(
+      SimilarityOps.probeIvfPruned(loaded, emb),
+      SimilarityOps.bruteForceKnn(emb), k = 10, minRecall = 0.7)
+  }
+
   /** Flagship query on sf0.001; driver smoke-checks rows>0. The
     * flagship is the q57 composition — the end-to-end training-corpus
     * materialization that exercises dedup, text analysis, and
@@ -228,6 +253,9 @@ object SparkEntry {
         Seq("c0", "c1", "c2", "c3", "c4", "c5", "c6"))),
     "q34_knn_ivf" -> ((s, dir) =>
       SimilarityOps.ivfKnnRecallGate(t(s, dir, "embeddings"))),
+    // the persisted/reloaded IVF artifact, probed with static partition
+    // pruning, held to the same recall contract as the in-memory q34
+    "q78_ivf_artifact" -> ivfArtifactGate _,
     "q35_pivot" -> ((s, dir) =>
       Relational.pivotQuantities(t(s, dir, "lineitem"))),
     "q36_sliding_window" -> ((s, dir) =>
@@ -254,6 +282,12 @@ object SparkEntry {
     // held to the same DuckDB ASOF oracle as the composed q45
     "q64_asof_native" -> ((s, dir) =>
       Relational.eventOrderAsofNative(t(s, dir, "events"), t(s, dir, "orders"))),
+    // direction/tolerance generality of the native operator: forward
+    // with a 30-day bound, and nearest with backward tie-break
+    "q79_asof_tolerance" -> ((s, dir) =>
+      Relational.eventOrderAsofForwardTol(t(s, dir, "events"), t(s, dir, "orders"))),
+    "q81_asof_nearest" -> ((s, dir) =>
+      Relational.eventOrderAsofNearest(t(s, dir, "events"), t(s, dir, "orders"))),
     "q47_dedup_apply" -> ((s, dir) =>
       ClusterOps.dedupedCorpus(t(s, dir, "documents"))),
     "q48_jsonl_roundtrip" -> jsonlRoundTrip _,
@@ -961,6 +995,36 @@ object SparkEntry {
         |       strftime(r.o_orderdate, '%Y-%m-%d') AS asof_date
         |FROM l ASOF LEFT JOIN r
         |  ON l.key = r.key AND r.o_orderdate <= l.ts""".stripMargin,
+    // FORWARD direction is DuckDB-native (the >= inequality); the
+    // 30-day tolerance is a post-filter on the matched date, which is
+    // equivalent because the forward pick is the earliest at-or-after
+    // row — if it exceeds the bound, every at-or-after row does.
+    "q79_asof_tolerance" ->
+      """WITH r AS (SELECT DISTINCT o_custkey % 50 AS key, o_orderdate FROM orders),
+        |     l AS (SELECT event_id, user_id % 50 AS key, ts FROM events)
+        |SELECT l.event_id, l.key,
+        |       CASE WHEN epoch_us(r.o_orderdate) - epoch_us(l.ts)
+        |                   <= 30::BIGINT * 86400 * 1000000
+        |            THEN strftime(r.o_orderdate, '%Y-%m-%d') END AS asof_date
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.key = r.key AND r.o_orderdate >= l.ts""".stripMargin,
+    // NEAREST composes DuckDB's backward and forward ASOF picks and
+    // keeps the smaller absolute distance, ties to the earlier row —
+    // exactly the operator's two-candidate structure.
+    "q81_asof_nearest" ->
+      """WITH r AS (SELECT DISTINCT o_custkey % 50 AS key, o_orderdate FROM orders),
+        |     l AS (SELECT event_id, user_id % 50 AS key, ts FROM events),
+        |b AS (SELECT l.event_id, r.o_orderdate bd FROM l ASOF LEFT JOIN r
+        |        ON l.key = r.key AND r.o_orderdate <= l.ts),
+        |f AS (SELECT l.event_id, r.o_orderdate fd FROM l ASOF LEFT JOIN r
+        |        ON l.key = r.key AND r.o_orderdate >= l.ts)
+        |SELECT l.event_id, l.key,
+        |       strftime(
+        |         CASE WHEN bd IS NOT NULL AND (fd IS NULL OR
+        |                     epoch_us(l.ts) - epoch_us(bd)
+        |                       <= epoch_us(fd) - epoch_us(l.ts))
+        |              THEN bd ELSE fd END, '%Y-%m-%d') AS asof_date
+        |FROM l JOIN b USING (event_id) JOIN f USING (event_id)""".stripMargin,
     // DuckDB plans the inequality condition natively (IEJoin); the
     // engine's binned equi-join form must agree exactly.
     "q46_range_join" ->
@@ -972,6 +1036,11 @@ object SparkEntry {
         | AND epoch_us(r.ts) < epoch_us(l.ts)
         |GROUP BY 1, 2""".stripMargin,
     "q34_knn_ivf" ->
+      """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall
+        |WHERE 1 = 0""".stripMargin,
+    // the artifact round trip is held to the identical empty-violation
+    // contract: reload + pruned probe must not cost recall
+    "q78_ivf_artifact" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall
         |WHERE 1 = 0""".stripMargin,
     // Real-codec round trip: the oracle predicts the dimensions the

@@ -180,6 +180,14 @@ object Relational {
     */
   def eventOrderAsofNative(events: DataFrame, orders: DataFrame,
                            buckets: Int = 50): DataFrame = {
+    val (l, r) = asofSides(events, orders, buckets)
+    graft.plans.AsOf.join(l, r, key = "key", time = "t",
+        payload = Seq("rt" -> "asof_rt"))
+      .select(col("event_id"), col("key"),
+        date_format(col("asof_rt"), "yyyy-MM-dd").as("asof_date"))
+  }
+
+  private def asofSides(events: DataFrame, orders: DataFrame, buckets: Int) = {
     val r = orders
       .selectExpr(s"o_custkey % $buckets as key",
         "cast(o_orderdate as timestamp) as rt").distinct()
@@ -187,8 +195,41 @@ object Relational {
     val l = events
       .selectExpr(s"user_id % $buckets as key", "unix_micros(ts) as t",
         "event_id")
+    (l, r)
+  }
+
+  /** Q79: the native as-of with FORWARD direction and a tolerance
+    * bound — for each event, the next order date in its key bucket,
+    * nulled when it is more than `tolDays` ahead. DuckDB oracles the
+    * direction natively (`r.t >= l.t` ASOF) and the tolerance as a
+    * post-filter — equivalent because the forward pick is the
+    * EARLIEST at-or-after row: if it is beyond tolerance, no
+    * at-or-after row is within it.
+    */
+  def eventOrderAsofForwardTol(events: DataFrame, orders: DataFrame,
+                               buckets: Int = 50,
+                               tolDays: Int = 30): DataFrame = {
+    val (l, r) = asofSides(events, orders, buckets)
     graft.plans.AsOf.join(l, r, key = "key", time = "t",
-        payload = Seq("rt" -> "asof_rt"))
+        payload = Seq("rt" -> "asof_rt"),
+        direction = "forward",
+        toleranceUs = Some(tolDays * 86400L * 1000000L))
+      .select(col("event_id"), col("key"),
+        date_format(col("asof_rt"), "yyyy-MM-dd").as("asof_date"))
+  }
+
+  /** Q81: the native as-of with NEAREST direction — the time-closest
+    * order date on either side, equal distances resolving to the
+    * earlier row. The oracle composes DuckDB's backward and forward
+    * ASOF picks and takes the smaller distance with the same
+    * tie-break, which is exactly the operator's candidate structure.
+    */
+  def eventOrderAsofNearest(events: DataFrame, orders: DataFrame,
+                            buckets: Int = 50): DataFrame = {
+    val (l, r) = asofSides(events, orders, buckets)
+    graft.plans.AsOf.join(l, r, key = "key", time = "t",
+        payload = Seq("rt" -> "asof_rt"),
+        direction = "nearest")
       .select(col("event_id"), col("key"),
         date_format(col("asof_rt"), "yyyy-MM-dd").as("asof_date"))
   }

@@ -1,9 +1,10 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Scope
 import graft.functions.GraftFunctions
 
 /** Similarity search over an embedding column (SURVEY §2.2 Q13/Q16-Q17):
@@ -220,8 +221,26 @@ object SimilarityOps {
     val withFv = par(embeddings).withColumn("fv", array_to_vector(col("embedding")))
     // SELECTION is hash-ordered (unbiased w.r.t. ingest order); the
     // FIT order is vec_id-sorted (stable: adding corpus shards changes
-    // which vectors are sampled, never how a given sample is folded)
-    val train = embeddings.orderBy(expr("hash(vec_id)"), col("vec_id")).limit(trainN)
+    // which vectors are sampled, never how a given sample is folded).
+    // The trainN smallest hash keys are found without ranking the full
+    // corpus: a hash-threshold FILTER (the q52 sampling shape) prunes
+    // to ~4×trainN expected survivors first, and only those enter the
+    // top-K tournament — the filter keeps exactly the rows that could
+    // win it, so the selected sample is identical to an unfiltered
+    // top-trainN whenever the oversampled threshold holds (the
+    // under-delivery fallback below covers the vanishing remainder).
+    // One parquet count + a per-row filter replaces ranking every
+    // corpus row just to pick trainN of them.
+    val hkey = "(hash(vec_id) & 2147483647)"
+    val n = embeddings.count()
+    val rate = if (n == 0) 1.0 else math.min(1.0, 4.0 * trainN / n)
+    val pre =
+      if (rate >= 1.0) embeddings
+      else {
+        val cand = embeddings.filter(expr(s"$hkey < ${(rate * (1L << 31)).toLong}L"))
+        if (cand.count() >= trainN) cand else embeddings
+      }
+    val train = pre.orderBy(expr(hkey), col("vec_id")).limit(trainN)
       .orderBy("vec_id")
       .withColumn("fv", array_to_vector(col("embedding"))).coalesce(1)
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
@@ -255,6 +274,75 @@ object SimilarityOps {
 
     val cands = index.assigned.join(
         broadcast(probes.join(queries, col("p_qid") === col("query_id"))), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", sim("q", "embedding", "qn", "cn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    cands.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "vec_id", "sim")
+  }
+
+  /** Persist an [[IvfIndex]] as a STORAGE ARTIFACT under a [[Scope]]
+    * (the same scope-owned dataset lifecycle the reference gives its
+    * intermediate tables — reference:
+    * src/de/uni_stuttgart/ipvs_as/MapReduceWSIImpl.java:260-261): the
+    * assigned corpus is written PARTITIONED BY CELL, so a probe that
+    * knows its cells reads only those directories, and the (tiny)
+    * centroid table rides beside it. This is the production split the
+    * build/probe pair exists for — build once per corpus version,
+    * reload and probe from every query batch.
+    */
+  def saveIvfIndex(index: IvfIndex, scope: Scope, name: String): Unit = {
+    index.assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(scope.path(s"$name/assigned"))
+    index.centroids.write.mode("overwrite")
+      .parquet(scope.path(s"$name/centroids"))
+  }
+
+  /** Reload a persisted [[IvfIndex]]; `cell` comes back as a partition
+    * column, so filters on it prune at FILE LISTING time — see
+    * [[probeIvfPruned]].
+    */
+  def loadIvfIndex(spark: SparkSession, scope: Scope, name: String): IvfIndex =
+    IvfIndex(
+      spark.read.parquet(scope.path(s"$name/assigned")),
+      spark.read.parquet(scope.path(s"$name/centroids")))
+
+  /** Probe a RELOADED index with STATIC partition pruning: the probed
+    * cells are decided driver-side from the centroid table (nlist rows
+    * — bounded by construction, like q16's query broadcast) and pushed
+    * into the artifact scan as a literal `cell IN (...)`, so the read
+    * prunes to the probed directories at file-listing time
+    * (PartitionFilters, asserted by PlanSpec). That pruning is the
+    * payoff of partitioning the artifact by cell: per query batch the
+    * scan cost is nprobe/nlist of the corpus, not a full pass.
+    * Queries arrive as their own frame (vec_id, embedding) — a probe
+    * against a stored index must not rescan the index to find them.
+    */
+  def probeIvfPruned(index: IvfIndex, queryVecs: DataFrame, nQueries: Int = 5,
+                     k: Int = 10, nprobe: Int = 8): DataFrame = {
+    val spark = index.assigned.sparkSession
+    val queries = withNorm(queryVecs.filter(col("vec_id") < nQueries),
+        "embedding", "qn")
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"), col("qn"))
+    val probes = queries.crossJoin(broadcast(index.centroids))
+      .withColumn("dist2",
+        expr("qn * qn - 2 * vec_dot(q, centroid) + vec_dot(centroid, centroid)"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist2").asc, col("cell").asc)))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id").as("p_qid"), col("cell"))
+    // BOUNDED collect: nQueries × nprobe (query, cell) pairs — never
+    // corpus rows — traded for a literal IN the scan can prune on
+    val probedRows = probes.collect()
+    val cells = probedRows.map(_.get(1)).distinct.toSeq
+    val probesLocal = spark.createDataFrame(
+      java.util.Arrays.asList(probedRows: _*), probes.schema)
+    val pruned = index.assigned.filter(col("cell").isin(cells: _*))
+    val cands = pruned
+      .join(broadcast(probesLocal.join(queries, col("p_qid") === col("query_id"))),
+        Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", sim("q", "embedding", "qn", "cn"))
     val w = Window.partitionBy("query_id")

@@ -13,19 +13,34 @@ object AsOf {
         s"as-of $side side has no column '$name' " +
           s"(available: ${plan.output.map(_.name).mkString(", ")})"))
 
-  /** For each left row: the payload columns of the LATEST right row
-    * with `left.key == right.key` and `right.time <= left.time`
-    * (null payload when no right row precedes). Key and time column
-    * names are looked up on both sides; `payload` maps right-side
-    * column → output name. Time columns must be timestamps or long
-    * microseconds on both sides.
+  /** For each left row: the payload columns of the as-of matched right
+    * row with `left.key == right.key` — by default the LATEST right
+    * row with `right.time <= left.time` (null payload when no right
+    * row precedes). Key and time column names are looked up on both
+    * sides; `payload` maps right-side column → output name. Time
+    * columns must be timestamps or long microseconds on both sides.
+    * Null keys and null times never match.
+    *
+    * `direction` is `"backward"` (default), `"forward"` (earliest
+    * right at-or-after), or `"nearest"` (smaller absolute distance,
+    * ties to the earlier row); `toleranceUs` nulls out any match
+    * farther than the bound in absolute time distance.
     *
     * Like Dataset self-joins, both inputs must have independent
     * lineage (a frame as-of-joined with a projection of itself would
     * carry ambiguous attribute ids).
     */
   def join(left: DataFrame, right: DataFrame, key: String, time: String,
-           payload: Seq[(String, String)]): DataFrame = {
+           payload: Seq[(String, String)],
+           direction: String = "backward",
+           toleranceUs: Option[Long] = None): DataFrame = {
+    val dir = direction.toLowerCase match {
+      case "backward" => AsOfJoin.Backward
+      case "forward" => AsOfJoin.Forward
+      case "nearest" => AsOfJoin.Nearest
+      case other => throw new IllegalArgumentException(
+        s"as-of direction must be backward/forward/nearest, got '$other'")
+    }
     val spark = left.sparkSession
     GraftPlanBridge.installPlanning(spark)
     val lPlan = GraftPlanBridge.analyzed(left)
@@ -53,6 +68,6 @@ object AsOf {
       lPlan, rPlan,
       attr(lPlan, key, "left"), attr(rPlan, key, "right"),
       attr(lPlan, time, "left"), attr(rPlan, time, "right"),
-      src, out))
+      src, out, dir, toleranceUs))
   }
 }

@@ -25,7 +25,20 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * left row is paired with the LATEST right row of equal key whose time
   * is at or before the left row's time; left rows with no such right
   * row emit null payload columns. Null times never match (SQL `<=`
-  * semantics); null keys group like any other key value.
+  * semantics), and null KEYS never match either — DuckDB's ASOF
+  * equi-condition is a plain SQL equality, so a null-keyed left row
+  * always emits null payload (null-keyed right rows match nothing).
+  *
+  * Generalized along the two axes DuckDB/pandas expose:
+  * `direction` — Backward (latest right at-or-before, the default),
+  * Forward (earliest right at-or-after), Nearest (smaller absolute
+  * time distance, ties to the earlier/backward row, pandas
+  * `merge_asof` convention) — and `toleranceUs`, a bound on the
+  * matched pair's absolute time distance beyond which the left row
+  * emits null payload. Tolerance FILTERS the directional pick rather
+  * than re-searching: for backward/forward the directional candidate
+  * is extremal, so no other row within tolerance can exist; for
+  * nearest each side is tolerance-checked before the two are compared.
   *
   * Scale shape vs the composed union+window form: both sides hash-
   * partition and sort independently (the SortMergeJoin shape — map-side
@@ -44,12 +57,16 @@ case class AsOfJoin(
     leftTime: Expression,
     rightTime: Expression,
     payloadSrc: Seq[Expression],
-    payloadOut: Seq[Attribute]) extends BinaryNode {
+    payloadOut: Seq[Attribute],
+    direction: AsOfJoin.Direction = AsOfJoin.Backward,
+    toleranceUs: Option[Long] = None) extends BinaryNode {
 
   // payloadOut are PRE-MINTED AttributeReferences, not Aliases: the
   // analyzer's CleanupAliases strips Alias nodes from expressions of
   // non-Project operators, which would silently rename the outputs
 
+  require(toleranceUs.forall(_ >= 0L),
+    s"as-of tolerance must be non-negative, got $toleranceUs")
   require(AsOfJoin.timeTypeOk(leftTime) && AsOfJoin.timeTypeOk(rightTime),
     s"as-of time columns must be long microseconds or timestamps, got " +
       s"${leftTime.dataType} / ${rightTime.dataType}")
@@ -80,6 +97,18 @@ case class AsOfJoin(
 }
 
 object AsOfJoin {
+  /** Match direction: which right row a left row pairs with. */
+  sealed trait Direction
+  /** Latest right row at or before the left time (the default). */
+  case object Backward extends Direction
+  /** Earliest right row at or after the left time. */
+  case object Forward extends Direction
+  /** The time-nearest right row on either side; equal distances
+    * resolve to the earlier (backward) row — pandas `merge_asof`'s
+    * convention.
+    */
+  case object Nearest extends Direction
+
   /** Times compare as their Long internal form: micros since epoch for
     * both timestamp flavors, raw micros for LongType.
     */
@@ -97,8 +126,15 @@ object AsOfJoin {
   * its needed set comes from the consumer: a `Project` directly above
   * the node. With both cases the projection reaches the parquet scan
   * (`ReadSchema` shrinks) exactly as it does for built-in joins; the
-  * rule runs in the fixed-point operator-optimization batch, so the
-  * pushed `Project`s keep sinking toward the scans.
+  * batch placement depends on the registration route: injected via
+  * `GraftSparkExtensions.injectOptimizerRule` it joins the fixed-point
+  * operator-optimization batch (pushed `Project`s keep sinking toward
+  * the scans in the same pass); installed through
+  * `GraftPlanBridge.installPlanning`'s `experimental.extraOptimizations`
+  * it runs in the later once-per-plan "User Provided Optimizers" batch,
+  * where the rule still converges because each introduced `Project` is
+  * itself matched by the built-in `ColumnPruning` collapse on the next
+  * batch iteration.
   */
 object PruneAsOfJoin extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
@@ -110,20 +146,22 @@ object PruneAsOfJoin extends Rule[LogicalPlan] {
       if (keep.length == j.left.output.length) p
       else p.copy(child = j.copy(left = Project(keep, j.left)))
     // right side: self-contained on the node
-    case j @ AsOfJoin(_, right, _, rk, _, rt, payloadSrc, _) =>
-      val needed = AttributeSet(rk.references ++ rt.references ++
-        payloadSrc.flatMap(_.references))
-      val keep = right.output.filter(needed.contains)
-      if (keep.length == right.output.length) j
-      else j.copy(right = Project(keep, right))
+    case j: AsOfJoin =>
+      val needed = AttributeSet(j.rightKey.references ++
+        j.rightTime.references ++ j.payloadSrc.flatMap(_.references))
+      val keep = j.right.output.filter(needed.contains)
+      if (keep.length == j.right.output.length) j
+      else j.copy(right = Project(keep, j.right))
   }
 }
 
 /** Plans the logical node to [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, ps, po) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, ps, po) :: Nil
+    case j: AsOfJoin =>
+      AsOfJoinExec(planLater(j.left), planLater(j.right), j.leftKey,
+        j.rightKey, j.leftTime, j.rightTime, j.payloadSrc, j.payloadOut,
+        j.direction, j.toleranceUs) :: Nil
     case _ => Nil
   }
 }
@@ -134,9 +172,17 @@ object AsOfJoinStrategy extends SparkStrategy {
   * clustered on their key (EnsureRequirements co-partitions them, AQE
   * may coalesce both consistently) and sorted by (key asc, time asc) —
   * so `zipPartitions` sees two key-aligned sorted streams and the merge
-  * is a single forward pass: advance the right iterator while it is at
-  * or before the current left row, remembering only the latest
-  * same-key payload. O(left + right) per partition, O(1) state.
+  * is a single forward pass with O(1) state per partition, for every
+  * direction:
+  *   - Backward: advance the right iterator while it is at or before
+  *     the current left row, remembering the latest same-key payload.
+  *   - Forward: advance the right iterator past rows strictly before
+  *     the current left row (later left rows are even later, so those
+  *     can never match again); the match, if any, is the UNCONSUMED
+  *     head — it may still match later left rows.
+  *   - Nearest: the backward state and the forward head are the only
+  *     two candidates; compare their distances (ties to backward).
+  * O(left + right) per partition either way.
   */
 case class AsOfJoinExec(
     left: SparkPlan,
@@ -146,7 +192,9 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     payloadSrc: Seq[Expression],
-    payloadOut: Seq[Attribute]) extends BinaryExecNode {
+    payloadOut: Seq[Attribute],
+    direction: AsOfJoin.Direction = AsOfJoin.Backward,
+    toleranceUs: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ payloadOut
 
@@ -176,6 +224,8 @@ case class AsOfJoinExec(
     val rTimeExpr = rightTime
     val outAttrs = output
     val keyType = leftKey.dataType
+    val dir = direction
+    val tolUs = toleranceUs.getOrElse(Long.MaxValue)
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // per-partition, executor-side construction (no driver capture)
@@ -190,38 +240,76 @@ case class AsOfJoinExec(
       val outProj = UnsafeProjection.create(outAttrs, lOut ++ pOut)
       val joined = new JoinedRow
       val nullPayload = new GenericInternalRow(payloadExprs.size)
+      val backwardState = dir != AsOfJoin.Forward
 
       val rBuf = rIter.buffered
-      // latest same-key match so far: its key (copied) and payload (copied)
+      // latest same-key backward match so far: its key, payload, time
+      // (all copied/stable — the projections reuse buffers)
       var matchKey: UnsafeRow = null
       var matchPayload: UnsafeRow = null
+      var matchTime = 0L
 
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
         val lT = lTimeBound.eval(lRow)
+        val lKeyNull = lKey.isNullAt(0)
         var scanning = true
         while (scanning && rBuf.hasNext) {
           val rRow = rBuf.head
           val cmp = keyOrd.compare(rKeyProj(rRow), lKey)
           if (cmp < 0) {
             rBuf.next() // right is on an earlier key: skip, never a match
+          } else if (cmp == 0 && lKeyNull) {
+            // nulls-first ordering compares null==null, but the SQL
+            // equi-condition never matches null keys: the null-keyed
+            // right rows can match no later (non-null) left row either
+            rBuf.next()
           } else if (cmp == 0) {
             val rT = rTimeBound.eval(rRow)
             if (rT == null) {
               rBuf.next() // null time matches nothing; consume
             } else if (lT != null &&
-                rT.asInstanceOf[Long] <= lT.asInstanceOf[Long]) {
-              // at-or-before: this is the latest candidate so far
-              matchKey = lKey.copy()
-              matchPayload = payloadProj(rRow).copy()
+                (if (backwardState) rT.asInstanceOf[Long] <= lT.asInstanceOf[Long]
+                 else rT.asInstanceOf[Long] < lT.asInstanceOf[Long])) {
+              // at-or-before (strictly-before for Forward, where an
+              // equal-time row is the match and must stay unconsumed):
+              // the latest backward candidate so far
+              if (backwardState) {
+                matchKey = lKey.copy()
+                matchPayload = payloadProj(rRow).copy()
+                matchTime = rT.asInstanceOf[Long]
+              }
               rBuf.next()
-            } else scanning = false // right is ahead in time: stop
+            } else scanning = false // right is at/ahead in time: stop
           } else scanning = false // right is on a later key: stop
         }
-        val p =
-          if (lT != null && matchKey != null && keyOrd.compare(matchKey, lKey) == 0)
-            matchPayload
-          else nullPayload
+        // backward candidate: present only when recorded for THIS key
+        val hasB = backwardState && lT != null && !lKeyNull &&
+          matchKey != null && keyOrd.compare(matchKey, lKey) == 0
+        val bDist = if (hasB) lT.asInstanceOf[Long] - matchTime else Long.MaxValue
+        // forward candidate = the unconsumed same-key head at/after lT
+        var fDist = Long.MaxValue
+        var fRow: InternalRow = null
+        if (dir != AsOfJoin.Backward && lT != null && !lKeyNull && rBuf.hasNext) {
+          val rRow = rBuf.head
+          if (keyOrd.compare(rKeyProj(rRow), lKey) == 0) {
+            val rT = rTimeBound.eval(rRow)
+            if (rT != null) {
+              fDist = rT.asInstanceOf[Long] - lT.asInstanceOf[Long]
+              fRow = rRow
+            }
+          }
+        }
+        val useB = hasB && bDist <= tolUs
+        val useF = fRow != null && fDist <= tolUs
+        val p = dir match {
+          case AsOfJoin.Backward => if (useB) matchPayload else nullPayload
+          case AsOfJoin.Forward => if (useF) payloadProj(fRow) else nullPayload
+          case AsOfJoin.Nearest =>
+            if (useB && (!useF || bDist <= fDist)) matchPayload
+            else if (useF) payloadProj(fRow)
+            else nullPayload
+        }
         outProj(joined(lRow, p))
       }
     }

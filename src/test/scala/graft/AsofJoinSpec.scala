@@ -66,6 +66,48 @@ class AsofJoinSpec extends SparkSpec {
       106L -> None, 107L -> None))
   }
 
+  test("native as-of directions, tolerance cutoffs, and null keys") {
+    val right = Seq(
+      (Option(1L), 1000L, "r-a"),
+      (Option(1L), 3000L, "r-b"),
+      (Option(2L), 500L, "r-c"),
+      (None: Option[Long], 100L, "r-nullkey")) // equality never matches null
+      .toDF("key", "t", "tag")
+    val left = Seq(
+      (100L, Option(1L), 999L),  // fwd→r-a(1); bwd→none; nearest→r-a
+      (101L, Option(1L), 1000L), // equal time matches both directions
+      (102L, Option(1L), 1999L), // bwd 999 vs fwd 1001 → nearest r-a
+      (103L, Option(1L), 2000L), // EXACT tie 1000/1000 → earlier r-a
+      (104L, Option(1L), 3500L), // fwd→none; bwd r-b at distance 500
+      (105L, None: Option[Long], 100L), // null key: no direction matches
+      (106L, Option(2L), 10000L)) // bwd r-c at 9500; fwd none
+      .toDF("event_id", "key", "t")
+    def run(dir: String, tol: Option[Long] = None) =
+      graft.plans.AsOf.join(left, right, "key", "t", Seq("tag" -> "asof_tag"),
+          direction = dir, toleranceUs = tol).collect()
+        .map(r => r.getAs[Long]("event_id") -> Option(r.getAs[String]("asof_tag")))
+        .toMap
+    assert(run("forward") === Map(
+      100L -> Some("r-a"), 101L -> Some("r-a"), 102L -> Some("r-b"),
+      103L -> Some("r-b"), 104L -> None, 105L -> None, 106L -> None))
+    assert(run("nearest") === Map(
+      100L -> Some("r-a"), 101L -> Some("r-a"), 102L -> Some("r-a"),
+      103L -> Some("r-a"), 104L -> Some("r-b"), 105L -> None,
+      106L -> Some("r-c")))
+    // backward with a 500 µs bound: the latest-preceding pick is
+    // nulled when it is farther than the bound — never replaced by an
+    // earlier row that happens to be inside it
+    assert(run("backward", Some(500L)) === Map(
+      100L -> None, 101L -> Some("r-a"), 102L -> None, 103L -> None,
+      104L -> Some("r-b"), 105L -> None, 106L -> None))
+    assert(run("nearest", Some(999L)) === Map(
+      100L -> Some("r-a"), 101L -> Some("r-a"), 102L -> Some("r-a"),
+      103L -> None, 104L -> Some("r-b"), 105L -> None, 106L -> None))
+    // the default (backward, unbounded) also never matches null keys
+    assert(run("backward")(105L) === None)
+    assertThrows[IllegalArgumentException](run("sideways"))
+  }
+
   test("native as-of rejects mismatched key/time types and colliding payload names at construction") {
     val right = Seq((1L, 1000L, "r")).toDF("key", "t", "tag")
     // int keys vs long keys: independent hash partitionings would

@@ -139,6 +139,46 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
   }
 
+  test("q78: the reloaded IVF probe prunes the artifact scan to the probed cells") {
+    val emb = Tables.parquet(spark, sf, "embeddings")
+    val base = java.nio.file.Files.createTempDirectory("graft-ivf-plan-")
+    try {
+      val scope = graft.core.Scopes.create(spark, base.toString)
+      SimilarityOps.saveIvfIndex(SimilarityOps.buildIvfIndex(emb), scope, "ivf")
+      val loaded = SimilarityOps.loadIvfIndex(spark, scope, "ivf")
+      // 2 queries × 2 probes → at most 4 of the 16 cell directories read
+      val df = SimilarityOps.probeIvfPruned(loaded, emb, nQueries = 2, k = 5,
+        nprobe = 2)
+      df.collect()
+      val plan = planOf(df)
+      // static pruning: the literal cell IN (...) reaches the scan's
+      // PARTITION filters (listing-time pruning), not just data filters
+      assert("PartitionFilters: \\[[^\\]]*cell[^\\]]*IN".r
+        .findFirstIn(plan).isDefined, plan)
+      // and the scan actually read at most the probed partitions.
+      // AQE hides materialized stages behind leaf QueryStageExec /
+      // ReusedExchangeExec nodes, so recurse through them by hand.
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          scans(r.child)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scans)
+      }
+      val assignedScan = scans(df.queryExecution.executedPlan)
+        .find(_.output.exists(_.name == "cell"))
+      assert(assignedScan.isDefined, plan)
+      assert(assignedScan.get.metrics("numPartitions").value <= 4,
+        assignedScan.get.metrics("numPartitions").value.toString)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("q76: temperature mixing shuffles only the tiny count aggregate, never the corpus") {
     val plan = planOf(graft.ops.SampleOps.temperatureSample(
       Tables.parquet(spark, sf, "documents"), "doc_id", "source"))

@@ -152,6 +152,32 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(SimilarityOps.ivfKnnRecallGate(emb).isEmpty)
   }
 
+  test("IVF artifact round trip: the reloaded pruned probe equals the in-memory probe") {
+    val emb = graft.io.Tables.parquet(spark, sf, "embeddings")
+    val base = java.nio.file.Files.createTempDirectory("graft-ivf-spec-")
+    try {
+      val scope = graft.core.Scopes.create(spark, base.toString)
+      val idx = SimilarityOps.buildIvfIndex(emb)
+      SimilarityOps.saveIvfIndex(idx, scope, "ivf")
+      // the artifact is laid out one directory per cell — the physical
+      // property the pruned probe's PartitionFilters rely on
+      val cellDirs = new java.io.File(scope.path("ivf/assigned"))
+        .listFiles().filter(_.getName.startsWith("cell="))
+      assert(cellDirs.nonEmpty)
+      val loaded = SimilarityOps.loadIvfIndex(spark, scope, "ivf")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("query_id"), r.getAs[Int]("rnk"),
+          r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))
+      val mem = SimilarityOps.probeIvf(idx, nQueries = 3, k = 5, nprobe = 4)
+        .collect().map(key).toSet
+      val art = SimilarityOps.probeIvfPruned(loaded, emb, nQueries = 3, k = 5,
+        nprobe = 4).collect().map(key).toSet
+      assert(art === mem)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("LSH sizing guard flags geometries that stop pruning at scale") {
     // lshPlanesFor returns the smallest numPlanes meeting the bucket
     // budget: one plane fewer would blow it
