@@ -380,6 +380,12 @@ object SparkEntry {
         .select("doc_id", "source", "lang")),
     "q77_chunk_docs" -> ((s, dir) =>
       TextOps.chunkDocuments(t(s, dir, "documents"))),
+    // the STREAMING near-dup candidate generator held to batch q60's
+    // oracle: per-row banding on the stream, stream-static band join,
+    // stateful pair dedup — the identical pair set must come out
+    "q82_stream_neardup" -> ((s, dir) =>
+      EventsStreaming.streamingNearDupCandidates(s, dir,
+        queryName = "graft_q82_neardup")),
     // the stateful-streaming sessionizer held to the BATCH oracle:
     // session_id re-derived by start order, cents scaled back — the
     // engine must produce the identical session set q32 does
@@ -950,6 +956,13 @@ object SparkEntry {
     // the exact one — identical oracle
     "q61_incr_dedup_bloom" -> incrDedupSql,
     "q60_incr_neardup" ->
+      s"""WITH $minhashBandsCtes
+         |SELECT DISTINCT n.doc_id AS doc_new, e.doc_id AS doc_existing
+         |FROM bands n JOIN bands e ON n.b = e.b AND n.bh = e.bh
+         |WHERE n.doc_id % 2 = 1 AND e.doc_id % 2 = 0""".stripMargin,
+    // the streaming form must reproduce the batch candidate set
+    // exactly — same oracle as q60
+    "q82_stream_neardup" ->
       s"""WITH $minhashBandsCtes
          |SELECT DISTINCT n.doc_id AS doc_new, e.doc_id AS doc_existing
          |FROM bands n JOIN bands e ON n.b = e.b AND n.bh = e.bh

@@ -91,6 +91,38 @@ object DedupOps {
       .select(col("doc_id"), col("band.b").as("b"), col("band.bh").as("bh"))
   }
 
+  /** The PER-ROW (shuffle-free) form of [[minhashBands]]: each
+    * signature slot is `array_min(transform(shingles, ...))` instead
+    * of an explode + groupBy-min, so the whole band computation is a
+    * stateless projection. Required by the STREAMING near-dup path —
+    * a stream-static join must stay stateless upstream of the join,
+    * and an aggregation there would force a stateful shuffle per
+    * micro-batch — and bit-identical to the batch form (same md5
+    * seeds, same lexicographic minima; asserted by DedupOpsSpec).
+    * The batch operators keep the explode+groupBy shape because its
+    * map-side partial min-agg shuffles one narrow row per doc, while
+    * this form holds the full shingle array per row.
+    */
+  def minhashBandsRowwise(documents: DataFrame, numHashes: Int = 12,
+                          bandSize: Int = 2, shingleSize: Int = 3): DataFrame = {
+    val sigCols = (0 until numHashes).map(s =>
+      expr(s"array_min(transform(sarr, g -> md5(concat('$s', ':', g))))")
+        .as(s"h$s"))
+    val nBands = numHashes / bandSize
+    val bandCols = (0 until nBands).map { b =>
+      val slots = (b * bandSize until (b + 1) * bandSize).map(s => s"h$s")
+      s"struct(${b}L as b, md5(concat_ws('|', ${slots.mkString(", ")})) as bh)"
+    }
+    documents
+      .withColumn("w", expr(tokensExpr))
+      .withColumn("sarr", expr(shingleExpr(shingleSize)))
+      .filter(size(col("sarr")) > 0) // shingle-less docs have no bands
+      .select(col("doc_id") +: sigCols: _*)
+      .select(col("doc_id"),
+        explode(expr(s"array(${bandCols.mkString(", ")})")).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.bh").as("bh"))
+  }
+
   def minhashLshPairs(documents: DataFrame, numHashes: Int = 12,
                       bandSize: Int = 2, shingleSize: Int = 3): DataFrame = {
     val bands = minhashBands(documents, numHashes, bandSize, shingleSize)
@@ -168,7 +200,12 @@ object DedupOps {
       // returning — otherwise every invocation would leak a cached
       // dataset for the session lifetime with no caller-side hook.
       // The checkpointed rows are O(ingest batch) by design, never
-      // O(corpus): bounded at any scale.
+      // O(corpus): bounded at any scale. CAVEAT: executor-local blocks
+      // die with their executor — losing one makes the returned frame
+      // unrecomputable. Fine in local/bench mode; on a cluster where
+      // executor loss must be survivable, use reliable checkpoint()
+      // (spark.sparkContext.setCheckpointDir) or have the caller
+      // manage `flagged`'s unpersist around its own consumption.
       result.localCheckpoint(eager = true)
     } finally flagged.unpersist()
   }

@@ -52,17 +52,22 @@ object SampleOps {
     * deterministically hash-thinned toward the tempered proportions —
     * the standard mixing-weights step of a pretraining pipeline.
     *
-    * Plan shape: one partial-aggregated count per stratum (tiny), a
+    * Plan shape: ONE partial-aggregated count per stratum (tiny) —
+    * n_min rides on the same aggregate as a global window min over
+    * the per-stratum rows (bounded by stratum cardinality, so the
+    * single-partition window is a few rows, never corpus data) — a
     * broadcast join of the per-stratum rate back onto the corpus, and
-    * the same pure per-row hash filter as [[sampleByHash]] — no
+    * the same pure per-row hash filter as [[sampleByHash]]. The
+    * corpus is scanned exactly twice (count + filter), with no
     * corpus-sized shuffle at any scale.
     */
   def temperatureSample(df: DataFrame, keyCol: String, stratumCol: String,
                         alpha: Double = 0.7, salt: String = ""): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1]: $alpha")
     val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("n_s"))
-    val nMin = counts.agg(min("n_s").as("n_min"))
-    val rates = counts.crossJoin(broadcast(nMin))
+    val rates = counts
+      .withColumn("n_min", min("n_s").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
       .select(col(stratumCol).as("_stratum"),
         pow(col("n_min").cast("double") / col("n_s"), 1.0 - alpha).as("rate"))
     // null-SAFE join: a NULL stratum is a stratum like any other (it

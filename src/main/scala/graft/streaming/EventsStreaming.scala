@@ -425,6 +425,48 @@ object EventsStreaming {
     out
   }
 
+  /** Streaming NEAR-DUP candidates — the q60 incremental shape made a
+    * STREAM: documents arriving on the stream (the odd-doc_id half of
+    * the fixture) are banded PER ROW with
+    * [[graft.ops.DedupOps.minhashBandsRowwise]] (a stateless
+    * projection — no aggregation upstream of the join) and equi-joined
+    * against the existing corpus's band table, which in production is
+    * a maintained build artifact (here derived from the even half).
+    * The join is STREAM-STATIC inner on (b, bh) — stateless, the
+    * static side broadcast-or-shuffled once per micro-batch — and the
+    * emitted (new, existing) pairs are deduplicated with streaming
+    * state, so a pair colliding in several bands (or across batches)
+    * emits once. State is one row per EMITTED pair — the operator's
+    * output, not its input; on an unbounded production stream, bound
+    * it with a watermark + dropDuplicatesWithinWatermark exactly as
+    * [[streamingDedupWithinWatermark]] does for the exact family.
+    * Held to batch q60's oracle (same band geometry, same pair set).
+    */
+  def streamingNearDupCandidates(spark: SparkSession, dir: String,
+                                 queryName: String = "graft_stream_neardup"): DataFrame = {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("lang", StringType), StructField("text", StringType)))
+    val corpusBands = graft.ops.DedupOps.minhashBands(
+        graft.io.Tables.parquet(spark, dir, "documents")
+          .filter(col("doc_id") % 2 === 0))
+      .select(col("doc_id").as("doc_existing"), col("b"), col("bh"))
+    val src = spark.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(col("doc_id") % 2 === 1)
+    val streamBands = graft.ops.DedupOps.minhashBandsRowwise(src)
+      .select(col("doc_id").as("doc_new"), col("b"), col("bh"))
+    val q = streamBands.join(corpusBands, Seq("b", "bh"))
+      .select("doc_new", "doc_existing")
+      .dropDuplicates("doc_new", "doc_existing")
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val out = spark.table(queryName)
+    out.cache(); out.count()
+    out
+  }
+
   /** The state-BOUNDED form of streaming dedup that
     * [[streamingExactDedup]]'s scaladoc promises for unbounded
     * streams: `dropDuplicatesWithinWatermark` on a content

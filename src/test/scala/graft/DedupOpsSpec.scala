@@ -26,6 +26,16 @@ class DedupOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("row-wise minhash bands are bit-identical to the batch explode+groupBy form") {
+    val d = graft.io.Tables.parquet(spark, sf, "documents")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("b"), r.getAs[String]("bh"))
+    val batch = DedupOps.minhashBands(d).collect().map(key).toSet
+    val rowwise = DedupOps.minhashBandsRowwise(d).collect().map(key).toSet
+    assert(rowwise === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("jaccardPairs computes exact n-gram jaccard") {
     // doc1: tokens a b c d -> 3-grams {abc, bcd}; doc2 shares {bcd} of {bcd, cde}
     val d = docs(1L -> "a b c d", 2L -> "b c d e")

@@ -27,6 +27,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamFps === batchFps)
   }
 
+  test("streaming near-dup candidates equal the incremental batch operator (q60 contract)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.parquet(spark, sf, "documents")
+    val batch = graft.ops.DedupOps.incrementalNearDupCandidates(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0))
+      .collect().map(_.toSeq).toSet
+    val streamed = EventsStreaming
+      .streamingNearDupCandidates(spark, sf, queryName = "spec_neardup")
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
+
   test("stateful streaming sessionize agrees with the batch gaps-and-islands") {
     val batch = EventsStreaming.sessionize(Tables.events(spark, sf))
       .selectExpr("user_id", "n_events", "cast(round(sum_value * 100) as bigint) as cents")
