@@ -256,6 +256,10 @@ object SparkEntry {
     // the persisted/reloaded IVF artifact, probed with static partition
     // pruning, held to the same recall contract as the in-memory q34
     "q78_ivf_artifact" -> ivfArtifactGate _,
+    // product quantization (m×1-byte codes): ADC probe over the
+    // compressed corpus, recall-gated like q28/q34
+    "q80_knn_pq" -> ((s, dir) =>
+      SimilarityOps.pqKnnRecallGate(t(s, dir, "embeddings"))),
     "q35_pivot" -> ((s, dir) =>
       Relational.pivotQuantities(t(s, dir, "lineitem"))),
     "q36_sliding_window" -> ((s, dir) =>
@@ -1054,6 +1058,9 @@ object SparkEntry {
     // the artifact round trip is held to the identical empty-violation
     // contract: reload + pruned probe must not cost recall
     "q78_ivf_artifact" ->
+      """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall
+        |WHERE 1 = 0""".stripMargin,
+    "q80_knn_pq" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall
         |WHERE 1 = 0""".stripMargin,
     // Real-codec round trip: the oracle predicts the dimensions the

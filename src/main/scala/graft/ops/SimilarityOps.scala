@@ -228,21 +228,11 @@ object SimilarityOps {
     // top-K tournament — the filter keeps exactly the rows that could
     // win it, so the selected sample is identical to an unfiltered
     // top-trainN whenever the oversampled threshold holds (the
-    // under-delivery fallback below covers the vanishing remainder).
-    // One parquet count + a per-row filter replaces ranking every
-    // corpus row just to pick trainN of them.
-    val hkey = "(hash(vec_id) & 2147483647)"
-    val n = embeddings.count()
-    val rate = if (n == 0) 1.0 else math.min(1.0, 4.0 * trainN / n)
-    val pre =
-      if (rate >= 1.0) embeddings
-      else {
-        val cand = embeddings.filter(expr(s"$hkey < ${(rate * (1L << 31)).toLong}L"))
-        if (cand.count() >= trainN) cand else embeddings
-      }
-    val train = pre.orderBy(expr(hkey), col("vec_id")).limit(trainN)
-      .orderBy("vec_id")
-      .withColumn("fv", array_to_vector(col("embedding"))).coalesce(1)
+    // under-delivery fallback in [[trainSample]] covers the vanishing
+    // remainder). One parquet count + a per-row filter replaces
+    // ranking every corpus row just to pick trainN of them.
+    val train = trainSample(embeddings, trainN)
+      .withColumn("fv", array_to_vector(col("embedding")))
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cell").fit(train)
     val assigned = model.transform(withFv)
@@ -524,6 +514,240 @@ object SimilarityOps {
       .filter(col("rnk") <= k)
       .select("query_id", "rnk", "vec_id", "sim")
   }
+
+  /** A PRODUCT-QUANTIZED corpus (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): each vector is split
+    * into `m` subvectors and every subvector stored as one byte-sized
+    * code into its subspace codebook — m bytes per vector, the rung
+    * below int8 (q69) on the ANN storage ladder (64×4 B float32 →
+    * 64 B int8 → m B PQ). `codes` is the quantized corpus, `codebooks`
+    * the m × 2^nbits centroid table (tiny: broadcast everywhere).
+    */
+  final case class PqIndex(codes: DataFrame, codebooks: DataFrame,
+                           m: Int, dsub: Int)
+
+  /** Shared by the IVF and PQ builds: the deterministic hash-sampled,
+    * vec_id-sorted, single-partition training frame (see
+    * [[buildIvfIndex]]'s scaladoc for why each property matters).
+    */
+  private def trainSample(embeddings: DataFrame, trainN: Int): DataFrame = {
+    val hkey = "(hash(vec_id) & 2147483647)"
+    val n = embeddings.count()
+    val rate = if (n == 0) 1.0 else math.min(1.0, 4.0 * trainN / n)
+    val pre =
+      if (rate >= 1.0) embeddings
+      else {
+        val cand = embeddings.filter(expr(s"$hkey < ${(rate * (1L << 31)).toLong}L"))
+        if (cand.count() >= trainN) cand else embeddings
+      }
+    pre.orderBy(expr(hkey), col("vec_id")).limit(trainN)
+      .orderBy("vec_id").coalesce(1)
+  }
+
+  /** Deterministic Lloyd's k-means with k-means++ seeding, run on the
+    * DRIVER over the bounded training sample: seeded RNG + fixed input
+    * order → identical centroids on every run and partitioning.
+    * Assignment ties resolve to the lowest center index; centers that
+    * lose all points keep their position.
+    */
+  private def localKMeans(pts: Array[Array[Double]], k: Int, seed: Long,
+                          iters: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val n = pts.length
+    val d = pts(0).length
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < d) { val t = a(j) - b(j); s += t * t; j += 1 }
+      s
+    }
+    val centers = Array.ofDim[Array[Double]](k)
+    centers(0) = pts(rnd.nextInt(n)).clone()
+    val minD = new Array[Double](n)
+    var i = 0
+    while (i < n) { minD(i) = dist2(pts(i), centers(0)); i += 1 }
+    var c = 1
+    while (c < k) {
+      val total = minD.sum
+      var pick =
+        if (total <= 0) rnd.nextInt(n) // every point already a center
+        else {
+          var r = rnd.nextDouble() * total; var p = 0
+          while (p < n - 1 && r > minD(p)) { r -= minD(p); p += 1 }
+          p
+        }
+      centers(c) = pts(pick).clone()
+      i = 0
+      while (i < n) {
+        val dd = dist2(pts(i), centers(c))
+        if (dd < minD(i)) minD(i) = dd
+        i += 1
+      }
+      c += 1
+    }
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.MaxValue; var cc = 0
+        while (cc < k) {
+          val dd = dist2(pts(i), centers(cc))
+          if (dd < bestD) { bestD = dd; best = cc }
+          cc += 1
+        }
+        assign(i) = best; i += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](d))
+      val cnts = new Array[Int](k)
+      i = 0
+      while (i < n) {
+        val a = assign(i); cnts(a) += 1
+        var j = 0
+        while (j < d) { sums(a)(j) += pts(i)(j); j += 1 }
+        i += 1
+      }
+      var cc = 0
+      while (cc < k) {
+        if (cnts(cc) > 0) {
+          var j = 0
+          while (j < d) { centers(cc)(j) = sums(cc)(j) / cnts(cc); j += 1 }
+        }
+        cc += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
+  /** Build the PQ index: fit one k-means codebook PER SUBSPACE on the
+    * deterministic bounded sample, then assign every corpus vector m
+    * codes in ONE pass (broadcast codebooks, no shuffle). The fit runs
+    * on the DRIVER ([[localKMeans]]): the sample is capped at trainN
+    * rows by construction, and a driver loop over it costs
+    * milliseconds, where m Spark ml fits cost ~6 scheduled jobs EACH
+    * in init/iteration overhead — at m=32 that overhead was 10× the
+    * whole query. k is capped at the training-set size so small
+    * corpora degrade to storing exact subvectors rather than failing.
+    *
+    * Assignment is the tree's second deliberate UDF (precedent: the
+    * Bloom probe): the per-row argmin over m broadcast codebooks has
+    * no expression-API form short of inlining m×2^nbits×dsub float
+    * literals into codegen (a janino bomb), it runs once per corpus
+    * row at BUILD time (not per query), and it reads only the
+    * embedding column.
+    */
+  def buildPqIndex(embeddings: DataFrame, m: Int = 32, nbits: Int = 8,
+                   trainN: Int = 2000, dim: Int = 64): PqIndex = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subvectors")
+    val dsub = dim / m
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val train = trainSample(embeddings, trainN)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(train.nonEmpty, "cannot fit PQ codebooks on an empty corpus")
+    val kEff = math.min(1 << nbits, train.length)
+    val codebooks: Array[Array[Array[Float]]] = Array.tabulate(m) { s =>
+      val pts = train.map(v =>
+        Array.tabulate(dsub)(j => v(s * dsub + j).toDouble))
+      localKMeans(pts, kEff, seed = 42L + s, iters = 5)
+        .map(_.map(_.toFloat))
+    }
+    val bcast = spark.sparkContext.broadcast(codebooks)
+    val mLoc = m; val dsubLoc = dsub
+    val assignUdf = udf { (emb: Seq[Float]) =>
+      val cbs = bcast.value
+      Array.tabulate(mLoc) { s =>
+        val cb = cbs(s)
+        var best = 0; var bestD = Double.MaxValue; var cc = 0
+        while (cc < cb.length) {
+          var dd = 0.0; var j = 0
+          while (j < dsubLoc) {
+            val t = emb(s * dsubLoc + j) - cb(cc)(j); dd += t * t; j += 1
+          }
+          if (dd < bestD) { bestD = dd; best = cc }
+          cc += 1
+        }
+        best
+      }
+    }
+    val codes = par(embeddings)
+      .select(col("vec_id"), assignUdf(col("embedding")).as("codes"))
+    val cbDf = codebooks.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (cvec, j) => (s, j, cvec.toSeq) }
+    }.toSeq.toDF("sub", "code", "centroid")
+    PqIndex(codes, cbDf, m, dsub)
+  }
+
+  /** Decode the PQ codes back to float vectors: a PURE PER-ROW map
+    * through the broadcast codebooks (the assignment's inverse, same
+    * justification) — no explode, no join, no shuffle. An equivalent
+    * decode as an explode + codebook join + reassembling aggregate
+    * costs a full n×m-row shuffle and was the dominant stage of the
+    * q80 probe; production ADC never materializes x̂ at all (per-query
+    * LUT summation), so this decode exists for the gate's
+    * exact-rescoring path, where per-row cost is all that matters.
+    */
+  def reconstructPq(index: PqIndex): DataFrame = {
+    val spark = index.codes.sparkSession
+    val rows = index.codebooks.collect()
+    val m = index.m
+    val dsub = index.dsub
+    val cbs = Array.ofDim[Array[Float]](m, rows.map(_.getInt(1)).max + 1)
+    rows.foreach { r =>
+      cbs(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray
+    }
+    val bcast = spark.sparkContext.broadcast(cbs)
+    val decodeUdf = udf { (codes: Seq[Int]) =>
+      val cb = bcast.value
+      val out = new Array[Float](m * dsub)
+      var s = 0
+      while (s < m) {
+        System.arraycopy(cb(s)(codes(s)), 0, out, s * dsub, dsub)
+        s += 1
+      }
+      out
+    }
+    index.codes.select(col("vec_id"), decodeUdf(col("codes")).as("embedding"))
+  }
+
+  /** Q80: approximate kNN over the PQ-compressed corpus — the ADC
+    * shape (asymmetric distance computation: queries stay full
+    * precision, only the corpus is quantized). Scoring full-precision
+    * queries against the DECODED corpus is mathematically identical to
+    * per-query LUT summation (dot(q, x̂) = Σ_sub LUT[sub][code]); the
+    * reconstruction form reuses the exact-kNN plan shape, which is the
+    * point at test scale — at 100 TB the LUT form avoids materializing
+    * x̂, trading the decode join for an m-term per-row lookup sum.
+    */
+  def pqKnn(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
+            m: Int = 32, nbits: Int = 8, dim: Int = 64): DataFrame = {
+    val idx = buildPqIndex(embeddings, m, nbits, dim = dim)
+    val recon = withNorm(reconstructPq(idx), "embedding", "cn")
+    val queries = withNorm(embeddings, "embedding", "qn")
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"), col("qn"))
+    val scored = recon.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", sim("q", "embedding", "qn", "cn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "vec_id", "sim")
+  }
+
+  /** Q80 gate: PQ-ADC recall@k vs the exact scan — violations only.
+    * Geometry and threshold are set for the fixture's near-random
+    * embeddings (the hardest case for any quantizer — see the q34
+    * note): measured recall@10 with m=32 is 0.9-1.0 across
+    * sf0.001-sf0.1 (tools.RecallProbe), so 0.7 gates with margin;
+    * structured corpora score far higher at coarser m.
+    */
+  def pqKnnRecallGate(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
+                      m: Int = 32, nbits: Int = 8,
+                      minRecall: Double = 0.7): DataFrame =
+    knnRecallGate(pqKnn(embeddings, nQueries, k, m, nbits),
+      bruteForceKnn(embeddings, nQueries, k), k, minRecall)
 
   /** Q69: INT8 scalar quantization — the storage/bandwidth scale path
     * for the embedding column: per-vector symmetric max-abs scaling to

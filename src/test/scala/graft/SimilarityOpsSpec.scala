@@ -152,6 +152,38 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(SimilarityOps.ivfKnnRecallGate(emb).isEmpty)
   }
 
+  test("PQ recall gate is empty on the fixture (q80 contract)") {
+    val emb = graft.io.Tables.parquet(spark, sf, "embeddings")
+    assert(SimilarityOps.pqKnnRecallGate(emb).isEmpty)
+  }
+
+  test("PQ codes are deterministic, partition-independent, m-wide, and in codebook range") {
+    val emb = graft.io.Tables.parquet(spark, sf, "embeddings")
+    def codesOf(df: org.apache.spark.sql.DataFrame) = {
+      val idx = SimilarityOps.buildPqIndex(df, m = 8)
+      idx.codes.collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Int](1).toVector).toMap
+    }
+    val a = codesOf(emb)
+    val b = codesOf(emb.repartition(7)) // layout must not change the codes
+    assert(a === b)
+    assert(a.nonEmpty && a.values.forall(_.length === 8))
+    assert(a.values.forall(_.forall(c => c >= 0 && c < 256)))
+  }
+
+  test("pqKnn ranks a planted duplicate's reconstruction first") {
+    val rng = new scala.util.Random(11)
+    def rv() = (0 until 64).map(_ => rng.nextGaussian().toFloat)
+    val base = (10L until 50L).map(i => i -> rv())
+    val q = rv()
+    // vec 0 is the query; vec 5 is its exact duplicate — they share
+    // codes, so the reconstruction keeps them nearest
+    val d = vecs(((0L -> q) +: (5L -> q) +: base): _*)
+    val out = SimilarityOps.pqKnn(d, nQueries = 1, k = 3)
+      .collect().sortBy(_.getAs[Int]("rnk"))
+    assert(out.head.getAs[Long]("vec_id") === 5L)
+  }
+
   test("IVF artifact round trip: the reloaded pruned probe equals the in-memory probe") {
     val emb = graft.io.Tables.parquet(spark, sf, "embeddings")
     val base = java.nio.file.Files.createTempDirectory("graft-ivf-spec-")
