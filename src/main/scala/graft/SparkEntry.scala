@@ -162,6 +162,33 @@ object SparkEntry {
       SimilarityOps.bruteForceKnn(emb), k = 10, minRecall = 0.7)
   }
 
+  /** q83: INCREMENTAL index maintenance — the artifact is built from
+    * the even half of the corpus, the odd half is APPENDED against the
+    * frozen quantizer ([[SimilarityOps.appendToIvfIndex]]: O(batch),
+    * stored rows untouched), and the MERGED reloaded index is probed
+    * over the full corpus under the same recall gate as q34/q78. This
+    * is the daily-ingest shape: rebuild never, append per batch,
+    * monitor recall for quantizer drift.
+    */
+  private val q83Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
+
+  private def ivfAppendGate(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val scope = q83Scopes.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-q83-")
+      sys.addShutdownHook(deleteRecursively(base))
+      val sc = graft.core.Scopes.create(s, base.toString)
+      SimilarityOps.saveIvfIndex(
+        SimilarityOps.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0)), sc, "ivf")
+      SimilarityOps.appendToIvfIndex(emb.filter(col("vec_id") % 2 === 1), sc, "ivf")
+      sc
+    })
+    val loaded = SimilarityOps.loadIvfIndex(s, scope, "ivf")
+    SimilarityOps.knnRecallGate(
+      SimilarityOps.probeIvfPruned(loaded, emb),
+      SimilarityOps.bruteForceKnn(emb), k = 10, minRecall = 0.7)
+  }
+
   /** Flagship query on sf0.001; driver smoke-checks rows>0. The
     * flagship is the q57 composition — the end-to-end training-corpus
     * materialization that exercises dedup, text analysis, and
@@ -256,6 +283,7 @@ object SparkEntry {
     // the persisted/reloaded IVF artifact, probed with static partition
     // pruning, held to the same recall contract as the in-memory q34
     "q78_ivf_artifact" -> ivfArtifactGate _,
+    "q83_ivf_append" -> ivfAppendGate _,
     // product quantization (m×1-byte codes): ADC probe over the
     // compressed corpus, recall-gated like q28/q34
     "q80_knn_pq" -> ((s, dir) =>
@@ -1058,6 +1086,10 @@ object SparkEntry {
     // the artifact round trip is held to the identical empty-violation
     // contract: reload + pruned probe must not cost recall
     "q78_ivf_artifact" ->
+      """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall
+        |WHERE 1 = 0""".stripMargin,
+    // append against the frozen quantizer must not cost recall either
+    "q83_ivf_append" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall
         |WHERE 1 = 0""".stripMargin,
     "q80_knn_pq" ->

@@ -299,6 +299,42 @@ object SimilarityOps {
       spark.read.parquet(scope.path(s"$name/assigned")),
       spark.read.parquet(scope.path(s"$name/centroids")))
 
+  /** Incremental maintenance: assign a NEW vector batch to the
+    * EXISTING quantizer and APPEND the batch's rows to the artifact's
+    * cell partitions. The centroids are deliberately frozen —
+    * retraining would move cell boundaries and force rewriting every
+    * stored row — so the work is O(batch): the stored corpus is never
+    * read, and the dynamic-partition append touches only the cell
+    * directories the batch actually lands in. The cost of a frozen
+    * quantizer is drift: if the ingest distribution moves, recall
+    * decays until the next full [[buildIvfIndex]] rebuild — the q83
+    * recall gate is the monitor for that. The argmin itself is a
+    * broadcast of the (nlist-bounded) centroid table past the batch,
+    * one pass, no corpus shuffle.
+    */
+  def appendToIvfIndex(batch: DataFrame, scope: Scope, name: String): Unit = {
+    val spark = batch.sparkSession
+    GraftFunctions.register(spark)
+    val centroids = spark.read.parquet(scope.path(s"$name/centroids"))
+    val scored = withNorm(batch, "embedding", "cn")
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist2",
+        expr("cn * cn - 2 * vec_dot(embedding, centroid) + vec_dot(centroid, centroid)"))
+    // min_by over the nlist candidates per row: stays inside the
+    // per-row aggregation, no window shuffle of the batch needed —
+    // cell asc tiebreak via the (dist2, cell) struct ordering so a
+    // boundary-equidistant vector lands deterministically
+    val assigned = scored
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("embedding")).as("embedding"),
+        min(struct(col("dist2"), col("cell"))).getField("cell").as("cell"),
+        first(col("cn")).as("cn"))
+      .select(col("vec_id"), col("embedding"), col("cell"), col("cn"))
+    assigned.write.mode("append").partitionBy("cell")
+      .parquet(scope.path(s"$name/assigned"))
+  }
+
   /** Probe a RELOADED index with STATIC partition pruning: the probed
     * cells are decided driver-side from the centroid table (nlist rows
     * — bounded by construction, like q16's query broadcast) and pushed

@@ -210,6 +210,55 @@ class SimilarityOpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF append: stored rows untouched, batch in nearest frozen cell, merged recall holds") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.io.Tables.parquet(spark, sf, "embeddings")
+    val base = java.nio.file.Files.createTempDirectory("graft-ivf-append-")
+    try {
+      val scope = graft.core.Scopes.create(spark, base.toString)
+      val even = emb.filter(col("vec_id") % 2 === 0)
+      val odd = emb.filter(col("vec_id") % 2 === 1)
+      SimilarityOps.saveIvfIndex(SimilarityOps.buildIvfIndex(even), scope, "ivf")
+      def assignments() = spark.read.parquet(scope.path("ivf/assigned"))
+        .select("vec_id", "cell").collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+      val before = assignments()
+      SimilarityOps.appendToIvfIndex(odd, scope, "ivf")
+      val after = assignments()
+      // append-only: every pre-existing row keeps its cell, and exactly
+      // the batch rows were added
+      before.foreach { case (id, cell) => assert(after(id) === cell) }
+      assert(after.size.toLong === before.size + odd.count())
+      // each appended row sits in the argmin cell of the FROZEN
+      // centroids (recomputed independently, sequential double fold
+      // like vec_dot)
+      def dot(a: Array[Float], b: Array[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+        s
+      }
+      val centroids = spark.read.parquet(scope.path("ivf/centroids")).collect()
+        .map(r => r.getAs[Int]("cell") ->
+          r.getSeq[Float](r.fieldIndex("centroid")).toArray).sortBy(_._1)
+      odd.collect().foreach { r =>
+        val v = r.getSeq[Float](r.fieldIndex("embedding")).toArray
+        val n2 = dot(v, v)
+        val want = centroids.minBy { case (c, cv) =>
+          (n2 - 2 * dot(v, cv) + dot(cv, cv), c)
+        }._1
+        assert(after(r.getAs[Long]("vec_id")) === want)
+      }
+      // the merged reloaded index passes the same recall gate as q34/q78
+      val loaded = SimilarityOps.loadIvfIndex(spark, scope, "ivf")
+      val gate = SimilarityOps.knnRecallGate(
+        SimilarityOps.probeIvfPruned(loaded, emb),
+        SimilarityOps.bruteForceKnn(emb), k = 10, minRecall = 0.7)
+      assert(gate.count() === 0L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("LSH sizing guard flags geometries that stop pruning at scale") {
     // lshPlanesFor returns the smallest numPlanes meeting the bucket
     // budget: one plane fewer would blow it
