@@ -189,6 +189,38 @@ object SparkEntry {
       SimilarityOps.bruteForceKnn(emb), k = 10, minRecall = 0.7)
   }
 
+  /** q84: the write-once/join-many bucketed layout — orders and
+    * customer are materialized as tables bucketed+sorted on custkey
+    * ([[graft.io.Layout.writeBucketed]]), so the per-query join runs
+    * with NO exchange on either input: the shuffle is paid once at
+    * write time, not per query (the one remaining exchange is the
+    * final tiny segment aggregate — PlanSpec asserts the count). The
+    * merge hint keeps the deliberately-bucketed sort-merge path even
+    * at fixture scale where the small side would otherwise broadcast
+    * and mask the layout. Tables build once per (process, sf dir) so
+    * the bench times the join, not the write.
+    */
+  private val q84Tables = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val (ot, ct) = q84Tables.computeIfAbsent(dir, _ => {
+      val sfx = (dir.hashCode & 0x7fffffff).toString
+      val ot = s"graft_q84_orders_$sfx"
+      val ct = s"graft_q84_customer_$sfx"
+      graft.io.Layout.writeBucketed(
+        t(s, dir, "orders").select("o_custkey", "o_totalprice"), ot, "o_custkey")
+      graft.io.Layout.writeBucketed(
+        t(s, dir, "customer").select("c_custkey", "c_mktsegment"), ct, "c_custkey")
+      (ot, ct)
+    })
+    s.table(ot).join(s.table(ct).hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+  }
+
   /** Flagship query on sf0.001; driver smoke-checks rows>0. The
     * flagship is the q57 composition — the end-to-end training-corpus
     * materialization that exercises dedup, text analysis, and
@@ -284,6 +316,8 @@ object SparkEntry {
     // pruning, held to the same recall contract as the in-memory q34
     "q78_ivf_artifact" -> ivfArtifactGate _,
     "q83_ivf_append" -> ivfAppendGate _,
+    // bucketed layout: the join's shuffle was paid once at write time
+    "q84_bucketed_join" -> bucketedJoin _,
     // product quantization (m×1-byte codes): ADC probe over the
     // compressed corpus, recall-gated like q28/q34
     "q80_knn_pq" -> ((s, dir) =>
@@ -1092,6 +1126,14 @@ object SparkEntry {
     "q83_ivf_append" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall
         |WHERE 1 = 0""".stripMargin,
+    // the bucketed layout must be invisible to results: the oracle is
+    // the PLAIN join over the same parquet
+    "q84_bucketed_join" ->
+      """SELECT c_mktsegment,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
     "q80_knn_pq" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall
         |WHERE 1 = 0""".stripMargin,

@@ -31,14 +31,25 @@ object Layout {
       .parquet(path)
   }
 
-  /** Bucketed + sorted managed table (bucket pre-shuffle on the key). */
+  /** Bucketed + sorted managed table (bucket pre-shuffle on the key).
+    * Drops any stale catalog entry AND its warehouse directory first:
+    * a location left by a previous process is invisible to the fresh
+    * in-memory catalog but still blocks `saveAsTable`.
+    */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    numBuckets: Int = 16): Unit =
+                    numBuckets: Int = 16): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Small-files compaction — the maintenance pass every long-running
     * ingest needs (streaming file sinks and per-task writers produce

@@ -179,6 +179,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q84: bucketed join reads pre-shuffled inputs — the only exchange is the final agg") {
+    val df = SparkEntry.queries("q84_bucketed_join")(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("Bucketed: true"), plan)
+    // neither join input is re-shuffled (the write paid that); the one
+    // hash exchange is the 5-row segment aggregate after the join
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("Exchange hashpartitioning(o_custkey"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(c_custkey"), plan)
+  }
+
   test("q76: temperature mixing shuffles only the tiny count aggregate, never the corpus") {
     val plan = planOf(graft.ops.SampleOps.temperatureSample(
       Tables.parquet(spark, sf, "documents"), "doc_id", "source"))
