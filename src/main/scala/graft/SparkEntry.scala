@@ -318,6 +318,9 @@ object SparkEntry {
     "q83_ivf_append" -> ivfAppendGate _,
     // bucketed layout: the join's shuffle was paid once at write time
     "q84_bucketed_join" -> bucketedJoin _,
+    // winnowed passage-level duplication candidates (MOSS fingerprints)
+    "q85_winnow_pairs" -> ((s, dir) =>
+      DedupOps.winnowedPassagePairs(t(s, dir, "documents"))),
     // product quantization (m×1-byte codes): ADC probe over the
     // compressed corpus, recall-gated like q28/q34
     "q80_knn_pq" -> ((s, dir) =>
@@ -1126,6 +1129,28 @@ object SparkEntry {
     "q83_ivf_append" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall
         |WHERE 1 = 0""".stripMargin,
+    // winnowing re-derived: same tokenizer, same md5 5-gram shingles,
+    // same 4-window minimum selection, same df cap — list lambdas in
+    // DuckDB mirror the Spark transform/slice expressions one-to-one
+    "q85_winnow_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $duckToks AS w FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |         list_transform(range(0, len(w) - 4),
+         |           i -> md5(array_to_string(w[i+1:i+5], ' '))) AS hs
+         |  FROM toks WHERE len(w) >= 8),
+         |fps AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |           range(0, len(hs) - 3),
+         |           p -> list_aggregate(hs[p+1:p+4], 'min')))) AS fp
+         |  FROM sh),
+         |keep AS (
+         |  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |FROM fps a JOIN keep k ON a.fp = k.fp JOIN fps b ON a.fp = b.fp
+         |WHERE a.doc_id < b.doc_id
+         |GROUP BY 1, 2""".stripMargin,
     // the bucketed layout must be invisible to results: the oracle is
     // the PLAIN join over the same parquet
     "q84_bucketed_join" ->

@@ -330,6 +330,51 @@ object DedupOps {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Q85: the winnowed fingerprint set of each document (Schleimer/
+    * Wilkerson/Aiken, SIGMOD'03 — the MOSS fingerprinter): hash every
+    * k-token shingle, slide a w-wide window over the hash sequence,
+    * keep each window's MINIMUM hash, dedupe. Winnowing's guarantee:
+    * any token run of length ≥ k+w-1 shared by two documents spans a
+    * full common window on both sides, so its window-minimum is
+    * selected in BOTH — a shared passage that long can never be
+    * missed, while only ~2/(w+1) of all shingle hashes are kept.
+    * Selection is pure per-row expression work (no UDF, no shuffle);
+    * docs too short for one full window contribute nothing.
+    */
+  def winnowedFingerprints(documents: DataFrame, k: Int = 5,
+                           w: Int = 4): DataFrame =
+    par(documents)
+      .withColumn("w", expr(tokensExpr))
+      .filter(expr(s"size(w) >= ${k + w - 1}"))
+      .withColumn("hs", expr(
+        s"transform(sequence(0, size(w) - $k), i -> md5(concat_ws(' ', slice(w, i + 1, $k))))"))
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(0, size(hs) - $w), p -> array_min(slice(hs, p + 1, $w))))"))
+        .as("fp"))
+
+  /** Q85b: passage-level duplication candidates — pairs of documents
+    * sharing at least one winnowed fingerprint, i.e. (by the gap
+    * bound) every pair sharing a verbatim passage of ≥ k+w-1 tokens,
+    * with `n_shared` as the evidence weight. The join is a bucketed
+    * fingerprint equi-join like q13's bands — never all-pairs — and
+    * fingerprints present in more than maxDf documents (boilerplate)
+    * are dropped first, the same quadratic-blowup guard as q15's
+    * hot-shingle cap.
+    */
+  def winnowedPassagePairs(documents: DataFrame, k: Int = 5, w: Int = 4,
+                           maxDf: Int = 50): DataFrame = {
+    val fps = winnowedFingerprints(documents, k, w)
+    val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("fp")
+    val kept = fps.join(keep, "fp")
+    kept.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(kept.select(col("doc_id").as("doc_b"), col("fp")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Default cap on shingle document frequency: a shingle present in
     * more than this many documents is boilerplate, not signal, and
     * would contribute O(df²) joined rows — the classic quadratic

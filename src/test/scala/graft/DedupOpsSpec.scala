@@ -73,6 +73,33 @@ class DedupOpsSpec extends SparkSpec {
     assert(s !== 0L)
   }
 
+  test("winnowing guarantee: a shared >= k+w-1 token passage always yields a pair") {
+    // k=5, w=4: the gap bound says any shared run of 8+ tokens MUST
+    // surface a shared selected fingerprint, wherever it sits in
+    // either document and whatever surrounds it
+    val passage = (1 to 8).map(i => s"p$i").mkString(" ")
+    val noiseA = (1 to 20).map(i => s"a$i").mkString(" ")
+    val noiseB = (1 to 20).map(i => s"b$i").mkString(" ")
+    val noiseC = (1 to 20).map(i => s"c$i").mkString(" ")
+    val d = docs(
+      1L -> s"$noiseA $passage",  // passage at the end
+      2L -> s"$passage $noiseB",  // passage at the start
+      3L -> noiseC)               // shares nothing with either
+    val pairs = DedupOps.winnowedPassagePairs(d)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs === Set((1L, 2L)), pairs)
+  }
+
+  test("winnowed fingerprints are a subset of shingle hashes, ~2/(w+1) dense, never empty on long docs") {
+    val d = docs(1L -> (1 to 100).map(i => s"t${i % 37}x$i").mkString(" "))
+    val fps = DedupOps.winnowedFingerprints(d).collect().map(_.getString(1))
+    val nShingles = 100 - 5 + 1
+    assert(fps.nonEmpty && fps.length < nShingles / 2) // far sparser than all shingles
+    assert(fps.distinct.length === fps.length)          // per-doc dedup held
+    // a doc shorter than k+w-1 tokens yields no fingerprints at all
+    assert(DedupOps.winnowedFingerprints(docs(2L -> "one two three")).count() === 0L)
+  }
+
   test("incremental exact dedup admits only content unseen in the existing corpus") {
     val existing = docs(1L -> "alpha text", 2L -> "beta text")
     val batch = docs(
