@@ -137,6 +137,24 @@ object SparkEntry {
       "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double")
   }
 
+  /** q86: ORC round trip — the Hive-era columnar interchange format.
+    * Unlike CSV (q75), ORC embeds its schema, so the read-back needs
+    * no DDL and must reproduce exact types; the oracle reads the
+    * ORIGINAL parquet, proving the format hop is lossless.
+    */
+  private val q86Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def orcRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = q86Dirs.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-q86-")
+      sys.addShutdownHook(deleteRecursively(d))
+      Tables.writeOrc(t(s, dir, "part")
+        .select("p_partkey", "p_name", "p_brand", "p_retailprice"), d.toString)
+      d.toString
+    })
+    Tables.orc(s, tmp)
+  }
+
   /** q78: the IVF index exercised as a STORAGE ARTIFACT — built once
     * per (process, sf dir), saved under a [[graft.core.Scope]]
     * partitioned by cell, then RELOADED and probed with static
@@ -443,6 +461,10 @@ object SparkEntry {
     "q74_stream_enrich" -> ((s, dir) =>
       EventsStreaming.enrichEventsStreaming(s, dir)),
     "q75_csv_roundtrip" -> csvRoundTrip _,
+    "q86_orc_roundtrip" -> orcRoundTrip _,
+    // within-doc repeated-line removal (boilerplate stripping)
+    "q87_strip_lines" -> ((s, dir) =>
+      TextOps.stripRepeatedLines(t(s, dir, "documents"))),
     "q76_temperature_sample" -> ((s, dir) =>
       SampleOps.temperatureSample(t(s, dir, "documents"), "doc_id", "source",
           alpha = 0.7, salt = "mix")
@@ -865,6 +887,25 @@ object SparkEntry {
         |  FROM orders GROUP BY 1) d ON d.bucket = e.user_id % 50""".stripMargin,
     "q75_csv_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    "q86_orc_roundtrip" ->
+      "SELECT p_partkey, p_name, p_brand, p_retailprice FROM part",
+    // first-occurrence line filter re-derived with DuckDB's 1-based
+    // indexed lambda; md5 pins cleaned content and order
+    "q87_strip_lines" ->
+      """WITH lines AS (
+        |  SELECT doc_id,
+        |         list_filter(list_transform(string_split(text, chr(10)),
+        |                     x -> trim(x)), x -> x <> '') AS l
+        |  FROM documents),
+        |kept AS (
+        |  SELECT doc_id, l,
+        |         list_filter(l, (x, i) -> list_position(l, x) = i) AS k
+        |  FROM lines)
+        |SELECT doc_id,
+        |       CAST(len(l) AS INT) AS n_lines,
+        |       CAST(len(l) - len(k) AS INT) AS n_removed,
+        |       md5(array_to_string(k, chr(10))) AS clean_md5
+        |FROM kept""".stripMargin,
     // Overlapping 64-token chunks every 48 tokens; the md5 pins the
     // chunk CONTENT (token slice parity), not just the offsets.
     "q77_chunk_docs" ->

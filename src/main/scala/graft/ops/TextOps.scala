@@ -189,6 +189,26 @@ object TextOps {
         col("top_bigram_frac"))
   }
 
+  /** Q87: within-document repeated-line removal — drop every repeat
+    * of a (trimmed, non-empty) line, keeping first occurrences in
+    * order: the boilerplate-stripping pass (nav bars, cookie banners,
+    * repeated headers) that precedes corpus-level dedup in web-scale
+    * pipelines. Pure per-row expression work — the indexed filter HOF
+    * keeps a line only where its first occurrence index is its own —
+    * so there is no shuffle and no UDF; the cleaned text is pinned by
+    * md5 so the oracle verifies CONTENT and order, not just counts.
+    */
+  def stripRepeatedLines(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("l",
+        expr("filter(transform(split(text, '\\n'), x -> trim(x)), x -> x <> '')"))
+      .withColumn("kept",
+        expr("filter(l, (x, i) -> array_position(l, x) == i + 1)"))
+      .select(col("doc_id"),
+        size(col("l")).cast("int").as("n_lines"),
+        (size(col("l")) - size(col("kept"))).cast("int").as("n_removed"),
+        md5(expr("array_join(kept, '\\n')")).as("clean_md5"))
+
   /** Q56: word n-gram counts per lang — the n-gram language-model /
     * benchmark-contamination primitive. Same shape as Q11 with a
     * windowed gram expand (one expression, no UDF); map-side partial

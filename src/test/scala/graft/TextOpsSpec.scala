@@ -180,4 +180,22 @@ class TextOpsSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pack_id")).toMap
     assert(out2 === Map(0L -> 0L, 1L -> 0L))
   }
+
+  test("stripRepeatedLines keeps first occurrences in order and pins cleaned content") {
+    import java.security.MessageDigest
+    def md5hex(s: String) = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d = docs(
+      1L -> "header\nbody one\nheader\nbody two\n\n  header  \nbody one",
+      2L -> "only\nunique\nlines")
+    val out = TextOps.stripRepeatedLines(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_lines"), r.getAs[Int]("n_removed"),
+          r.getAs[String]("clean_md5"))).toMap
+    // doc 1: 6 non-empty trimmed lines, 3 repeats removed ("header" ×2,
+    // "body one" ×1); survivors keep original order
+    assert(out(1L) ===
+      ((6, 3, md5hex("header\nbody one\nbody two"))))
+    assert(out(2L) === ((3, 0, md5hex("only\nunique\nlines"))))
+  }
 }
