@@ -1,0 +1,140 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.SparkEntry
+import graft.ops.TextOps
+
+/** Order-of-magnitude scale probe: replicates the sf0.1 fixture ×10
+  * into an sf1-equivalent corpus and times the most expensive bench
+  * queries at both scales in one process, so "would this plan hold a
+  * decade up?" is measured, not assumed.
+  *
+  * Replicas are IDENTIFIER-DISJOINT (ids shifted per replica) and
+  * TEXT-DISJOINT: every token is suffixed with the replica tag except
+  * the language-marker stopwords, so langid/quality statistics — and
+  * therefore each query's selectivity — carry over, while no shingle,
+  * fingerprint, or minhash band collides across replicas (the
+  * boilerplate all-stopword shingles that do collide are exactly what
+  * the DF caps drop). Embeddings get a per-replica deterministic
+  * jitter so cosine ties don't inflate kNN frontiers. Net effect: a
+  * corpus 10× the rows with the same per-row structure — the honest
+  * linear-scale-up probe.
+  *
+  * Usage: `sbt "runMain graft.tools.ScaleProbe [destDir]"` — generates
+  * once (marker file), then prints per-query seconds at sf0.1 and sf1
+  * and the per-row cost ratio (sf1_sec / (10 × sf0.1_sec)).
+  */
+object ScaleProbe {
+  private val factor = 10
+  private val probeQueries = Seq(
+    "q57_training_corpus", "q47_dedup_apply", "q54_stream_join",
+    "q15_jaccard", "q24_typed_mapreduce", "q41_dedup_clusters",
+    "q34_knn_ivf")
+
+  private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
+    val markers = TextOps.langMarkers.map(_._1)
+      .map(w => s"'${w}'").mkString(", ")
+    expr(
+      s"""array_join(transform(
+         |  filter(split(trim(text), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), x -> x <> ''),
+         |  t -> if(t in ($markers), t, concat(t, 'r$k'))), ' ')""".stripMargin)
+  }
+
+  /** The fixture convention is one FILE per table (the streaming
+    * sources pathGlobFilter on that exact name), so write via a temp
+    * directory and move the single part file into place.
+    */
+  private def writeSingle(df: DataFrame, dest: String, name: String): Unit = {
+    val tmp = s"$dest/_tmp_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file written for $name"))
+    Files.createDirectories(Paths.get(dest))
+    Files.move(part.toPath, Paths.get(s"$dest/$name.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
+  private def replicate(spark: SparkSession, src: String, dest: String): Unit = {
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val nDocs = 1L + docs.agg(max("doc_id")).head.getLong(0)
+    writeSingle((0 until factor).map { k =>
+      docs.select(
+        (col("doc_id") + lit(k * nDocs)).as("doc_id"),
+        (if (k == 0) col("text") else markerSafeText(k)).as("text"),
+        col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")))
+    }.reduce(_ unionByName _), dest, "documents")
+
+    // the fixture stores TIMESTAMP(NANOS); read as raw long nanos (the
+    // convention every consumer of the single-file layout expects) and
+    // write it back as plain INT64 — same wire value, legal to write
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val nEv = 1L + ev.agg(max("event_id")).head.getLong(0)
+    val nUsers = 1L + ev.agg(max("user_id")).head.getLong(0)
+    writeSingle((0 until factor).map { k =>
+      ev.select((col("event_id") + lit(k * nEv)).as("event_id"), col("ts"),
+        (col("user_id") + lit(k * nUsers)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _), dest, "events")
+
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val nOrd = 1L + li.agg(max("l_orderkey")).head.getLong(0)
+    writeSingle((0 until factor).map { k =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(k * nOrd))
+    }.reduce(_ unionByName _), dest, "lineitem")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val nVec = 1L + emb.agg(max("vec_id")).head.getLong(0)
+    writeSingle((0 until factor).map { k =>
+      emb.select((col("vec_id") + lit(k * nVec)).as("vec_id"),
+        expr(s"""transform(embedding, (x, j) ->
+                 |cast(x + 0.002 * $k * (pmod(j * 31 + $k * 17, 97) / 97.0 - 0.5) as float))"""
+          .stripMargin).as("embedding"))
+    }.reduce(_ unionByName _), dest, "embeddings")
+
+    // small dims referenced by fixture loaders ride along unchanged
+    Seq("region", "nation", "customer", "supplier", "part", "orders")
+      .foreach { t =>
+        Files.copy(Paths.get(s"$src/$t.parquet"),
+          Paths.get(s"$dest/$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      }
+  }
+
+  private def time(body: => Unit): Double = {
+    val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+  }
+
+  private def bench(spark: SparkSession, dir: String, q: String,
+                    runs: Int = 3): Double =
+    (1 to runs).map(_ => time(SparkEntry.queries(q)(spark, dir).count())).min
+
+  def main(args: Array[String]): Unit = {
+    val src = "/root/testdata/sf0.1"
+    val dest = if (args.nonEmpty) args(0) else "target/sf1-probe"
+    val spark = SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val marker = new java.io.File(s"$dest/_PROBE_READY")
+    if (!marker.exists()) {
+      println(s"[scale-probe] generating ${factor}x corpus under $dest")
+      replicate(spark, src, dest)
+      marker.getParentFile.mkdirs(); marker.createNewFile()
+    }
+    probeQueries.foreach { q =>
+      val s01 = bench(spark, src, q)
+      val s1 = bench(spark, dest, q)
+      println(f"""{"query":"$q","sf0_1_sec":$s01%.3f,"sf1_sec":$s1%.3f,"per_row_ratio":${s1 / (factor * s01)}%.3f}""")
+    }
+    spark.stop()
+  }
+}

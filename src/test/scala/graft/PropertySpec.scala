@@ -106,6 +106,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("winnowing gap bound: any shared >= k+w-1 token run yields a pair, anywhere, always") {
+    // random distinct-token contexts around a shared passage of exactly
+    // k+w-1 tokens at random offsets in both docs — the guarantee must
+    // hold regardless of placement and surroundings
+    val gen = for {
+      na <- Gen.chooseNum(0, 30)
+      nb <- Gen.chooseNum(0, 30)
+      offA <- Gen.chooseNum(0, na)
+      offB <- Gen.chooseNum(0, nb)
+    } yield (na, nb, offA, offB)
+    samples(gen, n = 8).foreach { case (na, nb, offA, offB) =>
+      val passage = (1 to 8).map(i => s"p$i") // k=5, w=4 → k+w-1 = 8
+      val ctxA = (1 to na).map(i => s"a$i")
+      val ctxB = (1 to nb).map(i => s"b$i")
+      val docA = (ctxA.take(offA) ++ passage ++ ctxA.drop(offA)).mkString(" ")
+      val docB = (ctxB.take(offB) ++ passage ++ ctxB.drop(offB)).mkString(" ")
+      val pairs = DedupOps.winnowedPassagePairs(
+        Seq((1L, docA), (2L, docB)).toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs === Set((1L, 2L)), s"na=$na nb=$nb offA=$offA offB=$offB")
+    }
+  }
+
   test("jaccard pairs are canonical-ordered and bounded in [0,1]") {
     samples(Gen.listOfN(4, Gen.listOfN(8, Gen.oneOf("x", "y", "z", "w", "v")))).foreach { docs =>
       val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
