@@ -443,28 +443,47 @@ object EventsStreaming {
     * Held to batch q60's oracle (same band geometry, same pair set).
     */
   def streamingNearDupCandidates(spark: SparkSession, dir: String,
-                                 queryName: String = "graft_stream_neardup"): DataFrame = {
+                                 queryName: String = "graft_stream_neardup",
+                                 statePartitions: Int = 8): DataFrame = {
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("source", StringType),
       StructField("lang", StringType), StructField("text", StringType)))
+    // isolated session: size the stateful shuffle for the pair-dedup
+    // state stores (like q54), without touching the caller's conf
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    // CACHE the static side: a stream-static join re-evaluates the
+    // static plan every micro-batch, and the band table is the
+    // expensive half (minhash over the corpus). In production it is a
+    // maintained build artifact read from storage; caching here is
+    // that artifact's in-memory analogue, paid once not per batch.
     val corpusBands = graft.ops.DedupOps.minhashBands(
-        graft.io.Tables.parquet(spark, dir, "documents")
+        graft.io.Tables.parquet(ss, dir, "documents")
           .filter(col("doc_id") % 2 === 0))
       .select(col("doc_id").as("doc_existing"), col("b"), col("bh"))
-    val src = spark.readStream.schema(docSchema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      .filter(col("doc_id") % 2 === 1)
-    val streamBands = graft.ops.DedupOps.minhashBandsRowwise(src)
-      .select(col("doc_id").as("doc_new"), col("b"), col("bh"))
-    val q = streamBands.join(corpusBands, Seq("b", "bh"))
-      .select("doc_new", "doc_existing")
-      .dropDuplicates("doc_new", "doc_existing")
-      .writeStream.format("memory").queryName(queryName)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination() finally q.stop()
-    val out = spark.table(queryName)
-    out.cache(); out.count()
-    out
+      .cache()
+    try {
+      corpusBands.count()
+      // a single-file source arrives as ONE partition per micro-batch;
+      // spread the rows before the md5-dense banding projection or the
+      // whole batch runs in one task (the streaming analogue of
+      // OpsUtil.par, paid as a cheap pre-shuffle of raw doc rows)
+      val src = ss.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") % 2 === 1)
+        .repartition(ss.sparkContext.defaultParallelism)
+      val streamBands = graft.ops.DedupOps.minhashBandsRowwise(src)
+        .select(col("doc_id").as("doc_new"), col("b"), col("bh"))
+      val q = streamBands.join(corpusBands, Seq("b", "bh"))
+        .select("doc_new", "doc_existing")
+        .dropDuplicates("doc_new", "doc_existing")
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      val out = ss.table(queryName)
+      out.cache(); out.count()
+      out
+    } finally corpusBands.unpersist()
   }
 
   /** The state-BOUNDED form of streaming dedup that
