@@ -239,6 +239,28 @@ object SparkEntry {
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
   }
 
+  /** q88/q89 fixture: a deterministic MERGE scenario over orders.
+    * `existing` drops every third key (so the diff shows removals),
+    * the update batch modifies every fifth key (price bump, priority
+    * flag) and inserts shifted copies of every eleventh key — giving
+    * the upsert all three row fates and the snapshot diff all three
+    * change classes.
+    */
+  private def ordersNarrow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+  private def mergeUpserted(s: SparkSession, dir: String): DataFrame = {
+    val narrow = ordersNarrow(s, dir)
+    val existing = narrow.filter(col("o_orderkey") % 3 =!= 0)
+    val updates = narrow.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      .withColumn("o_orderpriority", lit("UPDATED"))
+      .unionByName(narrow.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    MergeOps.upsert(existing, updates, Seq("o_orderkey"))
+  }
+
   /** Flagship query on sf0.001; driver smoke-checks rows>0. The
     * flagship is the q57 composition — the end-to-end training-corpus
     * materialization that exercises dedup, text analysis, and
@@ -465,6 +487,12 @@ object SparkEntry {
     // within-doc repeated-line removal (boilerplate stripping)
     "q87_strip_lines" -> ((s, dir) =>
       TextOps.stripRepeatedLines(t(s, dir, "documents"))),
+    // keyed MERGE (latest-wins upsert) as a plan-level rewrite
+    "q88_upsert" -> mergeUpserted _,
+    // snapshot diff: added/removed/changed between table versions
+    "q89_snapshot_diff" -> ((s, dir) =>
+      MergeOps.snapshotDiff(ordersNarrow(s, dir), mergeUpserted(s, dir),
+        Seq("o_orderkey"))),
     "q76_temperature_sample" -> ((s, dir) =>
       SampleOps.temperatureSample(t(s, dir, "documents"), "doc_id", "source",
           alpha = 0.7, salt = "mix")
@@ -889,6 +917,52 @@ object SparkEntry {
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
     "q86_orc_roundtrip" ->
       "SELECT p_partkey, p_name, p_brand, p_retailprice FROM part",
+    // the MERGE rewrite re-derived relationally: NOT IN + UNION ALL
+    "q88_upsert" ->
+      """WITH narrow AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |  FROM orders),
+        |existing AS (SELECT * FROM narrow WHERE o_orderkey % 3 <> 0),
+        |updates AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice,
+        |         'UPDATED' AS o_orderpriority
+        |  FROM narrow WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice, o_orderpriority
+        |  FROM narrow WHERE o_orderkey % 11 = 0)
+        |SELECT * FROM existing
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        |UNION ALL
+        |SELECT * FROM updates""".stripMargin,
+    // diff via full-outer with IS DISTINCT FROM per value column
+    "q89_snapshot_diff" ->
+      """WITH narrow AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |  FROM orders),
+        |existing AS (SELECT * FROM narrow WHERE o_orderkey % 3 <> 0),
+        |updates AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice,
+        |         'UPDATED' AS o_orderpriority
+        |  FROM narrow WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice, o_orderpriority
+        |  FROM narrow WHERE o_orderkey % 11 = 0),
+        |merged AS (
+        |  SELECT * FROM existing
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        |  UNION ALL
+        |  SELECT * FROM updates)
+        |SELECT * FROM (
+        |  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |              WHEN n.o_orderkey IS NULL THEN 'removed'
+        |              WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+        |                OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |                OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+        |                THEN 'changed' END AS change
+        |  FROM narrow o FULL OUTER JOIN merged n
+        |    ON o.o_orderkey = n.o_orderkey)
+        |WHERE change IS NOT NULL""".stripMargin,
     // first-occurrence line filter re-derived with DuckDB's 1-based
     // indexed lambda; md5 pins cleaned content and order
     "q87_strip_lines" ->

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Table-maintenance operators: keyed upsert (MERGE) and snapshot
+  * diff — the mutation half of a long-lived dataset's lifecycle that
+  * the reference delegates to its source RDBMS (the Sqoop import is a
+  * one-way copy; reference: src/de/uni_stuttgart/ipvs_as/
+  * MapReduceWSIImpl.java:220-280) and that an immutable data lake has
+  * to express as plan-level rewrites instead.
+  */
+object MergeOps {
+
+  /** MERGE with latest-wins semantics: rows of `updates` replace
+    * same-key rows of `existing`; unmatched update keys are inserts.
+    * The classic lake rewrite — anti-join the existing table against
+    * the update keys, union the updates back in. The anti-join
+    * shuffles on the key (or broadcasts: update batches are usually
+    * tiny next to the table, and AQE picks that up from stats); at
+    * 100 TB the write side pairs this with partitioned storage so
+    * only partitions containing updated keys are rewritten (dynamic
+    * partition overwrite), never the whole table.
+    */
+  def upsert(existing: DataFrame, updates: DataFrame,
+             keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    existing
+      .join(updates.select(keyCols.map(col): _*).distinct(),
+        keyCols, "left_anti")
+      .unionByName(updates)
+  }
+
+  /** Snapshot diff: classify every key as added / removed / changed
+    * between two versions of a keyed table (unchanged rows are
+    * omitted — at scale they are the overwhelming majority and
+    * emitting them would make the diff as big as the table). One
+    * full-outer join on the key; change detection is column-wise
+    * null-safe equality (`<=>`), no hashing, so engine-specific value
+    * formatting can never produce a false diff.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
+    val valCols = oldDf.columns.filterNot(keyCols.contains)
+    require(valCols.sameElements(newDf.columns.filterNot(keyCols.contains)),
+      "snapshots must share a schema")
+    val o = valCols.foldLeft(oldDf) { (d, c) => d.withColumnRenamed(c, s"old_$c") }
+      .withColumn("in_old", lit(true))
+    val n = valCols.foldLeft(newDf) { (d, c) => d.withColumnRenamed(c, s"new_$c") }
+      .withColumn("in_new", lit(true))
+    val same = valCols
+      .map(c => col(s"old_$c") <=> col(s"new_$c"))
+      .reduce(_ && _)
+    o.join(n, keyCols, "full_outer")
+      .withColumn("change",
+        when(col("in_old").isNull, lit("added"))
+          .when(col("in_new").isNull, lit("removed"))
+          .when(!same, lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(keyCols.map(col) :+ col("change"): _*)
+  }
+}
