@@ -239,6 +239,56 @@ object SparkEntry {
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
   }
 
+  /** q90: partition-pruned layout — events land partitioned by
+    * event_type ([[graft.io.Layout.writePartitioned]], sorted by ts
+    * inside each partition for row-group stats), so the 'click'
+    * aggregate reads ONLY the click directory: the predicate is
+    * satisfied at file-listing time (PartitionFilters, PlanSpec-
+    * asserted), not per row. The oracle is the plain filter over the
+    * original table — layout invisible to results, like q84.
+    */
+  private val q90Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def partitionedScan(s: SparkSession, dir: String): DataFrame = {
+    val tmp = q90Dirs.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-q90-")
+      sys.addShutdownHook(deleteRecursively(d))
+      graft.io.Layout.writePartitioned(t(s, dir, "events"), d.toString + "/events",
+        partitionCols = Seq("event_type"), sortCols = Seq("ts"))
+      d.toString
+    })
+    s.read.parquet(s"$tmp/events")
+      .filter(col("event_type") === "click")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
+  }
+
+  /** q91: the PQ index as a STORAGE ARTIFACT — codes + codebooks built
+    * once per (process, sf dir), persisted under a scope, RELOADED,
+    * and probed, under the same recall gate as the in-memory q80. With
+    * q78 (IVF artifact) and q83 (incremental append) this completes
+    * the stored-index lifecycle: build, persist, reload, probe,
+    * append.
+    */
+  private val q91Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
+
+  private def pqArtifactGate(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val scope = q91Scopes.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-q91-")
+      sys.addShutdownHook(deleteRecursively(base))
+      val sc = graft.core.Scopes.create(s, base.toString)
+      SimilarityOps.savePqIndex(SimilarityOps.buildPqIndex(emb), sc, "pq")
+      sc
+    })
+    val loaded = SimilarityOps.loadPqIndex(s, scope, "pq")
+    SimilarityOps.knnRecallGate(
+      SimilarityOps.probePq(loaded, emb),
+      SimilarityOps.bruteForceKnn(emb), k = 10, minRecall = 0.7)
+  }
+
   /** q88/q89 fixture: a deterministic MERGE scenario over orders.
     * `existing` drops every third key (so the diff shows removals),
     * the update batch modifies every fifth key (price bump, priority
@@ -493,6 +543,10 @@ object SparkEntry {
     "q89_snapshot_diff" -> ((s, dir) =>
       MergeOps.snapshotDiff(ordersNarrow(s, dir), mergeUpserted(s, dir),
         Seq("o_orderkey"))),
+    // partition-pruned scan: predicate satisfied at file-listing time
+    "q90_partitioned_scan" -> partitionedScan _,
+    // the PQ index persisted/reloaded as a storage artifact
+    "q91_pq_artifact" -> pqArtifactGate _,
     "q76_temperature_sample" -> ((s, dir) =>
       SampleOps.temperatureSample(t(s, dir, "documents"), "doc_id", "source",
           alpha = 0.7, salt = "mix")
@@ -917,6 +971,17 @@ object SparkEntry {
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
     "q86_orc_roundtrip" ->
       "SELECT p_partkey, p_name, p_brand, p_retailprice FROM part",
+    // layout invisible to results: the oracle is the plain filter
+    "q90_partitioned_scan" ->
+      """SELECT event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY 1""".stripMargin,
+    // reload + probe of the persisted PQ artifact must not cost recall
+    "q91_pq_artifact" ->
+      """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall
+        |WHERE 1 = 0""".stripMargin,
     // the MERGE rewrite re-derived relationally: NOT IN + UNION ALL
     "q88_upsert" ->
       """WITH narrow AS (

@@ -757,10 +757,20 @@ object SimilarityOps {
     * x̂, trading the decode join for an m-term per-row lookup sum.
     */
   def pqKnn(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
-            m: Int = 32, nbits: Int = 8, dim: Int = 64): DataFrame = {
-    val idx = buildPqIndex(embeddings, m, nbits, dim = dim)
-    val recon = withNorm(reconstructPq(idx), "embedding", "cn")
-    val queries = withNorm(embeddings, "embedding", "qn")
+            m: Int = 32, nbits: Int = 8, dim: Int = 64): DataFrame =
+    probePq(buildPqIndex(embeddings, m, nbits, dim = dim), embeddings,
+      nQueries, k)
+
+  /** The per-query-batch half of the PQ pair (like [[probeIvfPruned]]
+    * for IVF): score full-precision queries against an ALREADY-BUILT
+    * index — in-memory or reloaded from storage. Queries arrive as
+    * their own frame; a probe against a stored index must not rescan
+    * the corpus to find them.
+    */
+  def probePq(index: PqIndex, queryVecs: DataFrame, nQueries: Int = 5,
+              k: Int = 10): DataFrame = {
+    val recon = withNorm(reconstructPq(index), "embedding", "cn")
+    val queries = withNorm(queryVecs, "embedding", "qn")
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"), col("qn"))
     val scored = recon.join(broadcast(queries), col("vec_id") =!= col("query_id"))
@@ -770,6 +780,31 @@ object SimilarityOps {
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("query_id", "rnk", "vec_id", "sim")
+  }
+
+  /** Persist a [[PqIndex]] as a STORAGE ARTIFACT under a [[Scope]] —
+    * the m-byte codes ARE the 100 TB storage form (the corpus
+    * compressed ~16×); the codebooks and an (m, dsub) meta row ride
+    * beside them. Build once per corpus version, reload per query
+    * batch — the same split [[saveIvfIndex]] gives the cell-partitioned
+    * index.
+    */
+  def savePqIndex(index: PqIndex, scope: Scope, name: String): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    index.codes.write.mode("overwrite").parquet(scope.path(s"$name/codes"))
+    index.codebooks.write.mode("overwrite")
+      .parquet(scope.path(s"$name/codebooks"))
+    Seq((index.m, index.dsub)).toDF("m", "dsub")
+      .write.mode("overwrite").parquet(scope.path(s"$name/meta"))
+  }
+
+  def loadPqIndex(spark: SparkSession, scope: Scope, name: String): PqIndex = {
+    val meta = spark.read.parquet(scope.path(s"$name/meta")).head()
+    PqIndex(
+      spark.read.parquet(scope.path(s"$name/codes")),
+      spark.read.parquet(scope.path(s"$name/codebooks")),
+      meta.getInt(0), meta.getInt(1))
   }
 
   /** Q80 gate: PQ-ADC recall@k vs the exact scan — violations only.

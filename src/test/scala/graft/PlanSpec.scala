@@ -191,6 +191,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning(c_custkey"), plan)
   }
 
+  test("q90: the partition predicate is satisfied at file-listing time, not per row") {
+    val df = SparkEntry.queries("q90_partitioned_scan")(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+    // no residual data filter on the partition column
+    assert(!plan.contains("PushedFilters: [IsNotNull(event_type)"), plan)
+  }
+
   test("q76: temperature mixing shuffles only the tiny count aggregate, never the corpus") {
     val plan = planOf(graft.ops.SampleOps.temperatureSample(
       Tables.parquet(spark, sf, "documents"), "doc_id", "source"))

@@ -259,6 +259,28 @@ class SimilarityOpsSpec extends SparkSpec {
     }
   }
 
+  test("PQ artifact round trip: the reloaded probe equals the in-memory probe") {
+    val emb = graft.io.Tables.parquet(spark, sf, "embeddings")
+    val base = java.nio.file.Files.createTempDirectory("graft-pq-spec-")
+    try {
+      val scope = graft.core.Scopes.create(spark, base.toString)
+      val idx = SimilarityOps.buildPqIndex(emb)
+      SimilarityOps.savePqIndex(idx, scope, "pq")
+      val loaded = SimilarityOps.loadPqIndex(spark, scope, "pq")
+      assert(loaded.m === idx.m && loaded.dsub === idx.dsub)
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("query_id"), r.getAs[Int]("rnk"),
+          r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))
+      val mem = SimilarityOps.probePq(idx, emb, nQueries = 3, k = 5)
+        .collect().map(key).toSet
+      val art = SimilarityOps.probePq(loaded, emb, nQueries = 3, k = 5)
+        .collect().map(key).toSet
+      assert(art === mem)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("LSH sizing guard flags geometries that stop pruning at scale") {
     // lshPlanesFor returns the smallest numPlanes meeting the bucket
     // budget: one plane fewer would blow it
