@@ -547,6 +547,9 @@ object SparkEntry {
     "q90_partitioned_scan" -> partitionedScan _,
     // the PQ index persisted/reloaded as a storage artifact
     "q91_pq_artifact" -> pqArtifactGate _,
+    // ordered funnel progression (chained min-timestamp rewrite)
+    "q92_funnel" -> ((s, dir) =>
+      EventsStreaming.funnelStages(t(s, dir, "events"))),
     "q76_temperature_sample" -> ((s, dir) =>
       SampleOps.temperatureSample(t(s, dir, "documents"), "doc_id", "source",
           alpha = 0.7, salt = "mix")
@@ -982,6 +985,27 @@ object SparkEntry {
     "q91_pq_artifact" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall
         |WHERE 1 = 0""".stripMargin,
+    // funnel re-derived with the same chained min-ts CTEs; µs space
+    // on both engines (unix_micros / epoch_us)
+    "q92_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+        |  GROUP BY 1)
+        |SELECT CAST(1 AS INT) AS stage, 'view' AS step, count(*) AS users FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'click', count(*) FROM s2
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'purchase', count(*) FROM s3""".stripMargin,
     // the MERGE rewrite re-derived relationally: NOT IN + UNION ALL
     "q88_upsert" ->
       """WITH narrow AS (

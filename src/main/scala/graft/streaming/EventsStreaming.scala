@@ -291,6 +291,40 @@ object EventsStreaming {
         (col("c_us") - col("v_us")).as("delay_us"))
   }
 
+  /** Q92: ordered funnel progression — how many users reach each
+    * stage of view → click → purchase IN ORDER: a user advances to
+    * stage i+1 only with a stage-i+1 event STRICTLY AFTER their
+    * stage-i entry time (the first qualifying event, so later stages
+    * measure against the earliest possible entry). The classic
+    * chained min-timestamp rewrite: per-stage groupBy-min plus an
+    * equi-join on user — no window over the whole event stream, no
+    * per-user event-array materialization; each stage's working set
+    * is ONE timestamp per surviving user, shrinking monotonically.
+    * All stage counts emit from one plan (a 3-row union of
+    * aggregates), and comparisons run in microsecond space on both
+    * engines (unix_micros / epoch_us) so ns-vs-µs precision can't
+    * diverge.
+    */
+  def funnelStages(events: DataFrame,
+                   steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val stages = steps.scanLeft(Option.empty[DataFrame]) { (prevOpt, step) =>
+      val hits = events.filter(col("event_type") === step)
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+      val qualified = prevOpt match {
+        case None => hits
+        case Some(prev) =>
+          hits.join(prev.select(col("user_id"), col("t").as("prev_t")), "user_id")
+            .filter(col("us") > col("prev_t"))
+      }
+      Some(qualified.groupBy("user_id").agg(min(col("us")).as("t")))
+    }.flatten
+    stages.zip(steps).zipWithIndex.map { case ((df, step), i) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("stage"), lit(step).as("step"), col("users"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Q54: STREAM-STREAM inner join — the two-live-streams shape
     * (impressions joining clicks as both arrive). Both sides carry a
     * watermark and the join predicate bounds event-time distance, so

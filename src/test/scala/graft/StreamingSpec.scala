@@ -4,6 +4,28 @@ import graft.io.Tables
 import graft.streaming.EventsStreaming
 
 class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("funnel requires strict order: out-of-order and tied stages do not advance") {
+    val base = java.time.Instant.parse("2024-01-01T10:00:00Z")
+      .getEpochSecond * 1000000L
+    def ev(id: Long, uid: Long, min: Int, tpe: String) =
+      (id, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        0, (base + min * 60L * 1000000L) * 1000L)), uid, tpe, 1.0, "{}")
+    val events = Seq(
+      // user 1: full ordered funnel
+      ev(1, 1, 0, "view"), ev(2, 1, 5, "click"), ev(3, 1, 9, "purchase"),
+      // user 2: click BEFORE view — never advances past stage 1
+      ev(4, 2, 3, "click"), ev(5, 2, 7, "view"),
+      // user 3: click at the SAME instant as view — strict > rejects it
+      ev(6, 3, 2, "view"), ev(7, 3, 2, "click"),
+      // user 4: view then purchase, no click — stops at stage 1
+      ev(8, 4, 0, "view"), ev(9, 4, 4, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventsStreaming.funnelStages(events)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(out === Map(1 -> 4L, 2 -> 1L, 3 -> 1L))
+  }
 
   test("streaming windowed agg equals the batch plan on a static fixture") {
     val batch = EventsStreaming.hourlyByType(Tables.events(spark, sf))
