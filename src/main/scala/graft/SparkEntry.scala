@@ -550,6 +550,9 @@ object SparkEntry {
     // ordered funnel progression (chained min-timestamp rewrite)
     "q92_funnel" -> ((s, dir) =>
       EventsStreaming.funnelStages(t(s, dir, "events"))),
+    // cohort retention: distinct users active N weeks after first seen
+    "q93_retention" -> ((s, dir) =>
+      EventsStreaming.weeklyRetention(t(s, dir, "events"))),
     "q76_temperature_sample" -> ((s, dir) =>
       SampleOps.temperatureSample(t(s, dir, "documents"), "doc_id", "source",
           alpha = 0.7, salt = "mix")
@@ -985,6 +988,16 @@ object SparkEntry {
     "q91_pq_artifact" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall
         |WHERE 1 = 0""".stripMargin,
+    // integer µs week bucketing on both engines — exact parity
+    "q93_retention" ->
+      """WITH firsts AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS first_us
+        |  FROM events GROUP BY 1),
+        |offs AS (
+        |  SELECT DISTINCT e.user_id,
+        |         (epoch_us(e.ts) - f.first_us) // 604800000000 AS week_off
+        |  FROM events e JOIN firsts f ON e.user_id = f.user_id)
+        |SELECT week_off, count(*) AS users FROM offs GROUP BY 1""".stripMargin,
     // funnel re-derived with the same chained min-ts CTEs; µs space
     // on both engines (unix_micros / epoch_us)
     "q92_funnel" ->

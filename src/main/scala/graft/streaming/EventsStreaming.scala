@@ -325,6 +325,28 @@ object EventsStreaming {
     }.reduce(_ unionByName _)
   }
 
+  /** Q93: cohort retention — distinct users active in week N after
+    * their own first event. Two aggregates and one join: per-user
+    * first-event time, then distinct (user, week-offset) pairs
+    * counted per offset. Week offsets are computed with INTEGER
+    * microsecond arithmetic ((us - first_us) div week_us) so both
+    * engines bucket identically — no calendar/timezone functions in
+    * the hot path, and exact cross-engine parity by construction.
+    */
+  def weeklyRetention(events: DataFrame): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val firsts = events
+      .groupBy("user_id")
+      .agg(min(expr("unix_micros(ts)")).as("first_us"))
+    events.select(col("user_id"), expr("unix_micros(ts)").as("us"))
+      .join(firsts, "user_id")
+      .select(col("user_id"),
+        expr(s"(us - first_us) div ${weekUs}L").as("week_off"))
+      .distinct()
+      .groupBy("week_off")
+      .agg(count(lit(1)).as("users"))
+  }
+
   /** Q54: STREAM-STREAM inner join — the two-live-streams shape
     * (impressions joining clicks as both arrive). Both sides carry a
     * watermark and the join predicate bounds event-time distance, so

@@ -27,6 +27,25 @@ class StreamingSpec extends SparkSpec {
     assert(out === Map(1 -> 4L, 2 -> 1L, 3 -> 1L))
   }
 
+  test("retention buckets by the user's OWN first event; exact 7-day boundary rolls over") {
+    val base = java.time.Instant.parse("2024-01-01T10:00:00Z")
+      .getEpochSecond * 1000000L
+    def ev(id: Long, uid: Long, minOff: Long, tpe: String) =
+      (id, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        0, (base + minOff * 60L * 1000000L) * 1000L)), uid, tpe, 1.0, "{}")
+    val week = 7L * 24 * 60
+    val events = Seq(
+      ev(1, 1, 0, "view"),            // user 1 week 0
+      ev(2, 1, week - 1, "click"),    // 1 min short of a week → week 0
+      ev(3, 1, week, "view"),         // exactly 7 days → week 1
+      ev(4, 2, week * 5, "view"),     // user 2 starts late: THEIR week 0
+      ev(5, 2, week * 7, "click"))    // their week 2
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventsStreaming.weeklyRetention(events)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(0L -> 2L, 1L -> 1L, 2L -> 1L))
+  }
+
   test("streaming windowed agg equals the batch plan on a static fixture") {
     val batch = EventsStreaming.hourlyByType(Tables.events(spark, sf))
       .collect().map(_.toSeq).toSet
