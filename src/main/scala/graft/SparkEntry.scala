@@ -553,6 +553,11 @@ object SparkEntry {
     // cohort retention: distinct users active N weeks after first seen
     "q93_retention" -> ((s, dir) =>
       EventsStreaming.weeklyRetention(t(s, dir, "events"))),
+    // weighted priority sampling: k smallest u/w priorities
+    "q94_priority_sample" -> ((s, dir) =>
+      SampleOps.prioritySample(t(s, dir, "documents"), "doc_id", "n_chars",
+          k = 100)
+        .select("doc_id", "n_chars", "priority")),
     "q76_temperature_sample" -> ((s, dir) =>
       SampleOps.temperatureSample(t(s, dir, "documents"), "doc_id", "source",
           alpha = 0.7, salt = "mix")
@@ -988,6 +993,14 @@ object SparkEntry {
     "q91_pq_artifact" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall
         |WHERE 1 = 0""".stripMargin,
+    // u is exact in double (32-bit hash over 2^32); both divisions are
+    // IEEE correctly rounded, so priorities match bit-for-bit
+    "q94_priority_sample" ->
+      """SELECT doc_id, n_chars,
+        |       (('0x' || substr(md5(doc_id::VARCHAR || ':'), 1, 8))::BIGINT
+        |          / 4294967296.0) / n_chars AS priority
+        |FROM documents WHERE n_chars > 0
+        |ORDER BY priority ASC, doc_id ASC LIMIT 100""".stripMargin,
     // integer µs week bucketing on both engines — exact parity
     "q93_retention" ->
       """WITH firsts AS (

@@ -78,6 +78,27 @@ object SampleOps {
       .drop("_stratum", "rate")
   }
 
+  /** Q94: WEIGHTED priority sampling (Duffield, Lund, Thorup, JACM'07):
+    * each row draws priority u/w — u the exact-parity hash-uniform, w
+    * its weight — and the k SMALLEST priorities form the sample, so
+    * inclusion probability grows with weight while the whole draw stays
+    * deterministic and reproducible (same corpus + salt → same sample,
+    * on any engine that can md5). The top-k plans as
+    * TakeOrderedAndProject: per-partition size-k heaps merged on the
+    * driver — no global sort, no corpus shuffle, the same scale shape
+    * as q07. Non-positive weights are excluded (they cannot be
+    * meaningfully prioritized).
+    */
+  def prioritySample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, s"sample size must be positive: $k")
+    df.filter(col(weightCol) > 0)
+      .withColumn("priority",
+        hashUnit(col(keyCol), salt) / col(weightCol).cast("double"))
+      .orderBy(col("priority").asc, col(keyCol).asc)
+      .limit(k)
+  }
+
   def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
                        rates: Map[String, Double], defaultRate: Double = 1.0,
                        salt: String = ""): DataFrame = {

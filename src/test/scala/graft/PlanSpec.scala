@@ -191,6 +191,12 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning(c_custkey"), plan)
   }
 
+  test("q94: weighted priority sampling plans as TakeOrderedAndProject, no global sort") {
+    val plan = planOf(SparkEntry.queries("q94_priority_sample")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
   test("q90: the partition predicate is satisfied at file-listing time, not per row") {
     val df = SparkEntry.queries("q90_partitioned_scan")(spark, sf)
     val plan = planOf(df)

@@ -79,6 +79,28 @@ class SampleOpsSpec extends SparkSpec {
     assert(tempered.filter("source = 'web'").count() < 40L)
   }
 
+  test("prioritySample is deterministic, size-k, weight-biased, and skips w <= 0") {
+    // two weight classes: heavy rows (w=100) should dominate a sample
+    // of 100 from 1000+1000 rows vs light rows (w=1)
+    val rows = (0L until 1000L).map(i => (i, 100L)) ++
+      (1000L until 2000L).map(i => (i, 1L)) :+ (2000L, 0L) :+ (2001L, -5L)
+    val df = rows.toDF("id", "w")
+    val out = SampleOps.prioritySample(df, "id", "w", k = 100)
+    val ids = out.select("id").collect().map(_.getLong(0))
+    assert(ids.length === 100)
+    assert(!ids.contains(2000L) && !ids.contains(2001L)) // non-positive w
+    val heavy = ids.count(_ < 1000L)
+    assert(heavy > 80, s"heavy rows underrepresented: $heavy/100")
+    // same corpus + salt → identical sample, regardless of partitioning
+    val again = SampleOps.prioritySample(df.repartition(13), "id", "w", k = 100)
+      .select("id").collect().map(_.getLong(0))
+    assert(again.sorted.toSeq === ids.sorted.toSeq)
+    // a different salt draws a different (same-size) sample
+    val salted = SampleOps.prioritySample(df, "id", "w", k = 100, salt = "b")
+      .select("id").collect().map(_.getLong(0))
+    assert(salted.sorted.toSeq !== ids.sorted.toSeq)
+  }
+
   test("stratifiedSample applies per-stratum rates") {
     val out = SampleOps.stratifiedSample(docs, "doc_id", "lang",
       Map("en" -> 0.1, "de" -> 0.9), defaultRate = 0.5)
