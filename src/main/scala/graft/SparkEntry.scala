@@ -558,6 +558,16 @@ object SparkEntry {
       SampleOps.prioritySample(t(s, dir, "documents"), "doc_id", "n_chars",
           k = 100)
         .select("doc_id", "n_chars", "priority")),
+    // behavioral path mining: top time-ordered event-type trigrams
+    "q95_event_paths" -> ((s, dir) =>
+      EventsStreaming.topEventPaths(t(s, dir, "events"))),
+    // one-pass fixed-width histogram (20 × 25k bins over totalprice)
+    "q96_histogram" -> ((s, dir) =>
+      Relational.histogram(t(s, dir, "orders"), "o_totalprice",
+        width = 25000.0, nBins = 20)),
+    // bigram collocations by exact-integer lift
+    "q97_collocations" -> ((s, dir) =>
+      TextOps.collocations(t(s, dir, "documents"))),
     "q76_temperature_sample" -> ((s, dir) =>
       SampleOps.temperatureSample(t(s, dir, "documents"), "doc_id", "source",
           alpha = 0.7, salt = "mix")
@@ -993,6 +1003,48 @@ object SparkEntry {
     "q91_pq_artifact" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall
         |WHERE 1 = 0""".stripMargin,
+    // binning is floor(v / literal): correctly-rounded division, so
+    // bit-identical bins on both engines; top bin absorbs overflow
+    "q96_histogram" ->
+      """SELECT bin, cnt, CAST(bin AS DOUBLE) * 25000.0 AS lo FROM (
+        |  SELECT CAST(least(floor(o_totalprice / 25000.0), 19) AS INT) AS bin,
+        |         count(*) AS cnt
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |  GROUP BY 1)""".stripMargin,
+    // lift from exact integer counts (products < 2^53): the double
+    // division is IEEE-exact on both engines, no transcendentals
+    "q97_collocations" ->
+      s"""WITH toks AS (SELECT $duckToks w FROM documents),
+         |uni AS (SELECT unnest(w) t FROM toks),
+         |uc AS (SELECT t, count(*) c FROM uni GROUP BY 1),
+         |total AS (SELECT count(*) n_total FROM uni),
+         |bi AS (SELECT unnest(list_transform(range(1, len(w)),
+         |              i -> array_to_string(w[i:i+1], ' '))) gram FROM toks),
+         |bc AS (SELECT gram, count(*) c_ab FROM bi GROUP BY 1
+         |       HAVING count(*) >= 5),
+         |parts AS (SELECT gram, c_ab, str_split(gram, ' ')[1] a,
+         |                 str_split(gram, ' ')[2] b FROM bc)
+         |SELECT gram, c_ab,
+         |       round(CAST(c_ab * n_total AS DOUBLE)
+         |             / CAST(ua.c * ub.c AS DOUBLE), 6) AS lift
+         |FROM parts JOIN uc ua ON parts.a = ua.t
+         |           JOIN uc ub ON parts.b = ub.t, total
+         |ORDER BY lift DESC, gram ASC LIMIT 20""".stripMargin,
+    // independent relational re-derivation: row_number windows +
+    // offset self-joins instead of the array pipeline
+    "q95_event_paths" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |tri AS (
+        |  SELECT a.event_type || '>' || b.event_type || '>' || c.event_type AS path
+        |  FROM ordered a
+        |  JOIN ordered b ON a.user_id = b.user_id AND b.rn = a.rn + 1
+        |  JOIN ordered c ON a.user_id = c.user_id AND c.rn = a.rn + 2)
+        |SELECT path, count(*) AS cnt FROM tri GROUP BY 1
+        |ORDER BY cnt DESC, path ASC LIMIT 10""".stripMargin,
     // u is exact in double (32-bit hash over 2^32); both divisions are
     // IEEE correctly rounded, so priorities match bit-for-bit
     "q94_priority_sample" ->

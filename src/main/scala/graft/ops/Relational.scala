@@ -364,6 +364,25 @@ object Relational {
         expr("round(percentile(l_quantity, 0.9), 6)").as("p90_qty"),
         expr("round(percentile(l_extendedprice, 0.5), 6)").as("p50_price"))
 
+  /** Q96: fixed-width histogram — bin = min(floor(v/width), nBins-1),
+    * a pure per-row expression plus one partial-aggregated groupBy:
+    * the one-pass distributed histogram (bins known up front; the
+    * data-dependent quantile side is q37/q44's sketch territory).
+    * Division by a literal is IEEE correctly rounded, so binning is
+    * bit-identical across engines; the top bin absorbs overflow so
+    * out-of-range values are counted, not dropped.
+    */
+  def histogram(df: DataFrame, valueCol: String, width: Double,
+                nBins: Int): DataFrame = {
+    require(width > 0 && nBins > 0, "histogram needs positive width and bins")
+    df.filter(col(valueCol).isNotNull)
+      .select(least(floor(col(valueCol) / width), lit(nBins - 1))
+        .cast("int").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("lo", col("bin").cast("double") * width)
+  }
+
   /** Q8: window functions — rank + running total per customer. One
     * shuffle on the partition key; running sum in exact decimal.
     */

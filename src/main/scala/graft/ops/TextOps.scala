@@ -189,6 +189,40 @@ object TextOps {
         col("top_bigram_frac"))
   }
 
+  /** Q97: bigram collocation mining by LIFT — how much more often two
+    * tokens co-occur adjacently than independence predicts:
+    * lift(a,b) = c_ab · N / (c_a · c_b) over the corpus token stream.
+    * Every factor is an exact integer count and the products stay
+    * under 2^53, so the double division is IEEE-exact and
+    * cross-engine reproducible without any transcendental (the reason
+    * lift, not log-PMI, is the shipped score — same ranking). Two
+    * token-level aggregates, two broadcast-friendly joins on single
+    * tokens, one global-count broadcast; min-count pruning caps the
+    * join input before it grows.
+    */
+  def collocations(documents: DataFrame, minCount: Long = 5,
+                   topK: Int = 20): DataFrame = {
+    val toks = documents.withColumn("w", expr(tokensExpr))
+    val uni = toks.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum("c").as("n_total"))
+    val bi = toks
+      .select(explode(expr(OpsUtil.shingleExpr(2))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    bi
+      .withColumn("a", expr("element_at(split(gram, ' '), 1)"))
+      .withColumn("b", expr("element_at(split(gram, ' '), 2)"))
+      .join(uni.select(col("t").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("t").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(total))
+      .select(col("gram"), col("c_ab"),
+        expr("round(cast(c_ab * n_total as double) / cast(c_a * c_b as double), 6)")
+          .as("lift"))
+      .orderBy(col("lift").desc, col("gram").asc)
+      .limit(topK)
+  }
+
   /** Q87: within-document repeated-line removal — drop every repeat
     * of a (trimmed, non-empty) line, keeping first occurrences in
     * order: the boilerplate-stripping pass (nav bars, cookie banners,

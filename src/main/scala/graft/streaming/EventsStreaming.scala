@@ -347,6 +347,34 @@ object EventsStreaming {
       .agg(count(lit(1)).as("users"))
   }
 
+  /** Q95: behavioral path mining — the most common 3-step event-type
+    * sequences across users' time-ordered streams. Per user the
+    * event list is collected ONCE (bounded by per-user activity, the
+    * same state bound as q32's sessionizer), sorted by (time,
+    * event_id) so ties are deterministic, and the sliding 3-gram
+    * expansion is a pure array expression; global counting is then an
+    * ordinary partial-aggregated groupBy, and top-k plans as
+    * TakeOrderedAndProject. One shuffle on user_id, one on path.
+    */
+  def topEventPaths(events: DataFrame, n: Int = 3,
+                    topK: Int = 10): DataFrame = {
+    val perUser = events
+      .select(col("user_id"),
+        struct(expr("unix_micros(ts)").as("us"),
+          col("event_id"), col("event_type")).as("e"))
+      .groupBy("user_id")
+      .agg(expr("transform(array_sort(collect_list(e)), x -> x.event_type)")
+        .as("types"))
+    val paths = perUser
+      .filter(size(col("types")) >= n)
+      .select(explode(expr(
+        s"transform(sequence(0, size(types) - $n), i -> concat_ws('>', slice(types, i + 1, $n)))"))
+        .as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("path").asc)
+      .limit(topK)
+  }
+
   /** Q54: STREAM-STREAM inner join — the two-live-streams shape
     * (impressions joining clicks as both arrive). Both sides carry a
     * watermark and the join predicate bounds event-time distance, so

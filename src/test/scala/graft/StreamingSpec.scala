@@ -46,6 +46,27 @@ class StreamingSpec extends SparkSpec {
     assert(out === Map(0L -> 2L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("event paths respect per-user time order and count sliding trigrams") {
+    val base = java.time.Instant.parse("2024-01-01T10:00:00Z")
+      .getEpochSecond * 1000000L
+    def ev(id: Long, uid: Long, min: Int, tpe: String) =
+      (id, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        0, (base + min * 60L * 1000000L) * 1000L)), uid, tpe, 1.0, "{}")
+    val events = Seq(
+      // user 1: v c p v → trigrams v>c>p, c>p>v
+      ev(1, 1, 0, "view"), ev(2, 1, 1, "click"),
+      ev(3, 1, 2, "purchase"), ev(4, 1, 3, "view"),
+      // user 2 emits v c p too, but INSERTED out of arrival order —
+      // ordering must come from ts, not insertion
+      ev(7, 2, 12, "purchase"), ev(5, 2, 10, "view"), ev(6, 2, 11, "click"),
+      // user 3: too short for a trigram
+      ev(8, 3, 0, "view"), ev(9, 3, 1, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventsStreaming.topEventPaths(events)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("view>click>purchase" -> 2L, "click>purchase>view" -> 1L))
+  }
+
   test("streaming windowed agg equals the batch plan on a static fixture") {
     val batch = EventsStreaming.hourlyByType(Tables.events(spark, sf))
       .collect().map(_.toSeq).toSet

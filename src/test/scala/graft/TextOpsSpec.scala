@@ -198,4 +198,28 @@ class TextOpsSpec extends SparkSpec {
       ((6, 3, md5hex("header\nbody one\nbody two"))))
     assert(out(2L) === ((3, 0, md5hex("only\nunique\nlines"))))
   }
+
+  test("collocation lift rewards always-adjacent pairs over chance co-occurrence") {
+    // "pa pb" always adjacent (5×); "xa"/"xb" frequent but never a pair
+    val glue = (1 to 5).map(_ => "pa pb").mkString(" x ")
+    val noise = (1 to 10).map(i => s"xa f$i xb").mkString(" ")
+    val out = TextOps.collocations(docs(1L -> s"$glue $noise"), minCount = 5,
+        topK = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out.contains("pa pb"), out)
+    assert(!out.contains("xa xb")) // never adjacent → no bigram at all
+    // perfect collocation: c_ab = c_a = c_b = 5 → lift = N / 5
+    val n = 5 * 2 + 4 + 10 * 3 // pa/pb pairs + 'x' glue + noise triples
+    assert(out("pa pb") === n / 5.0)
+  }
+
+  test("histogram clamps overflow into the top bin and bins exactly") {
+    import org.apache.spark.sql.functions.col
+    val vals = Seq(0.0, 24999.99, 25000.0, 49999.0, 1e9)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = vals.toDF("id", "v")
+    val out = graft.ops.Relational.histogram(df, "v", width = 25000.0, nBins = 3)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out === Map(0 -> ((2L, 0.0)), 1 -> ((2L, 25000.0)), 2 -> ((1L, 50000.0))))
+  }
 }
