@@ -568,6 +568,10 @@ object SparkEntry {
     // bigram collocations by exact-integer lift
     "q97_collocations" -> ((s, dir) =>
       TextOps.collocations(t(s, dir, "documents"))),
+    // containment (overlap-coefficient) dedup: catches a doc embedded
+    // in a longer one, which Jaccard structurally misses
+    "q98_containment" -> ((s, dir) =>
+      DedupOps.overlapPairs(t(s, dir, "documents"))),
     "q76_temperature_sample" -> ((s, dir) =>
       SampleOps.temperatureSample(t(s, dir, "documents"), "doc_id", "source",
           alpha = 0.7, salt = "mix")
@@ -1003,6 +1007,26 @@ object SparkEntry {
     "q91_pq_artifact" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall
         |WHERE 1 = 0""".stripMargin,
+    // q15's oracle shape with the min() denominator
+    "q98_containment" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, g FROM (
+         |  SELECT doc_id, unnest($duckShingles) g FROM toks)),
+         |capped AS (
+         |  SELECT doc_id, g FROM (
+         |    SELECT doc_id, g, count(*) OVER (PARTITION BY g) df FROM sh)
+         |  WHERE df <= ${DedupOps.defaultMaxShingleDf}),
+         |sized AS (
+         |  SELECT doc_id, g, count(*) OVER (PARTITION BY doc_id) sz FROM capped),
+         |co AS (
+         |  SELECT l.doc_id doc_a, r.doc_id doc_b, l.sz sz_a, r.sz sz_b,
+         |         count(*) common
+         |  FROM sized l JOIN sized r ON l.g = r.g AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT doc_a, doc_b,
+         |       round(CAST(common AS DOUBLE) / least(sz_a, sz_b), 6) AS overlap
+         |FROM co
+         |WHERE round(CAST(common AS DOUBLE) / least(sz_a, sz_b), 6) >= 0.8""".stripMargin,
     // binning is floor(v / literal): correctly-rounded division, so
     // bit-identical bins on both engines; top bin absorbs overflow
     "q96_histogram" ->

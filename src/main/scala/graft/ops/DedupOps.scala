@@ -418,4 +418,37 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** Q98: overlap-coefficient (containment) near-dup pairs —
+    * |Sa∩Sb| / min(|Sa|,|Sb|): the ASYMMETRIC-duplication detector.
+    * A short document embedded verbatim in a 10× longer one caps
+    * Jaccard at ~0.1 (q15 never fires) while its containment stays
+    * ~1.0 — the quote-expansion / boilerplate-wrapper case a corpus
+    * dedup pass must catch separately. Same scale machinery as q15:
+    * DF-capped inverted index, window-folded set sizes, count-
+    * aggregated intersection; candidate pairs only ever meet through
+    * a shared shingle, never all-pairs.
+    */
+  def overlapPairs(documents: DataFrame, shingleSize: Int = 3,
+                   threshold: Double = 0.8,
+                   maxShingleDf: Int = defaultMaxShingleDf): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = par(documents)
+      .withColumn("w", expr(tokensExpr))
+      .select(col("doc_id"), explode(expr(shingleExpr(shingleSize))).as("g"))
+      .distinct()
+    val capped = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("df") <= maxShingleDf)
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val l = capped.select(col("doc_id").as("doc_a"), col("g"), col("sz").as("sz_a"))
+    val r = capped.select(col("doc_id").as("doc_b"), col("g"), col("sz").as("sz_b"))
+    l.join(r, "g").filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("overlap",
+        expr("round(cast(common as double) / least(sz_a, sz_b), 6)"))
+      .filter(col("overlap") >= threshold)
+      .select("doc_a", "doc_b", "overlap")
+  }
 }

@@ -100,6 +100,23 @@ class DedupOpsSpec extends SparkSpec {
     assert(DedupOps.winnowedFingerprints(docs(2L -> "one two three")).count() === 0L)
   }
 
+  test("containment fires on an embedded document where jaccard stays silent") {
+    val small = (1 to 20).map(i => s"s$i").mkString(" ")
+    val wrapper = ((1 to 90).map(i => s"w$i") ++ (1 to 20).map(i => s"s$i") ++
+      (91 to 180).map(i => s"w$i")).mkString(" ")
+    val other = (1 to 200).map(i => s"z$i").mkString(" ")
+    val d = docs(1L -> small, 2L -> wrapper, 3L -> other)
+    // every small-doc shingle appears in the wrapper → overlap = 1.0
+    val over = DedupOps.overlapPairs(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(over.keySet === Set((1L, 2L)))
+    assert(over((1L, 2L)) === 1.0)
+    // jaccard of the same pair is 18/(18 + 198 - 18) ≈ 0.09 — silent
+    val jac = DedupOps.jaccardPairs(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)))
+  }
+
   test("incremental exact dedup admits only content unseen in the existing corpus") {
     val existing = docs(1L -> "alpha text", 2L -> "beta text")
     val batch = docs(
