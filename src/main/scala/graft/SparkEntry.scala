@@ -572,6 +572,10 @@ object SparkEntry {
     // in a longer one, which Jaccard structurally misses
     "q98_containment" -> ((s, dir) =>
       DedupOps.overlapPairs(t(s, dir, "documents"))),
+    // the funnel as a stateful stream, held to batch q92's oracle
+    "q99_funnel_stream" -> ((s, dir) =>
+      EventsStreaming.funnelStagesStreaming(s, dir,
+        queryName = "graft_q99_funnel")),
     "q76_temperature_sample" -> ((s, dir) =>
       SampleOps.temperatureSample(t(s, dir, "documents"), "doc_id", "source",
           alpha = 0.7, salt = "mix")
@@ -1007,6 +1011,27 @@ object SparkEntry {
     "q91_pq_artifact" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall
         |WHERE 1 = 0""".stripMargin,
+    // the STREAMING funnel answers to the BATCH oracle — identical
+    // chained-min semantics re-derived relationally (q92's SQL)
+    "q99_funnel_stream" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+        |  GROUP BY 1)
+        |SELECT CAST(1 AS INT) AS stage, 'view' AS step, count(*) AS users FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'click', count(*) FROM s2
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'purchase', count(*) FROM s3""".stripMargin,
     // q15's oracle shape with the min() denominator
     "q98_containment" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks w FROM documents),

@@ -375,6 +375,70 @@ object EventsStreaming {
       .limit(topK)
   }
 
+  /** Per-user funnel progress: the stage reached so far and the entry
+    * time of that stage — one fixed-size record per user, the funnel's
+    * entire streaming state.
+    */
+  final case class FunnelProgress(stage: Int, entryUs: Long)
+
+  /** Q99: the funnel (q92) as a STATEFUL STREAM — per-user progress
+    * tracked in one [[FunnelProgress]] record via
+    * flatMapGroupsWithState, the same bounded-fixture flush shape as
+    * [[sessionizeStreaming]] (whole fixture in one batch, events
+    * sorted by event time inside the group; the production multi-batch
+    * form would carry the state forward with an event-time timeout
+    * exactly as [[sessionizeStreamingEventTime]] does for sessions).
+    * A greedy scan in time order advances a user to stage i+1 on the
+    * FIRST stage-i+1 event strictly after their stage-i entry — which
+    * is precisely the chained-min semantics of the batch q92, so the
+    * emitted per-user final stages aggregate to the identical stage
+    * counts and the query is held to batch q92's oracle.
+    */
+  def funnelStagesStreaming(spark: SparkSession, dir: String,
+                            steps: Seq[String] = Seq("view", "click", "purchase"),
+                            queryName: String = "graft_stream_funnel",
+                            statePartitions: Int = 8): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import ss.implicits._
+    val stepsLoc = steps
+    val src = ss.readStream.schema(rawEventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .option("maxFilesPerTrigger", Int.MaxValue.toString)
+      .parquet(dir)
+      .selectExpr("user_id", "ts div 1000 as us", "event_id", "event_type")
+      .as[(Long, Long, Long, String)]
+
+    def advance(userId: Long, events: Iterator[(Long, Long, Long, String)],
+                state: GroupState[FunnelProgress]): Iterator[(Long, Int)] = {
+      val sorted = events.toSeq.sortBy(e => (e._2, e._3))
+      var p = state.getOption.getOrElse(FunnelProgress(0, Long.MinValue))
+      sorted.foreach { case (_, us, _, tpe) =>
+        if (p.stage < stepsLoc.length && tpe == stepsLoc(p.stage) &&
+            (p.stage == 0 || us > p.entryUs))
+          p = FunnelProgress(p.stage + 1, us)
+      }
+      state.remove()
+      if (p.stage > 0) Iterator((userId, p.stage)) else Iterator.empty
+    }
+
+    val out = src.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(advance)
+      .toDF("user_id", "stage")
+    val q = out.writeStream.format("memory").queryName(queryName)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val perUser = ss.table(queryName)
+    perUser.cache(); perUser.count()
+    steps.zipWithIndex.map { case (step, i) =>
+      perUser.filter(col("stage") >= i + 1)
+        .agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("stage"), lit(step).as("step"), col("users"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Q54: STREAM-STREAM inner join — the two-live-streams shape
     * (impressions joining clicks as both arrive). Both sides carry a
     * watermark and the join predicate bounds event-time distance, so

@@ -67,6 +67,16 @@ class StreamingSpec extends SparkSpec {
     assert(out === Map("view>click>purchase" -> 2L, "click>purchase>view" -> 1L))
   }
 
+  test("streaming funnel equals the batch funnel on the fixture (q92 contract)") {
+    val batch = EventsStreaming.funnelStages(Tables.events(spark, sf))
+      .collect().map(_.toSeq).toSet
+    val streamed = EventsStreaming.funnelStagesStreaming(spark, sf,
+        queryName = "spec_funnel_stream")
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming windowed agg equals the batch plan on a static fixture") {
     val batch = EventsStreaming.hourlyByType(Tables.events(spark, sf))
       .collect().map(_.toSeq).toSet
