@@ -576,6 +576,10 @@ object SparkEntry {
     "q99_funnel_stream" -> ((s, dir) =>
       EventsStreaming.funnelStagesStreaming(s, dir,
         queryName = "graft_q99_funnel")),
+    // the flagship composition v2: passage-evidence dedup graph,
+    // line-boilerplate gate, weighted priority selection
+    "q100_training_corpus_v2" -> ((s, dir) =>
+      ClusterOps.trainingCorpusV2(t(s, dir, "documents"))),
     "q76_temperature_sample" -> ((s, dir) =>
       SampleOps.temperatureSample(t(s, dir, "documents"), "doc_id", "source",
           alpha = 0.7, salt = "mix")
@@ -676,6 +680,30 @@ object SparkEntry {
        |cg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 10 <> 7)
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
        |FROM cg JOIN bg USING (gram) GROUP BY doc_id""".stripMargin
+
+  /** Winnowed passage pairs (q85, and the q100 dedup-edge extension):
+    * same tokenizer, md5 5-gram shingles, 4-window minimum selection,
+    * df cap — mirrors DedupOps.winnowedPassagePairs one-to-one.
+    */
+  private val winnowPairsSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $duckToks AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |         list_transform(range(0, len(w) - 4),
+       |           i -> md5(array_to_string(w[i+1:i+5], ' '))) AS hs
+       |  FROM toks WHERE len(w) >= 8),
+       |fps AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |           range(0, len(hs) - 3),
+       |           p -> list_aggregate(hs[p+1:p+4], 'min')))) AS fp
+       |  FROM sh),
+       |keep AS (
+       |  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |FROM fps a JOIN keep k ON a.fp = k.fp JOIN fps b ON a.fp = b.fp
+       |WHERE a.doc_id < b.doc_id
+       |GROUP BY 1, 2""".stripMargin
 
   private val dedupClustersSql =
     s"""WITH RECURSIVE
@@ -1011,6 +1039,60 @@ object SparkEntry {
     "q91_pq_artifact" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall
         |WHERE 1 = 0""".stripMargin,
+    // END-TO-END v2: the same composed stages, now with the winnow
+    // edges in the recursive cluster walk, the dup-line gate, and the
+    // weighted priority tail (u exact, divisions IEEE-exact)
+    "q100_training_corpus_v2" ->
+      s"""WITH RECURSIVE
+         |p AS (SELECT doc_a, doc_b FROM ($minhashLshSql)
+         |      UNION
+         |      SELECT doc_a, doc_b FROM ($simhashPairsSql)
+         |      UNION
+         |      SELECT doc_a, doc_b FROM ($winnowPairsSql)),
+         |e AS (SELECT doc_a a, doc_b b FROM p
+         |      UNION SELECT doc_b, doc_a FROM p),
+         |walk(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT w.id, e.b FROM walk w JOIN e ON e.a = w.r),
+         |labels AS (
+         |  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canonical_id
+         |  FROM walk GROUP BY id),
+         |kept AS (
+         |  SELECT l.doc_id, d.lang, d.source FROM labels l
+         |  JOIN documents d ON d.doc_id = l.doc_id
+         |  WHERE l.doc_id = l.canonical_id),
+         |q AS ($qualitySql),
+         |contam AS ($contaminationSql),
+         |dlines AS (
+         |  SELECT doc_id,
+         |         list_filter(list_transform(string_split(text, chr(10)),
+         |                     x -> trim(x)), x -> x <> '') l
+         |  FROM documents),
+         |dls AS (SELECT doc_id, len(l) n_lines,
+         |               len(l) - len(list_distinct(l)) n_dup FROM dlines),
+         |dl AS (SELECT doc_id,
+         |              round(CASE WHEN n_lines > 0
+         |                         THEN CAST(n_dup AS DOUBLE) / n_lines
+         |                         ELSE 0 END, 6) dup_line_frac FROM dls),
+         |$bigramFracCtes,
+         |cand AS (
+         |  SELECT k.doc_id, k.lang, k.source, q.n_tokens, q.quality,
+         |         (('0x' || substr(md5(k.doc_id::VARCHAR || ':train'), 1, 8))::BIGINT
+         |            / 4294967296.0) / q.n_tokens AS priority
+         |  FROM kept k
+         |  JOIN q ON q.doc_id = k.doc_id
+         |  JOIN rep ON rep.doc_id = k.doc_id
+         |  JOIN dl ON dl.doc_id = k.doc_id
+         |  WHERE q.quality >= 0.5
+         |    AND rep.top_bigram_frac <= 0.5
+         |    AND dl.dup_line_frac <= 0.5
+         |    AND k.lang IN ('en', 'de', 'fr', 'es')
+         |    AND k.doc_id % 10 <> 7
+         |    AND q.n_tokens > 0
+         |    AND NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = k.doc_id))
+         |SELECT doc_id, lang, source, n_tokens, quality, priority
+         |FROM cand ORDER BY priority ASC, doc_id ASC LIMIT 150""".stripMargin,
     // the STREAMING funnel answers to the BATCH oracle — identical
     // chained-min semantics re-derived relationally (q92's SQL)
     "q99_funnel_stream" ->
@@ -1460,28 +1542,8 @@ object SparkEntry {
     "q83_ivf_append" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall
         |WHERE 1 = 0""".stripMargin,
-    // winnowing re-derived: same tokenizer, same md5 5-gram shingles,
-    // same 4-window minimum selection, same df cap — list lambdas in
-    // DuckDB mirror the Spark transform/slice expressions one-to-one
-    "q85_winnow_pairs" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, $duckToks AS w FROM documents),
-         |sh AS (
-         |  SELECT doc_id,
-         |         list_transform(range(0, len(w) - 4),
-         |           i -> md5(array_to_string(w[i+1:i+5], ' '))) AS hs
-         |  FROM toks WHERE len(w) >= 8),
-         |fps AS (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(
-         |           range(0, len(hs) - 3),
-         |           p -> list_aggregate(hs[p+1:p+4], 'min')))) AS fp
-         |  FROM sh),
-         |keep AS (
-         |  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-         |FROM fps a JOIN keep k ON a.fp = k.fp JOIN fps b ON a.fp = b.fp
-         |WHERE a.doc_id < b.doc_id
-         |GROUP BY 1, 2""".stripMargin,
+    // winnowing re-derived with DuckDB list lambdas one-to-one
+    "q85_winnow_pairs" -> winnowPairsSql,
     // the bucketed layout must be invisible to results: the oracle is
     // the PLAIN join over the same parquet
     "q84_bucketed_join" ->

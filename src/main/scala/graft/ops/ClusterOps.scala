@@ -207,6 +207,51 @@ object ClusterOps {
     * on top. The oracle composes the same stages' SQL, so the
     * END-TO-END corpus — not just each stage — is hash-checked.
     */
+  /** Q100 — the flagship composition, GENERATION 2: the round-5
+    * operators slotted into their places in the pipeline. Beyond q57:
+    * (1) PASSAGE EVIDENCE in the dedup graph — winnowed-passage pairs
+    * (q85) union with the minhash/simhash edges before connected
+    * components, so verbatim shared passages merge clusters that
+    * signature similarity alone misses; (2) a LINE-BOILERPLATE gate
+    * (q62's dup_line_frac) beside the bigram-repetition gate; (3) the
+    * final selection is WEIGHTED priority sampling (q94: smallest u/w,
+    * w = n_tokens) instead of a flat rate — the corpus budget prefers
+    * substantial documents, deterministically. Still ONE declarative
+    * plan, and the oracle composes the same stages' SQL, so the
+    * END-TO-END corpus stays hash-checked.
+    */
+  def trainingCorpusV2(documents: DataFrame,
+                       minQuality: Double = 0.5,
+                       langs: Seq[String] = Seq("en", "de", "fr", "es"),
+                       maxTopBigramFrac: Double = 0.5,
+                       maxDupLineFrac: Double = 0.5,
+                       topK: Int = 150): DataFrame = {
+    val edges = DedupOps.minhashLshPairs(documents).select("doc_a", "doc_b")
+      .union(DedupOps.simhashPairs(documents).select("doc_a", "doc_b"))
+      .union(DedupOps.winnowedPassagePairs(documents).select("doc_a", "doc_b"))
+    val labels = connectedComponents(documents, edges)
+    val kept = labels.filter(col("doc_id") === col("canonical_id"))
+      .join(documents.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+    val quality = graft.ops.TextOps.qualityScore(documents)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val repetition = graft.ops.TextOps.repetitionStats(documents)
+      .select(col("doc_id"), col("dup_line_frac"), col("top_bigram_frac"))
+    val contaminated = graft.ops.TextOps.benchmarkContamination(
+      documents.filter(col("doc_id") % 10 =!= 7),
+      documents.filter(col("doc_id") % 10 === 7)).select("doc_id")
+    val filtered = kept.join(quality, "doc_id")
+      .join(repetition, "doc_id")
+      .filter(col("quality") >= minQuality &&
+        col("top_bigram_frac") <= maxTopBigramFrac &&
+        col("dup_line_frac") <= maxDupLineFrac &&
+        col("lang").isin(langs: _*) &&
+        col("doc_id") % 10 =!= 7)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    graft.ops.SampleOps.prioritySample(filtered, "doc_id", "n_tokens",
+        k = topK, salt = "train")
+      .select("doc_id", "lang", "source", "n_tokens", "quality", "priority")
+  }
+
   def trainingCorpus(documents: DataFrame,
                      minQuality: Double = 0.5,
                      langs: Seq[String] = Seq("en", "de", "fr", "es"),
