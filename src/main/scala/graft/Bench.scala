@@ -16,6 +16,22 @@ object Bench {
   /** Lower median over however many runs completed. */
   private def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
 
+  /** Release state a finished query run left behind, so earlier
+    * queries don't tax later ones with storage-memory/GC pressure
+    * across a 100-query suite: the shared SQL cache (streaming memory
+    * sinks, cached artifacts) AND raw persisted RDDs, which
+    * `clearCache` does NOT touch — the connected-components queries
+    * pin their label sets at the RDD level (ClusterOps.materialize)
+    * and the handle outlives the run. Unpersist after the count is
+    * safe: the next run rebuilds its own blocks.
+    */
+  private def releaseQueryState(spark: SparkSession): Unit = {
+    try spark.catalog.clearCache() catch { case _: Throwable => }
+    try spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    catch { case _: Throwable => }
+  }
+
   /** JSON string escaping incl. control characters — Spark exception
     * messages routinely carry newlines/tabs and must not break the
     * single machine-readable artifact line.
@@ -63,7 +79,7 @@ object Bench {
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       selected.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try { fn(spark, warmDir).count() } catch { case _: Throwable => }
-        try spark.catalog.clearCache() catch { case _: Throwable => }
+        releaseQueryState(spark)
       }
     }
 
@@ -75,9 +91,7 @@ object Bench {
         try {
           fn(spark, sfDir).count()
           val dt = (System.nanoTime() - t0) / 1e9
-          // release per-query state (streaming memory sinks cache their
-          // results) so earlier queries don't tax later ones with GC
-          try spark.catalog.clearCache() catch { case _: Throwable => }
+          releaseQueryState(spark)
           Right(dt)
         } catch {
           case e: Throwable =>

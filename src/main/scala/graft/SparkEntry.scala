@@ -580,6 +580,20 @@ object SparkEntry {
     // line-boilerplate gate, weighted priority selection
     "q100_training_corpus_v2" -> ((s, dir) =>
       ClusterOps.trainingCorpusV2(t(s, dir, "documents"))),
+    // per-domain document budget: at most 10 docs per source by
+    // deterministic hash priority (the anti-monoculture cap)
+    "q101_domain_cap" -> ((s, dir) =>
+      SampleOps.domainCap(t(s, dir, "documents"), "doc_id", "source",
+          cap = 10, salt = "cap")
+        .select("doc_id", "source", "priority")),
+    // vocabulary fitting: frequency-rank token ids + coverage curve
+    "q102_vocab" -> ((s, dir) =>
+      TextOps.vocabulary(t(s, dir, "documents"))),
+    // STREAMING CDC apply: the change feed materialized latest-wins,
+    // held to the batch MERGE oracle (q88's SQL verbatim)
+    "q103_cdc_stream" -> ((s, dir) =>
+      EventsStreaming.cdcApplyStreaming(s, dir,
+        queryName = "graft_q103_cdc")),
     "q76_temperature_sample" -> ((s, dir) =>
       SampleOps.temperatureSample(t(s, dir, "documents"), "doc_id", "source",
           alpha = 0.7, salt = "mix")
@@ -1093,6 +1107,50 @@ object SparkEntry {
          |    AND NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = k.doc_id))
          |SELECT doc_id, lang, source, n_tokens, quality, priority
          |FROM cand ORDER BY priority ASC, doc_id ASC LIMIT 150""".stripMargin,
+    // hash-priority per-source cap: row_number over the identical
+    // md5 priority, ties broken by doc_id on both engines
+    "q101_domain_cap" ->
+      """WITH pr AS (
+        |  SELECT doc_id, source,
+        |         ('0x' || substr(md5(doc_id::VARCHAR || ':cap'), 1, 8))::BIGINT
+        |           / 4294967296.0 AS priority
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, priority,
+        |             row_number() OVER (PARTITION BY source
+        |                                ORDER BY priority ASC, doc_id ASC) AS rk
+        |      FROM pr)
+        |SELECT doc_id, source, priority FROM r WHERE rk <= 10""".stripMargin,
+    // frequency-rank ids and the coverage curve; cum_frac is
+    // integer-valued-double division, IEEE-exact on both engines
+    "q102_vocab" ->
+      s"""WITH tok AS (SELECT unnest($duckToks) AS token FROM documents),
+         |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
+         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS BIGINT)
+         |         AS token_id,
+         |       token, CAST(cnt AS BIGINT) AS cnt,
+         |       CAST(sum(cnt) OVER (ORDER BY cnt DESC, token ASC
+         |                           ROWS BETWEEN UNBOUNDED PRECEDING
+         |                           AND CURRENT ROW) AS DOUBLE)
+         |         / CAST(sum(cnt) OVER () AS DOUBLE) AS cum_frac
+         |FROM c""".stripMargin,
+    // the streaming CDC materialization answers to the BATCH merge
+    // oracle — q88's latest-wins SQL verbatim
+    "q103_cdc_stream" ->
+      """WITH narrow AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |  FROM orders),
+        |existing AS (SELECT * FROM narrow WHERE o_orderkey % 3 <> 0),
+        |updates AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice,
+        |         'UPDATED' AS o_orderpriority
+        |  FROM narrow WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice, o_orderpriority
+        |  FROM narrow WHERE o_orderkey % 11 = 0)
+        |SELECT * FROM existing
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        |UNION ALL
+        |SELECT * FROM updates""".stripMargin,
     // the STREAMING funnel answers to the BATCH oracle — identical
     // chained-min semantics re-derived relationally (q92's SQL)
     "q99_funnel_stream" ->

@@ -110,4 +110,36 @@ object SampleOps {
     }
     df.filter(hashUnit(col(keyCol), salt) < rateExpr)
   }
+
+  /** Q101: PER-DOMAIN CAP — at most `cap` documents per stratum
+    * (source / domain / site), chosen by smallest deterministic hash
+    * priority. This is the anti-monoculture budget of a web-scale
+    * pipeline (Common-Crawl-style per-domain limits): without it the
+    * handful of giant domains dominate the corpus no matter how the
+    * global mix is tuned. Hash priority — not "first N" — makes the
+    * kept set independent of scan order and stable under corpus
+    * growth (a kept document stays kept until `cap` strictly smaller
+    * hashes exist in its domain).
+    *
+    * Plan shape: one hash shuffle on the stratum and a per-partition
+    * running rank — no global sort. The window partition holds one
+    * stratum's rows, so a pathologically hot domain lands on one
+    * task; for corpora with million-page domains, pre-thin with
+    * [[sampleByHash]] at any rate that provably retains the cap
+    * quantile (the composition stays exact because both stages rank
+    * by the SAME hash priority: thinning at rate r keeps precisely
+    * every row with priority < r, a superset of the final winners
+    * whenever the stratum's cap-th smallest priority is below r).
+    */
+  def domainCap(df: DataFrame, keyCol: String, stratumCol: String,
+                cap: Int, salt: String = ""): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(col("priority").asc, col(keyCol).asc)
+    df.withColumn("priority", hashUnit(col(keyCol), salt))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .drop("rk")
+  }
 }

@@ -243,6 +243,43 @@ object TextOps {
         (size(col("l")) - size(col("kept"))).cast("int").as("n_removed"),
         md5(expr("array_join(kept, '\\n')")).as("clean_md5"))
 
+  /** Q102: VOCABULARY FITTING — the corpus token inventory with
+    * frequency-rank ids and cumulative coverage, i.e. the word-level
+    * analogue of fitting a tokenizer: id 1 is the most frequent
+    * token, `cum_frac` at rank k is the fraction of all corpus token
+    * OCCURRENCES a k-entry vocabulary would cover (the curve that
+    * picks the vocab size / OOV budget). Ties rank lexicographically
+    * so ids are deterministic on any engine.
+    *
+    * Plan shape: the corpus-sized work is ONE partially-aggregated
+    * count per distinct token (map-side combine bounds shuffle volume
+    * at vocab × partitions); the rank and running sum then run over
+    * VOCAB-sized data — a single-partition window bounded by distinct
+    * tokens, never by corpus rows (same deliberate bound as q76's
+    * stratum window). cum_frac = int/int division, IEEE-exact
+    * cross-engine.
+    */
+  def vocabulary(documents: DataFrame, minCount: Long = 1L): DataFrame = {
+    val counts = documents
+      .select(explode(expr(tokensExpr)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val rankW = Window.orderBy(col("cnt").desc, col("token").asc)
+    counts
+      .withColumn("token_id", row_number().over(rankW).cast("bigint"))
+      .withColumn("cum_frac",
+        (sum(col("cnt")).over(rankW.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).cast("double") /
+          sum(col("cnt")).over(Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+            .cast("double")))
+      // trimming AFTER ranking keeps ids a contiguous 1..V prefix
+      // (cnt-desc order puts every survivor ahead of every trimmed
+      // token) and keeps cum_frac CORPUS-global, so 1 - cum_frac at
+      // the cutoff is exactly the OOV occurrence rate the trim buys.
+      .filter(col("cnt") >= minCount)
+      .select("token_id", "token", "cnt", "cum_frac")
+  }
+
   /** Q56: word n-gram counts per lang — the n-gram language-model /
     * benchmark-contamination primitive. Same shape as Q11 with a
     * windowed gram expand (one expression, no UDF); map-side partial

@@ -439,6 +439,69 @@ object EventsStreaming {
     }.reduce(_ unionByName _)
   }
 
+  /** Q103: STREAMING CDC APPLY — a change feed (inserts, updates,
+    * rekeyed rows) materialized into the latest-wins table snapshot as
+    * it streams in, the streaming form of the batch MERGE (q88, whose
+    * oracle this query answers to). Each arriving row carries a
+    * version priority (base rows 0, change rows 1); per-key state
+    * keeps only the highest-priority version seen, so state is one
+    * row per key — the compaction shape of a CDC sink — and the
+    * drained output is exactly `MergeOps.upsert`.
+    *
+    * Fixture caveat, same as [[funnelStagesStreaming]]: the whole
+    * fixture arrives in one AvailableNow batch, so the winner is
+    * resolved inside the group and state is dropped on emit; the
+    * production multi-batch form would keep the latest version in
+    * state with a monotone change-sequence priority and emit on
+    * watermark-driven timeout (Update mode) instead of batch end.
+    */
+  def cdcApplyStreaming(spark: SparkSession, dir: String,
+                        queryName: String = "graft_stream_cdc",
+                        statePartitions: Int = 8): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    import ss.implicits._
+    // o_orderdate (TIMESTAMP_NANOS) deliberately absent: parquet scan
+    // prunes to the narrow merge columns, streaming like batch.
+    val ordersSchema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderpriority", StringType)))
+    val src = ss.readStream.schema(ordersSchema)
+      .option("pathGlobFilter", "orders.parquet")
+      .option("maxFilesPerTrigger", Int.MaxValue.toString)
+      .parquet(dir)
+    // the q88 fixture, derived on the stream: base rows where key%3!=0,
+    // price-bump updates on key%5==0, rekeyed inserts on key%11==0
+    val base = src.filter(col("o_orderkey") % 3 =!= 0)
+      .withColumn("prio", lit(0))
+    val changes = src.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      .withColumn("o_orderpriority", lit("UPDATED"))
+      .unionByName(src.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      .withColumn("prio", lit(1))
+    val feed = base.unionByName(changes)
+      .as[(Long, Long, Double, String, Int)]
+
+    def latest(key: Long, rows: Iterator[(Long, Long, Double, String, Int)],
+               state: GroupState[(Long, Long, Double, String, Int)])
+        : Iterator[(Long, Long, Double, String)] = {
+      val winner = (state.getOption.iterator ++ rows).maxBy(_._5)
+      state.remove()
+      Iterator((winner._1, winner._2, winner._3, winner._4))
+    }
+
+    val out = feed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(latest)
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    val q = out.writeStream.format("memory").queryName(queryName)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    ss.table(queryName)
+  }
+
   /** Q54: STREAM-STREAM inner join — the two-live-streams shape
     * (impressions joining clicks as both arrive). Both sides carry a
     * watermark and the join predicate bounds event-time distance, so

@@ -111,4 +111,38 @@ class SampleOpsSpec extends SparkSpec {
     assert(math.abs(kept("de") / base - 0.9) < 0.06)
     assert(math.abs(kept("fr") / base - 0.5) < 0.06)
   }
+
+  test("domainCap keeps exactly cap per stratum, stable under partitioning and growth") {
+    val out = SampleOps.domainCap(docs, "doc_id", "lang", cap = 50)
+    val per = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per.values.toSet === Set(50L))
+    // scan order / partition layout is irrelevant
+    val again = SampleOps.domainCap(docs.repartition(13), "doc_id", "lang", cap = 50)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again === out.select("doc_id").as[Long].collect().sorted.toSeq)
+    // a tighter budget selects a SUBSET of the looser one (hash
+    // priority, not arrival order, owns the ranking)
+    val tight = SampleOps.domainCap(docs, "doc_id", "lang", cap = 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tight.subsetOf(out.select("doc_id").as[Long].collect().toSet))
+    // a stratum smaller than the cap survives whole
+    val small = docs.filter($"doc_id" <= 10)
+    assert(SampleOps.domainCap(small, "doc_id", "lang", cap = 50).count() === 10)
+  }
+
+  test("domainCap composes exactly with hash pre-thinning at a retaining rate") {
+    // thinning keeps every row with priority < rate; as long as each
+    // stratum's cap-th winner is below it, the winners are identical —
+    // the documented skew-mitigation composition
+    val direct = SampleOps.domainCap(docs, "doc_id", "lang", cap = 10)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val maxWinner = SampleOps.domainCap(docs, "doc_id", "lang", cap = 10)
+      .agg(org.apache.spark.sql.functions.max("priority")).head.getDouble(0)
+    val thinned = SampleOps.domainCap(
+      SampleOps.sampleByHash(docs, "doc_id", maxWinner + 1e-9),
+      "doc_id", "lang", cap = 10)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(thinned === direct)
+  }
 }

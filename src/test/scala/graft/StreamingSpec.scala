@@ -133,4 +133,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
     assert(batch.nonEmpty)
   }
+
+  test("streaming CDC apply materializes exactly the batch MERGE (q88)") {
+    val batch = SparkEntry.queries("q88_upsert")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val streamed = EventsStreaming
+      .cdcApplyStreaming(spark, sf, queryName = "spec_cdc")
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    // every fate is exercised: kept base rows, updated rows, rekeyed
+    // inserts — and updates win over their base version
+    val byKey = streamed.groupBy(_.head).map { case (_, v) => v.size }.toSet
+    assert(byKey === Set(1)) // latest-wins leaves one version per key
+    assert(streamed.exists(_.last == "UPDATED"))
+    assert(batch.nonEmpty)
+  }
 }

@@ -222,4 +222,23 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(out === Map(0 -> ((2L, 0.0)), 1 -> ((2L, 25000.0)), 2 -> ((1L, 50000.0))))
   }
+
+  test("vocabulary ranks by frequency then token, ids contiguous, coverage sums to 1") {
+    val corpus = docs(
+      1L -> "b b b a a c",
+      2L -> "a b d")
+    val out = TextOps.vocabulary(corpus).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // b:4, a:3, c:1, d:1 — tie c/d broken lexicographically
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ===
+      Seq((1L, "b", 4L), (2L, "a", 3L), (3L, "c", 1L), (4L, "d", 1L)))
+    val fracs = out.map(_._4).toSeq
+    assert(fracs === Seq(4 / 9.0, 7 / 9.0, 8 / 9.0, 1.0))
+    // minCount trims a rank-prefix-preserving tail; coverage stays
+    // corpus-global, so the cutoff exposes the OOV rate (1 - 7/9)
+    val trimmed = TextOps.vocabulary(corpus, minCount = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3))).sortBy(_._1).toSeq
+    assert(trimmed === Seq((1L, "b", 4 / 9.0), (2L, "a", 7 / 9.0)))
+  }
 }
