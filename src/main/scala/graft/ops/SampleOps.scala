@@ -121,11 +121,15 @@ object SampleOps {
     * growth (a kept document stays kept until `cap` strictly smaller
     * hashes exist in its domain).
     *
-    * Plan shape: one hash shuffle on the stratum and a per-partition
-    * running rank — no global sort. The window partition holds one
-    * stratum's rows, so a pathologically hot domain lands on one
-    * task; for corpora with million-page domains, pre-thin with
-    * [[sampleByHash]] at any rate that provably retains the cap
+    * Plan shape: Catalyst plants a MAP-SIDE WindowGroupLimit under
+    * the exchange (rank <= cap commutes with partial top-k), so each
+    * scan partition ships at most `cap` rows per stratum it touches —
+    * shuffle volume is bounded by cap × partitions per stratum, not
+    * stratum size, and the reduce side ranks those survivors only
+    * (PlanSpec-asserted: two WindowGroupLimits bracketing the one
+    * exchange, no global sort). Residual skew would need one domain
+    * spread over very many map partitions; for that regime, pre-thin
+    * with [[sampleByHash]] at any rate that provably retains the cap
     * quantile (the composition stays exact because both stages rank
     * by the SAME hash priority: thinning at rate r keeps precisely
     * every row with priority < r, a superset of the final winners

@@ -213,4 +213,23 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("q101: domain cap ships map-side partial top-k — shuffle bounded by cap, not stratum") {
+    val plan = planOf(SparkEntry.queries("q101_domain_cap")(spark, sf))
+    // rank<=cap commutes with partial top-k: one WindowGroupLimit on
+    // each side of the single stratum exchange, and no global sort
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
+  test("q102: vocabulary's window runs single-partition over vocab-sized data only") {
+    val plan = planOf(SparkEntry.queries("q102_vocab")(spark, sf))
+    // corpus-sized work is the partially-aggregated token count; the
+    // rank/coverage windows sit above Exchange SinglePartition, which
+    // receives one row per DISTINCT token
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.contains("Exchange SinglePartition"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
 }
