@@ -594,6 +594,10 @@ object SparkEntry {
     "q103_cdc_stream" -> ((s, dir) =>
       EventsStreaming.cdcApplyStreaming(s, dir,
         queryName = "graft_q103_cdc")),
+    // best-of-cluster canonicals: keep the highest-QUALITY member of
+    // each dup cluster (argmax by struct max, one aggregation)
+    "q104_dedup_best" -> ((s, dir) =>
+      ClusterOps.bestOfClusterCorpus(t(s, dir, "documents"))),
     "q76_temperature_sample" -> ((s, dir) =>
       SampleOps.temperatureSample(t(s, dir, "documents"), "doc_id", "source",
           alpha = 0.7, salt = "mix")
@@ -1757,6 +1761,20 @@ object SparkEntry {
          |JOIN sizes s ON s.canonical_id = l.canonical_id
          |JOIN documents d ON d.doc_id = l.doc_id
          |WHERE l.doc_id = l.canonical_id""".stripMargin,
+    // argmax re-derived relationally: rank within cluster by
+    // (quality DESC, doc_id ASC) — the struct-max tie-break, exactly
+    "q104_dedup_best" ->
+      s"""WITH labels AS ($dedupClustersSql),
+         |q AS ($qualitySql),
+         |m AS (
+         |  SELECT l.canonical_id AS cluster_id, l.doc_id, q.quality,
+         |         count(*) OVER (PARTITION BY l.canonical_id) AS cluster_size,
+         |         row_number() OVER (PARTITION BY l.canonical_id
+         |                            ORDER BY q.quality DESC, l.doc_id ASC) AS rk
+         |  FROM labels l JOIN q ON q.doc_id = l.doc_id)
+         |SELECT cluster_id, doc_id AS kept_doc_id, quality,
+         |       CAST(cluster_size AS BIGINT) AS cluster_size
+         |FROM m WHERE rk = 1""".stripMargin,
     // The end-to-end corpus composition: dedup keep-set ⋈ quality gate
     // ⋈ language allowlist, then the deterministic "train"-salted hash
     // sample — each stage is its own oracled query; this checks the

@@ -207,6 +207,32 @@ object ClusterOps {
     * on top. The oracle composes the same stages' SQL, so the
     * END-TO-END corpus — not just each stage — is hash-checked.
     */
+  /** Q104: BEST-OF-CLUSTER canonical selection — keep each dup
+    * cluster's HIGHEST-QUALITY member instead of its smallest id. The
+    * min-id canonical (q47) is the bookkeeping convention; a training
+    * pipeline that must keep exactly one copy of near-identical
+    * documents wants the best copy (highest quality score, ties to
+    * the smaller id for determinism). Same labels machinery as q41;
+    * the selection is ONE hash aggregation — `max` over a
+    * (quality, -doc_id) struct compares lexicographically, so the
+    * argmax needs no window and no second shuffle, and the map-side
+    * partial bounds shuffle volume at one row per (cluster ×
+    * partition).
+    */
+  def bestOfClusterCorpus(documents: DataFrame): DataFrame = {
+    val labels = nearDupClusters(documents)
+    val quality = graft.ops.TextOps.qualityScore(documents)
+      .select(col("doc_id"), col("quality"))
+    labels.join(quality, "doc_id")
+      .groupBy(col("canonical_id").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("quality"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("cluster_id"),
+        (-col("best.neg_id")).as("kept_doc_id"),
+        col("best.quality").as("quality"),
+        col("cluster_size"))
+  }
+
   /** Q100 — the flagship composition, GENERATION 2: the round-5
     * operators slotted into their places in the pipeline. Beyond q57:
     * (1) PASSAGE EVIDENCE in the dedup graph — winnowed-passage pairs

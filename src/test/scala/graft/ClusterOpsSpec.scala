@@ -102,4 +102,28 @@ class ClusterOpsSpec extends SparkSpec {
     assert(corpus.length < full)
     assert(ClusterOps.trainingCorpus(d).count() === corpus.length)
   }
+
+  test("bestOfClusterCorpus keeps the highest-quality member, ties to the smaller id") {
+    // doc 1 and doc 2 are verbatim near-dups (same shingles → same
+    // minhash bands); doc 2 carries the quality markers (stopwords,
+    // punctuation), so the BEST member is NOT the min-id canonical
+    val dup = ("alpha beta gamma delta epsilon zeta eta theta " * 6).trim
+    val rich = dup + " the and of to in is a. the and of to in is."
+    val d = Seq(
+      (1L, dup, "en", "s"), (2L, rich, "en", "s"),
+      (9L, "unique solitary document body nine", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+    val out = ClusterOps.bestOfClusterCorpus(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(out(1L) === ((2L, 2L)), out)   // cluster {1,2}: doc 2 wins on quality
+    assert(out(9L) === ((9L, 1L)))        // singleton keeps itself
+    // exact ties (identical quality) break to the SMALLER doc_id
+    val tied = Seq((5L, dup, "en", "s"), (3L, dup, "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+    val t = ClusterOps.bestOfClusterCorpus(tied).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t === Map(3L -> 3L))
+  }
 }
