@@ -450,10 +450,12 @@ object EventsStreaming {
     *
     * Fixture caveat, same as [[funnelStagesStreaming]]: the whole
     * fixture arrives in one AvailableNow batch, so the winner is
-    * resolved inside the group and state is dropped on emit; the
-    * production multi-batch form would keep the latest version in
-    * state with a monotone change-sequence priority and emit on
-    * watermark-driven timeout (Update mode) instead of batch end.
+    * resolved inside the group and state is dropped on emit. The
+    * production multi-batch form is [[cdcApplyStreamingDurable]]:
+    * checkpoint-durable per-key state keyed by an explicit monotone
+    * change-sequence, idempotent under replay, compacted to the
+    * snapshot by [[cdcSnapshot]] (DurableStreamingSpec proves the
+    * cross-restart convergence).
     */
   def cdcApplyStreaming(spark: SparkSession, dir: String,
                         queryName: String = "graft_stream_cdc",
@@ -501,6 +503,68 @@ object EventsStreaming {
     try q.awaitTermination() finally q.stop()
     ss.table(queryName)
   }
+
+  /** The PRODUCTION multi-batch form [[cdcApplyStreaming]]'s scaladoc
+    * promises: change rows carry an explicit monotone `seq` (the
+    * change-log offset), per-key state holds the highest-seq version
+    * ACROSS micro-batches and restarts (durable in the checkpoint),
+    * and each batch append-emits the key's current winner stamped
+    * with its seq. The emitted log is the CDC output stream; the
+    * materialized table is [[cdcSnapshot]] — argmax by seq per key,
+    * one struct-max aggregation. Replayed or out-of-order changes
+    * (seq ≤ state) are absorbed idempotently: the state never moves
+    * backward, so at-least-once delivery still converges to the
+    * exactly-once snapshot.
+    */
+  def cdcApplyStreamingDurable(spark: SparkSession, srcDir: String,
+                               outDir: String, ckptDir: String,
+                               statePartitions: Int = 8): Unit = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    import ss.implicits._
+    val changeSchema = StructType(Seq(
+      StructField("seq", LongType), StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderpriority", StringType)))
+    val src = ss.readStream.schema(changeSchema)
+      .option("maxFilesPerTrigger", Int.MaxValue.toString)
+      .parquet(srcDir)
+      .as[(Long, Long, Long, Double, String)]
+
+    def apply(key: Long, rows: Iterator[(Long, Long, Long, Double, String)],
+              state: GroupState[(Long, Long, Long, Double, String)])
+        : Iterator[(Long, Long, Double, String, Long)] = {
+      val winner = (state.getOption.iterator ++ rows).maxBy(_._1)
+      state.update(winner) // kept across batches AND restarts
+      Iterator((winner._2, winner._3, winner._4, winner._5, winner._1))
+    }
+
+    val out = src.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(apply)
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority",
+        "seq")
+    val q = out.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckptDir)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+  }
+
+  /** Compact [[cdcApplyStreamingDurable]]'s emitted change log into
+    * the latest-wins table snapshot: argmax by seq per key, the q104
+    * struct-max shape — map-side partials bound the shuffle at one
+    * row per (key × partition), so compaction cost tracks the log,
+    * not the table history.
+    */
+  def cdcSnapshot(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir)
+      .groupBy("o_orderkey")
+      .agg(max(struct(col("seq"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))).as("w"))
+      .select(col("o_orderkey"), col("w.o_custkey").as("o_custkey"),
+        col("w.o_totalprice").as("o_totalprice"),
+        col("w.o_orderpriority").as("o_orderpriority"))
 
   /** Q54: STREAM-STREAM inner join — the two-live-streams shape
     * (impressions joining clicks as both arrive). Both sides carry a

@@ -73,4 +73,42 @@ class DurableStreamingSpec extends SparkSpec {
     assert(byKey(("2024-01-01 12:00:00", "view")) === ((1L, 3.0)))
     assert(byKey(("2024-01-01 13:00:00", "click")) === ((1L, 4.0)))
   }
+
+  test("durable CDC state survives restarts; replayed changes converge idempotently") {
+    val root = Files.createTempDirectory("graft-cdc").toString
+    val (src, out, ckpt) = (s"$root/src", s"$root/out", s"$root/ckpt")
+    new java.io.File(src).mkdirs()
+    def change(seq: Long, key: Long, cust: Long, price: Double, prio: String) =
+      (seq, key, cust, price, prio)
+    def write(rows: (Long, Long, Long, Double, String)*): Unit =
+      rows.toDF("seq", "o_orderkey", "o_custkey", "o_totalprice",
+          "o_orderpriority")
+        .coalesce(1).write.mode("append").parquet(src)
+    def snapshot() = EventsStreaming.cdcSnapshot(spark, out).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getString(3))))
+      .toMap
+
+    // run 1: the base table arrives as seq-0 inserts
+    write(change(0, 1, 10, 100.0, "LOW"), change(0, 2, 20, 200.0, "LOW"),
+      change(0, 3, 30, 300.0, "LOW"))
+    EventsStreaming.cdcApplyStreamingDurable(spark, src, out, ckpt)
+    assert(snapshot() === Map(
+      1L -> ((10L, 100.0, "LOW")), 2L -> ((20L, 200.0, "LOW")),
+      3L -> ((30L, 300.0, "LOW"))))
+
+    // run 2 (restart, same checkpoint): an update beats key 2's BASE
+    // VERSION HELD ONLY IN STATE (not in this batch), plus a brand-new
+    // key — the cross-restart latest-wins proof
+    write(change(1, 2, 20, 250.0, "UPDATED"), change(0, 4, 40, 400.0, "LOW"))
+    EventsStreaming.cdcApplyStreamingDurable(spark, src, out, ckpt)
+    assert(snapshot() === Map(
+      1L -> ((10L, 100.0, "LOW")), 2L -> ((20L, 250.0, "UPDATED")),
+      3L -> ((30L, 300.0, "LOW")), 4L -> ((40L, 400.0, "LOW"))))
+
+    // run 3: at-least-once delivery replays key 2's STALE base change
+    // after the update — seq ordering absorbs it; nothing regresses
+    write(change(0, 2, 20, 200.0, "LOW"))
+    EventsStreaming.cdcApplyStreamingDurable(spark, src, out, ckpt)
+    assert(snapshot()(2L) === ((20L, 250.0, "UPDATED")))
+  }
 }

@@ -55,4 +55,31 @@ class NullSafetySpec extends SparkSpec {
     // fingerprints/collocations simply see no grams from blank docs
     assert(TextOps.collocations(dirty, minCount = 2, topK = 5).count() > 0)
   }
+
+  test("vocabulary, domain cap, and best-of-cluster tolerate null/blank rows") {
+    // null/blank text contributes no tokens; coverage still closes at 1
+    val vocab = TextOps.vocabulary(dirty).collect()
+    assert(vocab.nonEmpty)
+    assert(vocab.map(_.getAs[Double]("cum_frac")).max === 1.0)
+
+    // a null stratum groups like any other value and respects the cap
+    val src = Seq((1L, "a"), (2L, "a"), (3L, null.asInstanceOf[String]),
+      (4L, null.asInstanceOf[String]), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "source")
+    val capped = graft.ops.SampleOps.domainCap(src, "doc_id", "source", cap = 2)
+      .collect().map(r => Option(r.getString(1)))
+    assert(capped.count(_.isEmpty) === 2 && capped.count(_.nonEmpty) === 2)
+
+    // best-of-cluster: null-text docs score null quality; max(struct)
+    // still picks a non-null-quality member when one exists, and a
+    // cluster OF null-text docs keeps a deterministic member
+    val best = graft.ops.ClusterOps.bestOfClusterCorpus(
+        dirty.withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+          .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+          .withColumn("n_chars",
+            org.apache.spark.sql.functions.length($"text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(best(1L) === 1L || best(1L) === 5L) // the dup pair resolves
+    assert(best.size === 4) // 2,3,4 are singletons (null/blank text)
+  }
 }
