@@ -598,6 +598,12 @@ object SparkEntry {
     // each dup cluster (argmax by struct max, one aggregation)
     "q104_dedup_best" -> ((s, dir) =>
       ClusterOps.bestOfClusterCorpus(t(s, dir, "documents"))),
+    // the daily-ingest composition: exact + near dedup against the
+    // standing corpus, quality/lang gates, per-source intake budget
+    "q105_incremental_ingest" -> ((s, dir) =>
+      ClusterOps.incrementalIngest(
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 1),
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 0))),
     "q76_temperature_sample" -> ((s, dir) =>
       SampleOps.temperatureSample(t(s, dir, "documents"), "doc_id", "source",
           alpha = 0.7, salt = "mix")
@@ -1775,6 +1781,35 @@ object SparkEntry {
          |SELECT cluster_id, doc_id AS kept_doc_id, quality,
          |       CAST(cluster_size AS BIGINT) AS cluster_size
          |FROM m WHERE rk = 1""".stripMargin,
+    // the daily-ingest stages recomposed: q59's anti-join, q60's band
+    // join, the quality/lang gates, q101's capped rank — END-TO-END
+    "q105_incremental_ingest" ->
+      s"""WITH nb AS (SELECT doc_id, md5(lower(trim(text))) fp
+         |            FROM documents WHERE doc_id % 2 = 1),
+         |ex AS (SELECT DISTINCT md5(lower(trim(text))) fp
+         |       FROM documents WHERE doc_id % 2 = 0),
+         |fresh AS (SELECT min(doc_id) AS doc_id
+         |          FROM nb ANTI JOIN ex USING (fp) GROUP BY fp),
+         |$minhashBandsCtes,
+         |neardup AS (
+         |  SELECT DISTINCT n.doc_id FROM bands n JOIN bands e
+         |    ON n.b = e.b AND n.bh = e.bh
+         |  WHERE n.doc_id % 2 = 1 AND e.doc_id % 2 = 0),
+         |q AS (SELECT * FROM ($qualitySql) WHERE doc_id % 2 = 1),
+         |cand AS (
+         |  SELECT f.doc_id, d.lang, d.source, q.n_tokens, q.quality,
+         |         ('0x' || substr(md5(f.doc_id::VARCHAR || ':ingest'), 1, 8))::BIGINT
+         |           / 4294967296.0 AS priority
+         |  FROM fresh f
+         |  JOIN documents d ON d.doc_id = f.doc_id
+         |  JOIN q ON q.doc_id = f.doc_id
+         |  WHERE q.quality >= 0.5
+         |    AND d.lang IN ('en', 'de', 'fr', 'es')
+         |    AND NOT EXISTS (SELECT 1 FROM neardup nd WHERE nd.doc_id = f.doc_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |                  ORDER BY priority ASC, doc_id ASC) AS rk FROM cand)
+         |SELECT doc_id, lang, source, n_tokens, quality
+         |FROM r WHERE rk <= 5""".stripMargin,
     // The end-to-end corpus composition: dedup keep-set ⋈ quality gate
     // ⋈ language allowlist, then the deterministic "train"-salted hash
     // sample — each stage is its own oracled query; this checks the

@@ -233,6 +233,39 @@ object ClusterOps {
         col("cluster_size"))
   }
 
+  /** Q105: the DAILY-INGEST composition — what actually runs when a
+    * new crawl batch lands next to a standing corpus, as ONE
+    * declarative plan: (1) exact dedup against history and within the
+    * batch (q59's O(batch) anti-join — history is only a narrow
+    * fingerprint set); (2) near-dup rejection against the corpus BAND
+    * artifact (q60's equi-join — nothing re-clusters); (3) quality
+    * and language gates on the survivors; (4) the per-source intake
+    * budget (q101's map-side-capped rank) so one domain cannot flood
+    * a single day's admission. Every stage is O(batch) against
+    * bounded history artifacts — the property that makes daily ingest
+    * affordable when the corpus is 100 TB and the batch is 0.1%
+    * of it. The oracle recomposes all four stages in SQL.
+    */
+  def incrementalIngest(newDocs: DataFrame, existing: DataFrame,
+                        minQuality: Double = 0.5,
+                        langs: Seq[String] = Seq("en", "de", "fr", "es"),
+                        perSourceCap: Int = 5): DataFrame = {
+    val fresh = DedupOps.incrementalExactDedup(newDocs, existing)
+      .select("doc_id")
+    val nearDup = DedupOps.incrementalNearDupCandidates(newDocs, existing)
+      .select(col("doc_new").as("doc_id")).distinct()
+    val quality = graft.ops.TextOps.qualityScore(newDocs)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val admitted = fresh
+      .join(nearDup, Seq("doc_id"), "left_anti")
+      .join(newDocs.select("doc_id", "lang", "source"), "doc_id")
+      .join(quality, "doc_id")
+      .filter(col("quality") >= minQuality && col("lang").isin(langs: _*))
+    graft.ops.SampleOps.domainCap(admitted, "doc_id", "source",
+        perSourceCap, salt = "ingest")
+      .select("doc_id", "lang", "source", "n_tokens", "quality")
+  }
+
   /** Q100 — the flagship composition, GENERATION 2: the round-5
     * operators slotted into their places in the pipeline. Beyond q57:
     * (1) PASSAGE EVIDENCE in the dedup graph — winnowed-passage pairs

@@ -103,6 +103,37 @@ class ClusterOpsSpec extends SparkSpec {
     assert(ClusterOps.trainingCorpus(d).count() === corpus.length)
   }
 
+  test("incrementalIngest admits only fresh, non-near-dup, gated docs within source budgets") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val d = graft.io.Tables.parquet(spark, sf, "documents")
+    val batch = d.filter(col("doc_id") % 2 === 1)
+    val corpus = d.filter(col("doc_id") % 2 === 0)
+    val out = ClusterOps.incrementalIngest(batch, corpus).collect()
+    assert(out.nonEmpty)
+    val ids = out.map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.forall(_ % 2 === 1)) // only batch rows are admitted
+    // nothing admitted carries a fingerprint the corpus already has
+    val corpusFps = corpus
+      .select(expr(graft.ops.DedupOps.contentFingerprintSql).as("fp"))
+      .collect().map(_.getString(0)).toSet
+    val admittedFps = batch.filter(col("doc_id").isin(ids.toSeq: _*))
+      .select(expr(graft.ops.DedupOps.contentFingerprintSql).as("fp"))
+      .collect().map(_.getString(0))
+    assert(admittedFps.forall(!corpusFps.contains(_)))
+    // no admitted doc is a band-candidate against the corpus
+    val nearDup = graft.ops.DedupOps
+      .incrementalNearDupCandidates(batch, corpus)
+      .select("doc_new").collect().map(_.getLong(0)).toSet
+    assert(ids.forall(!nearDup.contains(_)))
+    // gates and the per-source intake budget hold
+    out.foreach { r =>
+      assert(r.getAs[Double]("quality") >= 0.5)
+      assert(Set("en", "de", "fr", "es").contains(r.getAs[String]("lang")))
+    }
+    val bySource = out.groupBy(_.getAs[String]("source")).map(_._2.length)
+    assert(bySource.forall(_ <= 5))
+  }
+
   test("bestOfClusterCorpus keeps the highest-quality member, ties to the smaller id") {
     // doc 1 and doc 2 are verbatim near-dups (same shingles → same
     // minhash bands); doc 2 carries the quality markers (stopwords,
