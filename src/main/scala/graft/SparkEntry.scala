@@ -604,6 +604,9 @@ object SparkEntry {
       ClusterOps.incrementalIngest(
         t(s, dir, "documents").filter(col("doc_id") % 2 === 1),
         t(s, dir, "documents").filter(col("doc_id") % 2 === 0))),
+    // coordination-level keyword retrieval: integer-exact ranking
+    "q106_keyword_search" -> ((s, dir) =>
+      TextOps.keywordSearch(t(s, dir, "documents"), keywordQueries)),
     "q76_temperature_sample" -> ((s, dir) =>
       SampleOps.temperatureSample(t(s, dir, "documents"), "doc_id", "source",
           alpha = 0.7, salt = "mix")
@@ -658,6 +661,20 @@ object SparkEntry {
   /** MinHash band CTEs (ending in `bands(doc_id, b, bh)`), shared by
     * the full pair generator (q13) and the incremental form (q60).
     */
+  /** Q106 retrieval fixture: multi-term queries over the corpus
+    * vocabulary (mixed specificity — overlapping terms, a term no
+    * document ranks first on, a single-term query).
+    */
+  private val keywordQueries: Map[String, Seq[String]] = Map(
+    "q1" -> Seq("table", "scan", "fast"),
+    "q2" -> Seq("window", "batch"),
+    "q3" -> Seq("vector", "stream", "join", "query"),
+    "q4" -> Seq("customer"))
+
+  private val keywordQueryValues: String = keywordQueries.toSeq.sortBy(_._1)
+    .flatMap { case (qid, ts) => ts.distinct.map(t => s"('$qid', '$t')") }
+    .mkString(", ")
+
   private val minhashBandsCtes =
     s"""toks AS (SELECT doc_id, $duckToks w FROM documents),
        |sh AS (SELECT doc_id, unnest($duckShingles) g FROM toks),
@@ -1781,6 +1798,23 @@ object SparkEntry {
          |SELECT cluster_id, doc_id AS kept_doc_id, quality,
          |       CAST(cluster_size AS BIGINT) AS cluster_size
          |FROM m WHERE rk = 1""".stripMargin,
+    // identical term sets, identical integer tie-breaks; row_number
+    // cast to INT for the dtype-sensitive compare
+    "q106_keyword_search" ->
+      s"""WITH qt(query_id, term) AS (VALUES $keywordQueryValues),
+         |toks AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+         |sc AS (
+         |  SELECT q.query_id, t.doc_id,
+         |         count(DISTINCT t.term) AS n_terms, count(*) AS tf_sum
+         |  FROM toks t JOIN qt q ON q.term = t.term
+         |  GROUP BY q.query_id, t.doc_id),
+         |r AS (SELECT query_id, doc_id, n_terms, tf_sum,
+         |             CAST(row_number() OVER (PARTITION BY query_id
+         |               ORDER BY n_terms DESC, tf_sum DESC, doc_id ASC) AS INT)
+         |               AS rank
+         |      FROM sc)
+         |SELECT query_id, rank, doc_id, n_terms, tf_sum
+         |FROM r WHERE rank <= 10""".stripMargin,
     // the daily-ingest stages recomposed: q59's anti-join, q60's band
     // join, the quality/lang gates, q101's capped rank — END-TO-END
     "q105_incremental_ingest" ->

@@ -243,6 +243,43 @@ object TextOps {
         (size(col("l")) - size(col("kept"))).cast("int").as("n_removed"),
         md5(expr("array_join(kept, '\\n')")).as("clean_md5"))
 
+  /** Q106: KEYWORD SEARCH — multi-term retrieval over the corpus with
+    * COORDINATION-LEVEL ranking: documents score by how many distinct
+    * query terms they contain, then by total matched term frequency,
+    * then by doc_id — all integers, so the ranking is bit-exact on
+    * any engine (no tf-idf logs to drift; the weighted-similarity
+    * path is q53's TF-IDF / the embedding kNN family).
+    *
+    * Plan shape: the query set is a handful of literal rows —
+    * broadcast onto the token stream (never the reverse), so the
+    * corpus-sized work is one partial-aggregated (query, doc) count;
+    * per-query top-k rides the same map-side WindowGroupLimit bound
+    * as q101. At 100 TB the token explode is the scan itself — an
+    * inverted-index ARTIFACT (like q78's IVF cells) would amortize
+    * repeated query batches; this operator is the query-time path.
+    */
+  def keywordSearch(documents: DataFrame,
+                    queries: Map[String, Seq[String]],
+                    k: Int = 10): DataFrame = {
+    require(queries.nonEmpty, "keywordSearch needs at least one query")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val qTerms = queries.toSeq.sortBy(_._1)
+      .flatMap { case (qid, terms) => terms.distinct.map(qid -> _) }
+      .toDF("query_id", "term")
+    val toks = documents
+      .select(col("doc_id"), explode(expr(tokensExpr)).as("term"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_terms").desc, col("tf_sum").desc, col("doc_id").asc)
+    toks.join(broadcast(qTerms), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(countDistinct(col("term")).as("n_terms"),
+        count(lit(1)).as("tf_sum"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "n_terms", "tf_sum")
+  }
+
   /** Q102: VOCABULARY FITTING — the corpus token inventory with
     * frequency-rank ids and cumulative coverage, i.e. the word-level
     * analogue of fitting a tokenizer: id 1 is the most frequent

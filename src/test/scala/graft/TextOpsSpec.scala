@@ -241,4 +241,21 @@ class TextOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(3))).sortBy(_._1).toSeq
     assert(trimmed === Seq((1L, "b", 4 / 9.0), (2L, "a", 7 / 9.0)))
   }
+
+  test("keywordSearch ranks coordination over raw frequency, integer tie-breaks") {
+    val corpus = docs(
+      1L -> "alpha alpha alpha alpha alpha",  // one term, huge tf
+      2L -> "alpha beta",                      // both terms, tf 1 each
+      3L -> "alpha beta alpha",                // both terms, higher tf
+      4L -> "gamma gamma",                     // no query term
+      5L -> "alpha beta")                      // ties doc 2 exactly → id order
+    val out = TextOps.keywordSearch(corpus, Map("q" -> Seq("alpha", "beta")), k = 4)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    // coordination first: docs with BOTH terms beat the tf-5 single-term doc
+    assert(out === Map(1 -> 3L, 2 -> 2L, 3 -> 5L, 4 -> 1L))
+    // duplicate terms in the query don't double-count matches
+    val dup = TextOps.keywordSearch(corpus, Map("q" -> Seq("alpha", "alpha")), k = 1)
+      .collect().head
+    assert(dup.getLong(3) === 1L) // n_terms counts DISTINCT matched terms
+  }
 }
