@@ -607,6 +607,11 @@ object SparkEntry {
     // coordination-level keyword retrieval: integer-exact ranking
     "q106_keyword_search" -> ((s, dir) =>
       TextOps.keywordSearch(t(s, dir, "documents"), keywordQueries)),
+    // per-doc fraction of 5-grams unseen in the standing corpus
+    "q107_ngram_novelty" -> ((s, dir) =>
+      TextOps.ngramNovelty(
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 1),
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 0))),
     "q76_temperature_sample" -> ((s, dir) =>
       SampleOps.temperatureSample(t(s, dir, "documents"), "doc_id", "source",
           alpha = 0.7, salt = "mix")
@@ -1798,6 +1803,23 @@ object SparkEntry {
          |SELECT cluster_id, doc_id AS kept_doc_id, quality,
          |       CAST(cluster_size AS BIGINT) AS cluster_size
          |FROM m WHERE rk = 1""".stripMargin,
+    // the q68 gram expansion transposed: batch distinct (doc, gram)
+    // LEFT JOIN corpus distinct grams; novelty = exact int division
+    "q107_ngram_novelty" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks w FROM documents),
+         |g AS (SELECT doc_id,
+         |             unnest(list_transform(range(1, len(w) - 3),
+         |                    i -> array_to_string(w[i:i+4], ' '))) gram
+         |      FROM toks),
+         |cg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0),
+         |bg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 2 = 1),
+         |agg AS (
+         |  SELECT b.doc_id, count(*) AS n_grams, count(c.gram) AS n_seen
+         |  FROM bg b LEFT JOIN cg c ON b.gram = c.gram
+         |  GROUP BY b.doc_id)
+         |SELECT doc_id, n_grams, n_grams - n_seen AS n_new,
+         |       CAST(n_grams - n_seen AS DOUBLE) / n_grams AS novelty
+         |FROM agg""".stripMargin,
     // identical term sets, identical integer tie-breaks; row_number
     // cast to INT for the dtype-sensitive compare
     "q106_keyword_search" ->

@@ -243,6 +243,38 @@ object TextOps {
         (size(col("l")) - size(col("kept"))).cast("int").as("n_removed"),
         md5(expr("array_join(kept, '\\n')")).as("clean_md5"))
 
+  /** Q107: N-GRAM NOVELTY — for each arriving document, the fraction
+    * of its distinct word n-grams never seen in the standing corpus:
+    * the data-freshness score of an ingest batch (novelty ≈ 0 means
+    * the crawl is re-reading what the corpus already knows, before
+    * any dedup fires; it is also the budget signal for q105's intake
+    * caps). Integer counts and an int/int division — bit-exact
+    * cross-engine.
+    *
+    * Plan shape: the q68 decontamination join transposed — ONE
+    * gram-keyed equi-join of the batch's distinct (doc, gram) pairs
+    * against the corpus's distinct gram set with a seen-marker, one
+    * aggregation; history participates only as the narrow gram
+    * column (at 100 TB, a gram-digest Bloom artifact would replace
+    * the join's build side the way q61 upgrades q59).
+    */
+  def ngramNovelty(newDocs: DataFrame, existing: DataFrame,
+                   n: Int = 5): DataFrame = {
+    def grams(df: DataFrame) = df
+      .withColumn("w", expr(tokensExpr))
+      .select(col("doc_id"), explode(expr(OpsUtil.shingleExpr(n))).as("gram"))
+    val corpusGrams = grams(existing).select("gram").distinct()
+      .withColumn("seen", lit(1))
+    grams(newDocs).distinct()
+      .join(corpusGrams, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("seen")).as("n_seen"))
+      .select(col("doc_id"), col("n_grams"),
+        (col("n_grams") - col("n_seen")).as("n_new"),
+        ((col("n_grams") - col("n_seen")).cast("double") /
+          col("n_grams")).as("novelty"))
+  }
+
   /** Q106: KEYWORD SEARCH — multi-term retrieval over the corpus with
     * COORDINATION-LEVEL ranking: documents score by how many distinct
     * query terms they contain, then by total matched term frequency,

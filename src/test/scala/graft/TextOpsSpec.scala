@@ -242,6 +242,22 @@ class TextOpsSpec extends SparkSpec {
     assert(trimmed === Seq((1L, "b", 4 / 9.0), (2L, "a", 7 / 9.0)))
   }
 
+  test("ngramNovelty scores unseen-gram fractions exactly; short docs drop out") {
+    val corpus = docs(2L -> "a b c d e f g h")           // grams: abcde..defgh
+    val batch = docs(
+      1L -> "a b c d e f g h",                           // all grams known → 0
+      3L -> "p q r s t u",                               // all new → 1
+      5L -> "a b c d e x p q r s t",                     // 1 known of 7 grams
+      7L -> "too short here")                            // < 5 tokens → no row
+    val out = TextOps.ngramNovelty(batch, corpus)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((4L, 0L, 0.0)))
+    assert(out(3L) === ((2L, 2L, 1.0)))
+    assert(out(5L) === ((7L, 6L, 6.0 / 7.0)))
+    assert(!out.contains(7L))
+  }
+
   test("keywordSearch ranks coordination over raw frequency, integer tie-breaks") {
     val corpus = docs(
       1L -> "alpha alpha alpha alpha alpha",  // one term, huge tf
