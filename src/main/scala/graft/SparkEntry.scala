@@ -612,6 +612,9 @@ object SparkEntry {
       TextOps.ngramNovelty(
         t(s, dir, "documents").filter(col("doc_id") % 2 === 1),
         t(s, dir, "documents").filter(col("doc_id") % 2 === 0))),
+    // cross-source duplication matrix over the near-dup clusters
+    "q108_source_overlap" -> ((s, dir) =>
+      ClusterOps.sourceOverlap(t(s, dir, "documents"))),
     "q76_temperature_sample" -> ((s, dir) =>
       SampleOps.temperatureSample(t(s, dir, "documents"), "doc_id", "source",
           alpha = 0.7, salt = "mix")
@@ -1803,6 +1806,18 @@ object SparkEntry {
          |SELECT cluster_id, doc_id AS kept_doc_id, quality,
          |       CAST(cluster_size AS BIGINT) AS cluster_size
          |FROM m WHERE rk = 1""".stripMargin,
+    // the q41 labels joined to sources; the matrix counts distinct
+    // clusters per unordered source pair
+    "q108_source_overlap" ->
+      s"""WITH labels AS ($dedupClustersSql),
+         |cs AS (
+         |  SELECT DISTINCT l.canonical_id, d.source
+         |  FROM labels l JOIN documents d ON d.doc_id = l.doc_id)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |       CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM cs a JOIN cs b ON a.canonical_id = b.canonical_id
+         |  AND a.source < b.source
+         |GROUP BY a.source, b.source""".stripMargin,
     // the q68 gram expansion transposed: batch distinct (doc, gram)
     // LEFT JOIN corpus distinct grams; novelty = exact int division
     "q107_ngram_novelty" ->

@@ -233,6 +233,29 @@ object ClusterOps {
         col("cluster_size"))
   }
 
+  /** Q108: CROSS-SOURCE DUPLICATION MATRIX — for every pair of
+    * sources, how many near-dup clusters contain documents from BOTH:
+    * the provenance audit that surfaces mirror sites, cross-licensed
+    * content, and scraped re-posts before a per-source mix is tuned
+    * (two sources that are 80% mutual dups are not two independent
+    * sources). Rides the q41 labels; the matrix work is over the
+    * DISTINCT (cluster, source) set — bounded by clusters × sources,
+    * far below corpus rows — and the self-join key is the cluster id,
+    * so no pair of unrelated sources ever meets.
+    */
+  def sourceOverlap(documents: DataFrame): DataFrame = {
+    val labels = nearDupClusters(documents)
+    val cs = labels
+      .join(documents.select("doc_id", "source"), "doc_id")
+      .select("canonical_id", "source").distinct()
+    val a = cs.select(col("canonical_id"), col("source").as("source_a"))
+    val b = cs.select(col("canonical_id"), col("source").as("source_b"))
+    a.join(b, Seq("canonical_id"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_clusters"))
+  }
+
   /** Q105: the DAILY-INGEST composition — what actually runs when a
     * new crawl batch lands next to a standing corpus, as ONE
     * declarative plan: (1) exact dedup against history and within the

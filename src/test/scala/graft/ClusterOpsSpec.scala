@@ -134,6 +134,24 @@ class ClusterOpsSpec extends SparkSpec {
     assert(bySource.forall(_ <= 5))
   }
 
+  test("sourceOverlap counts clusters per source pair; within-source dups don't pair") {
+    val dup = ("lorem ipsum dolor sit amet consectetur adipiscing elit " * 6).trim
+    val other = ("omega psi chi phi upsilon tau sigma rho " * 6).trim
+    val d = Seq(
+      // cluster A spans s1, s2, s3
+      (1L, dup, "en", "s1"), (2L, dup, "en", "s2"), (3L, dup, "en", "s3"),
+      // cluster B lives entirely inside s1 — no cross-source evidence
+      (10L, other, "en", "s1"), (11L, other, "en", "s1"),
+      // singleton — contributes nothing
+      (20L, "standalone text body quite unlike anything else here", "en", "s4"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+    val out = ClusterOps.sourceOverlap(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(("s1", "s2") -> 1L, ("s1", "s3") -> 1L,
+      ("s2", "s3") -> 1L))
+  }
+
   test("bestOfClusterCorpus keeps the highest-quality member, ties to the smaller id") {
     // doc 1 and doc 2 are verbatim near-dups (same shingles → same
     // minhash bands); doc 2 carries the quality markers (stopwords,
