@@ -615,6 +615,9 @@ object SparkEntry {
     // cross-source duplication matrix over the near-dup clusters
     "q108_source_overlap" -> ((s, dir) =>
       ClusterOps.sourceOverlap(t(s, dir, "documents"))),
+    // dedup health report: clusters-by-size histogram
+    "q109_cluster_hist" -> ((s, dir) =>
+      ClusterOps.clusterSizeHistogram(t(s, dir, "documents"))),
     "q76_temperature_sample" -> ((s, dir) =>
       SampleOps.temperatureSample(t(s, dir, "documents"), "doc_id", "source",
           alpha = 0.7, salt = "mix")
@@ -1806,6 +1809,14 @@ object SparkEntry {
          |SELECT cluster_id, doc_id AS kept_doc_id, quality,
          |       CAST(cluster_size AS BIGINT) AS cluster_size
          |FROM m WHERE rk = 1""".stripMargin,
+    // two stacked aggregations over the recursive labels
+    "q109_cluster_hist" ->
+      s"""WITH labels AS ($dedupClustersSql),
+         |sizes AS (SELECT canonical_id, count(*) AS cluster_size
+         |          FROM labels GROUP BY canonical_id)
+         |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+         |       CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM sizes GROUP BY cluster_size""".stripMargin,
     // the q41 labels joined to sources; the matrix counts distinct
     // clusters per unordered source pair
     "q108_source_overlap" ->

@@ -256,6 +256,21 @@ object ClusterOps {
       .agg(count(lit(1)).as("n_clusters"))
   }
 
+  /** Q109: DEDUP CLUSTER-SIZE HISTOGRAM — how many clusters have
+    * exactly k members, the one-page health report of a dedup pass
+    * (a fat tail of giant clusters means boilerplate or a mirror in
+    * the crawl; all-singletons means the candidate generators are
+    * too tight). Two cluster-keyed aggregations over the q41 labels;
+    * both shuffles carry one row per cluster / per size — never
+    * corpus rows.
+    */
+  def clusterSizeHistogram(documents: DataFrame): DataFrame =
+    nearDupClusters(documents)
+      .groupBy("canonical_id")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+
   /** Q105: the DAILY-INGEST composition — what actually runs when a
     * new crawl batch lands next to a standing corpus, as ONE
     * declarative plan: (1) exact dedup against history and within the
