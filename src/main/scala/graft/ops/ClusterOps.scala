@@ -219,8 +219,9 @@ object ClusterOps {
     * partial bounds shuffle volume at one row per (cluster ×
     * partition).
     */
-  def bestOfClusterCorpus(documents: DataFrame): DataFrame = {
-    val labels = nearDupClusters(documents)
+  def bestOfClusterCorpus(documents: DataFrame,
+                          labelsOpt: Option[DataFrame] = None): DataFrame = {
+    val labels = labelsOpt.getOrElse(nearDupClusters(documents))
     val quality = graft.ops.TextOps.qualityScore(documents)
       .select(col("doc_id"), col("quality"))
     labels.join(quality, "doc_id")
@@ -243,8 +244,9 @@ object ClusterOps {
     * far below corpus rows — and the self-join key is the cluster id,
     * so no pair of unrelated sources ever meets.
     */
-  def sourceOverlap(documents: DataFrame): DataFrame = {
-    val labels = nearDupClusters(documents)
+  def sourceOverlap(documents: DataFrame,
+                    labelsOpt: Option[DataFrame] = None): DataFrame = {
+    val labels = labelsOpt.getOrElse(nearDupClusters(documents))
     val cs = labels
       .join(documents.select("doc_id", "source"), "doc_id")
       .select("canonical_id", "source").distinct()
@@ -264,8 +266,9 @@ object ClusterOps {
     * both shuffles carry one row per cluster / per size — never
     * corpus rows.
     */
-  def clusterSizeHistogram(documents: DataFrame): DataFrame =
-    nearDupClusters(documents)
+  def clusterSizeHistogram(documents: DataFrame,
+                           labelsOpt: Option[DataFrame] = None): DataFrame =
+    labelsOpt.getOrElse(nearDupClusters(documents))
       .groupBy("canonical_id")
       .agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size")

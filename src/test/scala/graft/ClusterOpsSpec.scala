@@ -150,6 +150,15 @@ class ClusterOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(out === Map(("s1", "s2") -> 1L, ("s1", "s3") -> 1L,
       ("s2", "s3") -> 1L))
+    // the whole report family accepts a precomputed labels artifact —
+    // one CC resolution can feed q104/q108/q109 without recomputing
+    val labels = ClusterOps.nearDupClusters(d)
+    val reused = ClusterOps.sourceOverlap(d, Some(labels)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(reused === out)
+    assert(ClusterOps.clusterSizeHistogram(d, Some(labels)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(3L -> 1L, 2L -> 1L, 1L -> 1L))
   }
 
   test("bestOfClusterCorpus keeps the highest-quality member, ties to the smaller id") {
