@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.io.Tables
+import graft.io.{Layout, Tables}
 import graft.ops._
 import graft.streaming.EventsStreaming
 
@@ -188,6 +188,33 @@ object SparkEntry {
     * is the daily-ingest shape: rebuild never, append per batch,
     * monitor recall for quantizer drift.
     */
+  /** q111: the MERGEABLE distinct-count sketch exercised as a STORAGE
+    * ARTIFACT — the even half of the corpus is sketched per source
+    * ONCE and persisted under a [[graft.core.Scope]]; the odd half
+    * arrives as the ingest batch, is sketched alone (O(batch)), and
+    * the RELOADED artifact + batch sketches are union-merged and
+    * estimated — the incremental path never re-reads history rows.
+    * Held to [[SketchOps.distinctSketchGate]]'s exact-count bound over
+    * the full union; oracle expects the violation set empty.
+    */
+  private val q111Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
+
+  private def sketchArtifactGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scope = q111Scopes.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-q111-")
+      sys.addShutdownHook(deleteRecursively(base))
+      val sc = graft.core.Scopes.create(s, base.toString)
+      SketchOps.saveSketches(
+        SketchOps.perKeySketch(docs.filter(col("doc_id") % 2 === 0),
+          "source", "doc_id"), sc, "distinct_sketch")
+      sc
+    })
+    SketchOps.distinctSketchGate(
+      SketchOps.loadSketches(s, scope, "distinct_sketch"),
+      docs.filter(col("doc_id") % 2 === 1), docs, "source", "doc_id")
+  }
+
   private val q83Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
 
   private def ivfAppendGate(s: SparkSession, dir: String): DataFrame = {
@@ -618,6 +645,17 @@ object SparkEntry {
     // dedup health report: clusters-by-size histogram
     "q109_cluster_hist" -> ((s, dir) =>
       ClusterOps.clusterSizeHistogram(t(s, dir, "documents"))),
+    // train/val/test assigned at dedup-CLUSTER granularity: near-dups
+    // can never straddle a split boundary
+    "q110_split_leakfree" -> ((s, dir) =>
+      ClusterOps.leakageFreeSplit(t(s, dir, "documents"))),
+    // persisted per-source HLL sketches merged with an O(batch) ingest
+    // sketch, gated against the exact distinct over the union
+    "q111_sketch_artifact" -> sketchArtifactGate _,
+    // bit-interleaved z-order key over min-max-scaled (partkey, suppkey)
+    "q112_zorder" -> ((s, dir) =>
+      Layout.zorderKey(t(s, dir, "lineitem"), "l_partkey", "l_suppkey")
+        .select(col("l_orderkey"), col("l_linenumber"), col("__z").as("zval"))),
     "q76_temperature_sample" -> ((s, dir) =>
       SampleOps.temperatureSample(t(s, dir, "documents"), "doc_id", "source",
           alpha = 0.7, salt = "mix")
@@ -756,6 +794,15 @@ object SparkEntry {
        |FROM fps a JOIN keep k ON a.fp = k.fp JOIN fps b ON a.fp = b.fp
        |WHERE a.doc_id < b.doc_id
        |GROUP BY 1, 2""".stripMargin
+
+  /** The q112 oracle's bit-interleave, generated term-for-term so the
+    * SQL provably matches [[graft.io.Layout.zValue]]'s bit placement:
+    * bit i of `a` → position 2i, bit i of `b` → 2i+1.
+    */
+  private def zInterleaveSql(a: String, b: String, bits: Int = 16): String =
+    (0 until bits).flatMap { i =>
+      Seq(s"((($a >> $i) & 1) << ${2 * i})", s"((($b >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" | ")
 
   private val dedupClustersSql =
     s"""WITH RECURSIVE
@@ -1829,6 +1876,45 @@ object SparkEntry {
          |FROM cs a JOIN cs b ON a.canonical_id = b.canonical_id
          |  AND a.source < b.source
          |GROUP BY a.source, b.source""".stripMargin,
+    // the q41 labels + the q52 md5 unit hash replayed on canonical_id:
+    // the oracle proves the split is cluster-atomic AND reproduces the
+    // exact assignment
+    "q110_split_leakfree" ->
+      s"""WITH labels AS ($dedupClustersSql),
+         |u AS (SELECT doc_id, canonical_id,
+         |        ('0x' || substr(md5(canonical_id::VARCHAR || ':split'), 1, 8))::BIGINT
+         |          / 4294967296.0 AS h
+         |      FROM labels)
+         |SELECT doc_id, canonical_id,
+         |       CASE WHEN h < 0.1 THEN 'test'
+         |            WHEN h < 0.2 THEN 'val'
+         |            ELSE 'train' END AS split
+         |FROM u""".stripMargin,
+    // persist → reload → merge lifecycle gate: violations must be empty
+    "q111_sketch_artifact" ->
+      """SELECT CAST(NULL AS VARCHAR) AS source,
+        |       CAST(NULL AS BIGINT) AS n_exact,
+        |       CAST(NULL AS BIGINT) AS n_approx,
+        |       CAST(NULL AS DOUBLE) AS rel_err
+        |WHERE 1 = 0""".stripMargin,
+    // exact integer min-max scaling (// is DuckDB integer division,
+    // matching gridScale's proven-exact floor) + the same 16-bit
+    // interleave, generated term-for-term by zInterleaveSql
+    "q112_zorder" ->
+      s"""WITH bounds AS (
+         |  SELECT min(l_partkey) alo, max(l_partkey) ahi,
+         |         min(l_suppkey) blo, max(l_suppkey) bhi
+         |  FROM lineitem),
+         |scaled AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |         CASE WHEN ahi <= alo THEN 0
+         |              ELSE ((l_partkey - alo) * 65535) // (ahi - alo) END AS ka,
+         |         CASE WHEN bhi <= blo THEN 0
+         |              ELSE ((l_suppkey - blo) * 65535) // (bhi - blo) END AS kb
+         |  FROM lineitem, bounds)
+         |SELECT l_orderkey, l_linenumber,
+         |       CAST(${zInterleaveSql("ka", "kb")} AS BIGINT) AS zval
+         |FROM scaled""".stripMargin,
     // the q68 gram expansion transposed: batch distinct (doc, gram)
     // LEFT JOIN corpus distinct grams; novelty = exact int division
     "q107_ngram_novelty" ->

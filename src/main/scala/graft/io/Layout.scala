@@ -1,6 +1,7 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
 
 /** Data-layout writers — the storage-side half of the 100 TB design.
   *
@@ -49,6 +50,73 @@ object Layout {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  /** Bit-interleaved Z-VALUE of two non-negative `bits`-bit integers:
+    * bit i of `a` lands at position 2i, bit i of `b` at 2i+1. Rows
+    * close in z are close in BOTH dimensions, so range-partitioning
+    * and sorting by z gives parquet min/max statistics selectivity on
+    * TWO predicate columns at once — where a single-column sort
+    * ([[writePartitioned]]'s `sortCols`) buys skipping on one column
+    * and leaves the other unclustered. Pure bit arithmetic, fully
+    * codegen'd; monotonic in each argument with the other fixed, and
+    * a bijection on the `bits`×`bits` grid (LayoutSpec asserts both).
+    */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31]: $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Min-max normalize a non-negative integer column onto the
+    * `bits`-bit grid. `floor(n / d)` over doubles here EQUALS exact
+    * integer division, so any engine reproduces the value bit-for-bit
+    * (the q112 oracle's integer `//` does): n ≤ keyRange·(2^bits − 1)
+    * stays far under 2^53 (exact in double), and when d ∤ n the true
+    * quotient is ≥ 1/d ≥ 2^−31 away from an integer while the
+    * division's rounding error is ≤ 2^bits·2^−53 — floor cannot flip.
+    * Degenerate ranges map to 0.
+    */
+  def gridScale(x: Column, lo: Column, hi: Column, bits: Int = 16): Column = {
+    val m = (1L << bits) - 1
+    when(hi <= lo, lit(0L))
+      .otherwise(floor(((x - lo) * lit(m)).cast("double") /
+        (hi - lo).cast("double")).cast("long"))
+  }
+
+  /** Z-order layout: compute the interleaved key over the two columns
+    * (min-max scaled to the 16-bit grid via a tiny broadcast bounds
+    * aggregate), range-partition into `numFiles` and sort within each
+    * file by z — after the write, every file covers a compact
+    * rectangle in (colA, colB) space, so predicates on EITHER column
+    * skip most files on parquet footer statistics alone. This is the
+    * write-once clustering pass a 100 TB table gets instead of an
+    * index.
+    */
+  def writeZordered(df: DataFrame, path: String, colA: String, colB: String,
+                    numFiles: Int = 16, bits: Int = 16): Unit = {
+    val z = zorderKey(df, colA, colB, bits)
+    z.repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** The q112 surface: rows of `df` with their z-order key (named
+    * `__z`) over min-max-scaled `colA`, `colB`.
+    */
+  def zorderKey(df: DataFrame, colA: String, colB: String,
+                bits: Int = 16): DataFrame = {
+    val bounds = df.agg(
+      min(col(colA)).as("__alo"), max(col(colA)).as("__ahi"),
+      min(col(colB)).as("__blo"), max(col(colB)).as("__bhi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__z", zValue(
+        gridScale(col(colA), col("__alo"), col("__ahi"), bits),
+        gridScale(col(colB), col("__blo"), col("__bhi"), bits), bits))
+      .drop("__alo", "__ahi", "__blo", "__bhi")
   }
 
   /** Small-files compaction — the maintenance pass every long-running

@@ -274,6 +274,33 @@ object ClusterOps {
       .groupBy("cluster_size")
       .agg(count(lit(1)).as("n_clusters"))
 
+  /** Q110: LEAKAGE-FREE train/val/test SPLIT — assign splits at the
+    * dedup-CLUSTER granularity, not the document: every member of a
+    * near-dup cluster hashes on its cluster's canonical id, so two
+    * near-duplicate documents can never land on opposite sides of a
+    * train/test boundary (splitting documents independently leaks the
+    * test set into training whenever the corpus has near-dups — which
+    * a real crawl always does). The assignment is [[SampleOps.hashUnit]]
+    * of the canonical id: deterministic, engine-reproducible (the
+    * DuckDB oracle replays it), stable under corpus growth (a cluster
+    * keeps its split as new members join it), and uncorrelated with
+    * any other salt in the suite. Pure per-row expression over the
+    * q41 labels — the split itself adds no shuffle at any scale.
+    */
+  def leakageFreeSplit(documents: DataFrame,
+                       valFrac: Double = 0.1, testFrac: Double = 0.1,
+                       salt: String = "split",
+                       labelsOpt: Option[DataFrame] = None): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac < 1.0,
+      s"fractions must be non-negative and sum below 1: val=$valFrac test=$testFrac")
+    val u = SampleOps.hashUnit(col("canonical_id"), salt)
+    labelsOpt.getOrElse(nearDupClusters(documents))
+      .select(col("doc_id"), col("canonical_id"),
+        when(u < testFrac, lit("test"))
+          .when(u < testFrac + valFrac, lit("val"))
+          .otherwise(lit("train")).as("split"))
+  }
+
   /** Q105: the DAILY-INGEST composition — what actually runs when a
     * new crawl batch lands next to a standing corpus, as ONE
     * declarative plan: (1) exact dedup against history and within the

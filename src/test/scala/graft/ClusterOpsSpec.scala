@@ -184,4 +184,36 @@ class ClusterOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(t === Map(3L -> 3L))
   }
+
+  test("leakageFreeSplit is cluster-atomic, total, and deterministic") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val labels = ClusterOps.nearDupClusters(docs)
+    val split = ClusterOps.leakageFreeSplit(docs, valFrac = 0.2,
+      testFrac = 0.2, labelsOpt = Some(labels))
+    // total: every document is assigned exactly once
+    assert(split.count() === docs.count())
+    assert(split.select("doc_id").distinct().count() === docs.count())
+    // cluster-atomic: no cluster straddles a split boundary — the
+    // leakage guarantee itself
+    val straddlers = split.groupBy("canonical_id")
+      .agg(countDistinct("split").as("n"))
+      .filter(col("n") > 1).count()
+    assert(straddlers === 0)
+    // all three splits materialize at these fractions on the fixture,
+    // near-dup members riding their cluster's assignment
+    val byName = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.keySet === Set("train", "val", "test"), byName)
+    assert(byName("train") > byName("val") && byName("train") > byName("test"))
+    // deterministic: recomputation reproduces the exact assignment
+    val again = ClusterOps.leakageFreeSplit(docs, valFrac = 0.2,
+      testFrac = 0.2, labelsOpt = Some(labels))
+    assert(split.exceptAll(again).count() === 0)
+    assert(again.exceptAll(split).count() === 0)
+    // a different salt reshuffles clusters (decorrelated assignment)
+    val other = ClusterOps.leakageFreeSplit(docs, valFrac = 0.2,
+      testFrac = 0.2, salt = "other", labelsOpt = Some(labels))
+    assert(split.exceptAll(other).count() > 0)
+  }
 }
