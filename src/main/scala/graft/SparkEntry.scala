@@ -656,6 +656,10 @@ object SparkEntry {
     "q112_zorder" -> ((s, dir) =>
       Layout.zorderKey(t(s, dir, "lineitem"), "l_partkey", "l_suppkey")
         .select(col("l_orderkey"), col("l_linenumber"), col("__z").as("zval"))),
+    // per-label class centroids in exact fixed-point: long sums are
+    // order-independent, so the mean is bit-stable across engines
+    "q113_label_centroids" -> ((s, dir) =>
+      SimilarityOps.labelCentroids(t(s, dir, "embeddings"))),
     "q76_temperature_sample" -> ((s, dir) =>
       SampleOps.temperatureSample(t(s, dir, "documents"), "doc_id", "source",
           alpha = 0.7, salt = "mix")
@@ -1915,6 +1919,23 @@ object SparkEntry {
          |SELECT l_orderkey, l_linenumber,
          |       CAST(${zInterleaveSql("ka", "kb")} AS BIGINT) AS zval
          |FROM scaled""".stripMargin,
+    // fixed-point mean re-derived element-for-element: round to 2^20
+    // longs (exact scale, half-away rounding in both engines), long
+    // sum (associative), ONE final double division — bit-identical
+    "q113_label_centroids" ->
+      """WITH x AS (
+        |  SELECT label,
+        |         unnest(range(0, len(embedding))) AS dim,
+        |         unnest(embedding) AS v
+        |  FROM embeddings),
+        |a AS (
+        |  SELECT label, CAST(dim AS INT) AS dim,
+        |         sum(CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS ssum,
+        |         count(*) AS n
+        |  FROM x GROUP BY 1, 2)
+        |SELECT label, dim,
+        |       CAST(ssum AS DOUBLE) / (n * 1048576) AS centroid, n
+        |FROM a""".stripMargin,
     // the q68 gram expansion transposed: batch distinct (doc, gram)
     // LEFT JOIN corpus distinct grams; novelty = exact int division
     "q107_ngram_novelty" ->

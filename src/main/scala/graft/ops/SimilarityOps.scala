@@ -852,4 +852,30 @@ object SimilarityOps {
       expr("array_min(q)").as("q_min"),
       expr("array_max(q)").as("q_max"),
       round(col("maxabs") / 127.0, 6).as("scale6"))
+
+  /** Q113: PER-LABEL EMBEDDING CENTROIDS — the class-mean vectors an
+    * ANN deployment monitors for quantizer drift (centroids wandering
+    * from the IVF cells they trained, q34/q83) and a training pipeline
+    * uses for class prototypes. Floating-point SUMS are
+    * order-dependent under shuffle, so the mean is computed in exact
+    * FIXED-POINT: each component is scaled by 2^`scaleBits` (a
+    * power-of-two scale is exact in double) and rounded to a long once
+    * per element — the per-element rounding is deterministic, the long
+    * sum is associative, and the single final division is one IEEE op,
+    * so any engine reproduces the centroid bit-for-bit (the q113
+    * oracle does). Plan shape: one explode + one (label, dim)-keyed
+    * aggregation — map-side partials bound the shuffle at
+    * labels × dims × partitions rows regardless of corpus size.
+    */
+  def labelCentroids(embeddings: DataFrame, scaleBits: Int = 20): DataFrame = {
+    val s = 1L << scaleBits
+    par(embeddings)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(sum(round(col("v").cast("double") * s).cast("long")).as("ssum"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        (col("ssum").cast("double") / (col("n") * s)).as("centroid"),
+        col("n"))
+  }
 }

@@ -340,4 +340,30 @@ class SimilarityOpsSpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.9, s"mean recall@10 $mean")
   }
+
+  test("labelCentroids computes the exact fixed-point mean per (label, dim)") {
+    val d = Seq(
+      (0L, Seq(1.0f, -2.0f), 1),
+      (1L, Seq(3.0f, 6.0f), 1),
+      (2L, Seq(10.0f, 0.5f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.labelCentroids(d).collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Int]("dim")) ->
+        (r.getAs[Double]("centroid"), r.getAs[Long]("n"))).toMap
+    assert(out((1, 0)) === ((2.0, 2L)))
+    assert(out((1, 1)) === ((2.0, 2L)))
+    assert(out((2, 0)) === ((10.0, 1L)))
+    assert(out((2, 1)) === ((0.5, 1L)))
+    assert(out.size === 4)
+  }
+
+  test("labelCentroids is bit-stable across partitionings of the same data") {
+    val e = graft.io.Tables.parquet(spark, sf, "embeddings")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      SimilarityOps.labelCentroids(df).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val a = run(e.repartition(1))
+    val b = run(e.repartition(13, org.apache.spark.sql.functions.col("vec_id")))
+    assert(a === b) // exact ==, not tolerance: long sums are associative
+  }
 }
