@@ -660,6 +660,10 @@ object SparkEntry {
     // order-independent, so the mean is bit-stable across engines
     "q113_label_centroids" -> ((s, dir) =>
       SimilarityOps.labelCentroids(t(s, dir, "embeddings"))),
+    // one exact Lloyd iteration: hash-ranked seeds, integer fixed-point
+    // argmin assignment, fixed-point centroid update — all bit-exact
+    "q114_kmeans_step" -> ((s, dir) =>
+      SimilarityOps.kmeansStep(t(s, dir, "embeddings"))),
     "q76_temperature_sample" -> ((s, dir) =>
       SampleOps.temperatureSample(t(s, dir, "documents"), "doc_id", "source",
           alpha = 0.7, salt = "mix")
@@ -1936,6 +1940,44 @@ object SparkEntry {
         |SELECT label, dim,
         |       CAST(ssum AS DOUBLE) / (n * 1048576) AS centroid, n
         |FROM a""".stripMargin,
+    // the full Lloyd step replayed: same md5 seed ranking, same
+    // integer-squared-L2 argmin (ties by seed rank), same fixed-point
+    // mean — every stage integer-exact, so the hash must match
+    "q114_kmeans_step" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |         list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS vq,
+        |         ('0x' || substr(md5(vec_id::VARCHAR || ':seed'), 1, 8))::BIGINT AS hk
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY hk, vec_id) AS INT) AS cid,
+        |         vq AS sq
+        |  FROM q ORDER BY hk, vec_id LIMIT 8),
+        |d AS (
+        |  SELECT q.vec_id, s.cid,
+        |         CAST(list_sum(list_transform(range(1, len(q.vq) + 1),
+        |              i -> (q.vq[i] - s.sq[i]) * (q.vq[i] - s.sq[i])))
+        |           AS BIGINT) AS d2
+        |  FROM q, seeds s),
+        |a AS (
+        |  SELECT vec_id, cid,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |  FROM d),
+        |x AS (
+        |  SELECT a.cid AS cluster,
+        |         unnest(range(0, len(e.embedding))) AS dim,
+        |         unnest(e.embedding) AS v
+        |  FROM a JOIN embeddings e USING (vec_id)
+        |  WHERE a.rn = 1),
+        |g AS (
+        |  SELECT cluster, CAST(dim AS INT) AS dim,
+        |         sum(CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS ssum,
+        |         count(*) AS n
+        |  FROM x GROUP BY 1, 2)
+        |SELECT cluster, dim,
+        |       CAST(ssum AS DOUBLE) / (n * 1048576) AS centroid, n
+        |FROM g""".stripMargin,
     // the q68 gram expansion transposed: batch distinct (doc, gram)
     // LEFT JOIN corpus distinct grams; novelty = exact int division
     "q107_ngram_novelty" ->

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -867,15 +867,83 @@ object SimilarityOps {
     * aggregation — map-side partials bound the shuffle at
     * labels × dims × partitions rows regardless of corpus size.
     */
-  def labelCentroids(embeddings: DataFrame, scaleBits: Int = 20): DataFrame = {
+  def labelCentroids(embeddings: DataFrame, scaleBits: Int = 20,
+                     labelCol: String = "label"): DataFrame = {
     val s = 1L << scaleBits
     par(embeddings)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
-      .groupBy("label", "dim")
+      .select(col(labelCol), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(labelCol, "dim")
       .agg(sum(round(col("v").cast("double") * s).cast("long")).as("ssum"),
         count(lit(1)).as("n"))
-      .select(col("label"), col("dim"),
+      .select(col(labelCol), col("dim"),
         (col("ssum").cast("double") / (col("n") * s)).as("centroid"),
         col("n"))
   }
+
+  /** Q114: one EXACT distributed Lloyd (k-means) iteration — the
+    * building block of the IVF quantizer fit (q34/q83) exposed as a
+    * deterministic, engine-reproducible operator.
+    *
+    * Every stage that another engine must reproduce is integer-exact:
+    * seeds are the k corpus rows with the smallest md5-derived unit
+    * hash (the q52/q110 hash family — stable across engines and
+    * corpus partitioning); assignment measures squared L2 distance on
+    * 2^`scaleBits` fixed-point vectors, so the argmin compares LONGS
+    * (no FP summation-order hazard; the worst case |dx| ≤ 2^21,
+    * dims·dx² < 2^48 fits a long), ties broken by seed rank; the
+    * update is the [[labelCentroids]] fixed-point mean. The oracle
+    * replays all three stages to the bit.
+    *
+    * 100 TB shape: seed selection is a TakeOrdered (per-partition
+    * k-heaps, k rows to the driver — k is user-small by definition);
+    * assignment broadcasts only the k quantized seed vectors and runs
+    * as a per-row map (k·dims integer ops, no shuffle); the update
+    * shuffles map-side partials bounded by k × dims × partitions.
+    * Iterating calls this with `seeds` = the previous step's output.
+    */
+  private def quantFx(c: Column, s: Long): Column =
+    transform(c, x => round(x.cast("double") * s).cast("long"))
+
+  /** The seed table of [[kmeansStep]]: the k corpus rows with the
+    * smallest md5-derived hash, ranked 1..k, vectors pre-quantized.
+    */
+  def kmeansSeeds(embeddings: DataFrame, k: Int,
+                  scaleBits: Int = 20): DataFrame = {
+    val hk = conv(substring(md5(concat(col("vec_id").cast("string"),
+      lit(":seed"))), 1, 8), 16, 10).cast("long")
+    par(embeddings)
+      .select(col("vec_id"), col("embedding"), hk.as("hk"))
+      .orderBy(col("hk").asc, col("vec_id").asc).limit(k)
+      .select(row_number().over(Window.orderBy(col("hk").asc, col("vec_id").asc))
+          .cast("int").as("cid"),
+        quantFx(col("embedding"), 1L << scaleBits).as("sq"))
+  }
+
+  /** The assignment stage of [[kmeansStep]]: each vector joined to its
+    * nearest seed by integer squared L2 (`d2`), ties by seed rank.
+    * Carries the original float vector so the update stage needs no
+    * second corpus join.
+    */
+  def kmeansAssign(embeddings: DataFrame, seeds: DataFrame,
+                   scaleBits: Int = 20): DataFrame = {
+    val d2 = expr("aggregate(zip_with(vq, sq, (a, b) -> (a - b) * (a - b)), " +
+      "0L, (acc, x) -> acc + x)")
+    par(embeddings)
+      .select(col("vec_id"), col("embedding"),
+        quantFx(col("embedding"), 1L << scaleBits).as("vq"))
+      .crossJoin(broadcast(seeds))
+      .withColumn("d2", d2)
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("m.cid").as("cluster"),
+        col("m.d2").as("d2"), col("embedding"))
+  }
+
+  def kmeansStep(embeddings: DataFrame, k: Int = 8,
+                 scaleBits: Int = 20): DataFrame =
+    labelCentroids(
+      kmeansAssign(embeddings, kmeansSeeds(embeddings, k, scaleBits), scaleBits)
+        .select(col("cluster"), col("embedding")),
+      scaleBits, labelCol = "cluster")
 }

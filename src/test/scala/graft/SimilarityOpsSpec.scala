@@ -366,4 +366,44 @@ class SimilarityOpsSpec extends SparkSpec {
     val b = run(e.repartition(13, org.apache.spark.sql.functions.col("vec_id")))
     assert(a === b) // exact ==, not tolerance: long sums are associative
   }
+
+  test("kmeansStep partitions the corpus into k clusters that cover every vector") {
+    val e = graft.io.Tables.parquet(spark, sf, "embeddings")
+    val total = e.count()
+    val out = SimilarityOps.kmeansStep(e, k = 4).collect()
+    val dims = e.selectExpr("size(embedding) d").distinct().collect()
+      .map(_.getInt(0)).max
+    val byCluster = out.groupBy(_.getAs[Int]("cluster"))
+    assert(byCluster.keySet.subsetOf((1 to 4).toSet))
+    // each cluster contributes exactly `dims` centroid rows with one
+    // shared member count; counts over clusters partition the corpus
+    val counts = byCluster.map { case (c, rows) =>
+      assert(rows.map(_.getAs[Int]("dim")).sorted === (0 until dims).toArray)
+      assert(rows.map(_.getAs[Long]("n")).distinct.length === 1)
+      rows.head.getAs[Long]("n")
+    }
+    assert(counts.sum === total)
+  }
+
+  test("kmeansAssign picks the true integer-L2 argmin for every vector") {
+    val e = graft.io.Tables.parquet(spark, sf, "embeddings")
+    val seeds = SimilarityOps.kmeansSeeds(e, k = 4)
+    val sq = seeds.collect()
+      .map(r => r.getAs[Int]("cid") -> r.getSeq[Long](1).toArray).toMap
+    val assigned = SimilarityOps.kmeansAssign(e, seeds).collect()
+    assert(assigned.length === e.count())
+    val s = 1L << 20
+    assigned.foreach { r =>
+      // HALF_UP (away from zero) like Spark's round, not math.round's
+      // toward-positive-infinity halves
+      val vq = r.getSeq[Float](r.fieldIndex("embedding"))
+        .map(x => BigDecimal(x.toDouble * s)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray
+      val dists = sq.view.mapValues(c =>
+        vq.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum).toMap
+      val best = dists.toSeq.minBy { case (cid, d) => (d, cid) }
+      assert(r.getAs[Int]("cluster") === best._1, s"vec ${r.get(0)}")
+      assert(r.getAs[Long]("d2") === best._2)
+    }
+  }
 }
