@@ -664,6 +664,15 @@ object SparkEntry {
     // argmin assignment, fixed-point centroid update — all bit-exact
     "q114_kmeans_step" -> ((s, dir) =>
       SimilarityOps.kmeansStep(t(s, dir, "embeddings"))),
+    // linear quality model in the logit domain — per-row inference as
+    // a codegen'd expression, keep decision on the rounded score
+    "q115_model_gate" -> ((s, dir) =>
+      TextOps.modelQualityGate(t(s, dir, "documents"))),
+    // dense kNN + lexical-overlap lists fused by reciprocal-rank
+    // fusion — rank-space fusion, both lists bounded before the join
+    "q116_hybrid_search" -> ((s, dir) =>
+      SimilarityOps.hybridSearch(
+        t(s, dir, "documents"), t(s, dir, "embeddings"))),
     "q76_temperature_sample" -> ((s, dir) =>
       SampleOps.temperatureSample(t(s, dir, "documents"), "doc_id", "source",
           alpha = 0.7, salt = "mix")
@@ -1978,6 +1987,62 @@ object SparkEntry {
         |SELECT cluster, dim,
         |       CAST(ssum AS DOUBLE) / (n * 1048576) AS centroid, n
         |FROM g""".stripMargin,
+    // same fixed-order double chain over the q19 features; every
+    // literal CAST to DOUBLE so DuckDB's decimal literals don't sneak
+    // exact-decimal arithmetic into the comparison
+    "q115_model_gate" ->
+      s"""WITH qf AS ($qualitySql)
+         |SELECT doc_id, logit, logit > 0.0::DOUBLE AS kept
+         |FROM (
+         |  SELECT doc_id,
+         |         round((-0.5)::DOUBLE
+         |           + 0.002::DOUBLE * least(n_tokens, 1000)
+         |           + 1.2::DOUBLE * coalesce(stopword_ratio, 0.0::DOUBLE)
+         |           - 3.0::DOUBLE * coalesce(punct_ratio, 0.0::DOUBLE)
+         |           + 0.1::DOUBLE * coalesce(avg_token_len, 0.0::DOUBLE), 6)
+         |           AS logit
+         |  FROM qf) s""".stripMargin,
+    // both rank lists replayed (q16's cosine ranking; distinct-token
+    // overlap with integer tie-breaks), RRF summed in the same
+    // two-term double order, final rank re-derived from (rrf, doc_id)
+    "q116_hybrid_search" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS doc_id,
+         |         ${duckCosine("e.embedding", "q.qv")} AS sim
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         |dense AS (SELECT query_id, doc_id, r_vec FROM (
+         |    SELECT query_id, doc_id,
+         |           CAST(row_number() OVER (PARTITION BY query_id
+         |                ORDER BY sim DESC, doc_id ASC) AS INT) AS r_vec
+         |    FROM scored) d WHERE r_vec <= 20),
+         |toks AS (SELECT doc_id, unnest(list_distinct($duckToks)) AS token
+         |         FROM documents),
+         |qt AS (SELECT doc_id AS query_id, token FROM toks WHERE doc_id < 5),
+         |ov AS (
+         |  SELECT qt.query_id, t.doc_id, count(*) AS n_shared
+         |  FROM toks t JOIN qt ON t.token = qt.token AND t.doc_id <> qt.query_id
+         |  GROUP BY 1, 2),
+         |sparse AS (SELECT query_id, doc_id, r_lex FROM (
+         |    SELECT query_id, doc_id,
+         |           CAST(row_number() OVER (PARTITION BY query_id
+         |                ORDER BY n_shared DESC, doc_id ASC) AS INT) AS r_lex
+         |    FROM ov) s WHERE r_lex <= 20),
+         |f AS (
+         |  SELECT coalesce(d.query_id, s.query_id) AS query_id,
+         |         coalesce(d.doc_id, s.doc_id) AS doc_id,
+         |         d.r_vec, s.r_lex,
+         |         round(coalesce(1.0::DOUBLE / (60 + d.r_vec), 0.0::DOUBLE)
+         |             + coalesce(1.0::DOUBLE / (60 + s.r_lex), 0.0::DOUBLE), 6)
+         |           AS rrf
+         |  FROM dense d FULL OUTER JOIN sparse s
+         |    ON d.query_id = s.query_id AND d.doc_id = s.doc_id)
+         |SELECT query_id, rnk, doc_id, rrf, r_vec, r_lex FROM (
+         |  SELECT query_id, doc_id, rrf, r_vec, r_lex,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY rrf DESC, doc_id ASC) AS INT) AS rnk
+         |  FROM f) z WHERE rnk <= 10""".stripMargin,
     // the q68 gram expansion transposed: batch distinct (doc, gram)
     // LEFT JOIN corpus distinct grams; novelty = exact int division
     "q107_ngram_novelty" ->

@@ -946,4 +946,53 @@ object SimilarityOps {
       kmeansAssign(embeddings, kmeansSeeds(embeddings, k, scaleBits), scaleBits)
         .select(col("cluster"), col("embedding")),
       scaleBits, labelCol = "cluster")
+
+  /** Q116: HYBRID retrieval — dense cosine kNN and sparse lexical
+    * overlap fused by reciprocal-rank fusion (RRF: Σ 1/(c + rank),
+    * the standard c = 60). The fusion works on RANKS, never raw
+    * scores, so the two scoring scales need no calibration and the
+    * arithmetic is a two-term double chain any engine reproduces.
+    *
+    * Dense list: the [[bruteForceKnn]] machinery (per-corpus-row dot
+    * products against nQueries broadcast vectors). Sparse list:
+    * distinct-token overlap with the query document — the token
+    * stream joins a BROADCAST query-token table, so the corpus-side
+    * pass is map-side; the only shuffles are the two per-query-bounded
+    * rank windows and the (query, doc)-keyed overlap count. At 100 TB
+    * both lists stay bounded by queries × perList before the fuse —
+    * the full-outer join and final top-k touch only candidate rows,
+    * never the corpus.
+    */
+  def hybridSearch(documents: DataFrame, embeddings: DataFrame,
+                   nQueries: Int = 5, perList: Int = 20, k: Int = 10,
+                   c: Int = 60): DataFrame = {
+    import OpsUtil.tokensExpr
+    val dense = bruteForceKnn(embeddings, nQueries, perList)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rnk").as("r_vec"))
+    val toks = par(documents).select(col("doc_id"),
+      explode(array_distinct(expr(tokensExpr))).as("token"))
+    val qToks = toks.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("token"))
+    val overlap = toks.join(broadcast(qToks), Seq("token"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+    val wl = Window.partitionBy("query_id")
+      .orderBy(col("n_shared").desc, col("doc_id").asc)
+    val sparse = overlap
+      .withColumn("r_lex", row_number().over(wl).cast("int"))
+      .filter(col("r_lex") <= perList)
+      .select("query_id", "doc_id", "r_lex")
+    val fused = dense.join(sparse, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(c) + col("r_vec")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("r_lex")), lit(0.0)), 6))
+    val wf = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rnk", row_number().over(wf).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("rrf"),
+        col("r_vec"), col("r_lex"))
+  }
 }

@@ -89,6 +89,31 @@ object TextOps {
               |  + 0.25 * least(4.0 * cast(stop_cnt as double) / nullif(n_tokens, 0), 1.0), 6)"""
           .stripMargin).as("quality"))
 
+  /** Q115: MODEL-BASED quality gate — a linear (logistic) classifier
+    * over the [[qualityScore]] signals, evaluated as one codegen'd
+    * expression. The weights are fixed constants standing in for a
+    * trained model's coefficients; swapping in real ones keeps the
+    * plan identical. At 100 TB inference is then a pure per-row map —
+    * no shuffle, no UDF, no model server in the hot path.
+    *
+    * Scoring stays in the LOGIT domain (kept ⇔ logit > 0 ⇔ p > 0.5
+    * under a sigmoid), deliberately: libm `exp` varies across engines,
+    * but this fixed-order double chain (every literal pinned to
+    * DOUBLE on both sides) reproduces exactly, so the oracle matches
+    * the rounded score bit-for-bit and the keep decision is made on
+    * the rounded value.
+    */
+  def modelQualityGate(documents: DataFrame): DataFrame =
+    qualityScore(documents)
+      .select(col("doc_id"),
+        expr("""round(-0.5D
+              |  + 0.002D * least(n_tokens, 1000)
+              |  + 1.2D * coalesce(stopword_ratio, 0.0D)
+              |  - 3.0D * coalesce(punct_ratio, 0.0D)
+              |  + 0.1D * coalesce(avg_token_len, 0.0D), 6)""".stripMargin)
+          .as("logit"))
+      .withColumn("kept", col("logit") > lit(0.0))
+
   /** Q20: token counting — whitespace tokens and a BPE-ish regex
     * segmentation (letter runs / digit runs / single other glyphs).
     */

@@ -406,4 +406,37 @@ class SimilarityOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("d2") === best._2)
     }
   }
+
+  test("hybridSearch fuses vector and lexical ranks; both-list docs beat single-list docs") {
+    import org.apache.spark.sql.functions.lit
+    // query doc 0: doc 10 matches lexically AND by vector; doc 11 only
+    // by vector; doc 12 only lexically; doc 13 neither
+    val docs = Seq(
+      0L -> "alpha beta gamma delta",
+      10L -> "alpha beta gamma epsilon",
+      11L -> "zz yy xx ww",
+      12L -> "alpha beta qq rr",
+      13L -> "mm nn oo pp").toDF("doc_id", "text")
+      .withColumn("lang", lit("xx"))
+    val v0 = Seq(1.0f, 0.0f, 0.0f)
+    val emb = Seq(
+      0L -> v0,
+      10L -> Seq(0.9f, 0.1f, 0.0f),
+      11L -> Seq(0.8f, 0.2f, 0.0f),
+      12L -> Seq(-1.0f, 0.0f, 0.1f),
+      13L -> Seq(-0.9f, -0.1f, 0.2f)).toDF("vec_id", "embedding")
+    val out = SimilarityOps.hybridSearch(docs, emb, nQueries = 1,
+      perList = 2, k = 4).collect().sortBy(_.getAs[Int]("rnk"))
+    // doc 13 is in NEITHER top-2 list → absent; 11 vs 12 tie on rrf
+    // (one rank-2 entry each) and break by doc_id
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(10L, 11L, 12L))
+    val r10 = out.head
+    // doc 10 is rank 1 in both lists: rrf = 2/61
+    assert(r10.getAs[Double]("rrf") ===
+      BigDecimal(1.0 / 61 + 1.0 / 61).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r10.getAs[Int]("r_vec") === 1 && r10.getAs[Int]("r_lex") === 1)
+    // single-list docs carry a null rank on the missing side
+    assert(out(1).isNullAt(out(1).fieldIndex("r_lex")))
+    assert(out(2).isNullAt(out(2).fieldIndex("r_vec")))
+  }
 }

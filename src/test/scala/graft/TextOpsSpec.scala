@@ -274,4 +274,31 @@ class TextOpsSpec extends SparkSpec {
       .collect().head
     assert(dup.getLong(3) === 1L) // n_terms counts DISTINCT matched terms
   }
+
+  test("modelQualityGate reproduces the weighted logit and gates at 0") {
+    val d = docs(
+      1L -> ("the cat and the dog is in a house of many words " * 10), // fluent
+      2L -> "!!! ??? ... ;;; :::",                                     // punct junk
+      3L -> "")                                                        // empty
+    val out = TextOps.modelQualityGate(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val feats = TextOps.qualityScore(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def expected(id: Long): Double = {
+      val f = feats(id)
+      def dbl(c: String) = if (f.isNullAt(f.fieldIndex(c))) 0.0
+        else f.getAs[Double](c)
+      val logit = -0.5 + 0.002 * math.min(f.getAs[Int]("n_tokens"), 1000) +
+        1.2 * dbl("stopword_ratio") - 3.0 * dbl("punct_ratio") +
+        0.1 * dbl("avg_token_len")
+      BigDecimal(logit).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out(1L).getAs[Double]("logit") === expected(1L))
+    assert(out(1L).getAs[Boolean]("kept"))
+    assert(out(2L).getAs[Double]("logit") === expected(2L))
+    assert(!out(2L).getAs[Boolean]("kept")) // pure punctuation scores below 0
+    // empty doc: n_tokens 0 but defined → a finite (negative) logit
+    assert(out(3L).getAs[Double]("logit") === expected(3L))
+    assert(!out(3L).getAs[Boolean]("kept"))
+  }
 }
