@@ -673,6 +673,15 @@ object SparkEntry {
     "q116_hybrid_search" -> ((s, dir) =>
       SimilarityOps.hybridSearch(
         t(s, dir, "documents"), t(s, dir, "embeddings"))),
+    // iterated exact k-means: 3 Lloyd rounds, centroids re-quantized
+    // as next-round seeds — the full trajectory is bit-reproducible
+    "q117_kmeans" -> ((s, dir) =>
+      SimilarityOps.kmeans(t(s, dir, "embeddings"))),
+    // integer PageRank over the nation trade graph: fact-table joins
+    // reduce to a bounded edge set, then 3 exact power iterations
+    "q118_pagerank" -> ((s, dir) =>
+      GraphOps.nationTradeRank(t(s, dir, "lineitem"), t(s, dir, "orders"),
+        t(s, dir, "customer"), t(s, dir, "supplier"), t(s, dir, "nation"))),
     "q76_temperature_sample" -> ((s, dir) =>
       SampleOps.temperatureSample(t(s, dir, "documents"), "doc_id", "source",
           alpha = 0.7, salt = "mix")
@@ -820,6 +829,93 @@ object SparkEntry {
     (0 until bits).flatMap { i =>
       Seq(s"((($a >> $i) & 1) << ${2 * i})", s"((($b >> $i) & 1) << ${2 * i + 1})")
     }.mkString(" | ")
+
+  /** The q117 oracle: [[graft.ops.SimilarityOps.kmeans]]'s rounds
+    * generated round-for-round — every round re-derives the integer-L2
+    * argmin against the previous round's re-quantized centroids, so
+    * the whole trajectory must reproduce, not just the final means.
+    */
+  private def kmeansIterSql(iters: Int = 3, k: Int = 8): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""d$i AS (
+         |  SELECT q.vec_id, s.cid,
+         |         CAST(list_sum(list_transform(range(1, len(q.vq) + 1),
+         |              j -> (q.vq[j] - s.sq[j]) * (q.vq[j] - s.sq[j])))
+         |           AS BIGINT) AS d2
+         |  FROM q, s$i s),
+         |a$i AS (
+         |  SELECT vec_id, cid,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |  FROM d$i),
+         |c$i AS (
+         |  SELECT a.cid AS cluster, CAST(x.dim AS INT) AS dim,
+         |         sum(CAST(round(CAST(x.v AS DOUBLE) * 1048576) AS BIGINT)) AS ssum,
+         |         count(*) AS n
+         |  FROM (SELECT vec_id, cid FROM a$i WHERE rn = 1) a
+         |  JOIN xflat x USING (vec_id)
+         |  GROUP BY 1, 2),
+         |s${i + 1} AS (
+         |  SELECT cluster AS cid,
+         |         list(CAST(round((CAST(ssum AS DOUBLE) / (n * 1048576)) * 1048576)
+         |              AS BIGINT) ORDER BY dim) AS sq
+         |  FROM c$i GROUP BY cluster)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS vq,
+       |         ('0x' || substr(md5(vec_id::VARCHAR || ':seed'), 1, 8))::BIGINT AS hk
+       |  FROM embeddings),
+       |xflat AS (
+       |  SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+       |         unnest(embedding) AS v
+       |  FROM embeddings),
+       |s1 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY hk, vec_id) AS INT) AS cid,
+       |         vq AS sq
+       |  FROM q ORDER BY hk, vec_id LIMIT $k),
+       |$rounds
+       |SELECT cluster, dim,
+       |       CAST(ssum AS DOUBLE) / (n * 1048576) AS centroid, n
+       |FROM c$iters""".stripMargin
+  }
+
+  /** The q118 oracle: [[graft.ops.GraphOps.nationTradeRank]]'s power
+    * iterations generated round-for-round in the same all-integral
+    * arithmetic (`//` floor division equals Spark's `div` truncation —
+    * every quantity is non-negative).
+    */
+  private def pagerankSql(iters: Int = 3,
+                          scale: Long = 1000000000000L): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |         CAST(base + (85 * coalesce(f.s, 0)) // 100 AS BIGINT) AS pr
+         |  FROM nodes n CROSS JOIN consts
+         |  LEFT JOIN (
+         |    SELECT e.dst, sum(r.pr // d.deg) AS s
+         |    FROM edges e JOIN deg d ON e.src = d.src
+         |    JOIN r${i - 1} r ON r.node = e.src
+         |    GROUP BY e.dst) f ON f.dst = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT CAST(s.s_nationkey AS BIGINT) AS src,
+       |         CAST(c.c_nationkey AS BIGINT) AS dst
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation),
+       |consts AS (
+       |  SELECT (($scale * 15) // 100) // (SELECT count(*) FROM nation) AS base),
+       |r0 AS (
+       |  SELECT node,
+       |         CAST($scale // (SELECT count(*) FROM nation) AS BIGINT) AS pr
+       |  FROM nodes),
+       |$rounds
+       |SELECT node, pr FROM r$iters""".stripMargin
+  }
 
   private val dedupClustersSql =
     s"""WITH RECURSIVE
@@ -2043,6 +2139,8 @@ object SparkEntry {
          |         CAST(row_number() OVER (PARTITION BY query_id
          |              ORDER BY rrf DESC, doc_id ASC) AS INT) AS rnk
          |  FROM f) z WHERE rnk <= 10""".stripMargin,
+    "q117_kmeans" -> kmeansIterSql(),
+    "q118_pagerank" -> pagerankSql(),
     // the q68 gram expansion transposed: batch distinct (doc, gram)
     // LEFT JOIN corpus distinct grams; novelty = exact int division
     "q107_ngram_novelty" ->

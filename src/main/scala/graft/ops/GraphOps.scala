@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over relations derived from the warehouse
+  * tables — the power-iteration complement to the connected-components
+  * machinery in [[ClusterOps]].
+  *
+  * Everything is INTEGER arithmetic by construction: ranks live at a
+  * fixed decimal scale and every division is integral, so the full
+  * iteration trajectory is reproducible on any engine (the oracle
+  * replays all rounds) and under any shuffle order (long sums are
+  * associative). The float-free formulation is the same trick as
+  * [[SimilarityOps.kmeansStep]]'s fixed-point distances.
+  */
+object GraphOps {
+
+  import OpsUtil.par
+
+  /** Q118: PageRank over the nation-level trade graph — an edge
+    * (supplier nation → customer nation) exists when any lineitem
+    * ships between them. The edge derivation is the interesting part
+    * at 100 TB: a four-way join over the fact table reduced by
+    * DISTINCT to a bounded nations × nations edge set; from there each
+    * power-iteration round is a join against that tiny edge list plus
+    * one bounded aggregation — rank state never exceeds the node
+    * count, regardless of fact-table size.
+    *
+    * Simple PageRank (damping 0.85, no dangling-mass redistribution —
+    * deterministic leak, reproduced by the oracle): with integral
+    * division throughout,
+    * `pr' = base + (85 · Σ_{u→v} pr(u) div deg(u)) div 100`.
+    */
+  def nationTradeRank(lineitem: DataFrame, orders: DataFrame,
+                      customer: DataFrame, supplier: DataFrame,
+                      nation: DataFrame, iters: Int = 3,
+                      scale: Long = 1000000000000L): DataFrame = {
+    val edges = par(lineitem).select("l_orderkey", "l_suppkey")
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(supplier.select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").cast("long").as("src"),
+        col("c_nationkey").cast("long").as("dst"))
+      .distinct()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = nation.select(col("n_nationkey").cast("long").as("node"))
+    val n = nodes.count() // 25 nations — bounded, not data-scaled
+    val base = ((15L * scale) / 100) / n
+    var ranks = nodes.withColumn("pr", lit(scale / n))
+    for (_ <- 1 to iters) {
+      val inflow = edges.join(deg, "src")
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      ranks = nodes.join(inflow, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(base) + expr("85 * coalesce(s, 0L) div 100")).as("pr"))
+    }
+    ranks
+  }
+}

@@ -947,6 +947,45 @@ object SimilarityOps {
         .select(col("cluster"), col("embedding")),
       scaleBits, labelCol = "cluster")
 
+  /** Q117: ITERATED exact k-means — [[kmeansStep]] composed t times,
+    * each round's fixed-point centroids re-quantized as the next
+    * round's seeds. Because every stage of every round is integer-
+    * exact, the full t-round trajectory is engine-reproducible: the
+    * oracle replays all rounds and must land on the identical final
+    * centroids.
+    *
+    * The k × dims centroid table is collected per round — bounded by
+    * the model size, not the data (the same driver-side budget as
+    * broadcasting any model) — so each round's plan stays one
+    * broadcast + one map + one bounded aggregation rather than a
+    * t-deep recursive plan. Clusters that capture no vectors drop out
+    * (standard Lloyd behavior, reproduced by the oracle).
+    */
+  def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 3,
+             scaleBits: Int = 20): DataFrame = {
+    val sp = embeddings.sparkSession
+    import sp.implicits._
+    val s = 1L << scaleBits
+    var seeds = kmeansSeeds(embeddings, k, scaleBits)
+    var cents: DataFrame = null
+    for (_ <- 1 to iters) {
+      cents = labelCentroids(
+        kmeansAssign(embeddings, seeds, scaleBits)
+          .select(col("cluster"), col("embedding")),
+        scaleBits, labelCol = "cluster")
+      val next = cents.collect()
+        .groupBy(_.getAs[Int]("cluster"))
+        .toSeq
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getAs[Int]("dim")).map(r =>
+            BigDecimal(r.getAs[Double]("centroid") * s)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toSeq)
+        }.sortBy(_._1)
+      seeds = next.toDF("cid", "sq")
+    }
+    cents
+  }
+
   /** Q116: HYBRID retrieval — dense cosine kNN and sparse lexical
     * overlap fused by reciprocal-rank fusion (RRF: Σ 1/(c + rank),
     * the standard c = 60). The fusion works on RANKS, never raw

@@ -1,0 +1,42 @@
+package graft
+
+import graft.ops.GraphOps
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("nationTradeRank reproduces hand-computed integer PageRank on a 3-node graph") {
+    // edges via the 4-way derivation: 0→1, 0→2, 1→2 (order o maps to
+    // customer c, lineitem pairs it with a supplier s)
+    val lineitem = Seq((1L, 10L), (2L, 10L), (3L, 11L))
+      .toDF("l_orderkey", "l_suppkey")
+    val orders = Seq((1L, 100L), (2L, 101L), (3L, 101L))
+      .toDF("o_orderkey", "o_custkey")
+    val customer = Seq((100L, 1), (101L, 2)).toDF("c_custkey", "c_nationkey")
+    val supplier = Seq((10L, 0), (11L, 1)).toDF("s_suppkey", "s_nationkey")
+    val nation = Seq(0, 1, 2).toDF("n_nationkey")
+    // scale 1000, 1 iteration: r0 = 333 each, base = (150)/3 = 50
+    //   node1 inflow: 333 div 2 = 166      → 50 + (85·166) div 100 = 191
+    //   node2 inflow: 166 + 333 = 499      → 50 + (85·499) div 100 = 474
+    //   node0 inflow: none                 → 50
+    val out = GraphOps.nationTradeRank(lineitem, orders, customer, supplier,
+        nation, iters = 1, scale = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(0L -> 50L, 1L -> 191L, 2L -> 474L))
+  }
+
+  test("nationTradeRank conserves bounded mass and favors sink nations over sources") {
+    val lineitem = graft.io.Tables.parquet(spark, sf, "lineitem")
+    val orders = graft.io.Tables.parquet(spark, sf, "orders")
+    val customer = graft.io.Tables.parquet(spark, sf, "customer")
+    val supplier = graft.io.Tables.parquet(spark, sf, "supplier")
+    val nation = graft.io.Tables.parquet(spark, sf, "nation")
+    val out = GraphOps.nationTradeRank(lineitem, orders, customer, supplier,
+      nation).collect()
+    assert(out.length === nation.count())
+    // every rank positive; total never exceeds the scale (floor
+    // divisions only ever leak mass, never create it)
+    assert(out.forall(_.getLong(1) > 0))
+    assert(out.map(_.getLong(1)).sum <= 1000000000000L)
+  }
+}

@@ -407,6 +407,19 @@ class SimilarityOpsSpec extends SparkSpec {
     }
   }
 
+  test("kmeans with one iteration equals kmeansStep; three iterations still partition the corpus") {
+    val e = graft.io.Tables.parquet(spark, sf, "embeddings")
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(key(SimilarityOps.kmeans(e, k = 4, iters = 1).collect()) ===
+      key(SimilarityOps.kmeansStep(e, k = 4).collect()))
+    val out3 = SimilarityOps.kmeans(e, k = 4, iters = 3).collect()
+    val counts = out3.groupBy(_.getInt(0))
+      .map { case (_, rows) => rows.map(_.getLong(3)).head }
+    assert(counts.sum === e.count()) // every vector assigned each round
+  }
+
   test("hybridSearch fuses vector and lexical ranks; both-list docs beat single-list docs") {
     import org.apache.spark.sql.functions.lit
     // query doc 0: doc 10 matches lexically AND by vector; doc 11 only
