@@ -896,9 +896,10 @@ object SimilarityOps {
     *
     * 100 TB shape: seed selection is a TakeOrdered (per-partition
     * k-heaps, k rows to the driver — k is user-small by definition);
-    * assignment broadcasts only the k quantized seed vectors and runs
-    * as a per-row map (k·dims integer ops, no shuffle); the update
-    * shuffles map-side partials bounded by k × dims × partitions.
+    * assignment ships the k quantized seed vectors as a plan literal
+    * and runs as a per-row map (k·dims integer ops, NO join and no
+    * shuffle — see [[kmeansAssign]]); the update shuffles map-side
+    * partials bounded by k × dims × partitions.
     * Iterating calls this with `seeds` = the previous step's output.
     */
   private def quantFx(c: Column, s: Long): Column =
@@ -919,23 +920,36 @@ object SimilarityOps {
         quantFx(col("embedding"), 1L << scaleBits).as("sq"))
   }
 
-  /** The assignment stage of [[kmeansStep]]: each vector joined to its
+  /** The assignment stage of [[kmeansStep]]: each vector mapped to its
     * nearest seed by integer squared L2 (`d2`), ties by seed rank.
+    *
+    * The k seed vectors ship as ONE literal array in the plan, so the
+    * argmin is a pure per-row expression — no join, no corpus shuffle,
+    * nothing to re-aggregate. (The first cut was
+    * `crossJoin(broadcast(seeds)) + groupBy(vec_id).agg(min(struct))`,
+    * which plans as a nested-loop replicate × k followed by a corpus
+    * shuffle into a SortAggregate — k-fold the I/O for the same
+    * arithmetic. Plan audit caught it; this form is a single Project.)
     * Carries the original float vector so the update stage needs no
     * second corpus join.
     */
   def kmeansAssign(embeddings: DataFrame, seeds: DataFrame,
                    scaleBits: Int = 20): DataFrame = {
-    val d2 = expr("aggregate(zip_with(vq, sq, (a, b) -> (a - b) * (a - b)), " +
-      "0L, (acc, x) -> acc + x)")
+    val sp = embeddings.sparkSession
+    import sp.implicits._
+    val seedRows: Seq[(Int, Seq[Long])] = seeds.collect()
+      .map(r => (r.getAs[Int]("cid"),
+        r.getSeq[Long](r.fieldIndex("sq")).toSeq))
+      .sortBy(_._1).toSeq
     par(embeddings)
       .select(col("vec_id"), col("embedding"),
-        quantFx(col("embedding"), 1L << scaleBits).as("vq"))
-      .crossJoin(broadcast(seeds))
-      .withColumn("d2", d2)
-      .groupBy("vec_id")
-      .agg(min(struct(col("d2"), col("cid"))).as("m"),
-        first(col("embedding")).as("embedding"))
+        quantFx(col("embedding"), 1L << scaleBits).as("vq"),
+        typedlit(seedRows).as("__seeds"))
+      .withColumn("m", element_at(array_sort(expr(
+        """transform(__seeds, s -> struct(
+          |  aggregate(zip_with(vq, s._2, (a, b) -> (a - b) * (a - b)),
+          |            0L, (acc, x) -> acc + x) AS d2,
+          |  s._1 AS cid))""".stripMargin)), 1))
       .select(col("vec_id"), col("m.cid").as("cluster"),
         col("m.d2").as("d2"), col("embedding"))
   }
