@@ -682,6 +682,10 @@ object SparkEntry {
     "q118_pagerank" -> ((s, dir) =>
       GraphOps.nationTradeRank(t(s, dir, "lineitem"), t(s, dir, "orders"),
         t(s, dir, "customer"), t(s, dir, "supplier"), t(s, dir, "nation"))),
+    // embedding-space data cleaning: the 5 vectors farthest from their
+    // own label centroid, integer-exact end to end
+    "q119_centroid_outliers" -> ((s, dir) =>
+      SimilarityOps.centroidOutliers(t(s, dir, "embeddings"))),
     "q76_temperature_sample" -> ((s, dir) =>
       SampleOps.temperatureSample(t(s, dir, "documents"), "doc_id", "source",
           alpha = 0.7, salt = "mix")
@@ -2141,6 +2145,34 @@ object SparkEntry {
          |  FROM f) z WHERE rnk <= 10""".stripMargin,
     "q117_kmeans" -> kmeansIterSql(),
     "q118_pagerank" -> pagerankSql(),
+    // q113's fixed-point centroid re-quantized by the q117 chain
+    // (double division, half-away round), then a LONG squared-L2 per
+    // row — every compared quantity an integer, ties by vec_id
+    "q119_centroid_outliers" ->
+      """WITH x AS (
+        |  SELECT label, vec_id,
+        |         unnest(range(0, len(embedding))) AS dim,
+        |         unnest(embedding) AS v
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT label, vec_id, CAST(dim AS INT) AS dim,
+        |         CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT) AS vq
+        |  FROM x),
+        |c AS (
+        |  SELECT label, dim,
+        |         CAST(round((CAST(sum(vq) AS DOUBLE) / (count(*) * 1048576))
+        |              * 1048576) AS BIGINT) AS cq
+        |  FROM q GROUP BY 1, 2),
+        |d AS (
+        |  SELECT q.label, q.vec_id,
+        |         CAST(sum((q.vq - c.cq) * (q.vq - c.cq)) AS BIGINT) AS d2
+        |  FROM q JOIN c ON q.label = c.label AND q.dim = c.dim
+        |  GROUP BY 1, 2)
+        |SELECT label, rnk, vec_id, d2 FROM (
+        |  SELECT label, vec_id, d2,
+        |         CAST(row_number() OVER (PARTITION BY label
+        |              ORDER BY d2 DESC, vec_id ASC) AS INT) AS rnk
+        |  FROM d) z WHERE rnk <= 5""".stripMargin,
     // the q68 gram expansion transposed: batch distinct (doc, gram)
     // LEFT JOIN corpus distinct grams; novelty = exact int division
     "q107_ngram_novelty" ->

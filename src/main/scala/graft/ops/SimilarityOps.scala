@@ -1048,4 +1048,55 @@ object SimilarityOps {
       .select(col("query_id"), col("rnk"), col("doc_id"), col("rrf"),
         col("r_vec"), col("r_lex"))
   }
+
+  /** Q119: CENTROID-DISTANCE OUTLIERS — the embedding-space data-
+    * cleaning gate: the `topK` vectors FARTHEST from their own label's
+    * centroid per label, i.e. the mislabeled / corrupted / off-
+    * distribution rows a training pipeline inspects or drops before a
+    * run (the distance the drift monitors of q113 alarm on, applied
+    * row-wise).
+    *
+    * Every stage is integer-exact so the ranking reproduces on any
+    * engine: vectors quantize to 2^`scaleBits` fixed-point longs (the
+    * q113/q114 family), each label centroid is the fixed-point mean
+    * RE-quantized to longs by the q117 chain (one double division, one
+    * half-away-from-zero round — proven engine-stable there), and the
+    * distance is a LONG squared-L2 sum (|dx| < 2^22, dims·dx² < 2^50 —
+    * no FP summation-order hazard), ties broken by vec_id.
+    *
+    * 100 TB shape: the centroid table is labels × dims — model-sized,
+    * collected and shipped as ONE map literal in the plan (the
+    * [[kmeansAssign]] pattern), so the distance is a pure per-row
+    * expression with NO join and no corpus shuffle; the only shuffle
+    * is the per-label top-k window, map-side-bounded by
+    * WindowGroupLimit at topK × partitions rows per label.
+    */
+  def centroidOutliers(embeddings: DataFrame, topK: Int = 5,
+                       scaleBits: Int = 20,
+                       labelCol: String = "label"): DataFrame = {
+    val sp = embeddings.sparkSession
+    import sp.implicits._
+    val s = 1L << scaleBits
+    val cents: Map[Int, Seq[Long]] = labelCentroids(embeddings, scaleBits, labelCol)
+      .collect()
+      .groupBy(_.getAs[Int](labelCol))
+      .map { case (label, rows) =>
+        (label, rows.sortBy(_.getAs[Int]("dim")).map(r =>
+          BigDecimal(r.getAs[Double]("centroid") * s)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toSeq)
+      }
+    val w = Window.partitionBy(labelCol)
+      .orderBy(col("d2").desc, col("vec_id").asc)
+    par(embeddings)
+      .select(col(labelCol), col("vec_id"),
+        quantFx(col("embedding"), s).as("vq"),
+        typedlit(cents).as("__cents"))
+      .withColumn("d2", expr(
+        s"""aggregate(zip_with(vq, element_at(__cents, $labelCol),
+           |            (a, b) -> (a - b) * (a - b)),
+           |          0L, (acc, x) -> acc + x)""".stripMargin))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= topK)
+      .select(col(labelCol), col("rnk"), col("vec_id"), col("d2"))
+  }
 }

@@ -367,6 +367,35 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(a === b) // exact ==, not tolerance: long sums are associative
   }
 
+  test("centroidOutliers ranks the planted far vector first in its label") {
+    // label 1: three vectors near (1, 1) plus one planted at (9, 9) —
+    // the plant must rank 1; label 2 has a single member whose
+    // distance to its own centroid is exactly 0
+    val d = Seq(
+      (0L, Seq(1.0f, 1.0f), 1),
+      (1L, Seq(1.1f, 0.9f), 1),
+      (2L, Seq(0.9f, 1.1f), 1),
+      (3L, Seq(9.0f, 9.0f), 1),
+      (4L, Seq(5.0f, 5.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.centroidOutliers(d, topK = 2).collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Int]("rnk")) ->
+        (r.getAs[Long]("vec_id"), r.getAs[Long]("d2"))).toMap
+    assert(out((1, 1))._1 === 3L)
+    assert(out((2, 1)) === ((4L, 0L)))
+    assert(out.size === 3) // label 1 yields 2 rows, label 2 only its 1
+  }
+
+  test("centroidOutliers is partitioning-invariant (integer distances, ties by vec_id)") {
+    val e = graft.io.Tables.parquet(spark, sf, "embeddings")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      SimilarityOps.centroidOutliers(df).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2))
+    assert(run(e.repartition(1)) === run(
+      e.repartition(13, org.apache.spark.sql.functions.col("vec_id"))))
+  }
+
   test("kmeansStep partitions the corpus into k clusters that cover every vector") {
     val e = graft.io.Tables.parquet(spark, sf, "embeddings")
     val total = e.count()
