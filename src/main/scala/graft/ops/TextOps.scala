@@ -337,6 +337,74 @@ object TextOps {
       .select("query_id", "rank", "doc_id", "n_terms", "tf_sum")
   }
 
+  /** Q120: the inverted index as a STORAGE ARTIFACT — the amortization
+    * path q106's own scaladoc points at: the (term, doc_id, tf)
+    * postings are aggregated ONCE from the corpus and persisted under
+    * a [[graft.core.Scope]] partitioned by a term-hash `bucket`, so
+    * repeated query batches never re-scan (or re-tokenize) the corpus.
+    * [[searchPostings]] re-derives the query terms' buckets with the
+    * same hash and filters on them, so the probe prunes to the handful
+    * of bucket directories holding the query terms at FILE LISTING
+    * time — the IVF-cell pattern (q78) applied to lexical retrieval.
+    * Results are identical to [[keywordSearch]] over the source corpus
+    * (the q120 oracle IS the q106 SQL): bucketing is layout, never
+    * semantics, like q84/q90/q112.
+    *
+    * The bucket hash is engine-internal (xxhash64) — legal here
+    * because buckets never surface in results; everything the oracle
+    * compares is the same integer ranking as q106.
+    */
+  def buildPostings(documents: DataFrame, nBuckets: Int = 64): DataFrame =
+    documents
+      .select(col("doc_id"), explode(expr(tokensExpr)).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
+
+  def savePostings(postings: DataFrame, scope: graft.core.Scope,
+                   name: String): Unit =
+    postings.write.mode("overwrite").partitionBy("bucket")
+      .parquet(scope.path(name))
+
+  /** Reload; `bucket` comes back as a partition column, so
+    * [[searchPostings]]' bucket filter prunes directories, not rows.
+    */
+  def loadPostings(spark: org.apache.spark.sql.SparkSession,
+                   scope: graft.core.Scope, name: String): DataFrame =
+    spark.read.parquet(scope.path(name))
+
+  /** The probe half of the q120 artifact: [[keywordSearch]] semantics
+    * evaluated against the postings instead of the corpus. The query
+    * terms' buckets are re-derived with the build-side hash (a
+    * bounded local job over the literal terms — never corpus rows) and
+    * pushed as a partition filter; the scan then reads only those
+    * bucket directories. tf comes pre-aggregated, so the per-(query,
+    * doc) rollup sums stored tf instead of counting raw tokens.
+    */
+  def searchPostings(postings: DataFrame,
+                     queries: Map[String, Seq[String]],
+                     k: Int = 10, nBuckets: Int = 64): DataFrame = {
+    require(queries.nonEmpty, "searchPostings needs at least one query")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val qTerms = queries.toSeq.sortBy(_._1)
+      .flatMap { case (qid, terms) => terms.distinct.map(qid -> _) }
+      .toDF("query_id", "term")
+    val buckets = qTerms
+      .select(pmod(xxhash64(col("term")), lit(nBuckets)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_terms").desc, col("tf_sum").desc, col("doc_id").asc)
+    postings.filter(col("bucket").isin(buckets: _*))
+      .join(broadcast(qTerms), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(countDistinct(col("term")).as("n_terms"),
+        sum(col("tf")).as("tf_sum"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "n_terms", "tf_sum")
+  }
+
   /** Q102: VOCABULARY FITTING — the corpus token inventory with
     * frequency-rank ids and cumulative coverage, i.e. the word-level
     * analogue of fitting a tokenizer: id 1 is the most frequent

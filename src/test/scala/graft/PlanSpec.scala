@@ -179,6 +179,44 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q120: the reloaded postings probe prunes the artifact scan to the query-term buckets") {
+    val docs = Tables.parquet(spark, sf, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft-postings-plan-")
+    try {
+      val scope = graft.core.Scopes.create(spark, base.toString)
+      graft.ops.TextOps.savePostings(
+        graft.ops.TextOps.buildPostings(docs), scope, "postings")
+      val loaded = graft.ops.TextOps.loadPostings(spark, scope, "postings")
+      val queries = Map("qa" -> Seq("table", "scan"), "qb" -> Seq("window"))
+      val df = graft.ops.TextOps.searchPostings(loaded, queries, k = 5)
+      df.collect()
+      val plan = planOf(df)
+      // the literal bucket IN (...) reaches the scan's PARTITION
+      // filters — directory pruning, like q78's cells / q90's types
+      assert("PartitionFilters: \\[[^\\]]*bucket[^\\]]*IN".r
+        .findFirstIn(plan).isDefined, plan)
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          scans(r.child)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scans)
+      }
+      val postingsScan = scans(df.queryExecution.executedPlan)
+        .find(_.output.exists(_.name == "bucket"))
+      assert(postingsScan.isDefined, plan)
+      // 3 distinct terms → at most 3 of the 64 bucket directories read
+      assert(postingsScan.get.metrics("numPartitions").value <= 3,
+        postingsScan.get.metrics("numPartitions").value.toString)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("q84: bucketed join reads pre-shuffled inputs — the only exchange is the final agg") {
     val df = SparkEntry.queries("q84_bucketed_join")(spark, sf)
     val plan = planOf(df)

@@ -275,6 +275,32 @@ class TextOpsSpec extends SparkSpec {
     assert(dup.getLong(3) === 1L) // n_terms counts DISTINCT matched terms
   }
 
+  test("searchPostings over the persisted artifact matches keywordSearch exactly") {
+    val corpus = docs(
+      1L -> "alpha alpha alpha alpha alpha",
+      2L -> "alpha beta",
+      3L -> "alpha beta alpha",
+      4L -> "gamma gamma",
+      5L -> "alpha beta")
+    val queries = Map("q1" -> Seq("alpha", "beta"), "q2" -> Seq("gamma"))
+    val base = java.nio.file.Files.createTempDirectory("graft-postings-")
+    try {
+      val scope = graft.core.Scopes.create(spark, base.toString)
+      TextOps.savePostings(TextOps.buildPostings(corpus), scope, "p")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val direct = TextOps.keywordSearch(corpus, queries, k = 4)
+        .collect().map(key).sorted
+      val probed = TextOps.searchPostings(
+          TextOps.loadPostings(spark, scope, "p"), queries, k = 4)
+        .collect().map(key).sorted
+      assert(probed === direct)
+      assert(direct.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("modelQualityGate reproduces the weighted logit and gates at 0") {
     val d = docs(
       1L -> ("the cat and the dog is in a house of many words " * 10), // fluent
