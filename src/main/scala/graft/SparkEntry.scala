@@ -237,6 +237,32 @@ object SparkEntry {
       keywordQueries)
   }
 
+  /** q121: schema evolution — the documents "dataset" written as two
+    * producer generations (v1 shards without `lang`, v2 shards with
+    * it), read back through mergeSchema into the union schema with
+    * nulls where v1 had no column. The oracle re-derives the same
+    * frame from the source table, so the merged read must neither drop
+    * nor invent values. Shards build once per (process, sf dir).
+    */
+  private val q121Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def mergedSchemaRead(s: SparkSession, dir: String): DataFrame = {
+    val root = q121Dirs.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-q121-")
+      sys.addShutdownHook(deleteRecursively(d))
+      val docs = t(s, dir, "documents")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "source", "n_chars")
+        .write.mode("overwrite").parquet(d.toString + "/v1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "source", "n_chars", "lang")
+        .write.mode("overwrite").parquet(d.toString + "/v2")
+      d.toString
+    })
+    graft.io.Tables.parquetMerged(s, s"$root/v1", s"$root/v2")
+      .select("doc_id", "source", "n_chars", "lang")
+  }
+
   private val q83Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
 
   private def ivfAppendGate(s: SparkSession, dir: String): DataFrame = {
@@ -711,6 +737,20 @@ object SparkEntry {
     // the inverted index persisted as a bucket-partitioned artifact,
     // reloaded and probed with partition pruning; q106's oracle
     "q120_postings_artifact" -> postingsArtifactSearch _,
+    // two producer generations merged into the union schema: v1 shards
+    // null-fill the column they never had
+    "q121_schema_evolution" -> mergedSchemaRead _,
+    // fact rows Bloom-pruned before the shuffle; the oracle is the
+    // PLAIN join — the sketch must be semantics-invariant
+    "q122_bloom_join" -> ((s, dir) =>
+      Skew.bloomPrunedJoin(
+          t(s, dir, "lineitem"),
+          t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+          "l_orderkey", "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))),
     "q76_temperature_sample" -> ((s, dir) =>
       SampleOps.temperatureSample(t(s, dir, "documents"), "doc_id", "source",
           alpha = 0.7, salt = "mix")
@@ -2240,6 +2280,20 @@ object SparkEntry {
     // the artifact probe must produce the IDENTICAL ranked lists the
     // corpus-side q106 does — bucketing is layout, never semantics
     "q120_postings_artifact" -> keywordSearchSql,
+    // the union-schema read re-derived from the source table: v2 rows
+    // (odd ids) keep lang, v1 rows surface NULL
+    "q121_schema_evolution" ->
+      """SELECT doc_id, source, n_chars,
+        |       CASE WHEN doc_id % 2 = 1 THEN lang END AS lang
+        |FROM documents""".stripMargin,
+    // the plain join: Bloom pruning must be invisible to results
+    "q122_bloom_join" ->
+      """SELECT l_returnflag,
+        |       count(*) AS n_items,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin,
     // the daily-ingest stages recomposed: q59's anti-join, q60's band
     // join, the quality/lang gates, q101's capped rank — END-TO-END
     "q105_incremental_ingest" ->

@@ -103,4 +103,17 @@ object Tables {
 
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
+
+  /** Q121: SCHEMA-EVOLUTION read — a lake dataset whose producer grew
+    * a column mid-stream: old shards lack it, new shards carry it.
+    * `mergeSchema` reconciles per-file footers into the UNION schema
+    * (by name, not position), null-filling the missing column in old
+    * shards — the semantics every long-lived 100 TB dataset needs the
+    * day a field is added, without rewriting history. Per-shard
+    * footers are merged in a distributed job, so reconciliation cost
+    * scales with file COUNT, not data volume; pushdown and pruning
+    * still reach each file with its own physical schema.
+    */
+  def parquetMerged(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
 }

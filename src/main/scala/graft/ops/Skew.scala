@@ -44,4 +44,34 @@ object Skew {
     val r = small.withColumn("_salt", explode(expr(s"sequence(0, ${buckets - 1})")))
     l.join(r, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Q122: BLOOM-PRUNED equi-join — explicit semi-join reduction for a
+    * fact ⋈ selective-dim join where the dim side is too big (or the
+    * plan too opaque) for a broadcast join, so the fact side would
+    * otherwise shuffle in full. The dim KEY SET is folded into a
+    * bounded Bloom sketch (the q61 sizing: ~1.2 GB per 10^9 keys at 1%
+    * fpp), broadcast, and probed per fact row BEFORE the exchange —
+    * fact rows with no possible match never shuffle. False positives
+    * survive the probe but die in the real join, so results are
+    * bit-identical to the plain join (the q122 oracle IS the plain
+    * SQL, the q72/q73 invariance pattern).
+    *
+    * This is the manual form of Spark's runtime bloom-filter join
+    * pruning, exposed as an operator so a pipeline can apply it where
+    * the optimizer's heuristics decline (cross-format inputs, reused
+    * sketches across queries). The probe UDF shares q61's
+    * justification: no public expression API over
+    * `util.sketch.BloomFilter`, and it runs on the narrow key column.
+    */
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                      dimKey: String, expectedItems: Long = 1000000L,
+                      fpp: Double = 0.01): DataFrame = {
+    val bloom = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    val bc = fact.sparkSession.sparkContext.broadcast(bloom)
+    // null keys never match an equi-join: "definitely absent" is exact
+    val might = udf((k: java.lang.Long) =>
+      k != null && bc.value.mightContainLong(k))
+    fact.filter(might(col(factKey).cast("long")))
+      .join(dim, col(factKey) === col(dimKey))
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.Skew
+import org.apache.spark.sql.functions.col
 
 class SkewSpec extends SparkSpec {
   import spark.implicits._
@@ -30,5 +31,22 @@ class SkewSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(salted === plain)
     assert(salted("H") === 500L)
+  }
+
+  test("bloomPrunedJoin equals the plain join, null and unmatched keys dropped") {
+    val fact = Seq(
+      (java.lang.Long.valueOf(1L), "a"), (java.lang.Long.valueOf(1L), "b"),
+      (java.lang.Long.valueOf(2L), "c"), (java.lang.Long.valueOf(9L), "d"),
+      (null.asInstanceOf[java.lang.Long], "e")
+    ).toDF("fk", "payload")
+    val dim = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("dk", "name")
+    val pruned = Skew.bloomPrunedJoin(fact, dim, "fk", "dk")
+      .select("fk", "payload", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .select("fk", "payload", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    assert(pruned === plain)
+    assert(pruned.length === 3) // key 9 and the null row never join
   }
 }

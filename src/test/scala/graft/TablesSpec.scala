@@ -71,6 +71,26 @@ class TablesSpec extends SparkSpec {
       li.filter("l_quantity > 25.0").count())
   }
 
+  test("parquetMerged reconciles producer generations into the union schema") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-merge").toString
+    // v1 producer never had `score`; v2 added it
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.parquet(s"$dir/v1")
+    Seq((3L, "c", 0.5), (4L, "d", 0.7)).toDF("id", "name", "score")
+      .write.parquet(s"$dir/v2")
+    val merged = Tables.parquetMerged(spark, s"$dir/v1", s"$dir/v2")
+    assert(merged.columns.sorted === Array("id", "name", "score"))
+    val rows = merged.collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[Any]("score"))).toMap
+    assert(rows(1L).isEmpty && rows(2L).isEmpty) // null-filled, not dropped
+    assert(rows(3L).contains(0.5) && rows(4L).contains(0.7))
+    // plain read (no mergeSchema) must NOT silently pick one footer
+    // when asked for the union: selecting score there would fail
+    val plain = spark.read.parquet(s"$dir/v1")
+    assert(!plain.columns.contains("score"))
+  }
+
   test("csv sink + typed source round-trips delimiter/quote/newline content exactly") {
     import spark.implicits._
     val nasty = Seq(
