@@ -395,7 +395,12 @@ object TextOps {
       .distinct().collect().map(_.getInt(0)).toSeq
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("n_terms").desc, col("tf_sum").desc, col("doc_id").asc)
+    // bucket IN (...) prunes directories; term IN (...) additionally
+    // reaches the parquet row groups as PushedFilters, so the probe
+    // decodes only the query terms' postings rows within each bucket
+    val terms = queries.values.flatten.toSeq.distinct
     postings.filter(col("bucket").isin(buckets: _*))
+      .filter(col("term").isin(terms: _*))
       .join(broadcast(qTerms), "term")
       .groupBy(col("query_id"), col("doc_id"))
       .agg(countDistinct(col("term")).as("n_terms"),
