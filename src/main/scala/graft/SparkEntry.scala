@@ -740,6 +740,10 @@ object SparkEntry {
     // two producer generations merged into the union schema: v1 shards
     // null-fill the column they never had
     "q121_schema_evolution" -> mergedSchemaRead _,
+    // exact per-lang P1/P99 winsorization of document length via the
+    // value histogram — no row sort, thresholds broadcast back
+    "q123_winsorize" -> ((s, dir) =>
+      SampleOps.winsorize(t(s, dir, "documents"), "n_chars", "lang")),
     // fact rows Bloom-pruned before the shuffle; the oracle is the
     // PLAIN join — the sketch must be semantics-invariant
     "q122_bloom_join" -> ((s, dir) =>
@@ -2286,6 +2290,30 @@ object SparkEntry {
       """SELECT doc_id, source, n_chars,
         |       CASE WHEN doc_id % 2 = 1 THEN lang END AS lang
         |FROM documents""".stripMargin,
+    // the value-histogram percentiles re-derived: same integer ceil,
+    // same percentile_disc semantics, same clamp — all integers
+    "q123_winsorize" ->
+      """WITH hist AS (
+        |  SELECT lang, n_chars, count(*) AS cnt FROM documents GROUP BY 1, 2),
+        |h AS (
+        |  SELECT lang, n_chars,
+        |         sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+        |         sum(cnt) OVER (PARTITION BY lang) AS n
+        |  FROM hist),
+        |t AS (
+        |  SELECT lang,
+        |         min(CASE WHEN cum >= (n * 1 + 99) // 100 THEN n_chars END) AS lo,
+        |         min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN n_chars END) AS hi
+        |  FROM h GROUP BY lang)
+        |SELECT d.lang, min(t.lo) AS lo, min(t.hi) AS hi,
+        |       CAST(sum(CASE WHEN d.n_chars < t.lo THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_below,
+        |       CAST(sum(CASE WHEN d.n_chars > t.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_above,
+        |       CAST(sum(greatest(least(d.n_chars, t.hi), t.lo)) AS BIGINT)
+        |         AS sum_clipped
+        |FROM documents d JOIN t USING (lang)
+        |GROUP BY 1""".stripMargin,
     // the plain join: Bloom pruning must be invisible to results
     "q122_bloom_join" ->
       """SELECT l_returnflag,

@@ -146,4 +146,50 @@ object SampleOps {
       .filter(col("rk") <= cap)
       .drop("rk")
   }
+
+  /** Q123: EXACT per-stratum WINSORIZATION — robust clipping of an
+    * integer feature (length, token count, score) at exact order-
+    * statistic percentiles, the outlier-taming step before a feature
+    * feeds a mix weight or a quality model (one 10^9-char document
+    * must not own the length budget of its language).
+    *
+    * The k-th order statistic (k = ceil(p·n), percentile_disc
+    * semantics) is found WITHOUT sorting rows: the corpus-sized work
+    * is one partially-aggregated count per (stratum, value) — the
+    * VALUE HISTOGRAM — and the percentile is read off its running sum,
+    * window-bounded by distinct values × strata, never corpus rows
+    * (the q102 bound). Thresholds (strata-sized) broadcast back onto
+    * the scan for a pure per-row clamp. Everything is integer
+    * arithmetic — ceil as (a+b-1) div b — so any engine reproduces the
+    * thresholds and sums bit-for-bit; no sampled sketch
+    * (approx_percentile) enters the result.
+    */
+  def winsorize(df: DataFrame, valueCol: String, stratumCol: String,
+                pLowPct: Int = 1, pHighPct: Int = 99): DataFrame = {
+    require(0 <= pLowPct && pLowPct < pHighPct && pHighPct <= 100,
+      s"need 0 <= lo < hi <= 100: $pLowPct, $pHighPct")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(col(valueCol).asc)
+    val hist = df.groupBy(col(stratumCol), col(valueCol))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("n", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(stratumCol))))
+    def kth(pct: Int) = // ceil(pct·n / 100) in integers
+      expr(s"CAST((n * $pct + 99) DIV 100 AS BIGINT)")
+    val thresholds = hist
+      .groupBy(col(stratumCol))
+      .agg(
+        min(when(col("cum") >= kth(pLowPct), col(valueCol))).as("lo"),
+        min(when(col("cum") >= kth(pHighPct), col(valueCol))).as("hi"))
+    df.join(broadcast(thresholds), stratumCol)
+      .withColumn("clipped",
+        greatest(least(col(valueCol), col("hi")), col("lo")))
+      .groupBy(col(stratumCol))
+      .agg(
+        min("lo").as("lo"), min("hi").as("hi"),
+        sum((col(valueCol) < col("lo")).cast("long")).as("n_below"),
+        sum((col(valueCol) > col("hi")).cast("long")).as("n_above"),
+        sum(col("clipped").cast("long")).as("sum_clipped"))
+  }
 }

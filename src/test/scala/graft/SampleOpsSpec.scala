@@ -145,4 +145,30 @@ class SampleOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(thinned === direct)
   }
+
+  test("winsorize clips at exact order-statistic percentiles (percentile_disc semantics)") {
+    // stratum a: values 1..10 → at P20/P80 k=ceil(.2·10)=2, ceil(.8·10)=8
+    // → lo=2, hi=8; 1 value below, 2 above; clipped sum =
+    // 2+2+3+4+5+6+7+8+8+8 = 53. Stratum b: constant — nothing clips.
+    val d = ((1 to 10).map(v => ("a", v.toLong)) ++
+      Seq(("b", 5L), ("b", 5L), ("b", 5L))).toDF("g", "v")
+    val out = SampleOps.winsorize(d, "v", "g", pLowPct = 20, pHighPct = 80)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out("a") === ((2L, 8L, 1L, 2L, 53L)))
+    assert(out("b") === ((5L, 5L, 0L, 0L, 15L)))
+  }
+
+  test("winsorize histogram bound: the row-level work is agg-only, no row sort") {
+    val plan = SampleOps.winsorize(
+        graft.io.Tables.parquet(spark, sf, "documents"), "n_chars", "lang")
+      .queryExecution.executedPlan.toString
+    // no global or per-group ROW sort materializes corpus rows: the
+    // only Sort nodes belong to the histogram window (value × stratum
+    // sized) and the broadcast-join clamp needs none
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
 }
