@@ -744,6 +744,10 @@ object SparkEntry {
     // value histogram — no row sort, thresholds broadcast back
     "q123_winsorize" -> ((s, dir) =>
       SampleOps.winsorize(t(s, dir, "documents"), "n_chars", "lang")),
+    // q102's vocabulary applied: corpus encoded against the trimmed
+    // vocab, per-doc OOV and id-sum digest pin every assignment
+    "q124_vocab_encode" -> ((s, dir) =>
+      TextOps.encodeWithVocabulary(t(s, dir, "documents"))),
     // fact rows Bloom-pruned before the shuffle; the oracle is the
     // PLAIN join — the sketch must be semantics-invariant
     "q122_bloom_join" -> ((s, dir) =>
@@ -1423,6 +1427,23 @@ object SparkEntry {
          |                           AND CURRENT ROW) AS DOUBLE)
          |         / CAST(sum(cnt) OVER () AS DOUBLE) AS cum_frac
          |FROM c""".stripMargin,
+    // the same rank chain as q102, trimmed, LEFT-joined back onto the
+    // token stream — n_oov and the id-sum digest must both land
+    "q124_vocab_encode" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
+         |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+         |v AS (SELECT token, token_id FROM (
+         |        SELECT token,
+         |               CAST(row_number() OVER (ORDER BY cnt DESC, token ASC)
+         |                    AS BIGINT) AS token_id
+         |        FROM c) z
+         |      WHERE token_id <= 1000)
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_oov,
+         |       CAST(coalesce(sum(v.token_id), 0) AS BIGINT) AS ids_sum
+         |FROM tok t LEFT JOIN v USING (token)
+         |GROUP BY 1""".stripMargin,
     // the streaming CDC materialization answers to the BATCH merge
     // oracle — q88's latest-wins SQL verbatim
     "q103_cdc_stream" ->

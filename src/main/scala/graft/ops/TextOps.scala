@@ -447,6 +447,36 @@ object TextOps {
       .select("token_id", "token", "cnt", "cum_frac")
   }
 
+  /** Q124: VOCABULARY APPLY — the other half of q102's fit: encode
+    * the corpus with the fitted vocabulary TRIMMED to `vocabSize`,
+    * per document reporting token count, OOV count, and the sum of
+    * assigned ids (a digest that pins every token→id assignment
+    * through the oracle without shipping ragged id arrays through the
+    * comparator). This is the corpus→ids step that feeds training;
+    * 1 − n_oov/n_tokens is realized coverage, the quantity q102's
+    * cum_frac predicted at the chosen vocab size.
+    *
+    * Scale shape: the trim is what makes apply cheap — the vocabulary
+    * becomes a `vocabSize`-bounded MODEL artifact, broadcast onto the
+    * token stream (never the reverse), so the corpus-sized work is
+    * one map-side join + one doc_id-keyed aggregation. Fitting still
+    * pays q102's vocab-sized rank window once; re-encoding N shards
+    * against a saved vocabulary pays only the broadcast.
+    */
+  def encodeWithVocabulary(documents: DataFrame,
+                           vocabSize: Long = 1000): DataFrame = {
+    val vocab = vocabulary(documents)
+      .filter(col("token_id") <= vocabSize)
+      .select("token", "token_id")
+    documents
+      .select(col("doc_id"), explode(expr(tokensExpr)).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("token_id").isNull.cast("long")).as("n_oov"),
+        coalesce(sum("token_id"), lit(0L)).as("ids_sum"))
+  }
+
   /** Q56: word n-gram counts per lang — the n-gram language-model /
     * benchmark-contamination primitive. Same shape as Q11 with a
     * windowed gram expand (one expression, no UDF); map-side partial

@@ -242,6 +242,26 @@ class TextOpsSpec extends SparkSpec {
     assert(trimmed === Seq((1L, "b", 4 / 9.0), (2L, "a", 7 / 9.0)))
   }
 
+  test("encodeWithVocabulary counts OOV against the trimmed vocab and digests ids") {
+    val corpus = docs(
+      1L -> "b b b a a c",
+      2L -> "a b d")
+    // vocab ranks b:1, a:2, c:3, d:4; trim at 2 → c and d are OOV
+    val out = TextOps.encodeWithVocabulary(corpus, vocabSize = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // doc 1: 6 tokens, c OOV; ids 1+1+1+2+2 = 7
+    assert(out(1L) === ((6L, 1L, 7L)))
+    // doc 2: 3 tokens, d OOV; ids 2+1 = 3
+    assert(out(2L) === ((3L, 1L, 3L)))
+    // all-OOV doc: digest coalesces to 0, not null
+    val oov = TextOps.encodeWithVocabulary(docs(1L -> "x y", 2L -> "z z z"),
+        vocabSize = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(oov(1L) === ((2L, 2L, 0L))) // x, y rank below z (cnt 1 vs 3)
+  }
+
   test("ngramNovelty scores unseen-gram fractions exactly; short docs drop out") {
     val corpus = docs(2L -> "a b c d e f g h")           // grams: abcde..defgh
     val batch = docs(
