@@ -490,6 +490,10 @@ object SparkEntry {
     // compressed corpus, recall-gated like q28/q34
     "q80_knn_pq" -> ((s, dir) =>
       SimilarityOps.pqKnnRecallGate(t(s, dir, "embeddings"))),
+    // IVF-PQ: cells prune, codes stand in for vectors — the compound
+    // approximation under one joint recall gate
+    "q125_ivfpq" -> ((s, dir) =>
+      SimilarityOps.ivfPqKnnRecallGate(t(s, dir, "embeddings"))),
     "q35_pivot" -> ((s, dir) =>
       Relational.pivotQuantities(t(s, dir, "lineitem"))),
     "q36_sliding_window" -> ((s, dir) =>
@@ -1922,6 +1926,11 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
     "q80_knn_pq" ->
+      """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall
+        |WHERE 1 = 0""".stripMargin,
+    // the compound IVF-PQ approximation must clear the joint recall
+    // gate: the violation set is empty
+    "q125_ivfpq" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall
         |WHERE 1 = 0""".stripMargin,
     // Real-codec round trip: the oracle predicts the dimensions the

@@ -724,7 +724,7 @@ object SimilarityOps {
     * LUT summation), so this decode exists for the gate's
     * exact-rescoring path, where per-row cost is all that matters.
     */
-  def reconstructPq(index: PqIndex): DataFrame = {
+  def reconstructPq(index: PqIndex, keep: Seq[String] = Nil): DataFrame = {
     val spark = index.codes.sparkSession
     val rows = index.codebooks.collect()
     val m = index.m
@@ -744,7 +744,8 @@ object SimilarityOps {
       }
       out
     }
-    index.codes.select(col("vec_id"), decodeUdf(col("codes")).as("embedding"))
+    index.codes.select(
+      (col("vec_id") +: keep.map(col)) :+ decodeUdf(col("codes")).as("embedding"): _*)
   }
 
   /** Q80: approximate kNN over the PQ-compressed corpus — the ADC
@@ -818,6 +819,80 @@ object SimilarityOps {
                       m: Int = 32, nbits: Int = 8,
                       minRecall: Double = 0.7): DataFrame =
     knnRecallGate(pqKnn(embeddings, nQueries, k, m, nbits),
+      bruteForceKnn(embeddings, nQueries, k), k, minRecall)
+
+  /** Q125: IVF-PQ — the production ANN composition, completing the
+    * ladder exact (q16) → LSH (q28) → IVF (q34) → int8 (q69) → PQ
+    * (q80): the coarse IVF quantizer prunes each query to `nprobe`
+    * cells, and within those cells PQ CODES stand in for the stored
+    * vectors (the q80 ADC identity), so the probe touches neither the
+    * full corpus nor any full-precision corpus vector. This is the
+    * FAISS IVFPQ / DiskANN-style memory shape: m bytes per stored
+    * vector plus a cell id; full-precision floats exist only in the
+    * bounded query batch.
+    *
+    * The codes are joined to their cells ONCE at build time (the
+    * storage layout real IVF-PQ lists use), so probes are a cell
+    * filter + per-row decode of survivors — no probe-time corpus
+    * join. Both approximations compound; the joint recall gate vs the
+    * exact scan (violations empty, oracle-checked) is the monitor
+    * that catches either stage drifting.
+    */
+  final case class IvfPqIndex(cellCodes: DataFrame, centroids: DataFrame,
+                              codebooks: DataFrame, m: Int, dsub: Int)
+
+  def buildIvfPqIndex(embeddings: DataFrame, nlist: Int = 16, m: Int = 32,
+                      nbits: Int = 8, trainN: Int = 2000,
+                      dim: Int = 64): IvfPqIndex = {
+    val ivf = buildIvfIndex(embeddings, nlist, trainN)
+    val pq = buildPqIndex(embeddings, m, nbits, trainN, dim)
+    IvfPqIndex(
+      pq.codes.join(ivf.assigned.select("vec_id", "cell"), "vec_id"),
+      ivf.centroids, pq.codebooks, pq.m, pq.dsub)
+  }
+
+  def probeIvfPq(index: IvfPqIndex, queryVecs: DataFrame, nQueries: Int = 5,
+                 k: Int = 10, nprobe: Int = 8): DataFrame = {
+    val spark = index.cellCodes.sparkSession
+    val queries = withNorm(queryVecs.filter(col("vec_id") < nQueries),
+        "embedding", "qn")
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"), col("qn"))
+    val probes = queries.crossJoin(broadcast(index.centroids))
+      .withColumn("dist2",
+        expr("qn * qn - 2 * vec_dot(q, centroid) + vec_dot(centroid, centroid)"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist2").asc, col("cell").asc)))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id").as("p_qid"), col("cell"))
+    // bounded collect, as in probeIvfPruned: nQueries × nprobe pairs
+    val probedRows = probes.collect()
+    val cells = probedRows.map(_.get(1)).distinct.toSeq
+    val probesLocal = spark.createDataFrame(
+      java.util.Arrays.asList(probedRows: _*), probes.schema)
+    // decode ONLY cell-filtered survivors — the filter runs on the
+    // compact (vec_id, cell, codes) rows before any reconstruction
+    val pruned = index.cellCodes.filter(col("cell").isin(cells: _*))
+    val recon = withNorm(
+      reconstructPq(PqIndex(pruned, index.codebooks, index.m, index.dsub),
+        keep = Seq("cell")),
+      "embedding", "cn")
+    val cands = recon
+      .join(broadcast(probesLocal.join(queries, col("p_qid") === col("query_id"))),
+        Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", sim("q", "embedding", "qn", "cn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    cands.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "vec_id", "sim")
+  }
+
+  def ivfPqKnnRecallGate(embeddings: DataFrame, nQueries: Int = 5,
+                         k: Int = 10, nprobe: Int = 8,
+                         minRecall: Double = 0.6): DataFrame =
+    knnRecallGate(
+      probeIvfPq(buildIvfPqIndex(embeddings), embeddings, nQueries, k, nprobe),
       bruteForceKnn(embeddings, nQueries, k), k, minRecall)
 
   /** Q69: INT8 scalar quantization — the storage/bandwidth scale path

@@ -157,6 +157,24 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(SimilarityOps.pqKnnRecallGate(emb).isEmpty)
   }
 
+  test("IVF-PQ: joint recall gate empty; candidates confined to the probed cells (q125 contract)") {
+    val emb = graft.io.Tables.parquet(spark, sf, "embeddings")
+    assert(SimilarityOps.ivfPqKnnRecallGate(emb).isEmpty)
+    // the probe must never surface a vector outside nprobe cells:
+    // with nprobe=1 every result's cell is its query's single nearest
+    val index = SimilarityOps.buildIvfPqIndex(emb)
+    val out = SimilarityOps.probeIvfPq(index, emb, nQueries = 2, k = 5,
+      nprobe = 1).collect()
+    assert(out.nonEmpty)
+    val cellOf = index.cellCodes.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val resultCells = out.groupBy(_.getAs[Long]("query_id"))
+      .map { case (_, rows) =>
+        rows.map(r => cellOf(r.getAs[Long]("vec_id"))).distinct.length
+      }
+    assert(resultCells.forall(_ === 1)) // one probed cell → one cell in results
+  }
+
   test("PQ codes are deterministic, partition-independent, m-wide, and in codebook range") {
     val emb = graft.io.Tables.parquet(spark, sf, "embeddings")
     def codesOf(df: org.apache.spark.sql.DataFrame) = {
