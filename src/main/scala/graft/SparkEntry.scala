@@ -752,6 +752,19 @@ object SparkEntry {
     // vocab, per-doc OOV and id-sum digest pin every assignment
     "q124_vocab_encode" -> ((s, dir) =>
       TextOps.encodeWithVocabulary(t(s, dir, "documents"))),
+    // the pre-promotion contract audit: all row checks in ONE scan,
+    // plus key uniqueness and lineitem→orders referential integrity
+    "q126_constraints" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val ord = t(s, dir, "orders")
+      Constraints.audit(li, Seq(
+          "l_quantity_range" -> !col("l_quantity").between(1, 50),
+          "l_discount_range" -> !col("l_discount").between(0, 1),
+          "l_shipdate_notnull" -> col("l_shipdate").isNull))
+        .unionByName(Constraints.uniqueness(ord, "o_orderkey_unique",
+          Seq("o_orderkey")))
+        .unionByName(Constraints.referential(li, "l_orderkey",
+          ord, "o_orderkey", "l_orderkey_fk"))
+    }),
     // fact rows Bloom-pruned before the shuffle; the oracle is the
     // PLAIN join — the sketch must be semantics-invariant
     "q122_bloom_join" -> ((s, dir) =>
@@ -1431,6 +1444,39 @@ object SparkEntry {
          |                           AND CURRENT ROW) AS DOUBLE)
          |         / CAST(sum(cnt) OVER () AS DOUBLE) AS cum_frac
          |FROM c""".stripMargin,
+    // every audit row re-derived as plain SQL: conditional counts,
+    // n_rows − n_distinct keys, and the anti-join orphan count
+    "q126_constraints" ->
+      """SELECT 'l_quantity_range' AS check_name,
+        |       CAST(count(*) AS BIGINT) AS n_checked,
+        |       CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_discount_range',
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN NOT (l_discount BETWEEN 0 AND 1)
+        |                     THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_shipdate_notnull',
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'o_orderkey_unique',
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |FROM orders WHERE o_orderkey IS NOT NULL
+        |UNION ALL
+        |SELECT 'l_orderkey_fk',
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT)
+        |FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |  ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_orderkey IS NOT NULL""".stripMargin,
     // the same rank chain as q102, trimmed, LEFT-joined back onto the
     // token stream — n_oov and the id-sum digest must both land
     "q124_vocab_encode" ->

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Q126: DATA-QUALITY CONSTRAINT AUDIT — declarative expectations over
+  * a table (the Delta-constraints / deequ-style contract check a
+  * pipeline runs before promoting a batch): row predicates, key
+  * uniqueness, and referential integrity, each reported as
+  * (check_name, n_checked, n_violations) so a gate can fail the batch
+  * on any non-zero violation row.
+  *
+  * Scale design: ALL row predicates fold into ONE aggregation pass —
+  * a conditional count per check inside a single scan (naively
+  * auditing k constraints as k queries re-reads the table k times;
+  * this is the difference between an audit that costs one scan and
+  * one that costs a day at 100 TB). Uniqueness is one key-grouped
+  * count (map-side partials bound the shuffle at distinct keys);
+  * referential integrity is one LEFT ANTI join, broadcast when the
+  * parent's key set is dimension-sized. Everything is integer counts
+  * — engine-exact by construction.
+  */
+object Constraints {
+
+  /** All `checks` (name → violation predicate) in one scan: the agg
+    * computes one conditional sum per check, then unpivots to rows.
+    */
+  def audit(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "audit needs at least one check")
+    val aggs = count(lit(1)).as("n_checked") +:
+      checks.map { case (name, pred) =>
+        sum(pred.cast("long")).as(s"v_$name")
+      }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = checks.map { case (name, _) =>
+      s"'$name', v_$name"
+    }.mkString(", ")
+    wide.selectExpr("n_checked",
+        s"stack(${checks.size}, $stackArgs) AS (check_name, n_violations)")
+      .select(col("check_name"), col("n_checked"),
+        coalesce(col("n_violations"), lit(0L)).as("n_violations"))
+  }
+
+  /** Key uniqueness: rows beyond the first occurrence of each key
+    * count as violations (n_rows − n_distinct_keys over non-null
+    * keys; null keys are reported by a row predicate instead).
+    */
+  def uniqueness(df: DataFrame, name: String, keyCols: Seq[String]): DataFrame = {
+    val key = keyCols.map(col)
+    df.filter(key.map(_.isNotNull).reduce(_ && _))
+      .groupBy(key: _*)
+      .agg(count(lit(1)).as("n"))
+      .agg(sum("n").as("n_checked"), sum(col("n") - 1).as("n_violations"))
+      .select(lit(name).as("check_name"),
+        coalesce(col("n_checked"), lit(0L)).as("n_checked"),
+        coalesce(col("n_violations"), lit(0L)).as("n_violations"))
+  }
+
+  /** Referential integrity: child rows whose key has no parent
+    * (orphans). Null child keys are not orphans — SQL FK semantics —
+    * and belong to a row predicate check.
+    */
+  def referential(child: DataFrame, childKey: String,
+                  parent: DataFrame, parentKey: String,
+                  name: String): DataFrame = {
+    val checked = child.filter(col(childKey).isNotNull)
+    val orphans = checked
+      .join(parent.select(col(parentKey)).distinct(),
+        col(childKey) === col(parentKey), "left_anti")
+    checked.agg(count(lit(1)).as("n_checked"))
+      .crossJoin(orphans.agg(count(lit(1)).as("n_violations")))
+      .select(lit(name).as("check_name"), col("n_checked"),
+        col("n_violations"))
+  }
+}
