@@ -82,4 +82,21 @@ class NullSafetySpec extends SparkSpec {
     assert(best(1L) === 1L || best(1L) === 5L) // the dup pair resolves
     assert(best.size === 4) // 2,3,4 are singletons (null/blank text)
   }
+
+  test("winsorize and vocabulary-encode tolerate null strata and null/blank text") {
+    // null strata drop from the audit on BOTH engines (equi-join on
+    // the stratum never matches null) — the documented contract
+    val vals = Seq(("a", 1L), ("a", 2L), ("a", 100L),
+      (null.asInstanceOf[String], 5L)).toDF("g", "v")
+    val w = graft.ops.SampleOps.winsorize(vals, "v", "g",
+        pLowPct = 1, pHighPct = 99)
+      .collect().map(r => Option(r.getString(0)))
+    assert(w === Array(Some("a"))) // the null stratum surfaces nowhere
+
+    // null/blank docs contribute no tokens: they vanish from the
+    // encoding (no token rows), real docs encode unaffected
+    val enc = TextOps.encodeWithVocabulary(dirty, vocabSize = 5)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(enc === Set(1L, 5L))
+  }
 }
