@@ -752,6 +752,11 @@ object SparkEntry {
     // vocab, per-doc OOV and id-sum digest pin every assignment
     "q124_vocab_encode" -> ((s, dir) =>
       TextOps.encodeWithVocabulary(t(s, dir, "documents"))),
+    // the q126 audit run ON ARRIVAL: streaming conditional counters,
+    // final emission held to the batch SQL over the same rows
+    "q127_audit_stream" -> ((s, dir) =>
+      EventsStreaming.constraintAuditStreaming(s, dir,
+        queryName = "graft_q127_audit")),
     // the pre-promotion contract audit: all row checks in ONE scan,
     // plus key uniqueness and lineitem→orders referential integrity
     "q126_constraints" -> ((s, dir) => {
@@ -1444,6 +1449,22 @@ object SparkEntry {
          |                           AND CURRENT ROW) AS DOUBLE)
          |         / CAST(sum(cnt) OVER () AS DOUBLE) AS cum_frac
          |FROM c""".stripMargin,
+    // the streaming audit's final emission vs the plain batch SQL
+    // over the same event rows — the q99/q103 parity contract
+    "q127_audit_stream" ->
+      """SELECT 'event_type_domain' AS check_name,
+        |       CAST(count(*) AS BIGINT) AS n_checked,
+        |       CAST(sum(CASE WHEN event_type NOT IN ('view', 'click', 'purchase')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |FROM events
+        |UNION ALL
+        |SELECT 'value_nonneg', CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM events
+        |UNION ALL
+        |SELECT 'user_id_notnull', CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM events""".stripMargin,
     // every audit row re-derived as plain SQL: conditional counts,
     // n_rows − n_distinct keys, and the anti-join orphan count
     "q126_constraints" ->

@@ -805,6 +805,52 @@ object EventsStreaming {
     * each finalized window exactly once — WatermarkSpec drives that
     * mode end-to-end, including late-data drop.
     */
+  /** Q127: the q126 CONTRACT AUDIT run ON ARRIVAL — conditional
+    * violation counts as a streaming global aggregation over the
+    * event stream, so a bad batch is caught while it lands, not at
+    * promotion time. State is one row of counters per check
+    * (constant, no watermark needed); complete mode re-emits the
+    * running audit each micro-batch and the fixture's final emission
+    * must equal the batch audit bit-for-bit (the q99/q103 parity
+    * pattern — q127's oracle IS the batch SQL over the same rows).
+    * The unpivot to (check_name, n_checked, n_violations) happens on
+    * the final one-row frame, off the streaming plan.
+    */
+  def constraintAuditStreaming(spark: SparkSession, dir: String,
+                               queryName: String = "graft_stream_audit",
+                               statePartitions: Int = 1): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = ss.readStream
+      .schema(rawEventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val agg = src.agg(
+      count(lit(1)).as("n_checked"),
+      sum((!col("event_type").isin("view", "click", "purchase"))
+        .cast("long")).as("v_event_type_domain"),
+      sum((col("value") < 0).cast("long")).as("v_value_nonneg"),
+      sum(col("user_id").isNull.cast("long")).as("v_user_id_notnull"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val wide = ss.table(queryName)
+    wide.cache(); wide.count()
+    wide.selectExpr("n_checked",
+        """stack(3,
+          |  'event_type_domain', v_event_type_domain,
+          |  'value_nonneg', v_value_nonneg,
+          |  'user_id_notnull', v_user_id_notnull) AS (check_name, n_violations)
+          |""".stripMargin)
+      .select(col("check_name"), col("n_checked"),
+        coalesce(col("n_violations"), lit(0L)).as("n_violations"))
+  }
+
   def hourlyByTypeStreaming(spark: SparkSession, dir: String,
                             queryName: String = "graft_stream_hourly",
                             statePartitions: Int = 8): DataFrame = {

@@ -134,6 +134,22 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming constraint audit's final emission equals the batch audit (q126/q127)") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, sf)
+    val batch = graft.ops.Constraints.audit(ev, Seq(
+        "event_type_domain" ->
+          !col("event_type").isin("view", "click", "purchase"),
+        "value_nonneg" -> (col("value") < 0),
+        "user_id_notnull" -> col("user_id").isNull))
+      .collect().map(_.toSeq).toSet
+    val streamed = EventsStreaming
+      .constraintAuditStreaming(spark, sf, queryName = "spec_audit")
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.size === 3)
+  }
+
   test("streaming CDC apply materializes exactly the batch MERGE (q88)") {
     val batch = SparkEntry.queries("q88_upsert")(spark, sf)
       .collect().map(_.toSeq).toSet
