@@ -263,6 +263,32 @@ object SparkEntry {
       .select("doc_id", "source", "n_chars", "lang")
   }
 
+  /** q128: the postings artifact maintained INCREMENTALLY — built
+    * from the even half of the corpus, the odd half appended as an
+    * O(batch) dynamic-partition write (stored rows untouched), and
+    * the merged reloaded index probed; the results must equal q106
+    * over the FULL corpus (q120's oracle = q106's SQL). The q83 daily-
+    * ingest shape for lexical retrieval.
+    */
+  private val q128Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
+
+  private def postingsAppendSearch(s: SparkSession, dir: String): DataFrame = {
+    val scope = q128Scopes.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-q128-")
+      sys.addShutdownHook(deleteRecursively(base))
+      val sc = graft.core.Scopes.create(s, base.toString)
+      val docs = t(s, dir, "documents")
+      TextOps.savePostings(
+        TextOps.buildPostings(docs.filter(col("doc_id") % 2 === 0)),
+        sc, "postings")
+      TextOps.appendPostings(docs.filter(col("doc_id") % 2 === 1),
+        sc, "postings")
+      sc
+    })
+    TextOps.searchPostings(TextOps.loadPostings(s, scope, "postings"),
+      keywordQueries)
+  }
+
   private val q83Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
 
   private def ivfAppendGate(s: SparkSession, dir: String): DataFrame = {
@@ -744,6 +770,9 @@ object SparkEntry {
     // two producer generations merged into the union schema: v1 shards
     // null-fill the column they never had
     "q121_schema_evolution" -> mergedSchemaRead _,
+    // the postings artifact after an O(batch) append: probe results
+    // must equal q106 over the full corpus
+    "q128_postings_append" -> postingsAppendSearch _,
     // exact per-lang P1/P99 winsorization of document length via the
     // value histogram — no row sort, thresholds broadcast back
     "q123_winsorize" -> ((s, dir) =>
@@ -2381,6 +2410,9 @@ object SparkEntry {
     // the artifact probe must produce the IDENTICAL ranked lists the
     // corpus-side q106 does — bucketing is layout, never semantics
     "q120_postings_artifact" -> keywordSearchSql,
+    // append is invisible to results: the merged artifact answers for
+    // the FULL corpus with the same ranked lists
+    "q128_postings_append" -> keywordSearchSql,
     // the union-schema read re-derived from the source table: v2 rows
     // (odd ids) keep lang, v1 rows surface NULL
     "q121_schema_evolution" ->

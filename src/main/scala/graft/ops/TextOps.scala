@@ -366,6 +366,22 @@ object TextOps {
     postings.write.mode("overwrite").partitionBy("bucket")
       .parquet(scope.path(name))
 
+  /** Q128: incremental index maintenance — APPEND a new document
+    * batch's postings to the stored artifact. O(batch): the batch is
+    * tokenized and aggregated alone, and the dynamic-partition append
+    * touches only the bucket directories its terms hash into; stored
+    * postings are never read or rewritten (the q83 shape, without
+    * even a frozen quantizer to drift — the term hash is stateless).
+    * CONTRACT: append batches must be doc-disjoint from the stored
+    * corpus — [[searchPostings]] sums stored tf per (term, doc), so
+    * re-ingesting a document would double-count it (dedup upstream is
+    * exactly q59's job).
+    */
+  def appendPostings(batch: DataFrame, scope: graft.core.Scope,
+                     name: String, nBuckets: Int = 64): Unit =
+    buildPostings(batch, nBuckets).write.mode("append")
+      .partitionBy("bucket").parquet(scope.path(name))
+
   /** Reload; `bucket` comes back as a partition column, so
     * [[searchPostings]]' bucket filter prunes directories, not rows.
     */

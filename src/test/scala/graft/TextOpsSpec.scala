@@ -316,6 +316,15 @@ class TextOpsSpec extends SparkSpec {
         .collect().map(key).sorted
       assert(probed === direct)
       assert(direct.nonEmpty)
+      // incremental maintenance: build from half, append the rest —
+      // the merged artifact must answer for the FULL corpus
+      TextOps.savePostings(
+        TextOps.buildPostings(corpus.filter($"doc_id" % 2 === 0)), scope, "p2")
+      TextOps.appendPostings(corpus.filter($"doc_id" % 2 === 1), scope, "p2")
+      val appended = TextOps.searchPostings(
+          TextOps.loadPostings(spark, scope, "p2"), queries, k = 4)
+        .collect().map(key).sorted
+      assert(appended === direct)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
     }
