@@ -289,6 +289,34 @@ object SparkEntry {
       keywordQueries)
   }
 
+  /** q129: the class-centroid DRIFT MONITOR maintained incrementally —
+    * fixed-point (ssum, n) partials for the even half persisted under
+    * a scope, the odd half sketched alone (O(batch)), and the RELOADED
+    * artifact merged with the batch by long addition. Long sums are
+    * associative, so the merged centroids are BIT-IDENTICAL to a full
+    * recompute: the oracle is q113's full-corpus SQL, not a tolerance
+    * gate. Completes the incremental-artifact family (q111 HLL, q128
+    * postings) with an exactly-mergeable statistic.
+    */
+  private val q129Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
+
+  private def centroidSumsIncremental(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val scope = q129Scopes.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-q129-")
+      sys.addShutdownHook(deleteRecursively(base))
+      val sc = graft.core.Scopes.create(s, base.toString)
+      graft.core.Scopes.save(
+        SimilarityOps.labelCentroidSums(emb.filter(col("vec_id") % 2 === 0)),
+        sc, "centroid_sums")
+      sc
+    })
+    SimilarityOps.centroidsFromSums(
+      SimilarityOps.mergeCentroidSums(Seq(
+        graft.core.Scopes.load(s, scope, "centroid_sums"),
+        SimilarityOps.labelCentroidSums(emb.filter(col("vec_id") % 2 === 1)))))
+  }
+
   private val q83Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
 
   private def ivfAppendGate(s: SparkSession, dir: String): DataFrame = {
@@ -773,6 +801,9 @@ object SparkEntry {
     // the postings artifact after an O(batch) append: probe results
     // must equal q106 over the full corpus
     "q128_postings_append" -> postingsAppendSearch _,
+    // persisted centroid sums + batch sums merged by long addition —
+    // bit-identical to the full recompute (q113's own oracle)
+    "q129_centroid_incremental" -> centroidSumsIncremental _,
     // exact per-lang P1/P99 winsorization of document length via the
     // value histogram — no row sort, thresholds broadcast back
     "q123_winsorize" -> ((s, dir) =>
@@ -877,6 +908,24 @@ object SparkEntry {
   private val keywordQueryValues: String = keywordQueries.toSeq.sortBy(_._1)
     .flatMap { case (qid, ts) => ts.distinct.map(t => s"('$qid', '$t')") }
     .mkString(", ")
+
+  /** The q113 fixed-point centroid replay — shared verbatim by q129,
+    * whose incrementally-merged sums must reproduce it exactly.
+    */
+  private lazy val labelCentroidsSql: String =
+    """WITH x AS (
+      |  SELECT label,
+      |         unnest(range(0, len(embedding))) AS dim,
+      |         unnest(embedding) AS v
+      |  FROM embeddings),
+      |a AS (
+      |  SELECT label, CAST(dim AS INT) AS dim,
+      |         sum(CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS ssum,
+      |         count(*) AS n
+      |  FROM x GROUP BY 1, 2)
+      |SELECT label, dim,
+      |       CAST(ssum AS DOUBLE) / (n * 1048576) AS centroid, n
+      |FROM a""".stripMargin
 
   /** The q106 ranking replayed in DuckDB — shared verbatim by q120,
     * whose artifact probe must reproduce it exactly.
@@ -2249,20 +2298,10 @@ object SparkEntry {
     // fixed-point mean re-derived element-for-element: round to 2^20
     // longs (exact scale, half-away rounding in both engines), long
     // sum (associative), ONE final double division — bit-identical
-    "q113_label_centroids" ->
-      """WITH x AS (
-        |  SELECT label,
-        |         unnest(range(0, len(embedding))) AS dim,
-        |         unnest(embedding) AS v
-        |  FROM embeddings),
-        |a AS (
-        |  SELECT label, CAST(dim AS INT) AS dim,
-        |         sum(CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS ssum,
-        |         count(*) AS n
-        |  FROM x GROUP BY 1, 2)
-        |SELECT label, dim,
-        |       CAST(ssum AS DOUBLE) / (n * 1048576) AS centroid, n
-        |FROM a""".stripMargin,
+    "q113_label_centroids" -> labelCentroidsSql,
+    // associativity is the whole claim: artifact + batch sums merged
+    // by addition must land on the FULL-corpus centroids exactly
+    "q129_centroid_incremental" -> labelCentroidsSql,
     // the full Lloyd step replayed: same md5 seed ranking, same
     // integer-squared-L2 argmin (ties by seed rank), same fixed-point
     // mean — every stage integer-exact, so the hash must match

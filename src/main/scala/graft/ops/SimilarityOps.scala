@@ -942,18 +942,48 @@ object SimilarityOps {
     * aggregation — map-side partials bound the shuffle at
     * labels × dims × partitions rows regardless of corpus size.
     */
-  def labelCentroids(embeddings: DataFrame, scaleBits: Int = 20,
-                     labelCol: String = "label"): DataFrame = {
+  /** The mergeable SUM form of [[labelCentroids]]: (label, dim, ssum,
+    * n). Long sums are associative, so sums from disjoint corpus
+    * slices merge by addition into EXACTLY the full-corpus sums — the
+    * property q129 turns into an incremental artifact.
+    */
+  def labelCentroidSums(embeddings: DataFrame, scaleBits: Int = 20,
+                        labelCol: String = "label"): DataFrame = {
     val s = 1L << scaleBits
     par(embeddings)
       .select(col(labelCol), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy(labelCol, "dim")
       .agg(sum(round(col("v").cast("double") * s).cast("long")).as("ssum"),
         count(lit(1)).as("n"))
-      .select(col(labelCol), col("dim"),
-        (col("ssum").cast("double") / (col("n") * s)).as("centroid"),
-        col("n"))
   }
+
+  /** Q129: merge stored sums with a fresh batch's sums — O(batch)
+    * plus a (labels × dims)-bounded combine; history rows never
+    * re-read. Because every partial is an exact long, the merged
+    * centroid is BIT-IDENTICAL to a full recompute (q129's oracle is
+    * the full-corpus q113 SQL, not an approximation gate).
+    */
+  def mergeCentroidSums(sumSets: Seq[DataFrame],
+                        labelCol: String = "label"): DataFrame = {
+    require(sumSets.nonEmpty, "need at least one sum set")
+    sumSets.reduce(_.unionByName(_))
+      .groupBy(labelCol, "dim")
+      .agg(sum("ssum").as("ssum"), sum("n").as("n"))
+  }
+
+  /** Finalize sums into the [[labelCentroids]] output shape. */
+  def centroidsFromSums(sums: DataFrame, scaleBits: Int = 20,
+                        labelCol: String = "label"): DataFrame = {
+    val s = 1L << scaleBits
+    sums.select(col(labelCol), col("dim"),
+      (col("ssum").cast("double") / (col("n") * s)).as("centroid"),
+      col("n"))
+  }
+
+  def labelCentroids(embeddings: DataFrame, scaleBits: Int = 20,
+                     labelCol: String = "label"): DataFrame =
+    centroidsFromSums(labelCentroidSums(embeddings, scaleBits, labelCol),
+      scaleBits, labelCol)
 
   /** Q114: one EXACT distributed Lloyd (k-means) iteration — the
     * building block of the IVF quantizer fit (q34/q83) exposed as a

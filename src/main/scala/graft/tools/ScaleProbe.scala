@@ -36,7 +36,11 @@ object ScaleProbe {
     "q34_knn_ivf",
     // round-5 heavies: flagship v2 (winnow edges + priority tail),
     // the streaming near-dup path, containment's inverted index
-    "q100_training_corpus_v2", "q82_stream_neardup", "q98_containment")
+    "q100_training_corpus_v2", "q82_stream_neardup", "q98_containment",
+    // the artifact-amortization pair: the corpus-side search scales
+    // with the corpus; the q120 probe (best-of-3 = probe-only, the
+    // build is cached per dir) should stay near-flat at 10x
+    "q106_keyword_search", "q120_postings_artifact")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

@@ -385,6 +385,23 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(a === b) // exact ==, not tolerance: long sums are associative
   }
 
+  test("incrementally merged centroid sums are BIT-identical to the full recompute") {
+    val e = graft.io.Tables.parquet(spark, sf, "embeddings")
+    val full = SimilarityOps.labelCentroids(e).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    val merged = SimilarityOps.centroidsFromSums(
+        SimilarityOps.mergeCentroidSums(Seq(
+          SimilarityOps.labelCentroidSums(
+            e.filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 0)),
+          SimilarityOps.labelCentroidSums(
+            e.filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 1)))))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(merged === full) // exact ==, not tolerance: long sums merge
+  }
+
   test("centroidOutliers ranks the planted far vector first in its label") {
     // label 1: three vectors near (1, 1) plus one planted at (9, 9) —
     // the plant must rank 1; label 2 has a single member whose
