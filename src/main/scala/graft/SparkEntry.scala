@@ -866,6 +866,31 @@ object SparkEntry {
             "yyyy-MM-dd HH:mm:ss").as("session_start"),
           col("n_events"),
           (col("sum_value_cents").cast("double") / 100.0).as("sum_value"))),
+    // calendar gap-fill + forward fill per user; days surfaced as
+    // epoch-day longs so the gate compares integer-exact
+    "q130_gapfill" -> ((s, dir) =>
+      TimeSeriesOps.gapFillDaily(t(s, dir, "events"), "user_id", "ts",
+          "event_type", "event_id")
+        .select(col("user_id"),
+          datediff(col("day"), to_date(lit("1970-01-01")))
+            .cast("long").as("day_no"),
+          col("n_events"), col("cum_events"), col("last_type"))),
+    // SCD2 history of order status per customer; validity bounds as
+    // epoch µs (null valid_to = current)
+    "q131_scd2" -> ((s, dir) =>
+      MergeOps.scd2(t(s, dir, "orders"), "o_custkey", "o_orderstatus",
+          "o_orderdate", "o_orderkey")
+        .select(col("o_custkey"), col("o_orderstatus"),
+          unix_micros(col("valid_from").cast("timestamp_ltz"))
+            .as("valid_from_us"),
+          unix_micros(col("valid_to").cast("timestamp_ltz"))
+            .as("valid_to_us"),
+          col("is_current"))),
+    // one-scan column profile of orders (long/string columns — their
+    // string rendering is engine-identical)
+    "q132_profile" -> ((s, dir) =>
+      Constraints.profile(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
   )
 
   private val q10Sql =
@@ -2543,5 +2568,68 @@ object SparkEntry {
          |  AND NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = k.doc_id)
          |  AND ('0x' || substr(md5(k.doc_id::VARCHAR || ':train'), 1, 8))::BIGINT
          |        / 4294967296.0 < 0.8""".stripMargin,
+    // same densification algorithm: per-key calendar from the key's
+    // own span, left join, running sum + IGNORE NULLS forward fill;
+    // epoch-day ints on both engines
+    "q130_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events,
+        |         max_by(event_type, event_id) AS day_type
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (
+        |  SELECT user_id, min(day) AS min_d, max(day) AS max_d
+        |  FROM daily GROUP BY 1),
+        |calendar AS (
+        |  SELECT user_id,
+        |         CAST(unnest(generate_series(min_d, max_d, INTERVAL 1 DAY))
+        |              AS DATE) AS day
+        |  FROM spans),
+        |j AS (
+        |  SELECT c.user_id, c.day,
+        |         COALESCE(d.n_events, 0) AS n_events, d.day_type
+        |  FROM calendar c
+        |  LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day)
+        |SELECT user_id,
+        |       date_diff('day', DATE '1970-01-01', day) AS day_no,
+        |       n_events,
+        |       CAST(sum(n_events) OVER w AS BIGINT) AS cum_events,
+        |       last_value(day_type IGNORE NULLS) OVER w AS last_type
+        |FROM j
+        |WINDOW w AS (PARTITION BY user_id ORDER BY day
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    // gaps-and-islands re-derived: lag over the raw feed marks change
+    // rows, lead over the change rows closes intervals; µs space
+    "q131_scd2" ->
+      """WITH feed AS (
+        |  SELECT o_custkey, o_orderstatus, epoch_us(o_orderdate) AS t,
+        |         o_orderkey
+        |  FROM orders),
+        |marked AS (
+        |  SELECT *, lag(o_orderstatus) OVER
+        |    (PARTITION BY o_custkey ORDER BY t, o_orderkey) AS prev
+        |  FROM feed),
+        |changes AS (
+        |  SELECT o_custkey, o_orderstatus, t, o_orderkey FROM marked
+        |  WHERE (prev IS NULL AND o_orderstatus IS NOT NULL)
+        |     OR prev <> o_orderstatus)
+        |SELECT o_custkey, o_orderstatus,
+        |       t AS valid_from_us,
+        |       lead(t) OVER w AS valid_to_us,
+        |       CAST(lead(t) OVER w IS NULL AS INT) AS is_current
+        |FROM changes
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY t, o_orderkey)""".stripMargin,
+    // per-column UNION ALL — k scans here where the engine does ONE
+    // Expand pass; results must agree exactly
+    "q132_profile" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority")
+      .map(c =>
+        s"""SELECT '$c' AS column_name,
+           |       count($c) AS n_nonnull,
+           |       count(*) - count($c) AS n_null,
+           |       count(DISTINCT $c) AS n_distinct,
+           |       CAST(min($c) AS VARCHAR) AS min_val,
+           |       CAST(max($c) AS VARCHAR) AS max_val
+           |FROM orders""".stripMargin)
+      .mkString("\nUNION ALL\n"),
   )
 }

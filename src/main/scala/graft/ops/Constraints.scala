@@ -72,4 +72,39 @@ object Constraints {
       .select(lit(name).as("check_name"), col("n_checked"),
         col("n_violations"))
   }
+
+  /** Q132: COLUMN PROFILE — per-column non-null / null / exact
+    * distinct counts and min/max (rendered as strings so one report
+    * schema covers every column type), the schema-discovery companion
+    * to `audit`: run it on an unfamiliar batch to LEARN the bounds,
+    * then freeze them as audit predicates.
+    *
+    * Scale design: all columns profile in ONE scan — a single
+    * aggregate carrying 4 expressions per column; the multiple exact
+    * `count(distinct)` aggregates plan as one Expand (k row-copies,
+    * each keeping one column) feeding one shuffle, never k separate
+    * scans of the table. The wide single-row result then unpivots
+    * with `stack` — driver-side cost is k rows, nothing else. Min/max
+    * is computed natively per type and cast to string only at the end,
+    * so numeric comparison semantics are preserved.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    require(cols.forall(_.matches("[A-Za-z0-9_]+")),
+      "profile column names must be identifier-simple")
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      min(col(c)).cast("string").as(s"mn_$c"),
+      max(col(c)).cast("string").as(s"mx_$c")) }
+    val wide = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = cols.map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c")
+      .mkString(", ")
+    wide.selectExpr("n_rows",
+        s"stack(${cols.size}, $stackArgs) AS " +
+          "(column_name, n_nonnull, n_distinct, min_val, max_val)")
+      .select(col("column_name"), col("n_nonnull"),
+        (col("n_rows") - col("n_nonnull")).as("n_null"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Table-maintenance operators: keyed upsert (MERGE) and snapshot
@@ -59,5 +60,36 @@ object MergeOps {
           .when(!same, lit("changed")))
       .filter(col("change").isNotNull)
       .select(keyCols.map(col) :+ col("change"): _*)
+  }
+
+  /** Q131: SCD TYPE-2 BUILD — collapse a keyed change feed into
+    * validity intervals: consecutive rows with the same attribute
+    * value merge into one interval (gaps-and-islands), `valid_to` is
+    * the next interval's start (null = current). The dimension-table
+    * half of CDC that the upsert above only does latest-wins for.
+    *
+    * Scale design: two window passes over the SAME (key) partitioning
+    * and (ts, tie) ordering — Catalyst plans them in one sort+shuffle
+    * (the second window reuses the child's ordering), so the whole
+    * history rewrite is one shuffle on the key with O(1) window state.
+    * `tieCol` (assumed unique per key) makes equal-timestamp feeds
+    * deterministic — without it, lag/lead on tied timestamps would be
+    * run-order dependent and the build unreproducible.
+    *
+    * Runs of null attribute values are dropped (null <> null is
+    * unknown in SQL, so a null run can't open an interval); feeds
+    * that need null-as-state should encode it as a sentinel first.
+    */
+  def scd2(feed: DataFrame, keyCol: String, attrCol: String,
+           tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    feed
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .filter(col("__prev").isNull && col(attrCol).isNotNull ||
+        col("__prev") =!= col(attrCol))
+      .select(col(keyCol), col(attrCol),
+        col(tsCol).as("valid_from"),
+        lead(col(tsCol), 1).over(w).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull.cast("int"))
   }
 }

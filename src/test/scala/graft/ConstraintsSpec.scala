@@ -48,4 +48,35 @@ class ConstraintsSpec extends SparkSpec {
     assert(out.getLong(1) === 3L)
     assert(out.getLong(2) === 1L) // only key 9 is an orphan
   }
+
+  test("profile reports nulls, exact distincts, and typed min/max per column") {
+    val df = Seq(
+      (Some(5L), Some("b")), (Some(10L), None),
+      (Some(5L), Some("a")), (None, Some("a")))
+      .toDF("num", "str")
+    val out = Constraints.profile(df, Seq("num", "str"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    // numeric min/max compared as LONGS before the string render:
+    // min 5 / max 10, not the lexicographic "10" < "5"
+    assert(out("num") === ((3L, 1L, 2L, "5", "10")))
+    assert(out("str") === ((3L, 1L, 2L, "a", "b")))
+  }
+
+  test("profile of k columns stays a single scan (one Expand, one FileScan)") {
+    val orders = graft.io.Tables.parquet(spark, sf, "orders")
+    val plan = Constraints.profile(orders,
+        Seq("o_orderkey", "o_custkey", "o_orderstatus"))
+      .queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(plan).size === 1, plan)
+  }
+
+  test("profile rejects non-identifier column names") {
+    val df = Seq(1L).toDF("ok")
+    intercept[IllegalArgumentException] {
+      Constraints.profile(df.withColumnRenamed("ok", "bad name"), Seq("bad name"))
+    }
+  }
 }

@@ -35,4 +35,38 @@ class MergeOpsSpec extends SparkSpec {
     // 1 unchanged (omitted), 4 null-valued unchanged (null-safe compare)
     assert(out === Map(2L -> "changed", 3L -> "removed", 5L -> "added"))
   }
+
+  test("scd2 collapses runs, closes intervals, flags the current row") {
+    // key 1: A A B A  → intervals A[10,30) B[30,40) A[40,∞)
+    // key 2: X        → X[10,∞)
+    val feed = Seq(
+      (1L, "A", 10L, 1L), (1L, "A", 20L, 2L), (1L, "B", 30L, 3L),
+      (1L, "A", 40L, 4L), (2L, "X", 10L, 5L))
+      .toDF("k", "status", "t", "id")
+    val out = MergeOps.scd2(feed, "k", "status", "t", "id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getInt(4)))
+      .toSet
+    assert(out === Set(
+      (1L, "A", 10L, Some(30L), 0), (1L, "B", 30L, Some(40L), 0),
+      (1L, "A", 40L, None, 1), (2L, "X", 10L, None, 1)))
+  }
+
+  test("scd2 breaks equal-timestamp ties deterministically by the tie column") {
+    val feed = Seq((1L, "A", 10L, 2L), (1L, "B", 10L, 1L))
+      .toDF("k", "status", "t", "id")
+    // order is (t, id): B then A — so B closes at 10, A is current
+    val out = MergeOps.scd2(feed, "k", "status", "t", "id")
+      .collect().map(r => (r.getString(1), r.getInt(4))).toSet
+    assert(out === Set(("B", 0), ("A", 1)))
+  }
+
+  test("scd2 drops null-status runs instead of opening intervals on them") {
+    val feed = Seq((1L, null.asInstanceOf[String], 5L, 1L), (1L, "A", 10L, 2L))
+      .toDF("k", "status", "t", "id")
+    val out = MergeOps.scd2(feed, "k", "status", "t", "id")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getInt(4)))
+    assert(out.toSeq === Seq(("A", 10L, 1)))
+  }
 }
