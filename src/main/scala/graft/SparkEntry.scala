@@ -891,6 +891,24 @@ object SparkEntry {
     "q132_profile" -> ((s, dir) =>
       Constraints.profile(t(s, dir, "orders"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
+    // join-view maintenance: stored view + Δ(L⋈R) must equal the full
+    // join of the grown inputs (the oracle is the PLAIN join — the
+    // incremental algebra has to be invisible in the result)
+    "q133_delta_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      val oldL = li.filter(col("l_linenumber") <= 4)
+      val dL = li.filter(col("l_linenumber") > 4)
+      val oldR = ord.filter(col("o_orderkey") % 3 =!= 0)
+      val dR = ord.filter(col("o_orderkey") % 3 === 0)
+      MergeOps.joinViewDelta(oldL, dL, oldR, dR, "l_orderkey", "o_orderkey")
+        .unionByName( // the stored view, built before the batches landed
+          oldL.join(oldR, col("l_orderkey") === col("o_orderkey")))
+        .select("l_orderkey", "l_linenumber", "l_returnflag",
+          "o_custkey", "o_orderpriority")
+    }),
   )
 
   private val q10Sql =
@@ -2631,5 +2649,11 @@ object SparkEntry {
            |       CAST(max($c) AS VARCHAR) AS max_val
            |FROM orders""".stripMargin)
       .mkString("\nUNION ALL\n"),
+    // the maintained view must equal the plain join — no incremental
+    // term may duplicate or drop a pair
+    "q133_delta_join" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |       o_custkey, o_orderpriority
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
   )
 }

@@ -92,4 +92,37 @@ object MergeOps {
         lead(col(tsCol), 1).over(w).as("valid_to"))
       .withColumn("is_current", col("valid_to").isNull.cast("int"))
   }
+
+  /** Q133: INCREMENTAL JOIN-VIEW MAINTENANCE — the delta of an
+    * inner-join materialized view under inserts on both sides:
+    *
+    *   Δ(L ⋈ R) = ΔL ⋈ R  ∪  L ⋈ ΔR  ∪  ΔL ⋈ ΔR
+    *
+    * (classic incremental view maintenance; append the returned delta
+    * to the stored view and it equals the full join of the grown
+    * inputs). The aggregate case of this algebra is q129; the
+    * index-artifact case is q128; this is the join case — together
+    * they let every derived artifact in the pipeline refresh in
+    * O(batch) instead of O(corpus).
+    *
+    * Scale design: the old sides appear only JOINED AGAINST a delta,
+    * never against each other — the O(|L|·|R|) term was already paid
+    * when the view was built and is never recomputed. Each delta term
+    * shuffles (or broadcasts — deltas are usually dimension-sized, and
+    * AQE sees their stats) on the equi-key, and the stored view itself
+    * is untouched: at 100 TB the refresh reads the two batch
+    * directories plus one key-pruned pass over each standing side.
+    * Insert-only by contract (lake appends); updates/deletes route
+    * through `upsert`/`snapshotDiff` followed by a view rebuild of the
+    * touched keys.
+    */
+  def joinViewDelta(oldLeft: DataFrame, deltaLeft: DataFrame,
+                    oldRight: DataFrame, deltaRight: DataFrame,
+                    leftKey: String, rightKey: String): DataFrame = {
+    def j(l: DataFrame, r: DataFrame): DataFrame =
+      l.join(r, col(leftKey) === col(rightKey), "inner")
+    j(deltaLeft, oldRight)
+      .unionByName(j(oldLeft, deltaRight))
+      .unionByName(j(deltaLeft, deltaRight))
+  }
 }

@@ -69,4 +69,27 @@ class MergeOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(1), r.getLong(2), r.getInt(4)))
     assert(out.toSeq === Seq(("A", 10L, 1)))
   }
+
+  test("joinViewDelta: stored view + delta equals the full join, exactly once") {
+    val oldL = Seq((1L, "a"), (2L, "b")).toDF("lk", "lv")
+    val dL = Seq((2L, "b2"), (3L, "c")).toDF("lk", "lv")
+    val oldR = Seq((1L, 10), (3L, 30)).toDF("rk", "rv")
+    val dR = Seq((2L, 20), (3L, 31)).toDF("rk", "rv")
+    val delta = MergeOps.joinViewDelta(oldL, dL, oldR, dR, "lk", "rk")
+    val maintained = delta
+      .unionByName(oldL.join(oldR, $"lk" === $"rk"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3))).toSeq
+    val full = oldL.unionByName(dL)
+      .join(oldR.unionByName(dR), $"lk" === $"rk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3))).toSeq
+    // multiset equality — IVM must neither drop nor duplicate a pair
+    assert(maintained.groupBy(identity).view.mapValues(_.size).toMap ===
+      full.groupBy(identity).view.mapValues(_.size).toMap)
+    // and the delta never re-derives an old⋈old pair
+    val oldPairs = oldL.join(oldR, $"lk" === $"rk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3))).toSet
+    val deltaPairs = delta
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3))).toSet
+    assert(deltaPairs.intersect(oldPairs).isEmpty)
+  }
 }
