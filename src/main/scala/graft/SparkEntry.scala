@@ -909,6 +909,11 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_returnflag",
           "o_custkey", "o_orderpriority")
     }),
+    // order-independent replication digest over engine-portable
+    // (integer/string) columns
+    "q134_digest" -> ((s, dir) =>
+      Constraints.contentDigest(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
   )
 
   private val q10Sql =
@@ -2655,5 +2660,13 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_returnflag,
         |       o_custkey, o_orderpriority
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+    // same 60-bit row hash XOR'd — order-independent on both engines
+    "q134_digest" ->
+      """SELECT count(*) AS n_rows,
+        |       COALESCE(bit_xor(CAST(('0x' || substr(md5(
+        |         concat_ws(chr(1), o_orderkey::VARCHAR, o_custkey::VARCHAR,
+        |                   o_orderstatus, o_orderpriority)),
+        |         1, 15)) AS BIGINT)), 0) AS digest
+        |FROM orders""".stripMargin,
   )
 }

@@ -107,4 +107,33 @@ object Constraints {
         (col("n_rows") - col("n_nonnull")).as("n_null"),
         col("n_distinct"), col("min_val"), col("max_val"))
   }
+
+  /** Q134: CONTENT DIGEST — an order-independent fingerprint of a
+    * table's content: row count plus the XOR of a 60-bit per-row hash
+    * (md5 over the canonicalized column values). Two replicas match
+    * iff (n_rows, digest) match — the cheap way to validate a
+    * migration, replication, or engine swap without sorting either
+    * side or moving any rows.
+    *
+    * Scale design: embarrassingly parallel — a per-row projection
+    * into one partial-aggregated (count, xor) pair per partition,
+    * merged associatively; no shuffle of data, O(1) result, and XOR
+    * (unlike an integer sum) cannot overflow, so the digest is
+    * engine-exact at any row count. Caveat (documented, inherent to
+    * XOR): a row appearing an even number of times cancels out of the
+    * digest — n_rows catches pure duplication, but a paired
+    * add+remove of the SAME row is invisible; use `snapshotDiff` when
+    * per-row attribution matters. Columns are cast to string before
+    * hashing; callers pick columns whose rendering is
+    * engine-portable (integers, strings — not floats).
+    */
+  def contentDigest(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "contentDigest needs at least one column")
+    val canon = concat_ws("\u0001", cols.map(c => col(c).cast("string")): _*)
+    // 15 hex chars = 60 bits: inside the positive BIGINT range on
+    // every engine, so the hex→int parse can never overflow-diverge
+    val rowHash = conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
+    df.agg(count(lit(1)).as("n_rows"),
+      coalesce(bit_xor(rowHash), lit(0L)).as("digest"))
+  }
 }

@@ -79,4 +79,28 @@ class ConstraintsSpec extends SparkSpec {
       Constraints.profile(df.withColumnRenamed("ok", "bad name"), Seq("bad name"))
     }
   }
+
+  test("contentDigest is row-order independent and value sensitive") {
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
+    val b = Seq((3L, "z"), (1L, "x"), (2L, "y")).toDF("k", "v") // shuffled
+    val c = Seq((1L, "x"), (2L, "y"), (3L, "Z")).toDF("k", "v") // one value off
+    def dig(df: org.apache.spark.sql.DataFrame) =
+      Constraints.contentDigest(df, Seq("k", "v")).collect().head
+    val (da, db, dc) = (dig(a), dig(b), dig(c))
+    assert(da.getLong(0) === 3L && da === db)
+    assert(da.getLong(1) !== dc.getLong(1))
+  }
+
+  test("contentDigest separator disambiguates value boundaries") {
+    val ab = Seq(("ab", "c")).toDF("x", "y")
+    val a_bc = Seq(("a", "bc")).toDF("x", "y")
+    assert(Constraints.contentDigest(ab, Seq("x", "y")).collect().head.getLong(1)
+      !== Constraints.contentDigest(a_bc, Seq("x", "y")).collect().head.getLong(1))
+  }
+
+  test("contentDigest of an empty table is (0, 0), not null") {
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    val r = Constraints.contentDigest(empty, Seq("k", "v")).collect().head
+    assert(r.getLong(0) === 0L && r.getLong(1) === 0L)
+  }
 }
