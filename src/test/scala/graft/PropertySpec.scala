@@ -247,4 +247,24 @@ class PropertySpec extends SparkSpec {
         assert(again === sLo)          // deterministic
       }
   }
+
+  test("content digest: permutation-invariant, single-row-change sensitive") {
+    val rows = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0L, 50L), Gen.alphaStr.map(_.take(8))))
+    samples(rows, 4).foreach { vs =>
+      def dig(xs: Seq[(Long, String)]): (Long, Long) = {
+        val r = graft.ops.Constraints
+          .contentDigest(xs.toDF("k", "v"), Seq("k", "v")).collect().head
+        (r.getLong(0), r.getLong(1))
+      }
+      val base = dig(vs)
+      assert(dig(scala.util.Random.javaRandomToRandom(
+        new java.util.Random(7)).shuffle(vs)) === base) // any order
+      // flipping one row's value moves the digest (count unchanged)
+      val flipped = vs.updated(0, (vs.head._1, vs.head._2 + "!"))
+      val d2 = dig(flipped)
+      assert(d2._1 === base._1)
+      assert(d2._2 !== base._2)
+    }
+  }
 }
