@@ -233,8 +233,7 @@ object SparkEntry {
         sc, "postings")
       sc
     })
-    TextOps.searchPostings(TextOps.loadPostings(s, scope, "postings"),
-      keywordQueries)
+    TextOps.searchPostingsArtifact(s, scope, "postings", keywordQueries)
   }
 
   /** q121: schema evolution — the documents "dataset" written as two
@@ -285,8 +284,7 @@ object SparkEntry {
         sc, "postings")
       sc
     })
-    TextOps.searchPostings(TextOps.loadPostings(s, scope, "postings"),
-      keywordQueries)
+    TextOps.searchPostingsArtifact(s, scope, "postings", keywordQueries)
   }
 
   /** q129: the class-centroid DRIFT MONITOR maintained incrementally —
@@ -2660,13 +2658,26 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_returnflag,
         |       o_custkey, o_orderpriority
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
-    // same 60-bit row hash XOR'd — order-independent on both engines
-    "q134_digest" ->
-      """SELECT count(*) AS n_rows,
-        |       COALESCE(bit_xor(CAST(('0x' || substr(md5(
-        |         concat_ws(chr(1), o_orderkey::VARCHAR, o_custkey::VARCHAR,
-        |                   o_orderstatus, o_orderpriority)),
-        |         1, 15)) AS BIGINT)), 0) AS digest
-        |FROM orders""".stripMargin,
+    // same 60-bit row hash, XOR'd AND summed mod 2^60 — both combines
+    // order-independent on both engines; each column canonicalized as
+    // length ':' value with NULL as -1: (prefix-unambiguous, so NULLs
+    // and separator-bearing values cannot collide)
+    "q134_digest" -> {
+      def canon(c: String) =
+        s"concat(COALESCE(length($c::VARCHAR), -1)::VARCHAR, ':', " +
+          s"COALESCE($c::VARCHAR, ''))"
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority").map(canon).mkString(",\n        ")
+      s"""WITH h AS (
+         |  SELECT CAST(('0x' || substr(md5(concat_ws(chr(1),
+         |        $cols)),
+         |      1, 15)) AS BIGINT) AS rh
+         |  FROM orders)
+         |SELECT count(*) AS n_rows,
+         |       COALESCE(bit_xor(rh), 0) AS digest,
+         |       CAST(COALESCE(sum(CAST(rh AS HUGEINT)), 0)
+         |            % 1152921504606846976 AS BIGINT) AS digest_sum
+         |FROM h""".stripMargin
+    },
   )
 }

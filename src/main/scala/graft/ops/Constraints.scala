@@ -27,6 +27,10 @@ object Constraints {
     */
   def audit(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty, "audit needs at least one check")
+    // names are interpolated into the stack() selectExpr below — hold
+    // them to the same identifier-simple contract as profile()'s columns
+    require(checks.forall(_._1.matches("[A-Za-z0-9_]+")),
+      "audit check names must be identifier-simple")
     val aggs = count(lit(1)).as("n_checked") +:
       checks.map { case (name, pred) =>
         sum(pred.cast("long")).as(s"v_$name")
@@ -109,31 +113,45 @@ object Constraints {
   }
 
   /** Q134: CONTENT DIGEST — an order-independent fingerprint of a
-    * table's content: row count plus the XOR of a 60-bit per-row hash
-    * (md5 over the canonicalized column values). Two replicas match
-    * iff (n_rows, digest) match — the cheap way to validate a
-    * migration, replication, or engine swap without sorting either
-    * side or moving any rows.
+    * table's content: row count plus TWO combines of a 60-bit per-row
+    * hash (md5 over the canonicalized column values): the XOR and the
+    * mod-2^60 SUM. Two replicas match iff (n_rows, digest, digest_sum)
+    * match — the cheap way to validate a migration, replication, or
+    * engine swap without sorting either side or moving any rows.
     *
     * Scale design: embarrassingly parallel — a per-row projection
-    * into one partial-aggregated (count, xor) pair per partition,
-    * merged associatively; no shuffle of data, O(1) result, and XOR
-    * (unlike an integer sum) cannot overflow, so the digest is
-    * engine-exact at any row count. Caveat (documented, inherent to
-    * XOR): a row appearing an even number of times cancels out of the
-    * digest — n_rows catches pure duplication, but a paired
-    * add+remove of the SAME row is invisible; use `snapshotDiff` when
-    * per-row attribution matters. Columns are cast to string before
-    * hashing; callers pick columns whose rendering is
-    * engine-portable (integers, strings — not floats).
+    * into one partial-aggregated (count, xor, sum) triple per
+    * partition, merged associatively; no shuffle of data, O(1) result.
+    * The two combines cover each other's blind spot: XOR is blind to
+    * rows appearing an EVEN number of times (a paired add+remove of
+    * the same row set cancels), which the wrap-around SUM catches; the
+    * sum accumulates in decimal(38,0) and reduces mod 2^60 at the end,
+    * so it is overflow-exact on both engines up to ~10^18 rows. Use
+    * `snapshotDiff` when per-row attribution matters.
+    *
+    * Row canonicalization is COLLISION-FREE by construction: every
+    * column renders as `length ':' value` with NULL as `-1:` — the
+    * length prefix makes the encoding prefix-unambiguous, so values
+    * containing the field separator, empty strings, and NULLs in any
+    * position all hash distinctly (plain concat_ws SKIPS null columns,
+    * which would make ("a", NULL) and (NULL, "a") collide). Callers
+    * pick columns whose string rendering is engine-portable (integers,
+    * strings — not floats).
     */
   def contentDigest(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "contentDigest needs at least one column")
-    val canon = concat_ws("\u0001", cols.map(c => col(c).cast("string")): _*)
+    val canon = concat_ws("\u0001", cols.map { c =>
+      val s = col(c).cast("string")
+      concat(coalesce(length(s), lit(-1)).cast("string"), lit(":"),
+        coalesce(s, lit("")))
+    }: _*)
     // 15 hex chars = 60 bits: inside the positive BIGINT range on
-    // every engine, so the hex→int parse can never overflow-diverge
+    // every engine, so the hex->int parse can never overflow-diverge
     val rowHash = conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
     df.agg(count(lit(1)).as("n_rows"),
-      coalesce(bit_xor(rowHash), lit(0L)).as("digest"))
+      coalesce(bit_xor(rowHash), lit(0L)).as("digest"),
+      coalesce(pmod(sum(rowHash.cast("decimal(38,0)")),
+          lit(1152921504606846976L).cast("decimal(38,0)")), lit(0))
+        .cast("long").as("digest_sum"))
   }
 }

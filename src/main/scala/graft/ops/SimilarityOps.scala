@@ -562,22 +562,51 @@ object SimilarityOps {
   final case class PqIndex(codes: DataFrame, codebooks: DataFrame,
                            m: Int, dsub: Int)
 
+  /** Corpus row counts memoized per canonical plan, so the six index
+    * builds that share one embeddings table pay the sizing count ONCE
+    * per process, not once per build. Keyed by semanticHash: a hash
+    * collision can only mis-SIZE the thin rate (perf), never the
+    * sample — [[trainSample]] detects under-delivery from the
+    * materialized result and falls back to the unthinned tournament.
+    */
+  private val corpusCounts =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+
   /** Shared by the IVF and PQ builds: the deterministic hash-sampled,
     * vec_id-sorted, single-partition training frame (see
     * [[buildIvfIndex]]'s scaladoc for why each property matters).
+    *
+    * ONE corpus pass per build (after the per-corpus sizing count,
+    * paid once per process): the hash-threshold thin and the bounded
+    * top-trainN tournament run in the same scan, and the winners are
+    * MATERIALIZED here (≤ trainN rows — both consumers localize the
+    * sample anyway: PQ collects it, IVF fits driver-scheduled k-means
+    * on it). Under-delivery — the thinned set holding fewer than
+    * trainN rows, a vanishing-probability tail at thin rate 4×trainN/n
+    * — is detected from the materialized result's SIZE, not a second
+    * driver count() of the candidate set, and falls back to the
+    * unthinned tournament; either way the returned sample is exactly
+    * the trainN smallest (hash, vec_id) rows of the corpus.
     */
   private def trainSample(embeddings: DataFrame, trainN: Int): DataFrame = {
+    val spark = embeddings.sparkSession
     val hkey = "(hash(vec_id) & 2147483647)"
-    val n = embeddings.count()
+    val planKey = embeddings.queryExecution.analyzed.semanticHash()
+    val n: Long = corpusCounts.computeIfAbsent(planKey, _ => embeddings.count())
     val rate = if (n == 0) 1.0 else math.min(1.0, 4.0 * trainN / n)
-    val pre =
-      if (rate >= 1.0) embeddings
-      else {
-        val cand = embeddings.filter(expr(s"$hkey < ${(rate * (1L << 31)).toLong}L"))
-        if (cand.count() >= trainN) cand else embeddings
-      }
-    pre.orderBy(expr(hkey), col("vec_id")).limit(trainN)
-      .orderBy("vec_id").coalesce(1)
+    def pick(src: DataFrame): Array[org.apache.spark.sql.Row] =
+      src.orderBy(expr(hkey), col("vec_id")).limit(trainN).collect()
+    val thinned =
+      if (rate >= 1.0) pick(embeddings)
+      else pick(embeddings.filter(
+        expr(s"$hkey < ${(rate * (1L << 31)).toLong}L")))
+    val rows =
+      if (thinned.length >= math.min(trainN.toLong, n)) thinned
+      else pick(embeddings) // under-delivered thin: rare, exact fallback
+    val idIdx = embeddings.schema.fieldIndex("vec_id")
+    val local = new java.util.ArrayList[org.apache.spark.sql.Row](rows.length)
+    rows.sortBy(_.getLong(idIdx)).foreach(local.add)
+    spark.createDataFrame(local, embeddings.schema).coalesce(1)
   }
 
   /** Deterministic Lloyd's k-means with k-means++ seeding, run on the
@@ -1181,6 +1210,13 @@ object SimilarityOps {
                        labelCol: String = "label"): DataFrame = {
     val sp = embeddings.sparkSession
     import sp.implicits._
+    // the collected centroid map and the element_at key below both
+    // read the label as Int — fail at plan time on any other type
+    // instead of a ClassCastException mid-job
+    require(embeddings.schema(labelCol).dataType ==
+        org.apache.spark.sql.types.IntegerType,
+      s"centroidOutliers requires an INT label column, got " +
+        s"${embeddings.schema(labelCol).dataType.simpleString} for '$labelCol'")
     val s = 1L << scaleBits
     val cents: Map[Int, Seq[Long]] = labelCentroids(embeddings, scaleBits, labelCol)
       .collect()

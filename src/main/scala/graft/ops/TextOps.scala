@@ -361,10 +361,29 @@ object TextOps {
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
 
+  /** Persist the postings WITH their bucket-universe metadata: the
+    * rows land partitioned by bucket under `name/rows`, and nBuckets —
+    * the one parameter probe and append must agree with the build on —
+    * rides beside them under `name/meta`. A probe or append that
+    * assumed a different nBuckets would silently prune VALID postings
+    * out of results (wrong answers, not an error), so the artifact
+    * records it and [[appendPostings]]/[[searchPostingsArtifact]] read
+    * it back instead of taking an independent parameter.
+    */
   def savePostings(postings: DataFrame, scope: graft.core.Scope,
-                   name: String): Unit =
+                   name: String, nBuckets: Int = 64): Unit = {
+    val spark = postings.sparkSession
+    import spark.implicits._
     postings.write.mode("overwrite").partitionBy("bucket")
-      .parquet(scope.path(name))
+      .parquet(scope.path(s"$name/rows"))
+    Seq(nBuckets).toDF("n_buckets").write.mode("overwrite")
+      .parquet(scope.path(s"$name/meta"))
+  }
+
+  /** The artifact's recorded bucket universe. */
+  def postingsNBuckets(spark: org.apache.spark.sql.SparkSession,
+                       scope: graft.core.Scope, name: String): Int =
+    spark.read.parquet(scope.path(s"$name/meta")).head().getInt(0)
 
   /** Q128: incremental index maintenance — APPEND a new document
     * batch's postings to the stored artifact. O(batch): the batch is
@@ -372,22 +391,36 @@ object TextOps {
     * touches only the bucket directories its terms hash into; stored
     * postings are never read or rewritten (the q83 shape, without
     * even a frozen quantizer to drift — the term hash is stateless).
-    * CONTRACT: append batches must be doc-disjoint from the stored
-    * corpus — [[searchPostings]] sums stored tf per (term, doc), so
+    * nBuckets comes from the artifact's own metadata, so an append can
+    * never scatter a term across two bucket universes. CONTRACT:
+    * append batches must be doc-disjoint from the stored corpus —
+    * [[searchPostings]] sums stored tf per (term, doc), so
     * re-ingesting a document would double-count it (dedup upstream is
     * exactly q59's job).
     */
   def appendPostings(batch: DataFrame, scope: graft.core.Scope,
-                     name: String, nBuckets: Int = 64): Unit =
-    buildPostings(batch, nBuckets).write.mode("append")
-      .partitionBy("bucket").parquet(scope.path(name))
+                     name: String): Unit =
+    buildPostings(batch, postingsNBuckets(batch.sparkSession, scope, name))
+      .write.mode("append")
+      .partitionBy("bucket").parquet(scope.path(s"$name/rows"))
 
   /** Reload; `bucket` comes back as a partition column, so
     * [[searchPostings]]' bucket filter prunes directories, not rows.
     */
   def loadPostings(spark: org.apache.spark.sql.SparkSession,
                    scope: graft.core.Scope, name: String): DataFrame =
-    spark.read.parquet(scope.path(name))
+    spark.read.parquet(scope.path(s"$name/rows"))
+
+  /** Probe the STORED artifact under its own recorded nBuckets — the
+    * drift-proof entry ([[searchPostings]] stays available for
+    * in-memory postings the caller just built).
+    */
+  def searchPostingsArtifact(spark: org.apache.spark.sql.SparkSession,
+                             scope: graft.core.Scope, name: String,
+                             queries: Map[String, Seq[String]],
+                             k: Int = 10): DataFrame =
+    searchPostings(loadPostings(spark, scope, name), queries, k,
+      postingsNBuckets(spark, scope, name))
 
   /** The probe half of the q120 artifact: [[keywordSearch]] semantics
     * evaluated against the postings instead of the corpus. The query

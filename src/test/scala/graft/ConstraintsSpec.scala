@@ -98,9 +98,47 @@ class ConstraintsSpec extends SparkSpec {
       !== Constraints.contentDigest(a_bc, Seq("x", "y")).collect().head.getLong(1))
   }
 
-  test("contentDigest of an empty table is (0, 0), not null") {
+  test("contentDigest of an empty table is (0, 0, 0), not null") {
     val empty = Seq.empty[(Long, String)].toDF("k", "v")
     val r = Constraints.contentDigest(empty, Seq("k", "v")).collect().head
-    assert(r.getLong(0) === 0L && r.getLong(1) === 0L)
+    assert(r.getLong(0) === 0L && r.getLong(1) === 0L && r.getLong(2) === 0L)
+  }
+
+  test("contentDigest distinguishes which column is NULL") {
+    // plain concat_ws would render ("a", NULL) and (NULL, "a")
+    // identically — the length-prefixed canonicalization must not
+    val an = Seq((Some("a"), Option.empty[String])).toDF("x", "y")
+    val na = Seq((Option.empty[String], Some("a"))).toDF("x", "y")
+    val ae = Seq((Some("a"), Some(""))).toDF("x", "y") // NULL vs empty
+    def dig(df: org.apache.spark.sql.DataFrame) =
+      Constraints.contentDigest(df, Seq("x", "y")).collect().head.getLong(1)
+    assert(dig(an) !== dig(na))
+    assert(dig(an) !== dig(ae))
+  }
+
+  test("contentDigest disambiguates separator-bearing values next to NULLs") {
+    val sep = ""
+    val a = Seq((Some(s"a${sep}1b"), Some(""))).toDF("x", "y")
+    val b = Seq((Some("a"), Some(s"1b$sep"))).toDF("x", "y")
+    def dig(df: org.apache.spark.sql.DataFrame) =
+      Constraints.contentDigest(df, Seq("x", "y")).collect().head.getLong(1)
+    assert(dig(a) !== dig(b))
+  }
+
+  test("contentDigest sum catches even-multiplicity duplication XOR misses") {
+    val once = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val twice = Seq((1L, "x"), (1L, "x"), (2L, "y"), (2L, "y"), (2L, "y"))
+      .toDF("k", "v")
+    val da = Constraints.contentDigest(once, Seq("k", "v")).collect().head
+    val db = Constraints.contentDigest(twice, Seq("k", "v")).collect().head
+    // same distinct rows, different multiset → digest_sum must differ
+    assert(da.getLong(2) !== db.getLong(2))
+  }
+
+  test("audit rejects non-identifier check names") {
+    val df = Seq(1L).toDF("ok")
+    intercept[IllegalArgumentException] {
+      Constraints.audit(df, Seq("bad'name" -> col("ok").isNull))
+    }
   }
 }

@@ -252,10 +252,10 @@ class PropertySpec extends SparkSpec {
     val rows = Gen.nonEmptyListOf(
       Gen.zip(Gen.chooseNum(0L, 50L), Gen.alphaStr.map(_.take(8))))
     samples(rows, 4).foreach { vs =>
-      def dig(xs: Seq[(Long, String)]): (Long, Long) = {
+      def dig(xs: Seq[(Long, String)]): (Long, Long, Long) = {
         val r = graft.ops.Constraints
           .contentDigest(xs.toDF("k", "v"), Seq("k", "v")).collect().head
-        (r.getLong(0), r.getLong(1))
+        (r.getLong(0), r.getLong(1), r.getLong(2))
       }
       val base = dig(vs)
       assert(dig(scala.util.Random.javaRandomToRandom(
@@ -264,7 +264,14 @@ class PropertySpec extends SparkSpec {
       val flipped = vs.updated(0, (vs.head._1, vs.head._2 + "!"))
       val d2 = dig(flipped)
       assert(d2._1 === base._1)
-      assert(d2._2 !== base._2)
+      assert((d2._2 !== base._2) || (d2._3 !== base._3))
+      // duplicating one row an ODD extra time keeps XOR blind only if
+      // paired — the SUM digest must move even when a row is doubled
+      // (even multiplicity, the XOR blind spot)
+      val doubled = vs.head +: vs
+      val d3 = dig(doubled)
+      assert(d3._1 === base._1 + 1)
+      assert(d3._3 !== base._3) // sum catches what XOR cancels
     }
   }
 }
