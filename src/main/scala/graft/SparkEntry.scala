@@ -334,6 +334,43 @@ object SparkEntry {
       SimilarityOps.bruteForceKnn(emb), k = 10, minRecall = 0.7)
   }
 
+  /** q135: the dedup cluster LABELS maintained incrementally — the
+    * label artifact is built from the even half of the corpus, the odd
+    * half's candidate edges (within-batch q13+q27 pairs plus the two
+    * cross-side generators) are MERGED into the persisted artifact in
+    * O(batch + touched components) ([[ClusterOps.mergeClusterEdges]]:
+    * endpoint lookup → bucket-pruned member load → size-adaptive CC →
+    * touched-bucket-only rewrite), and the stored labels are probed
+    * over the full corpus. Candidate pairs decompose exactly by side
+    * (signatures are per-document), so the oracle is q41's FULL-
+    * RECOMPUTE recursive CTE over all documents — bit-identical, the
+    * q129/q133 incremental-algebra contract.
+    */
+  private val q135Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
+
+  private def incrClusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scope = q135Scopes.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-q135-")
+      sys.addShutdownHook(deleteRecursively(base))
+      val sc = graft.core.Scopes.create(s, base.toString)
+      val hist = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+      val histEdges = DedupOps.minhashLshPairs(hist).select("doc_a", "doc_b")
+        .union(DedupOps.simhashPairs(hist).select("doc_a", "doc_b"))
+      ClusterOps.saveClusterLabels(
+        ClusterOps.connectedComponents(hist, histEdges), sc, "labels")
+      val batchEdges = DedupOps.minhashLshPairs(batch).select("doc_a", "doc_b")
+        .union(DedupOps.simhashPairs(batch).select("doc_a", "doc_b"))
+        .union(DedupOps.incrementalNearDupCandidates(batch, hist)
+          .select(col("doc_new").as("doc_a"), col("doc_existing").as("doc_b")))
+        .union(DedupOps.simhashCrossPairs(batch, hist).select("doc_a", "doc_b"))
+      ClusterOps.mergeClusterEdges(s, sc, "labels", batchEdges)
+      sc
+    })
+    ClusterOps.loadClusterLabels(s, scope, "labels", docs)
+  }
+
   /** q84: the write-once/join-many bucketed layout — orders and
     * customer are materialized as tables bucketed+sorted on custkey
     * ([[graft.io.Layout.writeBucketed]]), so the per-query join runs
@@ -560,6 +597,8 @@ object SparkEntry {
       Relational.customerOrderExistence(t(s, dir, "customer"), t(s, dir, "orders"))),
     "q41_dedup_clusters" -> ((s, dir) =>
       ClusterOps.nearDupClusters(t(s, dir, "documents"))),
+    // incremental label maintenance held to q41's full-recompute oracle
+    "q135_incr_clusters" -> (incrClusterLabels _),
     "q43_image_decode" -> ((s, dir) =>
       MultimodalOps.imageRoundTrip(t(s, dir, "documents"))),
     "q44_percentile_gate" -> ((s, dir) =>
@@ -2259,6 +2298,9 @@ object SparkEntry {
     // Connected components as a recursive transitive closure — fine at
     // oracle scale; the engine side uses large-star/small-star instead.
     "q41_dedup_clusters" -> dedupClustersSql,
+    // the incrementally-maintained artifact must reproduce the full
+    // recompute bit-identically — same oracle as q41
+    "q135_incr_clusters" -> dedupClustersSql,
     "q47_dedup_apply" ->
       s"""WITH labels AS ($dedupClustersSql),
          |sizes AS (SELECT canonical_id, count(*) AS n FROM labels

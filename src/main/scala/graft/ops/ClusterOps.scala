@@ -167,6 +167,177 @@ object ClusterOps {
         coalesce(col("canonical"), col("doc_id")).as("canonical_id"))
   }
 
+  /** Q135: the cluster LABEL ARTIFACT — (doc_id, canonical_id) rows
+    * persisted under a [[graft.core.Scope]], maintained INCREMENTALLY
+    * as new candidate edges arrive ([[mergeClusterEdges]]). This is
+    * the missing case of the incremental algebra: every ingest-time
+    * dedup decision reads these labels, and recomputing connected
+    * components over the full edge set per batch is O(corpus).
+    *
+    * Storage layout: only NON-IDENTITY rows are stored (docs in
+    * non-singleton clusters — a small fraction of the corpus; probes
+    * coalesce missing docs to themselves), hash-partitioned into
+    * `cbucket = pmod(xxhash64(canonical_id), nBuckets)` directories.
+    * Keying the partitioning by CANONICAL id is what makes maintenance
+    * component-local: all rows of one component live in one bucket, so
+    * a merge reads only the buckets of affected components (file-level
+    * pruning on a collected literal bucket list, the q120 shape) and
+    * rewrites only touched buckets (dynamic partition overwrite) —
+    * untouched components' files are never rewritten. nBuckets rides
+    * beside the rows as artifact metadata (the q128 contract: a probe
+    * or append can never assume a different bucket universe).
+    */
+  def saveClusterLabels(labels: DataFrame, scope: graft.core.Scope,
+                        name: String, nBuckets: Int = 32): Unit = {
+    val spark = labels.sparkSession
+    import spark.implicits._
+    labels.filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("canonical_id").cast("long").as("canonical_id"),
+        pmod(xxhash64(col("canonical_id")), lit(nBuckets.toLong))
+          .cast("int").as("cbucket"))
+      .write.mode("overwrite").partitionBy("cbucket")
+      .parquet(scope.path(s"$name/rows"))
+    Seq(nBuckets).toDF("n_buckets").write.mode("overwrite")
+      .parquet(scope.path(s"$name/meta"))
+  }
+
+  /** The artifact's recorded bucket universe. */
+  def clusterLabelsNBuckets(spark: org.apache.spark.sql.SparkSession,
+                            scope: graft.core.Scope, name: String): Int =
+    spark.read.parquet(scope.path(s"$name/meta")).head().getInt(0)
+
+  /** Stored label rows under the artifact's fixed schema — explicit so
+    * an artifact whose non-identity row set is EMPTY (every doc a
+    * singleton: zero data files under rows/) still reads as an empty
+    * frame instead of failing schema inference.
+    */
+  private def labelRows(spark: org.apache.spark.sql.SparkSession,
+                        scope: graft.core.Scope, name: String): DataFrame =
+    spark.read.schema("doc_id LONG, canonical_id LONG, cbucket INT")
+      .parquet(scope.path(s"$name/rows"))
+
+  /** Probe: the q41-shaped full label table for `vertices`, from the
+    * stored artifact — docs without a stored row are singletons
+    * labelled by themselves.
+    */
+  def loadClusterLabels(spark: org.apache.spark.sql.SparkSession,
+                        scope: graft.core.Scope, name: String,
+                        vertices: DataFrame): DataFrame =
+    vertices.select(col("doc_id").cast("long").as("doc_id"))
+      .join(labelRows(spark, scope, name).select("doc_id", "canonical_id"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+
+  /** Q135 MERGE: fold a new batch's candidate edges into the persisted
+    * label artifact in O(batch + touched components) — never O(corpus):
+    *
+    *  1. the new edges' ENDPOINT set (O(batch)) looks up its existing
+    *     labels with two broadcast joins against the stored rows — an
+    *     endpoint can appear as a stored doc (member of a cluster) or
+    *     as a stored CANONICAL (cluster representative, which by the
+    *     only-non-identity layout has no row of its own);
+    *  2. the affected components' MEMBERS load from only their
+    *     cbuckets (collected literal bucket list → file pruning at
+    *     listing time);
+    *  3. [[connectedComponents]] (size-adaptive: driver union-find
+    *     small, star loop big) resolves new edges ∪ member star edges
+    *     — a graph bounded by batch + touched members, whose labels
+    *     are PROVABLY the full-graph labels: components not adjacent
+    *     to a new edge cannot change (no edge reaches them), and every
+    *     component that is adjacent is loaded whole;
+    *  4. only touched buckets rewrite (dynamic partition overwrite of
+    *     kept + new rows); a bucket whose last component migrated to a
+    *     smaller canonical elsewhere is deleted explicitly — dynamic
+    *     overwrite cannot clear a partition absent from the output.
+    *
+    * Canonical ids only ever DECREASE under merge (the canonical is
+    * the component minimum), so stored rows never revert to identity
+    * and the non-identity invariant is stable. CONTRACT: edges carry
+    * doc ids from the same id space as the artifact; re-sending an
+    * already-merged edge is a harmless no-op (idempotent).
+    *
+    * Reference analogue: the scope-owned dataset lifecycle
+    * (reference: src/de/uni_stuttgart/ipvs_as/MapReduceWSIImpl.java:260-261).
+    */
+  def mergeClusterEdges(spark: org.apache.spark.sql.SparkSession,
+                        scope: graft.core.Scope, name: String,
+                        newEdges: DataFrame): Unit = {
+    import spark.implicits._
+    val nB = clusterLabelsNBuckets(spark, scope, name)
+    val rowsPath = scope.path(s"$name/rows")
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      pmod(xxhash64(c), lit(nB.toLong)).cast("int")
+    val edges = normalize(
+      newEdges.select(col("doc_a").cast("long").as("u"),
+        col("doc_b").cast("long").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (edges.isEmpty) return
+      val endpoints = edges.select(col("u").as("node"))
+        .union(edges.select(col("v").as("node"))).distinct()
+      val art = labelRows(spark, scope, name)
+      val affected = art
+        .join(broadcast(endpoints), art("doc_id") === endpoints("node"))
+        .select("canonical_id")
+        .union(art.join(broadcast(endpoints),
+            art("canonical_id") === endpoints("node"))
+          .select("canonical_id"))
+        .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+      val oldBuckets = affected.select(bucketOf(col("canonical_id")).as("b"))
+        .distinct().as[Int].collect().sorted
+      val members =
+        (if (oldBuckets.isEmpty) art.limit(0)
+         else art.filter(col("cbucket")
+           .isin(oldBuckets.map(Integer.valueOf): _*)))
+          .join(broadcast(affected), Seq("canonical_id"))
+          .select("doc_id", "canonical_id")
+      val verts = endpoints.select(col("node").as("doc_id"))
+        .union(members.select("doc_id"))
+        .union(members.select(col("canonical_id").as("doc_id")))
+        .distinct()
+      val merged = connectedComponents(verts,
+        edges.select(col("u").as("doc_a"), col("v").as("doc_b"))
+          .union(members.select(col("doc_id").as("doc_a"),
+            col("canonical_id").as("doc_b"))))
+      // localCheckpoint (bounded: O(batch + touched members) rows)
+      // truncates the file-source lineage so the overwrite below never
+      // reads the directory it is replacing
+      val newRows = merged.filter(col("doc_id") =!= col("canonical_id"))
+        .withColumn("cbucket", bucketOf(col("canonical_id")))
+        .localCheckpoint(eager = true)
+      val newBuckets = newRows.select(col("cbucket")).distinct().as[Int].collect()
+      val touched = (oldBuckets ++ newBuckets).distinct.sorted
+      if (touched.nonEmpty) {
+        // rows of UNAFFECTED components sharing a touched bucket must
+        // ride along in the overwrite or the rewrite would drop them
+        val keep = art.filter(col("cbucket")
+            .isin(touched.map(Integer.valueOf): _*))
+          .join(broadcast(affected), Seq("canonical_id"), "left_anti")
+          .select("doc_id", "canonical_id", "cbucket")
+          .localCheckpoint(eager = true)
+        val out = keep.unionByName(
+          newRows.select("doc_id", "canonical_id", "cbucket"))
+        out.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cbucket").parquet(rowsPath)
+        // dynamic overwrite only replaces partitions PRESENT in the
+        // output — a touched bucket that ended up with zero rows keeps
+        // its stale files unless deleted here
+        val outBuckets = (keep.select(col("cbucket")).distinct()
+          .as[Int].collect() ++ newBuckets).toSet
+        val fs = new org.apache.hadoop.fs.Path(rowsPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        (touched.toSet -- outBuckets).foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$rowsPath/cbucket=$b"), true)
+        }
+      }
+      } finally affected.unpersist(blocking = false)
+    } finally edges.unpersist(blocking = false)
+  }
+
   /** Q41 entry: resolve the union of the MinHash-LSH (q13) and SimHash
     * (q27) candidate edges into canonical dedup groups over the whole
     * corpus.

@@ -263,6 +263,18 @@ object DedupOps {
     votes.select(col("doc_id"), expr(s"cast($assemble as bigint)").as("simhash"))
   }
 
+  /** Each doc's 4 (band index, 15-bit band value) rows — the bucketing
+    * key of the SimHash candidate join, shared by the full-corpus pair
+    * generator and the incremental (new-vs-existing) variant.
+    */
+  private def simhashBanded(documents: DataFrame): DataFrame = {
+    val mask = (1 << simhashBandBits) - 1
+    simhashSignatures(documents)
+      .select(col("doc_id"), col("simhash"),
+        expr(s"explode(sequence(0, ${simhashBands - 1}))").as("k"))
+      .withColumn("band", expr(s"(simhash >> ($simhashBandBits * k)) & $mask"))
+  }
+
   /** Q14b: SimHash near-dup candidate pairs — band-hashing (two docs
     * within Hamming distance ≤ 3 of a 60-bit signature share at least
     * one of the 4 15-bit bands), verified with an exact popcount
@@ -270,17 +282,37 @@ object DedupOps {
     * with 32,768 values per band, bucket groups stay small at scale.
     */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sig = simhashSignatures(documents)
-    val mask = (1 << simhashBandBits) - 1
-    val banded = sig.select(col("doc_id"), col("simhash"),
-      expr(s"explode(sequence(0, ${simhashBands - 1}))").as("k"))
-      .withColumn("band", expr(s"(simhash >> ($simhashBandBits * k)) & $mask"))
+    val banded = simhashBanded(documents)
     val l = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
       col("k"), col("band"))
     val r = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
       col("k"), col("band"))
     l.join(r, Seq("k", "band"))
       .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(bit_count(sig_a ^ sig_b) as int)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** The CROSS-side SimHash candidates for incremental maintenance:
+    * new-batch docs within `maxHamming` of an EXISTING doc. Signatures
+    * are per-document, so SimHash pairs decompose exactly by side —
+    * pairs(hist ∪ batch) = pairs(hist) ∪ pairs(batch) ∪ cross(batch,
+    * hist) — which is what lets q135 merge a batch's edges into the
+    * persisted label artifact bit-identically to a full recompute.
+    * Same banded equi-join shape as [[simhashPairs]]; in production
+    * the existing side's banded table is a maintained artifact, so a
+    * batch joins O(batch) rows against it.
+    */
+  def simhashCrossPairs(newDocs: DataFrame, existing: DataFrame,
+                        maxHamming: Int = 3): DataFrame = {
+    val l = simhashBanded(newDocs).select(col("doc_id").as("doc_a"),
+      col("simhash").as("sig_a"), col("k"), col("band"))
+    val r = simhashBanded(existing).select(col("doc_id").as("doc_b"),
+      col("simhash").as("sig_b"), col("k"), col("band"))
+    l.join(r, Seq("k", "band"))
+      .filter(col("doc_a") =!= col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("cast(bit_count(sig_a ^ sig_b) as int)").as("hamming"))
       .distinct()
