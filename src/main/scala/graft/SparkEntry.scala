@@ -334,6 +334,37 @@ object SparkEntry {
       SimilarityOps.bruteForceKnn(emb), k = 10, minRecall = 0.7)
   }
 
+  /** q136: the COMPOUND IVF-PQ index as a maintained storage artifact
+    * — built from the even half of the corpus, saved (cells +
+    * codebooks + centroids + meta under one scope), the odd half
+    * APPENDED against the frozen coarse quantizer AND frozen codebooks
+    * ([[SimilarityOps.appendToIvfPqIndex]]: O(batch), stored rows
+    * untouched), and the merged RELOADED index probed over the full
+    * corpus under q125's joint recall gate. Closes the index-artifact
+    * lifecycle for the one ladder entry whose storage form is the
+    * composition.
+    */
+  private val q136Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
+
+  private def ivfPqArtifactGate(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val scope = q136Scopes.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-q136-")
+      sys.addShutdownHook(deleteRecursively(base))
+      val sc = graft.core.Scopes.create(s, base.toString)
+      SimilarityOps.saveIvfPqIndex(
+        SimilarityOps.buildIvfPqIndex(emb.filter(col("vec_id") % 2 === 0)),
+        sc, "ivfpq")
+      SimilarityOps.appendToIvfPqIndex(emb.filter(col("vec_id") % 2 === 1),
+        sc, "ivfpq")
+      sc
+    })
+    SimilarityOps.knnRecallGate(
+      SimilarityOps.probeIvfPq(
+        SimilarityOps.loadIvfPqIndex(s, scope, "ivfpq"), emb),
+      SimilarityOps.bruteForceKnn(emb), k = 10, minRecall = 0.6)
+  }
+
   /** q135: the dedup cluster LABELS maintained incrementally — the
     * label artifact is built from the even half of the corpus, the odd
     * half's candidate edges (within-batch q13+q27 pairs plus the two
@@ -570,6 +601,8 @@ object SparkEntry {
     // pruning, held to the same recall contract as the in-memory q34
     "q78_ivf_artifact" -> ivfArtifactGate _,
     "q83_ivf_append" -> ivfAppendGate _,
+    // compound IVF-PQ artifact: save → frozen append → reloaded probe
+    "q136_ivfpq_artifact" -> ivfPqArtifactGate _,
     // bucketed layout: the join's shuffle was paid once at write time
     "q84_bucketed_join" -> bucketedJoin _,
     // winnowed passage-level duplication candidates (MOSS fingerprints)
@@ -2143,6 +2176,10 @@ object SparkEntry {
         |WHERE 1 = 0""".stripMargin,
     // append against the frozen quantizer must not cost recall either
     "q83_ivf_append" ->
+      """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall
+        |WHERE 1 = 0""".stripMargin,
+    // the reloaded+appended compound index must hold q125's joint gate
+    "q136_ivfpq_artifact" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall
         |WHERE 1 = 0""".stripMargin,
     // winnowing re-derived with DuckDB list lambdas one-to-one

@@ -718,17 +718,31 @@ object SimilarityOps {
       localKMeans(pts, kEff, seed = 42L + s, iters = 5)
         .map(_.map(_.toFloat))
     }
-    val bcast = spark.sparkContext.broadcast(codebooks)
-    val mLoc = m; val dsubLoc = dsub
+    val codes = encodePqCodes(par(embeddings), codebooks, m, dsub)
+    val cbDf = codebooks.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (cvec, j) => (s, j, cvec.toSeq) }
+    }.toSeq.toDF("sub", "code", "centroid")
+    PqIndex(codes, cbDf, m, dsub)
+  }
+
+  /** Per-subvector nearest-codeword assignment against IN-MEMORY
+    * codebooks — the encode half shared by the initial build and the
+    * frozen-codebook append ([[appendToIvfPqIndex]]): a per-row map
+    * through the broadcast codebooks, no shuffle of the encoded rows.
+    */
+  private def encodePqCodes(df: DataFrame,
+                            codebooks: Array[Array[Array[Float]]],
+                            m: Int, dsub: Int): DataFrame = {
+    val bcast = df.sparkSession.sparkContext.broadcast(codebooks)
     val assignUdf = udf { (emb: Seq[Float]) =>
       val cbs = bcast.value
-      Array.tabulate(mLoc) { s =>
+      Array.tabulate(m) { s =>
         val cb = cbs(s)
         var best = 0; var bestD = Double.MaxValue; var cc = 0
         while (cc < cb.length) {
           var dd = 0.0; var j = 0
-          while (j < dsubLoc) {
-            val t = emb(s * dsubLoc + j) - cb(cc)(j); dd += t * t; j += 1
+          while (j < dsub) {
+            val t = emb(s * dsub + j) - cb(cc)(j); dd += t * t; j += 1
           }
           if (dd < bestD) { bestD = dd; best = cc }
           cc += 1
@@ -736,12 +750,21 @@ object SimilarityOps {
         best
       }
     }
-    val codes = par(embeddings)
-      .select(col("vec_id"), assignUdf(col("embedding")).as("codes"))
-    val cbDf = codebooks.zipWithIndex.flatMap { case (cb, s) =>
-      cb.zipWithIndex.map { case (cvec, j) => (s, j, cvec.toSeq) }
-    }.toSeq.toDF("sub", "code", "centroid")
-    PqIndex(codes, cbDf, m, dsub)
+    df.select(col("vec_id"), assignUdf(col("embedding")).as("codes"))
+  }
+
+  /** The codebook TABLE back in [m][code][dsub] array form — the
+    * inverse of the build's cbDf flattening, shared by the decode path
+    * and the frozen-codebook append.
+    */
+  private def collectCodebooks(codebooks: DataFrame,
+                               m: Int): Array[Array[Array[Float]]] = {
+    val rows = codebooks.collect()
+    val cbs = Array.ofDim[Array[Float]](m, rows.map(_.getInt(1)).max + 1)
+    rows.foreach { r =>
+      cbs(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray
+    }
+    cbs
   }
 
   /** Decode the PQ codes back to float vectors: a PURE PER-ROW map
@@ -755,13 +778,9 @@ object SimilarityOps {
     */
   def reconstructPq(index: PqIndex, keep: Seq[String] = Nil): DataFrame = {
     val spark = index.codes.sparkSession
-    val rows = index.codebooks.collect()
     val m = index.m
     val dsub = index.dsub
-    val cbs = Array.ofDim[Array[Float]](m, rows.map(_.getInt(1)).max + 1)
-    rows.foreach { r =>
-      cbs(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray
-    }
+    val cbs = collectCodebooks(index.codebooks, m)
     val bcast = spark.sparkContext.broadcast(cbs)
     val decodeUdf = udf { (codes: Seq[Int]) =>
       val cb = bcast.value
@@ -878,6 +897,75 @@ object SimilarityOps {
     IvfPqIndex(
       pq.codes.join(ivf.assigned.select("vec_id", "cell"), "vec_id"),
       ivf.centroids, pq.codebooks, pq.m, pq.dsub)
+  }
+
+  /** Q136: persist the COMPOUND index as one storage artifact — the
+    * cell-partitioned (vec_id, codes, cell) rows (m bytes + a cell id
+    * per stored vector: the whole 100 TB memory story in one table),
+    * with the centroid table, the codebooks, and the (m, dsub) meta
+    * row beside them. The parts already persisted separately (q78 IVF,
+    * q91 PQ); this is the one index in the ladder whose STORAGE form
+    * is the composition, so it gets its own lifecycle: build → save →
+    * reload → pruned probe → frozen append → joint recall re-gate.
+    */
+  def saveIvfPqIndex(index: IvfPqIndex, scope: Scope, name: String): Unit = {
+    val spark = index.cellCodes.sparkSession
+    import spark.implicits._
+    index.cellCodes.select("vec_id", "codes", "cell")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(scope.path(s"$name/cells"))
+    index.centroids.write.mode("overwrite")
+      .parquet(scope.path(s"$name/centroids"))
+    index.codebooks.write.mode("overwrite")
+      .parquet(scope.path(s"$name/codebooks"))
+    Seq((index.m, index.dsub)).toDF("m", "dsub")
+      .write.mode("overwrite").parquet(scope.path(s"$name/meta"))
+  }
+
+  /** Reload; `cell` comes back as a partition column, so
+    * [[probeIvfPq]]'s literal cell filter prunes the artifact scan at
+    * file-listing time (PlanSpec-asserted, the q78 contract).
+    */
+  def loadIvfPqIndex(spark: SparkSession, scope: Scope,
+                     name: String): IvfPqIndex = {
+    val meta = spark.read.parquet(scope.path(s"$name/meta")).head()
+    IvfPqIndex(
+      spark.read.parquet(scope.path(s"$name/cells")),
+      spark.read.parquet(scope.path(s"$name/centroids")),
+      spark.read.parquet(scope.path(s"$name/codebooks")),
+      meta.getInt(0), meta.getInt(1))
+  }
+
+  /** Incremental maintenance of the compound artifact: assign a new
+    * batch to the FROZEN coarse quantizer (the q83 argmin — broadcast
+    * centroid table, per-row min-struct aggregation, no corpus
+    * shuffle) and encode it with the FROZEN codebooks (the build's own
+    * per-row assignment), then dynamic-partition-append into only the
+    * cell directories the batch lands in. O(batch): stored rows are
+    * never read or rewritten. Both quantizers frozen means BOTH can
+    * drift if the ingest distribution moves — the q136 joint recall
+    * gate re-run after every merge is the monitor, exactly q83's
+    * contract compounded.
+    */
+  def appendToIvfPqIndex(batch: DataFrame, scope: Scope, name: String): Unit = {
+    val spark = batch.sparkSession
+    GraftFunctions.register(spark)
+    val meta = spark.read.parquet(scope.path(s"$name/meta")).head()
+    val (m, dsub) = (meta.getInt(0), meta.getInt(1))
+    val centroids = spark.read.parquet(scope.path(s"$name/centroids"))
+    val assigned = withNorm(batch, "embedding", "cn")
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist2",
+        expr("cn * cn - 2 * vec_dot(embedding, centroid) + vec_dot(centroid, centroid)"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist2"), col("cell"))).getField("cell").as("cell"))
+    val codes = encodePqCodes(batch,
+      collectCodebooks(spark.read.parquet(scope.path(s"$name/codebooks")), m),
+      m, dsub)
+    codes.join(assigned, "vec_id")
+      .select("vec_id", "codes", "cell")
+      .write.mode("append").partitionBy("cell")
+      .parquet(scope.path(s"$name/cells"))
   }
 
   def probeIvfPq(index: IvfPqIndex, queryVecs: DataFrame, nQueries: Int = 5,

@@ -217,6 +217,44 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q136: the reloaded IVF-PQ probe prunes the cells scan to the probed cells") {
+    val emb = Tables.parquet(spark, sf, "embeddings")
+    val base = java.nio.file.Files.createTempDirectory("graft-ivfpq-plan-")
+    try {
+      val scope = graft.core.Scopes.create(spark, base.toString)
+      SimilarityOps.saveIvfPqIndex(SimilarityOps.buildIvfPqIndex(emb),
+        scope, "ivfpq")
+      val loaded = SimilarityOps.loadIvfPqIndex(spark, scope, "ivfpq")
+      // 2 queries × 2 probes → at most 4 of the 16 cell directories read
+      val df = SimilarityOps.probeIvfPq(loaded, emb, nQueries = 2, k = 5,
+        nprobe = 2)
+      df.collect()
+      val plan = planOf(df)
+      // the literal cell IN (...) reaches the artifact scan's PARTITION
+      // filters — listing-time pruning, the q78 contract compounded
+      assert("PartitionFilters: \\[[^\\]]*cell[^\\]]*".r
+        .findFirstIn(plan).isDefined, plan)
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          scans(r.child)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scans)
+      }
+      val cellsScan = scans(df.queryExecution.executedPlan)
+        .find(_.output.exists(_.name == "codes"))
+      assert(cellsScan.isDefined, plan)
+      assert(cellsScan.get.metrics("numPartitions").value <= 4,
+        cellsScan.get.metrics("numPartitions").value.toString)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("q84: bucketed join reads pre-shuffled inputs — the only exchange is the final agg") {
     val df = SparkEntry.queries("q84_bucketed_join")(spark, sf)
     val plan = planOf(df)

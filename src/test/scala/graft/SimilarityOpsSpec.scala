@@ -299,6 +299,49 @@ class SimilarityOpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ artifact: save/reload equals in-memory; frozen append keeps stored rows and holds the joint gate") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.io.Tables.parquet(spark, sf, "embeddings")
+    val base = java.nio.file.Files.createTempDirectory("graft-ivfpq-spec-")
+    try {
+      val scope = graft.core.Scopes.create(spark, base.toString)
+      val even = emb.filter(col("vec_id") % 2 === 0)
+      val odd = emb.filter(col("vec_id") % 2 === 1)
+      val idx = SimilarityOps.buildIvfPqIndex(even)
+      SimilarityOps.saveIvfPqIndex(idx, scope, "ivfpq")
+      val reloaded = SimilarityOps.loadIvfPqIndex(spark, scope, "ivfpq")
+      assert(reloaded.m === idx.m && reloaded.dsub === idx.dsub)
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("query_id"), r.getAs[Int]("rnk"),
+          r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))
+      // the reloaded probe is the in-memory probe — storage is layout,
+      // not semantics
+      val mem = SimilarityOps.probeIvfPq(idx, emb, nQueries = 3, k = 5)
+        .collect().map(key).toSet
+      assert(SimilarityOps.probeIvfPq(reloaded, emb, nQueries = 3, k = 5)
+        .collect().map(key).toSet === mem)
+      def stored() = spark.read.parquet(scope.path("ivfpq/cells"))
+        .select("vec_id", "cell", "codes").collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          (r.getAs[Int]("cell"), r.getSeq[Int](r.fieldIndex("codes"))))
+        .toMap
+      val before = stored()
+      SimilarityOps.appendToIvfPqIndex(odd, scope, "ivfpq")
+      val after = stored()
+      // append-only: every stored (cell, codes) row survives untouched
+      before.foreach { case (id, v) => assert(after(id) === v) }
+      assert(after.size.toLong === before.size + odd.count())
+      // the merged reloaded artifact holds q125's joint recall gate
+      val merged = SimilarityOps.loadIvfPqIndex(spark, scope, "ivfpq")
+      val gate = SimilarityOps.knnRecallGate(
+        SimilarityOps.probeIvfPq(merged, emb),
+        SimilarityOps.bruteForceKnn(emb), k = 10, minRecall = 0.6)
+      assert(gate.count() === 0L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("LSH sizing guard flags geometries that stop pruning at scale") {
     // lshPlanesFor returns the smallest numPlanes meeting the bucket
     // budget: one plane fewer would blow it
