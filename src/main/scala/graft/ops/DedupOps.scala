@@ -104,7 +104,8 @@ object DedupOps {
     * this form holds the full shingle array per row.
     */
   def minhashBandsRowwise(documents: DataFrame, numHashes: Int = 12,
-                          bandSize: Int = 2, shingleSize: Int = 3): DataFrame = {
+                          bandSize: Int = 2, shingleSize: Int = 3,
+                          keep: Seq[String] = Nil): DataFrame = {
     val sigCols = (0 until numHashes).map(s =>
       expr(s"array_min(transform(sarr, g -> md5(concat('$s', ':', g))))")
         .as(s"h$s"))
@@ -113,14 +114,18 @@ object DedupOps {
       val slots = (b * bandSize until (b + 1) * bandSize).map(s => s"h$s")
       s"struct(${b}L as b, md5(concat_ws('|', ${slots.mkString(", ")})) as bh)"
     }
+    // `keep` columns (e.g. the event-time column a streaming caller
+    // watermarks on) ride through the stateless projection untouched
+    val kept = keep.map(col)
     documents
       .withColumn("w", expr(tokensExpr))
       .withColumn("sarr", expr(shingleExpr(shingleSize)))
       .filter(size(col("sarr")) > 0) // shingle-less docs have no bands
-      .select(col("doc_id") +: sigCols: _*)
-      .select(col("doc_id"),
-        explode(expr(s"array(${bandCols.mkString(", ")})")).as("band"))
-      .select(col("doc_id"), col("band.b").as("b"), col("band.bh").as("bh"))
+      .select(col("doc_id") +: kept ++: sigCols: _*)
+      .select(col("doc_id") +: kept :+
+        explode(expr(s"array(${bandCols.mkString(", ")})")).as("band"): _*)
+      .select(col("doc_id") +: kept :+
+        col("band.b").as("b") :+ col("band.bh").as("bh"): _*)
   }
 
   def minhashLshPairs(documents: DataFrame, numHashes: Int = 12,

@@ -712,9 +712,10 @@ object EventsStreaming {
     * emitted (new, existing) pairs are deduplicated with streaming
     * state, so a pair colliding in several bands (or across batches)
     * emits once. State is one row per EMITTED pair — the operator's
-    * output, not its input; on an unbounded production stream, bound
-    * it with a watermark + dropDuplicatesWithinWatermark exactly as
-    * [[streamingDedupWithinWatermark]] does for the exact family.
+    * output, not its input; the production form with that state
+    * BOUNDED by a watermark is [[streamingNearDupWithinWatermark]]
+    * (this oracle-parity form keeps unbounded dropDuplicates because
+    * the oracle compare needs every pair regardless of horizon).
     * Held to batch q60's oracle (same band geometry, same pair set).
     */
   def streamingNearDupCandidates(spark: SparkSession, dir: String,
@@ -794,6 +795,63 @@ object EventsStreaming {
   val dedupSinkSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("fp", StringType)))
+
+  /** Schema of the document stream [[streamingNearDupWithinWatermark]]
+    * consumes: ingest event-time beside the payload.
+    */
+  val streamDocSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("ts", TimestampType),
+    StructField("text", StringType)))
+
+  /** Schema of [[streamingNearDupWithinWatermark]]'s sink. */
+  val nearDupSinkSchema: StructType = StructType(Seq(
+    StructField("doc_new", LongType), StructField("doc_existing", LongType),
+    StructField("ts", TimestampType)))
+
+  /** The state-BOUNDED production form of streaming near-dup that
+    * [[streamingNearDupCandidates]]'s scaladoc promises: pair-dedup
+    * state under a watermark. Arriving documents are banded PER ROW
+    * (stateless projection — [[graft.ops.DedupOps.minhashBandsRowwise]]
+    * carrying the event-time column through), equi-joined
+    * stream-static against the corpus band ARTIFACT, and the emitted
+    * (doc_new, doc_existing) pairs deduplicate with
+    * `dropDuplicatesWithinWatermark`: a pair re-colliding inside the
+    * horizon (several shared bands, or the same doc re-crawled) emits
+    * once; once the watermark passes its first sighting + horizon the
+    * state row is EVICTED and the same pair would emit again — bounded
+    * state (one row per emitted pair per horizon, independent of
+    * stream length) traded for horizon-scoped dedup, exactly the
+    * [[streamingDedupWithinWatermark]] contract on the pair stream.
+    * Checkpointed: a restart resumes both the source offsets and the
+    * pair state (NearDupWatermarkSpec proves eviction, re-admission,
+    * and batch-q60 parity across restarts).
+    *
+    * @param corpusBands the existing corpus's (doc_existing, b, bh)
+    *                    band table — in production a maintained build
+    *                    artifact (q135's sibling), never recomputed
+    *                    per batch
+    */
+  def streamingNearDupWithinWatermark(spark: SparkSession, srcDir: String,
+                                      corpusBands: DataFrame, outDir: String,
+                                      checkpointDir: String,
+                                      horizon: String = "1 hour"): Unit = {
+    val src = spark.readStream.schema(streamDocSchema)
+      .option("pathGlobFilter", "*.parquet").parquet(srcDir)
+    val streamBands = graft.ops.DedupOps
+      .minhashBandsRowwise(src, keep = Seq("ts"))
+      .select(col("doc_id").as("doc_new"), col("ts"), col("b"), col("bh"))
+      .withWatermark("ts", horizon)
+    val q = streamBands
+      .join(corpusBands.select(col("doc_existing"), col("b"), col("bh")),
+        Seq("b", "bh"))
+      .select("doc_new", "doc_existing", "ts")
+      .dropDuplicatesWithinWatermark("doc_new", "doc_existing")
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
 
   /** Q25: the same computation executed by the Structured Streaming
     * engine — file stream in, windowed state, memory sink, AvailableNow
