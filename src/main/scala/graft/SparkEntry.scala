@@ -334,6 +334,36 @@ object SparkEntry {
       SimilarityOps.bruteForceKnn(emb), k = 10, minRecall = 0.7)
   }
 
+  /** Synthetic media fixtures (real PNG/GIF/WAV payloads derived
+    * deterministically from doc_id) materialized ONCE per (process, sf
+    * dir) as parquet, so q43/q49/q50/q51/q55/q71 time the DECODE /
+    * TRANSFORM operators, not fixture encoding (the r5 q71 bench
+    * finding). Generation is deterministic, so the parquet round trip
+    * is content-identical to inline synthesis — CORRECTNESS semantics
+    * unchanged; this is also the honest production shape, where media
+    * arrives as a stored binary column, not something the query
+    * invents.
+    */
+  private val mediaDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def mediaTable(s: SparkSession, dir: String, kind: String)
+      : org.apache.spark.sql.Dataset[MultimodalOps.MediaRecord] = {
+    import s.implicits._
+    val root = mediaDirs.computeIfAbsent(s"$dir#$kind", _ => {
+      val d = java.nio.file.Files.createTempDirectory(s"graft-media-$kind-")
+      sys.addShutdownHook(deleteRecursively(d))
+      val docs = t(s, dir, "documents")
+      val gen = kind match {
+        case "png" => MultimodalOps.syntheticPngTable(docs)
+        case "gif" => MultimodalOps.syntheticGifTable(docs)
+        case "wav" => MultimodalOps.syntheticWavTable(docs)
+      }
+      gen.toDF().write.mode("overwrite").parquet(d.toString)
+      d.toString
+    })
+    s.read.parquet(root).as[MultimodalOps.MediaRecord]
+  }
+
   /** q136: the COMPOUND IVF-PQ index as a maintained storage artifact
     * — built from the even half of the corpus, saved (cells +
     * codebooks + centroids + meta under one scope), the odd half
@@ -633,7 +663,7 @@ object SparkEntry {
     // incremental label maintenance held to q41's full-recompute oracle
     "q135_incr_clusters" -> (incrClusterLabels _),
     "q43_image_decode" -> ((s, dir) =>
-      MultimodalOps.imageRoundTrip(t(s, dir, "documents"))),
+      MultimodalOps.imageStats(mediaTable(s, dir, "png"))),
     "q44_percentile_gate" -> ((s, dir) =>
       Relational.approxPercentileGate(t(s, dir, "lineitem"))),
     "q45_asof_join" -> ((s, dir) =>
@@ -656,16 +686,16 @@ object SparkEntry {
     "q42_edit_dist" -> ((s, dir) =>
       TextOps.neighborEditDistance(t(s, dir, "documents"))),
     "q49_image_features" -> ((s, dir) =>
-      MultimodalOps.imageFeatures(t(s, dir, "documents")).toDF()
+      MultimodalOps.featureExtract(mediaTable(s, dir, "png")).toDF()
         .select(col("doc_id"), posexplode(col("features")).as(Seq("bin", "f")))
         .select(col("doc_id"), col("bin").cast("int").as("bin"),
           col("f").cast("bigint").as("cnt"))),
     "q50_image_knn" -> ((s, dir) =>
       SimilarityOps.bruteForceKnn(
-        MultimodalOps.imageFeatures(t(s, dir, "documents")).toDF()
+        MultimodalOps.featureExtract(mediaTable(s, dir, "png")).toDF()
           .select(col("doc_id").as("vec_id"), col("features").as("embedding")))),
     "q51_image_resize" -> ((s, dir) =>
-      MultimodalOps.resizeRoundTrip(t(s, dir, "documents"))),
+      MultimodalOps.resizeRoundTripFrom(mediaTable(s, dir, "png"))),
     "q52_sample" -> ((s, dir) =>
       SampleOps.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
           Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.9)
@@ -675,7 +705,7 @@ object SparkEntry {
     "q54_stream_join" -> ((s, dir) =>
       EventsStreaming.viewClickJoinStreaming(s, dir)),
     "q55_frame_sample" -> ((s, dir) =>
-      MultimodalOps.frameSampleRoundTrip(t(s, dir, "documents"))),
+      MultimodalOps.frameSampleImages(mediaTable(s, dir, "gif"))),
     "q56_ngrams" -> ((s, dir) =>
       TextOps.nGramCounts(t(s, dir, "documents"))),
     "q57_training_corpus" -> ((s, dir) =>
@@ -718,7 +748,7 @@ object SparkEntry {
     "q70_pack_sequences" -> ((s, dir) =>
       TextOps.packSequences(t(s, dir, "documents"))),
     "q71_audio_decode" -> ((s, dir) =>
-      MultimodalOps.audioRoundTrip(t(s, dir, "documents"))),
+      MultimodalOps.audioStats(mediaTable(s, dir, "wav"))),
     // skew mitigation held to the UN-salted semantics: the oracle is
     // the plain aggregation/join, so the salting must be invisible in
     // the result (l_quantity is integer-valued, so double sums are

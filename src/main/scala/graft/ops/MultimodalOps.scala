@@ -162,7 +162,15 @@ object MultimodalOps {
     * bytes are not oracle-predictable.)
     */
   def imageRoundTrip(documents: DataFrame): DataFrame =
-    decode(syntheticPngTable(documents), ImageIoDecoder)
+    imageStats(syntheticPngTable(documents))
+
+  /** The decode half of [[imageRoundTrip]] over an already-materialized
+    * media table — what the registry times once the fixture is a
+    * stored artifact (generation is deterministic, so the parquet
+    * round trip is content-identical to inline synthesis).
+    */
+  def imageStats(media: Dataset[MediaRecord]): DataFrame =
+    decode(media, ImageIoDecoder)
       .toDF().select("doc_id", "width", "height", "format")
 
   /** Deterministic WAV fixture generation: one real RIFF/WAVE PCM
@@ -206,11 +214,63 @@ object MultimodalOps {
     * degrade to None — corrupt audio is data, not an outage. Bomb
     * guard: the DECLARED frame length is checked before buffering.
     */
+  /** The installed audio container parsers, resolved ONCE per JVM.
+    * `AudioSystem.getAudioInputStream` re-runs the ServiceLoader
+    * provider scan on every call — through Spark's executor
+    * classloader that is a per-RECORD classpath walk which dominated
+    * the q71 decode stage (~4× the actual RIFF parsing). Same public
+    * SPI surface, resolved through the same ServiceLoader, hoisted out
+    * of the hot path.
+    */
+  private lazy val audioFileReaders
+      : Array[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) buf += it.next()
+    buf.toArray
+  }
+
+  /** Index of the reader that accepted the LAST payload, tried first
+    * for the next one. A homogeneous corpus (the normal case) then
+    * parses every record on the first attempt — without this, every
+    * record pays one UnsupportedAudioFileException per non-matching
+    * provider ahead of the right one, and exception construction
+    * fills in the DEEP executor-task stack each time: measured ~4× the
+    * whole decode cost at sf0.1. Racy by design (worst case: one extra
+    * miss), volatile for visibility.
+    */
+  @volatile private var preferredAudioReader = 0
+
+  /** [[javax.sound.sampled.AudioSystem.getAudioInputStream]] semantics
+    * over the cached provider list: first reader that accepts the
+    * container wins, preferring the last successful one.
+    */
+  private def openAudioStream(bytes: Array[Byte])
+      : javax.sound.sampled.AudioInputStream = {
+    val n = audioFileReaders.length
+    val start = preferredAudioReader
+    var tried = 0
+    while (tried < n) {
+      val i = (start + tried) % n
+      try {
+        val ais = audioFileReaders(i).getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        preferredAudioReader = i
+        return ais
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => tried += 1
+      }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "no installed reader accepts the payload")
+  }
+
   def readWavStats(bytes: Array[Byte], maxSamples: Long = 1L << 24)
       : Option[(Int, Int, Int, Int, Int, Long)] =
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+      val ais = openAudioStream(bytes)
       try {
         val fmt = ais.getFormat
         val n = ais.getFrameLength
@@ -241,10 +301,18 @@ object MultimodalOps {
     * doc_id and the integer waveform formula, so a decoder that does
     * not actually parse RIFF PCM cannot pass.
     */
-  def audioRoundTrip(documents: DataFrame): DataFrame = {
-    val spark = documents.sparkSession
+  def audioRoundTrip(documents: DataFrame): DataFrame =
+    audioStats(syntheticWavTable(documents))
+
+  /** The decode half of [[audioRoundTrip]] over an already-materialized
+    * media table (see [[imageStats]] — the r5 bench finding: timing
+    * fixture ENCODING inside the decode query measured the fixture,
+    * not the operator).
+    */
+  def audioStats(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
     import spark.implicits._
-    syntheticWavTable(documents).mapPartitions { it =>
+    media.mapPartitions { it =>
       // per-record decode (no batch API to amortize): a flat pass keeps
       // at most one decoded payload in flight per task
       it.flatMap { r =>
@@ -392,10 +460,17 @@ object MultimodalOps {
     * does not produce a decodable image at the exact target geometry
     * cannot pass.
     */
-  def resizeRoundTrip(documents: DataFrame, maxSide: Int = 32): DataFrame = {
-    val spark = documents.sparkSession
+  def resizeRoundTrip(documents: DataFrame, maxSide: Int = 32): DataFrame =
+    resizeRoundTripFrom(syntheticPngTable(documents), maxSide)
+
+  /** The resize + re-decode half of [[resizeRoundTrip]] over an
+    * already-materialized media table (see [[imageStats]]).
+    */
+  def resizeRoundTripFrom(media: Dataset[MediaRecord],
+                          maxSide: Int = 32): DataFrame = {
+    val spark = media.sparkSession
     import spark.implicits._
-    val resized = resizeImages(syntheticPngTable(documents), maxSide)
+    val resized = resizeImages(media, maxSide)
       .select(col("doc_id"), col("media")).as[MediaRecord]
     decode(resized, ImageIoDecoder)
       .toDF().select("doc_id", "width", "height", "format")
