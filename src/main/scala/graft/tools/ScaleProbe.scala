@@ -40,7 +40,13 @@ object ScaleProbe {
     // the artifact-amortization pair: the corpus-side search scales
     // with the corpus; the q120 probe (best-of-3 = probe-only, the
     // build is cached per dir) should stay near-flat at 10x
-    "q106_keyword_search", "q120_postings_artifact")
+    "q106_keyword_search", "q120_postings_artifact",
+    // round-5 second half + round-6: the compound ANN ladder top, the
+    // incremental join/cluster/index algebra, and the single-scan
+    // audit/profile surface (orders now replicates too, so the q133
+    // join and q132 profile really see 10x BOTH sides)
+    "q125_ivfpq", "q133_delta_join", "q127_audit_stream", "q132_profile",
+    "q135_incr_clusters", "q136_ivfpq_artifact")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)
@@ -91,11 +97,21 @@ object ScaleProbe {
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionByName _), dest, "events")
 
+    // lineitem and orders shift their SHARED order-key space by one
+    // constant so the replicated join graph is 10 disjoint copies of
+    // the original — q133's two-sided delta join sees 10x on BOTH
+    // sides, not a 90%-dangling probe side
     val li = spark.read.parquet(s"$src/lineitem.parquet")
-    val nOrd = 1L + li.agg(max("l_orderkey")).head.getLong(0)
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    val nOrd = 1L + math.max(
+      li.agg(max("l_orderkey")).head.getLong(0),
+      ord.agg(max("o_orderkey")).head.getLong(0))
     writeSingle((0 until factor).map { k =>
       li.withColumn("l_orderkey", col("l_orderkey") + lit(k * nOrd))
     }.reduce(_ unionByName _), dest, "lineitem")
+    writeSingle((0 until factor).map { k =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * nOrd))
+    }.reduce(_ unionByName _), dest, "orders")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val nVec = 1L + emb.agg(max("vec_id")).head.getLong(0)
@@ -107,7 +123,7 @@ object ScaleProbe {
     }.reduce(_ unionByName _), dest, "embeddings")
 
     // small dims referenced by fixture loaders ride along unchanged
-    Seq("region", "nation", "customer", "supplier", "part", "orders")
+    Seq("region", "nation", "customer", "supplier", "part")
       .foreach { t =>
         Files.copy(Paths.get(s"$src/$t.parquet"),
           Paths.get(s"$dest/$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
@@ -131,7 +147,8 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val marker = new java.io.File(s"$dest/_PROBE_READY")
+    // v2: orders replicates too (the q133/q132 probes need it)
+    val marker = new java.io.File(s"$dest/_PROBE_READY_v2")
     if (!marker.exists()) {
       println(s"[scale-probe] generating ${factor}x corpus under $dest")
       replicate(spark, src, dest)

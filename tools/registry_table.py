@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Generate the SURVEY §2.2 as-built registry table from SparkEntry.scala:
+query name -> implementing operator call -> oracle kind -> covering spec.
+Run: python3 tools/registry_table.py > /tmp/registry_table.md and paste
+the output into SURVEY.md's '2.2b Generated registry table' section.
+"""
+import re, glob, collections
+
+SRC = "src/main/scala/graft/SparkEntry.scala"
+text = open(SRC).read()
+
+# ---- oracle kinds ---------------------------------------------------------
+# Parse the oracleSql map only: "name" -> <expr up to the next entry>.
+oracle_kind = {}
+om = re.search(r'def oracleSql\b', text)
+oracle_src = text[om.start():]
+for m in re.finditer(r'"(q\d+[a-z0-9_]*)"\s*->', oracle_src):
+    name = m.group(1)
+    tail = oracle_src[m.end():m.end() + 2000]
+    oracle_kind.setdefault(name, "WHERE 1 = 0" in tail and "empty-set gate" or "SQL hash")
+
+# which names are actually registry queries (appear in `queries`)
+entries = {}  # name -> source snippet of its entry
+qm = re.search(r'def queries\b.*?=\s*Map\(', text, re.S)
+assert qm
+depth, i, start = 1, qm.end(), qm.end()
+while depth > 0 and i < len(text):
+    c = text[i]
+    if c == '(':
+        depth += 1
+    elif c == ')':
+        depth -= 1
+    i += 1
+queries_src = text[start:i - 1]
+parts = re.split(r'"(q\d+[a-z0-9_]*)"\s*->', queries_src)
+for j in range(1, len(parts), 2):
+    entries[parts[j]] = parts[j + 1]
+
+# helper bodies (for entries like `ivfAppendGate _`)
+helpers = {}
+for m in re.finditer(r'private def (\w+)\(s: SparkSession, dir: String\)[^=]*=\s*\{', text):
+    name = m.group(1)
+    depth, i = 1, m.end()
+    while depth > 0 and i < len(text):
+        c = text[i]
+        if c == '{':
+            depth += 1
+        elif c == '}':
+            depth -= 1
+        i += 1
+    helpers[name] = text[m.end():i - 1]
+
+OPS = (r'(ClusterOps|DedupOps|TextOps|SimilarityOps|MultimodalOps|SampleOps|'
+       r'SketchOps|MergeOps|GraphOps|TimeSeriesOps|Constraints|Relational|'
+       r'MapReduceOps|PipeOps|EventsStreaming|Skew|Jobs|Tables|Layout|'
+       r'Aggregators)\.(\w+)')
+
+def impl_of(snippet):
+    m = re.search(OPS, snippet)
+    if m:
+        return f"{m.group(1)}.{m.group(2)}"
+    # helper-based entry: report the LAST op call — the returned
+    # (probe/gate) expression, not the cached artifact build
+    for name, body in helpers.items():
+        if re.search(rf'\b{name}\b', snippet):
+            ms = list(re.finditer(OPS, body))
+            if ms:
+                # prefer the gate/probe call (what the query RETURNS)
+                # over the cached artifact build or the exact baseline
+                pref = [x for x in ms if re.search(
+                    r'Gate|probe|search|load|merge|audit', x.group(2))]
+                pick = pref[0] if pref else ms[-1]
+                return f"{pick.group(1)}.{pick.group(2)}"
+    return "SparkEntry (inline)"
+
+# ---- covering spec: which test suite mentions the query name or the op ----
+spec_text = {f: open(f).read() for f in glob.glob("src/test/scala/graft/*.scala")}
+
+def spec_of(name, impl):
+    qnum = name.split("_")[0]
+    hits = [f for f, t in spec_text.items() if name in t or f"{qnum}:" in t or f"{qnum} " in t]
+    if not hits and "." in impl:
+        meth = impl.split(".")[1]
+        hits = [f for f, t in spec_text.items() if meth in t]
+    if not hits:
+        return "EntrySpec (registry smoke)"
+    pick = sorted(hits, key=lambda f: ("EntrySpec" in f, len(f)))[0]
+    return pick.split("/")[-1].replace(".scala", "")
+
+def sort_key(n):
+    return int(re.match(r"q(\d+)", n).group(1))
+
+print("| query | implementation | oracle | spec |")
+print("|---|---|---|---|")
+for name in sorted(entries, key=sort_key):
+    impl = impl_of(entries[name])
+    kind = oracle_kind.get(name, "(rows-only)")
+    print(f"| {name} | `{impl}` | {kind} | {spec_of(name, impl)} |")
+print()
+counts = collections.Counter(oracle_kind.get(n, "(rows-only)") for n in entries)
+print(f"Total: {len(entries)} queries — " +
+      ", ".join(f"{v} {k}" for k, v in sorted(counts.items())))
