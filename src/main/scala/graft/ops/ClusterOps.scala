@@ -275,13 +275,17 @@ object ClusterOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       if (edges.isEmpty) return
+      // endpoints/affected are O(batch) — no by-hint broadcast of an
+      // unbounded side: AQE broadcasts them when they measure small
+      // (the daily-batch common case) and falls back to a shuffle join
+      // when a huge backfill batch would not fit an executor
       val endpoints = edges.select(col("u").as("node"))
         .union(edges.select(col("v").as("node"))).distinct()
       val art = labelRows(spark, scope, name)
       val affected = art
-        .join(broadcast(endpoints), art("doc_id") === endpoints("node"))
+        .join(endpoints, art("doc_id") === endpoints("node"))
         .select("canonical_id")
-        .union(art.join(broadcast(endpoints),
+        .union(art.join(endpoints,
             art("canonical_id") === endpoints("node"))
           .select("canonical_id"))
         .distinct().persist(StorageLevel.MEMORY_AND_DISK)
@@ -292,7 +296,7 @@ object ClusterOps {
         (if (oldBuckets.isEmpty) art.limit(0)
          else art.filter(col("cbucket")
            .isin(oldBuckets.map(Integer.valueOf): _*)))
-          .join(broadcast(affected), Seq("canonical_id"))
+          .join(affected, Seq("canonical_id"))
           .select("doc_id", "canonical_id")
       val verts = endpoints.select(col("node").as("doc_id"))
         .union(members.select("doc_id"))
@@ -315,7 +319,7 @@ object ClusterOps {
         // ride along in the overwrite or the rewrite would drop them
         val keep = art.filter(col("cbucket")
             .isin(touched.map(Integer.valueOf): _*))
-          .join(broadcast(affected), Seq("canonical_id"), "left_anti")
+          .join(affected, Seq("canonical_id"), "left_anti")
           .select("doc_id", "canonical_id", "cbucket")
           .localCheckpoint(eager = true)
         val out = keep.unionByName(
