@@ -395,6 +395,30 @@ object SparkEntry {
       SimilarityOps.bruteForceKnn(emb), k = 10, minRecall = 0.6)
   }
 
+  /** q137: the MinHash BAND TABLE as a maintained artifact — built
+    * from the even half, the odd half APPENDED under the artifact's
+    * own recorded banding geometry (O(batch), stored rows untouched),
+    * and the candidate-pair self-join run over the RELOADED rows.
+    * Banding is stateless per document, so the merged artifact's pairs
+    * must equal q13's full-corpus pairs bit-for-bit — the artifact is
+    * layout, not semantics (the q120/q128 contract for the dedup
+    * family's hot table).
+    */
+  private val q137Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
+
+  private def bandArtifactPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scope = q137Scopes.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-q137-")
+      sys.addShutdownHook(deleteRecursively(base))
+      val sc = graft.core.Scopes.create(s, base.toString)
+      DedupOps.saveBands(docs.filter(col("doc_id") % 2 === 0), sc, "bands")
+      DedupOps.appendBands(docs.filter(col("doc_id") % 2 === 1), sc, "bands")
+      sc
+    })
+    DedupOps.lshPairsFromBands(DedupOps.loadBands(s, scope, "bands"))
+  }
+
   /** q135: the dedup cluster LABELS maintained incrementally — the
     * label artifact is built from the even half of the corpus, the odd
     * half's candidate edges (within-batch q13+q27 pairs plus the two
@@ -662,6 +686,8 @@ object SparkEntry {
       ClusterOps.nearDupClusters(t(s, dir, "documents"))),
     // incremental label maintenance held to q41's full-recompute oracle
     "q135_incr_clusters" -> (incrClusterLabels _),
+    // the maintained band artifact's pairs held to q13's oracle
+    "q137_band_artifact" -> (bandArtifactPairs _),
     "q43_image_decode" -> ((s, dir) =>
       MultimodalOps.imageStats(mediaTable(s, dir, "png"))),
     "q44_percentile_gate" -> ((s, dir) =>
@@ -1455,6 +1481,9 @@ object SparkEntry {
         |       count(*) AS n_copies
         |FROM documents GROUP BY md5(lower(trim(text)))""".stripMargin,
     "q13_minhash_lsh" -> minhashLshSql,
+    // the stored+appended band artifact must reproduce the full-corpus
+    // candidate pairs exactly — same oracle as q13
+    "q137_band_artifact" -> minhashLshSql,
     "q14_simhash" -> simhashSql,
     "q15_jaccard" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks w FROM documents),

@@ -129,14 +129,66 @@ object DedupOps {
   }
 
   def minhashLshPairs(documents: DataFrame, numHashes: Int = 12,
-                      bandSize: Int = 2, shingleSize: Int = 3): DataFrame = {
-    val bands = minhashBands(documents, numHashes, bandSize, shingleSize)
+                      bandSize: Int = 2, shingleSize: Int = 3): DataFrame =
+    lshPairsFromBands(minhashBands(documents, numHashes, bandSize, shingleSize))
+
+  /** The candidate-pair join over an already-built band table — shared
+    * by the inline path and the STORED band artifact (q137), which is
+    * why it is its own function: pairs from reloaded bands must be the
+    * same equi-join as pairs from fresh ones.
+    */
+  def lshPairsFromBands(bands: DataFrame): DataFrame = {
     val l = bands.select(col("doc_id").as("doc_a"), col("b"), col("bh"))
     val r = bands.select(col("doc_id").as("doc_b"), col("b"), col("bh"))
     l.join(r, Seq("b", "bh"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
+
+  /** Q137: the MinHash BAND TABLE as a maintained storage artifact —
+    * the table every incremental dedup form in the suite presupposes
+    * (q60's cross-candidates, q82's stream-static join, and q135's
+    * merge all say "in production the existing side's band table is a
+    * maintained build artifact"; this IS that artifact). Rows land
+    * partitioned by band index `b`, and the banding GEOMETRY
+    * (numHashes, bandSize, shingleSize) rides beside them as metadata:
+    * bands built under one geometry are meaningless under another, so
+    * [[appendBands]] re-derives the batch's bands from the artifact's
+    * own recorded parameters instead of trusting the caller (the q128
+    * nBuckets lesson). Append is O(batch): stored rows are never read
+    * or rewritten, and the band computation is stateless per document,
+    * so append-then-join is bit-identical to a full rebuild — q137
+    * runs the STORED artifact's self-join against q13's full-corpus
+    * oracle. CONTRACT: append batches must be doc-disjoint from the
+    * stored corpus (re-ingesting a doc would duplicate its bands;
+    * dedup upstream is q59's job).
+    */
+  def saveBands(documents: DataFrame, scope: graft.core.Scope,
+                name: String, numHashes: Int = 12, bandSize: Int = 2,
+                shingleSize: Int = 3): Unit = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    minhashBands(documents, numHashes, bandSize, shingleSize)
+      .write.mode("overwrite").partitionBy("b")
+      .parquet(scope.path(s"$name/rows"))
+    Seq((numHashes, bandSize, shingleSize))
+      .toDF("num_hashes", "band_size", "shingle_size")
+      .write.mode("overwrite").parquet(scope.path(s"$name/meta"))
+  }
+
+  def appendBands(batch: DataFrame, scope: graft.core.Scope,
+                  name: String): Unit = {
+    val meta = batch.sparkSession.read
+      .parquet(scope.path(s"$name/meta")).head()
+    minhashBands(batch, meta.getInt(0), meta.getInt(1), meta.getInt(2))
+      .write.mode("append").partitionBy("b")
+      .parquet(scope.path(s"$name/rows"))
+  }
+
+  def loadBands(spark: org.apache.spark.sql.SparkSession,
+                scope: graft.core.Scope, name: String): DataFrame =
+    spark.read.parquet(scope.path(s"$name/rows"))
+      .select(col("doc_id"), col("b").cast("long").as("b"), col("bh"))
 
   /** Q59: INCREMENTAL exact dedup — the daily-ingest primitive: admit
     * from `newDocs` only content whose fingerprint is absent from the

@@ -26,6 +26,48 @@ class DedupOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("band artifact: append-only, geometry from metadata, pairs equal the full rebuild") {
+    import org.apache.spark.sql.functions.col
+    val d = graft.io.Tables.parquet(spark, sf, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft-bands-spec-")
+    try {
+      val scope = graft.core.Scopes.create(spark, base.toString)
+      // build under a NON-default geometry: append must pick it up
+      // from the artifact metadata, not its own defaults
+      DedupOps.saveBands(d.filter(col("doc_id") % 2 === 0), scope, "bands",
+        numHashes = 8, bandSize = 2, shingleSize = 3)
+      val rowsPath = scope.path("bands/rows")
+      def files(): Map[String, Long] = {
+        val p = new org.apache.hadoop.fs.Path(rowsPath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.Map.empty[String, Long]
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet"))
+            buf(f.getPath.toString) = f.getLen
+        }
+        buf.toMap
+      }
+      val before = files()
+      DedupOps.appendBands(d.filter(col("doc_id") % 2 === 1), scope, "bands")
+      val after = files()
+      // append-only: every pre-existing file survives byte-identical
+      before.foreach { case (f, len) => assert(after(f) === len) }
+      assert(after.size > before.size)
+      // the merged artifact's pairs equal the full rebuild under the
+      // SAME geometry (banding is stateless per document)
+      def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+      val stored = DedupOps.lshPairsFromBands(
+        DedupOps.loadBands(spark, scope, "bands")).collect().map(key).toSet
+      val rebuilt = DedupOps.minhashLshPairs(d, numHashes = 8)
+        .collect().map(key).toSet
+      assert(stored === rebuilt)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("row-wise minhash bands are bit-identical to the batch explode+groupBy form") {
     val d = graft.io.Tables.parquet(spark, sf, "documents")
     def key(r: org.apache.spark.sql.Row) =
