@@ -514,12 +514,13 @@ object SparkEntry {
         sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
   }
 
-  /** q91: the PQ index as a STORAGE ARTIFACT — codes + codebooks built
-    * once per (process, sf dir), persisted under a scope, RELOADED,
-    * and probed, under the same recall gate as the in-memory q80. With
-    * q78 (IVF artifact) and q83 (incremental append) this completes
-    * the stored-index lifecycle: build, persist, reload, probe,
-    * append.
+  /** q91: the PQ index as a STORAGE ARTIFACT with the full lifecycle —
+    * built from the even half of the corpus, persisted under a scope,
+    * the odd half APPENDED with the frozen stored codebooks
+    * ([[SimilarityOps.appendToPqIndex]]: O(batch), stored rows
+    * untouched), then RELOADED and probed over the full corpus under
+    * the same recall gate as the in-memory q80. Mirrors q83 (IVF) and
+    * q136 (compound): build, persist, reload, append, re-gate.
     */
   private val q91Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
 
@@ -529,7 +530,14 @@ object SparkEntry {
       val base = java.nio.file.Files.createTempDirectory("graft-q91-")
       sys.addShutdownHook(deleteRecursively(base))
       val sc = graft.core.Scopes.create(s, base.toString)
-      SimilarityOps.savePqIndex(SimilarityOps.buildPqIndex(emb), sc, "pq")
+      // even half builds, odd half appends under the FROZEN codebooks
+      // (q83's shape for the code table) — the merged reloaded index
+      // must still hold the q80 gate over the full corpus
+      SimilarityOps.savePqIndex(
+        SimilarityOps.buildPqIndex(emb.filter(col("vec_id") % 2 === 0)),
+        sc, "pq")
+      SimilarityOps.appendToPqIndex(emb.filter(col("vec_id") % 2 === 1),
+        sc, "pq")
       sc
     })
     val loaded = SimilarityOps.loadPqIndex(s, scope, "pq")

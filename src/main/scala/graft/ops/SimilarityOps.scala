@@ -848,6 +848,23 @@ object SimilarityOps {
       .write.mode("overwrite").parquet(scope.path(s"$name/meta"))
   }
 
+  /** Incremental maintenance of the PQ artifact: encode a new batch
+    * with the FROZEN stored codebooks and append its code rows —
+    * O(batch), stored rows never read or rewritten (q83's shape for
+    * the code table; [[appendToIvfPqIndex]] is the compound form).
+    * Frozen codebooks drift if the ingest distribution moves; the q80
+    * recall gate re-run over the merged index is the monitor.
+    */
+  def appendToPqIndex(batch: DataFrame, scope: Scope, name: String): Unit = {
+    val spark = batch.sparkSession
+    val meta = spark.read.parquet(scope.path(s"$name/meta")).head()
+    val (m, dsub) = (meta.getInt(0), meta.getInt(1))
+    encodePqCodes(batch,
+      collectCodebooks(spark.read.parquet(scope.path(s"$name/codebooks")), m),
+      m, dsub)
+      .write.mode("append").parquet(scope.path(s"$name/codes"))
+  }
+
   def loadPqIndex(spark: SparkSession, scope: Scope, name: String): PqIndex = {
     val meta = spark.read.parquet(scope.path(s"$name/meta")).head()
     PqIndex(

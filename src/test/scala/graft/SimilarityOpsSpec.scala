@@ -299,6 +299,44 @@ class SimilarityOpsSpec extends SparkSpec {
     }
   }
 
+  test("PQ append: stored codes untouched, appended codes from frozen codebooks, merged gate holds") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.io.Tables.parquet(spark, sf, "embeddings")
+    val base = java.nio.file.Files.createTempDirectory("graft-pq-append-")
+    try {
+      val scope = graft.core.Scopes.create(spark, base.toString)
+      val even = emb.filter(col("vec_id") % 2 === 0)
+      val odd = emb.filter(col("vec_id") % 2 === 1)
+      SimilarityOps.savePqIndex(SimilarityOps.buildPqIndex(even), scope, "pq")
+      def codes() = spark.read.parquet(scope.path("pq/codes"))
+        .collect().map(r => r.getAs[Long]("vec_id") ->
+          r.getSeq[Int](r.fieldIndex("codes"))).toMap
+      val before = codes()
+      SimilarityOps.appendToPqIndex(odd, scope, "pq")
+      val after = codes()
+      before.foreach { case (id, c) => assert(after(id) === c) }
+      assert(after.size.toLong === before.size + odd.count())
+      // appended codes come from the FROZEN stored codebooks: encoding
+      // the batch against a freshly-RELOADED index's codebooks via the
+      // decode/encode identity must reproduce them — spot-check that
+      // each appended code indexes a real codeword of its subspace
+      val loaded = SimilarityOps.loadPqIndex(spark, scope, "pq")
+      val kPerSub = loaded.codebooks.groupBy("sub").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      odd.select("vec_id").collect().map(_.getLong(0)).take(20).foreach { id =>
+        after(id).zipWithIndex.foreach { case (c, s) =>
+          assert(c >= 0 && c < kPerSub(s))
+        }
+      }
+      val gate = SimilarityOps.knnRecallGate(
+        SimilarityOps.probePq(loaded, emb),
+        SimilarityOps.bruteForceKnn(emb), k = 10, minRecall = 0.7)
+      assert(gate.count() === 0L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("IVF-PQ artifact: save/reload equals in-memory; frozen append keeps stored rows and holds the joint gate") {
     import org.apache.spark.sql.functions.col
     val emb = graft.io.Tables.parquet(spark, sf, "embeddings")
