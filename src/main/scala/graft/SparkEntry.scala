@@ -395,6 +395,42 @@ object SparkEntry {
       SimilarityOps.bruteForceKnn(emb), k = 10, minRecall = 0.6)
   }
 
+  /** q138: the STREAMING daily-ingest dedup loop end to end — the even
+    * half of the corpus seeds the band (q137) and label (q135)
+    * artifacts; the odd half arrives as a document STREAM whose every
+    * micro-batch merges its candidate edges into the persisted labels
+    * and appends its bands for later batches
+    * ([[EventsStreaming.streamingClusterMaintenance]]); the stored
+    * labels are then probed over the full corpus. Banding is stateless
+    * and the merge is oracle-exact, so the streamed result must equal
+    * the FULL-corpus minhash-LSH connected components — the oracle is
+    * the q41 recursive CTE restricted to the minhash edge generator.
+    */
+  private val q138Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
+
+  private def streamClusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scope = q138Scopes.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-q138-")
+      sys.addShutdownHook(deleteRecursively(base))
+      val sc = graft.core.Scopes.create(s, base.toString)
+      val hist = docs.filter(col("doc_id") % 2 === 0)
+      DedupOps.saveBands(hist, sc, "bands")
+      ClusterOps.saveClusterLabels(
+        ClusterOps.connectedComponents(hist, DedupOps.minhashLshPairs(hist)),
+        sc, "labels")
+      // the odd half becomes the stream source (doc_id, text)
+      docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(base.toString + "/stream-src")
+      EventsStreaming.streamingClusterMaintenance(s,
+        base.toString + "/stream-src", sc, "bands", "labels",
+        base.toString + "/ckpt")
+      sc
+    })
+    ClusterOps.loadClusterLabels(s, scope, "labels", docs)
+  }
+
   /** q137: the MinHash BAND TABLE as a maintained artifact — built
     * from the even half, the odd half APPENDED under the artifact's
     * own recorded banding geometry (O(batch), stored rows untouched),
@@ -696,6 +732,8 @@ object SparkEntry {
     "q135_incr_clusters" -> (incrClusterLabels _),
     // the maintained band artifact's pairs held to q13's oracle
     "q137_band_artifact" -> (bandArtifactPairs _),
+    // streamed per-batch label maintenance vs the full recompute
+    "q138_stream_clusters" -> (streamClusterLabels _),
     "q43_image_decode" -> ((s, dir) =>
       MultimodalOps.imageStats(mediaTable(s, dir, "png"))),
     "q44_percentile_gate" -> ((s, dir) =>
@@ -1294,6 +1332,21 @@ object SparkEntry {
        |$rounds
        |SELECT node, pr FROM r$iters""".stripMargin
   }
+
+  /** The q138 oracle: q41's recursive components restricted to the
+    * minhash-LSH edge generator (the streaming maintainer's edges).
+    */
+  private val minhashClustersSql =
+    s"""WITH RECURSIVE
+       |p AS (SELECT doc_a, doc_b FROM ($minhashLshSql)),
+       |e AS (SELECT doc_a a, doc_b b FROM p
+       |      UNION SELECT doc_b, doc_a FROM p),
+       |walk(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT w.id, e.b FROM walk w JOIN e ON e.a = w.r)
+       |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canonical_id
+       |FROM walk GROUP BY id""".stripMargin
 
   private val dedupClustersSql =
     s"""WITH RECURSIVE
@@ -2405,6 +2458,9 @@ object SparkEntry {
     // the incrementally-maintained artifact must reproduce the full
     // recompute bit-identically — same oracle as q41
     "q135_incr_clusters" -> dedupClustersSql,
+    // the STREAMED merges must land on the same fixed point: full
+    // recompute over the minhash edge generator
+    "q138_stream_clusters" -> minhashClustersSql,
     "q47_dedup_apply" ->
       s"""WITH labels AS ($dedupClustersSql),
          |sizes AS (SELECT canonical_id, count(*) AS n FROM labels

@@ -178,12 +178,27 @@ object DedupOps {
 
   def appendBands(batch: DataFrame, scope: graft.core.Scope,
                   name: String): Unit = {
-    val meta = batch.sparkSession.read
-      .parquet(scope.path(s"$name/meta")).head()
-    minhashBands(batch, meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val Seq(nh, bs, ss) = bandGeometry(batch.sparkSession, scope, name)
+    appendBandRows(minhashBands(batch, nh, bs, ss), scope, name)
+  }
+
+  /** The artifact's recorded (numHashes, bandSize, shingleSize). */
+  def bandGeometry(spark: org.apache.spark.sql.SparkSession,
+                   scope: graft.core.Scope, name: String): Seq[Int] = {
+    val meta = spark.read.parquet(scope.path(s"$name/meta")).head()
+    Seq(meta.getInt(0), meta.getInt(1), meta.getInt(2))
+  }
+
+  /** Append PRE-COMPUTED band rows (they must come from
+    * [[minhashBands]] under [[bandGeometry]] — the streaming
+    * maintainer computes them once for its candidate join and appends
+    * the same frame instead of re-deriving).
+    */
+  def appendBandRows(bands: DataFrame, scope: graft.core.Scope,
+                     name: String): Unit =
+    bands.select("doc_id", "b", "bh")
       .write.mode("append").partitionBy("b")
       .parquet(scope.path(s"$name/rows"))
-  }
 
   def loadBands(spark: org.apache.spark.sql.SparkSession,
                 scope: graft.core.Scope, name: String): DataFrame =

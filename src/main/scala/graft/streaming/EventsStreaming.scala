@@ -796,6 +796,60 @@ object EventsStreaming {
     StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("fp", StringType)))
 
+  /** Q138: STREAMING cluster-label maintenance — the q135 merge driven
+    * per micro-batch, with the q137 band artifact as the GROWING
+    * candidate side. Each arriving document batch: (1) bands under the
+    * artifact's own recorded geometry; (2) candidate edges = within-
+    * batch pairs ∪ cross pairs against the STORED bands (so a batch
+    * pairs with history AND with every earlier batch); (3)
+    * [[graft.ops.ClusterOps.mergeClusterEdges]] folds the edges into
+    * the persisted labels in O(batch + touched components); (4) the
+    * same band rows append to the band artifact for later batches.
+    * Labels from minhash-LSH edges; compose further generators by
+    * calling mergeClusterEdges with their batch edges.
+    *
+    * Restart safety: the checkpoint replays an uncommitted micro-batch
+    * after a crash; the merge is IDEMPOTENT (IncrementalClusterSpec)
+    * and duplicate band rows cannot change the candidate-pair SET
+    * (the pair join is distinct), so the label result is exactly-once
+    * even though the band storage is at-least-once. This is the
+    * daily-ingest dedup loop as one continuously-running query.
+    */
+  def streamingClusterMaintenance(spark: SparkSession, srcDir: String,
+                                  scope: graft.core.Scope,
+                                  bandsName: String, labelsName: String,
+                                  checkpointDir: String): Unit = {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val src = spark.readStream.schema(docSchema)
+      .option("pathGlobFilter", "*.parquet").parquet(srcDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.persist()
+        try {
+          val Seq(nh, bs, ss) =
+            graft.ops.DedupOps.bandGeometry(spark, scope, bandsName)
+          val bb = graft.ops.DedupOps.minhashBands(b, nh, bs, ss).persist()
+          try {
+            val stored = graft.ops.DedupOps.loadBands(spark, scope, bandsName)
+            val cross = bb
+              .select(col("doc_id").as("doc_a"), col("b"), col("bh"))
+              .join(stored.select(col("doc_id").as("doc_b"), col("b"), col("bh")),
+                Seq("b", "bh"))
+              .filter(col("doc_a") =!= col("doc_b"))
+              .select("doc_a", "doc_b").distinct()
+            val within = graft.ops.DedupOps.lshPairsFromBands(bb)
+            graft.ops.ClusterOps.mergeClusterEdges(spark, scope, labelsName,
+              within.unionByName(cross))
+            graft.ops.DedupOps.appendBandRows(bb, scope, bandsName)
+          } finally bb.unpersist()
+        } finally b.unpersist()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** Schema of the document stream [[streamingNearDupWithinWatermark]]
     * consumes: ingest event-time beside the payload.
     */
