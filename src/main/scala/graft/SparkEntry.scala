@@ -395,6 +395,33 @@ object SparkEntry {
       SimilarityOps.bruteForceKnn(emb), k = 10, minRecall = 0.6)
   }
 
+  /** q139: ARTIFACT COMPACTION end to end — the band artifact is
+    * built from the even half and appended with the odd half (two file
+    * waves per band directory), then compacted partition-preserving
+    * ([[graft.io.Layout.compactPartitioned]]: ~one file per directory,
+    * layout and pruning contracts intact) and swapped into place; the
+    * probe runs over the COMPACTED artifact and must still reproduce
+    * q13's full-corpus pairs — compaction is layout, not semantics.
+    */
+  private val q139Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
+
+  private def compactedBandPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scope = q139Scopes.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-q139-")
+      sys.addShutdownHook(deleteRecursively(base))
+      val sc = graft.core.Scopes.create(s, base.toString)
+      DedupOps.saveBands(docs.filter(col("doc_id") % 2 === 0), sc, "bands")
+      DedupOps.appendBands(docs.filter(col("doc_id") % 2 === 1), sc, "bands")
+      graft.io.Layout.compactPartitioned(s, sc.path("bands/rows"),
+        sc.path("bands/rows-compact"), Seq("b"))
+      graft.io.Layout.swapInto(s, sc.path("bands/rows-compact"),
+        sc.path("bands/rows"))
+      sc
+    })
+    DedupOps.lshPairsFromBands(DedupOps.loadBands(s, scope, "bands"))
+  }
+
   /** q138: the STREAMING daily-ingest dedup loop end to end — the even
     * half of the corpus seeds the band (q137) and label (q135)
     * artifacts; the odd half arrives as a document STREAM whose every
@@ -734,6 +761,8 @@ object SparkEntry {
     "q137_band_artifact" -> (bandArtifactPairs _),
     // streamed per-batch label maintenance vs the full recompute
     "q138_stream_clusters" -> (streamClusterLabels _),
+    // partition-preserving compaction must be invisible to results
+    "q139_compact_artifact" -> (compactedBandPairs _),
     "q43_image_decode" -> ((s, dir) =>
       MultimodalOps.imageStats(mediaTable(s, dir, "png"))),
     "q44_percentile_gate" -> ((s, dir) =>
@@ -1545,6 +1574,8 @@ object SparkEntry {
     // the stored+appended band artifact must reproduce the full-corpus
     // candidate pairs exactly — same oracle as q13
     "q137_band_artifact" -> minhashLshSql,
+    // ...and so must the COMPACTED artifact: layout, not semantics
+    "q139_compact_artifact" -> minhashLshSql,
     "q14_simhash" -> simhashSql,
     "q15_jaccard" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks w FROM documents),

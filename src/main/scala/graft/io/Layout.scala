@@ -138,4 +138,53 @@ object Layout {
       .coalesce(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(destPath)
   }
+
+  /** Q139: PARTITION-PRESERVING compaction — the maintenance pass the
+    * append-based artifacts need (q83 cells, q128 postings buckets,
+    * q135 label buckets, q137 bands: every O(batch) append adds a file
+    * wave per touched partition directory, and after a year of daily
+    * batches a probe opens hundreds of small files per directory).
+    * Rewrites the dataset under the SAME partition columns with each
+    * partition's rows grouped into one task — `repartition(partition
+    * cols)` hashes every value's rows to a single task, so each
+    * directory lands as ~one file — while the directory layout, and
+    * therefore every listing-time pruning contract (PartitionFilters
+    * on cell/bucket/cbucket/b), survives verbatim. Content-neutral by
+    * construction (same rows, same columns); q139 proves it by holding
+    * the compacted band artifact to q13's oracle, and the spec digests
+    * the content before and after. Write to a NEW path then swap —
+    * never in place, readers may hold the old listing; a table format
+    * (Delta/Iceberg) is the production answer for an ATOMIC swap, this
+    * is the layout half it automates.
+    */
+  def compactPartitioned(spark: org.apache.spark.sql.SparkSession,
+                         srcPath: String, destPath: String,
+                         partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty,
+      "compactPartitioned needs partition columns; use compact() for flat data")
+    spark.read.parquet(srcPath)
+      .repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(destPath)
+  }
+
+  /** Swap a compacted rewrite into place: delete `livePath`, move
+    * `stagedPath` over it. NOT atomic on a plain FileSystem — the
+    * window is the delete+rename pair; callers that need atomicity use
+    * a table format. Kept here so every caller does the two steps in
+    * the same safe order (stage fully written BEFORE the live dir is
+    * touched).
+    */
+  def swapInto(spark: org.apache.spark.sql.SparkSession,
+               stagedPath: String, livePath: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(livePath)
+    val staged = new org.apache.hadoop.fs.Path(stagedPath)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(staged), s"staged compaction missing: $stagedPath")
+    if (fs.exists(live) && !fs.delete(live, true))
+      throw new graft.core.GraftException(s"failed to delete $livePath")
+    if (!fs.rename(staged, live))
+      throw new graft.core.GraftException(
+        s"failed to move $stagedPath over $livePath")
+  }
 }

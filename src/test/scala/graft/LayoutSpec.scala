@@ -73,6 +73,38 @@ class LayoutSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("compactPartitioned: one file per directory, layout and content preserved") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-compact-part").toString
+    val (src, staged) = (s"$root/live", s"$root/staged")
+    // simulate an append-maintained artifact: three write waves, each
+    // scattering files into every partition directory
+    val rows = (1 to 3000).map(i => (i.toLong, i % 4, s"row-$i"))
+      .toDF("id", "part", "payload")
+    (0 until 3).foreach { w =>
+      rows.filter(col("id") % 3 === w).repartition(4)
+        .write.mode("append").partitionBy("part").parquet(src)
+    }
+    def filesPerDir(p: String): Map[String, Int] =
+      new java.io.File(p).listFiles.filter(_.isDirectory)
+        .map(d => d.getName -> d.listFiles.count(_.getName.endsWith(".parquet")))
+        .toMap
+    assert(filesPerDir(src).values.forall(_ >= 3)) // the small-file problem
+    val digestBefore = graft.ops.Constraints.contentDigest(
+      spark.read.parquet(src), Seq("id", "part", "payload")).collect().head
+
+    graft.io.Layout.compactPartitioned(spark, src, staged, Seq("part"))
+    graft.io.Layout.swapInto(spark, staged, src)
+
+    val perDir = filesPerDir(src)
+    assert(perDir.keySet === Set("part=0", "part=1", "part=2", "part=3"))
+    assert(perDir.values.forall(_ === 1), perDir.toString)
+    val digestAfter = graft.ops.Constraints.contentDigest(
+      spark.read.parquet(src), Seq("id", "part", "payload")).collect().head
+    assert(digestAfter === digestBefore) // (n_rows, xor, sum) all equal
+  }
+
   test("zValue is a bijection on the grid and monotonic per axis") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
