@@ -68,7 +68,10 @@ object PlanAudit {
     "q133_delta_join",    // delta terms only — no old⋈old recompute
     "q134_digest",        // shuffle-free partial-agg xor+sum digest
     "q135_incr_clusters", // probe of the incrementally-merged labels
-    "q136_ivfpq_artifact") // reloaded compound index, cell-pruned probe
+    "q136_ivfpq_artifact", // reloaded compound index, cell-pruned probe
+    "q137_band_artifact", // stored+appended bands, self-join candidates
+    "q138_stream_clusters", // streamed merges' fixed point, probed
+    "q139_compact_artifact") // compacted layout, identical probe plan
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
