@@ -167,13 +167,9 @@ object SparkEntry {
 
   private def ivfArtifactGate(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val scope = q78Scopes.computeIfAbsent(dir, _ => {
-      val base = java.nio.file.Files.createTempDirectory("graft-q78-")
-      sys.addShutdownHook(deleteRecursively(base))
-      val sc = graft.core.Scopes.create(s, base.toString)
+    val scope = cachedScope(q78Scopes, s, dir, "graft-q78-") { sc =>
       SimilarityOps.saveIvfIndex(SimilarityOps.buildIvfIndex(emb), sc, "ivf")
-      sc
-    })
+    }
     val loaded = SimilarityOps.loadIvfIndex(s, scope, "ivf")
     SimilarityOps.knnRecallGate(
       SimilarityOps.probeIvfPruned(loaded, emb),
@@ -201,15 +197,11 @@ object SparkEntry {
 
   private def sketchArtifactGate(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val scope = q111Scopes.computeIfAbsent(dir, _ => {
-      val base = java.nio.file.Files.createTempDirectory("graft-q111-")
-      sys.addShutdownHook(deleteRecursively(base))
-      val sc = graft.core.Scopes.create(s, base.toString)
+    val scope = cachedScope(q111Scopes, s, dir, "graft-q111-") { sc =>
       SketchOps.saveSketches(
         SketchOps.perKeySketch(docs.filter(col("doc_id") % 2 === 0),
           "source", "doc_id"), sc, "distinct_sketch")
-      sc
-    })
+    }
     SketchOps.distinctSketchGate(
       SketchOps.loadSketches(s, scope, "distinct_sketch"),
       docs.filter(col("doc_id") % 2 === 1), docs, "source", "doc_id")
@@ -225,14 +217,9 @@ object SparkEntry {
   private val q120Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
 
   private def postingsArtifactSearch(s: SparkSession, dir: String): DataFrame = {
-    val scope = q120Scopes.computeIfAbsent(dir, _ => {
-      val base = java.nio.file.Files.createTempDirectory("graft-q120-")
-      sys.addShutdownHook(deleteRecursively(base))
-      val sc = graft.core.Scopes.create(s, base.toString)
-      TextOps.savePostings(TextOps.buildPostings(t(s, dir, "documents")),
-        sc, "postings")
-      sc
-    })
+    val scope = cachedScope(q120Scopes, s, dir, "graft-q120-") { sc =>
+      TextOps.savePostings(t(s, dir, "documents"), sc, "postings")
+    }
     TextOps.searchPostingsArtifact(s, scope, "postings", keywordQueries)
   }
 
@@ -272,18 +259,13 @@ object SparkEntry {
   private val q128Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
 
   private def postingsAppendSearch(s: SparkSession, dir: String): DataFrame = {
-    val scope = q128Scopes.computeIfAbsent(dir, _ => {
-      val base = java.nio.file.Files.createTempDirectory("graft-q128-")
-      sys.addShutdownHook(deleteRecursively(base))
-      val sc = graft.core.Scopes.create(s, base.toString)
+    val scope = cachedScope(q128Scopes, s, dir, "graft-q128-") { sc =>
       val docs = t(s, dir, "documents")
-      TextOps.savePostings(
-        TextOps.buildPostings(docs.filter(col("doc_id") % 2 === 0)),
+      TextOps.savePostings(docs.filter(col("doc_id") % 2 === 0),
         sc, "postings")
       TextOps.appendPostings(docs.filter(col("doc_id") % 2 === 1),
         sc, "postings")
-      sc
-    })
+    }
     TextOps.searchPostingsArtifact(s, scope, "postings", keywordQueries)
   }
 
@@ -300,15 +282,11 @@ object SparkEntry {
 
   private def centroidSumsIncremental(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val scope = q129Scopes.computeIfAbsent(dir, _ => {
-      val base = java.nio.file.Files.createTempDirectory("graft-q129-")
-      sys.addShutdownHook(deleteRecursively(base))
-      val sc = graft.core.Scopes.create(s, base.toString)
+    val scope = cachedScope(q129Scopes, s, dir, "graft-q129-") { sc =>
       graft.core.Scopes.save(
         SimilarityOps.labelCentroidSums(emb.filter(col("vec_id") % 2 === 0)),
         sc, "centroid_sums")
-      sc
-    })
+    }
     SimilarityOps.centroidsFromSums(
       SimilarityOps.mergeCentroidSums(Seq(
         graft.core.Scopes.load(s, scope, "centroid_sums"),
@@ -319,20 +297,34 @@ object SparkEntry {
 
   private def ivfAppendGate(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val scope = q83Scopes.computeIfAbsent(dir, _ => {
-      val base = java.nio.file.Files.createTempDirectory("graft-q83-")
-      sys.addShutdownHook(deleteRecursively(base))
-      val sc = graft.core.Scopes.create(s, base.toString)
+    val scope = cachedScope(q83Scopes, s, dir, "graft-q83-") { sc =>
       SimilarityOps.saveIvfIndex(
         SimilarityOps.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0)), sc, "ivf")
       SimilarityOps.appendToIvfIndex(emb.filter(col("vec_id") % 2 === 1), sc, "ivf")
-      sc
-    })
+    }
     val loaded = SimilarityOps.loadIvfIndex(s, scope, "ivf")
     SimilarityOps.knnRecallGate(
       SimilarityOps.probeIvfPruned(loaded, emb),
       SimilarityOps.bruteForceKnn(emb), k = 10, minRecall = 0.7)
   }
+
+  /** The cached-artifact scaffold every artifact query shares: ONE
+    * scope per (process, sf dir), built on first use under a temp base
+    * that a shutdown hook reclaims. Factored so each new artifact
+    * query gets identical temp-dir/cleanup behavior instead of
+    * re-implementing the block.
+    */
+  private def cachedScope(
+      cache: java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope],
+      s: SparkSession, dir: String, prefix: String)(
+      build: graft.core.Scope => Unit): graft.core.Scope =
+    cache.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory(prefix)
+      sys.addShutdownHook(deleteRecursively(base))
+      val sc = graft.core.Scopes.create(s, base.toString)
+      build(sc)
+      sc
+    })
 
   /** Synthetic media fixtures (real PNG/GIF/WAV payloads derived
     * deterministically from doc_id) materialized ONCE per (process, sf
@@ -378,17 +370,13 @@ object SparkEntry {
 
   private def ivfPqArtifactGate(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val scope = q136Scopes.computeIfAbsent(dir, _ => {
-      val base = java.nio.file.Files.createTempDirectory("graft-q136-")
-      sys.addShutdownHook(deleteRecursively(base))
-      val sc = graft.core.Scopes.create(s, base.toString)
+    val scope = cachedScope(q136Scopes, s, dir, "graft-q136-") { sc =>
       SimilarityOps.saveIvfPqIndex(
         SimilarityOps.buildIvfPqIndex(emb.filter(col("vec_id") % 2 === 0)),
         sc, "ivfpq")
       SimilarityOps.appendToIvfPqIndex(emb.filter(col("vec_id") % 2 === 1),
         sc, "ivfpq")
-      sc
-    })
+    }
     SimilarityOps.knnRecallGate(
       SimilarityOps.probeIvfPq(
         SimilarityOps.loadIvfPqIndex(s, scope, "ivfpq"), emb),
@@ -407,18 +395,14 @@ object SparkEntry {
 
   private def compactedBandPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val scope = q139Scopes.computeIfAbsent(dir, _ => {
-      val base = java.nio.file.Files.createTempDirectory("graft-q139-")
-      sys.addShutdownHook(deleteRecursively(base))
-      val sc = graft.core.Scopes.create(s, base.toString)
+    val scope = cachedScope(q139Scopes, s, dir, "graft-q139-") { sc =>
       DedupOps.saveBands(docs.filter(col("doc_id") % 2 === 0), sc, "bands")
       DedupOps.appendBands(docs.filter(col("doc_id") % 2 === 1), sc, "bands")
       graft.io.Layout.compactPartitioned(s, sc.path("bands/rows"),
         sc.path("bands/rows-compact"), Seq("b"))
       graft.io.Layout.swapInto(s, sc.path("bands/rows-compact"),
         sc.path("bands/rows"))
-      sc
-    })
+    }
     DedupOps.lshPairsFromBands(DedupOps.loadBands(s, scope, "bands"))
   }
 
@@ -437,10 +421,7 @@ object SparkEntry {
 
   private def streamClusterLabels(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val scope = q138Scopes.computeIfAbsent(dir, _ => {
-      val base = java.nio.file.Files.createTempDirectory("graft-q138-")
-      sys.addShutdownHook(deleteRecursively(base))
-      val sc = graft.core.Scopes.create(s, base.toString)
+    val scope = cachedScope(q138Scopes, s, dir, "graft-q138-") { sc =>
       val hist = docs.filter(col("doc_id") % 2 === 0)
       DedupOps.saveBands(hist, sc, "bands")
       ClusterOps.saveClusterLabels(
@@ -449,12 +430,10 @@ object SparkEntry {
       // the odd half becomes the stream source (doc_id, text)
       docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
         .coalesce(1).write.mode("overwrite")
-        .parquet(base.toString + "/stream-src")
+        .parquet(sc.path("stream-src"))
       EventsStreaming.streamingClusterMaintenance(s,
-        base.toString + "/stream-src", sc, "bands", "labels",
-        base.toString + "/ckpt")
-      sc
-    })
+        sc.path("stream-src"), sc, "bands", "labels", sc.path("ckpt"))
+    }
     ClusterOps.loadClusterLabels(s, scope, "labels", docs)
   }
 
@@ -471,14 +450,10 @@ object SparkEntry {
 
   private def bandArtifactPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val scope = q137Scopes.computeIfAbsent(dir, _ => {
-      val base = java.nio.file.Files.createTempDirectory("graft-q137-")
-      sys.addShutdownHook(deleteRecursively(base))
-      val sc = graft.core.Scopes.create(s, base.toString)
+    val scope = cachedScope(q137Scopes, s, dir, "graft-q137-") { sc =>
       DedupOps.saveBands(docs.filter(col("doc_id") % 2 === 0), sc, "bands")
       DedupOps.appendBands(docs.filter(col("doc_id") % 2 === 1), sc, "bands")
-      sc
-    })
+    }
     DedupOps.lshPairsFromBands(DedupOps.loadBands(s, scope, "bands"))
   }
 
@@ -498,10 +473,7 @@ object SparkEntry {
 
   private def incrClusterLabels(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val scope = q135Scopes.computeIfAbsent(dir, _ => {
-      val base = java.nio.file.Files.createTempDirectory("graft-q135-")
-      sys.addShutdownHook(deleteRecursively(base))
-      val sc = graft.core.Scopes.create(s, base.toString)
+    val scope = cachedScope(q135Scopes, s, dir, "graft-q135-") { sc =>
       val hist = docs.filter(col("doc_id") % 2 === 0)
       val batch = docs.filter(col("doc_id") % 2 === 1)
       val histEdges = DedupOps.minhashLshPairs(hist).select("doc_a", "doc_b")
@@ -514,8 +486,7 @@ object SparkEntry {
           .select(col("doc_new").as("doc_a"), col("doc_existing").as("doc_b")))
         .union(DedupOps.simhashCrossPairs(batch, hist).select("doc_a", "doc_b"))
       ClusterOps.mergeClusterEdges(s, sc, "labels", batchEdges)
-      sc
-    })
+    }
     ClusterOps.loadClusterLabels(s, scope, "labels", docs)
   }
 
@@ -589,10 +560,7 @@ object SparkEntry {
 
   private def pqArtifactGate(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val scope = q91Scopes.computeIfAbsent(dir, _ => {
-      val base = java.nio.file.Files.createTempDirectory("graft-q91-")
-      sys.addShutdownHook(deleteRecursively(base))
-      val sc = graft.core.Scopes.create(s, base.toString)
+    val scope = cachedScope(q91Scopes, s, dir, "graft-q91-") { sc =>
       // even half builds, odd half appends under the FROZEN codebooks
       // (q83's shape for the code table) — the merged reloaded index
       // must still hold the q80 gate over the full corpus
@@ -601,8 +569,7 @@ object SparkEntry {
         sc, "pq")
       SimilarityOps.appendToPqIndex(emb.filter(col("vec_id") % 2 === 1),
         sc, "pq")
-      sc
-    })
+    }
     val loaded = SimilarityOps.loadPqIndex(s, scope, "pq")
     SimilarityOps.knnRecallGate(
       SimilarityOps.probePq(loaded, emb),

@@ -157,34 +157,62 @@ object Layout {
     * (Delta/Iceberg) is the production answer for an ATOMIC swap, this
     * is the layout half it automates.
     */
+  /** @param filesPerPartition >1 splits each directory across that
+    *   many tasks/files (a deterministic-enough hash salt): the bound
+    *   that keeps a HOT partition — many GB in one directory after a
+    *   year of appends — from becoming a single straggler task writing
+    *   one unsplittable file. 1 (default) gives the tightest layout
+    *   for ordinary partitions.
+    */
   def compactPartitioned(spark: org.apache.spark.sql.SparkSession,
                          srcPath: String, destPath: String,
-                         partitionCols: Seq[String]): Unit = {
+                         partitionCols: Seq[String],
+                         filesPerPartition: Int = 1): Unit = {
     require(partitionCols.nonEmpty,
       "compactPartitioned needs partition columns; use compact() for flat data")
-    spark.read.parquet(srcPath)
-      .repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
-      .write.mode(SaveMode.Overwrite)
+    require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(srcPath)
+    val parts = partitionCols.map(col)
+    val grouped =
+      if (filesPerPartition == 1) df.repartition(parts: _*)
+      else df
+        .withColumn("__cmp_salt",
+          pmod(xxhash64(monotonically_increasing_id()),
+            lit(filesPerPartition.toLong)))
+        .repartition(parts :+ col("__cmp_salt"): _*)
+        .drop("__cmp_salt")
+    grouped.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*).parquet(destPath)
   }
 
-  /** Swap a compacted rewrite into place: delete `livePath`, move
-    * `stagedPath` over it. NOT atomic on a plain FileSystem — the
-    * window is the delete+rename pair; callers that need atomicity use
-    * a table format. Kept here so every caller does the two steps in
-    * the same safe order (stage fully written BEFORE the live dir is
-    * touched).
+  /** Swap a compacted rewrite into place. NOT atomic on a plain
+    * FileSystem (a table format is the production answer for that),
+    * but NEVER destructive: the live data is renamed aside to
+    * `<live>.bak` before the staged copy moves in, so a crash or
+    * rename failure at any point leaves a complete copy at a known
+    * path — either still live, at .bak, or both — instead of the
+    * delete-then-rename window where a failed rename loses the only
+    * copy. The .bak is removed only after the staged copy is live.
     */
   def swapInto(spark: org.apache.spark.sql.SparkSession,
                stagedPath: String, livePath: String): Unit = {
     val live = new org.apache.hadoop.fs.Path(livePath)
     val staged = new org.apache.hadoop.fs.Path(stagedPath)
+    val bak = new org.apache.hadoop.fs.Path(livePath + ".bak")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(staged), s"staged compaction missing: $stagedPath")
-    if (fs.exists(live) && !fs.delete(live, true))
-      throw new graft.core.GraftException(s"failed to delete $livePath")
-    if (!fs.rename(staged, live))
+    if (fs.exists(bak) && !fs.delete(bak, true))
+      throw new graft.core.GraftException(
+        s"failed to clear stale backup $bak")
+    val hadLive = fs.exists(live)
+    if (hadLive && !fs.rename(live, bak))
+      throw new graft.core.GraftException(s"failed to move $livePath aside")
+    if (!fs.rename(staged, live)) {
+      if (hadLive) fs.rename(bak, live) // restore; best-effort
       throw new graft.core.GraftException(
         s"failed to move $stagedPath over $livePath")
+    }
+    if (hadLive) fs.delete(bak, true)
   }
 }

@@ -198,14 +198,14 @@ object ClusterOps {
           .cast("int").as("cbucket"))
       .write.mode("overwrite").partitionBy("cbucket")
       .parquet(scope.path(s"$name/rows"))
-    Seq(nBuckets).toDF("n_buckets").write.mode("overwrite")
-      .parquet(scope.path(s"$name/meta"))
+    graft.core.Scopes.writeMeta(spark, scope, s"$name/meta",
+      "n_buckets" -> nBuckets)
   }
 
   /** The artifact's recorded bucket universe. */
   def clusterLabelsNBuckets(spark: org.apache.spark.sql.SparkSession,
                             scope: graft.core.Scope, name: String): Int =
-    spark.read.parquet(scope.path(s"$name/meta")).head().getInt(0)
+    graft.core.Scopes.readMeta(spark, scope, s"$name/meta")("n_buckets")
 
   /** Stored label rows under the artifact's fixed schema — explicit so
     * an artifact whose non-identity row set is EMPTY (every doc a

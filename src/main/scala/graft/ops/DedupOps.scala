@@ -171,9 +171,9 @@ object DedupOps {
     minhashBands(documents, numHashes, bandSize, shingleSize)
       .write.mode("overwrite").partitionBy("b")
       .parquet(scope.path(s"$name/rows"))
-    Seq((numHashes, bandSize, shingleSize))
-      .toDF("num_hashes", "band_size", "shingle_size")
-      .write.mode("overwrite").parquet(scope.path(s"$name/meta"))
+    graft.core.Scopes.writeMeta(spark, scope, s"$name/meta",
+      "num_hashes" -> numHashes, "band_size" -> bandSize,
+      "shingle_size" -> shingleSize)
   }
 
   def appendBands(batch: DataFrame, scope: graft.core.Scope,
@@ -185,8 +185,8 @@ object DedupOps {
   /** The artifact's recorded (numHashes, bandSize, shingleSize). */
   def bandGeometry(spark: org.apache.spark.sql.SparkSession,
                    scope: graft.core.Scope, name: String): Seq[Int] = {
-    val meta = spark.read.parquet(scope.path(s"$name/meta")).head()
-    Seq(meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val meta = graft.core.Scopes.readMeta(spark, scope, s"$name/meta")
+    Seq(meta("num_hashes"), meta("band_size"), meta("shingle_size"))
   }
 
   /** Append PRE-COMPUTED band rows (they must come from

@@ -565,12 +565,21 @@ object SimilarityOps {
   /** Corpus row counts memoized per canonical plan, so the six index
     * builds that share one embeddings table pay the sizing count ONCE
     * per process, not once per build. Keyed by semanticHash: a hash
-    * collision can only mis-SIZE the thin rate (perf), never the
-    * sample — [[trainSample]] detects under-delivery from the
-    * materialized result and falls back to the unthinned tournament.
+    * collision — or a STALE count after the same path is appended to
+    * (the plan canonicalizes identically) — can only mis-SIZE the thin
+    * rate (perf: a too-high rate keeps extra rows, a too-low rate
+    * trips the under-delivery fallback), never the sample:
+    * [[trainSample]] validates delivery from the materialized result.
+    * Long-lived processes that mutate a corpus between builds call
+    * [[invalidateCorpusCounts]].
     */
   private val corpusCounts =
     new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+
+  /** Drop the memoized sizing counts (after appending to / overwriting
+    * a corpus this process already built an index over).
+    */
+  def invalidateCorpusCounts(): Unit = corpusCounts.clear()
 
   /** Shared by the IVF and PQ builds: the deterministic hash-sampled,
     * vec_id-sorted, single-partition training frame (see
@@ -605,7 +614,9 @@ object SimilarityOps {
       else pick(embeddings) // under-delivered thin: rare, exact fallback
     val idIdx = embeddings.schema.fieldIndex("vec_id")
     val local = new java.util.ArrayList[org.apache.spark.sql.Row](rows.length)
-    rows.sortBy(_.getLong(idIdx)).foreach(local.add)
+    // getAs[Number]: vec_id is LONG in the fixtures but the sort must
+    // not narrow the previously type-agnostic orderBy to one int width
+    rows.sortBy(_.getAs[Number](idIdx).longValue()).foreach(local.add)
     spark.createDataFrame(local, embeddings.schema).coalesce(1)
   }
 
@@ -844,8 +855,8 @@ object SimilarityOps {
     index.codes.write.mode("overwrite").parquet(scope.path(s"$name/codes"))
     index.codebooks.write.mode("overwrite")
       .parquet(scope.path(s"$name/codebooks"))
-    Seq((index.m, index.dsub)).toDF("m", "dsub")
-      .write.mode("overwrite").parquet(scope.path(s"$name/meta"))
+    graft.core.Scopes.writeMeta(spark, scope, s"$name/meta",
+      "m" -> index.m, "dsub" -> index.dsub)
   }
 
   /** Incremental maintenance of the PQ artifact: encode a new batch
@@ -857,8 +868,8 @@ object SimilarityOps {
     */
   def appendToPqIndex(batch: DataFrame, scope: Scope, name: String): Unit = {
     val spark = batch.sparkSession
-    val meta = spark.read.parquet(scope.path(s"$name/meta")).head()
-    val (m, dsub) = (meta.getInt(0), meta.getInt(1))
+    val meta = graft.core.Scopes.readMeta(spark, scope, s"$name/meta")
+    val (m, dsub) = (meta("m"), meta("dsub"))
     encodePqCodes(batch,
       collectCodebooks(spark.read.parquet(scope.path(s"$name/codebooks")), m),
       m, dsub)
@@ -866,11 +877,11 @@ object SimilarityOps {
   }
 
   def loadPqIndex(spark: SparkSession, scope: Scope, name: String): PqIndex = {
-    val meta = spark.read.parquet(scope.path(s"$name/meta")).head()
+    val meta = graft.core.Scopes.readMeta(spark, scope, s"$name/meta")
     PqIndex(
       spark.read.parquet(scope.path(s"$name/codes")),
       spark.read.parquet(scope.path(s"$name/codebooks")),
-      meta.getInt(0), meta.getInt(1))
+      meta("m"), meta("dsub"))
   }
 
   /** Q80 gate: PQ-ADC recall@k vs the exact scan — violations only.
@@ -935,8 +946,8 @@ object SimilarityOps {
       .parquet(scope.path(s"$name/centroids"))
     index.codebooks.write.mode("overwrite")
       .parquet(scope.path(s"$name/codebooks"))
-    Seq((index.m, index.dsub)).toDF("m", "dsub")
-      .write.mode("overwrite").parquet(scope.path(s"$name/meta"))
+    graft.core.Scopes.writeMeta(spark, scope, s"$name/meta",
+      "m" -> index.m, "dsub" -> index.dsub)
   }
 
   /** Reload; `cell` comes back as a partition column, so
@@ -945,12 +956,12 @@ object SimilarityOps {
     */
   def loadIvfPqIndex(spark: SparkSession, scope: Scope,
                      name: String): IvfPqIndex = {
-    val meta = spark.read.parquet(scope.path(s"$name/meta")).head()
+    val meta = graft.core.Scopes.readMeta(spark, scope, s"$name/meta")
     IvfPqIndex(
       spark.read.parquet(scope.path(s"$name/cells")),
       spark.read.parquet(scope.path(s"$name/centroids")),
       spark.read.parquet(scope.path(s"$name/codebooks")),
-      meta.getInt(0), meta.getInt(1))
+      meta("m"), meta("dsub"))
   }
 
   /** Incremental maintenance of the compound artifact: assign a new
@@ -967,8 +978,8 @@ object SimilarityOps {
   def appendToIvfPqIndex(batch: DataFrame, scope: Scope, name: String): Unit = {
     val spark = batch.sparkSession
     GraftFunctions.register(spark)
-    val meta = spark.read.parquet(scope.path(s"$name/meta")).head()
-    val (m, dsub) = (meta.getInt(0), meta.getInt(1))
+    val meta = graft.core.Scopes.readMeta(spark, scope, s"$name/meta")
+    val (m, dsub) = (meta("m"), meta("dsub"))
     val centroids = spark.read.parquet(scope.path(s"$name/centroids"))
     val assigned = withNorm(batch, "embedding", "cn")
       .crossJoin(broadcast(centroids))

@@ -367,23 +367,24 @@ object TextOps {
     * rides beside them under `name/meta`. A probe or append that
     * assumed a different nBuckets would silently prune VALID postings
     * out of results (wrong answers, not an error), so the artifact
-    * records it and [[appendPostings]]/[[searchPostingsArtifact]] read
-    * it back instead of taking an independent parameter.
+    * BUILDS the postings itself under the nBuckets it records (a
+    * separately-built frame could have been bucketed under a different
+    * universe than a caller-repeated parameter claims) and
+    * [[appendPostings]]/[[searchPostingsArtifact]] read the metadata
+    * back instead of taking an independent parameter.
     */
-  def savePostings(postings: DataFrame, scope: graft.core.Scope,
+  def savePostings(documents: DataFrame, scope: graft.core.Scope,
                    name: String, nBuckets: Int = 64): Unit = {
-    val spark = postings.sparkSession
-    import spark.implicits._
-    postings.write.mode("overwrite").partitionBy("bucket")
-      .parquet(scope.path(s"$name/rows"))
-    Seq(nBuckets).toDF("n_buckets").write.mode("overwrite")
-      .parquet(scope.path(s"$name/meta"))
+    buildPostings(documents, nBuckets).write.mode("overwrite")
+      .partitionBy("bucket").parquet(scope.path(s"$name/rows"))
+    graft.core.Scopes.writeMeta(documents.sparkSession, scope,
+      s"$name/meta", "n_buckets" -> nBuckets)
   }
 
   /** The artifact's recorded bucket universe. */
   def postingsNBuckets(spark: org.apache.spark.sql.SparkSession,
                        scope: graft.core.Scope, name: String): Int =
-    spark.read.parquet(scope.path(s"$name/meta")).head().getInt(0)
+    graft.core.Scopes.readMeta(spark, scope, s"$name/meta")("n_buckets")
 
   /** Q128: incremental index maintenance — APPEND a new document
     * batch's postings to the stored artifact. O(batch): the batch is

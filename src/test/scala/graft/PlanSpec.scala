@@ -184,8 +184,7 @@ class PlanSpec extends SparkSpec {
     val base = java.nio.file.Files.createTempDirectory("graft-postings-plan-")
     try {
       val scope = graft.core.Scopes.create(spark, base.toString)
-      graft.ops.TextOps.savePostings(
-        graft.ops.TextOps.buildPostings(docs), scope, "postings")
+      graft.ops.TextOps.savePostings(docs, scope, "postings")
       val loaded = graft.ops.TextOps.loadPostings(spark, scope, "postings")
       val queries = Map("qa" -> Seq("table", "scan"), "qb" -> Seq("window"))
       val df = graft.ops.TextOps.searchPostings(loaded, queries, k = 5)

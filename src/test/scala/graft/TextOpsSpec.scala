@@ -306,7 +306,7 @@ class TextOpsSpec extends SparkSpec {
     val base = java.nio.file.Files.createTempDirectory("graft-postings-")
     try {
       val scope = graft.core.Scopes.create(spark, base.toString)
-      TextOps.savePostings(TextOps.buildPostings(corpus), scope, "p")
+      TextOps.savePostings(corpus, scope, "p")
       def key(r: org.apache.spark.sql.Row) =
         (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))
       val direct = TextOps.keywordSearch(corpus, queries, k = 4)
@@ -318,8 +318,7 @@ class TextOpsSpec extends SparkSpec {
       assert(direct.nonEmpty)
       // incremental maintenance: build from half, append the rest —
       // the merged artifact must answer for the FULL corpus
-      TextOps.savePostings(
-        TextOps.buildPostings(corpus.filter($"doc_id" % 2 === 0)), scope, "p2")
+      TextOps.savePostings(corpus.filter($"doc_id" % 2 === 0), scope, "p2")
       TextOps.appendPostings(corpus.filter($"doc_id" % 2 === 1), scope, "p2")
       val appended = TextOps.searchPostings(
           TextOps.loadPostings(spark, scope, "p2"), queries, k = 4)
