@@ -764,6 +764,10 @@ object SparkEntry {
           .select(col("doc_id").as("vec_id"), col("features").as("embedding")))),
     "q51_image_resize" -> ((s, dir) =>
       MultimodalOps.resizeRoundTripFrom(mediaTable(s, dir, "png"))),
+    // deterministic pre-training shuffle: every doc gets a replayable
+    // (shard, pos) address
+    "q140_shuffle_shards" -> ((s, dir) =>
+      SampleOps.shuffleShards(t(s, dir, "documents"), "doc_id", 16)),
     "q52_sample" -> ((s, dir) =>
       SampleOps.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
           Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.9)
@@ -2369,6 +2373,20 @@ object SparkEntry {
     // Deterministic stratified sampling: the oracle replays the exact
     // md5-hash-unit decision per row (first 32 md5 bits / 2^32 — a
     // power-of-two division, exact in double on both engines).
+    // hashUnit replayed; shard = floor(u * 16) clamped; pos =
+    // row_number within shard over (u, doc_id) — INT to match Spark
+    "q140_shuffle_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(doc_id::VARCHAR || ':shuffle'), 1, 8))::BIGINT
+        |           / 4294967296.0 AS u
+        |  FROM documents),
+        |s AS (SELECT doc_id, u,
+        |        CAST(least(floor(u * 16), 15) AS INT) AS shard FROM h)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY u, doc_id)
+        |            AS INT) AS pos
+        |FROM s""".stripMargin,
     "q52_sample" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':'), 1, 8))::BIGINT

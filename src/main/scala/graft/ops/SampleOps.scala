@@ -192,4 +192,30 @@ object SampleOps {
         sum((col(valueCol) > col("hi")).cast("long")).as("n_above"),
         sum(col("clipped").cast("long")).as("sum_clipped"))
   }
+
+  /** Q140: DETERMINISTIC CORPUS SHUFFLE-SHARDING — the last step
+    * before training: every document gets a (shard, pos) address in a
+    * pseudo-random global order, derived purely from [[hashUnit]] of
+    * its key, so the shuffle is reproducible cross-engine (the oracle
+    * replays it), stable under re-runs, and independent of input
+    * partitioning — none of which `ORDER BY rand()` gives. One hash
+    * shuffle on the shard id; the per-shard `pos` window is sequential
+    * WITHIN a shard, which is exactly the parallelism grain training
+    * consumes shards at — size nShards to the reader fleet (hundreds
+    * to thousands at 100 TB), never 1 (that would be a global sort).
+    * Salt decorrelates re-shuffles across epochs: salt "epoch1" and
+    * "epoch2" give independent orders over the same corpus.
+    */
+  def shuffleShards(df: DataFrame, keyCol: String, nShards: Int,
+                    salt: String = "shuffle"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(keyCol), hashUnit(col(keyCol), salt).as("u"))
+      .withColumn("shard",
+        least(floor(col("u") * nShards), lit((nShards - 1).toDouble))
+          .cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("u"), col(keyCol))))
+      .select(col(keyCol), col("shard"), col("pos"))
+  }
 }

@@ -171,4 +171,34 @@ class SampleOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastExchange"), plan)
   }
+
+  test("shuffleShards: total, deterministic, contiguous positions, salt-decorrelated, no global sort") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val n = docs.count()
+    def addr(salt: String) = SampleOps
+      .shuffleShards(docs, "doc_id", 8, salt)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val a = addr("shuffle")
+    // every doc exactly once, shards in range
+    assert(a.size.toLong === n)
+    assert(a.values.forall { case (s, _) => s >= 0 && s < 8 })
+    // positions are contiguous 1..|shard| within each shard
+    a.values.groupBy(_._1).foreach { case (_, addrs) =>
+      val ps = addrs.map(_._2).toSeq.sorted
+      assert(ps === (1 to ps.size))
+    }
+    // deterministic under repetition and partitioning
+    assert(addr("shuffle") === a)
+    assert(SampleOps.shuffleShards(docs.repartition(13), "doc_id", 8, "shuffle")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap === a)
+    // a different salt is a genuinely different order
+    assert(addr("epoch2") !== a)
+    // plan shape: one hash exchange for the shard window, no range
+    // partitioning (a global sort would be the scale bug)
+    val plan = SampleOps.shuffleShards(docs, "doc_id", 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+    assert(plan.contains("Window"), plan)
+  }
 }
