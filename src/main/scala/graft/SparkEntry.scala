@@ -118,6 +118,41 @@ object SparkEntry {
     TextOps.tokenCounts(Tables.jsonl(s, tmp, "doc_id bigint, text string"))
   }
 
+  /** q141: PERMISSIVE ingest with CORRUPT-RECORD ACCOUNTING — the
+    * schema-on-read resilience every crawl ingest needs: a JSONL feed
+    * where every doc_id ≡ 13 (mod 97) line is truncated mid-object is
+    * read with `_corrupt_record` in the DDL, and the audit reports
+    * good rows per lang beside the corrupt-line count — bad data is
+    * DATA (quarantined and counted), not an outage. The oracle
+    * re-derives both sides from the clean table and the deterministic
+    * mangling rule, so a reader that silently drops (or mis-parses)
+    * corrupt lines cannot pass.
+    */
+  private val q141Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def corruptJsonlAudit(s: SparkSession, dir: String): DataFrame = {
+    val tmp = q141Dirs.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-q141-")
+      sys.addShutdownHook(deleteRecursively(d))
+      t(s, dir, "documents").select(
+        when(col("doc_id") % 97 === 13,
+          concat(lit("{\"doc_id\":"), col("doc_id"), lit(",\"lang\":")))
+          .otherwise(concat(lit("{\"doc_id\":"), col("doc_id"),
+            lit(",\"lang\":\""), col("lang"), lit("\"}")))
+          .as("value"))
+        .write.mode("overwrite").text(d.toString)
+      d.toString
+    })
+    val raw = Tables.jsonl(s, tmp,
+      "doc_id bigint, lang string, _corrupt_record string")
+    raw.groupBy(
+        when(col("_corrupt_record").isNotNull, lit("corrupt"))
+          .otherwise(lit("ok")).as("status"),
+        when(col("_corrupt_record").isNotNull, lit(null).cast("string"))
+          .otherwise(col("lang")).as("lang"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   private val q75Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** q75: supplier through the CSV sink and the schema-typed CSV
@@ -751,6 +786,8 @@ object SparkEntry {
     "q47_dedup_apply" -> ((s, dir) =>
       ClusterOps.dedupedCorpus(t(s, dir, "documents"))),
     "q48_jsonl_roundtrip" -> jsonlRoundTrip _,
+    // corrupt lines are data: quarantined + counted, never dropped
+    "q141_corrupt_jsonl" -> (corruptJsonlAudit _),
     "q42_edit_dist" -> ((s, dir) =>
       TextOps.neighborEditDistance(t(s, dir, "documents"))),
     "q49_image_features" -> ((s, dir) =>
@@ -2373,6 +2410,14 @@ object SparkEntry {
     // Deterministic stratified sampling: the oracle replays the exact
     // md5-hash-unit decision per row (first 32 md5 bits / 2^32 — a
     // power-of-two division, exact in double on both engines).
+    // the mangling rule replayed: ok rows per lang from the clean
+    // table, corrupt count from the rule's complement
+    "q141_corrupt_jsonl" ->
+      """SELECT 'ok' AS status, lang, count(*) AS n
+        |FROM documents WHERE doc_id % 97 <> 13 GROUP BY lang
+        |UNION ALL
+        |SELECT 'corrupt', CAST(NULL AS VARCHAR), count(*)
+        |FROM documents WHERE doc_id % 97 = 13""".stripMargin,
     // hashUnit replayed; shard = floor(u * 16) clamped; pos =
     // row_number within shard over (u, doc_id) — INT to match Spark
     "q140_shuffle_shards" ->
