@@ -506,9 +506,12 @@ object SparkEntry {
     */
   private val q135Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
 
-  private def incrClusterLabels(s: SparkSession, dir: String): DataFrame = {
+  /** The even-build + odd-merge label artifact shared by q135 (probe)
+    * and q142 (artifact-backed dedup application).
+    */
+  private def q135Scope(s: SparkSession, dir: String): graft.core.Scope = {
     val docs = t(s, dir, "documents")
-    val scope = cachedScope(q135Scopes, s, dir, "graft-q135-") { sc =>
+    cachedScope(q135Scopes, s, dir, "graft-q135-") { sc =>
       val hist = docs.filter(col("doc_id") % 2 === 0)
       val batch = docs.filter(col("doc_id") % 2 === 1)
       val histEdges = DedupOps.minhashLshPairs(hist).select("doc_a", "doc_b")
@@ -522,7 +525,23 @@ object SparkEntry {
         .union(DedupOps.simhashCrossPairs(batch, hist).select("doc_a", "doc_b"))
       ClusterOps.mergeClusterEdges(s, sc, "labels", batchEdges)
     }
-    ClusterOps.loadClusterLabels(s, scope, "labels", docs)
+  }
+
+  private def incrClusterLabels(s: SparkSession, dir: String): DataFrame =
+    ClusterOps.loadClusterLabels(s, q135Scope(s, dir), "labels",
+      t(s, dir, "documents"))
+
+  /** q142: the dedup DECISION read from the STORED artifact — q47's
+    * application (keep canonicals, count absorbed dups) over q135's
+    * incrementally-merged labels instead of an in-job recompute: the
+    * path a daily ingest actually takes, and the point of persisting
+    * labels at all. Labels are bit-identical to the full recompute
+    * (q135's contract), so the oracle is q47's SQL unchanged.
+    */
+  private def artifactDedupApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    ClusterOps.dedupedCorpus(docs,
+      Some(ClusterOps.loadClusterLabels(s, q135Scope(s, dir), "labels", docs)))
   }
 
   /** q84: the write-once/join-many bucketed layout — orders and
@@ -785,6 +804,8 @@ object SparkEntry {
       Relational.eventOrderAsofNearest(t(s, dir, "events"), t(s, dir, "orders"))),
     "q47_dedup_apply" -> ((s, dir) =>
       ClusterOps.dedupedCorpus(t(s, dir, "documents"))),
+    // the same application read from the STORED q135 labels
+    "q142_artifact_dedup_apply" -> (artifactDedupApply _),
     "q48_jsonl_roundtrip" -> jsonlRoundTrip _,
     // corrupt lines are data: quarantined + counted, never dropped
     "q141_corrupt_jsonl" -> (corruptJsonlAudit _),
@@ -2523,6 +2544,17 @@ object SparkEntry {
     // recompute over the minhash edge generator
     "q138_stream_clusters" -> minhashClustersSql,
     "q47_dedup_apply" ->
+      s"""WITH labels AS ($dedupClustersSql),
+         |sizes AS (SELECT canonical_id, count(*) AS n FROM labels
+         |          GROUP BY canonical_id)
+         |SELECT l.doc_id, d.lang, d.source, CAST(s.n - 1 AS BIGINT) AS n_dropped
+         |FROM labels l
+         |JOIN sizes s ON s.canonical_id = l.canonical_id
+         |JOIN documents d ON d.doc_id = l.doc_id
+         |WHERE l.doc_id = l.canonical_id""".stripMargin,
+    // artifact-backed application: labels are bit-identical to the
+    // full recompute (q135), so the oracle is q47's unchanged
+    "q142_artifact_dedup_apply" ->
       s"""WITH labels AS ($dedupClustersSql),
          |sizes AS (SELECT canonical_id, count(*) AS n FROM labels
          |          GROUP BY canonical_id)

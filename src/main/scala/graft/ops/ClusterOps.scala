@@ -357,8 +357,9 @@ object ClusterOps {
     * it absorbed. This is the row a training-data pipeline actually
     * feeds downstream; everything before it is bookkeeping.
     */
-  def dedupedCorpus(documents: DataFrame): DataFrame = {
-    val labels = nearDupClusters(documents)
+  def dedupedCorpus(documents: DataFrame,
+                    labelsOpt: Option[DataFrame] = None): DataFrame = {
+    val labels = labelsOpt.getOrElse(nearDupClusters(documents))
     val sizes = labels.groupBy("canonical_id")
       .agg(count(lit(1)).as("cluster_size"))
     labels.filter(col("doc_id") === col("canonical_id"))
