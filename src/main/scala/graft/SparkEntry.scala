@@ -463,9 +463,12 @@ object SparkEntry {
         ClusterOps.connectedComponents(hist, DedupOps.minhashLshPairs(hist)),
         sc, "labels")
       // the odd half becomes the stream source (doc_id, text)
-      docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(sc.path("stream-src"))
+      // two source files -> two micro-batches (maxFilesPerTrigger=1):
+      // the second wave's candidates must find the first's bands
+      docs.filter(col("doc_id") % 4 === 1).select("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(sc.path("stream-src"))
+      docs.filter(col("doc_id") % 4 === 3).select("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(sc.path("stream-src"))
       EventsStreaming.streamingClusterMaintenance(s,
         sc.path("stream-src"), sc, "bands", "labels", sc.path("ckpt"))
     }

@@ -821,8 +821,12 @@ object EventsStreaming {
                                   checkpointDir: String): Unit = {
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
+    // one file = one micro-batch: each ingest wave merges (and appends
+    // its bands) before the next joins against them — the multi-batch
+    // shape the maintenance loop exists for, even under AvailableNow
     val src = spark.readStream.schema(docSchema)
-      .option("pathGlobFilter", "*.parquet").parquet(srcDir)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val q = src.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val b = batch.persist()
