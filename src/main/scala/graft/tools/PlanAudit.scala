@@ -71,7 +71,9 @@ object PlanAudit {
     "q136_ivfpq_artifact", // reloaded compound index, cell-pruned probe
     "q137_band_artifact", // stored+appended bands, self-join candidates
     "q138_stream_clusters", // streamed merges' fixed point, probed
-    "q139_compact_artifact") // compacted layout, identical probe plan
+    "q139_compact_artifact", // compacted layout, identical probe plan
+    "q140_shuffle_shards", // one hash exchange, no range partitioning
+    "q142_artifact_dedup_apply") // stored labels joined, no CC recompute
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
