@@ -109,11 +109,8 @@ object SparkEntry {
   }
 
   private def jsonlRoundTrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = q48Dirs.computeIfAbsent(dir, _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft-q48-")
-      sys.addShutdownHook(deleteRecursively(d))
-      d.toString
-    })
+    val tmp = cachedDir(q48Dirs, dir, "graft-q48-") { d =>
+    }
     Tables.writeJsonl(t(s, dir, "documents").select("doc_id", "text"), tmp)
     TextOps.tokenCounts(Tables.jsonl(s, tmp, "doc_id bigint, text string"))
   }
@@ -131,18 +128,16 @@ object SparkEntry {
   private val q141Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def corruptJsonlAudit(s: SparkSession, dir: String): DataFrame = {
-    val tmp = q141Dirs.computeIfAbsent(dir, _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft-q141-")
-      sys.addShutdownHook(deleteRecursively(d))
+    val tmp = cachedDir(q141Dirs, dir, "graft-q141-") { d =>
       t(s, dir, "documents").select(
         when(col("doc_id") % 97 === 13,
           concat(lit("{\"doc_id\":"), col("doc_id"), lit(",\"lang\":")))
-          .otherwise(concat(lit("{\"doc_id\":"), col("doc_id"),
-            lit(",\"lang\":\""), col("lang"), lit("\"}")))
+          // to_json escapes quotes/backslashes and renders null lang
+          // legally — a hand-concat would silently mis-account both
+          .otherwise(to_json(struct(col("doc_id"), col("lang"))))
           .as("value"))
-        .write.mode("overwrite").text(d.toString)
-      d.toString
-    })
+        .write.mode("overwrite").text(d)
+    }
     val raw = Tables.jsonl(s, tmp,
       "doc_id bigint, lang string, _corrupt_record string")
     raw.groupBy(
@@ -162,11 +157,8 @@ object SparkEntry {
     * content).
     */
   private def csvRoundTrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = q75Dirs.computeIfAbsent(dir, _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft-q75-")
-      sys.addShutdownHook(deleteRecursively(d))
-      d.toString
-    })
+    val tmp = cachedDir(q75Dirs, dir, "graft-q75-") { d =>
+    }
     Tables.writeCsv(t(s, dir, "supplier"), tmp)
     Tables.csvTyped(s, tmp,
       "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double")
@@ -180,13 +172,10 @@ object SparkEntry {
   private val q86Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def orcRoundTrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = q86Dirs.computeIfAbsent(dir, _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft-q86-")
-      sys.addShutdownHook(deleteRecursively(d))
+    val tmp = cachedDir(q86Dirs, dir, "graft-q86-") { d =>
       Tables.writeOrc(t(s, dir, "part")
-        .select("p_partkey", "p_name", "p_brand", "p_retailprice"), d.toString)
-      d.toString
-    })
+        .select("p_partkey", "p_name", "p_brand", "p_retailprice"), d)
+    }
     Tables.orc(s, tmp)
   }
 
@@ -268,18 +257,15 @@ object SparkEntry {
   private val q121Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def mergedSchemaRead(s: SparkSession, dir: String): DataFrame = {
-    val root = q121Dirs.computeIfAbsent(dir, _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft-q121-")
-      sys.addShutdownHook(deleteRecursively(d))
+    val root = cachedDir(q121Dirs, dir, "graft-q121-") { d =>
       val docs = t(s, dir, "documents")
       docs.filter(col("doc_id") % 2 === 0)
         .select("doc_id", "source", "n_chars")
-        .write.mode("overwrite").parquet(d.toString + "/v1")
+        .write.mode("overwrite").parquet(d + "/v1")
       docs.filter(col("doc_id") % 2 === 1)
         .select("doc_id", "source", "n_chars", "lang")
-        .write.mode("overwrite").parquet(d.toString + "/v2")
-      d.toString
-    })
+        .write.mode("overwrite").parquet(d + "/v2")
+    }
     graft.io.Tables.parquetMerged(s, s"$root/v1", s"$root/v2")
       .select("doc_id", "source", "n_chars", "lang")
   }
@@ -343,6 +329,19 @@ object SparkEntry {
       SimilarityOps.bruteForceKnn(emb), k = 10, minRecall = 0.7)
   }
 
+  /** Sibling of [[cachedScope]] for plain temp DIRECTORIES: one per
+    * (process, key), built on first use, reclaimed by a shutdown hook.
+    */
+  private def cachedDir(cache: java.util.concurrent.ConcurrentHashMap[String, String],
+                        key: String, prefix: String)(
+                        build: String => Unit): String =
+    cache.computeIfAbsent(key, _ => {
+      val d = java.nio.file.Files.createTempDirectory(prefix)
+      sys.addShutdownHook(deleteRecursively(d))
+      build(d.toString)
+      d.toString
+    })
+
   /** The cached-artifact scaffold every artifact query shares: ONE
     * scope per (process, sf dir), built on first use under a temp base
     * that a shutdown hook reclaims. Factored so each new artifact
@@ -376,18 +375,15 @@ object SparkEntry {
   private def mediaTable(s: SparkSession, dir: String, kind: String)
       : org.apache.spark.sql.Dataset[MultimodalOps.MediaRecord] = {
     import s.implicits._
-    val root = mediaDirs.computeIfAbsent(s"$dir#$kind", _ => {
-      val d = java.nio.file.Files.createTempDirectory(s"graft-media-$kind-")
-      sys.addShutdownHook(deleteRecursively(d))
+    val root = cachedDir(mediaDirs, s"$dir#$kind", s"graft-media-$kind-") { d =>
       val docs = t(s, dir, "documents")
       val gen = kind match {
         case "png" => MultimodalOps.syntheticPngTable(docs)
         case "gif" => MultimodalOps.syntheticGifTable(docs)
         case "wav" => MultimodalOps.syntheticWavTable(docs)
       }
-      gen.toDF().write.mode("overwrite").parquet(d.toString)
-      d.toString
-    })
+      gen.toDF().write.mode("overwrite").parquet(d)
+    }
     s.read.parquet(root).as[MultimodalOps.MediaRecord]
   }
 
@@ -590,13 +586,10 @@ object SparkEntry {
   private val q90Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def partitionedScan(s: SparkSession, dir: String): DataFrame = {
-    val tmp = q90Dirs.computeIfAbsent(dir, _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft-q90-")
-      sys.addShutdownHook(deleteRecursively(d))
-      graft.io.Layout.writePartitioned(t(s, dir, "events"), d.toString + "/events",
+    val tmp = cachedDir(q90Dirs, dir, "graft-q90-") { d =>
+      graft.io.Layout.writePartitioned(t(s, dir, "events"), d + "/events",
         partitionCols = Seq("event_type"), sortCols = Seq("ts"))
-      d.toString
-    })
+    }
     s.read.parquet(s"$tmp/events")
       .filter(col("event_type") === "click")
       .groupBy("event_type")
@@ -1408,6 +1401,17 @@ object SparkEntry {
        |  SELECT w.id, e.b FROM walk w JOIN e ON e.a = w.r)
        |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canonical_id
        |FROM walk GROUP BY id""".stripMargin
+
+  /** q47 AND q142 (artifact-backed) — one definition, two keys. */
+  private lazy val dedupApplySql =
+    s"""WITH labels AS ($dedupClustersSql),
+       |sizes AS (SELECT canonical_id, count(*) AS n FROM labels
+       |          GROUP BY canonical_id)
+       |SELECT l.doc_id, d.lang, d.source, CAST(s.n - 1 AS BIGINT) AS n_dropped
+       |FROM labels l
+       |JOIN sizes s ON s.canonical_id = l.canonical_id
+       |JOIN documents d ON d.doc_id = l.doc_id
+       |WHERE l.doc_id = l.canonical_id""".stripMargin
 
   private val dedupClustersSql =
     s"""WITH RECURSIVE
@@ -2441,7 +2445,8 @@ object SparkEntry {
         |FROM documents WHERE doc_id % 97 <> 13 GROUP BY lang
         |UNION ALL
         |SELECT 'corrupt', CAST(NULL AS VARCHAR), count(*)
-        |FROM documents WHERE doc_id % 97 = 13""".stripMargin,
+        |FROM documents WHERE doc_id % 97 = 13
+        |HAVING count(*) > 0""".stripMargin,
     // hashUnit replayed; shard = floor(u * 16) clamped; pos =
     // row_number within shard over (u, doc_id) — INT to match Spark
     "q140_shuffle_shards" ->
@@ -2546,26 +2551,10 @@ object SparkEntry {
     // the STREAMED merges must land on the same fixed point: full
     // recompute over the minhash edge generator
     "q138_stream_clusters" -> minhashClustersSql,
-    "q47_dedup_apply" ->
-      s"""WITH labels AS ($dedupClustersSql),
-         |sizes AS (SELECT canonical_id, count(*) AS n FROM labels
-         |          GROUP BY canonical_id)
-         |SELECT l.doc_id, d.lang, d.source, CAST(s.n - 1 AS BIGINT) AS n_dropped
-         |FROM labels l
-         |JOIN sizes s ON s.canonical_id = l.canonical_id
-         |JOIN documents d ON d.doc_id = l.doc_id
-         |WHERE l.doc_id = l.canonical_id""".stripMargin,
+    "q47_dedup_apply" -> dedupApplySql,
     // artifact-backed application: labels are bit-identical to the
-    // full recompute (q135), so the oracle is q47's unchanged
-    "q142_artifact_dedup_apply" ->
-      s"""WITH labels AS ($dedupClustersSql),
-         |sizes AS (SELECT canonical_id, count(*) AS n FROM labels
-         |          GROUP BY canonical_id)
-         |SELECT l.doc_id, d.lang, d.source, CAST(s.n - 1 AS BIGINT) AS n_dropped
-         |FROM labels l
-         |JOIN sizes s ON s.canonical_id = l.canonical_id
-         |JOIN documents d ON d.doc_id = l.doc_id
-         |WHERE l.doc_id = l.canonical_id""".stripMargin,
+    // full recompute (q135), so the oracle is q47's — ONE definition
+    "q142_artifact_dedup_apply" -> dedupApplySql,
     // argmax re-derived relationally: rank within cluster by
     // (quality DESC, doc_id ASC) — the struct-max tie-break, exactly
     "q104_dedup_best" ->

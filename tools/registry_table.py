@@ -36,19 +36,32 @@ parts = re.split(r'"(q\d+[a-z0-9_]*)"\s*->', queries_src)
 for j in range(1, len(parts), 2):
     entries[parts[j]] = parts[j + 1]
 
-# helper bodies (for entries like `ivfAppendGate _`)
+# helper bodies (for entries like `ivfAppendGate _`) — both `= { ... }`
+# and single-expression `= Expr(...)` forms
 helpers = {}
-for m in re.finditer(r'private def (\w+)\(s: SparkSession, dir: String\)[^=]*=\s*\{', text):
+for m in re.finditer(r'private def (\w+)\(s: SparkSession, dir: String\)[^=]*=\s*(\{?)', text):
     name = m.group(1)
-    depth, i = 1, m.end()
-    while depth > 0 and i < len(text):
-        c = text[i]
-        if c == '{':
-            depth += 1
-        elif c == '}':
-            depth -= 1
-        i += 1
-    helpers[name] = text[m.end():i - 1]
+    if m.group(2) == '{':
+        # brace-count SKIPPING string literals — fixture strings contain
+        # deliberately unbalanced braces (q141's truncated JSON)
+        depth, i = 1, m.end()
+        while depth > 0 and i < len(text):
+            c = text[i]
+            if c == '"':
+                i += 1
+                while i < len(text) and text[i] != '"':
+                    i += 2 if text[i] == '\\' else 1
+            elif c == '{':
+                depth += 1
+            elif c == '}':
+                depth -= 1
+            i += 1
+        helpers[name] = text[m.end():i - 1]
+    else:
+        # single expression: slurp to the next blank line or def/val
+        tail = text[m.end():m.end() + 2000]
+        stop = re.search(r'\n\s*\n|\n  private |\n  /\*\*', tail)
+        helpers[name] = tail[:stop.start()] if stop else tail
 
 OPS = (r'(ClusterOps|DedupOps|TextOps|SimilarityOps|MultimodalOps|SampleOps|'
        r'SketchOps|MergeOps|GraphOps|TimeSeriesOps|Constraints|Relational|'
