@@ -138,6 +138,30 @@ class IncrementalClusterSpec extends SparkSpec {
     Scopes.delete(spark, scope)
   }
 
+  test("random graphs: staged merges equal full recompute for any edge split") {
+    // deterministic pseudo-random graphs (fixed seed — reproducible
+    // failures): arbitrary edges split into build + two merge waves
+    // must land on the full-recompute fixed point every time
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 5).foreach { trial =>
+      val nNodes = 12 + rnd.nextInt(20)
+      val verts = (1L to nNodes.toLong).toSeq
+      val nEdges = 5 + rnd.nextInt(25)
+      val edges = Seq.fill(nEdges)(
+        (1L + rnd.nextInt(nNodes), 1L + rnd.nextInt(nNodes)))
+        .filter(e => e._1 != e._2)
+      val (build, rest) = edges.splitAt(edges.length / 3)
+      val (wave1, wave2) = rest.splitAt(rest.length / 2)
+      val scope = freshScope()
+      buildArtifact(scope, verts, build)
+      if (wave1.nonEmpty) merge(scope, wave1)
+      if (wave2.nonEmpty) merge(scope, wave2)
+      assert(probe(scope, verts) === labelsOf(verts, edges),
+        s"trial $trial diverged: build=$build wave1=$wave1 wave2=$wave2")
+      Scopes.delete(spark, scope)
+    }
+  }
+
   test("endpoint that IS a stored canonical pulls its whole component") {
     // edge hits the representative (which has no stored row of its
     // own): members must still relabel
