@@ -1140,6 +1140,11 @@ object SparkEntry {
     "q134_digest" -> ((s, dir) =>
       Constraints.contentDigest(t(s, dir, "orders"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
+    // the flagship carried to TRAINING-READY: q100's corpus assigned
+    // leak-free splits (q110) and the train split dealt into
+    // shuffle-shards (q140) — "corpus selected" → "corpus consumable"
+    "q143_corpus_shards" -> ((s, dir) =>
+      ClusterOps.corpusShards(t(s, dir, "documents"))),
   )
 
   private val q10Sql =
@@ -1412,6 +1417,62 @@ object SparkEntry {
        |JOIN sizes s ON s.canonical_id = l.canonical_id
        |JOIN documents d ON d.doc_id = l.doc_id
        |WHERE l.doc_id = l.canonical_id""".stripMargin
+
+  /** q100 AND q143's corpus stage — one definition, two keys: the
+    * end-to-end v2 flagship corpus (winnow edges in the recursive
+    * cluster walk, dup-line gate, weighted priority tail).
+    */
+  private lazy val corpusV2Sql =
+    s"""WITH RECURSIVE
+       |p AS (SELECT doc_a, doc_b FROM ($minhashLshSql)
+       |      UNION
+       |      SELECT doc_a, doc_b FROM ($simhashPairsSql)
+       |      UNION
+       |      SELECT doc_a, doc_b FROM ($winnowPairsSql)),
+       |e AS (SELECT doc_a a, doc_b b FROM p
+       |      UNION SELECT doc_b, doc_a FROM p),
+       |walk(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT w.id, e.b FROM walk w JOIN e ON e.a = w.r),
+       |labels AS (
+       |  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canonical_id
+       |  FROM walk GROUP BY id),
+       |kept AS (
+       |  SELECT l.doc_id, d.lang, d.source FROM labels l
+       |  JOIN documents d ON d.doc_id = l.doc_id
+       |  WHERE l.doc_id = l.canonical_id),
+       |q AS ($qualitySql),
+       |contam AS ($contaminationSql),
+       |dlines AS (
+       |  SELECT doc_id,
+       |         list_filter(list_transform(string_split(text, chr(10)),
+       |                     x -> trim(x)), x -> x <> '') l
+       |  FROM documents),
+       |dls AS (SELECT doc_id, len(l) n_lines,
+       |               len(l) - len(list_distinct(l)) n_dup FROM dlines),
+       |dl AS (SELECT doc_id,
+       |              round(CASE WHEN n_lines > 0
+       |                         THEN CAST(n_dup AS DOUBLE) / n_lines
+       |                         ELSE 0 END, 6) dup_line_frac FROM dls),
+       |$bigramFracCtes,
+       |cand AS (
+       |  SELECT k.doc_id, k.lang, k.source, q.n_tokens, q.quality,
+       |         (('0x' || substr(md5(k.doc_id::VARCHAR || ':train'), 1, 8))::BIGINT
+       |            / 4294967296.0) / q.n_tokens AS priority
+       |  FROM kept k
+       |  JOIN q ON q.doc_id = k.doc_id
+       |  JOIN rep ON rep.doc_id = k.doc_id
+       |  JOIN dl ON dl.doc_id = k.doc_id
+       |  WHERE q.quality >= 0.5
+       |    AND rep.top_bigram_frac <= 0.5
+       |    AND dl.dup_line_frac <= 0.5
+       |    AND k.lang IN ('en', 'de', 'fr', 'es')
+       |    AND k.doc_id % 10 <> 7
+       |    AND q.n_tokens > 0
+       |    AND NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = k.doc_id))
+       |SELECT doc_id, lang, source, n_tokens, quality, priority
+       |FROM cand ORDER BY priority ASC, doc_id ASC LIMIT 150""".stripMargin
 
   private val dedupClustersSql =
     s"""WITH RECURSIVE
@@ -1755,57 +1816,37 @@ object SparkEntry {
     // END-TO-END v2: the same composed stages, now with the winnow
     // edges in the recursive cluster walk, the dup-line gate, and the
     // weighted priority tail (u exact, divisions IEEE-exact)
-    "q100_training_corpus_v2" ->
-      s"""WITH RECURSIVE
-         |p AS (SELECT doc_a, doc_b FROM ($minhashLshSql)
-         |      UNION
-         |      SELECT doc_a, doc_b FROM ($simhashPairsSql)
-         |      UNION
-         |      SELECT doc_a, doc_b FROM ($winnowPairsSql)),
-         |e AS (SELECT doc_a a, doc_b b FROM p
-         |      UNION SELECT doc_b, doc_a FROM p),
-         |walk(id, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT w.id, e.b FROM walk w JOIN e ON e.a = w.r),
-         |labels AS (
-         |  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canonical_id
-         |  FROM walk GROUP BY id),
-         |kept AS (
-         |  SELECT l.doc_id, d.lang, d.source FROM labels l
-         |  JOIN documents d ON d.doc_id = l.doc_id
-         |  WHERE l.doc_id = l.canonical_id),
-         |q AS ($qualitySql),
-         |contam AS ($contaminationSql),
-         |dlines AS (
+    "q100_training_corpus_v2" -> corpusV2Sql,
+    // the flagship carried to TRAINING-READY: corpus (q100 SQL
+    // verbatim) → leak-free split (q110's md5-unit on the canonical
+    // survivor) → train split dealt into q140's shuffle-shards;
+    // val/test ship whole (shard = pos = -1)
+    "q143_corpus_shards" ->
+      s"""WITH corpus AS ($corpusV2Sql),
+         |sp AS (
+         |  SELECT doc_id, lang, source, n_tokens,
+         |         CASE WHEN h < 0.1 THEN 'test'
+         |              WHEN h < 0.2 THEN 'val'
+         |              ELSE 'train' END AS split
+         |  FROM (SELECT *,
+         |          ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 8))::BIGINT
+         |            / 4294967296.0 AS h
+         |        FROM corpus)),
+         |tr AS (
          |  SELECT doc_id,
-         |         list_filter(list_transform(string_split(text, chr(10)),
-         |                     x -> trim(x)), x -> x <> '') l
-         |  FROM documents),
-         |dls AS (SELECT doc_id, len(l) n_lines,
-         |               len(l) - len(list_distinct(l)) n_dup FROM dlines),
-         |dl AS (SELECT doc_id,
-         |              round(CASE WHEN n_lines > 0
-         |                         THEN CAST(n_dup AS DOUBLE) / n_lines
-         |                         ELSE 0 END, 6) dup_line_frac FROM dls),
-         |$bigramFracCtes,
-         |cand AS (
-         |  SELECT k.doc_id, k.lang, k.source, q.n_tokens, q.quality,
-         |         (('0x' || substr(md5(k.doc_id::VARCHAR || ':train'), 1, 8))::BIGINT
-         |            / 4294967296.0) / q.n_tokens AS priority
-         |  FROM kept k
-         |  JOIN q ON q.doc_id = k.doc_id
-         |  JOIN rep ON rep.doc_id = k.doc_id
-         |  JOIN dl ON dl.doc_id = k.doc_id
-         |  WHERE q.quality >= 0.5
-         |    AND rep.top_bigram_frac <= 0.5
-         |    AND dl.dup_line_frac <= 0.5
-         |    AND k.lang IN ('en', 'de', 'fr', 'es')
-         |    AND k.doc_id % 10 <> 7
-         |    AND q.n_tokens > 0
-         |    AND NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = k.doc_id))
-         |SELECT doc_id, lang, source, n_tokens, quality, priority
-         |FROM cand ORDER BY priority ASC, doc_id ASC LIMIT 150""".stripMargin,
+         |         ('0x' || substr(md5(doc_id::VARCHAR || ':shuffle'), 1, 8))::BIGINT
+         |           / 4294967296.0 AS su
+         |  FROM sp WHERE split = 'train'),
+         |sh AS (SELECT doc_id, su,
+         |         CAST(least(floor(su * 8), 7) AS INT) AS shard FROM tr),
+         |ps AS (SELECT doc_id, shard,
+         |         CAST(row_number() OVER (PARTITION BY shard
+         |                                 ORDER BY su, doc_id) AS INT) AS pos
+         |       FROM sh)
+         |SELECT sp.doc_id, sp.lang, sp.source, sp.n_tokens, sp.split,
+         |       coalesce(ps.shard, -1) AS shard,
+         |       coalesce(ps.pos, -1) AS pos
+         |FROM sp LEFT JOIN ps ON ps.doc_id = sp.doc_id""".stripMargin,
     // hash-priority per-source cap: row_number over the identical
     // md5 priority, ties broken by doc_id on both engines
     "q101_domain_cap" ->

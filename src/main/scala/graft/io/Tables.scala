@@ -1,6 +1,8 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
 
 /** Fixture/table access. The engine's native storage is columnar parquet
   * (vs the reference's newline-delimited HDFS text,
@@ -15,14 +17,70 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events fixture carries TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects; read nanos as long and convert (truncating) to
-    * microsecond timestamps — the same ns→µs truncation DuckDB applies.
+  /** Canonical events schema AFTER normalization: `ts` is a plain
+    * session-zone TIMESTAMP (the session zone is UTC, GraftSession).
+    * Every operator downstream of the loaders sees exactly this.
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Normalize whatever physical `ts` encoding an events file carries
+    * into the canonical session-zone TIMESTAMP — the ONE place in the
+    * engine that knows the on-disk representations. Fixture
+    * generations have carried three encodings:
+    *   - TIMESTAMP(isAdjustedToUTC=false, MICROS): Spark reads it as
+    *     TIMESTAMP_NTZ; under the UTC session zone the LTZ cast is a
+    *     bit-identical reinterpretation (DuckDB reads the same column
+    *     as its naive TIMESTAMP, so oracle parity is by construction);
+    *   - plain TIMESTAMP (isAdjustedToUTC=true, or INT96): pass-through;
+    *   - legacy TIMESTAMP(NANOS) read as raw long under
+    *     `spark.sql.legacy.parquet.nanosAsLong`: truncate ns→µs, the
+    *     same truncation DuckDB applies.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case TimestampType    => df
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case other => throw new graft.core.GraftException(
+      s"events.ts: unsupported physical type $other — expected timestamp, timestamp_ntz, or legacy int64 nanos")
+  }
+
+  /** Batch events loader. `nanosAsLong` must be set BEFORE the read to
+    * even open a legacy nanos file, and is a no-op for the other
+    * encodings (verified: a µs file still infers as TIMESTAMP_NTZ).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** Streaming twin of [[events]] — same normalization contract, for
+    * `readStream` sources (which require a declared schema). The
+    * physical `ts` type is peeked from the footers with a schema-only
+    * batch read (one footer, no data scan), the stream schema is
+    * declared to MATCH the files, and [[normalizeEventTs]] lifts the
+    * result to the canonical TIMESTAMP — so every streaming operator
+    * is encoding-agnostic, exactly like batch.
+    *
+    * @param oneBatch force the whole fixture into a single micro-batch
+    *                 (the bounded-fixture stateful forms flush state at
+    *                 end of batch; the default file-source cap of 1000
+    *                 files would otherwise split a large directory)
+    */
+  def eventsStream(spark: SparkSession, dir: String,
+                   glob: String = "events.parquet",
+                   oneBatch: Boolean = false): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val physical: DataType = spark.read.option("pathGlobFilter", glob)
+      .parquet(dir).schema("ts").dataType
+    val declared = StructType(eventsSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = physical) else f))
+    var reader = spark.readStream.schema(declared).option("pathGlobFilter", glob)
+    if (oneBatch)
+      reader = reader.option("maxFilesPerTrigger", Int.MaxValue.toString)
+    normalizeEventTs(reader.parquet(dir))
   }
 
   /** Newline-delimited delimiter-separated text, the reference's record

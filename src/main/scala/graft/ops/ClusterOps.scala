@@ -555,6 +555,45 @@ object ClusterOps {
       .select("doc_id", "lang", "source", "n_tokens", "quality", "priority")
   }
 
+  /** Q143 — the flagship's TRAINING-READY tail: the selected corpus
+    * (q100, [[trainingCorpusV2]]) carried through to what a data
+    * loader actually consumes — every document assigned a LEAK-FREE
+    * split (q110 semantics) and the train split dealt into
+    * SHUFFLE-SHARDS with an in-shard order (q140,
+    * [[SampleOps.shuffleShards]]). Closes the gap between "corpus
+    * selected" and "corpus consumable".
+    *
+    * Leak-freedom comes for free at this stage: the flagship keeps
+    * exactly ONE canonical document per near-dup cluster, so
+    * canonical_id == doc_id on every selected row and hashing doc_id
+    * IS the cluster-granularity split — near-dups cannot straddle a
+    * boundary because only one member survived selection at all.
+    *
+    * Scale shape: the corpus plan is q100's (one declarative plan,
+    * TakeOrderedAndProject tail); split assignment is a stateless
+    * md5 projection; sharding shuffles ONLY the train split on the
+    * shard key and the per-shard window orders within a shard —
+    * partitions are independent, no global sort anywhere. Val/test
+    * rows carry shard = pos = -1 (eval sets ship whole).
+    */
+  def corpusShards(documents: DataFrame, nShards: Int = 8,
+                   valFrac: Double = 0.1, testFrac: Double = 0.1): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val u = SampleOps.hashUnit(col("doc_id"), "split")
+    val split = trainingCorpusV2(documents)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        when(u < testFrac, lit("test"))
+          .when(u < testFrac + valFrac, lit("val"))
+          .otherwise(lit("train")).as("split"))
+    val sharded = SampleOps.shuffleShards(
+      split.filter(col("split") === "train"), "doc_id", nShards)
+    split.join(sharded, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        col("split"),
+        coalesce(col("shard"), lit(-1)).as("shard"),
+        coalesce(col("pos"), lit(-1)).as("pos"))
+  }
+
   def trainingCorpus(documents: DataFrame,
                      minQuality: Double = 0.5,
                      langs: Seq[String] = Seq("en", "de", "fr", "es"),

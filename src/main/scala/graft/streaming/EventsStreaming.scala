@@ -18,14 +18,10 @@ import org.apache.spark.sql.types._
   */
 object EventsStreaming {
 
-  /** On-disk schema: `ts` is TIMESTAMP(NANOS), which Spark reads as
-    * long under `spark.sql.legacy.parquet.nanosAsLong`; we convert to
-    * microsecond timestamps after the scan (see Tables.events).
-    */
-  val rawEventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  // Every events source below goes through graft.io.Tables.eventsStream
+  // — the ONE loader that knows the fixture's physical ts encoding and
+  // normalizes it to a session-zone TIMESTAMP (Tables.normalizeEventTs).
+  // No operator here may assume the on-disk representation.
 
   /** Shared aggregation: 1-hour tumbling windows per event_type.
     * Works on batch and streaming inputs alike (one logical plan).
@@ -101,18 +97,14 @@ object EventsStreaming {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     import ss.implicits._
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val gapUs = gapMinutes * 60L * 1000000L
     // this bounded-fixture form flushes ALL state at end of each
     // micro-batch, which is only correct when the whole fixture lands
-    // in ONE batch — force that (the file source otherwise caps a
-    // batch at 1000 files); the production multi-batch form is
+    // in ONE batch — oneBatch forces that (the file source otherwise
+    // caps a batch at 1000 files); the production multi-batch form is
     // [[sessionizeStreamingEventTime]]
-    val src = ss.readStream.schema(rawEventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .option("maxFilesPerTrigger", Int.MaxValue.toString)
-      .parquet(dir)
-      .selectExpr("user_id", "ts div 1000 as us",
+    val src = graft.io.Tables.eventsStream(ss, dir, oneBatch = true)
+      .selectExpr("user_id", "unix_micros(ts) as us",
         "cast(cast(value as decimal(18,2)) * 100 as bigint) as cents")
       .as[(Long, Long, Long)]
 
@@ -169,11 +161,9 @@ object EventsStreaming {
                                    gapMinutes: Int = 30,
                                    watermarkDelay: String = "10 minutes"): Unit = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val gapUs = gapMinutes * 60L * 1000000L
-    val src = spark.readStream.schema(rawEventsSchema)
-      .option("pathGlobFilter", "*.parquet").parquet(srcDir)
-      .selectExpr("user_id", "timestamp_micros(ts div 1000) as ts",
+    val src = graft.io.Tables.eventsStream(spark, srcDir, glob = "*.parquet")
+      .selectExpr("user_id", "ts",
         "cast(cast(value as decimal(18,2)) * 100 as bigint) as cents")
       .withWatermark("ts", watermarkDelay)
       // the watermarked ts column must survive into the stateful
@@ -258,11 +248,7 @@ object EventsStreaming {
     */
   def hourlyByTypeDurable(spark: SparkSession, srcDir: String, outDir: String,
                           checkpointDir: String): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.readStream.schema(rawEventsSchema)
-      .option("pathGlobFilter", "*.parquet")
-      .parquet(srcDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val src = graft.io.Tables.eventsStream(spark, srcDir, glob = "*.parquet")
     val agg = windowAgg(src.withWatermark("ts", "1 hour"))
     val q = agg.writeStream
       .format("parquet")
@@ -400,14 +386,10 @@ object EventsStreaming {
                             statePartitions: Int = 8): DataFrame = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import ss.implicits._
     val stepsLoc = steps
-    val src = ss.readStream.schema(rawEventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .option("maxFilesPerTrigger", Int.MaxValue.toString)
-      .parquet(dir)
-      .selectExpr("user_id", "ts div 1000 as us", "event_id", "event_type")
+    val src = graft.io.Tables.eventsStream(ss, dir, oneBatch = true)
+      .selectExpr("user_id", "unix_micros(ts) as us", "event_id", "event_type")
       .as[(Long, Long, Long, String)]
 
     def advance(userId: Long, events: Iterator[(Long, Long, Long, String)],
@@ -588,10 +570,7 @@ object EventsStreaming {
     // query (shared SparkContext, isolated SQL conf)
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = ss.readStream.schema(rawEventsSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val src = graft.io.Tables.eventsStream(ss, dir)
     val views = src.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
         col("ts").as("v_ts"))
@@ -630,12 +609,10 @@ object EventsStreaming {
                             queryName: String = "graft_q74_enrich",
                             buckets: Int = 50): DataFrame = {
     val ss = spark.newSession()
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dim = graft.io.Tables.parquet(ss, dir, "orders")
       .groupBy((col("o_custkey") % buckets).as("bucket"))
       .agg(count(lit(1)).as("n_orders"))
-    val src = ss.readStream.schema(rawEventsSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val src = graft.io.Tables.eventsStream(ss, dir)
     val enriched = src
       .select(col("event_id"), (col("user_id") % buckets).as("bucket"))
       .join(broadcast(dim), Seq("bucket"), "left")
@@ -661,9 +638,7 @@ object EventsStreaming {
   def streamToJdbc(spark: SparkSession, srcDir: String, checkpointDir: String,
                    url: String, user: String, password: String,
                    table: String): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.readStream.schema(rawEventsSchema)
-      .option("pathGlobFilter", "*.parquet").parquet(srcDir)
+    val src = graft.io.Tables.eventsStream(spark, srcDir, glob = "*.parquet")
       .selectExpr("event_id", "user_id", "event_type", "value")
     val q = src.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -776,10 +751,7 @@ object EventsStreaming {
   def streamingDedupWithinWatermark(spark: SparkSession, srcDir: String,
                                     outDir: String, checkpointDir: String,
                                     horizon: String = "1 hour"): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.readStream.schema(rawEventsSchema)
-      .option("pathGlobFilter", "*.parquet").parquet(srcDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val src = graft.io.Tables.eventsStream(spark, srcDir, glob = "*.parquet")
       .selectExpr("event_id", "ts",
         "md5(concat_ws('|', user_id, event_type, value)) as fp")
       .withWatermark("ts", horizon)
@@ -937,11 +909,7 @@ object EventsStreaming {
                                statePartitions: Int = 1): DataFrame = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = ss.readStream
-      .schema(rawEventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val src = graft.io.Tables.eventsStream(ss, dir)
     val agg = src.agg(
       count(lit(1)).as("n_checked"),
       sum((!col("event_type").isin("view", "click", "purchase"))
@@ -975,12 +943,7 @@ object EventsStreaming {
     // the fixed cost of a micro-batch (see viewClickJoinStreaming)
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = ss.readStream
-      .schema(rawEventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val src = graft.io.Tables.eventsStream(ss, dir)
     val agg = windowAgg(src.withWatermark("ts", "1 hour"))
     val q = agg.writeStream
       .format("memory")

@@ -84,11 +84,11 @@ object ScaleProbe {
         .withColumn("n_chars", length(col("text")))
     }.reduce(_ unionByName _), dest, "documents")
 
-    // the fixture stores TIMESTAMP(NANOS); read as raw long nanos (the
-    // convention every consumer of the single-file layout expects) and
-    // write it back as plain INT64 — same wire value, legal to write
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$src/events.parquet")
+    // route through THE events loader (graft.io.Tables.events): it
+    // normalizes whatever physical ts encoding the source fixture
+    // carries to a session-zone TIMESTAMP, and the replica is written
+    // back as a plain timestamp — which the same loader passes through
+    val ev = graft.io.Tables.events(spark, src)
     val nEv = 1L + ev.agg(max("event_id")).head.getLong(0)
     val nUsers = 1L + ev.agg(max("user_id")).head.getLong(0)
     writeSingle((0 until factor).map { k =>

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types.TimestampType
+
+import graft.io.Tables
+import graft.streaming.EventsStreaming
+
+/** Fixture-drift tripwire (round-6 postmortem): the driver regenerated
+  * `events.parquet` from INT64-nanos to timestamp[us] and every
+  * consumer that assumed the physical encoding broke — 14 queries
+  * erroring, 3 silently compressing the timeline 1000×. The monotone
+  * misreading class (µs read as "ns" keeps ORDER, so order-based
+  * queries pass while every absolute-time predicate is off by 1000×)
+  * cannot be caught by order-insensitive oracles — so these tests pin
+  * ABSOLUTE wall-clock instants against the real fixture. If the
+  * fixture encoding drifts again, this suite fails with the exact
+  * instant that moved, not a downstream DATATYPE_MISMATCH.
+  */
+class FixtureSchemaSpec extends SparkSpec {
+
+  test("events loader normalizes ts to TIMESTAMP against the real fixture") {
+    assert(Tables.events(spark, sf).schema("ts").dataType === TimestampType)
+  }
+
+  test("absolute event-time boundaries are pinned (no 1000x scale slip)") {
+    // epoch-microsecond extrema of the sf0.001 fixture, measured once
+    // from the parquet payload. A ns-as-µs (or µs-as-ns) misread moves
+    // these by 1000× in either direction; a timezone slip moves them by
+    // hours. Exact equality or the suite is the tripwire.
+    val r = Tables.events(spark, sf)
+      .selectExpr("min(unix_micros(ts))", "max(unix_micros(ts))", "count(*)")
+      .head()
+    assert(r.getLong(0) === 1704067798778549L) // 2024-01-01 00:09:58.778549 UTC
+    assert(r.getLong(1) === 1706657176220708L) // 2024-01-30 23:26:16.220708 UTC
+    assert(r.getLong(2) === 1000L)
+  }
+
+  test("q10's first hourly bucket lands on the pinned wall-clock hour") {
+    val first = EventsStreaming.hourlyByType(Tables.events(spark, sf))
+      .orderBy("hour_start", "event_type").limit(1).head()
+    assert(first.getAs[String]("hour_start") === "2024-01-01 00:00:00")
+    assert(first.getAs[String]("event_type") === "error")
+    assert(first.getAs[Long]("n") === 1L)
+  }
+
+  test("streaming source reads the same absolute instants as batch") {
+    val streamed = Tables.eventsStream(spark, sf)
+    assert(streamed.schema("ts").dataType === TimestampType)
+    val q = streamed.selectExpr("unix_micros(ts) as us").groupBy()
+      .agg(org.apache.spark.sql.functions.expr("min(us)").as("mn"),
+        org.apache.spark.sql.functions.expr("max(us)").as("mx"))
+      .writeStream.format("memory").queryName("fixture_tripwire")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val r = spark.table("fixture_tripwire").head()
+    assert(r.getAs[Long]("mn") === 1704067798778549L)
+    assert(r.getAs[Long]("mx") === 1706657176220708L)
+  }
+
+  test("legacy INT64-nanos events files still normalize to the same instants") {
+    // the encoding the fixtures carried through round 5, and the shape
+    // several streaming specs still write: ts as a raw nanosecond long
+    // with no parquet logical type. The loader's LongType branch must
+    // map it to the identical microsecond timeline.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-legacy-ns").toString
+    Seq((1L, 1704067798778549L * 1000L, 7L, "click", 1.5, "{}"),
+        (2L, 1706657176220708L * 1000L + 999L, 8L, "view", 2.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(dir + "/events.parquet")
+    val ev = Tables.events(spark, dir)
+    assert(ev.schema("ts").dataType === TimestampType)
+    val r = ev.selectExpr("min(unix_micros(ts))", "max(unix_micros(ts))").head()
+    assert(r.getLong(0) === 1704067798778549L)
+    assert(r.getLong(1) === 1706657176220708L) // sub-µs nanos truncate
+  }
+}
