@@ -648,14 +648,16 @@ object SparkEntry {
     MergeOps.upsert(existing, updates, Seq("o_orderkey"))
   }
 
-  /** Flagship query on sf0.001; driver smoke-checks rows>0. The
-    * flagship is the q57 composition — the end-to-end training-corpus
-    * materialization that exercises dedup, text analysis, and
-    * deterministic sampling in one declarative plan.
+  /** Flagship query on sf0.001; driver smoke-checks rows>0. Since
+    * round 7 the flagship is the TRAINING-READY chain (q143): the
+    * q100 corpus composition — dedup graph with passage evidence,
+    * quality/repetition/language/decontamination gates, weighted
+    * priority selection — carried through leak-free splits and
+    * shuffle-sharding to what a data loader consumes.
     */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    ClusterOps.trainingCorpus(t(spark, dir, "documents"))
+    ClusterOps.corpusShards(t(spark, dir, "documents"))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

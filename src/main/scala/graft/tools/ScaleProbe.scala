@@ -46,7 +46,13 @@ object ScaleProbe {
     // audit/profile surface (orders now replicates too, so the q133
     // join and q132 profile really see 10x BOTH sides)
     "q125_ivfpq", "q133_delta_join", "q127_audit_stream", "q132_profile",
-    "q135_incr_clusters", "q136_ivfpq_artifact")
+    "q135_incr_clusters", "q136_ivfpq_artifact",
+    // round-7: the events family re-probed with REAL timestamps end to
+    // end (the ts representation feeds window/state arithmetic, so the
+    // fix must be re-measured, not assumed), plus the new flagship tail
+    "q92_funnel", "q93_retention", "q94_priority_sample",
+    "q95_event_paths", "q99_funnel_stream", "q103_cdc_stream",
+    "q130_gapfill", "q143_corpus_shards")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)
@@ -147,8 +153,9 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // v2: orders replicates too (the q133/q132 probes need it)
-    val marker = new java.io.File(s"$dest/_PROBE_READY_v2")
+    // v3: regenerate from the round-6 regenerated fixtures (ts now a
+    // real timestamp; the replica rides the normalized loader output)
+    val marker = new java.io.File(s"$dest/_PROBE_READY_v3")
     if (!marker.exists()) {
       println(s"[scale-probe] generating ${factor}x corpus under $dest")
       replicate(spark, src, dest)

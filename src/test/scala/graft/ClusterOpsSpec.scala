@@ -216,4 +216,36 @@ class ClusterOpsSpec extends SparkSpec {
       testFrac = 0.2, salt = "other", labelsOpt = Some(labels))
     assert(split.exceptAll(other).count() > 0)
   }
+
+  test("corpusShards deals the flagship corpus into training-ready shards") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val out = ClusterOps.corpusShards(docs, nShards = 4).cache()
+    val corpus = ClusterOps.trainingCorpusV2(docs)
+    // the shard assignment decorates the selected corpus 1:1 — same
+    // documents, nothing added or dropped
+    assert(out.count() === corpus.count())
+    assert(out.select("doc_id").exceptAll(corpus.select("doc_id")).count() === 0)
+    // train rows carry a real (shard, pos) address; val/test ship
+    // whole with the -1 sentinel on both
+    val train = out.filter(col("split") === "train")
+    assert(train.filter(col("shard") < 0 || col("pos") < 1).count() === 0)
+    assert(out.filter(col("split") =!= "train")
+      .filter(col("shard") =!= -1 || col("pos") =!= -1).count() === 0)
+    assert(train.agg(max("shard")).head.getInt(0) <= 3)
+    // in-shard positions are the contiguous sequence 1..n(shard) —
+    // the replayable read order a training loader consumes
+    val perShard = train.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+      .collect()
+    perShard.foreach { r =>
+      assert(r.getAs[Int]("lo") === 1)
+      assert(r.getAs[Int]("hi").toLong === r.getAs[Long]("n"))
+    }
+    // deterministic end to end: recomputation reproduces the addresses
+    val again = ClusterOps.corpusShards(docs, nShards = 4)
+    assert(out.exceptAll(again).count() === 0)
+    assert(again.exceptAll(out).count() === 0)
+    out.unpersist()
+  }
 }
