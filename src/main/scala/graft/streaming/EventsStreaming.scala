@@ -445,8 +445,8 @@ object EventsStreaming {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     import ss.implicits._
-    // o_orderdate (TIMESTAMP_NANOS) deliberately absent: parquet scan
-    // prunes to the narrow merge columns, streaming like batch.
+    // o_orderdate deliberately absent: the parquet scan prunes to the
+    // narrow merge columns, streaming like batch.
     val ordersSchema = StructType(Seq(
       StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
       StructField("o_totalprice", DoubleType),

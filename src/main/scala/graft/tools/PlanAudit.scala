@@ -73,7 +73,9 @@ object PlanAudit {
     "q138_stream_clusters", // streamed merges' fixed point, probed
     "q139_compact_artifact", // compacted layout, identical probe plan
     "q140_shuffle_shards", // one hash exchange, no range partitioning
-    "q142_artifact_dedup_apply") // stored labels joined, no CC recompute
+    "q142_artifact_dedup_apply", // stored labels joined, no CC recompute
+    "q143_corpus_shards", // flagship tail: split projection + shard window
+    "q10_event_window")   // normalized-ts scan straight into windowed agg
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
