@@ -1147,6 +1147,11 @@ object SparkEntry {
     // shuffle-shards (q140) — "corpus selected" → "corpus consumable"
     "q143_corpus_shards" -> ((s, dir) =>
       ClusterOps.corpusShards(t(s, dir, "documents"))),
+    // temperature-flattened domain mixture: sqrt-weighted integer
+    // quotas against a document budget, selected by hash priority
+    "q144_mixture_sample" -> ((s, dir) =>
+      SampleOps.mixtureSample(t(s, dir, "documents"), "doc_id", "source",
+        budget = 200)),
   )
 
   private val q10Sql =
@@ -1849,6 +1854,27 @@ object SparkEntry {
          |       coalesce(ps.shard, -1) AS shard,
          |       coalesce(ps.pos, -1) AS pos
          |FROM sp LEFT JOIN ps ON ps.doc_id = sp.doc_id""".stripMargin,
+    // integer sqrt-weights and quotas replayed exactly (IEEE sqrt is
+    // correctly rounded on both engines, so floor agrees bit-for-bit;
+    // // is DuckDB integer division, matching the driver-side Long
+    // division); selection is q101's rank machinery
+    "q144_mixture_sample" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |w AS (SELECT source,
+        |        CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM c),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+        |q AS (SELECT source, (200 * w) // tw AS quota FROM w, t),
+        |pr AS (SELECT doc_id, source,
+        |         ('0x' || substr(md5(doc_id::VARCHAR || ':mix'), 1, 8))::BIGINT
+        |           / 4294967296.0 AS priority
+        |       FROM documents),
+        |r AS (SELECT doc_id, source, priority,
+        |        row_number() OVER (PARTITION BY source
+        |                           ORDER BY priority ASC, doc_id ASC) AS rk
+        |      FROM pr)
+        |SELECT r.doc_id, r.source, r.priority
+        |FROM r JOIN q ON q.source = r.source
+        |WHERE r.rk <= q.quota""".stripMargin,
     // hash-priority per-source cap: row_number over the identical
     // md5 priority, ties broken by doc_id on both engines
     "q101_domain_cap" ->

@@ -206,6 +206,63 @@ object SampleOps {
     * Salt decorrelates re-shuffles across epochs: salt "epoch1" and
     * "epoch2" give independent orders over the same corpus.
     */
+  /** Q144: BUDGET-CONSTRAINED domain mixture — the allocation twin of
+    * [[temperatureSample]] (q76): where q76 rebalances PROPORTIONS by
+    * per-stratum keep-rates with no size target, this op divides a
+    * FIXED document budget across domains by tempered weights and
+    * takes EXACTLY that many per domain — the "assemble a 10B-token
+    * corpus with this mix" step, where the budget is the contract.
+    * Domains weigh in at n^(1/2) rather than n, so rare domains are
+    * upweighted and one giant crawl cannot own the mix (alpha fixed
+    * at 0.5 because IEEE requires sqrt to be correctly rounded — both
+    * engines floor the SAME double, where pow(x, alpha) carries no
+    * such guarantee and would put cross-engine bits at risk; q76
+    * keeps the general-alpha rate form).
+    *
+    * Exact by construction: per-domain weights w = floor(sqrt(n)) are
+    * integers, quotas are integer arithmetic (budget × w div Σw), and
+    * selection is the q101 rank machinery — the quota smallest
+    * (md5-unit, key) priorities per domain. Σ quotas ≤ budget.
+    *
+    * Scale shape: the count aggregate is partial-agg'd and DOMAIN-
+    * sized; quotas are computed from that model-sized result (the
+    * same collect scale as k-means centroids); the corpus-sized work
+    * is one per-row hash projection and ONE window shuffle where the
+    * constant max-quota filter lets Catalyst plant a map-side
+    * WindowGroupLimit (each scan partition ships at most maxQuota
+    * rows per domain — the q101 plan, PlanSpec-asserted there), then
+    * the per-domain quota trims under a broadcast join. No global
+    * sort, no rate×count rounding drift.
+    */
+  def mixtureSample(df: DataFrame, keyCol: String, domainCol: String,
+                    budget: Long, salt: String = "mix"): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val spark = df.sparkSession
+    val domains = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+      .withColumn("w", floor(sqrt(col("n"))).cast("long"))
+      .collect() // one row per DOMAIN — model-sized, never corpus-sized
+    val totalW = domains.map(_.getAs[Long]("w")).sum
+    if (domains.isEmpty || totalW == 0L)
+      return df.select(col(keyCol), col(domainCol),
+        lit(0.0).as("priority")).filter(lit(false))
+    val quotas = domains.map { r =>
+      (r.getAs[String](domainCol), budget * r.getAs[Long]("w") / totalW)
+    }
+    val maxQuota = math.max(1L, quotas.map(_._2).max).toInt
+    import spark.implicits._
+    val quotaDf = quotas.toSeq.toDF(domainCol, "quota")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(col("priority").asc, col(keyCol).asc)
+    df.select(col(keyCol), col(domainCol))
+      .withColumn("priority", hashUnit(col(keyCol), salt))
+      .withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= maxQuota) // constant: map-side WindowGroupLimit
+      .join(broadcast(quotaDf), domainCol)
+      .filter(col("rk") <= col("quota"))
+      .select(col(keyCol), col(domainCol), col("priority"))
+  }
+
   def shuffleShards(df: DataFrame, keyCol: String, nShards: Int,
                     salt: String = "shuffle"): DataFrame = {
     require(nShards > 0, s"nShards must be positive: $nShards")

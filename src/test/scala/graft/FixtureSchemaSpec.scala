@@ -60,6 +60,31 @@ class FixtureSchemaSpec extends SparkSpec {
     assert(r.getAs[Long]("mx") === 1706657176220708L)
   }
 
+  test("orders/lineitem timestamp columns carry pinned absolute boundaries") {
+    // same drift class as events.ts, different tables: o_orderdate and
+    // l_shipdate are consumed via `cast(... as timestamp)` / `year()`,
+    // which is silently WRONG if the fixture ever regenerates them as
+    // raw epoch longs (cast-from-long means SECONDS). Pin the physical
+    // reading here so that failure mode names itself.
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val ord = Tables.parquet(spark, sf, "orders")
+    assert(Set[org.apache.spark.sql.types.DataType](TimestampType, TimestampNTZType)
+      .contains(ord.schema("o_orderdate").dataType))
+    val o = ord.selectExpr(
+      "min(unix_micros(cast(o_orderdate as timestamp)))",
+      "max(unix_micros(cast(o_orderdate as timestamp)))").head()
+    assert(o.getLong(0) === 788918400000000L) // 1995-01-01 00:00:00 UTC
+    assert(o.getLong(1) === 996624000000000L) // 2001-08-01 00:00:00 UTC
+    val li = Tables.parquet(spark, sf, "lineitem")
+    assert(Set[org.apache.spark.sql.types.DataType](TimestampType, TimestampNTZType)
+      .contains(li.schema("l_shipdate").dataType))
+    val l = li.selectExpr(
+      "min(unix_micros(cast(l_shipdate as timestamp)))",
+      "max(unix_micros(cast(l_shipdate as timestamp)))").head()
+    assert(l.getLong(0) === 789004800000000L)  // 1995-01-02 00:00:00 UTC
+    assert(l.getLong(1) === 1004832000000000L) // 2001-11-04 00:00:00 UTC
+  }
+
   test("legacy INT64-nanos events files still normalize to the same instants") {
     // the encoding the fixtures carried through round 5, and the shape
     // several streaming specs still write: ts as a raw nanosecond long

@@ -201,4 +201,53 @@ class SampleOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange rangepartitioning"), plan)
     assert(plan.contains("Window"), plan)
   }
+
+  test("mixtureSample honors the budget with sqrt-tempered integer quotas") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val budget = 120L
+    val out = SampleOps.mixtureSample(docs, "doc_id", "source", budget).cache()
+    val counts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = counts.view.mapValues(n => math.floor(math.sqrt(n.toDouble)).toLong).toMap
+    val totalW = w.values.sum
+    val quota = w.view.mapValues(wi => budget * wi / totalW).toMap
+    val taken = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exactly the integer quota per domain (every fixture domain has
+    // more docs than its quota), and the total respects the budget
+    quota.foreach { case (s, q) => assert(taken.getOrElse(s, 0L) === q, s) }
+    assert(taken.values.sum <= budget)
+    // tempered, not proportional — needs SKEW (the fixture is uniform,
+    // where tempering correctly degenerates to uniform): on a 900/100/25
+    // corpus the big domain's sample share must fall strictly below its
+    // corpus share and the small one's rise strictly above
+    val skewed = ((1L to 900L).map(i => (i, "big")) ++
+      (1001L to 1100L).map(i => (i, "mid")) ++
+      (2001L to 2025L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val sk = SampleOps.mixtureSample(skewed, "doc_id", "source", 45L)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // w = floor(sqrt(n)) = 30/10/5, W = 45, budget 45 → exact quotas
+    assert(sk === Map("big" -> 30L, "mid" -> 10L, "small" -> 5L))
+    assert(30.0 / 45 < 900.0 / 1025 && 5.0 / 45 > 25.0 / 1025)
+    // deterministic under repetition and partitioning
+    val again = SampleOps.mixtureSample(docs.repartition(13), "doc_id",
+      "source", budget)
+    assert(out.exceptAll(again).count() === 0)
+    assert(again.exceptAll(out).count() === 0)
+    // selection within a domain is by hash priority: the taken set is
+    // exactly the quota-smallest priorities (nesting like domainCap)
+    val priorities = docs.select(col("doc_id"), col("source"),
+        SampleOps.hashUnit(col("doc_id"), "mix").as("p"))
+      .collect().groupBy(_.getString(1))
+    priorities.foreach { case (s, rows) =>
+      val expected = rows.sortBy(r => (r.getDouble(2), r.getLong(0)))
+        .take(quota(s).toInt).map(_.getLong(0)).toSet
+      val got = out.filter(col("source") === s)
+        .collect().map(_.getLong(0)).toSet
+      assert(got === expected, s)
+    }
+    out.unpersist()
+  }
 }
