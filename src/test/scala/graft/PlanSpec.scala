@@ -298,6 +298,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange rangepartitioning"), plan)
   }
 
+  test("q144: mixture quotas broadcast onto a map-side-limited rank — no global sort") {
+    val plan = planOf(SparkEntry.queries("q144_mixture_sample")(spark, sf))
+    // the constant max-quota filter plants the q101 partial top-k on
+    // both sides of the one domain exchange; the per-domain quota trim
+    // rides a broadcast join, never a second shuffle of the corpus
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
   test("q102: vocabulary's window runs single-partition over vocab-sized data only") {
     val plan = planOf(SparkEntry.queries("q102_vocab")(spark, sf))
     // corpus-sized work is the partially-aggregated token count; the
