@@ -274,4 +274,34 @@ class PropertySpec extends SparkSpec {
       assert(d3._3 !== base._3) // sum catches what XOR cancels
     }
   }
+
+  test("mixtureSample: quotas honored and samples nest as the budget grows") {
+    import graft.ops.SampleOps
+    // random skewed corpora: 2-5 domains, 5-200 docs each
+    val corpusGen = for {
+      k <- Gen.chooseNum(2, 5)
+      sizes <- Gen.listOfN(k, Gen.chooseNum(5, 200))
+    } yield sizes.zipWithIndex.flatMap { case (n, d) =>
+      (0 until n).map(i => (d * 100000L + i, s"dom$d"))
+    }
+    samples(corpusGen, n = 4).foreach { rows =>
+      val df = rows.toDF("doc_id", "source")
+      val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val w = counts.view.mapValues(n => math.floor(math.sqrt(n.toDouble)).toLong).toMap
+      val totalW = w.values.sum
+      def sample(b: Long): Map[Long, String] =
+        SampleOps.mixtureSample(df, "doc_id", "source", b)
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val small = sample(40L)
+      val large = sample(90L)
+      // per-domain take is exactly min(quota, n) at each budget
+      for ((b, s) <- Seq(40L -> small, 90L -> large); (dom, n) <- counts) {
+        val quota = b * w(dom) / totalW
+        assert(s.values.count(_ == dom).toLong === math.min(quota, n), s"$dom at $b")
+      }
+      // monotone nesting: every doc selected at the small budget
+      // survives at the large one (quotas grow, priorities are fixed)
+      assert(small.keySet.subsetOf(large.keySet))
+    }
+  }
 }
