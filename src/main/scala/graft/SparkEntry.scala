@@ -1152,6 +1152,11 @@ object SparkEntry {
     "q144_mixture_sample" -> ((s, dir) =>
       SampleOps.mixtureSample(t(s, dir, "documents"), "doc_id", "source",
         budget = 200)),
+    // the same mixture contracted in COST units (chars; tokens in
+    // production): greedy per-domain fill in hash-priority order
+    "q145_char_budget_mix" -> ((s, dir) =>
+      SampleOps.costBudgetMixture(t(s, dir, "documents"), "doc_id", "source",
+        "n_chars", budget = 100000)),
   )
 
   private val q10Sql =
@@ -1875,6 +1880,28 @@ object SparkEntry {
         |SELECT r.doc_id, r.source, r.priority
         |FROM r JOIN q ON q.source = r.source
         |WHERE r.rk <= q.quota""".stripMargin,
+    // q144's integer quota arithmetic on char MASS, then the greedy
+    // prefix: an integer running sum over the identical (priority,
+    // doc_id) order — admission while cum - cost < quota
+    "q145_char_budget_mix" ->
+      """WITH m AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass
+        |           FROM documents GROUP BY source),
+        |w AS (SELECT source,
+        |        CAST(floor(sqrt(CAST(mass AS DOUBLE))) AS BIGINT) AS w FROM m),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+        |q AS (SELECT source, (100000 * w) // tw AS quota FROM w, t),
+        |pr AS (SELECT doc_id, source, n_chars,
+        |         ('0x' || substr(md5(doc_id::VARCHAR || ':mix'), 1, 8))::BIGINT
+        |           / 4294967296.0 AS priority
+        |       FROM documents),
+        |r AS (SELECT doc_id, source, n_chars, priority,
+        |        CAST(sum(n_chars) OVER (PARTITION BY source
+        |               ORDER BY priority ASC, doc_id ASC
+        |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM pr)
+        |SELECT r.doc_id, r.source, r.n_chars, r.priority
+        |FROM r JOIN q ON q.source = r.source
+        |WHERE r.cum - r.n_chars < q.quota""".stripMargin,
     // hash-priority per-source cap: row_number over the identical
     // md5 priority, ties broken by doc_id on both engines
     "q101_domain_cap" ->

@@ -263,6 +263,62 @@ object SampleOps {
       .select(col(keyCol), col(domainCol), col("priority"))
   }
 
+  /** Q145: COST-budget mixture fill — [[mixtureSample]] with the
+    * budget in a COST unit (chars here; tokens in production) instead
+    * of documents, which is how corpus assembly is actually
+    * contracted ("600B tokens with this mix"). Per-domain cost quotas
+    * are sqrt-tempered integer arithmetic exactly like q144; within a
+    * domain, documents admit GREEDILY in hash-priority order while
+    * the cost consumed so far is below quota (cum − cost < quota:
+    * admission is decided before a document's own cost lands, so the
+    * last document may overshoot its quota by part of itself — the
+    * standard greedy fill; a quota can only go unfilled when its
+    * domain runs out of documents).
+    *
+    * Exactness: the running cost is an integer window sum over the
+    * deterministic (priority, key) total order — both engines fold
+    * the identical prefix. Scale shape: the admission needs each
+    * domain's full prefix order, so this is ONE per-domain window
+    * shuffle (the q70 packing shape) — no constant group limit can
+    * pre-bound it, because the cutoff is in cost units. The exact
+    * pre-thinning escape hatch for a skewed 100 TB domain: hash-thin
+    * at any rate r whose kept set still exceeds the quota in every
+    * domain — the greedy prefix under the SAME priorities is then
+    * provably contained in the thinned set, so the composition stays
+    * bit-exact (same argument as [[domainCap]]'s, with cost sums in
+    * place of ranks).
+    */
+  def costBudgetMixture(df: DataFrame, keyCol: String, domainCol: String,
+                        costCol: String, budget: Long,
+                        salt: String = "mix"): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val spark = df.sparkSession
+    val domains = df.groupBy(col(domainCol))
+      .agg(sum(col(costCol)).cast("long").as("mass"))
+      .withColumn("w", floor(sqrt(col("mass"))).cast("long"))
+      .collect() // one row per DOMAIN — model-sized
+    val totalW = domains.map(_.getAs[Long]("w")).sum
+    if (domains.isEmpty || totalW == 0L)
+      return df.select(col(keyCol), col(domainCol), col(costCol),
+        lit(0.0).as("priority")).filter(lit(false))
+    val quotas = domains.map { r =>
+      (r.getAs[String](domainCol), budget * r.getAs[Long]("w") / totalW)
+    }
+    import spark.implicits._
+    val quotaDf = quotas.toSeq.toDF(domainCol, "quota")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(col("priority").asc, col(keyCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.select(col(keyCol), col(domainCol), col(costCol))
+      .withColumn("priority", hashUnit(col(keyCol), salt))
+      .withColumn("cum", sum(col(costCol)).over(win).cast("long"))
+      .join(broadcast(quotaDf), domainCol)
+      .filter(col("cum") - col(costCol) < col("quota"))
+      .select(col(keyCol), col(domainCol), col(costCol), col("priority"))
+  }
+
   def shuffleShards(df: DataFrame, keyCol: String, nShards: Int,
                     salt: String = "shuffle"): DataFrame = {
     require(nShards > 0, s"nShards must be positive: $nShards")

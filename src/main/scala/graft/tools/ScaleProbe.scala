@@ -52,7 +52,8 @@ object ScaleProbe {
     // fix must be re-measured, not assumed), plus the new flagship tail
     "q92_funnel", "q93_retention", "q94_priority_sample",
     "q95_event_paths", "q99_funnel_stream", "q103_cdc_stream",
-    "q130_gapfill", "q143_corpus_shards", "q144_mixture_sample")
+    "q130_gapfill", "q143_corpus_shards", "q144_mixture_sample",
+    "q145_char_budget_mix")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

@@ -250,4 +250,45 @@ class SampleOpsSpec extends SparkSpec {
     }
     out.unpersist()
   }
+
+  test("costBudgetMixture fills each domain's cost quota greedily by priority") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val budget = 50000L
+    val out = SampleOps.costBudgetMixture(docs, "doc_id", "source",
+      "n_chars", budget).cache()
+    // replay the quota arithmetic
+    val mass = docs.groupBy("source").agg(sum("n_chars").cast("long").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = mass.view.mapValues(m => math.floor(math.sqrt(m.toDouble)).toLong).toMap
+    val totalW = w.values.sum
+    val quota = w.view.mapValues(wi => budget * wi / totalW).toMap
+    val taken = out.groupBy("source")
+      .agg(sum("n_chars").cast("long").as("c"), max("n_chars").cast("long").as("mx"),
+        count(lit(1)).as("k"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    taken.foreach { case (s, (c, mx, _)) =>
+      // greedy fill: consumed cost reaches the quota, overshooting by
+      // less than the last admitted document
+      assert(c >= quota(s), s)
+      assert(c - mx < quota(s), s)
+    }
+    // within a domain the admitted set is a PREFIX of priority order
+    val ordered = docs.select(col("doc_id"), col("source"),
+        SampleOps.hashUnit(col("doc_id"), "mix").as("p"))
+      .collect().groupBy(_.getString(1))
+    val admitted = out.collect().map(_.getLong(0)).toSet
+    ordered.foreach { case (s, rows) =>
+      val ranked = rows.sortBy(r => (r.getDouble(2), r.getLong(0))).map(_.getLong(0))
+      val k = taken(s)._3.toInt
+      assert(ranked.take(k).toSet === ranked.filter(admitted).take(k).toSet, s)
+      assert(ranked.drop(k).forall(id => !admitted(id)), s)
+    }
+    // deterministic under partitioning
+    val again = SampleOps.costBudgetMixture(docs.repartition(13), "doc_id",
+      "source", "n_chars", budget)
+    assert(out.exceptAll(again).count() === 0)
+    assert(again.exceptAll(out).count() === 0)
+    out.unpersist()
+  }
 }
