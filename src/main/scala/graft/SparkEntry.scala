@@ -1157,7 +1157,20 @@ object SparkEntry {
     "q145_char_budget_mix" -> ((s, dir) =>
       SampleOps.costBudgetMixture(t(s, dir, "documents"), "doc_id", "source",
         "n_chars", budget = 100000)),
+    // the q143 addresses materialized (split, shard)-partitioned and
+    // reloaded — layout-not-semantics, empty-set gate
+    "q146_shard_artifact" -> (shardArtifactGate _),
   )
+
+  private val q146Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
+
+  private def shardArtifactGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scope = cachedScope(q146Scopes, s, dir, "graft-q146-") { sc =>
+      ClusterOps.saveCorpusShards(docs, sc, "shards")
+    }
+    ClusterOps.corpusShardArtifactGate(s, scope, "shards", docs)
+  }
 
   private val q10Sql =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
@@ -1902,6 +1915,17 @@ object SparkEntry {
         |SELECT r.doc_id, r.source, r.n_chars, r.priority
         |FROM r JOIN q ON q.source = r.source
         |WHERE r.cum - r.n_chars < q.quota""".stripMargin,
+    // persist → reload lifecycle gate: violations must be empty
+    "q146_shard_artifact" ->
+      """SELECT CAST(NULL AS VARCHAR) AS violation,
+        |       CAST(NULL AS BIGINT) AS doc_id,
+        |       CAST(NULL AS VARCHAR) AS lang,
+        |       CAST(NULL AS VARCHAR) AS source,
+        |       CAST(NULL AS BIGINT) AS n_tokens,
+        |       CAST(NULL AS VARCHAR) AS split,
+        |       CAST(NULL AS INT) AS shard,
+        |       CAST(NULL AS INT) AS pos
+        |WHERE 1 = 0""".stripMargin,
     // hash-priority per-source cap: row_number over the identical
     // md5 priority, ties broken by doc_id on both engines
     "q101_domain_cap" ->

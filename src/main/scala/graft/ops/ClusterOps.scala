@@ -594,6 +594,52 @@ object ClusterOps {
         coalesce(col("pos"), lit(-1)).as("pos"))
   }
 
+  /** Q146: [[corpusShards]] MATERIALIZED as the training-shard
+    * artifact — the directory a training job actually mounts. Layout:
+    * partitioned by (split, shard) so a reader pulls one shard (or
+    * one eval split) with listing-time pruning and never lists the
+    * rest; rows within a shard file are written in `pos` order, so a
+    * sequential scan of the file IS the epoch's read order. Same
+    * scope/artifact lifecycle as the label (q135) and index (q136)
+    * artifacts.
+    */
+  def saveCorpusShards(documents: DataFrame, scope: graft.core.Scope,
+                       name: String, nShards: Int = 8): Unit = {
+    graft.core.Scopes.writeMeta(documents.sparkSession, scope,
+      s"$name/meta", "n_shards" -> nShards)
+    corpusShards(documents, nShards)
+      .repartition(col("split"), col("shard"))
+      .sortWithinPartitions(col("pos"))
+      .write.partitionBy("split", "shard")
+      .mode("overwrite").parquet(scope.path(s"$name/rows"))
+  }
+
+  /** Q146's gate: the RELOADED artifact must carry exactly the q143
+    * addresses under its OWN recorded geometry (the q137 convention —
+    * the artifact, not the caller, knows its shard count). Both
+    * directions of the symmetric difference emit as violations, and
+    * the oracle expects the empty set: the partitioned layout (and
+    * the writer's column reordering under partitionBy) is layout, not
+    * semantics.
+    */
+  def corpusShardArtifactGate(spark: org.apache.spark.sql.SparkSession,
+                              scope: graft.core.Scope, name: String,
+                              documents: DataFrame): DataFrame = {
+    val nShards = graft.core.Scopes.readMeta(spark, scope,
+      s"$name/meta")("n_shards")
+    val cols = Seq("doc_id", "lang", "source", "n_tokens", "split", "shard", "pos")
+    def canon(df: DataFrame): DataFrame = df.select(
+      col("doc_id").cast("long"), col("lang"), col("source"),
+      col("n_tokens").cast("long"), col("split"),
+      col("shard").cast("int"), col("pos").cast("int"))
+    val stored = canon(spark.read.parquet(scope.path(s"$name/rows")))
+    val expected = canon(corpusShards(documents, nShards))
+    def tag(df: DataFrame, t: String): DataFrame =
+      df.select(lit(t).as("violation") +: cols.map(col): _*)
+    tag(expected.exceptAll(stored), "missing_in_artifact")
+      .unionByName(tag(stored.exceptAll(expected), "extra_in_artifact"))
+  }
+
   def trainingCorpus(documents: DataFrame,
                      minQuality: Double = 0.5,
                      langs: Seq[String] = Seq("en", "de", "fr", "es"),

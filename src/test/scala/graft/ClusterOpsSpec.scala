@@ -248,4 +248,28 @@ class ClusterOpsSpec extends SparkSpec {
     assert(again.exceptAll(out).count() === 0)
     out.unpersist()
   }
+
+  test("corpus shard artifact round-trips and prunes to one shard at listing time") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft-shard-art").toString
+    val scope = graft.core.Scopes.create(spark, base)
+    try {
+      ClusterOps.saveCorpusShards(docs, scope, "shards", nShards = 4)
+      // reload carries exactly the recomputed addresses
+      assert(ClusterOps.corpusShardArtifactGate(spark, scope, "shards", docs)
+        .count() === 0)
+      // the layout is one directory per (split, shard) — what a
+      // training job mounts shard-by-shard
+      val dirs = new java.io.File(scope.path("shards/rows")).listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(dirs.contains("split=train"), dirs)
+      // a single-shard read is satisfied at file-listing time
+      val one = spark.read.parquet(scope.path("shards/rows"))
+        .filter(col("split") === "train" && col("shard") === 0)
+      val scan = one.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters"), scan)
+      assert(one.count() > 0)
+    } finally graft.core.Scopes.delete(spark, scope)
+  }
 }

@@ -14,9 +14,14 @@ text = open(SRC).read()
 oracle_kind = {}
 om = re.search(r'def oracleSql\b', text)
 oracle_src = text[om.start():]
-for m in re.finditer(r'"(q\d+[a-z0-9_]*)"\s*->', oracle_src):
+oracle_matches = list(re.finditer(r'"(q\d+[a-z0-9_]*)"\s*->', oracle_src))
+for i, m in enumerate(oracle_matches):
     name = m.group(1)
-    tail = oracle_src[m.end():m.end() + 2000]
+    # the entry's own expression ends at the NEXT map key (a fixed
+    # lookahead bleeds into the following entry and misclassifies the
+    # one before an empty-set gate)
+    end = oracle_matches[i + 1].start() if i + 1 < len(oracle_matches) else m.end() + 2000
+    tail = oracle_src[m.end():end]
     oracle_kind.setdefault(name, "WHERE 1 = 0" in tail and "empty-set gate" or "SQL hash")
 
 # which names are actually registry queries (appear in `queries`)
