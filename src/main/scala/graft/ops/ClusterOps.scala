@@ -632,8 +632,12 @@ object ClusterOps {
       col("doc_id").cast("long"), col("lang"), col("source"),
       col("n_tokens").cast("long"), col("split"),
       col("shard").cast("int"), col("pos").cast("int"))
-    val stored = canon(spark.read.parquet(scope.path(s"$name/rows")))
-    val expected = canon(corpusShards(documents, nShards))
+    // both sides feed BOTH exceptAll directions — mark them for
+    // caching so the q143 recompute (and the artifact scan) run once,
+    // not twice; blocks are corpus-budget-sized, and the bench's
+    // releaseQueryState clears them between runs
+    val stored = canon(spark.read.parquet(scope.path(s"$name/rows"))).persist()
+    val expected = canon(corpusShards(documents, nShards)).persist()
     def tag(df: DataFrame, t: String): DataFrame =
       df.select(lit(t).as("violation") +: cols.map(col): _*)
     tag(expected.exceptAll(stored), "missing_in_artifact")
