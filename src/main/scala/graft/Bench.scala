@@ -118,7 +118,19 @@ object Bench {
       .map { case (k, e) => "\"" + k + "\":\"" + jsonEscape(e) + "\"" }
       .mkString("{", ",", "}")
     val errField = if (errors.nonEmpty) s""","errors":$errJson""" else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs$errField}""")
+    // A run with failing queries must not masquerade as a faster clean
+    // run: the headline `value` is null when any query errored (the
+    // partial sum is still published separately as `partial_s`), so a
+    // consumer comparing totals across rounds can't mistake a broken
+    // run for an improvement, while rc stays 0 and the line parseable.
+    val headline = if (errors.isEmpty) total.toString else "null"
+    val partial = if (errors.isEmpty) "" else s""","partial_s":$total"""
+    println(s"""{"metric":"total","value":$headline,"complete":${errors.isEmpty},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs$partial$errField}""")
+    // The driver keeps only a bounded stdout TAIL; the per-query line
+    // above is ~6 KB so its head (with the totals) can be cut off
+    // (BENCH_r07: parsed=null). A second SHORT summary line printed
+    // LAST is always inside any tail window and parseable on its own.
+    println(s"""{"metric":"total","value":$headline,"complete":${errors.isEmpty},"unit":"sec","n":${results.size},"n_errors":${errors.size}$partial,"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }

@@ -713,8 +713,10 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
         .select(col("event_type"), col("n"), col("sum_k"),
           (col("sum_k").cast("double") / col("n")).as("avg_k"))),
+    // header-only media inventory (real imageio metadata parse, no
+    // raster decode) — the routing pass ahead of q43's full decode
     "q23_multimodal" -> ((s, dir) =>
-      MultimodalOps.decodeDocuments(s, t(s, dir, "documents"))),
+      MultimodalOps.mediaInventory(mediaTable(s, dir, "png"))),
     "q24_typed_mapreduce" -> ((s, dir) =>
       MapReduceOps.unpivotGroupedMeanTyped(s,
         sevenIntCols(t(s, dir, "lineitem")),
@@ -1160,6 +1162,26 @@ object SparkEntry {
     // the q143 addresses materialized (split, shard)-partitioned and
     // reloaded — layout-not-semantics, empty-set gate
     "q146_shard_artifact" -> (shardArtifactGate _),
+    // the 100 TB-shaped audit of the same artifact: per-(split, shard)
+    // content digests artifact-vs-recompute — O(partitions) output, no
+    // wide exchange; empty-set gate
+    "q147_shard_digest_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scope = cachedScope(q146Scopes, s, dir, "graft-q146-") { sc =>
+        ClusterOps.saveCorpusShards(docs, sc, "shards")
+      }
+      ClusterOps.corpusShardDigestAudit(s, scope, "shards", docs)
+    }),
+    // q145's pre-thinning escape hatch as code: hash-thin below the
+    // admission window, runtime-audited exact — same oracle as q145.
+    // thinRate must clear every domain's cutoff priority at the GATE
+    // scales: the fixture's small SFs fill ~2/3 of each 25-doc domain
+    // (measured worst cutoff 0.858 at sf0.01), so 0.9 here; at sf0.1
+    // the worst cutoff is 0.13 — at scale the thin saves ~87% of the
+    // window exchange, which is the regime the operator exists for
+    "q152_cost_budget_thinned" -> ((s, dir) =>
+      SampleOps.costBudgetMixtureThinned(t(s, dir, "documents"), "doc_id",
+        "source", "n_chars", budget = 100000, thinRate = 0.9)),
   )
 
   private val q146Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -1171,6 +1193,28 @@ object SparkEntry {
     }
     ClusterOps.corpusShardArtifactGate(s, scope, "shards", docs)
   }
+
+  // shared by q145 and its pre-thinned twin q152 (bit-identical by the
+  // containment proof in SampleOps.costBudgetMixtureThinned)
+  private val q145Sql =
+    """WITH m AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass
+      |           FROM documents GROUP BY source),
+      |w AS (SELECT source,
+      |        CAST(floor(sqrt(CAST(mass AS DOUBLE))) AS BIGINT) AS w FROM m),
+      |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+      |q AS (SELECT source, (100000 * w) // tw AS quota FROM w, t),
+      |pr AS (SELECT doc_id, source, n_chars,
+      |         ('0x' || substr(md5(doc_id::VARCHAR || ':mix'), 1, 8))::BIGINT
+      |           / 4294967296.0 AS priority
+      |       FROM documents),
+      |r AS (SELECT doc_id, source, n_chars, priority,
+      |        CAST(sum(n_chars) OVER (PARTITION BY source
+      |               ORDER BY priority ASC, doc_id ASC
+      |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |      FROM pr)
+      |SELECT r.doc_id, r.source, r.n_chars, r.priority
+      |FROM r JOIN q ON q.source = r.source
+      |WHERE r.cum - r.n_chars < q.quota""".stripMargin
 
   private val q10Sql =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
@@ -1896,25 +1940,19 @@ object SparkEntry {
     // q144's integer quota arithmetic on char MASS, then the greedy
     // prefix: an integer running sum over the identical (priority,
     // doc_id) order — admission while cum - cost < quota
-    "q145_char_budget_mix" ->
-      """WITH m AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass
-        |           FROM documents GROUP BY source),
-        |w AS (SELECT source,
-        |        CAST(floor(sqrt(CAST(mass AS DOUBLE))) AS BIGINT) AS w FROM m),
-        |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
-        |q AS (SELECT source, (100000 * w) // tw AS quota FROM w, t),
-        |pr AS (SELECT doc_id, source, n_chars,
-        |         ('0x' || substr(md5(doc_id::VARCHAR || ':mix'), 1, 8))::BIGINT
-        |           / 4294967296.0 AS priority
-        |       FROM documents),
-        |r AS (SELECT doc_id, source, n_chars, priority,
-        |        CAST(sum(n_chars) OVER (PARTITION BY source
-        |               ORDER BY priority ASC, doc_id ASC
-        |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-        |      FROM pr)
-        |SELECT r.doc_id, r.source, r.n_chars, r.priority
-        |FROM r JOIN q ON q.source = r.source
-        |WHERE r.cum - r.n_chars < q.quota""".stripMargin,
+    "q145_char_budget_mix" -> q145Sql,
+    // bit-identical to q145 by the pre-thinning containment proof —
+    // the thinned composition is held to the UNTHINNED oracle
+    "q152_cost_budget_thinned" -> q145Sql,
+    // digest audit of a faithful artifact: the empty set, typed
+    "q147_shard_digest_audit" ->
+      """SELECT CAST(NULL AS VARCHAR) AS split,
+        |       CAST(NULL AS INT) AS shard,
+        |       CAST(NULL AS BIGINT) AS n_rows_artifact,
+        |       CAST(NULL AS BIGINT) AS n_rows_expected,
+        |       CAST(NULL AS BIGINT) AS digest_artifact,
+        |       CAST(NULL AS BIGINT) AS digest_expected
+        |WHERE 1 = 0""".stripMargin,
     // persist → reload lifecycle gate: violations must be empty
     "q146_shard_artifact" ->
       """SELECT CAST(NULL AS VARCHAR) AS violation,
@@ -2294,13 +2332,13 @@ object SparkEntry {
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       CAST(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS DOUBLE) / count(*) AS avg_k
         |FROM events GROUP BY event_type""".stripMargin,
+    // header sniff must recover the same dimensions the full decode
+    // does — the oracle re-derives them from the fixture formulas
     "q23_multimodal" ->
       """SELECT doc_id,
-        |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-        |       CAST(octet_length(encode(text)) % 640 AS INT) AS width,
-        |       CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height,
-        |       CASE octet_length(encode(text)) % 3
-        |         WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+        |       CAST(1 + doc_id % 64 AS INT) AS width,
+        |       CAST(1 + (doc_id * 7) % 48 AS INT) AS height,
+        |       'png' AS format
         |FROM documents""".stripMargin,
     "q24_typed_mapreduce" -> q01Base,
     "q33_udaf_mean" -> q01Base,

@@ -73,8 +73,13 @@ object Tables {
                    glob: String = "events.parquet",
                    oneBatch: Boolean = false): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val physical: DataType = spark.read.option("pathGlobFilter", glob)
-      .parquet(dir).schema("ts").dataType
+    // An empty/not-yet-populated source dir (normal for a stream fed
+    // over time) has no footers to peek — fall back to the canonical
+    // TimestampType rather than failing setup; files that later arrive
+    // with a different physical encoding belong to a restarted stream.
+    val physical: DataType =
+      try spark.read.option("pathGlobFilter", glob).parquet(dir).schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException => TimestampType }
     val declared = StructType(eventsSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = physical) else f))
     var reader = spark.readStream.schema(declared).option("pathGlobFilter", glob)

@@ -523,12 +523,19 @@ object ClusterOps {
     * plan, and the oracle composes the same stages' SQL, so the
     * END-TO-END corpus stays hash-checked.
     */
+  /** @param benchmarkOpt the held-out benchmark documents to
+    *        decontaminate against (columns `doc_id`, `text`). A real
+    *        pipeline brings its own eval sets; the default `None`
+    *        keeps the fixture convention (`doc_id % 10 == 7` is the
+    *        benchmark slice) with a plan identical to round 7's.
+    */
   def trainingCorpusV2(documents: DataFrame,
                        minQuality: Double = 0.5,
                        langs: Seq[String] = Seq("en", "de", "fr", "es"),
                        maxTopBigramFrac: Double = 0.5,
                        maxDupLineFrac: Double = 0.5,
-                       topK: Int = 150): DataFrame = {
+                       topK: Int = 150,
+                       benchmarkOpt: Option[DataFrame] = None): DataFrame = {
     val edges = DedupOps.minhashLshPairs(documents).select("doc_a", "doc_b")
       .union(DedupOps.simhashPairs(documents).select("doc_a", "doc_b"))
       .union(DedupOps.winnowedPassagePairs(documents).select("doc_a", "doc_b"))
@@ -539,17 +546,26 @@ object ClusterOps {
       .select(col("doc_id"), col("n_tokens"), col("quality"))
     val repetition = graft.ops.TextOps.repetitionStats(documents)
       .select(col("doc_id"), col("dup_line_frac"), col("top_bigram_frac"))
-    val contaminated = graft.ops.TextOps.benchmarkContamination(
-      documents.filter(col("doc_id") % 10 =!= 7),
-      documents.filter(col("doc_id") % 10 === 7)).select("doc_id")
-    val filtered = kept.join(quality, "doc_id")
+    val (train, bench) = benchmarkOpt match {
+      case Some(b) =>
+        (documents.join(b.select("doc_id"), Seq("doc_id"), "left_anti"), b)
+      case None => (documents.filter(col("doc_id") % 10 =!= 7),
+        documents.filter(col("doc_id") % 10 === 7))
+    }
+    val contaminated = graft.ops.TextOps.benchmarkContamination(train, bench)
+      .select("doc_id")
+    val gated = kept.join(quality, "doc_id")
       .join(repetition, "doc_id")
       .filter(col("quality") >= minQuality &&
         col("top_bigram_frac") <= maxTopBigramFrac &&
         col("dup_line_frac") <= maxDupLineFrac &&
-        col("lang").isin(langs: _*) &&
-        col("doc_id") % 10 =!= 7)
-      .join(contaminated, Seq("doc_id"), "left_anti")
+        col("lang").isin(langs: _*))
+    // membership gate: no benchmark doc ever trains (beyond the n-gram
+    // leak gate). Default path keeps the round-7 inline mod filter.
+    val filtered = (benchmarkOpt match {
+      case Some(b) => gated.join(b.select("doc_id"), Seq("doc_id"), "left_anti")
+      case None => gated.filter(col("doc_id") % 10 =!= 7)
+    }).join(contaminated, Seq("doc_id"), "left_anti")
     graft.ops.SampleOps.prioritySample(filtered, "doc_id", "n_tokens",
         k = topK, salt = "train")
       .select("doc_id", "lang", "source", "n_tokens", "quality", "priority")
@@ -632,38 +648,100 @@ object ClusterOps {
       col("doc_id").cast("long"), col("lang"), col("source"),
       col("n_tokens").cast("long"), col("split"),
       col("shard").cast("int"), col("pos").cast("int"))
-    // both sides feed BOTH exceptAll directions — mark them for
-    // caching so the q143 recompute (and the artifact scan) run once,
-    // not twice; blocks are corpus-budget-sized, and the bench's
-    // releaseQueryState clears them between runs
+    // both sides feed BOTH exceptAll directions — cache them so the
+    // q143 recompute (and the artifact scan) run once, not twice. The
+    // corpus-budget-sized blocks are released before returning: the
+    // violation set (expected empty) is materialized through an eager
+    // localCheckpoint, after which the cached inputs are dead weight —
+    // library callers must not depend on the bench loop's cache clear.
     val stored = canon(spark.read.parquet(scope.path(s"$name/rows"))).persist()
     val expected = canon(corpusShards(documents, nShards)).persist()
-    def tag(df: DataFrame, t: String): DataFrame =
-      df.select(lit(t).as("violation") +: cols.map(col): _*)
-    tag(expected.exceptAll(stored), "missing_in_artifact")
-      .unionByName(tag(stored.exceptAll(expected), "extra_in_artifact"))
+    try {
+      def tag(df: DataFrame, t: String): DataFrame =
+        df.select(lit(t).as("violation") +: cols.map(col): _*)
+      tag(expected.exceptAll(stored), "missing_in_artifact")
+        .unionByName(tag(stored.exceptAll(expected), "extra_in_artifact"))
+        .localCheckpoint(eager = true)
+    } finally {
+      stored.unpersist(blocking = false)
+      expected.unpersist(blocking = false)
+    }
   }
 
+  /** Q147: the DIGEST-based shard-artifact audit — the 100 TB-shaped
+    * twin of [[corpusShardArtifactGate]]: instead of two corpus-sized
+    * `exceptAll` legs (a wide exchange each), compare the artifact
+    * against its recompute at (split, shard) granularity with the q134
+    * content digest ([[Constraints.contentDigestBy]]). Each side is
+    * ONE partial-aggregated pass — the shuffle carries one
+    * (count, xor, sum) triple per (partition × map task), the full
+    * outer join is over O(partitions) rows, and the verdict is still
+    * exact: a shard matches iff count, XOR and mod-2^60 SUM of the
+    * 60-bit row hashes all match (the two combines cover each other's
+    * even-multiplicity blind spot). Emits one row per disagreeing
+    * (split, shard) — the empty set when the artifact is faithful.
+    * Keep the exceptAll gate for per-row attribution at fixture scale;
+    * run THIS form as the standing artifact audit at scale.
+    */
+  def corpusShardDigestAudit(spark: org.apache.spark.sql.SparkSession,
+                             scope: graft.core.Scope, name: String,
+                             documents: DataFrame): DataFrame = {
+    val nShards = graft.core.Scopes.readMeta(spark, scope,
+      s"$name/meta")("n_shards")
+    // group keys are the partition address; everything else (pos
+    // included — in-shard order is part of the contract) digests
+    val valueCols = Seq("doc_id", "lang", "source", "n_tokens", "pos")
+    def canon(df: DataFrame): DataFrame = df.select(
+      col("doc_id").cast("long"), col("lang"), col("source"),
+      col("n_tokens").cast("long"), col("split"),
+      col("shard").cast("int"), col("pos").cast("int"))
+    def digests(df: DataFrame, side: String): DataFrame =
+      Constraints.contentDigestBy(canon(df), Seq("split", "shard"), valueCols)
+        .select(col("split"), col("shard"), col("n_rows").as(s"n_rows_$side"),
+          col("digest").as(s"digest_$side"),
+          col("digest_sum").as(s"sum_$side"))
+    val stored = digests(spark.read.parquet(scope.path(s"$name/rows")), "artifact")
+    val expected = digests(corpusShards(documents, nShards), "expected")
+    stored.join(expected, Seq("split", "shard"), "full_outer")
+      .filter(!(col("n_rows_artifact") <=> col("n_rows_expected")) ||
+        !(col("digest_artifact") <=> col("digest_expected")) ||
+        !(col("sum_artifact") <=> col("sum_expected")))
+      .select("split", "shard", "n_rows_artifact", "n_rows_expected",
+        "digest_artifact", "digest_expected")
+  }
+
+  /** @param benchmarkOpt caller-supplied benchmark documents
+    *        (`doc_id`, `text`); `None` keeps the fixture's mod-10
+    *        slice with the round-7 plan — see [[trainingCorpusV2]].
+    */
   def trainingCorpus(documents: DataFrame,
                      minQuality: Double = 0.5,
                      langs: Seq[String] = Seq("en", "de", "fr", "es"),
                      maxTopBigramFrac: Double = 0.5,
-                     sampleRate: Double = 0.8): DataFrame = {
+                     sampleRate: Double = 0.8,
+                     benchmarkOpt: Option[DataFrame] = None): DataFrame = {
     val kept = dedupedCorpus(documents)
     val quality = graft.ops.TextOps.qualityScore(documents)
       .select(col("doc_id"), col("n_tokens"), col("quality"))
     val repetition = graft.ops.TextOps.topBigramFrac(documents)
-    // the q68 split: doc_id % 10 = 7 is the held-out benchmark
-    val contaminated = graft.ops.TextOps.benchmarkContamination(
-      documents.filter(col("doc_id") % 10 =!= 7),
-      documents.filter(col("doc_id") % 10 === 7)).select("doc_id")
-    val filtered = kept.join(quality, "doc_id")
+    // default q68 split: doc_id % 10 = 7 is the held-out benchmark
+    val (train, bench) = benchmarkOpt match {
+      case Some(b) =>
+        (documents.join(b.select("doc_id"), Seq("doc_id"), "left_anti"), b)
+      case None => (documents.filter(col("doc_id") % 10 =!= 7),
+        documents.filter(col("doc_id") % 10 === 7))
+    }
+    val contaminated = graft.ops.TextOps.benchmarkContamination(train, bench)
+      .select("doc_id")
+    val gated = kept.join(quality, "doc_id")
       .join(repetition, "doc_id")
       .filter(col("quality") >= minQuality &&
         col("top_bigram_frac") <= maxTopBigramFrac &&
-        col("lang").isin(langs: _*) &&
-        col("doc_id") % 10 =!= 7)
-      .join(contaminated, Seq("doc_id"), "left_anti")
+        col("lang").isin(langs: _*))
+    val filtered = (benchmarkOpt match {
+      case Some(b) => gated.join(b.select("doc_id"), Seq("doc_id"), "left_anti")
+      case None => gated.filter(col("doc_id") % 10 =!= 7)
+    }).join(contaminated, Seq("doc_id"), "left_anti")
     graft.ops.SampleOps.sampleByHash(filtered, "doc_id", sampleRate, salt = "train")
       .select("doc_id", "lang", "source", "n_tokens", "quality")
   }

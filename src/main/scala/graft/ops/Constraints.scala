@@ -140,6 +140,26 @@ object Constraints {
     */
   def contentDigest(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "contentDigest needs at least one column")
+    df.agg(count(lit(1)).as("n_rows"), digestAggs(cols): _*)
+  }
+
+  /** The GROUPED form of [[contentDigest]]: one (n_rows, digest,
+    * digest_sum) triple PER GROUP — the partition-granular fingerprint
+    * that turns a corpus-sized comparison into an O(partitions) one
+    * (compare a partitioned artifact against its recompute shard by
+    * shard instead of exceptAll'ing whole tables). Same canonical row
+    * encoding, same partial-agg scale shape; the only shuffle carries
+    * one triple per (group × map partition).
+    */
+  def contentDigestBy(df: DataFrame, groupCols: Seq[String],
+                      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "contentDigestBy needs at least one value column")
+    require(groupCols.nonEmpty, "contentDigestBy needs at least one group column")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), digestAggs(cols): _*)
+  }
+
+  private def digestAggs(cols: Seq[String]): Seq[org.apache.spark.sql.Column] = {
     val canon = concat_ws("\u0001", cols.map { c =>
       val s = col(c).cast("string")
       concat(coalesce(length(s), lit(-1)).cast("string"), lit(":"),
@@ -148,7 +168,7 @@ object Constraints {
     // 15 hex chars = 60 bits: inside the positive BIGINT range on
     // every engine, so the hex->int parse can never overflow-diverge
     val rowHash = conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
-    df.agg(count(lit(1)).as("n_rows"),
+    Seq(
       coalesce(bit_xor(rowHash), lit(0L)).as("digest"),
       coalesce(pmod(sum(rowHash.cast("decimal(38,0)")),
           lit(1152921504606846976L).cast("decimal(38,0)")), lit(0))

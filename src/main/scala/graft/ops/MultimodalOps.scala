@@ -5,13 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (SURVEY §2.2 Q23): image/audio/video as
   * opaque `binary` columns with typed metadata, processed by a batched
-  * per-partition decode/feature-extract stage.
-  *
-  * The Spark-side plumbing — schema, partitioning, batch shape — is
-  * real and tested; the actual media decode is STUBBED with a
-  * deterministic fake ([[StubDecoder]]) because no image/audio codec
-  * libraries exist in this environment. Swapping in a real decoder is
-  * a one-class change behind [[MediaDecoder]].
+  * per-partition decode/feature-extract stage. Every decode path is a
+  * REAL codec (javax.imageio / javax.sound.sampled — pure JVM); the
+  * pluggable [[MediaDecoder]] contract is where a native-codec decoder
+  * (libjpeg-turbo, ffmpeg bindings) would slot in unchanged.
   *
   * Scale notes: decode runs `mapPartitions` with explicit batching
   * (the JVM analogue of `mapInPandas` batch semantics) — bytes never
@@ -32,19 +29,6 @@ object MultimodalOps {
   /** Decoder contract: one instance per partition, batch-at-a-time. */
   trait MediaDecoder extends Serializable {
     def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaMeta]
-  }
-
-  /** Deterministic fake decode — stands in for the real codec call.
-    * Field values are pure functions of the payload size so the DuckDB
-    * oracle can replay them.
-    */
-  object StubDecoder extends MediaDecoder {
-    override def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaMeta] =
-      batch.map { r =>
-        val n = r.media.length
-        MediaMeta(r.doc_id, n, n % 640, (n * 7) % 480,
-          n % 3 match { case 0 => "jpeg"; case 1 => "png"; case _ => "webp" })
-      }
   }
 
   /** Pixel budget for a single decode: payloads whose DECLARED header
@@ -120,6 +104,28 @@ object MultimodalOps {
             MediaMeta(r.doc_id, r.media.length, img.getWidth, img.getHeight, fmt)
           case None => MediaMeta(r.doc_id, r.media.length, -1, -1, "unknown")
         }
+      }
+  }
+
+  /** HEADER-ONLY metadata decode — the real operator behind a media
+    * INVENTORY pass: match the container by magic bytes, parse ONLY the
+    * header for dimensions and format ([[javax.imageio.ImageReader]]'s
+    * `getWidth`/`getHeight` read metadata without allocating or
+    * decoding a raster). At 100 TB this is the pass that runs over
+    * everything FIRST — orders of magnitude cheaper than a full decode
+    * — to size, route, and bomb-screen payloads before any raster
+    * work is scheduled; [[ImageIoDecoder]] is the full-decode stage
+    * that follows on the routed subset. Unreadable payloads degrade to
+    * (-1, -1, "unknown"), never a task failure.
+    */
+  object HeaderSniffDecoder extends MediaDecoder {
+    override def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaMeta] =
+      batch.map { r =>
+        withImageReader(r.media) { reader =>
+          Some(MediaMeta(r.doc_id, r.media.length,
+            reader.getWidth(0), reader.getHeight(0),
+            reader.getFormatName.toLowerCase))
+        }.getOrElse(MediaMeta(r.doc_id, r.media.length, -1, -1, "unknown"))
       }
   }
 
@@ -336,7 +342,8 @@ object MultimodalOps {
   }
 
   /** Batched per-partition decode/feature-extraction. */
-  def decode(media: Dataset[MediaRecord], decoder: MediaDecoder = StubDecoder,
+  def decode(media: Dataset[MediaRecord],
+             decoder: MediaDecoder = ImageIoDecoder,
              batchSize: Int = 64): Dataset[MediaMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -345,9 +352,14 @@ object MultimodalOps {
     }
   }
 
-  /** Q23 entry: documents → media table → stub decode → metadata DF. */
-  def decodeDocuments(spark: SparkSession, documents: DataFrame): DataFrame =
-    decode(toMediaTable(documents)).toDF()
+  /** Q23 entry: the media INVENTORY pass — header-only metadata over a
+    * stored media table via the batched [[decode]] plumbing with
+    * [[HeaderSniffDecoder]]. Emits only the header-recoverable fields
+    * (payload byte size is encoder output, not oracle-predictable).
+    */
+  def mediaInventory(media: Dataset[MediaRecord]): DataFrame =
+    decode(media, HeaderSniffDecoder)
+      .toDF().select("doc_id", "width", "height", "format")
 
   /** A fixed-size feature vector for one payload. */
   final case class MediaFeatures(doc_id: Long, features: Array[Float])

@@ -248,7 +248,12 @@ object SampleOps {
     val quotas = domains.map { r =>
       (r.getAs[String](domainCol), budget * r.getAs[Long]("w") / totalW)
     }
-    val maxQuota = math.max(1L, quotas.map(_._2).max).toInt
+    // clamp, don't truncate: a >2^31 quota (10B-token budgets) would
+    // overflow toInt negative and silently select zero rows; at
+    // Int.MaxValue the constant limit is a no-op and the broadcast
+    // quota filter below still trims exactly
+    val maxQuota = math.min(Int.MaxValue.toLong,
+      math.max(1L, quotas.map(_._2).max)).toInt
     import spark.implicits._
     val quotaDf = quotas.toSeq.toDF(domainCol, "quota")
     val win = org.apache.spark.sql.expressions.Window
@@ -317,6 +322,106 @@ object SampleOps {
       .join(broadcast(quotaDf), domainCol)
       .filter(col("cum") - col(costCol) < col("quota"))
       .select(col(keyCol), col(domainCol), col(costCol), col("priority"))
+  }
+
+  /** Q145's pre-thinning escape hatch AS CODE — the scale path for a
+    * skewed domain, previously only proven in [[costBudgetMixture]]'s
+    * scaladoc: hash-thin the corpus at `thinRate` BEFORE the per-domain
+    * admission window, then run the identical greedy fill. The thin is
+    * a pure per-row filter pushed into the scan, so the window exchange
+    * carries ~thinRate of the corpus instead of all of it — the
+    * straggler domain's window partition shrinks by the same factor.
+    *
+    * EXACT, not approximate, whenever it returns — by this argument:
+    * every row preceding a thinned row in a domain's (priority, key)
+    * order has strictly smaller priority, hence is itself below
+    * `thinRate` and retained — so prefix cost sums over the thinned set
+    * EQUAL the full run's prefix sums, row for row. The admitted set is
+    * the maximal prefix with running cost below quota; therefore the
+    * thinned fill reproduces the full fill bit-for-bit iff each
+    * domain's cutoff is witnessed inside the thinned set. That premise
+    * is AUDITED at runtime from a domain-sized aggregate: a domain is
+    * safe when it was retained whole, its quota is zero, or some
+    * thinned row is already past quota (a rejection witnessed). An
+    * unsafe domain throws with the offending domains named — the
+    * caller raises `thinRate`; a silently-wrong corpus is never
+    * returned. Quotas come from the UNTHINNED masses (same collect as
+    * q145), so the arithmetic is untouched by the thin.
+    */
+  def costBudgetMixtureThinned(df: DataFrame, keyCol: String,
+                               domainCol: String, costCol: String,
+                               budget: Long, thinRate: Double,
+                               salt: String = "mix"): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(thinRate > 0.0 && thinRate <= 1.0,
+      s"thinRate must be in (0,1]: $thinRate")
+    val spark = df.sparkSession
+    val domains = df.groupBy(col(domainCol))
+      .agg(sum(col(costCol)).cast("long").as("mass"),
+        count(lit(1)).as("n_full"))
+      .withColumn("w", floor(sqrt(col("mass"))).cast("long"))
+      .collect() // one row per DOMAIN — model-sized
+    val totalW = domains.map(_.getAs[Long]("w")).sum
+    if (domains.isEmpty || totalW == 0L)
+      return df.select(col(keyCol), col(domainCol), col(costCol),
+        lit(0.0).as("priority")).filter(lit(false))
+    val quotas = domains.map { r =>
+      (r.getAs[String](domainCol),
+        budget * r.getAs[Long]("w") / totalW,
+        r.getAs[Long]("n_full"))
+    }
+    val thinned = thinnedAdmissionPlan(df, keyCol, domainCol, costCol,
+      thinRate, salt, quotas)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the audit aggregate is domain-sized; absent domains (zero
+      // thinned rows) are judged from the collected quota table alone
+      val seen = thinned.groupBy(col(domainCol))
+        .agg(count(lit(1)).as("n_thin"),
+          max((col("cum") - col(costCol) >= col("quota")).cast("int"))
+            .as("rejected"))
+        .collect()
+        .map(r => r.getAs[String](domainCol) ->
+          (r.getAs[Long]("n_thin"), r.getAs[Int]("rejected") == 1)).toMap
+      val unsafe = quotas.collect {
+        case (d, q, nFull)
+          if q > 0L && {
+            val (nThin, rejected) = seen.getOrElse(d, (0L, false))
+            nThin < nFull && !rejected
+          } => d
+      }
+      if (unsafe.nonEmpty)
+        throw new graft.core.GraftException(
+          s"thinRate=$thinRate too aggressive: admission cutoff not " +
+            s"witnessed inside the thinned set for domains " +
+            s"${unsafe.mkString(", ")} — raise thinRate")
+      thinned.filter(col("cum") - col(costCol) < col("quota"))
+        .select(col(keyCol), col(domainCol), col(costCol), col("priority"))
+        .localCheckpoint(eager = true)
+    } finally thinned.unpersist(blocking = false)
+  }
+
+  /** The thinned admission plan before persist/audit — factored out so
+    * PlanSpec-style tests can assert the executed shape (the returned
+    * operator result is a checkpoint scan, which hides it): the thin
+    * filter must reach the scan side of the window exchange.
+    */
+  private[graft] def thinnedAdmissionPlan(df: DataFrame, keyCol: String,
+      domainCol: String, costCol: String, thinRate: Double, salt: String,
+      quotas: Array[(String, Long, Long)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val quotaDf = quotas.toSeq.toDF(domainCol, "quota", "n_full")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(col("priority").asc, col(keyCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.select(col(keyCol), col(domainCol), col(costCol))
+      .withColumn("priority", hashUnit(col(keyCol), salt))
+      .filter(col("priority") < thinRate) // per-row, pushed below the window
+      .withColumn("cum", sum(col(costCol)).over(win).cast("long"))
+      .join(broadcast(quotaDf), domainCol)
   }
 
   def shuffleShards(df: DataFrame, keyCol: String, nShards: Int,

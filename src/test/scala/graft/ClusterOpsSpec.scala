@@ -272,4 +272,68 @@ class ClusterOpsSpec extends SparkSpec {
       assert(one.count() > 0)
     } finally graft.core.Scopes.delete(spark, scope)
   }
+
+  test("corpusShardDigestAudit passes a faithful artifact and localizes tampering") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft-shard-dig").toString
+    val scope = graft.core.Scopes.create(spark, base)
+    try {
+      ClusterOps.saveCorpusShards(docs, scope, "shards", nShards = 4)
+      // faithful artifact → empty audit, same verdict as the exceptAll
+      // gate but from O(partitions) digest rows
+      assert(ClusterOps.corpusShardDigestAudit(spark, scope, "shards", docs)
+        .count() === 0)
+      // tamper with exactly one shard's rows: swap two documents' pos.
+      // The audit must flag ONLY that (split, shard)
+      val rows = spark.read.parquet(scope.path("shards/rows"))
+      val t0 = rows.filter(col("split") === "train" && col("shard") === 0)
+      val two = t0.orderBy("pos").limit(2).collect()
+      assert(two.length === 2)
+      val (pa, pb) = (two(0).getAs[Int]("pos"), two(1).getAs[Int]("pos"))
+      val tampered = t0
+        .withColumn("pos", when(col("pos") === pa, pb)
+          .when(col("pos") === pb, pa).otherwise(col("pos")))
+        .withColumn("split", lit("train")).withColumn("shard", lit(0))
+        .localCheckpoint(true)
+      tampered.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("split", "shard").parquet(scope.path("shards/rows"))
+      val bad = ClusterOps.corpusShardDigestAudit(spark, scope, "shards", docs)
+        .collect()
+      assert(bad.length === 1)
+      assert(bad.head.getAs[String]("split") === "train")
+      assert(bad.head.getAs[Int]("shard") === 0)
+      // a pos swap preserves counts — the DIGEST caught it
+      assert(bad.head.getAs[Long]("n_rows_artifact")
+        === bad.head.getAs[Long]("n_rows_expected"))
+    } finally graft.core.Scopes.delete(spark, scope)
+  }
+
+  test("flagships decontaminate against a caller-supplied benchmark") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    // bring-your-own eval set: a slice DIFFERENT from the mod-10 fixture
+    val bench = docs.filter(col("doc_id") % 7 === 3).select("doc_id", "text")
+    val benchIds = bench.select("doc_id").collect().map(_.getLong(0)).toSet
+    val v2 = ClusterOps.trainingCorpusV2(docs, benchmarkOpt = Some(bench))
+      .collect()
+    assert(v2.nonEmpty)
+    // no benchmark member trains, and nothing that leaks its n-grams
+    val leaked = graft.ops.TextOps.benchmarkContamination(
+        docs.join(bench.select("doc_id"), Seq("doc_id"), "left_anti"), bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    v2.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(!benchIds.contains(id), s"benchmark doc $id trained")
+      assert(!leaked.contains(id), s"contaminated doc $id trained")
+    }
+    // the default path is unchanged (oracle-pinned): same rows as ever
+    val defaultV2 = ClusterOps.trainingCorpusV2(docs)
+    assert(defaultV2.filter(col("doc_id") % 10 === 7).count() === 0)
+    // v1 honors the parameter too
+    val v1 = ClusterOps.trainingCorpus(docs, benchmarkOpt = Some(bench)).collect()
+    assert(v1.nonEmpty)
+    v1.foreach(r => assert(!benchIds.contains(r.getAs[Long]("doc_id"))))
+  }
 }

@@ -125,6 +125,28 @@ class ConstraintsSpec extends SparkSpec {
     assert(dig(a) !== dig(b))
   }
 
+  test("contentDigestBy fingerprints per group, consistent with the global digest") {
+    val df = Seq((1L, "a", "x"), (2L, "a", "y"), (3L, "b", "z"))
+      .toDF("k", "g", "v")
+    val by = Constraints.contentDigestBy(df, Seq("g"), Seq("k", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(by("a").getAs[Long]("n_rows") === 2L)
+    assert(by("b").getAs[Long]("n_rows") === 1L)
+    // a single-group digest equals the global digest of that slice —
+    // the grouped form is the same fingerprint, partition-granular
+    val global = Constraints.contentDigest(
+      df.filter(col("g") === "b"), Seq("k", "v")).collect().head
+    assert(by("b").getAs[Long]("digest") === global.getLong(1))
+    assert(by("b").getAs[Long]("digest_sum") === global.getLong(2))
+    // group-local change moves only that group's digest
+    val moved = Seq((1L, "a", "x"), (2L, "a", "Y"), (3L, "b", "z"))
+      .toDF("k", "g", "v")
+    val by2 = Constraints.contentDigestBy(moved, Seq("g"), Seq("k", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(by2("a").getAs[Long]("digest") !== by("a").getAs[Long]("digest"))
+    assert(by2("b").getAs[Long]("digest") === by("b").getAs[Long]("digest"))
+  }
+
   test("contentDigest sum catches even-multiplicity duplication XOR misses") {
     val once = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
     val twice = Seq((1L, "x"), (1L, "x"), (2L, "y"), (2L, "y"), (2L, "y"))

@@ -6,15 +6,21 @@ import graft.ops.MultimodalOps.{MediaMeta, MediaRecord}
 class MultimodalOpsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("media table carries opaque bytes; stub decode is deterministic") {
-    val docs = Seq((1L, "hello"), (2L, "worlds!")).toDF("doc_id", "text")
-    val out = MultimodalOps.decodeDocuments(spark, docs).collect()
+  test("mediaInventory header-sniffs real dimensions without raster decode") {
+    val docs = Seq(0L, 1L, 63L, 1000L).toDF("doc_id")
+    val out = MultimodalOps.mediaInventory(
+      MultimodalOps.syntheticPngTable(docs)).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
-    assert(out(1L).getAs[Int]("n_bytes") === 5)
-    assert(out(1L).getAs[Int]("width") === 5)
-    assert(out(1L).getAs[Int]("height") === 35)
-    assert(out(2L).getAs[Int]("n_bytes") === 7)
-    assert(out(2L).getAs[String]("format") === "png") // 7 % 3 == 1
+    for (id <- Seq(0L, 1L, 63L, 1000L)) {
+      assert(out(id).getAs[Int]("width") === 1 + (id % 64).toInt)
+      assert(out(id).getAs[Int]("height") === 1 + ((id * 7) % 48).toInt)
+      assert(out(id).getAs[String]("format") === "png")
+    }
+    // non-media payloads degrade to the unknown sentinel, not a failure
+    val bad = MultimodalOps.mediaInventory(
+      Seq(MediaRecord(9L, "not an image".getBytes)).toDS()).collect().head
+    assert((bad.getAs[Int]("width"), bad.getAs[Int]("height"),
+      bad.getAs[String]("format")) === ((-1, -1, "unknown")))
   }
 
   test("featureExtract computes real per-channel histograms from decoded pixels") {
@@ -129,17 +135,20 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(out(2L).getSeq[Array[Byte]](1).map(_.length).sum === 10)
   }
 
-  test("decoder is called in batches, once per group") {
-    var batches = Vector.empty[Int]
-    val counting = new MultimodalOps.MediaDecoder {
+  test("decode drives a pluggable decoder through the batched contract") {
+    // a custom decoder (what a native-codec impl would be) sees whole
+    // batches and its output flows through unchanged
+    val byteCounting = new MultimodalOps.MediaDecoder {
       override def decodeBatch(b: Seq[MediaRecord]): Seq[MediaMeta] =
-        MultimodalOps.StubDecoder.decodeBatch(b)
+        b.map(r => MediaMeta(r.doc_id, r.media.length, b.size, -1, "raw"))
     }
     val media = Seq.tabulate(10)(i => MediaRecord(i.toLong, Array.fill(i + 1)(0x41.toByte)))
       .toDS().repartition(1)
-    val out = MultimodalOps.decode(media, counting, batchSize = 4).collect()
+    val out = MultimodalOps.decode(media, byteCounting, batchSize = 4).collect()
     assert(out.length === 10)
     assert(out.map(_.n_bytes).sorted.toSeq === (1 to 10))
+    // batch shape: 10 rows in one partition at batchSize 4 → 4+4+2
+    assert(out.map(_.width).sorted.toSeq === Seq(2, 2, 4, 4, 4, 4, 4, 4, 4, 4))
   }
 
   private def encoded(fmt: String, w: Int, h: Int): Array[Byte] = {

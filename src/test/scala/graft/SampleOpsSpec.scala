@@ -291,4 +291,57 @@ class SampleOpsSpec extends SparkSpec {
     assert(again.exceptAll(out).count() === 0)
     out.unpersist()
   }
+
+  test("costBudgetMixtureThinned is bit-equal to the unthinned fill; too-aggressive rates throw") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val budget = 50000L
+    val full = SampleOps.costBudgetMixture(docs, "doc_id", "source",
+      "n_chars", budget).cache()
+    // the executed contract of the scaladoc proof: same rows, bit for bit
+    val thinned = SampleOps.costBudgetMixtureThinned(docs, "doc_id", "source",
+      "n_chars", budget, thinRate = 0.7)
+    assert(full.exceptAll(thinned).count() === 0)
+    assert(thinned.exceptAll(full).count() === 0)
+    // the thin really thins: every admitted priority sits under the rate
+    assert(thinned.agg(max("priority")).collect().head.getDouble(0) < 0.7)
+    // a rate that cannot witness every domain's cutoff must THROW (a
+    // silently smaller corpus is the failure mode the audit exists for)
+    val ex = intercept[graft.core.GraftException] {
+      SampleOps.costBudgetMixtureThinned(docs, "doc_id", "source",
+        "n_chars", budget, thinRate = 1e-6)
+    }
+    assert(ex.getMessage.contains("thinRate"))
+    // whole-domain retention is safe even when the quota is unfilled:
+    // tiny corpus, huge budget → no rejection witnessed anywhere, but
+    // nThin == nFull for every domain, so the result must still match
+    val tiny = (1L to 20L).map(i => (i, if (i % 2 == 0) "a" else "b", 10L))
+      .toDF("doc_id", "source", "n_chars")
+    val fullTiny = SampleOps.costBudgetMixture(tiny, "doc_id", "source",
+      "n_chars", 100000L)
+    val thinTiny = SampleOps.costBudgetMixtureThinned(tiny, "doc_id", "source",
+      "n_chars", 100000L, thinRate = 1.0)
+    assert(fullTiny.exceptAll(thinTiny).count() === 0)
+    assert(thinTiny.exceptAll(fullTiny).count() === 0)
+    full.unpersist()
+  }
+
+  test("costBudgetMixtureThinned plans the thin below the admission window") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    // the pre-thin must reach the scan side of the window exchange so
+    // the exchange carries ~thinRate of the corpus; the operator result
+    // is a checkpoint scan, so assert on the factored internal plan
+    val plan = SampleOps.thinnedAdmissionPlan(docs, "doc_id", "source",
+      "n_chars", 0.7, "mix", Array(("web", 100L, 10L)))
+      .queryExecution.executedPlan.toString
+    val winIdx = plan.indexOf("Window")
+    val filterIdx = plan.indexOf("conv(substring(md5")
+    assert(winIdx >= 0, plan)
+    // plans print top-down: the thin filter must appear BELOW (after)
+    // the Window operator, i.e. on its input side
+    assert(filterIdx > winIdx,
+      s"thin filter must sit below the window exchange:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
 }

@@ -29,6 +29,17 @@ class TablesSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("eventsStream on an empty source dir declares the canonical schema") {
+    // a not-yet-populated stream directory has no footers to peek —
+    // setup must fall back to TimestampType instead of failing with
+    // 'Unable to infer schema' (normal for srcDirs fed over time)
+    val dir = Files.createTempDirectory("graft-empty-stream").toString
+    val ds = Tables.eventsStream(spark, dir)
+    assert(ds.isStreaming)
+    assert(ds.schema("ts").dataType
+      === org.apache.spark.sql.types.TimestampType)
+  }
+
   test("text scan reads raw lines with glob support") {
     val dir = Files.createTempDirectory("graft-text").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "a.txt"), "l1\nl2\n")
