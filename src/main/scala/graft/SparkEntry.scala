@@ -1172,6 +1172,38 @@ object SparkEntry {
       }
       ClusterOps.corpusShardDigestAudit(s, scope, "shards", docs)
     }),
+    // BPE subword tokenization, FIT: the learned merge table on the
+    // planted closed-form corpus — rank, pair, and frequency all
+    // oracle-checked (the fit machinery itself is fully general)
+    "q148_bpe_fit" -> ((s, dir) =>
+      BpeOps.plantedFit(t(s, dir, "documents"))),
+    // BPE ENCODE under the q148 merges: per-doc token count + id-sum
+    // digest pins every subword assignment (the q124 convention)
+    "q149_bpe_encode" -> ((s, dir) =>
+      BpeOps.plantedEncode(t(s, dir, "documents"))),
+    // q70's packing RE-BASED on subword token counts: the q150
+    // composition a training pipeline actually runs (pack in the unit
+    // the model consumes); planted counts keep it oracle-checked
+    "q150_bpe_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val counts = BpeOps.plantedEncode(docs)
+        .select(col("doc_id"), col("n_tokens").as("n_tok"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "n_tok")
+      TextOps.packSequencesByCount(counts, budget = 16)
+    }),
+    // q145's cost-budget mixture RE-BASED on subword token counts —
+    // the budget contracted in the unit that matters ("N tokens of
+    // this mix"); planted counts keep the greedy fill oracle-exact
+    "q151_token_budget_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val costs = BpeOps.plantedEncode(docs)
+        .select(col("doc_id"), col("n_tokens").as("n_tok"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "n_tok")
+      SampleOps.costBudgetMixture(costs, "doc_id", "source", "n_tok",
+        budget = 1000)
+    }),
     // q145's pre-thinning escape hatch as code: hash-thin below the
     // admission window, runtime-audited exact — same oracle as q145.
     // thinRate must clear every domain's cutoff priority at the GATE
@@ -1193,6 +1225,43 @@ object SparkEntry {
     }
     ClusterOps.corpusShardArtifactGate(s, scope, "shards", docs)
   }
+
+  /** Closed-form BPE oracle scaffolding (q148–q151): the planted
+    * corpus (BpeOps.plantedCorpus — document d carries 1 + d%5 copies
+    * of the disjoint-alphabet word W[d%8]) makes the greedy fit equal
+    * the STATIC (freq DESC, pair ASC) sort of the 16 chain entries
+    * (proof in BpeOps.plantedCorpus scaladoc), so one window over ≤16
+    * rows reconstructs the merge table, and per-word token counts/ids
+    * follow by rank cases. `jr` carries each word's chain ranks.
+    */
+  private val bpeCtes =
+    """cnt AS (SELECT CAST(doc_id % 8 AS INT) AS j,
+      |               CAST(sum(1 + doc_id % 5) AS BIGINT) AS c
+      |        FROM documents GROUP BY 1),
+      |bw AS (SELECT j, c, chr(97 + 2*j) AS x, chr(98 + 2*j) AS y
+      |       FROM cnt WHERE c > 0),
+      |bpairs AS (
+      |  SELECT j, 1 AS chain, x AS lhs, y AS rhs, 2*c AS freq FROM bw
+      |  UNION ALL
+      |  SELECT j, 2, x || y, x || y, c FROM bw),
+      |br AS (SELECT j, chain, lhs, rhs, CAST(freq AS BIGINT) AS freq,
+      |         CAST(row_number() OVER (ORDER BY freq DESC, lhs ASC, rhs ASC) - 1
+      |              AS INT) AS rk
+      |       FROM bpairs),
+      |jr AS (SELECT j,
+      |         max(CASE WHEN chain = 1 THEN rk END) AS rk1,
+      |         max(CASE WHEN chain = 2 THEN rk END) AS rk2
+      |       FROM br GROUP BY j),
+      |btok AS (SELECT d.doc_id, d.lang, d.source, jr.j,
+      |           1 + d.doc_id % 5 AS m,
+      |           CAST(CASE WHEN jr.rk2 < 12 THEN 1 + d.doc_id % 5
+      |                     WHEN jr.rk1 < 12 THEN 2 * (1 + d.doc_id % 5)
+      |                     ELSE 4 * (1 + d.doc_id % 5) END AS BIGINT) AS n_tok,
+      |           CAST(CASE WHEN jr.rk2 < 12 THEN (1 + d.doc_id % 5) * (16 + jr.rk2)
+      |                     WHEN jr.rk1 < 12 THEN 2 * (1 + d.doc_id % 5) * (16 + jr.rk1)
+      |                     ELSE (1 + d.doc_id % 5) * (8 * jr.j + 2) END AS BIGINT)
+      |             AS ids_sum
+      |         FROM documents d JOIN jr ON jr.j = CAST(d.doc_id % 8 AS INT))""".stripMargin
 
   // shared by q145 and its pre-thinned twin q152 (bit-identical by the
   // containment proof in SampleOps.costBudgetMixtureThinned)
@@ -1941,6 +2010,47 @@ object SparkEntry {
     // prefix: an integer running sum over the identical (priority,
     // doc_id) order — admission while cum - cost < quota
     "q145_char_budget_mix" -> q145Sql,
+    // BPE fit: the static chain sort IS the greedy merge order on the
+    // planted corpus (disjoint alphabets; proof in BpeOps scaladoc)
+    "q148_bpe_fit" ->
+      s"""WITH $bpeCtes
+         |SELECT rk AS merge_rank, lhs, rhs, freq
+         |FROM br WHERE rk < 12""".stripMargin,
+    // BPE encode: rank-case closed form for counts and id sums
+    "q149_bpe_encode" ->
+      s"""WITH $bpeCtes
+         |SELECT doc_id, n_tok AS n_tokens, CAST(0 AS BIGINT) AS n_unk,
+         |       ids_sum
+         |FROM btok""".stripMargin,
+    // q70's window over the planted subword counts, budget 16
+    "q150_bpe_pack" ->
+      s"""WITH $bpeCtes
+         |SELECT doc_id, lang, doc_id % 8 AS shard, n_tok,
+         |       CAST(floor((sum(n_tok) OVER (PARTITION BY lang, doc_id % 8
+         |                    ORDER BY doc_id) - n_tok) / 16.0) AS BIGINT)
+         |         AS pack_id
+         |FROM btok""".stripMargin,
+    // q145's greedy fill with cost = planted subword tokens
+    "q151_token_budget_mix" ->
+      s"""WITH $bpeCtes,
+         |m2 AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS mass
+         |       FROM btok GROUP BY source),
+         |w2 AS (SELECT source,
+         |         CAST(floor(sqrt(CAST(mass AS DOUBLE))) AS BIGINT) AS w FROM m2),
+         |t2 AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w2),
+         |q2 AS (SELECT source, (1000 * w) // tw AS quota FROM w2, t2),
+         |pr2 AS (SELECT doc_id, source, n_tok,
+         |          ('0x' || substr(md5(doc_id::VARCHAR || ':mix'), 1, 8))::BIGINT
+         |            / 4294967296.0 AS priority
+         |        FROM btok),
+         |r2 AS (SELECT doc_id, source, n_tok, priority,
+         |         CAST(sum(n_tok) OVER (PARTITION BY source
+         |                ORDER BY priority ASC, doc_id ASC
+         |                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |       FROM pr2)
+         |SELECT r2.doc_id, r2.source, r2.n_tok, r2.priority
+         |FROM r2 JOIN q2 ON q2.source = r2.source
+         |WHERE r2.cum - r2.n_tok < q2.quota""".stripMargin,
     // bit-identical to q145 by the pre-thinning containment proof —
     // the thinned composition is held to the UNTHINNED oracle
     "q152_cost_budget_thinned" -> q145Sql,

@@ -1,0 +1,297 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding SUBWORD tokenization — the fit/encode pair a
+  * production LLM pipeline counts, packs, and budgets in (word-level
+  * tokens, q102/q124, are the coverage analogue; these are the real
+  * unit). No reference analogue (the reference has no text operators
+  * at all); this closes the north-star "text analysis" surface.
+  *
+  * FIT (Sennrich et al., ACL'16): learn `nMerges` merge rules by
+  * repeatedly merging the most frequent adjacent symbol pair. Scale
+  * shape is the q102 / PQ-codebook pattern: the CORPUS-sized work is
+  * exactly one partially-aggregated word count (shuffle bounded by
+  * word types × partitions, never corpus rows); the merge loop then
+  * runs on the driver over the frequency-truncated top-`maxWords`
+  * word dictionary — a MODEL-sized object (≤ 64Ki types by default,
+  * the same collect scale as PQ training samples or k-means seeds).
+  * Frequency truncation is what every production BPE trainer does
+  * (the trainer input is a word-count dictionary, not the corpus);
+  * tail types contribute negligible pair mass, and the corpus pass
+  * that builds the dictionary is the only thing that touches data.
+  *
+  * ENCODE: the learned merge table broadcasts to executors (merges +
+  * vocab ids are a few-KB model artifact) and every document encodes
+  * independently inside `mapPartitions` — no shuffle, text never
+  * leaves its partition, output is a narrow stats row. The iterative
+  * lowest-rank-first merge application is genuinely data-dependent
+  * imperative logic with no expression form (same documented-exception
+  * class as the PQ argmin, but per-token rather than per-row), so the
+  * typed-Dataset partition map is the right tool, not a UDF in a
+  * Catalyst expression tree.
+  *
+  * DETERMINISM (the oracle contract): pair selection orders by
+  * (count DESC, lhs ASC, rhs ASC) and dictionary truncation by
+  * (count DESC, word ASC) — total orders any engine reproduces.
+  * Token ids: base symbols are the dictionary's distinct single
+  * characters in sorted order (id = position), merged symbols take
+  * id = nBase + merge_rank. Characters outside the fit alphabet
+  * encode as UNK (counted, id contribution 0) — at 100 TB a stray
+  * codepoint is data, not an outage.
+  */
+object BpeOps {
+
+  /** Java's \s whitespace set, spelled out to match OpsUtil.tokensExpr
+    * and the DuckDB oracle tokenizer exactly.
+    */
+  private val Ws = "[ \t\n\u000B\f\r]+"
+
+  private[graft] def tokenize(text: String): Array[String] =
+    if (text == null) Array.empty
+    else text.trim.split(Ws).filter(_.nonEmpty)
+
+  /** One learned rule: merging adjacent (lhs, rhs) was the most
+    * frequent pair at step `rank` (0-based), with `freq` occurrences
+    * in the dictionary at selection time.
+    */
+  final case class BpeMerge(merge_rank: Int, lhs: String, rhs: String,
+                            freq: Long)
+
+  /** The driver-side fit core over an already-aggregated word-count
+    * dictionary (word occurrences, not document frequencies).
+    * Exposed package-private so specs can exercise the algorithm on
+    * hand-built dictionaries.
+    */
+  private[graft] def fitFromCounts(wordCounts: Seq[(String, Long)],
+                                   nMerges: Int): Seq[BpeMerge] = {
+    require(nMerges >= 0, s"nMerges must be non-negative: $nMerges")
+    // each dictionary entry: current symbol sequence + occurrence count
+    val words = wordCounts.map { case (w, c) =>
+      (scala.collection.mutable.ArrayBuffer(
+        w.map(_.toString): _*), c)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      // count EVERY adjacent position (overlapping included: "aaa"
+      // holds (a,a) twice), the standard trainer convention
+      val pairCounts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          pairCounts.update(k, pairCounts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        // total order: count desc, then (lhs, rhs) ascending
+        val ((lhs, rhs), freq) = pairCounts.minBy { case ((l, r), c) =>
+          (-c, l, r)
+        }
+        merges += BpeMerge(rank, lhs, rhs, freq)
+        val fused = lhs + rhs
+        // merge left-to-right, non-overlapping, in every word
+        words.foreach { case (syms, _) =>
+          var i = 0
+          while (i + 1 < syms.length) {
+            if (syms(i) == lhs && syms(i + 1) == rhs) {
+              syms.update(i, fused)
+              syms.remove(i + 1)
+            } else i += 1
+          }
+        }
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** FIT entry: one corpus-sized word-count aggregation (map-side
+    * combined; `orderBy.limit` plans as TakeOrderedAndProject — per-
+    * partition heaps, no global sort), then the driver merge loop
+    * over the model-sized dictionary. Returns the merge table
+    * (merge_rank, lhs, rhs, freq).
+    */
+  def fitBpe(documents: DataFrame, nMerges: Int = 50,
+             maxWords: Int = 1 << 16, textCol: String = "text"): DataFrame = {
+    require(nMerges >= 0, s"nMerges must be non-negative: $nMerges")
+    require(maxWords > 0, s"maxWords must be positive: $maxWords")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val dict = documents
+      .select(explode(expr(OpsUtil.tokensExpr.replace("trim(text)",
+        s"trim($textCol)"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(maxWords) // model-sized: the trainer dictionary
+      .as[(String, Long)].collect()
+    fitFromCounts(dict.toSeq, nMerges)
+      .toDF("merge_rank", "lhs", "rhs", "freq")
+  }
+
+  /** The id vocabulary induced by a merge table: base characters (the
+    * distinct single chars across merge symbols — exactly the fit
+    * dictionary's alphabet restricted to characters that participate
+    * in or surround merges is NOT enough, so the alphabet is supplied
+    * by the caller's corpus at encode time via UNK accounting) plus
+    * one id per merge. Returned as symbol → id.
+    */
+  private def vocabOf(alphabet: Seq[String],
+                      merges: Seq[BpeMerge]): Map[String, Int] = {
+    val base = alphabet.distinct.sorted.zipWithIndex.toMap
+    val n = base.size
+    // a later merge producing the same surface string as an earlier
+    // one keeps the EARLIER id (first-wins), mirroring standard
+    // tokenizer vocab construction
+    merges.sortBy(_.merge_rank).foldLeft(base) { (m, mg) =>
+      val sym = mg.lhs + mg.rhs
+      if (m.contains(sym)) m else m + (sym -> (n + mg.merge_rank))
+    }
+  }
+
+  /** Apply a merge table to one word: repeatedly fuse the adjacent
+    * pair with the LOWEST rank (all its non-overlapping occurrences,
+    * left to right) until no ranked pair remains — the standard BPE
+    * encoder. Package-private for the round-trip property spec.
+    */
+  private[graft] def applyMerges(word: String,
+      ranks: Map[(String, String), Int]): List[String] = {
+    var syms = word.map(_.toString).toList
+    var go = true
+    while (go && syms.lengthCompare(1) > 0) {
+      val best = syms.zip(syms.tail)
+        .flatMap(p => ranks.get(p).map(r => (r, p)))
+        .sortBy(_._1).headOption
+      best match {
+        case None => go = false
+        case Some((_, (l, r))) =>
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          var rest = syms
+          while (rest.nonEmpty) {
+            rest match {
+              case a :: b :: tail if a == l && b == r =>
+                out += (l + r); rest = tail
+              case a :: tail => out += a; rest = tail
+              case Nil =>
+            }
+          }
+          syms = out.toList
+      }
+    }
+    syms
+  }
+
+  private def collectMerges(merges: DataFrame): Seq[BpeMerge] =
+    merges.select(col("merge_rank").cast("int"), col("lhs"), col("rhs"),
+        col("freq").cast("long"))
+      .collect()
+      .map(r => BpeMerge(r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq.sortBy(_.merge_rank)
+
+  /** ENCODE entry: per-document subword stats — token count, UNK
+    * count (characters outside the fit alphabet), and the id-sum
+    * digest that pins every token→id assignment through the oracle
+    * without shipping ragged arrays (the q124 convention). The merge
+    * table and vocabulary broadcast (model-sized); documents encode
+    * independently per partition; no shuffle.
+    *
+    * @param alphabetOpt base alphabet override; default derives it
+    *        from the merge table's constituent characters — supply
+    *        the FIT dictionary's alphabet when tail characters that
+    *        never merged must still get ids
+    */
+  def encodeStats(documents: DataFrame, merges: DataFrame,
+                  textCol: String = "text",
+                  alphabetOpt: Option[Seq[String]] = None): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val ms = collectMerges(merges)
+    val alphabet = alphabetOpt.getOrElse(
+      ms.flatMap(m => (m.lhs + m.rhs).map(_.toString)).distinct)
+    val vocab = vocabOf(alphabet, ms)
+    val ranks = ms.map(m => (m.lhs, m.rhs) -> m.merge_rank).toMap
+    val bc = spark.sparkContext.broadcast((ranks, vocab))
+    documents.select(col("doc_id").cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val (rk, vb) = bc.value
+        it.map { case (id, text) =>
+          var n = 0L; var unk = 0L; var sum = 0L
+          tokenize(text).foreach { w =>
+            applyMerges(w, rk).foreach { s =>
+              n += 1
+              vb.get(s) match {
+                case Some(i) => sum += i
+                case None => unk += 1
+              }
+            }
+          }
+          (id, n, unk, sum)
+        }
+      }.toDF("doc_id", "n_tokens", "n_unk", "ids_sum")
+  }
+
+  /** Decode a token-id sequence back to text (per-word: BPE merges
+    * only ever concatenate, so decode is the vocab's inverse map plus
+    * concatenation). Used by the round-trip property spec.
+    */
+  private[graft] def decodeIds(ids: Seq[Int], alphabet: Seq[String],
+                               merges: Seq[BpeMerge]): String = {
+    val inv = vocabOf(alphabet, merges).map(_.swap)
+    ids.map(inv).mkString
+  }
+
+  /** The PLANTED oracle fixture: a corpus whose BPE fit/encode results
+    * are provable in closed form, derived from the documents table so
+    * word frequencies vary with the fixture. Document d carries
+    * `1 + d % 5` copies of word `W[d % 8]`, where the 8 words are
+    * (xy)^2 over DISJOINT letter pairs: abab, cdcd, …, opop.
+    *
+    * Why this pins real BPE: with disjoint alphabets no merge
+    * interacts across words, so word j's merge chain is exactly
+    * (x,y) at frequency 2·c_j then (xy,xy) at c_j, where c_j is word
+    * j's corpus occurrence count. The greedy fit provably emits these
+    * chains in the STATIC order (freq DESC, lhs ASC, rhs ASC): a
+    * chain-2 pair only exists after its chain-1 merge, but chain-1's
+    * frequency 2·c_j strictly exceeds c_j, so chain-1 is always
+    * selected first and availability never reorders the sort — which
+    * is precisely the order the DuckDB oracle reconstructs with one
+    * window over 16 rows. The encoder's per-document token count and
+    * id-sum follow in closed form from which chain entries land
+    * inside nMerges.
+    */
+  def plantedCorpus(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), expr(
+      """trim(repeat(concat(element_at(
+        |  array('abab','cdcd','efef','ghgh','ijij','klkl','mnmn','opop'),
+        |  cast(doc_id % 8 as int) + 1), ' '), cast(1 + doc_id % 5 as int)))
+        |""".stripMargin.replace("\n", " ")).as("text"))
+
+  /** Q148: BPE fit on the planted corpus — the learned merge table,
+    * oracle-checked row for row (rank, pair, frequency).
+    */
+  def plantedFit(documents: DataFrame, nMerges: Int = 12): DataFrame =
+    fitBpe(plantedCorpus(documents), nMerges)
+
+  /** Q149: BPE encode on the planted corpus under the q148 merges —
+    * per-document (n_tokens, n_unk, ids_sum), oracle-pinned.
+    */
+  def plantedEncode(documents: DataFrame, nMerges: Int = 12): DataFrame = {
+    val planted = plantedCorpus(documents)
+    encodeStats(planted, fitBpe(planted, nMerges))
+  }
+
+  /** Subword token counts for downstream composition (packing,
+    * budgeting): (doc_id, n_tok) from [[encodeStats]].
+    */
+  def tokenCounts(documents: DataFrame, merges: DataFrame,
+                  textCol: String = "text"): DataFrame =
+    encodeStats(documents, merges, textCol)
+      .select(col("doc_id"), col("n_tokens").as("n_tok"))
+}

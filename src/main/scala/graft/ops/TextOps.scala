@@ -584,15 +584,29 @@ object TextOps {
     * one shuffle is the window's hash partition on (lang, shard).
     */
   def packSequences(documents: DataFrame, budget: Int = 512,
-                    shards: Int = 8): DataFrame = {
-    require(budget > 0, s"budget must be positive: $budget")
-    require(shards > 0, s"shards must be positive: $shards")
+                    shards: Int = 8): DataFrame =
     // size() yields -1 (not 0) on a NULL array under Spark's default
     // sizeOfNull — uncorrected, one NULL text would DECREMENT the
     // running offset for every later doc in its stream; pin NULL text
     // to 0 tokens instead
-    val toks = documents.select(col("doc_id"), col("lang"),
-      greatest(size(expr(tokensExpr)), lit(0)).cast("long").as("n_tok"),
+    packSequencesByCount(documents.select(col("doc_id"), col("lang"),
+        greatest(size(expr(tokensExpr)), lit(0)).cast("long").as("n_tok")),
+      budget, shards)
+
+  /** The packing window over CALLER-SUPPLIED token counts — q70's
+    * machinery decoupled from the word tokenizer so the cost unit can
+    * be anything the pipeline actually trains in (BPE subword counts
+    * via [[BpeOps.tokenCounts]] — the q150 composition — or byte
+    * lengths). `counts` carries (doc_id, lang, n_tok); plan shape is
+    * unchanged: one hash exchange on (lang, shard), per-partition
+    * running sums, no global sort.
+    */
+  def packSequencesByCount(counts: DataFrame, budget: Int = 512,
+                           shards: Int = 8): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(shards > 0, s"shards must be positive: $shards")
+    val toks = counts.select(col("doc_id"), col("lang"),
+      greatest(col("n_tok").cast("long"), lit(0L)).as("n_tok"),
       (col("doc_id") % shards).as("shard"))
     val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

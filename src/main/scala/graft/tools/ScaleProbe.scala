@@ -53,7 +53,14 @@ object ScaleProbe {
     "q92_funnel", "q93_retention", "q94_priority_sample",
     "q95_event_paths", "q99_funnel_stream", "q103_cdc_stream",
     "q130_gapfill", "q143_corpus_shards", "q144_mixture_sample",
-    "q145_char_budget_mix")
+    "q145_char_budget_mix",
+    // round-8: the shard-artifact gates (q146 was round 7's heaviest
+    // query and its exceptAll shape had no 10× measurement; q147 is
+    // the digest audit that should beat it at scale), the BPE
+    // fit/encode pair, and the thinned cost mixture (whose exchange
+    // should shrink vs q145's as the thin bites)
+    "q146_shard_artifact", "q147_shard_digest_audit",
+    "q148_bpe_fit", "q149_bpe_encode", "q152_cost_budget_thinned")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

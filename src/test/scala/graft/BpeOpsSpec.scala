@@ -1,0 +1,163 @@
+package graft
+
+import graft.ops.BpeOps
+import graft.ops.BpeOps.BpeMerge
+
+class BpeOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fitFromCounts learns the classic merge sequence") {
+    // Sennrich's toy: 'low'x5 'lower'x2 'newest'x6 'widest'x3 —
+    // the most frequent pair is (e,s) at 9 (newest+widest), then
+    // (es,t) at 9, then (l,o) at 7...
+    val dict = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val ms = BpeOps.fitFromCounts(dict, 4)
+    assert(ms(0) === BpeMerge(0, "e", "s", 9L))
+    assert(ms(1) === BpeMerge(1, "es", "t", 9L))
+    assert(ms(2) === BpeMerge(2, "l", "o", 7L))
+    assert(ms(3) === BpeMerge(3, "lo", "w", 7L))
+  }
+
+  test("overlapping pairs count per position and merge left-to-right") {
+    // 'aaaa': pair (a,a) occurs at 3 positions; after the merge the
+    // word is [aa][aa], so the second merge is (aa,aa) at 1
+    val ms = BpeOps.fitFromCounts(Seq("aaaa" -> 1L), 3)
+    assert(ms(0) === BpeMerge(0, "a", "a", 3L))
+    assert(ms(1) === BpeMerge(1, "aa", "aa", 1L))
+    assert(ms.length === 2) // single symbol left: no third pair exists
+    // encoding an odd run: non-overlapping L2R then rank order
+    val ranks = ms.map(m => (m.lhs, m.rhs) -> m.merge_rank).toMap
+    assert(BpeOps.applyMerges("aaaaa", ranks) === List("aaaa", "a"))
+    assert(BpeOps.applyMerges("aaa", ranks) === List("aa", "a"))
+  }
+
+  test("ties break deterministically: count desc, then pair ascending") {
+    val ms = BpeOps.fitFromCounts(Seq("zy" -> 3L, "ab" -> 3L), 2)
+    assert(ms(0) === BpeMerge(0, "a", "b", 3L)) // ('a','b') < ('z','y')
+    assert(ms(1) === BpeMerge(1, "z", "y", 3L))
+  }
+
+  test("planted fit matches the closed-form chain order on the fixture") {
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val got = BpeOps.plantedFit(docs, nMerges = 12).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // closed form: c_j = sum of (1 + doc_id % 5) over docs ≡ j (mod 8);
+    // chains (x_j, y_j)@2c_j and (x_j y_j, x_j y_j)@c_j in static
+    // (freq desc, lhs asc, rhs asc) order
+    val c = docs.select("doc_id").collect().map(_.getLong(0))
+      .groupBy(id => (id % 8).toInt)
+      .view.mapValues(_.map(id => 1 + id % 5).sum).toMap
+    val words = Seq("abab", "cdcd", "efef", "ghgh", "ijij", "klkl", "mnmn", "opop")
+    val expected = (0 until 8).filter(j => c.getOrElse(j, 0L) > 0).flatMap { j =>
+      val (x, y) = (words(j).substring(0, 1), words(j).substring(1, 2))
+      Seq((x, y, 2 * c(j)), (x + y, x + y, c(j)))
+    }.sortBy { case (l, r, f) => (-f, l, r) }
+      .take(12).zipWithIndex
+      .map { case ((l, r, f), i) => (i, l, r, f) }
+    assert(got.toSeq === expected)
+  }
+
+  test("planted encode pins token counts and id sums in closed form") {
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val got = BpeOps.plantedEncode(docs, nMerges = 12).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val fit = BpeOps.plantedFit(docs, nMerges = 12).collect()
+      .map(r => ((r.getString(1), r.getString(2)), r.getInt(0))).toMap
+    val words = Seq("abab", "cdcd", "efef", "ghgh", "ijij", "klkl", "mnmn", "opop")
+    docs.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      val j = (id % 8).toInt
+      val m = 1 + id % 5
+      val (x, y) = (words(j).substring(0, 1), words(j).substring(1, 2))
+      val rk1 = fit.get((x, y))
+      val rk2 = fit.get((x + y, x + y))
+      val expected = (rk1, rk2) match {
+        case (_, Some(r2)) => (m, 0L, m * (16L + r2))
+        case (Some(r1), None) => (2 * m, 0L, 2 * m * (16L + r1))
+        case (None, None) => (4 * m, 0L, m * (8L * j + 2))
+      }
+      assert(got(id) === expected, s"doc $id word ${words(j)} x$m")
+    }
+  }
+
+  test("encode∘decode identity on real fixture text") {
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val merges = BpeOps.fitBpe(docs, nMerges = 40)
+    val ms = merges.collect().map(r =>
+      BpeMerge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val ranks = ms.map(m => (m.lhs, m.rhs) -> m.merge_rank).toMap
+    // alphabet covering ALL sampled words, so every token has an id
+    val sample = docs.select("text").limit(20).collect()
+      .flatMap(r => BpeOps.tokenize(r.getString(0)))
+    val alphabet = sample.flatMap(_.map(_.toString)).distinct.toSeq
+    sample.foreach { w =>
+      val toks = BpeOps.applyMerges(w, ranks)
+      // merges only concatenate: the symbols tile the word exactly
+      assert(toks.mkString === w, w)
+      // and the id round trip reproduces the word
+      val vocabIds = {
+        val base = alphabet.distinct.sorted.zipWithIndex.toMap
+        val n = base.size
+        ms.foldLeft(base)((m, mg) => {
+          val s = mg.lhs + mg.rhs
+          if (m.contains(s)) m else m + (s -> (n + mg.merge_rank))
+        })
+      }
+      val ids = toks.map(vocabIds)
+      assert(BpeOps.decodeIds(ids, alphabet, ms) === w, w)
+    }
+    // compression: subword tokens never exceed characters, and real
+    // merges strictly compress a natural-language corpus
+    val stats = BpeOps.encodeStats(docs, merges,
+      alphabetOpt = Some(alphabet)).collect()
+    val totalToks = stats.map(_.getLong(1)).sum
+    val totalChars = docs.selectExpr(
+        "sum(length(regexp_replace(text, '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+', '')))")
+      .collect().head.getLong(0)
+    assert(totalToks < totalChars)
+  }
+
+  test("packing and budgeting compose with real-text subword counts") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val merges = BpeOps.fitBpe(docs, nMerges = 40)
+    val counts = BpeOps.tokenCounts(docs, merges)
+      .join(docs.select("doc_id", "lang", "source"), "doc_id")
+    // q70 re-based: pack in the unit the model trains in
+    val packed = graft.ops.TextOps.packSequencesByCount(
+      counts.select("doc_id", "lang", "n_tok"), budget = 256).cache()
+    assert(packed.count() === docs.count())
+    // every pack's START offsets live inside its budget window
+    val starts = packed
+      .withColumn("start", col("pack_id") * 256)
+      .filter(col("n_tok") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val check = packed.withColumn("off", sum("n_tok").over(w) - col("n_tok"))
+      .filter(floor(col("off") / 256) =!= col("pack_id"))
+    assert(check.count() === 0)
+    // q145 re-based: the budget contracted in subword tokens
+    val mix = graft.ops.SampleOps.costBudgetMixture(
+      counts.select("doc_id", "source", "n_tok"),
+      "doc_id", "source", "n_tok", budget = 2000)
+    val taken = mix.groupBy("source").agg(
+      sum("n_tok").cast("long").as("c"), max("n_tok").cast("long").as("mx"))
+      .collect()
+    // greedy fill: overshoot bounded by the last admitted document
+    taken.foreach { r =>
+      assert(r.getLong(1) - r.getLong(2) < 2000, r.getString(0))
+    }
+    packed.unpersist()
+  }
+
+  test("characters outside the fit alphabet count as UNK, never fail") {
+    val docs = Seq((1L, "ab ab"), (2L, "ab λμ")).toDF("doc_id", "text")
+    val merges = BpeOps.fitBpe(Seq((1L, "ab ab ab")).toDF("doc_id", "text"),
+      nMerges = 1)
+    val out = BpeOps.encodeStats(docs, merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((2L, 0L)))   // two 'ab' tokens, fully known
+    assert(out(2L) === ((3L, 2L)))   // 'ab' + two unknown greek chars
+  }
+}

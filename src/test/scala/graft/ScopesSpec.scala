@@ -37,4 +37,46 @@ class ScopesSpec extends SparkSpec {
     intercept[IllegalArgumentException](scope.path("../escape"))
     intercept[IllegalArgumentException](scope.path("/abs"))
   }
+
+  test("inventory lists artifacts; sweep ages out only dead ones") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-gc").toString
+    val scope = Scopes.create(spark, base)
+    try {
+      Scopes.save(Seq(1L, 2L).toDF("v"), scope, "old_bands")
+      Scopes.save(Seq(3L).toDF("v"), scope, "live_index")
+      Scopes.save(Seq(4L).toDF("v"), scope, "kept_labels")
+      // a mixed-age artifact: old files plus one fresh append — ANY
+      // newer file must keep the whole artifact alive
+      Scopes.save(Seq(5L).toDF("v"), scope, "appended")
+      def ageAll(name: String, t: Long): Unit = {
+        def rec(f: java.io.File): Unit = {
+          f.setLastModified(t)
+          Option(f.listFiles()).foreach(_.foreach(rec))
+        }
+        rec(new java.io.File(scope.path(name)))
+      }
+      val cutoff = System.currentTimeMillis() - 60000
+      ageAll("old_bands", cutoff - 10000)
+      ageAll("kept_labels", cutoff - 10000)
+      ageAll("appended", cutoff - 10000)
+      // the fresh append: one file inside 'appended' is NEW again
+      new java.io.File(scope.path("appended")).listFiles()
+        .filter(_.getName.endsWith(".parquet")).take(1)
+        .foreach(_.setLastModified(System.currentTimeMillis()))
+      val inv = Scopes.inventory(spark, scope)
+      assert(inv.map(_.name) === Seq("appended", "kept_labels", "live_index", "old_bands"))
+      assert(inv.forall(a => a.n_files > 0 && a.total_bytes > 0))
+      val swept = Scopes.sweep(spark, scope, cutoff, keep = Set("kept_labels"))
+      assert(swept === Seq("old_bands"))
+      // live (newer), kept (protected), and appended (one fresh file)
+      // artifacts are untouched and still readable
+      assert(Scopes.load(spark, scope, "live_index").count() === 1)
+      assert(Scopes.load(spark, scope, "kept_labels").count() === 1)
+      assert(Scopes.load(spark, scope, "appended").count() === 1)
+      assert(!new java.io.File(scope.path("old_bands")).exists())
+      // idempotent: nothing left to sweep
+      assert(Scopes.sweep(spark, scope, cutoff, Set("kept_labels")) === Seq.empty)
+    } finally Scopes.delete(spark, scope)
+  }
 }
