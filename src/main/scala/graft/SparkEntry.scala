@@ -1214,7 +1214,50 @@ object SparkEntry {
     "q152_cost_budget_thinned" -> ((s, dir) =>
       SampleOps.costBudgetMixtureThinned(t(s, dir, "documents"), "doc_id",
         "source", "n_chars", budget = 100000, thinRate = 0.9)),
+    // the persisted TOKENIZER artifact: merges fitted once, reloaded
+    // from storage, and held to q148's closed-form merge-table oracle
+    // — the fit→store→load lifecycle cannot distort the model
+    "q153_bpe_artifact" -> ((s, dir) =>
+      BpeOps.loadBpeMerges(s, q153Scope(s, dir), "bpe")),
+    // ...and ENCODING against the stored tokenizer must be
+    // bit-identical to encoding under a fresh fit with the same
+    // dictionary alphabet: the artifact pins the full id space
+    // (merges + base alphabet), not just the merge rules
+    "q154_bpe_artifact_encode" -> ((s, dir) => {
+      val planted = BpeOps.plantedCorpus(t(s, dir, "documents"))
+      val fromArtifact =
+        BpeOps.encodeWithArtifact(planted, q153Scope(s, dir), "bpe")
+      val alphabet = BpeOps.fitDictionary(planted, 1 << 16, "text")
+        .flatMap(_._1.map(_.toString)).distinct.sorted
+      val direct = BpeOps.encodeStats(planted,
+        BpeOps.fitBpe(planted, nMerges = 12), alphabetOpt = Some(alphabet))
+      fromArtifact.exceptAll(direct)
+        .select(lit("artifact_not_direct").as("violation"), col("*"))
+        .unionByName(direct.exceptAll(fromArtifact)
+          .select(lit("direct_not_artifact").as("violation"), col("*")))
+    }),
+    // span-level exact dedup: fixed 20-token windows, global
+    // first-occurrence keep, per-doc survivors pinned by a
+    // digest-of-digests — no text in either exchange
+    "q155_span_dedup" -> ((s, dir) =>
+      DedupOps.spanDedup(t(s, dir, "documents"), span = 20)),
+    // bigram-LM statistical quality score (the CCNet-gate shape):
+    // broadcast pruned model, map-side scoring, fixed-point exact sums
+    "q156_bigram_lm" -> ((s, dir) =>
+      TextOps.bigramLmScore(t(s, dir, "documents"))),
   )
+
+  private val q153Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
+
+  /** The q153/q154 tokenizer artifact: BPE fitted on the planted
+    * corpus and persisted once per (process, sf dir).
+    */
+  private def q153Scope(s: SparkSession, dir: String): graft.core.Scope = {
+    val planted = BpeOps.plantedCorpus(t(s, dir, "documents"))
+    cachedScope(q153Scopes, s, dir, "graft-q153-") { sc =>
+      BpeOps.saveBpe(planted, sc, "bpe", nMerges = 12)
+    }
+  }
 
   private val q146Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
 
@@ -1262,6 +1305,13 @@ object SparkEntry {
       |                     ELSE (1 + d.doc_id % 5) * (8 * jr.j + 2) END AS BIGINT)
       |             AS ids_sum
       |         FROM documents d JOIN jr ON jr.j = CAST(d.doc_id % 8 AS INT))""".stripMargin
+
+  // shared by q148 (the direct fit) and q153 (the same fit through
+  // the persisted tokenizer artifact's store→load round trip)
+  private val q148Sql =
+    s"""WITH $bpeCtes
+       |SELECT rk AS merge_rank, lhs, rhs, freq
+       |FROM br WHERE rk < 12""".stripMargin
 
   // shared by q145 and its pre-thinned twin q152 (bit-identical by the
   // containment proof in SampleOps.costBudgetMixtureThinned)
@@ -2012,10 +2062,61 @@ object SparkEntry {
     "q145_char_budget_mix" -> q145Sql,
     // BPE fit: the static chain sort IS the greedy merge order on the
     // planted corpus (disjoint alphabets; proof in BpeOps scaladoc)
-    "q148_bpe_fit" ->
-      s"""WITH $bpeCtes
-         |SELECT rk AS merge_rank, lhs, rhs, freq
-         |FROM br WHERE rk < 12""".stripMargin,
+    "q148_bpe_fit" -> q148Sql,
+    // the tokenizer ARTIFACT reloaded from storage must reproduce the
+    // same closed-form merge table: fit → store → load is lossless
+    "q153_bpe_artifact" -> q148Sql,
+    // artifact-encode ≡ fresh-fit encode under the stored alphabet:
+    // violations must be the typed empty set
+    "q154_bpe_artifact_encode" ->
+      """SELECT CAST(NULL AS VARCHAR) AS violation,
+        |       CAST(NULL AS BIGINT) AS doc_id,
+        |       CAST(NULL AS BIGINT) AS n_tokens,
+        |       CAST(NULL AS BIGINT) AS n_unk,
+        |       CAST(NULL AS BIGINT) AS ids_sum
+        |WHERE 1 = 0""".stripMargin,
+    // span-level exact dedup: 20-token windows, global first-keep,
+    // survivors pinned per doc by the digest-of-digests
+    "q155_span_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks w FROM documents),
+         |sp0 AS (SELECT doc_id, w, unnest(range(0, (len(w) + 19) // 20)) i
+         |        FROM toks),
+         |sp AS (SELECT doc_id, CAST(i AS INT) span_idx,
+         |         md5(array_to_string(w[i*20+1 : i*20+20], ' ')) span_md5,
+         |         CAST(len(w[i*20+1 : i*20+20]) AS BIGINT) n_span_tok
+         |       FROM sp0),
+         |fl AS (SELECT *, row_number() OVER (PARTITION BY span_md5
+         |         ORDER BY doc_id, span_idx) = 1 AS keep FROM sp)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN keep THEN n_span_tok ELSE 0 END) AS BIGINT)
+         |    AS n_kept_tok,
+         |  md5(coalesce(string_agg(CASE WHEN keep THEN span_md5 END, ' '
+         |    ORDER BY span_idx), '')) AS kept_md5
+         |FROM fl GROUP BY doc_id""".stripMargin,
+    // bigram-LM score: add-one-smoothed transition probabilities in
+    // fixed point (exact bigint sums; the one double op per row is a
+    // correctly-rounded IEEE division both engines agree on)
+    "q156_bigram_lm" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks w FROM documents),
+         |uni AS (SELECT w1, CAST(count(*) AS BIGINT) cu FROM (
+         |          SELECT unnest(w) w1 FROM toks)
+         |        GROUP BY w1 ORDER BY cu DESC, w1 ASC LIMIT 65536),
+         |big0 AS (SELECT doc_id, w, unnest(range(1, len(w))) i FROM toks),
+         |bigr AS (SELECT doc_id, w[i] w1, w[i+1] w2 FROM big0),
+         |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) cb FROM bigr
+         |       GROUP BY w1, w2
+         |       ORDER BY cb DESC, w1 ASC, w2 ASC LIMIT 262144),
+         |sc AS (SELECT d.doc_id, coalesce(bi.cb, 0) cb,
+         |         coalesce(uni.cu, 0) cu
+         |       FROM bigr d
+         |       LEFT JOIN bi ON bi.w1 = d.w1 AND bi.w2 = d.w2
+         |       LEFT JOIN uni ON uni.w1 = d.w1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(CASE WHEN cb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  CAST(sum(CAST(round(1e6 * (CAST(cb + 1 AS DOUBLE)
+         |    / CAST(cu + 65536 AS DOUBLE))) AS BIGINT)) AS BIGINT) AS score_fp
+         |FROM sc GROUP BY doc_id""".stripMargin,
     // BPE encode: rank-case closed form for counts and id sums
     "q149_bpe_encode" ->
       s"""WITH $bpeCtes

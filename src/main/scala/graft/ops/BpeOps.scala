@@ -118,20 +118,32 @@ object BpeOps {
     * over the model-sized dictionary. Returns the merge table
     * (merge_rank, lhs, rhs, freq).
     */
-  def fitBpe(documents: DataFrame, nMerges: Int = 50,
-             maxWords: Int = 1 << 16, textCol: String = "text"): DataFrame = {
-    require(nMerges >= 0, s"nMerges must be non-negative: $nMerges")
+  /** The trainer dictionary: ONE partially-aggregated corpus pass
+    * (shuffle bounded by word types × partitions), frequency-truncated
+    * to the model-sized top `maxWords` under the total order
+    * (count DESC, word ASC). The only thing in the fit that touches
+    * corpus data; everything downstream is driver-side over this.
+    */
+  private[graft] def fitDictionary(documents: DataFrame, maxWords: Int,
+                                   textCol: String): Seq[(String, Long)] = {
     require(maxWords > 0, s"maxWords must be positive: $maxWords")
     val spark = documents.sparkSession
     import spark.implicits._
-    val dict = documents
+    documents
       .select(explode(expr(OpsUtil.tokensExpr.replace("trim(text)",
         s"trim($textCol)"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w").asc)
       .limit(maxWords) // model-sized: the trainer dictionary
-      .as[(String, Long)].collect()
-    fitFromCounts(dict.toSeq, nMerges)
+      .as[(String, Long)].collect().toSeq
+  }
+
+  def fitBpe(documents: DataFrame, nMerges: Int = 50,
+             maxWords: Int = 1 << 16, textCol: String = "text"): DataFrame = {
+    require(nMerges >= 0, s"nMerges must be non-negative: $nMerges")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    fitFromCounts(fitDictionary(documents, maxWords, textCol), nMerges)
       .toDF("merge_rank", "lhs", "rhs", "freq")
   }
 
@@ -294,4 +306,74 @@ object BpeOps {
                   textCol: String = "text"): DataFrame =
     encodeStats(documents, merges, textCol)
       .select(col("doc_id"), col("n_tokens").as("n_tok"))
+
+  // ---- the TOKENIZER ARTIFACT ----------------------------------------
+  // A production pipeline fits a tokenizer ONCE and every downstream
+  // job (counting, packing, budgeting, decontamination) loads it — the
+  // fit corpus is long gone by the time the 100 TB encode runs. Same
+  // maintained-artifact contract as the band/postings/index artifacts:
+  // the model rides WITH its parameters (merge table + the fit
+  // dictionary's base ALPHABET + hyper-parameters as metadata), so an
+  // encode job can never silently pair stored merges with a different
+  // id assignment. The alphabet matters: characters in the fit
+  // dictionary that never participated in a merge still get base ids;
+  // deriving the alphabet from the merge table alone would demote them
+  // to UNK and shift every id (vocabOf ids are positional).
+
+  /** Fit and persist a BPE tokenizer under `scope/name`: the merge
+    * table (`rows`), the fit dictionary's character alphabet
+    * (`alphabet`), and (nMerges, maxWords) as metadata. One corpus
+    * pass (the dictionary aggregation); both stored tables are
+    * model-sized.
+    */
+  def saveBpe(documents: DataFrame, scope: graft.core.Scope,
+              name: String, nMerges: Int = 50, maxWords: Int = 1 << 16,
+              textCol: String = "text"): Unit = {
+    require(nMerges >= 0, s"nMerges must be non-negative: $nMerges")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val dict = fitDictionary(documents, maxWords, textCol)
+    val merges = fitFromCounts(dict, nMerges)
+    val alphabet = dict.flatMap(_._1.map(_.toString)).distinct.sorted
+    merges.toDF("merge_rank", "lhs", "rhs", "freq")
+      .coalesce(1).write.mode("overwrite").parquet(scope.path(s"$name/rows"))
+    alphabet.toDF("sym")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(scope.path(s"$name/alphabet"))
+    graft.core.Scopes.writeMeta(spark, scope, s"$name/meta",
+      "n_merges" -> nMerges, "max_words" -> maxWords)
+  }
+
+  /** The stored merge table, in rank order (merge_rank, lhs, rhs,
+    * freq) — the same shape [[fitBpe]] returns.
+    */
+  def loadBpeMerges(spark: SparkSession, scope: graft.core.Scope,
+                    name: String): DataFrame =
+    spark.read.parquet(scope.path(s"$name/rows"))
+      .select(col("merge_rank").cast("int"), col("lhs"), col("rhs"),
+        col("freq").cast("long"))
+
+  /** The stored base alphabet (model-sized: distinct characters of the
+    * fit dictionary).
+    */
+  def loadBpeAlphabet(spark: SparkSession, scope: graft.core.Scope,
+                      name: String): Seq[String] = {
+    import spark.implicits._
+    spark.read.parquet(scope.path(s"$name/alphabet"))
+      .select("sym").as[String].collect().toSeq.sorted
+  }
+
+  /** Encode against the STORED tokenizer: merges and alphabet come
+    * from the artifact (never re-derived from the batch), so every
+    * encode of every batch — today's or next year's — lands in the
+    * identical id space. Per-partition map, no shuffle, same as
+    * [[encodeStats]].
+    */
+  def encodeWithArtifact(documents: DataFrame, scope: graft.core.Scope,
+                         name: String,
+                         textCol: String = "text"): DataFrame = {
+    val spark = documents.sparkSession
+    encodeStats(documents, loadBpeMerges(spark, scope, name), textCol,
+      Some(loadBpeAlphabet(spark, scope, name)))
+  }
 }

@@ -555,4 +555,59 @@ object DedupOps {
       .filter(col("overlap") >= threshold)
       .select("doc_a", "doc_b", "overlap")
   }
+
+  /** SPAN-LEVEL exact dedup — the sub-document granularity between
+    * doc-level exact dedup (q12) and near-dup detection: cut every
+    * document into fixed `span`-token non-overlapping windows and keep
+    * only the globally FIRST occurrence of each distinct span content
+    * (first = min (doc_id, span_idx) — the practice of deduplicating
+    * repeated boilerplate/quotation spans across a crawl corpus at a
+    * fixed token granularity; Lee et al., ACL'22, "Deduplicating
+    * Training Data Makes Language Models Better" dedups exact
+    * ~50-token substrings; the fixed non-overlapping window is the
+    * aligned variant whose keep-set is closed-form).
+    *
+    * Scale design: the TEXT NEVER SHUFFLES. Spans are fingerprinted
+    * partition-local (md5 — the exact-dedup family's content identity,
+    * q12/q134 contract) and both exchanges carry only narrow rows
+    * (doc_id, span_idx, span_md5, n_span_tok): first the keep
+    * decision (hash partition by span_md5), then the per-document
+    * roll-up (hash partition by doc_id). Output pins the surviving
+    * content per doc as a digest-of-digests (md5 over the kept spans'
+    * md5s in span order); a pipeline materializing the deduped text
+    * joins the keep flags back to the co-partitioned original — an
+    * O(corpus) narrow join, still no text exchange beyond the final
+    * project.
+    */
+  def spanDedup(documents: DataFrame, span: Int = 20): DataFrame = {
+    require(span > 0, s"span must be positive: $span")
+    import org.apache.spark.sql.expressions.Window
+    val spans = documents
+      .withColumn("w", expr(tokensExpr))
+      .withColumn("n_tok", size(col("w")))
+      .withColumn("span_idx", explode(expr(
+        s"case when n_tok > 0 then sequence(0, cast((n_tok - 1) / $span as int)) " +
+          "else array() end")))
+      .select(col("doc_id"),
+        col("span_idx").cast("int").as("span_idx"),
+        expr(s"md5(concat_ws(' ', slice(w, span_idx * $span + 1, $span)))")
+          .as("span_md5"),
+        expr(s"size(slice(w, span_idx * $span + 1, $span))")
+          .cast("long").as("n_span_tok"))
+    val firstWin = Window.partitionBy("span_md5")
+      .orderBy(col("doc_id").asc, col("span_idx").asc)
+    spans
+      .withColumn("keep", row_number().over(firstWin) === 1)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_spans"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_span_tok")).otherwise(0L))
+          .as("n_kept_tok"),
+        expr("""md5(concat_ws(' ', transform(
+                |  array_sort(collect_list(
+                |    case when keep then struct(span_idx, span_md5) end)),
+                |  x -> x.span_md5)))""".stripMargin.replace("\n", " "))
+          .as("kept_md5"))
+  }
 }

@@ -766,4 +766,71 @@ object TextOps {
         lit(null).cast("long").as("est"), col("n_exact"))
     deviation.unionByName(missing)
   }
+
+  /** N-GRAM LANGUAGE-MODEL scoring — the CCNet-style statistical
+    * quality gate (Wenzek et al., LREC'20 score docs with a KenLM
+    * n-gram model; heuristic signals are q19, a trained classifier's
+    * linear head is q115, this is the LM-statistics member): fit an
+    * add-one-smoothed bigram model on the corpus, score every document
+    * by how "in-distribution" its word transitions are.
+    *
+    * Fit = TWO partially-aggregated count passes (unigrams, bigrams),
+    * each frequency-truncated under a total order (count DESC, gram
+    * ASC) to a MODEL-sized table — exactly what a pruned production LM
+    * is — so both sides BROADCAST to the scoring join: at 100 TB the
+    * corpus never shuffles, every document scores map-side against the
+    * broadcast model, and the only exchange is the final per-document
+    * roll-up (partial-agg, narrow rows).
+    *
+    * Engine-portable arithmetic (the oracle contract): each bigram's
+    * smoothed probability (c(w1,w2)+1)/(c(w1)+V) is one IEEE double
+    * division of exact integers (correctly rounded, so bit-identical
+    * in any engine), snapped to fixed point (×10⁶, round-half-away —
+    * identical for the positive range) and summed as BIGINTs — exact,
+    * order-independent. The natural-log variant (true log-perplexity)
+    * is a drop-in swap of the per-row expression, but libm `ln` is
+    * only 1-ulp-accurate and NOT identical across engines, so the
+    * checkable form sums probabilities, not logs: same plan, same
+    * model, same ordering power over documents at fixed length.
+    */
+  def bigramLmScore(documents: DataFrame, maxVocab: Int = 1 << 16,
+                    maxBigrams: Int = 1 << 18): DataFrame = {
+    require(maxVocab > 0, s"maxVocab must be positive: $maxVocab")
+    require(maxBigrams > 0, s"maxBigrams must be positive: $maxBigrams")
+    val toks = documents
+      .select(col("doc_id"), expr(tokensExpr).as("w"))
+    val uni = toks.select(explode(col("w")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cu"))
+      .orderBy(col("cu").desc, col("w1").asc)
+      .limit(maxVocab)
+    val bi = toks
+      .withColumn("i", explode(expr(
+        "case when size(w) >= 2 then sequence(1, size(w) - 1) " +
+          "else array() end")))
+      .select(expr("element_at(w, i)").as("w1"),
+        expr("element_at(w, i + 1)").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .orderBy(col("cb").desc, col("w1").asc, col("w2").asc)
+      .limit(maxBigrams)
+    documents
+      .select(col("doc_id"), expr(tokensExpr).as("w"))
+      .withColumn("i", explode(expr(
+        "case when size(w) >= 2 then sequence(1, size(w) - 1) " +
+          "else array() end")))
+      .select(col("doc_id"), expr("element_at(w, i)").as("w1"),
+        expr("element_at(w, i + 1)").as("w2"))
+      .join(broadcast(bi), Seq("w1", "w2"), "left")
+      .join(broadcast(uni), Seq("w1"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cb"), lit(0L)).as("cb"),
+        coalesce(col("cu"), lit(0L)).as("cu"))
+      .withColumn("p_fp", expr(
+        s"""cast(round(1e6 * (cast(cb + 1 as double)
+           |  / cast(cu + $maxVocab as double))) as bigint)"""
+          .stripMargin.replace("\n", " ")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("cb") === 0L, 1L).otherwise(0L)).as("n_oov"),
+        sum(col("p_fp")).as("score_fp"))
+  }
 }

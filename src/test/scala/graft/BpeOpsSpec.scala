@@ -160,4 +160,45 @@ class BpeOpsSpec extends SparkSpec {
     assert(out(1L) === ((2L, 0L)))   // two 'ab' tokens, fully known
     assert(out(2L) === ((3L, 2L)))   // 'ab' + two unknown greek chars
   }
+
+  test("tokenizer artifact: save/load round-trips merges, alphabet, ids") {
+    val corpus = Seq(
+      (1L, "low low low lower lower newest"),
+      (2L, "newest newest widest low qz")).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft-bpe-art-")
+    try {
+      val scope = graft.core.Scopes.create(spark, base.toString)
+      BpeOps.saveBpe(corpus, scope, "tok", nMerges = 3)
+      // merges survive storage bit for bit, in rank order
+      val direct = BpeOps.fitBpe(corpus, nMerges = 3).collect().toSeq
+      val loaded = BpeOps.loadBpeMerges(spark, scope, "tok")
+        .orderBy("merge_rank").collect().toSeq
+      assert(loaded === direct.sortBy(_.getInt(0)))
+      // the stored alphabet is the FIT DICTIONARY's characters — it
+      // keeps ids for tail characters that never merged ('q'/'z'
+      // appear once, in no merge), which the merges alone would lose
+      val alphabet = BpeOps.loadBpeAlphabet(spark, scope, "tok")
+      assert(alphabet.contains("q") && alphabet.contains("z"))
+      val art = BpeOps.encodeWithArtifact(corpus, scope, "tok")
+        .orderBy("doc_id").collect().toSeq
+      val fresh = BpeOps.encodeStats(corpus,
+        BpeOps.fitBpe(corpus, nMerges = 3), alphabetOpt = Some(alphabet))
+        .orderBy("doc_id").collect().toSeq
+      assert(art === fresh)
+      // with the stored alphabet nothing is UNK; under the
+      // merges-derived alphabet every character outside the 3 learned
+      // merges (q, z, and the unmerged word tails) would demote to UNK
+      assert(art.forall(_.getLong(2) === 0L))
+      val mergesOnly = BpeOps.encodeStats(corpus,
+        BpeOps.loadBpeMerges(spark, scope, "tok")).collect()
+      assert(mergesOnly.map(_.getLong(2)).sum > 0L)
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm)
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(base)
+    }
+  }
 }

@@ -208,4 +208,43 @@ class DedupOpsSpec extends SparkSpec {
     assert(!pairs.exists(_._1 == 11L))      // the fresh doc matches nothing
     assert(pairs.forall(p => p._1 >= 10L && p._2 < 10L)) // cross pairs only
   }
+
+  test("spanDedup keeps exactly the first occurrence of each span") {
+    def md5(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val d = docs(
+      1L -> "a b c d",      // spans [a b][c d] — both fresh
+      2L -> "a b x y",      // [a b] repeats doc 1 → dropped; [x y] kept
+      3L -> "c d c d",      // both spans repeat doc 1 → nothing kept
+      4L -> "e f g",        // short final span [g] still counts
+      5L -> "q r q r q")    // intra-doc repeat: only span 0 (+tail) kept
+    val out = DedupOps.spanDedup(d, span = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_kept_tok"), r.getAs[String]("kept_md5")))).toMap
+    assert(out(1L) === ((2L, 2L, 4L, md5(md5("a b") + " " + md5("c d")))))
+    assert(out(2L) === ((2L, 1L, 2L, md5(md5("x y")))))
+    assert(out(3L) === ((2L, 0L, 0L, md5(""))))
+    assert(out(4L) === ((2L, 2L, 3L, md5(md5("e f") + " " + md5("g")))))
+    assert(out(5L) === ((3L, 2L, 3L, md5(md5("q r") + " " + md5("q")))))
+  }
+
+  test("spanDedup conservation: survivors across the corpus = distinct spans") {
+    import org.apache.spark.sql.functions._
+    val toksExpr =
+      "filter(split(trim(text), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), x -> x <> '')"
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val out = DedupOps.spanDedup(d, span = 20)
+    val totals = out.agg(sum("n_spans"), sum("n_kept")).head()
+    val distinctSpans = d
+      .withColumn("w", expr(toksExpr))
+      .withColumn("i", explode(expr(
+        "case when size(w) > 0 then sequence(0, cast((size(w)-1)/20 as int)) else array() end")))
+      .select(expr("concat_ws(' ', slice(w, i * 20 + 1, 20))").as("s"))
+      .distinct().count()
+    assert(totals.getLong(1) === distinctSpans)   // every distinct span kept once
+    assert(totals.getLong(1) <= totals.getLong(0))
+    assert(out.count() === d.filter(expr(s"size($toksExpr) > 0")).count())
+  }
 }

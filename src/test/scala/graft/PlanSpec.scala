@@ -318,4 +318,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Exchange SinglePartition"), plan)
     assert(!plan.contains("Exchange rangepartitioning"), plan)
   }
+
+  test("q155: span dedup exchanges carry fingerprints, never text") {
+    val plan = planOf(SparkEntry.queries("q155_span_dedup")(spark, sf))
+    // both exchanges (keep decision by span_md5, roll-up by doc_id)
+    // ship narrow fingerprint rows; the text column dies at the scan
+    val exchanges = plan.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty, plan)
+    assert(exchanges.exists(_.contains("span_md5")), plan)
+    assert(!exchanges.exists(_.contains("text")), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
+  test("q156: the pruned LM broadcasts; the corpus never shuffles before scoring") {
+    val plan = planOf(SparkEntry.queries("q156_bigram_lm")(spark, sf))
+    // both model joins are broadcast (the model tables are LIMIT-bounded)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the only corpus-sized exchange is the final per-doc partial agg
+    assert(plan.contains("partial_count"), plan)
+  }
 }

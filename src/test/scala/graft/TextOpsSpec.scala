@@ -355,4 +355,34 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L).getAs[Double]("logit") === expected(3L))
     assert(!out(3L).getAs[Boolean]("kept"))
   }
+
+  test("bigramLmScore: hand-computed smoothed fixed-point scores") {
+    val d = docs(1L -> "a b", 2L -> "a b", 3L -> "a c", 4L -> "z")
+    // model: cu(a)=3, cb(a,b)=2, cb(a,c)=1; V = 65536
+    val fp = (cb: Long, cu: Long) =>
+      math.round(1e6 * ((cb + 1).toDouble / (cu + 65536).toDouble))
+    val out = TextOps.bigramLmScore(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_oov"),
+          r.getAs[Long]("score_fp")))).toMap
+    assert(out(1L) === ((1L, 0L, fp(2, 3))))
+    assert(out(2L) === ((1L, 0L, fp(2, 3))))
+    assert(out(3L) === ((1L, 0L, fp(1, 3))))
+    assert(!out.contains(4L))   // a 1-token doc has no transitions
+  }
+
+  test("bigramLmScore: model truncation marks dropped transitions OOV") {
+    val d = docs(1L -> "a b a b a c")
+    // bigrams in doc order: (a,b)x2, (b,a)x2, (a,c) — maxBigrams=1
+    // keeps only the (count desc, gram asc) winner (a,b); the other
+    // three transition instances score with cb=0 and count as OOV
+    val out = TextOps.bigramLmScore(d, maxBigrams = 1).head()
+    assert(out.getAs[Long]("n_bigrams") === 5L)
+    assert(out.getAs[Long]("n_oov") === 3L)
+    val fp = (cb: Long, cu: Long) =>
+      math.round(1e6 * ((cb + 1).toDouble / (cu + 65536).toDouble))
+    // cu: a=3, b=2, c=1 (unigram table is untruncated here)
+    assert(out.getAs[Long]("score_fp") ===
+      2 * fp(2, 3) + 2 * fp(0, 2) + fp(0, 3))
+  }
 }
