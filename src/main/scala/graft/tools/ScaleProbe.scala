@@ -60,7 +60,14 @@ object ScaleProbe {
     // fit/encode pair, and the thinned cost mixture (whose exchange
     // should shrink vs q145's as the thin bites)
     "q146_shard_artifact", "q147_shard_digest_audit",
-    "q148_bpe_fit", "q149_bpe_encode", "q152_cost_budget_thinned")
+    "q148_bpe_fit", "q149_bpe_encode", "q152_cost_budget_thinned",
+    // round-8 second half: the token-count compositions (packing and
+    // the budget mixture now pay a real BPE encode), the persisted
+    // tokenizer (load + encode should amortize the fit away), span
+    // dedup (span explosion is the 10× risk), and the bigram LM
+    // (model truncation must keep the scoring join broadcast-sized)
+    "q150_bpe_pack", "q151_token_budget_mix", "q153_bpe_artifact",
+    "q155_span_dedup", "q156_bigram_lm")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)
