@@ -1245,6 +1245,15 @@ object SparkEntry {
     // broadcast pruned model, map-side scoring, fixed-point exact sums
     "q156_bigram_lm" -> ((s, dir) =>
       TextOps.bigramLmScore(t(s, dir, "documents"))),
+    // tokenizer fertility/compression per source domain — the audit a
+    // pipeline runs before committing a tokenizer to the full encode;
+    // planted corpus keeps every sum and fixed-point ratio closed-form
+    "q157_bpe_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val planted = BpeOps.plantedCorpus(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+      BpeOps.fertilityProfile(planted, BpeOps.fitBpe(planted, nMerges = 12))
+    }),
   )
 
   private val q153Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -2155,6 +2164,23 @@ object SparkEntry {
     // bit-identical to q145 by the pre-thinning containment proof —
     // the thinned composition is held to the UNTHINNED oracle
     "q152_cost_budget_thinned" -> q145Sql,
+    // fertility/compression closed forms on the planted corpus: word
+    // count per doc is m = 1 + doc_id % 5, each planted word is 4
+    // chars, token count is btok's rank-case form, UNK provably 0
+    // (every word's chain-1 merge lands inside the 12 kept ranks)
+    "q157_bpe_fertility" ->
+      s"""WITH $bpeCtes
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(m) AS BIGINT) AS n_words,
+         |  CAST(sum(4 * m) AS BIGINT) AS n_chars,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(0 AS BIGINT) AS n_unk,
+         |  CAST(round(1e6 * CAST(sum(n_tok) AS DOUBLE)
+         |       / CAST(sum(m) AS DOUBLE)) AS BIGINT) AS fertility_fp,
+         |  CAST(round(1e6 * CAST(sum(4 * m) AS DOUBLE)
+         |       / CAST(sum(n_tok) AS DOUBLE)) AS BIGINT) AS chars_per_tok_fp
+         |FROM btok GROUP BY source""".stripMargin,
     // digest audit of a faithful artifact: the empty set, typed
     "q147_shard_digest_audit" ->
       """SELECT CAST(NULL AS VARCHAR) AS split,

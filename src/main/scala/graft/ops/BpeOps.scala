@@ -307,6 +307,54 @@ object BpeOps {
     encodeStats(documents, merges, textCol)
       .select(col("doc_id"), col("n_tokens").as("n_tok"))
 
+  /** Q157: tokenizer FERTILITY / COMPRESSION profile per domain — the
+    * go/no-go numbers a pipeline reads before committing a tokenizer
+    * to the full-corpus encode: subword tokens per whitespace word
+    * (fertility — how much the model's sequence budget inflates vs
+    * word count) and characters per subword token (compression), per
+    * `domainCol`, so a tokenizer fitted on one mix is auditable
+    * against every domain it will actually encode. Sums are exact
+    * BIGINTs; the two ratios ship as 1e6 fixed-point BIGINTs (the
+    * q156 convention) so the result is engine-portable bit for bit.
+    *
+    * Scale shape: one per-partition encode pass (the [[encodeStats]]
+    * broadcast-model map, no shuffle), a stateless per-row word/char
+    * projection, then one partial-agg groupBy on the domain key —
+    * output is domain-cardinality-sized.
+    */
+  def fertilityProfile(documents: DataFrame, merges: DataFrame,
+                       domainCol: String = "source",
+                       textCol: String = "text",
+                       alphabetOpt: Option[Seq[String]] = None): DataFrame = {
+    val stats = encodeStats(documents, merges, textCol, alphabetOpt)
+    val toksE = OpsUtil.tokensExpr.replace("trim(text)", s"trim($textCol)")
+    val perDoc = documents.select(col("doc_id"),
+      col(domainCol).as("__domain"),
+      expr(s"cast(size($toksE) as bigint)").as("__n_words"),
+      expr(s"aggregate($toksE, 0L, (a, x) -> a + length(x))")
+        .as("__n_chars"))
+    perDoc.join(stats, "doc_id")
+      .groupBy("__domain")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum("__n_words").as("n_words"),
+        sum("__n_chars").as("n_chars"),
+        sum("n_tokens").as("n_tokens"),
+        sum("n_unk").as("n_unk"))
+      .select(
+        col("__domain").as(domainCol),
+        col("n_docs"), col("n_words"), col("n_chars"), col("n_tokens"),
+        col("n_unk"),
+        when(col("n_words") > 0,
+          round(lit(1e6) * col("n_tokens").cast("double")
+            / col("n_words").cast("double")).cast("long"))
+          .otherwise(0L).as("fertility_fp"),
+        when(col("n_tokens") > 0,
+          round(lit(1e6) * col("n_chars").cast("double")
+            / col("n_tokens").cast("double")).cast("long"))
+          .otherwise(0L).as("chars_per_tok_fp"))
+  }
+
   // ---- the TOKENIZER ARTIFACT ----------------------------------------
   // A production pipeline fits a tokenizer ONCE and every downstream
   // job (counting, packing, budgeting, decontamination) loads it — the

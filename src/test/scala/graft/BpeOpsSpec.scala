@@ -161,6 +161,21 @@ class BpeOpsSpec extends SparkSpec {
     assert(out(2L) === ((3L, 2L)))   // 'ab' + two unknown greek chars
   }
 
+  test("fertility profile: exact per-domain sums and fixed-point ratios") {
+    val docs = Seq(
+      (1L, "low low", "web"), (2L, "newest", "web"), (3L, "low", "book"))
+      .toDF("doc_id", "text", "source")
+    // nMerges=2 learns (l,o) then (lo,w): 'low' encodes to one token;
+    // 'newest' falls back to 6 chars, 5 of them outside the
+    // merges-derived alphabet {l,o,w} (the 'w' is known)
+    val out = BpeOps.fertilityProfile(docs, BpeOps.fitBpe(docs, nMerges = 2))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(out("web") === ((2L, 3L, 12L, 8L, 5L, 2666667L, 1500000L)))
+    assert(out("book") === ((1L, 1L, 3L, 1L, 0L, 1000000L, 3000000L)))
+  }
+
   test("tokenizer artifact: save/load round-trips merges, alphabet, ids") {
     val corpus = Seq(
       (1L, "low low low lower lower newest"),
