@@ -317,30 +317,53 @@ object BpeOps {
     * BIGINTs; the two ratios ship as 1e6 fixed-point BIGINTs (the
     * q156 convention) so the result is engine-portable bit for bit.
     *
-    * Scale shape: one per-partition encode pass (the [[encodeStats]]
-    * broadcast-model map, no shuffle), a stateless per-row word/char
-    * projection, then one partial-agg groupBy on the domain key —
-    * output is domain-cardinality-sized.
+    * Scale shape: ONE per-partition encode pass (the [[encodeStats]]
+    * broadcast-model map, with the word/char counters riding the same
+    * loop — no second scan, no corpus⋈corpus join), then one
+    * partial-agg groupBy on the domain key — output is
+    * domain-cardinality-sized and the only exchange is the final
+    * domain-keyed aggregation.
     */
   def fertilityProfile(documents: DataFrame, merges: DataFrame,
                        domainCol: String = "source",
                        textCol: String = "text",
                        alphabetOpt: Option[Seq[String]] = None): DataFrame = {
-    val stats = encodeStats(documents, merges, textCol, alphabetOpt)
-    val toksE = OpsUtil.tokensExpr.replace("trim(text)", s"trim($textCol)")
-    val perDoc = documents.select(col("doc_id"),
-      col(domainCol).as("__domain"),
-      expr(s"cast(size($toksE) as bigint)").as("__n_words"),
-      expr(s"aggregate($toksE, 0L, (a, x) -> a + length(x))")
-        .as("__n_chars"))
-    perDoc.join(stats, "doc_id")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val ms = collectMerges(merges)
+    val alphabet = alphabetOpt.getOrElse(
+      ms.flatMap(m => (m.lhs + m.rhs).map(_.toString)).distinct)
+    val vocab = vocabOf(alphabet, ms)
+    val ranks = ms.map(m => (m.lhs, m.rhs) -> m.merge_rank).toMap
+    val bc = spark.sparkContext.broadcast((ranks, vocab))
+    // word/char counts ride the SAME per-partition encode pass as the
+    // subword stats — one scan, no corpus⋈corpus join downstream
+    documents
+      .select(col(domainCol).cast("string"), col(textCol).cast("string"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val (rk, vb) = bc.value
+        it.map { case (domain, text) =>
+          var words = 0L; var chars = 0L
+          var n = 0L; var unk = 0L
+          tokenize(text).foreach { w =>
+            words += 1; chars += w.length
+            applyMerges(w, rk).foreach { s =>
+              n += 1
+              if (!vb.contains(s)) unk += 1
+            }
+          }
+          (domain, words, chars, n, unk)
+        }
+      }
+      .toDF("__domain", "__n_words", "__n_chars", "__n_tokens", "__n_unk")
       .groupBy("__domain")
       .agg(
         count(lit(1)).cast("long").as("n_docs"),
         sum("__n_words").as("n_words"),
         sum("__n_chars").as("n_chars"),
-        sum("n_tokens").as("n_tokens"),
-        sum("n_unk").as("n_unk"))
+        sum("__n_tokens").as("n_tokens"),
+        sum("__n_unk").as("n_unk"))
       .select(
         col("__domain").as(domainCol),
         col("n_docs"), col("n_words"), col("n_chars"), col("n_tokens"),

@@ -75,6 +75,17 @@ object PlanAudit {
     "q140_shuffle_shards", // one hash exchange, no range partitioning
     "q142_artifact_dedup_apply", // stored labels joined, no CC recompute
     "q143_corpus_shards", // flagship tail: split projection + shard window
+    "q144_mixture_sample", // budget-bounded map-side WindowGroupLimit
+    "q145_char_budget_mix", // per-domain prefix window (documented exception)
+    "q146_shard_artifact", // persisted exceptAll legs over the shard table
+    "q147_shard_digest_audit", // per-(split,shard) digest, narrow output
+    "q148_bpe_fit",       // one word-type partial agg + driver merge loop
+    "q149_bpe_encode",    // broadcast-model mapPartitions, no shuffle
+    "q150_bpe_pack",      // encode + single (lang, shard) window shuffle
+    "q152_cost_budget_thinned", // hash pre-thin ahead of the prefix window
+    "q155_span_dedup",    // fingerprint-only exchanges, no text shuffled
+    "q156_bigram_lm",     // broadcast pruned LM, map-side scoring
+    "q157_bpe_fertility", // encode pass + domain-key partial agg
     "q10_event_window")   // normalized-ts scan straight into windowed agg
 
   def main(args: Array[String]): Unit = {
