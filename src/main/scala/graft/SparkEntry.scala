@@ -1249,9 +1249,10 @@ object SparkEntry {
     // pipeline runs before committing a tokenizer to the full encode;
     // planted corpus keeps every sum and fixed-point ratio closed-form
     "q157_bpe_fertility" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val planted = BpeOps.plantedCorpus(docs)
-        .join(docs.select("doc_id", "source"), "doc_id")
+      // planted text is a pure doc_id expression, so `source` rides the
+      // same projection — no join anywhere in the profile plan
+      val planted = BpeOps.plantedCorpus(t(s, dir, "documents"),
+        keep = Seq("source"))
       BpeOps.fertilityProfile(planted, BpeOps.fitBpe(planted, nMerges = 12))
     }),
   )

@@ -278,12 +278,13 @@ object BpeOps {
     * id-sum follow in closed form from which chain entries land
     * inside nMerges.
     */
-  def plantedCorpus(documents: DataFrame): DataFrame =
-    documents.select(col("doc_id"), expr(
+  def plantedCorpus(documents: DataFrame,
+                    keep: Seq[String] = Seq.empty): DataFrame =
+    documents.select(col("doc_id") +: keep.map(col) :+ expr(
       """trim(repeat(concat(element_at(
         |  array('abab','cdcd','efef','ghgh','ijij','klkl','mnmn','opop'),
         |  cast(doc_id % 8 as int) + 1), ' '), cast(1 + doc_id % 5 as int)))
-        |""".stripMargin.replace("\n", " ")).as("text"))
+        |""".stripMargin.replace("\n", " ")).as("text"): _*)
 
   /** Q148: BPE fit on the planted corpus — the learned merge table,
     * oracle-checked row for row (rank, pair, frequency).
