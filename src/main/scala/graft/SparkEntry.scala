@@ -1255,6 +1255,12 @@ object SparkEntry {
         keep = Seq("source"))
       BpeOps.fertilityProfile(planted, BpeOps.fitBpe(planted, nMerges = 12))
     }),
+    // the stored tokenizer driving a STREAM: stateless broadcast-model
+    // encode under readStream, same id space as the batch encode —
+    // held to q149's closed-form oracle
+    "q158_stream_bpe_encode" -> ((s, dir) =>
+      graft.streaming.EventsStreaming.streamingBpeEncode(
+        s, dir, q153Scope(s, dir), "bpe")),
   )
 
   private val q153Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -1315,6 +1321,14 @@ object SparkEntry {
       |                     ELSE (1 + d.doc_id % 5) * (8 * jr.j + 2) END AS BIGINT)
       |             AS ids_sum
       |         FROM documents d JOIN jr ON jr.j = CAST(d.doc_id % 8 AS INT))""".stripMargin
+
+  // shared by q149 (direct encode) and q158 (the same encode through
+  // readStream + the stored tokenizer — identical id space)
+  private val q149Sql =
+    s"""WITH $bpeCtes
+       |SELECT doc_id, n_tok AS n_tokens, CAST(0 AS BIGINT) AS n_unk,
+       |       ids_sum
+       |FROM btok""".stripMargin
 
   // shared by q148 (the direct fit) and q153 (the same fit through
   // the persisted tokenizer artifact's store→load round trip)
@@ -2128,11 +2142,10 @@ object SparkEntry {
          |    / CAST(cu + 65536 AS DOUBLE))) AS BIGINT)) AS BIGINT) AS score_fp
          |FROM sc GROUP BY doc_id""".stripMargin,
     // BPE encode: rank-case closed form for counts and id sums
-    "q149_bpe_encode" ->
-      s"""WITH $bpeCtes
-         |SELECT doc_id, n_tok AS n_tokens, CAST(0 AS BIGINT) AS n_unk,
-         |       ids_sum
-         |FROM btok""".stripMargin,
+    "q149_bpe_encode" -> q149Sql,
+    // the same closed form through readStream + the stored tokenizer:
+    // the streaming encode must land in the identical id space
+    "q158_stream_bpe_encode" -> q149Sql,
     // q70's window over the planted subword counts, budget 16
     "q150_bpe_pack" ->
       s"""WITH $bpeCtes

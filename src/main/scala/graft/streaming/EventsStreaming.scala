@@ -957,4 +957,34 @@ object EventsStreaming {
     out.cache(); out.count()
     out
   }
+
+  /** Q158: STREAMING subword encode against the STORED tokenizer —
+    * the other half of the q153/q154 artifact contract: a tokenizer
+    * fitted once serves batch jobs and streams out of the SAME id
+    * space. The encode is a stateless broadcast-model projection
+    * ([[graft.ops.BpeOps.encodeWithArtifact]] — select + mapPartitions
+    * only), so the stream needs no watermark and no state store:
+    * per-micro-batch cost is exactly the batch encode of that batch's
+    * files. Held to q149's closed-form oracle (the planted corpus's
+    * merges-derived and fit-dictionary alphabets provably coincide, so
+    * artifact ids equal the fresh-fit ids — the q154 gate's invariant,
+    * here exercised end to end through readStream).
+    */
+  def streamingBpeEncode(spark: SparkSession, dir: String,
+                         scope: graft.core.Scope, name: String,
+                         queryName: String = "graft_stream_bpe"): DataFrame = {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("lang", StringType), StructField("text", StringType)))
+    val src = spark.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val enc = graft.ops.BpeOps.encodeWithArtifact(
+      graft.ops.BpeOps.plantedCorpus(src), scope, name)
+    val q = enc.writeStream.format("memory").queryName(queryName)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val out = spark.table(queryName)
+    out.cache(); out.count()
+    out
+  }
 }

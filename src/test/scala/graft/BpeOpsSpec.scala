@@ -161,6 +161,34 @@ class BpeOpsSpec extends SparkSpec {
     assert(out(2L) === ((3L, 2L)))   // 'ab' + two unknown greek chars
   }
 
+  test("streaming encode through the stored tokenizer matches the batch encode") {
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft-bpe-stream-")
+    try {
+      val scope = graft.core.Scopes.create(spark, base.toString)
+      val planted = BpeOps.plantedCorpus(docs)
+      BpeOps.saveBpe(planted, scope, "tok", nMerges = 12)
+      val streamed = graft.streaming.EventsStreaming
+        .streamingBpeEncode(spark, sf, scope, "tok",
+          queryName = "bpe_stream_spec")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      val batch = BpeOps.encodeWithArtifact(planted, scope, "tok")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      assert(streamed.nonEmpty && (streamed sameElements batch))
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm)
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(base)
+    }
+  }
+
   test("fertility profile: exact per-domain sums and fixed-point ratios") {
     val docs = Seq(
       (1L, "low low", "web"), (2L, "newest", "web"), (3L, "low", "book"))
