@@ -338,4 +338,13 @@ class PlanSpec extends SparkSpec {
     // the only corpus-sized exchange is the final per-doc partial agg
     assert(plan.contains("partial_count"), plan)
   }
+
+  test("q157: fertility profile is one scan + domain agg — no join at all") {
+    val plan = planOf(SparkEntry.queries("q157_bpe_fertility")(spark, sf))
+    // word/char counters ride the encode mapPartitions; `source` rides
+    // the planted projection — nothing left to join
+    assert(!plan.contains("Join"), plan)
+    // and the only exchange is the domain-keyed aggregation
+    assert(plan.contains("partial_count"), plan)
+  }
 }
