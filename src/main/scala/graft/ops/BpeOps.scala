@@ -60,12 +60,116 @@ object BpeOps {
                             freq: Long)
 
   /** The driver-side fit core over an already-aggregated word-count
-    * dictionary (word occurrences, not document frequencies).
-    * Exposed package-private so specs can exercise the algorithm on
-    * hand-built dictionaries.
+    * dictionary (word occurrences, not document frequencies) —
+    * INCREMENTAL trainer: pair counts live in a hash map, a
+    * pair→words occurrence index confines each merge's bookkeeping to
+    * the words that actually contain the merged pair, and selection
+    * pops a lazy max-heap (stale entries discarded against the live
+    * count). Per merge the cost is O(Σ affected word lengths + heap
+    * churn), not O(total dictionary symbols) — the difference between
+    * a 50-merge demo and a vocab-scale 32k-merge fit over a 64Ki-word
+    * dictionary. Selection order is EXACTLY the reference loop's
+    * total order (count desc, then (lhs, rhs) ascending); the
+    * differential spec holds the two implementations equal on random
+    * dictionaries and every closed-form oracle pins it end to end.
     */
   private[graft] def fitFromCounts(wordCounts: Seq[(String, Long)],
                                    nMerges: Int): Seq[BpeMerge] = {
+    require(nMerges >= 0, s"nMerges must be non-negative: $nMerges")
+    import scala.collection.mutable
+    val words = wordCounts.map { case (w, c) =>
+      (mutable.ArrayBuffer(w.map(_.toString): _*), c)
+    }.toIndexedSeq
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    // max-heap: larger count wins, ties to the ascending (lhs, rhs)
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](
+      new Ordering[(Long, String, String)] {
+        def compare(a: (Long, String, String),
+                    b: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(a._1, b._1)
+          if (c != 0) c
+          else {
+            val l = b._2.compareTo(a._2)
+            if (l != 0) l else b._3.compareTo(a._3)
+          }
+        }
+      })
+    def bump(k: (String, String), delta: Long): Unit = {
+      val n = counts.getOrElse(k, 0L) + delta
+      if (n <= 0L) counts.remove(k)
+      else {
+        counts.update(k, n)
+        heap.enqueue((n, k._1, k._2)) // lazy: stale entries skipped on pop
+      }
+    }
+    words.indices.foreach { idx =>
+      val (syms, c) = words(idx)
+      var i = 0
+      while (i + 1 < syms.length) {
+        val k = (syms(i), syms(i + 1))
+        bump(k, c)
+        where.getOrElseUpdate(k, mutable.Set.empty) += idx
+        i += 1
+      }
+    }
+    val merges = mutable.ArrayBuffer.empty[BpeMerge]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      // pop until a live entry (count matches the current map) surfaces
+      var picked: Option[(String, String, Long)] = None
+      while (picked.isEmpty && heap.nonEmpty) {
+        val (c, l, r) = heap.dequeue()
+        if (counts.get((l, r)).contains(c)) picked = Some((l, r, c))
+      }
+      picked match {
+        case None => done = true
+        case Some((lhs, rhs, freq)) =>
+          merges += BpeMerge(rank, lhs, rhs, freq)
+          val fused = lhs + rhs
+          val affected = where.getOrElse((lhs, rhs), mutable.Set.empty)
+            .toArray.sorted
+          affected.foreach { idx =>
+            val (syms, c) = words(idx)
+            // retire the word's current pair profile...
+            var i = 0
+            while (i + 1 < syms.length) {
+              val k = (syms(i), syms(i + 1))
+              bump(k, -c)
+              where.get(k).foreach(_ -= idx)
+              i += 1
+            }
+            // ...apply the merge left-to-right, non-overlapping
+            // (identical inner loop to the reference trainer)...
+            i = 0
+            while (i + 1 < syms.length) {
+              if (syms(i) == lhs && syms(i + 1) == rhs) {
+                syms.update(i, fused)
+                syms.remove(i + 1)
+              } else i += 1
+            }
+            // ...and re-index the rewritten word
+            i = 0
+            while (i + 1 < syms.length) {
+              val k = (syms(i), syms(i + 1))
+              bump(k, c)
+              where.getOrElseUpdate(k, mutable.Set.empty) += idx
+              i += 1
+            }
+          }
+          rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The REFERENCE quadratic trainer — recounts every pair each merge.
+    * Kept test-only as the differential oracle for [[fitFromCounts]];
+    * never called from main paths.
+    */
+  private[graft] def fitFromCountsReference(wordCounts: Seq[(String, Long)],
+                                            nMerges: Int): Seq[BpeMerge] = {
     require(nMerges >= 0, s"nMerges must be non-negative: $nMerges")
     // each dictionary entry: current symbol sequence + occurrence count
     val words = wordCounts.map { case (w, c) =>

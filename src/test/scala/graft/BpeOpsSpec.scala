@@ -31,6 +31,21 @@ class BpeOpsSpec extends SparkSpec {
     assert(BpeOps.applyMerges("aaa", ranks) === List("aa", "a"))
   }
 
+  test("incremental trainer equals the reference loop on random dictionaries") {
+    // tiny alphabet + short words maximize overlap/tie edge cases
+    val rnd = new scala.util.Random(42)
+    (1 to 60).foreach { trial =>
+      val dict = (0 until 1 + rnd.nextInt(12)).map { _ =>
+        val w = Array.fill(1 + rnd.nextInt(8))(
+          ('a' + rnd.nextInt(4)).toChar).mkString
+        w -> (1L + rnd.nextInt(9))
+      }
+      val n = rnd.nextInt(12)
+      assert(BpeOps.fitFromCounts(dict, n) ===
+        BpeOps.fitFromCountsReference(dict, n), s"trial $trial dict=$dict n=$n")
+    }
+  }
+
   test("ties break deterministically: count desc, then pair ascending") {
     val ms = BpeOps.fitFromCounts(Seq("zy" -> 3L, "ab" -> 3L), 2)
     assert(ms(0) === BpeMerge(0, "a", "b", 3L)) // ('a','b') < ('z','y')
