@@ -67,7 +67,10 @@ object ScaleProbe {
     // dedup (span explosion is the 10× risk), and the bigram LM
     // (model truncation must keep the scoring join broadcast-sized)
     "q150_bpe_pack", "q151_token_budget_mix", "q153_bpe_artifact",
-    "q155_span_dedup", "q156_bigram_lm")
+    "q155_span_dedup", "q156_bigram_lm",
+    // round-8 tail: the fertility audit (encode pass + domain agg)
+    // and the streaming encode (per-micro-batch = batch cost claim)
+    "q157_bpe_fertility", "q158_stream_bpe_encode")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)
@@ -176,7 +179,10 @@ object ScaleProbe {
       replicate(spark, src, dest)
       marker.getParentFile.mkdirs(); marker.createNewFile()
     }
-    probeQueries.foreach { q =>
+    // dev-loop filter: comma-separated names; unset = the full set
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    probeQueries.filter(q => only.forall(_.contains(q))).foreach { q =>
       val s01 = bench(spark, src, q)
       val s1 = bench(spark, dest, q)
       println(f"""{"query":"$q","sf0_1_sec":$s01%.3f,"sf1_sec":$s1%.3f,"per_row_ratio":${s1 / (factor * s01)}%.3f}""")
