@@ -1261,7 +1261,35 @@ object SparkEntry {
     "q158_stream_bpe_encode" -> ((s, dir) =>
       graft.streaming.EventsStreaming.streamingBpeEncode(
         s, dir, q153Scope(s, dir), "bpe")),
+    // PRETOKENIZED fit through the artifact: punctuation inside the
+    // whitespace token provably never fuses into a merge — the stored
+    // merge table equals q148's closed form exactly (the "." unit is
+    // pair-free)
+    "q159_bpe_pretok_fit" -> ((s, dir) =>
+      BpeOps.loadBpeMerges(s, q159Scope(s, dir), "bpe")),
+    // ...and the pretokenized encode under the stored artifact (the
+    // pretok flag rides the model's metadata): one "." token (id 0)
+    // per repetition beside the q149 word tokens, ids shifted by the
+    // '.'-first alphabet — closed form throughout
+    "q160_bpe_pretok_encode" -> ((s, dir) =>
+      BpeOps.encodeWithArtifact(
+        BpeOps.plantedPunctCorpus(t(s, dir, "documents")),
+        q159Scope(s, dir), "bpe")),
   )
+
+  private val q159Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
+
+  /** The q159/q160 pretokenized tokenizer artifact: BPE fitted with
+    * pretok=true on the punctuated planted corpus, persisted once per
+    * (process, sf dir) — the stored metadata carries the pretok flag
+    * that encodeWithArtifact obeys.
+    */
+  private def q159Scope(s: SparkSession, dir: String): graft.core.Scope = {
+    val planted = BpeOps.plantedPunctCorpus(t(s, dir, "documents"))
+    cachedScope(q159Scopes, s, dir, "graft-q159-") { sc =>
+      BpeOps.saveBpe(planted, sc, "bpe", nMerges = 12, pretok = true)
+    }
+  }
 
   private val q153Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
 
@@ -2178,6 +2206,27 @@ object SparkEntry {
     // bit-identical to q145 by the pre-thinning containment proof —
     // the thinned composition is held to the UNTHINNED oracle
     "q152_cost_budget_thinned" -> q145Sql,
+    // pretokenized fit: "." is a pair-free unit, so the merge table
+    // equals the q148 closed form row for row
+    "q159_bpe_pretok_fit" -> q148Sql,
+    // pretokenized encode under the stored ('.'-first) alphabet:
+    // '.' takes id 0 and shifts base ids by one (letter x_j = 2j+1,
+    // y_j = 2j+2; merge ids 17+rank); one extra "." token (id 0) per
+    // repetition beside the q149 word tokens
+    "q160_bpe_pretok_encode" ->
+      s"""WITH $bpeCtes
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN jr.rk2 < 12 THEN 2 * (1 + d.doc_id % 5)
+         |            WHEN jr.rk1 < 12 THEN 3 * (1 + d.doc_id % 5)
+         |            ELSE 5 * (1 + d.doc_id % 5) END AS BIGINT) AS n_tokens,
+         |  CAST(0 AS BIGINT) AS n_unk,
+         |  CAST(CASE WHEN jr.rk2 < 12
+         |              THEN (1 + d.doc_id % 5) * (17 + jr.rk2)
+         |            WHEN jr.rk1 < 12
+         |              THEN 2 * (1 + d.doc_id % 5) * (17 + jr.rk1)
+         |            ELSE (1 + d.doc_id % 5) * (8 * jr.j + 6)
+         |       END AS BIGINT) AS ids_sum
+         |FROM documents d JOIN jr ON jr.j = CAST(d.doc_id % 8 AS INT)""".stripMargin,
     // fertility/compression closed forms on the planted corpus: word
     // count per doc is m = 1 + doc_id % 5, each planted word is 4
     // chars, token count is btok's rank-case form, UNK provably 0

@@ -52,6 +52,43 @@ object BpeOps {
     if (text == null) Array.empty
     else text.trim.split(Ws).filter(_.nonEmpty)
 
+  /** PRETOKENIZER (the GPT-2-shaped pass): split a whitespace token
+    * into letter runs, digit runs, and single non-letter-digit
+    * characters — so merges never cross a word/number/punctuation
+    * boundary and "word." cannot learn a fused `d.` symbol. Runs by
+    * `Character.isLetter`/`isDigit` (Unicode-aware); every other char
+    * stands alone (simpler than GPT-2's grouped punct runs and
+    * strictly finer — documented, and what the planted oracle pins).
+    */
+  private[graft] def pretokenize(word: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = word.length
+    while (i < n) {
+      val c = word.charAt(i)
+      if (Character.isLetter(c)) {
+        var j = i + 1
+        while (j < n && Character.isLetter(word.charAt(j))) j += 1
+        out += word.substring(i, j); i = j
+      } else if (Character.isDigit(c)) {
+        var j = i + 1
+        while (j < n && Character.isDigit(word.charAt(j))) j += 1
+        out += word.substring(i, j); i = j
+      } else {
+        out += word.substring(i, i + 1); i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** The unit stream the trainer/encoder consume: whitespace tokens,
+    * optionally refined by [[pretokenize]].
+    */
+  private[graft] def units(text: String, pretok: Boolean): Array[String] = {
+    val ws = tokenize(text)
+    if (pretok) ws.flatMap(pretokenize) else ws
+  }
+
   /** One learned rule: merging adjacent (lhs, rhs) was the most
     * frequent pair at step `rank` (0-based), with `freq` occurrences
     * in the dictionary at selection time.
@@ -229,13 +266,21 @@ object BpeOps {
     * corpus data; everything downstream is driver-side over this.
     */
   private[graft] def fitDictionary(documents: DataFrame, maxWords: Int,
-                                   textCol: String): Seq[(String, Long)] = {
+                                   textCol: String,
+                                   pretok: Boolean = false): Seq[(String, Long)] = {
     require(maxWords > 0, s"maxWords must be positive: $maxWords")
     val spark = documents.sparkSession
     import spark.implicits._
-    documents
-      .select(explode(expr(OpsUtil.tokensExpr.replace("trim(text)",
-        s"trim($textCol)"))).as("w"))
+    val unitsDf =
+      if (pretok)
+        // the pretokenizer is Scala (Unicode char classes) — run it in
+        // the same distributed pass via flatMap; still one partial agg
+        documents.select(col(textCol).cast("string")).as[String]
+          .flatMap(t => units(t, pretok = true)).toDF("w")
+      else
+        documents.select(explode(expr(OpsUtil.tokensExpr
+          .replace("trim(text)", s"trim($textCol)"))).as("w"))
+    unitsDf
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w").asc)
       .limit(maxWords) // model-sized: the trainer dictionary
@@ -243,11 +288,13 @@ object BpeOps {
   }
 
   def fitBpe(documents: DataFrame, nMerges: Int = 50,
-             maxWords: Int = 1 << 16, textCol: String = "text"): DataFrame = {
+             maxWords: Int = 1 << 16, textCol: String = "text",
+             pretok: Boolean = false): DataFrame = {
     require(nMerges >= 0, s"nMerges must be non-negative: $nMerges")
     val spark = documents.sparkSession
     import spark.implicits._
-    fitFromCounts(fitDictionary(documents, maxWords, textCol), nMerges)
+    fitFromCounts(fitDictionary(documents, maxWords, textCol, pretok),
+        nMerges)
       .toDF("merge_rank", "lhs", "rhs", "freq")
   }
 
@@ -324,7 +371,8 @@ object BpeOps {
     */
   def encodeStats(documents: DataFrame, merges: DataFrame,
                   textCol: String = "text",
-                  alphabetOpt: Option[Seq[String]] = None): DataFrame = {
+                  alphabetOpt: Option[Seq[String]] = None,
+                  pretok: Boolean = false): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val ms = collectMerges(merges)
@@ -339,7 +387,7 @@ object BpeOps {
         val (rk, vb) = bc.value
         it.map { case (id, text) =>
           var n = 0L; var unk = 0L; var sum = 0L
-          tokenize(text).foreach { w =>
+          units(text, pretok).foreach { w =>
             applyMerges(w, rk).foreach { s =>
               n += 1
               vb.get(s) match {
@@ -390,6 +438,26 @@ object BpeOps {
         |  cast(doc_id % 8 as int) + 1), ' '), cast(1 + doc_id % 5 as int)))
         |""".stripMargin.replace("\n", " ")).as("text"): _*)
 
+  /** The PUNCTUATED planted corpus: every repetition of the planted
+    * word carries a trailing "." inside the same whitespace token
+    * ("abab. abab."), so the whitespace tokenizer alone would feed
+    * "abab." to the trainer (and could learn a fused `b.` symbol),
+    * while the pretokenizer provably splits it into ["abab", "."].
+    * Under pretok the unit counts equal the q148 planted corpus plus
+    * a pair-free "." unit — so the merge table is EXACTLY q148's
+    * closed form, and the encode adds one "." token (id 0: '.' sorts
+    * before every letter in the stored alphabet, shifting base ids by
+    * one and merge ids to 17+rank) per repetition — all still closed
+    * form.
+    */
+  def plantedPunctCorpus(documents: DataFrame,
+                         keep: Seq[String] = Seq.empty): DataFrame =
+    documents.select(col("doc_id") +: keep.map(col) :+ expr(
+      """trim(repeat(concat(element_at(
+        |  array('abab','cdcd','efef','ghgh','ijij','klkl','mnmn','opop'),
+        |  cast(doc_id % 8 as int) + 1), '. '), cast(1 + doc_id % 5 as int)))
+        |""".stripMargin.replace("\n", " ")).as("text"): _*)
+
   /** Q148: BPE fit on the planted corpus — the learned merge table,
     * oracle-checked row for row (rank, pair, frequency).
     */
@@ -432,7 +500,8 @@ object BpeOps {
   def fertilityProfile(documents: DataFrame, merges: DataFrame,
                        domainCol: String = "source",
                        textCol: String = "text",
-                       alphabetOpt: Option[Seq[String]] = None): DataFrame = {
+                       alphabetOpt: Option[Seq[String]] = None,
+                       pretok: Boolean = false): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val ms = collectMerges(merges)
@@ -452,10 +521,14 @@ object BpeOps {
           var words = 0L; var chars = 0L
           var n = 0L; var unk = 0L
           tokenize(text).foreach { w =>
+            // fertility counts whitespace WORDS; the encode may still
+            // run over pretokenized units of each word
             words += 1; chars += w.length
-            applyMerges(w, rk).foreach { s =>
-              n += 1
-              if (!vb.contains(s)) unk += 1
+            (if (pretok) pretokenize(w) else Array(w)).foreach { u =>
+              applyMerges(u, rk).foreach { s =>
+                n += 1
+                if (!vb.contains(s)) unk += 1
+              }
             }
           }
           (domain, words, chars, n, unk)
@@ -504,11 +577,11 @@ object BpeOps {
     */
   def saveBpe(documents: DataFrame, scope: graft.core.Scope,
               name: String, nMerges: Int = 50, maxWords: Int = 1 << 16,
-              textCol: String = "text"): Unit = {
+              textCol: String = "text", pretok: Boolean = false): Unit = {
     require(nMerges >= 0, s"nMerges must be non-negative: $nMerges")
     val spark = documents.sparkSession
     import spark.implicits._
-    val dict = fitDictionary(documents, maxWords, textCol)
+    val dict = fitDictionary(documents, maxWords, textCol, pretok)
     val merges = fitFromCounts(dict, nMerges)
     val alphabet = dict.flatMap(_._1.map(_.toString)).distinct.sorted
     merges.toDF("merge_rank", "lhs", "rhs", "freq")
@@ -516,8 +589,13 @@ object BpeOps {
     alphabet.toDF("sym")
       .coalesce(1).write.mode("overwrite")
       .parquet(scope.path(s"$name/alphabet"))
+    // the PRETOKENIZER SETTING is part of the model: an encode under a
+    // different pretokenization is a different token stream, so the
+    // flag rides the artifact and encodeWithArtifact obeys the stored
+    // value, never a caller's guess
     graft.core.Scopes.writeMeta(spark, scope, s"$name/meta",
-      "n_merges" -> nMerges, "max_words" -> maxWords)
+      "n_merges" -> nMerges, "max_words" -> maxWords,
+      "pretok" -> (if (pretok) 1 else 0))
   }
 
   /** The stored merge table, in rank order (merge_rank, lhs, rhs,
@@ -549,7 +627,10 @@ object BpeOps {
                          name: String,
                          textCol: String = "text"): DataFrame = {
     val spark = documents.sparkSession
+    // older artifacts carry no pretok field — absent means false
+    val pretok = graft.core.Scopes.readMeta(spark, scope, s"$name/meta")
+      .getOrElse("pretok", 0) == 1
     encodeStats(documents, loadBpeMerges(spark, scope, name), textCol,
-      Some(loadBpeAlphabet(spark, scope, name)))
+      Some(loadBpeAlphabet(spark, scope, name)), pretok)
   }
 }

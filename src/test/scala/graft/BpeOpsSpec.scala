@@ -176,6 +176,61 @@ class BpeOpsSpec extends SparkSpec {
     assert(out(2L) === ((3L, 2L)))   // 'ab' + two unknown greek chars
   }
 
+  test("pretokenizer splits letter runs, digit runs, single other chars") {
+    assert(BpeOps.pretokenize("abc12.de!") ===
+      Array("abc", "12", ".", "de", "!"))
+    assert(BpeOps.pretokenize("abab.") === Array("abab", "."))
+    assert(BpeOps.pretokenize("!!") === Array("!", "!"))
+    assert(BpeOps.pretokenize("λμ3") === Array("λμ", "3"))
+    assert(BpeOps.pretokenize("") === Array.empty[String])
+  }
+
+  test("pretokenized fit on the punctuated corpus equals the q148 closed form") {
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val punct = BpeOps.plantedPunctCorpus(docs)
+    val withPre = BpeOps.fitBpe(punct, nMerges = 12, pretok = true)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val plain = BpeOps.plantedFit(docs, nMerges = 12)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(withPre === plain)
+    // without the pretokenizer the trailing '.' lives inside the word
+    // and the trainer learns a punctuation-fused merge — the exact
+    // failure mode the pretokenizer exists to prevent
+    val noPre = BpeOps.fitBpe(punct, nMerges = 12)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(noPre.exists { case (l, r) => (l + r).contains(".") })
+    assert(withPre.forall { case (_, l, r, _) => !(l + r).contains(".") })
+  }
+
+  test("the artifact's stored pretok flag drives encodeWithArtifact") {
+    val corpus = Seq((1L, "low. low. newest!"), (2L, "low newest2"))
+      .toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft-bpe-pre-")
+    try {
+      val scope = graft.core.Scopes.create(spark, base.toString)
+      BpeOps.saveBpe(corpus, scope, "tok", nMerges = 3, pretok = true)
+      val art = BpeOps.encodeWithArtifact(corpus, scope, "tok")
+        .orderBy("doc_id").collect().toSeq
+      val alphabet = BpeOps.loadBpeAlphabet(spark, scope, "tok")
+      val direct = BpeOps.encodeStats(corpus,
+        BpeOps.loadBpeMerges(spark, scope, "tok"),
+        alphabetOpt = Some(alphabet), pretok = true)
+        .orderBy("doc_id").collect().toSeq
+      assert(art === direct)
+      // the stored alphabet covers '.', '!', and the digit — no UNK
+      assert(art.forall(_.getLong(2) === 0L))
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm)
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(base)
+    }
+  }
+
   test("streaming encode through the stored tokenizer matches the batch encode") {
     val docs = graft.io.Tables.parquet(spark, sf, "documents")
     val base = java.nio.file.Files.createTempDirectory("graft-bpe-stream-")
