@@ -70,7 +70,8 @@ object ScaleProbe {
     "q155_span_dedup", "q156_bigram_lm",
     // round-8 tail: the fertility audit (encode pass + domain agg)
     // and the streaming encode (per-micro-batch = batch cost claim)
-    "q157_bpe_fertility", "q158_stream_bpe_encode")
+    "q157_bpe_fertility", "q158_stream_bpe_encode",
+    "q159_bpe_pretok_fit", "q160_bpe_pretok_encode")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)
