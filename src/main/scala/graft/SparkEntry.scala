@@ -1275,6 +1275,12 @@ object SparkEntry {
       BpeOps.encodeWithArtifact(
         BpeOps.plantedPunctCorpus(t(s, dir, "documents")),
         q159Scope(s, dir), "bpe")),
+    // the corpus DATASHEET: per (split, source, lang) doc counts and
+    // token sums over the training-ready shards — what a run reports
+    // as its data mix
+    "q161_corpus_manifest" -> ((s, dir) =>
+      ClusterOps.corpusManifest(
+        ClusterOps.corpusShards(t(s, dir, "documents")))),
   )
 
   private val q159Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -1349,6 +1355,38 @@ object SparkEntry {
       |                     ELSE (1 + d.doc_id % 5) * (8 * jr.j + 2) END AS BIGINT)
       |             AS ids_sum
       |         FROM documents d JOIN jr ON jr.j = CAST(d.doc_id % 8 AS INT))""".stripMargin
+
+  // shared by q143 (the training-ready shards) and q161 (the corpus
+  // manifest — one roll-up over the identical shard result). LAZY:
+  // corpusV2Sql and its constituents are declared further down, and a
+  // strict val here would force them mid-object-init and interpolate
+  // nulls into the SQL.
+  private lazy val q143Sql =
+    s"""WITH corpus AS ($corpusV2Sql),
+       |sp AS (
+       |  SELECT doc_id, lang, source, n_tokens,
+       |         CASE WHEN h < 0.1 THEN 'test'
+       |              WHEN h < 0.2 THEN 'val'
+       |              ELSE 'train' END AS split
+       |  FROM (SELECT *,
+       |          ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 8))::BIGINT
+       |            / 4294967296.0 AS h
+       |        FROM corpus)),
+       |tr AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(doc_id::VARCHAR || ':shuffle'), 1, 8))::BIGINT
+       |           / 4294967296.0 AS su
+       |  FROM sp WHERE split = 'train'),
+       |sh AS (SELECT doc_id, su,
+       |         CAST(least(floor(su * 8), 7) AS INT) AS shard FROM tr),
+       |ps AS (SELECT doc_id, shard,
+       |         CAST(row_number() OVER (PARTITION BY shard
+       |                                 ORDER BY su, doc_id) AS INT) AS pos
+       |       FROM sh)
+       |SELECT sp.doc_id, sp.lang, sp.source, sp.n_tokens, sp.split,
+       |       coalesce(ps.shard, -1) AS shard,
+       |       coalesce(ps.pos, -1) AS pos
+       |FROM sp LEFT JOIN ps ON ps.doc_id = sp.doc_id""".stripMargin
 
   // shared by q149 (direct encode) and q158 (the same encode through
   // readStream + the stored tokenizer — identical id space)
@@ -2061,32 +2099,15 @@ object SparkEntry {
     // verbatim) → leak-free split (q110's md5-unit on the canonical
     // survivor) → train split dealt into q140's shuffle-shards;
     // val/test ship whole (shard = pos = -1)
-    "q143_corpus_shards" ->
-      s"""WITH corpus AS ($corpusV2Sql),
-         |sp AS (
-         |  SELECT doc_id, lang, source, n_tokens,
-         |         CASE WHEN h < 0.1 THEN 'test'
-         |              WHEN h < 0.2 THEN 'val'
-         |              ELSE 'train' END AS split
-         |  FROM (SELECT *,
-         |          ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 8))::BIGINT
-         |            / 4294967296.0 AS h
-         |        FROM corpus)),
-         |tr AS (
-         |  SELECT doc_id,
-         |         ('0x' || substr(md5(doc_id::VARCHAR || ':shuffle'), 1, 8))::BIGINT
-         |           / 4294967296.0 AS su
-         |  FROM sp WHERE split = 'train'),
-         |sh AS (SELECT doc_id, su,
-         |         CAST(least(floor(su * 8), 7) AS INT) AS shard FROM tr),
-         |ps AS (SELECT doc_id, shard,
-         |         CAST(row_number() OVER (PARTITION BY shard
-         |                                 ORDER BY su, doc_id) AS INT) AS pos
-         |       FROM sh)
-         |SELECT sp.doc_id, sp.lang, sp.source, sp.n_tokens, sp.split,
-         |       coalesce(ps.shard, -1) AS shard,
-         |       coalesce(ps.pos, -1) AS pos
-         |FROM sp LEFT JOIN ps ON ps.doc_id = sp.doc_id""".stripMargin,
+    "q143_corpus_shards" -> q143Sql,
+    // the manifest is one aggregation over the q143 result — the
+    // oracle replays the full shard SQL and rolls it up
+    "q161_corpus_manifest" ->
+      s"""SELECT split, source, lang,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM ($q143Sql) t
+         |GROUP BY split, source, lang""".stripMargin,
     // integer sqrt-weights and quotas replayed exactly (IEEE sqrt is
     // correctly rounded on both engines, so floor agrees bit-for-bit;
     // // is DuckDB integer division, matching the driver-side Long

@@ -610,6 +610,18 @@ object ClusterOps {
         coalesce(col("pos"), lit(-1)).as("pos"))
   }
 
+  /** Q161: the CORPUS MANIFEST — the datasheet a training run records
+    * beside its shards: per (split, source, lang) document counts and
+    * token sums over the training-ready corpus (q143's result). What
+    * a run needs to reproduce/report its data mix, and what a reader
+    * checks before mounting the shards. One partial-agg groupBy over
+    * the selected corpus; output is (splits × sources × langs)-sized.
+    */
+  def corpusManifest(shards: DataFrame): DataFrame =
+    shards.groupBy("split", "source", "lang")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"))
+
   /** Q146: [[corpusShards]] MATERIALIZED as the training-shard
     * artifact — the directory a training job actually mounts. Layout:
     * partitioned by (split, shard) so a reader pulls one shard (or

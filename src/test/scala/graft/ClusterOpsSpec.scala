@@ -336,4 +336,20 @@ class ClusterOpsSpec extends SparkSpec {
     assert(v1.nonEmpty)
     v1.foreach(r => assert(!benchIds.contains(r.getAs[Long]("doc_id"))))
   }
+
+  test("corpus manifest rolls up the shards exactly") {
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val shards = ClusterOps.corpusShards(docs).cache()
+    try {
+      val manifest = ClusterOps.corpusManifest(shards).collect()
+      assert(manifest.nonEmpty)
+      assert(manifest.map(_.getAs[String]("split")).toSet
+        .subsetOf(Set("train", "val", "test")))
+      // totals reconcile with the shard table it documents
+      assert(manifest.map(_.getAs[Long]("n_docs")).sum === shards.count())
+      assert(manifest.map(_.getAs[Long]("sum_tokens")).sum ===
+        shards.agg(org.apache.spark.sql.functions.sum("n_tokens"))
+          .head().getLong(0))
+    } finally shards.unpersist()
+  }
 }
