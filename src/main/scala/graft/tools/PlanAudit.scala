@@ -86,6 +86,8 @@ object PlanAudit {
     "q155_span_dedup",    // fingerprint-only exchanges, no text shuffled
     "q156_bigram_lm",     // broadcast pruned LM, map-side scoring
     "q157_bpe_fertility", // encode pass + domain-key partial agg
+    "q160_bpe_pretok_encode", // stored-artifact mapPartitions, no shuffle
+    "q161_corpus_manifest", // q143's plan + one roll-up aggregation
     "q10_event_window")   // normalized-ts scan straight into windowed agg
 
   def main(args: Array[String]): Unit = {
