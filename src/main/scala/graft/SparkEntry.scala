@@ -1281,6 +1281,10 @@ object SparkEntry {
     "q161_corpus_manifest" -> ((s, dir) =>
       ClusterOps.corpusManifest(
         ClusterOps.corpusShards(t(s, dir, "documents")))),
+    // DSIR-shaped importance weights: target-domain bigram model vs
+    // the corpus model, snapped-probability difference summed exactly
+    "q162_dsir_weights" -> ((s, dir) =>
+      TextOps.dsirWeights(t(s, dir, "documents"), "src0")),
   )
 
   private val q159Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -2170,6 +2174,40 @@ object SparkEntry {
     // bigram-LM score: add-one-smoothed transition probabilities in
     // fixed point (exact bigint sums; the one double op per row is a
     // correctly-rounded IEEE division both engines agree on)
+    // two pruned bigram models (target domain vs the REST pool), each
+    // truncated under the q156 total orders; the weight is the exact
+    // BIGINT sum of 1e6-snapped smoothed likelihood ratios
+    "q162_dsir_weights" ->
+      s"""WITH toks AS (SELECT doc_id, source, $duckToks w FROM documents),
+         |big0 AS (SELECT doc_id, source, w, unnest(range(1, len(w))) i
+         |         FROM toks),
+         |bigr AS (SELECT doc_id, source, w[i] w1, w[i+1] w2 FROM big0),
+         |tuni AS (SELECT w1, CAST(count(*) AS BIGINT) cu FROM (
+         |           SELECT unnest(w) w1 FROM toks WHERE source = 'src0')
+         |         GROUP BY w1 ORDER BY cu DESC, w1 ASC LIMIT 65536),
+         |tbi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) cb FROM bigr
+         |        WHERE source = 'src0' GROUP BY w1, w2
+         |        ORDER BY cb DESC, w1 ASC, w2 ASC LIMIT 262144),
+         |runi AS (SELECT w1, CAST(count(*) AS BIGINT) cu FROM (
+         |           SELECT unnest(w) w1 FROM toks WHERE source <> 'src0')
+         |         GROUP BY w1 ORDER BY cu DESC, w1 ASC LIMIT 65536),
+         |rbi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) cb FROM bigr
+         |        WHERE source <> 'src0' GROUP BY w1, w2
+         |        ORDER BY cb DESC, w1 ASC, w2 ASC LIMIT 262144),
+         |sc AS (SELECT d.doc_id,
+         |         coalesce(tb.cb, 0) cbt, coalesce(tu.cu, 0) cut,
+         |         coalesce(rb.cb, 0) cbr, coalesce(ru.cu, 0) cur
+         |       FROM bigr d
+         |       LEFT JOIN tbi tb ON tb.w1 = d.w1 AND tb.w2 = d.w2
+         |       LEFT JOIN tuni tu ON tu.w1 = d.w1
+         |       LEFT JOIN rbi rb ON rb.w1 = d.w1 AND rb.w2 = d.w2
+         |       LEFT JOIN runi ru ON ru.w1 = d.w1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(CAST(round(1e6 * (
+         |    (CAST(cbt + 1 AS DOUBLE) * CAST(cur + 65536 AS DOUBLE))
+         |    / (CAST(cbr + 1 AS DOUBLE) * CAST(cut + 65536 AS DOUBLE))))
+         |    AS BIGINT)) AS BIGINT) AS weight_fp
+         |FROM sc GROUP BY doc_id""".stripMargin,
     "q156_bigram_lm" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks w FROM documents),
          |uni AS (SELECT w1, CAST(count(*) AS BIGINT) cu FROM (

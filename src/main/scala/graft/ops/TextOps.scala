@@ -793,6 +793,83 @@ object TextOps {
     * checkable form sums probabilities, not logs: same plan, same
     * model, same ordering power over documents at fixed length.
     */
+  /** Q162: DSIR-shaped data-selection importance weights (Xie et al.,
+    * NeurIPS'23 "Data Selection for Language Models via Importance
+    * Resampling", adapted to the engine's exact-arithmetic
+    * conventions): score each document by how much more a TARGET
+    * domain's bigram model likes it than the general-corpus model —
+    * the importance-resampling selection signal for "give me more
+    * data that looks like this domain". Both models are
+    * add-one-smoothed bigram tables frequency-truncated under total
+    * orders to MODEL size (the q156 pruned-LM shape) and BROADCAST to
+    * the scoring join: the TARGET model from `source = targetSource`,
+    * the RAW model from the rest of the corpus (the pool selection
+    * draws from — were the target inside the raw model, every ratio
+    * would skew ≤ 1 and the signal would collapse into "penalize
+    * everything"). The per-transition increment is the smoothed
+    * LIKELIHOOD RATIO p_target/p_raw snapped to 1e6 fixed point —
+    * computed as one double division of two products
+    * ((cbt+1)·(cur+V)) / ((cbr+1)·(cut+V)) — factors below 2^26 (the
+    * fixture/oracle regime) make both products IEEE-exact and the
+    * quotient correctly rounded; beyond that every step is still a
+    * deterministic IEEE operation evaluated in the identical tree on
+    * both engines, so cross-engine equality survives — then summed
+    * exactly as BIGINTs.
+    * Ratio > 1e6 ⇒ the target model prefers that transition (the
+    * paper's log-ratio is a one-expression swap; libm ln is not
+    * cross-engine identical — the q156/q97 rationale). The corpus
+    * never shuffles before its per-doc roll-up.
+    */
+  def dsirWeights(documents: DataFrame, targetSource: String,
+                  maxVocab: Int = 1 << 16,
+                  maxBigrams: Int = 1 << 18): DataFrame = {
+    require(maxVocab > 0, s"maxVocab must be positive: $maxVocab")
+    require(maxBigrams > 0, s"maxBigrams must be positive: $maxBigrams")
+    def model(docs: DataFrame, tag: String): (DataFrame, DataFrame) = {
+      val toks = docs.select(expr(tokensExpr).as("w"))
+      val uni = toks.select(explode(col("w")).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as(s"cu_$tag"))
+        .orderBy(col(s"cu_$tag").desc, col("w1").asc)
+        .limit(maxVocab)
+      val bi = toks
+        .withColumn("i", explode(expr(
+          "case when size(w) >= 2 then sequence(1, size(w) - 1) " +
+            "else array() end")))
+        .select(expr("element_at(w, i)").as("w1"),
+          expr("element_at(w, i + 1)").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as(s"cb_$tag"))
+        .orderBy(col(s"cb_$tag").desc, col("w1").asc, col("w2").asc)
+        .limit(maxBigrams)
+      (uni, bi)
+    }
+    val (uniT, biT) = model(
+      documents.filter(col("source") === targetSource), "t")
+    val (uniR, biR) = model(
+      documents.filter(col("source") =!= targetSource), "r")
+    val ratioFp = expr(
+      s"""cast(round(1e6 * (
+         |  (cast(coalesce(cb_t, 0) + 1 as double)
+         |    * cast(coalesce(cu_r, 0) + $maxVocab as double))
+         |  / (cast(coalesce(cb_r, 0) + 1 as double)
+         |    * cast(coalesce(cu_t, 0) + $maxVocab as double))))
+         |as bigint)""".stripMargin.replace("\n", " "))
+    documents
+      .select(col("doc_id"), expr(tokensExpr).as("w"))
+      .withColumn("i", explode(expr(
+        "case when size(w) >= 2 then sequence(1, size(w) - 1) " +
+          "else array() end")))
+      .select(col("doc_id"), expr("element_at(w, i)").as("w1"),
+        expr("element_at(w, i + 1)").as("w2"))
+      .join(broadcast(biT), Seq("w1", "w2"), "left")
+      .join(broadcast(uniT), Seq("w1"), "left")
+      .join(broadcast(biR), Seq("w1", "w2"), "left")
+      .join(broadcast(uniR), Seq("w1"), "left")
+      .withColumn("ratio_fp", ratioFp)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("ratio_fp")).as("weight_fp"))
+  }
+
   def bigramLmScore(documents: DataFrame, maxVocab: Int = 1 << 16,
                     maxBigrams: Int = 1 << 18): DataFrame = {
     require(maxVocab > 0, s"maxVocab must be positive: $maxVocab")

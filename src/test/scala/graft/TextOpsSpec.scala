@@ -385,4 +385,23 @@ class TextOpsSpec extends SparkSpec {
     assert(out.getAs[Long]("score_fp") ===
       2 * fp(2, 3) + 2 * fp(0, 2) + fp(0, 3))
   }
+
+  test("dsirWeights: target-vocabulary documents rank above foreign ones") {
+    val d = Seq(
+      (1L, "alpha beta alpha beta alpha", "tgt"),
+      (2L, "alpha beta alpha", "tgt"),
+      (3L, "gamma delta gamma delta", "other"),
+      (4L, "alpha beta alpha beta", "other"), // target-looking raw doc
+      (5L, "gamma delta gamma", "other"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.dsirWeights(d, "tgt").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def avg(id: Long): Double = out(id)._2.toDouble / out(id)._1
+    // target-model-preferred transitions score above the 1e6 parity
+    // line; foreign-vocabulary transitions fall below it
+    assert(avg(4L) > 1e6, s"doc4 ${avg(4L)}")
+    assert(avg(1L) > 1e6 && avg(2L) > 1e6)
+    assert(avg(3L) < 1e6 && avg(5L) < 1e6)
+    assert(out(4L)._2 > out(3L)._2)
+  }
 }
