@@ -71,7 +71,8 @@ object ScaleProbe {
     // round-8 tail: the fertility audit (encode pass + domain agg)
     // and the streaming encode (per-micro-batch = batch cost claim)
     "q157_bpe_fertility", "q158_stream_bpe_encode",
-    "q159_bpe_pretok_fit", "q160_bpe_pretok_encode")
+    "q159_bpe_pretok_fit", "q160_bpe_pretok_encode",
+    "q161_corpus_manifest", "q162_dsir_weights")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)
