@@ -88,6 +88,22 @@ object Tables {
     normalizeEventTs(reader.parquet(dir))
   }
 
+  /** THE canonical documents schema for streaming sources (readStream
+    * requires a declared schema; one shared definition prevents the
+    * per-operator drift the events family once had — the eventsStream
+    * lesson applied to the documents table).
+    */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("source", StringType),
+    StructField("lang", StringType), StructField("text", StringType)))
+
+  /** Streaming source over the documents fixture (one file per table —
+    * pathGlobFilter pins the exact name, matching the batch loader).
+    */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+
   /** Newline-delimited delimiter-separated text, the reference's record
     * format (reference: test/src/.../TestMapper.java:26-28 — CSV lines).
     */

@@ -659,11 +659,7 @@ object EventsStreaming {
     */
   def streamingExactDedup(spark: SparkSession, dir: String,
                           queryName: String = "graft_stream_dedup"): DataFrame = {
-    val docSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("source", StringType),
-      StructField("lang", StringType), StructField("text", StringType)))
-    val src = spark.readStream.schema(docSchema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val src = graft.io.Tables.documentsStream(spark, dir)
       .selectExpr("doc_id",
         s"${graft.ops.DedupOps.contentFingerprintSql} as fp")
     val q = src.dropDuplicates("fp")
@@ -696,9 +692,6 @@ object EventsStreaming {
   def streamingNearDupCandidates(spark: SparkSession, dir: String,
                                  queryName: String = "graft_stream_neardup",
                                  statePartitions: Int = 8): DataFrame = {
-    val docSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("source", StringType),
-      StructField("lang", StringType), StructField("text", StringType)))
     // isolated session: size the stateful shuffle for the pair-dedup
     // state stores (like q54), without touching the caller's conf
     val ss = spark.newSession()
@@ -719,8 +712,7 @@ object EventsStreaming {
       // spread the rows before the md5-dense banding projection or the
       // whole batch runs in one task (the streaming analogue of
       // OpsUtil.par, paid as a cheap pre-shuffle of raw doc rows)
-      val src = ss.readStream.schema(docSchema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val src = graft.io.Tables.documentsStream(ss, dir)
         .filter(col("doc_id") % 2 === 1)
         .repartition(ss.sparkContext.defaultParallelism)
       val streamBands = graft.ops.DedupOps.minhashBandsRowwise(src)
@@ -973,11 +965,7 @@ object EventsStreaming {
   def streamingBpeEncode(spark: SparkSession, dir: String,
                          scope: graft.core.Scope, name: String,
                          queryName: String = "graft_stream_bpe"): DataFrame = {
-    val docSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("source", StringType),
-      StructField("lang", StringType), StructField("text", StringType)))
-    val src = spark.readStream.schema(docSchema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val src = graft.io.Tables.documentsStream(spark, dir)
     val enc = graft.ops.BpeOps.encodeWithArtifact(
       graft.ops.BpeOps.plantedCorpus(src), scope, name)
     val q = enc.writeStream.format("memory").queryName(queryName)
