@@ -1285,6 +1285,10 @@ object SparkEntry {
     // the corpus model, snapped-probability difference summed exactly
     "q162_dsir_weights" -> ((s, dir) =>
       TextOps.dsirWeights(t(s, dir, "documents"), "src0")),
+    // flagship v3: the v2 gates + the q156 statistical LM floor
+    // (exact BIGINT cross-multiplication), same priority tail
+    "q163_training_corpus_v3" -> ((s, dir) =>
+      ClusterOps.trainingCorpusV3(t(s, dir, "documents"))),
   )
 
   private val q159Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -1391,6 +1395,28 @@ object SparkEntry {
        |       coalesce(ps.shard, -1) AS shard,
        |       coalesce(ps.pos, -1) AS pos
        |FROM sp LEFT JOIN ps ON ps.doc_id = sp.doc_id""".stripMargin
+
+  // shared by q156 and the v3 flagship's LM-gate CTE
+  private lazy val q156Sql =
+    s"""WITH toks AS (SELECT doc_id, $duckToks w FROM documents),
+       |uni AS (SELECT w1, CAST(count(*) AS BIGINT) cu FROM (
+       |          SELECT unnest(w) w1 FROM toks)
+       |        GROUP BY w1 ORDER BY cu DESC, w1 ASC LIMIT 65536),
+       |big0 AS (SELECT doc_id, w, unnest(range(1, len(w))) i FROM toks),
+       |bigr AS (SELECT doc_id, w[i] w1, w[i+1] w2 FROM big0),
+       |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) cb FROM bigr
+       |       GROUP BY w1, w2
+       |       ORDER BY cb DESC, w1 ASC, w2 ASC LIMIT 262144),
+       |sc AS (SELECT d.doc_id, coalesce(bi.cb, 0) cb,
+       |         coalesce(uni.cu, 0) cu
+       |       FROM bigr d
+       |       LEFT JOIN bi ON bi.w1 = d.w1 AND bi.w2 = d.w2
+       |       LEFT JOIN uni ON uni.w1 = d.w1)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(CASE WHEN cb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  CAST(sum(CAST(round(1e6 * (CAST(cb + 1 AS DOUBLE)
+       |    / CAST(cu + 65536 AS DOUBLE))) AS BIGINT)) AS BIGINT) AS score_fp
+       |FROM sc GROUP BY doc_id""".stripMargin
 
   // shared by q149 (direct encode) and q158 (the same encode through
   // readStream + the stored tokenizer — identical id space)
@@ -1704,7 +1730,10 @@ object SparkEntry {
     * end-to-end v2 flagship corpus (winnow edges in the recursive
     * cluster walk, dup-line gate, weighted priority tail).
     */
-  private lazy val corpusV2Sql =
+  // the v2 candidate CTE chain (through `cand`), shared by the v2
+  // flagship, its v3 extension (adds the q156 LM gate), and q143's
+  // shard tail — one definition, no gate drift
+  private lazy val corpusV2CandSql =
     s"""WITH RECURSIVE
        |p AS (SELECT doc_a, doc_b FROM ($minhashLshSql)
        |      UNION
@@ -1752,9 +1781,22 @@ object SparkEntry {
        |    AND k.lang IN ('en', 'de', 'fr', 'es')
        |    AND k.doc_id % 10 <> 7
        |    AND q.n_tokens > 0
-       |    AND NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = k.doc_id))
+       |    AND NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = k.doc_id))""".stripMargin
+
+  private lazy val corpusV2Sql =
+    s"""$corpusV2CandSql
        |SELECT doc_id, lang, source, n_tokens, quality, priority
        |FROM cand ORDER BY priority ASC, doc_id ASC LIMIT 150""".stripMargin
+
+  // v3 = the same candidates additionally gated by the q156 LM floor
+  // (exact BIGINT cross-multiplication), then the same priority tail
+  private lazy val corpusV3Sql =
+    s"""$corpusV2CandSql,
+       |lm AS (SELECT doc_id, n_bigrams, score_fp FROM ($q156Sql)),
+       |v3 AS (SELECT c.* FROM cand c JOIN lm ON lm.doc_id = c.doc_id
+       |       WHERE lm.score_fp >= 460 * lm.n_bigrams)
+       |SELECT doc_id, lang, source, n_tokens, quality, priority
+       |FROM v3 ORDER BY priority ASC, doc_id ASC LIMIT 150""".stripMargin
 
   private val dedupClustersSql =
     s"""WITH RECURSIVE
@@ -2099,6 +2141,7 @@ object SparkEntry {
     // edges in the recursive cluster walk, the dup-line gate, and the
     // weighted priority tail (u exact, divisions IEEE-exact)
     "q100_training_corpus_v2" -> corpusV2Sql,
+    "q163_training_corpus_v3" -> corpusV3Sql,
     // the flagship carried to TRAINING-READY: corpus (q100 SQL
     // verbatim) → leak-free split (q110's md5-unit on the canonical
     // survivor) → train split dealt into q140's shuffle-shards;
@@ -2208,26 +2251,7 @@ object SparkEntry {
          |    / (CAST(cbr + 1 AS DOUBLE) * CAST(cut + 65536 AS DOUBLE))))
          |    AS BIGINT)) AS BIGINT) AS weight_fp
          |FROM sc GROUP BY doc_id""".stripMargin,
-    "q156_bigram_lm" ->
-      s"""WITH toks AS (SELECT doc_id, $duckToks w FROM documents),
-         |uni AS (SELECT w1, CAST(count(*) AS BIGINT) cu FROM (
-         |          SELECT unnest(w) w1 FROM toks)
-         |        GROUP BY w1 ORDER BY cu DESC, w1 ASC LIMIT 65536),
-         |big0 AS (SELECT doc_id, w, unnest(range(1, len(w))) i FROM toks),
-         |bigr AS (SELECT doc_id, w[i] w1, w[i+1] w2 FROM big0),
-         |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) cb FROM bigr
-         |       GROUP BY w1, w2
-         |       ORDER BY cb DESC, w1 ASC, w2 ASC LIMIT 262144),
-         |sc AS (SELECT d.doc_id, coalesce(bi.cb, 0) cb,
-         |         coalesce(uni.cu, 0) cu
-         |       FROM bigr d
-         |       LEFT JOIN bi ON bi.w1 = d.w1 AND bi.w2 = d.w2
-         |       LEFT JOIN uni ON uni.w1 = d.w1)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |  CAST(sum(CASE WHEN cb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-         |  CAST(sum(CAST(round(1e6 * (CAST(cb + 1 AS DOUBLE)
-         |    / CAST(cu + 65536 AS DOUBLE))) AS BIGINT)) AS BIGINT) AS score_fp
-         |FROM sc GROUP BY doc_id""".stripMargin,
+    "q156_bigram_lm" -> q156Sql,
     // BPE encode: rank-case closed form for counts and id sums
     "q149_bpe_encode" -> q149Sql,
     // the same closed form through readStream + the stored tokenizer:

@@ -536,6 +536,25 @@ object ClusterOps {
                        maxDupLineFrac: Double = 0.5,
                        topK: Int = 150,
                        benchmarkOpt: Option[DataFrame] = None): DataFrame = {
+    val filtered = gatedCorpusV2(documents, minQuality, langs,
+      maxTopBigramFrac, maxDupLineFrac, benchmarkOpt)
+    graft.ops.SampleOps.prioritySample(filtered, "doc_id", "n_tokens",
+        k = topK, salt = "train")
+      .select("doc_id", "lang", "source", "n_tokens", "quality", "priority")
+  }
+
+  /** The flagship's GATED pre-sample candidate set (v2 semantics:
+    * dedup-canonical ∘ quality ∘ repetition ∘ language ∘
+    * decontamination), shared by [[trainingCorpusV2]] and
+    * [[trainingCorpusV3]] so the two flagships cannot drift in their
+    * common gates.
+    */
+  private def gatedCorpusV2(documents: DataFrame,
+                            minQuality: Double,
+                            langs: Seq[String],
+                            maxTopBigramFrac: Double,
+                            maxDupLineFrac: Double,
+                            benchmarkOpt: Option[DataFrame]): DataFrame = {
     val edges = DedupOps.minhashLshPairs(documents).select("doc_a", "doc_b")
       .union(DedupOps.simhashPairs(documents).select("doc_a", "doc_b"))
       .union(DedupOps.winnowedPassagePairs(documents).select("doc_a", "doc_b"))
@@ -562,11 +581,44 @@ object ClusterOps {
         col("lang").isin(langs: _*))
     // membership gate: no benchmark doc ever trains (beyond the n-gram
     // leak gate). Default path keeps the round-7 inline mod filter.
-    val filtered = (benchmarkOpt match {
+    (benchmarkOpt match {
       case Some(b) => gated.join(b.select("doc_id"), Seq("doc_id"), "left_anti")
       case None => gated.filter(col("doc_id") % 10 =!= 7)
     }).join(contaminated, Seq("doc_id"), "left_anti")
-    graft.ops.SampleOps.prioritySample(filtered, "doc_id", "n_tokens",
+  }
+
+  /** Q163 — flagship V3: the v2 gates PLUS the statistical LM quality
+    * gate (q156): a candidate must clear an absolute per-transition
+    * smoothed-probability floor, `score_fp >= minLmAvgFp · n_bigrams`
+    * — compared as exact BIGINTs (cross-multiplication, no float
+    * boundary), so the gate is engine-exact. The CCNet shape: heuristic
+    * gates catch boilerplate and leaks, the LM gate catches fluent-
+    * looking gibberish the heuristics pass. `minLmAvgFp` is an
+    * ABSOLUTE floor in 1e6 fixed point; because smoothed counts grow
+    * with corpus size a production deployment calibrates it per corpus
+    * (e.g., the q123 histogram-percentile machinery over
+    * `score_fp / n_bigrams`) — the default is calibrated to the
+    * sf0.01 oracle fixture (~15% of candidates gated).
+    *
+    * Scale shape: v2's plan plus ONE broadcast-model scoring pass and
+    * a doc_id equi-join — no new corpus-sized shuffle class.
+    */
+  def trainingCorpusV3(documents: DataFrame,
+                       minQuality: Double = 0.5,
+                       langs: Seq[String] = Seq("en", "de", "fr", "es"),
+                       maxTopBigramFrac: Double = 0.5,
+                       maxDupLineFrac: Double = 0.5,
+                       minLmAvgFp: Long = 460L,
+                       topK: Int = 150,
+                       benchmarkOpt: Option[DataFrame] = None): DataFrame = {
+    val filtered = gatedCorpusV2(documents, minQuality, langs,
+      maxTopBigramFrac, maxDupLineFrac, benchmarkOpt)
+    val lm = graft.ops.TextOps.bigramLmScore(documents)
+      .select(col("doc_id"), col("n_bigrams"), col("score_fp"))
+    val lmGated = filtered.join(lm, "doc_id")
+      .filter(col("score_fp") >= lit(minLmAvgFp) * col("n_bigrams"))
+      .drop("n_bigrams", "score_fp")
+    graft.ops.SampleOps.prioritySample(lmGated, "doc_id", "n_tokens",
         k = topK, salt = "train")
       .select("doc_id", "lang", "source", "n_tokens", "quality", "priority")
   }

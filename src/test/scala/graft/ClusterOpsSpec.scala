@@ -337,6 +337,23 @@ class ClusterOpsSpec extends SparkSpec {
     v1.foreach(r => assert(!benchIds.contains(r.getAs[Long]("doc_id"))))
   }
 
+  test("flagship v3 applies the LM floor on top of the v2 gates") {
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val lm = graft.ops.TextOps.bigramLmScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("score_fp")))).toMap
+    // the floor bites on this fixture: some documents fall below it
+    assert(lm.values.exists { case (nb, fp) => fp < 460L * nb })
+    val v3 = ClusterOps.trainingCorpusV3(docs).collect()
+    assert(v3.nonEmpty)
+    v3.foreach { r =>
+      val (nb, fp) = lm(r.getAs[Long]("doc_id"))
+      assert(fp >= 460L * nb, s"doc ${r.getAs[Long]("doc_id")} below floor")
+    }
+    // and the v2 gates still hold (v3 is a further restriction)
+    v3.foreach(r => assert(r.getAs[Long]("doc_id") % 10 !== 7L))
+  }
+
   test("corpus manifest rolls up the shards exactly") {
     val docs = graft.io.Tables.parquet(spark, sf, "documents")
     val shards = ClusterOps.corpusShards(docs).cache()
