@@ -72,7 +72,8 @@ object ScaleProbe {
     // and the streaming encode (per-micro-batch = batch cost claim)
     "q157_bpe_fertility", "q158_stream_bpe_encode",
     "q159_bpe_pretok_fit", "q160_bpe_pretok_encode",
-    "q161_corpus_manifest", "q162_dsir_weights")
+    "q161_corpus_manifest", "q162_dsir_weights",
+    "q163_training_corpus_v3")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)
