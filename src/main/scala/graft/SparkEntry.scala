@@ -1289,6 +1289,11 @@ object SparkEntry {
     // (exact BIGINT cross-multiplication), same priority tail
     "q163_training_corpus_v3" -> ((s, dir) =>
       ClusterOps.trainingCorpusV3(t(s, dir, "documents"))),
+    // stupid-backoff trigram LM (Brants'07 — the MapReduce-native LM):
+    // three broadcast count tables, per-transition backoff CASE,
+    // exact fixed-point sums + backoff-level diagnostics
+    "q164_stupid_backoff" -> ((s, dir) =>
+      TextOps.stupidBackoffScore(t(s, dir, "documents"))),
   )
 
   private val q159Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -2252,6 +2257,55 @@ object SparkEntry {
          |    AS BIGINT)) AS BIGINT) AS weight_fp
          |FROM sc GROUP BY doc_id""".stripMargin,
     "q156_bigram_lm" -> q156Sql,
+    // stupid backoff: tri/bi/uni count tables under the q156 total
+    // orders, the same CASE ladder and double tree as the Spark side
+    "q164_stupid_backoff" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks w FROM documents),
+         |uni AS (SELECT u1, CAST(count(*) AS BIGINT) cu FROM (
+         |          SELECT unnest(w) u1 FROM toks)
+         |        GROUP BY u1 ORDER BY cu DESC, u1 ASC LIMIT 65536),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) n_total FROM (
+         |          SELECT unnest(w) u1 FROM toks)),
+         |bg0 AS (SELECT w, unnest(range(1, len(w))) i FROM toks),
+         |bg AS (SELECT w[i] b1, w[i+1] b2 FROM bg0),
+         |bi AS (SELECT b1, b2, CAST(count(*) AS BIGINT) cb FROM bg
+         |       GROUP BY b1, b2
+         |       ORDER BY cb DESC, b1 ASC, b2 ASC LIMIT 262144),
+         |tg0 AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) i
+         |        FROM toks WHERE len(w) >= 3),
+         |tg AS (SELECT doc_id, w[i] w1, w[i+1] w2, w[i+2] w3 FROM tg0),
+         |tri AS (SELECT w1 t1, w2 t2, w3 t3,
+         |          CAST(count(*) AS BIGINT) ct FROM tg
+         |        GROUP BY w1, w2, w3
+         |        ORDER BY ct DESC, t1 ASC, t2 ASC, t3 ASC LIMIT 524288),
+         |sc AS (SELECT d.doc_id,
+         |         coalesce(t.ct, 0) ct, coalesce(b12.cb, 0) cb12,
+         |         coalesce(b23.cb, 0) cb23, coalesce(u2.cu, 0) cu2,
+         |         coalesce(u3.cu, 0) cu3, tot.n_total
+         |       FROM tg d
+         |       LEFT JOIN tri t ON t.t1 = d.w1 AND t.t2 = d.w2
+         |                      AND t.t3 = d.w3
+         |       LEFT JOIN bi b12 ON b12.b1 = d.w1 AND b12.b2 = d.w2
+         |       LEFT JOIN bi b23 ON b23.b1 = d.w2 AND b23.b2 = d.w3
+         |       LEFT JOIN uni u2 ON u2.u1 = d.w2
+         |       LEFT JOIN uni u3 ON u3.u1 = d.w3
+         |       CROSS JOIN tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |  CAST(sum(CASE WHEN NOT (ct > 0 AND cb12 > 0)
+         |                 AND (cb23 > 0 AND cu2 > 0)
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff_bi,
+         |  CAST(sum(CASE WHEN NOT (ct > 0 AND cb12 > 0)
+         |                 AND NOT (cb23 > 0 AND cu2 > 0)
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff_uni,
+         |  CAST(sum(CAST(round(1e6 * (
+         |    CASE WHEN ct > 0 AND cb12 > 0
+         |           THEN CAST(ct AS DOUBLE) / CAST(cb12 AS DOUBLE)
+         |         WHEN cb23 > 0 AND cu2 > 0
+         |           THEN 0.4 * (CAST(cb23 AS DOUBLE) / CAST(cu2 AS DOUBLE))
+         |         ELSE 0.4 * (0.4 * (CAST(cu3 AS DOUBLE)
+         |           / CAST(n_total AS DOUBLE)))
+         |    END)) AS BIGINT)) AS BIGINT) AS score_fp
+         |FROM sc GROUP BY doc_id""".stripMargin,
     // BPE encode: rank-case closed form for counts and id sums
     "q149_bpe_encode" -> q149Sql,
     // the same closed form through readStream + the stored tokenizer:

@@ -793,6 +793,98 @@ object TextOps {
     * checkable form sums probabilities, not logs: same plan, same
     * model, same ordering power over documents at fixed length.
     */
+  /** Q164: STUPID-BACKOFF trigram LM scoring (Brants et al.,
+    * EMNLP'07 "Large Language Models in Machine Translation" — the
+    * web-scale LM designed FOR MapReduce-class engines: no
+    * normalization pass, just count ratios with a fixed backoff
+    * penalty, which is exactly what distributes). Per trigram
+    * position: S = c3/c2 when the trigram survives the model, else
+    * 0.4·(c2'/c1') off the bigram, else 0.4·0.4·(c1''/N) off the
+    * unigram. All three count tables are frequency-truncated under
+    * total orders to MODEL size and BROADCAST (q156's pruned-LM
+    * shape); N is the exact full token count. Each branch is one
+    * double division of exact integers snapped to 1e6 fixed point
+    * (0.4 parses to the identical double on both engines; the
+    * multiplication tree is fixed) and the per-doc score is the exact
+    * BIGINT sum. Backoff-level counts ship beside the score — the
+    * "how much did the model actually know" diagnostic. The corpus
+    * never shuffles before its per-doc roll-up.
+    */
+  def stupidBackoffScore(documents: DataFrame, maxVocab: Int = 1 << 16,
+                         maxBigrams: Int = 1 << 18,
+                         maxTrigrams: Int = 1 << 19): DataFrame = {
+    require(maxVocab > 0 && maxBigrams > 0 && maxTrigrams > 0,
+      "model caps must be positive")
+    val toks = documents.select(col("doc_id"), expr(tokensExpr).as("w"))
+    val uni = toks.select(explode(col("w")).as("u1"))
+      .groupBy("u1").agg(count(lit(1)).as("cu"))
+      .orderBy(col("cu").desc, col("u1").asc).limit(maxVocab)
+    val total = toks.select(explode(col("w")).as("u1"))
+      .agg(count(lit(1)).as("n_total"))
+    val bi = toks
+      .withColumn("i", explode(expr(
+        "case when size(w) >= 2 then sequence(1, size(w) - 1) " +
+          "else array() end")))
+      .select(expr("element_at(w, i)").as("b1"),
+        expr("element_at(w, i + 1)").as("b2"))
+      .groupBy("b1", "b2").agg(count(lit(1)).as("cb"))
+      .orderBy(col("cb").desc, col("b1").asc, col("b2").asc)
+      .limit(maxBigrams)
+    val tri = toks
+      .withColumn("i", explode(expr(
+        "case when size(w) >= 3 then sequence(1, size(w) - 2) " +
+          "else array() end")))
+      .select(expr("element_at(w, i)").as("t1"),
+        expr("element_at(w, i + 1)").as("t2"),
+        expr("element_at(w, i + 2)").as("t3"))
+      .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("ct"))
+      .orderBy(col("ct").desc, col("t1").asc, col("t2").asc, col("t3").asc)
+      .limit(maxTrigrams)
+    toks
+      .withColumn("i", explode(expr(
+        "case when size(w) >= 3 then sequence(1, size(w) - 2) " +
+          "else array() end")))
+      .select(col("doc_id"), expr("element_at(w, i)").as("w1"),
+        expr("element_at(w, i + 1)").as("w2"),
+        expr("element_at(w, i + 2)").as("w3"))
+      .join(broadcast(tri.select(col("t1").as("w1"), col("t2").as("w2"),
+        col("t3").as("w3"), col("ct"))), Seq("w1", "w2", "w3"), "left")
+      .join(broadcast(bi.select(col("b1").as("w1"), col("b2").as("w2"),
+        col("cb").as("cb12"))), Seq("w1", "w2"), "left")
+      .join(broadcast(bi.select(col("b1").as("w2"), col("b2").as("w3"),
+        col("cb").as("cb23"))), Seq("w2", "w3"), "left")
+      .join(broadcast(uni.select(col("u1").as("w2"), col("cu").as("cu2"))),
+        Seq("w2"), "left")
+      .join(broadcast(uni.select(col("u1").as("w3"), col("cu").as("cu3"))),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cb12"), lit(0L)).as("cb12"),
+        coalesce(col("cb23"), lit(0L)).as("cb23"),
+        coalesce(col("cu2"), lit(0L)).as("cu2"),
+        coalesce(col("cu3"), lit(0L)).as("cu3"),
+        col("n_total"))
+      .withColumn("lvl", expr(
+        """case when ct > 0 and cb12 > 0 then 0
+          |     when cb23 > 0 and cu2 > 0 then 1
+          |     else 2 end""".stripMargin.replace("\n", " ")))
+      .withColumn("s_fp", expr(
+        """cast(round(1e6 * (
+          |  case when ct > 0 and cb12 > 0
+          |         then cast(ct as double) / cast(cb12 as double)
+          |       when cb23 > 0 and cu2 > 0
+          |         then 0.4 * (cast(cb23 as double) / cast(cu2 as double))
+          |       else 0.4 * (0.4 * (cast(cu3 as double)
+          |         / cast(n_total as double)))
+          |  end)) as bigint)""".stripMargin.replace("\n", " ")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_backoff_bi"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_backoff_uni"),
+        sum(col("s_fp")).as("score_fp"))
+  }
+
   /** Q162: DSIR-shaped data-selection importance weights (Xie et al.,
     * NeurIPS'23 "Data Selection for Language Models via Importance
     * Resampling", adapted to the engine's exact-arithmetic

@@ -90,6 +90,7 @@ object PlanAudit {
     "q161_corpus_manifest", // q143's plan + one roll-up aggregation
     "q162_dsir_weights",  // four broadcast model joins, one roll-up
     "q163_training_corpus_v3", // v2's plan + broadcast LM gate join
+    "q164_stupid_backoff", // five broadcast count joins, one roll-up
     "q10_event_window")   // normalized-ts scan straight into windowed agg
 
   def main(args: Array[String]): Unit = {

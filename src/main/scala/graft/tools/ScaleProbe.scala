@@ -73,7 +73,7 @@ object ScaleProbe {
     "q157_bpe_fertility", "q158_stream_bpe_encode",
     "q159_bpe_pretok_fit", "q160_bpe_pretok_encode",
     "q161_corpus_manifest", "q162_dsir_weights",
-    "q163_training_corpus_v3")
+    "q163_training_corpus_v3", "q164_stupid_backoff")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

@@ -386,6 +386,28 @@ class TextOpsSpec extends SparkSpec {
       2 * fp(2, 3) + 2 * fp(0, 2) + fp(0, 3))
   }
 
+  test("stupidBackoffScore: exact ratios and backoff ladder") {
+    val d = Seq((1L, "a b c"), (2L, "a b d"), (3L, "z z"), (4L, "q r s"))
+      .toDF("doc_id", "text")
+    def run(maxTri: Int, maxBi: Int) =
+      TextOps.stupidBackoffScore(d, maxBigrams = maxBi, maxTrigrams = maxTri)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // untruncated: both trigrams hit the model, S = ct/cb(a,b) = 1/2
+    val full = run(1 << 19, 1 << 18)
+    assert(full(1L) === ((1L, 0L, 0L, 500000L)))
+    assert(full(2L) === ((1L, 0L, 0L, 500000L)))
+    assert(!full.contains(3L)) // a 2-token doc has no trigram
+    // truncate the trigram table to 1 ((a,b,c) wins the total order)
+    // and the bigram table to 2 ({ab, bc}): doc2's (b,d) context and
+    // doc4's (r,s) both vanish → full unigram backoff
+    // 0.4·0.4·cu(w3)/N with cu(d)=cu(s)=1, N=11 → round(1e6·0.16/11)
+    val trunc = run(1, 2)
+    assert(trunc(1L) === ((1L, 0L, 0L, 500000L)))
+    assert(trunc(2L) === ((1L, 0L, 1L, 14545L)))
+    assert(trunc(4L) === ((1L, 0L, 1L, 14545L)))
+  }
+
   test("dsirWeights: target-vocabulary documents rank above foreign ones") {
     val d = Seq(
       (1L, "alpha beta alpha beta alpha", "tgt"),
