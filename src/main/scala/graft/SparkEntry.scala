@@ -1294,6 +1294,10 @@ object SparkEntry {
     // exact fixed-point sums + backoff-level diagnostics
     "q164_stupid_backoff" -> ((s, dir) =>
       TextOps.stupidBackoffScore(t(s, dir, "documents"))),
+    // the DSIR selection tail: top-k raw-pool docs by q162 weight,
+    // bounded-k rank (TakeOrderedAndProject), no global sort
+    "q165_dsir_select" -> ((s, dir) =>
+      TextOps.dsirSelect(t(s, dir, "documents"), "src0", k = 50)),
   )
 
   private val q159Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -1400,6 +1404,39 @@ object SparkEntry {
        |       coalesce(ps.shard, -1) AS shard,
        |       coalesce(ps.pos, -1) AS pos
        |FROM sp LEFT JOIN ps ON ps.doc_id = sp.doc_id""".stripMargin
+
+  // shared by q162 (the weights) and q165 (the selection tail)
+  private lazy val q162Sql =
+    s"""WITH toks AS (SELECT doc_id, source, $duckToks w FROM documents),
+         |big0 AS (SELECT doc_id, source, w, unnest(range(1, len(w))) i
+         |         FROM toks),
+         |bigr AS (SELECT doc_id, source, w[i] w1, w[i+1] w2 FROM big0),
+         |tuni AS (SELECT w1, CAST(count(*) AS BIGINT) cu FROM (
+         |           SELECT unnest(w) w1 FROM toks WHERE source = 'src0')
+         |         GROUP BY w1 ORDER BY cu DESC, w1 ASC LIMIT 65536),
+         |tbi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) cb FROM bigr
+         |        WHERE source = 'src0' GROUP BY w1, w2
+         |        ORDER BY cb DESC, w1 ASC, w2 ASC LIMIT 262144),
+         |runi AS (SELECT w1, CAST(count(*) AS BIGINT) cu FROM (
+         |           SELECT unnest(w) w1 FROM toks WHERE source <> 'src0')
+         |         GROUP BY w1 ORDER BY cu DESC, w1 ASC LIMIT 65536),
+         |rbi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) cb FROM bigr
+         |        WHERE source <> 'src0' GROUP BY w1, w2
+         |        ORDER BY cb DESC, w1 ASC, w2 ASC LIMIT 262144),
+         |sc AS (SELECT d.doc_id,
+         |         coalesce(tb.cb, 0) cbt, coalesce(tu.cu, 0) cut,
+         |         coalesce(rb.cb, 0) cbr, coalesce(ru.cu, 0) cur
+         |       FROM bigr d
+         |       LEFT JOIN tbi tb ON tb.w1 = d.w1 AND tb.w2 = d.w2
+         |       LEFT JOIN tuni tu ON tu.w1 = d.w1
+         |       LEFT JOIN rbi rb ON rb.w1 = d.w1 AND rb.w2 = d.w2
+         |       LEFT JOIN runi ru ON ru.w1 = d.w1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(CAST(round(1e6 * (
+         |    (CAST(cbt + 1 AS DOUBLE) * CAST(cur + 65536 AS DOUBLE))
+         |    / (CAST(cbr + 1 AS DOUBLE) * CAST(cut + 65536 AS DOUBLE))))
+         |    AS BIGINT)) AS BIGINT) AS weight_fp
+         |FROM sc GROUP BY doc_id""".stripMargin
 
   // shared by q156 and the v3 flagship's LM-gate CTE
   private lazy val q156Sql =
@@ -2225,37 +2262,13 @@ object SparkEntry {
     // two pruned bigram models (target domain vs the REST pool), each
     // truncated under the q156 total orders; the weight is the exact
     // BIGINT sum of 1e6-snapped smoothed likelihood ratios
-    "q162_dsir_weights" ->
-      s"""WITH toks AS (SELECT doc_id, source, $duckToks w FROM documents),
-         |big0 AS (SELECT doc_id, source, w, unnest(range(1, len(w))) i
-         |         FROM toks),
-         |bigr AS (SELECT doc_id, source, w[i] w1, w[i+1] w2 FROM big0),
-         |tuni AS (SELECT w1, CAST(count(*) AS BIGINT) cu FROM (
-         |           SELECT unnest(w) w1 FROM toks WHERE source = 'src0')
-         |         GROUP BY w1 ORDER BY cu DESC, w1 ASC LIMIT 65536),
-         |tbi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) cb FROM bigr
-         |        WHERE source = 'src0' GROUP BY w1, w2
-         |        ORDER BY cb DESC, w1 ASC, w2 ASC LIMIT 262144),
-         |runi AS (SELECT w1, CAST(count(*) AS BIGINT) cu FROM (
-         |           SELECT unnest(w) w1 FROM toks WHERE source <> 'src0')
-         |         GROUP BY w1 ORDER BY cu DESC, w1 ASC LIMIT 65536),
-         |rbi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) cb FROM bigr
-         |        WHERE source <> 'src0' GROUP BY w1, w2
-         |        ORDER BY cb DESC, w1 ASC, w2 ASC LIMIT 262144),
-         |sc AS (SELECT d.doc_id,
-         |         coalesce(tb.cb, 0) cbt, coalesce(tu.cu, 0) cut,
-         |         coalesce(rb.cb, 0) cbr, coalesce(ru.cu, 0) cur
-         |       FROM bigr d
-         |       LEFT JOIN tbi tb ON tb.w1 = d.w1 AND tb.w2 = d.w2
-         |       LEFT JOIN tuni tu ON tu.w1 = d.w1
-         |       LEFT JOIN rbi rb ON rb.w1 = d.w1 AND rb.w2 = d.w2
-         |       LEFT JOIN runi ru ON ru.w1 = d.w1)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |  CAST(sum(CAST(round(1e6 * (
-         |    (CAST(cbt + 1 AS DOUBLE) * CAST(cur + 65536 AS DOUBLE))
-         |    / (CAST(cbr + 1 AS DOUBLE) * CAST(cut + 65536 AS DOUBLE))))
-         |    AS BIGINT)) AS BIGINT) AS weight_fp
-         |FROM sc GROUP BY doc_id""".stripMargin,
+    "q162_dsir_weights" -> q162Sql,
+    // the selection tail over the same weights: top-k raw-pool docs
+    "q165_dsir_select" ->
+      s"""SELECT w.doc_id, w.n_bigrams, w.weight_fp, d.source
+         |FROM ($q162Sql) w
+         |JOIN documents d ON d.doc_id = w.doc_id AND d.source <> 'src0'
+         |ORDER BY w.weight_fp DESC, w.doc_id ASC LIMIT 50""".stripMargin,
     "q156_bigram_lm" -> q156Sql,
     // stupid backoff: tri/bi/uni count tables under the q156 total
     // orders, the same CASE ladder and double tree as the Spark side

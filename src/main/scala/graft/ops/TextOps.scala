@@ -885,6 +885,25 @@ object TextOps {
         sum(col("s_fp")).as("score_fp"))
   }
 
+  /** Q165: the DSIR SELECTION tail — the top-`k` documents by q162
+    * importance weight (ties to the ascending doc_id), joined back to
+    * their domain label: "give me the k raw-pool documents that look
+    * most like the target domain". The rank is bounded-k
+    * (TakeOrderedAndProject — per-partition heaps, no global sort);
+    * target-domain documents themselves are excluded (selection is
+    * over the raw pool, the q162 model split).
+    */
+  def dsirSelect(documents: DataFrame, targetSource: String, k: Int,
+                 maxVocab: Int = 1 << 16,
+                 maxBigrams: Int = 1 << 18): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    dsirWeights(documents, targetSource, maxVocab, maxBigrams)
+      .join(documents.filter(col("source") =!= targetSource)
+        .select("doc_id", "source"), "doc_id")
+      .orderBy(col("weight_fp").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Q162: DSIR-shaped data-selection importance weights (Xie et al.,
     * NeurIPS'23 "Data Selection for Language Models via Importance
     * Resampling", adapted to the engine's exact-arithmetic

@@ -425,5 +425,12 @@ class TextOpsSpec extends SparkSpec {
     assert(avg(1L) > 1e6 && avg(2L) > 1e6)
     assert(avg(3L) < 1e6 && avg(5L) < 1e6)
     assert(out(4L)._2 > out(3L)._2)
+    // the selection tail: top-k raw-pool docs by weight — the
+    // target-looking raw doc wins, target docs never selected
+    val sel = TextOps.dsirSelect(d, "tgt", k = 2).collect()
+    assert(sel.map(_.getLong(0)).toSeq === Seq(4L, 3L) ||
+      sel.map(_.getLong(0)).toSeq === Seq(4L, 5L))
+    assert(sel.head.getLong(0) === 4L)
+    assert(sel.forall(_.getAs[String]("source") === "other"))
   }
 }
