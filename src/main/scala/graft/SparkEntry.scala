@@ -63,6 +63,25 @@ object SparkEntry {
   private val duckShingles =
     """list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))"""
 
+  /** DuckDB replica of PiiOps.plantedPiiCorpus's text expression. */
+  private val duckPiiText =
+    """concat(text,
+      | ' Contact user', cast(doc_id as varchar),
+      | '@mail', cast(doc_id % 5 as varchar), '.example.com today.',
+      | case when doc_id % 3 = 0
+      |   then concat(' Call 555-',
+      |     lpad(cast(doc_id % 10000 as varchar), 4, '0'), ' now.')
+      |   else '' end,
+      | case when doc_id % 4 = 1
+      |   then concat(' Host 10.', cast((doc_id * 3) % 256 as varchar),
+      |     '.0.', cast((doc_id * 7) % 256 as varchar), ' up.')
+      |   else '' end)""".stripMargin.replace("\n", " ")
+
+  // PiiOps regexes verbatim (explicit classes — RE2/Java parity)
+  private val duckEmailRe = PiiOps.emailRe
+  private val duckPhoneRe = PiiOps.phoneRe
+  private val duckIpRe = PiiOps.ipRe
+
   // ---- pipe scripts (reference: the client-supplied mapper/reducer
   // source strings of runStreamingMapReduce, EndToEndTest.java:84-98) ----
   private val pipeMapper =
@@ -1298,6 +1317,19 @@ object SparkEntry {
     // bounded-k rank (TakeOrderedAndProject), no global sort
     "q165_dsir_select" -> ((s, dir) =>
       TextOps.dsirSelect(t(s, dir, "documents"), "src0", k = 50)),
+    // PII detection over the planted-PII corpus: per-class counts +
+    // any-hit flag, one codegen'd projection — zero exchanges
+    "q166_pii_detect" -> ((s, dir) =>
+      PiiOps.piiDetect(PiiOps.plantedPiiCorpus(t(s, dir, "documents")))),
+    // PII redaction audit: placeholder count, residual-PII self-gate
+    // (must be 0), md5 pin of the redacted text — still zero exchanges
+    "q167_pii_redact" -> ((s, dir) =>
+      PiiOps.piiRedact(PiiOps.plantedPiiCorpus(t(s, dir, "documents")))),
+    // URL → registrable-domain blocklist verdict: projection + one
+    // BROADCAST join against the model-sized blocklist
+    "q168_url_blocklist" -> ((s, dir) =>
+      PiiOps.urlBlocklistFilter(
+        PiiOps.plantedUrlCorpus(t(s, dir, "documents")))),
   )
 
   private val q159Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -2269,6 +2301,45 @@ object SparkEntry {
          |FROM ($q162Sql) w
          |JOIN documents d ON d.doc_id = w.doc_id AND d.source <> 'src0'
          |ORDER BY w.weight_fp DESC, w.doc_id ASC LIMIT 50""".stripMargin,
+    // PII detect/redact over the planted corpus (PiiOps.plantedPiiCorpus
+    // mirrored verbatim); regex classes explicit for RE2/Java parity
+    "q166_pii_detect" ->
+      s"""WITH p AS (SELECT doc_id, $duckPiiText AS text FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '$duckEmailRe')) AS n_email,
+         |  len(regexp_extract_all(text, '$duckPhoneRe')) AS n_phone,
+         |  len(regexp_extract_all(text, '$duckIpRe')) AS n_ip,
+         |  (len(regexp_extract_all(text, '$duckEmailRe'))
+         |   + len(regexp_extract_all(text, '$duckPhoneRe'))
+         |   + len(regexp_extract_all(text, '$duckIpRe'))) > 0 AS has_pii
+         |FROM p""".stripMargin,
+    "q167_pii_redact" ->
+      s"""WITH p AS (SELECT doc_id, $duckPiiText AS text FROM documents),
+         |r AS (SELECT doc_id, regexp_replace(regexp_replace(
+         |        regexp_replace(text, '$duckEmailRe', '<EMAIL>', 'g'),
+         |        '$duckIpRe', '<IP>', 'g'),
+         |        '$duckPhoneRe', '<PHONE>', 'g') AS redacted FROM p)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(redacted, '<EMAIL>|<PHONE>|<IP>'))
+         |    AS n_redactions,
+         |  (len(regexp_extract_all(redacted, '$duckEmailRe'))
+         |   + len(regexp_extract_all(redacted, '$duckPhoneRe'))
+         |   + len(regexp_extract_all(redacted, '$duckIpRe'))) AS n_residual,
+         |  md5(redacted) AS redacted_md5
+         |FROM r""".stripMargin,
+    // URL blocklist verdict; host/domain regexes mirrored from PiiOps
+    "q168_url_blocklist" ->
+      s"""WITH p AS (SELECT doc_id, concat(text, ' See https://w',
+         |    cast(doc_id % 97 as varchar), '.s', cast(doc_id % 13 as varchar),
+         |    '.example/p/', cast(doc_id as varchar), ' ok.') AS text
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |        regexp_extract(text, 'https?://([^/ ]+)', 1) AS host FROM p),
+         |d AS (SELECT doc_id, host,
+         |        regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain FROM h)
+         |SELECT d.doc_id, d.host, d.domain, (b.domain IS NOT NULL) AS blocked
+         |FROM d LEFT JOIN (VALUES ('s2.example'), ('s5.example'),
+         |  ('s11.example')) b(domain) ON d.domain = b.domain""".stripMargin,
     "q156_bigram_lm" -> q156Sql,
     // stupid backoff: tri/bi/uni count tables under the q156 total
     // orders, the same CASE ladder and double tree as the Spark side
