@@ -91,6 +91,10 @@ object PlanAudit {
     "q162_dsir_weights",  // four broadcast model joins, one roll-up
     "q163_training_corpus_v3", // v2's plan + broadcast LM gate join
     "q164_stupid_backoff", // five broadcast count joins, one roll-up
+    "q165_dsir_select",   // q162 weights + bounded-k TakeOrdered tail
+    "q166_pii_detect",    // pure regexp projection, zero exchanges
+    "q167_pii_redact",    // ordered regexp_replace chain, zero exchanges
+    "q168_url_blocklist", // domain extract + broadcast blocklist join
     "q10_event_window")   // normalized-ts scan straight into windowed agg
 
   def main(args: Array[String]): Unit = {

@@ -73,7 +73,12 @@ object ScaleProbe {
     "q157_bpe_fertility", "q158_stream_bpe_encode",
     "q159_bpe_pretok_fit", "q160_bpe_pretok_encode",
     "q161_corpus_manifest", "q162_dsir_weights",
-    "q163_training_corpus_v3", "q164_stupid_backoff")
+    "q163_training_corpus_v3", "q164_stupid_backoff",
+    // round-8 close: the DSIR selection tail (bounded-k rank over the
+    // q162 weights) and the PII/URL safety gates (pure projections +
+    // one broadcast join — the expected profile is scan-bound flat)
+    "q165_dsir_select", "q166_pii_detect", "q167_pii_redact",
+    "q168_url_blocklist")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)
@@ -161,9 +166,26 @@ object ScaleProbe {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
   }
 
+  /** `SPARK_GRAFT_PROBE_FORCE=1` switches the consumer from `count()`
+    * (the bench protocol — but column pruning makes it scan-only for
+    * pure-projection queries like the PII scrubs) to a hash-sum over
+    * every output column, which defeats pruning and times the actual
+    * per-row work.
+    */
+  private val force = sys.env.get("SPARK_GRAFT_PROBE_FORCE").contains("1")
+
   private def bench(spark: SparkSession, dir: String, q: String,
                     runs: Int = 3): Double =
-    (1 to runs).map(_ => time(SparkEntry.queries(q)(spark, dir).count())).min
+    (1 to runs).map { _ =>
+      time {
+        val df = SparkEntry.queries(q)(spark, dir)
+        if (force)
+          df.select(org.apache.spark.sql.functions.xxhash64(
+              df.columns.map(org.apache.spark.sql.functions.col): _*).as("h"))
+            .agg(org.apache.spark.sql.functions.sum("h")).count()
+        else df.count()
+      }
+    }.min
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
