@@ -1330,6 +1330,11 @@ object SparkEntry {
     "q168_url_blocklist" -> ((s, dir) =>
       PiiOps.urlBlocklistFilter(
         PiiOps.plantedUrlCorpus(t(s, dir, "documents")))),
+    // flagship SAFETY tail: v3 selection first, PII scrub second —
+    // only the selected topK rows pay the regex; the q167 audit
+    // (residual must be 0) rides beside each selected row
+    "q169_redacted_corpus" -> ((s, dir) =>
+      ClusterOps.redactedCorpus(t(s, dir, "documents"))),
   )
 
   private val q159Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -2327,6 +2332,23 @@ object SparkEntry {
          |   + len(regexp_extract_all(redacted, '$duckIpRe'))) AS n_residual,
          |  md5(redacted) AS redacted_md5
          |FROM r""".stripMargin,
+    // the flagship safety tail: v3's selection (nested WITH, the q165
+    // convention) joined to the q167 scrub audit over the planted text
+    "q169_redacted_corpus" ->
+      s"""WITH p AS (SELECT doc_id, $duckPiiText AS text FROM documents),
+         |r AS (SELECT doc_id, regexp_replace(regexp_replace(
+         |        regexp_replace(text, '$duckEmailRe', '<EMAIL>', 'g'),
+         |        '$duckIpRe', '<IP>', 'g'),
+         |        '$duckPhoneRe', '<PHONE>', 'g') AS redacted FROM p)
+         |SELECT sel.doc_id, sel.lang, sel.source, sel.n_tokens,
+         |  sel.quality, sel.priority,
+         |  len(regexp_extract_all(redacted, '<EMAIL>|<PHONE>|<IP>'))
+         |    AS n_redactions,
+         |  (len(regexp_extract_all(redacted, '$duckEmailRe'))
+         |   + len(regexp_extract_all(redacted, '$duckPhoneRe'))
+         |   + len(regexp_extract_all(redacted, '$duckIpRe'))) AS n_residual,
+         |  md5(redacted) AS redacted_md5
+         |FROM ($corpusV3Sql) sel JOIN r ON r.doc_id = sel.doc_id""".stripMargin,
     // URL blocklist verdict; host/domain regexes mirrored from PiiOps
     "q168_url_blocklist" ->
       s"""WITH p AS (SELECT doc_id, concat(text, ' See https://w',

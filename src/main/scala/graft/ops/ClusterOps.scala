@@ -694,6 +694,35 @@ object ClusterOps {
       .mode("overwrite").parquet(scope.path(s"$name/rows"))
   }
 
+  /** Q169 — the flagship's SAFETY tail: the v3-selected corpus
+    * (q163) carried through the generic PII scrub (PiiOps) before it
+    * ships — selection first, redaction second, so only the SELECTED
+    * rows pay the regex work (the redacted columns are computed after
+    * the doc_id equi-join; at 100 TB that is topK rows, not the
+    * corpus). Emits the q167 audit beside each selected row:
+    * placeholder count, residual-PII re-scan (must be 0 — the oracle
+    * checks the self-gate end to end through the whole flagship
+    * composition), and the md5 pin of the redacted text.
+    *
+    * Runs on the planted-PII corpus view of `documents` for the
+    * redaction input (the fixture text carries no organic PII), while
+    * the SELECTION gates run on the raw documents — matching a real
+    * pipeline where scrubbing alters text but must not alter which
+    * documents were chosen.
+    */
+  def redactedCorpus(documents: DataFrame): DataFrame = {
+    val selected = trainingCorpusV3(documents)
+    val planted = graft.ops.PiiOps.plantedPiiCorpus(documents)
+    // ONE pass: the selection subplan runs once; the scrub columns are
+    // computed on the join output, so only topK rows pay the regex
+    graft.ops.PiiOps.piiRedact(
+      selected.join(planted, "doc_id"),
+      keep = Seq("lang", "source", "n_tokens", "quality", "priority"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        col("quality"), col("priority"), col("n_redactions"),
+        col("n_residual"), col("redacted_md5"))
+  }
+
   /** Q146's gate: the RELOADED artifact must carry exactly the q143
     * addresses under its OWN recorded geometry (the q137 convention —
     * the artifact, not the caller, knows its shard count). Both

@@ -104,20 +104,21 @@ object PiiOps {
     * corpus is [[redactedText]] minus the audit columns.
     */
   def piiRedact(documents: DataFrame,
-                patterns: Seq[(String, String, String)] = defaultPatterns): DataFrame = {
+                patterns: Seq[(String, String, String)] = defaultPatterns,
+                keep: Seq[String] = Seq.empty): DataFrame = {
     val placeholderRe = patterns.map(_._3)
       .map(java.util.regex.Pattern.quote).mkString("|")
     val residual = patterns.map { case (_, re, _) =>
       regexp_count(col("redacted"), lit(re))
     }.reduce(_ + _)
     documents
-      .select(col("doc_id"), redactedText(col("text"), patterns).as("redacted"))
-      .select(
-        col("doc_id"),
+      .select(col("doc_id") +: keep.map(col) :+
+        redactedText(col("text"), patterns).as("redacted"): _*)
+      .select(col("doc_id") +: keep.map(col) :+
         regexp_count(col("redacted"), lit(placeholderRe))
-          .cast("long").as("n_redactions"),
-        residual.cast("long").as("n_residual"),
-        md5(col("redacted")).as("redacted_md5"))
+          .cast("long").as("n_redactions") :+
+        residual.cast("long").as("n_residual") :+
+        md5(col("redacted")).as("redacted_md5"): _*)
   }
 
   /** The planted-URL corpus: one URL per doc whose host is a pure

@@ -95,6 +95,7 @@ object PlanAudit {
     "q166_pii_detect",    // pure regexp projection, zero exchanges
     "q167_pii_redact",    // ordered regexp_replace chain, zero exchanges
     "q168_url_blocklist", // domain extract + broadcast blocklist join
+    "q169_redacted_corpus", // v3 selection once, scrub on topK join rows
     "q10_event_window")   // normalized-ts scan straight into windowed agg
 
   def main(args: Array[String]): Unit = {

@@ -78,7 +78,10 @@ object ScaleProbe {
     // q162 weights) and the PII/URL safety gates (pure projections +
     // one broadcast join — the expected profile is scan-bound flat)
     "q165_dsir_select", "q166_pii_detect", "q167_pii_redact",
-    "q168_url_blocklist")
+    "q168_url_blocklist",
+    // the flagship safety tail: v3's plan + a topK-sized scrub join —
+    // expected cost class = q163's
+    "q169_redacted_corpus")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

@@ -74,6 +74,19 @@ class PiiOpsSpec extends SparkSpec {
     assert(badHost.isEmpty)
   }
 
+  test("redactedCorpus keeps exactly the v3 selection, scrubbed clean") {
+    val fixture = graft.io.Tables.parquet(spark, sf, "documents")
+    val out = graft.ops.ClusterOps.redactedCorpus(fixture)
+    val sel = graft.ops.ClusterOps.trainingCorpusV3(fixture)
+      .select("doc_id")
+    // same selection: scrubbing must not change which docs ship
+    assert(out.select("doc_id").exceptAll(sel).isEmpty)
+    assert(sel.exceptAll(out.select("doc_id")).isEmpty)
+    // every shipped row is PII-clean (>=1 planted email redacted)
+    assert(out.filter(col("n_residual") =!= 0L).count() === 0L)
+    assert(out.filter(col("n_redactions") < 1L).count() === 0L)
+  }
+
   test("the blocklist join is broadcast (no shuffle on the corpus side)") {
     val fixture = graft.io.Tables.parquet(spark, sf, "documents")
     val plan = PiiOps.urlBlocklistFilter(PiiOps.plantedUrlCorpus(fixture))
