@@ -82,6 +82,25 @@ object SparkEntry {
   private val duckPhoneRe = PiiOps.phoneRe
   private val duckIpRe = PiiOps.ipRe
 
+  /** Shared scrub CTEs (planted text → redacted, PiiOps.defaultPatterns
+    * order and BRACKETED placeholders verbatim) + the audit columns —
+    * q167 emits them per doc, q169 beside the flagship selection.
+    */
+  private lazy val duckRedactCtes =
+    s"""p AS (SELECT doc_id, $duckPiiText AS text FROM documents),
+       |r AS (SELECT doc_id, regexp_replace(regexp_replace(
+       |        regexp_replace(text, '$duckEmailRe', '[EMAIL]', 'g'),
+       |        '$duckIpRe', '[IP]', 'g'),
+       |        '$duckPhoneRe', '[PHONE]', 'g') AS redacted FROM p)""".stripMargin
+
+  private val duckRedactAuditCols =
+    s"""len(regexp_extract_all(redacted, '\\[EMAIL\\]|\\[PHONE\\]|\\[IP\\]'))
+       |    AS n_redactions,
+       |  (len(regexp_extract_all(redacted, '$duckEmailRe'))
+       |   + len(regexp_extract_all(redacted, '$duckPhoneRe'))
+       |   + len(regexp_extract_all(redacted, '$duckIpRe'))) AS n_residual,
+       |  md5(redacted) AS redacted_md5""".stripMargin
+
   // ---- pipe scripts (reference: the client-supplied mapper/reducer
   // source strings of runStreamingMapReduce, EndToEndTest.java:84-98) ----
   private val pipeMapper =
@@ -2319,35 +2338,17 @@ object SparkEntry {
          |   + len(regexp_extract_all(text, '$duckIpRe'))) > 0 AS has_pii
          |FROM p""".stripMargin,
     "q167_pii_redact" ->
-      s"""WITH p AS (SELECT doc_id, $duckPiiText AS text FROM documents),
-         |r AS (SELECT doc_id, regexp_replace(regexp_replace(
-         |        regexp_replace(text, '$duckEmailRe', '<EMAIL>', 'g'),
-         |        '$duckIpRe', '<IP>', 'g'),
-         |        '$duckPhoneRe', '<PHONE>', 'g') AS redacted FROM p)
+      s"""WITH $duckRedactCtes
          |SELECT doc_id,
-         |  len(regexp_extract_all(redacted, '<EMAIL>|<PHONE>|<IP>'))
-         |    AS n_redactions,
-         |  (len(regexp_extract_all(redacted, '$duckEmailRe'))
-         |   + len(regexp_extract_all(redacted, '$duckPhoneRe'))
-         |   + len(regexp_extract_all(redacted, '$duckIpRe'))) AS n_residual,
-         |  md5(redacted) AS redacted_md5
+         |  $duckRedactAuditCols
          |FROM r""".stripMargin,
     // the flagship safety tail: v3's selection (nested WITH, the q165
     // convention) joined to the q167 scrub audit over the planted text
     "q169_redacted_corpus" ->
-      s"""WITH p AS (SELECT doc_id, $duckPiiText AS text FROM documents),
-         |r AS (SELECT doc_id, regexp_replace(regexp_replace(
-         |        regexp_replace(text, '$duckEmailRe', '<EMAIL>', 'g'),
-         |        '$duckIpRe', '<IP>', 'g'),
-         |        '$duckPhoneRe', '<PHONE>', 'g') AS redacted FROM p)
+      s"""WITH $duckRedactCtes
          |SELECT sel.doc_id, sel.lang, sel.source, sel.n_tokens,
          |  sel.quality, sel.priority,
-         |  len(regexp_extract_all(redacted, '<EMAIL>|<PHONE>|<IP>'))
-         |    AS n_redactions,
-         |  (len(regexp_extract_all(redacted, '$duckEmailRe'))
-         |   + len(regexp_extract_all(redacted, '$duckPhoneRe'))
-         |   + len(regexp_extract_all(redacted, '$duckIpRe'))) AS n_residual,
-         |  md5(redacted) AS redacted_md5
+         |  $duckRedactAuditCols
          |FROM ($corpusV3Sql) sel JOIN r ON r.doc_id = sel.doc_id""".stripMargin,
     // URL blocklist verdict; host/domain regexes mirrored from PiiOps
     "q168_url_blocklist" ->

@@ -44,11 +44,20 @@ object PiiOps {
     * in ORDER — emails first (an email's domain could otherwise feed
     * the IP matcher), then IPv4, then phones. Order is part of the
     * contract and mirrored by the oracle.
+    *
+    * Placeholders are BRACKETED (q63's convention) deliberately: `[`
+    * and `]` sit outside every matcher's character classes, so a
+    * placeholder can never fuse with its neighbors into a fresh match
+    * (`a@b.cc@d.ee` → `<EMAIL>@d.ee` would re-match as an email —
+    * `[EMAIL]@d.ee` cannot, because `]` blocks the local part). That
+    * closure is what makes the residual-0 guarantee hold for
+    * ARBITRARY input, not just the planted fixture — property-tested
+    * over adversarial @/digit-dense strings in PropertySpec.
     */
   val defaultPatterns: Seq[(String, String, String)] = Seq(
-    ("email", emailRe, "<EMAIL>"),
-    ("ip", ipRe, "<IP>"),
-    ("phone", phoneRe, "<PHONE>"))
+    ("email", emailRe, "[EMAIL]"),
+    ("ip", ipRe, "[IP]"),
+    ("phone", phoneRe, "[PHONE]"))
 
   /** The planted-PII corpus: the fixture text plus deterministic PII
     * derived purely from `doc_id` (an email on every doc, a phone on

@@ -304,4 +304,35 @@ class PropertySpec extends SparkSpec {
       assert(small.keySet.subsetOf(large.keySet))
     }
   }
+
+  test("PII redaction: zero residual and idempotent on adversarial text") {
+    import org.apache.spark.sql.functions.col
+    // alphabet weighted toward the PII regexes' own metacharacters —
+    // '@'/'.'/digit/'5'/'-'-dense strings probe replacement-boundary
+    // re-matches (a placeholder fusing with its neighbors into a new
+    // match would break the residual guarantee)
+    val piiChar = Gen.frequency(
+      (4, Gen.oneOf('@', '.', '-')), (4, Gen.oneOf('0' to '9')),
+      (3, Gen.const('5')), (3, Gen.oneOf('a', 'b', 'E', 'M')),
+      (1, Gen.const(' ')), (1, Gen.oneOf('[', ']')))
+    val texts = samples(Gen.listOf(piiChar).map(_.mkString), n = 40)
+      .filter(_.nonEmpty) ++ Seq(
+      "x a@bb.cc y", "@@a.bb@cc.dd", "555-10.0.0.1", "555-0000555-1111",
+      "1.2.3.4.5.6.7.8",
+      // the placeholder-fusion probe: with the old <EMAIL> placeholder
+      // this produced "<EMAIL>@d.ee" whose "EMAIL@d.ee" re-matched;
+      // the bracketed placeholder is closed under all three matchers
+      "a@b.cc@d.ee", "[EMAIL]@[IP].com 555-[PHONE]")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val audit = graft.ops.PiiOps.piiRedact(df)
+    assert(audit.filter(col("n_residual") =!= 0L).count() === 0L,
+      "residual PII after redaction")
+    // idempotence: a second pass changes nothing
+    val once = df.select(col("doc_id"),
+      graft.ops.PiiOps.redactedText(col("text")).as("text"))
+    val twice = once.select(col("doc_id"),
+      graft.ops.PiiOps.redactedText(col("text")).as("text"))
+    assert(once.exceptAll(twice).isEmpty)
+  }
 }
