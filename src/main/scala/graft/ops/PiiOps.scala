@@ -88,8 +88,11 @@ object PiiOps {
     */
   def piiDetect(documents: DataFrame,
                 patterns: Seq[(String, String, String)] = defaultPatterns): DataFrame = {
+    // null-safe: a null doc has zero PII, not null counts — a null
+    // count would slip through every `=== 0` / `=!= 0` audit filter
+    val text = coalesce(col("text"), lit(""))
     val counts = patterns.map { case (name, re, _) =>
-      regexp_count(col("text"), lit(re)).cast("long").as(s"n_$name")
+      regexp_count(text, lit(re)).cast("long").as(s"n_$name")
     }
     val total = patterns.map { case (name, _, _) => col(s"n_$name") }
       .reduce(_ + _)
@@ -122,7 +125,8 @@ object PiiOps {
     }.reduce(_ + _)
     documents
       .select(col("doc_id") +: keep.map(col) :+
-        redactedText(col("text"), patterns).as("redacted"): _*)
+        redactedText(coalesce(col("text"), lit("")), patterns)
+          .as("redacted"): _*)
       .select(col("doc_id") +: keep.map(col) :+
         regexp_count(col("redacted"), lit(placeholderRe))
           .cast("long").as("n_redactions") :+

@@ -56,6 +56,21 @@ class NullSafetySpec extends SparkSpec {
     assert(TextOps.collocations(dirty, minCount = 2, topK = 5).count() > 0)
   }
 
+  test("PII detect/redact zero out null/blank docs, never null the audit") {
+    import org.apache.spark.sql.functions.col
+    val det = graft.ops.PiiOps.piiDetect(dirty).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_email"), r.getAs[Boolean]("has_pii")))).toMap
+    assert(det(2L) === ((0L, false))) // null text → zero counts, not null
+    assert(det(3L) === ((0L, false)))
+    val audit = graft.ops.PiiOps.piiRedact(dirty)
+    // every row carries a non-null audit — a null n_residual would
+    // vacuously pass the `=!= 0` self-gate downstream (q169)
+    assert(audit.filter(col("n_residual").isNull or
+      col("n_redactions").isNull or col("redacted_md5").isNull).count() === 0L)
+    assert(audit.filter(col("n_residual") =!= 0L).count() === 0L)
+  }
+
   test("vocabulary, domain cap, and best-of-cluster tolerate null/blank rows") {
     // null/blank text contributes no tokens; coverage still closes at 1
     val vocab = TextOps.vocabulary(dirty).collect()
