@@ -62,6 +62,26 @@ class PipeOpsSpec extends SparkSpec {
     assert(out === (0 to 6).map(_ -> 3L).toMap)
   }
 
+  test("shell metacharacters in data are inert (R12 is structurally closed)") {
+    // the reference escapes shell arguments by hand and acknowledges it
+    // as possibly insufficient (MapReduceWSIImpl.java:307-310); here no
+    // shell ever parses data — records flow through stdin to a process
+    // spawned argv-style (ProcessBuilder(path), PipeOps.pipePartitions)
+    // — so injection-shaped records are just bytes
+    val canary = new java.io.File("/tmp/graft-pipe-injection-canary")
+    canary.delete()
+    val hostile = Seq(
+      "$(touch /tmp/graft-pipe-injection-canary)",
+      "`touch /tmp/graft-pipe-injection-canary`",
+      "; touch /tmp/graft-pipe-injection-canary; ",
+      "\" ' \\ | & > < $PATH ${PATH} *")
+    val lines = spark.sparkContext.parallelize(hostile, 2)
+    val out = PipeOps.pipeMap(spark, lines,
+      "#!/bin/sh\nexec cat\n", "identity_mapper").collect().sorted
+    assert(out === hostile.sorted.toArray) // byte-identical round trip
+    assert(!canary.exists(), "a metacharacter record was shell-evaluated")
+  }
+
   test("scripts without a shebang are rejected (reference contract)") {
     val lines = spark.sparkContext.parallelize(Seq("x"))
     intercept[IllegalArgumentException] {
