@@ -1354,6 +1354,11 @@ object SparkEntry {
     // (residual must be 0) rides beside each selected row
     "q169_redacted_corpus" -> ((s, dir) =>
       ClusterOps.redactedCorpus(t(s, dir, "documents"))),
+    // LM-floor calibration: the exact gatePct-th percentile of
+    // avg_fp via the q123 value-histogram — the q163 scaladoc's
+    // "calibrate per corpus" promise as an executed operator
+    "q170_lm_floor" -> ((s, dir) =>
+      TextOps.lmFloorCalibrate(t(s, dir, "documents"))),
   )
 
   private val q159Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -2364,6 +2369,24 @@ object SparkEntry {
          |FROM d LEFT JOIN (VALUES ('s2.example'), ('s5.example'),
          |  ('s11.example')) b(domain) ON d.domain = b.domain""".stripMargin,
     "q156_bigram_lm" -> q156Sql,
+    // LM-floor calibration: integer percentile over the q156 scores'
+    // value histogram — percentile_disc semantics, k = ceil(pct·n/100)
+    "q170_lm_floor" ->
+      s"""WITH s AS ($q156Sql),
+         |a AS (SELECT doc_id, score_fp // n_bigrams AS avg_fp FROM s),
+         |h AS (SELECT avg_fp, CAST(count(*) AS BIGINT) cnt
+         |      FROM a GROUP BY avg_fp),
+         |hh AS (SELECT avg_fp, cnt,
+         |         SUM(cnt) OVER (ORDER BY avg_fp ASC) cum FROM h),
+         |t AS (SELECT CAST(count(*) AS BIGINT) n_docs FROM a),
+         |f AS (SELECT min(CASE WHEN cum >= (n_docs * 15 + 99) // 100
+         |               THEN avg_fp END) floor_fp
+         |      FROM hh CROSS JOIN t)
+         |SELECT f.floor_fp, t.n_docs,
+         |  CAST(coalesce(SUM(CASE WHEN hh.avg_fp < f.floor_fp
+         |    THEN hh.cnt END), 0) AS BIGINT) AS n_gated
+         |FROM hh CROSS JOIN f CROSS JOIN t
+         |GROUP BY f.floor_fp, t.n_docs""".stripMargin,
     // stupid backoff: tri/bi/uni count tables under the q156 total
     // orders, the same CASE ladder and double tree as the Spark side
     "q164_stupid_backoff" ->

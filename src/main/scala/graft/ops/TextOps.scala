@@ -1021,4 +1021,47 @@ object TextOps {
         sum(when(col("cb") === 0L, 1L).otherwise(0L)).as("n_oov"),
         sum(col("p_fp")).as("score_fp"))
   }
+
+  /** Q170: LM-floor CALIBRATION — turns q163's scaladoc promise ("a
+    * production deployment calibrates `minLmAvgFp` per corpus") into
+    * an executed operator: the exact `gatePct`-th percentile
+    * (percentile_disc semantics, k = ceil(pct·n/100)) of each
+    * document's integer average transition score
+    * `avg_fp = score_fp div n_bigrams` under the q156 model.
+    *
+    * The returned `floor_fp` composes EXACTLY with the v3 gate: for
+    * integers, `avg_fp >= floor` ⟺ `score_fp >= floor · n_bigrams`,
+    * so `trainingCorpusV3(docs, minLmAvgFp = floor_fp)` gates
+    * `n_gated` documents precisely (spec-proven).
+    *
+    * Scale shape (the q123 pattern): the corpus-sized work is ONE
+    * partially-aggregated count per distinct avg_fp — the VALUE
+    * HISTOGRAM; the running-sum window and the percentile read-off
+    * run over distinct values, never corpus rows; the doc total rides
+    * a broadcast one-row cross join (the q53 convention). Output is
+    * one row. All arithmetic is integer, so any engine reproduces the
+    * floor bit-for-bit.
+    */
+  def lmFloorCalibrate(documents: DataFrame, gatePct: Int = 15,
+                       maxVocab: Int = 1 << 16,
+                       maxBigrams: Int = 1 << 18): DataFrame = {
+    require(0 < gatePct && gatePct < 100,
+      s"gatePct must be in (0, 100): $gatePct")
+    val avg = bigramLmScore(documents, maxVocab, maxBigrams)
+      .select(col("doc_id"), expr("score_fp DIV n_bigrams").as("avg_fp"))
+    val tot = avg.agg(count(lit(1)).as("n_docs"))
+    // the window input is the value histogram (distinct avg values),
+    // never corpus rows — same bound as q123's per-stratum windows
+    val w = Window.orderBy(col("avg_fp").asc)
+    val hist = avg.groupBy("avg_fp").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(w))
+    val floor = hist.crossJoin(broadcast(tot))
+      .withColumn("k", expr(s"CAST((n_docs * $gatePct + 99) DIV 100 AS BIGINT)"))
+      .agg(min(when(col("cum") >= col("k"), col("avg_fp"))).as("floor_fp"))
+    hist.crossJoin(broadcast(floor)).crossJoin(broadcast(tot))
+      .groupBy("floor_fp", "n_docs")
+      .agg(coalesce(
+        sum(when(col("avg_fp") < col("floor_fp"), col("cnt"))),
+        lit(0L)).as("n_gated"))
+  }
 }

@@ -96,6 +96,7 @@ object PlanAudit {
     "q167_pii_redact",    // ordered regexp_replace chain, zero exchanges
     "q168_url_blocklist", // domain extract + broadcast blocklist join
     "q169_redacted_corpus", // v3 selection once, scrub on topK join rows
+    "q170_lm_floor",      // q156 pass + histogram-sized percentile window
     "q10_event_window")   // normalized-ts scan straight into windowed agg
 
   def main(args: Array[String]): Unit = {

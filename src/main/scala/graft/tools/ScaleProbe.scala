@@ -81,7 +81,10 @@ object ScaleProbe {
     "q168_url_blocklist",
     // the flagship safety tail: v3's plan + a topK-sized scrub join —
     // expected cost class = q163's
-    "q169_redacted_corpus")
+    "q169_redacted_corpus",
+    // LM-floor calibration: q156's scoring pass + a value-histogram
+    // window — the window input is distinct avg values, not rows
+    "q170_lm_floor")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

@@ -386,6 +386,30 @@ class TextOpsSpec extends SparkSpec {
       2 * fp(2, 3) + 2 * fp(0, 2) + fp(0, 3))
   }
 
+  test("lmFloorCalibrate: exact percentile, and the v3 gate composes exactly") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val fixture = graft.io.Tables.parquet(spark, sf, "documents")
+    val row = TextOps.lmFloorCalibrate(fixture, gatePct = 15).head()
+    val floor = row.getAs[Long]("floor_fp")
+    val nDocs = row.getAs[Long]("n_docs")
+    val nGated = row.getAs[Long]("n_gated")
+    // brute-force percentile_disc over the same integer averages
+    val avgs = TextOps.bigramLmScore(fixture)
+      .select(expr("score_fp DIV n_bigrams").as("avg_fp"))
+      .collect().map(_.getLong(0)).sorted
+    val k = (avgs.length * 15 + 99) / 100
+    assert(nDocs === avgs.length.toLong)
+    assert(floor === avgs(k - 1))
+    assert(nGated === avgs.count(_ < floor).toLong)
+    assert(nGated < k && k.toLong <= nGated + avgs.count(_ == floor))
+    // exact composition with the v3 gate: for integers,
+    // avg_fp >= floor  ⟺  score_fp >= floor · n_bigrams
+    val mismatch = TextOps.bigramLmScore(fixture).filter(
+      (expr("score_fp DIV n_bigrams") >= floor) =!=
+        (col("score_fp") >= col("n_bigrams") * floor))
+    assert(mismatch.isEmpty)
+  }
+
   test("stupidBackoffScore: exact ratios and backoff ladder") {
     val d = Seq((1L, "a b c"), (2L, "a b d"), (3L, "z z"), (4L, "q r s"))
       .toDF("doc_id", "text")
