@@ -101,6 +101,14 @@ object SparkEntry {
        |   + len(regexp_extract_all(redacted, '$duckIpRe'))) AS n_residual,
        |  md5(redacted) AS redacted_md5""".stripMargin
 
+  // shared by q167 (the batch scrub audit) and q171 (the same scrub
+  // through readStream — identical audit space)
+  private lazy val q167Sql =
+    s"""WITH $duckRedactCtes
+       |SELECT doc_id,
+       |  $duckRedactAuditCols
+       |FROM r""".stripMargin
+
   // ---- pipe scripts (reference: the client-supplied mapper/reducer
   // source strings of runStreamingMapReduce, EndToEndTest.java:84-98) ----
   private val pipeMapper =
@@ -1359,6 +1367,10 @@ object SparkEntry {
     // "calibrate per corpus" promise as an executed operator
     "q170_lm_floor" -> ((s, dir) =>
       TextOps.lmFloorCalibrate(t(s, dir, "documents"))),
+    // scrub-on-ingest: the q167 redaction audit under readStream —
+    // stateless projection, no state store, same batch oracle
+    "q171_stream_pii_scrub" -> ((s, dir) =>
+      EventsStreaming.streamingPiiScrub(s, dir)),
   )
 
   private val q159Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -2342,11 +2354,10 @@ object SparkEntry {
          |   + len(regexp_extract_all(text, '$duckPhoneRe'))
          |   + len(regexp_extract_all(text, '$duckIpRe'))) > 0 AS has_pii
          |FROM p""".stripMargin,
-    "q167_pii_redact" ->
-      s"""WITH $duckRedactCtes
-         |SELECT doc_id,
-         |  $duckRedactAuditCols
-         |FROM r""".stripMargin,
+    "q167_pii_redact" -> q167Sql,
+    // the same scrub through readStream (scrub-on-ingest): stateless
+    // projection must land in the identical audit space
+    "q171_stream_pii_scrub" -> q167Sql,
     // the flagship safety tail: v3's selection (nested WITH, the q165
     // convention) joined to the q167 scrub audit over the planted text
     "q169_redacted_corpus" ->

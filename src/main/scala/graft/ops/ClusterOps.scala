@@ -596,9 +596,11 @@ object ClusterOps {
     * looking gibberish the heuristics pass. `minLmAvgFp` is an
     * ABSOLUTE floor in 1e6 fixed point; because smoothed counts grow
     * with corpus size a production deployment calibrates it per corpus
-    * (e.g., the q123 histogram-percentile machinery over
-    * `score_fp / n_bigrams`) — the default is calibrated to the
-    * sf0.01 oracle fixture (~15% of candidates gated).
+    * with [[graft.ops.TextOps.lmFloorCalibrate]] (q170 — the exact
+    * percentile over the score histogram; its spec proves the
+    * returned floor composes with this gate bit-exactly) — the
+    * default is calibrated to the sf0.01 oracle fixture (~15% of
+    * candidates gated).
     *
     * Scale shape: v2's plan plus ONE broadcast-model scoring pass and
     * a doc_id equi-join — no new corpus-sized shuffle class.

@@ -975,4 +975,26 @@ object EventsStreaming {
     out.cache(); out.count()
     out
   }
+
+  /** Q171: SCRUB-ON-INGEST — the generic PII redaction (q167, the
+    * planted corpus and audit columns verbatim) running as a
+    * Structured Streaming pipeline: stateless per-row projection under
+    * readStream, no watermark, no state store, held to the identical
+    * batch oracle — the batch/stream unification proof for the safety
+    * gate, same contract shape as [[streamingBpeEncode]]. At 100 TB
+    * this is the shape ingestion actually runs: documents are scrubbed
+    * as they land, not in a later corpus-wide pass.
+    */
+  def streamingPiiScrub(spark: SparkSession, dir: String,
+                        queryName: String = "graft_stream_pii"): DataFrame = {
+    val src = graft.io.Tables.documentsStream(spark, dir)
+    val audit = graft.ops.PiiOps.piiRedact(
+      graft.ops.PiiOps.plantedPiiCorpus(src))
+    val q = audit.writeStream.format("memory").queryName(queryName)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val out = spark.table(queryName)
+    out.cache(); out.count()
+    out
+  }
 }

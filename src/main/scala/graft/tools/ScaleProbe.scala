@@ -84,7 +84,10 @@ object ScaleProbe {
     "q169_redacted_corpus",
     // LM-floor calibration: q156's scoring pass + a value-histogram
     // window — the window input is distinct avg values, not rows
-    "q170_lm_floor")
+    "q170_lm_floor",
+    // scrub-on-ingest: the per-micro-batch cost must track the batch
+    // scrub (stateless, no state store to grow)
+    "q171_stream_pii_scrub")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

@@ -164,4 +164,14 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(_.last == "UPDATED"))
     assert(batch.nonEmpty)
   }
+
+  test("scrub-on-ingest equals the batch PII audit exactly (q171 contract)") {
+    val streamed = graft.streaming.EventsStreaming
+      .streamingPiiScrub(spark, sf, queryName = "spec_stream_pii")
+    val batch = graft.ops.PiiOps.piiRedact(
+      graft.ops.PiiOps.plantedPiiCorpus(
+        graft.io.Tables.parquet(spark, sf, "documents")))
+    assert(streamed.exceptAll(batch).isEmpty)
+    assert(batch.exceptAll(streamed).isEmpty)
+  }
 }
