@@ -82,20 +82,30 @@ object SparkEntry {
   private val duckPhoneRe = PiiOps.phoneRe
   private val duckIpRe = PiiOps.ipRe
 
-  /** Shared scrub CTEs (planted text → redacted, PiiOps.defaultPatterns
-    * order and BRACKETED placeholders verbatim) + the audit columns —
-    * q167 emits them per doc, q169 beside the flagship selection.
+  /** Shared scrub CTEs (planted text → staged redactions,
+    * PiiOps.defaultPatterns order and BRACKETED placeholders
+    * verbatim) + the audit columns — q167/q171 emit them per doc,
+    * q169 beside the flagship selection. The stage columns t1/t2
+    * (after the email and IP passes) feed the SEQUENTIAL redaction
+    * count: each pattern is counted on the text its stage actually
+    * rewrote, mirroring PiiOps.piiRedact's scan-left chain.
     */
   private lazy val duckRedactCtes =
     s"""p AS (SELECT doc_id, $duckPiiText AS text FROM documents),
-       |r AS (SELECT doc_id, regexp_replace(regexp_replace(
-       |        regexp_replace(text, '$duckEmailRe', '[EMAIL]', 'g'),
-       |        '$duckIpRe', '[IP]', 'g'),
-       |        '$duckPhoneRe', '[PHONE]', 'g') AS redacted FROM p)""".stripMargin
+       |r AS (SELECT doc_id, text AS t0,
+       |        regexp_replace(text, '$duckEmailRe', '[EMAIL]', 'g') AS t1,
+       |        regexp_replace(regexp_replace(text,
+       |          '$duckEmailRe', '[EMAIL]', 'g'),
+       |          '$duckIpRe', '[IP]', 'g') AS t2,
+       |        regexp_replace(regexp_replace(regexp_replace(text,
+       |          '$duckEmailRe', '[EMAIL]', 'g'),
+       |          '$duckIpRe', '[IP]', 'g'),
+       |          '$duckPhoneRe', '[PHONE]', 'g') AS redacted FROM p)""".stripMargin
 
   private val duckRedactAuditCols =
-    s"""len(regexp_extract_all(redacted, '\\[EMAIL\\]|\\[PHONE\\]|\\[IP\\]'))
-       |    AS n_redactions,
+    s"""(len(regexp_extract_all(t0, '$duckEmailRe'))
+       |   + len(regexp_extract_all(t1, '$duckIpRe'))
+       |   + len(regexp_extract_all(t2, '$duckPhoneRe'))) AS n_redactions,
        |  (len(regexp_extract_all(redacted, '$duckEmailRe'))
        |   + len(regexp_extract_all(redacted, '$duckPhoneRe'))
        |   + len(regexp_extract_all(redacted, '$duckIpRe'))) AS n_residual,
@@ -2373,7 +2383,8 @@ object SparkEntry {
          |    '.example/p/', cast(doc_id as varchar), ' ok.') AS text
          |  FROM documents),
          |h AS (SELECT doc_id,
-         |        regexp_extract(text, 'https?://([^/ ]+)', 1) AS host FROM p),
+         |        regexp_extract(text, 'https?://([^/ \\t\\n\\x0B\\f\\r]+)', 1)
+         |          AS host FROM p),
          |d AS (SELECT doc_id, host,
          |        regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain FROM h)
          |SELECT d.doc_id, d.host, d.domain, (b.domain IS NOT NULL) AS blocked
@@ -2389,15 +2400,15 @@ object SparkEntry {
          |      FROM a GROUP BY avg_fp),
          |hh AS (SELECT avg_fp, cnt,
          |         SUM(cnt) OVER (ORDER BY avg_fp ASC) cum FROM h),
-         |t AS (SELECT CAST(count(*) AS BIGINT) n_docs FROM a),
-         |f AS (SELECT min(CASE WHEN cum >= (n_docs * 15 + 99) // 100
-         |               THEN avg_fp END) floor_fp
-         |      FROM hh CROSS JOIN t)
-         |SELECT f.floor_fp, t.n_docs,
-         |  CAST(coalesce(SUM(CASE WHEN hh.avg_fp < f.floor_fp
-         |    THEN hh.cnt END), 0) AS BIGINT) AS n_gated
-         |FROM hh CROSS JOIN f CROSS JOIN t
-         |GROUP BY f.floor_fp, t.n_docs""".stripMargin,
+         |h2 AS (SELECT avg_fp, cnt, cum, MAX(cum) OVER () n_docs FROM hh),
+         |h3 AS (SELECT avg_fp, cnt, cum, n_docs,
+         |         (n_docs * 15 + 99) // 100 AS k FROM h2)
+         |SELECT CAST(min(CASE WHEN cum >= k THEN avg_fp END) AS BIGINT)
+         |    AS floor_fp,
+         |  CAST(max(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(max(CASE WHEN cum < k THEN cum END), 0) AS BIGINT)
+         |    AS n_gated
+         |FROM h3""".stripMargin,
     // stupid backoff: tri/bi/uni count tables under the q156 total
     // orders, the same CASE ladder and double tree as the Spark side
     "q164_stupid_backoff" ->

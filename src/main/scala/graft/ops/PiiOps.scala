@@ -67,8 +67,11 @@ object PiiOps {
     */
   def plantedPiiCorpus(documents: DataFrame,
                        keep: Seq[String] = Seq.empty): DataFrame =
+    // coalesce matches DuckDB's NULL-skipping concat: a NULL-text row
+    // still gets its planted PII (Spark's concat would null the whole
+    // expression and the planting would silently vanish)
     documents.select(col("doc_id") +: keep.map(col) :+ expr(
-      """concat(text,
+      """concat(coalesce(text, ''),
         | ' Contact user', cast(doc_id as string),
         | '@mail', cast(doc_id % 5 as string), '.example.com today.',
         | case when doc_id % 3 = 0
@@ -109,8 +112,12 @@ object PiiOps {
       regexp_replace(c, re, ph)
     }
 
-  /** Per-document redaction audit: placeholder count, residual PII
-    * after redaction (re-scanned with every pattern; must be 0 — the
+  /** Per-document redaction audit: the number of replacements
+    * actually performed (pattern matches counted on the PRE-redaction
+    * text — counting placeholder tokens in the output would misreport
+    * placeholder literals already present in the input, e.g. when
+    * re-auditing an already-scrubbed corpus), residual PII after
+    * redaction (re-scanned with every pattern; must be 0 — the
     * self-gate the oracle checks), and an md5 pin of the redacted
     * text. Pure projection like [[piiDetect]]; the full redacted
     * corpus is [[redactedText]] minus the audit columns.
@@ -118,18 +125,26 @@ object PiiOps {
   def piiRedact(documents: DataFrame,
                 patterns: Seq[(String, String, String)] = defaultPatterns,
                 keep: Seq[String] = Seq.empty): DataFrame = {
-    val placeholderRe = patterns.map(_._3)
-      .map(java.util.regex.Pattern.quote).mkString("|")
+    val text = coalesce(col("text"), lit(""))
+    // count each pattern on the text THAT STAGE actually rewrites
+    // (the scan-left prefix chain) — an independent per-class count
+    // on the raw input would overcount when one class's match
+    // contains another's (an IP inside an email's domain)
+    val stages = patterns.scanLeft(text) { case (c, (_, re, ph)) =>
+      regexp_replace(c, re, ph)
+    }
+    val matched = patterns.zip(stages).map { case ((_, re, _), pre) =>
+      regexp_count(pre, lit(re))
+    }.reduce(_ + _)
     val residual = patterns.map { case (_, re, _) =>
       regexp_count(col("redacted"), lit(re))
     }.reduce(_ + _)
     documents
       .select(col("doc_id") +: keep.map(col) :+
-        redactedText(coalesce(col("text"), lit("")), patterns)
-          .as("redacted"): _*)
+        matched.cast("long").as("n_redactions") :+
+        stages.last.as("redacted"): _*)
       .select(col("doc_id") +: keep.map(col) :+
-        regexp_count(col("redacted"), lit(placeholderRe))
-          .cast("long").as("n_redactions") :+
+        col("n_redactions") :+
         residual.cast("long").as("n_residual") :+
         md5(col("redacted")).as("redacted_md5"): _*)
   }
@@ -140,8 +155,9 @@ object PiiOps {
     */
   def plantedUrlCorpus(documents: DataFrame,
                        keep: Seq[String] = Seq.empty): DataFrame =
+    // coalesce for DuckDB concat parity — see [[plantedPiiCorpus]]
     documents.select(col("doc_id") +: keep.map(col) :+ expr(
-      """concat(text, ' See https://w', cast(doc_id % 97 as string),
+      """concat(coalesce(text, ''), ' See https://w', cast(doc_id % 97 as string),
         | '.s', cast(doc_id % 13 as string), '.example/p/',
         | cast(doc_id as string), ' ok.')""".stripMargin.replace("\n", " "))
       .as("text"): _*)
@@ -154,9 +170,11 @@ object PiiOps {
     * (the RefinedWeb-style URL filter). The blocklist — real lists
     * are ~1M rows, still model-sized — joins BROADCAST on the
     * extracted domain; everything before the join is one codegen'd
-    * projection. The host class `[^/ ]` is explicit for RE2/Java
-    * parity (a URL never contains a literal space; other whitespace
-    * terminates the match identically in both engines' classes).
+    * projection. The host class excludes `/` and each whitespace
+    * character EXPLICITLY — a negated class happily matches tab and
+    * newline in both RE2 and Java, so `[^/ ]` alone would run a host
+    * match straight through a tab; and per [[OpsUtil.tokensExpr]] a
+    * bare `\s` would diverge between the engines on \x0B.
     */
   def urlBlocklistFilter(documents: DataFrame,
                          blocklist: Seq[String] = defaultBlocklist): DataFrame = {
@@ -166,7 +184,8 @@ object PiiOps {
     documents
       .select(
         col("doc_id"),
-        regexp_extract(col("text"), "https?://([^/ ]+)", 1).as("host"))
+        regexp_extract(col("text"),
+          "https?://([^/ \\t\\n\\x0B\\f\\r]+)", 1).as("host"))
       .withColumn("domain",
         regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
       .join(broadcast(bl), Seq("domain"), "left")

@@ -1036,11 +1036,11 @@ object TextOps {
     *
     * Scale shape (the q123 pattern): the corpus-sized work is ONE
     * partially-aggregated count per distinct avg_fp — the VALUE
-    * HISTOGRAM; the running-sum window and the percentile read-off
-    * run over distinct values, never corpus rows; the doc total rides
-    * a broadcast one-row cross join (the q53 convention). Output is
-    * one row. All arithmetic is integer, so any engine reproduces the
-    * floor bit-for-bit.
+    * HISTOGRAM; the running-sum window, the doc total, and the
+    * percentile read-off all run over distinct values, never corpus
+    * rows, folded into a single aggregation so the scoring pass
+    * executes once. Output is one row. All arithmetic is integer, so
+    * any engine reproduces the floor bit-for-bit.
     */
   def lmFloorCalibrate(documents: DataFrame, gatePct: Int = 15,
                        maxVocab: Int = 1 << 16,
@@ -1049,19 +1049,24 @@ object TextOps {
       s"gatePct must be in (0, 100): $gatePct")
     val avg = bigramLmScore(documents, maxVocab, maxBigrams)
       .select(col("doc_id"), expr("score_fp DIV n_bigrams").as("avg_fp"))
-    val tot = avg.agg(count(lit(1)).as("n_docs"))
-    // the window input is the value histogram (distinct avg values),
-    // never corpus rows — same bound as q123's per-stratum windows
+    // the window inputs are the value histogram (distinct avg values),
+    // never corpus rows — same bound as q123's per-stratum windows.
+    // Everything after the histogram folds into ONE aggregation over
+    // it (floor = first value whose running count reaches k; gated =
+    // the largest running count still below k; total = the last
+    // running count), so the corpus-scale scoring pass runs exactly
+    // once — referencing the histogram from several sub-lineages
+    // would re-execute it per use.
     val w = Window.orderBy(col("avg_fp").asc)
     val hist = avg.groupBy("avg_fp").agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum("cnt").over(w))
-    val floor = hist.crossJoin(broadcast(tot))
-      .withColumn("k", expr(s"CAST((n_docs * $gatePct + 99) DIV 100 AS BIGINT)"))
-      .agg(min(when(col("cum") >= col("k"), col("avg_fp"))).as("floor_fp"))
-    hist.crossJoin(broadcast(floor)).crossJoin(broadcast(tot))
-      .groupBy("floor_fp", "n_docs")
-      .agg(coalesce(
-        sum(when(col("avg_fp") < col("floor_fp"), col("cnt"))),
-        lit(0L)).as("n_gated"))
+      .withColumn("n_docs", max(col("cum")).over(Window.partitionBy()))
+      .withColumn("k",
+        expr(s"CAST((n_docs * $gatePct + 99) DIV 100 AS BIGINT)"))
+    hist.agg(
+      min(when(col("cum") >= col("k"), col("avg_fp"))).as("floor_fp"),
+      max(col("n_docs")).as("n_docs"),
+      coalesce(max(when(col("cum") < col("k"), col("cum"))), lit(0L))
+        .as("n_gated"))
   }
 }

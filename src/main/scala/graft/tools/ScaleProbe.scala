@@ -189,9 +189,14 @@ object ScaleProbe {
       time {
         val df = SparkEntry.queries(q)(spark, dir)
         if (force)
+          // collect() the one-row aggregate — a trailing count() would
+          // let Catalyst prune the hash AND the aggregate (count needs
+          // no columns), silently reverting to scan-only timing.
+          // bit_xor, not sum: summing 64-bit hashes overflows long
+          // under ANSI mode
           df.select(org.apache.spark.sql.functions.xxhash64(
               df.columns.map(org.apache.spark.sql.functions.col): _*).as("h"))
-            .agg(org.apache.spark.sql.functions.sum("h")).count()
+            .agg(org.apache.spark.sql.functions.expr("bit_xor(h)")).collect()
         else df.count()
       }
     }.min

@@ -39,6 +39,21 @@ class PiiOpsSpec extends SparkSpec {
     assert(once.exceptAll(twice).isEmpty)
   }
 
+  test("n_redactions counts replacements performed, not placeholder tokens") {
+    val d = docs(
+      // a pre-existing placeholder literal is NOT a redaction
+      1L -> "see [EMAIL] for contact",
+      // an IP inside an email's domain is ONE replacement (the email
+      // pass consumes it before the IP pass ever sees it)
+      2L -> "mail a@10.0.0.1.cc now",
+      3L -> "mail a@b.cc and host 10.0.0.1")
+    val out = PiiOps.piiRedact(d).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_redactions")).toMap
+    assert(out(1L) === 0L)
+    assert(out(2L) === 1L)
+    assert(out(3L) === 2L)
+  }
+
   test("piiRedact honors a caller-supplied pattern inventory") {
     val d = docs(1L -> "ssn 123-45-6789 and mail x@y.zz")
     val ssnOnly = Seq(("ssn",
