@@ -1283,10 +1283,16 @@ object SparkEntry {
       val planted = BpeOps.plantedCorpus(t(s, dir, "documents"))
       val fromArtifact =
         BpeOps.encodeWithArtifact(planted, q153Scope(s, dir), "bpe")
-      val alphabet = BpeOps.fitDictionary(planted, 1 << 16, "text")
-        .flatMap(_._1.map(_.toString)).distinct.sorted
-      val direct = BpeOps.encodeStats(planted,
-        BpeOps.fitBpe(planted, nMerges = 12), alphabetOpt = Some(alphabet))
+      // ONE dictionary pass feeds both the alphabet and the merges —
+      // calling fitBpe separately would re-run the identical corpus
+      // aggregation a second time
+      val dict = BpeOps.fitDictionary(planted, 1 << 16, "text")
+      val alphabet = dict.flatMap(_._1.map(_.toString)).distinct.sorted
+      val s2 = s; import s2.implicits._
+      val merges = BpeOps.fitFromCounts(dict, nMerges = 12)
+        .toDF("merge_rank", "lhs", "rhs", "freq")
+      val direct = BpeOps.encodeStats(planted, merges,
+        alphabetOpt = Some(alphabet))
       fromArtifact.exceptAll(direct)
         .select(lit("artifact_not_direct").as("violation"), col("*"))
         .unionByName(direct.exceptAll(fromArtifact)

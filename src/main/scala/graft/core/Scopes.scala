@@ -114,7 +114,12 @@ object Scopes {
     if (!f.exists(root)) Seq.empty
     else f.listStatus(root).filter(_.isDirectory).map { st =>
       val (files, bytes, mtime) = walk(f, st.getPath)
-      ArtifactInfo(st.getPath.getName, files, bytes, mtime)
+      // a zero-file artifact reports the DIRECTORY's mtime, not 0 —
+      // otherwise sweep() would treat a just-created dir whose first
+      // write hasn't committed yet as infinitely old and delete it
+      // out from under the in-flight writer
+      val effective = if (files == 0L) st.getModificationTime else mtime
+      ArtifactInfo(st.getPath.getName, files, bytes, effective)
     }.toSeq.sortBy(_.name)
   }
 

@@ -77,9 +77,20 @@ object Tables {
     // over time) has no footers to peek — fall back to the canonical
     // TimestampType rather than failing setup; files that later arrive
     // with a different physical encoding belong to a restarted stream.
+    // The fallback is scoped to the EXISTING-but-empty case: a missing
+    // path stays a loud setup error (a typo'd source dir must not
+    // become a stream that silently produces zero rows forever).
     val physical: DataType =
       try spark.read.option("pathGlobFilter", glob).parquet(dir).schema("ts").dataType
-      catch { case _: org.apache.spark.sql.AnalysisException => TimestampType }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val exists =
+            try p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+            catch { case _: java.io.IOException => false }
+          if (!exists) throw e
+          TimestampType
+      }
     val declared = StructType(eventsSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = physical) else f))
     var reader = spark.readStream.schema(declared).option("pathGlobFilter", glob)

@@ -815,38 +815,16 @@ object TextOps {
                          maxTrigrams: Int = 1 << 19): DataFrame = {
     require(maxVocab > 0 && maxBigrams > 0 && maxTrigrams > 0,
       "model caps must be positive")
-    val toks = documents.select(col("doc_id"), expr(tokensExpr).as("w"))
-    val uni = toks.select(explode(col("w")).as("u1"))
-      .groupBy("u1").agg(count(lit(1)).as("cu"))
-      .orderBy(col("cu").desc, col("u1").asc).limit(maxVocab)
-    val total = toks.select(explode(col("w")).as("u1"))
-      .agg(count(lit(1)).as("n_total"))
-    val bi = toks
-      .withColumn("i", explode(expr(
-        "case when size(w) >= 2 then sequence(1, size(w) - 1) " +
-          "else array() end")))
-      .select(expr("element_at(w, i)").as("b1"),
-        expr("element_at(w, i + 1)").as("b2"))
-      .groupBy("b1", "b2").agg(count(lit(1)).as("cb"))
-      .orderBy(col("cb").desc, col("b1").asc, col("b2").asc)
-      .limit(maxBigrams)
-    val tri = toks
-      .withColumn("i", explode(expr(
-        "case when size(w) >= 3 then sequence(1, size(w) - 2) " +
-          "else array() end")))
-      .select(expr("element_at(w, i)").as("t1"),
-        expr("element_at(w, i + 1)").as("t2"),
-        expr("element_at(w, i + 2)").as("t3"))
-      .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("ct"))
-      .orderBy(col("ct").desc, col("t1").asc, col("t2").asc, col("t3").asc)
-      .limit(maxTrigrams)
-    toks
-      .withColumn("i", explode(expr(
-        "case when size(w) >= 3 then sequence(1, size(w) - 2) " +
-          "else array() end")))
-      .select(col("doc_id"), expr("element_at(w, i)").as("w1"),
-        expr("element_at(w, i + 1)").as("w2"),
-        expr("element_at(w, i + 2)").as("w3"))
+    val uni = prunedNgramCounts(documents, Seq("u1"), "cu", maxVocab)
+    // token total from the un-exploded arrays — a second corpus-wide
+    // explode would materialize one row per token just to count them;
+    // greatest(...,0) guards size(null) = -1 on null-text rows
+    val total = documents.select(expr(tokensExpr).as("w"))
+      .agg(sum(greatest(size(col("w")), lit(0))).cast("long").as("n_total"))
+    val bi = prunedNgramCounts(documents, Seq("b1", "b2"), "cb", maxBigrams)
+    val tri = prunedNgramCounts(documents, Seq("t1", "t2", "t3"), "ct",
+      maxTrigrams)
+    ngramStream(documents, Seq("w1", "w2", "w3"), keepDocId = true)
       .join(broadcast(tri.select(col("t1").as("w1"), col("t2").as("w2"),
         col("t3").as("w3"), col("ct"))), Seq("w1", "w2", "w3"), "left")
       .join(broadcast(bi.select(col("b1").as("w1"), col("b2").as("w2"),
@@ -931,28 +909,49 @@ object TextOps {
     * cross-engine identical — the q156/q97 rationale). The corpus
     * never shuffles before its per-doc roll-up.
     */
+  /** One row per n-gram position: the tokens at offsets 0..n-1 as
+    * `gramCols`. THE shared n-gram expansion — every pruned-model
+    * scorer ([[bigramLmScore]], [[dsirWeights]],
+    * [[stupidBackoffScore]]) and its DuckDB oracle replays exactly
+    * this explode guard, so it lives in one place.
+    */
+  private def ngramStream(documents: DataFrame, gramCols: Seq[String],
+                          keepDocId: Boolean = false): DataFrame = {
+    val n = gramCols.size
+    val id = if (keepDocId) Seq(col("doc_id")) else Seq.empty
+    val base = documents.select(id :+ expr(tokensExpr).as("w"): _*)
+    if (n == 1) base.select(id :+ explode(col("w")).as(gramCols.head): _*)
+    else {
+      val grams = gramCols.zipWithIndex.map {
+        case (c, 0) => expr("element_at(w, i)").as(c)
+        case (c, j) => expr(s"element_at(w, i + $j)").as(c)
+      }
+      base.withColumn("i", explode(expr(
+          s"case when size(w) >= $n then sequence(1, size(w) - ${n - 1}) " +
+            "else array() end")))
+        .select(id ++ grams: _*)
+    }
+  }
+
+  /** The PRUNED n-gram count table: top `limit` grams under the
+    * canonical truncation total order (count DESC, then grams ASC) —
+    * the order every oracle mirrors; broadcast-sized by construction.
+    */
+  private def prunedNgramCounts(documents: DataFrame, gramCols: Seq[String],
+                                cntCol: String, limit: Int): DataFrame =
+    ngramStream(documents, gramCols)
+      .groupBy(gramCols.map(col): _*).agg(count(lit(1)).as(cntCol))
+      .orderBy(col(cntCol).desc +: gramCols.map(col(_).asc): _*)
+      .limit(limit)
+
   def dsirWeights(documents: DataFrame, targetSource: String,
                   maxVocab: Int = 1 << 16,
                   maxBigrams: Int = 1 << 18): DataFrame = {
     require(maxVocab > 0, s"maxVocab must be positive: $maxVocab")
     require(maxBigrams > 0, s"maxBigrams must be positive: $maxBigrams")
-    def model(docs: DataFrame, tag: String): (DataFrame, DataFrame) = {
-      val toks = docs.select(expr(tokensExpr).as("w"))
-      val uni = toks.select(explode(col("w")).as("w1"))
-        .groupBy("w1").agg(count(lit(1)).as(s"cu_$tag"))
-        .orderBy(col(s"cu_$tag").desc, col("w1").asc)
-        .limit(maxVocab)
-      val bi = toks
-        .withColumn("i", explode(expr(
-          "case when size(w) >= 2 then sequence(1, size(w) - 1) " +
-            "else array() end")))
-        .select(expr("element_at(w, i)").as("w1"),
-          expr("element_at(w, i + 1)").as("w2"))
-        .groupBy("w1", "w2").agg(count(lit(1)).as(s"cb_$tag"))
-        .orderBy(col(s"cb_$tag").desc, col("w1").asc, col("w2").asc)
-        .limit(maxBigrams)
-      (uni, bi)
-    }
+    def model(docs: DataFrame, tag: String): (DataFrame, DataFrame) = (
+      prunedNgramCounts(docs, Seq("w1"), s"cu_$tag", maxVocab),
+      prunedNgramCounts(docs, Seq("w1", "w2"), s"cb_$tag", maxBigrams))
     val (uniT, biT) = model(
       documents.filter(col("source") === targetSource), "t")
     val (uniR, biR) = model(
@@ -964,13 +963,7 @@ object TextOps {
          |  / (cast(coalesce(cb_r, 0) + 1 as double)
          |    * cast(coalesce(cu_t, 0) + $maxVocab as double))))
          |as bigint)""".stripMargin.replace("\n", " "))
-    documents
-      .select(col("doc_id"), expr(tokensExpr).as("w"))
-      .withColumn("i", explode(expr(
-        "case when size(w) >= 2 then sequence(1, size(w) - 1) " +
-          "else array() end")))
-      .select(col("doc_id"), expr("element_at(w, i)").as("w1"),
-        expr("element_at(w, i + 1)").as("w2"))
+    ngramStream(documents, Seq("w1", "w2"), keepDocId = true)
       .join(broadcast(biT), Seq("w1", "w2"), "left")
       .join(broadcast(uniT), Seq("w1"), "left")
       .join(broadcast(biR), Seq("w1", "w2"), "left")
@@ -985,28 +978,9 @@ object TextOps {
                     maxBigrams: Int = 1 << 18): DataFrame = {
     require(maxVocab > 0, s"maxVocab must be positive: $maxVocab")
     require(maxBigrams > 0, s"maxBigrams must be positive: $maxBigrams")
-    val toks = documents
-      .select(col("doc_id"), expr(tokensExpr).as("w"))
-    val uni = toks.select(explode(col("w")).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("cu"))
-      .orderBy(col("cu").desc, col("w1").asc)
-      .limit(maxVocab)
-    val bi = toks
-      .withColumn("i", explode(expr(
-        "case when size(w) >= 2 then sequence(1, size(w) - 1) " +
-          "else array() end")))
-      .select(expr("element_at(w, i)").as("w1"),
-        expr("element_at(w, i + 1)").as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-      .orderBy(col("cb").desc, col("w1").asc, col("w2").asc)
-      .limit(maxBigrams)
-    documents
-      .select(col("doc_id"), expr(tokensExpr).as("w"))
-      .withColumn("i", explode(expr(
-        "case when size(w) >= 2 then sequence(1, size(w) - 1) " +
-          "else array() end")))
-      .select(col("doc_id"), expr("element_at(w, i)").as("w1"),
-        expr("element_at(w, i + 1)").as("w2"))
+    val uni = prunedNgramCounts(documents, Seq("w1"), "cu", maxVocab)
+    val bi = prunedNgramCounts(documents, Seq("w1", "w2"), "cb", maxBigrams)
+    ngramStream(documents, Seq("w1", "w2"), keepDocId = true)
       .join(broadcast(bi), Seq("w1", "w2"), "left")
       .join(broadcast(uni), Seq("w1"), "left")
       .select(col("doc_id"),

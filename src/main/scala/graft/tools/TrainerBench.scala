@@ -17,11 +17,16 @@ object TrainerBench {
     // dictionary (lengths 3-12, 26-letter alphabet) instead, the scale
     // the 64Ki-truncated fitDictionary would actually deliver
     val rnd = new scala.util.Random(7)
+    // dedupe by WORD (summing counts) — short words collide across
+    // draws, and a plain .distinct on (word, count) pairs would keep
+    // both copies, so the "N word types" line would overcount and one
+    // surface word would feed the trainers as two dictionary entries
     val dict = (0 until 50000).map { i =>
       val w = Array.fill(3 + rnd.nextInt(10))(
         ('a' + rnd.nextInt(26)).toChar).mkString
       w -> math.max(1L, (1e7 / (i + 10)).toLong)
-    }.distinct
+    }.groupBy(_._1).map { case (w, ws) => w -> ws.map(_._2).sum }
+      .toSeq.sortBy(_._1)
     println(s"[trainer-bench] dictionary: ${dict.size} word types, " +
       s"${dict.map(_._1.length).sum} symbols")
     def time(tag: String)(body: => Seq[_]): Unit = {
