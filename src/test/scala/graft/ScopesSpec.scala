@@ -77,6 +77,24 @@ class ScopesSpec extends SparkSpec {
       assert(!new java.io.File(scope.path("old_bands")).exists())
       // idempotent: nothing left to sweep
       assert(Scopes.sweep(spark, scope, cutoff, Set("kept_labels")) === Seq.empty)
+
+      // a just-created EMPTY artifact dir (a writer that hasn't
+      // committed its first file yet) reports the dir's own mtime,
+      // not 0 — sweep must leave it alone
+      val inflight = new java.io.File(scope.path("inflight"))
+      assert(inflight.mkdirs())
+      val invEmpty = Scopes.inventory(spark, scope)
+        .find(_.name == "inflight").get
+      assert(invEmpty.n_files === 0L)
+      assert(invEmpty.last_modified_ms > cutoff)
+      assert(!Scopes.sweep(spark, scope, cutoff, Set("kept_labels"))
+        .contains("inflight"))
+      assert(inflight.exists())
+      // ...but an ABANDONED empty dir ages out like any artifact
+      inflight.setLastModified(cutoff - 10000)
+      assert(Scopes.sweep(spark, scope, cutoff, Set("kept_labels"))
+        === Seq("inflight"))
+      assert(!inflight.exists())
     } finally Scopes.delete(spark, scope)
   }
 }
