@@ -40,6 +40,15 @@ class TablesSpec extends SparkSpec {
       === org.apache.spark.sql.types.TimestampType)
   }
 
+  test("eventsStream on a MISSING source dir fails setup loudly") {
+    // the empty-dir fallback must not swallow a typo'd path — that
+    // would surface as a stream silently producing zero rows forever
+    val missing = Files.createTempDirectory("graft-gone").toString + "/nope"
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Tables.eventsStream(spark, missing)
+    }
+  }
+
   test("text scan reads raw lines with glob support") {
     val dir = Files.createTempDirectory("graft-text").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "a.txt"), "l1\nl2\n")
