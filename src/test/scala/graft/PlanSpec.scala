@@ -347,4 +347,30 @@ class PlanSpec extends SparkSpec {
     // and the only exchange is the domain-keyed aggregation
     assert(plan.contains("partial_count"), plan)
   }
+
+  test("q166/q167: the PII scrub is a pure projection — zero exchanges") {
+    Seq("q166_pii_detect", "q167_pii_redact").foreach { q =>
+      val plan = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("Exchange"), s"$q: $plan")
+      assert(!plan.contains("Join"), s"$q: $plan")
+    }
+  }
+
+  test("q169: the flagship scrub joins the broadcast topK selection — regex after the join") {
+    val df = SparkEntry.queries("q169_redacted_corpus")(spark, sf)
+    df.collect() // finalize the adaptive plan (the PlanAudit convention)
+    val plan = planOf(df)
+    // the scrub is computed ABOVE the top join (parents print before
+    // children), so only selected rows pay the regex; the top join is
+    // a BroadcastHashJoin whose build side is the 150-row
+    // TakeOrderedAndProject selection. (The selection subtree below
+    // has its own join shapes — asserted by the flagship tests, not
+    // here.)
+    val scrubIdx = plan.indexOf("[EMAIL]")
+    val joinIdx = plan.indexOf("BroadcastHashJoin")
+    val topKIdx = plan.indexOf("TakeOrderedAndProject")
+    assert(scrubIdx >= 0 && joinIdx >= 0 && topKIdx >= 0, plan)
+    assert(scrubIdx < joinIdx, plan)
+    assert(joinIdx < topKIdx, plan)
+  }
 }
