@@ -153,16 +153,19 @@ object ClusterOps {
       throw new graft.core.GraftException(
         s"connectedComponents did not converge in $maxIter rounds")
     // fixed point is a star per component: (u, componentMin) edges.
-    // Materialize the (smaller) label set so the final round's edge
-    // blocks can be freed NOW instead of living as long as the
-    // returned plan; what stays cached is one row per clustered doc.
+    // localCheckpoint (eager) the label set — one row per clustered
+    // doc, lineage-free executor-local blocks the ContextCleaner
+    // releases when the caller drops the frame — so BOTH the final
+    // round's edge blocks and the label blocks are freed without a
+    // caller-side unpersist hook. A plain persist here leaked one
+    // cached label table per invocation for the session lifetime
+    // (streaming maintenance calls this every micro-batch).
     val labels = e.groupBy("u").agg(min("v").as("canonical"))
       .withColumnRenamed("u", "doc_id")
-    val (_, labelsDf) = materialize(labels)
-    labelsDf.count()
+      .localCheckpoint(true)
     eRdd.unpersist(blocking = false)
     vertices.select(col("doc_id").cast("long").as("doc_id"))
-      .join(labelsDf, Seq("doc_id"), "left")
+      .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("canonical"), col("doc_id")).as("canonical_id"))
   }
@@ -687,13 +690,18 @@ object ClusterOps {
     */
   def saveCorpusShards(documents: DataFrame, scope: graft.core.Scope,
                        name: String, nShards: Int = 8): Unit = {
-    graft.core.Scopes.writeMeta(documents.sparkSession, scope,
-      s"$name/meta", "n_shards" -> nShards)
+    // rows first, meta LAST (the saveBands/savePqIndex convention): a
+    // write that dies mid-rows must not leave fresh meta (possibly a
+    // new shard count) beside stale rows — the audits would then
+    // recompute under the wrong geometry and misreport a write
+    // failure as content corruption
     corpusShards(documents, nShards)
       .repartition(col("split"), col("shard"))
       .sortWithinPartitions(col("pos"))
       .write.partitionBy("split", "shard")
       .mode("overwrite").parquet(scope.path(s"$name/rows"))
+    graft.core.Scopes.writeMeta(documents.sparkSession, scope,
+      s"$name/meta", "n_shards" -> nShards)
   }
 
   /** Q169 — the flagship's SAFETY tail: the v3-selected corpus

@@ -80,6 +80,12 @@ object DedupOps {
     */
   def minhashBands(documents: DataFrame, numHashes: Int = 12,
                    bandSize: Int = 2, shingleSize: Int = 3): DataFrame = {
+    // a remainder would silently DROP the trailing signature slots —
+    // recall would be that of a smaller scheme while still paying for
+    // the unused hashes, and the broken geometry would persist into
+    // the band artifact; fail fast instead
+    require(numHashes % bandSize == 0,
+      s"numHashes ($numHashes) must be a multiple of bandSize ($bandSize)")
     val sig = minhashSignature(documents, numHashes, shingleSize)
     val nBands = numHashes / bandSize
     val bandCols = (0 until nBands).map { b =>
@@ -106,6 +112,8 @@ object DedupOps {
   def minhashBandsRowwise(documents: DataFrame, numHashes: Int = 12,
                           bandSize: Int = 2, shingleSize: Int = 3,
                           keep: Seq[String] = Nil): DataFrame = {
+    require(numHashes % bandSize == 0, // see minhashBands
+      s"numHashes ($numHashes) must be a multiple of bandSize ($bandSize)")
     val sigCols = (0 until numHashes).map(s =>
       expr(s"array_min(transform(sarr, g -> md5(concat('$s', ':', g))))")
         .as(s"h$s"))
@@ -214,9 +222,15 @@ object DedupOps {
     * at corpus scale O(batch), not O(corpus).
     */
   def incrementalExactDedup(newDocs: DataFrame, existing: DataFrame): DataFrame = {
-    val existingFp = existing.select(expr(contentFingerprintSql).as("fp")).distinct()
-    newDocs.select(col("doc_id"), expr(contentFingerprintSql).as("fp"))
-      .join(existingFp, Seq("fp"), "left_anti")
+    val existingFp = existing.select(expr(contentFingerprintSql).as("fp_ex")).distinct()
+    val newFps = newDocs.select(col("doc_id"), expr(contentFingerprintSql).as("fp"))
+    // NULL-SAFE anti-join: batch exactDedup groups null fingerprints
+    // (null text) into one group, so the incremental form must also
+    // dedup a null-text doc against null-text history — a plain
+    // equality anti-join never matches null and would re-admit such a
+    // doc on every single ingest, diverging from the full recompute
+    newFps
+      .join(existingFp, newFps("fp") <=> existingFp("fp_ex"), "left_anti")
       .groupBy("fp")
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "fp", "n_copies")
@@ -246,20 +260,25 @@ object DedupOps {
     val bloom = existing.select(expr(contentFingerprintSql).as("fp"))
       .stat.bloomFilter("fp", expectedItems, fpp)
     val bloomBc = newDocs.sparkSession.sparkContext.broadcast(bloom)
-    // null fp (null text) must flow like any other value: the exact
-    // anti-join never matches a null key, so "definitely fresh"
+    // null fp (null text) routes through the exact re-check: the
+    // anti-join is null-safe (the q59 semantics — null-text history
+    // dedups null-text ingest), so a null fp is always "maybe dup"
+    // rather than "definitely fresh" (a Bloom filter cannot represent
+    // null membership either way)
     val mightExist = udf((fp: String) =>
-      fp != null && bloomBc.value.mightContainString(fp))
+      fp == null || bloomBc.value.mightContainString(fp))
     // both union branches read `flagged` — persist the narrow
     // (doc_id, fp, flag) rows so the batch is scanned, fingerprinted,
     // and Bloom-probed once, not once per branch
     val flagged = fps.withColumn("maybe_dup", mightExist(col("fp"))).persist()
     try {
       // definite-fresh rows skip the anti-join; maybe-dups get the exact
-      // re-check so Bloom false positives cannot drop fresh content
-      val existingFp = existing.select(expr(contentFingerprintSql).as("fp")).distinct()
-      val confirmedFresh = flagged.filter(col("maybe_dup"))
-        .join(existingFp, Seq("fp"), "left_anti")
+      // re-check so Bloom false positives cannot drop fresh content;
+      // the re-check join is NULL-SAFE to match q59
+      val existingFp = existing.select(expr(contentFingerprintSql).as("fp_ex")).distinct()
+      val maybe = flagged.filter(col("maybe_dup"))
+      val confirmedFresh = maybe
+        .join(existingFp, maybe("fp") <=> existingFp("fp_ex"), "left_anti")
         .select("doc_id", "fp")
       val result = flagged.filter(!col("maybe_dup")).select("doc_id", "fp")
         .unionByName(confirmedFresh)
@@ -363,8 +382,12 @@ object DedupOps {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("cast(bit_count(sig_a ^ sig_b) as int)").as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is deterministic per pair, so
+      // the result is identical, but at corpus scale most band
+      // collisions are far pairs — dropping them first keeps the
+      // dedup exchange to only the survivors
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** The CROSS-side SimHash candidates for incremental maintenance:
@@ -387,8 +410,8 @@ object DedupOps {
       .filter(col("doc_a") =!= col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("cast(bit_count(sig_a ^ sig_b) as int)").as("hamming"))
+      .filter(col("hamming") <= maxHamming) // before distinct — see simhashPairs
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** Exact n-gram Jaccard with PREFIX FILTERING (the PPJoin-family
@@ -500,9 +523,16 @@ object DedupOps {
     * shingle rows via a window — no per-document side table, no
     * broadcast, every stage is key-partitioned.
     */
-  def jaccardPairs(documents: DataFrame, shingleSize: Int = 3,
-                   threshold: Double = 0.3,
-                   maxShingleDf: Int = defaultMaxShingleDf): DataFrame = {
+  /** The shared capped-inverted-index pair frame of [[jaccardPairs]]
+    * and [[overlapPairs]]: (doc_a, doc_b, sz_a, sz_b, common) for
+    * every candidate pair meeting through a shared shingle — each
+    * metric is one expression over this frame, so the DF-cap/window/
+    * join machinery (the correctness- and scale-bearing part) exists
+    * exactly once.
+    */
+  private def shingleIntersectionPairs(documents: DataFrame,
+                                       shingleSize: Int,
+                                       maxShingleDf: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = par(documents)
       .withColumn("w", expr(tokensExpr))
@@ -517,6 +547,12 @@ object DedupOps {
     l.join(r, "g").filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
       .agg(count(lit(1)).as("common"))
+  }
+
+  def jaccardPairs(documents: DataFrame, shingleSize: Int = 3,
+                   threshold: Double = 0.3,
+                   maxShingleDf: Int = defaultMaxShingleDf): DataFrame = {
+    shingleIntersectionPairs(documents, shingleSize, maxShingleDf)
       .withColumn("jaccard",
         expr("round(cast(common as double) / (sz_a + sz_b - common), 6)"))
       .filter(col("jaccard") >= threshold)
@@ -536,20 +572,7 @@ object DedupOps {
   def overlapPairs(documents: DataFrame, shingleSize: Int = 3,
                    threshold: Double = 0.8,
                    maxShingleDf: Int = defaultMaxShingleDf): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sh = par(documents)
-      .withColumn("w", expr(tokensExpr))
-      .select(col("doc_id"), explode(expr(shingleExpr(shingleSize))).as("g"))
-      .distinct()
-    val capped = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
-      .filter(col("df") <= maxShingleDf)
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
-    val l = capped.select(col("doc_id").as("doc_a"), col("g"), col("sz").as("sz_a"))
-    val r = capped.select(col("doc_id").as("doc_b"), col("g"), col("sz").as("sz_b"))
-    l.join(r, "g").filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
-      .agg(count(lit(1)).as("common"))
+    shingleIntersectionPairs(documents, shingleSize, maxShingleDf)
       .withColumn("overlap",
         expr("round(cast(common as double) / least(sz_a, sz_b), 6)"))
       .filter(col("overlap") >= threshold)

@@ -62,8 +62,11 @@ object SimilarityOps {
     */
   private def scoredPairs(embeddings: DataFrame, blocks: Int): DataFrame = {
     val n = withNorm(embeddings, "embedding", "n")
+    // pmod, not %: Spark's % is sign-preserving, so a negative vec_id
+    // would land in a block the left side never replicates to and all
+    // of that vector's pairs would silently vanish
     val r = n.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
-      col("n").as("nb"), (col("vec_id") % blocks).as("blk"))
+      col("n").as("nb"), pmod(col("vec_id"), lit(blocks)).as("blk"))
     val l = n.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
         col("n").as("na"))
       .withColumn("blk", explode(expr(s"sequence(0, ${blocks - 1})")))
@@ -211,7 +214,8 @@ object SimilarityOps {
     * corpus.
     */
   def buildIvfIndex(embeddings: DataFrame, nlist: Int = 16,
-                    trainN: Int = 2000): IvfIndex = {
+                    trainN: Int = 2000,
+                    trainOpt: Option[DataFrame] = None): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = embeddings.sparkSession
@@ -231,7 +235,7 @@ object SimilarityOps {
     // under-delivery fallback in [[trainSample]] covers the vanishing
     // remainder). One parquet count + a per-row filter replaces
     // ranking every corpus row just to pick trainN of them.
-    val train = trainSample(embeddings, trainN)
+    val train = trainOpt.getOrElse(trainSample(embeddings, trainN))
       .withColumn("fv", array_to_vector(col("embedding")))
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cell").fit(train)
@@ -244,6 +248,40 @@ object SimilarityOps {
     IvfIndex(assigned, centroids)
   }
 
+  /** The nprobe NEAREST CELLS per query — ||q-c||^2 ranked with the
+    * deterministic (dist2, cell) tie-break. THE one copy of the
+    * cell-selection expression: probe and append sides must agree on
+    * cell assignment or the incremental artifacts corrupt, so every
+    * caller (probeIvf, probeIvfPruned, probeIvfPq) routes through
+    * here. Input: (query_id, q, qn); output: (p_qid, cell).
+    */
+  private def nearestCells(queries: DataFrame, centroids: DataFrame,
+                           nprobe: Int): DataFrame =
+    queries.crossJoin(broadcast(centroids))
+      .withColumn("dist2",
+        expr("qn * qn - 2 * vec_dot(q, centroid) + vec_dot(centroid, centroid)"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist2").asc, col("cell").asc)))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id").as("p_qid"), col("cell"))
+
+  /** Frozen-quantizer argmin cell per batch vector — the append-side
+    * twin of [[nearestCells]] (same distance, same (dist2, cell)
+    * tie-break via the struct-min), shared by [[appendToIvfIndex]]
+    * and [[appendToIvfPqIndex]]. min_by over the nlist candidates
+    * stays inside the per-row aggregation — no window shuffle of the
+    * batch. Input must carry (vec_id, embedding, cn).
+    */
+  private def assignCells(batch: DataFrame, centroids: DataFrame): DataFrame =
+    batch.crossJoin(broadcast(centroids))
+      .withColumn("dist2",
+        expr("cn * cn - 2 * vec_dot(embedding, centroid) + vec_dot(centroid, centroid)"))
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("embedding")).as("embedding"),
+        min(struct(col("dist2"), col("cell"))).getField("cell").as("cell"),
+        first(col("cn")).as("cn"))
+
   /** Probe step: each query visits only its `nprobe` nearest cells,
     * shrinking the candidate set ~nlist/nprobe. Probe selection is a
     * tiny broadcast cross-join (queries × centroids); candidate scoring
@@ -254,13 +292,7 @@ object SimilarityOps {
     // nprobe nearest cells per query: ||q-c||² = |q|² - 2q·c + |c|²
     val queries = index.assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"), col("cn").as("qn"))
-    val probes = queries.crossJoin(broadcast(index.centroids))
-      .withColumn("dist2",
-        expr("qn * qn - 2 * vec_dot(q, centroid) + vec_dot(centroid, centroid)"))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("dist2").asc, col("cell").asc)))
-      .filter(col("pr") <= nprobe)
-      .select(col("query_id").as("p_qid"), col("cell"))
+    val probes = nearestCells(queries, index.centroids, nprobe)
 
     val cands = index.assigned.join(
         broadcast(probes.join(queries, col("p_qid") === col("query_id"))), Seq("cell"))
@@ -316,20 +348,7 @@ object SimilarityOps {
     val spark = batch.sparkSession
     GraftFunctions.register(spark)
     val centroids = spark.read.parquet(scope.path(s"$name/centroids"))
-    val scored = withNorm(batch, "embedding", "cn")
-      .crossJoin(broadcast(centroids))
-      .withColumn("dist2",
-        expr("cn * cn - 2 * vec_dot(embedding, centroid) + vec_dot(centroid, centroid)"))
-    // min_by over the nlist candidates per row: stays inside the
-    // per-row aggregation, no window shuffle of the batch needed —
-    // cell asc tiebreak via the (dist2, cell) struct ordering so a
-    // boundary-equidistant vector lands deterministically
-    val assigned = scored
-      .groupBy(col("vec_id"))
-      .agg(
-        first(col("embedding")).as("embedding"),
-        min(struct(col("dist2"), col("cell"))).getField("cell").as("cell"),
-        first(col("cn")).as("cn"))
+    val assigned = assignCells(withNorm(batch, "embedding", "cn"), centroids)
       .select(col("vec_id"), col("embedding"), col("cell"), col("cn"))
     assigned.write.mode("append").partitionBy("cell")
       .parquet(scope.path(s"$name/assigned"))
@@ -352,13 +371,7 @@ object SimilarityOps {
     val queries = withNorm(queryVecs.filter(col("vec_id") < nQueries),
         "embedding", "qn")
       .select(col("vec_id").as("query_id"), col("embedding").as("q"), col("qn"))
-    val probes = queries.crossJoin(broadcast(index.centroids))
-      .withColumn("dist2",
-        expr("qn * qn - 2 * vec_dot(q, centroid) + vec_dot(centroid, centroid)"))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("dist2").asc, col("cell").asc)))
-      .filter(col("pr") <= nprobe)
-      .select(col("query_id").as("p_qid"), col("cell"))
+    val probes = nearestCells(queries, index.centroids, nprobe)
     // BOUNDED collect: nQueries × nprobe (query, cell) pairs — never
     // corpus rows — traded for a literal IN the scan can prune on
     val probedRows = probes.collect()
@@ -713,12 +726,13 @@ object SimilarityOps {
     * embedding column.
     */
   def buildPqIndex(embeddings: DataFrame, m: Int = 32, nbits: Int = 8,
-                   trainN: Int = 2000, dim: Int = 64): PqIndex = {
+                   trainN: Int = 2000, dim: Int = 64,
+                   trainOpt: Option[DataFrame] = None): PqIndex = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subvectors")
     val dsub = dim / m
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val train = trainSample(embeddings, trainN)
+    val train = trainOpt.getOrElse(trainSample(embeddings, trainN))
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
     require(train.nonEmpty, "cannot fit PQ codebooks on an empty corpus")
@@ -920,8 +934,12 @@ object SimilarityOps {
   def buildIvfPqIndex(embeddings: DataFrame, nlist: Int = 16, m: Int = 32,
                       nbits: Int = 8, trainN: Int = 2000,
                       dim: Int = 64): IvfPqIndex = {
-    val ivf = buildIvfIndex(embeddings, nlist, trainN)
-    val pq = buildPqIndex(embeddings, m, nbits, trainN, dim)
+    // ONE train sample feeds both fits — the sample is deterministic
+    // for (embeddings, trainN), so results are identical to sampling
+    // twice, at half the corpus-scan cost of the compound build
+    val train = trainSample(embeddings, trainN)
+    val ivf = buildIvfIndex(embeddings, nlist, trainN, Some(train))
+    val pq = buildPqIndex(embeddings, m, nbits, trainN, dim, Some(train))
     IvfPqIndex(
       pq.codes.join(ivf.assigned.select("vec_id", "cell"), "vec_id"),
       ivf.centroids, pq.codebooks, pq.m, pq.dsub)
@@ -981,12 +999,8 @@ object SimilarityOps {
     val meta = graft.core.Scopes.readMeta(spark, scope, s"$name/meta")
     val (m, dsub) = (meta("m"), meta("dsub"))
     val centroids = spark.read.parquet(scope.path(s"$name/centroids"))
-    val assigned = withNorm(batch, "embedding", "cn")
-      .crossJoin(broadcast(centroids))
-      .withColumn("dist2",
-        expr("cn * cn - 2 * vec_dot(embedding, centroid) + vec_dot(centroid, centroid)"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("dist2"), col("cell"))).getField("cell").as("cell"))
+    val assigned = assignCells(withNorm(batch, "embedding", "cn"), centroids)
+      .select("vec_id", "cell")
     val codes = encodePqCodes(batch,
       collectCodebooks(spark.read.parquet(scope.path(s"$name/codebooks")), m),
       m, dsub)
@@ -1002,13 +1016,7 @@ object SimilarityOps {
     val queries = withNorm(queryVecs.filter(col("vec_id") < nQueries),
         "embedding", "qn")
       .select(col("vec_id").as("query_id"), col("embedding").as("q"), col("qn"))
-    val probes = queries.crossJoin(broadcast(index.centroids))
-      .withColumn("dist2",
-        expr("qn * qn - 2 * vec_dot(q, centroid) + vec_dot(centroid, centroid)"))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("dist2").asc, col("cell").asc)))
-      .filter(col("pr") <= nprobe)
-      .select(col("query_id").as("p_qid"), col("cell"))
+    val probes = nearestCells(queries, index.centroids, nprobe)
     // bounded collect, as in probeIvfPruned: nQueries × nprobe pairs
     val probedRows = probes.collect()
     val cells = probedRows.map(_.get(1)).distinct.toSeq

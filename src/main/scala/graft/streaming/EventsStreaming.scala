@@ -209,9 +209,12 @@ object EventsStreaming {
         state.update(open)
         // never set a timeout at/behind the watermark (illegal); a
         // session already older than the horizon times out on the
-        // next batch instead
+        // next batch instead. CEIL the µs→ms conversion: flooring
+        // would let the timeout fire up to 999 µs before
+        // last_event + gap, splitting a session the batch
+        // sessionizer (`us - prev_us > gapUs`, exact µs) keeps whole
         state.setTimeoutTimestamp(math.max(
-          open.lastUs / 1000L + gapMinutes * 60000L,
+          (open.lastUs + 999L) / 1000L + gapMinutes * 60000L,
           state.getCurrentWatermarkMs + 1))
         closed.iterator
         }
