@@ -82,6 +82,23 @@ object SparkEntry {
   private val duckPhoneRe = PiiOps.phoneRe
   private val duckIpRe = PiiOps.ipRe
 
+  /** DuckDB replica of HtmlOps.plantedHtmlCorpus's page expression. */
+  private val duckHtml =
+    """concat('<html><head><title>Doc ', cast(doc_id as varchar),
+      | '</title><style>.m{color:red}</style></head><body>',
+      | '<script>var x=', cast(doc_id % 9 as varchar),
+      | '; if(x<7){x=x+1;}</script>',
+      | '<nav><a href="https://w', cast(doc_id % 7 as varchar), '.s',
+      | cast(doc_id % 5 as varchar), '.example/nav">Home</a></nav>',
+      | '<h1>Doc&nbsp;', cast(doc_id as varchar), '</h1>',
+      | '<p>', coalesce(text, ''),
+      | ' See &lt;also&gt; &quot;notes&quot; &amp; Bob&#39;s list.</p>',
+      | '<a href="https://w', cast(doc_id % 7 as varchar), '.s',
+      | cast(doc_id % 13 as varchar), '.example/p/',
+      | cast(doc_id as varchar), '?utm_source=feed#top">Next</a>',
+      | '<div class="footer">&copy; 2026</div></body></html>')"""
+      .stripMargin.replace("\n", " ")
+
   /** Shared scrub CTEs (planted text → staged redactions,
     * PiiOps.defaultPatterns order and BRACKETED placeholders
     * verbatim) + the audit columns — q167/q171 emit them per doc,
@@ -1387,6 +1404,25 @@ object SparkEntry {
     // stateless projection, no state store, same batch oracle
     "q171_stream_pii_scrub" -> ((s, dir) =>
       EventsStreaming.streamingPiiScrub(s, dir)),
+    // HTML main-text extraction (the crawl-ingestion stage before any
+    // text analysis): head/script/style removal -> tag strip ->
+    // ordered entity decode -> whitespace collapse; one zero-exchange
+    // codegen'd projection over the planted deterministic pages
+    "q172_html_extract" -> ((s, dir) =>
+      HtmlOps.htmlExtract(
+        HtmlOps.plantedHtmlCorpus(t(s, dir, "documents")))),
+    // outlink extraction (URL-frontier / link-graph feed) + the q168
+    // registrable-domain blocklist verdict on every extracted link:
+    // projection + posexplode + one BROADCAST join
+    "q173_html_outlinks" -> ((s, dir) =>
+      HtmlOps.htmlOutlinks(
+        HtmlOps.plantedHtmlCorpus(t(s, dir, "documents")))),
+    // crawl-level URL dedup: canonical key (lowercased host minus
+    // www./port, path minus trailing slash; scheme/query/fragment
+    // dropped), keep = lowest doc_id — ONE shuffle, on the key
+    "q174_url_canonical_dedup" -> ((s, dir) =>
+      HtmlOps.urlCanonicalDedup(
+        HtmlOps.plantedDirtyUrlCorpus(t(s, dir, "documents")))),
   )
 
   private val q159Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -3719,5 +3755,81 @@ object SparkEntry {
          |            % 1152921504606846976 AS BIGINT) AS digest_sum
          |FROM h""".stripMargin
     },
+    // HTML extraction over the planted pages (duckHtml mirrored
+    // verbatim): block removal -> tag strip -> ordered entity decode
+    // -> whitespace collapse; 'g' on every multi-match replace
+    // (Spark's regexp_replace is global, DuckDB's defaults to first)
+    "q172_html_extract" ->
+      s"""WITH p AS (SELECT doc_id, $duckHtml AS html FROM documents),
+         |b AS (SELECT doc_id, html,
+         |  regexp_replace(regexp_replace(regexp_replace(html,
+         |    '(?s)<head[^>]*>.*?</head>', ' ', 'g'),
+         |    '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+         |    '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS nb FROM p),
+         |t AS (SELECT doc_id, html,
+         |  regexp_replace(nb, '<[^>]*>', ' ', 'g') AS nt FROM b),
+         |e AS (SELECT doc_id, html,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |    regexp_replace(regexp_replace(nt,
+         |    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+         |    '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g')
+         |    AS de FROM t)
+         |SELECT doc_id,
+         |  regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+         |  CAST(len(regexp_extract_all(html, 'href="')) AS BIGINT)
+         |    AS n_links,
+         |  trim(regexp_replace(de, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
+         |    AS text_clean
+         |FROM e""".stripMargin,
+    // outlinks in document order (unnest(range) for the ordinal, the
+    // q155 convention) + the q168 blocklist verdict per link
+    "q173_html_outlinks" ->
+      s"""WITH p AS (SELECT doc_id, $duckHtml AS html FROM documents),
+         |l AS (SELECT doc_id,
+         |        regexp_extract_all(html, 'href="([^"]*)"', 1) AS ls
+         |      FROM p),
+         |x AS (SELECT doc_id, ls, unnest(range(0, len(ls))) AS i FROM l),
+         |u AS (SELECT doc_id, CAST(i AS INT) AS link_idx,
+         |        ls[CAST(i + 1 AS BIGINT)] AS url FROM x),
+         |h AS (SELECT doc_id, link_idx, url,
+         |        regexp_extract(url, 'https?://([^/?#]+)', 1) AS host
+         |      FROM u),
+         |d AS (SELECT doc_id, link_idx, url, host,
+         |        regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain
+         |      FROM h)
+         |SELECT d.doc_id, d.link_idx, d.url, d.host, d.domain,
+         |  (b.domain IS NOT NULL) AS blocked
+         |FROM d LEFT JOIN (VALUES ('s2.example'), ('s5.example'),
+         |  ('s11.example')) b(domain) ON d.domain = b.domain""".stripMargin,
+    // canonical-URL dedup: the dirty-URL plant and the canonical-key
+    // chain mirrored verbatim (each replace anchored, <=1 match — no
+    // 'g' needed); keep = lowest doc_id per key
+    "q174_url_canonical_dedup" ->
+      s"""WITH p AS (SELECT doc_id, concat(
+         |    case when doc_id % 2 = 0 then 'HTTPS://WWW.W'
+         |         else 'https://w' end,
+         |    cast(doc_id % 7 as varchar), '.s',
+         |    cast(doc_id % 5 as varchar),
+         |    case when doc_id % 2 = 0 then '.EXAMPLE:443'
+         |         else '.example' end,
+         |    '/p/', cast(doc_id % 11 as varchar),
+         |    case when doc_id % 3 = 0 then '/' else '' end,
+         |    case when doc_id % 4 = 2
+         |         then '?utm_source=x&utm_campaign=y' else '' end,
+         |    case when doc_id % 5 = 1 then '#sec2' else '' end) AS url
+         |  FROM documents),
+         |c AS (SELECT doc_id, url,
+         |  concat(
+         |    regexp_replace(regexp_replace(
+         |      lower(regexp_extract(url, '(?i)https?://([^/?#]+)', 1)),
+         |      '^www\\.', ''), ':[0-9]+$$', ''),
+         |    regexp_replace(
+         |      regexp_extract(url, '(?i)https?://[^/?#]+([^?#]*)', 1),
+         |      '/+$$', '')) AS canon FROM p)
+         |SELECT doc_id, url, canon,
+         |  CAST(count(*) OVER (PARTITION BY canon) AS BIGINT) AS n_dups,
+         |  (row_number() OVER (PARTITION BY canon ORDER BY doc_id) = 1)
+         |    AS is_canonical
+         |FROM c""".stripMargin,
   )
 }

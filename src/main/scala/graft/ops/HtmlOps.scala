@@ -1,0 +1,222 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML/crawl ingestion — the extraction stages a web-crawl training
+  * pipeline runs BEFORE any text analysis: main-text extraction
+  * (the RefinedWeb/trafilatura stage, here the deterministic
+  * regex-chain core of it), outlink extraction (the URL-frontier /
+  * link-graph feed), and URL canonicalization dedup (the crawl-level
+  * dedup that runs before content dedup ever sees a byte). The
+  * reference has no text ops at all (`MapReduceWSI.java` exposes only
+  * generic MR); this is the north-star extension surface, composing
+  * with [[PiiOps.urlBlocklistFilter]] (domain verdicts on extracted
+  * links) and the whole [[TextOps]] family (quality/dedup on the
+  * extracted text).
+  *
+  * Scale design: extraction and outlinks are PURE per-row regexp
+  * projections (plus one posexplode) — zero exchanges, whole-stage
+  * codegen; at 100 TB they are scan-bound and embarrassingly
+  * parallel. The blocklist join is always broadcast (real lists are
+  * ~1M rows, model-sized). Canonical-URL dedup shuffles ONCE on the
+  * canonical key — the same hash-partition a `groupBy` would need,
+  * with group sizes bounded by per-URL duplication, not corpus size.
+  *
+  * Parity rules (see FIXTURES.md §3): every regex avoids `\s`/`\d`/
+  * `\w` shorthand (Java vs RE2 Unicode divergence — see
+  * [[OpsUtil.tokensExpr]]); whitespace classes list each character
+  * explicitly; the DuckDB oracle mirrors each chain verbatim with the
+  * `'g'` flag added where a pattern can match more than once (Spark's
+  * `regexp_replace` is always global, DuckDB's default is
+  * first-match-only).
+  *
+  * This is NOT an HTML parser: regex extraction is the documented
+  * contract (tags are `<[^>]*>` spans; head/script/style blocks are
+  * non-greedy open→close spans; a `<` never followed by `>` survives
+  * as text, while a dangling `<` abutting a real tag is consumed with
+  * that tag's span — both pinned in HtmlOpsSpec).
+  * That is exactly the determinism the oracle needs, and the same
+  * trade C4's and Dolma's line-level cleaners make — a full DOM
+  * parse would be a `mapInPandas` stage with no closed-form oracle.
+  */
+object HtmlOps {
+
+  /** The planted-HTML corpus: the fixture text wrapped in a
+    * deterministic page whose every varying part is a pure `doc_id`
+    * expression — title, an inline script (in BODY, with a raw `<`
+    * inside, so tag-stripping alone would corrupt it: script removal
+    * MUST run first), a nav link, entities (incl. `&amp;` which must
+    * decode LAST and `&nbsp;` which must decode BEFORE whitespace
+    * collapse), a tracking-parameter outlink, and a footer entity
+    * (`&copy;`) deliberately OUTSIDE the decode inventory. The DuckDB
+    * oracle regenerates the identical page, so extraction output is
+    * closed-form. `coalesce(text, '')` first: DuckDB's concat skips
+    * NULL args where Spark's nulls the whole row (FIXTURES.md §3).
+    */
+  def plantedHtmlCorpus(documents: DataFrame,
+                        keep: Seq[String] = Seq.empty): DataFrame =
+    documents.select(col("doc_id") +: keep.map(col) :+ expr(
+      """concat('<html><head><title>Doc ', cast(doc_id as string),
+        | '</title><style>.m{color:red}</style></head><body>',
+        | '<script>var x=', cast(doc_id % 9 as string),
+        | '; if(x<7){x=x+1;}</script>',
+        | '<nav><a href="https://w', cast(doc_id % 7 as string), '.s',
+        | cast(doc_id % 5 as string), '.example/nav">Home</a></nav>',
+        | '<h1>Doc&nbsp;', cast(doc_id as string), '</h1>',
+        | '<p>', coalesce(text, ''),
+        | ' See &lt;also&gt; &quot;notes&quot; &amp; Bob&#39;s list.</p>',
+        | '<a href="https://w', cast(doc_id % 7 as string), '.s',
+        | cast(doc_id % 13 as string), '.example/p/',
+        | cast(doc_id as string), '?utm_source=feed#top">Next</a>',
+        | '<div class="footer">&copy; 2026</div></body></html>')"""
+        .stripMargin.replace("\n", " "))
+      .as("html"): _*)
+
+  /** Block-removal patterns, applied in ORDER before tag stripping:
+    * head (drops title/meta/style wholesale), then script, then style
+    * (for pages that put them in body). `(?s)` because real pages
+    * break blocks across lines; non-greedy so one block cannot
+    * swallow the document.
+    */
+  val blockRes: Seq[String] = Seq(
+    "(?s)<head[^>]*>.*?</head>",
+    "(?s)<script[^>]*>.*?</script>",
+    "(?s)<style[^>]*>.*?</style>")
+
+  /** Entity decode inventory, applied in ORDER. `&amp;` is LAST — the
+    * standard double-decode guard: input `&amp;lt;` must extract as
+    * the literal text `&lt;`, not decode twice into `<`. `&nbsp;`
+    * decodes to a plain space BEFORE the whitespace collapse so it
+    * participates in it. Entities outside the inventory (`&copy;`)
+    * pass through literally — decode is an inventory, not a spec.
+    */
+  val entityDecodes: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** The extracted-text column: block removal → tag strip → entity
+    * decode → whitespace collapse → trim. One codegen'd expression
+    * tree, no UDF.
+    */
+  def extractedText(html: Column): Column = {
+    val noBlocks = blockRes.foldLeft(html)((c, re) =>
+      regexp_replace(c, re, " "))
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = entityDecodes.foldLeft(noTags) { case (c, (ent, ch)) =>
+      regexp_replace(c, ent, ch)
+    }
+    trim(regexp_replace(decoded, "[ \\t\\n\\x0B\\f\\r]+", " "))
+  }
+
+  /** Q-html-extract: title, link count, and main text per page — one
+    * zero-exchange projection. The title is read from the ORIGINAL
+    * html (head removal would destroy it); `n_links` counts href
+    * attributes on the original html too (nav links count — they are
+    * links even though their anchor text is boilerplate).
+    */
+  def htmlExtract(documents: DataFrame,
+                  htmlCol: String = "html"): DataFrame = {
+    val h = coalesce(col(htmlCol), lit(""))
+    documents.select(
+      col("doc_id"),
+      regexp_extract(h, "<title>([^<]*)</title>", 1).as("title"),
+      regexp_count(h, lit("href=\"")).cast("long").as("n_links"),
+      extractedText(h).as("text_clean"))
+  }
+
+  /** Q-html-outlinks: every href value in document order, with host /
+    * registrable-domain extraction and the [[PiiOps]] blocklist
+    * verdict. Projection + posexplode + one BROADCAST join; the host
+    * class `[^/?#]+` is the URL-authority terminator set (an href
+    * value cannot contain raw whitespace the way free text can — the
+    * free-text scan in [[PiiOps.urlBlocklistFilter]] keeps its
+    * explicit whitespace class for that reason).
+    */
+  def htmlOutlinks(documents: DataFrame,
+                   blocklist: Seq[String] = PiiOps.defaultBlocklist,
+                   htmlCol: String = "html"): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val bl = blocklist.toDF("domain").withColumn("bl_hit", lit(true))
+    documents
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(coalesce(col(htmlCol), lit("")),
+          lit("href=\"([^\"]*)\""), lit(1))).as(Seq("link_idx", "url")))
+      .withColumn("host", regexp_extract(col("url"),
+        "https?://([^/?#]+)", 1))
+      .withColumn("domain", regexp_extract(col("host"),
+        "([^.]+\\.[^.]+)$", 1))
+      .join(broadcast(bl), Seq("domain"), "left")
+      .select(
+        col("doc_id"), col("link_idx").cast("int").as("link_idx"),
+        col("url"), col("host"), col("domain"),
+        coalesce(col("bl_hit"), lit(false)).as("blocked"))
+  }
+
+  /** The canonical-URL key: lowercased host minus a leading `www.`
+    * and any explicit port, concatenated with the path minus trailing
+    * slashes; scheme, query, and fragment are DROPPED wholesale.
+    * That is the aggressive crawl-dedup key (two fetches differing
+    * only in tracking params / fragment / scheme are the same page
+    * for training purposes) — a conservative variant would keep
+    * non-tracking query params, at the cost of a param-level parser.
+    * `(?i)` on the scheme: `HTTPS://` is a valid scheme spelling.
+    * Each replace here can match at most once (anchored), so the
+    * DuckDB mirror needs no `'g'` flag.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val host0 = lower(regexp_extract(url, "(?i)https?://([^/?#]+)", 1))
+    val host = regexp_replace(
+      regexp_replace(host0, "^www\\.", ""), ":[0-9]+$", "")
+    val path = regexp_replace(
+      regexp_extract(url, "(?i)https?://[^/?#]+([^?#]*)", 1), "/+$", "")
+    concat(host, path)
+  }
+
+  /** The planted dirty-URL corpus: one URL per doc where the
+    * canonical key depends only on `(doc_id%7, doc_id%5, doc_id%11)`
+    * — 385 keys, so the sf0.01 fixture (500 docs) collides heavily —
+    * while the SURFACE form varies independently: uppercase
+    * scheme/host + `www.` + `:443` on even ids, a trailing slash on
+    * id%3==0, tracking params on id%4==2, a fragment on id%5==1.
+    */
+  def plantedDirtyUrlCorpus(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), expr(
+      """concat(
+        | case when doc_id % 2 = 0 then 'HTTPS://WWW.W'
+        |      else 'https://w' end,
+        | cast(doc_id % 7 as string), '.s', cast(doc_id % 5 as string),
+        | case when doc_id % 2 = 0 then '.EXAMPLE:443'
+        |      else '.example' end,
+        | '/p/', cast(doc_id % 11 as string),
+        | case when doc_id % 3 = 0 then '/' else '' end,
+        | case when doc_id % 4 = 2
+        |      then '?utm_source=x&utm_campaign=y' else '' end,
+        | case when doc_id % 5 = 1 then '#sec2' else '' end)"""
+        .stripMargin.replace("\n", " "))
+      .as("url"))
+
+  /** Q-url-canonical-dedup: per-URL canonical key, duplicate-group
+    * size, and the keep verdict (lowest doc_id per key survives —
+    * deterministic, and in a crawl the lowest id is the first fetch).
+    * ONE shuffle, on the canonical key (the window's partition key);
+    * both window functions share it. At 100 TB group sizes are
+    * bounded by per-page duplication (mirrors/params), not corpus
+    * size — no skew beyond what a groupBy on the same key would see.
+    */
+  def urlCanonicalDedup(urls: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // both window functions over the SAME ordered spec (the count
+    // with an explicit unbounded frame) — one exchange, one sort
+    val w = Window.partitionBy(col("canon")).orderBy(col("doc_id"))
+    val wAll = w.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val withCanon = urls.withColumn("canon", canonicalUrl(col("url")))
+    withCanon
+      .withColumn("n_dups", count(lit(1)).over(wAll))
+      .withColumn("is_canonical", row_number().over(w) === 1)
+      .select(col("doc_id"), col("url"), col("canon"),
+        col("n_dups").cast("long").as("n_dups"), col("is_canonical"))
+  }
+}

@@ -97,6 +97,9 @@ object PlanAudit {
     "q168_url_blocklist", // domain extract + broadcast blocklist join
     "q169_redacted_corpus", // v3 selection once, scrub on topK join rows
     "q170_lm_floor",      // q156 pass + histogram-sized percentile window
+    "q172_html_extract",  // regex extraction chain, zero exchanges
+    "q173_html_outlinks", // posexplode + broadcast blocklist join
+    "q174_url_canonical_dedup", // one shuffle, on the canonical key
     "q10_event_window")   // normalized-ts scan straight into windowed agg
 
   def main(args: Array[String]): Unit = {

@@ -87,7 +87,12 @@ object ScaleProbe {
     "q170_lm_floor",
     // scrub-on-ingest: the per-micro-batch cost must track the batch
     // scrub (stateless, no state store to grow)
-    "q171_stream_pii_scrub")
+    "q171_stream_pii_scrub",
+    // HTML ingestion: extraction/outlinks are pure projections
+    // (scan-bound flat expected); canonical dedup shuffles once on
+    // the canonical key
+    "q172_html_extract", "q173_html_outlinks",
+    "q174_url_canonical_dedup")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

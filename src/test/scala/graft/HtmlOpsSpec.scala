@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.HtmlOps
+
+class HtmlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pages(rows: (Long, String)*) =
+    rows.toDF("doc_id", "html")
+
+  test("htmlExtract strips blocks before tags and decodes entities in order") {
+    val d = pages(
+      // script holds a raw '<' — tag stripping alone would eat from
+      // '<7' to the next '>', corrupting the text; block removal first
+      1L -> ("<html><head><title>T1</title></head><body>" +
+        "<script>if(a<7){b=1;}</script><p>keep me</p></body></html>"),
+      // &amp;lt; must decode ONCE: the literal text is '&lt;', not '<'
+      2L -> "<body><p>x &amp;lt; y &amp; z</p></body>",
+      // &nbsp; joins the whitespace collapse; &copy; passes through
+      3L -> "<body>a&nbsp;&nbsp;b &copy; c</body>",
+      // regex-contract pin (documented non-parser): a trailing '<'
+      // with no tag after it survives as text; a dangling '<' abutting
+      // a real tag is consumed WITH that tag ('<</body>' is one
+      // '<[^>]*>' span)
+      4L -> "<body>tail <",
+      5L -> "<body>tail<</body>")
+    val out = HtmlOps.htmlExtract(d).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(1L) === "keep me")
+    assert(out(2L) === "x &lt; y & z")
+    assert(out(3L) === "a b &copy; c")
+    assert(out(4L) === "tail <")
+    assert(out(5L) === "tail")
+  }
+
+  test("htmlExtract title from original html, n_links counts every href") {
+    val d = pages(5L ->
+      ("<html><head><title>My Page</title></head><body>" +
+        "<a href=\"https://a.example/x\">x</a>" +
+        "<a href=\"https://b.example/y\">y</a></body></html>"))
+    val r = HtmlOps.htmlExtract(d).collect().head
+    assert(r.getString(1) === "My Page")
+    assert(r.getLong(2) === 2L)
+    // head removal drops the title from the text stream
+    assert(r.getString(3) === "x y")
+  }
+
+  test("htmlExtract is null-safe") {
+    val r = HtmlOps.htmlExtract(pages(9L -> null)).collect().head
+    assert(r.getString(1) === "" && r.getLong(2) === 0L &&
+      r.getString(3) === "")
+  }
+
+  test("htmlOutlinks emits document order and blocklist verdicts") {
+    val d = pages(7L ->
+      ("<body><a href=\"https://w1.s2.example/nav\">n</a>" +
+        "<a href=\"https://ok.s9.example/p/7?q=1#f\">p</a></body>"))
+    val rows = HtmlOps.htmlOutlinks(d).orderBy("link_idx").collect()
+    assert(rows.map(_.getInt(1)).toSeq === Seq(0, 1))
+    assert(rows(0).getString(4) === "s2.example" && rows(0).getBoolean(5))
+    assert(rows(1).getString(3) === "ok.s9.example")
+    assert(rows(1).getString(4) === "s9.example" && !rows(1).getBoolean(5))
+  }
+
+  test("canonicalUrl normalizes case, www, port, slash, query, fragment") {
+    val d = Seq(
+      "HTTPS://WWW.Ex.COM:443/A/b/?utm_source=x#frag",
+      "http://ex.com/A/b",
+      "https://ex.com",
+      "https://ex.com/?x=1").toDF("url")
+      .select(HtmlOps.canonicalUrl(col("url")).as("c"))
+    assert(d.collect().map(_.getString(0)).toSeq ===
+      Seq("ex.com/A/b", "ex.com/A/b", "ex.com", "ex.com"))
+  }
+
+  test("urlCanonicalDedup keeps the lowest doc_id per canonical key") {
+    val d = Seq(
+      (10L, "https://www.ex.com/p/1/"),
+      (3L, "HTTP://EX.COM/p/1#z"),
+      (5L, "https://ex.com/p/2")).toDF("doc_id", "url")
+    val out = HtmlOps.urlCanonicalDedup(d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    assert(out(3L) === (("ex.com/p/1", 2L, true)))
+    assert(out(10L) === (("ex.com/p/1", 2L, false)))
+    assert(out(5L) === (("ex.com/p/2", 1L, true)))
+  }
+
+  test("planted corpora collide as designed on the fixture") {
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val dedup = HtmlOps.urlCanonicalDedup(
+      HtmlOps.plantedDirtyUrlCorpus(docs))
+    // sf0.001 has 50 docs over 385 canonical keys — at least one
+    // surface-divergent pair must still share a key
+    assert(dedup.filter(col("n_dups") > 1).count() > 0)
+    val links = HtmlOps.htmlOutlinks(HtmlOps.plantedHtmlCorpus(docs))
+    // exactly two links per planted page, nav link domain s<id%5>
+    assert(links.count() === 2 * docs.count())
+    assert(links.filter(col("blocked")).count() > 0)
+  }
+}

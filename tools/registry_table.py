@@ -71,7 +71,7 @@ for m in re.finditer(r'private def (\w+)\(s: SparkSession, dir: String\)[^=]*=\s
 OPS = (r'(ClusterOps|DedupOps|TextOps|SimilarityOps|MultimodalOps|SampleOps|'
        r'SketchOps|MergeOps|GraphOps|TimeSeriesOps|Constraints|Relational|'
        r'MapReduceOps|PipeOps|EventsStreaming|Skew|Jobs|Tables|Layout|'
-       r'Aggregators|BpeOps|PiiOps)\.(\w+)')
+       r'Aggregators|BpeOps|PiiOps|HtmlOps)\.(\w+)')
 
 def impl_of(snippet):
     m = re.search(OPS, snippet)
