@@ -3763,9 +3763,9 @@ object SparkEntry {
       s"""WITH p AS (SELECT doc_id, $duckHtml AS html FROM documents),
          |b AS (SELECT doc_id, html,
          |  regexp_replace(regexp_replace(regexp_replace(html,
-         |    '(?s)<head[^>]*>.*?</head>', ' ', 'g'),
-         |    '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-         |    '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS nb FROM p),
+         |    '(?s)<head([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</head>', ' ', 'g'),
+         |    '(?s)<script([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</script>', ' ', 'g'),
+         |    '(?s)<style([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</style>', ' ', 'g') AS nb FROM p),
          |t AS (SELECT doc_id, html,
          |  regexp_replace(nb, '<[^>]*>', ' ', 'g') AS nt FROM b),
          |e AS (SELECT doc_id, html,
@@ -3792,7 +3792,7 @@ object SparkEntry {
          |u AS (SELECT doc_id, CAST(i AS INT) AS link_idx,
          |        ls[CAST(i + 1 AS BIGINT)] AS url FROM x),
          |h AS (SELECT doc_id, link_idx, url,
-         |        regexp_extract(url, 'https?://([^/?#]+)', 1) AS host
+         |        regexp_extract(url, '(?i)https?://([^/?#]+)', 1) AS host
          |      FROM u),
          |d AS (SELECT doc_id, link_idx, url, host,
          |        regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain
@@ -3818,14 +3818,16 @@ object SparkEntry {
          |         then '?utm_source=x&utm_campaign=y' else '' end,
          |    case when doc_id % 5 = 1 then '#sec2' else '' end) AS url
          |  FROM documents),
+         |c0 AS (SELECT doc_id, url,
+         |  regexp_replace(regexp_replace(
+         |    lower(regexp_extract(url, '(?i)https?://([^/?#]+)', 1)),
+         |    '^www\\.', ''), ':[0-9]+$$', '') AS chost,
+         |  regexp_replace(
+         |    regexp_extract(url, '(?i)https?://[^/?#]+([^?#]*)', 1),
+         |    '/+$$', '') AS cpath FROM p),
          |c AS (SELECT doc_id, url,
-         |  concat(
-         |    regexp_replace(regexp_replace(
-         |      lower(regexp_extract(url, '(?i)https?://([^/?#]+)', 1)),
-         |      '^www\\.', ''), ':[0-9]+$$', ''),
-         |    regexp_replace(
-         |      regexp_extract(url, '(?i)https?://[^/?#]+([^?#]*)', 1),
-         |      '/+$$', '')) AS canon FROM p)
+         |  CASE WHEN chost = '' THEN url
+         |       ELSE concat(chost, cpath) END AS canon FROM c0)
          |SELECT doc_id, url, canon,
          |  CAST(count(*) OVER (PARTITION BY canon) AS BIGINT) AS n_dups,
          |  (row_number() OVER (PARTITION BY canon ORDER BY doc_id) = 1)

@@ -77,12 +77,16 @@ object HtmlOps {
     * head (drops title/meta/style wholesale), then script, then style
     * (for pages that put them in body). `(?s)` because real pages
     * break blocks across lines; non-greedy so one block cannot
-    * swallow the document.
+    * swallow the document. The open tag is anchored as `<name`
+    * followed by whitespace-led attributes or an immediate `>` — a
+    * bare `<head[^>]*>` would prefix-match HTML5's `<header>` and
+    * could delete body content through to a later literal `</head>`
+    * (pinned in HtmlOpsSpec).
     */
   val blockRes: Seq[String] = Seq(
-    "(?s)<head[^>]*>.*?</head>",
-    "(?s)<script[^>]*>.*?</script>",
-    "(?s)<style[^>]*>.*?</style>")
+    "(?s)<head([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</head>",
+    "(?s)<script([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</script>",
+    "(?s)<style([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</style>")
 
   /** Entity decode inventory, applied in ORDER. `&amp;` is LAST — the
     * standard double-decode guard: input `&amp;lt;` must extract as
@@ -132,26 +136,35 @@ object HtmlOps {
     * value cannot contain raw whitespace the way free text can — the
     * free-text scan in [[PiiOps.urlBlocklistFilter]] keeps its
     * explicit whitespace class for that reason).
+    * `(?i)` on the scheme (uppercase `HTTPS://` hrefs must not evade
+    * the verdict — same contract as [[canonicalUrl]]). A RELATIVE
+    * href (no scheme) inherits the page's own host when the caller
+    * supplies `baseHostCol` — without it the row ships with an empty
+    * host/domain and `blocked = false`, which is the wrong verdict
+    * for same-site links on a blocked domain; any real URL-frontier
+    * caller should pass the fetch host.
     */
   def htmlOutlinks(documents: DataFrame,
                    blocklist: Seq[String] = PiiOps.defaultBlocklist,
-                   htmlCol: String = "html"): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    val bl = blocklist.toDF("domain").withColumn("bl_hit", lit(true))
-    documents
-      .select(col("doc_id"),
-        posexplode(regexp_extract_all(coalesce(col(htmlCol), lit("")),
-          lit("href=\"([^\"]*)\""), lit(1))).as(Seq("link_idx", "url")))
-      .withColumn("host", regexp_extract(col("url"),
-        "https?://([^/?#]+)", 1))
-      .withColumn("domain", regexp_extract(col("host"),
-        "([^.]+\\.[^.]+)$", 1))
-      .join(broadcast(bl), Seq("domain"), "left")
+                   htmlCol: String = "html",
+                   baseHostCol: Option[String] = None): DataFrame = {
+    val extracted = regexp_extract(col("url"), "(?i)https?://([^/?#]+)", 1)
+    val host = baseHostCol match {
+      case Some(b) => when(extracted === "", col(b)).otherwise(extracted)
+      case None => extracted
+    }
+    PiiOps.blocklistVerdict(
+      documents
+        .select(col("doc_id") +: baseHostCol.map(col).toSeq :+
+          posexplode(regexp_extract_all(coalesce(col(htmlCol), lit("")),
+            lit("href=\"([^\"]*)\""), lit(1))).as(Seq("link_idx", "url")): _*)
+        .withColumn("host", host)
+        .withColumn("domain", regexp_extract(col("host"),
+          "([^.]+\\.[^.]+)$", 1)),
+      blocklist)
       .select(
         col("doc_id"), col("link_idx").cast("int").as("link_idx"),
-        col("url"), col("host"), col("domain"),
-        coalesce(col("bl_hit"), lit(false)).as("blocked"))
+        col("url"), col("host"), col("domain"), col("blocked"))
   }
 
   /** The canonical-URL key: lowercased host minus a leading `www.`
@@ -171,7 +184,11 @@ object HtmlOps {
       regexp_replace(host0, "^www\\.", ""), ":[0-9]+$", "")
     val path = regexp_replace(
       regexp_extract(url, "(?i)https?://[^/?#]+([^?#]*)", 1), "/+$", "")
-    concat(host, path)
+    // a URL the host regex cannot parse (ftp:, mailto:, relative, …)
+    // keeps ITSELF as the key — collapsing every unparseable URL onto
+    // the empty key would mark unrelated URLs as duplicates and a
+    // keep-first consumer would drop all but one of them
+    when(host === "", url).otherwise(concat(host, path))
   }
 
   /** The planted dirty-URL corpus: one URL per doc where the

@@ -177,20 +177,31 @@ object PiiOps {
     * bare `\s` would diverge between the engines on \x0B.
     */
   def urlBlocklistFilter(documents: DataFrame,
-                         blocklist: Seq[String] = defaultBlocklist): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    val bl = blocklist.toDF("domain").withColumn("bl_hit", lit(true))
-    documents
-      .select(
+                         blocklist: Seq[String] = defaultBlocklist): DataFrame =
+    blocklistVerdict(
+      documents.select(
         col("doc_id"),
         regexp_extract(col("text"),
           "https?://([^/ \\t\\n\\x0B\\f\\r]+)", 1).as("host"))
-      .withColumn("domain",
-        regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+        .withColumn("domain",
+          regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1)),
+      blocklist)
+      .select(col("doc_id"), col("host"), col("domain"), col("blocked"))
+
+  /** Appends a `blocked` verdict to any DataFrame carrying a `domain`
+    * column — the ONE implementation of the blocklist join, shared by
+    * the free-text filter above and [[HtmlOps.htmlOutlinks]] so the
+    * semantics (broadcast left join on exact domain, absent = not
+    * blocked) can never diverge between them.
+    */
+  def blocklistVerdict(withDomain: DataFrame,
+                       blocklist: Seq[String] = defaultBlocklist): DataFrame = {
+    val spark = withDomain.sparkSession
+    import spark.implicits._
+    val bl = blocklist.toDF("domain").withColumn("bl_hit", lit(true))
+    withDomain
       .join(broadcast(bl), Seq("domain"), "left")
-      .select(
-        col("doc_id"), col("host"), col("domain"),
-        coalesce(col("bl_hit"), lit(false)).as("blocked"))
+      .withColumn("blocked", coalesce(col("bl_hit"), lit(false)))
+      .drop("bl_hit")
   }
 }

@@ -64,6 +64,47 @@ class HtmlOpsSpec extends SparkSpec {
     assert(rows(1).getString(4) === "s9.example" && !rows(1).getBoolean(5))
   }
 
+  test("head removal does not prefix-match HTML5 <header>") {
+    val d = pages(6L ->
+      ("<body><header>site nav</header><p>real text</p>" +
+        "<code>literal </head> here</code></body>"))
+    // a bare '<head[^>]*>' would match from '<header>' through the
+    // stray '</head>', deleting 'real text'
+    assert(HtmlOps.htmlExtract(d).collect().head.getString(3) ===
+      "site nav real text literal here")
+  }
+
+  test("htmlOutlinks: uppercase scheme still gets a verdict, relative hrefs inherit baseHost") {
+    val d = Seq((8L, "s2.example",
+      "<body><a href=\"HTTPS://x.s2.example/a\">a</a>" +
+        "<a href=\"/same/site\">b</a></body>"))
+      .toDF("doc_id", "page_host", "html")
+    val noBase = HtmlOps.htmlOutlinks(d.drop("page_host"))
+      .orderBy("link_idx").collect()
+    assert(noBase(0).getString(3) === "x.s2.example" &&
+      noBase(0).getBoolean(5))
+    // without a base host the relative link has no domain — blocked
+    // defaults to false (documented wrong-side default)
+    assert(noBase(1).getString(3) === "" && !noBase(1).getBoolean(5))
+    val withBase = HtmlOps.htmlOutlinks(d, baseHostCol = Some("page_host"))
+      .orderBy("link_idx").collect()
+    assert(withBase(1).getString(3) === "s2.example" &&
+      withBase(1).getBoolean(5))
+  }
+
+  test("canonicalUrl keeps unparseable URLs as their own keys") {
+    val d = Seq(
+      (1L, "ftp://a.example/x"),
+      (2L, "mailto:b@c.example"),
+      (3L, "/relative/path")).toDF("doc_id", "url")
+    val out = HtmlOps.urlCanonicalDedup(d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    assert(out(1L) === (("ftp://a.example/x", 1L, true)))
+    assert(out(2L) === (("mailto:b@c.example", 1L, true)))
+    assert(out(3L) === (("/relative/path", 1L, true)))
+  }
+
   test("canonicalUrl normalizes case, www, port, slash, query, fragment") {
     val d = Seq(
       "HTTPS://WWW.Ex.COM:443/A/b/?utm_source=x#frag",
@@ -92,8 +133,11 @@ class HtmlOpsSpec extends SparkSpec {
     val docs = graft.io.Tables.parquet(spark, sf, "documents")
     val dedup = HtmlOps.urlCanonicalDedup(
       HtmlOps.plantedDirtyUrlCorpus(docs))
-    // sf0.001 has 50 docs over 385 canonical keys — at least one
-    // surface-divergent pair must still share a key
+    // the documents fixture has 500 docs at EVERY sf dir (FIXTURES.md)
+    // over 385 canonical keys, so surface-divergent pairs must share
+    // keys (the key is injective on <=385 CONSECUTIVE ids — 500 is
+    // load-bearing, not a nicety)
+    assert(docs.count() === 500)
     assert(dedup.filter(col("n_dups") > 1).count() > 0)
     val links = HtmlOps.htmlOutlinks(HtmlOps.plantedHtmlCorpus(docs))
     // exactly two links per planted page, nav link domain s<id%5>
