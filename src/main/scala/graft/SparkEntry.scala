@@ -99,6 +99,26 @@ object SparkEntry {
       | '<div class="footer">&copy; 2026</div></body></html>')"""
       .stripMargin.replace("\n", " ")
 
+  /** Shared q172/q175 extraction CTEs: the planted page and the
+    * block-removal → tag-strip → entity-decode chain (HtmlOps
+    * mirrored verbatim; 'g' on every multi-match replace).
+    */
+  private lazy val duckHtmlExtractCtes =
+    s"""p AS (SELECT doc_id, $duckHtml AS html FROM documents),
+       |b AS (SELECT doc_id, html,
+       |  regexp_replace(regexp_replace(regexp_replace(html,
+       |    '(?s)<head([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</head>', ' ', 'g'),
+       |    '(?s)<script([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</script>', ' ', 'g'),
+       |    '(?s)<style([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</style>', ' ', 'g') AS nb FROM p),
+       |t AS (SELECT doc_id, html,
+       |  regexp_replace(nb, '<[^>]*>', ' ', 'g') AS nt FROM b),
+       |e AS (SELECT doc_id, html,
+       |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |    regexp_replace(regexp_replace(nt,
+       |    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+       |    '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g')
+       |    AS de FROM t)""".stripMargin
+
   /** Shared scrub CTEs (planted text → staged redactions,
     * PiiOps.defaultPatterns order and BRACKETED placeholders
     * verbatim) + the audit columns — q167/q171 emit them per doc,
@@ -1423,6 +1443,12 @@ object SparkEntry {
     "q174_url_canonical_dedup" -> ((s, dir) =>
       HtmlOps.urlCanonicalDedup(
         HtmlOps.plantedDirtyUrlCorpus(t(s, dir, "documents")))),
+    // the crawl-ingestion flagship: extraction + per-page outlink
+    // verdict in ONE zero-exchange projection (blocklist inlined as
+    // a literal array into a higher-order filter — no join at all)
+    "q175_crawl_ingest" -> ((s, dir) =>
+      HtmlOps.crawlIngest(
+        HtmlOps.plantedHtmlCorpus(t(s, dir, "documents")))),
   )
 
   private val q159Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -3760,20 +3786,7 @@ object SparkEntry {
     // -> whitespace collapse; 'g' on every multi-match replace
     // (Spark's regexp_replace is global, DuckDB's defaults to first)
     "q172_html_extract" ->
-      s"""WITH p AS (SELECT doc_id, $duckHtml AS html FROM documents),
-         |b AS (SELECT doc_id, html,
-         |  regexp_replace(regexp_replace(regexp_replace(html,
-         |    '(?s)<head([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</head>', ' ', 'g'),
-         |    '(?s)<script([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</script>', ' ', 'g'),
-         |    '(?s)<style([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</style>', ' ', 'g') AS nb FROM p),
-         |t AS (SELECT doc_id, html,
-         |  regexp_replace(nb, '<[^>]*>', ' ', 'g') AS nt FROM b),
-         |e AS (SELECT doc_id, html,
-         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-         |    regexp_replace(regexp_replace(nt,
-         |    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
-         |    '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g')
-         |    AS de FROM t)
+      s"""WITH $duckHtmlExtractCtes
          |SELECT doc_id,
          |  regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
          |  CAST(len(regexp_extract_all(html, 'href="')) AS BIGINT)
@@ -3781,6 +3794,29 @@ object SparkEntry {
          |  trim(regexp_replace(de, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
          |    AS text_clean
          |FROM e""".stripMargin,
+    // the crawl flagship: the q172 chain + per-page blocked-outlink
+    // counts (lambda filter over the href list, blocklist inlined —
+    // mirroring the Spark side's join-free plan)
+    "q175_crawl_ingest" ->
+      s"""WITH $duckHtmlExtractCtes,
+         |k AS (SELECT doc_id, html, de,
+         |  regexp_extract_all(html, 'href="([^"]*)"', 1) AS ls FROM e),
+         |n AS (SELECT doc_id, html, de,
+         |  CAST(len(ls) AS BIGINT) AS n_links,
+         |  CAST(len(list_filter(ls, u ->
+         |    regexp_extract(regexp_extract(u,
+         |      '(?i)https?://([^/?#]+)', 1),
+         |      '([^.]+\\.[^.]+)$$', 1)
+         |    IN ('s2.example', 's5.example', 's11.example')))
+         |    AS BIGINT) AS n_blocked_links
+         |  FROM k)
+         |SELECT doc_id,
+         |  regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+         |  n_links, n_blocked_links,
+         |  (n_blocked_links = 0) AS page_ok,
+         |  trim(regexp_replace(de, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
+         |    AS text_clean
+         |FROM n""".stripMargin,
     // outlinks in document order (unnest(range) for the ordinal, the
     // q155 convention) + the q168 blocklist verdict per link
     "q173_html_outlinks" ->

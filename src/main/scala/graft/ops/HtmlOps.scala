@@ -167,6 +167,43 @@ object HtmlOps {
         col("url"), col("host"), col("domain"), col("blocked"))
   }
 
+  /** The crawl-ingestion flagship: per page, the extracted title /
+    * text, the outlink counts, and the page verdict (`page_ok` ⟺
+    * zero blocked outlinks) — the decision a crawl pipeline makes
+    * per fetched page before anything downstream sees it. ONE
+    * zero-exchange projection: the blocklist is inlined as a literal
+    * array into a higher-order `filter` over the extracted href
+    * list, so there is no join at all. That is the right plan while
+    * the blocklist is config-sized; for a ~1M-row list, compose
+    * [[htmlOutlinks]] (broadcast join) with a per-doc aggregation
+    * instead — same semantics, one shuffle.
+    */
+  def crawlIngest(pages: DataFrame,
+                  blocklist: Seq[String] = PiiOps.defaultBlocklist,
+                  htmlCol: String = "html"): DataFrame = {
+    val h = coalesce(col(htmlCol), lit(""))
+    val blArr = array(blocklist.map(lit): _*)
+    def domainOf(u: Column) = regexp_extract(
+      regexp_extract(u, "(?i)https?://([^/?#]+)", 1),
+      "([^.]+\\.[^.]+)$", 1)
+    // stage the href list once: it feeds size() AND the filter, and a
+    // non-cheap alias referenced twice is exactly what CollapseProject
+    // refuses to inline — two projections, one extraction per row
+    val nBlocked = size(filter(col("links"),
+      u => array_contains(blArr, domainOf(u)))).cast("long")
+    pages
+      .select(col("doc_id"), h.as("h"),
+        regexp_extract_all(h, lit("href=\"([^\"]*)\""), lit(1))
+          .as("links"))
+      .select(
+        col("doc_id"),
+        regexp_extract(col("h"), "<title>([^<]*)</title>", 1).as("title"),
+        size(col("links")).cast("long").as("n_links"),
+        nBlocked.as("n_blocked_links"),
+        (nBlocked === 0L).as("page_ok"),
+        extractedText(col("h")).as("text_clean"))
+  }
+
   /** The canonical-URL key: lowercased host minus a leading `www.`
     * and any explicit port, concatenated with the path minus trailing
     * slashes; scheme, query, and fragment are DROPPED wholesale.

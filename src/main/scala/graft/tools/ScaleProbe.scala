@@ -92,7 +92,10 @@ object ScaleProbe {
     // (scan-bound flat expected); canonical dedup shuffles once on
     // the canonical key
     "q172_html_extract", "q173_html_outlinks",
-    "q174_url_canonical_dedup")
+    "q174_url_canonical_dedup",
+    // the crawl flagship: q172's chain + the lambda-filter verdict,
+    // still a single projection — expected cost class = q172's
+    "q175_crawl_ingest")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

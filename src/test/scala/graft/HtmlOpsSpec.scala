@@ -129,6 +129,26 @@ class HtmlOpsSpec extends SparkSpec {
     assert(out(5L) === (("ex.com/p/2", 1L, true)))
   }
 
+  test("crawlIngest verdict agrees with htmlOutlinks, join-free") {
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val pages = HtmlOps.plantedHtmlCorpus(docs)
+    val flag = HtmlOps.crawlIngest(pages)
+    // the zero-exchange literal-IN form must equal the broadcast-join
+    // form aggregated per page
+    val viaJoin = HtmlOps.htmlOutlinks(pages).groupBy("doc_id")
+      .agg(sum(when(col("blocked"), 1L).otherwise(0L)).as("nb"))
+    val joined = flag.join(viaJoin, Seq("doc_id"))
+    assert(joined.filter(col("n_blocked_links") =!= col("nb")).count() === 0)
+    assert(flag.filter(!col("page_ok")).count() ===
+      flag.filter(col("n_blocked_links") > 0).count())
+    // both verdicts occur on the fixture
+    assert(flag.filter(col("page_ok")).count() > 0)
+    assert(flag.filter(!col("page_ok")).count() > 0)
+    // and the extraction columns match q172's
+    val ext = HtmlOps.htmlExtract(pages).select("doc_id", "text_clean")
+    assert(flag.select("doc_id", "text_clean").exceptAll(ext).count() === 0)
+  }
+
   test("planted corpora collide as designed on the fixture") {
     val docs = graft.io.Tables.parquet(spark, sf, "documents")
     val dedup = HtmlOps.urlCanonicalDedup(
