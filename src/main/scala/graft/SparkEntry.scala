@@ -119,6 +119,32 @@ object SparkEntry {
        |    '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g')
        |    AS de FROM t)""".stripMargin
 
+  /** q175/q176 (batch and stream share the oracle, the q167/q171
+    * pattern): the q172 chain + per-page blocked-outlink counts
+    * (lambda filter over the href list, blocklist inlined — mirroring
+    * the Spark side's join-free plan).
+    */
+  private lazy val q175Sql =
+    s"""WITH $duckHtmlExtractCtes,
+       |k AS (SELECT doc_id, html, de,
+       |  regexp_extract_all(html, 'href="([^"]*)"', 1) AS ls FROM e),
+       |n AS (SELECT doc_id, html, de,
+       |  CAST(len(ls) AS BIGINT) AS n_links,
+       |  CAST(len(list_filter(ls, u ->
+       |    regexp_extract(regexp_extract(u,
+       |      '(?i)https?://([^/?#]+)', 1),
+       |      '([^.]+\\.[^.]+)$$', 1)
+       |    IN ('s2.example', 's5.example', 's11.example')))
+       |    AS BIGINT) AS n_blocked_links
+       |  FROM k)
+       |SELECT doc_id,
+       |  regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+       |  n_links, n_blocked_links,
+       |  (n_blocked_links = 0) AS page_ok,
+       |  trim(regexp_replace(de, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
+       |    AS text_clean
+       |FROM n""".stripMargin
+
   /** Shared scrub CTEs (planted text → staged redactions,
     * PiiOps.defaultPatterns order and BRACKETED placeholders
     * verbatim) + the audit columns — q167/q171 emit them per doc,
@@ -1449,6 +1475,10 @@ object SparkEntry {
     "q175_crawl_ingest" -> ((s, dir) =>
       HtmlOps.crawlIngest(
         HtmlOps.plantedHtmlCorpus(t(s, dir, "documents")))),
+    // extract-on-ingest: q175 under readStream — stateless
+    // projection, no state store, same batch oracle (q171 pattern)
+    "q176_stream_crawl_ingest" -> ((s, dir) =>
+      EventsStreaming.streamingCrawlIngest(s, dir)),
   )
 
   private val q159Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -3797,26 +3827,10 @@ object SparkEntry {
     // the crawl flagship: the q172 chain + per-page blocked-outlink
     // counts (lambda filter over the href list, blocklist inlined —
     // mirroring the Spark side's join-free plan)
-    "q175_crawl_ingest" ->
-      s"""WITH $duckHtmlExtractCtes,
-         |k AS (SELECT doc_id, html, de,
-         |  regexp_extract_all(html, 'href="([^"]*)"', 1) AS ls FROM e),
-         |n AS (SELECT doc_id, html, de,
-         |  CAST(len(ls) AS BIGINT) AS n_links,
-         |  CAST(len(list_filter(ls, u ->
-         |    regexp_extract(regexp_extract(u,
-         |      '(?i)https?://([^/?#]+)', 1),
-         |      '([^.]+\\.[^.]+)$$', 1)
-         |    IN ('s2.example', 's5.example', 's11.example')))
-         |    AS BIGINT) AS n_blocked_links
-         |  FROM k)
-         |SELECT doc_id,
-         |  regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
-         |  n_links, n_blocked_links,
-         |  (n_blocked_links = 0) AS page_ok,
-         |  trim(regexp_replace(de, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
-         |    AS text_clean
-         |FROM n""".stripMargin,
+    "q175_crawl_ingest" -> q175Sql,
+    // extract-on-ingest: q175 under readStream (stateless projection,
+    // the q171 contract shape) — identical batch oracle
+    "q176_stream_crawl_ingest" -> q175Sql,
     // outlinks in document order (unnest(range) for the ordinal, the
     // q155 convention) + the q168 blocklist verdict per link
     "q173_html_outlinks" ->

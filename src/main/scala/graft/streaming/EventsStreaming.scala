@@ -1000,4 +1000,27 @@ object EventsStreaming {
     out.cache(); out.count()
     out
   }
+
+  /** Q176: EXTRACT-ON-INGEST — the crawl-ingestion flagship (q175:
+    * HTML extraction + per-page blocked-outlink verdict, the planted
+    * pages and the join-free literal-blocklist plan verbatim) running
+    * as a Structured Streaming pipeline: stateless per-row projection
+    * under readStream, no watermark, no state store, held to q175's
+    * batch oracle — the q171 contract shape applied to the crawl
+    * front door. At 100 TB this IS the ingest topology: pages are
+    * extracted and gated as they are fetched, and only `page_ok`
+    * text ever reaches the corpus-wide stages.
+    */
+  def streamingCrawlIngest(spark: SparkSession, dir: String,
+                           queryName: String = "graft_stream_crawl"): DataFrame = {
+    val src = graft.io.Tables.documentsStream(spark, dir)
+    val out0 = graft.ops.HtmlOps.crawlIngest(
+      graft.ops.HtmlOps.plantedHtmlCorpus(src))
+    val q = out0.writeStream.format("memory").queryName(queryName)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val out = spark.table(queryName)
+    out.cache(); out.count()
+    out
+  }
 }

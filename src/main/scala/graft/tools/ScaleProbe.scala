@@ -95,7 +95,9 @@ object ScaleProbe {
     "q174_url_canonical_dedup",
     // the crawl flagship: q172's chain + the lambda-filter verdict,
     // still a single projection — expected cost class = q172's
-    "q175_crawl_ingest")
+    "q175_crawl_ingest",
+    // extract-on-ingest: per-micro-batch cost must track q175's batch
+    "q176_stream_crawl_ingest")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

@@ -174,4 +174,14 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty)
     assert(batch.exceptAll(streamed).isEmpty)
   }
+
+  test("extract-on-ingest equals the batch crawl flagship exactly (q176 contract)") {
+    val streamed = graft.streaming.EventsStreaming
+      .streamingCrawlIngest(spark, sf, queryName = "spec_stream_crawl")
+    val batch = graft.ops.HtmlOps.crawlIngest(
+      graft.ops.HtmlOps.plantedHtmlCorpus(
+        graft.io.Tables.parquet(spark, sf, "documents")))
+    assert(streamed.exceptAll(batch).isEmpty)
+    assert(batch.exceptAll(streamed).isEmpty)
+  }
 }
