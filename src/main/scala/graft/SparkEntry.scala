@@ -3819,8 +3819,8 @@ object SparkEntry {
       s"""WITH $duckHtmlExtractCtes
          |SELECT doc_id,
          |  regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
-         |  CAST(len(regexp_extract_all(html, 'href="')) AS BIGINT)
-         |    AS n_links,
+         |  CAST(len(regexp_extract_all(html, 'href="([^"]*)"', 1))
+         |    AS BIGINT) AS n_links,
          |  trim(regexp_replace(de, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
          |    AS text_clean
          |FROM e""".stripMargin,

@@ -113,6 +113,25 @@ object HtmlOps {
     trim(regexp_replace(decoded, "[ \\t\\n\\x0B\\f\\r]+", " "))
   }
 
+  /** The href-value list — the ONE definition of "a link" shared by
+    * [[htmlExtract]]'s count, [[htmlOutlinks]], and [[crawlIngest]],
+    * so the three can never disagree on what counts (an unterminated
+    * `href="...` on a truncated fetch is NOT a link anywhere).
+    */
+  def hrefs(html: Column): Column =
+    regexp_extract_all(html, lit("href=\"([^\"]*)\""), lit(1))
+
+  /** The URL's authority (host[:port]) — `[^/?#]+` is the authority
+    * terminator set; `(?i)` because `HTTPS://` is a valid scheme
+    * spelling. Shared by [[htmlOutlinks]], [[canonicalUrl]], and
+    * [[crawlIngest]]. (The free-text scan in
+    * [[PiiOps.urlBlocklistFilter]] keeps its own explicit whitespace
+    * class — free text, unlike an href value, can abut raw
+    * whitespace.)
+    */
+  def hostOf(url: Column): Column =
+    regexp_extract(url, "(?i)https?://([^/?#]+)", 1)
+
   /** Q-html-extract: title, link count, and main text per page — one
     * zero-exchange projection. The title is read from the ORIGINAL
     * html (head removal would destroy it); `n_links` counts href
@@ -125,7 +144,7 @@ object HtmlOps {
     documents.select(
       col("doc_id"),
       regexp_extract(h, "<title>([^<]*)</title>", 1).as("title"),
-      regexp_count(h, lit("href=\"")).cast("long").as("n_links"),
+      size(hrefs(h)).cast("long").as("n_links"),
       extractedText(h).as("text_clean"))
   }
 
@@ -148,7 +167,7 @@ object HtmlOps {
                    blocklist: Seq[String] = PiiOps.defaultBlocklist,
                    htmlCol: String = "html",
                    baseHostCol: Option[String] = None): DataFrame = {
-    val extracted = regexp_extract(col("url"), "(?i)https?://([^/?#]+)", 1)
+    val extracted = hostOf(col("url"))
     val host = baseHostCol match {
       case Some(b) => when(extracted === "", col(b)).otherwise(extracted)
       case None => extracted
@@ -156,11 +175,10 @@ object HtmlOps {
     PiiOps.blocklistVerdict(
       documents
         .select(col("doc_id") +: baseHostCol.map(col).toSeq :+
-          posexplode(regexp_extract_all(coalesce(col(htmlCol), lit("")),
-            lit("href=\"([^\"]*)\""), lit(1))).as(Seq("link_idx", "url")): _*)
+          posexplode(hrefs(coalesce(col(htmlCol), lit(""))))
+            .as(Seq("link_idx", "url")): _*)
         .withColumn("host", host)
-        .withColumn("domain", regexp_extract(col("host"),
-          "([^.]+\\.[^.]+)$", 1)),
+        .withColumn("domain", PiiOps.registrableDomain(col("host"))),
       blocklist)
       .select(
         col("doc_id"), col("link_idx").cast("int").as("link_idx"),
@@ -177,30 +195,43 @@ object HtmlOps {
     * the blocklist is config-sized; for a ~1M-row list, compose
     * [[htmlOutlinks]] (broadcast join) with a per-doc aggregation
     * instead — same semantics, one shuffle.
+    *
+    * As in [[htmlOutlinks]], a RELATIVE href inherits the page's own
+    * host only when the caller supplies `baseHostCol`; without it a
+    * blocked-domain page whose outlinks are all same-site gets
+    * `page_ok = true` — a real crawl caller should pass the fetch
+    * host.
     */
   def crawlIngest(pages: DataFrame,
                   blocklist: Seq[String] = PiiOps.defaultBlocklist,
-                  htmlCol: String = "html"): DataFrame = {
+                  htmlCol: String = "html",
+                  baseHostCol: Option[String] = None): DataFrame = {
     val h = coalesce(col(htmlCol), lit(""))
     val blArr = array(blocklist.map(lit): _*)
-    def domainOf(u: Column) = regexp_extract(
-      regexp_extract(u, "(?i)https?://([^/?#]+)", 1),
-      "([^.]+\\.[^.]+)$", 1)
-    // stage the href list once: it feeds size() AND the filter, and a
-    // non-cheap alias referenced twice is exactly what CollapseProject
-    // refuses to inline — two projections, one extraction per row
+    def linkHost(u: Column) = baseHostCol match {
+      case Some(b) => when(hostOf(u) === "", col(b)).otherwise(hostOf(u))
+      case None => hostOf(u)
+    }
+    // stage the href list, then the blocked count, each in its own
+    // projection: a non-cheap alias referenced twice is exactly what
+    // CollapseProject refuses to inline, so the list is extracted
+    // once (feeds size() and the filter) and the filter runs once
+    // (feeds n_blocked_links and page_ok) — lambda expressions are
+    // also skipped by codegen subexpression elimination, so relying
+    // on CSE instead would genuinely run the filter twice per row
     val nBlocked = size(filter(col("links"),
-      u => array_contains(blArr, domainOf(u)))).cast("long")
+      u => array_contains(blArr,
+        PiiOps.registrableDomain(linkHost(u))))).cast("long")
     pages
-      .select(col("doc_id"), h.as("h"),
-        regexp_extract_all(h, lit("href=\"([^\"]*)\""), lit(1))
-          .as("links"))
+      .select(col("doc_id") +: baseHostCol.map(col).toSeq :+
+        h.as("h") :+ hrefs(h).as("links"): _*)
+      .withColumn("n_blocked_links", nBlocked)
       .select(
         col("doc_id"),
         regexp_extract(col("h"), "<title>([^<]*)</title>", 1).as("title"),
         size(col("links")).cast("long").as("n_links"),
-        nBlocked.as("n_blocked_links"),
-        (nBlocked === 0L).as("page_ok"),
+        col("n_blocked_links"),
+        (col("n_blocked_links") === 0L).as("page_ok"),
         extractedText(col("h")).as("text_clean"))
   }
 
@@ -216,7 +247,7 @@ object HtmlOps {
     * DuckDB mirror needs no `'g'` flag.
     */
   def canonicalUrl(url: Column): Column = {
-    val host0 = lower(regexp_extract(url, "(?i)https?://([^/?#]+)", 1))
+    val host0 = lower(hostOf(url))
     val host = regexp_replace(
       regexp_replace(host0, "^www\\.", ""), ":[0-9]+$", "")
     val path = regexp_replace(

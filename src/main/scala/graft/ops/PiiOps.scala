@@ -183,10 +183,18 @@ object PiiOps {
         col("doc_id"),
         regexp_extract(col("text"),
           "https?://([^/ \\t\\n\\x0B\\f\\r]+)", 1).as("host"))
-        .withColumn("domain",
-          regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1)),
+        .withColumn("domain", registrableDomain(col("host"))),
       blocklist)
       .select(col("doc_id"), col("host"), col("domain"), col("blocked"))
+
+  /** The registrable domain of a host: its last two dot-labels — the
+    * ONE definition of the blocklist key, shared by the free-text
+    * filter, [[HtmlOps.htmlOutlinks]], and [[HtmlOps.crawlIngest]] so
+    * a future rule change (ports, multi-part public suffixes) cannot
+    * diverge between them.
+    */
+  def registrableDomain(host: Column): Column =
+    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
 
   /** Appends a `blocked` verdict to any DataFrame carrying a `domain`
     * column — the ONE implementation of the blocklist join, shared by

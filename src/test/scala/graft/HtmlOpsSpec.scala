@@ -149,6 +149,28 @@ class HtmlOpsSpec extends SparkSpec {
     assert(flag.select("doc_id", "text_clean").exceptAll(ext).count() === 0)
   }
 
+  test("n_links agrees between htmlExtract and crawlIngest on malformed pages") {
+    // a truncated fetch: the unterminated href is not a link in EITHER
+    val d = pages(12L ->
+      ("<body><a href=\"https://a.example/x\">x</a>" +
+        "<a href=\"https://b.example/p"))
+    assert(HtmlOps.htmlExtract(d).collect().head.getLong(2) === 1L)
+    assert(HtmlOps.crawlIngest(d).collect().head.getLong(2) === 1L)
+  }
+
+  test("crawlIngest relative hrefs inherit baseHost for the verdict") {
+    val d = Seq((13L, "s2.example",
+      "<body><a href=\"/same/site\">b</a></body>"))
+      .toDF("doc_id", "page_host", "html")
+    // without the base host: unattributable link, page sails through
+    assert(HtmlOps.crawlIngest(d.drop("page_host"))
+      .collect().head.getBoolean(4))
+    // with it: the same-site link is on the blocked domain
+    val r = HtmlOps.crawlIngest(d, baseHostCol = Some("page_host"))
+      .collect().head
+    assert(r.getLong(3) === 1L && !r.getBoolean(4))
+  }
+
   test("planted corpora collide as designed on the fixture") {
     val docs = graft.io.Tables.parquet(spark, sf, "documents")
     val dedup = HtmlOps.urlCanonicalDedup(
