@@ -75,18 +75,20 @@ object HtmlOps {
 
   /** Block-removal patterns, applied in ORDER before tag stripping:
     * head (drops title/meta/style wholesale), then script, then style
-    * (for pages that put them in body). `(?s)` because real pages
-    * break blocks across lines; non-greedy so one block cannot
-    * swallow the document. The open tag is anchored as `<name`
+    * (for pages that put them in body). `(?is)`: `s` because real
+    * pages break blocks across lines, `i` because they also write
+    * `<SCRIPT>`/`<HEAD>` (every structural matcher here is
+    * case-insensitive — tags, title, href, scheme); non-greedy so one
+    * block cannot swallow the document. The open tag is anchored as `<name`
     * followed by whitespace-led attributes or an immediate `>` — a
     * bare `<head[^>]*>` would prefix-match HTML5's `<header>` and
     * could delete body content through to a later literal `</head>`
     * (pinned in HtmlOpsSpec).
     */
   val blockRes: Seq[String] = Seq(
-    "(?s)<head([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</head>",
-    "(?s)<script([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</script>",
-    "(?s)<style([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</style>")
+    "(?is)<head([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</head>",
+    "(?is)<script([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</script>",
+    "(?is)<style([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</style>")
 
   /** Entity decode inventory, applied in ORDER. `&amp;` is LAST — the
     * standard double-decode guard: input `&amp;lt;` must extract as
@@ -119,7 +121,14 @@ object HtmlOps {
     * `href="...` on a truncated fetch is NOT a link anywhere).
     */
   def hrefs(html: Column): Column =
-    regexp_extract_all(html, lit("href=\"([^\"]*)\""), lit(1))
+    regexp_extract_all(html, lit("(?i)href=\"([^\"]*)\""), lit(1))
+
+  /** The page title — `(?i)` like every structural matcher here
+    * (real pages write `<TITLE>` too). Shared by [[htmlExtract]] and
+    * [[crawlIngest]].
+    */
+  def titleOf(html: Column): Column =
+    regexp_extract(html, "(?i)<title>([^<]*)</title>", 1)
 
   /** The URL's authority (host[:port]) — `[^/?#]+` is the authority
     * terminator set; `(?i)` because `HTTPS://` is a valid scheme
@@ -143,7 +152,7 @@ object HtmlOps {
     val h = coalesce(col(htmlCol), lit(""))
     documents.select(
       col("doc_id"),
-      regexp_extract(h, "<title>([^<]*)</title>", 1).as("title"),
+      titleOf(h).as("title"),
       size(hrefs(h)).cast("long").as("n_links"),
       extractedText(h).as("text_clean"))
   }
@@ -228,7 +237,7 @@ object HtmlOps {
       .withColumn("n_blocked_links", nBlocked)
       .select(
         col("doc_id"),
-        regexp_extract(col("h"), "<title>([^<]*)</title>", 1).as("title"),
+        titleOf(col("h")).as("title"),
         size(col("links")).cast("long").as("n_links"),
         col("n_blocked_links"),
         (col("n_blocked_links") === 0L).as("page_ok"),

@@ -64,6 +64,19 @@ class HtmlOpsSpec extends SparkSpec {
     assert(rows(1).getString(4) === "s9.example" && !rows(1).getBoolean(5))
   }
 
+  test("structural matchers are case-insensitive; style blocks strip in body") {
+    val d = pages(10L ->
+      ("<HTML><HEAD><TITLE>Caps</TITLE></HEAD><BODY>" +
+        "<SCRIPT>if(a<7){b=1;}</SCRIPT><style>p{x:1}</style>" +
+        "<A HREF=\"HTTPS://x.s2.example/y\">y</A>ok</BODY></HTML>"))
+    val r = HtmlOps.htmlExtract(d).collect().head
+    assert(r.getString(1) === "Caps")
+    assert(r.getLong(2) === 1L)
+    assert(r.getString(3) === "y ok")
+    val link = HtmlOps.htmlOutlinks(d).collect().head
+    assert(link.getString(4) === "s2.example" && link.getBoolean(5))
+  }
+
   test("head removal does not prefix-match HTML5 <header>") {
     val d = pages(6L ->
       ("<body><header>site nav</header><p>real text</p>" +
