@@ -107,9 +107,9 @@ object SparkEntry {
     s"""p AS (SELECT doc_id, $duckHtml AS html FROM documents),
        |b AS (SELECT doc_id, html,
        |  regexp_replace(regexp_replace(regexp_replace(html,
-       |    '(?is)<head([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</head>', ' ', 'g'),
-       |    '(?is)<script([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</script>', ' ', 'g'),
-       |    '(?is)<style([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</style>', ' ', 'g') AS nb FROM p),
+       |    '(?s)<[Hh][Ee][Aa][Dd]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Hh][Ee][Aa][Dd]>', ' ', 'g'),
+       |    '(?s)<[Ss][Cc][Rr][Ii][Pp][Tt]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Ss][Cc][Rr][Ii][Pp][Tt]>', ' ', 'g'),
+       |    '(?s)<[Ss][Tt][Yy][Ll][Ee]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Ss][Tt][Yy][Ll][Ee]>', ' ', 'g') AS nb FROM p),
        |t AS (SELECT doc_id, html,
        |  regexp_replace(nb, '<[^>]*>', ' ', 'g') AS nt FROM b),
        |e AS (SELECT doc_id, html,
@@ -127,7 +127,7 @@ object SparkEntry {
   private lazy val q175Sql =
     s"""WITH $duckHtmlExtractCtes,
        |k AS (SELECT doc_id, html, de,
-       |  regexp_extract_all(html, '(?i)href="([^"]*)"', 1) AS ls FROM e),
+       |  regexp_extract_all(html, '[Hh][Rr][Ee][Ff]="([^"]*)"', 1) AS ls FROM e),
        |n AS (SELECT doc_id, html, de,
        |  CAST(len(ls) AS BIGINT) AS n_links,
        |  CAST(len(list_filter(ls, u ->
@@ -138,7 +138,7 @@ object SparkEntry {
        |    AS BIGINT) AS n_blocked_links
        |  FROM k)
        |SELECT doc_id,
-       |  regexp_extract(html, '(?i)<title>([^<]*)</title>', 1) AS title,
+       |  regexp_extract(html, '<[Tt][Ii][Tt][Ll][Ee]>([^<]*)</[Tt][Ii][Tt][Ll][Ee]>', 1) AS title,
        |  n_links, n_blocked_links,
        |  (n_blocked_links = 0) AS page_ok,
        |  trim(regexp_replace(de, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
@@ -3818,8 +3818,8 @@ object SparkEntry {
     "q172_html_extract" ->
       s"""WITH $duckHtmlExtractCtes
          |SELECT doc_id,
-         |  regexp_extract(html, '(?i)<title>([^<]*)</title>', 1) AS title,
-         |  CAST(len(regexp_extract_all(html, '(?i)href="([^"]*)"', 1))
+         |  regexp_extract(html, '<[Tt][Ii][Tt][Ll][Ee]>([^<]*)</[Tt][Ii][Tt][Ll][Ee]>', 1) AS title,
+         |  CAST(len(regexp_extract_all(html, '[Hh][Rr][Ee][Ff]="([^"]*)"', 1))
          |    AS BIGINT) AS n_links,
          |  trim(regexp_replace(de, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
          |    AS text_clean
@@ -3836,7 +3836,7 @@ object SparkEntry {
     "q173_html_outlinks" ->
       s"""WITH p AS (SELECT doc_id, $duckHtml AS html FROM documents),
          |l AS (SELECT doc_id,
-         |        regexp_extract_all(html, '(?i)href="([^"]*)"', 1) AS ls
+         |        regexp_extract_all(html, '[Hh][Rr][Ee][Ff]="([^"]*)"', 1) AS ls
          |      FROM p),
          |x AS (SELECT doc_id, ls, unnest(range(0, len(ls))) AS i FROM l),
          |u AS (SELECT doc_id, CAST(i AS INT) AS link_idx,

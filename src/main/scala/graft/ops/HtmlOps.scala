@@ -75,20 +75,24 @@ object HtmlOps {
 
   /** Block-removal patterns, applied in ORDER before tag stripping:
     * head (drops title/meta/style wholesale), then script, then style
-    * (for pages that put them in body). `(?is)`: `s` because real
-    * pages break blocks across lines, `i` because they also write
-    * `<SCRIPT>`/`<HEAD>` (every structural matcher here is
-    * case-insensitive — tags, title, href, scheme); non-greedy so one
-    * block cannot swallow the document. The open tag is anchored as `<name`
+    * (for pages that put them in body). `(?s)` because real pages
+    * break blocks across lines; tag names as explicit `[Hh]...`
+    * case classes because pages also write `<SCRIPT>`/`<HEAD>` —
+    * every structural matcher here is case-insensitive, with the
+    * folding scoped to the tag letters rather than flagged across
+    * the whole pattern (case-insensitivity costs ~20% on this
+    * scan-bound chain either way — the price of matching real pages;
+    * `(?i)` stays on the short URL matchers where it is free);
+    * non-greedy so one block cannot swallow the document. The open tag is anchored as `<name`
     * followed by whitespace-led attributes or an immediate `>` — a
     * bare `<head[^>]*>` would prefix-match HTML5's `<header>` and
     * could delete body content through to a later literal `</head>`
     * (pinned in HtmlOpsSpec).
     */
   val blockRes: Seq[String] = Seq(
-    "(?is)<head([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</head>",
-    "(?is)<script([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</script>",
-    "(?is)<style([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</style>")
+    "(?s)<[Hh][Ee][Aa][Dd]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Hh][Ee][Aa][Dd]>",
+    "(?s)<[Ss][Cc][Rr][Ii][Pp][Tt]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Ss][Cc][Rr][Ii][Pp][Tt]>",
+    "(?s)<[Ss][Tt][Yy][Ll][Ee]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Ss][Tt][Yy][Ll][Ee]>")
 
   /** Entity decode inventory, applied in ORDER. `&amp;` is LAST — the
     * standard double-decode guard: input `&amp;lt;` must extract as
@@ -121,14 +125,14 @@ object HtmlOps {
     * `href="...` on a truncated fetch is NOT a link anywhere).
     */
   def hrefs(html: Column): Column =
-    regexp_extract_all(html, lit("(?i)href=\"([^\"]*)\""), lit(1))
+    regexp_extract_all(html, lit("[Hh][Rr][Ee][Ff]=\"([^\"]*)\""), lit(1))
 
-  /** The page title — `(?i)` like every structural matcher here
-    * (real pages write `<TITLE>` too). Shared by [[htmlExtract]] and
-    * [[crawlIngest]].
+  /** The page title — case-insensitive like every structural matcher
+    * here (real pages write `<TITLE>` too). Shared by
+    * [[htmlExtract]] and [[crawlIngest]].
     */
   def titleOf(html: Column): Column =
-    regexp_extract(html, "(?i)<title>([^<]*)</title>", 1)
+    regexp_extract(html, "<[Tt][Ii][Tt][Ll][Ee]>([^<]*)</[Tt][Ii][Tt][Ll][Ee]>", 1)
 
   /** The URL's authority (host[:port]) — `[^/?#]+` is the authority
     * terminator set; `(?i)` because `HTTPS://` is a valid scheme
