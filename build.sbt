@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked runMain's stdout must reach the caller RAW: the default
+// LoggedOutput strategy wraps every line in sbt's "[info] " prefix,
+// which breaks machine consumers of graft.Bench/Verify single-line
+// JSON artifacts (BENCH_r08 parsed:null was exactly this).
+run / outputStrategy := Some(sbt.OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

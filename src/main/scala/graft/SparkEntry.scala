@@ -131,8 +131,8 @@ object SparkEntry {
        |n AS (SELECT doc_id, html, de,
        |  CAST(len(ls) AS BIGINT) AS n_links,
        |  CAST(len(list_filter(ls, u ->
-       |    regexp_extract(regexp_extract(u,
-       |      '(?i)https?://([^/?#]+)', 1),
+       |    regexp_extract(regexp_replace(lower(regexp_extract(u,
+       |      '^(?i)https?://([^/?#]+)', 1)), ':[0-9]+$$', ''),
        |      '([^.]+\\.[^.]+)$$', 1)
        |    IN ('s2.example', 's5.example', 's11.example')))
        |    AS BIGINT) AS n_blocked_links
@@ -2484,7 +2484,8 @@ object SparkEntry {
          |        regexp_extract(text, 'https?://([^/ \\t\\n\\x0B\\f\\r]+)', 1)
          |          AS host FROM p),
          |d AS (SELECT doc_id, host,
-         |        regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain FROM h)
+         |        regexp_extract(regexp_replace(lower(host), ':[0-9]+$$', ''),
+         |          '([^.]+\\.[^.]+)$$', 1) AS domain FROM h)
          |SELECT d.doc_id, d.host, d.domain, (b.domain IS NOT NULL) AS blocked
          |FROM d LEFT JOIN (VALUES ('s2.example'), ('s5.example'),
          |  ('s11.example')) b(domain) ON d.domain = b.domain""".stripMargin,
@@ -3842,10 +3843,11 @@ object SparkEntry {
          |u AS (SELECT doc_id, CAST(i AS INT) AS link_idx,
          |        ls[CAST(i + 1 AS BIGINT)] AS url FROM x),
          |h AS (SELECT doc_id, link_idx, url,
-         |        regexp_extract(url, '(?i)https?://([^/?#]+)', 1) AS host
+         |        regexp_extract(url, '^(?i)https?://([^/?#]+)', 1) AS host
          |      FROM u),
          |d AS (SELECT doc_id, link_idx, url, host,
-         |        regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain
+         |        regexp_extract(regexp_replace(lower(host), ':[0-9]+$$', ''),
+         |          '([^.]+\\.[^.]+)$$', 1) AS domain
          |      FROM h)
          |SELECT d.doc_id, d.link_idx, d.url, d.host, d.domain,
          |  (b.domain IS NOT NULL) AS blocked
@@ -3870,10 +3872,10 @@ object SparkEntry {
          |  FROM documents),
          |c0 AS (SELECT doc_id, url,
          |  regexp_replace(regexp_replace(
-         |    lower(regexp_extract(url, '(?i)https?://([^/?#]+)', 1)),
+         |    lower(regexp_extract(url, '^(?i)https?://([^/?#]+)', 1)),
          |    '^www\\.', ''), ':[0-9]+$$', '') AS chost,
          |  regexp_replace(
-         |    regexp_extract(url, '(?i)https?://[^/?#]+([^?#]*)', 1),
+         |    regexp_extract(url, '^(?i)https?://[^/?#]+([^?#]*)', 1),
          |    '/+$$', '') AS cpath FROM p),
          |c AS (SELECT doc_id, url,
          |  CASE WHEN chost = '' THEN url

@@ -136,14 +136,20 @@ object HtmlOps {
 
   /** The URL's authority (host[:port]) — `[^/?#]+` is the authority
     * terminator set; `(?i)` because `HTTPS://` is a valid scheme
-    * spelling. Shared by [[htmlOutlinks]], [[canonicalUrl]], and
-    * [[crawlIngest]]. (The free-text scan in
-    * [[PiiOps.urlBlocklistFilter]] keeps its own explicit whitespace
-    * class — free text, unlike an href value, can abut raw
-    * whitespace.)
+    * spelling; ANCHORED at the start so an absolute URL embedded in a
+    * relative href (`/redirect?to=https://evil.example`) never
+    * extracts the embedded host — unanchored, such a URL would dodge
+    * the unparseable-URL guard in [[canonicalUrl]] (collapsing
+    * distinct redirect URLs onto the embedded key, silently dropping
+    * pages under keep-first) and would attribute the wrong domain in
+    * [[htmlOutlinks]]/[[crawlIngest]]. Shared by [[htmlOutlinks]],
+    * [[canonicalUrl]], and [[crawlIngest]]. (The free-text scan in
+    * [[PiiOps.urlBlocklistFilter]] keeps its own unanchored pattern
+    * and explicit whitespace class — free text is a substring scan by
+    * nature.)
     */
   def hostOf(url: Column): Column =
-    regexp_extract(url, "(?i)https?://([^/?#]+)", 1)
+    regexp_extract(url, "^(?i)https?://([^/?#]+)", 1)
 
   /** Q-html-extract: title, link count, and main text per page — one
     * zero-exchange projection. The title is read from the ORIGINAL
@@ -263,8 +269,10 @@ object HtmlOps {
     val host0 = lower(hostOf(url))
     val host = regexp_replace(
       regexp_replace(host0, "^www\\.", ""), ":[0-9]+$", "")
+    // anchored like hostOf: the path must come from the URL's own
+    // authority, not from an absolute URL embedded in a query string
     val path = regexp_replace(
-      regexp_extract(url, "(?i)https?://[^/?#]+([^?#]*)", 1), "/+$", "")
+      regexp_extract(url, "^(?i)https?://[^/?#]+([^?#]*)", 1), "/+$", "")
     // a URL the host regex cannot parse (ftp:, mailto:, relative, …)
     // keeps ITSELF as the key — collapsing every unparseable URL onto
     // the empty key would mark unrelated URLs as duplicates and a

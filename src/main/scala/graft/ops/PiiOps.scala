@@ -187,14 +187,19 @@ object PiiOps {
       blocklist)
       .select(col("doc_id"), col("host"), col("domain"), col("blocked"))
 
-  /** The registrable domain of a host: its last two dot-labels — the
-    * ONE definition of the blocklist key, shared by the free-text
-    * filter, [[HtmlOps.htmlOutlinks]], and [[HtmlOps.crawlIngest]] so
-    * a future rule change (ports, multi-part public suffixes) cannot
-    * diverge between them.
+  /** The registrable domain of a host: lowercased, an explicit
+    * `:port` stripped, then the last two dot-labels — the ONE
+    * definition of the blocklist key, shared by the free-text filter,
+    * [[HtmlOps.htmlOutlinks]], and [[HtmlOps.crawlIngest]] so a
+    * future rule change (multi-part public suffixes) cannot diverge
+    * between them. Port and case normalization are part of the
+    * verdict, not just of [[HtmlOps.canonicalUrl]]: a blocklist a
+    * crawler can evade with `HTTPS://x.S2.EXAMPLE:443/` is not a
+    * safety gate.
     */
   def registrableDomain(host: Column): Column =
-    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    regexp_extract(regexp_replace(lower(host), ":[0-9]+$", ""),
+      "([^.]+\\.[^.]+)$", 1)
 
   /** Appends a `blocked` verdict to any DataFrame carrying a `domain`
     * column — the ONE implementation of the blocklist join, shared by
