@@ -82,37 +82,70 @@ object SparkEntry {
   private val duckPhoneRe = PiiOps.phoneRe
   private val duckIpRe = PiiOps.ipRe
 
+  /** DuckDB replica of HtmlOps.fetchHostSql. */
+  private val duckFetchHost =
+    "concat('w', cast(doc_id % 7 as varchar), '.s', " +
+      "cast(doc_id % 5 as varchar), '.example')"
+
   /** DuckDB replica of HtmlOps.plantedHtmlCorpus's page expression. */
   private val duckHtml =
     """concat('<html><head><title>Doc ', cast(doc_id as varchar),
       | '</title><style>.m{color:red}</style></head><body>',
       | '<script>var x=', cast(doc_id % 9 as varchar),
       | '; if(x<7){x=x+1;}</script>',
-      | '<nav><a href="https://w', cast(doc_id % 7 as varchar), '.s',
-      | cast(doc_id % 5 as varchar), '.example/nav">Home</a></nav>',
+      | '<nav><a href="', case when doc_id % 3 = 0
+      |   then upper(concat('https://w', cast(doc_id % 7 as varchar),
+      |     '.s', cast(doc_id % 5 as varchar), '.example/nav'))
+      |   else concat('https://w', cast(doc_id % 7 as varchar),
+      |     '.s', cast(doc_id % 5 as varchar), '.example/nav') end,
+      | '">Home</a></nav>',
       | '<h1>Doc&nbsp;', cast(doc_id as varchar), '</h1>',
       | '<p>', coalesce(text, ''),
-      | ' See &lt;also&gt; &quot;notes&quot; &amp; Bob&#39;s list.</p>',
+      | ' See &lt;also&gt; doc ', cast(doc_id % 1000 as varchar),
+      | '&#39;s &quot;notes&quot; &amp; list.</p>',
       | '<a href="https://w', cast(doc_id % 7 as varchar), '.s',
-      | cast(doc_id % 13 as varchar), '.example/p/',
-      | cast(doc_id as varchar), '?utm_source=feed#top">Next</a>',
+      | cast(doc_id % 13 as varchar), '.example',
+      | case when doc_id % 2 = 0 then ':8443' else '' end,
+      | '/p/', cast(doc_id as varchar), '?utm_source=feed#top">Next ',
+      | cast(doc_id % 97 as varchar), '</a>',
+      | '<a href="/about/', cast(doc_id % 31 as varchar), '">About</a>',
       | '<div class="footer">&copy; 2026</div></body></html>')"""
       .stripMargin.replace("\n", " ")
+
+  /** The href → host chain with base-host inheritance (HtmlOps
+    * mirrored: an href the anchored authority regex cannot parse
+    * inherits the page's fetch host), and the registrable-domain
+    * normalization (lowercase, strip `:port`, last two labels).
+    */
+  private def duckLinkHost(u: String): String =
+    s"""CASE WHEN regexp_extract($u, '^(?i)https?://([^/?#]+)', 1) = ''
+       |     THEN fetch_host
+       |     ELSE regexp_extract($u, '^(?i)https?://([^/?#]+)', 1) END""".stripMargin
+  private def duckDomainOf(h: String): String =
+    s"""regexp_extract(regexp_replace(lower($h), ':[0-9]+$$', ''),
+       |  '([^.]+\\.[^.]+)$$', 1)""".stripMargin
 
   /** Shared q172/q175 extraction CTEs: the planted page and the
     * block-removal → tag-strip → entity-decode chain (HtmlOps
     * mirrored verbatim; 'g' on every multi-match replace).
     */
-  private lazy val duckHtmlExtractCtes =
-    s"""p AS (SELECT doc_id, $duckHtml AS html FROM documents),
-       |b AS (SELECT doc_id, html,
+  private lazy val duckHtmlExtractCtes = duckHtmlExtractCtesFrom("documents")
+
+  /** The extraction chain parameterized by its source relation (the
+    * v4 crawl flagship runs it over the PII-planted corpus instead of
+    * the raw table); `src` must expose (doc_id, text).
+    */
+  private def duckHtmlExtractCtesFrom(src: String) =
+    s"""p AS (SELECT doc_id, $duckFetchHost AS fetch_host,
+       |  $duckHtml AS html FROM $src),
+       |b AS (SELECT doc_id, fetch_host, html,
        |  regexp_replace(regexp_replace(regexp_replace(html,
        |    '(?s)<[Hh][Ee][Aa][Dd]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Hh][Ee][Aa][Dd]>', ' ', 'g'),
        |    '(?s)<[Ss][Cc][Rr][Ii][Pp][Tt]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Ss][Cc][Rr][Ii][Pp][Tt]>', ' ', 'g'),
        |    '(?s)<[Ss][Tt][Yy][Ll][Ee]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Ss][Tt][Yy][Ll][Ee]>', ' ', 'g') AS nb FROM p),
-       |t AS (SELECT doc_id, html,
+       |t AS (SELECT doc_id, fetch_host, html,
        |  regexp_replace(nb, '<[^>]*>', ' ', 'g') AS nt FROM b),
-       |e AS (SELECT doc_id, html,
+       |e AS (SELECT doc_id, fetch_host, html,
        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
        |    regexp_replace(regexp_replace(nt,
        |    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
@@ -126,14 +159,12 @@ object SparkEntry {
     */
   private lazy val q175Sql =
     s"""WITH $duckHtmlExtractCtes,
-       |k AS (SELECT doc_id, html, de,
+       |k AS (SELECT doc_id, fetch_host, html, de,
        |  regexp_extract_all(html, '[Hh][Rr][Ee][Ff]="([^"]*)"', 1) AS ls FROM e),
        |n AS (SELECT doc_id, html, de,
        |  CAST(len(ls) AS BIGINT) AS n_links,
        |  CAST(len(list_filter(ls, u ->
-       |    regexp_extract(regexp_replace(lower(regexp_extract(u,
-       |      '^(?i)https?://([^/?#]+)', 1)), ':[0-9]+$$', ''),
-       |      '([^.]+\\.[^.]+)$$', 1)
+       |    ${duckDomainOf(duckLinkHost("u"))}
        |    IN ('s2.example', 's5.example', 's11.example')))
        |    AS BIGINT) AS n_blocked_links
        |  FROM k)
@@ -1459,10 +1490,13 @@ object SparkEntry {
         HtmlOps.plantedHtmlCorpus(t(s, dir, "documents")))),
     // outlink extraction (URL-frontier / link-graph feed) + the q168
     // registrable-domain blocklist verdict on every extracted link:
-    // projection + posexplode + one BROADCAST join
+    // projection + posexplode + one BROADCAST join; the planted
+    // fetch_host threads through so relative hrefs inherit the page's
+    // own host and get a REAL verdict
     "q173_html_outlinks" -> ((s, dir) =>
       HtmlOps.htmlOutlinks(
-        HtmlOps.plantedHtmlCorpus(t(s, dir, "documents")))),
+        HtmlOps.plantedHtmlCorpus(t(s, dir, "documents")),
+        baseHostCol = Some("fetch_host"))),
     // crawl-level URL dedup: canonical key (lowercased host minus
     // www./port, path minus trailing slash; scheme/query/fragment
     // dropped), keep = lowest doc_id — ONE shuffle, on the key
@@ -1471,10 +1505,12 @@ object SparkEntry {
         HtmlOps.plantedDirtyUrlCorpus(t(s, dir, "documents")))),
     // the crawl-ingestion flagship: extraction + per-page outlink
     // verdict in ONE zero-exchange projection (blocklist inlined as
-    // a literal array into a higher-order filter — no join at all)
+    // a literal array into a higher-order filter — no join at all);
+    // relative hrefs inherit the planted fetch_host
     "q175_crawl_ingest" -> ((s, dir) =>
       HtmlOps.crawlIngest(
-        HtmlOps.plantedHtmlCorpus(t(s, dir, "documents")))),
+        HtmlOps.plantedHtmlCorpus(t(s, dir, "documents")),
+        baseHostCol = Some("fetch_host"))),
     // extract-on-ingest: q175 under readStream — stateless
     // projection, no state store, same batch oracle (q171 pattern)
     "q176_stream_crawl_ingest" -> ((s, dir) =>
@@ -3835,19 +3871,20 @@ object SparkEntry {
     // outlinks in document order (unnest(range) for the ordinal, the
     // q155 convention) + the q168 blocklist verdict per link
     "q173_html_outlinks" ->
-      s"""WITH p AS (SELECT doc_id, $duckHtml AS html FROM documents),
-         |l AS (SELECT doc_id,
+      s"""WITH p AS (SELECT doc_id, $duckFetchHost AS fetch_host,
+         |        $duckHtml AS html FROM documents),
+         |l AS (SELECT doc_id, fetch_host,
          |        regexp_extract_all(html, '[Hh][Rr][Ee][Ff]="([^"]*)"', 1) AS ls
          |      FROM p),
-         |x AS (SELECT doc_id, ls, unnest(range(0, len(ls))) AS i FROM l),
-         |u AS (SELECT doc_id, CAST(i AS INT) AS link_idx,
+         |x AS (SELECT doc_id, fetch_host, ls,
+         |        unnest(range(0, len(ls))) AS i FROM l),
+         |u AS (SELECT doc_id, fetch_host, CAST(i AS INT) AS link_idx,
          |        ls[CAST(i + 1 AS BIGINT)] AS url FROM x),
          |h AS (SELECT doc_id, link_idx, url,
-         |        regexp_extract(url, '^(?i)https?://([^/?#]+)', 1) AS host
+         |        ${duckLinkHost("url")} AS host
          |      FROM u),
          |d AS (SELECT doc_id, link_idx, url, host,
-         |        regexp_extract(regexp_replace(lower(host), ':[0-9]+$$', ''),
-         |          '([^.]+\\.[^.]+)$$', 1) AS domain
+         |        ${duckDomainOf("host")} AS domain
          |      FROM h)
          |SELECT d.doc_id, d.link_idx, d.url, d.host, d.domain,
          |  (b.domain IS NOT NULL) AS blocked

@@ -42,33 +42,61 @@ import org.apache.spark.sql.functions._
   */
 object HtmlOps {
 
+  /** The page's own fetch host — `w<id%7>.s<id%5>.example`, by
+    * construction the nav link's (lowercase) host: the host a crawl
+    * frontier recorded when it fetched the page, which relative hrefs
+    * inherit when the caller threads `baseHostCol` (q173/q175/q176).
+    * A pure doc_id expression, replayed verbatim by the oracle.
+    */
+  val fetchHostSql: String =
+    "concat('w', cast(doc_id % 7 as string), '.s', " +
+      "cast(doc_id % 5 as string), '.example')"
+
   /** The planted-HTML corpus: the fixture text wrapped in a
     * deterministic page whose every varying part is a pure `doc_id`
     * expression — title, an inline script (in BODY, with a raw `<`
     * inside, so tag-stripping alone would corrupt it: script removal
-    * MUST run first), a nav link, entities (incl. `&amp;` which must
-    * decode LAST and `&nbsp;` which must decode BEFORE whitespace
-    * collapse), a tracking-parameter outlink, and a footer entity
-    * (`&copy;`) deliberately OUTSIDE the decode inventory. The DuckDB
-    * oracle regenerates the identical page, so extraction output is
-    * closed-form. `coalesce(text, '')` first: DuckDB's concat skips
-    * NULL args where Spark's nulls the whole row (FIXTURES.md §3).
+    * MUST run first), a nav link (UPPERCASED on id%3==0 — the
+    * lowercase leg of the domain verdict), entities (incl. `&amp;`
+    * which must decode LAST and `&nbsp;` which must decode BEFORE
+    * whitespace collapse), a tracking-parameter outlink carrying an
+    * explicit `:8443` port on even ids (the port-strip leg of the
+    * verdict), a RELATIVE `/about/<k>` href (host-less: the
+    * `baseHostCol` inheritance leg), and a footer entity (`&copy;`)
+    * deliberately OUTSIDE the decode inventory. Every piece of planted
+    * boilerplate is interrupted by a doc-varying token at least every
+    * four tokens, so no planted 5-gram is shared across documents —
+    * the q68 contamination detector must see only ORGANIC overlap
+    * when the extracted text feeds the corpus gates (q177). The
+    * DuckDB oracle regenerates the identical page, so extraction
+    * output is closed-form. `coalesce(text, '')` first: DuckDB's
+    * concat skips NULL args where Spark's nulls the whole row
+    * (FIXTURES.md §3). Emits `fetch_host` beside the page.
     */
   def plantedHtmlCorpus(documents: DataFrame,
                         keep: Seq[String] = Seq.empty): DataFrame =
-    documents.select(col("doc_id") +: keep.map(col) :+ expr(
+    documents.select(col("doc_id") +: keep.map(col) :+
+      expr(fetchHostSql).as("fetch_host") :+ expr(
       """concat('<html><head><title>Doc ', cast(doc_id as string),
         | '</title><style>.m{color:red}</style></head><body>',
         | '<script>var x=', cast(doc_id % 9 as string),
         | '; if(x<7){x=x+1;}</script>',
-        | '<nav><a href="https://w', cast(doc_id % 7 as string), '.s',
-        | cast(doc_id % 5 as string), '.example/nav">Home</a></nav>',
+        | '<nav><a href="', case when doc_id % 3 = 0
+        |   then upper(concat('https://w', cast(doc_id % 7 as string),
+        |     '.s', cast(doc_id % 5 as string), '.example/nav'))
+        |   else concat('https://w', cast(doc_id % 7 as string),
+        |     '.s', cast(doc_id % 5 as string), '.example/nav') end,
+        | '">Home</a></nav>',
         | '<h1>Doc&nbsp;', cast(doc_id as string), '</h1>',
         | '<p>', coalesce(text, ''),
-        | ' See &lt;also&gt; &quot;notes&quot; &amp; Bob&#39;s list.</p>',
+        | ' See &lt;also&gt; doc ', cast(doc_id % 1000 as string),
+        | '&#39;s &quot;notes&quot; &amp; list.</p>',
         | '<a href="https://w', cast(doc_id % 7 as string), '.s',
-        | cast(doc_id % 13 as string), '.example/p/',
-        | cast(doc_id as string), '?utm_source=feed#top">Next</a>',
+        | cast(doc_id % 13 as string), '.example',
+        | case when doc_id % 2 = 0 then ':8443' else '' end,
+        | '/p/', cast(doc_id as string), '?utm_source=feed#top">Next ',
+        | cast(doc_id % 97 as string), '</a>',
+        | '<a href="/about/', cast(doc_id % 31 as string), '">About</a>',
         | '<div class="footer">&copy; 2026</div></body></html>')"""
         .stripMargin.replace("\n", " "))
       .as("html"): _*)

@@ -1015,7 +1015,8 @@ object EventsStreaming {
                            queryName: String = "graft_stream_crawl"): DataFrame = {
     val src = graft.io.Tables.documentsStream(spark, dir)
     val out0 = graft.ops.HtmlOps.crawlIngest(
-      graft.ops.HtmlOps.plantedHtmlCorpus(src))
+      graft.ops.HtmlOps.plantedHtmlCorpus(src),
+      baseHostCol = Some("fetch_host"))
     val q = out0.writeStream.format("memory").queryName(queryName)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination() finally q.stop()

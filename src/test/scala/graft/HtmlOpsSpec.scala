@@ -145,10 +145,11 @@ class HtmlOpsSpec extends SparkSpec {
   test("crawlIngest verdict agrees with htmlOutlinks, join-free") {
     val docs = graft.io.Tables.parquet(spark, sf, "documents")
     val pages = HtmlOps.plantedHtmlCorpus(docs)
-    val flag = HtmlOps.crawlIngest(pages)
+    val flag = HtmlOps.crawlIngest(pages, baseHostCol = Some("fetch_host"))
     // the zero-exchange literal-IN form must equal the broadcast-join
     // form aggregated per page
-    val viaJoin = HtmlOps.htmlOutlinks(pages).groupBy("doc_id")
+    val viaJoin = HtmlOps.htmlOutlinks(pages, baseHostCol = Some("fetch_host"))
+      .groupBy("doc_id")
       .agg(sum(when(col("blocked"), 1L).otherwise(0L)).as("nb"))
     val joined = flag.join(viaJoin, Seq("doc_id"))
     assert(joined.filter(col("n_blocked_links") =!= col("nb")).count() === 0)
@@ -194,9 +195,23 @@ class HtmlOpsSpec extends SparkSpec {
     // load-bearing, not a nicety)
     assert(docs.count() === 500)
     assert(dedup.filter(col("n_dups") > 1).count() > 0)
-    val links = HtmlOps.htmlOutlinks(HtmlOps.plantedHtmlCorpus(docs))
-    // exactly two links per planted page, nav link domain s<id%5>
-    assert(links.count() === 2 * docs.count())
+    val links = HtmlOps.htmlOutlinks(HtmlOps.plantedHtmlCorpus(docs),
+      baseHostCol = Some("fetch_host"))
+    // exactly three links per planted page: nav (domain s<id%5>,
+    // uppercased on id%3==0), next (s<id%13>, ported on even ids),
+    // and the RELATIVE /about link inheriting fetch_host
+    assert(links.count() === 3 * docs.count())
     assert(links.filter(col("blocked")).count() > 0)
+    // the normalize legs all carry real verdicts on the fixture:
+    // uppercased host, ported host, and base-host-inherited relative
+    assert(links.filter(col("host").rlike("^W[0-9]") &&
+      col("blocked")).count() > 0)
+    assert(links.filter(col("host").contains(":8443") &&
+      col("blocked")).count() > 0)
+    assert(links.filter(col("url").startsWith("/about/") &&
+      col("blocked")).count() > 0)
+    // every relative link attributed to its page's own host
+    assert(links.filter(col("url").startsWith("/about/") &&
+      col("domain") === "").count() === 0)
   }
 }

@@ -180,7 +180,8 @@ class StreamingSpec extends SparkSpec {
       .streamingCrawlIngest(spark, sf, queryName = "spec_stream_crawl")
     val batch = graft.ops.HtmlOps.crawlIngest(
       graft.ops.HtmlOps.plantedHtmlCorpus(
-        graft.io.Tables.parquet(spark, sf, "documents")))
+        graft.io.Tables.parquet(spark, sf, "documents")),
+      baseHostCol = Some("fetch_host"))
     assert(streamed.exceptAll(batch).isEmpty)
     assert(batch.exceptAll(streamed).isEmpty)
   }
