@@ -125,6 +125,63 @@ object SparkEntry {
     s"""regexp_extract(regexp_replace(lower($h), ':[0-9]+$$', ''),
        |  '([^.]+\\.[^.]+)$$', 1)""".stripMargin
 
+  /** HtmlOps.plantedDirtyUrlCorpus's URL expression (the fetch URL of
+    * each planted page), shared by the q174 oracle, the v4 crawl
+    * flagship's keep-set, and the URL-key artifact oracles.
+    */
+  private val duckDirtyUrl =
+    """concat(
+      |    case when doc_id % 2 = 0 then 'HTTPS://WWW.W'
+      |         else 'https://w' end,
+      |    cast(doc_id % 7 as varchar), '.s',
+      |    cast(doc_id % 5 as varchar),
+      |    case when doc_id % 2 = 0 then '.EXAMPLE:443'
+      |         else '.example' end,
+      |    '/p/', cast(doc_id % 11 as varchar),
+      |    case when doc_id % 3 = 0 then '/' else '' end,
+      |    case when doc_id % 4 = 2
+      |         then '?utm_source=x&utm_campaign=y' else '' end,
+      |    case when doc_id % 5 = 1 then '#sec2' else '' end)""".stripMargin
+
+  /** HtmlOps.canonicalUrl mirrored as one expression over a url
+    * column: anchored host lowercased minus www./port + path minus
+    * trailing slashes; an unparseable URL keeps itself as the key.
+    */
+  private def duckCanonOf(u: String): String =
+    s"""CASE WHEN regexp_extract($u, '^(?i)https?://([^/?#]+)', 1) = ''
+       |     THEN $u
+       |     ELSE concat(
+       |       regexp_replace(regexp_replace(
+       |         lower(regexp_extract($u, '^(?i)https?://([^/?#]+)', 1)),
+       |         '^www\\.', ''), ':[0-9]+$$', ''),
+       |       regexp_replace(
+       |         regexp_extract($u, '^(?i)https?://[^/?#]+([^?#]*)', 1),
+       |         '/+$$', '')) END""".stripMargin
+
+  /** The staged redaction CTE (PiiOps.piiRedact's scan-left chain)
+    * over any relation exposing (doc_id, text) — shared by the q167
+    * chain (planted corpus) and the v4 crawl flagship (extracted
+    * crawl text, whose PII arrived through the HTML pipeline).
+    */
+  private def duckRedactStages(src: String, cte: String = "r"): String =
+    s"""$cte AS (SELECT doc_id, text AS t0,
+       |        regexp_replace(text, '$duckEmailRe', '[EMAIL]', 'g') AS t1,
+       |        regexp_replace(regexp_replace(text,
+       |          '$duckEmailRe', '[EMAIL]', 'g'),
+       |          '$duckIpRe', '[IP]', 'g') AS t2,
+       |        regexp_replace(regexp_replace(regexp_replace(text,
+       |          '$duckEmailRe', '[EMAIL]', 'g'),
+       |          '$duckIpRe', '[IP]', 'g'),
+       |          '$duckPhoneRe', '[PHONE]', 'g') AS redacted FROM $src)""".stripMargin
+
+  /** Rebase a self-contained oracle SQL fragment onto another source
+    * relation: every whole-word `documents` table reference becomes
+    * `src`. The fragments this is applied to reference `documents`
+    * only as a relation name (never inside a string literal).
+    */
+  private def onDocs(sql: String, src: String): String =
+    sql.replaceAll("\\bdocuments\\b", src)
+
   /** Shared q172/q175 extraction CTEs: the planted page and the
     * block-removal → tag-strip → entity-decode chain (HtmlOps
     * mirrored verbatim; 'g' on every multi-match replace).
@@ -133,24 +190,26 @@ object SparkEntry {
 
   /** The extraction chain parameterized by its source relation (the
     * v4 crawl flagship runs it over the PII-planted corpus instead of
-    * the raw table); `src` must expose (doc_id, text).
+    * the raw table) and a CTE-name prefix (so it can nest inside the
+    * corpus gate chain without colliding with its p/e names); `src`
+    * must expose (doc_id, text).
     */
-  private def duckHtmlExtractCtesFrom(src: String) =
-    s"""p AS (SELECT doc_id, $duckFetchHost AS fetch_host,
+  private def duckHtmlExtractCtesFrom(src: String, pfx: String = "") =
+    s"""${pfx}p AS (SELECT doc_id, $duckFetchHost AS fetch_host,
        |  $duckHtml AS html FROM $src),
-       |b AS (SELECT doc_id, fetch_host, html,
+       |${pfx}b AS (SELECT doc_id, fetch_host, html,
        |  regexp_replace(regexp_replace(regexp_replace(html,
        |    '(?s)<[Hh][Ee][Aa][Dd]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Hh][Ee][Aa][Dd]>', ' ', 'g'),
        |    '(?s)<[Ss][Cc][Rr][Ii][Pp][Tt]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Ss][Cc][Rr][Ii][Pp][Tt]>', ' ', 'g'),
-       |    '(?s)<[Ss][Tt][Yy][Ll][Ee]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Ss][Tt][Yy][Ll][Ee]>', ' ', 'g') AS nb FROM p),
-       |t AS (SELECT doc_id, fetch_host, html,
-       |  regexp_replace(nb, '<[^>]*>', ' ', 'g') AS nt FROM b),
-       |e AS (SELECT doc_id, fetch_host, html,
+       |    '(?s)<[Ss][Tt][Yy][Ll][Ee]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Ss][Tt][Yy][Ll][Ee]>', ' ', 'g') AS nb FROM ${pfx}p),
+       |${pfx}t AS (SELECT doc_id, fetch_host, html,
+       |  regexp_replace(nb, '<[^>]*>', ' ', 'g') AS nt FROM ${pfx}b),
+       |${pfx}e AS (SELECT doc_id, fetch_host, html,
        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
        |    regexp_replace(regexp_replace(nt,
        |    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
        |    '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g')
-       |    AS de FROM t)""".stripMargin
+       |    AS de FROM ${pfx}t)""".stripMargin
 
   /** q175/q176 (batch and stream share the oracle, the q167/q171
     * pattern): the q172 chain + per-page blocked-outlink counts
@@ -186,15 +245,7 @@ object SparkEntry {
     */
   private lazy val duckRedactCtes =
     s"""p AS (SELECT doc_id, $duckPiiText AS text FROM documents),
-       |r AS (SELECT doc_id, text AS t0,
-       |        regexp_replace(text, '$duckEmailRe', '[EMAIL]', 'g') AS t1,
-       |        regexp_replace(regexp_replace(text,
-       |          '$duckEmailRe', '[EMAIL]', 'g'),
-       |          '$duckIpRe', '[IP]', 'g') AS t2,
-       |        regexp_replace(regexp_replace(regexp_replace(text,
-       |          '$duckEmailRe', '[EMAIL]', 'g'),
-       |          '$duckIpRe', '[IP]', 'g'),
-       |          '$duckPhoneRe', '[PHONE]', 'g') AS redacted FROM p)""".stripMargin
+       |${duckRedactStages("p")}""".stripMargin
 
   private val duckRedactAuditCols =
     s"""(len(regexp_extract_all(t0, '$duckEmailRe'))
@@ -1990,11 +2041,13 @@ object SparkEntry {
     * cluster walk, dup-line gate, weighted priority tail).
     */
   // the v2 candidate CTE chain (through `cand`), shared by the v2
-  // flagship, its v3 extension (adds the q156 LM gate), and q143's
-  // shard tail — one definition, no gate drift
+  // flagship, its v3 extension (adds the q156 LM gate), q143's shard
+  // tail, and — rebased onto the extracted crawl text via onDocs —
+  // the v4 crawl flagship (q177): one definition, no gate drift
   private lazy val corpusV2CandSql =
-    s"""WITH RECURSIVE
-       |p AS (SELECT doc_a, doc_b FROM ($minhashLshSql)
+    "WITH RECURSIVE\n" + corpusV2CandBody
+  private lazy val corpusV2CandBody =
+    s"""p AS (SELECT doc_a, doc_b FROM ($minhashLshSql)
        |      UNION
        |      SELECT doc_a, doc_b FROM ($simhashPairsSql)
        |      UNION
@@ -2056,6 +2109,54 @@ object SparkEntry {
        |       WHERE lm.score_fp >= 460 * lm.n_bigrams)
        |SELECT doc_id, lang, source, n_tokens, quality, priority
        |FROM v3 ORDER BY priority ASC, doc_id ASC LIMIT 150""".stripMargin
+
+  /** The q177 oracle — the crawl→corpus flagship recomposed from the
+    * existing CTE chains (ClusterOps.crawlCorpus mirrored stage for
+    * stage): the PII-planted text wrapped in the planted pages, the
+    * q175 extraction + page-verdict chain (cw_ prefix), the q174
+    * canonical-URL keep-set, then the ENTIRE v2 candidate chain and
+    * q156 LM gate rebased onto the extracted crawl text (`onDocs` —
+    * crawl_docs shadows nothing; `documents` remains the raw table
+    * for the plants), and the q167 staged scrub + audit on the
+    * selected rows. minLmAvgFp = 300 (see crawlCorpus's scaladoc).
+    */
+  private lazy val q177Sql = {
+    val gateBody = onDocs(corpusV2CandBody, "crawl_docs")
+    val lmBody = onDocs(q156Sql, "crawl_docs")
+    s"""WITH RECURSIVE
+       |cw_src AS (SELECT doc_id, $duckPiiText AS text FROM documents),
+       |${duckHtmlExtractCtesFrom("cw_src", "cw_")},
+       |cw_k AS (SELECT doc_id, fetch_host, de,
+       |  regexp_extract_all(html, '[Hh][Rr][Ee][Ff]="([^"]*)"', 1) AS ls
+       |  FROM cw_e),
+       |cw_ok AS (SELECT doc_id,
+       |  trim(regexp_replace(de, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS text
+       |  FROM cw_k
+       |  WHERE len(list_filter(ls, u ->
+       |    ${duckDomainOf(duckLinkHost("u"))}
+       |    IN ('s2.example', 's5.example', 's11.example'))) = 0),
+       |cw_urls AS (SELECT doc_id, $duckDirtyUrl AS url FROM documents),
+       |cw_keep AS (SELECT doc_id FROM (
+       |    SELECT doc_id, row_number() OVER (
+       |      PARTITION BY ${duckCanonOf("url")} ORDER BY doc_id) AS rn
+       |    FROM cw_urls) WHERE rn = 1),
+       |crawl_docs AS (
+       |  SELECT o.doc_id, o.text, d.lang, d.source
+       |  FROM cw_ok o
+       |  JOIN cw_keep k ON k.doc_id = o.doc_id
+       |  JOIN documents d ON d.doc_id = o.doc_id),
+       |$gateBody,
+       |lm AS (SELECT doc_id, n_bigrams, score_fp FROM ($lmBody)),
+       |v3 AS (SELECT c.* FROM cand c JOIN lm ON lm.doc_id = c.doc_id
+       |       WHERE lm.score_fp >= 300 * lm.n_bigrams),
+       |sel AS (SELECT doc_id, lang, source, n_tokens, quality, priority
+       |        FROM v3 ORDER BY priority ASC, doc_id ASC LIMIT 150),
+       |${duckRedactStages("crawl_docs", "rr")}
+       |SELECT sel.doc_id, sel.lang, sel.source, sel.n_tokens,
+       |  sel.quality, sel.priority,
+       |  $duckRedactAuditCols
+       |FROM sel JOIN rr ON rr.doc_id = sel.doc_id""".stripMargin
+  }
 
   private val dedupClustersSql =
     s"""WITH RECURSIVE
@@ -3894,29 +3995,10 @@ object SparkEntry {
     // chain mirrored verbatim (each replace anchored, <=1 match — no
     // 'g' needed); keep = lowest doc_id per key
     "q174_url_canonical_dedup" ->
-      s"""WITH p AS (SELECT doc_id, concat(
-         |    case when doc_id % 2 = 0 then 'HTTPS://WWW.W'
-         |         else 'https://w' end,
-         |    cast(doc_id % 7 as varchar), '.s',
-         |    cast(doc_id % 5 as varchar),
-         |    case when doc_id % 2 = 0 then '.EXAMPLE:443'
-         |         else '.example' end,
-         |    '/p/', cast(doc_id % 11 as varchar),
-         |    case when doc_id % 3 = 0 then '/' else '' end,
-         |    case when doc_id % 4 = 2
-         |         then '?utm_source=x&utm_campaign=y' else '' end,
-         |    case when doc_id % 5 = 1 then '#sec2' else '' end) AS url
+      s"""WITH p AS (SELECT doc_id, $duckDirtyUrl AS url
          |  FROM documents),
-         |c0 AS (SELECT doc_id, url,
-         |  regexp_replace(regexp_replace(
-         |    lower(regexp_extract(url, '^(?i)https?://([^/?#]+)', 1)),
-         |    '^www\\.', ''), ':[0-9]+$$', '') AS chost,
-         |  regexp_replace(
-         |    regexp_extract(url, '^(?i)https?://[^/?#]+([^?#]*)', 1),
-         |    '/+$$', '') AS cpath FROM p),
          |c AS (SELECT doc_id, url,
-         |  CASE WHEN chost = '' THEN url
-         |       ELSE concat(chost, cpath) END AS canon FROM c0)
+         |  ${duckCanonOf("url")} AS canon FROM p)
          |SELECT doc_id, url, canon,
          |  CAST(count(*) OVER (PARTITION BY canon) AS BIGINT) AS n_dups,
          |  (row_number() OVER (PARTITION BY canon ORDER BY doc_id) = 1)

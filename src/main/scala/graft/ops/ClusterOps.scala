@@ -733,6 +733,77 @@ object ClusterOps {
         col("n_residual"), col("redacted_md5"))
   }
 
+  /** Q177 — the CRAWL→CORPUS flagship (v4): one declarative plan from
+    * fetched HTML to training-ready scrubbed text, composing the
+    * suite's own crawl stages with the document-side gate chain:
+    *
+    *   1. crawl-level URL dedup (q174): the canonical-URL keep-set
+    *      over the pages' fetch URLs — mirrors and tracking-param
+    *      variants of the same page collapse BEFORE a byte of HTML is
+    *      parsed;
+    *   2. page ingestion (q175): HTML extraction + the per-page
+    *      blocked-outlink verdict, relative hrefs inheriting the
+    *      fetch host — only `page_ok` pages feed the corpus;
+    *   3. the v3 gate chain (q163) over the EXTRACTED text: near-dup
+    *      canonicals (minhash ∪ simhash ∪ winnowed passages), quality
+    *      / repetition / language gates, benchmark decontamination,
+    *      the statistical LM floor, then the weighted priority tail;
+    *   4. the safety tail (q169): the generic PII scrub of the
+    *      selected rows' extracted text, with the residual self-audit
+    *      riding beside each row.
+    *
+    * The fixture pages wrap the PII-planted text
+    * ([[graft.ops.PiiOps.plantedPiiCorpus]]) in the planted HTML
+    * ([[graft.ops.HtmlOps.plantedHtmlCorpus]]), so the PII the scrub
+    * must catch arrives THROUGH the HTML pipeline — extraction must
+    * preserve it intact for the redaction audit to land, and the
+    * oracle recomposes every stage from the existing CTE chains, so
+    * the end-to-end corpus (not just each stage) is hash-checked.
+    *
+    * Scale shape: stages 1–2 are the q174/q175 plans unchanged (one
+    * key-partitioned shuffle + a zero-exchange projection); stage 3
+    * is q163's plan over the extracted text; stage 4 pays regex only
+    * on topK rows. The extraction projection feeds several gate
+    * sub-plans and is recomputed per consumer here — at 100 TB run
+    * extraction once at ingest (q176's shape), persist the extracted
+    * text, and point this composition at the stored column; the gate
+    * semantics are unchanged by that materialization.
+    *
+    * `minLmAvgFp` defaults lower than q163's 460: the extracted text
+    * carries planted boilerplate tokens (nav/footer/entity sentence)
+    * whose transitions the corpus-trained bigram LM scores differently
+    * than raw fixture text; 300 gates the fluent-gibberish tail
+    * without starving the fixture-scale candidate pool (same
+    * per-corpus calibration contract as q163 — see
+    * [[graft.ops.TextOps.lmFloorCalibrate]]).
+    */
+  def crawlCorpus(documents: DataFrame,
+                  minLmAvgFp: Long = 300L,
+                  topK: Int = 150): DataFrame = {
+    val pages = graft.ops.HtmlOps.plantedHtmlCorpus(
+      graft.ops.PiiOps.plantedPiiCorpus(documents))
+    val keep = graft.ops.HtmlOps.urlCanonicalDedup(
+        graft.ops.HtmlOps.plantedDirtyUrlCorpus(documents))
+      .filter(col("is_canonical")).select("doc_id")
+    val ingested = graft.ops.HtmlOps.crawlIngest(pages,
+        baseHostCol = Some("fetch_host"))
+      .filter(col("page_ok"))
+      .select(col("doc_id"), col("text_clean"))
+    val crawlDocs = ingested
+      .join(keep, "doc_id")
+      .join(documents.select("doc_id", "lang", "source"), "doc_id")
+      .select(col("doc_id"), col("text_clean").as("text"),
+        col("lang"), col("source"))
+    val selected = trainingCorpusV3(crawlDocs, minLmAvgFp = minLmAvgFp,
+      topK = topK)
+    graft.ops.PiiOps.piiRedact(
+      selected.join(crawlDocs.select("doc_id", "text"), "doc_id"),
+      keep = Seq("lang", "source", "n_tokens", "quality", "priority"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        col("quality"), col("priority"), col("n_redactions"),
+        col("n_residual"), col("redacted_md5"))
+  }
+
   /** Q146's gate: the RELOADED artifact must carry exactly the q143
     * addresses under its OWN recorded geometry (the q137 convention —
     * the artifact, not the caller, knows its shard count). Both
