@@ -1566,6 +1566,13 @@ object SparkEntry {
     // projection, no state store, same batch oracle (q171 pattern)
     "q176_stream_crawl_ingest" -> ((s, dir) =>
       EventsStreaming.streamingCrawlIngest(s, dir)),
+    // the crawl→corpus flagship (v4): canonical-URL keep-set (q174)
+    // ∘ page ingestion + outlink verdict (q175) ∘ the v3 gate chain
+    // over the EXTRACTED text ∘ the PII scrub + audit tail (q169) —
+    // one declarative plan from fetched HTML to training-ready rows,
+    // the extracted corpus materialized once for all gate consumers
+    "q177_crawl_corpus" -> ((s, dir) =>
+      ClusterOps.crawlCorpus(t(s, dir, "documents"))),
   )
 
   private val q159Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -4004,5 +4011,9 @@ object SparkEntry {
          |  (row_number() OVER (PARTITION BY canon ORDER BY doc_id) = 1)
          |    AS is_canonical
          |FROM c""".stripMargin,
+    // the crawl→corpus flagship recomposed stage-for-stage from the
+    // existing CTE chains (extraction, keep-set, v2 gates + LM floor
+    // rebased onto crawl_docs, staged scrub + audit)
+    "q177_crawl_corpus" -> q177Sql,
   )
 }

@@ -763,11 +763,14 @@ object ClusterOps {
     * Scale shape: stages 1–2 are the q174/q175 plans unchanged (one
     * key-partitioned shuffle + a zero-exchange projection); stage 3
     * is q163's plan over the extracted text; stage 4 pays regex only
-    * on topK rows. The extraction projection feeds several gate
-    * sub-plans and is recomputed per consumer here — at 100 TB run
-    * extraction once at ingest (q176's shape), persist the extracted
-    * text, and point this composition at the stored column; the gate
-    * semantics are unchanged by that materialization.
+    * on topK rows. The extracted crawl corpus feeds MANY gate
+    * sub-plans (three near-dup candidate generators, quality,
+    * repetition, contamination, the LM model fit AND its scoring
+    * pass, the final text join), so it is materialized ONCE via an
+    * eager localCheckpoint — without it every consumer re-runs the
+    * regex extraction chain over the full corpus. At 100 TB the same
+    * cut is a persisted extract-on-ingest table (q176's shape); the
+    * gate semantics are unchanged by the materialization.
     *
     * `minLmAvgFp` defaults lower than q163's 460: the extracted text
     * carries planted boilerplate tokens (nav/footer/entity sentence)
@@ -789,11 +792,14 @@ object ClusterOps {
         baseHostCol = Some("fetch_host"))
       .filter(col("page_ok"))
       .select(col("doc_id"), col("text_clean"))
+    // the extraction cut: every downstream gate consumer reads the
+    // checkpointed rows, not the regex chain (see scaladoc)
     val crawlDocs = ingested
       .join(keep, "doc_id")
       .join(documents.select("doc_id", "lang", "source"), "doc_id")
       .select(col("doc_id"), col("text_clean").as("text"),
         col("lang"), col("source"))
+      .localCheckpoint(eager = true)
     val selected = trainingCorpusV3(crawlDocs, minLmAvgFp = minLmAvgFp,
       topK = topK)
     graft.ops.PiiOps.piiRedact(

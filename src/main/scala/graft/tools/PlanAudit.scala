@@ -101,6 +101,7 @@ object PlanAudit {
     "q173_html_outlinks", // posexplode + broadcast blocklist join
     "q174_url_canonical_dedup", // one shuffle, on the canonical key
     "q175_crawl_ingest",  // extraction + inlined-blocklist verdict, no join
+    "q177_crawl_corpus",  // crawl stages + v3 gates on checkpointed extract
     "q10_event_window")   // normalized-ts scan straight into windowed agg
 
   def main(args: Array[String]): Unit = {

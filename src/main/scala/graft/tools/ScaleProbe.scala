@@ -97,7 +97,11 @@ object ScaleProbe {
     // still a single projection — expected cost class = q172's
     "q175_crawl_ingest",
     // extract-on-ingest: per-micro-batch cost must track q175's batch
-    "q176_stream_crawl_ingest")
+    "q176_stream_crawl_ingest",
+    // the crawl→corpus flagship: q174 + q175 + the v3 gate chain over
+    // the extracted text (checkpointed once) + the topK scrub tail —
+    // expected cost class = q163's plus the extraction pass
+    "q177_crawl_corpus")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

@@ -354,6 +354,35 @@ class ClusterOpsSpec extends SparkSpec {
     v3.foreach(r => assert(r.getAs[Long]("doc_id") % 10 !== 7L))
   }
 
+  test("crawlCorpus composes URL dedup, page verdict, gates, and scrub") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val out = ClusterOps.crawlCorpus(docs).collect()
+    assert(out.nonEmpty && out.length <= 150)
+    // the scrub's self-audit holds end to end: PII arrived THROUGH the
+    // HTML pipeline and none survives redaction
+    out.foreach(r => assert(r.getAs[Long]("n_residual") === 0L,
+      s"doc ${r.getAs[Long]("doc_id")} has residual PII"))
+    // every selected page cleared the crawl stages: canonical-URL
+    // keep-set membership and the zero-blocked-outlink verdict
+    val keep = graft.ops.HtmlOps.urlCanonicalDedup(
+        graft.ops.HtmlOps.plantedDirtyUrlCorpus(docs))
+      .filter(col("is_canonical"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ok = graft.ops.HtmlOps.crawlIngest(
+        graft.ops.HtmlOps.plantedHtmlCorpus(
+          graft.ops.PiiOps.plantedPiiCorpus(docs)),
+        baseHostCol = Some("fetch_host"))
+      .filter(col("page_ok"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(keep.contains(id), s"doc $id is a URL-level duplicate")
+      assert(ok.contains(id), s"doc $id links to a blocked domain")
+      assert(id % 10 !== 7L, "benchmark slice trained")
+    }
+  }
+
   test("corpus manifest rolls up the shards exactly") {
     val docs = graft.io.Tables.parquet(spark, sf, "documents")
     val shards = ClusterOps.corpusShards(docs).cache()
