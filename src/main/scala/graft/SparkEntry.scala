@@ -101,26 +101,34 @@ object SparkEntry {
       | '">Home</a></nav>',
       | '<h1>Doc&nbsp;', cast(doc_id as varchar), '</h1>',
       | '<p>', coalesce(text, ''),
-      | ' See &lt;also&gt; doc ', cast(doc_id % 1000 as varchar),
+      | ' See &lt;also&gt; doc ', cast(doc_id as varchar),
       | '&#39;s &quot;notes&quot; &amp; list.</p>',
       | '<a href="https://w', cast(doc_id % 7 as varchar), '.s',
       | cast(doc_id % 13 as varchar), '.example',
       | case when doc_id % 2 = 0 then ':8443' else '' end,
       | '/p/', cast(doc_id as varchar), '?utm_source=feed#top">Next ',
-      | cast(doc_id % 97 as varchar), '</a>',
+      | cast(doc_id as varchar), '</a>',
+      | '<a href="//x', cast(doc_id % 9 as varchar), '.s',
+      | cast(doc_id % 11 as varchar), '.example/r/',
+      | cast(doc_id as varchar), '">Ref ', cast(doc_id as varchar), '</a>',
+      | '<a href="mailto:doc', cast(doc_id as varchar),
+      | '@s2.example">Mail</a>',
       | '<a href="/about/', cast(doc_id % 31 as varchar), '">About</a>',
       | '<div class="footer">&copy; 2026</div></body></html>')"""
       .stripMargin.replace("\n", " ")
 
   /** The href → host chain with base-host inheritance (HtmlOps
-    * mirrored: an href the anchored authority regex cannot parse
-    * inherits the page's fetch host), and the registrable-domain
+    * mirrored: the authority regex accepts protocol-relative `//host`
+    * hrefs, and ONLY a fully scheme-less href — not `mailto:`/`ftp:`
+    * — inherits the page's fetch host), and the registrable-domain
     * normalization (lowercase, strip `:port`, last two labels).
     */
   private def duckLinkHost(u: String): String =
-    s"""CASE WHEN regexp_extract($u, '^(?i)https?://([^/?#]+)', 1) = ''
-       |     THEN fetch_host
-       |     ELSE regexp_extract($u, '^(?i)https?://([^/?#]+)', 1) END""".stripMargin
+    s"""CASE WHEN regexp_extract($u, '^(?i)(?:https?:)?//([^/?#]+)', 1) <> ''
+       |     THEN regexp_extract($u, '^(?i)(?:https?:)?//([^/?#]+)', 1)
+       |     WHEN regexp_matches($u, '^[A-Za-z][A-Za-z0-9+.-]*:')
+       |     THEN ''
+       |     ELSE fetch_host END""".stripMargin
   private def duckDomainOf(h: String): String =
     s"""regexp_extract(regexp_replace(lower($h), ':[0-9]+$$', ''),
        |  '([^.]+\\.[^.]+)$$', 1)""".stripMargin
@@ -144,18 +152,25 @@ object SparkEntry {
       |    case when doc_id % 5 = 1 then '#sec2' else '' end)""".stripMargin
 
   /** HtmlOps.canonicalUrl mirrored as one expression over a url
-    * column: anchored host lowercased minus www./port + path minus
-    * trailing slashes; an unparseable URL keeps itself as the key.
+    * column: anchored host (scheme optional — protocol-relative URLs
+    * canonicalize like their absolute twins) lowercased minus
+    * www./port + path minus trailing slashes; an unparseable URL
+    * keeps itself as the key. The emptiness guard tests the STRIPPED
+    * host, exactly as the Spark side does — a degenerate authority
+    * like `www.` or `:8080` strips to empty and the URL keeps itself
+    * as its own key on both sides.
     */
+  private def duckCanonStrippedHost(u: String): String =
+    s"""regexp_replace(regexp_replace(
+       |  lower(regexp_extract($u, '^(?i)(?:https?:)?//([^/?#]+)', 1)),
+       |  '^www\\.', ''), ':[0-9]+$$', '')""".stripMargin
   private def duckCanonOf(u: String): String =
-    s"""CASE WHEN regexp_extract($u, '^(?i)https?://([^/?#]+)', 1) = ''
+    s"""CASE WHEN ${duckCanonStrippedHost(u)} = ''
        |     THEN $u
        |     ELSE concat(
-       |       regexp_replace(regexp_replace(
-       |         lower(regexp_extract($u, '^(?i)https?://([^/?#]+)', 1)),
-       |         '^www\\.', ''), ':[0-9]+$$', ''),
+       |       ${duckCanonStrippedHost(u)},
        |       regexp_replace(
-       |         regexp_extract($u, '^(?i)https?://[^/?#]+([^?#]*)', 1),
+       |         regexp_extract($u, '^(?i)(?:https?:)?//[^/?#]+([^?#]*)', 1),
        |         '/+$$', '')) END""".stripMargin
 
   /** The staged redaction CTE (PiiOps.piiRedact's scan-left chain)

@@ -61,17 +61,23 @@ object HtmlOps {
     * which must decode LAST and `&nbsp;` which must decode BEFORE
     * whitespace collapse), a tracking-parameter outlink carrying an
     * explicit `:8443` port on even ids (the port-strip leg of the
-    * verdict), a RELATIVE `/about/<k>` href (host-less: the
+    * verdict), a PROTOCOL-RELATIVE cross-site `//x<i>.s<id%11>
+    * .example` href (scheme-less authority: must parse its OWN host,
+    * never inherit the page's — blocked on id%11 ∈ {2,5}), a
+    * `mailto:` href naming a blocked domain (a scheme the crawler
+    * does not fetch: no host, no inheritance, `blocked = false`), a
+    * RELATIVE `/about/<k>` href (host-less AND scheme-less: the
     * `baseHostCol` inheritance leg), and a footer entity (`&copy;`)
-    * deliberately OUTSIDE the decode inventory. Every piece of planted
-    * boilerplate is interrupted by a doc-varying token at least every
-    * four tokens, so no planted 5-gram is shared across documents —
-    * the q68 contamination detector must see only ORGANIC overlap
-    * when the extracted text feeds the corpus gates (q177). The
-    * DuckDB oracle regenerates the identical page, so extraction
-    * output is closed-form. `coalesce(text, '')` first: DuckDB's
-    * concat skips NULL args where Spark's nulls the whole row
-    * (FIXTURES.md §3). Emits `fetch_host` beside the page.
+    * deliberately OUTSIDE the decode inventory. Every run of planted
+    * boilerplate between doc_id-bearing tokens is at most FOUR tokens
+    * long, so every planted 5-gram contains a doc-unique token and no
+    * planted 5-gram is shared across documents — the q68
+    * contamination detector must see only ORGANIC overlap when the
+    * extracted text feeds the corpus gates (q177). The DuckDB oracle
+    * regenerates the identical page, so extraction output is
+    * closed-form. `coalesce(text, '')` first: DuckDB's concat skips
+    * NULL args where Spark's nulls the whole row (FIXTURES.md §3).
+    * Emits `fetch_host` beside the page.
     */
   def plantedHtmlCorpus(documents: DataFrame,
                         keep: Seq[String] = Seq.empty): DataFrame =
@@ -89,13 +95,18 @@ object HtmlOps {
         | '">Home</a></nav>',
         | '<h1>Doc&nbsp;', cast(doc_id as string), '</h1>',
         | '<p>', coalesce(text, ''),
-        | ' See &lt;also&gt; doc ', cast(doc_id % 1000 as string),
+        | ' See &lt;also&gt; doc ', cast(doc_id as string),
         | '&#39;s &quot;notes&quot; &amp; list.</p>',
         | '<a href="https://w', cast(doc_id % 7 as string), '.s',
         | cast(doc_id % 13 as string), '.example',
         | case when doc_id % 2 = 0 then ':8443' else '' end,
         | '/p/', cast(doc_id as string), '?utm_source=feed#top">Next ',
-        | cast(doc_id % 97 as string), '</a>',
+        | cast(doc_id as string), '</a>',
+        | '<a href="//x', cast(doc_id % 9 as string), '.s',
+        | cast(doc_id % 11 as string), '.example/r/',
+        | cast(doc_id as string), '">Ref ', cast(doc_id as string), '</a>',
+        | '<a href="mailto:doc', cast(doc_id as string),
+        | '@s2.example">Mail</a>',
         | '<a href="/about/', cast(doc_id % 31 as string), '">About</a>',
         | '<div class="footer">&copy; 2026</div></body></html>')"""
         .stripMargin.replace("\n", " "))
@@ -164,10 +175,14 @@ object HtmlOps {
 
   /** The URL's authority (host[:port]) — `[^/?#]+` is the authority
     * terminator set; `(?i)` because `HTTPS://` is a valid scheme
-    * spelling; ANCHORED at the start so an absolute URL embedded in a
-    * relative href (`/redirect?to=https://evil.example`) never
-    * extracts the embedded host — unanchored, such a URL would dodge
-    * the unparseable-URL guard in [[canonicalUrl]] (collapsing
+    * spelling; the scheme is OPTIONAL so a protocol-relative href
+    * (`//evil.example/x` — ubiquitous in real HTML) extracts its OWN
+    * host instead of falling through to base-host inheritance and
+    * masquerading as a same-site link (the blocklist-evasion class the
+    * port/case fixes closed); ANCHORED at the start so an absolute URL
+    * embedded in a relative href (`/redirect?to=https://evil.example`)
+    * never extracts the embedded host — unanchored, such a URL would
+    * dodge the unparseable-URL guard in [[canonicalUrl]] (collapsing
     * distinct redirect URLs onto the embedded key, silently dropping
     * pages under keep-first) and would attribute the wrong domain in
     * [[htmlOutlinks]]/[[crawlIngest]]. Shared by [[htmlOutlinks]],
@@ -177,7 +192,18 @@ object HtmlOps {
     * nature.)
     */
   def hostOf(url: Column): Column =
-    regexp_extract(url, "^(?i)https?://([^/?#]+)", 1)
+    regexp_extract(url, "^(?i)(?:https?:)?//([^/?#]+)", 1)
+
+  /** Whether the href carries ANY scheme (RFC 3986 scheme grammar,
+    * anchored). Base-host inheritance is for RELATIVE hrefs only —
+    * a `mailto:`/`ftp:`/`javascript:` href is addressable, just not
+    * by this crawler, and inheriting the page's own fetch host for it
+    * would attribute the page's domain (and verdict) to a link that
+    * never points there. Shared by [[htmlOutlinks]] and
+    * [[crawlIngest]].
+    */
+  def hasScheme(url: Column): Column =
+    url.rlike("^[A-Za-z][A-Za-z0-9+.-]*:")
 
   /** Q-html-extract: title, link count, and main text per page — one
     * zero-exchange projection. The title is read from the ORIGINAL
@@ -204,7 +230,9 @@ object HtmlOps {
     * explicit whitespace class for that reason).
     * `(?i)` on the scheme (uppercase `HTTPS://` hrefs must not evade
     * the verdict — same contract as [[canonicalUrl]]). A RELATIVE
-    * href (no scheme) inherits the page's own host when the caller
+    * href (no scheme at all — [[hasScheme]]; a protocol-relative
+    * `//host` href parses its own host, and a `mailto:`/`ftp:` href
+    * keeps an empty one) inherits the page's own host when the caller
     * supplies `baseHostCol` — without it the row ships with an empty
     * host/domain and `blocked = false`, which is the wrong verdict
     * for same-site links on a blocked domain; any real URL-frontier
@@ -216,7 +244,8 @@ object HtmlOps {
                    baseHostCol: Option[String] = None): DataFrame = {
     val extracted = hostOf(col("url"))
     val host = baseHostCol match {
-      case Some(b) => when(extracted === "", col(b)).otherwise(extracted)
+      case Some(b) => when(extracted === "" && !hasScheme(col("url")),
+        col(b)).otherwise(extracted)
       case None => extracted
     }
     PiiOps.blocklistVerdict(
@@ -243,11 +272,12 @@ object HtmlOps {
     * [[htmlOutlinks]] (broadcast join) with a per-doc aggregation
     * instead — same semantics, one shuffle.
     *
-    * As in [[htmlOutlinks]], a RELATIVE href inherits the page's own
-    * host only when the caller supplies `baseHostCol`; without it a
-    * blocked-domain page whose outlinks are all same-site gets
-    * `page_ok = true` — a real crawl caller should pass the fetch
-    * host.
+    * As in [[htmlOutlinks]], a RELATIVE href ([[hasScheme]]-free;
+    * protocol-relative hrefs parse their own host) inherits the
+    * page's own host only when the caller supplies `baseHostCol`;
+    * without it a blocked-domain page whose outlinks are all
+    * same-site gets `page_ok = true` — a real crawl caller should
+    * pass the fetch host.
     */
   def crawlIngest(pages: DataFrame,
                   blocklist: Seq[String] = PiiOps.defaultBlocklist,
@@ -256,7 +286,8 @@ object HtmlOps {
     val h = coalesce(col(htmlCol), lit(""))
     val blArr = array(blocklist.map(lit): _*)
     def linkHost(u: Column) = baseHostCol match {
-      case Some(b) => when(hostOf(u) === "", col(b)).otherwise(hostOf(u))
+      case Some(b) => when(hostOf(u) === "" && !hasScheme(u), col(b))
+        .otherwise(hostOf(u))
       case None => hostOf(u)
     }
     // stage the href list, then the blocked count, each in its own
@@ -297,10 +328,12 @@ object HtmlOps {
     val host0 = lower(hostOf(url))
     val host = regexp_replace(
       regexp_replace(host0, "^www\\.", ""), ":[0-9]+$", "")
-    // anchored like hostOf: the path must come from the URL's own
-    // authority, not from an absolute URL embedded in a query string
+    // anchored like hostOf (scheme optional — protocol-relative URLs
+    // canonicalize like their absolute twins): the path must come from
+    // the URL's own authority, not from an absolute URL embedded in a
+    // query string
     val path = regexp_replace(
-      regexp_extract(url, "^(?i)https?://[^/?#]+([^?#]*)", 1), "/+$", "")
+      regexp_extract(url, "^(?i)(?:https?:)?//[^/?#]+([^?#]*)", 1), "/+$", "")
     // a URL the host regex cannot parse (ftp:, mailto:, relative, …)
     // keeps ITSELF as the key — collapsing every unparseable URL onto
     // the empty key would mark unrelated URLs as duplicates and a

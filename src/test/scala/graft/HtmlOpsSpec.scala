@@ -109,13 +109,55 @@ class HtmlOpsSpec extends SparkSpec {
     val d = Seq(
       (1L, "ftp://a.example/x"),
       (2L, "mailto:b@c.example"),
-      (3L, "/relative/path")).toDF("doc_id", "url")
+      (3L, "/relative/path"),
+      // degenerate authorities strip to empty — keep the URL itself
+      (4L, "https://www./x"),
+      (5L, "https://:8080/x")).toDF("doc_id", "url")
     val out = HtmlOps.urlCanonicalDedup(d).collect()
       .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3),
         r.getBoolean(4)))).toMap
     assert(out(1L) === (("ftp://a.example/x", 1L, true)))
     assert(out(2L) === (("mailto:b@c.example", 1L, true)))
     assert(out(3L) === (("/relative/path", 1L, true)))
+    assert(out(4L) === (("https://www./x", 1L, true)))
+    assert(out(5L) === (("https://:8080/x", 1L, true)))
+  }
+
+  test("canonicalUrl collapses protocol-relative URLs with their absolute twins") {
+    val d = Seq(
+      (1L, "//ex.com/p/1"),
+      (2L, "https://WWW.ex.com:443/p/1/"),
+      (3L, "//other.example/q")).toDF("doc_id", "url")
+    val out = HtmlOps.urlCanonicalDedup(d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    assert(out(1L) === (("ex.com/p/1", 2L, true)))
+    assert(out(2L) === (("ex.com/p/1", 2L, false)))
+    assert(out(3L) === (("other.example/q", 1L, true)))
+  }
+
+  test("protocol-relative and scheme'd hrefs never inherit the base host") {
+    val d = Seq((14L, "good.example",
+      "<body><a href=\"//evil.s2.example/x\">a</a>" +
+        "<a href=\"mailto:x@s2.example\">m</a>" +
+        "<a href=\"ftp://f.s2.example/z\">f</a>" +
+        "<a href=\"/same/site\">r</a></body>"))
+      .toDF("doc_id", "page_host", "html")
+    val rows = HtmlOps.htmlOutlinks(d, baseHostCol = Some("page_host"))
+      .orderBy("link_idx").collect()
+    // //evil.s2.example parses its OWN host and is blocked — under
+    // base-host inheritance it would masquerade as good.example
+    assert(rows(0).getString(3) === "evil.s2.example" &&
+      rows(0).getBoolean(5))
+    // mailto:/ftp: carry a scheme: no host, no inheritance, no verdict
+    assert(rows(1).getString(3) === "" && !rows(1).getBoolean(5))
+    assert(rows(2).getString(3) === "" && !rows(2).getBoolean(5))
+    // the truly relative href still inherits
+    assert(rows(3).getString(3) === "good.example")
+    // crawlIngest agrees: one blocked link (the protocol-relative one)
+    val flag = HtmlOps.crawlIngest(d, baseHostCol = Some("page_host"))
+      .collect().head
+    assert(flag.getLong(3) === 1L && !flag.getBoolean(4))
   }
 
   test("canonicalUrl normalizes case, www, port, slash, query, fragment") {
@@ -197,10 +239,11 @@ class HtmlOpsSpec extends SparkSpec {
     assert(dedup.filter(col("n_dups") > 1).count() > 0)
     val links = HtmlOps.htmlOutlinks(HtmlOps.plantedHtmlCorpus(docs),
       baseHostCol = Some("fetch_host"))
-    // exactly three links per planted page: nav (domain s<id%5>,
+    // exactly five links per planted page: nav (domain s<id%5>,
     // uppercased on id%3==0), next (s<id%13>, ported on even ids),
-    // and the RELATIVE /about link inheriting fetch_host
-    assert(links.count() === 3 * docs.count())
+    // the PROTOCOL-RELATIVE //x<i>.s<id%11> cross-site link, the
+    // mailto: link, and the RELATIVE /about link inheriting fetch_host
+    assert(links.count() === 5 * docs.count())
     assert(links.filter(col("blocked")).count() > 0)
     // the normalize legs all carry real verdicts on the fixture:
     // uppercased host, ported host, and base-host-inherited relative
@@ -213,5 +256,16 @@ class HtmlOpsSpec extends SparkSpec {
     // every relative link attributed to its page's own host
     assert(links.filter(col("url").startsWith("/about/") &&
       col("domain") === "").count() === 0)
+    // protocol-relative links parse their OWN host — never the page's
+    // (the blocklist-evasion hole this closes), and some are blocked
+    val pr = links.filter(col("url").startsWith("//"))
+    assert(pr.count() === docs.count())
+    assert(pr.filter(!col("host").startsWith("x")).count() === 0)
+    assert(pr.filter(col("blocked")).count() > 0)
+    // mailto: names a blocked domain but is not a fetchable link —
+    // no host, no inheritance, no verdict
+    val mail = links.filter(col("url").startsWith("mailto:"))
+    assert(mail.count() === docs.count())
+    assert(mail.filter(col("host") =!= "" || col("blocked")).count() === 0)
   }
 }
