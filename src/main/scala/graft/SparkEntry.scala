@@ -687,6 +687,51 @@ object SparkEntry {
     ClusterOps.loadClusterLabels(s, scope, "labels", docs)
   }
 
+  /** q178: the canonical-URL KEY SET as a maintained artifact — the
+    * first fetch wave (ids < 250) seeds it, the second wave ingests
+    * via the bucket-pruned anti-join append, and the keep verdict is
+    * probed over the FULL corpus from the reloaded artifact. Under
+    * fetch-ordered waves keep-first == keep-lowest, so the oracle is
+    * the batch q174 recompute (sans n_dups — group sizes are not the
+    * artifact's to answer).
+    */
+  private val q178Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
+
+  private def urlKeyArtifactVerdicts(s: SparkSession, dir: String): DataFrame = {
+    val urls = HtmlOps.plantedDirtyUrlCorpus(t(s, dir, "documents"))
+    val scope = cachedScope(q178Scopes, s, dir, "graft-q178-") { sc =>
+      HtmlOps.saveUrlKeys(urls.filter(col("doc_id") < 250), sc, "urlkeys")
+      HtmlOps.appendUrlKeys(urls.filter(col("doc_id") >= 250), sc, "urlkeys")
+    }
+    HtmlOps.urlKeyVerdicts(urls, scope, "urlkeys")
+  }
+
+  /** q179: the q178 maintenance as a STREAM — the first wave seeds
+    * the artifact, waves two and three arrive as separate micro-
+    * batches (one file each under maxFilesPerTrigger=1), each
+    * appending its fresh keys before the next anti-joins them; the
+    * stored key set is then probed over the full corpus against the
+    * same batch oracle.
+    */
+  private val q179Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
+
+  private def streamUrlKeyVerdicts(s: SparkSession, dir: String): DataFrame = {
+    val urls = HtmlOps.plantedDirtyUrlCorpus(t(s, dir, "documents"))
+    val scope = cachedScope(q179Scopes, s, dir, "graft-q179-") { sc =>
+      HtmlOps.saveUrlKeys(urls.filter(col("doc_id") < 250), sc, "urlkeys")
+      // two fetch-ordered waves -> two micro-batches: the second
+      // wave's duplicates of the first wave's pages must be rejected
+      // by keys the FIRST wave appended mid-stream
+      urls.filter(col("doc_id") >= 250 && col("doc_id") < 375)
+        .coalesce(1).write.mode("append").parquet(sc.path("stream-src"))
+      urls.filter(col("doc_id") >= 375)
+        .coalesce(1).write.mode("append").parquet(sc.path("stream-src"))
+      EventsStreaming.streamingUrlKeyMaintenance(s,
+        sc.path("stream-src"), sc, "urlkeys", sc.path("ckpt"))
+    }
+    HtmlOps.urlKeyVerdicts(urls, scope, "urlkeys")
+  }
+
   /** q137: the MinHash BAND TABLE as a maintained artifact — built
     * from the even half, the odd half APPENDED under the artifact's
     * own recorded banding geometry (O(batch), stored rows untouched),
@@ -1581,6 +1626,15 @@ object SparkEntry {
     // projection, no state store, same batch oracle (q171 pattern)
     "q176_stream_crawl_ingest" -> ((s, dir) =>
       EventsStreaming.streamingCrawlIngest(s, dir)),
+    // the canonical-URL key set as a MAINTAINED artifact: seeded from
+    // the first fetch wave, later waves ingested via bucket-pruned
+    // anti-join append (O(batch), untouched buckets never rewritten),
+    // probed over the full corpus — held to the q174 batch oracle
+    "q178_url_key_artifact" -> (urlKeyArtifactVerdicts _),
+    // the same maintenance as a STREAM: each micro-batch wave appends
+    // its fresh keys before the next wave anti-joins them (q138
+    // pattern) — same batch q174 oracle
+    "q179_stream_url_keys" -> (streamUrlKeyVerdicts _),
     // the crawl→corpus flagship (v4): canonical-URL keep-set (q174)
     // ∘ page ingestion + outlink verdict (q175) ∘ the v3 gate chain
     // over the EXTRACTED text ∘ the PII scrub + audit tail (q169) —
@@ -4030,5 +4084,21 @@ object SparkEntry {
     // existing CTE chains (extraction, keep-set, v2 gates + LM floor
     // rebased onto crawl_docs, staged scrub + audit)
     "q177_crawl_corpus" -> q177Sql,
+    // the maintained key-set artifact (batch q178 and streaming q179)
+    // probed over the full corpus: under fetch-ordered ingest waves
+    // keep-first == keep-lowest, so both are held to the q174 batch
+    // recompute (sans n_dups — not the artifact's to answer)
+    "q178_url_key_artifact" -> urlKeySql,
+    "q179_stream_url_keys" -> urlKeySql,
   )
+
+  private lazy val urlKeySql =
+    s"""WITH p AS (SELECT doc_id, $duckDirtyUrl AS url
+       |  FROM documents),
+       |c AS (SELECT doc_id, url,
+       |  ${duckCanonOf("url")} AS canon FROM p)
+       |SELECT doc_id, url, canon,
+       |  (row_number() OVER (PARTITION BY canon ORDER BY doc_id) = 1)
+       |    AS is_canonical
+       |FROM c""".stripMargin
 }

@@ -364,6 +364,99 @@ object HtmlOps {
         .stripMargin.replace("\n", " "))
       .as("url"))
 
+  /** Q178: the canonical-URL KEY SET as a MAINTAINED crawl artifact —
+    * the standing "have we fetched this page before" table a 100 TB
+    * crawl keeps between ingests, which q174 recomputes from scratch.
+    * One row per canonical key: the key and the doc that FIRST fetched
+    * it (keep-first — q174's keep-lowest under fetch-ordered ids).
+    * Rows land partitioned by `bucket` = hash(key) mod `n_buckets`
+    * (the q137 band-artifact convention: the artifact, not the caller,
+    * records its own geometry), so an ingest append touches only the
+    * buckets its keys hash to and a compaction (q139's tool) can run
+    * bucket-by-bucket. CONTRACT: ingest batches arrive in fetch order
+    * (every id in a batch exceeds every stored id) — that is what
+    * makes the incremental artifact equal the batch q174 recompute,
+    * and it is the physical truth of a crawl frontier.
+    */
+  def saveUrlKeys(urls: DataFrame, scope: graft.core.Scope,
+                  name: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val spark = urls.sparkSession
+    urlCanonicalDedup(urls).filter(col("is_canonical"))
+      .select(col("canon"), col("doc_id"),
+        keyBucket(col("canon"), nBuckets))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(scope.path(s"$name/rows"))
+    graft.core.Scopes.writeMeta(spark, scope, s"$name/meta",
+      "n_buckets" -> nBuckets)
+  }
+
+  private def keyBucket(canon: Column, nBuckets: Int): Column =
+    pmod(xxhash64(canon), lit(nBuckets.toLong)).cast("int").as("bucket")
+
+  /** O(batch) ingest of a new fetch wave (q59's anti-join shape):
+    * canonicalize the batch, keep the FIRST fetch per key within the
+    * batch, anti-join the stored key set — pruned at listing time to
+    * the buckets the batch actually hashes to — and append only the
+    * fresh keys. Stored rows are NEVER read wide or rewritten;
+    * untouched buckets keep their files byte-identical (spec-pinned).
+    * Idempotent under replay: a crashed-and-replayed batch anti-joins
+    * against the keys its first attempt already appended, so the
+    * streaming maintainer (q179) is exactly-once on the key SET even
+    * though storage is at-least-once. Returns the admitted rows.
+    */
+  def appendUrlKeys(batch: DataFrame, scope: graft.core.Scope,
+                    name: String): DataFrame = {
+    val spark = batch.sparkSession
+    val nBuckets = graft.core.Scopes.readMeta(spark, scope,
+      s"$name/meta")("n_buckets")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("canon")).orderBy(col("doc_id"))
+    val firstPerKey = batch
+      .withColumn("canon", canonicalUrl(col("url")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("canon"), col("doc_id"), keyBucket(col("canon"), nBuckets))
+    // the batch's touched-bucket set is at most n_buckets values
+    // (model-sized by construction) — collecting it lets the stored
+    // side prune to those partitions at listing time, so a small
+    // ingest against a huge key set reads only the buckets it can
+    // possibly collide with
+    val touched = firstPerKey.select("bucket").distinct()
+      .collect().map(_.getInt(0))
+    val stored = loadUrlKeys(spark, scope, name)
+      .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+      .select(col("canon").as("canon_ex"))
+    val admitted = firstPerKey
+      .join(stored, col("canon") === col("canon_ex"), "left_anti")
+      .localCheckpoint(eager = true) // pin BEFORE the append below
+    admitted.write.mode("append").partitionBy("bucket")
+      .parquet(scope.path(s"$name/rows"))
+    admitted
+  }
+
+  def loadUrlKeys(spark: org.apache.spark.sql.SparkSession,
+                  scope: graft.core.Scope, name: String): DataFrame =
+    spark.read.parquet(scope.path(s"$name/rows"))
+      .select(col("canon"), col("doc_id"), col("bucket").cast("int").as("bucket"))
+
+  /** Probe the maintained key set: per URL, its canonical key and
+    * whether THIS doc is the kept first fetch. Against the fully
+    * ingested corpus this equals q174's verdict column (the
+    * maintained artifact is layout, not semantics); a key absent from
+    * the artifact (never ingested) reads `is_canonical = false`.
+    */
+  def urlKeyVerdicts(urls: DataFrame, scope: graft.core.Scope,
+                     name: String): DataFrame = {
+    val stored = loadUrlKeys(urls.sparkSession, scope, name)
+      .select(col("canon"), col("doc_id").as("kept_doc_id"))
+    urls.withColumn("canon", canonicalUrl(col("url")))
+      .join(stored, Seq("canon"), "left")
+      .select(col("doc_id"), col("url"), col("canon"),
+        coalesce(col("kept_doc_id") === col("doc_id"), lit(false))
+          .as("is_canonical"))
+  }
+
   /** Q-url-canonical-dedup: per-URL canonical key, duplicate-group
     * size, and the keep verdict (lowest doc_id per key survives —
     * deterministic, and in a crawl the lowest id is the first fetch).

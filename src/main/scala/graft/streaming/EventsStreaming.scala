@@ -821,6 +821,40 @@ object EventsStreaming {
     q.awaitTermination()
   }
 
+  /** Q179: STREAMING canonical-URL key maintenance — the q178 ingest
+    * driven per micro-batch (the q138 maintenance pattern): each
+    * arriving fetch wave anti-joins the stored key set (bucket-pruned)
+    * and appends only its fresh keys, so the artifact grows O(batch)
+    * per wave and a later wave's duplicates of an earlier wave's
+    * pages are rejected by the keys that wave appended. Restart
+    * safety: the checkpoint replays an uncommitted micro-batch, and
+    * [[graft.ops.HtmlOps.appendUrlKeys]]'s anti-join makes the replay
+    * a no-op on the key set — exactly-once semantics over
+    * at-least-once storage, the q138 contract. Under fetch-ordered
+    * waves the final artifact equals the batch q174 recompute
+    * (keep-first == keep-lowest), which is the oracle q179 is held to.
+    */
+  def streamingUrlKeyMaintenance(spark: SparkSession, srcDir: String,
+                                 scope: graft.core.Scope, name: String,
+                                 checkpointDir: String): Unit = {
+    val urlSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("url", StringType)))
+    // one file = one micro-batch (the q138 convention): each wave
+    // must land its keys before the next wave anti-joins them
+    val src = spark.readStream.schema(urlSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.persist()
+        try { graft.ops.HtmlOps.appendUrlKeys(b, scope, name); () }
+        finally b.unpersist()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** Schema of the document stream [[streamingNearDupWithinWatermark]]
     * consumes: ingest event-time beside the payload.
     */

@@ -102,6 +102,7 @@ object PlanAudit {
     "q174_url_canonical_dedup", // one shuffle, on the canonical key
     "q175_crawl_ingest",  // extraction + inlined-blocklist verdict, no join
     "q177_crawl_corpus",  // crawl stages + v3 gates on checkpointed extract
+    "q178_url_key_artifact", // key-set probe: one join on canon
     "q10_event_window")   // normalized-ts scan straight into windowed agg
 
   def main(args: Array[String]): Unit = {

@@ -101,7 +101,12 @@ object ScaleProbe {
     // the crawl→corpus flagship: q174 + q175 + the v3 gate chain over
     // the extracted text (checkpointed once) + the topK scrub tail —
     // expected cost class = q163's plus the extraction pass
-    "q177_crawl_corpus")
+    "q177_crawl_corpus",
+    // maintained url-key artifact: seed + bucket-pruned anti-join
+    // append + full-corpus probe; the probe join dominates
+    "q178_url_key_artifact",
+    // the same maintenance under the streaming loop (two waves)
+    "q179_stream_url_keys")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

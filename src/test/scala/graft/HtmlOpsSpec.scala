@@ -184,6 +184,54 @@ class HtmlOpsSpec extends SparkSpec {
     assert(out(5L) === (("ex.com/p/2", 1L, true)))
   }
 
+  test("url-key artifact: O(batch) append never rewrites untouched buckets") {
+    val base = java.nio.file.Files.createTempDirectory("graft-urlkey-spec-")
+    try {
+      val sc = graft.core.Scopes.create(spark, base.toString)
+      val docs = graft.io.Tables.parquet(spark, sf, "documents")
+      val urls = HtmlOps.plantedDirtyUrlCorpus(docs)
+      HtmlOps.saveUrlKeys(urls.filter(col("doc_id") < 250), sc, "uk")
+      def listing(): Map[String, (Long, Long)] = {
+        val rows = new java.io.File(sc.path("uk/rows"))
+        rows.listFiles().filter(_.getName.startsWith("bucket=")).flatMap {
+          d => d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => f.getPath -> ((f.length(), f.lastModified())))
+        }.toMap
+      }
+      val before = listing()
+      val admitted = HtmlOps.appendUrlKeys(
+        urls.filter(col("doc_id") >= 250), sc, "uk").collect()
+      assert(admitted.nonEmpty)
+      val touched = admitted.map(_.getAs[Int]("bucket")).toSet
+      val after = listing()
+      // every pre-existing file survives byte-identical (append never
+      // reads or rewrites stored rows), and new files land ONLY in
+      // the buckets the batch's keys hash to
+      before.foreach { case (path, sig) => assert(after(path) === sig,
+        s"stored file rewritten: $path") }
+      val newFiles = (after.keySet -- before.keySet).toSeq
+      assert(newFiles.nonEmpty)
+      newFiles.foreach { p =>
+        val b = p.split("bucket=")(1).split("/")(0).toInt
+        assert(touched.contains(b), s"append wrote untouched bucket $b: $p")
+      }
+      // replaying the same batch admits nothing (the anti-join makes
+      // crash-replay idempotent on the key set)
+      assert(HtmlOps.appendUrlKeys(
+        urls.filter(col("doc_id") >= 250), sc, "uk").count() === 0)
+      // a key first fetched in history is never re-admitted, and the
+      // probed verdict equals the batch recompute over the full corpus
+      val viaArtifact = HtmlOps.urlKeyVerdicts(urls, sc, "uk")
+        .select("doc_id", "canon", "is_canonical")
+      val batch = HtmlOps.urlCanonicalDedup(urls)
+        .select("doc_id", "canon", "is_canonical")
+      assert(viaArtifact.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(viaArtifact).count() === 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("crawlIngest verdict agrees with htmlOutlinks, join-free") {
     val docs = graft.io.Tables.parquet(spark, sf, "documents")
     val pages = HtmlOps.plantedHtmlCorpus(docs)
