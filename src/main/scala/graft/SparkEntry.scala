@@ -1626,6 +1626,14 @@ object SparkEntry {
     // projection, no state store, same batch oracle (q171 pattern)
     "q176_stream_crawl_ingest" -> ((s, dir) =>
       EventsStreaming.streamingCrawlIngest(s, dir)),
+    // host-graph PageRank: the registrable-domain link graph from the
+    // planted pages (q173's href→host→domain chain, unattributable
+    // ends dropped, DISTINCT to the domains² bound), then q118's
+    // all-integer power iteration — the crawl frontier's
+    // prioritization signal
+    "q180_host_rank" -> ((s, dir) =>
+      GraphOps.domainRank(HtmlOps.domainEdges(
+        HtmlOps.plantedHtmlCorpus(t(s, dir, "documents"))))),
     // the canonical-URL key set as a MAINTAINED artifact: seeded from
     // the first fetch wave, later waves ingested via bucket-pruned
     // anti-join append (O(batch), untouched buckets never rewritten),
@@ -4090,7 +4098,52 @@ object SparkEntry {
     // recompute (sans n_dups — not the artifact's to answer)
     "q178_url_key_artifact" -> urlKeySql,
     "q179_stream_url_keys" -> urlKeySql,
+    // host-graph PageRank: the domain edge derivation mirrored from
+    // the planted pages, then the q118 round-replaying integer
+    // iteration over VARCHAR nodes
+    "q180_host_rank" -> hostRankSql(),
   )
+
+  /** The q180 oracle — q118's trajectory-replaying integer PageRank
+    * with the edge set derived from the planted pages' href→host→
+    * domain chain (duckLinkHost/duckDomainOf mirrored; unattributable
+    * ends dropped; DISTINCT to the domains² bound) and domains as the
+    * node vocabulary.
+    */
+  private def hostRankSql(iters: Int = 3,
+                          scale: Long = 1000000000000L): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.domain,
+         |         CAST(base + (85 * coalesce(f.s, 0)) // 100 AS BIGINT) AS pr
+         |  FROM nodes n CROSS JOIN consts
+         |  LEFT JOIN (
+         |    SELECT e.dst, sum(r.pr // d.deg) AS s
+         |    FROM edges e JOIN deg d ON e.src = d.src
+         |    JOIN r${i - 1} r ON r.domain = e.src
+         |    GROUP BY e.dst) f ON f.dst = n.domain)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (SELECT doc_id, $duckFetchHost AS fetch_host,
+       |  $duckHtml AS html FROM documents),
+       |l AS (SELECT fetch_host,
+       |  unnest(regexp_extract_all(html, '[Hh][Rr][Ee][Ff]="([^"]*)"', 1))
+       |    AS url FROM p),
+       |e0 AS (SELECT ${duckDomainOf("fetch_host")} AS src,
+       |              ${duckDomainOf(duckLinkHost("url"))} AS dst FROM l),
+       |edges AS (SELECT DISTINCT src, dst FROM e0
+       |          WHERE src <> '' AND dst <> ''),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |nodes AS (SELECT src AS domain FROM edges
+       |          UNION SELECT dst FROM edges),
+       |consts AS (
+       |  SELECT (($scale * 15) // 100) // (SELECT count(*) FROM nodes) AS base),
+       |r0 AS (
+       |  SELECT domain,
+       |         CAST($scale // (SELECT count(*) FROM nodes) AS BIGINT) AS pr
+       |  FROM nodes),
+       |$rounds
+       |SELECT domain, pr FROM r$iters""".stripMargin
+  }
 
   private lazy val urlKeySql =
     s"""WITH p AS (SELECT doc_id, $duckDirtyUrl AS url

@@ -48,18 +48,56 @@ object GraphOps {
       .distinct()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val nodes = nation.select(col("n_nationkey").cast("long").as("node"))
-    val n = nodes.count() // 25 nations — bounded, not data-scaled
+    powerIterate(nodes, edges, deg, iters, scale)
+  }
+
+  /** The shared exact power-iteration loop over a bounded edge set —
+    * nodes/edges/degrees are all vocabulary-sized (nations, domains),
+    * so every round is two small joins plus one bounded aggregation;
+    * the `count()` for the teleport base is over the node VOCABULARY,
+    * never the corpus.
+    */
+  private def powerIterate(nodes: DataFrame, edges: DataFrame,
+                           deg: DataFrame, iters: Int,
+                           scale: Long): DataFrame = {
+    val nodeCol = nodes.columns.head
+    val n = nodes.count()
     val base = ((15L * scale) / 100) / n
     var ranks = nodes.withColumn("pr", lit(scale / n))
     for (_ <- 1 to iters) {
       val inflow = edges.join(deg, "src")
-        .join(ranks, col("src") === col("node"))
+        .join(ranks, col("src") === col(nodeCol))
         .select(col("dst"), expr("pr div deg").as("c"))
         .groupBy("dst").agg(sum("c").as("s"))
-      ranks = nodes.join(inflow, col("node") === col("dst"), "left")
-        .select(col("node"),
+      ranks = nodes.join(inflow, col(nodeCol) === col("dst"), "left")
+        .select(col(nodeCol),
           (lit(base) + expr("85 * coalesce(s, 0L) div 100")).as("pr"))
     }
     ranks
+  }
+
+  /** Q180: PageRank over the crawl's registrable-domain link graph
+    * ([[HtmlOps.domainEdges]]) — the prioritization signal a crawl
+    * frontier feeds on: domains that well-linked domains link to
+    * fetch first. Nodes are every domain that appears on either end
+    * of an edge (a link-TARGET-only domain is exactly what the
+    * frontier wants ranked, so dangling nodes stay in the node set —
+    * their outflow leaks, the q118 deterministic-leak contract).
+    * Same all-integer round-replaying machinery as
+    * [[nationTradeRank]]: ranks at a fixed decimal scale, integral
+    * division throughout, the oracle replays the full trajectory.
+    */
+  def domainRank(edges: DataFrame, iters: Int = 3,
+                 scale: Long = 1000000000000L): DataFrame = {
+    val e = edges.persist() // feeds deg, nodes (twice), and each round
+    try {
+      val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      val nodes = e.select(col("src").as("domain"))
+        .union(e.select(col("dst")))
+        .distinct()
+      powerIterate(nodes, e, deg, iters, scale)
+        .select(col("domain"), col("pr"))
+        .localCheckpoint(eager = true)
+    } finally { e.unpersist(blocking = false); () }
   }
 }

@@ -364,6 +364,34 @@ object HtmlOps {
         .stripMargin.replace("\n", " "))
       .as("url"))
 
+  /** Q180's edge derivation: the registrable-domain LINK GRAPH from
+    * the fetched pages — one (src_domain → dst_domain) edge per
+    * distinct page-domain/link-domain pair, the input a crawl
+    * frontier's prioritization signal (host-level PageRank) runs on.
+    * Link hosts resolve exactly as [[htmlOutlinks]] does (protocol-
+    * relative parse their own host, scheme'd non-http get none,
+    * relative inherit the fetch host); unattributable ends drop.
+    * Scale shape: a pure projection + posexplode, then DISTINCT on
+    * (src, dst) — map-side partial aggregation collapses each task to
+    * at most domains² rows before the one shuffle, so the edge set is
+    * bounded by the domain vocabulary, never by corpus size (the q118
+    * edge-derivation contract).
+    */
+  def domainEdges(pages: DataFrame, htmlCol: String = "html",
+                  baseHostCol: String = "fetch_host"): DataFrame = {
+    val u = col("url")
+    val linkHost = when(hostOf(u) === "" && !hasScheme(u),
+      col(baseHostCol)).otherwise(hostOf(u))
+    pages
+      .select(col(baseHostCol),
+        explode(hrefs(coalesce(col(htmlCol), lit("")))).as("url"))
+      .select(
+        PiiOps.registrableDomain(col(baseHostCol)).as("src"),
+        PiiOps.registrableDomain(linkHost).as("dst"))
+      .filter(col("src") =!= "" && col("dst") =!= "")
+      .distinct()
+  }
+
   /** Q178: the canonical-URL KEY SET as a MAINTAINED crawl artifact —
     * the standing "have we fetched this page before" table a 100 TB
     * crawl keeps between ingests, which q174 recomputes from scratch.

@@ -103,6 +103,7 @@ object PlanAudit {
     "q175_crawl_ingest",  // extraction + inlined-blocklist verdict, no join
     "q177_crawl_corpus",  // crawl stages + v3 gates on checkpointed extract
     "q178_url_key_artifact", // key-set probe: one join on canon
+    "q180_host_rank",     // bounded edge set, vocabulary-sized rounds
     "q10_event_window")   // normalized-ts scan straight into windowed agg
 
   def main(args: Array[String]): Unit = {

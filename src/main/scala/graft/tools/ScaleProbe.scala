@@ -106,7 +106,10 @@ object ScaleProbe {
     // append + full-corpus probe; the probe join dominates
     "q178_url_key_artifact",
     // the same maintenance under the streaming loop (two waves)
-    "q179_stream_url_keys")
+    "q179_stream_url_keys",
+    // host-graph PageRank: edge derivation scans the corpus once,
+    // the iteration is vocabulary-sized — expected near-flat
+    "q180_host_rank")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

@@ -25,6 +25,38 @@ class GraphOpsSpec extends SparkSpec {
     assert(out === Map(0L -> 50L, 1L -> 191L, 2L -> 474L))
   }
 
+  test("domainRank reproduces hand-computed integer PageRank on a 3-domain graph") {
+    // same closed form as the nation test, over VARCHAR nodes:
+    // a→b, a→c, b→c; scale 1000, 1 iteration
+    val edges = Seq(("a.example", "b.example"), ("a.example", "c.example"),
+      ("b.example", "c.example")).toDF("src", "dst")
+    val out = GraphOps.domainRank(edges, iters = 1, scale = 1000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a.example" -> 50L, "b.example" -> 191L,
+      "c.example" -> 474L))
+  }
+
+  test("domainRank over planted pages: dangling targets rank, mass bounded") {
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val edges = graft.ops.HtmlOps.domainEdges(
+      graft.ops.HtmlOps.plantedHtmlCorpus(docs))
+    val e = edges.collect().map(r => (r.getString(0), r.getString(1)))
+    // src domains are the five fetch hosts; dst cover s<0..12>.example
+    assert(e.map(_._1).toSet === (0 to 4).map(i => s"s$i.example").toSet)
+    assert(e.map(_._2).toSet === (0 to 12).map(i => s"s$i.example").toSet)
+    val out = GraphOps.domainRank(edges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every domain on either end is a node (link-target-only domains
+    // are exactly what the frontier wants ranked)
+    assert(out.keySet === (0 to 12).map(i => s"s$i.example").toSet)
+    assert(out.values.forall(_ > 0))
+    assert(out.values.sum <= 1000000000000L)
+    // a target-only domain (s >= 5: never a fetch host, in-degree
+    // only) still accumulates rank beyond the teleport base
+    val base = ((15L * 1000000000000L) / 100) / out.size
+    assert((5 to 12).exists(i => out(s"s$i.example") > base))
+  }
+
   test("nationTradeRank conserves bounded mass and favors sink nations over sources") {
     val lineitem = graft.io.Tables.parquet(spark, sf, "lineitem")
     val orders = graft.io.Tables.parquet(spark, sf, "orders")
