@@ -1626,6 +1626,17 @@ object SparkEntry {
     // projection, no state store, same batch oracle (q171 pattern)
     "q176_stream_crawl_ingest" -> ((s, dir) =>
       EventsStreaming.streamingCrawlIngest(s, dir)),
+    // the quality classifier trained IN-ENGINE: exact fixed-point
+    // batch-perceptron steps (broadcast 5-weight model, per-row
+    // margin map, one bounded 5-long aggregation per round) on
+    // labels planted by the q115 teacher — the full trajectory
+    // replays on any engine
+    "q181_quality_fit" -> ((s, dir) =>
+      TextOps.qualityFitTrajectory(t(s, dir, "documents"))),
+    // the fit→score→gate loop closed: docs scored through the q115
+    // expression shape with the JUST-TRAINED coefficients
+    "q182_trained_gate" -> ((s, dir) =>
+      TextOps.trainedQualityGate(t(s, dir, "documents"))),
     // host-graph PageRank: the registrable-domain link graph from the
     // planted pages (q173's href→host→domain chain, unattributable
     // ends dropped, DISTINCT to the domains² bound), then q118's
@@ -4102,7 +4113,73 @@ object SparkEntry {
     // the planted pages, then the q118 round-replaying integer
     // iteration over VARCHAR nodes
     "q180_host_rank" -> hostRankSql(),
+    // the in-engine classifier fit: every perceptron round replayed
+    // via scalar-subquery updates over the fixed-point features
+    "q181_quality_fit" -> qualityFitSql(),
+    // the composed gate: final-round weights dotted per doc
+    "q182_trained_gate" -> trainedGateSql(),
   )
+
+  /** The q181/q182 shared CTE chain: the q19 quality signals
+    * quantized to 1e6 fixed point, labels planted by the q115 teacher
+    * in 1e7 fixed point, then one CTE per perceptron round — the
+    * margin table against the previous round's weights and the
+    * five-component update folded in via scalar subqueries
+    * (TextOps.qualityFitTrajectory mirrored; DuckDB sum(BIGINT) is
+    * HUGEINT, hence the CASTs).
+    */
+  private def qualityFitCtes(iters: Int): String = {
+    val dims = 0 until 5
+    val rounds = (1 to iters).map { i =>
+      val upd = dims.map(d =>
+        s"""  (SELECT a$d FROM w${i - 1})
+           |    + CAST(coalesce((SELECT sum(y * x$d) FROM m$i
+           |                     WHERE margin <= 0), 0) AS BIGINT) AS a$d"""
+          .stripMargin).mkString(",\n")
+      s"""m$i AS (SELECT f.*,
+         |  y * (${dims.map(d => s"a$d * x$d").mkString(" + ")}) AS margin
+         |  FROM f CROSS JOIN w${i - 1}),
+         |w$i AS (SELECT
+         |$upd)""".stripMargin
+    }.mkString(",\n")
+    s"""qf AS ($qualitySql),
+       |ft AS (SELECT doc_id,
+       |  1::BIGINT AS x0,
+       |  CAST(least(n_tokens, 1000) AS BIGINT) AS x1,
+       |  CAST(round(coalesce(stopword_ratio, 0.0::DOUBLE)
+       |    * 1000000.0::DOUBLE) AS BIGINT) AS x2,
+       |  CAST(round(coalesce(punct_ratio, 0.0::DOUBLE)
+       |    * 1000000.0::DOUBLE) AS BIGINT) AS x3,
+       |  CAST(round(coalesce(avg_token_len, 0.0::DOUBLE)
+       |    * 1000000.0::DOUBLE) AS BIGINT) AS x4
+       |  FROM qf),
+       |f AS (SELECT doc_id, x0, x1, x2, x3, x4,
+       |  CASE WHEN -5000000 * x0 + 20000 * x1 + 12 * x2 - 30 * x3 + x4 > 0
+       |       THEN 1::BIGINT ELSE (-1)::BIGINT END AS y FROM ft),
+       |w0 AS (SELECT ${dims.map(d => s"0::BIGINT AS a$d").mkString(", ")}),
+       |$rounds""".stripMargin
+  }
+
+  /** q181: the (round, dim, w) trajectory unpivoted from the round
+    * CTEs — the oracle replays every gradient step, not just the
+    * final model.
+    */
+  private def qualityFitSql(iters: Int = 3): String = {
+    val rows = (1 to iters).flatMap(i => (0 until 5).map(d =>
+      s"SELECT $i AS round, $d AS dim, a$d AS w FROM w$i"))
+    s"""WITH ${qualityFitCtes(iters)}
+       |${rows.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  /** q182: the composed gate — every doc scored by the FINAL round's
+    * weights through the same dot-product shape, kept ⟺ score > 0.
+    */
+  private def trainedGateSql(iters: Int = 3): String =
+    s"""WITH ${qualityFitCtes(iters)}
+       |SELECT doc_id, score, score > 0 AS kept FROM (
+       |  SELECT f.doc_id,
+       |    ${(0 until 5).map(d => s"a$d * x$d").mkString(" + ")} AS score
+       |  FROM f CROSS JOIN w$iters) s""".stripMargin
 
   /** The q180 oracle — q118's trajectory-replaying integer PageRank
     * with the edge set derived from the planted pages' href→host→

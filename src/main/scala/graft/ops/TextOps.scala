@@ -114,6 +114,87 @@ object TextOps {
           .as("logit"))
       .withColumn("kept", col("logit") > lit(0.0))
 
+  /** Q181's training table: the [[qualityScore]] signals quantized to
+    * 1e6 fixed point (x0 = 1 bias, x1 = capped token count, x2/x3/x4
+    * = stopword / punct / avg-token-len micros) with the label
+    * PLANTED by the q115 teacher in 1e7 fixed point: `m = -5000000·x0
+    * + 20000·x1 + 12·x2 - 30·x3 + x4` is exactly `1e7 ×` q115's logit
+    * over the quantized features, so `y = sign(m)` is linearly
+    * separable in the training feature space BY CONSTRUCTION — the
+    * fit must be able to recover a separator, and every quantity is
+    * integral so the full gradient trajectory replays on any engine.
+    */
+  def qualityFitFeatures(documents: DataFrame): DataFrame = {
+    val micros = (c: Column) =>
+      round(coalesce(c, lit(0.0)) * lit(1000000.0)).cast("long")
+    qualityScore(documents).select(
+      col("doc_id"),
+      lit(1L).as("x0"),
+      least(col("n_tokens"), lit(1000)).cast("long").as("x1"),
+      micros(col("stopword_ratio")).as("x2"),
+      micros(col("punct_ratio")).as("x3"),
+      micros(col("avg_token_len")).as("x4"))
+      .withColumn("y",
+        when(lit(-5000000L) * col("x0") + lit(20000L) * col("x1")
+          + lit(12L) * col("x2") - lit(30L) * col("x3") + col("x4") > 0,
+          lit(1L)).otherwise(lit(-1L)))
+  }
+
+  private val fitDims = 5
+
+  /** Q181: the quality classifier TRAINED IN-ENGINE — exact
+    * fixed-point batch-perceptron gradient steps in the q114
+    * Lloyd-step shape: each round broadcasts the 5-weight model as a
+    * plan literal, a per-row map computes the margin `y·(w·x)`, and
+    * one BOUNDED aggregation (five long sums per partition, whatever
+    * the corpus size) folds the misclassified rows' `y·x` into the
+    * update `w ← w + Σ y·x`. All-integer (unit learning rate,
+    * fixed-point features), so the returned (round, dim, w)
+    * trajectory is engine-exact and the oracle replays every round.
+    * Overflow bound: with F = max|x| (~1e7 here) and N rows, |w_t| ≤
+    * t·N·F and margins ≤ 5·t·N·F² — callers at larger N rescale the
+    * feature fixed point, same contract as the q114 quantization.
+    * Model state crosses the driver once per round at 5 longs — the
+    * q117 per-round collect convention, bounded by model size.
+    */
+  def qualityFitTrajectory(documents: DataFrame, iters: Int = 3): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    // one materialization: every round reads the same feature rows
+    val f = qualityFitFeatures(documents).localCheckpoint(eager = true)
+    val w = Array.fill(fitDims)(0L)
+    val traj = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+    for (r <- 1 to iters) {
+      val margin = col("y") * (0 until fitDims)
+        .map(d => lit(w(d)) * col(s"x$d")).reduce(_ + _)
+      val sums = f.filter(margin <= 0L)
+        .agg(sum(col("y") * col("x0")),
+          (1 until fitDims).map(d => sum(col("y") * col(s"x$d"))): _*)
+        .head()
+      for (d <- 0 until fitDims)
+        w(d) += (if (sums.isNullAt(d)) 0L else sums.getLong(d))
+      traj ++= (0 until fitDims).map(d => (r, d, w(d)))
+    }
+    traj.toSeq.toDF("round", "dim", "w")
+  }
+
+  /** Q182: the fit→score→gate loop CLOSED — documents scored through
+    * the q115 expression shape (a codegen'd per-row dot product, no
+    * shuffle, no UDF) with the coefficients [[qualityFitTrajectory]]
+    * just TRAINED instead of q115's fixed constants; kept ⟺ score
+    * > 0, decided on the exact integer score.
+    */
+  def trainedQualityGate(documents: DataFrame, iters: Int = 3): DataFrame = {
+    val wFinal = qualityFitTrajectory(documents, iters)
+      .filter(col("round") === iters)
+      .collect().map(r => r.getAs[Int]("dim") -> r.getAs[Long]("w")).toMap
+    val score = (0 until fitDims)
+      .map(d => lit(wFinal(d)) * col(s"x$d")).reduce(_ + _)
+    qualityFitFeatures(documents)
+      .select(col("doc_id"), score.as("score"))
+      .withColumn("kept", col("score") > 0L)
+  }
+
   /** Q20: token counting — whitespace tokens and a BPE-ish regex
     * segmentation (letter runs / digit runs / single other glyphs).
     */

@@ -109,7 +109,12 @@ object ScaleProbe {
     "q179_stream_url_keys",
     // host-graph PageRank: edge derivation scans the corpus once,
     // the iteration is vocabulary-sized — expected near-flat
-    "q180_host_rank")
+    "q180_host_rank",
+    // in-engine classifier fit: one feature pass + 3 bounded-agg
+    // rounds over the checkpointed features
+    "q181_quality_fit",
+    // trained gate: the fit plus one scoring projection
+    "q182_trained_gate")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

@@ -457,4 +457,40 @@ class TextOpsSpec extends SparkSpec {
     assert(sel.head.getLong(0) === 4L)
     assert(sel.forall(_.getAs[String]("source") === "other"))
   }
+
+  test("qualityFitTrajectory replays driver-side; trained gate is its final dot product") {
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    // driver-side replay over the collected feature table
+    val feats = TextOps.qualityFitFeatures(docs).collect()
+      .map(r => (r.getAs[Long]("y"),
+        Array.tabulate(5)(d => r.getAs[Long](s"x$d")), r.getAs[Long]("doc_id")))
+    // the planted teacher is linear in the training feature space, so
+    // both classes exist and the data is separable by construction
+    assert(feats.exists(_._1 == 1L) && feats.exists(_._1 == -1L))
+    val w = Array.fill(5)(0L)
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+    for (r <- 1 to 3) {
+      val s = Array.fill(5)(0L)
+      feats.foreach { case (y, x, _) =>
+        val margin = y * (0 until 5).map(d => w(d) * x(d)).sum
+        if (margin <= 0L) for (d <- 0 until 5) s(d) += y * x(d)
+      }
+      for (d <- 0 until 5) w(d) += s(d)
+      expected ++= (0 until 5).map(d => (r, d, w(d)))
+    }
+    val traj = TextOps.qualityFitTrajectory(docs).collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[Int]("dim"), r.getAs[Long]("w")))
+      .sortBy(t => (t._1, t._2))
+    assert(traj.toSeq === expected.sortBy(t => (t._1, t._2)).toSeq)
+    // the composed gate IS the final round's dot product, kept = score > 0
+    val gate = TextOps.trainedQualityGate(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("score"), r.getAs[Boolean]("kept")))).toMap
+    feats.foreach { case (_, x, id) =>
+      val score = (0 until 5).map(d => w(d) * x(d)).sum
+      assert(gate(id) === ((score, score > 0L)), s"doc $id")
+    }
+    // the fit moved off the origin: training actually happened
+    assert(w.exists(_ != 0L))
+  }
 }
