@@ -1626,6 +1626,11 @@ object SparkEntry {
     // projection, no state store, same batch oracle (q171 pattern)
     "q176_stream_crawl_ingest" -> ((s, dir) =>
       EventsStreaming.streamingCrawlIngest(s, dir)),
+    // incremental tokenizer refresh: batch counts summed into the
+    // artifact's stored count table (the sufficient statistic),
+    // re-fit under the FROZEN alphabet and recorded params — the
+    // gate holds it equal to a full refit on corpus+batch
+    "q183_bpe_refresh" -> (bpeRefreshViolations _),
     // the quality classifier trained IN-ENGINE: exact fixed-point
     // batch-perceptron steps (broadcast 5-weight model, per-row
     // margin map, one bounded 5-long aggregation per round) on
@@ -4113,12 +4118,43 @@ object SparkEntry {
     // the planted pages, then the q118 round-replaying integer
     // iteration over VARCHAR nodes
     "q180_host_rank" -> hostRankSql(),
+    // incremental tokenizer refresh: the refreshed merge table must
+    // equal the full corpus+batch refit — empty violation set
+    "q183_bpe_refresh" ->
+      """SELECT CAST(NULL AS VARCHAR) AS violation,
+        |       CAST(NULL AS INT) AS merge_rank,
+        |       CAST(NULL AS VARCHAR) AS lhs,
+        |       CAST(NULL AS VARCHAR) AS rhs,
+        |       CAST(NULL AS BIGINT) AS freq
+        |WHERE 1 = 0""".stripMargin,
     // the in-engine classifier fit: every perceptron round replayed
     // via scalar-subquery updates over the fixed-point features
     "q181_quality_fit" -> qualityFitSql(),
     // the composed gate: final-round weights dotted per doc
     "q182_trained_gate" -> trainedGateSql(),
   )
+
+  /** q183: the incremental tokenizer refresh gated against its full
+    * refit — the artifact fits on the even half of the planted
+    * corpus, the odd half arrives as the refresh batch (counts summed
+    * into the stored statistic, merge loop re-run under the frozen
+    * alphabet), and the gate compares the refreshed merge table
+    * against an in-job full refit on ALL docs. Counts are additive
+    * over the disjoint halves, so the symmetric difference must be
+    * EMPTY (the q129 incremental-algebra contract).
+    */
+  private val q183Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
+
+  private def bpeRefreshViolations(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scope = cachedScope(q183Scopes, s, dir, "graft-q183-") { sc =>
+      BpeOps.saveBpe(BpeOps.plantedCorpus(docs.filter(col("doc_id") % 2 === 0)),
+        sc, "bpe", nMerges = 12)
+      BpeOps.refreshBpe(BpeOps.plantedCorpus(docs.filter(col("doc_id") % 2 === 1)),
+        sc, "bpe")
+    }
+    BpeOps.bpeRefreshGate(s, scope, "bpe", BpeOps.plantedCorpus(docs))
+  }
 
   /** The q181/q182 shared CTE chain: the q19 quality signals
     * quantized to 1e6 fixed point, labels planted by the q115 teacher

@@ -265,10 +265,14 @@ object BpeOps {
     * (count DESC, word ASC). The only thing in the fit that touches
     * corpus data; everything downstream is driver-side over this.
     */
-  private[graft] def fitDictionary(documents: DataFrame, maxWords: Int,
-                                   textCol: String,
-                                   pretok: Boolean = false): Seq[(String, Long)] = {
-    require(maxWords > 0, s"maxWords must be positive: $maxWords")
+  /** The FULL distributed word-count table (one partial-agg pass) —
+    * the trainer's sufficient statistic: counts are additive over
+    * disjoint document sets, which is exactly what makes the q183
+    * refresh algebra exact (stored counts + batch counts = counts of
+    * the union, bit for bit).
+    */
+  private[graft] def wordCountsDf(documents: DataFrame, textCol: String,
+                                  pretok: Boolean): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val unitsDf =
@@ -280,12 +284,41 @@ object BpeOps {
       else
         documents.select(explode(expr(OpsUtil.tokensExpr
           .replace("trim(text)", s"trim($textCol)"))).as("w"))
-    unitsDf
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    unitsDf.groupBy("w").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The trainer dictionary: top `maxWords` of a count table by
+    * (count desc, word asc), optionally restricted to words whose
+    * every character is in a FROZEN alphabet (the q183 refresh
+    * contract: a refreshed tokenizer must keep the artifact's id
+    * space, so novel-character words are UNK-fodder at encode time,
+    * never dictionary entries).
+    */
+  private[graft] def topWords(counts: DataFrame, maxWords: Int,
+                              alphabet: Option[Seq[String]] = None): Seq[(String, Long)] = {
+    require(maxWords > 0, s"maxWords must be positive: $maxWords")
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val filtered = alphabet match {
+      case Some(a) =>
+        // the alphabet is model-sized: ship it as one plan literal
+        // (the empty-string guard is split()'s edge behavior, not a
+        // character)
+        counts.filter(forall(split(col("w"), ""),
+          c => (c === lit("")) || array_contains(lit(a.toArray), c)))
+      case None => counts
+    }
+    filtered
       .orderBy(col("cnt").desc, col("w").asc)
       .limit(maxWords) // model-sized: the trainer dictionary
+      .select(col("w"), col("cnt").cast("long"))
       .as[(String, Long)].collect().toSeq
   }
+
+  private[graft] def fitDictionary(documents: DataFrame, maxWords: Int,
+                                   textCol: String,
+                                   pretok: Boolean = false): Seq[(String, Long)] =
+    topWords(wordCountsDf(documents, textCol, pretok), maxWords)
 
   def fitBpe(documents: DataFrame, nMerges: Int = 50,
              maxWords: Int = 1 << 16, textCol: String = "text",
@@ -581,7 +614,13 @@ object BpeOps {
     require(nMerges >= 0, s"nMerges must be non-negative: $nMerges")
     val spark = documents.sparkSession
     import spark.implicits._
-    val dict = fitDictionary(documents, maxWords, textCol, pretok)
+    // the FULL count table rides the artifact as its sufficient
+    // statistic: a later refresh (q183) merges batch counts into it
+    // and re-fits without ever re-reading the original corpus
+    val counts = wordCountsDf(documents, textCol, pretok)
+      .localCheckpoint(eager = true)
+    counts.write.mode("overwrite").parquet(scope.path(s"$name/counts"))
+    val dict = topWords(counts, maxWords)
     val merges = fitFromCounts(dict, nMerges)
     val alphabet = dict.flatMap(_._1.map(_.toString)).distinct.sorted
     merges.toDF("merge_rank", "lhs", "rhs", "freq")
@@ -615,6 +654,89 @@ object BpeOps {
     import spark.implicits._
     spark.read.parquet(scope.path(s"$name/alphabet"))
       .select("sym").as[String].collect().toSeq.sorted
+  }
+
+  /** Q183: INCREMENTAL tokenizer refresh — re-fit the artifact's
+    * merge table on corpus+batch WITHOUT re-reading the corpus, under
+    * the FROZEN alphabet (the q83/q129 frozen-quantizer convention:
+    * the id space is the artifact's, so a refresh may re-rank merges
+    * but never mints base symbols; batch words with novel characters
+    * stay out of the dictionary and surface as UNK at encode time).
+    * Mechanics: one partial-agg count pass over the BATCH, summed
+    * into the stored count table (word counts are additive over
+    * disjoint doc sets — the exactness lever), the merged counts
+    * swapped in (write-next-then-swap, the q139 convention, so a
+    * crash never leaves a half-written statistic), and the merge loop
+    * re-run on the frozen-alphabet top-`max_words` dictionary under
+    * the artifact's own recorded parameters. Bit-identical to a full
+    * refit on corpus+batch — [[bpeRefreshGate]] is that equality as
+    * an empty-set gate. O(batch + vocabulary), never O(corpus).
+    */
+  def refreshBpe(batch: DataFrame, scope: graft.core.Scope,
+                 name: String, textCol: String = "text"): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val meta = graft.core.Scopes.readMeta(spark, scope, s"$name/meta")
+    val (nMerges, maxWords) = (meta("n_merges"), meta("max_words"))
+    val pretok = meta.getOrElse("pretok", 0) == 1
+    val alphabet = loadBpeAlphabet(spark, scope, name)
+    val merged = spark.read.parquet(scope.path(s"$name/counts"))
+      .unionByName(wordCountsDf(batch, textCol, pretok))
+      .groupBy("w").agg(sum(col("cnt")).as("cnt"))
+    merged.write.mode("overwrite").parquet(scope.path(s"$name/counts-next"))
+    graft.io.Layout.swapInto(spark, scope.path(s"$name/counts-next"),
+      scope.path(s"$name/counts"))
+    val dict = topWords(spark.read.parquet(scope.path(s"$name/counts")),
+      maxWords, Some(alphabet))
+    fitFromCounts(dict, nMerges).toDF("merge_rank", "lhs", "rhs", "freq")
+      .coalesce(1).write.mode("overwrite").parquet(scope.path(s"$name/rows"))
+  }
+
+  /** The q183 GATE: the refreshed artifact's merge table must equal a
+    * FULL refit on corpus+batch under the frozen alphabet, row for
+    * row — both directions of the symmetric difference emit as
+    * violations and the oracle expects the empty set (the q129
+    * incremental-algebra contract: incremental maintenance is
+    * layout, not semantics).
+    */
+  def bpeRefreshGate(spark: SparkSession, scope: graft.core.Scope,
+                     name: String, corpusPlusBatch: DataFrame,
+                     textCol: String = "text"): DataFrame = {
+    val meta = graft.core.Scopes.readMeta(spark, scope, s"$name/meta")
+    val (nMerges, maxWords) = (meta("n_merges"), meta("max_words"))
+    val pretok = meta.getOrElse("pretok", 0) == 1
+    val alphabet = loadBpeAlphabet(spark, scope, name)
+    import spark.implicits._
+    val full = fitFromCounts(
+        topWords(wordCountsDf(corpusPlusBatch, textCol, pretok),
+          maxWords, Some(alphabet)), nMerges)
+      .toDF("merge_rank", "lhs", "rhs", "freq")
+    val stored = loadBpeMerges(spark, scope, name)
+    val cols = Seq("merge_rank", "lhs", "rhs", "freq")
+    def tag(df: DataFrame, t: String): DataFrame =
+      df.select(lit(t).as("violation") +: cols.map(col): _*)
+    tag(full.exceptAll(stored), "missing_in_artifact")
+      .unionByName(tag(stored.exceptAll(full), "extra_in_artifact"))
+  }
+
+  /** The DRIFT MONITOR a standing tokenizer wants beside the refresh:
+    * rank-by-rank divergence between two merge tables — which ranks
+    * changed pair, which changed frequency only, which exist on one
+    * side alone. Model-sized inputs, one full-outer join.
+    */
+  def bpeDrift(before: DataFrame, after: DataFrame): DataFrame = {
+    val b = before.select(col("merge_rank"),
+      col("lhs").as("lhs_before"), col("rhs").as("rhs_before"),
+      col("freq").cast("long").as("freq_before"))
+    val a = after.select(col("merge_rank"),
+      col("lhs").as("lhs_after"), col("rhs").as("rhs_after"),
+      col("freq").cast("long").as("freq_after"))
+    b.join(a, Seq("merge_rank"), "full_outer")
+      .filter(!(col("lhs_before") <=> col("lhs_after")) ||
+        !(col("rhs_before") <=> col("rhs_after")) ||
+        !(col("freq_before") <=> col("freq_after")))
+      .select("merge_rank", "lhs_before", "rhs_before", "freq_before",
+        "lhs_after", "rhs_after", "freq_after")
   }
 
   /** Encode against the STORED tokenizer: merges and alphabet come

@@ -114,7 +114,10 @@ object ScaleProbe {
     // rounds over the checkpointed features
     "q181_quality_fit",
     // trained gate: the fit plus one scoring projection
-    "q182_trained_gate")
+    "q182_trained_gate",
+    // tokenizer refresh gate: batch count pass + vocabulary-sized
+    // merge/compare — O(batch + vocabulary), never O(corpus)
+    "q183_bpe_refresh")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

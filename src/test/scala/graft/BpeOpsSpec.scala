@@ -314,4 +314,51 @@ class BpeOpsSpec extends SparkSpec {
       rm(base)
     }
   }
+
+  test("incremental refresh equals full refit; alphabet frozen; drift reported") {
+    val corpus = Seq(
+      (1L, "low low low lower lower newest"),
+      (2L, "newest newest widest low")).toDF("doc_id", "text")
+    // the batch SHIFTS pair statistics (many 'widest') and carries a
+    // novel character ('~') the frozen alphabet must exclude
+    val batch = Seq(
+      (3L, "widest widest widest widest widest newest"),
+      (4L, "w~ird w~ird")).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft-bpe-refresh-")
+    try {
+      val scope = graft.core.Scopes.create(spark, base.toString)
+      BpeOps.saveBpe(corpus, scope, "tok", nMerges = 3)
+      val beforeDf = BpeOps.loadBpeMerges(spark, scope, "tok")
+        .localCheckpoint(eager = true) // pin: the rows are overwritten below
+      val before = beforeDf.collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val alphaBefore = BpeOps.loadBpeAlphabet(spark, scope, "tok")
+      BpeOps.refreshBpe(batch, scope, "tok")
+      // the gate: refreshed merges == full refit on corpus+batch
+      // under the frozen alphabet (empty violation set)
+      assert(BpeOps.bpeRefreshGate(spark, scope, "tok",
+        corpus.unionByName(batch)).count() === 0)
+      // the alphabet is FROZEN: no '~', byte-identical to the seed
+      assert(BpeOps.loadBpeAlphabet(spark, scope, "tok") === alphaBefore)
+      // the refresh actually moved the statistics: merge table drifted,
+      // and the monitor reports rank-level divergence
+      val afterDf = BpeOps.loadBpeMerges(spark, scope, "tok")
+      val after = afterDf.collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(before !== after)
+      // the monitor localizes the divergence to the ranks that moved
+      val drift = BpeOps.bpeDrift(beforeDf, afterDf).collect()
+      assert(drift.nonEmpty)
+      val movedRanks = before.zip(after).collect {
+        case (b, a) if b != a => b._1 }.toSet
+      assert(drift.map(_.getInt(0)).toSet === movedRanks)
+      // novel-character words never entered the dictionary: encoding
+      // the batch under the refreshed artifact demotes '~' to UNK
+      val enc = BpeOps.encodeWithArtifact(batch, scope, "tok")
+        .orderBy("doc_id").collect()
+      assert(enc(1).getLong(2) > 0L) // doc 4: w~ird has UNK chars
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
 }
