@@ -1626,6 +1626,13 @@ object SparkEntry {
     // projection, no state store, same batch oracle (q171 pattern)
     "q176_stream_crawl_ingest" -> ((s, dir) =>
       EventsStreaming.streamingCrawlIngest(s, dir)),
+    // the WARC front door: raw archive chunks split into records on
+    // the version line, response records kept, headers read, payload
+    // framed and Content-Length-verified, then the q172 extraction —
+    // one zero-exchange projection completing the crawl story BEFORE
+    // HTML extraction
+    "q184_warc_ingest" -> ((s, dir) =>
+      HtmlOps.warcIngest(HtmlOps.plantedWarcCorpus(t(s, dir, "documents")))),
     // incremental tokenizer refresh: batch counts summed into the
     // artifact's stored count table (the sufficient statistic),
     // re-fit under the FROZEN alphabet and recorded params — the
@@ -4118,6 +4125,9 @@ object SparkEntry {
     // the planted pages, then the q118 round-replaying integer
     // iteration over VARCHAR nodes
     "q180_host_rank" -> hostRankSql(),
+    // the WARC front door: chunk → records → response → headers →
+    // framed payload → extraction, every stage mirrored
+    "q184_warc_ingest" -> q184Sql,
     // incremental tokenizer refresh: the refreshed merge table must
     // equal the full corpus+batch refit — empty violation set
     "q183_bpe_refresh" ->
@@ -4133,6 +4143,64 @@ object SparkEntry {
     // the composed gate: final-round weights dotted per doc
     "q182_trained_gate" -> trainedGateSql(),
   )
+
+  /** The q184 oracle — the WARC chunk regenerated byte-identically
+    * from the planted page (CRLF framing embedded as literal bytes in
+    * the SQL text; Verify's JSON writer escapes control characters),
+    * then the same split / type-filter / header / framing chain and
+    * the q172 extraction over the framed payload. TRY_CAST on the
+    * declared length (Spark side guards the '' header the same way).
+    */
+  private lazy val q184Sql = {
+    val cr = "\r\n"
+    s"""WITH p AS (SELECT doc_id, $duckFetchHost AS fetch_host,
+       |  $duckHtml AS html FROM documents),
+       |wch AS (SELECT doc_id, concat(
+       |  'WARC/1.0$cr', 'WARC-Type: request$cr',
+       |  'WARC-Target-URI: https://w', cast(doc_id % 7 as varchar), '.s',
+       |  cast(doc_id % 5 as varchar), '.example/p/',
+       |  cast(doc_id % 11 as varchar), '$cr',
+       |  'Content-Length: 0$cr', '$cr', '$cr',
+       |  'WARC/1.0$cr', 'WARC-Type: response$cr',
+       |  'WARC-Target-URI: https://w', cast(doc_id % 7 as varchar), '.s',
+       |  cast(doc_id % 5 as varchar), '.example/p/',
+       |  cast(doc_id % 11 as varchar), '$cr',
+       |  'WARC-Date: 2026-01-', lpad(cast(1 + doc_id % 28 as varchar), 2, '0'),
+       |  'T00:00:00Z$cr',
+       |  'Content-Length: ', cast(length(html) as varchar), '$cr', '$cr',
+       |  html, '$cr', '$cr') AS warc FROM p),
+       |recs AS (SELECT doc_id,
+       |  list_filter(regexp_split_to_array(warc, 'WARC/1\\.0$cr'),
+       |    r -> trim(r) <> '') AS live FROM wch),
+       |resp AS (SELECT doc_id, CAST(len(live) AS BIGINT) AS n_records,
+       |  list_extract(list_filter(live, r ->
+       |    regexp_extract(r, '(?m)^WARC-Type: ([^$cr]+)', 1) = 'response'), 1)
+       |    AS rec FROM recs),
+       |pay AS (SELECT doc_id, n_records,
+       |  regexp_extract(rec, '(?m)^WARC-Target-URI: ([^$cr]+)', 1) AS target_uri,
+       |  regexp_extract(rec, '(?m)^WARC-Date: ([^$cr]+)', 1) AS warc_date,
+       |  TRY_CAST(regexp_extract(rec, '(?m)^Content-Length: ([^$cr]+)', 1)
+       |    AS BIGINT) AS content_length,
+       |  regexp_replace(regexp_extract(rec, '(?s)$cr$cr(.*)$$', 1),
+       |    '($cr)+$$', '') AS payload FROM resp),
+       |xb AS (SELECT doc_id, n_records, target_uri, warc_date,
+       |  content_length, payload,
+       |  regexp_replace(regexp_replace(regexp_replace(payload,
+       |    '(?s)<[Hh][Ee][Aa][Dd]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Hh][Ee][Aa][Dd]>', ' ', 'g'),
+       |    '(?s)<[Ss][Cc][Rr][Ii][Pp][Tt]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Ss][Cc][Rr][Ii][Pp][Tt]>', ' ', 'g'),
+       |    '(?s)<[Ss][Tt][Yy][Ll][Ee]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Ss][Tt][Yy][Ll][Ee]>', ' ', 'g') AS nb FROM pay),
+       |xt AS (SELECT *, regexp_replace(nb, '<[^>]*>', ' ', 'g') AS nt FROM xb),
+       |xe AS (SELECT *, regexp_replace(regexp_replace(regexp_replace(
+       |  regexp_replace(regexp_replace(regexp_replace(nt,
+       |  '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+       |  '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS de
+       |  FROM xt)
+       |SELECT doc_id, n_records, target_uri, warc_date, content_length,
+       |  coalesce(length(payload) = content_length, false) AS length_ok,
+       |  regexp_extract(payload, '<[Tt][Ii][Tt][Ll][Ee]>([^<]*)</[Tt][Ii][Tt][Ll][Ee]>', 1) AS title,
+       |  trim(regexp_replace(de, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS text_clean
+       |FROM xe""".stripMargin
+  }
 
   /** q183: the incremental tokenizer refresh gated against its full
     * refit — the artifact fits on the even half of the planted

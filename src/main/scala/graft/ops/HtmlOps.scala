@@ -364,6 +364,98 @@ object HtmlOps {
         .stripMargin.replace("\n", " "))
       .as("url"))
 
+  /** Q184's fixture: each planted page wrapped as a two-record WARC
+    * chunk — a zero-length `request` record (record-type filtering
+    * must drop it) followed by the `response` record whose payload is
+    * the page, `Content-Length` computed from the payload itself so
+    * the integrity check has a true baseline. Header lines are CRLF-
+    * terminated and the payload is CRLF-framed, per the WARC/1.0
+    * framing (ISO 28500); every varying field is a pure doc_id
+    * expression and the DuckDB oracle regenerates the identical
+    * bytes. Built ON TOP of [[plantedHtmlCorpus]] so the page bytes
+    * cannot drift from the q172-q177 fixture.
+    */
+  def plantedWarcCorpus(documents: DataFrame): DataFrame = {
+    val crlf = "\r\n"
+    val url = expr(
+      """concat('https://w', cast(doc_id % 7 as string), '.s',
+        | cast(doc_id % 5 as string), '.example/p/',
+        | cast(doc_id % 11 as string))""".stripMargin.replace("\n", " "))
+    val date = expr(
+      """concat('2026-01-', lpad(cast(1 + doc_id % 28 as string), 2, '0'),
+        | 'T00:00:00Z')""".stripMargin.replace("\n", " "))
+    plantedHtmlCorpus(documents).select(
+      col("doc_id"), col("fetch_host"),
+      concat(
+        lit("WARC/1.0" + crlf),
+        lit("WARC-Type: request" + crlf),
+        lit("WARC-Target-URI: "), url, lit(crlf),
+        lit("Content-Length: 0" + crlf),
+        lit(crlf), lit(crlf),
+        lit("WARC/1.0" + crlf),
+        lit("WARC-Type: response" + crlf),
+        lit("WARC-Target-URI: "), url, lit(crlf),
+        lit("WARC-Date: "), date, lit(crlf),
+        lit("Content-Length: "), length(col("html")).cast("string"),
+        lit(crlf), lit(crlf),
+        col("html"), lit(crlf), lit(crlf)).as("warc"))
+  }
+
+  /** Q184: the WARC FRONT DOOR — the parse stage a crawl pipeline
+    * runs on raw archive bytes BEFORE any HTML sees an extractor:
+    * split the chunk into records on the `WARC/1.0` version line,
+    * keep the `response` records (request/metadata records carry no
+    * page), read the header fields, frame the payload (everything
+    * after the first blank line, trailing record framing stripped),
+    * and verify the declared `Content-Length` against the framed
+    * payload — then hand the payload to the q172 extraction chain.
+    * ONE zero-exchange projection: split / filter / header regexes /
+    * framing are all per-row codegen'd expressions (the lambda
+    * predicate is staged once into its own column, the CollapseProject
+    * contract from [[crawlIngest]]), so at 100 TB this is scan-bound
+    * exactly like q172. Records whose headers a regex cannot find
+    * parse as empty/null and fail `length_ok` — malformed records are
+    * a VERDICT, not an exception (the q141 corrupt-input contract).
+    */
+  def warcIngest(chunks: DataFrame, warcCol: String = "warc"): DataFrame = {
+    val crlf = "\r\n"
+    def header(rec: Column, name: String): Column =
+      regexp_extract(rec, s"(?m)^$name: ([^\r\n]+)", 1)
+    val recs = split(coalesce(col(warcCol), lit("")), "WARC/1\\.0\r\n")
+    val body = regexp_replace(
+      regexp_extract(col("rec"), "(?s)\r\n\r\n(.*)$", 1),
+      s"(\r\n)+$$", "")
+    chunks
+      .select(col("doc_id"), recs.as("recs"))
+      // stage the record list once: n_records counts every non-empty
+      // record; the response pick filters by the TYPE HEADER, never
+      // by position (real archives order records arbitrarily)
+      .withColumn("live", filter(col("recs"), r => trim(r) =!= ""))
+      .select(
+        col("doc_id"),
+        size(col("live")).cast("long").as("n_records"),
+        // try_element_at: a chunk with no response record parses as
+        // null (and fails length_ok below), never as an error — ANSI-
+        // safe like the '' header guard on the length cast
+        try_element_at(filter(col("live"),
+          r => header(r, "WARC-Type") === "response"), lit(1)).as("rec"))
+      .select(
+        col("doc_id"), col("n_records"),
+        header(col("rec"), "WARC-Target-URI").as("target_uri"),
+        header(col("rec"), "WARC-Date").as("warc_date"),
+        when(header(col("rec"), "Content-Length") === "", lit(null))
+          .otherwise(header(col("rec"), "Content-Length").cast("long"))
+          .as("content_length"),
+        body.as("payload"))
+      .select(
+        col("doc_id"), col("n_records"), col("target_uri"),
+        col("warc_date"), col("content_length"),
+        coalesce(length(col("payload")).cast("long") === col("content_length"),
+          lit(false)).as("length_ok"),
+        titleOf(col("payload")).as("title"),
+        extractedText(col("payload")).as("text_clean"))
+  }
+
   /** Q180's edge derivation: the registrable-domain LINK GRAPH from
     * the fetched pages — one (src_domain → dst_domain) edge per
     * distinct page-domain/link-domain pair, the input a crawl
