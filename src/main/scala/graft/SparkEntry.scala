@@ -4147,28 +4147,47 @@ object SparkEntry {
   /** The q184 oracle — the WARC chunk regenerated byte-identically
     * from the planted page (CRLF framing embedded as literal bytes in
     * the SQL text; Verify's JSON writer escapes control characters),
-    * then the same split / type-filter / header / framing chain and
-    * the q172 extraction over the framed payload. TRY_CAST on the
-    * declared length (Spark side guards the '' header the same way).
+    * including the MALFORMED legs (doc_id%13: missing response on 3,
+    * +7-octet Content-Length lie on 7, truncated header on 11,
+    * non-ASCII payload suffix on 1), then the same split /
+    * type-filter / header / framing chain and the q172 extraction
+    * over the framed payload. Lengths via `strlen` (DuckDB's BYTE
+    * length of a VARCHAR — mirrors Spark's `octet_length`; DuckDB's
+    * `length` counts characters, which the %13==1 leg would catch).
+    * TRY_CAST on the declared length (Spark side guards the ''
+    * header the same way).
     */
   private lazy val q184Sql = {
     val cr = "\r\n"
     s"""WITH p AS (SELECT doc_id, $duckFetchHost AS fetch_host,
        |  $duckHtml AS html FROM documents),
-       |wch AS (SELECT doc_id, concat(
+       |pp AS (SELECT doc_id, html ||
+       |  CASE WHEN doc_id % 13 = 1 THEN '<p>résumé café</p>'
+       |       ELSE '' END AS pay FROM p),
+       |req AS (SELECT doc_id, pay, concat(
        |  'WARC/1.0$cr', 'WARC-Type: request$cr',
        |  'WARC-Target-URI: https://w', cast(doc_id % 7 as varchar), '.s',
        |  cast(doc_id % 5 as varchar), '.example/p/',
        |  cast(doc_id % 11 as varchar), '$cr',
-       |  'Content-Length: 0$cr', '$cr', '$cr',
+       |  'Content-Length: 0$cr', '$cr', '$cr') AS reqrec FROM pp),
+       |wch AS (SELECT doc_id, reqrec ||
+       |  CASE WHEN doc_id % 13 = 3 THEN ''
+       |       WHEN doc_id % 13 = 11 THEN concat(
+       |  'WARC/1.0$cr', 'WARC-Type: response$cr',
+       |  'WARC-Target-URI: https://w', cast(doc_id % 7 as varchar), '.s',
+       |  cast(doc_id % 5 as varchar), '.example/p/',
+       |  cast(doc_id % 11 as varchar), '$cr', 'WARC-Da')
+       |       ELSE concat(
        |  'WARC/1.0$cr', 'WARC-Type: response$cr',
        |  'WARC-Target-URI: https://w', cast(doc_id % 7 as varchar), '.s',
        |  cast(doc_id % 5 as varchar), '.example/p/',
        |  cast(doc_id % 11 as varchar), '$cr',
        |  'WARC-Date: 2026-01-', lpad(cast(1 + doc_id % 28 as varchar), 2, '0'),
        |  'T00:00:00Z$cr',
-       |  'Content-Length: ', cast(length(html) as varchar), '$cr', '$cr',
-       |  html, '$cr', '$cr') AS warc FROM p),
+       |  'Content-Length: ', cast(strlen(pay)
+       |    + CASE WHEN doc_id % 13 = 7 THEN 7 ELSE 0 END as varchar),
+       |  '$cr', '$cr',
+       |  pay, '$cr', '$cr') END AS warc FROM req),
        |recs AS (SELECT doc_id,
        |  list_filter(regexp_split_to_array(warc, 'WARC/1\\.0$cr'),
        |    r -> trim(r) <> '') AS live FROM wch),
@@ -4196,7 +4215,7 @@ object SparkEntry {
        |  '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS de
        |  FROM xt)
        |SELECT doc_id, n_records, target_uri, warc_date, content_length,
-       |  coalesce(length(payload) = content_length, false) AS length_ok,
+       |  coalesce(strlen(payload) = content_length, false) AS length_ok,
        |  regexp_extract(payload, '<[Tt][Ii][Tt][Ll][Ee]>([^<]*)</[Tt][Ii][Tt][Ll][Ee]>', 1) AS title,
        |  trim(regexp_replace(de, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS text_clean
        |FROM xe""".stripMargin

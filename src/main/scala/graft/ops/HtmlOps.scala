@@ -364,19 +364,40 @@ object HtmlOps {
         .stripMargin.replace("\n", " "))
       .as("url"))
 
-  /** Q184's fixture: each planted page wrapped as a two-record WARC
-    * chunk — a zero-length `request` record (record-type filtering
-    * must drop it) followed by the `response` record whose payload is
-    * the page, `Content-Length` computed from the payload itself so
-    * the integrity check has a true baseline. Header lines are CRLF-
-    * terminated and the payload is CRLF-framed, per the WARC/1.0
-    * framing (ISO 28500); every varying field is a pure doc_id
-    * expression and the DuckDB oracle regenerates the identical
-    * bytes. Built ON TOP of [[plantedHtmlCorpus]] so the page bytes
-    * cannot drift from the q172-q177 fixture.
+  /** Q184's fixture: each planted page wrapped as a WARC chunk — a
+    * zero-length `request` record (record-type filtering must drop
+    * it) followed by the `response` record whose payload is the page,
+    * `Content-Length` computed in OCTETS from the payload itself
+    * (WARC/ISO 28500 counts bytes, not characters) so the integrity
+    * check has a true baseline. Header lines are CRLF-terminated and
+    * the payload is CRLF-framed, per the WARC/1.0 framing; every
+    * varying field is a pure doc_id expression and the DuckDB oracle
+    * regenerates the identical bytes. Built ON TOP of
+    * [[plantedHtmlCorpus]] so the page bytes cannot drift from the
+    * q172-q177 fixture.
+    *
+    * MALFORMED LEGS (the q141 corrupt-input convention — the error
+    * paths [[warcIngest]] promises must flow through the oracle, not
+    * just the scaladoc), keyed on `doc_id % 13`:
+    *  - `%13 == 3`: the response record is MISSING (request-only
+    *    chunk) — every header parses null, `length_ok = false`;
+    *  - `%13 == 7`: the declared `Content-Length` overstates the
+    *    payload by 7 octets — the page parses fine but
+    *    `length_ok = false` (a consumer must drop it: the framing
+    *    cannot be trusted);
+    *  - `%13 == 11`: the response record's header block is TRUNCATED
+    *    mid-header ("WARC-Da") with no blank line and no payload —
+    *    `warc_date` parses empty, `content_length` null, payload
+    *    empty, `length_ok = false`;
+    *  - `%13 == 1`: the payload carries a NON-ASCII suffix
+    *    (`résumé café`, 3 two-byte chars), so its octet length
+    *    exceeds its character length — the leg that proves the
+    *    Content-Length check counts bytes (`length_ok = true` iff
+    *    both sides use octets).
     */
   def plantedWarcCorpus(documents: DataFrame): DataFrame = {
     val crlf = "\r\n"
+    val m = col("doc_id") % 13
     val url = expr(
       """concat('https://w', cast(doc_id % 7 as string), '.s',
         | cast(doc_id % 5 as string), '.example/p/',
@@ -384,41 +405,46 @@ object HtmlOps {
     val date = expr(
       """concat('2026-01-', lpad(cast(1 + doc_id % 28 as string), 2, '0'),
         | 'T00:00:00Z')""".stripMargin.replace("\n", " "))
+    val payload = concat(col("html"),
+      when(m === 1, lit("<p>résumé café</p>"))
+        .otherwise(lit("")))
+    val declaredLen =
+      (octet_length(payload).cast("long") +
+        when(m === 7, lit(7L)).otherwise(lit(0L))).cast("string")
+    val requestRec = concat(
+      lit("WARC/1.0" + crlf),
+      lit("WARC-Type: request" + crlf),
+      lit("WARC-Target-URI: "), url, lit(crlf),
+      lit("Content-Length: 0" + crlf),
+      lit(crlf), lit(crlf))
+    val responseRec = concat(
+      lit("WARC/1.0" + crlf),
+      lit("WARC-Type: response" + crlf),
+      lit("WARC-Target-URI: "), url, lit(crlf),
+      lit("WARC-Date: "), date, lit(crlf),
+      lit("Content-Length: "), declaredLen,
+      lit(crlf), lit(crlf),
+      payload, lit(crlf), lit(crlf))
+    val truncatedRec = concat(
+      lit("WARC/1.0" + crlf),
+      lit("WARC-Type: response" + crlf),
+      lit("WARC-Target-URI: "), url, lit(crlf),
+      lit("WARC-Da"))
     plantedHtmlCorpus(documents).select(
       col("doc_id"), col("fetch_host"),
-      concat(
-        lit("WARC/1.0" + crlf),
-        lit("WARC-Type: request" + crlf),
-        lit("WARC-Target-URI: "), url, lit(crlf),
-        lit("Content-Length: 0" + crlf),
-        lit(crlf), lit(crlf),
-        lit("WARC/1.0" + crlf),
-        lit("WARC-Type: response" + crlf),
-        lit("WARC-Target-URI: "), url, lit(crlf),
-        lit("WARC-Date: "), date, lit(crlf),
-        lit("Content-Length: "), length(col("html")).cast("string"),
-        lit(crlf), lit(crlf),
-        col("html"), lit(crlf), lit(crlf)).as("warc"))
+      when(m === 3, requestRec)
+        .when(m === 11, concat(requestRec, truncatedRec))
+        .otherwise(concat(requestRec, responseRec)).as("warc"))
   }
 
-  /** Q184: the WARC FRONT DOOR — the parse stage a crawl pipeline
-    * runs on raw archive bytes BEFORE any HTML sees an extractor:
-    * split the chunk into records on the `WARC/1.0` version line,
-    * keep the `response` records (request/metadata records carry no
-    * page), read the header fields, frame the payload (everything
-    * after the first blank line, trailing record framing stripped),
-    * and verify the declared `Content-Length` against the framed
-    * payload — then hand the payload to the q172 extraction chain.
-    * ONE zero-exchange projection: split / filter / header regexes /
-    * framing are all per-row codegen'd expressions (the lambda
-    * predicate is staged once into its own column, the CollapseProject
-    * contract from [[crawlIngest]]), so at 100 TB this is scan-bound
-    * exactly like q172. Records whose headers a regex cannot find
-    * parse as empty/null and fail `length_ok` — malformed records are
-    * a VERDICT, not an exception (the q141 corrupt-input contract).
+  /** The WARC framing stage shared by [[warcIngest]] (q184) and the
+    * WARC→corpus composition (q186): chunk → response record →
+    * headers + framed payload + the octet-exact `length_ok` verdict,
+    * WITHOUT the extraction tail — so a composition that runs its own
+    * page processing on the payload never pays extraction twice.
     */
-  def warcIngest(chunks: DataFrame, warcCol: String = "warc"): DataFrame = {
-    val crlf = "\r\n"
+  private[graft] def warcFrame(chunks: DataFrame,
+                               warcCol: String): DataFrame = {
     def header(rec: Column, name: String): Column =
       regexp_extract(rec, s"(?m)^$name: ([^\r\n]+)", 1)
     val recs = split(coalesce(col(warcCol), lit("")), "WARC/1\\.0\r\n")
@@ -450,11 +476,51 @@ object HtmlOps {
       .select(
         col("doc_id"), col("n_records"), col("target_uri"),
         col("warc_date"), col("content_length"),
-        coalesce(length(col("payload")).cast("long") === col("content_length"),
+        // OCTET length, not character length: WARC/ISO 28500's
+        // Content-Length counts bytes, and a non-ASCII payload makes
+        // the two diverge (the %13==1 fixture leg pins exactly that)
+        coalesce(
+          octet_length(col("payload")).cast("long") === col("content_length"),
           lit(false)).as("length_ok"),
+        col("payload"))
+  }
+
+  /** Q184: the WARC FRONT DOOR — the parse stage a crawl pipeline
+    * runs on raw archive bytes BEFORE any HTML sees an extractor:
+    * split the chunk into records on the `WARC/1.0` version line,
+    * keep the `response` records (request/metadata records carry no
+    * page), read the header fields, frame the payload (everything
+    * after the first blank line, trailing record framing stripped),
+    * and verify the declared `Content-Length` IN OCTETS against the
+    * framed payload — then hand the payload to the q172 extraction
+    * chain. ONE zero-exchange projection: split / filter / header
+    * regexes / framing are all per-row codegen'd expressions (the
+    * lambda predicate is staged once into its own column, the
+    * CollapseProject contract from [[crawlIngest]]), so at 100 TB
+    * this is scan-bound exactly like q172. Records whose headers a
+    * regex cannot find parse as empty/null and fail `length_ok` —
+    * malformed records are a VERDICT, not an exception (the q141
+    * corrupt-input contract; the missing-response / wrong-length /
+    * truncated-header legs are PLANTED by [[plantedWarcCorpus]] and
+    * flow through the oracle).
+    *
+    * KNOWN LIMIT, stated honestly: records are split on the
+    * `WARC/1.0\r\n` version line rather than framed strictly by the
+    * declared Content-Length, so a payload that itself contains that
+    * exact byte sequence would mis-split. Length-based framing needs
+    * stateful byte-offset scanning (a `mapPartitions` stage, no
+    * closed-form oracle); the version-line split keeps the stage a
+    * pure codegen projection, and `length_ok` flags any record whose
+    * framing the split corrupted — the mis-split halves no longer
+    * match their declared octet count.
+    */
+  def warcIngest(chunks: DataFrame, warcCol: String = "warc"): DataFrame =
+    warcFrame(chunks, warcCol)
+      .select(
+        col("doc_id"), col("n_records"), col("target_uri"),
+        col("warc_date"), col("content_length"), col("length_ok"),
         titleOf(col("payload")).as("title"),
         extractedText(col("payload")).as("text_clean"))
-  }
 
   /** Q180's edge derivation: the registrable-domain LINK GRAPH from
     * the fetched pages — one (src_domain → dst_domain) edge per
@@ -468,6 +534,17 @@ object HtmlOps {
     * at most domains² rows before the one shuffle, so the edge set is
     * bounded by the domain vocabulary, never by corpus size (the q118
     * edge-derivation contract).
+    *
+    * SELF-LOOPS ARE RETAINED, deliberately: a page linking within its
+    * own domain (every planted page's nav link) contributes a
+    * `src == dst` edge, so in [[graft.ops.GraphOps.domainRank]] a
+    * domain recycles part of its rank mass to itself each round —
+    * the standard PageRank treatment of intra-site links, which
+    * damps (but does not erase) the cross-domain signal. A caller
+    * that wants the pure cross-domain ordering filters `src =!= dst`
+    * on this function's output before ranking — the choice is the
+    * consumer's, not baked into the edge derivation. The oracle
+    * retains self-loops identically.
     */
   def domainEdges(pages: DataFrame, htmlCol: String = "html",
                   baseHostCol: String = "fetch_host"): DataFrame = {

@@ -105,6 +105,7 @@ object PlanAudit {
     "q178_url_key_artifact", // key-set probe: one join on canon
     "q180_host_rank",     // bounded edge set, vocabulary-sized rounds
     "q182_trained_gate",  // broadcast-literal model, per-row dot product
+    "q184_warc_ingest",   // split/frame/verify + extraction, zero exchanges
     "q10_event_window")   // normalized-ts scan straight into windowed agg
 
   def main(args: Array[String]): Unit = {

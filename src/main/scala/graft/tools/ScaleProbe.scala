@@ -117,7 +117,10 @@ object ScaleProbe {
     "q182_trained_gate",
     // tokenizer refresh gate: batch count pass + vocabulary-sized
     // merge/compare — O(batch + vocabulary), never O(corpus)
-    "q183_bpe_refresh")
+    "q183_bpe_refresh",
+    // the WARC front door: split/frame/verify + extraction, one
+    // zero-exchange projection — expected scan-bound flat like q172
+    "q184_warc_ingest")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

@@ -316,4 +316,97 @@ class HtmlOpsSpec extends SparkSpec {
     assert(mail.count() === docs.count())
     assert(mail.filter(col("host") =!= "" || col("blocked")).count() === 0)
   }
+
+  private val crlf = "\r\n"
+
+  private def warcChunks(rows: (Long, String)*) =
+    rows.toDF("doc_id", "warc")
+
+  private def responseRec(uri: String, payload: String,
+                          declared: Option[Long] = None): String =
+    s"WARC/1.0${crlf}WARC-Type: response${crlf}" +
+      s"WARC-Target-URI: $uri${crlf}WARC-Date: 2026-01-01T00:00:00Z$crlf" +
+      s"Content-Length: ${declared.getOrElse(payload.getBytes("UTF-8").length.toLong)}" +
+      s"$crlf$crlf$payload$crlf$crlf"
+
+  private val requestRec =
+    s"WARC/1.0${crlf}WARC-Type: request${crlf}" +
+      s"WARC-Target-URI: https://a.example/$crlf" +
+      s"Content-Length: 0$crlf$crlf$crlf"
+
+  test("warcIngest is record-order independent") {
+    val resp = responseRec("https://a.example/", "<body>hi</body>")
+    val out = HtmlOps.warcIngest(warcChunks(
+        1L -> (requestRec + resp), 2L -> (resp + requestRec)))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), r.getBoolean(5), r.getString(7)))
+      .toMap
+    // the response is picked by its TYPE HEADER, never by position:
+    // both orderings parse identically
+    assert(out(1L) === out(2L))
+    assert(out(1L) === ((2L, "https://a.example/", true, "hi")))
+  }
+
+  test("warcIngest: a chunk with no response record is a verdict, not an error") {
+    val row = HtmlOps.warcIngest(warcChunks(1L -> requestRec)).head()
+    assert(row.getLong(1) === 1L)           // n_records
+    assert(row.isNullAt(2))                 // target_uri
+    assert(row.isNullAt(4))                 // content_length
+    assert(!row.getBoolean(5))              // length_ok
+  }
+
+  test("warcIngest verifies Content-Length in octets, not characters") {
+    val nonAscii = "<body>résumé café</body>" // 3 two-byte chars
+    assert(nonAscii.getBytes("UTF-8").length > nonAscii.length)
+    val rows = HtmlOps.warcIngest(warcChunks(
+        1L -> responseRec("https://a.example/", nonAscii),
+        // declared = CHARACTER count: must FAIL under the octet check
+        2L -> responseRec("https://a.example/", nonAscii,
+          declared = Some(nonAscii.length.toLong)),
+        // overdeclared by 7 (the %13==7 planted leg's shape)
+        3L -> responseRec("https://a.example/", "<p>x</p>",
+          declared = Some("<p>x</p>".length + 7L))))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(rows(1L) && !rows(2L) && !rows(3L))
+  }
+
+  test("warcIngest: truncated header parses empty fields and fails length_ok") {
+    val truncated = requestRec +
+      s"WARC/1.0${crlf}WARC-Type: response${crlf}" +
+      s"WARC-Target-URI: https://a.example/$crlf" + "WARC-Da"
+    val row = HtmlOps.warcIngest(warcChunks(1L -> truncated)).head()
+    assert(row.getLong(1) === 2L)                // n_records
+    assert(row.getString(2) === "https://a.example/") // uri header intact
+    assert(row.getString(3) === "")              // warc_date: no match
+    assert(row.isNullAt(4))                      // content_length
+    assert(!row.getBoolean(5))
+  }
+
+  test("plantedWarcCorpus malformed legs flow through warcIngest as verdicts") {
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val out = HtmlOps.warcIngest(HtmlOps.plantedWarcCorpus(docs))
+      .withColumn("m", col("doc_id") % 13)
+    // well-formed legs (incl. the non-ASCII %13==1 leg) pass; every
+    // malformed leg fails length_ok — never throws
+    assert(out.filter(!col("m").isin(3, 7, 11) && !col("length_ok"))
+      .count() === 0)
+    assert(out.filter(col("m").isin(3, 7, 11) && col("length_ok"))
+      .count() === 0)
+    assert(out.filter(col("m") === 1).count() > 0)
+    // the octet leg is REAL: the %13==1 payload's octet count exceeds
+    // its character count, and the declared length matches the OCTETS
+    // (a character-counting check would fail this leg)
+    val one = HtmlOps.warcFrame(HtmlOps.plantedWarcCorpus(docs), "warc")
+      .filter(col("doc_id") % 13 === 1)
+      .select(octet_length(col("payload")).cast("long"),
+        length(col("payload")).cast("long"), col("content_length")).head()
+    assert(one.getLong(0) > one.getLong(1))
+    assert(one.getLong(0) === one.getLong(2))
+    // missing-response: headers null; truncated: date empty, length null
+    assert(out.filter(col("m") === 3 && col("target_uri").isNotNull)
+      .count() === 0)
+    assert(out.filter(col("m") === 11 &&
+      (col("warc_date") =!= "" || col("content_length").isNotNull))
+      .count() === 0)
+  }
 }
