@@ -671,6 +671,22 @@ object BpeOps {
     * the artifact's own recorded parameters. Bit-identical to a full
     * refit on corpus+batch — [[bpeRefreshGate]] is that equality as
     * an empty-set gate. O(batch + vocabulary), never O(corpus).
+    *
+    * CRASH-REPLAY SAFETY (both stored tables, not just counts): the
+    * merge-table rewrite is ALSO staged (rows-next → swap), and a
+    * deterministic digest of the batch's word counts rides the counts
+    * directory through the same rename (`_refresh_token`, hidden from
+    * parquet listing by its underscore). A replay of the SAME batch
+    * — the crash-recovery case: the caller re-runs after a failure
+    * anywhere in the refresh — sees its own token already on the live
+    * counts, SKIPS the count merge (no double-sum of the sufficient
+    * statistic), and still re-fits and re-swaps the merge table, so a
+    * crash between the counts swap and the rows swap heals instead of
+    * leaving merges inconsistent with counts. LIMIT, stated honestly:
+    * the token detects consecutive redelivery only; an old batch
+    * replayed AFTER a different refresh has landed is
+    * indistinguishable from new data (the caller owns batch ordering,
+    * same as the q178 ingest contract's fetch-order requirement).
     */
   def refreshBpe(batch: DataFrame, scope: graft.core.Scope,
                  name: String, textCol: String = "text"): Unit = {
@@ -680,16 +696,66 @@ object BpeOps {
     val (nMerges, maxWords) = (meta("n_merges"), meta("max_words"))
     val pretok = meta.getOrElse("pretok", 0) == 1
     val alphabet = loadBpeAlphabet(spark, scope, name)
-    val merged = spark.read.parquet(scope.path(s"$name/counts"))
-      .unionByName(wordCountsDf(batch, textCol, pretok))
-      .groupBy("w").agg(sum(col("cnt")).as("cnt"))
-    merged.write.mode("overwrite").parquet(scope.path(s"$name/counts-next"))
-    graft.io.Layout.swapInto(spark, scope.path(s"$name/counts-next"),
-      scope.path(s"$name/counts"))
+    // one pass over the batch: the counts feed both the digest and the
+    // merge (localCheckpoint so the token and the merged table cannot
+    // disagree about what the batch contained)
+    val batchCounts = wordCountsDf(batch, textCol, pretok)
+      .localCheckpoint(eager = true)
+    val token = batchCounts
+      .agg(expr("coalesce(bit_xor(xxhash64(w, cnt)), 0L)"))
+      .head().getLong(0)
+    val applied = readRefreshToken(spark,
+      scope.path(s"$name/counts/$refreshTokenFile")).contains(token)
+    if (!applied) {
+      val merged = spark.read.parquet(scope.path(s"$name/counts"))
+        .select(col("w"), col("cnt"))
+        .unionByName(batchCounts)
+        .groupBy("w").agg(sum(col("cnt")).as("cnt"))
+      merged.write.mode("overwrite").parquet(scope.path(s"$name/counts-next"))
+      writeRefreshToken(spark,
+        scope.path(s"$name/counts-next/$refreshTokenFile"), token)
+      graft.io.Layout.swapInto(spark, scope.path(s"$name/counts-next"),
+        scope.path(s"$name/counts"))
+    }
+    // refit from the LIVE counts — idempotent whether or not the merge
+    // ran above, which is exactly what heals the swap/rows crash window
     val dict = topWords(spark.read.parquet(scope.path(s"$name/counts")),
       maxWords, Some(alphabet))
     fitFromCounts(dict, nMerges).toDF("merge_rank", "lhs", "rhs", "freq")
-      .coalesce(1).write.mode("overwrite").parquet(scope.path(s"$name/rows"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(scope.path(s"$name/rows-next"))
+    graft.io.Layout.swapInto(spark, scope.path(s"$name/rows-next"),
+      scope.path(s"$name/rows"))
+  }
+
+  // hidden from parquet listings (leading underscore) so it can ride
+  // the counts directory through Layout.swapInto's single rename —
+  // the token and the statistic it describes are atomic together
+  private val refreshTokenFile = "_refresh_token"
+
+  private def fsFor(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeRefreshToken(spark: SparkSession, path: String,
+                                token: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val out = fsFor(spark, p).create(p, true)
+    try out.write(token.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readRefreshToken(spark: SparkSession,
+                               path: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](64)
+        val n = in.read(bytes)
+        Some(new String(bytes, 0, math.max(n, 0), "UTF-8").trim.toLong)
+      } finally in.close()
+    }
   }
 
   /** The q183 GATE: the refreshed artifact's merge table must equal a

@@ -361,4 +361,50 @@ class BpeOpsSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
     }
   }
+
+  test("refreshBpe replay of the same batch never double-sums the statistic") {
+    val corpus = Seq(
+      (1L, "low low low lower lower newest"),
+      (2L, "newest newest widest low")).toDF("doc_id", "text")
+    val batch = Seq(
+      (3L, "widest widest widest widest widest newest")).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft-bpe-replay-")
+    try {
+      val scope = graft.core.Scopes.create(spark, base.toString)
+      BpeOps.saveBpe(corpus, scope, "tok", nMerges = 3)
+      BpeOps.refreshBpe(batch, scope, "tok")
+      def counts() = spark.read.parquet(scope.path("tok/counts"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      def merges() = BpeOps.loadBpeMerges(spark, scope, "tok").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      val (c1, m1) = (counts(), merges())
+      // the crash-recovery case: the SAME batch is delivered again
+      // (e.g. the caller re-runs after a failure after the counts
+      // swap). The stored statistic must not absorb it twice, and the
+      // merge table must still be refit — not left stale.
+      BpeOps.refreshBpe(batch, scope, "tok")
+      assert(counts() === c1)
+      assert(merges() === m1)
+      // and the artifact still equals a SINGLE-application full refit
+      assert(BpeOps.bpeRefreshGate(spark, scope, "tok",
+        corpus.unionByName(batch)).count() === 0)
+      // both rewrites were staged: no -next leftovers, no .bak
+      val fs = new java.io.File(base.toString)
+      def names(d: java.io.File): Seq[String] =
+        Option(d.listFiles()).toSeq.flatten.flatMap(f =>
+          f.getName +: (if (f.isDirectory) names(f) else Seq.empty))
+      assert(!names(fs).exists(n =>
+        n.endsWith("-next") || n.endsWith(".bak")))
+      // a GENUINELY new batch still lands (the token is per-batch,
+      // not a one-shot latch)
+      val batch2 = Seq((4L, "low lowest")).toDF("doc_id", "text")
+      BpeOps.refreshBpe(batch2, scope, "tok")
+      assert(counts()("low") === c1("low") + 1)
+      assert(BpeOps.bpeRefreshGate(spark, scope, "tok",
+        corpus.unionByName(batch).unionByName(batch2)).count() === 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
 }
