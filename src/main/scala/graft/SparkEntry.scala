@@ -1673,6 +1673,13 @@ object SparkEntry {
     // the extracted corpus materialized once for all gate consumers
     "q177_crawl_corpus" -> ((s, dir) =>
       ClusterOps.crawlCorpus(t(s, dir, "documents"))),
+    // flagship v5: q177's chain with the quality stage swapped for
+    // the IN-ENGINE TRAINED classifier — fit on the raw labeled docs
+    // (q181's planted teacher), served as plan literals over the
+    // crawl docs' own extracted-text signals; the gate plan is
+    // identical to the hand-set variant up to those literals
+    "q185_trained_flagship" -> ((s, dir) =>
+      ClusterOps.crawlCorpus(t(s, dir, "documents"), trainedGate = true)),
   )
 
   private val q159Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -2154,6 +2161,11 @@ object SparkEntry {
   private lazy val corpusV2CandSql =
     "WITH RECURSIVE\n" + corpusV2CandBody
   private lazy val corpusV2CandBody =
+    corpusV2CandBodyWith("q.quality >= 0.5")
+  // the quality predicate is the one stage the trained flagship
+  // (q185) swaps: the hand-set composite threshold vs the fitted
+  // fixed-point dot product — everything else in the chain is shared
+  private def corpusV2CandBodyWith(qualityPred: String): String =
     s"""p AS (SELECT doc_a, doc_b FROM ($minhashLshSql)
        |      UNION
        |      SELECT doc_a, doc_b FROM ($simhashPairsSql)
@@ -2194,7 +2206,7 @@ object SparkEntry {
        |  JOIN q ON q.doc_id = k.doc_id
        |  JOIN rep ON rep.doc_id = k.doc_id
        |  JOIN dl ON dl.doc_id = k.doc_id
-       |  WHERE q.quality >= 0.5
+       |  WHERE $qualityPred
        |    AND rep.top_bigram_frac <= 0.5
        |    AND dl.dup_line_frac <= 0.5
        |    AND k.lang IN ('en', 'de', 'fr', 'es')
@@ -2227,8 +2239,36 @@ object SparkEntry {
     * for the plants), and the q167 staged scrub + audit on the
     * selected rows. minLmAvgFp = 300 (see crawlCorpus's scaladoc).
     */
-  private lazy val q177Sql = {
-    val gateBody = onDocs(corpusV2CandBody, "crawl_docs")
+  private lazy val q177Sql = crawlCorpusSqlWith("", "q.quality >= 0.5")
+
+  /** The q185 oracle — q177's chain with the quality stage swapped
+    * for the TRAINED gate: the q181 fit CTEs replay the fixed-point
+    * perceptron on the RAW documents (the labeled set), and the cand
+    * predicate scores each CRAWL doc's quality signals against the
+    * final-round weights via scalar subqueries on w3 — the same
+    * quantization as the ft CTE, so training and serving read
+    * identical integers on both engines.
+    */
+  private lazy val q185Sql = {
+    val dot = Seq(
+      "(SELECT a0 FROM w3) * 1",
+      "(SELECT a1 FROM w3) * CAST(least(q.n_tokens, 1000) AS BIGINT)",
+      "(SELECT a2 FROM w3) * CAST(round(coalesce(q.stopword_ratio, " +
+        "0.0::DOUBLE) * 1000000.0::DOUBLE) AS BIGINT)",
+      "(SELECT a3 FROM w3) * CAST(round(coalesce(q.punct_ratio, " +
+        "0.0::DOUBLE) * 1000000.0::DOUBLE) AS BIGINT)",
+      "(SELECT a4 FROM w3) * CAST(round(coalesce(q.avg_token_len, " +
+        "0.0::DOUBLE) * 1000000.0::DOUBLE) AS BIGINT)").mkString("\n    + ")
+    crawlCorpusSqlWith(qualityFitCtes(3) + ",\n", s"($dot) > 0")
+  }
+
+  /** The shared q177/q185 flagship oracle body; `fitCtes` (empty for
+    * q177) land between crawl_docs and the gate chain and stay on the
+    * RAW documents table — only the gate body is rebased via onDocs.
+    */
+  private def crawlCorpusSqlWith(fitCtes: String,
+                                 qualityPred: String): String = {
+    val gateBody = onDocs(corpusV2CandBodyWith(qualityPred), "crawl_docs")
     val lmBody = onDocs(q156Sql, "crawl_docs")
     s"""WITH RECURSIVE
        |cw_src AS (SELECT doc_id, $duckPiiText AS text FROM documents),
@@ -2252,7 +2292,7 @@ object SparkEntry {
        |  FROM cw_ok o
        |  JOIN cw_keep k ON k.doc_id = o.doc_id
        |  JOIN documents d ON d.doc_id = o.doc_id),
-       |$gateBody,
+       |$fitCtes$gateBody,
        |lm AS (SELECT doc_id, n_bigrams, score_fp FROM ($lmBody)),
        |v3 AS (SELECT c.* FROM cand c JOIN lm ON lm.doc_id = c.doc_id
        |       WHERE lm.score_fp >= 300 * lm.n_bigrams),
@@ -4128,6 +4168,7 @@ object SparkEntry {
     // the WARC front door: chunk → records → response → headers →
     // framed payload → extraction, every stage mirrored
     "q184_warc_ingest" -> q184Sql,
+    "q185_trained_flagship" -> q185Sql,
     // incremental tokenizer refresh: the refreshed merge table must
     // equal the full corpus+batch refit — empty violation set
     "q183_bpe_refresh" ->

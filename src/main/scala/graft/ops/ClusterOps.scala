@@ -557,15 +557,26 @@ object ClusterOps {
                             langs: Seq[String],
                             maxTopBigramFrac: Double,
                             maxDupLineFrac: Double,
-                            benchmarkOpt: Option[DataFrame]): DataFrame = {
+                            benchmarkOpt: Option[DataFrame],
+                            trainedWeights: Option[Seq[Long]] = None): DataFrame = {
     val edges = DedupOps.minhashLshPairs(documents).select("doc_a", "doc_b")
       .union(DedupOps.simhashPairs(documents).select("doc_a", "doc_b"))
       .union(DedupOps.winnowedPassagePairs(documents).select("doc_a", "doc_b"))
     val labels = connectedComponents(documents, edges)
     val kept = labels.filter(col("doc_id") === col("canonical_id"))
       .join(documents.select(col("doc_id"), col("lang"), col("source")), "doc_id")
-    val quality = graft.ops.TextOps.qualityScore(documents)
-      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    // the quality gate: either the q19 composite threshold (default)
+    // or — when a TRAINED model vector is threaded in (q185) — the
+    // q115/q182 fixed-point dot product over the same signal columns.
+    // Both are per-row predicates on the quality projection: swapping
+    // one for the other changes the filter expression's literals, not
+    // the plan shape (no new join, no new exchange).
+    val qualityAll = graft.ops.TextOps.qualityScore(documents)
+    val quality = (trainedWeights match {
+      case Some(w) =>
+        qualityAll.filter(graft.ops.TextOps.fixedPointScore(w) > 0L)
+      case None => qualityAll.filter(col("quality") >= minQuality)
+    }).select(col("doc_id"), col("n_tokens"), col("quality"))
     val repetition = graft.ops.TextOps.repetitionStats(documents)
       .select(col("doc_id"), col("dup_line_frac"), col("top_bigram_frac"))
     val (train, bench) = benchmarkOpt match {
@@ -578,8 +589,7 @@ object ClusterOps {
       .select("doc_id")
     val gated = kept.join(quality, "doc_id")
       .join(repetition, "doc_id")
-      .filter(col("quality") >= minQuality &&
-        col("top_bigram_frac") <= maxTopBigramFrac &&
+      .filter(col("top_bigram_frac") <= maxTopBigramFrac &&
         col("dup_line_frac") <= maxDupLineFrac &&
         col("lang").isin(langs: _*))
     // membership gate: no benchmark doc ever trains (beyond the n-gram
@@ -615,9 +625,10 @@ object ClusterOps {
                        maxDupLineFrac: Double = 0.5,
                        minLmAvgFp: Long = 460L,
                        topK: Int = 150,
-                       benchmarkOpt: Option[DataFrame] = None): DataFrame = {
+                       benchmarkOpt: Option[DataFrame] = None,
+                       trainedWeights: Option[Seq[Long]] = None): DataFrame = {
     val filtered = gatedCorpusV2(documents, minQuality, langs,
-      maxTopBigramFrac, maxDupLineFrac, benchmarkOpt)
+      maxTopBigramFrac, maxDupLineFrac, benchmarkOpt, trainedWeights)
     val lm = graft.ops.TextOps.bigramLmScore(documents)
       .select(col("doc_id"), col("n_bigrams"), col("score_fp"))
     val lmGated = filtered.join(lm, "doc_id")
@@ -780,9 +791,23 @@ object ClusterOps {
     * per-corpus calibration contract as q163 — see
     * [[graft.ops.TextOps.lmFloorCalibrate]]).
     */
+  /** When `trainedGate` is set (q185 — flagship v5), the hand-set
+    * q19 quality threshold in stage 3 is replaced by the IN-ENGINE
+    * TRAINED classifier: [[graft.ops.TextOps.fitQualityWeights]] runs
+    * the exact fixed-point perceptron on the RAW labeled documents
+    * (q181's planted-teacher training set — fit on labels, applied to
+    * pipeline candidates, the production train/serve split), and the
+    * crawl docs are gated by the q115-shaped dot product `w·x > 0`
+    * over their own extracted-text signals. The weights cross the
+    * driver once as 5 longs and enter the plan as literals — the gate
+    * stays a per-row filter on the quality projection, so the plan is
+    * IDENTICAL to the hand-set variant up to those literals (the q115
+    * scaladoc promise, spec-pinned in TextOpsSpec).
+    */
   def crawlCorpus(documents: DataFrame,
                   minLmAvgFp: Long = 300L,
-                  topK: Int = 150): DataFrame = {
+                  topK: Int = 150,
+                  trainedGate: Boolean = false): DataFrame = {
     val pages = graft.ops.HtmlOps.plantedHtmlCorpus(
       graft.ops.PiiOps.plantedPiiCorpus(documents))
     val keep = graft.ops.HtmlOps.urlCanonicalDedup(
@@ -800,8 +825,12 @@ object ClusterOps {
       .select(col("doc_id"), col("text_clean").as("text"),
         col("lang"), col("source"))
       .localCheckpoint(eager = true)
+    val weights =
+      if (trainedGate)
+        Some(graft.ops.TextOps.fitQualityWeights(documents))
+      else None
     val selected = trainingCorpusV3(crawlDocs, minLmAvgFp = minLmAvgFp,
-      topK = topK)
+      topK = topK, trainedWeights = weights)
     graft.ops.PiiOps.piiRedact(
       selected.join(crawlDocs.select("doc_id", "text"), "doc_id"),
       keep = Seq("lang", "source", "n_tokens", "quality", "priority"))

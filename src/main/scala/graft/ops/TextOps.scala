@@ -178,22 +178,51 @@ object TextOps {
     traj.toSeq.toDF("round", "dim", "w")
   }
 
+  /** The final-round weights of [[qualityFitTrajectory]] as a plain
+    * model vector — 5 longs across the driver, the q117 model-sized
+    * collect convention. This is the handle a flagship threads into
+    * its gate chain (q185): fit once on the labeled set, broadcast
+    * the literals everywhere the gate runs.
+    */
+  def fitQualityWeights(documents: DataFrame, iters: Int = 3): Seq[Long] = {
+    val wFinal = qualityFitTrajectory(documents, iters)
+      .filter(col("round") === iters)
+      .collect().map(r => r.getAs[Int]("dim") -> r.getAs[Long]("w")).toMap
+    (0 until fitDims).map(wFinal)
+  }
+
+  /** The fixed-point gate SCORE as a column over [[qualityScore]]
+    * output — the q115 expression shape with the coefficients as plan
+    * literals. The feature quantization here MUST stay bit-identical
+    * to [[qualityFitFeatures]]' x0..x4 (same micros rounding, same
+    * n_tokens cap): training and serving read the same numbers, the
+    * invariant that makes the trained gate exact. Swapping one weight
+    * vector for another changes only the literals — the plan is
+    * IDENTICAL (the q115 scaladoc promise, pinned by TextOpsSpec).
+    */
+  def fixedPointScore(weights: Seq[Long]): Column = {
+    require(weights.length == fitDims,
+      s"expected $fitDims weights, got ${weights.length}")
+    val micros = (c: Column) =>
+      round(coalesce(c, lit(0.0)) * lit(1000000.0)).cast("long")
+    lit(weights(0)) * lit(1L) +
+      lit(weights(1)) * least(col("n_tokens"), lit(1000)).cast("long") +
+      lit(weights(2)) * micros(col("stopword_ratio")) +
+      lit(weights(3)) * micros(col("punct_ratio")) +
+      lit(weights(4)) * micros(col("avg_token_len"))
+  }
+
   /** Q182: the fit→score→gate loop CLOSED — documents scored through
     * the q115 expression shape (a codegen'd per-row dot product, no
     * shuffle, no UDF) with the coefficients [[qualityFitTrajectory]]
     * just TRAINED instead of q115's fixed constants; kept ⟺ score
     * > 0, decided on the exact integer score.
     */
-  def trainedQualityGate(documents: DataFrame, iters: Int = 3): DataFrame = {
-    val wFinal = qualityFitTrajectory(documents, iters)
-      .filter(col("round") === iters)
-      .collect().map(r => r.getAs[Int]("dim") -> r.getAs[Long]("w")).toMap
-    val score = (0 until fitDims)
-      .map(d => lit(wFinal(d)) * col(s"x$d")).reduce(_ + _)
-    qualityFitFeatures(documents)
-      .select(col("doc_id"), score.as("score"))
+  def trainedQualityGate(documents: DataFrame, iters: Int = 3): DataFrame =
+    qualityScore(documents)
+      .select(col("doc_id"),
+        fixedPointScore(fitQualityWeights(documents, iters)).as("score"))
       .withColumn("kept", col("score") > 0L)
-  }
 
   /** Q20: token counting — whitespace tokens and a BPE-ish regex
     * segmentation (letter runs / digit runs / single other glyphs).

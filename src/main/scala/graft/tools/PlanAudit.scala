@@ -106,6 +106,7 @@ object PlanAudit {
     "q180_host_rank",     // bounded edge set, vocabulary-sized rounds
     "q182_trained_gate",  // broadcast-literal model, per-row dot product
     "q184_warc_ingest",   // split/frame/verify + extraction, zero exchanges
+    "q185_trained_flagship", // q177's plan, gate literals from the fit
     "q10_event_window")   // normalized-ts scan straight into windowed agg
 
   def main(args: Array[String]): Unit = {

@@ -120,7 +120,10 @@ object ScaleProbe {
     "q183_bpe_refresh",
     // the WARC front door: split/frame/verify + extraction, one
     // zero-exchange projection — expected scan-bound flat like q172
-    "q184_warc_ingest")
+    "q184_warc_ingest",
+    // trained flagship: q177's plan + the 3-round fit (bounded aggs
+    // over checkpointed features) — expected cost class = q177's
+    "q185_trained_flagship")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

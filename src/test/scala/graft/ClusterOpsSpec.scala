@@ -383,6 +383,34 @@ class ClusterOpsSpec extends SparkSpec {
     }
   }
 
+  test("trained flagship (q185) gates on the fitted weights, same contract as q177") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val out = ClusterOps.crawlCorpus(docs, trainedGate = true)
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.length <= 150)
+    // identical output contract to the hand-set flagship
+    assert(out.columns === ClusterOps.crawlCorpus(docs).columns)
+    // the scrub tail still holds under the swapped gate
+    rows.foreach(r => assert(r.getAs[Long]("n_residual") === 0L))
+    // the gate is REALLY the trained one: every selected doc's
+    // extracted text scores positive under the fitted weights
+    // (recompute the crawl-doc signals independently)
+    val w = graft.ops.TextOps.fitQualityWeights(docs)
+    val extracted = graft.ops.HtmlOps.crawlIngest(
+        graft.ops.HtmlOps.plantedHtmlCorpus(
+          graft.ops.PiiOps.plantedPiiCorpus(docs)),
+        baseHostCol = Some("fetch_host"))
+      .select(col("doc_id"), col("text_clean").as("text"))
+    val score = graft.ops.TextOps.qualityScore(extracted)
+      .select(col("doc_id"), graft.ops.TextOps.fixedPointScore(w).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(score(id) > 0L, s"doc $id selected with non-positive score")
+    }
+  }
+
   test("corpus manifest rolls up the shards exactly") {
     val docs = graft.io.Tables.parquet(spark, sf, "documents")
     val shards = ClusterOps.corpusShards(docs).cache()

@@ -493,4 +493,43 @@ class TextOpsSpec extends SparkSpec {
     // the fit moved off the origin: training actually happened
     assert(w.exists(_ != 0L))
   }
+
+  test("fixedPointScore: swapping coefficients keeps the plan identical (q115 promise)") {
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    def gate(w: Seq[Long]) = TextOps.qualityScore(docs)
+      .filter(TextOps.fixedPointScore(w) > 0L)
+    // strict form: between two generic vectors (no 0/±1 entries, so
+    // constant folding cannot simplify either side differently) the
+    // plan differs ONLY in its literals
+    def shape(w: Seq[Long]): String = gate(w)
+      .queryExecution.executedPlan.toString.replaceAll("-?[0-9]+", "N")
+    assert(shape(Seq(-5000000L, 20000L, 12L, -30L, 17L)) ===
+      shape(Seq(999L, -888L, 77L, 66L, 55L)))
+    // and for the ACTUALLY-TRAINED vector vs the q115 teacher: the
+    // operator tree is identical (same scan → project → filter; no
+    // new join, no exchange) even where folding simplifies a *1 away
+    val handSet = Seq(-5000000L, 20000L, 12L, -30L, 1L)
+    val trained = TextOps.fitQualityWeights(docs)
+    assert(trained !== handSet) // the swap is real, not a fixed point
+    def nodes(w: Seq[Long]): Seq[String] =
+      gate(w).queryExecution.executedPlan.collect { case p => p.nodeName }
+    assert(nodes(trained) === nodes(handSet))
+    assert(!nodes(trained).exists(_.contains("Exchange")))
+  }
+
+  test("fixedPointScore quantizes exactly like the training features") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val w = Seq(3L, -2L, 5L, 7L, -1L)
+    val served = TextOps.qualityScore(docs)
+      .select(col("doc_id"), TextOps.fixedPointScore(w).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // training reads x0..x4 from qualityFitFeatures; serving reads the
+    // ratio columns directly — the integers must agree bit for bit
+    TextOps.qualityFitFeatures(docs).collect().foreach { r =>
+      val viaFeatures = (0 until 5)
+        .map(d => w(d) * r.getAs[Long](s"x$d")).sum
+      assert(served(r.getAs[Long]("doc_id")) === viaFeatures)
+    }
+  }
 }
