@@ -212,7 +212,15 @@ object SparkEntry {
   private def duckHtmlExtractCtesFrom(src: String, pfx: String = "") =
     s"""${pfx}p AS (SELECT doc_id, $duckFetchHost AS fetch_host,
        |  $duckHtml AS html FROM $src),
-       |${pfx}b AS (SELECT doc_id, fetch_host, html,
+       |${duckExtractFromHtmlCtes(pfx)}""".stripMargin
+
+  /** The extraction stages alone — block removal → tag strip →
+    * entity decode — over an EXISTING `${pfx}p` CTE with (doc_id,
+    * fetch_host, html); the q186 WARC→corpus chain supplies its page
+    * from framed archive payloads instead of the planted generator.
+    */
+  private def duckExtractFromHtmlCtes(pfx: String) =
+    s"""${pfx}b AS (SELECT doc_id, fetch_host, html,
        |  regexp_replace(regexp_replace(regexp_replace(html,
        |    '(?s)<[Hh][Ee][Aa][Dd]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Hh][Ee][Aa][Dd]>', ' ', 'g'),
        |    '(?s)<[Ss][Cc][Rr][Ii][Pp][Tt]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Ss][Cc][Rr][Ii][Pp][Tt]>', ' ', 'g'),
@@ -1680,7 +1688,37 @@ object SparkEntry {
     // identical to the hand-set variant up to those literals
     "q185_trained_flagship" -> ((s, dir) =>
       ClusterOps.crawlCorpus(t(s, dir, "documents"), trainedGate = true)),
+    // the true front door: WARC chunks → framing verdict → payload
+    // pages (fetch host from the Target-URI header) → the identical
+    // q177 chain; malformed chunks drop at framing, before extraction
+    "q186_warc_corpus" -> ((s, dir) =>
+      ClusterOps.warcCorpus(t(s, dir, "documents"))),
+    // the fetch-ordering decision: outlinks → canonical candidates →
+    // anti-join the maintained key set (q178) → domain-rank priority
+    // (q180) → politeness cap per domain
+    "q187_crawl_frontier" -> (crawlFrontierQuery _),
   )
+
+  private val q187Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
+
+  /** q187: the frontier composed from the standing artifacts — the
+    * key set seeded from the FULL dirty-URL corpus (every planted
+    * page has been fetched), the rank from the pages' own link graph;
+    * candidates are the pages' outlinks. The planted overlap: docs
+    * 0-4's next-link canon equals their own fetched key (the CRT leg
+    * — doc_id%13 = doc_id%5 forces doc_id < 5), so the anti-join
+    * provably bites on the fixture.
+    */
+  private def crawlFrontierQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val urls = HtmlOps.plantedDirtyUrlCorpus(docs)
+    val scope = cachedScope(q187Scopes, s, dir, "graft-q187-") { sc =>
+      HtmlOps.saveUrlKeys(urls, sc, "urlkeys")
+    }
+    val pages = HtmlOps.plantedHtmlCorpus(docs)
+    HtmlOps.crawlFrontier(pages, scope, "urlkeys",
+      GraphOps.domainRank(HtmlOps.domainEdges(pages)))
+  }
 
   private val q159Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
 
@@ -2262,17 +2300,54 @@ object SparkEntry {
     crawlCorpusSqlWith(qualityFitCtes(3) + ",\n", s"($dot) > 0")
   }
 
+  /** The q186 oracle — the TRUE front-door composition: the planted
+    * pages (over the PII-planted text) wrapped as WARC chunks, the
+    * q184 split/frame/verify chain, `length_ok` records' payloads
+    * becoming the pages (fetch host read from the WARC-Target-URI
+    * header, the q184 host regex = HtmlOps.hostOf), then the entire
+    * q177 extraction + keep-set + gate + scrub chain unchanged. The
+    * malformed legs (doc_id%13 ∈ {3,7,11}) drop at the framing
+    * verdict — before extraction ever sees them — and the %13==1
+    * non-ASCII suffix flows INTO the corpus text, so the gates score
+    * the payload actually framed, not the page as planted.
+    */
+  private lazy val q186Sql = {
+    val warcPages =
+      s"""wpage AS (SELECT doc_id, $duckFetchHost AS fetch_host,
+         |  $duckHtml AS html FROM cw_src),
+         |wpay AS (SELECT doc_id, html ||
+         |  CASE WHEN doc_id % 13 = 1 THEN '<p>résumé café</p>'
+         |       ELSE '' END AS pay FROM wpage),
+         |${duckWarcChain("wpay", "w")},
+         |cw_p AS (SELECT doc_id,
+         |  regexp_extract(target_uri, '^(?i)(?:https?:)?//([^/?#]+)', 1)
+         |    AS fetch_host,
+         |  payload AS html
+         |  FROM wfr
+         |  WHERE coalesce(strlen(payload) = content_length, false))"""
+        .stripMargin
+    crawlCorpusSqlWith("", "q.quality >= 0.5", Some(warcPages))
+  }
+
   /** The shared q177/q185 flagship oracle body; `fitCtes` (empty for
     * q177) land between crawl_docs and the gate chain and stay on the
     * RAW documents table — only the gate body is rebased via onDocs.
     */
   private def crawlCorpusSqlWith(fitCtes: String,
-                                 qualityPred: String): String = {
+                                 qualityPred: String,
+                                 pageCtes: Option[String] = None): String = {
     val gateBody = onDocs(corpusV2CandBodyWith(qualityPred), "crawl_docs")
     val lmBody = onDocs(q156Sql, "crawl_docs")
+    // the PAGE SOURCE: the planted generator (q177/q185) unless the
+    // caller supplies its own chain ending in cw_p (q186: framed WARC
+    // payloads) — everything downstream of cw_p is shared verbatim
+    val pages = pageCtes.getOrElse(
+      s"""cw_p AS (SELECT doc_id, $duckFetchHost AS fetch_host,
+         |  $duckHtml AS html FROM cw_src)""".stripMargin)
     s"""WITH RECURSIVE
        |cw_src AS (SELECT doc_id, $duckPiiText AS text FROM documents),
-       |${duckHtmlExtractCtesFrom("cw_src", "cw_")},
+       |$pages,
+       |${duckExtractFromHtmlCtes("cw_")},
        |cw_k AS (SELECT doc_id, fetch_host, de,
        |  regexp_extract_all(html, '[Hh][Rr][Ee][Ff]="([^"]*)"', 1) AS ls
        |  FROM cw_e),
@@ -4169,6 +4244,8 @@ object SparkEntry {
     // framed payload → extraction, every stage mirrored
     "q184_warc_ingest" -> q184Sql,
     "q185_trained_flagship" -> q185Sql,
+    "q186_warc_corpus" -> q186Sql,
+    "q187_crawl_frontier" -> q187Sql,
     // incremental tokenizer refresh: the refreshed merge table must
     // equal the full corpus+batch refit — empty violation set
     "q183_bpe_refresh" ->
@@ -4198,20 +4275,23 @@ object SparkEntry {
     * TRY_CAST on the declared length (Spark side guards the ''
     * header the same way).
     */
-  private lazy val q184Sql = {
+  /** The WARC GENERATION + FRAMING CTEs shared by q184 and q186:
+    * from `<src>` rows (doc_id, pay — the payload bytes) regenerate
+    * the planted chunk byte-identically (request record; malformed
+    * legs on doc_id%13 ∈ {3, 7, 11}; octet-exact Content-Length via
+    * strlen) and re-frame it exactly as HtmlOps.warcFrame does —
+    * ending in `${pfx}fr` (doc_id, n_records, target_uri, warc_date,
+    * content_length, payload).
+    */
+  private def duckWarcChain(src: String, pfx: String): String = {
     val cr = "\r\n"
-    s"""WITH p AS (SELECT doc_id, $duckFetchHost AS fetch_host,
-       |  $duckHtml AS html FROM documents),
-       |pp AS (SELECT doc_id, html ||
-       |  CASE WHEN doc_id % 13 = 1 THEN '<p>résumé café</p>'
-       |       ELSE '' END AS pay FROM p),
-       |req AS (SELECT doc_id, pay, concat(
+    s"""${pfx}req AS (SELECT doc_id, pay, concat(
        |  'WARC/1.0$cr', 'WARC-Type: request$cr',
        |  'WARC-Target-URI: https://w', cast(doc_id % 7 as varchar), '.s',
        |  cast(doc_id % 5 as varchar), '.example/p/',
        |  cast(doc_id % 11 as varchar), '$cr',
-       |  'Content-Length: 0$cr', '$cr', '$cr') AS reqrec FROM pp),
-       |wch AS (SELECT doc_id, reqrec ||
+       |  'Content-Length: 0$cr', '$cr', '$cr') AS reqrec FROM $src),
+       |${pfx}wch AS (SELECT doc_id, reqrec ||
        |  CASE WHEN doc_id % 13 = 3 THEN ''
        |       WHEN doc_id % 13 = 11 THEN concat(
        |  'WARC/1.0$cr', 'WARC-Type: response$cr',
@@ -4228,27 +4308,36 @@ object SparkEntry {
        |  'Content-Length: ', cast(strlen(pay)
        |    + CASE WHEN doc_id % 13 = 7 THEN 7 ELSE 0 END as varchar),
        |  '$cr', '$cr',
-       |  pay, '$cr', '$cr') END AS warc FROM req),
-       |recs AS (SELECT doc_id,
+       |  pay, '$cr', '$cr') END AS warc FROM ${pfx}req),
+       |${pfx}recs AS (SELECT doc_id,
        |  list_filter(regexp_split_to_array(warc, 'WARC/1\\.0$cr'),
-       |    r -> trim(r) <> '') AS live FROM wch),
-       |resp AS (SELECT doc_id, CAST(len(live) AS BIGINT) AS n_records,
+       |    r -> trim(r) <> '') AS live FROM ${pfx}wch),
+       |${pfx}resp AS (SELECT doc_id, CAST(len(live) AS BIGINT) AS n_records,
        |  list_extract(list_filter(live, r ->
        |    regexp_extract(r, '(?m)^WARC-Type: ([^$cr]+)', 1) = 'response'), 1)
-       |    AS rec FROM recs),
-       |pay AS (SELECT doc_id, n_records,
+       |    AS rec FROM ${pfx}recs),
+       |${pfx}fr AS (SELECT doc_id, n_records,
        |  regexp_extract(rec, '(?m)^WARC-Target-URI: ([^$cr]+)', 1) AS target_uri,
        |  regexp_extract(rec, '(?m)^WARC-Date: ([^$cr]+)', 1) AS warc_date,
        |  TRY_CAST(regexp_extract(rec, '(?m)^Content-Length: ([^$cr]+)', 1)
        |    AS BIGINT) AS content_length,
        |  regexp_replace(regexp_extract(rec, '(?s)$cr$cr(.*)$$', 1),
-       |    '($cr)+$$', '') AS payload FROM resp),
+       |    '($cr)+$$', '') AS payload FROM ${pfx}resp)""".stripMargin
+  }
+
+  private lazy val q184Sql = {
+    s"""WITH p AS (SELECT doc_id, $duckFetchHost AS fetch_host,
+       |  $duckHtml AS html FROM documents),
+       |pp AS (SELECT doc_id, html ||
+       |  CASE WHEN doc_id % 13 = 1 THEN '<p>résumé café</p>'
+       |       ELSE '' END AS pay FROM p),
+       |${duckWarcChain("pp", "")},
        |xb AS (SELECT doc_id, n_records, target_uri, warc_date,
        |  content_length, payload,
        |  regexp_replace(regexp_replace(regexp_replace(payload,
        |    '(?s)<[Hh][Ee][Aa][Dd]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Hh][Ee][Aa][Dd]>', ' ', 'g'),
        |    '(?s)<[Ss][Cc][Rr][Ii][Pp][Tt]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Ss][Cc][Rr][Ii][Pp][Tt]>', ' ', 'g'),
-       |    '(?s)<[Ss][Tt][Yy][Ll][Ee]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Ss][Tt][Yy][Ll][Ee]>', ' ', 'g') AS nb FROM pay),
+       |    '(?s)<[Ss][Tt][Yy][Ll][Ee]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Ss][Tt][Yy][Ll][Ee]>', ' ', 'g') AS nb FROM fr),
        |xt AS (SELECT *, regexp_replace(nb, '<[^>]*>', ' ', 'g') AS nt FROM xb),
        |xe AS (SELECT *, regexp_replace(regexp_replace(regexp_replace(
        |  regexp_replace(regexp_replace(regexp_replace(nt,
@@ -4385,6 +4474,38 @@ object SparkEntry {
        |$rounds
        |SELECT domain, pr FROM r$iters""".stripMargin
   }
+
+  /** The q187 oracle — outlinks (q173's href → host → blocklist
+    * chain), canonical candidate aggregation, the anti-join against
+    * the full dirty-URL canonical key set (the maintained artifact's
+    * batch semantics — layout is Spark-side only), the q180 rank as a
+    * correlated subselect source, and the per-domain politeness cap.
+    */
+  private lazy val q187Sql =
+    s"""WITH fp AS (SELECT doc_id, $duckFetchHost AS fetch_host,
+       |  $duckHtml AS html FROM documents),
+       |fl AS (SELECT doc_id, fetch_host,
+       |  unnest(regexp_extract_all(html, '[Hh][Rr][Ee][Ff]="([^"]*)"', 1))
+       |    AS url FROM fp),
+       |fh AS (SELECT doc_id, url, ${duckLinkHost("url")} AS host FROM fl),
+       |fc AS (SELECT url, host, ${duckDomainOf("host")} AS domain FROM fh
+       |       WHERE host <> ''),
+       |fb AS (SELECT * FROM fc
+       |  WHERE domain NOT IN ('s2.example', 's5.example', 's11.example')),
+       |fcand AS (SELECT ${duckCanonOf("url")} AS canon, min(url) AS url,
+       |  min(domain) AS domain, CAST(count(*) AS BIGINT) AS n_refs
+       |  FROM fb GROUP BY 1),
+       |fstored AS (SELECT DISTINCT ${duckCanonOf("u")} AS canon
+       |  FROM (SELECT $duckDirtyUrl AS u FROM documents)),
+       |ffresh AS (SELECT c.* FROM fcand c ANTI JOIN fstored s USING (canon)),
+       |franks AS (SELECT domain, pr FROM (${hostRankSql()})),
+       |fj AS (SELECT f.canon, f.url, f.domain, f.n_refs,
+       |  coalesce(r.pr, 0) AS pr FROM ffresh f
+       |  LEFT JOIN franks r ON r.domain = f.domain),
+       |fs AS (SELECT *, row_number() OVER (PARTITION BY domain
+       |  ORDER BY n_refs DESC, canon ASC) AS slot FROM fj)
+       |SELECT canon, url, domain, n_refs, pr, CAST(slot AS INT) AS slot
+       |FROM fs WHERE slot <= 10""".stripMargin
 
   private lazy val urlKeySql =
     s"""WITH p AS (SELECT doc_id, $duckDirtyUrl AS url

@@ -810,6 +810,51 @@ object ClusterOps {
                   trainedGate: Boolean = false): DataFrame = {
     val pages = graft.ops.HtmlOps.plantedHtmlCorpus(
       graft.ops.PiiOps.plantedPiiCorpus(documents))
+    val weights =
+      if (trainedGate)
+        Some(graft.ops.TextOps.fitQualityWeights(documents))
+      else None
+    corpusFromPages(pages, documents, minLmAvgFp, topK, weights)
+  }
+
+  /** Q186 — the crawl flagship fed from its TRUE FRONT DOOR: raw WARC
+    * archive chunks instead of already-parsed pages. The q184 framing
+    * stage splits each chunk, verifies the declared Content-Length in
+    * octets, and only `length_ok` payloads become pages — the fetch
+    * host read from the `WARC-Target-URI` header (the crawl recorded
+    * it there; nothing else in the archive knows it) — before the
+    * identical q177 chain (extraction, canonical-URL keep-set, gates,
+    * scrub) runs downstream. The planted malformed chunks
+    * (doc_id%13 ∈ {3,7,11}) therefore drop at the FRAMING verdict,
+    * before extraction ever sees a byte of them, and the %13==1
+    * non-ASCII payload suffix flows INTO the corpus text: the gates
+    * score what was actually framed out of the archive, not what the
+    * page generator planted.
+    *
+    * Scale shape: q177's plan plus one more zero-exchange projection
+    * (the framing chain) ahead of extraction — no new shuffle class;
+    * the payload column never outlives the projection that extracts
+    * from it.
+    */
+  def warcCorpus(documents: DataFrame,
+                 minLmAvgFp: Long = 300L,
+                 topK: Int = 150): DataFrame = {
+    val chunks = graft.ops.HtmlOps.plantedWarcCorpus(
+      graft.ops.PiiOps.plantedPiiCorpus(documents))
+    val pages = graft.ops.HtmlOps.warcFrame(chunks, "warc")
+      .filter(col("length_ok"))
+      .select(col("doc_id"),
+        graft.ops.HtmlOps.hostOf(col("target_uri")).as("fetch_host"),
+        col("payload").as("html"))
+    corpusFromPages(pages, documents, minLmAvgFp, topK, None)
+  }
+
+  /** The shared q177/q185/q186 corpus tail from a PAGE table
+    * (doc_id, fetch_host, html): ingestion verdict, keep-set join,
+    * the one-time extraction cut, the gate chain, and the scrub. */
+  private def corpusFromPages(pages: DataFrame, documents: DataFrame,
+                              minLmAvgFp: Long, topK: Int,
+                              trainedWeights: Option[Seq[Long]]): DataFrame = {
     val keep = graft.ops.HtmlOps.urlCanonicalDedup(
         graft.ops.HtmlOps.plantedDirtyUrlCorpus(documents))
       .filter(col("is_canonical")).select("doc_id")
@@ -825,12 +870,8 @@ object ClusterOps {
       .select(col("doc_id"), col("text_clean").as("text"),
         col("lang"), col("source"))
       .localCheckpoint(eager = true)
-    val weights =
-      if (trainedGate)
-        Some(graft.ops.TextOps.fitQualityWeights(documents))
-      else None
     val selected = trainingCorpusV3(crawlDocs, minLmAvgFp = minLmAvgFp,
-      topK = topK, trainedWeights = weights)
+      topK = topK, trainedWeights = trainedWeights)
     graft.ops.PiiOps.piiRedact(
       selected.join(crawlDocs.select("doc_id", "text"), "doc_id"),
       keep = Seq("lang", "source", "n_tokens", "quality", "priority"))

@@ -654,6 +654,57 @@ object HtmlOps {
           .as("is_canonical"))
   }
 
+  /** Q187: the CRAWL FRONTIER — the fetch-ordering decision the
+    * crawl loop makes from the suite's own standing pieces: outlinks
+    * of the fetched pages (q173's extraction + blocklist verdict —
+    * unfetchable and blocked links never enter), canonicalized and
+    * aggregated into one candidate per key with its reference count,
+    * anti-joined against the MAINTAINED key set (q178 — a page
+    * already fetched is never fetched again), prioritized by the
+    * target domain's PageRank (q180), and capped at `kPerDomain`
+    * slots per domain (politeness: no domain monopolizes a wave —
+    * the q101 WindowGroupLimit shape). Output: one row per frontier
+    * URL with (canon, url, domain, n_refs, pr, slot); a consumer
+    * orders the wave by `pr DESC, n_refs DESC`.
+    *
+    * Scale shape: outlinks are the q173 projection; the candidate
+    * aggregation and the anti-join shuffle ONCE each on the canonical
+    * key (group sizes bounded by per-URL in-degree); the rank join is
+    * BROADCAST (domain vocabulary — model-sized by the q180
+    * contract); the per-domain cap is a WindowGroupLimit that prunes
+    * before the final sort. The key-set side of the anti-join reads
+    * the artifact's bucket layout — at 100 TB the stored keys
+    * shuffle-partition by the same canon hash the candidates do.
+    */
+  def crawlFrontier(pages: DataFrame, scope: graft.core.Scope,
+                    name: String, ranks: DataFrame,
+                    kPerDomain: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(kPerDomain > 0, s"kPerDomain must be positive: $kPerDomain")
+    val links = htmlOutlinks(pages, baseHostCol = Some("fetch_host"))
+      .filter(!col("blocked") && col("host") =!= "")
+    val cands = links
+      .withColumn("canon", canonicalUrl(col("url")))
+      .groupBy(col("canon"))
+      .agg(min(col("url")).as("url"), // a representative FETCHABLE form
+        min(col("domain")).as("domain"), // constant per canon (same host)
+        count(lit(1)).cast("long").as("n_refs"))
+    val stored = loadUrlKeys(pages.sparkSession, scope, name)
+      .select(col("canon").as("canon_fetched"))
+    val fresh = cands.join(stored,
+      col("canon") === col("canon_fetched"), "left_anti")
+    val ranked = fresh
+      .join(broadcast(ranks.select(col("domain"), col("pr"))),
+        Seq("domain"), "left")
+      .withColumn("pr", coalesce(col("pr"), lit(0L)))
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("n_refs").desc, col("canon").asc)
+    ranked.withColumn("slot", row_number().over(w))
+      .filter(col("slot") <= kPerDomain)
+      .select(col("canon"), col("url"), col("domain"),
+        col("n_refs"), col("pr"), col("slot").cast("int").as("slot"))
+  }
+
   /** Q-url-canonical-dedup: per-URL canonical key, duplicate-group
     * size, and the keep verdict (lowest doc_id per key survives —
     * deterministic, and in a crawl the lowest id is the first fetch).

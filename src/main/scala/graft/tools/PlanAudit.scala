@@ -107,6 +107,8 @@ object PlanAudit {
     "q182_trained_gate",  // broadcast-literal model, per-row dot product
     "q184_warc_ingest",   // split/frame/verify + extraction, zero exchanges
     "q185_trained_flagship", // q177's plan, gate literals from the fit
+    "q186_warc_corpus",   // framing projection ahead of q177's plan
+    "q187_crawl_frontier", // canon shuffle + broadcast rank + group limit
     "q10_event_window")   // normalized-ts scan straight into windowed agg
 
   def main(args: Array[String]): Unit = {

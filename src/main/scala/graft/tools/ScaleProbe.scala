@@ -123,7 +123,14 @@ object ScaleProbe {
     "q184_warc_ingest",
     // trained flagship: q177's plan + the 3-round fit (bounded aggs
     // over checkpointed features) — expected cost class = q177's
-    "q185_trained_flagship")
+    "q185_trained_flagship",
+    // the true front door: q177's plan + the framing projection ahead
+    // of extraction — expected cost class = q177's
+    "q186_warc_corpus",
+    // the fetch-ordering composition: outlink projection + one canon
+    // shuffle + bucket-layout anti-join + broadcast rank join +
+    // WindowGroupLimit cap — no corpus-sized all-pairs anywhere
+    "q187_crawl_frontier")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

@@ -317,6 +317,71 @@ class HtmlOpsSpec extends SparkSpec {
     assert(mail.filter(col("host") =!= "" || col("blocked")).count() === 0)
   }
 
+  test("crawlFrontier: fetched keys never reappear; the cap and the loop hold") {
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val urls = HtmlOps.plantedDirtyUrlCorpus(docs)
+    val base = java.nio.file.Files.createTempDirectory("graft-frontier-")
+    try {
+      val scope = graft.core.Scopes.create(spark, base.toString)
+      HtmlOps.saveUrlKeys(urls, scope, "keys")
+      val pages = HtmlOps.plantedHtmlCorpus(docs)
+      val ranks = graft.ops.GraphOps.domainRank(HtmlOps.domainEdges(pages))
+      val frontier = HtmlOps.crawlFrontier(pages, scope, "keys", ranks)
+        .localCheckpoint(eager = true) // pin: the artifact mutates below
+      val rows = frontier.collect()
+      assert(rows.nonEmpty)
+      // ALREADY-FETCHED KEYS NEVER REAPPEAR — and the anti-join
+      // provably bites: docs 0-4's next-link canon equals their own
+      // fetched key (the only CRT solutions to %13==%5 under 500)
+      val stored = HtmlOps.loadUrlKeys(spark, scope, "keys")
+        .select("canon").collect().map(_.getString(0)).toSet
+      rows.foreach(r => assert(!stored.contains(r.getString(0))))
+      val rawCanons = HtmlOps.htmlOutlinks(pages,
+          baseHostCol = Some("fetch_host"))
+        .filter(!col("blocked") && col("host") =!= "")
+        .select(HtmlOps.canonicalUrl(col("url")))
+        .collect().map(_.getString(0)).toSet
+      val dropped = rawCanons.intersect(stored)
+      assert(dropped.nonEmpty, "fixture lost its planted overlap leg")
+      assert(dropped.contains("w3.s3.example/p/3"))
+      // politeness: at most k slots per domain, contiguously numbered
+      val byDomain = rows.groupBy(_.getString(2))
+      byDomain.foreach { case (_, g) =>
+        assert(g.length <= 10)
+        assert(g.map(_.getInt(5)).sorted.toSeq === (1 to g.length))
+      }
+      // blocked domains never surface on the frontier
+      assert(!byDomain.keySet.exists(
+        Set("s2.example", "s5.example", "s11.example")))
+      // CLOSING THE LOOP: fetch wave after wave (ingesting each
+      // wave's urls as the next batch). Every wave must be disjoint
+      // from everything already fetched — the politeness cap only
+      // DELAYS candidates, it never recycles them — and the frontier
+      // must drain to EMPTY in finitely many waves.
+      import spark.implicits._
+      var fetched = Set.empty[String]
+      var waveNo = 0
+      var current = rows
+      while (current.nonEmpty && waveNo < 50) {
+        val canons = current.map(_.getString(0)).toSet
+        assert(canons.intersect(fetched).isEmpty,
+          s"wave $waveNo refetched an already-fetched key")
+        fetched ++= canons
+        val wave = current.zipWithIndex.map { case (r, i) =>
+          (1000000L + waveNo * 1000L + i, r.getString(1)) }
+          .toSeq.toDF("doc_id", "url")
+        HtmlOps.appendUrlKeys(wave, scope, "keys")
+        waveNo += 1
+        current = HtmlOps.crawlFrontier(pages, scope, "keys", ranks)
+          .collect()
+      }
+      assert(current.isEmpty, s"frontier not drained after $waveNo waves")
+      assert(waveNo > 1, "fixture too small to exercise the cap delay")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   private val crlf = "\r\n"
 
   private def warcChunks(rows: (Long, String)*) =
