@@ -100,4 +100,54 @@ object GraphOps {
         .localCheckpoint(eager = true)
     } finally { e.unpersist(blocking = false); () }
   }
+
+  /** Q188: the domain-rank table as a PERSISTED artifact — computed
+    * once per crawl epoch and read by every frontier wave (q187),
+    * instead of re-deriving the edge graph + running the iteration on
+    * each call. Stored under a Scope with the iteration count and the
+    * rank scale recorded in meta (the q137 artifact convention), so a
+    * reader knows exactly which trajectory it is consuming and
+    * [[loadDomainRank]] can refuse a scale it does not expect.
+    *
+    * Refresh policy — stated honestly: this is a FULL-RECOMPUTE
+    * artifact. PageRank is a global fixed point; an edge delta
+    * perturbs every rank, so there is no exact O(batch) refresh the
+    * way [[HtmlOps.appendUrlKeys]] has one (incremental PPR push
+    * methods exist but are approximate). That trade is fine here:
+    * the edge derivation is the only corpus-sized pass, and the
+    * iteration state is DOMAIN-VOCABULARY-sized (model-sized by the
+    * q180 contract) — recomputing per epoch costs one corpus scan,
+    * which the crawl was already paying to extract outlinks.
+    */
+  def saveDomainRank(edges: DataFrame, scope: graft.core.Scope,
+                     name: String, iters: Int = 3,
+                     scale: Long = 1000000000000L): Unit = {
+    val exp = math.log10(scale.toDouble).round.toInt
+    require(math.pow(10, exp).toLong == scale,
+      s"scale must be a power of ten to be meta-recordable: $scale")
+    val spark = edges.sparkSession
+    domainRank(edges, iters, scale)
+      .write.mode("overwrite").parquet(scope.path(s"$name/rows"))
+    graft.core.Scopes.writeMeta(spark, scope, s"$name/meta",
+      "iters" -> iters, "scale_pow10" -> exp)
+  }
+
+  /** Reads a [[saveDomainRank]] artifact back as (domain, pr), gated
+    * on the recorded meta: the caller states the trajectory it
+    * expects and a mismatched artifact fails loudly instead of
+    * silently feeding ranks at the wrong scale into a frontier sort.
+    */
+  def loadDomainRank(spark: org.apache.spark.sql.SparkSession,
+                     scope: graft.core.Scope, name: String,
+                     expectIters: Int = 3,
+                     expectScale: Long = 1000000000000L): DataFrame = {
+    val meta = graft.core.Scopes.readMeta(spark, scope, s"$name/meta")
+    val exp = math.log10(expectScale.toDouble).round.toInt
+    require(meta.get("iters").contains(expectIters) &&
+      meta.get("scale_pow10").contains(exp),
+      s"domain-rank artifact $name has meta $meta; expected " +
+        s"iters=$expectIters scale_pow10=$exp")
+    spark.read.parquet(scope.path(s"$name/rows"))
+      .select(col("domain"), col("pr"))
+  }
 }

@@ -109,6 +109,7 @@ object PlanAudit {
     "q185_trained_flagship", // q177's plan, gate literals from the fit
     "q186_warc_corpus",   // framing projection ahead of q177's plan
     "q187_crawl_frontier", // canon shuffle + broadcast rank + group limit
+    "q188_rank_artifact",  // gated artifact reload, vocabulary-sized scan
     "q10_event_window")   // normalized-ts scan straight into windowed agg
 
   def main(args: Array[String]): Unit = {

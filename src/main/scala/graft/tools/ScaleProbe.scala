@@ -130,7 +130,10 @@ object ScaleProbe {
     // the fetch-ordering composition: outlink projection + one canon
     // shuffle + bucket-layout anti-join + broadcast rank join +
     // WindowGroupLimit cap — no corpus-sized all-pairs anywhere
-    "q187_crawl_frontier")
+    "q187_crawl_frontier",
+    // persisted rank artifact: build cached per dir, so the probe
+    // times the gated reload — expected near-flat (vocabulary-sized)
+    "q188_rank_artifact")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

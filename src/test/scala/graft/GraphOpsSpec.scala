@@ -57,6 +57,42 @@ class GraphOpsSpec extends SparkSpec {
     assert((5 to 12).exists(i => out(s"s$i.example") > base))
   }
 
+  test("domain-rank artifact (q188): save/load round-trips bit-identically, meta gates the reload") {
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val edges = graft.ops.HtmlOps.domainEdges(
+      graft.ops.HtmlOps.plantedHtmlCorpus(docs))
+    val base = java.nio.file.Files.createTempDirectory("graft-rank-")
+    try {
+      val scope = graft.core.Scopes.create(spark, base.toString)
+      GraphOps.saveDomainRank(edges, scope, "rank")
+      // the reload is BIT-IDENTICAL to the direct computation — the
+      // artifact changes where the ranks live, never what they are
+      val direct = GraphOps.domainRank(edges).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val loaded = GraphOps.loadDomainRank(spark, scope, "rank").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(loaded === direct)
+      // the meta gate: a reader expecting a different trajectory
+      // (iters or scale) must fail loudly, not read wrong-scale ranks
+      val e1 = intercept[IllegalArgumentException] {
+        GraphOps.loadDomainRank(spark, scope, "rank", expectIters = 5)
+      }
+      assert(e1.getMessage.contains("iters=5"))
+      val e2 = intercept[IllegalArgumentException] {
+        GraphOps.loadDomainRank(spark, scope, "rank",
+          expectScale = 1000000L)
+      }
+      assert(e2.getMessage.contains("scale_pow10=6"))
+      // a non-power-of-ten scale is not meta-recordable — refused at
+      // save time, before anything is written
+      intercept[IllegalArgumentException] {
+        GraphOps.saveDomainRank(edges, scope, "bad", scale = 999L)
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("nationTradeRank conserves bounded mass and favors sink nations over sources") {
     val lineitem = graft.io.Tables.parquet(spark, sf, "lineitem")
     val orders = graft.io.Tables.parquet(spark, sf, "orders")
