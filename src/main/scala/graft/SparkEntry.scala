@@ -151,6 +151,30 @@ object SparkEntry {
       |         then '?utm_source=x&utm_campaign=y' else '' end,
       |    case when doc_id % 5 = 1 then '#sec2' else '' end)""".stripMargin
 
+  /** HtmlOps.plantedParamUrlCorpus's URL expression — the dirty
+    * corpus with allowlisted params (`id`, `page`) planted out of
+    * sorted order next to the tracking ones, plus the mod-17
+    * unparseable `mailto:` leg.
+    */
+  private val duckParamUrl =
+    """case when doc_id % 17 = 9 then
+      |   concat('mailto:u', cast(doc_id as varchar), '@y.example?id=1')
+      | else concat(
+      |  case when doc_id % 2 = 0 then 'HTTPS://WWW.W'
+      |       else 'https://w' end,
+      |  cast(doc_id % 7 as varchar), '.s', cast(doc_id % 5 as varchar),
+      |  case when doc_id % 2 = 0 then '.EXAMPLE:443'
+      |       else '.example' end,
+      |  '/p/', cast(doc_id % 11 as varchar),
+      |  case when doc_id % 4 = 2
+      |       then concat('?utm_source=x&id=', cast(doc_id % 3 as varchar))
+      |       when doc_id % 4 = 0
+      |       then concat('?page=', cast(doc_id % 2 as varchar),
+      |                   '&utm_campaign=y&id=', cast(doc_id % 3 as varchar))
+      |       else '' end,
+      |  case when doc_id % 5 = 1 then '#sec2' else '' end) end"""
+      .stripMargin
+
   /** HtmlOps.canonicalUrl mirrored as one expression over a url
     * column: anchored host (scheme optional — protocol-relative URLs
     * canonicalize like their absolute twins) lowercased minus
@@ -172,6 +196,24 @@ object SparkEntry {
        |       regexp_replace(
        |         regexp_extract($u, '^(?i)(?:https?:)?//[^/?#]+([^?#]*)', 1),
        |         '/+$$', '')) END""".stripMargin
+
+  /** HtmlOps.canonicalUrlParams mirrored: the aggressive key plus the
+    * sorted allowlisted `name=value` params (list pipeline over the
+    * split query string, names via the 1-indexed split head).
+    */
+  private def duckCanonParamsOf(u: String, allow: Seq[String]): String = {
+    val lst = allow.map(a => s"'$a'").mkString(", ")
+    // coalesce: DuckDB regexp_extract is NULL on no match (Spark's is
+    // ''), and concat would silently SKIP a NULL kept-list
+    val kept =
+      s"""coalesce(array_to_string(list_sort(list_filter(
+         |  string_split(regexp_extract($u, '^[^#]*\\?([^#]*)', 1), '&'),
+         |  p -> list_contains([$lst], string_split(p, '=')[1]))), '&'), '')"""
+        .stripMargin
+    s"""CASE WHEN ${duckCanonStrippedHost(u)} = '' THEN $u
+       |     WHEN $kept = '' THEN ${duckCanonOf(u)}
+       |     ELSE concat(${duckCanonOf(u)}, '?', $kept) END""".stripMargin
+  }
 
   /** The staged redaction CTE (PiiOps.piiRedact's scan-left chain)
     * over any relation exposing (doc_id, text) — shared by the q167
@@ -1702,6 +1744,11 @@ object SparkEntry {
     // honest policy for a global fixed point), reloaded gated on the
     // recorded iters/scale meta; the frontier reads THIS per wave
     "q188_rank_artifact" -> (domainRankArtifact _),
+    // the conservative canonical key (q189): allowlisted query params
+    // survive (sorted) into the key, refining the aggressive grouping
+    // — the dedup audit a crawl runs before switching keys
+    "q189_param_canonical" -> ((s, dir) => HtmlOps.urlParamDedup(
+      HtmlOps.plantedParamUrlCorpus(t(s, dir, "documents")))),
   )
 
   private val q188Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -4271,6 +4318,9 @@ object SparkEntry {
     // persisted rank artifact: the reload must replay the exact q180
     // trajectory — same SQL, artifact layout is Spark-side only
     "q188_rank_artifact" -> hostRankSql(),
+    // both canonical keys per URL with group sizes under each; the
+    // conservative-key windows share their partition on both sides
+    "q189_param_canonical" -> q189Sql,
     // incremental tokenizer refresh: the refreshed merge table must
     // equal the full corpus+batch refit — empty violation set
     "q183_bpe_refresh" ->
@@ -4531,6 +4581,23 @@ object SparkEntry {
        |  ORDER BY n_refs DESC, canon ASC) AS slot FROM fj)
        |SELECT canon, url, domain, n_refs, pr, CAST(slot AS INT) AS slot
        |FROM fs WHERE slot <= 10""".stripMargin
+
+  /** The q189 oracle — both canonical keys per planted param URL,
+    * duplicate-group sizes under each, keep-first verdict under the
+    * conservative key.
+    */
+  private lazy val q189Sql =
+    s"""WITH pu AS (SELECT doc_id, $duckParamUrl AS url FROM documents),
+       |pk AS (SELECT doc_id, url,
+       |  ${duckCanonOf("url")} AS canon,
+       |  ${duckCanonParamsOf("url", Seq("id", "page"))} AS canon_p
+       |  FROM pu)
+       |SELECT doc_id, url, canon, canon_p,
+       |  CAST(count(*) OVER (PARTITION BY canon) AS BIGINT) AS n_dups,
+       |  CAST(count(*) OVER (PARTITION BY canon_p) AS BIGINT) AS n_dups_p,
+       |  (row_number() OVER (PARTITION BY canon_p ORDER BY doc_id) = 1)
+       |    AS is_canonical
+       |FROM pk""".stripMargin
 
   private lazy val urlKeySql =
     s"""WITH p AS (SELECT doc_id, $duckDirtyUrl AS url

@@ -341,6 +341,36 @@ object HtmlOps {
     when(host === "", url).otherwise(concat(host, path))
   }
 
+  /** Q189: the CONSERVATIVE canonical key — the documented trade at
+    * [[canonicalUrl]], now available as the knob a production crawl
+    * asks for: query params whose NAME is on the caller's allowlist
+    * survive into the key (sorted by full `name=value` string, so
+    * `?b=2&a=1` and `?a=1&b=2` normalize identically); everything
+    * else — tracking params, fragment, scheme, port, `www.` — is
+    * dropped exactly as the aggressive key drops it. Two URLs equal
+    * under this key are equal under the aggressive key too (the key
+    * splits uniquely at the first `?`, which the aggressive key never
+    * contains), so the conservative groups REFINE the aggressive
+    * ones — a consumer can tighten dedup without ever merging groups
+    * the aggressive key kept apart. An unparseable URL keeps itself,
+    * same as [[canonicalUrl]].
+    *
+    * Scale shape: pure per-row expression (anchored regex + one
+    * bounded array pipeline over the split query string) — same
+    * scan-bound class as the aggressive key.
+    */
+  def canonicalUrlParams(url: Column, allow: Seq[String]): Column = {
+    require(allow.nonEmpty, "param allowlist must not be empty")
+    val stripped = regexp_replace(regexp_replace(
+      lower(hostOf(url)), "^www\\.", ""), ":[0-9]+$", "")
+    val query = regexp_extract(url, "^[^#]*\\?([^#]*)", 1)
+    val kept = array_join(array_sort(filter(split(query, "&"),
+      p => element_at(split(p, "="), 1).isin(allow: _*))), "&")
+    when(stripped === "", url).otherwise(
+      when(kept === "", canonicalUrl(url))
+        .otherwise(concat(canonicalUrl(url), lit("?"), kept)))
+  }
+
   /** The planted dirty-URL corpus: one URL per doc where the
     * canonical key depends only on `(doc_id%7, doc_id%5, doc_id%11)`
     * — 385 keys, so the sf0.01 fixture (500 docs) collides heavily —
@@ -361,6 +391,39 @@ object HtmlOps {
         | case when doc_id % 4 = 2
         |      then '?utm_source=x&utm_campaign=y' else '' end,
         | case when doc_id % 5 = 1 then '#sec2' else '' end)"""
+        .stripMargin.replace("\n", " "))
+      .as("url"))
+
+  /** Q189's fixture: the dirty-URL corpus with MEANINGFUL query
+    * params planted next to the tracking ones. Legs by `doc_id % 4`:
+    * `%4 == 2` carries `?utm_source=x&id=<k>`; `%4 == 0` carries
+    * `?page=<j>&utm_campaign=y&id=<k>` — the allowlisted params
+    * DELIBERATELY out of sorted order, so the key normalization is
+    * observable; odd docs carry no query. The mod-17 == 9 leg is an
+    * unparseable `mailto:` that must keep itself. The host/path
+    * cycle is the dirty fixture's (period 385 over 500 docs), so
+    * pairs (d, d+385) share the aggressive key while exactly one of
+    * them carries params — the planted proof that the conservative
+    * key refines, not merely renames, the aggressive grouping.
+    */
+  def plantedParamUrlCorpus(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), expr(
+      """case when doc_id % 17 = 9 then
+        |   concat('mailto:u', cast(doc_id as string), '@y.example?id=1')
+        | else concat(
+        |  case when doc_id % 2 = 0 then 'HTTPS://WWW.W'
+        |       else 'https://w' end,
+        |  cast(doc_id % 7 as string), '.s', cast(doc_id % 5 as string),
+        |  case when doc_id % 2 = 0 then '.EXAMPLE:443'
+        |       else '.example' end,
+        |  '/p/', cast(doc_id % 11 as string),
+        |  case when doc_id % 4 = 2
+        |       then concat('?utm_source=x&id=', cast(doc_id % 3 as string))
+        |       when doc_id % 4 = 0
+        |       then concat('?page=', cast(doc_id % 2 as string),
+        |                   '&utm_campaign=y&id=', cast(doc_id % 3 as string))
+        |       else '' end,
+        |  case when doc_id % 5 = 1 then '#sec2' else '' end) end"""
         .stripMargin.replace("\n", " "))
       .as("url"))
 
@@ -726,5 +789,40 @@ object HtmlOps {
       .withColumn("is_canonical", row_number().over(w) === 1)
       .select(col("doc_id"), col("url"), col("canon"),
         col("n_dups").cast("long").as("n_dups"), col("is_canonical"))
+  }
+
+  /** Q189: the dedup-key AUDIT under both canonical keys at once —
+    * per URL, the aggressive key ([[canonicalUrl]]), the conservative
+    * key ([[canonicalUrlParams]]), the duplicate-group size under
+    * EACH, and the keep verdict under the conservative key. Because
+    * the conservative key refines the aggressive one,
+    * `n_dups_p <= n_dups` holds row-by-row — the audit a crawl
+    * operator runs before switching keys, to see exactly how much
+    * dedup the param allowlist gives back.
+    *
+    * Scale shape: two window passes. The conservative windows share
+    * ONE exchange + sort (same partition key and order, q174's
+    * shared-sort convention); the aggressive group size needs its own
+    * exchange on the coarser key — two shuffles total, both on
+    * bounded-size groups (per-page duplication, not corpus size).
+    */
+  def urlParamDedup(urls: DataFrame,
+                    allow: Seq[String] = Seq("id", "page")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wp = Window.partitionBy(col("canon_p")).orderBy(col("doc_id"))
+    val wpAll = wp.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wa = Window.partitionBy(col("canon")).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    urls
+      .withColumn("canon", canonicalUrl(col("url")))
+      .withColumn("canon_p", canonicalUrlParams(col("url"), allow))
+      .withColumn("n_dups", count(lit(1)).over(wa))
+      .withColumn("n_dups_p", count(lit(1)).over(wpAll))
+      .withColumn("is_canonical", row_number().over(wp) === 1)
+      .select(col("doc_id"), col("url"), col("canon"), col("canon_p"),
+        col("n_dups").cast("long").as("n_dups"),
+        col("n_dups_p").cast("long").as("n_dups_p"),
+        col("is_canonical"))
   }
 }

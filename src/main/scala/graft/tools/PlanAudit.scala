@@ -110,6 +110,7 @@ object PlanAudit {
     "q186_warc_corpus",   // framing projection ahead of q177's plan
     "q187_crawl_frontier", // canon shuffle + broadcast rank + group limit
     "q188_rank_artifact",  // gated artifact reload, vocabulary-sized scan
+    "q189_param_canonical", // two window passes; conservative pair shares one sort
     "q10_event_window")   // normalized-ts scan straight into windowed agg
 
   def main(args: Array[String]): Unit = {

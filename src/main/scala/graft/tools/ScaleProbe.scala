@@ -133,7 +133,10 @@ object ScaleProbe {
     "q187_crawl_frontier",
     // persisted rank artifact: build cached per dir, so the probe
     // times the gated reload — expected near-flat (vocabulary-sized)
-    "q188_rank_artifact")
+    "q188_rank_artifact",
+    // conservative-key audit: per-row key expressions + two bounded
+    // window passes — expected q174's cost class
+    "q189_param_canonical")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

@@ -317,6 +317,43 @@ class HtmlOpsSpec extends SparkSpec {
     assert(mail.filter(col("host") =!= "" || col("blocked")).count() === 0)
   }
 
+  test("urlParamDedup (q189): the conservative key refines the aggressive one") {
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val out = HtmlOps.urlParamDedup(
+      HtmlOps.plantedParamUrlCorpus(docs)).collect()
+    assert(out.length === 500)
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // REFINEMENT, row by row: a conservative group is never larger
+    // than the aggressive group it sits inside
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_dups_p") <= r.getAs[Long]("n_dups"),
+        s"conservative group exceeds aggressive at ${r.getAs[Long]("doc_id")}")
+    }
+    // ... and it strictly bites: the (d, d+385) pairs share host+path
+    // (same aggressive key) while exactly one member carries params
+    val d0 = byId(0L); val d385 = byId(385L)
+    assert(d0.getAs[String]("canon") === d385.getAs[String]("canon"))
+    assert(d0.getAs[String]("canon_p") !== d385.getAs[String]("canon_p"))
+    assert(d0.getAs[Long]("n_dups") > d0.getAs[Long]("n_dups_p"))
+    // NORMALIZATION: doc 0 plants ?page=0&utm_campaign=y&id=0 — the
+    // key keeps the allowlisted params SORTED and drops the tracker
+    assert(d0.getAs[String]("canon_p") === "w0.s0.example/p/0?id=0&page=0")
+    // the %4==2 leg keeps only its id param
+    assert(byId(2L).getAs[String]("canon_p") === "w2.s2.example/p/2?id=2")
+    // an unparseable URL keeps ITSELF under both keys (allowlisted
+    // param name in its query string notwithstanding)
+    val mail = byId(9L)
+    assert(mail.getAs[String]("url").startsWith("mailto:"))
+    assert(mail.getAs[String]("canon_p") === mail.getAs[String]("url"))
+    assert(mail.getAs[String]("canon") === mail.getAs[String]("url"))
+    // keep-first: exactly one canonical row per conservative group
+    out.groupBy(_.getAs[String]("canon_p")).foreach { case (k, g) =>
+      assert(g.count(_.getAs[Boolean]("is_canonical")) === 1, k)
+      assert(g.filter(_.getAs[Boolean]("is_canonical"))
+        .map(_.getAs[Long]("doc_id")).head === g.map(_.getAs[Long]("doc_id")).min)
+    }
+  }
+
   test("crawlFrontier: fetched keys never reappear; the cap and the loop hold") {
     val docs = graft.io.Tables.parquet(spark, sf, "documents")
     val urls = HtmlOps.plantedDirtyUrlCorpus(docs)
