@@ -1749,6 +1749,19 @@ object SparkEntry {
     // — the dedup audit a crawl runs before switching keys
     "q189_param_canonical" -> ((s, dir) => HtmlOps.urlParamDedup(
       HtmlOps.plantedParamUrlCorpus(t(s, dir, "documents")))),
+    // robots-exclusion gate (q190): RFC 9309 longest-match over a
+    // parsed per-domain rules table — broadcast rule sets, per-row
+    // array-pipeline verdict, zero corpus-side shuffles
+    "q190_robots_gate" -> ((s, dir) => HtmlOps.robotsGate(
+      HtmlOps.htmlOutlinks(
+          HtmlOps.plantedHtmlCorpus(t(s, dir, "documents")),
+          baseHostCol = Some("fetch_host"))
+        .filter(col("host") =!= "").drop("link_idx"),
+      HtmlOps.plantedRobotsRules(s))),
+    // the polite frontier (q191): q187's wave with the robots gate
+    // thinning candidates before canonicalization — blocklist →
+    // robots → unseen → rank priority → per-domain cap
+    "q191_polite_frontier" -> (politeFrontierQuery _),
   )
 
   private val q188Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -1779,14 +1792,30 @@ object SparkEntry {
     * provably bites on the fixture.
     */
   private def crawlFrontierQuery(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val urls = HtmlOps.plantedDirtyUrlCorpus(docs)
-    val scope = cachedScope(q187Scopes, s, dir, "graft-q187-") { sc =>
+    val pages = HtmlOps.plantedHtmlCorpus(t(s, dir, "documents"))
+    HtmlOps.crawlFrontier(pages, frontierScope(s, dir), "urlkeys",
+      GraphOps.domainRank(HtmlOps.domainEdges(pages)))
+  }
+
+  /** q191: q187's frontier with the planted robots rules gating the
+    * candidates — the same key-set artifact (shared scope cache), the
+    * same rank; only robots-allowed URLs compete for wave slots.
+    */
+  private def politeFrontierQuery(s: SparkSession, dir: String): DataFrame = {
+    val pages = HtmlOps.plantedHtmlCorpus(t(s, dir, "documents"))
+    HtmlOps.politeFrontier(pages, frontierScope(s, dir), "urlkeys",
+      GraphOps.domainRank(HtmlOps.domainEdges(pages)),
+      HtmlOps.plantedRobotsRules(s))
+  }
+
+  /** The q187/q191 maintained key-set artifact, seeded once per
+    * (process, sf dir) from the FULL dirty-URL corpus.
+    */
+  private def frontierScope(s: SparkSession, dir: String): graft.core.Scope = {
+    val urls = HtmlOps.plantedDirtyUrlCorpus(t(s, dir, "documents"))
+    cachedScope(q187Scopes, s, dir, "graft-q187-") { sc =>
       HtmlOps.saveUrlKeys(urls, sc, "urlkeys")
     }
-    val pages = HtmlOps.plantedHtmlCorpus(docs)
-    HtmlOps.crawlFrontier(pages, scope, "urlkeys",
-      GraphOps.domainRank(HtmlOps.domainEdges(pages)))
   }
 
   private val q159Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -4321,6 +4350,12 @@ object SparkEntry {
     // both canonical keys per URL with group sizes under each; the
     // conservative-key windows share their partition on both sides
     "q189_param_canonical" -> q189Sql,
+    // robots gate: the oracle replays longest-match as a rule join +
+    // per-link rank (Spark does it as a per-row array pipeline)
+    "q190_robots_gate" -> q190Sql,
+    // polite frontier: q187's oracle with the robots gate CTEs
+    // inserted before the candidate aggregation
+    "q191_polite_frontier" -> q191Sql,
     // incremental tokenizer refresh: the refreshed merge table must
     // equal the full corpus+batch refit — empty violation set
     "q183_bpe_refresh" ->
@@ -4556,20 +4591,42 @@ object SparkEntry {
     * batch semantics — layout is Spark-side only), the q180 rank as a
     * correlated subselect source, and the per-domain politeness cap.
     */
-  private lazy val q187Sql =
+  private lazy val q187Sql = frontierSql(robots = false)
+  private lazy val q191Sql = frontierSql(robots = true)
+
+  /** The q187/q191 oracle body; `robots = true` inserts the q190
+    * longest-match gate between the blocklist verdict and the
+    * candidate aggregation, exactly where [[HtmlOps.politeFrontier]]
+    * applies it.
+    */
+  private def frontierSql(robots: Boolean): String = {
+    val gate =
+      if (!robots) "fg AS (SELECT doc_id, url, domain FROM fb)"
+      else
+        s"""fpt AS (SELECT *, ${duckPathOf("url")} AS path FROM fb),
+           |$duckRobotsRuleCtes,
+           |fmg AS (SELECT p.doc_id, p.url, p.domain, r.allow,
+           |  row_number() OVER (PARTITION BY p.doc_id, p.url
+           |    ORDER BY coalesce(strlen(r.prefix), -1) DESC,
+           |             r.allow DESC) AS rn
+           |  FROM fpt p LEFT JOIN rru r ON r.domain = p.domain
+           |    AND starts_with(p.path, r.prefix)),
+           |fg AS (SELECT doc_id, url, domain FROM fmg
+           |  WHERE rn = 1 AND coalesce(allow, true))""".stripMargin
     s"""WITH fp AS (SELECT doc_id, $duckFetchHost AS fetch_host,
        |  $duckHtml AS html FROM documents),
        |fl AS (SELECT doc_id, fetch_host,
        |  unnest(regexp_extract_all(html, '[Hh][Rr][Ee][Ff]="([^"]*)"', 1))
        |    AS url FROM fp),
        |fh AS (SELECT doc_id, url, ${duckLinkHost("url")} AS host FROM fl),
-       |fc AS (SELECT url, host, ${duckDomainOf("host")} AS domain FROM fh
-       |       WHERE host <> ''),
+       |fc AS (SELECT doc_id, url, host, ${duckDomainOf("host")} AS domain
+       |       FROM fh WHERE host <> ''),
        |fb AS (SELECT * FROM fc
        |  WHERE domain NOT IN ('s2.example', 's5.example', 's11.example')),
+       |$gate,
        |fcand AS (SELECT ${duckCanonOf("url")} AS canon, min(url) AS url,
        |  min(domain) AS domain, CAST(count(*) AS BIGINT) AS n_refs
-       |  FROM fb GROUP BY 1),
+       |  FROM fg GROUP BY 1),
        |fstored AS (SELECT DISTINCT ${duckCanonOf("u")} AS canon
        |  FROM (SELECT $duckDirtyUrl AS u FROM documents)),
        |ffresh AS (SELECT c.* FROM fcand c ANTI JOIN fstored s USING (canon)),
@@ -4581,6 +4638,67 @@ object SparkEntry {
        |  ORDER BY n_refs DESC, canon ASC) AS slot FROM fj)
        |SELECT canon, url, domain, n_refs, pr, CAST(slot AS INT) AS slot
        |FROM fs WHERE slot <= 10""".stripMargin
+  }
+
+  /** HtmlOps.robotsGate's path extraction mirrored: authority URLs
+    * use their own path; a server-relative href IS its path;
+    * everything else has none — with coalesce because DuckDB's
+    * regexp_extract is NULL on no match (Spark's is '').
+    */
+  private def duckPathOf(u: String): String =
+    s"""CASE
+       |  WHEN regexp_matches($u, '^(?i)(?:https?:)?//')
+       |  THEN coalesce(regexp_extract($u,
+       |    '^(?i)(?:https?:)?//[^/?#]+([^?#]*)', 1), '')
+       |  WHEN starts_with($u, '/')
+       |  THEN coalesce(regexp_extract($u, '^([^?#]*)', 1), '')
+       |  ELSE '' END""".stripMargin
+
+  /** HtmlOps.plantedRobotsRules regenerated from `generate_series` —
+    * the `rru` CTE both robots oracles (q190, q191) join against.
+    */
+  private lazy val duckRobotsRuleCtes =
+    s"""rdm AS (SELECT generate_series AS k,
+       |  concat('s', cast(generate_series AS varchar), '.example')
+       |    AS domain FROM generate_series(0, 12)),
+       |rru AS (
+       |  SELECT domain, false AS allow, '/p/' AS prefix FROM rdm
+       |    WHERE k % 2 = 0
+       |  UNION ALL SELECT domain, true, '/p/1' FROM rdm WHERE k % 2 = 0
+       |  UNION ALL SELECT domain, false, '/' FROM rdm WHERE k % 4 = 1
+       |  UNION ALL SELECT domain, true, '/nav' FROM rdm WHERE k % 4 = 1
+       |  UNION ALL SELECT domain, true, '/p/' FROM rdm WHERE k % 4 = 2)"""
+      .stripMargin
+
+  /** The q190 oracle — outlinks with hosts (the q173 chain), the
+    * planted rules regenerated from `generate_series`, longest-match
+    * replayed as a prefix-match LEFT JOIN plus a per-link
+    * `(strlen(prefix), allow)` rank — allow wins length ties, no
+    * match means allowed.
+    */
+  private lazy val q190Sql =
+    s"""WITH rp AS (SELECT doc_id, $duckFetchHost AS fetch_host,
+       |  $duckHtml AS html FROM documents),
+       |rl AS (SELECT doc_id, fetch_host,
+       |  unnest(regexp_extract_all(html, '[Hh][Rr][Ee][Ff]="([^"]*)"', 1))
+       |    AS url FROM rp),
+       |rh AS (SELECT doc_id, url, ${duckLinkHost("url")} AS host FROM rl),
+       |rc AS (SELECT doc_id, url, host, ${duckDomainOf("host")} AS domain
+       |  FROM rh WHERE host <> ''),
+       |rb AS (SELECT *, domain IN ('s2.example', 's5.example',
+       |  's11.example') AS blocked FROM rc),
+       |rpt AS (SELECT *, ${duckPathOf("url")} AS path FROM rb),
+       |$duckRobotsRuleCtes,
+       |rm AS (SELECT p.doc_id, p.url, p.host, p.domain, p.blocked,
+       |  p.path, r.prefix, r.allow FROM rpt p LEFT JOIN rru r
+       |  ON r.domain = p.domain AND starts_with(p.path, r.prefix)),
+       |rv AS (SELECT *, row_number() OVER (PARTITION BY doc_id, url
+       |  ORDER BY coalesce(strlen(prefix), -1) DESC, allow DESC) AS rn
+       |  FROM rm)
+       |SELECT doc_id, url, host, domain, blocked, path,
+       |  coalesce(allow, true) AS allowed,
+       |  CAST(coalesce(strlen(prefix), -1) AS INT) AS rule_len
+       |FROM rv WHERE rn = 1""".stripMargin
 
   /** The q189 oracle — both canonical keys per planted param URL,
     * duplicate-group sizes under each, keep-first verdict under the

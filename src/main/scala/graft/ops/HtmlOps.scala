@@ -741,18 +741,53 @@ object HtmlOps {
     */
   def crawlFrontier(pages: DataFrame, scope: graft.core.Scope,
                     name: String, ranks: DataFrame,
-                    kPerDomain: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(kPerDomain > 0, s"kPerDomain must be positive: $kPerDomain")
+                    kPerDomain: Int = 10): DataFrame =
+    frontierFromLinks(
+      htmlOutlinks(pages, baseHostCol = Some("fetch_host"))
+        .filter(!col("blocked") && col("host") =!= ""),
+      scope, name, ranks, kPerDomain)
+
+  /** Q191: the POLITE frontier — q187's fetch-ordering decision with
+    * the robots-exclusion gate (q190) applied to the candidate links
+    * BEFORE canonicalization: a URL the target domain's rules forbid
+    * never becomes a candidate, never consumes one of its domain's
+    * politeness slots, and never reaches the anti-join. This is the
+    * wave a compliant crawl actually executes: blocklist → robots →
+    * unseen → rank priority → per-domain cap.
+    *
+    * Scale shape: q187's plan plus the q190 projection (broadcast
+    * rule sets + per-row verdict) ahead of the candidate
+    * aggregation — no new shuffle class; the gate THINS the one
+    * canon-key exchange.
+    */
+  def politeFrontier(pages: DataFrame, scope: graft.core.Scope,
+                     name: String, ranks: DataFrame, rules: DataFrame,
+                     kPerDomain: Int = 10): DataFrame = {
     val links = htmlOutlinks(pages, baseHostCol = Some("fetch_host"))
       .filter(!col("blocked") && col("host") =!= "")
+    frontierFromLinks(
+      robotsGate(links, rules).filter(col("allowed"))
+        .drop("path", "allowed", "rule_len"),
+      scope, name, ranks, kPerDomain)
+  }
+
+  /** The shared q187/q191 frontier tail over a candidate LINK table
+    * (doc_id, url, domain, …): canonical-key aggregation, the
+    * anti-join against the maintained key set, the broadcast rank
+    * join, and the per-domain cap.
+    */
+  private def frontierFromLinks(links: DataFrame, scope: graft.core.Scope,
+                                name: String, ranks: DataFrame,
+                                kPerDomain: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(kPerDomain > 0, s"kPerDomain must be positive: $kPerDomain")
     val cands = links
       .withColumn("canon", canonicalUrl(col("url")))
       .groupBy(col("canon"))
       .agg(min(col("url")).as("url"), // a representative FETCHABLE form
         min(col("domain")).as("domain"), // constant per canon (same host)
         count(lit(1)).cast("long").as("n_refs"))
-    val stored = loadUrlKeys(pages.sparkSession, scope, name)
+    val stored = loadUrlKeys(links.sparkSession, scope, name)
       .select(col("canon").as("canon_fetched"))
     val fresh = cands.join(stored,
       col("canon") === col("canon_fetched"), "left_anti")
@@ -766,6 +801,76 @@ object HtmlOps {
       .filter(col("slot") <= kPerDomain)
       .select(col("canon"), col("url"), col("domain"),
         col("n_refs"), col("pr"), col("slot").cast("int").as("slot"))
+  }
+
+  /** Q190's fixture: parsed robots-exclusion rules for the planted
+    * domains (`s0.example` … `s12.example`) as (domain, allow,
+    * prefix) rows — the shape a robots.txt fetch-and-parse stage
+    * would emit (group lines under our user-agent, empty-Disallow
+    * lines dropped; the parse itself is out of engine scope — rules
+    * arrive as a table). Legs: even domains disallow `/p/` but allow
+    * the longer `/p/1` (longest-match must reopen it); `%4 == 1`
+    * domains disallow `/` wholesale but allow `/nav`; `%4 == 2`
+    * domains ALSO allow `/p/` — an exact length tie with the
+    * disallow, which the RFC 9309 tie rule resolves toward allow;
+    * `%4 == 3` domains publish no rules at all.
+    */
+  def plantedRobotsRules(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val d = spark.range(13).select(col("id").cast("int").as("k"),
+      concat(lit("s"), col("id"), lit(".example")).as("domain"))
+    def leg(pred: Column, allow: Boolean, prefix: String) =
+      d.filter(pred).select(col("domain"), lit(allow).as("allow"),
+        lit(prefix).as("prefix"))
+    leg(col("k") % 2 === 0, allow = false, "/p/")
+      .unionByName(leg(col("k") % 2 === 0, allow = true, "/p/1"))
+      .unionByName(leg(col("k") % 4 === 1, allow = false, "/"))
+      .unionByName(leg(col("k") % 4 === 1, allow = true, "/nav"))
+      .unionByName(leg(col("k") % 4 === 2, allow = true, "/p/"))
+  }
+
+  /** Q190: the ROBOTS-EXCLUSION GATE — RFC 9309 longest-match
+    * semantics over a parsed rules table: for each link, among the
+    * rules of its target domain whose path-prefix matches the link's
+    * path, the LONGEST prefix decides (allow wins an exact length
+    * tie); a link whose domain publishes no matching rule — or no
+    * rules at all — is allowed. The path is the link's own when the
+    * URL carries an authority; a server-relative `/...` href IS its
+    * path (its domain was inherited from the fetching page, and that
+    * is the domain whose rules apply); anything else (mailto:,
+    * fragment-only) has no path and matches nothing. A bare
+    * authority URL (`https://host`, empty path) also matches no
+    * prefix — RFC 9309 §2.2.2 reads an empty path as `/`, so a
+    * consumer wanting that reading normalizes the fetch URL (appends
+    * `/`) BEFORE gating; the gate does not silently rewrite paths.
+    *
+    * Scale shape: ZERO new shuffles on the corpus side. The rules
+    * aggregate to one array per domain (vocabulary-sized — robots
+    * files of known hosts), broadcast; the verdict is a per-row
+    * array pipeline (filter by prefix match, struct-max by
+    * (length, allow)). The matched rule's length is kept as
+    * `rule_len` (-1 = no match) so a consumer can audit WHICH rule
+    * fired without re-deriving the match.
+    */
+  def robotsGate(links: DataFrame, rules: DataFrame): DataFrame = {
+    val url = col("url")
+    val hasAuth = url.rlike("^(?i)(?:https?:)?//")
+    val path = when(hasAuth,
+      regexp_extract(url, "^(?i)(?:https?:)?//[^/?#]+([^?#]*)", 1))
+      .otherwise(when(url.startsWith("/"),
+        regexp_extract(url, "^([^?#]*)", 1)).otherwise(lit("")))
+    val ruleSets = rules.groupBy("domain")
+      .agg(collect_list(struct(col("prefix"), col("allow"))).as("rules"))
+    val matched = array_max(transform(
+      filter(col("rules"), r => col("path").startsWith(r.getField("prefix"))),
+      r => struct(length(r.getField("prefix")).as("len"),
+        r.getField("allow").as("allow"))))
+    links
+      .withColumn("path", path)
+      .join(broadcast(ruleSets), Seq("domain"), "left")
+      .withColumn("m", matched)
+      .withColumn("allowed", coalesce(col("m.allow"), lit(true)))
+      .withColumn("rule_len", coalesce(col("m.len"), lit(-1)).cast("int"))
+      .drop("rules", "m")
   }
 
   /** Q-url-canonical-dedup: per-URL canonical key, duplicate-group

@@ -111,6 +111,8 @@ object PlanAudit {
     "q187_crawl_frontier", // canon shuffle + broadcast rank + group limit
     "q188_rank_artifact",  // gated artifact reload, vocabulary-sized scan
     "q189_param_canonical", // two window passes; conservative pair shares one sort
+    "q190_robots_gate",    // broadcast rule sets, per-row verdict, no exchange
+    "q191_polite_frontier", // q187's plan, candidates thinned by the gate
     "q10_event_window")   // normalized-ts scan straight into windowed agg
 
   def main(args: Array[String]): Unit = {

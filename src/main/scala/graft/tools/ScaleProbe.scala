@@ -136,7 +136,12 @@ object ScaleProbe {
     "q188_rank_artifact",
     // conservative-key audit: per-row key expressions + two bounded
     // window passes — expected q174's cost class
-    "q189_param_canonical")
+    "q189_param_canonical",
+    // robots gate: broadcast rule sets + per-row array pipeline —
+    // expected scan-bound flat (zero corpus-side exchanges)
+    "q190_robots_gate",
+    // polite frontier: q187's exchanges, thinned by the robots gate
+    "q191_polite_frontier")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

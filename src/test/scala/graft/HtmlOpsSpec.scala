@@ -354,6 +354,115 @@ class HtmlOpsSpec extends SparkSpec {
     }
   }
 
+  test("robotsGate (q190): longest match decides, allow wins ties, no rules means allowed") {
+    import spark.implicits._
+    val rules = Seq(
+      ("d.example", false, "/p/"), ("d.example", true, "/p/1"),
+      ("t.example", false, "/x"), ("t.example", true, "/x"),
+      ("b.example", false, "/")).toDF("domain", "allow", "prefix")
+    val links = Seq(
+      (1L, "https://a.d.example/p/2"),   // /p/ disallow, no longer match
+      (2L, "https://a.d.example/p/10"),  // /p/1 allow OUTRANKS /p/
+      (3L, "https://a.d.example/q"),     // no matching rule -> allowed
+      (4L, "https://a.t.example/x/y"),   // exact length tie -> allow wins
+      (5L, "https://a.b.example/"),      // blanket '/' disallow
+      (6L, "https://a.b.example"),       // EMPTY path: '/' does not match
+      (7L, "https://a.z.example/p/2"),   // domain with no rules at all
+      (8L, "/p/2"))                      // relative: path is the url
+      .toDF("doc_id", "url")
+      .withColumn("domain", when(col("url").startsWith("/"),
+        lit("d.example")).otherwise(
+        graft.ops.PiiOps.registrableDomain(
+          graft.ops.HtmlOps.hostOf(col("url")))))
+    val out = graft.ops.HtmlOps.robotsGate(links, rules)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("allowed"), r.getAs[Int]("rule_len")))).toMap
+    assert(out(1L) === ((false, 3)))
+    assert(out(2L) === ((true, 4)))
+    assert(out(3L) === ((true, -1)))
+    assert(out(4L) === ((true, 2)))
+    assert(out(5L) === ((false, 1)))
+    assert(out(6L) === ((true, -1)))
+    assert(out(7L) === ((true, -1)))
+    assert(out(8L) === ((false, 3)))
+    // over the planted corpus: every even-domain /p/ link is blocked
+    // unless reopened by /p/1; %4==1 domains only keep lowercase /nav
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val gated = graft.ops.HtmlOps.robotsGate(
+      graft.ops.HtmlOps.htmlOutlinks(
+          graft.ops.HtmlOps.plantedHtmlCorpus(docs),
+          baseHostCol = Some("fetch_host"))
+        .filter(col("host") =!= ""),
+      graft.ops.HtmlOps.plantedRobotsRules(spark)).cache()
+    try {
+      val rows = gated.collect()
+      assert(rows.nonEmpty)
+      def k(r: org.apache.spark.sql.Row) =
+        r.getAs[String]("domain").stripPrefix("s")
+          .stripSuffix(".example").toInt
+      rows.filter(r => r.getAs[String]("path").startsWith("/p/")).foreach { r =>
+        val expect = if (k(r) % 4 == 2) true // tie leg: allow wins
+          else if (k(r) % 2 == 0) r.getAs[String]("path").startsWith("/p/1")
+          else k(r) % 4 != 1 // odd: only the '/' blanket can block
+        assert(r.getAs[Boolean]("allowed") === expect, r.toString)
+      }
+      // the uppercase-nav leg: robots paths are case-sensitive, so
+      // '/NAV' on a %4==1 domain falls back to the '/' disallow
+      val navs = rows.filter(r => k(r) % 4 == 1 &&
+        r.getAs[String]("path").equalsIgnoreCase("/nav"))
+      assert(navs.exists(_.getAs[String]("path") == "/nav"))
+      assert(navs.exists(_.getAs[String]("path") == "/NAV"))
+      navs.foreach { r =>
+        assert(r.getAs[Boolean]("allowed") ===
+          (r.getAs[String]("path") == "/nav"), r.toString)
+      }
+      // a rule-less domain (%4==3) never blocks
+      rows.filter(r => k(r) % 4 == 3).foreach(r =>
+        assert(r.getAs[Boolean]("allowed") && r.getAs[Int]("rule_len") == -1))
+    } finally { gated.unpersist(); () }
+  }
+
+  test("politeFrontier (q191): robots-disallowed candidates never reach the wave") {
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft-polite-")
+    try {
+      val scope = graft.core.Scopes.create(spark, base.toString)
+      HtmlOps.saveUrlKeys(HtmlOps.plantedDirtyUrlCorpus(docs), scope, "keys")
+      val pages = HtmlOps.plantedHtmlCorpus(docs)
+      val ranks = graft.ops.GraphOps.domainRank(HtmlOps.domainEdges(pages))
+      val rules = HtmlOps.plantedRobotsRules(spark)
+      val rude = HtmlOps.crawlFrontier(pages, scope, "keys", ranks)
+        .collect().map(_.getString(1)).toSet
+      val polite = HtmlOps.politeFrontier(pages, scope, "keys", ranks, rules)
+        .collect()
+      assert(polite.nonEmpty)
+      // every polite wave URL passes the gate when re-checked alone
+      import spark.implicits._
+      val recheck = HtmlOps.robotsGate(
+        polite.map(r => (r.getString(1), r.getString(2))).toSeq
+          .toDF("url", "domain"), rules)
+        .collect()
+      recheck.foreach(r => assert(r.getAs[Boolean]("allowed"), r.toString))
+      // ... and the gate provably bites: the rude wave fetches at
+      // least one URL robots forbids, which the polite wave dropped
+      val rudeVerdicts = HtmlOps.robotsGate(
+        rude.toSeq.toDF("url").withColumn("domain",
+          graft.ops.PiiOps.registrableDomain(HtmlOps.hostOf(col("url")))),
+        rules).collect()
+      val forbidden = rudeVerdicts.filter(!_.getAs[Boolean]("allowed"))
+        .map(_.getAs[String]("url")).toSet
+      assert(forbidden.nonEmpty, "fixture lost its planted disallow overlap")
+      val politeUrls = polite.map(_.getString(1)).toSet
+      assert(forbidden.intersect(politeUrls).isEmpty)
+      // the cap still holds per domain
+      polite.groupBy(_.getString(2)).foreach { case (_, g) =>
+        assert(g.length <= 10)
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("crawlFrontier: fetched keys never reappear; the cap and the loop hold") {
     val docs = graft.io.Tables.parquet(spark, sf, "documents")
     val urls = HtmlOps.plantedDirtyUrlCorpus(docs)
