@@ -1762,7 +1762,41 @@ object SparkEntry {
     // thinning candidates before canonicalization — blocklist →
     // robots → unseen → rank priority → per-domain cap
     "q191_polite_frontier" -> (politeFrontierQuery _),
+    // the crawl loop under Structured Streaming (q192): per
+    // micro-batch, keys append FIRST, then the next wave computes
+    // against the updated set — replay-safe on both sides
+    "q192_stream_crawl_loop" -> (streamCrawlLoopQuery _),
   )
+
+  private val q192Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
+
+  /** q192: the loop driven end-to-end — the key set seeded from the
+    * first 250 fetches, waves [250, 375) and [375, 500) streamed as
+    * two micro-batches (one file each, the q138 one-file-one-batch
+    * convention); each batch appends its keys and writes its next
+    * wave under `waves/wave=<batchId>`. The epoch rank and the robots
+    * rules are computed once, OUTSIDE the stream (the q188 artifact
+    * contract).
+    */
+  private def streamCrawlLoopQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scope = cachedScope(q192Scopes, s, dir, "graft-q192-") { sc =>
+      val urls = HtmlOps.plantedDirtyUrlCorpus(docs)
+      val pages = HtmlOps.plantedHtmlCorpus(docs)
+      HtmlOps.saveUrlKeys(urls.filter(col("doc_id") < 250), sc, "urlkeys")
+      val src = pages.join(urls, "doc_id")
+        .select(col("doc_id"), col("url"), col("fetch_host"), col("html"))
+      src.filter(col("doc_id") >= 250 && col("doc_id") < 375)
+        .coalesce(1).write.mode("append").parquet(sc.path("stream-src"))
+      src.filter(col("doc_id") >= 375)
+        .coalesce(1).write.mode("append").parquet(sc.path("stream-src"))
+      EventsStreaming.streamingCrawlLoop(s, sc.path("stream-src"), sc,
+        "urlkeys", GraphOps.domainRank(HtmlOps.domainEdges(pages)),
+        HtmlOps.plantedRobotsRules(s), sc.path("waves"), sc.path("ckpt"))
+    }
+    s.read.parquet(scope.path("waves"))
+      .withColumn("wave", col("wave").cast("long"))
+  }
 
   private val q188Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
 
@@ -4356,6 +4390,9 @@ object SparkEntry {
     // polite frontier: q187's oracle with the robots gate CTEs
     // inserted before the candidate aggregation
     "q191_polite_frontier" -> q191Sql,
+    // streaming crawl loop: both waves replayed batch-exactly in one
+    // query (prefixed frontier chains, keys as of each wave)
+    "q192_stream_crawl_loop" -> q192Sql,
     // incremental tokenizer refresh: the refreshed merge table must
     // equal the full corpus+batch refit — empty violation set
     "q183_bpe_refresh" ->
@@ -4600,44 +4637,83 @@ object SparkEntry {
     * applies it.
     */
   private def frontierSql(robots: Boolean): String = {
+    val rules = if (robots) duckRobotsRuleCtes + ",\n" else ""
+    s"""WITH $rules${frontierCtes("f", robots)}
+       |SELECT canon, url, domain, n_refs, pr, CAST(slot AS INT) AS slot
+       |FROM ffs WHERE slot <= 10""".stripMargin
+  }
+
+  /** One prefixed frontier-wave CTE chain (ending in `${pfx}fs`,
+    * pre-cap): pages from `documents WHERE pagePred`, the key set
+    * from the dirty URLs of `documents WHERE keyPred`, the rank
+    * always epoch-level (full documents — the q188 artifact
+    * contract). `robots = true` expects the caller to have included
+    * [[duckRobotsRuleCtes]] (`rru`) once in the WITH clause. The
+    * prefixing lets q192 replay several loop waves in one query.
+    */
+  private def frontierCtes(pfx: String, robots: Boolean,
+                           pagePred: String = "true",
+                           keyPred: String = "true"): String = {
     val gate =
-      if (!robots) "fg AS (SELECT doc_id, url, domain FROM fb)"
+      if (!robots) s"${pfx}g AS (SELECT doc_id, url, domain FROM ${pfx}b)"
       else
-        s"""fpt AS (SELECT *, ${duckPathOf("url")} AS path FROM fb),
-           |$duckRobotsRuleCtes,
-           |fmg AS (SELECT p.doc_id, p.url, p.domain, r.allow,
+        s"""${pfx}pt AS (SELECT *, ${duckPathOf("url")} AS path FROM ${pfx}b),
+           |${pfx}mg AS (SELECT p.doc_id, p.url, p.domain, r.allow,
            |  row_number() OVER (PARTITION BY p.doc_id, p.url
            |    ORDER BY coalesce(strlen(r.prefix), -1) DESC,
            |             r.allow DESC) AS rn
-           |  FROM fpt p LEFT JOIN rru r ON r.domain = p.domain
+           |  FROM ${pfx}pt p LEFT JOIN rru r ON r.domain = p.domain
            |    AND starts_with(p.path, r.prefix)),
-           |fg AS (SELECT doc_id, url, domain FROM fmg
+           |${pfx}g AS (SELECT doc_id, url, domain FROM ${pfx}mg
            |  WHERE rn = 1 AND coalesce(allow, true))""".stripMargin
-    s"""WITH fp AS (SELECT doc_id, $duckFetchHost AS fetch_host,
-       |  $duckHtml AS html FROM documents),
-       |fl AS (SELECT doc_id, fetch_host,
+    s"""${pfx}p AS (SELECT doc_id, $duckFetchHost AS fetch_host,
+       |  $duckHtml AS html FROM documents WHERE $pagePred),
+       |${pfx}l AS (SELECT doc_id, fetch_host,
        |  unnest(regexp_extract_all(html, '[Hh][Rr][Ee][Ff]="([^"]*)"', 1))
-       |    AS url FROM fp),
-       |fh AS (SELECT doc_id, url, ${duckLinkHost("url")} AS host FROM fl),
-       |fc AS (SELECT doc_id, url, host, ${duckDomainOf("host")} AS domain
-       |       FROM fh WHERE host <> ''),
-       |fb AS (SELECT * FROM fc
+       |    AS url FROM ${pfx}p),
+       |${pfx}h AS (SELECT doc_id, url, ${duckLinkHost("url")} AS host
+       |  FROM ${pfx}l),
+       |${pfx}c AS (SELECT doc_id, url, host, ${duckDomainOf("host")}
+       |  AS domain FROM ${pfx}h WHERE host <> ''),
+       |${pfx}b AS (SELECT * FROM ${pfx}c
        |  WHERE domain NOT IN ('s2.example', 's5.example', 's11.example')),
        |$gate,
-       |fcand AS (SELECT ${duckCanonOf("url")} AS canon, min(url) AS url,
-       |  min(domain) AS domain, CAST(count(*) AS BIGINT) AS n_refs
-       |  FROM fg GROUP BY 1),
-       |fstored AS (SELECT DISTINCT ${duckCanonOf("u")} AS canon
-       |  FROM (SELECT $duckDirtyUrl AS u FROM documents)),
-       |ffresh AS (SELECT c.* FROM fcand c ANTI JOIN fstored s USING (canon)),
-       |franks AS (SELECT domain, pr FROM (${hostRankSql()})),
-       |fj AS (SELECT f.canon, f.url, f.domain, f.n_refs,
-       |  coalesce(r.pr, 0) AS pr FROM ffresh f
-       |  LEFT JOIN franks r ON r.domain = f.domain),
-       |fs AS (SELECT *, row_number() OVER (PARTITION BY domain
-       |  ORDER BY n_refs DESC, canon ASC) AS slot FROM fj)
-       |SELECT canon, url, domain, n_refs, pr, CAST(slot AS INT) AS slot
-       |FROM fs WHERE slot <= 10""".stripMargin
+       |${pfx}cand AS (SELECT ${duckCanonOf("url")} AS canon,
+       |  min(url) AS url, min(domain) AS domain,
+       |  CAST(count(*) AS BIGINT) AS n_refs FROM ${pfx}g GROUP BY 1),
+       |${pfx}stored AS (SELECT DISTINCT ${duckCanonOf("u")} AS canon
+       |  FROM (SELECT $duckDirtyUrl AS u FROM documents WHERE $keyPred)),
+       |${pfx}fresh AS (SELECT c.* FROM ${pfx}cand c
+       |  ANTI JOIN ${pfx}stored s USING (canon)),
+       |${pfx}ranks AS (SELECT domain, pr FROM (${hostRankSql()})),
+       |${pfx}j AS (SELECT f.canon, f.url, f.domain, f.n_refs,
+       |  coalesce(r.pr, 0) AS pr FROM ${pfx}fresh f
+       |  LEFT JOIN ${pfx}ranks r ON r.domain = f.domain),
+       |${pfx}fs AS (SELECT *, row_number() OVER (PARTITION BY domain
+       |  ORDER BY n_refs DESC, canon ASC) AS slot FROM ${pfx}j)"""
+      .stripMargin
+  }
+
+  /** The q192 oracle — the two loop waves replayed batch-exactly:
+    * wave 0 schedules from the [250, 375) pages against the keys of
+    * everything fetched through that wave (the seed [0, 250) plus its
+    * own batch, appended FIRST in loop order); wave 1 from [375, 500)
+    * against all 500 keys. Rank stays epoch-level in both.
+    */
+  private lazy val q192Sql = {
+    val w0 = frontierCtes("wa", robots = true,
+      pagePred = "doc_id >= 250 AND doc_id < 375", keyPred = "doc_id < 375")
+    val w1 = frontierCtes("wb", robots = true,
+      pagePred = "doc_id >= 375")
+    s"""WITH $duckRobotsRuleCtes,
+       |$w0,
+       |$w1
+       |SELECT canon, url, domain, n_refs, pr, CAST(slot AS INT) AS slot,
+       |  CAST(0 AS BIGINT) AS wave FROM wafs WHERE slot <= 10
+       |UNION ALL
+       |SELECT canon, url, domain, n_refs, pr, CAST(slot AS INT) AS slot,
+       |  CAST(1 AS BIGINT) AS wave FROM wbfs WHERE slot <= 10"""
+      .stripMargin
   }
 
   /** HtmlOps.robotsGate's path extraction mirrored: authority URLs

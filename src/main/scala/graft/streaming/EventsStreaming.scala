@@ -855,6 +855,54 @@ object EventsStreaming {
     q.awaitTermination()
   }
 
+  /** Q192: the CRAWL LOOP under Structured Streaming — each
+    * micro-batch is one fetched WAVE (doc_id, url, fetch_host, html:
+    * the fetch URL plus the page it returned). Per batch, in loop
+    * order: (1) the wave's canonical keys are APPENDED to the
+    * maintained key set ([[graft.ops.HtmlOps.appendUrlKeys]] —
+    * O(batch), idempotent under replay), so a just-fetched page can
+    * never be scheduled again; (2) the NEXT wave is computed from the
+    * batch's pages with the full polite pipeline
+    * ([[graft.ops.HtmlOps.politeFrontier]]: blocklist → robots →
+    * anti-join the now-updated key set → rank priority → per-domain
+    * cap) and written to `outDir/wave=<batchId>` with OVERWRITE — a
+    * replayed micro-batch rewrites its own wave directory instead of
+    * duplicating rows, the idempotency twin of the key append.
+    *
+    * The rank is the EPOCH-level artifact (q188), passed in once —
+    * production recomputes it per crawl epoch, not per micro-batch.
+    * State lives entirely in the key-set artifact; the stream itself
+    * is stateless (no watermark, no state store to grow).
+    */
+  def streamingCrawlLoop(spark: SparkSession, srcDir: String,
+                         scope: graft.core.Scope, name: String,
+                         ranks: org.apache.spark.sql.DataFrame,
+                         rules: org.apache.spark.sql.DataFrame,
+                         outDir: String, checkpointDir: String): Unit = {
+    val pageSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("url", StringType),
+      StructField("fetch_host", StringType), StructField("html", StringType)))
+    val src = spark.readStream.schema(pageSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.persist()
+        try {
+          graft.ops.HtmlOps.appendUrlKeys(
+            b.select(col("doc_id"), col("url")), scope, name)
+          graft.ops.HtmlOps.politeFrontier(
+              b.select(col("doc_id"), col("fetch_host"), col("html")),
+              scope, name, ranks, rules)
+            .write.mode("overwrite").parquet(s"$outDir/wave=$batchId")
+          ()
+        } finally b.unpersist()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** Schema of the document stream [[streamingNearDupWithinWatermark]]
     * consumes: ingest event-time beside the payload.
     */

@@ -141,7 +141,10 @@ object ScaleProbe {
     // expected scan-bound flat (zero corpus-side exchanges)
     "q190_robots_gate",
     // polite frontier: q187's exchanges, thinned by the robots gate
-    "q191_polite_frontier")
+    "q191_polite_frontier",
+    // streaming crawl loop: per-micro-batch cost must track the batch
+    // polite frontier + an O(batch) key append — stateless stream
+    "q192_stream_crawl_loop")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

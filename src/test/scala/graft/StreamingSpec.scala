@@ -185,4 +185,65 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty)
     assert(batch.exceptAll(streamed).isEmpty)
   }
+
+  test("streaming crawl loop (q192): waves match their batch replay; restart is a no-op") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft-loop-")
+    try {
+      val scope = graft.core.Scopes.create(spark, base.toString)
+      val urls = graft.ops.HtmlOps.plantedDirtyUrlCorpus(docs)
+      val pages = graft.ops.HtmlOps.plantedHtmlCorpus(docs)
+      val ranks = graft.ops.GraphOps.domainRank(
+        graft.ops.HtmlOps.domainEdges(pages))
+      val rules = graft.ops.HtmlOps.plantedRobotsRules(spark)
+      graft.ops.HtmlOps.saveUrlKeys(
+        urls.filter(col("doc_id") < 250), scope, "keys")
+      val src = pages.join(urls, "doc_id")
+        .select(col("doc_id"), col("url"), col("fetch_host"), col("html"))
+      src.filter(col("doc_id") >= 250 && col("doc_id") < 375)
+        .coalesce(1).write.mode("append").parquet(scope.path("stream-src"))
+      src.filter(col("doc_id") >= 375)
+        .coalesce(1).write.mode("append").parquet(scope.path("stream-src"))
+      def run(): Unit = graft.streaming.EventsStreaming.streamingCrawlLoop(
+        spark, scope.path("stream-src"), scope, "keys", ranks, rules,
+        scope.path("waves"), scope.path("ckpt"))
+      run()
+      val waves = spark.read.parquet(scope.path("waves"))
+      // loop order inside each batch: keys FIRST, wave second — so a
+      // wave never schedules anything fetched up to and including its
+      // own batch (wave 1 runs against ALL 500 keys)
+      val allKeys = graft.ops.HtmlOps.loadUrlKeys(spark, scope, "keys")
+        .select("canon").collect().map(_.getString(0)).toSet
+      assert(allKeys.size > 250, "second batch never appended")
+      waves.filter(col("wave") === 1).collect()
+        .foreach(r => assert(!allKeys.contains(r.getAs[String]("canon"))))
+      // each wave equals its batch replay bit-for-bit: the stream is
+      // the batch operator under a scheduler, nothing more
+      val replay1 = graft.ops.HtmlOps.politeFrontier(
+        pages.filter(col("doc_id") >= 375), scope, "keys", ranks, rules)
+      val w1 = waves.filter(col("wave") === 1).drop("wave")
+      assert(w1.exceptAll(replay1).isEmpty && replay1.exceptAll(w1).isEmpty)
+      // both waves landed, and wave 0 is the thinner candidate pool
+      val n0 = waves.filter(col("wave") === 0).count()
+      val n1 = waves.filter(col("wave") === 1).count()
+      assert(n0 > 0 && n1 > 0)
+      // RESTART: AvailableNow over a fully processed checkpoint must
+      // re-ingest nothing and rewrite nothing — key set and wave
+      // bytes identical (the replay-safety claim, exercised)
+      val keysBefore = graft.ops.HtmlOps.loadUrlKeys(spark, scope, "keys")
+        .collect().map(_.toString).sorted
+      val wavesBefore = spark.read.parquet(scope.path("waves"))
+        .collect().map(_.toString).sorted
+      run()
+      val keysAfter = graft.ops.HtmlOps.loadUrlKeys(spark, scope, "keys")
+        .collect().map(_.toString).sorted
+      val wavesAfter = spark.read.parquet(scope.path("waves"))
+        .collect().map(_.toString).sorted
+      assert(keysAfter.toSeq === keysBefore.toSeq)
+      assert(wavesAfter.toSeq === wavesBefore.toSeq)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
 }

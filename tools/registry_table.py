@@ -86,7 +86,7 @@ def impl_of(snippet):
                 # prefer the gate/probe call (what the query RETURNS)
                 # over the cached artifact build or the exact baseline
                 pref = [x for x in ms if re.search(
-                    r'Gate|probe|search|load|merge|audit|Frontier', x.group(2))]
+                    r'Gate|probe|search|load|merge|audit|Frontier|Loop', x.group(2))]
                 pick = pref[0] if pref else ms[-1]
                 return f"{pick.group(1)}.{pick.group(2)}"
     return "SparkEntry (inline)"
