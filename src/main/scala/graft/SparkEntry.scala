@@ -203,8 +203,10 @@ object SparkEntry {
     */
   private def duckCanonParamsOf(u: String, allow: Seq[String]): String = {
     val lst = allow.map(a => s"'$a'").mkString(", ")
-    // coalesce: DuckDB regexp_extract is NULL on no match (Spark's is
-    // ''), and concat would silently SKIP a NULL kept-list
+    // coalesce is LOAD-BEARING: DuckDB's array_to_string on an EMPTY
+    // list returns NULL (Spark's array_join returns ''), and concat
+    // would then silently SKIP the NULL kept-list, leaving a bare '?'
+    // (regexp_extract itself returns '' on no match, same as Spark)
     val kept =
       s"""coalesce(array_to_string(list_sort(list_filter(
          |  string_split(regexp_extract($u, '^[^#]*\\?([^#]*)', 1), '&'),
@@ -771,11 +773,13 @@ object SparkEntry {
       HtmlOps.saveUrlKeys(urls.filter(col("doc_id") < 250), sc, "urlkeys")
       // two fetch-ordered waves -> two micro-batches: the second
       // wave's duplicates of the first wave's pages must be rejected
-      // by keys the FIRST wave appended mid-stream
-      urls.filter(col("doc_id") >= 250 && col("doc_id") < 375)
-        .coalesce(1).write.mode("append").parquet(sc.path("stream-src"))
-      urls.filter(col("doc_id") >= 375)
-        .coalesce(1).write.mode("append").parquet(sc.path("stream-src"))
+      // by keys the FIRST wave appended mid-stream (mtimes pinned —
+      // the kept-first doc_id the oracle replays is order-sensitive)
+      EventsStreaming.writeWaveFile(
+        urls.filter(col("doc_id") >= 250 && col("doc_id") < 375),
+        sc.path("stream-src"), 0)
+      EventsStreaming.writeWaveFile(
+        urls.filter(col("doc_id") >= 375), sc.path("stream-src"), 1)
       EventsStreaming.streamingUrlKeyMaintenance(s,
         sc.path("stream-src"), sc, "urlkeys", sc.path("ckpt"))
     }
@@ -1786,10 +1790,11 @@ object SparkEntry {
       HtmlOps.saveUrlKeys(urls.filter(col("doc_id") < 250), sc, "urlkeys")
       val src = pages.join(urls, "doc_id")
         .select(col("doc_id"), col("url"), col("fetch_host"), col("html"))
-      src.filter(col("doc_id") >= 250 && col("doc_id") < 375)
-        .coalesce(1).write.mode("append").parquet(sc.path("stream-src"))
-      src.filter(col("doc_id") >= 375)
-        .coalesce(1).write.mode("append").parquet(sc.path("stream-src"))
+      EventsStreaming.writeWaveFile(
+        src.filter(col("doc_id") >= 250 && col("doc_id") < 375),
+        sc.path("stream-src"), 0)
+      EventsStreaming.writeWaveFile(
+        src.filter(col("doc_id") >= 375), sc.path("stream-src"), 1)
       EventsStreaming.streamingCrawlLoop(s, sc.path("stream-src"), sc,
         "urlkeys", GraphOps.domainRank(HtmlOps.domainEdges(pages)),
         HtmlOps.plantedRobotsRules(s), sc.path("waves"), sc.path("ckpt"))
@@ -4655,32 +4660,40 @@ object SparkEntry {
                            pagePred: String = "true",
                            keyPred: String = "true"): String = {
     val gate =
-      if (!robots) s"${pfx}g AS (SELECT doc_id, url, domain FROM ${pfx}b)"
+      if (!robots)
+        s"${pfx}g AS (SELECT doc_id, url, host, domain FROM ${pfx}b)"
       else
         s"""${pfx}pt AS (SELECT *, ${duckPathOf("url")} AS path FROM ${pfx}b),
-           |${pfx}mg AS (SELECT p.doc_id, p.url, p.domain, r.allow,
-           |  row_number() OVER (PARTITION BY p.doc_id, p.url
+           |${pfx}mg AS (SELECT p.rid, p.doc_id, p.url, p.host, p.domain,
+           |  r.allow,
+           |  row_number() OVER (PARTITION BY p.rid
            |    ORDER BY coalesce(strlen(r.prefix), -1) DESC,
            |             r.allow DESC) AS rn
            |  FROM ${pfx}pt p LEFT JOIN rru r ON r.domain = p.domain
            |    AND starts_with(p.path, r.prefix)),
-           |${pfx}g AS (SELECT doc_id, url, domain FROM ${pfx}mg
+           |${pfx}g AS (SELECT doc_id, url, host, domain FROM ${pfx}mg
            |  WHERE rn = 1 AND coalesce(allow, true))""".stripMargin
     s"""${pfx}p AS (SELECT doc_id, $duckFetchHost AS fetch_host,
        |  $duckHtml AS html FROM documents WHERE $pagePred),
-       |${pfx}l AS (SELECT doc_id, fetch_host,
+       |${pfx}l0 AS (SELECT doc_id, fetch_host,
        |  unnest(regexp_extract_all(html, '[Hh][Rr][Ee][Ff]="([^"]*)"', 1))
        |    AS url FROM ${pfx}p),
-       |${pfx}h AS (SELECT doc_id, url, ${duckLinkHost("url")} AS host
+       |${pfx}l AS (SELECT *, row_number() OVER () AS rid FROM ${pfx}l0),
+       |${pfx}h AS (SELECT rid, doc_id, url, ${duckLinkHost("url")} AS host
        |  FROM ${pfx}l),
-       |${pfx}c AS (SELECT doc_id, url, host, ${duckDomainOf("host")}
+       |${pfx}c AS (SELECT rid, doc_id, url, host, ${duckDomainOf("host")}
        |  AS domain FROM ${pfx}h WHERE host <> ''),
        |${pfx}b AS (SELECT * FROM ${pfx}c
        |  WHERE domain NOT IN ('s2.example', 's5.example', 's11.example')),
        |$gate,
+       |${pfx}r AS (SELECT doc_id,
+       |  CASE WHEN regexp_matches(url, '^(?i)(?:https?:)?//') THEN url
+       |       WHEN starts_with(url, '/') THEN concat('//', host, url)
+       |       ELSE concat('//', host, '/', url) END AS url,
+       |  domain FROM ${pfx}g),
        |${pfx}cand AS (SELECT ${duckCanonOf("url")} AS canon,
        |  min(url) AS url, min(domain) AS domain,
-       |  CAST(count(*) AS BIGINT) AS n_refs FROM ${pfx}g GROUP BY 1),
+       |  CAST(count(*) AS BIGINT) AS n_refs FROM ${pfx}r GROUP BY 1),
        |${pfx}stored AS (SELECT DISTINCT ${duckCanonOf("u")} AS canon
        |  FROM (SELECT $duckDirtyUrl AS u FROM documents WHERE $keyPred)),
        |${pfx}fresh AS (SELECT c.* FROM ${pfx}cand c
@@ -4718,8 +4731,9 @@ object SparkEntry {
 
   /** HtmlOps.robotsGate's path extraction mirrored: authority URLs
     * use their own path; a server-relative href IS its path;
-    * everything else has none — with coalesce because DuckDB's
-    * regexp_extract is NULL on no match (Spark's is '').
+    * everything else has none. (DuckDB's regexp_extract returns ''
+    * on no match, same as Spark — the coalesce here is belt and
+    * braces for the guarded branches, not a semantic divergence.)
     */
   private def duckPathOf(u: String): String =
     s"""CASE
@@ -4755,20 +4769,22 @@ object SparkEntry {
   private lazy val q190Sql =
     s"""WITH rp AS (SELECT doc_id, $duckFetchHost AS fetch_host,
        |  $duckHtml AS html FROM documents),
-       |rl AS (SELECT doc_id, fetch_host,
+       |rl0 AS (SELECT doc_id, fetch_host,
        |  unnest(regexp_extract_all(html, '[Hh][Rr][Ee][Ff]="([^"]*)"', 1))
        |    AS url FROM rp),
-       |rh AS (SELECT doc_id, url, ${duckLinkHost("url")} AS host FROM rl),
-       |rc AS (SELECT doc_id, url, host, ${duckDomainOf("host")} AS domain
-       |  FROM rh WHERE host <> ''),
+       |rl AS (SELECT *, row_number() OVER () AS rid FROM rl0),
+       |rh AS (SELECT rid, doc_id, url, ${duckLinkHost("url")} AS host
+       |  FROM rl),
+       |rc AS (SELECT rid, doc_id, url, host, ${duckDomainOf("host")}
+       |  AS domain FROM rh WHERE host <> ''),
        |rb AS (SELECT *, domain IN ('s2.example', 's5.example',
        |  's11.example') AS blocked FROM rc),
        |rpt AS (SELECT *, ${duckPathOf("url")} AS path FROM rb),
        |$duckRobotsRuleCtes,
-       |rm AS (SELECT p.doc_id, p.url, p.host, p.domain, p.blocked,
+       |rm AS (SELECT p.rid, p.doc_id, p.url, p.host, p.domain, p.blocked,
        |  p.path, r.prefix, r.allow FROM rpt p LEFT JOIN rru r
        |  ON r.domain = p.domain AND starts_with(p.path, r.prefix)),
-       |rv AS (SELECT *, row_number() OVER (PARTITION BY doc_id, url
+       |rv AS (SELECT *, row_number() OVER (PARTITION BY rid
        |  ORDER BY coalesce(strlen(prefix), -1) DESC, allow DESC) AS rn
        |  FROM rm)
        |SELECT doc_id, url, host, domain, blocked, path,

@@ -682,14 +682,23 @@ object BpeOps {
     * counts, SKIPS the count merge (no double-sum of the sufficient
     * statistic), and still re-fits and re-swaps the merge table, so a
     * crash between the counts swap and the rows swap heals instead of
-    * leaving merges inconsistent with counts. LIMIT, stated honestly:
-    * the token detects consecutive redelivery only; an old batch
-    * replayed AFTER a different refresh has landed is
-    * indistinguishable from new data (the caller owns batch ordering,
-    * same as the q178 ingest contract's fetch-order requirement).
+    * leaving merges inconsistent with counts. LIMITS, stated
+    * honestly: the content digest detects consecutive redelivery
+    * only — an old batch replayed AFTER a different refresh has
+    * landed is indistinguishable from new data, and a genuinely NEW
+    * batch whose word counts equal the previous batch's (the same
+    * daily feed ingested twice as two real batches) is
+    * indistinguishable from a crash replay and would be silently
+    * skipped. A caller that can name its batches passes `batchId`
+    * and the token becomes that id instead of the digest:
+    * identical-content batches with distinct ids then merge
+    * correctly, and replays of the SAME id still skip. (The caller
+    * owns batch ordering either way, same as the q178 ingest
+    * contract's fetch-order requirement.)
     */
   def refreshBpe(batch: DataFrame, scope: graft.core.Scope,
-                 name: String, textCol: String = "text"): Unit = {
+                 name: String, textCol: String = "text",
+                 batchId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val meta = graft.core.Scopes.readMeta(spark, scope, s"$name/meta")
@@ -701,9 +710,9 @@ object BpeOps {
     // disagree about what the batch contained)
     val batchCounts = wordCountsDf(batch, textCol, pretok)
       .localCheckpoint(eager = true)
-    val token = batchCounts
+    val token = batchId.getOrElse(batchCounts
       .agg(expr("coalesce(bit_xor(xxhash64(w, cnt)), 0L)"))
-      .head().getLong(0)
+      .head().getLong(0))
     val applied = readRefreshToken(spark,
       scope.path(s"$name/counts/$refreshTokenFile")).contains(token)
     if (!applied) {
@@ -751,9 +760,14 @@ object BpeOps {
     else {
       val in = fs.open(p)
       try {
+        // loop to EOF: a single read() may legally short-read (HDFS
+        // packet boundaries) and a truncated token would defeat the
+        // double-sum guard by never matching
+        val buf = new java.io.ByteArrayOutputStream()
         val bytes = new Array[Byte](64)
-        val n = in.read(bytes)
-        Some(new String(bytes, 0, math.max(n, 0), "UTF-8").trim.toLong)
+        var n = in.read(bytes)
+        while (n > 0) { buf.write(bytes, 0, n); n = in.read(bytes) }
+        Some(new String(buf.toByteArray, "UTF-8").trim.toLong)
       } finally in.close()
     }
   }

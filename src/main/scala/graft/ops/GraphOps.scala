@@ -143,6 +143,10 @@ object GraphOps {
                      expectScale: Long = 1000000000000L): DataFrame = {
     val meta = graft.core.Scopes.readMeta(spark, scope, s"$name/meta")
     val exp = math.log10(expectScale.toDouble).round.toInt
+    // validate like the save path: a non-power-of-ten expectation
+    // would ROUND to a recorded exponent and pass the gate wrongly
+    require(math.pow(10, exp).toLong == expectScale,
+      s"expectScale must be a power of ten: $expectScale")
     require(meta.get("iters").contains(expectIters) &&
       meta.get("scale_pow10").contains(exp),
       s"domain-rank artifact $name has meta $meta; expected " +

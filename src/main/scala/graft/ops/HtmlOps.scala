@@ -366,9 +366,12 @@ object HtmlOps {
     val query = regexp_extract(url, "^[^#]*\\?([^#]*)", 1)
     val kept = array_join(array_sort(filter(split(query, "&"),
       p => element_at(split(p, "="), 1).isin(allow: _*))), "&")
-    when(stripped === "", url).otherwise(
-      when(kept === "", canonicalUrl(url))
-        .otherwise(concat(canonicalUrl(url), lit("?"), kept)))
+    // reference `kept` (a lambda pipeline — outside codegen CSE, so a
+    // second reference would run it twice per row) and canonicalUrl's
+    // regex chain ONCE each: an empty kept makes the tail "?", which
+    // nullif/coalesce turn back into the bare aggressive key
+    val tail = coalesce(nullif(concat(lit("?"), kept), lit("?")), lit(""))
+    when(stripped === "", url).otherwise(concat(canonicalUrl(url), tail))
   }
 
   /** The planted dirty-URL corpus: one URL per doc where the
@@ -772,7 +775,16 @@ object HtmlOps {
   }
 
   /** The shared q187/q191 frontier tail over a candidate LINK table
-    * (doc_id, url, domain, …): canonical-key aggregation, the
+    * (doc_id, url, host, domain, …): RELATIVE hrefs are resolved
+    * against the host they inherited BEFORE canonicalization —
+    * without this, `/about/x` links from every domain would collapse
+    * onto one raw-path key, misattributing rank and politeness and
+    * emitting an unfetchable URL (and, once fetched, suppressing
+    * every OTHER domain's `/about/x` forever via the key set). A
+    * server-relative href resolves as `//host/path`; a path-relative
+    * one resolves against the ROOT (`//host/` + href) — the page's
+    * own path is not tracked this deep, a stated simplification, not
+    * RFC 3986 merge semantics. Then: canonical-key aggregation, the
     * anti-join against the maintained key set, the broadcast rank
     * join, and the per-domain cap.
     */
@@ -781,7 +793,12 @@ object HtmlOps {
                                 kPerDomain: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(kPerDomain > 0, s"kPerDomain must be positive: $kPerDomain")
+    val resolved = when(col("url").rlike("^(?i)(?:https?:)?//"), col("url"))
+      .otherwise(concat(lit("//"), col("host"),
+        when(col("url").startsWith("/"), col("url"))
+          .otherwise(concat(lit("/"), col("url")))))
     val cands = links
+      .withColumn("url", resolved)
       .withColumn("canon", canonicalUrl(col("url")))
       .groupBy(col("canon"))
       .agg(min(col("url")).as("url"), // a representative FETCHABLE form

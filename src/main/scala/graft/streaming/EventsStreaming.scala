@@ -855,6 +855,28 @@ object EventsStreaming {
     q.awaitTermination()
   }
 
+  /** Writes one stream-wave fixture file and PINS its modification
+    * time to a fixed base + wave offset: `FileStreamSource` orders
+    * files by modTime, and on a coarse-mtime filesystem (1 s on some
+    * mounts) two back-to-back writes could tie and flip the wave
+    * order that the order-sensitive oracles (q179's kept-first keys,
+    * q192's per-wave page/key split) replay. Freshly written part
+    * files are recognized by their present-day mtime; pinned ones sit
+    * decades earlier and are left alone.
+    */
+  def writeWaveFile(df: org.apache.spark.sql.DataFrame, dir: String,
+                    waveIdx: Int): Unit = {
+    require(waveIdx >= 0, s"waveIdx must be non-negative: $waveIdx")
+    df.coalesce(1).write.mode("append").parquet(dir)
+    val pin = 1000000000000L + waveIdx * 60000L // 2001 + 1 min per wave
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet") &&
+        f.lastModified() > 1100000000000L)
+      .foreach { f =>
+        require(f.setLastModified(pin), s"could not pin mtime of $f")
+      }
+  }
+
   /** Q192: the CRAWL LOOP under Structured Streaming — each
     * micro-batch is one fetched WAVE (doc_id, url, fetch_host, html:
     * the fetch URL plus the page it returned). Per batch, in loop

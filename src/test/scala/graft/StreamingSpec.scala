@@ -201,10 +201,11 @@ class StreamingSpec extends SparkSpec {
         urls.filter(col("doc_id") < 250), scope, "keys")
       val src = pages.join(urls, "doc_id")
         .select(col("doc_id"), col("url"), col("fetch_host"), col("html"))
-      src.filter(col("doc_id") >= 250 && col("doc_id") < 375)
-        .coalesce(1).write.mode("append").parquet(scope.path("stream-src"))
-      src.filter(col("doc_id") >= 375)
-        .coalesce(1).write.mode("append").parquet(scope.path("stream-src"))
+      graft.streaming.EventsStreaming.writeWaveFile(
+        src.filter(col("doc_id") >= 250 && col("doc_id") < 375),
+        scope.path("stream-src"), 0)
+      graft.streaming.EventsStreaming.writeWaveFile(
+        src.filter(col("doc_id") >= 375), scope.path("stream-src"), 1)
       def run(): Unit = graft.streaming.EventsStreaming.streamingCrawlLoop(
         spark, scope.path("stream-src"), scope, "keys", ranks, rules,
         scope.path("waves"), scope.path("ckpt"))
