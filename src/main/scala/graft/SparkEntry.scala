@@ -1703,6 +1703,11 @@ object SparkEntry {
     // expression shape with the JUST-TRAINED coefficients
     "q182_trained_gate" -> ((s, dir) =>
       TextOps.trainedQualityGate(t(s, dir, "documents"))),
+    // the fit EVALUATED (q193): per-round confusion matrix against
+    // the planted labels — one scan, 4·iters bounded aggregates, the
+    // promote-or-not curve a training pipeline reads
+    "q193_fit_eval" -> ((s, dir) =>
+      TextOps.qualityFitEval(t(s, dir, "documents"))),
     // host-graph PageRank: the registrable-domain link graph from the
     // planted pages (q173's href→host→domain chain, unattributable
     // ends dropped, DISTINCT to the domains² bound), then q118's
@@ -4412,6 +4417,8 @@ object SparkEntry {
     "q181_quality_fit" -> qualityFitSql(),
     // the composed gate: final-round weights dotted per doc
     "q182_trained_gate" -> trainedGateSql(),
+    // per-round confusion counts over the replayed trajectory
+    "q193_fit_eval" -> qualityFitEvalSql(),
   )
 
   /** The q184 oracle — the WARC chunk regenerated byte-identically
@@ -4585,6 +4592,29 @@ object SparkEntry {
        |  SELECT f.doc_id,
        |    ${(0 until 5).map(d => s"a$d * x$d").mkString(" + ")} AS score
        |  FROM f CROSS JOIN w$iters) s""".stripMargin
+
+  /** q193: each trajectory round's weights scored over the features,
+    * counted into the four confusion cells — `pred ⟺ score > 0`,
+    * exactly the gate's decision rule.
+    */
+  private def qualityFitEvalSql(iters: Int = 3): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""SELECT $i AS round,
+         |  CAST(sum(CASE WHEN score > 0 AND y = 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN score > 0 AND y = -1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN score <= 0 AND y = 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS fn,
+         |  CAST(sum(CASE WHEN score <= 0 AND y = -1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS tn
+         |FROM (SELECT f.y,
+         |  ${(0 until 5).map(d => s"a$d * x$d").mkString(" + ")} AS score
+         |  FROM f CROSS JOIN w$i) s$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${qualityFitCtes(iters)}
+       |$rounds""".stripMargin
+  }
 
   /** The q180 oracle — q118's trajectory-replaying integer PageRank
     * with the edge set derived from the planted pages' href→host→

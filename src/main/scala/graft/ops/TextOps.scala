@@ -224,6 +224,44 @@ object TextOps {
         fixedPointScore(fitQualityWeights(documents, iters)).as("score"))
       .withColumn("kept", col("score") > 0L)
 
+  /** Q193: the fit EVALUATED per round — the confusion matrix of
+    * every trajectory checkpoint against the planted labels, the
+    * curve a training pipeline reads before promoting a classifier
+    * (is the fit improving? where did it converge? what does the
+    * final gate cost in false drops?). The trajectory's weights cross
+    * the driver once (iters × 5 longs — the q117 model-size
+    * convention); the evaluation is then ONE scan over the feature
+    * rows computing all rounds' counts as 4·iters bounded aggregates
+    * (each round's score a per-row dot product with its weights as
+    * plan literals — the q182 expression shape, `pred ⟺ score > 0`
+    * exactly like the gate). All-integer, so the oracle replays the
+    * fit and the counts exactly.
+    */
+  def qualityFitEval(documents: DataFrame, iters: Int = 3): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val traj = qualityFitTrajectory(documents, iters)
+      .collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[Int]("dim"))
+        -> r.getAs[Long]("w")).toMap
+    val f = qualityFitFeatures(documents)
+    val aggs = (1 to iters).flatMap { r =>
+      val score = (0 until fitDims)
+        .map(d => lit(traj((r, d))) * col(s"x$d")).reduce(_ + _)
+      val pos = score > 0L
+      Seq(
+        sum(when(pos && col("y") === 1L, 1L).otherwise(0L)).as(s"tp$r"),
+        sum(when(pos && col("y") === -1L, 1L).otherwise(0L)).as(s"fp$r"),
+        sum(when(!pos && col("y") === 1L, 1L).otherwise(0L)).as(s"fn$r"),
+        sum(when(!pos && col("y") === -1L, 1L).otherwise(0L)).as(s"tn$r"))
+    }
+    val row = f.agg(aggs.head, aggs.tail: _*).head()
+    (1 to iters).map(r => (r,
+        row.getAs[Long](s"tp$r"), row.getAs[Long](s"fp$r"),
+        row.getAs[Long](s"fn$r"), row.getAs[Long](s"tn$r")))
+      .toDF("round", "tp", "fp", "fn", "tn")
+  }
+
   /** Q20: token counting — whitespace tokens and a BPE-ish regex
     * segmentation (letter runs / digit runs / single other glyphs).
     */

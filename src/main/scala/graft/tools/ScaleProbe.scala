@@ -144,7 +144,10 @@ object ScaleProbe {
     "q191_polite_frontier",
     // streaming crawl loop: per-micro-batch cost must track the batch
     // polite frontier + an O(batch) key append — stateless stream
-    "q192_stream_crawl_loop")
+    "q192_stream_crawl_loop",
+    // fit eval: the q181 fit plus ONE more scan with 4·iters bounded
+    // aggregates — expected cost class = q182's
+    "q193_fit_eval")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

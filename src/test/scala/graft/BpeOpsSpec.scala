@@ -403,6 +403,17 @@ class BpeOpsSpec extends SparkSpec {
       assert(counts()("low") === c1("low") + 1)
       assert(BpeOps.bpeRefreshGate(spark, scope, "tok",
         corpus.unionByName(batch).unionByName(batch2)).count() === 0)
+      // IDENTICAL-CONTENT batches with DISTINCT caller ids both merge
+      // (a digest alone cannot tell the second real delivery from a
+      // crash replay — the batchId token can), and a replay of the
+      // SAME id still skips
+      val low = counts()("low")
+      val daily = Seq((5L, "low")).toDF("doc_id", "text")
+      BpeOps.refreshBpe(daily, scope, "tok", batchId = Some(100L))
+      BpeOps.refreshBpe(daily, scope, "tok", batchId = Some(101L))
+      assert(counts()("low") === low + 2)
+      BpeOps.refreshBpe(daily, scope, "tok", batchId = Some(101L))
+      assert(counts()("low") === low + 2)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
     }

@@ -494,6 +494,37 @@ class TextOpsSpec extends SparkSpec {
     assert(w.exists(_ != 0L))
   }
 
+  test("qualityFitEval (q193): counts partition the corpus; final round matches the gate") {
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val eval = TextOps.qualityFitEval(docs).collect()
+      .map(r => r.getAs[Int]("round") -> r).toMap
+    assert(eval.keySet === Set(1, 2, 3))
+    // the four cells partition the corpus at every round
+    eval.values.foreach { r =>
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("fp")
+        + r.getAs[Long]("fn") + r.getAs[Long]("tn") === 500L)
+    }
+    // the final round's cells ARE the gate's decisions joined to the
+    // planted labels — train, serve, and eval read the same numbers
+    val labels = TextOps.qualityFitFeatures(docs).select("doc_id", "y")
+    val joined = TextOps.trainedQualityGate(docs)
+      .join(labels, "doc_id").collect()
+    val tp = joined.count(r =>
+      r.getAs[Boolean]("kept") && r.getAs[Long]("y") == 1L).toLong
+    val fp = joined.count(r =>
+      r.getAs[Boolean]("kept") && r.getAs[Long]("y") == -1L).toLong
+    val fn = joined.count(r =>
+      !r.getAs[Boolean]("kept") && r.getAs[Long]("y") == 1L).toLong
+    assert(eval(3).getAs[Long]("tp") === tp)
+    assert(eval(3).getAs[Long]("fp") === fp)
+    assert(eval(3).getAs[Long]("fn") === fn)
+    // round 1 scores with the FIRST update's weights (w0 = 0 classifies
+    // everything negative, so round 1's weights are the full label-mass
+    // sum) — the curve starts somewhere real: both classes nonempty
+    val pos = tp + fn
+    assert(pos > 0L && pos < 500L)
+  }
+
   test("fixedPointScore: swapping coefficients keeps the plan identical (q115 promise)") {
     val docs = graft.io.Tables.parquet(spark, sf, "documents")
     def gate(w: Seq[Long]) = TextOps.qualityScore(docs)
