@@ -1775,6 +1775,11 @@ object SparkEntry {
     // micro-batch, keys append FIRST, then the next wave computes
     // against the updated set — replay-safe on both sides
     "q192_stream_crawl_loop" -> (streamCrawlLoopQuery _),
+    // anchor-text mining (q194): the visible text of every link
+    // aggregated per canonical target — the weak-label signal; one
+    // (canon, term) shuffle with map-side combine
+    "q194_anchor_terms" -> ((s, dir) => HtmlOps.anchorTerms(
+      HtmlOps.plantedHtmlCorpus(t(s, dir, "documents")))),
   )
 
   private val q192Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -4403,6 +4408,9 @@ object SparkEntry {
     // streaming crawl loop: both waves replayed batch-exactly in one
     // query (prefixed frontier chains, keys as of each wave)
     "q192_stream_crawl_loop" -> q192Sql,
+    // anchor terms: whole-element extraction, per-element href/text,
+    // the frontier's resolution + canon, token counts per target
+    "q194_anchor_terms" -> q194Sql,
     // incremental tokenizer refresh: the refreshed merge table must
     // equal the full corpus+batch refit — empty violation set
     "q183_bpe_refresh" ->
@@ -4717,9 +4725,7 @@ object SparkEntry {
        |  WHERE domain NOT IN ('s2.example', 's5.example', 's11.example')),
        |$gate,
        |${pfx}r AS (SELECT doc_id,
-       |  CASE WHEN regexp_matches(url, '^(?i)(?:https?:)?//') THEN url
-       |       WHEN starts_with(url, '/') THEN concat('//', host, url)
-       |       ELSE concat('//', host, '/', url) END AS url,
+       |  ${duckResolvedUrl("url", "host")} AS url,
        |  domain FROM ${pfx}g),
        |${pfx}cand AS (SELECT ${duckCanonOf("url")} AS canon,
        |  min(url) AS url, min(domain) AS domain,
@@ -4736,6 +4742,32 @@ object SparkEntry {
        |  ORDER BY n_refs DESC, canon ASC) AS slot FROM ${pfx}j)"""
       .stripMargin
   }
+
+  /** The q194 oracle — anchor elements matched whole, href and
+    * tag-stripped text per element, targets resolved and
+    * canonicalized exactly like the frontier, lowercased whitespace
+    * tokens counted per (canon, term).
+    */
+  private lazy val q194Sql =
+    s"""WITH ap AS (SELECT doc_id, $duckFetchHost AS fetch_host,
+       |  $duckHtml AS html FROM documents),
+       |ae AS (SELECT fetch_host, unnest(regexp_extract_all(html,
+       |  '(?s)<[Aa]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Aa]>', 0)) AS a
+       |  FROM ap),
+       |ax AS (SELECT fetch_host,
+       |  regexp_extract(a, '[Hh][Rr][Ee][Ff]="([^"]*)"', 1) AS url,
+       |  trim(regexp_replace(regexp_replace(a, '<[^>]*>', ' ', 'g'),
+       |    '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS anchor FROM ae),
+       |ah AS (SELECT url, anchor, ${duckLinkHost("url")} AS host
+       |  FROM ax),
+       |ar AS (SELECT anchor,
+       |  ${duckResolvedUrl("url", "host")} AS rurl
+       |  FROM ah WHERE host <> ''),
+       |at AS (SELECT ${duckCanonOf("rurl")} AS canon,
+       |  unnest(regexp_split_to_array(lower(anchor),
+       |    '[ \\t\\n\\x0B\\f\\r]+')) AS term FROM ar)
+       |SELECT canon, term, CAST(count(*) AS BIGINT) AS n
+       |FROM at WHERE term <> '' GROUP BY 1, 2""".stripMargin
 
   /** The q192 oracle — the two loop waves replayed batch-exactly:
     * wave 0 schedules from the [250, 375) pages against the keys of
@@ -4758,6 +4790,15 @@ object SparkEntry {
        |  CAST(1 AS BIGINT) AS wave FROM wbfs WHERE slot <= 10"""
       .stripMargin
   }
+
+  /** HtmlOps.resolvedUrl mirrored: own authority stays, a relative
+    * href resolves against the inherited `$h` (root-resolved when
+    * path-relative).
+    */
+  private def duckResolvedUrl(u: String, h: String): String =
+    s"""CASE WHEN regexp_matches($u, '^(?i)(?:https?:)?//') THEN $u
+       |     WHEN starts_with($u, '/') THEN concat('//', $h, $u)
+       |     ELSE concat('//', $h, '/', $u) END""".stripMargin
 
   /** HtmlOps.robotsGate's path extraction mirrored: authority URLs
     * use their own path; a server-relative href IS its path;

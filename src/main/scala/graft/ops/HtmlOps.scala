@@ -788,17 +788,67 @@ object HtmlOps {
     * anti-join against the maintained key set, the broadcast rank
     * join, and the per-domain cap.
     */
+  /** Q194: ANCHOR-TEXT mining — the visible text of every link,
+    * aggregated per canonical TARGET: the classic weak-label signal a
+    * training pipeline harvests (what the web calls a page is a
+    * description the page itself cannot fake). Anchor elements are
+    * matched whole (`<a …>…</a>`, case classes on the tag letters,
+    * non-greedy so one anchor cannot swallow the document), the href
+    * and the tag-stripped inner text pulled per element, targets
+    * resolved exactly as the frontier resolves them (own authority,
+    * else the fetch host — unattributable targets drop), and the
+    * lowercased whitespace tokens of the text counted per
+    * (canonical target, term).
+    *
+    * Scale shape: a pure projection (regex chain + two explodes) into
+    * ONE shuffle on (canon, term) with map-side partial aggregation;
+    * group count is bounded by target-vocabulary × anchor-vocabulary,
+    * rows by total anchor tokens — never all-pairs anything.
+    */
+  def anchorTerms(pages: DataFrame, htmlCol: String = "html",
+                  baseHostCol: String = "fetch_host"): DataFrame = {
+    val elems = regexp_extract_all(coalesce(col(htmlCol), lit("")),
+      lit("(?s)<[Aa]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Aa]>"), lit(0))
+    val href = regexp_extract(col("a"), "[Hh][Rr][Ee][Ff]=\"([^\"]*)\"", 1)
+    val text = trim(regexp_replace(
+      regexp_replace(col("a"), "<[^>]*>", " "),
+      "[ \\t\\n\\x0B\\f\\r]+", " "))
+    val extracted = hostOf(col("url"))
+    val host = when(extracted === "" && !hasScheme(col("url")),
+      col(baseHostCol)).otherwise(extracted)
+    pages
+      .select(col(baseHostCol), explode(elems).as("a"))
+      .select(col(baseHostCol), href.as("url"), text.as("anchor"))
+      .withColumn("host", host)
+      .filter(col("host") =!= "")
+      .select(canonicalUrl(resolvedUrl(col("url"), col("host")))
+        .as("canon"),
+        explode(split(lower(col("anchor")),
+          "[ \\t\\n\\x0B\\f\\r]+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("canon"), col("term"))
+      .agg(count(lit(1)).cast("long").as("n"))
+  }
+
+  /** A link target as a FETCHABLE URL: hrefs that carry an authority
+    * stay themselves; a relative href resolves against the host it
+    * inherited (`//host` + path, path-relative against the ROOT — the
+    * page's own path is not tracked this deep, a stated
+    * simplification, not RFC 3986 merge semantics).
+    */
+  def resolvedUrl(url: Column, host: Column): Column =
+    when(url.rlike("^(?i)(?:https?:)?//"), url)
+      .otherwise(concat(lit("//"), host,
+        when(url.startsWith("/"), url)
+          .otherwise(concat(lit("/"), url))))
+
   private def frontierFromLinks(links: DataFrame, scope: graft.core.Scope,
                                 name: String, ranks: DataFrame,
                                 kPerDomain: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(kPerDomain > 0, s"kPerDomain must be positive: $kPerDomain")
-    val resolved = when(col("url").rlike("^(?i)(?:https?:)?//"), col("url"))
-      .otherwise(concat(lit("//"), col("host"),
-        when(col("url").startsWith("/"), col("url"))
-          .otherwise(concat(lit("/"), col("url")))))
     val cands = links
-      .withColumn("url", resolved)
+      .withColumn("url", resolvedUrl(col("url"), col("host")))
       .withColumn("canon", canonicalUrl(col("url")))
       .groupBy(col("canon"))
       .agg(min(col("url")).as("url"), // a representative FETCHABLE form

@@ -115,6 +115,7 @@ object PlanAudit {
     "q191_polite_frontier", // q187's plan, candidates thinned by the gate
     "q192_stream_crawl_loop", // per-batch q191 + O(batch) key append
     "q193_fit_eval",       // one scan, all rounds' cells as bounded aggs
+    "q194_anchor_terms",   // projection + explodes, one partial-agg exchange
     "q10_event_window")   // normalized-ts scan straight into windowed agg
 
   def main(args: Array[String]): Unit = {

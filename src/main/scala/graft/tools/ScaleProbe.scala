@@ -147,7 +147,10 @@ object ScaleProbe {
     "q192_stream_crawl_loop",
     // fit eval: the q181 fit plus ONE more scan with 4·iters bounded
     // aggregates — expected cost class = q182's
-    "q193_fit_eval")
+    "q193_fit_eval",
+    // anchor mining: regex projection + two explodes into one
+    // (canon, term) exchange with map-side combine
+    "q194_anchor_terms")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

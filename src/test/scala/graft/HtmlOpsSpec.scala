@@ -422,6 +422,38 @@ class HtmlOpsSpec extends SparkSpec {
     } finally { gated.unpersist(); () }
   }
 
+  test("anchorTerms (q194): per-target term counts; unattributable anchors drop") {
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val out = HtmlOps.anchorTerms(HtmlOps.plantedHtmlCorpus(docs))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // every doc plants exactly one of each visible anchor — the term
+    // mass must conserve across targets
+    def termTotal(t: String) =
+      out.collect { case ((_, `t`), n) => n }.sum
+    assert(termTotal("home") === 500L)
+    assert(termTotal("next") === 500L)
+    assert(termTotal("ref") === 500L)
+    assert(termTotal("about") === 500L)
+    // the mailto anchor is unattributable (scheme'd non-http, no
+    // host) — its text never lands anywhere
+    assert(termTotal("mail") === 0L)
+    // targets canonicalize like the frontier: the nav link of doc 0
+    // (fetch host w0.s0) keeps its path case; hosts fold
+    assert(out.contains(("w0.s0.example/NAV", "home")))
+    assert(out.contains(("w1.s1.example/nav", "home")))
+    // the relative about-link resolves against ITS OWN fetch host —
+    // per-domain targets, not one raw-path key (the q187 fix, visible
+    // here too): every about canon carries a host
+    out.keys.filter(_._2 == "about").foreach { case (canon, _) =>
+      assert(canon.matches("w[0-9]+\\.s[0-9]+\\.example/about/[0-9]+"), canon)
+    }
+    // the next-anchor carries the doc id as its own term, attributed
+    // to that doc's target page
+    assert(out(("w0.s0.example/p/0", "0")) === 1L)
+    assert(out(("w0.s0.example/p/0", "next")) === 1L)
+  }
+
   test("politeFrontier (q191): robots-disallowed candidates never reach the wave") {
     val docs = graft.io.Tables.parquet(spark, sf, "documents")
     val base = java.nio.file.Files.createTempDirectory("graft-polite-")
