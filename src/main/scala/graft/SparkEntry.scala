@@ -1780,6 +1780,12 @@ object SparkEntry {
     // (canon, term) shuffle with map-side combine
     "q194_anchor_terms" -> ((s, dir) => HtmlOps.anchorTerms(
       HtmlOps.plantedHtmlCorpus(t(s, dir, "documents")))),
+    // the crawl funnel (q195): per-domain survival counts through
+    // every frontier stage — the "where did domain X drop" rollup
+    "q195_crawl_funnel" -> ((s, dir) => HtmlOps.crawlFunnel(
+      HtmlOps.plantedHtmlCorpus(t(s, dir, "documents")),
+      frontierScope(s, dir), "urlkeys",
+      HtmlOps.plantedRobotsRules(s))),
   )
 
   private val q192Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -4411,6 +4417,9 @@ object SparkEntry {
     // anchor terms: whole-element extraction, per-element href/text,
     // the frontier's resolution + canon, token counts per target
     "q194_anchor_terms" -> q194Sql,
+    // crawl funnel: the frontier chain's per-stage cardinalities
+    // rolled up by domain, full-outer assembled with zero fill
+    "q195_crawl_funnel" -> q195Sql,
     // incremental tokenizer refresh: the refreshed merge table must
     // equal the full corpus+batch refit — empty violation set
     "q183_bpe_refresh" ->
@@ -4768,6 +4777,33 @@ object SparkEntry {
        |    '[ \\t\\n\\x0B\\f\\r]+')) AS term FROM ar)
        |SELECT canon, term, CAST(count(*) AS BIGINT) AS n
        |FROM at WHERE term <> '' GROUP BY 1, 2""".stripMargin
+
+  /** The q195 oracle — the q191 frontier chain's stage CTEs counted
+    * per domain (attributable zc → unblocked zb → robots-allowed zg →
+    * candidate keys zcand → unseen zfresh → capped zfs), full-outer
+    * assembled with zero fill.
+    */
+  private lazy val q195Sql = {
+    val stages = Seq(
+      ("s1", "n_links", "zc"), ("s2", "n_unblocked", "zb"),
+      ("s3", "n_allowed", "zg"), ("s4", "n_keys", "zcand"),
+      ("s5", "n_unseen", "zfresh"), ("s6", "n_scheduled",
+        "(SELECT * FROM zfs WHERE slot <= 10)"))
+    val cte = stages.map { case (n, c, src) =>
+      s"""$n AS (SELECT domain, CAST(count(*) AS BIGINT) AS $c
+         |  FROM $src GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val joins = stages.tail.map(s => s"FULL JOIN ${s._1} USING (domain)")
+      .mkString("\n")
+    val cols = stages.map(s => s"coalesce(${s._2}, 0) AS ${s._2}")
+      .mkString(", ")
+    s"""WITH $duckRobotsRuleCtes,
+       |${frontierCtes("z", robots = true)},
+       |$cte
+       |SELECT domain, $cols
+       |FROM s1
+       |$joins""".stripMargin
+  }
 
   /** The q192 oracle — the two loop waves replayed batch-exactly:
     * wave 0 schedules from the [250, 375) pages against the keys of

@@ -830,6 +830,67 @@ object HtmlOps {
       .agg(count(lit(1)).cast("long").as("n"))
   }
 
+  /** Q195: the CRAWL FUNNEL — per target domain, how many link
+    * occurrences survive each pipeline stage: attributable links →
+    * blocklist → robots → candidate keys → unseen keys → scheduled
+    * wave slots. This is the observability rollup a crawl operator
+    * reads to see WHERE pages drop ("why is domain X not being
+    * fetched?") — each count is the input cardinality of the next
+    * stage of [[politeFrontier]], so `n_scheduled` per domain equals
+    * the polite wave's row count exactly (pinned in spec).
+    *
+    * Scale shape: the link stages fold into ONE aggregation over the
+    * gated link projection (per-row stage flags, map-side combine);
+    * the key stages reuse one checkpointed candidate table (bounded
+    * by distinct keys) and its anti-joined survivor; the final
+    * assembly is full-outer joins of DOMAIN-VOCABULARY-sized stage
+    * tables — nothing corpus-sized crosses a second exchange.
+    */
+  def crawlFunnel(pages: DataFrame, scope: graft.core.Scope,
+                  name: String, rules: DataFrame,
+                  kPerDomain: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(kPerDomain > 0, s"kPerDomain must be positive: $kPerDomain")
+    val links = htmlOutlinks(pages, baseHostCol = Some("fetch_host"))
+      .filter(col("host") =!= "")
+    val gated = robotsGate(links, rules)
+      .withColumn("ok_unblocked", !col("blocked"))
+      .withColumn("ok_allowed", !col("blocked") && col("allowed"))
+    val linkStats = gated.groupBy(col("domain")).agg(
+      count(lit(1)).cast("long").as("n_links"),
+      sum(when(col("ok_unblocked"), 1L).otherwise(0L)).as("n_unblocked"),
+      sum(when(col("ok_allowed"), 1L).otherwise(0L)).as("n_allowed"))
+    val cands = gated.filter(col("ok_allowed"))
+      .withColumn("url", resolvedUrl(col("url"), col("host")))
+      .groupBy(canonicalUrl(col("url")).as("canon"))
+      .agg(min(col("domain")).as("domain"),
+        count(lit(1)).cast("long").as("n_refs"))
+      .localCheckpoint(eager = true) // feeds two stage counts + the cap
+    val keyStats = cands.groupBy(col("domain"))
+      .agg(count(lit(1)).cast("long").as("n_keys"))
+    val stored = loadUrlKeys(pages.sparkSession, scope, name)
+      .select(col("canon").as("canon_fetched"))
+    val fresh = cands
+      .join(stored, col("canon") === col("canon_fetched"), "left_anti")
+      .localCheckpoint(eager = true) // feeds the unseen count + the cap
+    val freshStats = fresh.groupBy(col("domain"))
+      .agg(count(lit(1)).cast("long").as("n_unseen"))
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("n_refs").desc, col("canon").asc)
+    val schedStats = fresh.withColumn("slot", row_number().over(w))
+      .filter(col("slot") <= kPerDomain)
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).cast("long").as("n_scheduled"))
+    val zero = (c: String) => coalesce(col(c), lit(0L)).as(c)
+    linkStats
+      .join(keyStats, Seq("domain"), "full_outer")
+      .join(freshStats, Seq("domain"), "full_outer")
+      .join(schedStats, Seq("domain"), "full_outer")
+      .select(col("domain"), zero("n_links"), zero("n_unblocked"),
+        zero("n_allowed"), zero("n_keys"), zero("n_unseen"),
+        zero("n_scheduled"))
+  }
+
   /** A link target as a FETCHABLE URL: hrefs that carry an authority
     * stay themselves; a relative href resolves against the host it
     * inherited (`//host` + path, path-relative against the ROOT — the

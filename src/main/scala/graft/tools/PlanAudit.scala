@@ -116,6 +116,7 @@ object PlanAudit {
     "q192_stream_crawl_loop", // per-batch q191 + O(batch) key append
     "q193_fit_eval",       // one scan, all rounds' cells as bounded aggs
     "q194_anchor_terms",   // projection + explodes, one partial-agg exchange
+    "q195_crawl_funnel",   // one link agg + key stages + tiny assembly joins
     "q10_event_window")   // normalized-ts scan straight into windowed agg
 
   def main(args: Array[String]): Unit = {

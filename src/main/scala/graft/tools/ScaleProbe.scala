@@ -150,7 +150,10 @@ object ScaleProbe {
     "q193_fit_eval",
     // anchor mining: regex projection + two explodes into one
     // (canon, term) exchange with map-side combine
-    "q194_anchor_terms")
+    "q194_anchor_terms",
+    // crawl funnel: one link-stage aggregation + checkpointed key
+    // stages + vocabulary-sized assembly joins
+    "q195_crawl_funnel")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

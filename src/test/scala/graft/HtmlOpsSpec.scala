@@ -454,6 +454,47 @@ class HtmlOpsSpec extends SparkSpec {
     assert(out(("w0.s0.example/p/0", "next")) === 1L)
   }
 
+  test("crawlFunnel (q195): stages shrink monotonically and reconcile with the polite wave") {
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft-funnel-")
+    try {
+      val scope = graft.core.Scopes.create(spark, base.toString)
+      HtmlOps.saveUrlKeys(HtmlOps.plantedDirtyUrlCorpus(docs), scope, "keys")
+      val pages = HtmlOps.plantedHtmlCorpus(docs)
+      val rules = HtmlOps.plantedRobotsRules(spark)
+      val funnel = HtmlOps.crawlFunnel(pages, scope, "keys", rules)
+        .collect().map(r => r.getString(0) -> r).toMap
+      assert(funnel.nonEmpty)
+      funnel.values.foreach { r =>
+        val Seq(links, unb, alw, keys, unseen, sched) =
+          (1 to 6).map(r.getLong(_))
+        assert(links >= unb && unb >= alw && keys >= unseen
+          && unseen >= sched, r.toString)
+        assert(keys <= alw, r.toString) // keys collapse occurrences
+        assert(sched <= 10L, r.toString)
+      }
+      // blocklisted domains drop everything at the blocklist stage
+      Seq("s2.example", "s5.example", "s11.example").foreach { d =>
+        assert(funnel(d).getLong(1) > 0L, d)
+        assert(funnel(d).getLong(2) === 0L, d)
+      }
+      // the robots stage bites on an unblocked domain: the %4==1
+      // blanket-disallow domain keeps only its lowercase /nav links
+      assert(funnel("s1.example").getLong(3)
+        < funnel("s1.example").getLong(2))
+      // RECONCILIATION: n_scheduled per domain IS the polite wave
+      val wave = HtmlOps.politeFrontier(pages, scope, "keys",
+          graft.ops.GraphOps.domainRank(HtmlOps.domainEdges(pages)), rules)
+        .groupBy("domain").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val scheduled = funnel.view.mapValues(_.getLong(6))
+        .filter(_._2 > 0L).toMap
+      assert(scheduled === wave)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("politeFrontier (q191): robots-disallowed candidates never reach the wave") {
     val docs = graft.io.Tables.parquet(spark, sf, "documents")
     val base = java.nio.file.Files.createTempDirectory("graft-polite-")
