@@ -1786,6 +1786,14 @@ object SparkEntry {
       HtmlOps.plantedHtmlCorpus(t(s, dir, "documents")),
       frontierScope(s, dir), "urlkeys",
       HtmlOps.plantedRobotsRules(s))),
+    // the refetch wave (q196): recrawl scheduling from the fetch log
+    // — latest fetch per key decides staleness, oldest-first under
+    // the politeness cap; the steady-state twin of q191's discovery
+    "q196_refetch_wave" -> ((s, dir) => HtmlOps.refetchWave(
+      HtmlOps.plantedFetchLog(t(s, dir, "documents")),
+      nowS = 1767225600L + 9L * 86400L, ttlS = 7L * 86400L,
+      ranks = GraphOps.domainRank(HtmlOps.domainEdges(
+        HtmlOps.plantedHtmlCorpus(t(s, dir, "documents")))))),
   )
 
   private val q192Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -4420,6 +4428,9 @@ object SparkEntry {
     // crawl funnel: the frontier chain's per-stage cardinalities
     // rolled up by domain, full-outer assembled with zero fill
     "q195_crawl_funnel" -> q195Sql,
+    // refetch wave: latest-fetch struct-max reduction, age filter,
+    // rank join, oldest-first politeness cap — all-integer time
+    "q196_refetch_wave" -> q196Sql,
     // incremental tokenizer refresh: the refreshed merge table must
     // equal the full corpus+batch refit — empty violation set
     "q183_bpe_refresh" ->
@@ -4777,6 +4788,44 @@ object SparkEntry {
        |    '[ \\t\\n\\x0B\\f\\r]+')) AS term FROM ar)
        |SELECT canon, term, CAST(count(*) AS BIGINT) AS n
        |FROM at WHERE term <> '' GROUP BY 1, 2""".stripMargin
+
+  /** The q196 oracle — the planted fetch log regenerated (first
+    * fetches hour-spread, %5 == 0 keys re-fetched 48 h later), the
+    * latest-fetch reduction as a named-struct max (DuckDB struct
+    * comparison matches Spark's field-order semantics, url as the
+    * deterministic tiebreak), the age filter, the epoch rank, and the
+    * oldest-first per-domain cap. Epoch seconds as integers
+    * throughout.
+    */
+  private lazy val q196Sql = {
+    val base = 1767225600L
+    val now = base + 9L * 86400L
+    val ttl = 7L * 86400L
+    s"""WITH rf1 AS (SELECT $duckDirtyUrl AS url,
+       |  $base + (doc_id % 97) * 3600 AS fetched_at_s FROM documents),
+       |rf2 AS (SELECT $duckDirtyUrl AS url,
+       |  $base + (doc_id % 97) * 3600 + 172800 AS fetched_at_s
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |rfu AS (SELECT * FROM rf1 UNION ALL SELECT * FROM rf2),
+       |rlast AS (SELECT ${duckCanonOf("url")} AS canon,
+       |  (max({'ts': fetched_at_s, 'u': url})).u AS url,
+       |  CAST(max(fetched_at_s) AS BIGINT) AS last_fetch_s
+       |  FROM rfu GROUP BY 1),
+       |rdue AS (SELECT *, ${duckDomainOf(
+      s"regexp_extract(url, '^(?i)(?:https?:)?//([^/?#]+)', 1)")}
+       |    AS domain
+       |  FROM rlast WHERE $now - last_fetch_s >= $ttl),
+       |rrk AS (SELECT domain, pr FROM (${hostRankSql()})),
+       |rjn AS (SELECT d.canon, d.url, d.domain, d.last_fetch_s,
+       |  coalesce(r.pr, 0) AS pr FROM rdue d
+       |  LEFT JOIN rrk r ON r.domain = d.domain),
+       |rsl AS (SELECT *, row_number() OVER (PARTITION BY domain
+       |  ORDER BY last_fetch_s ASC, canon ASC) AS slot FROM rjn)
+       |SELECT canon, url, domain, last_fetch_s,
+       |  CAST($now - last_fetch_s AS BIGINT) AS age_s, pr,
+       |  CAST(slot AS INT) AS slot
+       |FROM rsl WHERE slot <= 10""".stripMargin
+  }
 
   /** The q195 oracle — the q191 frontier chain's stage CTEs counted
     * per domain (attributable zc → unblocked zb → robots-allowed zg →

@@ -830,6 +830,70 @@ object HtmlOps {
       .agg(count(lit(1)).cast("long").as("n"))
   }
 
+  /** Q196's fixture: the crawl's FETCH LOG — one row per completed
+    * fetch (log_id, url, fetched_at_s in epoch SECONDS — integer
+    * end-to-end, no timestamp-zone parity surface). Every planted
+    * page was fetched at a doc_id-spread hour offset, and the
+    * `doc_id % 5 == 0` pages were RE-fetched 48 h later (same URL,
+    * same canonical key — the staleness reduction must take the
+    * latest fetch, not the first).
+    */
+  def plantedFetchLog(documents: DataFrame): DataFrame = {
+    val base = 1767225600L // 2026-01-01T00:00:00Z
+    val url = plantedDirtyUrlCorpus(documents)
+    val first = url.select(col("doc_id").as("log_id"), col("url"),
+      (lit(base) + (col("doc_id") % 97) * 3600L).as("fetched_at_s"))
+    val refetch = url.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000L).as("log_id"), col("url"),
+        (lit(base) + (col("doc_id") % 97) * 3600L + lit(48L * 3600L))
+          .as("fetched_at_s"))
+    first.unionByName(refetch)
+  }
+
+  /** Q196: the REFETCH WAVE — recrawl scheduling from the fetch log:
+    * per canonical key, the LATEST fetch decides staleness (a page
+    * re-fetched yesterday is fresh no matter how old its first fetch
+    * is); keys whose age ≥ `ttlS` at `nowS` become refetch
+    * candidates, prioritized oldest-first under the same per-domain
+    * politeness cap as the discovery frontier (q187's
+    * WindowGroupLimit shape). Together with [[politeFrontier]] this
+    * closes the crawl's steady state: discovery waves fetch the
+    * unseen, refetch waves keep the seen fresh.
+    *
+    * Scale shape: ONE shuffle on the canonical key for the
+    * latest-fetch reduction (struct-max argmax, the q104 convention —
+    * deterministic under timestamp ties via the url tiebreak),
+    * a broadcast rank join, and the capped window. Time is integer
+    * epoch seconds throughout — the age arithmetic replays exactly on
+    * any engine.
+    */
+  def refetchWave(fetchLog: DataFrame, nowS: Long, ttlS: Long,
+                  ranks: DataFrame, kPerDomain: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ttlS > 0, s"ttlS must be positive: $ttlS")
+    require(kPerDomain > 0, s"kPerDomain must be positive: $kPerDomain")
+    val last = fetchLog
+      .groupBy(canonicalUrl(col("url")).as("canon"))
+      .agg(max(struct(col("fetched_at_s"), col("url"))).as("m"))
+      .select(col("canon"), col("m.url").as("url"),
+        col("m.fetched_at_s").as("last_fetch_s"))
+    val due = last
+      .filter(lit(nowS) - col("last_fetch_s") >= ttlS)
+      .withColumn("domain",
+        graft.ops.PiiOps.registrableDomain(hostOf(col("url"))))
+      .join(broadcast(ranks.select(col("domain"), col("pr"))),
+        Seq("domain"), "left")
+      .withColumn("pr", coalesce(col("pr"), lit(0L)))
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("last_fetch_s").asc, col("canon").asc)
+    due.withColumn("slot", row_number().over(w))
+      .filter(col("slot") <= kPerDomain)
+      .select(col("canon"), col("url"), col("domain"),
+        col("last_fetch_s"),
+        (lit(nowS) - col("last_fetch_s")).as("age_s"),
+        col("pr"), col("slot").cast("int").as("slot"))
+  }
+
   /** Q195: the CRAWL FUNNEL — per target domain, how many link
     * occurrences survive each pipeline stage: attributable links →
     * blocklist → robots → candidate keys → unseen keys → scheduled

@@ -117,6 +117,7 @@ object PlanAudit {
     "q193_fit_eval",       // one scan, all rounds' cells as bounded aggs
     "q194_anchor_terms",   // projection + explodes, one partial-agg exchange
     "q195_crawl_funnel",   // one link agg + key stages + tiny assembly joins
+    "q196_refetch_wave",   // canon struct-max + broadcast rank + capped window
     "q10_event_window")   // normalized-ts scan straight into windowed agg
 
   def main(args: Array[String]): Unit = {

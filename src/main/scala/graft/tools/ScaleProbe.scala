@@ -153,7 +153,10 @@ object ScaleProbe {
     "q194_anchor_terms",
     // crawl funnel: one link-stage aggregation + checkpointed key
     // stages + vocabulary-sized assembly joins
-    "q195_crawl_funnel")
+    "q195_crawl_funnel",
+    // refetch wave: one canon-key struct-max reduction + broadcast
+    // rank + capped window — all-integer time arithmetic
+    "q196_refetch_wave")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

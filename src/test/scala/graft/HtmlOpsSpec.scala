@@ -495,6 +495,46 @@ class HtmlOpsSpec extends SparkSpec {
     }
   }
 
+  test("refetchWave (q196): the LATEST fetch decides staleness; oldest-first under the cap") {
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val pages = HtmlOps.plantedHtmlCorpus(docs)
+    val ranks = graft.ops.GraphOps.domainRank(HtmlOps.domainEdges(pages))
+    val log = HtmlOps.plantedFetchLog(docs)
+    val base = 1767225600L
+    val now = base + 9L * 86400L
+    // uncapped wave for the due-set arithmetic (the politeness cap
+    // can bump an individual due key out of the default-10 slots)
+    val due = HtmlOps.refetchWave(log, now, 7L * 86400L, ranks,
+      kPerDomain = 1000000).collect()
+    val out = HtmlOps.refetchWave(log, now, 7L * 86400L, ranks).collect()
+    assert(out.nonEmpty)
+    val byCanon = due.map(r => r.getString(0) -> r).toMap
+    // singleton canonical groups (115 <= d < 385: the period-385 dup
+    // pairs need both members under 500) make the planted arithmetic
+    // exact per doc
+    val canonOf = (d: Long) => HtmlOps.plantedDirtyUrlCorpus(docs)
+      .filter(col("doc_id") === d)
+      .select(HtmlOps.canonicalUrl(col("url"))).head().getString(0)
+    // doc 115 first-fetched at +18h — stale by THAT fetch alone — but
+    // RE-fetched at +66h: the latest fetch wins, so it is NOT due
+    assert(!byCanon.contains(canonOf(115L)))
+    // doc 116 (%5 != 0, single fetch at +19h) is due with that time
+    val d116 = byCanon(canonOf(116L))
+    assert(d116.getLong(3) === base + 19L * 3600L)
+    assert(d116.getLong(4) === now - (base + 19L * 3600L))
+    // doc 194 (%97 == 0, single fetch at the epoch base) is the
+    // oldest possible candidate
+    assert(byCanon(canonOf(194L)).getLong(3) === base)
+    // every due key is genuinely stale, and slots order oldest-first
+    out.foreach(r => assert(r.getLong(4) >= 7L * 86400L))
+    out.groupBy(_.getString(2)).foreach { case (_, g) =>
+      assert(g.length <= 10)
+      val bySlot = g.sortBy(_.getInt(6))
+      assert(bySlot.map(_.getLong(3)).toSeq ===
+        bySlot.map(_.getLong(3)).sorted.toSeq)
+    }
+  }
+
   test("politeFrontier (q191): robots-disallowed candidates never reach the wave") {
     val docs = graft.io.Tables.parquet(spark, sf, "documents")
     val base = java.nio.file.Files.createTempDirectory("graft-polite-")
