@@ -4719,9 +4719,10 @@ object SparkEntry {
                            keyPred: String = "true"): String = {
     val gate =
       if (!robots)
-        s"${pfx}g AS (SELECT doc_id, url, host, domain FROM ${pfx}b)"
+        s"${pfx}g AS (SELECT doc_id, url, host, domain FROM ${pfx}b2)"
       else
-        s"""${pfx}pt AS (SELECT *, ${duckPathOf("url")} AS path FROM ${pfx}b),
+        s"""${pfx}pt AS (SELECT *, ${duckPathOf("url")} AS path
+           |  FROM ${pfx}b2),
            |${pfx}mg AS (SELECT p.rid, p.doc_id, p.url, p.host, p.domain,
            |  r.allow,
            |  row_number() OVER (PARTITION BY p.rid
@@ -4743,13 +4744,13 @@ object SparkEntry {
        |  AS domain FROM ${pfx}h WHERE host <> ''),
        |${pfx}b AS (SELECT * FROM ${pfx}c
        |  WHERE domain NOT IN ('s2.example', 's5.example', 's11.example')),
+       |${pfx}b2 AS (SELECT rid, doc_id,
+       |  ${duckResolvedUrl("url", "host")} AS url, host, domain
+       |  FROM ${pfx}b),
        |$gate,
-       |${pfx}r AS (SELECT doc_id,
-       |  ${duckResolvedUrl("url", "host")} AS url,
-       |  domain FROM ${pfx}g),
        |${pfx}cand AS (SELECT ${duckCanonOf("url")} AS canon,
        |  min(url) AS url, min(domain) AS domain,
-       |  CAST(count(*) AS BIGINT) AS n_refs FROM ${pfx}r GROUP BY 1),
+       |  CAST(count(*) AS BIGINT) AS n_refs FROM ${pfx}g GROUP BY 1),
        |${pfx}stored AS (SELECT DISTINCT ${duckCanonOf("u")} AS canon
        |  FROM (SELECT $duckDirtyUrl AS u FROM documents WHERE $keyPred)),
        |${pfx}fresh AS (SELECT c.* FROM ${pfx}cand c
@@ -4775,11 +4776,13 @@ object SparkEntry {
        |  '(?s)<[Aa]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Aa]>', 0)) AS a
        |  FROM ap),
        |ax AS (SELECT fetch_host,
-       |  regexp_extract(a, '[Hh][Rr][Ee][Ff]="([^"]*)"', 1) AS url,
+       |  regexp_extract(
+       |    regexp_extract(a, '^<[Aa]([ \\t\\n\\x0B\\f\\r][^>]*)?>', 0),
+       |    '[Hh][Rr][Ee][Ff]="([^"]*)"', 1) AS url,
        |  trim(regexp_replace(regexp_replace(a, '<[^>]*>', ' ', 'g'),
        |    '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS anchor FROM ae),
        |ah AS (SELECT url, anchor, ${duckLinkHost("url")} AS host
-       |  FROM ax),
+       |  FROM ax WHERE url <> ''),
        |ar AS (SELECT anchor,
        |  ${duckResolvedUrl("url", "host")} AS rurl
        |  FROM ah WHERE host <> ''),

@@ -238,15 +238,23 @@ object HtmlOps {
     * for same-site links on a blocked domain; any real URL-frontier
     * caller should pass the fetch host.
     */
+  /** THE base-host inheritance rule, defined once (link semantics
+    * must not diverge between the outlink, edge, and anchor
+    * consumers): a link's host is its own authority when it has one;
+    * only a fully scheme-less href (not `mailto:`/`ftp:`) inherits
+    * the fetching page's host.
+    */
+  def inheritedHost(url: Column, base: Column): Column =
+    when(hostOf(url) === "" && !hasScheme(url), base)
+      .otherwise(hostOf(url))
+
   def htmlOutlinks(documents: DataFrame,
                    blocklist: Seq[String] = PiiOps.defaultBlocklist,
                    htmlCol: String = "html",
                    baseHostCol: Option[String] = None): DataFrame = {
-    val extracted = hostOf(col("url"))
     val host = baseHostCol match {
-      case Some(b) => when(extracted === "" && !hasScheme(col("url")),
-        col(b)).otherwise(extracted)
-      case None => extracted
+      case Some(b) => inheritedHost(col("url"), col(b))
+      case None => hostOf(col("url"))
     }
     PiiOps.blocklistVerdict(
       documents
@@ -286,8 +294,7 @@ object HtmlOps {
     val h = coalesce(col(htmlCol), lit(""))
     val blArr = array(blocklist.map(lit): _*)
     def linkHost(u: Column) = baseHostCol match {
-      case Some(b) => when(hostOf(u) === "" && !hasScheme(u), col(b))
-        .otherwise(hostOf(u))
+      case Some(b) => inheritedHost(u, col(b))
       case None => hostOf(u)
     }
     // stage the href list, then the blocked count, each in its own
@@ -614,9 +621,7 @@ object HtmlOps {
     */
   def domainEdges(pages: DataFrame, htmlCol: String = "html",
                   baseHostCol: String = "fetch_host"): DataFrame = {
-    val u = col("url")
-    val linkHost = when(hostOf(u) === "" && !hasScheme(u),
-      col(baseHostCol)).otherwise(hostOf(u))
+    val linkHost = inheritedHost(col("url"), col(baseHostCol))
     pages
       .select(col(baseHostCol),
         explode(hrefs(coalesce(col(htmlCol), lit("")))).as("url"))
@@ -751,10 +756,11 @@ object HtmlOps {
       scope, name, ranks, kPerDomain)
 
   /** Q191: the POLITE frontier — q187's fetch-ordering decision with
-    * the robots-exclusion gate (q190) applied to the candidate links
-    * BEFORE canonicalization: a URL the target domain's rules forbid
-    * never becomes a candidate, never consumes one of its domain's
-    * politeness slots, and never reaches the anti-join. This is the
+    * the robots-exclusion gate (q190) applied to the RESOLVED
+    * candidate links BEFORE canonicalization: a URL the target
+    * domain's rules forbid never becomes a candidate, never consumes
+    * one of its domain's politeness slots, and never reaches the
+    * anti-join. This is the
     * wave a compliant crawl actually executes: blocklist → robots →
     * unseen → rank priority → per-domain cap.
     *
@@ -768,8 +774,15 @@ object HtmlOps {
                      kPerDomain: Int = 10): DataFrame = {
     val links = htmlOutlinks(pages, baseHostCol = Some("fetch_host"))
       .filter(!col("blocked") && col("host") =!= "")
+    // gate the RESOLVED candidate: a path-relative href has no path
+    // of its own, so gating it raw would slip it past every
+    // '/'-anchored disallow and then schedule the resolved, fetchable
+    // form — the robots decision must see the URL the crawler would
+    // actually fetch
     frontierFromLinks(
-      robotsGate(links, rules).filter(col("allowed"))
+      robotsGate(links.withColumn("url",
+          resolvedUrl(col("url"), col("host"))), rules)
+        .filter(col("allowed"))
         .drop("path", "allowed", "rule_len"),
       scope, name, ranks, kPerDomain)
   }
@@ -809,17 +822,21 @@ object HtmlOps {
                   baseHostCol: String = "fetch_host"): DataFrame = {
     val elems = regexp_extract_all(coalesce(col(htmlCol), lit("")),
       lit("(?s)<[Aa]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Aa]>"), lit(0))
-    val href = regexp_extract(col("a"), "[Hh][Rr][Ee][Ff]=\"([^\"]*)\"", 1)
+    // href from the START TAG only — an href="…" substring in the
+    // visible text (or a nested tag) must not hijack attribution
+    val startTag = regexp_extract(col("a"),
+      "^<[Aa]([ \\t\\n\\x0B\\f\\r][^>]*)?>", 0)
+    val href = regexp_extract(startTag, "[Hh][Rr][Ee][Ff]=\"([^\"]*)\"", 1)
     val text = trim(regexp_replace(
       regexp_replace(col("a"), "<[^>]*>", " "),
       "[ \\t\\n\\x0B\\f\\r]+", " "))
-    val extracted = hostOf(col("url"))
-    val host = when(extracted === "" && !hasScheme(col("url")),
-      col(baseHostCol)).otherwise(extracted)
     pages
       .select(col(baseHostCol), explode(elems).as("a"))
       .select(col(baseHostCol), href.as("url"), text.as("anchor"))
-      .withColumn("host", host)
+      // an href-less (or empty-href) anchor is not a link: its text
+      // must not fall through host inheritance onto the site root
+      .filter(col("url") =!= "")
+      .withColumn("host", inheritedHost(col("url"), col(baseHostCol)))
       .filter(col("host") =!= "")
       .select(canonicalUrl(resolvedUrl(col("url"), col("host")))
         .as("canon"),
@@ -917,7 +934,10 @@ object HtmlOps {
     require(kPerDomain > 0, s"kPerDomain must be positive: $kPerDomain")
     val links = htmlOutlinks(pages, baseHostCol = Some("fetch_host"))
       .filter(col("host") =!= "")
-    val gated = robotsGate(links, rules)
+    // same contract as politeFrontier: the robots stage sees the
+    // RESOLVED candidate URL
+    val gated = robotsGate(links.withColumn("url",
+        resolvedUrl(col("url"), col("host"))), rules)
       .withColumn("ok_unblocked", !col("blocked"))
       .withColumn("ok_allowed", !col("blocked") && col("allowed"))
     val linkStats = gated.groupBy(col("domain")).agg(
@@ -925,7 +945,6 @@ object HtmlOps {
       sum(when(col("ok_unblocked"), 1L).otherwise(0L)).as("n_unblocked"),
       sum(when(col("ok_allowed"), 1L).otherwise(0L)).as("n_allowed"))
     val cands = gated.filter(col("ok_allowed"))
-      .withColumn("url", resolvedUrl(col("url"), col("host")))
       .groupBy(canonicalUrl(col("url")).as("canon"))
       .agg(min(col("domain")).as("domain"),
         count(lit(1)).cast("long").as("n_refs"))
@@ -1034,6 +1053,9 @@ object HtmlOps {
     * prefix — RFC 9309 §2.2.2 reads an empty path as `/`, so a
     * consumer wanting that reading normalizes the fetch URL (appends
     * `/`) BEFORE gating; the gate does not silently rewrite paths.
+    * Likewise a PATH-RELATIVE href has no path here and slips every
+    * `/`-anchored rule — gate the fetchable form ([[resolvedUrl]]
+    * first), as [[politeFrontier]] and [[crawlFunnel]] do.
     *
     * Scale shape: ZERO new shuffles on the corpus side. The rules
     * aggregate to one array per domain (vocabulary-sized — robots

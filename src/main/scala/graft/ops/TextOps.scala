@@ -162,6 +162,14 @@ object TextOps {
     import spark.implicits._
     // one materialization: every round reads the same feature rows
     val f = qualityFitFeatures(documents).localCheckpoint(eager = true)
+    fitRounds(f, iters).toDF("round", "dim", "w")
+  }
+
+  /** The fit loop over an ALREADY-MATERIALIZED feature table — shared
+    * by the trajectory and the evaluation so the eval never pays the
+    * feature pipeline twice.
+    */
+  private def fitRounds(f: DataFrame, iters: Int): Seq[(Int, Int, Long)] = {
     val w = Array.fill(fitDims)(0L)
     val traj = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
     for (r <- 1 to iters) {
@@ -175,7 +183,7 @@ object TextOps {
         w(d) += (if (sums.isNullAt(d)) 0L else sums.getLong(d))
       traj ++= (0 until fitDims).map(d => (r, d, w(d)))
     }
-    traj.toSeq.toDF("round", "dim", "w")
+    traj.toSeq
   }
 
   /** The final-round weights of [[qualityFitTrajectory]] as a plain
@@ -240,11 +248,11 @@ object TextOps {
   def qualityFitEval(documents: DataFrame, iters: Int = 3): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val traj = qualityFitTrajectory(documents, iters)
-      .collect()
-      .map(r => (r.getAs[Int]("round"), r.getAs[Int]("dim"))
-        -> r.getAs[Long]("w")).toMap
-    val f = qualityFitFeatures(documents)
+    // ONE feature materialization feeds both the fit rounds and the
+    // evaluation scan — the regex-heavy feature pipeline runs once
+    val f = qualityFitFeatures(documents).localCheckpoint(eager = true)
+    val traj = fitRounds(f, iters)
+      .map { case (r, d, w) => (r, d) -> w }.toMap
     val aggs = (1 to iters).flatMap { r =>
       val score = (0 until fitDims)
         .map(d => lit(traj((r, d))) * col(s"x$d")).reduce(_ + _)

@@ -869,7 +869,13 @@ object EventsStreaming {
     require(waveIdx >= 0, s"waveIdx must be non-negative: $waveIdx")
     df.coalesce(1).write.mode("append").parquet(dir)
     val pin = 1000000000000L + waveIdx * 60000L // 2001 + 1 min per wave
-    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    val files = new java.io.File(dir).listFiles()
+    // fail LOUDLY on a non-local / URI-form dir rather than silently
+    // skipping the pin — an unpinned wave reintroduces the exact
+    // coarse-mtime ordering flake this function exists to prevent
+    require(files != null,
+      s"writeWaveFile needs a listable local directory, got: $dir")
+    files
       .filter(f => f.getName.endsWith(".parquet") &&
         f.lastModified() > 1100000000000L)
       .foreach { f =>

@@ -385,6 +385,18 @@ class HtmlOpsSpec extends SparkSpec {
     assert(out(6L) === ((true, -1)))
     assert(out(7L) === ((true, -1)))
     assert(out(8L) === ((false, 3)))
+    // a PATH-RELATIVE href carries no path of its own, so raw it
+    // matches nothing — gating the RESOLVED form (the politeFrontier
+    // contract) puts it under b.example's blanket '/' disallow
+    val rel = Seq((9L, "private/x", "a.b.example", "b.example"))
+      .toDF("doc_id", "url", "host", "domain")
+    val raw = graft.ops.HtmlOps.robotsGate(rel, rules).head()
+    assert(raw.getAs[Boolean]("allowed") && raw.getAs[Int]("rule_len") == -1)
+    val res = graft.ops.HtmlOps.robotsGate(
+      rel.withColumn("url",
+        graft.ops.HtmlOps.resolvedUrl(col("url"), col("host"))),
+      rules).head()
+    assert(!res.getAs[Boolean]("allowed") && res.getAs[Int]("rule_len") == 1)
     // over the planted corpus: every even-domain /p/ link is blocked
     // unless reopened by /p/1; %4==1 domains only keep lowercase /nav
     val docs = graft.io.Tables.parquet(spark, sf, "documents")
