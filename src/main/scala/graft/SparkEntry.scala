@@ -1793,6 +1793,12 @@ object SparkEntry {
       HtmlOps.plantedFetchLog(t(s, dir, "documents")),
       nowS = 1767225600L + 9L * 86400L, ttlS = 7L * 86400L,
       ranks = epochRanks(s, dir))),
+    // sitemap seeding (q197): publisher-declared URLs through the
+    // SAME admission pipeline as link candidates — blocklist, robots,
+    // anti-join, rank, cap (the shared frontier tail)
+    "q197_sitemap_seeds" -> ((s, dir) => HtmlOps.sitemapSeeds(
+      HtmlOps.plantedSitemaps(s), frontierScope(s, dir), "urlkeys",
+      epochRanks(s, dir), HtmlOps.plantedRobotsRules(s))),
   )
 
   private val q192Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -4439,6 +4445,9 @@ object SparkEntry {
     // refetch wave: latest-fetch struct-max reduction, age filter,
     // rank join, oldest-first politeness cap — all-integer time
     "q196_refetch_wave" -> q196Sql,
+    // sitemap seeds: regenerated XML, loc extraction, blocklist +
+    // robots + anti-join + rank + cap replayed
+    "q197_sitemap_seeds" -> q197Sql,
     // incremental tokenizer refresh: the refreshed merge table must
     // equal the full corpus+batch refit — empty violation set
     "q183_bpe_refresh" ->
@@ -4799,6 +4808,58 @@ object SparkEntry {
        |    '[ \\t\\n\\x0B\\f\\r]+')) AS term FROM ar)
        |SELECT canon, term, CAST(count(*) AS BIGINT) AS n
        |FROM at WHERE term <> '' GROUP BY 1, 2""".stripMargin
+
+  /** The q197 oracle — the sitemap XML regenerated byte-identically
+    * from the domain index, `<loc>` extraction, and the admission
+    * chain replayed: blocklist, per-occurrence robots longest-match,
+    * canonical candidate aggregation, the anti-join against the full
+    * fetched key set, the epoch rank, the politeness cap.
+    */
+  private lazy val q197Sql =
+    s"""WITH $duckRobotsRuleCtes,
+       |sm AS (SELECT generate_series AS k, concat('<?xml version="1.0"?><urlset>',
+       |  array_to_string(list_transform(range(0, 10), i -> concat(
+       |    '<url><loc>https://w', cast((generate_series + 2 * i) % 7 AS varchar),
+       |    '.s', cast(generate_series AS varchar), '.example/p/',
+       |    cast((generate_series + i) % 11 AS varchar),
+       |    '</loc><lastmod>2026-01-',
+       |    lpad(cast(1 + (generate_series + i) % 28 AS varchar), 2, '0'),
+       |    '</lastmod></url>')), ''), '</urlset>') AS xml
+       |  FROM generate_series(0, 12)),
+       |sl0 AS (SELECT unnest(regexp_extract_all(xml,
+       |  '<[Ll][Oo][Cc]>([^<]*)</[Ll][Oo][Cc]>', 1)) AS url FROM sm),
+       |sl AS (SELECT *, row_number() OVER () AS rid FROM sl0),
+       |sh AS (SELECT rid, url,
+       |  regexp_extract(url, '^(?i)(?:https?:)?//([^/?#]+)', 1) AS host
+       |  FROM sl),
+       |sc2 AS (SELECT rid, url, host, ${duckDomainOf("host")} AS domain
+       |  FROM sh WHERE host <> ''),
+       |sb AS (SELECT * FROM sc2
+       |  WHERE domain NOT IN ('s2.example', 's5.example', 's11.example')),
+       |spt AS (SELECT *, ${duckPathOf("url")} AS path FROM sb),
+       |smg AS (SELECT p.rid, p.url, p.domain, r.allow,
+       |  row_number() OVER (PARTITION BY p.rid
+       |    ORDER BY coalesce(strlen(r.prefix), -1) DESC,
+       |             r.allow DESC) AS rn
+       |  FROM spt p LEFT JOIN rru r ON r.domain = p.domain
+       |    AND starts_with(p.path, r.prefix)),
+       |sg AS (SELECT url, domain FROM smg
+       |  WHERE rn = 1 AND coalesce(allow, true)),
+       |scand AS (SELECT ${duckCanonOf("url")} AS canon,
+       |  min(url) AS url, min(domain) AS domain,
+       |  CAST(count(*) AS BIGINT) AS n_refs FROM sg GROUP BY 1),
+       |sstored AS (SELECT DISTINCT ${duckCanonOf("u")} AS canon
+       |  FROM (SELECT $duckDirtyUrl AS u FROM documents)),
+       |sfresh AS (SELECT c.* FROM scand c
+       |  ANTI JOIN sstored s USING (canon)),
+       |sranks AS (SELECT domain, pr FROM (${hostRankSql()})),
+       |sj AS (SELECT f.canon, f.url, f.domain, f.n_refs,
+       |  coalesce(r.pr, 0) AS pr FROM sfresh f
+       |  LEFT JOIN sranks r ON r.domain = f.domain),
+       |sfs AS (SELECT *, row_number() OVER (PARTITION BY domain
+       |  ORDER BY n_refs DESC, canon ASC) AS slot FROM sj)
+       |SELECT canon, url, domain, n_refs, pr, CAST(slot AS INT) AS slot
+       |FROM sfs WHERE slot <= 10""".stripMargin
 
   /** The q196 oracle — the planted fetch log regenerated (first
     * fetches hour-spread, %5 == 0 keys re-fetched 48 h later), the

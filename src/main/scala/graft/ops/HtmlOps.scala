@@ -847,6 +847,63 @@ object HtmlOps {
       .agg(count(lit(1)).cast("long").as("n"))
   }
 
+  /** Q197's fixture: one sitemap XML document per planted domain
+    * (`s0.example` … `s12.example`), ten `<url><loc>…</loc>
+    * <lastmod>…</lastmod></url>` entries each, every varying field a
+    * pure domain-index expression so the oracle regenerates the
+    * bytes. The planted split: domains `s0`-`s4` list only pages the
+    * dirty-URL corpus has already fetched (every (w, s, p) residue
+    * combo under 385 is a fetched canonical key), so their seeds
+    * must die at the anti-join; `s5`-`s12` pages are genuinely new
+    * and flow to the blocklist/robots/cap stages.
+    */
+  def plantedSitemaps(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.range(13).select(
+      concat(lit("s"), col("id"), lit(".example")).as("domain"),
+      expr(
+        """concat('<?xml version="1.0"?><urlset>',
+          | array_join(transform(sequence(0, 9), i -> concat(
+          |  '<url><loc>https://w', cast((id + 2 * i) % 7 as string),
+          |  '.s', cast(id as string), '.example/p/',
+          |  cast((id + i) % 11 as string),
+          |  '</loc><lastmod>2026-01-',
+          |  lpad(cast(1 + (id + i) % 28 as string), 2, '0'),
+          |  '</lastmod></url>')), ''),
+          | '</urlset>')""".stripMargin.replace("\n", " "))
+        .as("xml"))
+
+  /** Q197: SITEMAP SEEDING — the crawl's third discovery source
+    * beside outlinks (q187) and refetch (q196): publisher-declared
+    * URLs from sitemap XML, run through the same admission pipeline a
+    * link candidate faces. `<loc>` entries extract with a
+    * case-classed element regex (sitemap locs are absolute by spec —
+    * an unparseable loc drops); then blocklist, the robots gate
+    * (publishers list pages their robots rules exclude more often
+    * than you'd hope), the anti-join against the maintained key set,
+    * rank priority, and the per-domain cap — the SAME
+    * [[frontierFromLinks]] tail as q187/q191, so sitemap seeds and
+    * link candidates can never disagree about admission semantics.
+    *
+    * Scale shape: sitemaps are domain-vocabulary-sized inputs; the
+    * extraction is a projection + explode, and everything downstream
+    * is the frontier tail's one canon exchange + broadcast joins.
+    */
+  def sitemapSeeds(sitemaps: DataFrame, scope: graft.core.Scope,
+                   name: String, ranks: DataFrame, rules: DataFrame,
+                   kPerDomain: Int = 10): DataFrame = {
+    val locs = sitemaps
+      .select(explode(regexp_extract_all(coalesce(col("xml"), lit("")),
+        lit("<[Ll][Oo][Cc]>([^<]*)</[Ll][Oo][Cc]>"), lit(1))).as("url"))
+      .withColumn("host", hostOf(col("url")))
+      .filter(col("host") =!= "")
+      .withColumn("domain", graft.ops.PiiOps.registrableDomain(col("host")))
+    val unblocked = graft.ops.PiiOps.blocklistVerdict(locs)
+      .filter(!col("blocked")).drop("blocked")
+    val allowed = robotsGate(unblocked, rules)
+      .filter(col("allowed")).drop("path", "allowed", "rule_len")
+    frontierFromLinks(allowed, scope, name, ranks, kPerDomain)
+  }
+
   /** Q196's fixture: the crawl's FETCH LOG — one row per completed
     * fetch (log_id, url, fetched_at_s in epoch SECONDS — integer
     * end-to-end, no timestamp-zone parity surface). Every planted

@@ -118,6 +118,7 @@ object PlanAudit {
     "q194_anchor_terms",   // projection + explodes, one partial-agg exchange
     "q195_crawl_funnel",   // one link agg + key stages + tiny assembly joins
     "q196_refetch_wave",   // canon struct-max + broadcast rank + capped window
+    "q197_sitemap_seeds",  // vocabulary-sized seeds through the frontier tail
     "q10_event_window")   // normalized-ts scan straight into windowed agg
 
   def main(args: Array[String]): Unit = {

@@ -156,7 +156,10 @@ object ScaleProbe {
     "q195_crawl_funnel",
     // refetch wave: one canon-key struct-max reduction + broadcast
     // rank + capped window — all-integer time arithmetic
-    "q196_refetch_wave")
+    "q196_refetch_wave",
+    // sitemap seeds: vocabulary-sized input through the frontier tail
+    // — expected near-flat (only the stored-key side scales)
+    "q197_sitemap_seeds")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

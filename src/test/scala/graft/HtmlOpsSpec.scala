@@ -547,6 +547,42 @@ class HtmlOpsSpec extends SparkSpec {
     }
   }
 
+  test("sitemapSeeds (q197): the full admission pipeline gates publisher URLs") {
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft-sitemap-")
+    try {
+      val scope = graft.core.Scopes.create(spark, base.toString)
+      HtmlOps.saveUrlKeys(HtmlOps.plantedDirtyUrlCorpus(docs), scope, "keys")
+      val pages = HtmlOps.plantedHtmlCorpus(docs)
+      val out = HtmlOps.sitemapSeeds(HtmlOps.plantedSitemaps(spark),
+          scope, "keys",
+          graft.ops.GraphOps.domainRank(HtmlOps.domainEdges(pages)),
+          HtmlOps.plantedRobotsRules(spark))
+        .collect()
+      val byDomain = out.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+      // s0-s4 sitemaps list only ALREADY-FETCHED pages (every (w,s,p)
+      // residue combo under 385 is a stored key) — the anti-join
+      // drops them wholesale
+      (0 to 4).foreach(k => assert(!byDomain.contains(s"s$k.example"), k))
+      // blocklisted domains never seed
+      assert(!byDomain.contains("s11.example"))
+      // the %4==1 blanket-disallow domain's /p/ locs all fail robots
+      assert(!byDomain.contains("s9.example"))
+      // even domains keep ONLY the locs the /p/1 allow reopens
+      // (paths /p/1 and /p/10 — two of ten entries)
+      assert(byDomain("s8.example") === 2)
+      assert(byDomain("s12.example") === 2)
+      out.filter(r => Set("s8.example", "s12.example")(r.getString(2)))
+        .foreach(r => assert(r.getString(0).matches(".*/p/1[0]?$"), r))
+      // tie-allow (%4==2) and rule-less (%4==3) domains keep all ten
+      assert(byDomain("s6.example") === 10)
+      assert(byDomain("s10.example") === 10)
+      assert(byDomain("s7.example") === 10)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("politeFrontier (q191): robots-disallowed candidates never reach the wave") {
     val docs = graft.io.Tables.parquet(spark, sf, "documents")
     val base = java.nio.file.Files.createTempDirectory("graft-polite-")
