@@ -1799,6 +1799,11 @@ object SparkEntry {
     "q197_sitemap_seeds" -> ((s, dir) => HtmlOps.sitemapSeeds(
       HtmlOps.plantedSitemaps(s), frontierScope(s, dir), "urlkeys",
       epochRanks(s, dir), HtmlOps.plantedRobotsRules(s))),
+    // wave scheduling (q198): politeness slots become fetch offsets —
+    // slot n fires no earlier than (n-1) x crawl_delay, default for
+    // domains that publish none; broadcast join, no new shuffle
+    "q198_wave_schedule" -> ((s, dir) => HtmlOps.scheduleWave(
+      politeFrontierQuery(s, dir), HtmlOps.plantedCrawlDelays(s))),
   )
 
   private val q192Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -4448,6 +4453,9 @@ object SparkEntry {
     // sitemap seeds: regenerated XML, loc extraction, blocklist +
     // robots + anti-join + rank + cap replayed
     "q197_sitemap_seeds" -> q197Sql,
+    // wave scheduling: the q191 wave joined to the regenerated delay
+    // table, (slot-1) x delay with the default fallback
+    "q198_wave_schedule" -> q198Sql,
     // incremental tokenizer refresh: the refreshed merge table must
     // equal the full corpus+batch refit — empty violation set
     "q183_bpe_refresh" ->
@@ -4808,6 +4816,22 @@ object SparkEntry {
        |    '[ \\t\\n\\x0B\\f\\r]+')) AS term FROM ar)
        |SELECT canon, term, CAST(count(*) AS BIGINT) AS n
        |FROM at WHERE term <> '' GROUP BY 1, 2""".stripMargin
+
+  /** The q198 oracle — the q191 wave as a subquery, the delay table
+    * regenerated from `generate_series`, the schedule arithmetic
+    * replayed with the default fallback.
+    */
+  private lazy val q198Sql =
+    s"""WITH sdl AS (SELECT
+       |  concat('s', cast(generate_series AS varchar), '.example')
+       |    AS domain,
+       |  CAST(5 + (generate_series % 4) * 10 AS BIGINT) AS delay_s
+       |  FROM generate_series(0, 9)),
+       |swv AS (SELECT * FROM (${q191Sql}))
+       |SELECT swv.*, coalesce(sdl.delay_s, 30) AS delay_s,
+       |  CAST((slot - 1) * coalesce(sdl.delay_s, 30) AS BIGINT)
+       |    AS not_before_s
+       |FROM swv LEFT JOIN sdl USING (domain)""".stripMargin
 
   /** The q197 oracle — the sitemap XML regenerated byte-identically
     * from the domain index, `<loc>` extraction, and the admission

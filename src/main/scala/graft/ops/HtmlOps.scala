@@ -904,6 +904,36 @@ object HtmlOps {
     frontierFromLinks(allowed, scope, name, ranks, kPerDomain)
   }
 
+  /** Q198's fixture: per-domain crawl delays (seconds) as a parsed
+    * table — the `Crawl-delay` directive of the first ten planted
+    * domains; `s10`-`s12` publish none and must fall back to the
+    * caller's default.
+    */
+  def plantedCrawlDelays(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.range(10).select(
+      concat(lit("s"), col("id"), lit(".example")).as("domain"),
+      (lit(5L) + (col("id") % 4) * 10L).as("delay_s"))
+
+  /** Q198: WAVE SCHEDULING — turn a frontier/refetch wave's politeness
+    * SLOTS into actual fetch offsets: slot `n` on a domain may fire no
+    * earlier than `(n-1) × crawl_delay` seconds into the wave, the
+    * Crawl-delay reading of the per-domain rate limit. Domains that
+    * publish no delay use the caller's default (conservative beats
+    * hammering). Pure broadcast join (the delay table is
+    * domain-vocabulary-sized) + per-row integer arithmetic — no new
+    * shuffle on top of the wave that is being scheduled.
+    */
+  def scheduleWave(wave: DataFrame, delays: DataFrame,
+                   defaultDelayS: Long = 30L): DataFrame = {
+    require(defaultDelayS > 0, s"defaultDelayS must be positive: $defaultDelayS")
+    wave
+      .join(broadcast(delays.select(col("domain"), col("delay_s"))),
+        Seq("domain"), "left")
+      .withColumn("delay_s", coalesce(col("delay_s"), lit(defaultDelayS)))
+      .withColumn("not_before_s",
+        ((col("slot") - 1).cast("long") * col("delay_s")).cast("long"))
+  }
+
   /** Q196's fixture: the crawl's FETCH LOG — one row per completed
     * fetch (log_id, url, fetched_at_s in epoch SECONDS — integer
     * end-to-end, no timestamp-zone parity surface). Every planted

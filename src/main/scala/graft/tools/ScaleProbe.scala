@@ -159,7 +159,10 @@ object ScaleProbe {
     "q196_refetch_wave",
     // sitemap seeds: vocabulary-sized input through the frontier tail
     // — expected near-flat (only the stored-key side scales)
-    "q197_sitemap_seeds")
+    "q197_sitemap_seeds",
+    // wave scheduling: the q191 wave + a broadcast delay join —
+    // expected q191's cost class exactly
+    "q198_wave_schedule")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

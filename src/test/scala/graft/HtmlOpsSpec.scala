@@ -583,6 +583,50 @@ class HtmlOpsSpec extends SparkSpec {
     }
   }
 
+  test("scheduleWave (q198): slots become fetch offsets; absent domains use the default") {
+    import spark.implicits._
+    val wave = Seq(
+      ("a", "u1", "s1.example", 1L, 0L, 1),
+      ("b", "u2", "s1.example", 1L, 0L, 2),
+      ("c", "u3", "s1.example", 1L, 0L, 3),
+      ("d", "u4", "s12.example", 1L, 0L, 2))
+      .toDF("canon", "url", "domain", "n_refs", "pr", "slot")
+    val out = HtmlOps.scheduleWave(wave,
+      HtmlOps.plantedCrawlDelays(spark)).collect()
+      .map(r => r.getAs[String]("canon") ->
+        ((r.getAs[Long]("delay_s"), r.getAs[Long]("not_before_s")))).toMap
+    // s1.example publishes delay 5 + (1 % 4) * 10 = 15 s
+    assert(out("a") === ((15L, 0L)))
+    assert(out("b") === ((15L, 15L)))
+    assert(out("c") === ((15L, 30L)))
+    // s12.example publishes none -> the default 30 s
+    assert(out("d") === ((30L, 30L)))
+    // over the real polite wave: per domain, offsets step by exactly
+    // the domain's delay and slot 1 always fires immediately
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft-sched-")
+    try {
+      val scope = graft.core.Scopes.create(spark, base.toString)
+      HtmlOps.saveUrlKeys(HtmlOps.plantedDirtyUrlCorpus(docs), scope, "keys")
+      val pages = HtmlOps.plantedHtmlCorpus(docs)
+      val sched = HtmlOps.scheduleWave(
+        HtmlOps.politeFrontier(pages, scope, "keys",
+          graft.ops.GraphOps.domainRank(HtmlOps.domainEdges(pages)),
+          HtmlOps.plantedRobotsRules(spark)),
+        HtmlOps.plantedCrawlDelays(spark)).collect()
+      assert(sched.nonEmpty)
+      sched.groupBy(_.getAs[String]("domain")).foreach { case (_, g) =>
+        val bySlot = g.sortBy(_.getAs[Int]("slot"))
+        assert(bySlot.head.getAs[Long]("not_before_s") === 0L)
+        val d = bySlot.head.getAs[Long]("delay_s")
+        bySlot.foreach(r => assert(r.getAs[Long]("not_before_s") ===
+          (r.getAs[Int]("slot") - 1).toLong * d))
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("politeFrontier (q191): robots-disallowed candidates never reach the wave") {
     val docs = graft.io.Tables.parquet(spark, sf, "documents")
     val base = java.nio.file.Files.createTempDirectory("graft-polite-")
