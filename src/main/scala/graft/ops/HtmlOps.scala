@@ -926,9 +926,20 @@ object HtmlOps {
   def scheduleWave(wave: DataFrame, delays: DataFrame,
                    defaultDelayS: Long = 30L): DataFrame = {
     require(defaultDelayS > 0, s"defaultDelayS must be positive: $defaultDelayS")
+    val d = delays.select(col("domain"), col("delay_s"))
+    // fail LOUDLY on malformed parse output — a duplicate domain row
+    // would fan every wave row out into two conflicting schedule rows
+    // (the page fetched twice), and a non-positive delay silently
+    // voids the rate limit this operator exists to enforce. One
+    // bounded aggregation: the table is domain-vocabulary-sized.
+    val chk = d.agg(count(lit(1)), countDistinct(col("domain")),
+      min(col("delay_s"))).head()
+    require(chk.getLong(0) == chk.getLong(1),
+      "delays table has duplicate domain rows")
+    require(chk.isNullAt(2) || chk.getLong(2) > 0L,
+      "delays table has a non-positive delay_s")
     wave
-      .join(broadcast(delays.select(col("domain"), col("delay_s"))),
-        Seq("domain"), "left")
+      .join(broadcast(d), Seq("domain"), "left")
       .withColumn("delay_s", coalesce(col("delay_s"), lit(defaultDelayS)))
       .withColumn("not_before_s",
         ((col("slot") - 1).cast("long") * col("delay_s")).cast("long"))

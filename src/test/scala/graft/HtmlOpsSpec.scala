@@ -578,6 +578,22 @@ class HtmlOpsSpec extends SparkSpec {
       assert(byDomain("s6.example") === 10)
       assert(byDomain("s10.example") === 10)
       assert(byDomain("s7.example") === 10)
+      // the rank join is real: surviving seeds carry their domain's
+      // epoch rank, not the left-join zero fallback
+      val ranks = graft.ops.GraphOps.domainRank(
+          HtmlOps.domainEdges(pages)).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      out.foreach(r => assert(
+        r.getLong(4) === ranks.getOrElse(r.getString(2), 0L), r))
+      assert(out.exists(_.getLong(4) > 0L))
+      // ... and the politeness cap actually DROPS under a tighter k
+      val capped = HtmlOps.sitemapSeeds(HtmlOps.plantedSitemaps(spark),
+          scope, "keys",
+          graft.ops.GraphOps.domainRank(HtmlOps.domainEdges(pages)),
+          HtmlOps.plantedRobotsRules(spark), kPerDomain = 4)
+        .collect().groupBy(_.getString(2)).view.mapValues(_.length)
+      Seq("s6.example", "s7.example", "s10.example")
+        .foreach(d => assert(capped(d) === 4, d))
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
     }
@@ -601,6 +617,17 @@ class HtmlOpsSpec extends SparkSpec {
     assert(out("c") === ((15L, 30L)))
     // s12.example publishes none -> the default 30 s
     assert(out("d") === ((30L, 30L)))
+    // malformed parse output is refused loudly, not silently applied:
+    // duplicate domain rows would double-schedule, a non-positive
+    // delay would void the rate limit
+    intercept[IllegalArgumentException] {
+      HtmlOps.scheduleWave(wave, Seq(("s1.example", 5L),
+        ("s1.example", 7L)).toDF("domain", "delay_s")).collect()
+    }
+    intercept[IllegalArgumentException] {
+      HtmlOps.scheduleWave(wave,
+        Seq(("s1.example", 0L)).toDF("domain", "delay_s")).collect()
+    }
     // over the real polite wave: per domain, offsets step by exactly
     // the domain's delay and slot 1 always fires immediately
     val docs = graft.io.Tables.parquet(spark, sf, "documents")
