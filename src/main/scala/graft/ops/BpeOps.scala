@@ -695,10 +695,17 @@ object BpeOps {
     * correctly, and replays of the SAME id still skip. (The caller
     * owns batch ordering either way, same as the q178 ingest
     * contract's fetch-order requirement.)
+    *
+    * RETURNS whether the count merge APPLIED (`true`) or was skipped
+    * as a detected replay (`false`) — a digest-path caller whose feed
+    * can legitimately repeat content must check this instead of
+    * assuming the batch landed; a silently-dropped batch is exactly
+    * the failure mode the return value makes observable (the merge
+    * table is re-fit and re-swapped either way).
     */
   def refreshBpe(batch: DataFrame, scope: graft.core.Scope,
                  name: String, textCol: String = "text",
-                 batchId: Option[Long] = None): Unit = {
+                 batchId: Option[Long] = None): Boolean = {
     val spark = batch.sparkSession
     import spark.implicits._
     val meta = graft.core.Scopes.readMeta(spark, scope, s"$name/meta")
@@ -735,6 +742,7 @@ object BpeOps {
       .parquet(scope.path(s"$name/rows-next"))
     graft.io.Layout.swapInto(spark, scope.path(s"$name/rows-next"),
       scope.path(s"$name/rows"))
+    !applied
   }
 
   // hidden from parquet listings (leading underscore) so it can ride
@@ -767,7 +775,17 @@ object BpeOps {
         val bytes = new Array[Byte](64)
         var n = in.read(bytes)
         while (n > 0) { buf.write(bytes, 0, n); n = in.read(bytes) }
-        Some(new String(buf.toByteArray, "UTF-8").trim.toLong)
+        val raw = new String(buf.toByteArray, "UTF-8").trim
+        // fail LOUDLY, naming the file: an unparseable token means the
+        // replay guard cannot tell whether the counts merge applied,
+        // and silently treating it as "not applied" would double-sum
+        // the sufficient statistic if it HAD. The token rides the
+        // counts dir through one atomic rename, so this is external
+        // damage, not a crash window — the operator must adjudicate.
+        Some(scala.util.Try(raw.toLong).getOrElse(throw new IllegalStateException(
+          s"corrupt refresh token at $path (content: '$raw'); the replay " +
+            "guard cannot verify whether the last batch's counts landed — " +
+            "compare counts against the feed before deleting the token")))
       } finally in.close()
     }
   }

@@ -372,7 +372,7 @@ class BpeOpsSpec extends SparkSpec {
     try {
       val scope = graft.core.Scopes.create(spark, base.toString)
       BpeOps.saveBpe(corpus, scope, "tok", nMerges = 3)
-      BpeOps.refreshBpe(batch, scope, "tok")
+      assert(BpeOps.refreshBpe(batch, scope, "tok"))
       def counts() = spark.read.parquet(scope.path("tok/counts"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       def merges() = BpeOps.loadBpeMerges(spark, scope, "tok").collect()
@@ -382,8 +382,10 @@ class BpeOpsSpec extends SparkSpec {
       // the crash-recovery case: the SAME batch is delivered again
       // (e.g. the caller re-runs after a failure after the counts
       // swap). The stored statistic must not absorb it twice, and the
-      // merge table must still be refit — not left stale.
-      BpeOps.refreshBpe(batch, scope, "tok")
+      // merge table must still be refit — not left stale. The skip is
+      // OBSERVABLE: the replayed call returns false where the first
+      // returned true.
+      assert(!BpeOps.refreshBpe(batch, scope, "tok"))
       assert(counts() === c1)
       assert(merges() === m1)
       // and the artifact still equals a SINGLE-application full refit
@@ -399,7 +401,7 @@ class BpeOpsSpec extends SparkSpec {
       // a GENUINELY new batch still lands (the token is per-batch,
       // not a one-shot latch)
       val batch2 = Seq((4L, "low lowest")).toDF("doc_id", "text")
-      BpeOps.refreshBpe(batch2, scope, "tok")
+      assert(BpeOps.refreshBpe(batch2, scope, "tok"))
       assert(counts()("low") === c1("low") + 1)
       assert(BpeOps.bpeRefreshGate(spark, scope, "tok",
         corpus.unionByName(batch).unionByName(batch2)).count() === 0)
@@ -409,11 +411,28 @@ class BpeOpsSpec extends SparkSpec {
       // SAME id still skips
       val low = counts()("low")
       val daily = Seq((5L, "low")).toDF("doc_id", "text")
-      BpeOps.refreshBpe(daily, scope, "tok", batchId = Some(100L))
-      BpeOps.refreshBpe(daily, scope, "tok", batchId = Some(101L))
+      assert(BpeOps.refreshBpe(daily, scope, "tok", batchId = Some(100L)))
+      assert(BpeOps.refreshBpe(daily, scope, "tok", batchId = Some(101L)))
       assert(counts()("low") === low + 2)
-      BpeOps.refreshBpe(daily, scope, "tok", batchId = Some(101L))
+      assert(!BpeOps.refreshBpe(daily, scope, "tok", batchId = Some(101L)))
       assert(counts()("low") === low + 2)
+      // a CORRUPT token (external damage — the atomic rename never
+      // leaves one) fails loudly, naming the file, instead of either
+      // wedging with a bare NumberFormatException or silently
+      // re-merging a statistic that may already contain the batch
+      val tokenFile = new java.io.File(
+        scope.path("tok/counts").stripPrefix("file:"), "_refresh_token")
+      java.nio.file.Files.write(tokenFile.toPath,
+        "garbage".getBytes("UTF-8"))
+      // drop the checksum sidecar the direct overwrite invalidated —
+      // the simulated damage is to the CONTENT, not the transport
+      java.nio.file.Files.deleteIfExists(
+        new java.io.File(tokenFile.getParent, "._refresh_token.crc").toPath)
+      val ex = intercept[IllegalStateException] {
+        BpeOps.refreshBpe(daily, scope, "tok", batchId = Some(102L))
+      }
+      assert(ex.getMessage.contains("_refresh_token"))
+      assert(ex.getMessage.contains("garbage"))
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
     }
