@@ -650,17 +650,62 @@ object HtmlOps {
                   name: String, nBuckets: Int = 64): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
     val spark = urls.sparkSession
+    graft.core.Scopes.writeMeta(spark, scope, s"$name/meta",
+      "n_buckets" -> nBuckets)
+    val tbl = registerKeyTable(spark, scope, name, recreate = true)
     urlCanonicalDedup(urls).filter(col("is_canonical"))
       .select(col("canon"), col("doc_id"),
         keyBucket(col("canon"), nBuckets))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(scope.path(s"$name/rows"))
-    graft.core.Scopes.writeMeta(spark, scope, s"$name/meta",
-      "n_buckets" -> nBuckets)
+      .write.insertInto(tbl)
   }
 
   private def keyBucket(canon: Column, nBuckets: Int): Column =
     pmod(xxhash64(canon), lit(nBuckets.toLong)).cast("int").as("bucket")
+
+  /** The key set's CATALOG registration — what makes the stored side
+    * of every frontier anti-join exchange-free at scale. The rows are
+    * a Spark BUCKETED table (`CLUSTERED BY (canon)`, Murmur3 — the
+    * same hash family a `groupBy`/join exchange uses), so a join on
+    * `canon` reads the artifact ALREADY partitioned: only the
+    * wave-sized candidate side shuffles, never the accumulated key
+    * set (the plan regression the round-11 audit flagged — plain
+    * parquet reshuffled the WHOLE stored set per wave). The xxhash
+    * `bucket` PARTITION column is unchanged and orthogonal: it prunes
+    * directory listings for the O(batch) ingest ([[appendUrlKeys]]);
+    * the bucket SPEC co-locates the join. The table name is derived
+    * from the artifact path (MD5 — names must be catalog-legal and
+    * deterministic so a fresh session re-registers the same external
+    * table over the same files); the bucket count comes from the
+    * artifact's own meta, the q137 self-describing convention.
+    */
+  private def registerKeyTable(spark: org.apache.spark.sql.SparkSession,
+                               scope: graft.core.Scope, name: String,
+                               recreate: Boolean = false): String = {
+    val rowsPath = scope.path(s"$name/rows")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(rowsPath.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+    val tbl = s"graft_urlkeys_$digest"
+    if (recreate) spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    if (!spark.catalog.tableExists(tbl)) {
+      val nBuckets = graft.core.Scopes.readMeta(spark, scope,
+        s"$name/meta")("n_buckets")
+      // a fresh save registers the table BEFORE the first insert —
+      // the location must exist for registration + partition recovery
+      val p = new org.apache.hadoop.fs.Path(rowsPath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+      spark.sql(
+        s"""CREATE TABLE $tbl (canon STRING, doc_id BIGINT, bucket INT)
+           |USING PARQUET
+           |PARTITIONED BY (bucket)
+           |CLUSTERED BY (canon) INTO $nBuckets BUCKETS
+           |LOCATION '$rowsPath'""".stripMargin)
+      // a re-registration (fresh session over an existing artifact)
+      // must discover the partitions the writing session created
+      spark.sql(s"MSCK REPAIR TABLE $tbl")
+    }
+    tbl
+  }
 
   /** O(batch) ingest of a new fetch wave (q59's anti-join shape):
     * canonicalize the batch, keep the FIRST fetch per key within the
@@ -698,14 +743,21 @@ object HtmlOps {
     val admitted = firstPerKey
       .join(stored, col("canon") === col("canon_ex"), "left_anti")
       .localCheckpoint(eager = true) // pin BEFORE the append below
-    admitted.write.mode("append").partitionBy("bucket")
-      .parquet(scope.path(s"$name/rows"))
+    admitted.select(col("canon"), col("doc_id"), col("bucket"))
+      .write.insertInto(registerKeyTable(batch.sparkSession, scope, name))
     admitted
   }
 
+  /** The stored key set, read THROUGH its catalog registration so the
+    * bucketing metadata reaches the planner: a consumer joining on
+    * `canon` (every frontier anti-join) gets the stored side with no
+    * Exchange — it is already hash-partitioned on disk, and now Spark
+    * knows (PlanSpec pins the exchange-free anti-join; PLANS.md shows
+    * the frontier plans).
+    */
   def loadUrlKeys(spark: org.apache.spark.sql.SparkSession,
                   scope: graft.core.Scope, name: String): DataFrame =
-    spark.read.parquet(scope.path(s"$name/rows"))
+    spark.table(registerKeyTable(spark, scope, name))
       .select(col("canon"), col("doc_id"), col("bucket").cast("int").as("bucket"))
 
   /** Probe the maintained key set: per URL, its canonical key and
@@ -926,7 +978,11 @@ object HtmlOps {
   def scheduleWave(wave: DataFrame, delays: DataFrame,
                    defaultDelayS: Long = 30L): DataFrame = {
     require(defaultDelayS > 0, s"defaultDelayS must be positive: $defaultDelayS")
-    val d = delays.select(col("domain"), col("delay_s"))
+    // cast up front: a robots parser plausibly emits IntegerType
+    // delays, and the guard below must fail with ITS message, never a
+    // ClassCastException out of getLong
+    val d = delays.select(col("domain"),
+      col("delay_s").cast("long").as("delay_s"))
     // fail LOUDLY on malformed parse output — a duplicate domain row
     // would fan every wave row out into two conflicting schedule rows
     // (the page fetched twice), and a non-positive delay silently
@@ -1161,7 +1217,13 @@ object HtmlOps {
     * array pipeline (filter by prefix match, struct-max by
     * (length, allow)). The matched rule's length is kept as
     * `rule_len` (-1 = no match) so a consumer can audit WHICH rule
-    * fired without re-deriving the match.
+    * fired without re-deriving the match. The match rank is the
+    * prefix's OCTET length, not its character length — RFC 9309 §2.2.2
+    * matches byte-by-byte, so a non-ASCII rule prefix (a UTF-8 path
+    * segment) must out-rank a shorter-in-bytes competitor even when
+    * the two tie on characters (the oracle's `strlen` is byte-counted;
+    * the same octet-vs-character class as the q184 Content-Length
+    * check, pinned in HtmlOpsSpec).
     */
   def robotsGate(links: DataFrame, rules: DataFrame): DataFrame = {
     val url = col("url")
@@ -1174,7 +1236,7 @@ object HtmlOps {
       .agg(collect_list(struct(col("prefix"), col("allow"))).as("rules"))
     val matched = array_max(transform(
       filter(col("rules"), r => col("path").startsWith(r.getField("prefix"))),
-      r => struct(length(r.getField("prefix")).as("len"),
+      r => struct(octet_length(r.getField("prefix")).as("len"),
         r.getField("allow").as("allow"))))
     links
       .withColumn("path", path)

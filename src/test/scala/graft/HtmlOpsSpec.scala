@@ -385,6 +385,16 @@ class HtmlOpsSpec extends SparkSpec {
     assert(out(6L) === ((true, -1)))
     assert(out(7L) === ((true, -1)))
     assert(out(8L) === ((false, 3)))
+    // RFC 9309 prefix matching is OCTET-based: a non-ASCII rule prefix
+    // ranks (and reports rule_len) by its UTF-8 byte count, matching
+    // the oracle's strlen — '/café' is 5 characters but SIX octets
+    val utf8Rules = Seq(("u.example", false, "/café"))
+      .toDF("domain", "allow", "prefix")
+    val utf8Link = Seq((10L, "https://a.u.example/café/x", "u.example"))
+      .toDF("doc_id", "url", "domain")
+    val utf8 = graft.ops.HtmlOps.robotsGate(utf8Link, utf8Rules).head()
+    assert(!utf8.getAs[Boolean]("allowed"))
+    assert(utf8.getAs[Int]("rule_len") === 6)
     // a PATH-RELATIVE href carries no path of its own, so raw it
     // matches nothing — gating the RESOLVED form (the politeFrontier
     // contract) puts it under b.example's blanket '/' disallow
@@ -627,6 +637,18 @@ class HtmlOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       HtmlOps.scheduleWave(wave,
         Seq(("s1.example", 0L)).toDF("domain", "delay_s")).collect()
+    }
+    // type tolerance: a robots parser plausibly emits INTEGER delays;
+    // the guard must validate them (its own message, not a
+    // ClassCastException) and the arithmetic must still be long
+    val intDelays = Seq(("s1.example", 15)).toDF("domain", "delay_s")
+    val viaInt = HtmlOps.scheduleWave(wave, intDelays).collect()
+      .map(r => r.getAs[String]("canon") -> r.getAs[Long]("not_before_s"))
+      .toMap
+    assert(viaInt("c") === 30L)
+    intercept[IllegalArgumentException] {
+      HtmlOps.scheduleWave(wave,
+        Seq(("s1.example", 0)).toDF("domain", "delay_s")).collect()
     }
     // over the real polite wave: per domain, offsets step by exactly
     // the domain's delay and slot 1 always fires immediately

@@ -356,6 +356,45 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q187: the stored key set joins exchange-free — bucketing reaches the planner") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.parquet(spark, sf, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft-bucketed-keys-")
+    try {
+      val scope = graft.core.Scopes.create(spark, base.toString)
+      graft.ops.HtmlOps.saveUrlKeys(
+        graft.ops.HtmlOps.plantedDirtyUrlCorpus(docs), scope, "keys")
+      // kill the tiny-scale broadcast so the plan under test is the
+      // one a 100 TB key set gets: a sort-merge anti-join where the
+      // stored side reads its bucketed layout and ONLY the wave-sized
+      // candidate side shuffles
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val cands = graft.ops.HtmlOps.plantedDirtyUrlCorpus(docs)
+          .select(graft.ops.HtmlOps.canonicalUrl(col("url")).as("canon"))
+        val fresh = cands.join(
+          graft.ops.HtmlOps.loadUrlKeys(spark, scope, "keys")
+            .select("canon"), Seq("canon"), "left_anti")
+        fresh.collect() // finalize the adaptive plan
+        // the AQE toString appends the pre-execution Initial Plan;
+        // assert on the FINAL plan section only
+        val plan = planOf(fresh).split("== Initial Plan ==").head
+        assert("SortMergeJoin .*LeftAnti".r.findFirstIn(plan).isDefined, plan)
+        // the stored side reads its bucket layout (the scan reports
+        // bucket selection) and contributes NO exchange: the only one
+        // in the whole join is the wave-sized candidate side's (the
+        // round-11 stored-set reshuffle regression this pins)
+        assert(plan.contains("Bucketed: true"), plan)
+        assert(plan.contains("SelectedBucketsCount"), plan)
+        assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+          plan)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("q169: the flagship scrub joins the broadcast topK selection — regex after the join") {
     val df = SparkEntry.queries("q169_redacted_corpus")(spark, sf)
     df.collect() // finalize the adaptive plan (the PlanAudit convention)
