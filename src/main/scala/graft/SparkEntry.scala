@@ -1801,9 +1801,17 @@ object SparkEntry {
       epochRanks(s, dir), HtmlOps.plantedRobotsRules(s))),
     // wave scheduling (q198): politeness slots become fetch offsets —
     // slot n fires no earlier than (n-1) x crawl_delay, default for
-    // domains that publish none; broadcast join, no new shuffle
+    // domains that publish none; broadcast join, no new shuffle. The
+    // delays are PARSED from the raw robots bytes (q199), no longer a
+    // planted side table
     "q198_wave_schedule" -> ((s, dir) => HtmlOps.scheduleWave(
-      politeFrontierQuery(s, dir), HtmlOps.plantedCrawlDelays(s))),
+      politeFrontierQuery(s, dir),
+      HtmlOps.parseCrawlDelays(HtmlOps.plantedRobotsTxt(s)))),
+    // robots.txt parse (q199): raw fetched bytes to the rule table
+    // every robots consumer joins against — group-scoped to our
+    // user-agent, hostile groups excluded, empty rule values dropped
+    "q199_robots_parse" -> ((s, dir) =>
+      HtmlOps.parseRobotsRules(HtmlOps.plantedRobotsTxt(s))),
   )
 
   private val q192Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -4453,6 +4461,9 @@ object SparkEntry {
     // sitemap seeds: regenerated XML, loc extraction, blocklist +
     // robots + anti-join + rank + cap replayed
     "q197_sitemap_seeds" -> q197Sql,
+    // robots.txt parse: bytes regenerated, star group isolated,
+    // directives extracted, empty values dropped
+    "q199_robots_parse" -> q199Sql,
     // wave scheduling: the q191 wave joined to the regenerated delay
     // table, (slot-1) x delay with the default fallback
     "q198_wave_schedule" -> q198Sql,
@@ -4818,15 +4829,13 @@ object SparkEntry {
        |FROM at WHERE term <> '' GROUP BY 1, 2""".stripMargin
 
   /** The q198 oracle — the q191 wave as a subquery, the delay table
-    * regenerated from `generate_series`, the schedule arithmetic
+    * DERIVED from the regenerated raw robots bytes (the q199 parse
+    * chain — no planted side table anywhere), the schedule arithmetic
     * replayed with the default fallback.
     */
   private lazy val q198Sql =
-    s"""WITH sdl AS (SELECT
-       |  concat('s', cast(generate_series AS varchar), '.example')
-       |    AS domain,
-       |  CAST(5 + (generate_series % 4) * 10 AS BIGINT) AS delay_s
-       |  FROM generate_series(0, 9)),
+    s"""WITH $duckRobotsTxtCtes,
+       |$duckDelayCte,
        |swv AS (SELECT * FROM (${q191Sql}))
        |SELECT swv.*, coalesce(sdl.delay_s, 30) AS delay_s,
        |  CAST((slot - 1) * coalesce(sdl.delay_s, 30) AS BIGINT)
@@ -4995,6 +5004,69 @@ object SparkEntry {
        |  WHEN starts_with($u, '/')
        |  THEN coalesce(regexp_extract($u, '^([^?#]*)', 1), '')
        |  ELSE '' END""".stripMargin
+
+  /** HtmlOps.plantedRobotsTxt regenerated byte-identically from
+    * `generate_series`, plus the star-group body extraction — the
+    * CTEs the q199 parse oracle and the q198 delay derivation share.
+    * (`e''` strings: DuckDB only unescapes \n in escaped literals.)
+    */
+  private lazy val duckRobotsTxtCtes = {
+    val gs = "generate_series"
+    val nl = "\n" // real newline bytes inside the SQL literals, the
+                  // $cr convention of duckWarcChain
+    s"""rtxt AS (SELECT
+       |  concat('s', cast($gs AS varchar), '.example') AS domain,
+       |  concat('# robots.txt for s', cast($gs AS varchar),
+       |    '.example$nl',
+       |    CASE WHEN $gs % 3 = 0
+       |      THEN 'User-agent: badbot${nl}Disallow: /$nl$nl' ELSE '' END,
+       |    'User-agent: *$nl',
+       |    CASE WHEN $gs % 2 = 0
+       |      THEN 'Disallow: /p/${nl}Allow: /p/1$nl' ELSE '' END,
+       |    CASE WHEN $gs % 4 = 1
+       |      THEN 'Disallow: /${nl}Allow: /nav$nl' ELSE '' END,
+       |    CASE WHEN $gs % 4 = 2 THEN 'Allow: /p/$nl' ELSE '' END,
+       |    CASE WHEN $gs % 5 = 3 THEN 'Disallow:$nl' ELSE '' END,
+       |    CASE WHEN $gs <= 9 THEN concat('Crawl-delay: ',
+       |      cast(5 + ($gs % 4) * 10 AS varchar), '$nl') ELSE '' END,
+       |    CASE WHEN $gs % 3 = 1
+       |      THEN '${nl}User-agent: badbot${nl}Disallow: /private$nl'
+       |      ELSE '' END) AS txt
+       |  FROM generate_series(0, 12)),
+       |rbody AS (SELECT domain,
+       |  coalesce(list_filter(string_split(txt, 'User-agent: '),
+       |    s -> starts_with(s, '*'))[1], '') AS body FROM rtxt)"""
+      .stripMargin
+  }
+
+  /** The q199 oracle — the raw robots bytes regenerated, the star
+    * group isolated, directives extracted line-anchored, empty rule
+    * values dropped — the full parse chain replayed.
+    */
+  private lazy val q199Sql = {
+    val nl = "\n"
+    s"""WITH $duckRobotsTxtCtes,
+       |rdis AS (SELECT domain, false AS allow,
+       |  unnest(regexp_extract_all(body,
+       |    '(?m)^[Dd]isallow:[ \t]*([^$nl]*)$$', 1)) AS prefix FROM rbody),
+       |ralw AS (SELECT domain, true AS allow,
+       |  unnest(regexp_extract_all(body,
+       |    '(?m)^[Aa]llow:[ \t]*([^$nl]*)$$', 1)) AS prefix FROM rbody)
+       |SELECT domain, allow, prefix
+       |FROM (SELECT * FROM rdis UNION ALL SELECT * FROM ralw)
+       |WHERE prefix <> ''""".stripMargin
+  }
+
+  /** The q198 delay table DERIVED from the regenerated robots bytes —
+    * the same Crawl-delay extraction [[graft.ops.HtmlOps.parseCrawlDelays]]
+    * runs; expects [[duckRobotsTxtCtes]] in the WITH clause.
+    */
+  private lazy val duckDelayCte =
+    s"""sdl AS (SELECT domain, CAST(ds AS BIGINT) AS delay_s FROM
+       |  (SELECT domain, regexp_extract(body,
+       |     '(?m)^[Cc]rawl-[Dd]elay:[ \t]*([0-9]+)$$', 1) AS ds
+       |   FROM rbody)
+       |  WHERE ds <> '')""".stripMargin
 
   /** HtmlOps.plantedRobotsRules regenerated from `generate_series` —
     * the `rru` CTE both robots oracles (q190, q191) join against.

@@ -959,12 +959,101 @@ object HtmlOps {
   /** Q198's fixture: per-domain crawl delays (seconds) as a parsed
     * table — the `Crawl-delay` directive of the first ten planted
     * domains; `s10`-`s12` publish none and must fall back to the
-    * caller's default.
+    * caller's default. [[parseCrawlDelays]] over [[plantedRobotsTxt]]
+    * derives EXACTLY this table from raw robots bytes (spec-pinned) —
+    * this closed form is kept as the equality target.
     */
   def plantedCrawlDelays(spark: org.apache.spark.sql.SparkSession): DataFrame =
     spark.range(10).select(
       concat(lit("s"), col("id"), lit(".example")).as("domain"),
       (lit(5L) + (col("id") % 4) * 10L).as("delay_s"))
+
+  /** Q199's fixture: RAW `robots.txt` bytes per planted domain — the
+    * text a fetch stage hands the parser, generated so that
+    * [[parseRobotsRules]] yields EXACTLY [[plantedRobotsRules]] and
+    * [[parseCrawlDelays]] yields EXACTLY [[plantedCrawlDelays]] (both
+    * equalities spec-pinned — the parsed-table fixtures the rest of
+    * the crawl suite consumes are now DERIVED facts, not axioms).
+    * Planted hostile legs: a `badbot` group BEFORE our group on
+    * `k%3==0` domains and AFTER it on `k%3==1` (group scoping must
+    * not leak either direction); an empty `Disallow:` line on
+    * `k%5==3` (RFC 9309: empty rule value matches nothing — the
+    * parse drops it); a comment header everywhere (ignored by the
+    * line-anchored directive matchers). Every varying field is a pure
+    * domain-index expression; the oracle regenerates the bytes.
+    */
+  def plantedRobotsTxt(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val d = spark.range(13).select(col("id").cast("int").as("k"),
+      concat(lit("s"), col("id"), lit(".example")).as("domain"))
+    def leg(pred: Column, body: Column) = when(pred, body).otherwise(lit(""))
+    d.select(col("domain"), concat(
+      lit("# robots.txt for s"), col("k"), lit(".example\n"),
+      leg(col("k") % 3 === 0, lit("User-agent: badbot\nDisallow: /\n\n")),
+      lit("User-agent: *\n"),
+      leg(col("k") % 2 === 0, lit("Disallow: /p/\nAllow: /p/1\n")),
+      leg(col("k") % 4 === 1, lit("Disallow: /\nAllow: /nav\n")),
+      leg(col("k") % 4 === 2, lit("Allow: /p/\n")),
+      leg(col("k") % 5 === 3, lit("Disallow:\n")),
+      leg(col("k") <= 9, concat(lit("Crawl-delay: "),
+        (lit(5L) + (col("k") % 4) * 10L).cast("string"), lit("\n"))),
+      leg(col("k") % 3 === 1,
+        lit("\nUser-agent: badbot\nDisallow: /private\n")))
+      .as("robots_txt"))
+  }
+
+  /** The rule group addressed to US: segments split on the
+    * `User-agent: ` marker, keeping the `*` group's body (null when a
+    * file publishes no such group). A literal-token split — real
+    * robots files may name several agents per group or differ in
+    * case; the fixture spells the directive canonically and the
+    * scaladoc states the simplification. Shared by
+    * [[parseRobotsRules]] and [[parseCrawlDelays]] so the two can
+    * never read different groups.
+    */
+  def robotsStarGroup(txt: Column): Column =
+    try_element_at(filter(split(coalesce(txt, lit("")), "User-agent: "),
+      s => s.startsWith("*")), lit(1))
+
+  /** Q199: the robots.txt PARSE — raw fetched bytes to the (domain,
+    * allow, prefix) rule table every robots consumer ([[robotsGate]],
+    * [[politeFrontier]], [[crawlFunnel]], [[sitemapSeeds]]) joins
+    * against. Directives are line-anchored extractions from OUR
+    * user-agent group only (a `badbot` group before or after must not
+    * leak rules in — both planted); empty-valued `Disallow:` lines
+    * drop (RFC 9309: an empty rule value matches nothing). Scale
+    * shape: a pure per-row projection + two explodes over
+    * domain-vocabulary-sized input — robots files exist per HOST, so
+    * this never touches corpus-sized data.
+    */
+  def parseRobotsRules(robots: DataFrame,
+                       txtCol: String = "robots_txt"): DataFrame = {
+    val body = coalesce(robotsStarGroup(col(txtCol)), lit(""))
+    def directives(name: String, allow: Boolean) =
+      robots.select(col("domain"),
+        explode(regexp_extract_all(body,
+          lit(s"(?m)^$name:[ \\t]*([^\\n]*)$$"), lit(1))).as("prefix"))
+        .withColumn("allow", lit(allow))
+    directives("[Dd]isallow", allow = false)
+      .unionByName(directives("[Aa]llow", allow = true))
+      .filter(col("prefix") =!= "")
+      .select(col("domain"), col("allow"), col("prefix"))
+  }
+
+  /** Q198's delay source, now PARSED instead of planted: the
+    * `Crawl-delay` directive of our user-agent group, seconds as a
+    * long. A domain publishing none emits no row — [[scheduleWave]]
+    * applies the caller's default. Same vocabulary-sized projection
+    * class as [[parseRobotsRules]].
+    */
+  def parseCrawlDelays(robots: DataFrame,
+                       txtCol: String = "robots_txt"): DataFrame = {
+    val body = coalesce(robotsStarGroup(col(txtCol)), lit(""))
+    robots
+      .select(col("domain"), regexp_extract(body,
+        "(?m)^[Cc]rawl-[Dd]elay:[ \\t]*([0-9]+)$", 1).as("ds"))
+      .filter(col("ds") =!= "")
+      .select(col("domain"), col("ds").cast("long").as("delay_s"))
+  }
 
   /** Q198: WAVE SCHEDULING — turn a frontier/refetch wave's politeness
     * SLOTS into actual fetch offsets: slot `n` on a domain may fire no

@@ -119,7 +119,8 @@ object PlanAudit {
     "q195_crawl_funnel",   // one link agg + key stages + tiny assembly joins
     "q196_refetch_wave",   // canon struct-max + broadcast rank + capped window
     "q197_sitemap_seeds",  // vocabulary-sized seeds through the frontier tail
-    "q198_wave_schedule",  // q191's plan + one broadcast delay join
+    "q198_wave_schedule",  // q191's plan + one broadcast delay join (parsed delays)
+    "q199_robots_parse",   // vocab-sized parse: split/filter/extract projection
     "q10_event_window")   // normalized-ts scan straight into windowed agg
 
   def main(args: Array[String]): Unit = {

@@ -162,7 +162,10 @@ object ScaleProbe {
     "q197_sitemap_seeds",
     // wave scheduling: the q191 wave + a broadcast delay join —
     // expected q191's cost class exactly
-    "q198_wave_schedule")
+    "q198_wave_schedule",
+    // robots parse: vocabulary-sized raw bytes through a pure
+    // projection + two explodes — expected flat (never corpus-sized)
+    "q199_robots_parse")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

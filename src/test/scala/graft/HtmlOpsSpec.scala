@@ -609,6 +609,44 @@ class HtmlOpsSpec extends SparkSpec {
     }
   }
 
+  test("parseRobotsRules/parseCrawlDelays (q199): raw robots bytes parse to the planted tables") {
+    import spark.implicits._
+    val txt = HtmlOps.plantedRobotsTxt(spark)
+    // the parse DERIVES the exact rule table the rest of the suite
+    // consumes — the planted fixture is now a proven fact
+    def ruleSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("domain"), r.getAs[Boolean]("allow"),
+        r.getAs[String]("prefix"))).toSet
+    assert(ruleSet(HtmlOps.parseRobotsRules(txt)) ===
+      ruleSet(HtmlOps.plantedRobotsRules(spark)))
+    def delaySet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("domain"), r.getAs[Long]("delay_s"))).toSet
+    assert(delaySet(HtmlOps.parseCrawlDelays(txt)) ===
+      delaySet(HtmlOps.plantedCrawlDelays(spark)))
+    // group scoping: a hostile group's rules leak in NEITHER direction
+    // (badbot sits before our group on k%3==0 domains, after it on
+    // k%3==1) and a file with no star group parses to nothing
+    val hostile = Seq(
+      ("h1.example",
+        "User-agent: badbot\nDisallow: /\n\nUser-agent: *\nAllow: /ok\n"),
+      ("h2.example",
+        "User-agent: *\nDisallow: /no\n\nUser-agent: badbot\nCrawl-delay: 1\n"),
+      ("h3.example", "# only comments\nUser-agent: badbot\nDisallow: /\n"))
+      .toDF("domain", "robots_txt")
+    val rules = ruleSet(HtmlOps.parseRobotsRules(hostile))
+    assert(rules === Set(("h1.example", true, "/ok"),
+      ("h2.example", false, "/no")))
+    assert(delaySet(HtmlOps.parseCrawlDelays(hostile)) === Set.empty)
+    // the empty-Disallow leg (k%5==3): the line is PRESENT in the
+    // bytes and ABSENT from the parse — RFC 9309 empty rule values
+    // match nothing
+    val k3 = HtmlOps.plantedRobotsTxt(spark)
+      .filter(col("domain") === "s3.example").head.getAs[String]("robots_txt")
+    assert(k3.contains("Disallow:\n"))
+    assert(!ruleSet(HtmlOps.parseRobotsRules(txt)).exists(r =>
+      r._1 == "s3.example" && r._3 == ""))
+  }
+
   test("scheduleWave (q198): slots become fetch offsets; absent domains use the default") {
     import spark.implicits._
     val wave = Seq(
