@@ -1812,17 +1812,24 @@ object SparkEntry {
     // user-agent, hostile groups excluded, empty rule values dropped
     "q199_robots_parse" -> ((s, dir) =>
       HtmlOps.parseRobotsRules(HtmlOps.plantedRobotsTxt(s))),
+    // maintained fetch-log artifact (q200): the raw log absorbed as
+    // two O(batch) upserts (seed, then the refetch wave), the due set
+    // read from the artifact — q196's semantics with the reduction
+    // maintained instead of recomputed
+    "q200_fetchlog_artifact" -> (fetchLogWaveQuery _),
   )
 
   private val q192Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
 
-  /** q192: the loop driven end-to-end — the key set seeded from the
-    * first 250 fetches, waves [250, 375) and [375, 500) streamed as
-    * two micro-batches (one file each, the q138 one-file-one-batch
-    * convention); each batch appends its keys and writes its next
-    * wave under `waves/wave=<batchId>`. The epoch rank and the robots
-    * rules are computed once, OUTSIDE the stream (the q188 artifact
-    * contract).
+  /** q192: the loop driven end-to-end — the key set AND the fetch-log
+    * artifact seeded from the first 250 fetches, waves [250, 375) and
+    * [375, 500) streamed as two micro-batches (one file each, the
+    * q138 one-file-one-batch convention); each batch appends its
+    * keys, upserts its fetch times into the log, and writes its next
+    * SCHEDULED wave (politeness slots with Crawl-delay offsets) under
+    * `waves/wave=<batchId>`. The epoch rank, the robots rules, and
+    * the parsed delays are computed once, OUTSIDE the stream (the
+    * q188 artifact contract).
     */
   private def streamCrawlLoopQuery(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -1831,18 +1838,52 @@ object SparkEntry {
       val pages = HtmlOps.plantedHtmlCorpus(docs)
       HtmlOps.saveUrlKeys(urls.filter(col("doc_id") < 250), sc, "urlkeys")
       val src = pages.join(urls, "doc_id")
-        .select(col("doc_id"), col("url"), col("fetch_host"), col("html"))
+        .select(col("doc_id"), col("url"), col("fetch_host"), col("html"),
+          (lit(1767225600L) + (col("doc_id") % 97) * 3600L)
+            .as("fetched_at_s")) // the q196 planted first-fetch times
+      HtmlOps.saveFetchLog(
+        src.filter(col("doc_id") < 250).select("url", "fetched_at_s"),
+        sc, "fetchlog")
       EventsStreaming.writeWaveFile(
         src.filter(col("doc_id") >= 250 && col("doc_id") < 375),
         sc.path("stream-src"), 0)
       EventsStreaming.writeWaveFile(
         src.filter(col("doc_id") >= 375), sc.path("stream-src"), 1)
       EventsStreaming.streamingCrawlLoop(s, sc.path("stream-src"), sc,
-        "urlkeys", epochRanks(s, dir),
-        HtmlOps.plantedRobotsRules(s), sc.path("waves"), sc.path("ckpt"))
+        "urlkeys", epochRanks(s, dir), HtmlOps.plantedRobotsRules(s),
+        HtmlOps.parseCrawlDelays(HtmlOps.plantedRobotsTxt(s)),
+        sc.path("waves"), sc.path("ckpt"),
+        fetchLogName = Some("fetchlog"))
     }
     s.read.parquet(scope.path("waves"))
       .withColumn("wave", col("wave").cast("long"))
+  }
+
+  private val q200Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
+
+  /** q200: the maintained fetch-log artifact driven batch-wise — the
+    * seed wave is the planted FIRST fetches, the refetch rows arrive
+    * as a second O(batch) upsert (the cross-batch latest-fetch max is
+    * exactly what the artifact must maintain), and the due set reads
+    * the artifact. The oracle is q196's raw-log replay VERBATIM: the
+    * maintained artifact changes where the reduction lives, never
+    * what it says (max-merge associativity).
+    */
+  private def fetchLogWaveQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scope = cachedScope(q200Scopes, s, dir, "graft-q200-") { sc =>
+      val log = HtmlOps.plantedFetchLog(docs)
+      HtmlOps.saveFetchLog(
+        log.filter(col("log_id") < 1000L).select("url", "fetched_at_s"),
+        sc, "flog")
+      HtmlOps.appendFetchLog(
+        log.filter(col("log_id") >= 1000L).select("url", "fetched_at_s"),
+        sc, "flog")
+      ()
+    }
+    HtmlOps.refetchWaveFromLog(s, scope, "flog",
+      nowS = 1767225600L + 9L * 86400L, ttlS = 7L * 86400L,
+      ranks = epochRanks(s, dir))
   }
 
   private val q188Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -4464,6 +4505,9 @@ object SparkEntry {
     // robots.txt parse: bytes regenerated, star group isolated,
     // directives extracted, empty values dropped
     "q199_robots_parse" -> q199Sql,
+    // maintained fetch log: the raw-log reduction replayed — the
+    // artifact is layout, not semantics (q196's oracle verbatim)
+    "q200_fetchlog_artifact" -> q196Sql,
     // wave scheduling: the q191 wave joined to the regenerated delay
     // table, (slot-1) x delay with the default fallback
     "q198_wave_schedule" -> q198Sql,
@@ -4971,14 +5015,20 @@ object SparkEntry {
     val w1 = frontierCtes("wb", robots = true,
       pagePred = "doc_id >= 375")
     s"""WITH $duckRobotsRuleCtes,
+       |$duckRobotsTxtCtes,
+       |$duckDelayCte,
        |$w0,
-       |$w1
-       |SELECT canon, url, domain, n_refs, pr, CAST(slot AS INT) AS slot,
-       |  CAST(0 AS BIGINT) AS wave FROM wafs WHERE slot <= 10
-       |UNION ALL
-       |SELECT canon, url, domain, n_refs, pr, CAST(slot AS INT) AS slot,
-       |  CAST(1 AS BIGINT) AS wave FROM wbfs WHERE slot <= 10"""
-      .stripMargin
+       |$w1,
+       |wv AS (
+       |  SELECT canon, url, domain, n_refs, pr, CAST(slot AS INT) AS slot,
+       |    CAST(0 AS BIGINT) AS wave FROM wafs WHERE slot <= 10
+       |  UNION ALL
+       |  SELECT canon, url, domain, n_refs, pr, CAST(slot AS INT) AS slot,
+       |    CAST(1 AS BIGINT) AS wave FROM wbfs WHERE slot <= 10)
+       |SELECT wv.*, coalesce(sdl.delay_s, 30) AS delay_s,
+       |  CAST((slot - 1) * coalesce(sdl.delay_s, 30) AS BIGINT)
+       |    AS not_before_s
+       |FROM wv LEFT JOIN sdl USING (domain)""".stripMargin
   }
 
   /** HtmlOps.resolvedUrl mirrored: own authority stays, a relative

@@ -1128,16 +1128,29 @@ object HtmlOps {
     * any engine.
     */
   def refetchWave(fetchLog: DataFrame, nowS: Long, ttlS: Long,
-                  ranks: DataFrame, kPerDomain: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(ttlS > 0, s"ttlS must be positive: $ttlS")
-    require(kPerDomain > 0, s"kPerDomain must be positive: $kPerDomain")
-    val last = fetchLog
+                  ranks: DataFrame, kPerDomain: Int = 10): DataFrame =
+    refetchTail(latestFetchPerKey(fetchLog), nowS, ttlS, ranks, kPerDomain)
+
+  /** The latest-fetch reduction shared by [[refetchWave]] (one-shot
+    * over a raw log) and the MAINTAINED fetch-log artifact
+    * ([[saveFetchLog]]/[[appendFetchLog]]): per canonical key, the
+    * most recent fetch decides (struct-max argmax, url tiebreak for
+    * determinism under timestamp ties). One shuffle on the canonical
+    * key with map-side partial aggregation.
+    */
+  private def latestFetchPerKey(fetchLog: DataFrame): DataFrame =
+    fetchLog
       .groupBy(canonicalUrl(col("url")).as("canon"))
       .agg(max(struct(col("fetched_at_s"), col("url"))).as("m"))
       .select(col("canon"), col("m.url").as("url"),
         col("m.fetched_at_s").as("last_fetch_s"))
-    val due = last
+
+  private def refetchTail(last: DataFrame, nowS: Long, ttlS: Long,
+                          ranks: DataFrame, kPerDomain: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ttlS > 0, s"ttlS must be positive: $ttlS")
+    require(kPerDomain > 0, s"kPerDomain must be positive: $kPerDomain")
+    val due = last.select(col("canon"), col("url"), col("last_fetch_s"))
       .filter(lit(nowS) - col("last_fetch_s") >= ttlS)
       .withColumn("domain",
         graft.ops.PiiOps.registrableDomain(hostOf(col("url"))))
@@ -1153,6 +1166,90 @@ object HtmlOps {
         (lit(nowS) - col("last_fetch_s")).as("age_s"),
         col("pr"), col("slot").cast("int").as("slot"))
   }
+
+  /** Q200: the FETCH LOG as a MAINTAINED crawl artifact — the q178
+    * pattern applied to `(canon, url, last_fetch_s)`: one row per
+    * canonical key carrying its LATEST fetch, laid out in xxhash
+    * key buckets so an ingest upsert touches only the buckets its
+    * keys hash to. This is what lets [[refetchWaveFromLog]] schedule
+    * recrawls WITHOUT the engine ever re-reducing a raw corpus-sized
+    * log — the reduction is maintained O(batch) as fetches happen
+    * (the round-11 gap: q196 took the raw log as an input the engine
+    * never persisted).
+    */
+  def saveFetchLog(fetchLog: DataFrame, scope: graft.core.Scope,
+                   name: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    graft.core.Scopes.writeMeta(fetchLog.sparkSession, scope,
+      s"$name/meta", "n_buckets" -> nBuckets)
+    latestFetchPerKey(fetchLog)
+      .select(col("canon"), col("url"), col("last_fetch_s"),
+        keyBucket(col("canon"), nBuckets))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(scope.path(s"$name/rows"))
+  }
+
+  /** O(batch) UPSERT of a fetch wave into the maintained log: reduce
+    * the batch to its latest fetch per key, merge with the stored
+    * rows of ONLY the touched buckets (struct-max again — max is
+    * associative, so batch-wise maintenance equals the one-shot
+    * reduction over the concatenated log), and dynamically overwrite
+    * just those bucket partitions. Untouched buckets keep their files
+    * byte-identical (spec-pinned). IDEMPOTENT under replay by
+    * algebra, not bookkeeping: max(stored, batch) re-applied is
+    * max(stored, batch) — the streaming maintainer needs no dedup
+    * token. ORDER-INSENSITIVE across batches for the same reason
+    * (unlike [[appendUrlKeys]]'s fetch-order contract): a late wave
+    * delivered out of order still converges to the same artifact.
+    */
+  def appendFetchLog(batch: DataFrame, scope: graft.core.Scope,
+                     name: String): DataFrame = {
+    val spark = batch.sparkSession
+    val nBuckets = graft.core.Scopes.readMeta(spark, scope,
+      s"$name/meta")("n_buckets")
+    val batchLatest = latestFetchPerKey(
+      batch.select(col("url"), col("fetched_at_s")))
+      .withColumn("bucket", keyBucket(col("canon"), nBuckets))
+    // touched buckets: at most n_buckets values, model-sized
+    val touched = batchLatest.select("bucket").distinct()
+      .collect().map(_.getInt(0))
+    val stored = loadFetchLog(spark, scope, name)
+      .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+    val merged = stored.select("canon", "url", "last_fetch_s")
+      .unionByName(batchLatest.select("canon", "url", "last_fetch_s"))
+      .groupBy(col("canon"))
+      .agg(max(struct(col("last_fetch_s"), col("url"))).as("m"))
+      .select(col("canon"), col("m.url").as("url"),
+        col("m.last_fetch_s").as("last_fetch_s"),
+        keyBucket(col("canon"), nBuckets))
+      // pin BEFORE the dynamic overwrite below rewrites what it read
+      .localCheckpoint(eager = true)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(scope.path(s"$name/rows"))
+    merged
+  }
+
+  def loadFetchLog(spark: org.apache.spark.sql.SparkSession,
+                   scope: graft.core.Scope, name: String): DataFrame =
+    spark.read.parquet(scope.path(s"$name/rows"))
+      .select(col("canon"), col("url"), col("last_fetch_s"),
+        col("bucket").cast("int").as("bucket"))
+
+  /** Q200's read side: [[refetchWave]]'s due-set semantics over the
+    * MAINTAINED artifact — no raw log input, no re-reduction; the
+    * scan is one already-reduced row per known key, and the only work
+    * is the age filter, the broadcast rank join, and the capped
+    * window. Equal to [[refetchWave]] over the full raw log whenever
+    * the artifact absorbed every wave (max-merge associativity;
+    * spec-pinned and oracle-replayed).
+    */
+  def refetchWaveFromLog(spark: org.apache.spark.sql.SparkSession,
+                         scope: graft.core.Scope, name: String,
+                         nowS: Long, ttlS: Long, ranks: DataFrame,
+                         kPerDomain: Int = 10): DataFrame =
+    refetchTail(loadFetchLog(spark, scope, name), nowS, ttlS, ranks,
+      kPerDomain)
 
   /** Q195: the CRAWL FUNNEL — per target domain, how many link
     * occurrences survive each pipeline stage: attributable links →

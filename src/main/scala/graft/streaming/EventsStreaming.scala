@@ -884,32 +884,52 @@ object EventsStreaming {
   }
 
   /** Q192: the CRAWL LOOP under Structured Streaming — each
-    * micro-batch is one fetched WAVE (doc_id, url, fetch_host, html:
-    * the fetch URL plus the page it returned). Per batch, in loop
-    * order: (1) the wave's canonical keys are APPENDED to the
-    * maintained key set ([[graft.ops.HtmlOps.appendUrlKeys]] —
-    * O(batch), idempotent under replay), so a just-fetched page can
-    * never be scheduled again; (2) the NEXT wave is computed from the
-    * batch's pages with the full polite pipeline
-    * ([[graft.ops.HtmlOps.politeFrontier]]: blocklist → robots →
-    * anti-join the now-updated key set → rank priority → per-domain
-    * cap) and written to `outDir/wave=<batchId>` with OVERWRITE — a
-    * replayed micro-batch rewrites its own wave directory instead of
-    * duplicating rows, the idempotency twin of the key append.
+    * micro-batch is one fetched WAVE (doc_id, url, fetch_host, html,
+    * fetched_at_s: the fetch URL, the page it returned, and WHEN).
+    * Per batch, in loop order: (1) the wave's canonical keys are
+    * APPENDED to the maintained key set
+    * ([[graft.ops.HtmlOps.appendUrlKeys]] — O(batch), idempotent
+    * under replay), so a just-fetched page can never be scheduled
+    * again; (2) the wave's fetch times UPSERT into the maintained
+    * fetch-log artifact ([[graft.ops.HtmlOps.appendFetchLog]] —
+    * O(batch), idempotent by max-merge algebra), so refetch
+    * scheduling ([[graft.ops.HtmlOps.refetchWaveFromLog]]) always
+    * has the latest fetch per key without re-reducing a raw log;
+    * (3) the NEXT wave is computed from the batch's pages with the
+    * full polite pipeline ([[graft.ops.HtmlOps.politeFrontier]]:
+    * blocklist → robots → anti-join the now-updated key set → rank
+    * priority → per-domain cap), SCHEDULED
+    * ([[graft.ops.HtmlOps.scheduleWave]] — each slot gets its
+    * Crawl-delay fetch offset, so the loop emits executable
+    * schedules, not bare candidate lists), and written to
+    * `outDir/wave=<batchId>` with OVERWRITE — a replayed micro-batch
+    * rewrites its own wave directory instead of duplicating rows,
+    * the idempotency twin of the artifact maintenance.
     *
-    * The rank is the EPOCH-level artifact (q188), passed in once —
-    * production recomputes it per crawl epoch, not per micro-batch.
-    * State lives entirely in the key-set artifact; the stream itself
-    * is stateless (no watermark, no state store to grow).
+    * The rank is the EPOCH-level artifact (q188), passed in once, and
+    * the crawl delays are the robots parse (q199), also epoch-level —
+    * REFRESH CADENCE, stated explicitly: production recomputes the
+    * rank (a full vocabulary-sized recompute, [[graft.ops.GraphOps
+    * .saveDomainRank]]'s documented policy) and re-fetches robots
+    * once per crawl EPOCH — the point where the operator decides the
+    * accumulated edge deltas warrant a re-prioritization — never per
+    * micro-batch; within an epoch every wave reads the same artifact,
+    * which is exactly why it is an artifact and not a per-batch
+    * computation. State lives entirely in the key-set and fetch-log
+    * artifacts; the stream itself is stateless (no watermark, no
+    * state store to grow).
     */
   def streamingCrawlLoop(spark: SparkSession, srcDir: String,
                          scope: graft.core.Scope, name: String,
                          ranks: org.apache.spark.sql.DataFrame,
                          rules: org.apache.spark.sql.DataFrame,
-                         outDir: String, checkpointDir: String): Unit = {
+                         delays: org.apache.spark.sql.DataFrame,
+                         outDir: String, checkpointDir: String,
+                         fetchLogName: Option[String] = None): Unit = {
     val pageSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("url", StringType),
-      StructField("fetch_host", StringType), StructField("html", StringType)))
+      StructField("fetch_host", StringType), StructField("html", StringType),
+      StructField("fetched_at_s", LongType)))
     val src = spark.readStream.schema(pageSchema)
       .option("pathGlobFilter", "*.parquet")
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
@@ -919,9 +939,15 @@ object EventsStreaming {
         try {
           graft.ops.HtmlOps.appendUrlKeys(
             b.select(col("doc_id"), col("url")), scope, name)
-          graft.ops.HtmlOps.politeFrontier(
-              b.select(col("doc_id"), col("fetch_host"), col("html")),
-              scope, name, ranks, rules)
+          fetchLogName.foreach { log =>
+            graft.ops.HtmlOps.appendFetchLog(
+              b.select(col("url"), col("fetched_at_s")), scope, log)
+          }
+          graft.ops.HtmlOps.scheduleWave(
+              graft.ops.HtmlOps.politeFrontier(
+                b.select(col("doc_id"), col("fetch_host"), col("html")),
+                scope, name, ranks, rules),
+              delays)
             .write.mode("overwrite").parquet(s"$outDir/wave=$batchId")
           ()
         } finally b.unpersist()

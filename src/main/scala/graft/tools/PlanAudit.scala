@@ -121,6 +121,7 @@ object PlanAudit {
     "q197_sitemap_seeds",  // vocabulary-sized seeds through the frontier tail
     "q198_wave_schedule",  // q191's plan + one broadcast delay join (parsed delays)
     "q199_robots_parse",   // vocab-sized parse: split/filter/extract projection
+    "q200_fetchlog_artifact", // artifact-read due set: reduced scan + rank + cap
     "q10_event_window")   // normalized-ts scan straight into windowed agg
 
   def main(args: Array[String]): Unit = {

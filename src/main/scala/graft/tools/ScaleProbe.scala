@@ -165,7 +165,11 @@ object ScaleProbe {
     "q198_wave_schedule",
     // robots parse: vocabulary-sized raw bytes through a pure
     // projection + two explodes — expected flat (never corpus-sized)
-    "q199_robots_parse")
+    "q199_robots_parse",
+    // maintained fetch log: seed reduction + one O(batch) bucket
+    // upsert + the artifact-read due set — the read side scans one
+    // already-reduced row per key
+    "q200_fetchlog_artifact")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

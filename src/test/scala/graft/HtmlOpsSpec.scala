@@ -232,6 +232,77 @@ class HtmlOpsSpec extends SparkSpec {
     }
   }
 
+  test("fetch-log artifact (q200): O(batch) upsert keeps the latest fetch; untouched buckets intact") {
+    val base = java.nio.file.Files.createTempDirectory("graft-fetchlog-spec-")
+    try {
+      val sc = graft.core.Scopes.create(spark, base.toString)
+      val docs = graft.io.Tables.parquet(spark, sf, "documents")
+      val log = HtmlOps.plantedFetchLog(docs)
+      val first = log.filter(col("log_id") < 1000L)
+        .select("url", "fetched_at_s")
+      val refetch = log.filter(col("log_id") >= 1000L)
+        .select("url", "fetched_at_s")
+      HtmlOps.saveFetchLog(first, sc, "fl")
+      def listing(): Map[String, (Long, Long)] = {
+        val rows = new java.io.File(sc.path("fl/rows"))
+        rows.listFiles().filter(_.getName.startsWith("bucket=")).flatMap {
+          d => d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => f.getPath -> ((f.length(), f.lastModified())))
+        }.toMap
+      }
+      val before = listing()
+      val upserted = HtmlOps.appendFetchLog(refetch, sc, "fl").collect()
+      assert(upserted.nonEmpty)
+      val touched = upserted.map(_.getAs[Int]("bucket")).toSet
+      // untouched buckets keep their files byte-identical — the
+      // upsert reads and rewrites ONLY the buckets the batch hashes to
+      val after = listing()
+      before.foreach { case (path, sig) =>
+        val b = path.split("bucket=")(1).split("/")(0).toInt
+        if (!touched.contains(b))
+          assert(after.get(path).contains(sig),
+            s"untouched bucket rewritten: $path")
+      }
+      // the maintained artifact equals the one-shot reduction over
+      // the FULL raw log: the refetched keys carry the LATER time
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("canon", "url", "last_fetch_s")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val viaArtifact = rows(HtmlOps.loadFetchLog(spark, sc, "fl"))
+      val oneShot = rows(HtmlOps.refetchWave(log, nowS = Long.MaxValue / 2,
+        ttlS = 1L, ranks = emptyRanks, kPerDomain = Int.MaxValue)
+        .select("canon", "url", "last_fetch_s"))
+      assert(viaArtifact === oneShot)
+      // replaying the same batch is a no-op by ALGEBRA (max-merge):
+      // same rows after, nothing double-applied
+      HtmlOps.appendFetchLog(refetch, sc, "fl")
+      assert(rows(HtmlOps.loadFetchLog(spark, sc, "fl")) === viaArtifact)
+      // and batch ORDER does not matter: refetch wave first, seed
+      // second converges to the identical artifact
+      val sc2 = graft.core.Scopes.create(spark, base.toString)
+      HtmlOps.saveFetchLog(refetch, sc2, "fl")
+      HtmlOps.appendFetchLog(first, sc2, "fl")
+      assert(rows(HtmlOps.loadFetchLog(spark, sc2, "fl")) === viaArtifact)
+      // the due set from the artifact equals q196 over the raw log
+      val now = 1767225600L + 9L * 86400L
+      val ranks = graft.ops.GraphOps.domainRank(HtmlOps.domainEdges(
+        HtmlOps.plantedHtmlCorpus(docs)))
+      val fromLog = HtmlOps.refetchWaveFromLog(spark, sc, "fl",
+        now, 7L * 86400L, ranks)
+      val fromRaw = HtmlOps.refetchWave(log, now, 7L * 86400L, ranks)
+      assert(fromLog.exceptAll(fromRaw).count() === 0)
+      assert(fromRaw.exceptAll(fromLog).count() === 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
+  private def emptyRanks: org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, Long)].toDF("domain", "pr")
+  }
+
   test("crawlIngest verdict agrees with htmlOutlinks, join-free") {
     val docs = graft.io.Tables.parquet(spark, sf, "documents")
     val pages = HtmlOps.plantedHtmlCorpus(docs)

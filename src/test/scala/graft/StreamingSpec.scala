@@ -197,10 +197,17 @@ class StreamingSpec extends SparkSpec {
       val ranks = graft.ops.GraphOps.domainRank(
         graft.ops.HtmlOps.domainEdges(pages))
       val rules = graft.ops.HtmlOps.plantedRobotsRules(spark)
+      val delays = graft.ops.HtmlOps.parseCrawlDelays(
+        graft.ops.HtmlOps.plantedRobotsTxt(spark))
       graft.ops.HtmlOps.saveUrlKeys(
         urls.filter(col("doc_id") < 250), scope, "keys")
       val src = pages.join(urls, "doc_id")
-        .select(col("doc_id"), col("url"), col("fetch_host"), col("html"))
+        .select(col("doc_id"), col("url"), col("fetch_host"), col("html"),
+          (lit(1767225600L) + (col("doc_id") % 97) * 3600L)
+            .as("fetched_at_s"))
+      graft.ops.HtmlOps.saveFetchLog(
+        src.filter(col("doc_id") < 250).select("url", "fetched_at_s"),
+        scope, "flog")
       graft.streaming.EventsStreaming.writeWaveFile(
         src.filter(col("doc_id") >= 250 && col("doc_id") < 375),
         scope.path("stream-src"), 0)
@@ -208,7 +215,8 @@ class StreamingSpec extends SparkSpec {
         src.filter(col("doc_id") >= 375), scope.path("stream-src"), 1)
       def run(): Unit = graft.streaming.EventsStreaming.streamingCrawlLoop(
         spark, scope.path("stream-src"), scope, "keys", ranks, rules,
-        scope.path("waves"), scope.path("ckpt"))
+        delays, scope.path("waves"), scope.path("ckpt"),
+        fetchLogName = Some("flog"))
       run()
       val waves = spark.read.parquet(scope.path("waves"))
       // loop order inside each batch: keys FIRST, wave second — so a
@@ -220,28 +228,54 @@ class StreamingSpec extends SparkSpec {
       waves.filter(col("wave") === 1).collect()
         .foreach(r => assert(!allKeys.contains(r.getAs[String]("canon"))))
       // each wave equals its batch replay bit-for-bit: the stream is
-      // the batch operator under a scheduler, nothing more
-      val replay1 = graft.ops.HtmlOps.politeFrontier(
-        pages.filter(col("doc_id") >= 375), scope, "keys", ranks, rules)
+      // the batch operator pipeline (polite frontier ∘ schedule)
+      // under a scheduler, nothing more
+      val replay1 = graft.ops.HtmlOps.scheduleWave(
+        graft.ops.HtmlOps.politeFrontier(
+          pages.filter(col("doc_id") >= 375), scope, "keys", ranks, rules),
+        delays)
       val w1 = waves.filter(col("wave") === 1).drop("wave")
+        .select(replay1.columns.map(col): _*)
       assert(w1.exceptAll(replay1).isEmpty && replay1.exceptAll(w1).isEmpty)
+      // the wave is a SCHEDULE: slot 1 fires at 0, later slots at
+      // (slot-1) x the domain's parsed delay
+      waves.collect().foreach { r =>
+        assert(r.getAs[Long]("not_before_s") ===
+          (r.getAs[Int]("slot") - 1).toLong * r.getAs[Long]("delay_s"))
+      }
+      // the loop MAINTAINED the fetch log: the artifact equals the
+      // one-shot latest-fetch reduction over seed + both waves
+      val fromLoop = graft.ops.HtmlOps.loadFetchLog(spark, scope, "flog")
+        .select("canon", "url", "last_fetch_s").collect()
+        .map(_.toString).sorted.toSeq
+      val oneShot = graft.ops.HtmlOps.refetchWave(
+        src.select("url", "fetched_at_s"), nowS = Long.MaxValue / 2,
+        ttlS = 1L, ranks = ranks, kPerDomain = Int.MaxValue)
+        .select("canon", "url", "last_fetch_s").collect()
+        .map(_.toString).sorted.toSeq
+      assert(fromLoop === oneShot)
       // both waves landed, and wave 0 is the thinner candidate pool
       val n0 = waves.filter(col("wave") === 0).count()
       val n1 = waves.filter(col("wave") === 1).count()
       assert(n0 > 0 && n1 > 0)
       // RESTART: AvailableNow over a fully processed checkpoint must
-      // re-ingest nothing and rewrite nothing — key set and wave
-      // bytes identical (the replay-safety claim, exercised)
+      // re-ingest nothing and rewrite nothing — key set, fetch log,
+      // and wave bytes identical (the replay-safety claim, exercised)
       val keysBefore = graft.ops.HtmlOps.loadUrlKeys(spark, scope, "keys")
         .collect().map(_.toString).sorted
+      val logBefore = fromLoop
       val wavesBefore = spark.read.parquet(scope.path("waves"))
         .collect().map(_.toString).sorted
       run()
       val keysAfter = graft.ops.HtmlOps.loadUrlKeys(spark, scope, "keys")
         .collect().map(_.toString).sorted
+      val logAfter = graft.ops.HtmlOps.loadFetchLog(spark, scope, "flog")
+        .select("canon", "url", "last_fetch_s").collect()
+        .map(_.toString).sorted.toSeq
       val wavesAfter = spark.read.parquet(scope.path("waves"))
         .collect().map(_.toString).sorted
       assert(keysAfter.toSeq === keysBefore.toSeq)
+      assert(logAfter === logBefore)
       assert(wavesAfter.toSeq === wavesBefore.toSeq)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
