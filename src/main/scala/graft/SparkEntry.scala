@@ -2536,25 +2536,26 @@ object SparkEntry {
     * header, the q184 host regex = HtmlOps.hostOf), then the entire
     * q177 extraction + keep-set + gate + scrub chain unchanged. The
     * malformed legs (doc_id%13 ∈ {3,7,11}) drop at the framing
-    * verdict — before extraction ever sees them — and the %13==1
-    * non-ASCII suffix flows INTO the corpus text, so the gates score
-    * the payload actually framed, not the page as planted.
+    * verdict, the 404 (%13==2) and text/plain (%13==5) legs drop at
+    * the HTTP gate — before extraction ever sees them — and the
+    * %13==1 non-ASCII body suffix flows INTO the corpus text, so the
+    * gates score the bytes actually framed, not the page as planted.
     */
   private lazy val q186Sql = {
     val warcPages =
       s"""wpage AS (SELECT doc_id, $duckFetchHost AS fetch_host,
          |  $duckHtml AS html FROM cw_src),
-         |wpay AS (SELECT doc_id, html ||
-         |  CASE WHEN doc_id % 13 = 1 THEN '<p>résumé café</p>'
-         |       ELSE '' END AS pay FROM wpage),
+         |${duckHttpPayload("wpage", "wpay")},
          |${duckWarcChain("wpay", "w")},
+         |${duckHttpFrame("w")},
          |cw_p AS (SELECT doc_id,
          |  regexp_extract(target_uri, '^(?i)(?:https?:)?//([^/?#]+)', 1)
          |    AS fetch_host,
-         |  payload AS html
-         |  FROM wfr
-         |  WHERE coalesce(strlen(payload) = content_length, false))"""
-        .stripMargin
+         |  body AS html
+         |  FROM wht
+         |  WHERE coalesce(strlen(payload) = content_length, false)
+         |    AND coalesce(http_status = 200 AND mime = 'text/html',
+         |          false))""".stripMargin
     crawlCorpusSqlWith("", "q.quality >= 0.5", Some(warcPages))
   }
 
@@ -4592,19 +4593,59 @@ object SparkEntry {
        |    '($cr)+$$', '') AS payload FROM ${pfx}resp)""".stripMargin
   }
 
+  /** The planted HTTP response message wrapped around the page body —
+    * HtmlOps.plantedWarcCorpus's payload, regenerated: status line
+    * (404 on %13==2), Content-Type (text/plain on %13==5), blank
+    * line, body (non-ASCII suffix on %13==1). From `<src>` rows
+    * (doc_id, html) to (doc_id, pay).
+    */
+  private def duckHttpPayload(src: String, out: String): String = {
+    val cr = "\r\n"
+    s"""$out AS (SELECT doc_id, concat(
+       |  CASE WHEN doc_id % 13 = 2 THEN 'HTTP/1.1 404 Not Found$cr'
+       |       ELSE 'HTTP/1.1 200 OK$cr' END,
+       |  CASE WHEN doc_id % 13 = 5 THEN 'Content-Type: text/plain$cr'
+       |       ELSE 'Content-Type: text/html; charset=utf-8$cr' END,
+       |  '$cr',
+       |  html || CASE WHEN doc_id % 13 = 1 THEN '<p>résumé café</p>'
+       |       ELSE '' END) AS pay FROM $src)""".stripMargin
+  }
+
+  /** HtmlOps.httpFrame mirrored over `${pfx}fr`: status line, media
+    * type from the HEADER BLOCK only, body after the first blank
+    * line (non-HTTP payloads pass through whole), the 200+text/html
+    * verdict — ending in `${pfx}ht`.
+    */
+  private def duckHttpFrame(pfx: String): String = {
+    val cr = "\r\n"
+    s"""${pfx}ht AS (SELECT *,
+       |  CASE WHEN regexp_matches(payload, '^HTTP/1\\.[01] [0-9]{3}')
+       |    THEN TRY_CAST(regexp_extract(payload,
+       |      '^HTTP/1\\.[01] ([0-9]{3})', 1) AS INT)
+       |    ELSE NULL END AS http_status,
+       |  CASE WHEN regexp_matches(payload, '^HTTP/1\\.[01] [0-9]{3}')
+       |    THEN lower(trim(regexp_extract(
+       |      regexp_extract(payload, '(?s)^(.*?)$cr$cr', 1),
+       |      '(?m)^[Cc]ontent-[Tt]ype:[ \\t]*([^;$cr]+)', 1)))
+       |    ELSE '' END AS mime,
+       |  CASE WHEN regexp_matches(payload, '^HTTP/1\\.[01] [0-9]{3}')
+       |    THEN regexp_extract(payload, '(?s)$cr$cr(.*)$$', 1)
+       |    ELSE payload END AS body
+       |  FROM ${pfx}fr)""".stripMargin
+  }
+
   private lazy val q184Sql = {
     s"""WITH p AS (SELECT doc_id, $duckFetchHost AS fetch_host,
        |  $duckHtml AS html FROM documents),
-       |pp AS (SELECT doc_id, html ||
-       |  CASE WHEN doc_id % 13 = 1 THEN '<p>résumé café</p>'
-       |       ELSE '' END AS pay FROM p),
+       |${duckHttpPayload("p", "pp")},
        |${duckWarcChain("pp", "")},
+       |${duckHttpFrame("")},
        |xb AS (SELECT doc_id, n_records, target_uri, warc_date,
-       |  content_length, payload,
-       |  regexp_replace(regexp_replace(regexp_replace(payload,
+       |  content_length, payload, http_status, mime, body,
+       |  regexp_replace(regexp_replace(regexp_replace(body,
        |    '(?s)<[Hh][Ee][Aa][Dd]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Hh][Ee][Aa][Dd]>', ' ', 'g'),
        |    '(?s)<[Ss][Cc][Rr][Ii][Pp][Tt]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Ss][Cc][Rr][Ii][Pp][Tt]>', ' ', 'g'),
-       |    '(?s)<[Ss][Tt][Yy][Ll][Ee]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Ss][Tt][Yy][Ll][Ee]>', ' ', 'g') AS nb FROM fr),
+       |    '(?s)<[Ss][Tt][Yy][Ll][Ee]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Ss][Tt][Yy][Ll][Ee]>', ' ', 'g') AS nb FROM ht),
        |xt AS (SELECT *, regexp_replace(nb, '<[^>]*>', ' ', 'g') AS nt FROM xb),
        |xe AS (SELECT *, regexp_replace(regexp_replace(regexp_replace(
        |  regexp_replace(regexp_replace(regexp_replace(nt,
@@ -4613,7 +4654,10 @@ object SparkEntry {
        |  FROM xt)
        |SELECT doc_id, n_records, target_uri, warc_date, content_length,
        |  coalesce(strlen(payload) = content_length, false) AS length_ok,
-       |  regexp_extract(payload, '<[Tt][Ii][Tt][Ll][Ee]>([^<]*)</[Tt][Ii][Tt][Ll][Ee]>', 1) AS title,
+       |  http_status, mime,
+       |  coalesce(http_status = 200 AND mime = 'text/html', false)
+       |    AS http_ok,
+       |  regexp_extract(body, '<[Tt][Ii][Tt][Ll][Ee]>([^<]*)</[Tt][Ii][Tt][Ll][Ee]>', 1) AS title,
        |  trim(regexp_replace(de, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS text_clean
        |FROM xe""".stripMargin
   }

@@ -824,28 +824,31 @@ object ClusterOps {
     * host read from the `WARC-Target-URI` header (the crawl recorded
     * it there; nothing else in the archive knows it) — before the
     * identical q177 chain (extraction, canonical-URL keep-set, gates,
-    * scrub) runs downstream. The planted malformed chunks
-    * (doc_id%13 ∈ {3,7,11}) therefore drop at the FRAMING verdict,
-    * before extraction ever sees a byte of them, and the %13==1
-    * non-ASCII payload suffix flows INTO the corpus text: the gates
-    * score what was actually framed out of the archive, not what the
-    * page generator planted.
+    * scrub) runs downstream — the pages are the HTTP BODIES, after
+    * the status/content-type gate. The planted malformed chunks
+    * (doc_id%13 ∈ {3,7,11}) therefore drop at the FRAMING verdict
+    * and the 404 (%13==2) / text/plain (%13==5) legs drop at the
+    * HTTP gate — before extraction ever sees a byte of them — while
+    * the %13==1 non-ASCII body suffix flows INTO the corpus text:
+    * the gates score what was actually framed out of the archive,
+    * not what the page generator planted.
     *
-    * Scale shape: q177's plan plus one more zero-exchange projection
-    * (the framing chain) ahead of extraction — no new shuffle class;
-    * the payload column never outlives the projection that extracts
-    * from it.
+    * Scale shape: q177's plan plus two more zero-exchange projections
+    * (the WARC framing and the HTTP split) ahead of extraction — no
+    * new shuffle class; the payload column never outlives the
+    * projection that extracts from it.
     */
   def warcCorpus(documents: DataFrame,
                  minLmAvgFp: Long = 300L,
                  topK: Int = 150): DataFrame = {
     val chunks = graft.ops.HtmlOps.plantedWarcCorpus(
       graft.ops.PiiOps.plantedPiiCorpus(documents))
-    val pages = graft.ops.HtmlOps.warcFrame(chunks, "warc")
-      .filter(col("length_ok"))
+    val pages = graft.ops.HtmlOps.httpFrame(
+        graft.ops.HtmlOps.warcFrame(chunks, "warc"))
+      .filter(col("length_ok") && col("http_ok"))
       .select(col("doc_id"),
         graft.ops.HtmlOps.hostOf(col("target_uri")).as("fetch_host"),
-        col("payload").as("html"))
+        col("body").as("html"))
     corpusFromPages(pages, documents, minLmAvgFp, topK, None)
   }
 

@@ -462,11 +462,20 @@ object HtmlOps {
     *    mid-header ("WARC-Da") with no blank line and no payload —
     *    `warc_date` parses empty, `content_length` null, payload
     *    empty, `length_ok = false`;
-    *  - `%13 == 1`: the payload carries a NON-ASCII suffix
-    *    (`résumé café`, 3 two-byte chars), so its octet length
-    *    exceeds its character length — the leg that proves the
+    *  - `%13 == 1`: the BODY carries a NON-ASCII suffix
+    *    (`résumé café`, 3 two-byte chars), so the payload's octet
+    *    length exceeds its character length — the leg that proves the
     *    Content-Length check counts bytes (`length_ok = true` iff
     *    both sides use octets).
+    *
+    * The payload is a full HTTP RESPONSE MESSAGE (status line +
+    * headers + blank line + body) — what a real WARC `response`
+    * record wraps — with two more verdict legs at the HTTP layer:
+    *  - `%13 == 2`: status `404 Not Found` — the page framed fine
+    *    but the server said no; `http_ok = false`;
+    *  - `%13 == 5`: `Content-Type: text/plain` — not HTML; the
+    *    extractor must never see it; `http_ok = false`.
+    * Everything else is `200 OK` + `text/html; charset=utf-8`.
     */
   def plantedWarcCorpus(documents: DataFrame): DataFrame = {
     val crlf = "\r\n"
@@ -478,9 +487,15 @@ object HtmlOps {
     val date = expr(
       """concat('2026-01-', lpad(cast(1 + doc_id % 28 as string), 2, '0'),
         | 'T00:00:00Z')""".stripMargin.replace("\n", " "))
-    val payload = concat(col("html"),
+    val body = concat(col("html"),
       when(m === 1, lit("<p>résumé café</p>"))
         .otherwise(lit("")))
+    val payload = concat(
+      when(m === 2, lit("HTTP/1.1 404 Not Found" + crlf))
+        .otherwise(lit("HTTP/1.1 200 OK" + crlf)),
+      when(m === 5, lit("Content-Type: text/plain" + crlf))
+        .otherwise(lit("Content-Type: text/html; charset=utf-8" + crlf)),
+      lit(crlf), body)
     val declaredLen =
       (octet_length(payload).cast("long") +
         when(m === 7, lit(7L)).otherwise(lit(0L))).cast("string")
@@ -588,12 +603,47 @@ object HtmlOps {
     * match their declared octet count.
     */
   def warcIngest(chunks: DataFrame, warcCol: String = "warc"): DataFrame =
-    warcFrame(chunks, warcCol)
+    httpFrame(warcFrame(chunks, warcCol))
       .select(
         col("doc_id"), col("n_records"), col("target_uri"),
         col("warc_date"), col("content_length"), col("length_ok"),
-        titleOf(col("payload")).as("title"),
-        extractedText(col("payload")).as("text_clean"))
+        col("http_status"), col("mime"), col("http_ok"),
+        titleOf(col("body")).as("title"),
+        extractedText(col("body")).as("text_clean"))
+
+  /** The HTTP MESSAGE stage inside the WARC payload — what a real
+    * `response` record actually wraps: `HTTP/1.x <status>` line,
+    * headers, blank line, body. Splits the framed payload into
+    * `http_status` (null when no status line), `mime` (the media
+    * type, parameters stripped, scanned over the HEADER BLOCK only —
+    * a body line that happens to start with `Content-Type:` must
+    * never hijack the verdict), `body` (after the first blank line;
+    * a payload with no HTTP message at all passes through whole, so
+    * pre-HTTP archives still extract), and the `http_ok` verdict
+    * (`200` AND `text/html` — the first two gates a real archive
+    * ingest applies before spending extraction on a record). Same
+    * verdict-not-exception contract as the WARC layer: the planted
+    * 404 (`%13==2`) and text/plain (`%13==5`) legs flow through the
+    * oracle as rows. Pure per-row codegen projection — zero
+    * exchanges, scan-bound at 100 TB like the framing itself.
+    */
+  private[graft] def httpFrame(framed: DataFrame): DataFrame = {
+    val pay = col("payload")
+    val isHttp = pay.rlike("^HTTP/1\\.[01] [0-9]{3}")
+    val headers = regexp_extract(pay, "(?s)^(.*?)\r\n\r\n", 1)
+    val mime = lower(trim(regexp_extract(headers,
+      "(?m)^[Cc]ontent-[Tt]ype:[ \\t]*([^;\r\n]+)", 1)))
+    framed
+      .withColumn("http_status", when(isHttp,
+        regexp_extract(pay, "^HTTP/1\\.[01] ([0-9]{3})", 1).cast("int"))
+        .otherwise(lit(null).cast("int")))
+      .withColumn("mime", when(isHttp, mime).otherwise(lit("")))
+      .withColumn("http_ok", coalesce(
+        col("http_status") === 200 && col("mime") === "text/html",
+        lit(false)))
+      .withColumn("body", when(isHttp,
+        regexp_extract(pay, "(?s)\r\n\r\n(.*)$", 1)).otherwise(pay))
+  }
 
   /** Q180's edge derivation: the registrable-domain LINK GRAPH from
     * the fetched pages — one (src_domain → dst_domain) edge per

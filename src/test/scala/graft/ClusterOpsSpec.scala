@@ -421,9 +421,10 @@ class ClusterOpsSpec extends SparkSpec {
     rows.foreach { r =>
       val id = r.getAs[Long]("doc_id")
       // no malformed-archive doc ever reaches the corpus: missing
-      // response (3), length lie (7), truncated header (11)
-      assert(!Set(3L, 7L, 11L).contains(id % 13),
-        s"doc $id passed framing with a corrupt chunk")
+      // response (3), length lie (7), truncated header (11) — and no
+      // HTTP-gated doc either: 404 (2), text/plain (5)
+      assert(!Set(2L, 3L, 5L, 7L, 11L).contains(id % 13),
+        s"doc $id passed framing/HTTP gating with a bad chunk")
       assert(r.getAs[Long]("n_residual") === 0L)
     }
     // the WARC source is a strict page-level subset of the planted
@@ -439,13 +440,13 @@ class ClusterOpsSpec extends SparkSpec {
     // q177's topK (priority ranks shift), but their page verdicts
     // must agree: re-run the ingestion verdict on the framed payloads
     val framedOk = graft.ops.HtmlOps.crawlIngest(
-        graft.ops.HtmlOps.warcFrame(
+        graft.ops.HtmlOps.httpFrame(graft.ops.HtmlOps.warcFrame(
             graft.ops.HtmlOps.plantedWarcCorpus(
-              graft.ops.PiiOps.plantedPiiCorpus(docs)), "warc")
-          .filter(col("length_ok"))
+              graft.ops.PiiOps.plantedPiiCorpus(docs)), "warc"))
+          .filter(col("length_ok") && col("http_ok"))
           .select(col("doc_id"),
             graft.ops.HtmlOps.hostOf(col("target_uri")).as("fetch_host"),
-            col("payload").as("html")),
+            col("body").as("html")),
         baseHostCol = Some("fetch_host"))
       .filter(col("page_ok")).select("doc_id")
       .collect().map(_.getLong(0)).toSet

@@ -912,13 +912,52 @@ class HtmlOpsSpec extends SparkSpec {
     val resp = responseRec("https://a.example/", "<body>hi</body>")
     val out = HtmlOps.warcIngest(warcChunks(
         1L -> (requestRec + resp), 2L -> (resp + requestRec)))
-      .collect().map(r => r.getLong(0) ->
-        (r.getLong(1), r.getString(2), r.getBoolean(5), r.getString(7)))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_records"), r.getAs[String]("target_uri"),
+          r.getAs[Boolean]("length_ok"), r.getAs[String]("text_clean"))))
       .toMap
     // the response is picked by its TYPE HEADER, never by position:
     // both orderings parse identically
     assert(out(1L) === out(2L))
     assert(out(1L) === ((2L, "https://a.example/", true, "hi")))
+  }
+
+  test("httpFrame: status/mime/body split; non-HTTP payloads pass through whole") {
+    val html = "<body>ok</body>"
+    val msg = s"HTTP/1.1 200 OK${crlf}Content-Type: text/html; " +
+      s"charset=utf-8$crlf$crlf$html"
+    val rows = HtmlOps.warcIngest(warcChunks(
+      1L -> responseRec("https://a.example/", msg),
+      // 404: framed fine, gated out
+      2L -> responseRec("https://a.example/",
+        s"HTTP/1.1 404 Not Found${crlf}Content-Type: text/html$crlf$crlf" +
+          "<body>gone</body>"),
+      // not HTML: gated out
+      3L -> responseRec("https://a.example/",
+        s"HTTP/1.1 200 OK${crlf}Content-Type: text/plain$crlf$crlf" +
+          "just text"),
+      // a body LINE starting with Content-Type: must not hijack the
+      // header scan — the mime comes from the HEADER BLOCK only
+      4L -> responseRec("https://a.example/",
+        s"HTTP/1.1 200 OK${crlf}Content-Type: text/html$crlf$crlf" +
+          s"<p>a</p>$crlf" + "Content-Type: text/plain"),
+      // pre-HTTP archive: no status line, the whole payload is body
+      5L -> responseRec("https://a.example/", "<body>old</body>")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Int]("http_status") === 200)
+    assert(rows(1L).getAs[String]("mime") === "text/html")
+    assert(rows(1L).getAs[Boolean]("http_ok"))
+    assert(rows(1L).getAs[String]("text_clean") === "ok")
+    assert(rows(2L).getAs[Int]("http_status") === 404)
+    assert(!rows(2L).getAs[Boolean]("http_ok"))
+    assert(rows(2L).getAs[Boolean]("length_ok")) // framing was fine
+    assert(rows(3L).getAs[String]("mime") === "text/plain")
+    assert(!rows(3L).getAs[Boolean]("http_ok"))
+    assert(rows(4L).getAs[String]("mime") === "text/html")
+    assert(rows(4L).getAs[Boolean]("http_ok"))
+    assert(rows(5L).isNullAt(rows(5L).fieldIndex("http_status")))
+    assert(!rows(5L).getAs[Boolean]("http_ok"))
+    assert(rows(5L).getAs[String]("text_clean") === "old")
   }
 
   test("warcIngest: a chunk with no response record is a verdict, not an error") {
@@ -981,6 +1020,16 @@ class HtmlOpsSpec extends SparkSpec {
       .count() === 0)
     assert(out.filter(col("m") === 11 &&
       (col("warc_date") =!= "" || col("content_length").isNotNull))
+      .count() === 0)
+    // the HTTP legs: 404s and non-HTML fail http_ok (and ONLY they do,
+    // among the well-framed); the malformed WARC legs parse no status
+    assert(out.filter(col("m") === 2 &&
+      (col("http_status") =!= 404 || col("http_ok"))).count() === 0)
+    assert(out.filter(col("m") === 5 &&
+      (col("mime") =!= "text/plain" || col("http_ok"))).count() === 0)
+    assert(out.filter(!col("m").isin(2, 3, 5, 11) && !col("http_ok"))
+      .count() === 0)
+    assert(out.filter(col("m").isin(3, 11) && col("http_status").isNotNull)
       .count() === 0)
   }
 }
