@@ -4945,41 +4945,57 @@ object SparkEntry {
        |    cast((generate_series + i) % 11 AS varchar),
        |    '</loc><lastmod>2026-01-',
        |    lpad(cast(1 + (generate_series + i) % 28 AS varchar), 2, '0'),
-       |    '</lastmod></url>')), ''), '</urlset>') AS xml
+       |    '</lastmod></url>')), ''),
+       |  '<url><loc>https://w', cast(generate_series % 7 AS varchar),
+       |  '.s', cast(generate_series AS varchar), '.example/p/',
+       |  cast(generate_series % 11 AS varchar),
+       |  '</loc><lastmod>2026-01-',
+       |  lpad(cast(1 + (generate_series + 14) % 28 AS varchar), 2, '0'),
+       |  '</lastmod></url>',
+       |  '</urlset>') AS xml
        |  FROM generate_series(0, 12)),
        |sl0 AS (SELECT unnest(regexp_extract_all(xml,
-       |  '<[Ll][Oo][Cc]>([^<]*)</[Ll][Oo][Cc]>', 1)) AS url FROM sm),
-       |sl AS (SELECT *, row_number() OVER () AS rid FROM sl0),
-       |sh AS (SELECT rid, url,
+       |  '(?s)<[Uu][Rr][Ll]>.*?</[Uu][Rr][Ll]>', 0)) AS e FROM sm),
+       |sl1 AS (SELECT
+       |  regexp_extract(e, '<[Ll][Oo][Cc]>([^<]*)</[Ll][Oo][Cc]>', 1)
+       |    AS url,
+       |  regexp_extract(e,
+       |    '<[Ll][Aa][Ss][Tt][Mm][Oo][Dd]>([^<]*)</[Ll][Aa][Ss][Tt][Mm][Oo][Dd]>',
+       |    1) AS lastmod FROM sl0),
+       |sl AS (SELECT *, row_number() OVER () AS rid FROM sl1
+       |  WHERE url <> ''),
+       |sh AS (SELECT rid, url, lastmod,
        |  regexp_extract(url, '^(?i)(?:https?:)?//([^/?#]+)', 1) AS host
        |  FROM sl),
-       |sc2 AS (SELECT rid, url, host, ${duckDomainOf("host")} AS domain
-       |  FROM sh WHERE host <> ''),
+       |sc2 AS (SELECT rid, url, lastmod, host, ${duckDomainOf("host")}
+       |  AS domain FROM sh WHERE host <> ''),
        |sb AS (SELECT * FROM sc2
        |  WHERE domain NOT IN ('s2.example', 's5.example', 's11.example')),
        |spt AS (SELECT *, ${duckPathOf("url")} AS path FROM sb),
-       |smg AS (SELECT p.rid, p.url, p.domain, r.allow,
+       |smg AS (SELECT p.rid, p.url, p.lastmod, p.domain, r.allow,
        |  row_number() OVER (PARTITION BY p.rid
        |    ORDER BY coalesce(strlen(r.prefix), -1) DESC,
        |             r.allow DESC) AS rn
        |  FROM spt p LEFT JOIN rru r ON r.domain = p.domain
        |    AND starts_with(p.path, r.prefix)),
-       |sg AS (SELECT url, domain FROM smg
+       |sg AS (SELECT url, lastmod, domain FROM smg
        |  WHERE rn = 1 AND coalesce(allow, true)),
        |scand AS (SELECT ${duckCanonOf("url")} AS canon,
        |  min(url) AS url, min(domain) AS domain,
-       |  CAST(count(*) AS BIGINT) AS n_refs FROM sg GROUP BY 1),
+       |  CAST(count(*) AS BIGINT) AS n_refs,
+       |  min(lastmod) AS lastmod FROM sg GROUP BY 1),
        |sstored AS (SELECT DISTINCT ${duckCanonOf("u")} AS canon
        |  FROM (SELECT $duckDirtyUrl AS u FROM documents)),
        |sfresh AS (SELECT c.* FROM scand c
        |  ANTI JOIN sstored s USING (canon)),
        |sranks AS (SELECT domain, pr FROM (${hostRankSql()})),
-       |sj AS (SELECT f.canon, f.url, f.domain, f.n_refs,
+       |sj AS (SELECT f.canon, f.url, f.domain, f.n_refs, f.lastmod,
        |  coalesce(r.pr, 0) AS pr FROM sfresh f
        |  LEFT JOIN sranks r ON r.domain = f.domain),
        |sfs AS (SELECT *, row_number() OVER (PARTITION BY domain
-       |  ORDER BY n_refs DESC, canon ASC) AS slot FROM sj)
-       |SELECT canon, url, domain, n_refs, pr, CAST(slot AS INT) AS slot
+       |  ORDER BY lastmod ASC, canon ASC) AS slot FROM sj)
+       |SELECT canon, url, domain, n_refs, lastmod, pr,
+       |  CAST(slot AS INT) AS slot
        |FROM sfs WHERE slot <= 10""".stripMargin
 
   /** The q196 oracle — the planted fetch log regenerated (first

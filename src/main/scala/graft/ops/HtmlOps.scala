@@ -957,7 +957,11 @@ object HtmlOps {
     * dirty-URL corpus has already fetched (every (w, s, p) residue
     * combo under 385 is a fetched canonical key), so their seeds
     * must die at the anti-join; `s5`-`s12` pages are genuinely new
-    * and flow to the blocklist/robots/cap stages.
+    * and flow to the blocklist/robots/cap stages. An ELEVENTH entry
+    * duplicates entry 0's loc with a DIFFERENT lastmod (+14 days mod
+    * 28 — never equal), the planted collision: the per-canon lastmod
+    * aggregation must pick the STALEST declaration, and the
+    * stale-first cap ordering is observable on the merged seed.
     */
   def plantedSitemaps(spark: org.apache.spark.sql.SparkSession): DataFrame =
     spark.range(13).select(
@@ -971,6 +975,12 @@ object HtmlOps {
           |  '</loc><lastmod>2026-01-',
           |  lpad(cast(1 + (id + i) % 28 as string), 2, '0'),
           |  '</lastmod></url>')), ''),
+          | '<url><loc>https://w', cast(id % 7 as string),
+          | '.s', cast(id as string), '.example/p/',
+          | cast(id % 11 as string),
+          | '</loc><lastmod>2026-01-',
+          | lpad(cast(1 + (id + 14) % 28 as string), 2, '0'),
+          | '</lastmod></url>',
           | '</urlset>')""".stripMargin.replace("\n", " "))
         .as("xml"))
 
@@ -982,20 +992,36 @@ object HtmlOps {
     * an unparseable loc drops); then blocklist, the robots gate
     * (publishers list pages their robots rules exclude more often
     * than you'd hope), the anti-join against the maintained key set,
-    * rank priority, and the per-domain cap — the SAME
-    * [[frontierFromLinks]] tail as q187/q191, so sitemap seeds and
-    * link candidates can never disagree about admission semantics.
+    * rank priority, and the per-domain cap — the SAME [[frontierTail]]
+    * as q187/q191, so sitemap seeds and link candidates can never
+    * disagree about admission semantics. The `<lastmod>` element is
+    * CARRIED, not discarded: per canonical seed the STALEST declared
+    * modification survives (min — a publisher listing the same loc
+    * twice is telling you how long it has really been), and the
+    * per-domain cap orders STALE-FIRST (lastmod asc, canon tiebreak)
+    * — the natural staleness priority for seeding; an entry with no
+    * lastmod ('' sorts lowest) is treated as maximally stale,
+    * conservative for coverage. The planted dup-loc leg makes both
+    * the aggregation and the ordering oracle-observable.
     *
     * Scale shape: sitemaps are domain-vocabulary-sized inputs; the
-    * extraction is a projection + explode, and everything downstream
-    * is the frontier tail's one canon exchange + broadcast joins.
+    * extraction is a projection + two regex pulls per entry, and
+    * everything downstream is the frontier tail's one canon exchange
+    * + broadcast joins.
     */
   def sitemapSeeds(sitemaps: DataFrame, scope: graft.core.Scope,
                    name: String, ranks: DataFrame, rules: DataFrame,
                    kPerDomain: Int = 10): DataFrame = {
     val locs = sitemaps
       .select(explode(regexp_extract_all(coalesce(col("xml"), lit("")),
-        lit("<[Ll][Oo][Cc]>([^<]*)</[Ll][Oo][Cc]>"), lit(1))).as("url"))
+        lit("(?s)<[Uu][Rr][Ll]>.*?</[Uu][Rr][Ll]>"), lit(0))).as("e"))
+      .select(
+        regexp_extract(col("e"),
+          "<[Ll][Oo][Cc]>([^<]*)</[Ll][Oo][Cc]>", 1).as("url"),
+        regexp_extract(col("e"),
+          "<[Ll][Aa][Ss][Tt][Mm][Oo][Dd]>([^<]*)</[Ll][Aa][Ss][Tt][Mm][Oo][Dd]>",
+          1).as("lastmod"))
+      .filter(col("url") =!= "")
       .withColumn("host", hostOf(col("url")))
       .filter(col("host") =!= "")
       .withColumn("domain", graft.ops.PiiOps.registrableDomain(col("host")))
@@ -1003,7 +1029,15 @@ object HtmlOps {
       .filter(!col("blocked")).drop("blocked")
     val allowed = robotsGate(unblocked, rules)
       .filter(col("allowed")).drop("path", "allowed", "rule_len")
-    frontierFromLinks(allowed, scope, name, ranks, kPerDomain)
+    val cands = allowed
+      .withColumn("canon", canonicalUrl(col("url")))
+      .groupBy(col("canon"))
+      .agg(min(col("url")).as("url"), min(col("domain")).as("domain"),
+        count(lit(1)).cast("long").as("n_refs"),
+        min(col("lastmod")).as("lastmod"))
+    frontierTail(cands, scope, name, ranks, kPerDomain,
+      orderBy = Seq(col("lastmod").asc, col("canon").asc),
+      extra = Seq("lastmod"))
   }
 
   /** Q198's fixture: per-domain crawl delays (seconds) as a parsed
@@ -1379,8 +1413,6 @@ object HtmlOps {
   private def frontierFromLinks(links: DataFrame, scope: graft.core.Scope,
                                 name: String, ranks: DataFrame,
                                 kPerDomain: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(kPerDomain > 0, s"kPerDomain must be positive: $kPerDomain")
     val cands = links
       .withColumn("url", resolvedUrl(col("url"), col("host")))
       .withColumn("canon", canonicalUrl(col("url")))
@@ -1388,7 +1420,26 @@ object HtmlOps {
       .agg(min(col("url")).as("url"), // a representative FETCHABLE form
         min(col("domain")).as("domain"), // constant per canon (same host)
         count(lit(1)).cast("long").as("n_refs"))
-    val stored = loadUrlKeys(links.sparkSession, scope, name)
+    frontierTail(cands, scope, name, ranks, kPerDomain,
+      orderBy = Seq(col("n_refs").desc, col("canon").asc),
+      extra = Seq.empty)
+  }
+
+  /** The shared frontier ADMISSION TAIL over an aggregated candidate
+    * table (canon, url, domain, n_refs, extra…): the anti-join
+    * against the maintained key set (bucketed — the stored side joins
+    * exchange-free), the broadcast rank join, and the per-domain
+    * politeness cap under the CALLER'S ordering — link discovery
+    * prioritizes by reference count, sitemap seeding by declared
+    * staleness; the admission semantics stay one implementation.
+    */
+  private def frontierTail(cands: DataFrame, scope: graft.core.Scope,
+                           name: String, ranks: DataFrame,
+                           kPerDomain: Int, orderBy: Seq[Column],
+                           extra: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(kPerDomain > 0, s"kPerDomain must be positive: $kPerDomain")
+    val stored = loadUrlKeys(cands.sparkSession, scope, name)
       .select(col("canon").as("canon_fetched"))
     val fresh = cands.join(stored,
       col("canon") === col("canon_fetched"), "left_anti")
@@ -1396,12 +1447,11 @@ object HtmlOps {
       .join(broadcast(ranks.select(col("domain"), col("pr"))),
         Seq("domain"), "left")
       .withColumn("pr", coalesce(col("pr"), lit(0L)))
-    val w = Window.partitionBy(col("domain"))
-      .orderBy(col("n_refs").desc, col("canon").asc)
+    val w = Window.partitionBy(col("domain")).orderBy(orderBy: _*)
     ranked.withColumn("slot", row_number().over(w))
       .filter(col("slot") <= kPerDomain)
-      .select(col("canon"), col("url"), col("domain"),
-        col("n_refs"), col("pr"), col("slot").cast("int").as("slot"))
+      .select((Seq("canon", "url", "domain", "n_refs") ++ extra)
+        .map(col) ++ Seq(col("pr"), col("slot").cast("int").as("slot")): _*)
   }
 
   /** Q190's fixture: parsed robots-exclusion rules for the planted

@@ -659,14 +659,34 @@ class HtmlOpsSpec extends SparkSpec {
       assert(byDomain("s6.example") === 10)
       assert(byDomain("s10.example") === 10)
       assert(byDomain("s7.example") === 10)
+      // LASTMOD is carried and decides: within every domain, slots
+      // run stale-first (lastmod asc, canon tiebreak)
+      out.groupBy(_.getString(2)).values.foreach { g =>
+        val bySlot = g.sortBy(_.getAs[Int]("slot"))
+          .map(r => (r.getAs[String]("lastmod"), r.getAs[String]("canon")))
+        assert(bySlot.sameElements(bySlot.sorted), bySlot.toSeq)
+      }
+      // the planted dup-loc collision (s12's /p/1 listed twice): both
+      // occurrences merge into one seed, the STALEST declaration
+      // survives (min — not the +14d dup), and the refs count says 2
+      val dup = out.find(r => r.getString(2) == "s12.example" &&
+        r.getAs[String]("canon").endsWith("/p/1")).get
+      assert(dup.getAs[Long]("n_refs") === 2L)
+      assert(dup.getAs[String]("lastmod") === "2026-01-13")
+      // ... and lastmod CHANGES the kept order: s8's stalest seed is
+      // /p/10 (2026-01-11 < /p/1's 2026-01-13), where the canon
+      // tiebreak alone would have put /p/1 first
+      val s8 = out.filter(_.getString(2) == "s8.example")
+        .sortBy(_.getAs[Int]("slot"))
+      assert(s8.head.getAs[String]("canon").endsWith("/p/10"), s8.toSeq)
       // the rank join is real: surviving seeds carry their domain's
       // epoch rank, not the left-join zero fallback
       val ranks = graft.ops.GraphOps.domainRank(
           HtmlOps.domainEdges(pages)).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       out.foreach(r => assert(
-        r.getLong(4) === ranks.getOrElse(r.getString(2), 0L), r))
-      assert(out.exists(_.getLong(4) > 0L))
+        r.getAs[Long]("pr") === ranks.getOrElse(r.getString(2), 0L), r))
+      assert(out.exists(_.getAs[Long]("pr") > 0L))
       // ... and the politeness cap actually DROPS under a tighter k
       val capped = HtmlOps.sitemapSeeds(HtmlOps.plantedSitemaps(spark),
           scope, "keys",
