@@ -1817,6 +1817,13 @@ object SparkEntry {
     // read from the artifact — q196's semantics with the reduction
     // maintained instead of recomputed
     "q200_fetchlog_artifact" -> (fetchLogWaveQuery _),
+    // anchor-boosted frontier (q201): q191's polite wave with the
+    // q194 anchor-term signal reordering the politeness slots —
+    // boost-term targets outrank reference count within a domain
+    "q201_anchor_frontier" -> ((s, dir) => HtmlOps.anchorBoostedFrontier(
+      HtmlOps.plantedHtmlCorpus(t(s, dir, "documents")),
+      frontierScope(s, dir), "urlkeys", epochRanks(s, dir),
+      HtmlOps.plantedRobotsRules(s))),
   )
 
   private val q192Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -4509,6 +4516,9 @@ object SparkEntry {
     // maintained fetch log: the raw-log reduction replayed — the
     // artifact is layout, not semantics (q196's oracle verbatim)
     "q200_fetchlog_artifact" -> q196Sql,
+    // anchor-boosted frontier: the q191 chain re-capped under the
+    // anchor-score ordering, scores from the embedded q194 replay
+    "q201_anchor_frontier" -> q201Sql,
     // wave scheduling: the q191 wave joined to the regenerated delay
     // table, (slot-1) x delay with the default fallback
     "q198_wave_schedule" -> q198Sql,
@@ -4887,6 +4897,27 @@ object SparkEntry {
        |  ORDER BY n_refs DESC, canon ASC) AS slot FROM ${pfx}j)"""
       .stripMargin
   }
+
+  /** The q201 oracle — the q191 frontier chain reused up to its
+    * pre-window stage (`fj`), the q194 anchor replay embedded as a
+    * subquery and aggregated to a per-canon boost score over the
+    * planted boost term, and the per-domain cap re-ranked under
+    * (anchor_score desc, n_refs desc, canon).
+    */
+  private lazy val q201Sql =
+    s"""WITH $duckRobotsRuleCtes,
+       |${frontierCtes("f", robots = true)},
+       |bsc AS (SELECT canon, CAST(sum(n) AS BIGINT) AS anchor_score
+       |  FROM (${q194Sql}) WHERE term = 'ref' GROUP BY 1),
+       |bj2 AS (SELECT j.canon, j.url, j.domain, j.n_refs,
+       |  coalesce(b.anchor_score, 0) AS anchor_score, j.pr
+       |  FROM fj j LEFT JOIN bsc b USING (canon)),
+       |bfs AS (SELECT *, row_number() OVER (PARTITION BY domain
+       |  ORDER BY anchor_score DESC, n_refs DESC, canon ASC) AS slot
+       |  FROM bj2)
+       |SELECT canon, url, domain, n_refs, anchor_score, pr,
+       |  CAST(slot AS INT) AS slot
+       |FROM bfs WHERE slot <= 10""".stripMargin
 
   /** The q194 oracle — anchor elements matched whole, href and
     * tag-stripped text per element, targets resolved and

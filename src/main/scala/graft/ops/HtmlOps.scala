@@ -949,6 +949,50 @@ object HtmlOps {
       .agg(count(lit(1)).cast("long").as("n"))
   }
 
+  /** Q201: the ANCHOR-BOOSTED frontier — q194's weak-label signal
+    * finally feeding the decision it was mined for: candidates whose
+    * incoming anchor text carries the caller's boost terms (what the
+    * web CALLS the page — "download", "paper", "dataset", whatever
+    * the pipeline hunts) outrank same-domain candidates on reference
+    * count alone. The wave is q191's polite admission (blocklist →
+    * robots → anti-join → rank) with the per-domain cap ordered by
+    * (anchor_score desc, n_refs desc, canon) — the boost REORDERS
+    * politeness slots, it never bypasses admission.
+    *
+    * Scale shape: q191's plan plus the q194 anchor aggregation; the
+    * score join is canon-keyed on BOTH sides of one hash partition
+    * family (the candidate agg and the anchor agg shuffle on the
+    * same key), and the boost-term filter thins the anchor side to
+    * the term vocabulary before its aggregate.
+    */
+  def anchorBoostedFrontier(pages: DataFrame, scope: graft.core.Scope,
+                            name: String, ranks: DataFrame,
+                            rules: DataFrame,
+                            boostTerms: Seq[String] = Seq("ref"),
+                            kPerDomain: Int = 10): DataFrame = {
+    require(boostTerms.nonEmpty, "boostTerms must not be empty")
+    val links = htmlOutlinks(pages, baseHostCol = Some("fetch_host"))
+      .filter(!col("blocked") && col("host") =!= "")
+    val gated = robotsGate(links.withColumn("url",
+        resolvedUrl(col("url"), col("host"))), rules)
+      .filter(col("allowed")).drop("path", "allowed", "rule_len")
+    val cands0 = gated
+      .withColumn("canon", canonicalUrl(col("url")))
+      .groupBy(col("canon"))
+      .agg(min(col("url")).as("url"), min(col("domain")).as("domain"),
+        count(lit(1)).cast("long").as("n_refs"))
+    val scores = anchorTerms(pages)
+      .filter(col("term").isin(boostTerms: _*))
+      .groupBy(col("canon"))
+      .agg(sum(col("n")).cast("long").as("anchor_score"))
+    val cands = cands0.join(scores, Seq("canon"), "left")
+      .withColumn("anchor_score", coalesce(col("anchor_score"), lit(0L)))
+    frontierTail(cands, scope, name, ranks, kPerDomain,
+      orderBy = Seq(col("anchor_score").desc, col("n_refs").desc,
+        col("canon").asc),
+      extra = Seq("anchor_score"))
+  }
+
   /** Q197's fixture: one sitemap XML document per planted domain
     * (`s0.example` … `s12.example`), ten `<url><loc>…</loc>
     * <lastmod>…</lastmod></url>` entries each, every varying field a

@@ -122,6 +122,7 @@ object PlanAudit {
     "q198_wave_schedule",  // q191's plan + one broadcast delay join (parsed delays)
     "q199_robots_parse",   // vocab-sized parse: split/filter/extract projection
     "q200_fetchlog_artifact", // artifact-read due set: reduced scan + rank + cap
+    "q201_anchor_frontier", // polite wave + anchor score join, re-ranked cap
     "q10_event_window")   // normalized-ts scan straight into windowed agg
 
   def main(args: Array[String]): Unit = {

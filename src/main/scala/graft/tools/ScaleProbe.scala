@@ -169,7 +169,10 @@ object ScaleProbe {
     // maintained fetch log: seed reduction + one O(batch) bucket
     // upsert + the artifact-read due set — the read side scans one
     // already-reduced row per key
-    "q200_fetchlog_artifact")
+    "q200_fetchlog_artifact",
+    // anchor-boosted frontier: q191's exchanges + the q194 anchor agg
+    // + one canon-co-partitioned score join — expected q191 + q194
+    "q201_anchor_frontier")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

@@ -700,6 +700,56 @@ class HtmlOpsSpec extends SparkSpec {
     }
   }
 
+  test("anchorBoostedFrontier (q201): anchor terms reorder politeness slots, never admission") {
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft-anchor-fr-")
+    try {
+      val scope = graft.core.Scopes.create(spark, base.toString)
+      HtmlOps.saveUrlKeys(HtmlOps.plantedDirtyUrlCorpus(docs), scope, "keys")
+      val pages = HtmlOps.plantedHtmlCorpus(docs)
+      val ranks = graft.ops.GraphOps.domainRank(HtmlOps.domainEdges(pages))
+      val rules = HtmlOps.plantedRobotsRules(spark)
+      val boosted = HtmlOps.anchorBoostedFrontier(pages, scope, "keys",
+        ranks, rules).collect()
+      assert(boosted.nonEmpty)
+      // the signal lands where planted: /r/ targets are anchored
+      // "Ref <id>" (term 'ref' — boosted), /p/ and /nav are not
+      boosted.foreach { r =>
+        val expect = if (r.getAs[String]("canon").contains("/r/")) 1L else 0L
+        assert(r.getAs[Long]("anchor_score") === expect, r.toString)
+      }
+      // within every domain the boost ORDERS the slots: all boosted
+      // candidates come before every unboosted one
+      boosted.groupBy(_.getAs[String]("domain")).values.foreach { g =>
+        val scoresBySlot = g.sortBy(_.getAs[Int]("slot"))
+          .map(_.getAs[Long]("anchor_score"))
+        assert(scoresBySlot.sameElements(scoresBySlot.sorted.reverse), g.toSeq)
+      }
+      // the boost CHANGES at least one domain's first slot vs the
+      // plain polite wave — the composition is observable, not inert
+      val polite = HtmlOps.politeFrontier(pages, scope, "keys",
+        ranks, rules).collect()
+      def slot1(rows: Array[org.apache.spark.sql.Row]) = rows
+        .filter(_.getAs[Int]("slot") == 1)
+        .map(r => r.getAs[String]("domain") -> r.getAs[String]("canon"))
+        .toMap
+      val flips = slot1(boosted).toSet -- slot1(polite).toSet
+      assert(flips.nonEmpty, "anchor signal changed no slot")
+      // ... and admission is untouched: boosting never smuggles in a
+      // candidate the polite pipeline would not admit (same per-domain
+      // candidate pool, compared uncapped)
+      val uncappedB = HtmlOps.anchorBoostedFrontier(pages, scope, "keys",
+        ranks, rules, kPerDomain = Int.MaxValue)
+        .select("canon").collect().map(_.getString(0)).toSet
+      val uncappedP = HtmlOps.politeFrontier(pages, scope, "keys",
+        ranks, rules, kPerDomain = Int.MaxValue)
+        .select("canon").collect().map(_.getString(0)).toSet
+      assert(uncappedB === uncappedP)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("parseRobotsRules/parseCrawlDelays (q199): raw robots bytes parse to the planted tables") {
     import spark.implicits._
     val txt = HtmlOps.plantedRobotsTxt(spark)
