@@ -921,7 +921,19 @@ object HtmlOps {
     * rows by total anchor tokens — never all-pairs anything.
     */
   def anchorTerms(pages: DataFrame, htmlCol: String = "html",
-                  baseHostCol: String = "fetch_host"): DataFrame = {
+                  baseHostCol: String = "fetch_host"): DataFrame =
+    anchorTermRows(pages, htmlCol, baseHostCol)
+      .groupBy(col("canon"), col("term"))
+      .agg(count(lit(1)).cast("long").as("n"))
+
+  /** The pre-aggregation (canon, term) occurrence rows behind
+    * [[anchorTerms]] — exposed separately so a consumer hunting for
+    * SPECIFIC terms ([[anchorBoostedFrontier]]) can filter BEFORE the
+    * exchange: the shuffle then carries only the boost-term rows, not
+    * the whole anchor vocabulary.
+    */
+  private def anchorTermRows(pages: DataFrame, htmlCol: String,
+                             baseHostCol: String): DataFrame = {
     val elems = regexp_extract_all(coalesce(col(htmlCol), lit("")),
       lit("(?s)<[Aa]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Aa]>"), lit(0))
     // href from the START TAG only — an href="…" substring in the
@@ -945,8 +957,6 @@ object HtmlOps {
         explode(split(lower(col("anchor")),
           "[ \\t\\n\\x0B\\f\\r]+")).as("term"))
       .filter(col("term") =!= "")
-      .groupBy(col("canon"), col("term"))
-      .agg(count(lit(1)).cast("long").as("n"))
   }
 
   /** Q201: the ANCHOR-BOOSTED frontier — q194's weak-label signal
@@ -981,10 +991,15 @@ object HtmlOps {
       .groupBy(col("canon"))
       .agg(min(col("url")).as("url"), min(col("domain")).as("domain"),
         count(lit(1)).cast("long").as("n_refs"))
-    val scores = anchorTerms(pages)
+    // term filter BELOW the exchange: only boost-term occurrences
+    // shuffle, never the full anchor vocabulary. (Measured honestly:
+    // at sf1 the win is small — the anchor REGEX SCAN dominates this
+    // composition, not the shuffle — but at 100 TB the difference is
+    // shuffling a handful of terms vs every token on the web.)
+    val scores = anchorTermRows(pages, "html", "fetch_host")
       .filter(col("term").isin(boostTerms: _*))
       .groupBy(col("canon"))
-      .agg(sum(col("n")).cast("long").as("anchor_score"))
+      .agg(count(lit(1)).cast("long").as("anchor_score"))
     val cands = cands0.join(scores, Seq("canon"), "left")
       .withColumn("anchor_score", coalesce(col("anchor_score"), lit(0L)))
     frontierTail(cands, scope, name, ranks, kPerDomain,
