@@ -5175,9 +5175,10 @@ object SparkEntry {
        |      ELSE '' END) AS txt
        |  FROM generate_series(0, 12)),
        |rbody AS (SELECT domain,
-       |  coalesce(list_filter(string_split(txt, 'User-agent: '),
-       |    s -> starts_with(s, '*'))[1], '') AS body FROM rtxt)"""
-      .stripMargin
+       |  coalesce(array_to_string(
+       |    list_filter(string_split(txt, 'User-agent: '),
+       |      s -> starts_with(s, '*')), chr(10)), '') AS body
+       |  FROM rtxt)""".stripMargin
   }
 
   /** The q199 oracle — the raw robots bytes regenerated, the star
@@ -5207,7 +5208,7 @@ object SparkEntry {
        |  (SELECT domain, regexp_extract(body,
        |     '(?m)^[Cc]rawl-[Dd]elay:[ \t]*([0-9]+)$$', 1) AS ds
        |   FROM rbody)
-       |  WHERE ds <> '')""".stripMargin
+       |  WHERE ds <> '' AND CAST(ds AS BIGINT) >= 1)""".stripMargin
 
   /** HtmlOps.plantedRobotsRules regenerated from `generate_series` —
     * the `rru` CTE both robots oracles (q190, q191) join against.

@@ -720,9 +720,11 @@ object BpeOps {
     val token = batchId.getOrElse(batchCounts
       .agg(expr("coalesce(bit_xor(xxhash64(w, cnt)), 0L)"))
       .head().getLong(0))
-    val applied = readRefreshToken(spark,
+    // "replayed" = this batch's token already rides the live counts:
+    // the merge ran on a previous attempt and must not run again
+    val replayed = readRefreshToken(spark,
       scope.path(s"$name/counts/$refreshTokenFile")).contains(token)
-    if (!applied) {
+    if (!replayed) {
       val merged = spark.read.parquet(scope.path(s"$name/counts"))
         .select(col("w"), col("cnt"))
         .unionByName(batchCounts)
@@ -742,7 +744,7 @@ object BpeOps {
       .parquet(scope.path(s"$name/rows-next"))
     graft.io.Layout.swapInto(spark, scope.path(s"$name/rows-next"),
       scope.path(s"$name/rows"))
-    !applied
+    !replayed
   }
 
   // hidden from parquet listings (leading underscore) so it can ride

@@ -690,8 +690,13 @@ object HtmlOps {
     * Rows land partitioned by `bucket` = hash(key) mod `n_buckets`
     * (the q137 band-artifact convention: the artifact, not the caller,
     * records its own geometry), so an ingest append touches only the
-    * buckets its keys hash to and a compaction (q139's tool) can run
-    * bucket-by-bucket. CONTRACT: ingest batches arrive in fetch order
+    * buckets its keys hash to. COMPACTION CAVEAT: the rows are also
+    * Spark-BUCKETED (see [[loadUrlKeys]]), so a compaction must write
+    * THROUGH the table (INSERT OVERWRITE preserves the bucket-id file
+    * naming) — a plain-parquet rewrite
+    * ([[graft.io.Layout]]'s q139 tool) would strip the bucket
+    * suffixes the catalog registration declares and break reads.
+    * CONTRACT: ingest batches arrive in fetch order
     * (every id in a batch exceeds every stored id) — that is what
     * makes the incremental artifact equal the batch q174 recompute,
     * and it is the physical truth of a crawl frontier.
@@ -728,33 +733,55 @@ object HtmlOps {
     * table over the same files); the bucket count comes from the
     * artifact's own meta, the q137 self-describing convention.
     */
+  // ensured (process, rowsPath) registrations — the name is
+  // deterministic, so after the first ensure every frontier call and
+  // streaming micro-batch skips the catalog round-trips entirely
+  private val keyTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def registerKeyTable(spark: org.apache.spark.sql.SparkSession,
                                scope: graft.core.Scope, name: String,
                                recreate: Boolean = false): String = {
     val rowsPath = scope.path(s"$name/rows")
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(rowsPath.getBytes("UTF-8"))
-      .take(8).map(b => f"$b%02x").mkString
-    val tbl = s"graft_urlkeys_$digest"
-    if (recreate) spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    if (!spark.catalog.tableExists(tbl)) {
-      val nBuckets = graft.core.Scopes.readMeta(spark, scope,
-        s"$name/meta")("n_buckets")
-      // a fresh save registers the table BEFORE the first insert —
-      // the location must exist for registration + partition recovery
+    def ensure(): String = {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(rowsPath.getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString
+      val tbl = s"graft_urlkeys_$digest"
       val p = new org.apache.hadoop.fs.Path(rowsPath)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
-      spark.sql(
-        s"""CREATE TABLE $tbl (canon STRING, doc_id BIGINT, bucket INT)
-           |USING PARQUET
-           |PARTITIONED BY (bucket)
-           |CLUSTERED BY (canon) INTO $nBuckets BUCKETS
-           |LOCATION '$rowsPath'""".stripMargin)
-      // a re-registration (fresh session over an existing artifact)
-      // must discover the partitions the writing session created
-      spark.sql(s"MSCK REPAIR TABLE $tbl")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a RE-SAVE must start empty: DROP TABLE on an external table
+      // keeps the files, and MSCK would resurrect the old rows under
+      // the new registration — the append-not-overwrite bug a crashed
+      // seeding rerun would otherwise hit silently
+      if (recreate) {
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        if (fs.exists(p)) fs.delete(p, true)
+      } else if (spark.catalog.tableExists(tbl) && !fs.exists(p)) {
+        // a stale registration whose scope directory was deleted out
+        // from under it heals instead of serving a dead location
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      }
+      if (!spark.catalog.tableExists(tbl)) {
+        val nBuckets = graft.core.Scopes.readMeta(spark, scope,
+          s"$name/meta")("n_buckets")
+        // registration precedes the first insert — the location must
+        // exist for registration + partition recovery
+        fs.mkdirs(p)
+        spark.sql(
+          s"""CREATE TABLE $tbl (canon STRING, doc_id BIGINT, bucket INT)
+             |USING PARQUET
+             |PARTITIONED BY (bucket)
+             |CLUSTERED BY (canon) INTO $nBuckets BUCKETS
+             |LOCATION '$rowsPath'""".stripMargin)
+        // a re-registration (fresh session over an existing artifact)
+        // must discover the partitions the writing session created
+        spark.sql(s"MSCK REPAIR TABLE $tbl")
+      }
+      tbl
     }
-    tbl
+    if (recreate) { val t = ensure(); keyTableCache.put(rowsPath, t); t }
+    else keyTableCache.computeIfAbsent(rowsPath, _ => ensure())
   }
 
   /** O(batch) ingest of a new fetch wave (q59's anti-join shape):
@@ -873,20 +900,28 @@ object HtmlOps {
     */
   def politeFrontier(pages: DataFrame, scope: graft.core.Scope,
                      name: String, ranks: DataFrame, rules: DataFrame,
-                     kPerDomain: Int = 10): DataFrame = {
+                     kPerDomain: Int = 10): DataFrame =
+    frontierFromLinks(politeGatedLinks(pages, rules), scope, name,
+      ranks, kPerDomain)
+
+  /** The shared q191/q201 admission HEAD: attributable unblocked
+    * outlinks, RESOLVED, then robots-gated. Gating the RESOLVED
+    * candidate is the invariant: a path-relative href has no path of
+    * its own, so gating it raw would slip it past every '/'-anchored
+    * disallow and then schedule the resolved, fetchable form — the
+    * robots decision must see the URL the crawler would actually
+    * fetch. One implementation so the polite and anchor-boosted
+    * frontiers can never diverge on it ([[crawlFunnel]] keeps its own
+    * flag-carrying variant — it must COUNT the gated, not drop them).
+    */
+  private def politeGatedLinks(pages: DataFrame,
+                               rules: DataFrame): DataFrame = {
     val links = htmlOutlinks(pages, baseHostCol = Some("fetch_host"))
       .filter(!col("blocked") && col("host") =!= "")
-    // gate the RESOLVED candidate: a path-relative href has no path
-    // of its own, so gating it raw would slip it past every
-    // '/'-anchored disallow and then schedule the resolved, fetchable
-    // form — the robots decision must see the URL the crawler would
-    // actually fetch
-    frontierFromLinks(
-      robotsGate(links.withColumn("url",
-          resolvedUrl(col("url"), col("host"))), rules)
-        .filter(col("allowed"))
-        .drop("path", "allowed", "rule_len"),
-      scope, name, ranks, kPerDomain)
+    robotsGate(links.withColumn("url",
+        resolvedUrl(col("url"), col("host"))), rules)
+      .filter(col("allowed"))
+      .drop("path", "allowed", "rule_len")
   }
 
   /** The shared q187/q191 frontier tail over a candidate LINK table
@@ -981,12 +1016,7 @@ object HtmlOps {
                             boostTerms: Seq[String] = Seq("ref"),
                             kPerDomain: Int = 10): DataFrame = {
     require(boostTerms.nonEmpty, "boostTerms must not be empty")
-    val links = htmlOutlinks(pages, baseHostCol = Some("fetch_host"))
-      .filter(!col("blocked") && col("host") =!= "")
-    val gated = robotsGate(links.withColumn("url",
-        resolvedUrl(col("url"), col("host"))), rules)
-      .filter(col("allowed")).drop("path", "allowed", "rule_len")
-    val cands0 = gated
+    val cands0 = politeGatedLinks(pages, rules)
       .withColumn("canon", canonicalUrl(col("url")))
       .groupBy(col("canon"))
       .agg(min(col("url")).as("url"), min(col("domain")).as("domain"),
@@ -1145,17 +1175,19 @@ object HtmlOps {
   }
 
   /** The rule group addressed to US: segments split on the
-    * `User-agent: ` marker, keeping the `*` group's body (null when a
-    * file publishes no such group). A literal-token split — real
-    * robots files may name several agents per group or differ in
-    * case; the fixture spells the directive canonically and the
-    * scaladoc states the simplification. Shared by
-    * [[parseRobotsRules]] and [[parseCrawlDelays]] so the two can
-    * never read different groups.
+    * `User-agent: ` marker, keeping EVERY `*` group's body
+    * concatenated ('' when a file publishes none) — RFC 9309 §2.2.1
+    * merges multiple groups for the same agent, and real sites do
+    * publish several `User-agent: *` blocks whose rules must all
+    * apply. A literal-token split — real robots files may name
+    * several agents per group or differ in case; the fixture spells
+    * the directive canonically and the scaladoc states the
+    * simplification. Shared by [[parseRobotsRules]] and
+    * [[parseCrawlDelays]] so the two can never read different groups.
     */
   def robotsStarGroup(txt: Column): Column =
-    try_element_at(filter(split(coalesce(txt, lit("")), "User-agent: "),
-      s => s.startsWith("*")), lit(1))
+    array_join(filter(split(coalesce(txt, lit("")), "User-agent: "),
+      s => s.startsWith("*")), "\n")
 
   /** Q199: the robots.txt PARSE — raw fetched bytes to the (domain,
     * allow, prefix) rule table every robots consumer ([[robotsGate]],
@@ -1170,7 +1202,7 @@ object HtmlOps {
     */
   def parseRobotsRules(robots: DataFrame,
                        txtCol: String = "robots_txt"): DataFrame = {
-    val body = coalesce(robotsStarGroup(col(txtCol)), lit(""))
+    val body = robotsStarGroup(col(txtCol))
     def directives(name: String, allow: Boolean) =
       robots.select(col("domain"),
         explode(regexp_extract_all(body,
@@ -1184,18 +1216,23 @@ object HtmlOps {
 
   /** Q198's delay source, now PARSED instead of planted: the
     * `Crawl-delay` directive of our user-agent group, seconds as a
-    * long. A domain publishing none emits no row — [[scheduleWave]]
-    * applies the caller's default. Same vocabulary-sized projection
-    * class as [[parseRobotsRules]].
+    * long. A domain publishing none — or publishing `0` ("no rate
+    * limit", valid in the de-facto spec) — emits no row, so
+    * [[scheduleWave]] applies the caller's default: this parse layer
+    * faces UNTRUSTED fetched bytes, and a quirky-but-valid file must
+    * degrade to the conservative default rather than trip the loud
+    * malformed-table guard and kill a streaming wave. Same
+    * vocabulary-sized projection class as [[parseRobotsRules]].
     */
   def parseCrawlDelays(robots: DataFrame,
                        txtCol: String = "robots_txt"): DataFrame = {
-    val body = coalesce(robotsStarGroup(col(txtCol)), lit(""))
+    val body = robotsStarGroup(col(txtCol))
     robots
       .select(col("domain"), regexp_extract(body,
         "(?m)^[Cc]rawl-[Dd]elay:[ \\t]*([0-9]+)$", 1).as("ds"))
       .filter(col("ds") =!= "")
       .select(col("domain"), col("ds").cast("long").as("delay_s"))
+      .filter(col("delay_s") >= 1L)
   }
 
   /** Q198: WAVE SCHEDULING — turn a frontier/refetch wave's politeness

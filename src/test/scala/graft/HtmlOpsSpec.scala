@@ -227,6 +227,13 @@ class HtmlOpsSpec extends SparkSpec {
         .select("doc_id", "canon", "is_canonical")
       assert(viaArtifact.exceptAll(batch).count() === 0)
       assert(batch.exceptAll(viaArtifact).count() === 0)
+      // a RE-SAVE is an OVERWRITE, not a merge: the old rows must not
+      // survive the recreated registration (DROP TABLE on an external
+      // table keeps files — the save must clear the location too)
+      HtmlOps.saveUrlKeys(urls.filter(col("doc_id") < 10), sc, "uk")
+      assert(HtmlOps.loadUrlKeys(spark, sc, "uk").count() ===
+        HtmlOps.urlCanonicalDedup(urls.filter(col("doc_id") < 10))
+          .filter(col("is_canonical")).count())
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
     }
@@ -766,18 +773,30 @@ class HtmlOpsSpec extends SparkSpec {
       delaySet(HtmlOps.plantedCrawlDelays(spark)))
     // group scoping: a hostile group's rules leak in NEITHER direction
     // (badbot sits before our group on k%3==0 domains, after it on
-    // k%3==1) and a file with no star group parses to nothing
+    // k%3==1); a file with no star group parses to nothing; MULTIPLE
+    // star groups MERGE (RFC 9309 §2.2.1 — real sites publish several)
     val hostile = Seq(
       ("h1.example",
         "User-agent: badbot\nDisallow: /\n\nUser-agent: *\nAllow: /ok\n"),
       ("h2.example",
         "User-agent: *\nDisallow: /no\n\nUser-agent: badbot\nCrawl-delay: 1\n"),
-      ("h3.example", "# only comments\nUser-agent: badbot\nDisallow: /\n"))
+      ("h3.example", "# only comments\nUser-agent: badbot\nDisallow: /\n"),
+      ("h4.example",
+        "User-agent: *\nAllow: /a\n\nUser-agent: badbot\nDisallow: /b\n\n" +
+          "User-agent: *\nDisallow: /\nCrawl-delay: 9\n"))
       .toDF("domain", "robots_txt")
     val rules = ruleSet(HtmlOps.parseRobotsRules(hostile))
     assert(rules === Set(("h1.example", true, "/ok"),
-      ("h2.example", false, "/no")))
-    assert(delaySet(HtmlOps.parseCrawlDelays(hostile)) === Set.empty)
+      ("h2.example", false, "/no"),
+      ("h4.example", true, "/a"), ("h4.example", false, "/")))
+    assert(delaySet(HtmlOps.parseCrawlDelays(hostile)) ===
+      Set(("h4.example", 9L)))
+    // a published 'Crawl-delay: 0' (no rate limit — valid, untrusted
+    // input) degrades to NO row (the caller's default applies) rather
+    // than tripping scheduleWave's malformed-table guard mid-stream
+    val zeroDelay = Seq(("z.example",
+      "User-agent: *\nCrawl-delay: 0\n")).toDF("domain", "robots_txt")
+    assert(delaySet(HtmlOps.parseCrawlDelays(zeroDelay)) === Set.empty)
     // the empty-Disallow leg (k%5==3): the line is PRESENT in the
     // bytes and ABSENT from the parse — RFC 9309 empty rule values
     // match nothing
