@@ -1824,6 +1824,11 @@ object SparkEntry {
       HtmlOps.plantedHtmlCorpus(t(s, dir, "documents")),
       frontierScope(s, dir), "urlkeys", epochRanks(s, dir),
       HtmlOps.plantedRobotsRules(s))),
+    // the loop's refetch side (q202): per streamed wave, the
+    // scheduled refetch of the maintained log's stale keys — the
+    // crawl steady state (discover the unseen + refresh the seen)
+    // emitted from the same artifacts in the same run as q192
+    "q202_steady_refetch" -> (steadyRefetchQuery _),
   )
 
   private val q192Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -1838,9 +1843,22 @@ object SparkEntry {
     * the parsed delays are computed once, OUTSIDE the stream (the
     * q188 artifact contract).
     */
-  private def streamCrawlLoopQuery(s: SparkSession, dir: String): DataFrame = {
+  private def streamCrawlLoopQuery(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(q192Scope(s, dir).path("waves"))
+      .withColumn("wave", col("wave").cast("long"))
+
+  /** q202: the loop's REFETCH side — the same driven run as q192
+    * (shared scope), reading the per-batch refetch schedules: every
+    * wave re-schedules the keys whose maintained-log age passed the
+    * TTL at that wave's own latest fetch time.
+    */
+  private def steadyRefetchQuery(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(q192Scope(s, dir).path("refetch-waves"))
+      .withColumn("wave", col("wave").cast("long"))
+
+  private def q192Scope(s: SparkSession, dir: String): graft.core.Scope = {
     val docs = t(s, dir, "documents")
-    val scope = cachedScope(q192Scopes, s, dir, "graft-q192-") { sc =>
+    cachedScope(q192Scopes, s, dir, "graft-q192-") { sc =>
       val urls = HtmlOps.plantedDirtyUrlCorpus(docs)
       val pages = HtmlOps.plantedHtmlCorpus(docs)
       HtmlOps.saveUrlKeys(urls.filter(col("doc_id") < 250), sc, "urlkeys")
@@ -1860,10 +1878,9 @@ object SparkEntry {
         "urlkeys", epochRanks(s, dir), HtmlOps.plantedRobotsRules(s),
         HtmlOps.parseCrawlDelays(HtmlOps.plantedRobotsTxt(s)),
         sc.path("waves"), sc.path("ckpt"),
-        fetchLogName = Some("fetchlog"))
+        fetchLogName = Some("fetchlog"),
+        refetch = Some((48L * 3600L, sc.path("refetch-waves"))))
     }
-    s.read.parquet(scope.path("waves"))
-      .withColumn("wave", col("wave").cast("long"))
   }
 
   private val q200Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -4519,6 +4536,9 @@ object SparkEntry {
     // anchor-boosted frontier: the q191 chain re-capped under the
     // anchor-score ordering, scores from the embedded q194 replay
     "q201_anchor_frontier" -> q201Sql,
+    // steady-state refetch: both waves' due sets from the maintained
+    // log, each at its own wave-time "now", schedule joined
+    "q202_steady_refetch" -> q202Sql,
     // wave scheduling: the q191 wave joined to the regenerated delay
     // table, (slot-1) x delay with the default fallback
     "q198_wave_schedule" -> q198Sql,
@@ -5116,6 +5136,63 @@ object SparkEntry {
        |  UNION ALL
        |  SELECT canon, url, domain, n_refs, pr, CAST(slot AS INT) AS slot,
        |    CAST(1 AS BIGINT) AS wave FROM wbfs WHERE slot <= 10)
+       |SELECT wv.*, coalesce(sdl.delay_s, 30) AS delay_s,
+       |  CAST((slot - 1) * coalesce(sdl.delay_s, 30) AS BIGINT)
+       |    AS not_before_s
+       |FROM wv LEFT JOIN sdl USING (domain)""".stripMargin
+  }
+
+  /** One refetch-wave CTE chain (ending in `${pfx}sl`, pre-cap): the
+    * fetch log as of the wave (`logPred` bounds the docs whose fetch
+    * times have been upserted), the latest-fetch reduction, "now" as
+    * the WAVE's own latest fetch time (`nowPred`), the age filter,
+    * the epoch rank, the oldest-first cap ordering. Expects `eranks`
+    * in the WITH clause.
+    */
+  private def refetchWaveCtes(pfx: String, logPred: String,
+                              nowPred: String, ttlS: Long): String =
+    s"""${pfx}lg AS (SELECT $duckDirtyUrl AS url,
+       |  1767225600 + (doc_id % 97) * 3600 AS t FROM documents
+       |  WHERE $logPred),
+       |${pfx}lt AS (SELECT ${duckCanonOf("url")} AS canon,
+       |  (max({'t': t, 'u': url})).u AS url,
+       |  CAST(max(t) AS BIGINT) AS last_fetch_s FROM ${pfx}lg GROUP BY 1),
+       |${pfx}nw AS (SELECT CAST(MAX(1767225600 + (doc_id % 97) * 3600)
+       |  AS BIGINT) AS now FROM documents WHERE $nowPred),
+       |${pfx}du AS (SELECT l.*, n.now, ${duckDomainOf(
+      "regexp_extract(l.url, '^(?i)(?:https?:)?//([^/?#]+)', 1)")}
+       |    AS domain
+       |  FROM ${pfx}lt l CROSS JOIN ${pfx}nw n
+       |  WHERE n.now - l.last_fetch_s >= $ttlS),
+       |${pfx}rj AS (SELECT d.canon, d.url, d.domain, d.last_fetch_s,
+       |  CAST(d.now - d.last_fetch_s AS BIGINT) AS age_s,
+       |  coalesce(r.pr, 0) AS pr
+       |  FROM ${pfx}du d LEFT JOIN eranks r ON r.domain = d.domain),
+       |${pfx}sl AS (SELECT *, row_number() OVER (PARTITION BY domain
+       |  ORDER BY last_fetch_s ASC, canon ASC) AS slot FROM ${pfx}rj)"""
+      .stripMargin
+
+  /** The q202 oracle — both streamed waves' refetch schedules
+    * replayed: wave 0's log covers the seed plus its own batch
+    * (docs < 375, appended FIRST in loop order), wave 1's covers all
+    * 500; each wave's "now" is its own latest fetch; the Crawl-delay
+    * schedule joins exactly as q198.
+    */
+  private lazy val q202Sql = {
+    val ttl = 48L * 3600L
+    val cols = "canon, url, domain, last_fetch_s, age_s, pr"
+    s"""WITH $duckRobotsTxtCtes,
+       |$duckDelayCte,
+       |eranks AS (SELECT domain, pr FROM (${hostRankSql()})),
+       |${refetchWaveCtes("ra", "doc_id < 375",
+      "doc_id >= 250 AND doc_id < 375", ttl)},
+       |${refetchWaveCtes("rb", "true", "doc_id >= 375", ttl)},
+       |wv AS (
+       |  SELECT $cols, CAST(slot AS INT) AS slot,
+       |    CAST(0 AS BIGINT) AS wave FROM rasl WHERE slot <= 10
+       |  UNION ALL
+       |  SELECT $cols, CAST(slot AS INT) AS slot,
+       |    CAST(1 AS BIGINT) AS wave FROM rbsl WHERE slot <= 10)
        |SELECT wv.*, coalesce(sdl.delay_s, 30) AS delay_s,
        |  CAST((slot - 1) * coalesce(sdl.delay_s, 30) AS BIGINT)
        |    AS not_before_s

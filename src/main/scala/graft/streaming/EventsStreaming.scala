@@ -919,13 +919,30 @@ object EventsStreaming {
     * artifacts; the stream itself is stateless (no watermark, no
     * state store to grow).
     */
+  /** @param refetch when set — (fetchLogName required) —
+    *                 `(ttlS, refetchDir)`: after the batch's fetches
+    *                 upsert into the log, the loop ALSO emits the
+    *                 scheduled REFETCH wave as of this batch (due =
+    *                 age ≥ ttl at the batch's latest fetch time,
+    *                 [[graft.ops.HtmlOps.refetchWaveFromLog]] ∘
+    *                 [[graft.ops.HtmlOps.scheduleWave]]) under
+    *                 `refetchDir/wave=<batchId>` — the crawl's steady
+    *                 state: every wave both discovers the unseen and
+    *                 re-schedules the stale, from the same artifacts.
+    *                 Idempotent like the discovery wave: a replayed
+    *                 batch re-upserts the same fetch times (max-merge)
+    *                 and overwrites its own wave directory.
+    */
   def streamingCrawlLoop(spark: SparkSession, srcDir: String,
                          scope: graft.core.Scope, name: String,
                          ranks: org.apache.spark.sql.DataFrame,
                          rules: org.apache.spark.sql.DataFrame,
                          delays: org.apache.spark.sql.DataFrame,
                          outDir: String, checkpointDir: String,
-                         fetchLogName: Option[String] = None): Unit = {
+                         fetchLogName: Option[String] = None,
+                         refetch: Option[(Long, String)] = None): Unit = {
+    require(refetch.isEmpty || fetchLogName.nonEmpty,
+      "refetch emission needs the maintained fetch log (fetchLogName)")
     val pageSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("url", StringType),
       StructField("fetch_host", StringType), StructField("html", StringType),
@@ -949,6 +966,17 @@ object EventsStreaming {
                 scope, name, ranks, rules),
               delays)
             .write.mode("overwrite").parquet(s"$outDir/wave=$batchId")
+          refetch.foreach { case (ttlS, refetchDir) =>
+            // "now" is the batch's own latest fetch — deterministic,
+            // replay-stable, and the just-upserted keys are age 0 so
+            // a wave can never re-schedule what it just fetched
+            val nowS = b.agg(max(col("fetched_at_s"))).head().getLong(0)
+            graft.ops.HtmlOps.scheduleWave(
+                graft.ops.HtmlOps.refetchWaveFromLog(spark, scope,
+                  fetchLogName.get, nowS, ttlS, ranks),
+                delays)
+              .write.mode("overwrite").parquet(s"$refetchDir/wave=$batchId")
+          }
           ()
         } finally b.unpersist()
       }

@@ -123,6 +123,7 @@ object PlanAudit {
     "q199_robots_parse",   // vocab-sized parse: split/filter/extract projection
     "q200_fetchlog_artifact", // artifact-read due set: reduced scan + rank + cap
     "q201_anchor_frontier", // polite wave + anchor score join, re-ranked cap
+    "q202_steady_refetch", // per-wave artifact-read due set + schedule
     "q10_event_window")   // normalized-ts scan straight into windowed agg
 
   def main(args: Array[String]): Unit = {

@@ -172,7 +172,10 @@ object ScaleProbe {
     "q200_fetchlog_artifact",
     // anchor-boosted frontier: q191's exchanges + the q194 anchor agg
     // + one canon-co-partitioned score join — expected q191 + q194
-    "q201_anchor_frontier")
+    "q201_anchor_frontier",
+    // steady-state refetch: per wave, an artifact-read due set +
+    // schedule — expected q200's cost class per wave
+    "q202_steady_refetch")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

@@ -213,10 +213,12 @@ class StreamingSpec extends SparkSpec {
         scope.path("stream-src"), 0)
       graft.streaming.EventsStreaming.writeWaveFile(
         src.filter(col("doc_id") >= 375), scope.path("stream-src"), 1)
+      val ttl = 48L * 3600L
       def run(): Unit = graft.streaming.EventsStreaming.streamingCrawlLoop(
         spark, scope.path("stream-src"), scope, "keys", ranks, rules,
         delays, scope.path("waves"), scope.path("ckpt"),
-        fetchLogName = Some("flog"))
+        fetchLogName = Some("flog"),
+        refetch = Some((ttl, scope.path("refetch"))))
       run()
       val waves = spark.read.parquet(scope.path("waves"))
       // loop order inside each batch: keys FIRST, wave second — so a
@@ -258,6 +260,23 @@ class StreamingSpec extends SparkSpec {
       val n0 = waves.filter(col("wave") === 0).count()
       val n1 = waves.filter(col("wave") === 1).count()
       assert(n0 > 0 && n1 > 0)
+      // the STEADY STATE: each wave also emitted the scheduled refetch
+      // of the log's stale keys — equal to the batch replay over the
+      // log state as of that wave, at that wave's own "now"
+      val refetches = spark.read.parquet(scope.path("refetch"))
+      assert(refetches.count() > 0)
+      val now1 = src.filter(col("doc_id") >= 375)
+        .agg(max(col("fetched_at_s"))).head().getLong(0)
+      val replayR1 = graft.ops.HtmlOps.scheduleWave(
+        graft.ops.HtmlOps.refetchWaveFromLog(spark, scope, "flog",
+          now1, ttl, ranks), delays)
+      val r1 = refetches.filter(col("wave") === 1).drop("wave")
+        .select(replayR1.columns.map(col): _*)
+      assert(r1.exceptAll(replayR1).isEmpty && replayR1.exceptAll(r1).isEmpty)
+      // a wave never re-schedules what it just fetched: every due key
+      // aged at least the TTL at that wave's now
+      refetches.collect().foreach(r =>
+        assert(r.getAs[Long]("age_s") >= ttl, r.toString))
       // RESTART: AvailableNow over a fully processed checkpoint must
       // re-ingest nothing and rewrite nothing — key set, fetch log,
       // and wave bytes identical (the replay-safety claim, exercised)
@@ -277,6 +296,10 @@ class StreamingSpec extends SparkSpec {
       assert(keysAfter.toSeq === keysBefore.toSeq)
       assert(logAfter === logBefore)
       assert(wavesAfter.toSeq === wavesBefore.toSeq)
+      val refetchAfter = spark.read.parquet(scope.path("refetch"))
+        .collect().map(_.toString).sorted
+      assert(refetchAfter.toSeq ===
+        refetches.collect().map(_.toString).sorted.toSeq)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
     }
