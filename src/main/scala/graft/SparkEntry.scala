@@ -1829,6 +1829,11 @@ object SparkEntry {
     // crawl steady state (discover the unseen + refresh the seen)
     // emitted from the same artifacts in the same run as q192
     "q202_steady_refetch" -> (steadyRefetchQuery _),
+    // the WARC-fed loop (q203): raw archive chunks stream in, frame +
+    // HTTP-gate per batch, only VALID fetches enter the key set, and
+    // the scheduled wave comes off the gated bodies — archive bytes
+    // in, fetch schedules out
+    "q203_stream_warc_loop" -> (streamWarcLoopQuery _),
   )
 
   private val q192Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -1908,6 +1913,37 @@ object SparkEntry {
     HtmlOps.refetchWaveFromLog(s, scope, "flog",
       nowS = 1767225600L + 9L * 86400L, ttlS = 7L * 86400L,
       ranks = epochRanks(s, dir))
+  }
+
+  private val q203Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
+
+  /** q203: the WARC-fed loop driven end-to-end — the key set seeded
+    * from the first 250 chunks' VALID fetches (framing + HTTP gates
+    * applied, same as the loop applies them), waves [250, 375) and
+    * [375, 500) streamed as RAW chunks; each batch frames, gates,
+    * appends only valid target URIs, and writes its scheduled wave.
+    */
+  private def streamWarcLoopQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scope = cachedScope(q203Scopes, s, dir, "graft-q203-") { sc =>
+      val chunks = HtmlOps.plantedWarcCorpus(docs)
+      val valid = HtmlOps.httpFrame(HtmlOps.warcFrame(chunks, "warc"))
+        .filter(col("length_ok") && col("http_ok"))
+        .select(col("doc_id"), col("target_uri").as("url"))
+      HtmlOps.saveUrlKeys(valid.filter(col("doc_id") < 250), sc, "urlkeys")
+      val src = chunks.select(col("doc_id"), col("warc"))
+      EventsStreaming.writeWaveFile(
+        src.filter(col("doc_id") >= 250 && col("doc_id") < 375),
+        sc.path("stream-src"), 0)
+      EventsStreaming.writeWaveFile(
+        src.filter(col("doc_id") >= 375), sc.path("stream-src"), 1)
+      EventsStreaming.streamingWarcCrawlLoop(s, sc.path("stream-src"),
+        sc, "urlkeys", epochRanks(s, dir), HtmlOps.plantedRobotsRules(s),
+        HtmlOps.parseCrawlDelays(HtmlOps.plantedRobotsTxt(s)),
+        sc.path("waves"), sc.path("ckpt"))
+    }
+    s.read.parquet(scope.path("waves"))
+      .withColumn("wave", col("wave").cast("long"))
   }
 
   private val q188Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -4539,6 +4575,9 @@ object SparkEntry {
     // steady-state refetch: both waves' due sets from the maintained
     // log, each at its own wave-time "now", schedule joined
     "q202_steady_refetch" -> q202Sql,
+    // WARC-fed loop: waves replayed with framed+gated chunk bytes as
+    // pages and valid-fetch-only keys
+    "q203_stream_warc_loop" -> q203Sql,
     // wave scheduling: the q191 wave joined to the regenerated delay
     // table, (slot-1) x delay with the default fallback
     "q198_wave_schedule" -> q198Sql,
@@ -4861,16 +4900,21 @@ object SparkEntry {
   }
 
   /** One prefixed frontier-wave CTE chain (ending in `${pfx}fs`,
-    * pre-cap): pages from `documents WHERE pagePred`, the key set
-    * from the dirty URLs of `documents WHERE keyPred`, the rank
-    * always epoch-level (full documents — the q188 artifact
-    * contract). `robots = true` expects the caller to have included
-    * [[duckRobotsRuleCtes]] (`rru`) once in the WITH clause. The
-    * prefixing lets q192 replay several loop waves in one query.
+    * pre-cap): pages from `documents WHERE pagePred` (or the caller's
+    * `pageCtes`, ending in `${pfx}p` — q203 derives pages from framed
+    * WARC bytes), the key set from the dirty URLs of `documents WHERE
+    * keyPred` (or the caller's `keySrc`, a subquery yielding `u`
+    * rows), the rank always epoch-level (full documents — the q188
+    * artifact contract). `robots = true` expects the caller to have
+    * included [[duckRobotsRuleCtes]] (`rru`) once in the WITH clause.
+    * The prefixing lets q192/q203 replay several loop waves in one
+    * query.
     */
   private def frontierCtes(pfx: String, robots: Boolean,
                            pagePred: String = "true",
-                           keyPred: String = "true"): String = {
+                           keyPred: String = "true",
+                           pageCtes: Option[String] = None,
+                           keySrc: Option[String] = None): String = {
     val gate =
       if (!robots)
         s"${pfx}g AS (SELECT doc_id, url, host, domain FROM ${pfx}b2)"
@@ -4886,8 +4930,13 @@ object SparkEntry {
            |    AND starts_with(p.path, r.prefix)),
            |${pfx}g AS (SELECT doc_id, url, host, domain FROM ${pfx}mg
            |  WHERE rn = 1 AND coalesce(allow, true))""".stripMargin
-    s"""${pfx}p AS (SELECT doc_id, $duckFetchHost AS fetch_host,
-       |  $duckHtml AS html FROM documents WHERE $pagePred),
+    val pages = pageCtes.getOrElse(
+      s"""${pfx}p AS (SELECT doc_id, $duckFetchHost AS fetch_host,
+         |  $duckHtml AS html FROM documents WHERE $pagePred)"""
+        .stripMargin)
+    val keys = keySrc.getOrElse(
+      s"(SELECT $duckDirtyUrl AS u FROM documents WHERE $keyPred)")
+    s"""$pages,
        |${pfx}l0 AS (SELECT doc_id, fetch_host,
        |  unnest(regexp_extract_all(html, '[Hh][Rr][Ee][Ff]="([^"]*)"', 1))
        |    AS url FROM ${pfx}p),
@@ -4906,7 +4955,7 @@ object SparkEntry {
        |  min(url) AS url, min(domain) AS domain,
        |  CAST(count(*) AS BIGINT) AS n_refs FROM ${pfx}g GROUP BY 1),
        |${pfx}stored AS (SELECT DISTINCT ${duckCanonOf("u")} AS canon
-       |  FROM (SELECT $duckDirtyUrl AS u FROM documents WHERE $keyPred)),
+       |  FROM $keys),
        |${pfx}fresh AS (SELECT c.* FROM ${pfx}cand c
        |  ANTI JOIN ${pfx}stored s USING (canon)),
        |${pfx}ranks AS (SELECT domain, pr FROM (${hostRankSql()})),
@@ -4916,6 +4965,60 @@ object SparkEntry {
        |${pfx}fs AS (SELECT *, row_number() OVER (PARTITION BY domain
        |  ORDER BY n_refs DESC, canon ASC) AS slot FROM ${pfx}j)"""
       .stripMargin
+  }
+
+  /** The q203 warc-page CTEs: the chunk bytes regenerated and framed
+    * (q184's chain), the HTTP gate applied, pages = gated bodies with
+    * the fetch host from the WARC-Target-URI header — ending in
+    * `${pfx}p`, the [[frontierCtes]] page contract.
+    */
+  private def duckWarcPages(pfx: String, pagePred: String): String =
+    s"""${pfx}d0 AS (SELECT doc_id, $duckHtml AS html FROM documents
+       |  WHERE $pagePred),
+       |${duckHttpPayload(s"${pfx}d0", s"${pfx}hp")},
+       |${duckWarcChain(s"${pfx}hp", pfx)},
+       |${duckHttpFrame(pfx)},
+       |${pfx}p AS (SELECT doc_id,
+       |  regexp_extract(target_uri, '^(?i)(?:https?:)?//([^/?#]+)', 1)
+       |    AS fetch_host,
+       |  body AS html FROM ${pfx}ht
+       |  WHERE coalesce(strlen(payload) = content_length, false)
+       |    AND coalesce(http_status = 200 AND mime = 'text/html',
+       |          false))""".stripMargin
+
+  /** The q203 oracle — both streamed waves replayed with pages from
+    * the framed+gated chunk bytes and the key set from the VALID
+    * fetches only (a failed or non-HTML fetch never entered, so its
+    * key stays eligible), then the q198 schedule join.
+    */
+  private lazy val q203Sql = {
+    def validKeys(pred: String) =
+      s"""(SELECT concat('https://w', cast(doc_id % 7 AS varchar), '.s',
+         |  cast(doc_id % 5 AS varchar), '.example/p/',
+         |  cast(doc_id % 11 AS varchar)) AS u FROM documents
+         |  WHERE ($pred) AND doc_id % 13 NOT IN (2, 3, 5, 7, 11))"""
+        .stripMargin
+    val w0 = frontierCtes("wc", robots = true,
+      pageCtes = Some(duckWarcPages("wc", "doc_id >= 250 AND doc_id < 375")),
+      keySrc = Some(validKeys("doc_id < 375")))
+    val w1 = frontierCtes("wd", robots = true,
+      pageCtes = Some(duckWarcPages("wd", "doc_id >= 375")),
+      keySrc = Some(validKeys("true")))
+    s"""WITH $duckRobotsRuleCtes,
+       |$duckRobotsTxtCtes,
+       |$duckDelayCte,
+       |$w0,
+       |$w1,
+       |wv AS (
+       |  SELECT canon, url, domain, n_refs, pr, CAST(slot AS INT) AS slot,
+       |    CAST(0 AS BIGINT) AS wave FROM wcfs WHERE slot <= 10
+       |  UNION ALL
+       |  SELECT canon, url, domain, n_refs, pr, CAST(slot AS INT) AS slot,
+       |    CAST(1 AS BIGINT) AS wave FROM wdfs WHERE slot <= 10)
+       |SELECT wv.*, coalesce(sdl.delay_s, 30) AS delay_s,
+       |  CAST((slot - 1) * coalesce(sdl.delay_s, 30) AS BIGINT)
+       |    AS not_before_s
+       |FROM wv LEFT JOIN sdl USING (domain)""".stripMargin
   }
 
   /** The q201 oracle — the q191 frontier chain reused up to its

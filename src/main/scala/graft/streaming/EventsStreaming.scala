@@ -985,6 +985,59 @@ object EventsStreaming {
     q.awaitTermination()
   }
 
+  /** Q203: the crawl loop fed from its TRUE FRONT DOOR under
+    * Structured Streaming — each micro-batch is a wave of RAW WARC
+    * chunks (doc_id, warc), exactly what an archive fetcher lands.
+    * Per batch: the chunks frame ([[graft.ops.HtmlOps.warcFrame]]),
+    * the HTTP message splits and gates
+    * ([[graft.ops.HtmlOps.httpFrame]] — only `length_ok` AND
+    * `http_ok` records become pages), and the VALID pages drive the
+    * loop: their target URIs append to the key set (a failed or
+    * non-HTML fetch does NOT enter — it stays eligible for
+    * rediscovery, the right crawl semantics for a fetch that returned
+    * nothing usable), and the polite frontier over their bodies is
+    * scheduled and written per wave. Framing + gating are the same
+    * zero-exchange projections as q184/q186 — the stream adds no new
+    * shuffle class over q192.
+    */
+  def streamingWarcCrawlLoop(spark: SparkSession, srcDir: String,
+                             scope: graft.core.Scope, name: String,
+                             ranks: org.apache.spark.sql.DataFrame,
+                             rules: org.apache.spark.sql.DataFrame,
+                             delays: org.apache.spark.sql.DataFrame,
+                             outDir: String,
+                             checkpointDir: String): Unit = {
+    val warcSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("warc", StringType)))
+    val src = spark.readStream.schema(warcSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val pages = graft.ops.HtmlOps.httpFrame(
+            graft.ops.HtmlOps.warcFrame(batch.toDF(), "warc"))
+          .filter(col("length_ok") && col("http_ok"))
+          .select(col("doc_id"),
+            graft.ops.HtmlOps.hostOf(col("target_uri")).as("fetch_host"),
+            col("body").as("html"), col("target_uri").as("url"))
+          .persist()
+        try {
+          graft.ops.HtmlOps.appendUrlKeys(
+            pages.select(col("doc_id"), col("url")), scope, name)
+          graft.ops.HtmlOps.scheduleWave(
+              graft.ops.HtmlOps.politeFrontier(
+                pages.select(col("doc_id"), col("fetch_host"), col("html")),
+                scope, name, ranks, rules),
+              delays)
+            .write.mode("overwrite").parquet(s"$outDir/wave=$batchId")
+          ()
+        } finally pages.unpersist()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** Schema of the document stream [[streamingNearDupWithinWatermark]]
     * consumes: ingest event-time beside the payload.
     */

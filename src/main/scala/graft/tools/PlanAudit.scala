@@ -124,6 +124,7 @@ object PlanAudit {
     "q200_fetchlog_artifact", // artifact-read due set: reduced scan + rank + cap
     "q201_anchor_frontier", // polite wave + anchor score join, re-ranked cap
     "q202_steady_refetch", // per-wave artifact-read due set + schedule
+    "q203_stream_warc_loop", // per-batch frame+gate projections, then q192's wave
     "q10_event_window")   // normalized-ts scan straight into windowed agg
 
   def main(args: Array[String]): Unit = {

@@ -175,7 +175,10 @@ object ScaleProbe {
     "q201_anchor_frontier",
     // steady-state refetch: per wave, an artifact-read due set +
     // schedule — expected q200's cost class per wave
-    "q202_steady_refetch")
+    "q202_steady_refetch",
+    // WARC-fed loop: per-batch framing+gating projections ahead of
+    // the q192 wave — expected q192's class plus the q184 scan
+    "q203_stream_warc_loop")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

@@ -186,6 +186,62 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).isEmpty)
   }
 
+  test("WARC-fed crawl loop (q203): framing+HTTP gates run in-stream; invalid fetches never enter the key set") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft-warcloop-")
+    try {
+      val scope = graft.core.Scopes.create(spark, base.toString)
+      val chunks = graft.ops.HtmlOps.plantedWarcCorpus(docs)
+      val valid = graft.ops.HtmlOps.httpFrame(
+          graft.ops.HtmlOps.warcFrame(chunks, "warc"))
+        .filter(col("length_ok") && col("http_ok"))
+        .select(col("doc_id"), col("target_uri").as("url"))
+      graft.ops.HtmlOps.saveUrlKeys(
+        valid.filter(col("doc_id") < 250), scope, "keys")
+      val pages = graft.ops.HtmlOps.plantedHtmlCorpus(docs)
+      val ranks = graft.ops.GraphOps.domainRank(
+        graft.ops.HtmlOps.domainEdges(pages))
+      val rules = graft.ops.HtmlOps.plantedRobotsRules(spark)
+      val delays = graft.ops.HtmlOps.parseCrawlDelays(
+        graft.ops.HtmlOps.plantedRobotsTxt(spark))
+      val src = chunks.select(col("doc_id"), col("warc"))
+      graft.streaming.EventsStreaming.writeWaveFile(
+        src.filter(col("doc_id") >= 250 && col("doc_id") < 375),
+        scope.path("stream-src"), 0)
+      graft.streaming.EventsStreaming.writeWaveFile(
+        src.filter(col("doc_id") >= 375), scope.path("stream-src"), 1)
+      graft.streaming.EventsStreaming.streamingWarcCrawlLoop(spark,
+        scope.path("stream-src"), scope, "keys", ranks, rules, delays,
+        scope.path("waves"), scope.path("ckpt"))
+      // only VALID fetches entered the key set: no %13-malformed or
+      // HTTP-gated doc's target key, and every valid doc's key present
+      val keyed = graft.ops.HtmlOps.loadUrlKeys(spark, scope, "keys")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(keyed.nonEmpty)
+      keyed.foreach(d =>
+        assert(!Set(2L, 3L, 5L, 7L, 11L).contains(d % 13), d))
+      // each wave equals the batch replay: gated bodies through the
+      // polite frontier + schedule, against the keys as of the wave
+      val wave1Pages = graft.ops.HtmlOps.httpFrame(
+          graft.ops.HtmlOps.warcFrame(
+            chunks.filter(col("doc_id") >= 375), "warc"))
+        .filter(col("length_ok") && col("http_ok"))
+        .select(col("doc_id"),
+          graft.ops.HtmlOps.hostOf(col("target_uri")).as("fetch_host"),
+          col("body").as("html"))
+      val replay1 = graft.ops.HtmlOps.scheduleWave(
+        graft.ops.HtmlOps.politeFrontier(wave1Pages, scope, "keys",
+          ranks, rules), delays)
+      val w1 = spark.read.parquet(scope.path("waves"))
+        .filter(col("wave") === 1).drop("wave")
+        .select(replay1.columns.map(col): _*)
+      assert(w1.exceptAll(replay1).isEmpty && replay1.exceptAll(w1).isEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("streaming crawl loop (q192): waves match their batch replay; restart is a no-op") {
     import org.apache.spark.sql.functions._
     val docs = graft.io.Tables.parquet(spark, sf, "documents")
