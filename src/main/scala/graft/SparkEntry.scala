@@ -1834,6 +1834,11 @@ object SparkEntry {
     // the scheduled wave comes off the gated bodies — archive bytes
     // in, fetch schedules out
     "q203_stream_warc_loop" -> (streamWarcLoopQuery _),
+    // the fetch funnel (q204): per target domain, chunk survival
+    // through framing -> HTTP gate -> page verdict — the archive-side
+    // twin of q195's link funnel; one scan, one bounded aggregation
+    "q204_fetch_funnel" -> ((s, dir) => HtmlOps.fetchFunnel(
+      HtmlOps.plantedWarcCorpus(t(s, dir, "documents")))),
   )
 
   private val q192Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -4578,6 +4583,9 @@ object SparkEntry {
     // WARC-fed loop: waves replayed with framed+gated chunk bytes as
     // pages and valid-fetch-only keys
     "q203_stream_warc_loop" -> q203Sql,
+    // fetch funnel: the regenerated chunks' stage flags counted per
+    // target domain (malformed chunks roll up under '')
+    "q204_fetch_funnel" -> q204Sql,
     // wave scheduling: the q191 wave joined to the regenerated delay
     // table, (slot-1) x delay with the default fallback
     "q198_wave_schedule" -> q198Sql,
@@ -5020,6 +5028,40 @@ object SparkEntry {
        |    AS not_before_s
        |FROM wv LEFT JOIN sdl USING (domain)""".stripMargin
   }
+
+  /** The q204 oracle — every chunk's stage verdicts replayed (framing
+    * octet check, HTTP 200+text/html, blocked-outlink page rule on the
+    * body with fetch-host inheritance) and counted per target domain;
+    * unparseable chunks land under the empty domain.
+    */
+  private lazy val q204Sql =
+    s"""WITH fq AS (SELECT doc_id, $duckHtml AS html FROM documents),
+       |${duckHttpPayload("fq", "fqp")},
+       |${duckWarcChain("fqp", "fz")},
+       |${duckHttpFrame("fz")},
+       |fzd AS (SELECT *,
+       |  coalesce(regexp_extract(target_uri,
+       |    '^(?i)(?:https?:)?//([^/?#]+)', 1), '') AS fetch_host
+       |  FROM fzht),
+       |fze AS (SELECT coalesce(${duckDomainOf("fetch_host")}, '')
+       |    AS domain,
+       |  coalesce(strlen(payload) = content_length, false) AS ok_framed,
+       |  coalesce(http_status = 200 AND mime = 'text/html', false)
+       |    AS ok_http,
+       |  len(list_filter(
+       |    regexp_extract_all(body, '[Hh][Rr][Ee][Ff]="([^"]*)"', 1),
+       |    u -> ${duckDomainOf(duckLinkHost("u"))}
+       |      IN ('s2.example', 's5.example', 's11.example'))) AS nb
+       |  FROM fzd)
+       |SELECT domain,
+       |  CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN ok_framed THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_framed,
+       |  CAST(sum(CASE WHEN ok_framed AND ok_http THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_http_ok,
+       |  CAST(sum(CASE WHEN ok_framed AND ok_http AND nb = 0
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_page_ok
+       |FROM fze GROUP BY 1""".stripMargin
 
   /** The q201 oracle — the q191 frontier chain reused up to its
     * pre-window stage (`fj`), the q194 anchor replay embedded as a

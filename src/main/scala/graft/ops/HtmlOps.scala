@@ -645,6 +645,57 @@ object HtmlOps {
         regexp_extract(pay, "(?s)\r\n\r\n(.*)$", 1)).otherwise(pay))
   }
 
+  /** Q204: the FETCH FUNNEL — per target domain, how many archive
+    * chunks survive each front-door stage: chunks → WARC framing
+    * (`length_ok`) → HTTP gate (`200` + `text/html`) → page verdict
+    * (zero blocked outlinks, [[crawlIngest]]'s rule on the BODY with
+    * fetch-host inheritance). The archive-side twin of the link-side
+    * funnel (q195): the rollup an operator reads to see WHERE a
+    * domain's fetches die before its pages ever reach extraction.
+    * Chunks whose response record is missing or whose header block is
+    * truncated carry no target host and roll up under the empty
+    * domain — visible, not dropped (an archive full of unparseable
+    * records should look loud in the funnel, not invisible).
+    *
+    * Scale shape: ONE aggregation over one zero-exchange projection —
+    * framing, HTTP split, and the per-row blocked-link count are all
+    * codegen'd expressions, and the group count is bounded by the
+    * domain vocabulary. The stage flags are cumulative (each counts
+    * survivors of everything upstream), so the columns are monotone
+    * non-increasing per row — the funnel invariant, spec-pinned.
+    */
+  def fetchFunnel(chunks: DataFrame,
+                  blocklist: Seq[String] = PiiOps.defaultBlocklist,
+                  warcCol: String = "warc"): DataFrame = {
+    val blArr = array(blocklist.map(lit): _*)
+    val framed = httpFrame(warcFrame(chunks, warcCol))
+      .withColumn("fetch_host", coalesce(hostOf(col("target_uri")), lit("")))
+      // coalesce: a chunk with no parseable target header (missing
+      // response record) must roll up under '' — one visible bucket,
+      // not a null group
+      .withColumn("domain",
+        coalesce(PiiOps.registrableDomain(col("fetch_host")), lit("")))
+      .withColumn("links", hrefs(coalesce(col("body"), lit(""))))
+    // the blocked count staged in its own projection (the
+    // CollapseProject contract from crawlIngest: a lambda is outside
+    // codegen CSE, so a repeated reference would run it twice)
+    val nBlocked = size(filter(col("links"),
+      u => array_contains(blArr,
+        PiiOps.registrableDomain(inheritedHost(u, col("fetch_host"))))))
+    framed
+      .withColumn("n_blocked", nBlocked)
+      .select(col("domain"),
+        col("length_ok"),
+        (col("length_ok") && col("http_ok")).as("ok_http"),
+        (col("length_ok") && col("http_ok") && col("n_blocked") === 0)
+          .as("ok_page"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("length_ok"), 1L).otherwise(0L)).as("n_framed"),
+        sum(when(col("ok_http"), 1L).otherwise(0L)).as("n_http_ok"),
+        sum(when(col("ok_page"), 1L).otherwise(0L)).as("n_page_ok"))
+  }
+
   /** Q180's edge derivation: the registrable-domain LINK GRAPH from
     * the fetched pages — one (src_domain → dst_domain) edge per
     * distinct page-domain/link-domain pair, the input a crawl

@@ -125,6 +125,7 @@ object PlanAudit {
     "q201_anchor_frontier", // polite wave + anchor score join, re-ranked cap
     "q202_steady_refetch", // per-wave artifact-read due set + schedule
     "q203_stream_warc_loop", // per-batch frame+gate projections, then q192's wave
+    "q204_fetch_funnel",   // one frame+gate scan into one bounded aggregation
     "q10_event_window")   // normalized-ts scan straight into windowed agg
 
   def main(args: Array[String]): Unit = {

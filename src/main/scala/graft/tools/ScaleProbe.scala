@@ -178,7 +178,10 @@ object ScaleProbe {
     "q202_steady_refetch",
     // WARC-fed loop: per-batch framing+gating projections ahead of
     // the q192 wave — expected q192's class plus the q184 scan
-    "q203_stream_warc_loop")
+    "q203_stream_warc_loop",
+    // fetch funnel: one scan, one bounded aggregation — expected
+    // q184's scan-bound class
+    "q204_fetch_funnel")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

@@ -1084,6 +1084,43 @@ class HtmlOpsSpec extends SparkSpec {
     assert(!row.getBoolean(5))
   }
 
+  test("fetchFunnel (q204): stages shrink monotonically and reconcile with the ingest verdicts") {
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val chunks = HtmlOps.plantedWarcCorpus(docs)
+    val funnel = HtmlOps.fetchFunnel(chunks).collect()
+    assert(funnel.nonEmpty)
+    // the funnel invariant: each stage counts survivors of everything
+    // upstream, so the columns are monotone non-increasing
+    funnel.foreach { r =>
+      assert(r.getAs[Long]("n_chunks") >= r.getAs[Long]("n_framed"), r)
+      assert(r.getAs[Long]("n_framed") >= r.getAs[Long]("n_http_ok"), r)
+      assert(r.getAs[Long]("n_http_ok") >= r.getAs[Long]("n_page_ok"), r)
+    }
+    // malformed chunks (no parseable target host) are VISIBLE under
+    // the empty domain, with zero survivors of any stage
+    val unparsed = funnel.find(_.getAs[String]("domain") == "").get
+    assert(unparsed.getAs[Long]("n_chunks") > 0)
+    assert(unparsed.getAs[Long]("n_framed") === 0)
+    // totals reconcile with the per-row verdicts the ingest reports
+    val ing = HtmlOps.warcIngest(chunks)
+    assert(funnel.map(_.getAs[Long]("n_chunks")).sum === ing.count())
+    assert(funnel.map(_.getAs[Long]("n_framed")).sum ===
+      ing.filter(col("length_ok")).count())
+    assert(funnel.map(_.getAs[Long]("n_http_ok")).sum ===
+      ing.filter(col("length_ok") && col("http_ok")).count())
+    // ... and the page stage equals crawlIngest's verdict over the
+    // gated bodies (the q186 page source)
+    val pageOk = HtmlOps.crawlIngest(
+        HtmlOps.httpFrame(HtmlOps.warcFrame(chunks, "warc"))
+          .filter(col("length_ok") && col("http_ok"))
+          .select(col("doc_id"),
+            HtmlOps.hostOf(col("target_uri")).as("fetch_host"),
+            col("body").as("html")),
+        baseHostCol = Some("fetch_host"))
+      .filter(col("page_ok")).count()
+    assert(funnel.map(_.getAs[Long]("n_page_ok")).sum === pageOk)
+  }
+
   test("plantedWarcCorpus malformed legs flow through warcIngest as verdicts") {
     val docs = graft.io.Tables.parquet(spark, sf, "documents")
     val out = HtmlOps.warcIngest(HtmlOps.plantedWarcCorpus(docs))
