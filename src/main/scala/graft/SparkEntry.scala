@@ -5017,16 +5017,8 @@ object SparkEntry {
        |$duckDelayCte,
        |$w0,
        |$w1,
-       |wv AS (
-       |  SELECT canon, url, domain, n_refs, pr, CAST(slot AS INT) AS slot,
-       |    CAST(0 AS BIGINT) AS wave FROM wcfs WHERE slot <= 10
-       |  UNION ALL
-       |  SELECT canon, url, domain, n_refs, pr, CAST(slot AS INT) AS slot,
-       |    CAST(1 AS BIGINT) AS wave FROM wdfs WHERE slot <= 10)
-       |SELECT wv.*, coalesce(sdl.delay_s, 30) AS delay_s,
-       |  CAST((slot - 1) * coalesce(sdl.delay_s, 30) AS BIGINT)
-       |    AS not_before_s
-       |FROM wv LEFT JOIN sdl USING (domain)""".stripMargin
+       |${waveScheduleSql("canon, url, domain, n_refs, pr",
+      Seq("wcfs", "wdfs"))}""".stripMargin
   }
 
   /** The q204 oracle — every chunk's stage verdicts replayed (framing
@@ -5265,6 +5257,25 @@ object SparkEntry {
     * own batch, appended FIRST in loop order); wave 1 from [375, 500)
     * against all 500 keys. Rank stays epoch-level in both.
     */
+  /** The shared two-wave schedule tail of the loop oracles (q192,
+    * q202, q203): the capped waves unioned with their wave ids, then
+    * the Crawl-delay join exactly as q198. Expects `sdl` in the WITH
+    * clause; `srcs` are the pre-cap CTE names in wave order.
+    */
+  private def waveScheduleSql(cols: String, srcs: Seq[String]): String = {
+    val union = srcs.zipWithIndex.map { case (src, w) =>
+      s"""  SELECT $cols, CAST(slot AS INT) AS slot,
+         |    CAST($w AS BIGINT) AS wave FROM $src WHERE slot <= 10"""
+        .stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""wv AS (
+       |$union)
+       |SELECT wv.*, coalesce(sdl.delay_s, 30) AS delay_s,
+       |  CAST((slot - 1) * coalesce(sdl.delay_s, 30) AS BIGINT)
+       |    AS not_before_s
+       |FROM wv LEFT JOIN sdl USING (domain)""".stripMargin
+  }
+
   private lazy val q192Sql = {
     val w0 = frontierCtes("wa", robots = true,
       pagePred = "doc_id >= 250 AND doc_id < 375", keyPred = "doc_id < 375")
@@ -5275,16 +5286,8 @@ object SparkEntry {
        |$duckDelayCte,
        |$w0,
        |$w1,
-       |wv AS (
-       |  SELECT canon, url, domain, n_refs, pr, CAST(slot AS INT) AS slot,
-       |    CAST(0 AS BIGINT) AS wave FROM wafs WHERE slot <= 10
-       |  UNION ALL
-       |  SELECT canon, url, domain, n_refs, pr, CAST(slot AS INT) AS slot,
-       |    CAST(1 AS BIGINT) AS wave FROM wbfs WHERE slot <= 10)
-       |SELECT wv.*, coalesce(sdl.delay_s, 30) AS delay_s,
-       |  CAST((slot - 1) * coalesce(sdl.delay_s, 30) AS BIGINT)
-       |    AS not_before_s
-       |FROM wv LEFT JOIN sdl USING (domain)""".stripMargin
+       |${waveScheduleSql("canon, url, domain, n_refs, pr",
+      Seq("wafs", "wbfs"))}""".stripMargin
   }
 
   /** One refetch-wave CTE chain (ending in `${pfx}sl`, pre-cap): the
@@ -5325,23 +5328,14 @@ object SparkEntry {
     */
   private lazy val q202Sql = {
     val ttl = 48L * 3600L
-    val cols = "canon, url, domain, last_fetch_s, age_s, pr"
     s"""WITH $duckRobotsTxtCtes,
        |$duckDelayCte,
        |eranks AS (SELECT domain, pr FROM (${hostRankSql()})),
        |${refetchWaveCtes("ra", "doc_id < 375",
       "doc_id >= 250 AND doc_id < 375", ttl)},
        |${refetchWaveCtes("rb", "true", "doc_id >= 375", ttl)},
-       |wv AS (
-       |  SELECT $cols, CAST(slot AS INT) AS slot,
-       |    CAST(0 AS BIGINT) AS wave FROM rasl WHERE slot <= 10
-       |  UNION ALL
-       |  SELECT $cols, CAST(slot AS INT) AS slot,
-       |    CAST(1 AS BIGINT) AS wave FROM rbsl WHERE slot <= 10)
-       |SELECT wv.*, coalesce(sdl.delay_s, 30) AS delay_s,
-       |  CAST((slot - 1) * coalesce(sdl.delay_s, 30) AS BIGINT)
-       |    AS not_before_s
-       |FROM wv LEFT JOIN sdl USING (domain)""".stripMargin
+       |${waveScheduleSql("canon, url, domain, last_fetch_s, age_s, pr",
+      Seq("rasl", "rbsl"))}""".stripMargin
   }
 
   /** HtmlOps.resolvedUrl mirrored: own authority stays, a relative

@@ -931,7 +931,10 @@ object EventsStreaming {
     *                 re-schedules the stale, from the same artifacts.
     *                 Idempotent like the discovery wave: a replayed
     *                 batch re-upserts the same fetch times (max-merge)
-    *                 and overwrites its own wave directory.
+    *                 and overwrites its own wave directory. Staleness
+    *                 is judged by the LOG's clock alone — see the
+    *                 in-loop note on waves whose internal fetch-time
+    *                 spread exceeds the TTL.
     */
   def streamingCrawlLoop(spark: SparkSession, srcDir: String,
                          scope: graft.core.Scope, name: String,
@@ -967,15 +970,24 @@ object EventsStreaming {
               delays)
             .write.mode("overwrite").parquet(s"$outDir/wave=$batchId")
           refetch.foreach { case (ttlS, refetchDir) =>
-            // "now" is the batch's own latest fetch — deterministic,
-            // replay-stable, and the just-upserted keys are age 0 so
-            // a wave can never re-schedule what it just fetched
-            val nowS = b.agg(max(col("fetched_at_s"))).head().getLong(0)
-            graft.ops.HtmlOps.scheduleWave(
-                graft.ops.HtmlOps.refetchWaveFromLog(spark, scope,
-                  fetchLogName.get, nowS, ttlS, ranks),
-                delays)
-              .write.mode("overwrite").parquet(s"$refetchDir/wave=$batchId")
+            // "now" is the batch's own latest fetch — deterministic
+            // and replay-stable. Due is PURE log-clock age (≥ TTL at
+            // that now): in production a wave's wall-clock spread is
+            // far below any sane TTL, so a just-fetched key is never
+            // due; a synthetic log whose within-wave spread exceeds
+            // the TTL CAN re-schedule its own oldest fetches — the
+            // log's truth, stated rather than special-cased. An EMPTY
+            // batch has no "now" and emits no refetch wave (max over
+            // zero rows is null — guarded, not an NPE).
+            val nowRow = b.agg(max(col("fetched_at_s"))).head()
+            if (!nowRow.isNullAt(0)) {
+              graft.ops.HtmlOps.scheduleWave(
+                  graft.ops.HtmlOps.refetchWaveFromLog(spark, scope,
+                    fetchLogName.get, nowRow.getLong(0), ttlS, ranks),
+                  delays)
+                .write.mode("overwrite")
+                .parquet(s"$refetchDir/wave=$batchId")
+            }
           }
           ()
         } finally b.unpersist()

@@ -1109,7 +1109,7 @@ class HtmlOpsSpec extends SparkSpec {
     assert(funnel.map(_.getAs[Long]("n_http_ok")).sum ===
       ing.filter(col("length_ok") && col("http_ok")).count())
     // ... and the page stage equals crawlIngest's verdict over the
-    // gated bodies (the q186 page source)
+    // gated bodies (the warc-corpus page source)
     val pageOk = HtmlOps.crawlIngest(
         HtmlOps.httpFrame(HtmlOps.warcFrame(chunks, "warc"))
           .filter(col("length_ok") && col("http_ok"))

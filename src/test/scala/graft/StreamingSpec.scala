@@ -329,8 +329,10 @@ class StreamingSpec extends SparkSpec {
       val r1 = refetches.filter(col("wave") === 1).drop("wave")
         .select(replayR1.columns.map(col): _*)
       assert(r1.exceptAll(replayR1).isEmpty && replayR1.exceptAll(r1).isEmpty)
-      // a wave never re-schedules what it just fetched: every due key
-      // aged at least the TTL at that wave's now
+      // every due key aged at least the TTL at its wave's own "now" —
+      // pure log-clock staleness (this fixture's synthetic within-wave
+      // spread exceeds the TTL, so some due keys WERE upserted by the
+      // same wave; the log's truth, documented on the loop)
       refetches.collect().foreach(r =>
         assert(r.getAs[Long]("age_s") >= ttl, r.toString))
       // RESTART: AvailableNow over a fully processed checkpoint must
@@ -341,6 +343,10 @@ class StreamingSpec extends SparkSpec {
       val logBefore = fromLoop
       val wavesBefore = spark.read.parquet(scope.path("waves"))
         .collect().map(_.toString).sorted
+      // snapshot EAGERLY before the restart — a lazy DataFrame
+      // re-collected afterwards would compare post-restart state with
+      // itself and prove nothing
+      val refetchBefore = refetches.collect().map(_.toString).sorted
       run()
       val keysAfter = graft.ops.HtmlOps.loadUrlKeys(spark, scope, "keys")
         .collect().map(_.toString).sorted
@@ -354,8 +360,7 @@ class StreamingSpec extends SparkSpec {
       assert(wavesAfter.toSeq === wavesBefore.toSeq)
       val refetchAfter = spark.read.parquet(scope.path("refetch"))
         .collect().map(_.toString).sorted
-      assert(refetchAfter.toSeq ===
-        refetches.collect().map(_.toString).sorted.toSeq)
+      assert(refetchAfter.toSeq === refetchBefore.toSeq)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
     }

@@ -73,6 +73,20 @@ OPS = (r'(ClusterOps|DedupOps|TextOps|SimilarityOps|MultimodalOps|SampleOps|'
        r'MapReduceOps|PipeOps|EventsStreaming|Skew|Jobs|Tables|Layout|'
        r'Aggregators|BpeOps|PiiOps|HtmlOps)\.(\w+)')
 
+def ops_of(body, seen):
+    """Op calls in a helper body, following helper-to-helper references
+    (a thin reader delegating to a cached scope builder — q192/q202 —
+    must attribute to the builder's op, not fall through to inline)."""
+    ms = list(re.finditer(OPS, body))
+    if ms:
+        return ms
+    for name, sub in helpers.items():
+        if name not in seen and re.search(rf'\b{name}\b', body):
+            ms = ops_of(sub, seen | {name})
+            if ms:
+                return ms
+    return []
+
 def impl_of(snippet):
     m = re.search(OPS, snippet)
     if m:
@@ -81,7 +95,7 @@ def impl_of(snippet):
     # (probe/gate) expression, not the cached artifact build
     for name, body in helpers.items():
         if re.search(rf'\b{name}\b', snippet):
-            ms = list(re.finditer(OPS, body))
+            ms = ops_of(body, {name})
             if ms:
                 # prefer the gate/probe call (what the query RETURNS)
                 # over the cached artifact build or the exact baseline
