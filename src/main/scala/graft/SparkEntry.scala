@@ -5379,7 +5379,8 @@ object SparkEntry {
        |      THEN 'User-agent: badbot${nl}Disallow: /$nl$nl' ELSE '' END,
        |    'User-agent: *$nl',
        |    CASE WHEN $gs % 2 = 0
-       |      THEN 'Disallow: /p/${nl}Allow: /p/1$nl' ELSE '' END,
+       |      THEN 'Disallow: /p/ # tracked section${nl}Allow: /p/1$nl'
+       |      ELSE '' END,
        |    CASE WHEN $gs % 4 = 1
        |      THEN 'Disallow: /${nl}Allow: /nav$nl' ELSE '' END,
        |    CASE WHEN $gs % 4 = 2 THEN 'Allow: /p/$nl' ELSE '' END,
@@ -5403,13 +5404,14 @@ object SparkEntry {
     */
   private lazy val q199Sql = {
     val nl = "\n"
+    def dir(cte: String, name: String, allow: Boolean) =
+      s"""$cte AS (SELECT domain, $allow AS allow, rtrim(p) AS prefix
+         |  FROM (SELECT domain, unnest(regexp_extract_all(body,
+         |    '(?m)^$name:[ \t]*([^$nl#]*)', 1)) AS p FROM rbody))"""
+        .stripMargin
     s"""WITH $duckRobotsTxtCtes,
-       |rdis AS (SELECT domain, false AS allow,
-       |  unnest(regexp_extract_all(body,
-       |    '(?m)^[Dd]isallow:[ \t]*([^$nl]*)$$', 1)) AS prefix FROM rbody),
-       |ralw AS (SELECT domain, true AS allow,
-       |  unnest(regexp_extract_all(body,
-       |    '(?m)^[Aa]llow:[ \t]*([^$nl]*)$$', 1)) AS prefix FROM rbody)
+       |${dir("rdis", "[Dd]isallow", allow = false)},
+       |${dir("ralw", "[Aa]llow", allow = true)}
        |SELECT domain, allow, prefix
        |FROM (SELECT * FROM rdis UNION ALL SELECT * FROM ralw)
        |WHERE prefix <> ''""".stripMargin

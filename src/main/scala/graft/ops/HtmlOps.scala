@@ -1202,9 +1202,11 @@ object HtmlOps {
     * `k%3==0` domains and AFTER it on `k%3==1` (group scoping must
     * not leak either direction); an empty `Disallow:` line on
     * `k%5==3` (RFC 9309: empty rule value matches nothing — the
-    * parse drops it); a comment header everywhere (ignored by the
-    * line-anchored directive matchers). Every varying field is a pure
-    * domain-index expression; the oracle regenerates the bytes.
+    * parse drops it); an INLINE comment on every even domain's
+    * Disallow (`/p/ # tracked section` — the value stops at `#`,
+    * trailing space trimmed); a comment header everywhere (ignored by
+    * the line-anchored directive matchers). Every varying field is a
+    * pure domain-index expression; the oracle regenerates the bytes.
     */
   def plantedRobotsTxt(spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val d = spark.range(13).select(col("id").cast("int").as("k"),
@@ -1214,7 +1216,8 @@ object HtmlOps {
       lit("# robots.txt for s"), col("k"), lit(".example\n"),
       leg(col("k") % 3 === 0, lit("User-agent: badbot\nDisallow: /\n\n")),
       lit("User-agent: *\n"),
-      leg(col("k") % 2 === 0, lit("Disallow: /p/\nAllow: /p/1\n")),
+      leg(col("k") % 2 === 0,
+        lit("Disallow: /p/ # tracked section\nAllow: /p/1\n")),
       leg(col("k") % 4 === 1, lit("Disallow: /\nAllow: /nav\n")),
       leg(col("k") % 4 === 2, lit("Allow: /p/\n")),
       leg(col("k") % 5 === 3, lit("Disallow:\n")),
@@ -1254,10 +1257,16 @@ object HtmlOps {
   def parseRobotsRules(robots: DataFrame,
                        txtCol: String = "robots_txt"): DataFrame = {
     val body = robotsStarGroup(col(txtCol))
+    // rule values stop at an inline '#' (robots.txt comments are
+    // line-suffix legal and '#' cannot occur in a robots path — the
+    // fragment never reaches the file); trailing space before the
+    // comment is trimmed, and a value that was ALL comment drops with
+    // the empty-value rule below
     def directives(name: String, allow: Boolean) =
       robots.select(col("domain"),
         explode(regexp_extract_all(body,
-          lit(s"(?m)^$name:[ \\t]*([^\\n]*)$$"), lit(1))).as("prefix"))
+          lit(s"(?m)^$name:[ \\t]*([^\\n#]*)"), lit(1))).as("raw"))
+        .select(col("domain"), rtrim(col("raw")).as("prefix"))
         .withColumn("allow", lit(allow))
     directives("[Dd]isallow", allow = false)
       .unionByName(directives("[Aa]llow", allow = true))

@@ -783,12 +783,17 @@ class HtmlOpsSpec extends SparkSpec {
       ("h3.example", "# only comments\nUser-agent: badbot\nDisallow: /\n"),
       ("h4.example",
         "User-agent: *\nAllow: /a\n\nUser-agent: badbot\nDisallow: /b\n\n" +
-          "User-agent: *\nDisallow: /\nCrawl-delay: 9\n"))
+          "User-agent: *\nDisallow: /\nCrawl-delay: 9\n"),
+      // inline comments: the value stops at '#', trailing space
+      // trimmed; an all-comment value is an empty rule and drops
+      ("h5.example",
+        "User-agent: *\nDisallow: /x # staff only\nAllow: # nothing\n"))
       .toDF("domain", "robots_txt")
     val rules = ruleSet(HtmlOps.parseRobotsRules(hostile))
     assert(rules === Set(("h1.example", true, "/ok"),
       ("h2.example", false, "/no"),
-      ("h4.example", true, "/a"), ("h4.example", false, "/")))
+      ("h4.example", true, "/a"), ("h4.example", false, "/"),
+      ("h5.example", false, "/x")))
     assert(delaySet(HtmlOps.parseCrawlDelays(hostile)) ===
       Set(("h4.example", 9L)))
     // a published 'Crawl-delay: 0' (no rate limit — valid, untrusted

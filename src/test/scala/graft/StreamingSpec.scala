@@ -335,6 +335,14 @@ class StreamingSpec extends SparkSpec {
       // same wave; the log's truth, documented on the loop)
       refetches.collect().foreach(r =>
         assert(r.getAs[Long]("age_s") >= ttl, r.toString))
+      // the steady state never double-schedules: discovery anti-joins
+      // the FETCHED keys, refetch schedules ONLY fetched keys — the
+      // two waves are disjoint by construction, pinned here
+      val discoveryCanons = waves.select("canon").collect()
+        .map(_.getString(0)).toSet
+      val refetchCanons = refetches.select("canon").collect()
+        .map(_.getString(0)).toSet
+      assert(discoveryCanons.intersect(refetchCanons).isEmpty)
       // RESTART: AvailableNow over a fully processed checkpoint must
       // re-ingest nothing and rewrite nothing — key set, fetch log,
       // and wave bytes identical (the replay-safety claim, exercised)
