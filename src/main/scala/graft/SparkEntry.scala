@@ -4612,7 +4612,8 @@ object SparkEntry {
     * the SQL text; Verify's JSON writer escapes control characters),
     * including the MALFORMED legs (doc_id%13: missing response on 3,
     * +7-octet Content-Length lie on 7, truncated header on 11,
-    * non-ASCII payload suffix on 1), then the same split /
+    * non-ASCII payload suffix on 1, 301+Location on 8), then the same
+    * split /
     * type-filter / header / framing chain and the q172 extraction
     * over the framed payload. Lengths via `strlen` (DuckDB's BYTE
     * length of a VARCHAR — mirrors Spark's `octet_length`; DuckDB's
@@ -4672,7 +4673,8 @@ object SparkEntry {
 
   /** The planted HTTP response message wrapped around the page body —
     * HtmlOps.plantedWarcCorpus's payload, regenerated: status line
-    * (404 on %13==2), Content-Type (text/plain on %13==5), blank
+    * (404 on %13==2), Content-Type (text/plain on %13==5, ALL-CAPS
+    * header name on %13==4 — legal on the wire), blank
     * line, body (non-ASCII suffix on %13==1). From `<src>` rows
     * (doc_id, html) to (doc_id, pay).
     */
@@ -4680,8 +4682,19 @@ object SparkEntry {
     val cr = "\r\n"
     s"""$out AS (SELECT doc_id, concat(
        |  CASE WHEN doc_id % 13 = 2 THEN 'HTTP/1.1 404 Not Found$cr'
+       |       WHEN doc_id % 13 = 8
+       |         THEN 'HTTP/1.1 301 Moved Permanently$cr'
        |       ELSE 'HTTP/1.1 200 OK$cr' END,
+       |  CASE WHEN doc_id % 13 = 8 THEN concat('Location: ',
+       |    CASE WHEN doc_id % 2 = 0 THEN concat('https://w',
+       |      cast(doc_id % 7 AS varchar), '.s',
+       |      cast(doc_id % 5 AS varchar), '.example/r/',
+       |      cast(doc_id % 11 AS varchar))
+       |    ELSE concat('/r/', cast(doc_id % 11 AS varchar)) END, '$cr')
+       |    ELSE '' END,
        |  CASE WHEN doc_id % 13 = 5 THEN 'Content-Type: text/plain$cr'
+       |       WHEN doc_id % 13 = 4
+       |         THEN 'CONTENT-TYPE: text/html; charset=utf-8$cr'
        |       ELSE 'Content-Type: text/html; charset=utf-8$cr' END,
        |  '$cr',
        |  html || CASE WHEN doc_id % 13 = 1 THEN '<p>résumé café</p>'
@@ -4703,8 +4716,14 @@ object SparkEntry {
        |  CASE WHEN regexp_matches(payload, '^HTTP/1\\.[01] [0-9]{3}')
        |    THEN lower(trim(regexp_extract(
        |      regexp_extract(payload, '(?s)^(.*?)$cr$cr', 1),
-       |      '(?m)^[Cc]ontent-[Tt]ype:[ \\t]*([^;$cr]+)', 1)))
+       |      '(?m)^(?i:content-type):[ \\t]*([^;$cr]+)', 1)))
        |    ELSE '' END AS mime,
+       |  CASE WHEN TRY_CAST(regexp_extract(payload,
+       |      '^HTTP/1\\.[01] ([0-9]{3})', 1) AS INT) BETWEEN 300 AND 399
+       |    THEN trim(regexp_extract(
+       |      regexp_extract(payload, '(?s)^(.*?)$cr$cr', 1),
+       |      '(?m)^(?i:location):[ \\t]*([^$cr]+)', 1))
+       |    ELSE '' END AS redirect_to,
        |  CASE WHEN regexp_matches(payload, '^HTTP/1\\.[01] [0-9]{3}')
        |    THEN regexp_extract(payload, '(?s)$cr$cr(.*)$$', 1)
        |    ELSE payload END AS body
@@ -4718,7 +4737,7 @@ object SparkEntry {
        |${duckWarcChain("pp", "")},
        |${duckHttpFrame("")},
        |xb AS (SELECT doc_id, n_records, target_uri, warc_date,
-       |  content_length, payload, http_status, mime, body,
+       |  content_length, payload, http_status, mime, redirect_to, body,
        |  regexp_replace(regexp_replace(regexp_replace(body,
        |    '(?s)<[Hh][Ee][Aa][Dd]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Hh][Ee][Aa][Dd]>', ' ', 'g'),
        |    '(?s)<[Ss][Cc][Rr][Ii][Pp][Tt]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Ss][Cc][Rr][Ii][Pp][Tt]>', ' ', 'g'),
@@ -4734,6 +4753,7 @@ object SparkEntry {
        |  http_status, mime,
        |  coalesce(http_status = 200 AND mime = 'text/html', false)
        |    AS http_ok,
+       |  redirect_to,
        |  regexp_extract(body, '<[Tt][Ii][Tt][Ll][Ee]>([^<]*)</[Tt][Ii][Tt][Ll][Ee]>', 1) AS title,
        |  trim(regexp_replace(de, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS text_clean
        |FROM xe""".stripMargin
@@ -5004,7 +5024,7 @@ object SparkEntry {
       s"""(SELECT concat('https://w', cast(doc_id % 7 AS varchar), '.s',
          |  cast(doc_id % 5 AS varchar), '.example/p/',
          |  cast(doc_id % 11 AS varchar)) AS u FROM documents
-         |  WHERE ($pred) AND doc_id % 13 NOT IN (2, 3, 5, 7, 11))"""
+         |  WHERE ($pred) AND doc_id % 13 NOT IN (2, 3, 5, 7, 8, 11))"""
         .stripMargin
     val w0 = frontierCtes("wc", robots = true,
       pageCtes = Some(duckWarcPages("wc", "doc_id >= 250 AND doc_id < 375")),
@@ -5371,6 +5391,7 @@ object SparkEntry {
     val gs = "generate_series"
     val nl = "\n" // real newline bytes inside the SQL literals, the
                   // $cr convention of duckWarcChain
+    val cr = "\r" // the CRLF legs carry a real carriage-return byte
     s"""rtxt AS (SELECT
        |  concat('s', cast($gs AS varchar), '.example') AS domain,
        |  concat('# robots.txt for s', cast($gs AS varchar),
@@ -5385,8 +5406,13 @@ object SparkEntry {
        |      THEN 'Disallow: /${nl}Allow: /nav$nl' ELSE '' END,
        |    CASE WHEN $gs % 4 = 2 THEN 'Allow: /p/$nl' ELSE '' END,
        |    CASE WHEN $gs % 5 = 3 THEN 'Disallow:$nl' ELSE '' END,
+       |    CASE WHEN $gs % 6 = 4 THEN 'Disallow: /crlf/$cr$nl'
+       |      ELSE '' END,
        |    CASE WHEN $gs <= 9 THEN concat('Crawl-delay: ',
-       |      cast(5 + ($gs % 4) * 10 AS varchar), '$nl') ELSE '' END,
+       |      cast(5 + ($gs % 4) * 10 AS varchar),
+       |      CASE WHEN $gs % 3 = 0 THEN ' # be nice' ELSE '' END,
+       |      CASE WHEN $gs % 6 = 4 THEN '$cr$nl' ELSE '$nl' END)
+       |      ELSE '' END,
        |    CASE WHEN $gs % 3 = 1
        |      THEN '${nl}User-agent: badbot${nl}Disallow: /private$nl'
        |      ELSE '' END) AS txt
@@ -5404,10 +5430,11 @@ object SparkEntry {
     */
   private lazy val q199Sql = {
     val nl = "\n"
+    val cr = "\r"
     def dir(cte: String, name: String, allow: Boolean) =
       s"""$cte AS (SELECT domain, $allow AS allow, rtrim(p) AS prefix
          |  FROM (SELECT domain, unnest(regexp_extract_all(body,
-         |    '(?m)^$name:[ \t]*([^$nl#]*)', 1)) AS p FROM rbody))"""
+         |    '(?m)^$name:[ \t]*([^$cr$nl#]*)', 1)) AS p FROM rbody))"""
         .stripMargin
     s"""WITH $duckRobotsTxtCtes,
        |${dir("rdis", "[Dd]isallow", allow = false)},
@@ -5421,12 +5448,17 @@ object SparkEntry {
     * the same Crawl-delay extraction [[graft.ops.HtmlOps.parseCrawlDelays]]
     * runs; expects [[duckRobotsTxtCtes]] in the WITH clause.
     */
-  private lazy val duckDelayCte =
+  private lazy val duckDelayCte = {
+    val cr = "\r"
+    // the value tolerates trailing blanks, an inline '# comment', and
+    // a CRLF terminator — HtmlOps.parseCrawlDelays's exact pattern
     s"""sdl AS (SELECT domain, CAST(ds AS BIGINT) AS delay_s FROM
        |  (SELECT domain, regexp_extract(body,
-       |     '(?m)^[Cc]rawl-[Dd]elay:[ \t]*([0-9]+)$$', 1) AS ds
+       |     '(?m)^[Cc]rawl-[Dd]elay:[ \t]*([0-9]+)[ \t]*(?:#[^\n]*)?$cr?$$',
+       |     1) AS ds
        |   FROM rbody)
        |  WHERE ds <> '' AND CAST(ds AS BIGINT) >= 1)""".stripMargin
+  }
 
   /** HtmlOps.plantedRobotsRules regenerated from `generate_series` —
     * the `rru` CTE both robots oracles (q190, q191) join against.
@@ -5441,7 +5473,8 @@ object SparkEntry {
        |  UNION ALL SELECT domain, true, '/p/1' FROM rdm WHERE k % 2 = 0
        |  UNION ALL SELECT domain, false, '/' FROM rdm WHERE k % 4 = 1
        |  UNION ALL SELECT domain, true, '/nav' FROM rdm WHERE k % 4 = 1
-       |  UNION ALL SELECT domain, true, '/p/' FROM rdm WHERE k % 4 = 2)"""
+       |  UNION ALL SELECT domain, true, '/p/' FROM rdm WHERE k % 4 = 2
+       |  UNION ALL SELECT domain, false, '/crlf/' FROM rdm WHERE k % 6 = 4)"""
       .stripMargin
 
   /** The q190 oracle — outlinks with hosts (the q173 chain), the

@@ -490,10 +490,27 @@ object HtmlOps {
     val body = concat(col("html"),
       when(m === 1, lit("<p>résumé café</p>"))
         .otherwise(lit("")))
+    // the 301 leg's Location target: a /r/ path no page ever links —
+    // redirect discovery is the ONLY channel that can surface it.
+    // Absolute on even doc_ids, server-relative on odd (a legal
+    // Location spelling that must resolve against the fetch host
+    // exactly like a relative outlink)
+    val redirTarget = when(col("doc_id") % 2 === 0,
+      expr("""concat('https://w', cast(doc_id % 7 as string), '.s',
+             | cast(doc_id % 5 as string), '.example/r/',
+             | cast(doc_id % 11 as string))"""
+        .stripMargin.replace("\n", " ")))
+      .otherwise(concat(lit("/r/"), (col("doc_id") % 11).cast("string")))
     val payload = concat(
       when(m === 2, lit("HTTP/1.1 404 Not Found" + crlf))
+        .when(m === 8, lit("HTTP/1.1 301 Moved Permanently" + crlf))
         .otherwise(lit("HTTP/1.1 200 OK" + crlf)),
+      when(m === 8, concat(lit("Location: "), redirTarget, lit(crlf)))
+        .otherwise(lit("")),
       when(m === 5, lit("Content-Type: text/plain" + crlf))
+        // the all-caps leg: header names are case-insensitive on the
+        // wire, and this page is just as valid as its neighbours
+        .when(m === 4, lit("CONTENT-TYPE: text/html; charset=utf-8" + crlf))
         .otherwise(lit("Content-Type: text/html; charset=utf-8" + crlf)),
       lit(crlf), body)
     val declaredLen =
@@ -608,6 +625,7 @@ object HtmlOps {
         col("doc_id"), col("n_records"), col("target_uri"),
         col("warc_date"), col("content_length"), col("length_ok"),
         col("http_status"), col("mime"), col("http_ok"),
+        col("redirect_to"),
         titleOf(col("body")).as("title"),
         extractedText(col("body")).as("text_clean"))
 
@@ -631,8 +649,12 @@ object HtmlOps {
     val pay = col("payload")
     val isHttp = pay.rlike("^HTTP/1\\.[01] [0-9]{3}")
     val headers = regexp_extract(pay, "(?s)^(.*?)\r\n\r\n", 1)
+    // HTTP header names are case-insensitive (RFC 9110 §5.1): a legal
+    // `CONTENT-TYPE:` must not read as mime='' and drop a valid page
+    // at the gate. The (?i:) group is scoped to the header NAME — it
+    // runs over the header block only, never the body scan
     val mime = lower(trim(regexp_extract(headers,
-      "(?m)^[Cc]ontent-[Tt]ype:[ \\t]*([^;\r\n]+)", 1)))
+      "(?m)^(?i:content-type):[ \\t]*([^;\r\n]+)", 1)))
     framed
       .withColumn("http_status", when(isHttp,
         regexp_extract(pay, "^HTTP/1\\.[01] ([0-9]{3})", 1).cast("int"))
@@ -641,6 +663,18 @@ object HtmlOps {
       .withColumn("http_ok", coalesce(
         col("http_status") === 200 && col("mime") === "text/html",
         lit(false)))
+      // a 3xx response's Location header IS the fetch's outcome: the
+      // content lives at the target. Extracted here so the frontier
+      // can treat it as a discovered link ([[redirectTargets]]) —
+      // dropping it would silently lose the discovery channel that
+      // carries roughly a third of real-crawl fetches. '' = not a
+      // redirect (or a malformed 3xx without Location — a verdict,
+      // not an exception, like every other leg)
+      .withColumn("redirect_to",
+        when(col("http_status").between(300, 399),
+          trim(regexp_extract(headers,
+            "(?m)^(?i:location):[ \\t]*([^\r\n]+)", 1)))
+          .otherwise(lit("")))
       .withColumn("body", when(isHttp,
         regexp_extract(pay, "(?s)\r\n\r\n(.*)$", 1)).otherwise(pay))
   }
@@ -787,18 +821,29 @@ object HtmlOps {
   // ensured (process, rowsPath) registrations — the name is
   // deterministic, so after the first ensure every frontier call and
   // streaming micro-batch skips the catalog round-trips entirely
-  private val keyTableCache =
+  private val artifactTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def registerKeyTable(spark: org.apache.spark.sql.SparkSession,
-                               scope: graft.core.Scope, name: String,
-                               recreate: Boolean = false): String = {
+  /** The catalog registration shared by every maintained BUCKETED
+    * artifact (the URL key set, the fetch log): an external table
+    * `CLUSTERED BY (canon)` over the artifact's own parquet layout,
+    * so consumers joining on the canonical key read the stored side
+    * exchange-free. `columnsDdl`/`partitionedBy` parameterize the
+    * schema; everything else — MD5-of-path naming, recreate-clears-
+    * location, stale-location healing, MSCK partition discovery — is
+    * one contract for all artifacts.
+    */
+  private def registerArtifactTable(spark: org.apache.spark.sql.SparkSession,
+                                    scope: graft.core.Scope, name: String,
+                                    kind: String, columnsDdl: String,
+                                    partitionedBy: String,
+                                    recreate: Boolean): String = {
     val rowsPath = scope.path(s"$name/rows")
     def ensure(): String = {
       val digest = java.security.MessageDigest.getInstance("MD5")
         .digest(rowsPath.getBytes("UTF-8"))
         .take(8).map(b => f"$b%02x").mkString
-      val tbl = s"graft_urlkeys_$digest"
+      val tbl = s"graft_${kind}_$digest"
       val p = new org.apache.hadoop.fs.Path(rowsPath)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       // a RE-SAVE must start empty: DROP TABLE on an external table
@@ -820,9 +865,9 @@ object HtmlOps {
         // exist for registration + partition recovery
         fs.mkdirs(p)
         spark.sql(
-          s"""CREATE TABLE $tbl (canon STRING, doc_id BIGINT, bucket INT)
+          s"""CREATE TABLE $tbl ($columnsDdl)
              |USING PARQUET
-             |PARTITIONED BY (bucket)
+             |PARTITIONED BY ($partitionedBy)
              |CLUSTERED BY (canon) INTO $nBuckets BUCKETS
              |LOCATION '$rowsPath'""".stripMargin)
         // a re-registration (fresh session over an existing artifact)
@@ -831,9 +876,34 @@ object HtmlOps {
       }
       tbl
     }
-    if (recreate) { val t = ensure(); keyTableCache.put(rowsPath, t); t }
-    else keyTableCache.computeIfAbsent(rowsPath, _ => ensure())
+    if (recreate) { val t = ensure(); artifactTableCache.put(rowsPath, t); t }
+    else {
+      // a cache hit must still verify the registration is alive in
+      // THIS catalog: the cache is JVM-wide but the catalog lives in
+      // the SparkContext — after a context restart in the same JVM
+      // the name would otherwise resolve to a dropped table
+      // (tableExists is an in-memory catalog lookup, no FS round
+      // trip on the steady path)
+      val cached = artifactTableCache.get(rowsPath)
+      if (cached != null && spark.catalog.tableExists(cached)) cached
+      else { val t = ensure(); artifactTableCache.put(rowsPath, t); t }
+    }
   }
+
+  private def registerKeyTable(spark: org.apache.spark.sql.SparkSession,
+                               scope: graft.core.Scope, name: String,
+                               recreate: Boolean = false): String =
+    registerArtifactTable(spark, scope, name, kind = "urlkeys",
+      columnsDdl = "canon STRING, doc_id BIGINT, bucket INT",
+      partitionedBy = "bucket", recreate = recreate)
+
+  private def registerFetchLogTable(spark: org.apache.spark.sql.SparkSession,
+                                    scope: graft.core.Scope, name: String,
+                                    recreate: Boolean = false): String =
+    registerArtifactTable(spark, scope, name, kind = "fetchlog",
+      columnsDdl = "canon STRING, url STRING, last_fetch_s BIGINT, " +
+        "bucket INT, fetch_day INT",
+      partitionedBy = "bucket, fetch_day", recreate = recreate)
 
   /** O(batch) ingest of a new fetch wave (q59's anti-join shape):
     * canonicalize the batch, keep the FIRST fetch per key within the
@@ -973,6 +1043,68 @@ object HtmlOps {
         resolvedUrl(col("url"), col("host"))), rules)
       .filter(col("allowed"))
       .drop("path", "allowed", "rule_len")
+  }
+
+  /** The REDIRECT discovery channel: each 3xx record's `Location`
+    * target as a candidate-link row (doc_id, url, host, domain,
+    * blocked) — the same shape [[htmlOutlinks]] emits, because a
+    * redirect target IS a discovered link: the content the crawler
+    * asked for lives there. A server-relative Location inherits the
+    * fetch host exactly like a relative href; targets with no
+    * resolvable host drop downstream on the standard `host != ''`
+    * filter; the blocklist verdict applies unchanged. Input is the
+    * [[httpFrame]]d archive (`redirect_to`, `target_uri` columns).
+    */
+  private[graft] def redirectTargets(framed: DataFrame,
+      blocklist: Seq[String] = PiiOps.defaultBlocklist): DataFrame =
+    PiiOps.blocklistVerdict(
+      framed
+        .filter(col("redirect_to") =!= "")
+        .select(col("doc_id"), col("redirect_to").as("url"),
+          hostOf(col("target_uri")).as("fetch_host"))
+        .withColumn("host", inheritedHost(col("url"), col("fetch_host")))
+        .withColumn("domain", PiiOps.registrableDomain(col("host"))),
+      blocklist)
+      .select(col("doc_id"), col("url"), col("host"), col("domain"),
+        col("blocked"))
+
+  /** Q205: the REDIRECT-AWARE frontier — the polite wave with BOTH
+    * discovery channels the archive actually carries: outlinks of the
+    * valid (200 text/html, octet-verified) pages, AND the `Location`
+    * targets of 3xx fetches ([[redirectTargets]]). On a real crawl
+    * roughly a third of fetches redirect; without this channel every
+    * moved page whose new address nothing links yet is silently lost.
+    * Both channels pass the IDENTICAL admission chain — blocklist,
+    * robots on the RESOLVED url, canonical-key aggregation (a target
+    * both linked and redirected-to accumulates refs from both),
+    * anti-join against the maintained key set, rank priority,
+    * politeness cap — so a redirect target competes for a wave slot
+    * on equal terms, no side door.
+    *
+    * Scale shape: q191's plan plus one more zero-exchange projection
+    * (the redirect rows are a filter over the already-framed scan)
+    * union'd below the one canon-key exchange. The framing
+    * projection feeds both channels; a loop caller that has the
+    * batch persisted (the q203 pattern) pays the archive scan once.
+    */
+  def redirectFrontier(chunks: DataFrame, scope: graft.core.Scope,
+                       name: String, ranks: DataFrame, rules: DataFrame,
+                       kPerDomain: Int = 10,
+                       warcCol: String = "warc"): DataFrame = {
+    val framed = httpFrame(warcFrame(chunks, warcCol))
+    val pages = framed.filter(col("length_ok") && col("http_ok"))
+      .select(col("doc_id"), hostOf(col("target_uri")).as("fetch_host"),
+        col("body").as("html"))
+    val pageLinks = politeGatedLinks(pages, rules)
+      .select(col("doc_id"), col("url"), col("host"), col("domain"))
+    val redirects = redirectTargets(framed)
+      .filter(!col("blocked") && col("host") =!= "")
+      .withColumn("url", resolvedUrl(col("url"), col("host")))
+    val gatedRedirects = robotsGate(redirects, rules)
+      .filter(col("allowed"))
+      .select(col("doc_id"), col("url"), col("host"), col("domain"))
+    frontierFromLinks(pageLinks.unionByName(gatedRedirects), scope, name,
+      ranks, kPerDomain)
   }
 
   /** The shared q187/q191 frontier tail over a candidate LINK table
@@ -1205,7 +1337,13 @@ object HtmlOps {
     * parse drops it); an INLINE comment on every even domain's
     * Disallow (`/p/ # tracked section` — the value stops at `#`,
     * trailing space trimmed); a comment header everywhere (ignored by
-    * the line-anchored directive matchers). Every varying field is a
+    * the line-anchored directive matchers); a CRLF-TERMINATED
+    * Disallow and Crawl-delay on `k%6==4` (HTTP-fetched robots bytes
+    * usually end lines `\r\n` — the parse must shed the `\r` or the
+    * prefix silently matches nothing); an inline comment after the
+    * delay VALUE on `k%3==0` (`# be nice` — the delay parser gets the
+    * same comment tolerance as the rule directives). Every varying
+    * field is a
     * pure domain-index expression; the oracle regenerates the bytes.
     */
   def plantedRobotsTxt(spark: org.apache.spark.sql.SparkSession): DataFrame = {
@@ -1221,8 +1359,16 @@ object HtmlOps {
       leg(col("k") % 4 === 1, lit("Disallow: /\nAllow: /nav\n")),
       leg(col("k") % 4 === 2, lit("Allow: /p/\n")),
       leg(col("k") % 5 === 3, lit("Disallow:\n")),
+      // a CRLF-terminated directive (%6 == 4): robots bytes come off
+      // HTTP, where CRLF line endings dominate — the parse must strip
+      // the '\r' or the prefix never matches anything
+      leg(col("k") % 6 === 4, lit("Disallow: /crlf/\r\n")),
       leg(col("k") <= 9, concat(lit("Crawl-delay: "),
-        (lit(5L) + (col("k") % 4) * 10L).cast("string"), lit("\n"))),
+        (lit(5L) + (col("k") % 4) * 10L).cast("string"),
+        // inline comment (%3 == 0) and CRLF terminator (%6 == 4) on
+        // the delay line — the same tolerance the rule directives get
+        when(col("k") % 3 === 0, lit(" # be nice")).otherwise(lit("")),
+        when(col("k") % 6 === 4, lit("\r\n")).otherwise(lit("\n")))),
       leg(col("k") % 3 === 1,
         lit("\nUser-agent: badbot\nDisallow: /private\n")))
       .as("robots_txt"))
@@ -1261,11 +1407,15 @@ object HtmlOps {
     // line-suffix legal and '#' cannot occur in a robots path — the
     // fragment never reaches the file); trailing space before the
     // comment is trimmed, and a value that was ALL comment drops with
-    // the empty-value rule below
+    // the empty-value rule below. '\r' is excluded from the capture:
+    // a CRLF-terminated file (the dominant case in the wild — robots
+    // bytes come off HTTP) must not leave a trailing '\r' glued to
+    // every prefix, which would void the whole file's rules silently
+    // (rtrim strips spaces, not carriage returns)
     def directives(name: String, allow: Boolean) =
       robots.select(col("domain"),
         explode(regexp_extract_all(body,
-          lit(s"(?m)^$name:[ \\t]*([^\\n#]*)"), lit(1))).as("raw"))
+          lit(s"(?m)^$name:[ \\t]*([^\\r\\n#]*)"), lit(1))).as("raw"))
         .select(col("domain"), rtrim(col("raw")).as("prefix"))
         .withColumn("allow", lit(allow))
     directives("[Dd]isallow", allow = false)
@@ -1287,9 +1437,15 @@ object HtmlOps {
   def parseCrawlDelays(robots: DataFrame,
                        txtCol: String = "robots_txt"): DataFrame = {
     val body = robotsStarGroup(col(txtCol))
+    // same whitespace/comment tolerance as the rule directives: the
+    // value may carry trailing blanks, an inline '# comment', and a
+    // CRLF terminator — all legal in real files, and a parser that
+    // accepts them on Disallow but not Crawl-delay would silently
+    // swap a declared delay for the 30 s default
     robots
       .select(col("domain"), regexp_extract(body,
-        "(?m)^[Cc]rawl-[Dd]elay:[ \\t]*([0-9]+)$", 1).as("ds"))
+        "(?m)^[Cc]rawl-[Dd]elay:[ \\t]*([0-9]+)[ \\t]*(?:#[^\\n]*)?\\r?$",
+        1).as("ds"))
       .filter(col("ds") =!= "")
       .select(col("domain"), col("ds").cast("long").as("delay_s"))
       .filter(col("delay_s") >= 1L)
@@ -1305,8 +1461,20 @@ object HtmlOps {
     * shuffle on top of the wave that is being scheduled.
     */
   def scheduleWave(wave: DataFrame, delays: DataFrame,
-                   defaultDelayS: Long = 30L): DataFrame = {
-    require(defaultDelayS > 0, s"defaultDelayS must be positive: $defaultDelayS")
+                   defaultDelayS: Long = 30L): DataFrame =
+    scheduleWaveValidated(wave, validatedDelays(delays), defaultDelayS)
+
+  /** One-time validation + LOCALIZATION of a delays table: the
+    * duplicate-domain / non-positive-delay guards run ONCE, and the
+    * surviving rows — domain-vocabulary-sized by construction — are
+    * collected into a local relation. A long-running consumer (the
+    * streaming loops) validates before the stream starts and hands
+    * the result to [[scheduleWaveValidated]] per wave, so the guard
+    * aggregation — and whatever plan (a full robots parse) produced
+    * the delays — never re-executes per micro-batch.
+    */
+  def validatedDelays(delays: DataFrame): DataFrame = {
+    val spark = delays.sparkSession
     // cast up front: a robots parser plausibly emits IntegerType
     // delays, and the guard below must fail with ITS message, never a
     // ClassCastException out of getLong
@@ -1323,6 +1491,17 @@ object HtmlOps {
       "delays table has duplicate domain rows")
     require(chk.isNullAt(2) || chk.getLong(2) > 0L,
       "delays table has a non-positive delay_s")
+    val rows = d.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), d.schema)
+  }
+
+  /** [[scheduleWave]]'s join body over an ALREADY-validated delays
+    * table (from [[validatedDelays]]) — the per-wave work: a
+    * broadcast join plus per-row integer arithmetic, nothing else.
+    */
+  private[graft] def scheduleWaveValidated(wave: DataFrame, d: DataFrame,
+                                           defaultDelayS: Long): DataFrame = {
+    require(defaultDelayS > 0, s"defaultDelayS must be positive: $defaultDelayS")
     wave
       .join(broadcast(d), Seq("domain"), "left")
       .withColumn("delay_s", coalesce(col("delay_s"), lit(defaultDelayS)))
@@ -1420,61 +1599,179 @@ object HtmlOps {
   def saveFetchLog(fetchLog: DataFrame, scope: graft.core.Scope,
                    name: String, nBuckets: Int = 64): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
-    graft.core.Scopes.writeMeta(fetchLog.sparkSession, scope,
+    val spark = fetchLog.sparkSession
+    graft.core.Scopes.writeMeta(spark, scope,
       s"$name/meta", "n_buckets" -> nBuckets)
+    val tbl = registerFetchLogTable(spark, scope, name, recreate = true)
     latestFetchPerKey(fetchLog)
       .select(col("canon"), col("url"), col("last_fetch_s"),
-        keyBucket(col("canon"), nBuckets))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(scope.path(s"$name/rows"))
+        keyBucket(col("canon"), nBuckets), fetchDay(col("last_fetch_s")))
+      .write.insertInto(tbl)
   }
 
+  /** The coarse STALENESS partition of the fetch-log layout: the
+    * UTC day of the latest fetch. Second-level partition column under
+    * `bucket` — a refetch due-scan's `last_fetch_s <= cutoff`
+    * predicate implies `fetch_day <= floor(cutoff/86400)`, which
+    * prunes every partition of fresher days at LISTING time (the
+    * canon-bucket layout alone gives parquet min/max nothing to prune
+    * a staleness predicate with: every bucket file spans all fetch
+    * times). Floor division, so the implication holds for any sign.
+    */
+  private def fetchDay(lastFetchS: Column): Column =
+    floor(lastFetchS / lit(86400L)).cast("int").as("fetch_day")
+
   /** O(batch) UPSERT of a fetch wave into the maintained log: reduce
-    * the batch to its latest fetch per key, merge with the stored
-    * rows of ONLY the touched buckets (struct-max again — max is
-    * associative, so batch-wise maintenance equals the one-shot
-    * reduction over the concatenated log), and dynamically overwrite
-    * just those bucket partitions. Untouched buckets keep their files
-    * byte-identical (spec-pinned). IDEMPOTENT under replay by
+    * the batch to its latest fetch per key, merge against the stored
+    * side through [[fetchLogMerge]] — a bucketed full-outer join that
+    * moves NO stored row (the round-12 audit's #1: the groupBy merge
+    * reshuffled the touched buckets' full contents; the catalog
+    * bucketed table makes the stored side exchange-free exactly like
+    * the key set's frontier joins) — and dynamically overwrite only
+    * the `(bucket, fetch_day)` partitions the batch actually CHANGED.
+    * Untouched partitions keep their files byte-identical
+    * (spec-pinned), including the fresher-day partitions of touched
+    * buckets. IDEMPOTENT under replay by
     * algebra, not bookkeeping: max(stored, batch) re-applied is
-    * max(stored, batch) — the streaming maintainer needs no dedup
+    * max(stored, batch) — a full replay writes nothing at all — so
+    * the streaming maintainer needs no dedup
     * token. ORDER-INSENSITIVE across batches for the same reason
     * (unlike [[appendUrlKeys]]'s fetch-order contract): a late wave
     * delivered out of order still converges to the same artifact.
+    * Returns the rows written (every surviving row of a changed
+    * partition).
     */
   def appendFetchLog(batch: DataFrame, scope: graft.core.Scope,
                      name: String): DataFrame = {
     val spark = batch.sparkSession
+    import spark.implicits._
     val nBuckets = graft.core.Scopes.readMeta(spark, scope,
       s"$name/meta")("n_buckets")
+    val tbl = registerFetchLogTable(spark, scope, name)
     val batchLatest = latestFetchPerKey(
       batch.select(col("url"), col("fetched_at_s")))
       .withColumn("bucket", keyBucket(col("canon"), nBuckets))
     // touched buckets: at most n_buckets values, model-sized
     val touched = batchLatest.select("bucket").distinct()
       .collect().map(_.getInt(0))
-    val stored = loadFetchLog(spark, scope, name)
+    val stored = spark.table(tbl)
       .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
-    val merged = stored.select("canon", "url", "last_fetch_s")
-      .unionByName(batchLatest.select("canon", "url", "last_fetch_s"))
-      .groupBy(col("canon"))
-      .agg(max(struct(col("last_fetch_s"), col("url"))).as("m"))
-      .select(col("canon"), col("m.url").as("url"),
-        col("m.last_fetch_s").as("last_fetch_s"),
-        keyBucket(col("canon"), nBuckets))
-      // pin BEFORE the dynamic overwrite below rewrites what it read
-      .localCheckpoint(eager = true)
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(scope.path(s"$name/rows"))
-    merged
+    val merged = fetchLogMerge(stored, batchLatest)
+      .select(col("canon"), col("url"), col("last_fetch_s"),
+        keyBucket(col("canon"), nBuckets),
+        fetchDay(col("last_fetch_s")), col("day_s"), col("batch_won"))
+    // the partitions the batch actually CHANGES: where a winning row
+    // lands, plus where a beaten row must vanish from. LAYOUT-bounded
+    // (≤ n_buckets × distinct fetch days), never batch- or log-sized
+    // — safe to collect, and it is what keeps the rewrite O(changed),
+    // not O(touched buckets)
+    val changedParts = merged.filter(col("batch_won"))
+      .select(col("bucket"), col("fetch_day"))
+      .unionByName(merged
+        .filter(col("batch_won") && col("day_s").isNotNull &&
+          col("day_s") =!= col("fetch_day"))
+        .select(col("bucket"), col("day_s").as("fetch_day")))
+      .distinct().collect().map(r => (r.getInt(0), r.getInt(1)))
+    // a replay where nothing beats the stored log is a TRUE no-op:
+    // no partition rewritten, not even idempotently
+    val toWrite = if (changedParts.isEmpty) {
+      merged.filter(lit(false))
+        .select(col("canon"), col("url"), col("last_fetch_s"),
+          col("bucket"), col("fetch_day"))
+    } else {
+      val parts = changedParts.toSeq.toDF("bucket", "fetch_day")
+      // every SURVIVING row of a changed partition must be in the
+      // overwrite (dynamic overwrite replaces whole partition dirs);
+      // rows of untouched partitions stay out, so their files stay
+      // byte-identical
+      val w = merged
+        .join(broadcast(parts), Seq("bucket", "fetch_day"), "left_semi")
+        .select(col("canon"), col("url"), col("last_fetch_s"),
+          col("bucket"), col("fetch_day"))
+        // pin BEFORE the dynamic overwrite below rewrites what it read
+        .localCheckpoint(eager = true)
+      val prev =
+        spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      // the SESSION conf, not a writer option: insertInto ignores the
+      // per-write option and would static-overwrite the whole table
+      // (probed empirically on this Spark)
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try w.write.mode("overwrite").insertInto(tbl)
+      finally prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      // a changed partition the overwrite wrote NO rows into (its
+      // only keys moved to a fresher day) is not rewritten by the
+      // dynamic overwrite — it must be dropped explicitly or its
+      // beaten rows would survive
+      val written = w.select(col("bucket"), col("fetch_day")).distinct()
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      val rowsPath = scope.path(s"$name/rows")
+      val fs = new org.apache.hadoop.fs.Path(rowsPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      changedParts.filterNot(written).foreach { case (b, d) =>
+        spark.sql(s"ALTER TABLE $tbl DROP IF EXISTS " +
+          s"PARTITION (bucket=$b, fetch_day=$d)")
+        // external table: DROP PARTITION keeps the files, and a later
+        // MSCK would resurrect them
+        val dir = new org.apache.hadoop.fs.Path(
+          s"$rowsPath/bucket=$b/fetch_day=$d")
+        if (fs.exists(dir)) fs.delete(dir, true)
+      }
+      // the overwrite replaced files under partitions a cached
+      // relation may still list — drop the cached listing so the
+      // NEXT wave's read (the steady-state loop) re-lists instead of
+      // failing on a vanished part file. Scoped to mutating upserts;
+      // a no-op replay leaves the cache warm.
+      spark.catalog.refreshTable(tbl)
+      w
+    }
+    toWrite
   }
+
+  /** The upsert's MERGE plan, factored for the plan audit: stored
+    * rows (read THROUGH the catalog registration, so the bucketing
+    * reaches the planner) full-outer-joined with the batch's
+    * latest-per-key reduction on the canonical key, winner by
+    * struct-max — `greatest` over (last_fetch_s, url) structs, the
+    * same argmax algebra as [[latestFetchPerKey]], so batch-wise
+    * maintenance equals the one-shot reduction. Because the stored
+    * side is a bucketed table clustered on `canon`, the join adds NO
+    * Exchange on the stored side (PlanSpec-pinned): a steady-state
+    * wave that touches every bucket merges against the whole log
+    * WITHOUT reshuffling it — the batch side, already reduced to
+    * O(batch) rows, is the only thing that moves. Emits per canon:
+    * the winning (url, last_fetch_s), the stored row's old partition
+    * day `day_s` (null for a first fetch), and `batch_won` (the batch
+    * strictly beat — or newly created — the stored row).
+    */
+  private[graft] def fetchLogMerge(stored: DataFrame,
+                                   batchLatest: DataFrame): DataFrame =
+    stored
+      .select(col("canon"),
+        struct(col("last_fetch_s"), col("url")).as("m_s"),
+        col("fetch_day").as("day_s"))
+      .join(batchLatest
+        .select(col("canon"),
+          struct(col("last_fetch_s"), col("url")).as("m_b")),
+        Seq("canon"), "full_outer")
+      .select(col("canon"), greatest(col("m_s"), col("m_b")).as("m"),
+        col("day_s"),
+        (col("m_b").isNotNull &&
+          (col("m_s").isNull || col("m_b") > col("m_s"))).as("batch_won"))
+      .select(col("canon"), col("m.url").as("url"),
+        col("m.last_fetch_s").as("last_fetch_s"), col("day_s"),
+        col("batch_won"))
 
   def loadFetchLog(spark: org.apache.spark.sql.SparkSession,
                    scope: graft.core.Scope, name: String): DataFrame =
-    spark.read.parquet(scope.path(s"$name/rows"))
+    spark.table(registerFetchLogTable(spark, scope, name))
       .select(col("canon"), col("url"), col("last_fetch_s"),
-        col("bucket").cast("int").as("bucket"))
+        col("bucket").cast("int").as("bucket"),
+        col("fetch_day").cast("int").as("fetch_day"))
 
   /** Q200's read side: [[refetchWave]]'s due-set semantics over the
     * MAINTAINED artifact — no raw log input, no re-reduction; the
@@ -1487,9 +1784,21 @@ object HtmlOps {
   def refetchWaveFromLog(spark: org.apache.spark.sql.SparkSession,
                          scope: graft.core.Scope, name: String,
                          nowS: Long, ttlS: Long, ranks: DataFrame,
-                         kPerDomain: Int = 10): DataFrame =
-    refetchTail(loadFetchLog(spark, scope, name), nowS, ttlS, ranks,
-      kPerDomain)
+                         kPerDomain: Int = 10): DataFrame = {
+    // the coarse twin of refetchTail's exact `age >= ttl` filter:
+    // due ⇒ last_fetch_s <= now - ttl ⇒ fetch_day <= floor((now-ttl)
+    // / 86400) — a PARTITION predicate, so the scan lists only stale
+    // day directories instead of reading the whole log every wave
+    // (the round-12 audit's #2). Clamped to int range soundly: a
+    // cutoff above Int.MaxValue prunes nothing, below Int.MinValue
+    // keeps at most the Int.MinValue day — the exact filter stays
+    // authoritative either way.
+    val dueDay = Math.max(Int.MinValue.toLong, Math.min(Int.MaxValue.toLong,
+      Math.floorDiv(nowS - ttlS, 86400L))).toInt
+    refetchTail(loadFetchLog(spark, scope, name)
+        .filter(col("fetch_day") <= dueDay),
+      nowS, ttlS, ranks, kPerDomain)
+  }
 
   /** Q195: the CRAWL FUNNEL — per target domain, how many link
     * occurrences survive each pipeline stage: attributable links →
@@ -1633,6 +1942,11 @@ object HtmlOps {
       .unionByName(leg(col("k") % 4 === 1, allow = false, "/"))
       .unionByName(leg(col("k") % 4 === 1, allow = true, "/nav"))
       .unionByName(leg(col("k") % 4 === 2, allow = true, "/p/"))
+      // the CRLF-terminated directive leg (%6 == 4 in the raw bytes):
+      // the parse must shed the '\r', so the rule arrives as a clean
+      // prefix — chosen to match no planted link path, which keeps
+      // every gate verdict downstream unchanged
+      .unionByName(leg(col("k") % 6 === 4, allow = false, "/crlf/"))
   }
 
   /** Q190: the ROBOTS-EXCLUSION GATE — RFC 9309 longest-match

@@ -946,6 +946,10 @@ object EventsStreaming {
                          refetch: Option[(Long, String)] = None): Unit = {
     require(refetch.isEmpty || fetchLogName.nonEmpty,
       "refetch emission needs the maintained fetch log (fetchLogName)")
+    // validate + localize ONCE, before the stream starts: the guards
+    // (and whatever plan produced the delays — a full robots parse)
+    // must not re-execute per micro-batch, twice with the refetch arm
+    val vDelays = graft.ops.HtmlOps.validatedDelays(delays)
     val pageSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("url", StringType),
       StructField("fetch_host", StringType), StructField("html", StringType),
@@ -963,11 +967,11 @@ object EventsStreaming {
             graft.ops.HtmlOps.appendFetchLog(
               b.select(col("url"), col("fetched_at_s")), scope, log)
           }
-          graft.ops.HtmlOps.scheduleWave(
+          graft.ops.HtmlOps.scheduleWaveValidated(
               graft.ops.HtmlOps.politeFrontier(
                 b.select(col("doc_id"), col("fetch_host"), col("html")),
                 scope, name, ranks, rules),
-              delays)
+              vDelays, defaultDelayS = 30L)
             .write.mode("overwrite").parquet(s"$outDir/wave=$batchId")
           refetch.foreach { case (ttlS, refetchDir) =>
             // "now" is the batch's own latest fetch — deterministic
@@ -981,10 +985,15 @@ object EventsStreaming {
             // zero rows is null — guarded, not an NPE).
             val nowRow = b.agg(max(col("fetched_at_s"))).head()
             if (!nowRow.isNullAt(0)) {
-              graft.ops.HtmlOps.scheduleWave(
-                  graft.ops.HtmlOps.refetchWaveFromLog(spark, scope,
-                    fetchLogName.get, nowRow.getLong(0), ttlS, ranks),
-                  delays)
+              // read through the BATCH's (cloned) session: the upsert
+              // above refreshed ITS relation cache after rewriting
+              // partitions — the outer session's cache may still list
+              // the replaced files
+              graft.ops.HtmlOps.scheduleWaveValidated(
+                  graft.ops.HtmlOps.refetchWaveFromLog(b.sparkSession,
+                    scope, fetchLogName.get, nowRow.getLong(0), ttlS,
+                    ranks),
+                  vDelays, defaultDelayS = 30L)
                 .write.mode("overwrite")
                 .parquet(s"$refetchDir/wave=$batchId")
             }
@@ -1021,6 +1030,9 @@ object EventsStreaming {
                              checkpointDir: String): Unit = {
     val warcSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("warc", StringType)))
+    // the q192 loop's contract: validate + localize delays once,
+    // before the stream starts
+    val vDelays = graft.ops.HtmlOps.validatedDelays(delays)
     val src = spark.readStream.schema(warcSchema)
       .option("pathGlobFilter", "*.parquet")
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
@@ -1036,11 +1048,11 @@ object EventsStreaming {
         try {
           graft.ops.HtmlOps.appendUrlKeys(
             pages.select(col("doc_id"), col("url")), scope, name)
-          graft.ops.HtmlOps.scheduleWave(
+          graft.ops.HtmlOps.scheduleWaveValidated(
               graft.ops.HtmlOps.politeFrontier(
                 pages.select(col("doc_id"), col("fetch_host"), col("html")),
                 scope, name, ranks, rules),
-              delays)
+              vDelays, defaultDelayS = 30L)
             .write.mode("overwrite").parquet(s"$outDir/wave=$batchId")
           ()
         } finally pages.unpersist()

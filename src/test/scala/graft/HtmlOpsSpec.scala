@@ -250,26 +250,58 @@ class HtmlOpsSpec extends SparkSpec {
       val refetch = log.filter(col("log_id") >= 1000L)
         .select("url", "fetched_at_s")
       HtmlOps.saveFetchLog(first, sc, "fl")
+      // two-level layout now: bucket=<b>/fetch_day=<d>/*.parquet
       def listing(): Map[String, (Long, Long)] = {
         val rows = new java.io.File(sc.path("fl/rows"))
         rows.listFiles().filter(_.getName.startsWith("bucket=")).flatMap {
-          d => d.listFiles().filter(_.getName.endsWith(".parquet"))
-            .map(f => f.getPath -> ((f.length(), f.lastModified())))
+          b => b.listFiles().filter(_.getName.startsWith("fetch_day="))
+            .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))
+              .map(f => f.getPath -> ((f.length(), f.lastModified()))))
         }.toMap
       }
       val before = listing()
       val upserted = HtmlOps.appendFetchLog(refetch, sc, "fl").collect()
       assert(upserted.nonEmpty)
-      val touched = upserted.map(_.getAs[Int]("bucket")).toSet
-      // untouched buckets keep their files byte-identical — the
-      // upsert reads and rewrites ONLY the buckets the batch hashes to
+      // the upsert rewrites ONLY the (bucket, fetch_day) partitions
+      // the batch changed: where a winning row lands (`written`) and
+      // where a beaten row moved out of (`movedFrom` — rewritten if
+      // other keys survive there, DROPPED if emptied). Every other
+      // partition, INCLUDING other days of touched buckets, keeps its
+      // files byte-identical
+      val written = upserted
+        .map(r => (r.getAs[Int]("bucket"), r.getAs[Int]("fetch_day"))).toSet
+      val movedFrom = first
+        .groupBy(HtmlOps.canonicalUrl(col("url")).as("canon"))
+        .agg(max(struct(col("fetched_at_s"), col("url"))).as("m"))
+        .join(refetch.select(HtmlOps.canonicalUrl(col("url")).as("canon"))
+          .distinct(), Seq("canon"))
+        .select(
+          pmod(xxhash64(col("canon")), lit(64L)).cast("int").as("b"),
+          floor(col("m.fetched_at_s") / 86400L).cast("int").as("d"))
+        .distinct().collect().map(r => (r.getInt(0), r.getInt(1))).toSet
       val after = listing()
       before.foreach { case (path, sig) =>
         val b = path.split("bucket=")(1).split("/")(0).toInt
-        if (!touched.contains(b))
+        val d = path.split("fetch_day=")(1).split("/")(0).toInt
+        if (written.contains((b, d))) () // changed: rewritten, fine
+        else if (movedFrom.contains((b, d)))
+          // emptied entirely (no surviving key) — must be GONE, or
+          // the beaten rows would still be readable
+          assert(after.get(path).isEmpty,
+            s"emptied partition still has files: $path")
+        else
           assert(after.get(path).contains(sig),
-            s"untouched bucket rewritten: $path")
+            s"unchanged partition rewritten: $path")
       }
+      // and some partition of a touched bucket stayed intact — the
+      // assertion above is not vacuous (refetches move keys to a NEW
+      // day; their buckets' other days must survive untouched)
+      assert(before.keys.exists { path =>
+        val b = path.split("bucket=")(1).split("/")(0).toInt
+        val d = path.split("fetch_day=")(1).split("/")(0).toInt
+        !written.contains((b, d)) && !movedFrom.contains((b, d)) &&
+          written.exists(_._1 == b)
+      }, "no touched bucket kept an unchanged day partition")
       // the maintained artifact equals the one-shot reduction over
       // the FULL raw log: the refetched keys carry the LATER time
       def rows(df: org.apache.spark.sql.DataFrame) = df
@@ -1158,9 +1190,27 @@ class HtmlOpsSpec extends SparkSpec {
       (col("http_status") =!= 404 || col("http_ok"))).count() === 0)
     assert(out.filter(col("m") === 5 &&
       (col("mime") =!= "text/plain" || col("http_ok"))).count() === 0)
-    assert(out.filter(!col("m").isin(2, 3, 5, 11) && !col("http_ok"))
+    assert(out.filter(!col("m").isin(2, 3, 5, 8, 11) && !col("http_ok"))
       .count() === 0)
     assert(out.filter(col("m").isin(3, 11) && col("http_status").isNotNull)
       .count() === 0)
+    // the 301 leg: not a page (http_ok false), but its Location is
+    // the fetch's OUTCOME — extracted, never lost; every non-3xx leg
+    // carries none
+    assert(out.filter(col("m") === 8 &&
+      (col("http_status") =!= 301 || col("http_ok") ||
+        col("redirect_to") === "")).count() === 0)
+    assert(out.filter(col("m") =!= 8 && col("redirect_to") =!= "")
+      .count() === 0)
+    // both Location spellings resolve to the same target host+path:
+    // absolute stays itself, server-relative inherits the fetch host
+    val rt = HtmlOps.redirectTargets(
+      HtmlOps.httpFrame(HtmlOps.warcFrame(
+        HtmlOps.plantedWarcCorpus(docs), "warc")))
+    assert(rt.filter(HtmlOps.canonicalUrl(
+        HtmlOps.resolvedUrl(col("url"), col("host"))) =!=
+      concat(lit("w"), col("doc_id") % 7, lit(".s"), col("doc_id") % 5,
+        lit(".example/r/"), col("doc_id") % 11)).count() === 0)
+    assert(rt.count() === out.filter(col("m") === 8).count())
   }
 }

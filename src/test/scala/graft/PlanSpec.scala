@@ -395,6 +395,85 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q200: the fetch-log upsert merge is exchange-free on the stored side") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.parquet(spark, sf, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft-bucketed-flog-")
+    try {
+      val scope = graft.core.Scopes.create(spark, base.toString)
+      graft.ops.HtmlOps.saveFetchLog(
+        graft.ops.HtmlOps.plantedFetchLog(docs)
+          .select("url", "fetched_at_s"), scope, "fl")
+      // same setup as q187: kill the tiny-scale broadcast so the plan
+      // is the 100 TB one — a sort-merge FULL OUTER join where the
+      // stored log reads its bucketed layout and only the O(batch)
+      // pre-reduced side shuffles
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        import spark.implicits._
+        val batchLatest = Seq(("//w1.s1.example/p/1",
+          "https://w1.s1.example/p/1", 1767225600L + 999L * 3600L))
+          .toDF("canon", "url", "last_fetch_s")
+        val merged = graft.ops.HtmlOps.fetchLogMerge(
+          graft.ops.HtmlOps.loadFetchLog(spark, scope, "fl")
+            .filter(col("bucket").isin(0 to 63: _*)), // touched-bucket shape
+          batchLatest)
+        merged.collect() // finalize the adaptive plan
+        val plan = planOf(merged).split("== Initial Plan ==").head
+        assert("SortMergeJoin .*FullOuter".r.findFirstIn(plan).isDefined, plan)
+        assert(plan.contains("Bucketed: true"), plan)
+        assert(plan.contains("SelectedBucketsCount"), plan)
+        // exactly ONE exchange in the whole merge — the batch side's.
+        // The stored log never moves again (the round-12 audit's #1:
+        // the groupBy form reshuffled the touched buckets' contents)
+        assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+          plan)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
+  test("q200: the refetch due-scan prunes fresh day partitions at listing time") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.parquet(spark, sf, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft-flog-prune-")
+    try {
+      val scope = graft.core.Scopes.create(spark, base.toString)
+      graft.ops.HtmlOps.saveFetchLog(
+        graft.ops.HtmlOps.plantedFetchLog(docs)
+          .select("url", "fetched_at_s"), scope, "fl")
+      // planted fetches span 2026-01-01 + [0, 96h] (+48h refetch legs)
+      // = fetch days over a multi-day range; a TTL that leaves only
+      // the oldest days due must scan only those partitions
+      val now = 1767225600L + 6L * 86400L
+      val wave = graft.ops.HtmlOps.refetchWaveFromLog(spark, scope, "fl",
+        nowS = now, ttlS = 4L * 86400L, ranks = emptyRanks,
+        kPerDomain = Int.MaxValue)
+      wave.collect()
+      val plan = planOf(wave)
+      // the staleness predicate reaches the scan as a PARTITION
+      // filter (the round-12 audit's #2: the canon-bucket layout
+      // alone gave the scan nothing to prune staleness with)
+      val pf = plan.linesIterator
+        .filter(_.contains("PartitionFilters")).mkString("\n")
+      assert(pf.contains("fetch_day"), plan)
+      // and the exact row filter agrees with the raw-log semantics
+      val fromRaw = graft.ops.HtmlOps.refetchWave(
+        graft.ops.HtmlOps.plantedFetchLog(docs), now, 4L * 86400L,
+        emptyRanks, Int.MaxValue)
+      assert(wave.exceptAll(fromRaw).isEmpty && fromRaw.exceptAll(wave).isEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
+  private def emptyRanks: org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, Long)].toDF("domain", "pr")
+  }
+
   test("q169: the flagship scrub joins the broadcast topK selection — regex after the join") {
     val df = SparkEntry.queries("q169_redacted_corpus")(spark, sf)
     df.collect() // finalize the adaptive plan (the PlanAudit convention)
