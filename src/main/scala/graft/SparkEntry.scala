@@ -1834,6 +1834,11 @@ object SparkEntry {
     // the scheduled wave comes off the gated bodies — archive bytes
     // in, fetch schedules out
     "q203_stream_warc_loop" -> (streamWarcLoopQuery _),
+    // the redirect-aware frontier (q205): 3xx Location targets join
+    // the outlinks as discovery candidates — blocklist/robots-gated,
+    // anti-joined, capped on equal terms; the /r/ targets nothing
+    // links can only be discovered through this channel
+    "q205_redirect_frontier" -> (redirectFrontierQuery _),
     // the fetch funnel (q204): per target domain, chunk survival
     // through framing -> HTTP gate -> page verdict — the archive-side
     // twin of q195's link funnel; one scan, one bounded aggregation
@@ -1918,6 +1923,37 @@ object SparkEntry {
     HtmlOps.refetchWaveFromLog(s, scope, "flog",
       nowS = 1767225600L + 9L * 86400L, ttlS = 7L * 86400L,
       ranks = epochRanks(s, dir))
+  }
+
+  private val q205Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
+
+  /** q205: the redirect-aware frontier over the planted archive in a
+    * MATURE-crawl state — the key set holds every valid fetch AND
+    * every URL those pages link (all already discovered and fetched),
+    * so the outlink channel is exhausted and the /r/ redirect targets
+    * — which nothing links — are the only fresh candidates. That is
+    * precisely the state where a crawler without redirect discovery
+    * stalls: content keeps moving, nothing new gets found.
+    */
+  private def redirectFrontierQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val chunks = HtmlOps.plantedWarcCorpus(docs)
+    val scope = cachedScope(q205Scopes, s, dir, "graft-q205-") { sc =>
+      val framed = HtmlOps.httpFrame(HtmlOps.warcFrame(chunks, "warc"))
+        .filter(col("length_ok") && col("http_ok"))
+      val valid = framed.select(col("doc_id"), col("target_uri").as("url"))
+      val linked = HtmlOps.htmlOutlinks(
+          framed.select(col("doc_id"),
+            HtmlOps.hostOf(col("target_uri")).as("fetch_host"),
+            col("body").as("html")),
+          baseHostCol = Some("fetch_host"))
+        .filter(col("host") =!= "")
+        .select(col("doc_id"),
+          HtmlOps.resolvedUrl(col("url"), col("host")).as("url"))
+      HtmlOps.saveUrlKeys(valid.unionByName(linked), sc, "urlkeys")
+    }
+    HtmlOps.redirectFrontier(chunks, scope, "urlkeys", epochRanks(s, dir),
+      HtmlOps.plantedRobotsRules(s))
   }
 
   private val q203Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -4586,6 +4622,9 @@ object SparkEntry {
     // fetch funnel: the regenerated chunks' stage flags counted per
     // target domain (malformed chunks roll up under '')
     "q204_fetch_funnel" -> q204Sql,
+    // redirect-aware frontier: both discovery channels replayed from
+    // the regenerated chunk bytes into one candidate aggregation
+    "q205_redirect_frontier" -> q205Sql,
     // wave scheduling: the q191 wave joined to the regenerated delay
     // table, (slot-1) x delay with the default fallback
     "q198_wave_schedule" -> q198Sql,
@@ -4938,11 +4977,20 @@ object SparkEntry {
     * The prefixing lets q192/q203 replay several loop waves in one
     * query.
     */
+  /** @param extraCtes  extra CTE chain spliced in AFTER the gate
+    *                    (may reference the page CTEs)
+    * @param extraCands  name of a CTE from `extraCtes` yielding
+    *                    already-gated (doc_id, url, host, domain)
+    *                    rows UNION'd into the candidate aggregation —
+    *                    the q205 redirect channel
+    */
   private def frontierCtes(pfx: String, robots: Boolean,
                            pagePred: String = "true",
                            keyPred: String = "true",
                            pageCtes: Option[String] = None,
-                           keySrc: Option[String] = None): String = {
+                           keySrc: Option[String] = None,
+                           extraCtes: Option[String] = None,
+                           extraCands: Option[String] = None): String = {
     val gate =
       if (!robots)
         s"${pfx}g AS (SELECT doc_id, url, host, domain FROM ${pfx}b2)"
@@ -4964,6 +5012,14 @@ object SparkEntry {
         .stripMargin)
     val keys = keySrc.getOrElse(
       s"(SELECT $duckDirtyUrl AS u FROM documents WHERE $keyPred)")
+    val extra = extraCtes.map(_ + ",\n").getOrElse("")
+    val candSrc = extraCands match {
+      case Some(x) =>
+        s"""(SELECT doc_id, url, host, domain FROM ${pfx}g
+           |    UNION ALL SELECT doc_id, url, host, domain FROM $x)"""
+          .stripMargin
+      case None => s"${pfx}g"
+    }
     s"""$pages,
        |${pfx}l0 AS (SELECT doc_id, fetch_host,
        |  unnest(regexp_extract_all(html, '[Hh][Rr][Ee][Ff]="([^"]*)"', 1))
@@ -4979,9 +5035,9 @@ object SparkEntry {
        |  ${duckResolvedUrl("url", "host")} AS url, host, domain
        |  FROM ${pfx}b),
        |$gate,
-       |${pfx}cand AS (SELECT ${duckCanonOf("url")} AS canon,
+       |$extra${pfx}cand AS (SELECT ${duckCanonOf("url")} AS canon,
        |  min(url) AS url, min(domain) AS domain,
-       |  CAST(count(*) AS BIGINT) AS n_refs FROM ${pfx}g GROUP BY 1),
+       |  CAST(count(*) AS BIGINT) AS n_refs FROM $candSrc GROUP BY 1),
        |${pfx}stored AS (SELECT DISTINCT ${duckCanonOf("u")} AS canon
        |  FROM $keys),
        |${pfx}fresh AS (SELECT c.* FROM ${pfx}cand c
@@ -5039,6 +5095,68 @@ object SparkEntry {
        |$w1,
        |${waveScheduleSql("canon, url, domain, n_refs, pr",
       Seq("wcfs", "wdfs"))}""".stripMargin
+  }
+
+  /** The q205 oracle — the redirect-aware frontier replayed: chunk
+    * bytes regenerated and framed (q184's chain), valid pages feed
+    * the outlink channel (q191's chain), the 3xx records' Location
+    * targets feed the redirect channel (host inheritance for the
+    * server-relative spelling, blocklist, robots longest-match on the
+    * RESOLVED url), both union into ONE candidate aggregation, then
+    * the standard anti-join / rank / politeness tail. The key set is
+    * every valid fetch (all /p/ pages), so the /r/ targets — which no
+    * page links — can only reach a wave slot through the redirect
+    * channel.
+    */
+  private lazy val q205Sql = {
+    // the mature-crawl key set: every valid fetch plus every URL its
+    // page links (resolved with fetch-host inheritance, exactly the
+    // outlink channel's own resolution)
+    val validKeys =
+      s"""(SELECT concat('https://w', cast(doc_id % 7 AS varchar), '.s',
+         |  cast(doc_id % 5 AS varchar), '.example/p/',
+         |  cast(doc_id % 11 AS varchar)) AS u FROM documents
+         |  WHERE doc_id % 13 NOT IN (2, 3, 5, 7, 8, 11)
+         |  UNION ALL
+         |  SELECT ${duckResolvedUrl("url", "host")} AS u FROM (
+         |    SELECT url, ${duckLinkHost("url")} AS host FROM (
+         |      SELECT doc_id,
+         |        concat('w', cast(doc_id % 7 AS varchar), '.s',
+         |          cast(doc_id % 5 AS varchar), '.example') AS fetch_host,
+         |        unnest(regexp_extract_all($duckHtml,
+         |          '[Hh][Rr][Ee][Ff]="([^"]*)"', 1)) AS url
+         |      FROM documents
+         |      WHERE doc_id % 13 NOT IN (2, 3, 5, 7, 8, 11)))
+         |  WHERE host <> '')""".stripMargin
+    val redirectCtes =
+      s"""rr0 AS (SELECT doc_id, redirect_to AS url,
+         |  regexp_extract(target_uri, '^(?i)(?:https?:)?//([^/?#]+)', 1)
+         |    AS fetch_host FROM rfht WHERE redirect_to <> ''),
+         |rr1 AS (SELECT doc_id, url, ${duckLinkHost("url")} AS host
+         |  FROM rr0),
+         |rr2 AS (SELECT doc_id, url, host, ${duckDomainOf("host")}
+         |  AS domain FROM rr1 WHERE host <> ''),
+         |rr3 AS (SELECT * FROM rr2 WHERE domain NOT IN
+         |  ('s2.example', 's5.example', 's11.example')),
+         |rr4 AS (SELECT doc_id, ${duckResolvedUrl("url", "host")} AS url,
+         |  host, domain, row_number() OVER () AS rid FROM rr3),
+         |rr5 AS (SELECT *, ${duckPathOf("url")} AS path FROM rr4),
+         |rr6 AS (SELECT p.rid, p.doc_id, p.url, p.host, p.domain,
+         |  r.allow, row_number() OVER (PARTITION BY p.rid
+         |    ORDER BY coalesce(strlen(r.prefix), -1) DESC,
+         |             r.allow DESC) AS rn
+         |  FROM rr5 p LEFT JOIN rru r ON r.domain = p.domain
+         |    AND starts_with(p.path, r.prefix)),
+         |rrg AS (SELECT doc_id, url, host, domain FROM rr6
+         |  WHERE rn = 1 AND coalesce(allow, true))""".stripMargin
+    s"""WITH $duckRobotsRuleCtes,
+       |${frontierCtes("rf", robots = true,
+        pageCtes = Some(duckWarcPages("rf", "true")),
+        keySrc = Some(validKeys),
+        extraCtes = Some(redirectCtes),
+        extraCands = Some("rrg"))}
+       |SELECT canon, url, domain, n_refs, pr, CAST(slot AS INT) AS slot
+       |FROM rffs WHERE slot <= 10""".stripMargin
   }
 
   /** The q204 oracle — every chunk's stage verdicts replayed (framing

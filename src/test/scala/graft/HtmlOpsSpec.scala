@@ -1213,4 +1213,61 @@ class HtmlOpsSpec extends SparkSpec {
         lit(".example/r/"), col("doc_id") % 11)).count() === 0)
     assert(rt.count() === out.filter(col("m") === 8).count())
   }
+
+  test("redirectFrontier (q205): redirect targets win slots only through their channel") {
+    val base = java.nio.file.Files.createTempDirectory("graft-redirect-spec-")
+    try {
+      val sc = graft.core.Scopes.create(spark, base.toString)
+      val docs = graft.io.Tables.parquet(spark, sf, "documents")
+      val chunks = HtmlOps.plantedWarcCorpus(docs)
+      val framed = HtmlOps.httpFrame(HtmlOps.warcFrame(chunks, "warc"))
+      // the mature-crawl key set: valid fetches AND everything they
+      // link — the outlink channel is exhausted, so discovery can
+      // come only from redirects
+      val validPages = framed.filter(col("length_ok") && col("http_ok"))
+      val linked = HtmlOps.htmlOutlinks(
+          validPages.select(col("doc_id"),
+            HtmlOps.hostOf(col("target_uri")).as("fetch_host"),
+            col("body").as("html")),
+          baseHostCol = Some("fetch_host"))
+        .filter(col("host") =!= "")
+        .select(col("doc_id"),
+          HtmlOps.resolvedUrl(col("url"), col("host")).as("url"))
+      HtmlOps.saveUrlKeys(
+        validPages.select(col("doc_id"), col("target_uri").as("url"))
+          .unionByName(linked),
+        sc, "keys")
+      val ranks = graft.ops.GraphOps.domainRank(HtmlOps.domainEdges(
+        HtmlOps.plantedHtmlCorpus(docs)))
+      val rules = HtmlOps.plantedRobotsRules(spark)
+      val wave = HtmlOps.redirectFrontier(chunks, sc, "keys", ranks, rules)
+        .collect()
+      // the w*.s*.example/r/ targets — linked by NOTHING (the planted
+      // outlink /r/ paths live on x*.example hosts) — reach wave slots
+      def isRedirCanon(c: String) =
+        c.matches("""w[0-9]+\.s[0-9]+\.example/r/[0-9]+""")
+      assert(wave.exists(r => isRedirCanon(r.getAs[String]("canon"))))
+      // ...and only the redirect channel can surface anything at all
+      // here: the outlink-only frontier over the same pages is EMPTY
+      // (every linked URL is already in the key set) — without
+      // redirect discovery this crawl has stalled
+      val pages = validPages
+        .select(col("doc_id"),
+          HtmlOps.hostOf(col("target_uri")).as("fetch_host"),
+          col("body").as("html"))
+      val outlinkOnly = HtmlOps.politeFrontier(pages, sc, "keys", ranks,
+        rules).collect()
+      assert(outlinkOnly.isEmpty)
+      // every wave row IS a redirect target
+      assert(wave.nonEmpty &&
+        wave.forall(r => isRedirCanon(r.getAs[String]("canon"))))
+      // no side door: a redirect into a disallow-everything domain
+      // (k%4==1 publishes 'Disallow: /') never wins a slot
+      assert(!wave.exists(r => isRedirCanon(r.getAs[String]("canon")) &&
+        Set("s1.example", "s5.example", "s9.example")
+          .contains(r.getAs[String]("domain"))))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
 }
