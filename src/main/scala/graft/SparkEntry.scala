@@ -1834,6 +1834,14 @@ object SparkEntry {
     // the scheduled wave comes off the gated bodies — archive bytes
     // in, fetch schedules out
     "q203_stream_warc_loop" -> (streamWarcLoopQuery _),
+    // the gzip front door (q206): per-record gzip members inflated by
+    // a mapPartitions seam, then the UNCHANGED q184 chain — held to
+    // q184's own oracle (the q61 identical-result pattern: DuckDB
+    // cannot gunzip, so the decompressed chain must be bit-identical
+    // to the uncompressed one)
+    "q206_gzip_warc" -> ((s, dir) => HtmlOps.warcIngest(
+      HtmlOps.gunzipWarcChunks(
+        HtmlOps.plantedGzipWarcCorpus(t(s, dir, "documents"))))),
     // the redirect-aware frontier (q205): 3xx Location targets join
     // the outlinks as discovery candidates — blocklist/robots-gated,
     // anti-joined, capped on equal terms; the /r/ targets nothing
@@ -4625,6 +4633,9 @@ object SparkEntry {
     // redirect-aware frontier: both discovery channels replayed from
     // the regenerated chunk bytes into one candidate aggregation
     "q205_redirect_frontier" -> q205Sql,
+    // gzip front door: decompress-then-frame must equal frame — the
+    // q184 oracle verbatim (the q61 identical-result pattern)
+    "q206_gzip_warc" -> q184Sql,
     // wave scheduling: the q191 wave joined to the regenerated delay
     // table, (slot-1) x delay with the default fallback
     "q198_wave_schedule" -> q198Sql,

@@ -542,6 +542,81 @@ object HtmlOps {
         .otherwise(concat(requestRec, responseRec)).as("warc"))
   }
 
+  /** Q206's fixture: the planted WARC corpus compressed the way real
+    * archives ship — ONE GZIP MEMBER PER RECORD, members concatenated
+    * (ISO 28500 §D / Common Crawl convention: per-record members keep
+    * the archive seekable). The chunk string is split before each
+    * `WARC/1.0` version line, each record gzipped separately, and the
+    * members concatenated into one binary column. Characters round-
+    * trip through ISO-8859-1 (the chunk strings are transport bytes —
+    * all chars ≤ 0xFF by construction), so decompress-then-frame must
+    * be BIT-identical to framing the uncompressed chunk.
+    */
+  def plantedGzipWarcCorpus(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    plantedWarcCorpus(documents)
+      .select(col("doc_id"), col("warc"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, warc) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          warc.split("(?=WARC/1\\.0\r\n)").filter(_.nonEmpty).foreach {
+            rec =>
+              val g = new java.util.zip.GZIPOutputStream(bos)
+              g.write(rec.getBytes("ISO-8859-1"))
+              g.finish()
+          }
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "warc_gz")
+  }
+
+  /** Q206: the DECOMPRESSION front door — raw gzipped archive bytes
+    * to the text chunks [[warcFrame]] splits. Real Common Crawl WARCs
+    * are per-record gzip members back to back; `GZIPInputStream`
+    * walks multi-member streams natively, so one pass inflates every
+    * member and the concatenated output is the original chunk. This
+    * is a `mapPartitions` stage by design — the ONE place imperative
+    * byte-stream work is genuinely right (round 12 audit's Missing
+    * #2): inflation is stateful streaming I/O no expression can
+    * model, and it stays a narrow seam that emits rows straight into
+    * the zero-exchange framing projection. A chunk whose bytes do not
+    * inflate (truncated member, not gzip at all) becomes the EMPTY
+    * chunk — downstream framing yields no response record and the
+    * funnel counts it, the standard corrupt-input-as-verdict
+    * contract; partial salvage is deliberately not attempted (a
+    * half-inflated record would frame plausibly but lie about its
+    * payload).
+    *
+    * Scale shape: per-row streaming decompression, no shuffle, no
+    * driver involvement; compose as
+    * `warcIngest(gunzipWarcChunks(gz))` and the whole front door
+    * stays scan-bound.
+    */
+  def gunzipWarcChunks(chunks: DataFrame,
+                       gzCol: String = "warc_gz"): DataFrame = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks.select(col("doc_id"), col(gzCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val buf = new Array[Byte](8192)
+        it.map { case (id, gz) =>
+          val text =
+            if (gz == null) ""
+            else try {
+              val in = new java.util.zip.GZIPInputStream(
+                new java.io.ByteArrayInputStream(gz))
+              val bos = new java.io.ByteArrayOutputStream()
+              var n = in.read(buf)
+              while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+              new String(bos.toByteArray, "ISO-8859-1")
+            } catch { case _: java.io.IOException => "" }
+          (id, text)
+        }
+      }.toDF("doc_id", "warc")
+  }
+
   /** The WARC framing stage shared by [[warcIngest]] (q184) and the
     * WARC→corpus composition (q186): chunk → response record →
     * headers + framed payload + the octet-exact `length_ok` verdict,

@@ -1214,6 +1214,38 @@ class HtmlOpsSpec extends SparkSpec {
     assert(rt.count() === out.filter(col("m") === 8).count())
   }
 
+  test("gzip front door (q206): multi-member inflate is bit-identical; corrupt bytes are a verdict") {
+    import spark.implicits._
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val gz = HtmlOps.plantedGzipWarcCorpus(docs)
+    // the fixture is REALLY per-record multi-member gzip: each chunk
+    // carries one 0x1f8b member header per WARC record
+    val plain = HtmlOps.plantedWarcCorpus(docs)
+      .select(col("doc_id"), col("warc"))
+    val memberCounts = gz.as[(Long, Array[Byte])].map { case (id, b) =>
+      val n = b.sliding(3).count(w =>
+        w(0) == 0x1f.toByte && w(1) == 0x8b.toByte && w(2) == 0x08.toByte)
+      (id, n)
+    }.toDF("doc_id", "n_members")
+    val recCounts = plain.select(col("doc_id"),
+      size(split(col("warc"), "WARC/1\\.0\r\n")).minus(1).as("n_recs"))
+    assert(memberCounts.join(recCounts, "doc_id")
+      .filter(col("n_members") =!= col("n_recs")).count() === 0)
+    assert(memberCounts.filter(col("n_members") >= 2).count() > 0)
+    // decompress-then-frame ≡ frame (bit-identical round trip)
+    val viaGz = HtmlOps.gunzipWarcChunks(gz)
+    assert(viaGz.join(plain.withColumnRenamed("warc", "warc0"), "doc_id")
+      .filter(col("warc") =!= col("warc0")).count() === 0)
+    // corrupt bytes (truncated member) inflate to the EMPTY chunk:
+    // framing yields verdicts, never an exception
+    val corrupt = gz.as[(Long, Array[Byte])]
+      .map { case (id, b) => (id, b.dropRight(6)) }
+      .toDF("doc_id", "warc_gz")
+    val framed = HtmlOps.warcIngest(HtmlOps.gunzipWarcChunks(corrupt))
+    assert(framed.filter(col("length_ok")).count() === 0)
+    assert(framed.count() === plain.count())
+  }
+
   test("redirectFrontier (q205): redirect targets win slots only through their channel") {
     val base = java.nio.file.Files.createTempDirectory("graft-redirect-spec-")
     try {
