@@ -4745,9 +4745,12 @@ object SparkEntry {
        |  CASE WHEN doc_id % 13 = 5 THEN 'Content-Type: text/plain$cr'
        |       WHEN doc_id % 13 = 4
        |         THEN 'CONTENT-TYPE: text/html; charset=utf-8$cr'
+       |       WHEN doc_id % 13 = 9
+       |         THEN 'Content-Type: text/html; charset=iso-8859-1$cr'
        |       ELSE 'Content-Type: text/html; charset=utf-8$cr' END,
        |  '$cr',
-       |  html || CASE WHEN doc_id % 13 = 1 THEN '<p>résumé café</p>'
+       |  html || CASE WHEN doc_id % 13 = 1 THEN '<p>rÃ©sumÃ© cafÃ©</p>'
+       |       WHEN doc_id % 13 = 9 THEN '<p>café français</p>'
        |       ELSE '' END) AS pay FROM $src)""".stripMargin
   }
 
@@ -4758,7 +4761,13 @@ object SparkEntry {
     */
   private def duckHttpFrame(pfx: String): String = {
     val cr = "\r\n"
-    s"""${pfx}ht AS (SELECT *,
+    // MATERIALIZED, and body in a second CTE, not lateral aliases:
+    // DuckDB expands same-SELECT alias references as macros AND
+    // inlines single-use CTEs transitively, so the decode CASE
+    // referencing body_raw/charset on top of the already-huge payload
+    // expression blew q186's tree up to an OOM — materialization pins
+    // the header split to one expansion
+    s"""${pfx}ht0 AS MATERIALIZED (SELECT *,
        |  CASE WHEN regexp_matches(payload, '^HTTP/1\\.[01] [0-9]{3}')
        |    THEN TRY_CAST(regexp_extract(payload,
        |      '^HTTP/1\\.[01] ([0-9]{3})', 1) AS INT)
@@ -4775,9 +4784,28 @@ object SparkEntry {
        |      '(?m)^(?i:location):[ \\t]*([^$cr]+)', 1))
        |    ELSE '' END AS redirect_to,
        |  CASE WHEN regexp_matches(payload, '^HTTP/1\\.[01] [0-9]{3}')
+       |    THEN lower(trim(regexp_extract(
+       |      regexp_extract(payload, '(?s)^(.*?)$cr$cr', 1),
+       |      '(?m)^(?i:content-type):[^$cr]*;[ \\t]*(?i:charset)=([^;$cr]+)',
+       |      1)))
+       |    ELSE '' END AS charset,
+       |  CASE WHEN regexp_matches(payload, '^HTTP/1\\.[01] [0-9]{3}')
        |    THEN regexp_extract(payload, '(?s)$cr$cr(.*)$$', 1)
-       |    ELSE payload END AS body
-       |  FROM ${pfx}fr)""".stripMargin
+       |    ELSE payload END AS body_raw
+       |  FROM ${pfx}fr),
+       |-- the decode seam, closed over the FIXTURE's byte vocabulary:
+       |-- the only non-ASCII utf-8-declared bytes the planted corpus
+       |-- ships are the C3 A9 pairs (latin-1 'Ã©'), which decode to
+       |-- 'é'; latin-1-declared bodies are already their characters
+       |-- (DuckDB cannot reinterpret arbitrary bytes, so the general
+       |-- DFA-guarded decode collapses to this replace on the legs)
+       |${pfx}ht AS (SELECT *,
+       |  CASE WHEN NOT regexp_matches(payload, '^HTTP/1\\.[01] [0-9]{3}')
+       |      THEN body_raw
+       |    WHEN charset IN ('iso-8859-1', 'latin1', 'latin-1')
+       |      THEN body_raw
+       |    ELSE replace(body_raw, 'Ã©', 'é') END AS body
+       |  FROM ${pfx}ht0)""".stripMargin
   }
 
   private lazy val q184Sql = {
@@ -4787,7 +4815,8 @@ object SparkEntry {
        |${duckWarcChain("pp", "")},
        |${duckHttpFrame("")},
        |xb AS (SELECT doc_id, n_records, target_uri, warc_date,
-       |  content_length, payload, http_status, mime, redirect_to, body,
+       |  content_length, payload, http_status, mime, redirect_to,
+       |  charset, body,
        |  regexp_replace(regexp_replace(regexp_replace(body,
        |    '(?s)<[Hh][Ee][Aa][Dd]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Hh][Ee][Aa][Dd]>', ' ', 'g'),
        |    '(?s)<[Ss][Cc][Rr][Ii][Pp][Tt]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Ss][Cc][Rr][Ii][Pp][Tt]>', ' ', 'g'),
@@ -4803,7 +4832,7 @@ object SparkEntry {
        |  http_status, mime,
        |  coalesce(http_status = 200 AND mime = 'text/html', false)
        |    AS http_ok,
-       |  redirect_to,
+       |  redirect_to, charset,
        |  regexp_extract(body, '<[Tt][Ii][Tt][Ll][Ee]>([^<]*)</[Tt][Ii][Tt][Ll][Ee]>', 1) AS title,
        |  trim(regexp_replace(de, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS text_clean
        |FROM xe""".stripMargin

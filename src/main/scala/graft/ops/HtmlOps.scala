@@ -487,8 +487,14 @@ object HtmlOps {
     val date = expr(
       """concat('2026-01-', lpad(cast(1 + doc_id % 28 as string), 2, '0'),
         | 'T00:00:00Z')""".stripMargin.replace("\n", " "))
+    // bodies are TRANSPORT BYTES (chars ≤ 0xFF): the %13==1 leg
+    // declares charset=utf-8 so its é arrives as the two UTF-8 bytes
+    // C3 A9 (the latin-1 chars Ã©); the %13==9 leg declares
+    // iso-8859-1 so its é/ç arrive as the single bytes E9/E7. The
+    // decode stage must reconstruct the same characters from both.
     val body = concat(col("html"),
-      when(m === 1, lit("<p>résumé café</p>"))
+      when(m === 1, lit("<p>rÃ©sumÃ© cafÃ©</p>"))
+        .when(m === 9, lit("<p>café français</p>"))
         .otherwise(lit("")))
     // the 301 leg's Location target: a /r/ path no page ever links —
     // redirect discovery is the ONLY channel that can surface it.
@@ -511,6 +517,10 @@ object HtmlOps {
         // the all-caps leg: header names are case-insensitive on the
         // wire, and this page is just as valid as its neighbours
         .when(m === 4, lit("CONTENT-TYPE: text/html; charset=utf-8" + crlf))
+        // the non-UTF-8 leg: a legacy-encoded page whose bytes must
+        // be decoded per its DECLARED charset, not assumed UTF-8
+        .when(m === 9,
+          lit("Content-Type: text/html; charset=iso-8859-1" + crlf))
         .otherwise(lit("Content-Type: text/html; charset=utf-8" + crlf)),
       lit(crlf), body)
     val declaredLen =
@@ -700,7 +710,7 @@ object HtmlOps {
         col("doc_id"), col("n_records"), col("target_uri"),
         col("warc_date"), col("content_length"), col("length_ok"),
         col("http_status"), col("mime"), col("http_ok"),
-        col("redirect_to"),
+        col("redirect_to"), col("charset"),
         titleOf(col("body")).as("title"),
         extractedText(col("body")).as("text_clean"))
 
@@ -750,8 +760,46 @@ object HtmlOps {
           trim(regexp_extract(headers,
             "(?m)^(?i:location):[ \\t]*([^\r\n]+)", 1)))
           .otherwise(lit("")))
-      .withColumn("body", when(isHttp,
+      // the declared charset PARAMETER, kept instead of discarded:
+      // real archives are full of legacy encodings, and bytes decoded
+      // under the wrong charset are mojibake forever downstream
+      .withColumn("charset", when(isHttp, lower(trim(regexp_extract(
+        headers,
+        "(?m)^(?i:content-type):[^\r\n]*;[ \\t]*(?i:charset)=([^;\r\n]+)",
+        1)))).otherwise(lit("")))
+      // staged raw body: referenced by the validity check AND both
+      // decode branches — its own projection so CollapseProject keeps
+      // the extraction single (the crawlIngest contract)
+      .withColumn("body_raw", when(isHttp,
         regexp_extract(pay, "(?s)\r\n\r\n(.*)$", 1)).otherwise(pay))
+      // the DECODE seam. The body string is transport bytes (one char
+      // per byte, the latin-1 identity — exactly what the gzip front
+      // door emits): iso-8859-1/latin1 bodies ARE their characters;
+      // anything else attempts UTF-8 — reconstruct the bytes
+      // (encode latin-1 = identity) and decode. Guarded by a full
+      // UTF-8 DFA match over the byte chars, because Spark's ANSI
+      // decode THROWS on malformed input and a mis-declared charset
+      // must degrade (fall back to the latin-1 reading), never kill
+      // the job — the corrupt-input-as-verdict contract. The same
+      // guard proves every char ≤ 0xFF, so the encode can never hit
+      // an unmappable character either. Non-HTTP payloads pass
+      // through untouched (no headers to trust).
+      .withColumn("body", {
+        val utf8Dfa = "^(?:[\\x00-\\x7F]" +
+          "|[\\xC2-\\xDF][\\x80-\\xBF]" +
+          "|\\xE0[\\xA0-\\xBF][\\x80-\\xBF]" +
+          "|[\\xE1-\\xEC\\xEE\\xEF][\\x80-\\xBF]{2}" +
+          "|\\xED[\\x80-\\x9F][\\x80-\\xBF]" +
+          "|\\xF0[\\x90-\\xBF][\\x80-\\xBF]{2}" +
+          "|[\\xF1-\\xF3][\\x80-\\xBF]{3}" +
+          "|\\xF4[\\x80-\\x8F][\\x80-\\xBF]{2})*$"
+        when(!isHttp, col("body_raw"))
+          .when(col("charset").isin("iso-8859-1", "latin1", "latin-1"),
+            col("body_raw"))
+          .when(col("body_raw").rlike(utf8Dfa),
+            decode(encode(col("body_raw"), "ISO-8859-1"), "UTF-8"))
+          .otherwise(col("body_raw"))
+      })
   }
 
   /** Q204: the FETCH FUNNEL — per target domain, how many archive

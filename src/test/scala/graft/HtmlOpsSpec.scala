@@ -1194,6 +1194,18 @@ class HtmlOpsSpec extends SparkSpec {
       .count() === 0)
     assert(out.filter(col("m").isin(3, 11) && col("http_status").isNotNull)
       .count() === 0)
+    // the charset legs: the SAME characters arrive as UTF-8 bytes
+    // (%13==1, mojibake chars C3 A9) and as latin-1 bytes (%13==9,
+    // single byte E9/E7) — the decode seam reconstructs both per the
+    // DECLARED charset, so neither shows mojibake downstream
+    assert(out.filter(col("m") === 1 &&
+      !col("text_clean").contains("résumé café")).count() === 0)
+    assert(out.filter(col("m") === 9 &&
+      (col("charset") =!= "iso-8859-1" ||
+        !col("text_clean").contains("café français"))).count() === 0)
+    assert(out.filter(col("text_clean").contains("Ã©")).count() === 0)
+    assert(out.filter(col("m") === 1 && col("charset") =!= "utf-8")
+      .count() === 0)
     // the 301 leg: not a page (http_ok false), but its Location is
     // the fetch's OUTCOME — extracted, never lost; every non-3xx leg
     // carries none
