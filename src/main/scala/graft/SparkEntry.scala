@@ -1834,6 +1834,10 @@ object SparkEntry {
     // the scheduled wave comes off the gated bodies — archive bytes
     // in, fetch schedules out
     "q203_stream_warc_loop" -> (streamWarcLoopQuery _),
+    // cross-wave politeness (q207): two discovery waves on ONE
+    // carried dispatch clock — wave 1's offsets start at wave 0's
+    // per-domain tail plus the parsed Crawl-delay, never at zero
+    "q207_carried_schedule" -> (carriedScheduleQuery _),
     // the gzip front door (q206): per-record gzip members inflated by
     // a mapPartitions seam, then the UNCHANGED q184 chain — held to
     // q184's own oracle (the q61 identical-result pattern: DuckDB
@@ -1931,6 +1935,31 @@ object SparkEntry {
     HtmlOps.refetchWaveFromLog(s, scope, "flog",
       nowS = 1767225600L + 9L * 86400L, ttlS = 7L * 86400L,
       ranks = epochRanks(s, dir))
+  }
+
+  /** q207: the carried dispatch clock in batch form — two polite
+    * waves over page halves, the second scheduled from the state the
+    * first left behind ([[graft.ops.HtmlOps.advanceSchedState]]), so
+    * a domain in both waves never gets wave-1 fetches scheduled
+    * inside its Crawl-delay of wave 0's tail.
+    */
+  private def carriedScheduleQuery(s: SparkSession, dir: String): DataFrame = {
+    val pages = HtmlOps.plantedHtmlCorpus(t(s, dir, "documents"))
+    val scope = frontierScope(s, dir)
+    val rules = HtmlOps.plantedRobotsRules(s)
+    val d = HtmlOps.validatedDelays(
+      HtmlOps.parseCrawlDelays(HtmlOps.plantedRobotsTxt(s)))
+    val ranks = epochRanks(s, dir)
+    val w0 = HtmlOps.scheduleWaveValidated(
+        HtmlOps.politeFrontier(pages.filter(col("doc_id") < 250),
+          scope, "urlkeys", ranks, rules), d, 30L)
+      .localCheckpoint(eager = true) // feeds the output AND the state
+    val st = HtmlOps.advanceSchedState(w0, HtmlOps.emptySchedState(s))
+    val w1 = HtmlOps.scheduleWaveValidated(
+      HtmlOps.politeFrontier(pages.filter(col("doc_id") >= 250),
+        scope, "urlkeys", ranks, rules), d, 30L, Some(st))
+    w0.withColumn("wave", lit(0L)).unionByName(
+      w1.withColumn("wave", lit(1L)))
   }
 
   private val q205Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -4636,6 +4665,8 @@ object SparkEntry {
     // gzip front door: decompress-then-frame must equal frame — the
     // q184 oracle verbatim (the q61 identical-result pattern)
     "q206_gzip_warc" -> q184Sql,
+    // carried dispatch clock: wave 1 replayed from wave 0's tails
+    "q207_carried_schedule" -> q207Sql,
     // wave scheduling: the q191 wave joined to the regenerated delay
     // table, (slot-1) x delay with the default fallback
     "q198_wave_schedule" -> q198Sql,
@@ -5128,13 +5159,18 @@ object SparkEntry {
     val w1 = frontierCtes("wd", robots = true,
       pageCtes = Some(duckWarcPages("wd", "doc_id >= 375")),
       keySrc = Some(validKeys("true")))
+    val dCols = "canon, url, domain, n_refs, pr"
     s"""WITH $duckRobotsRuleCtes,
        |$duckRobotsTxtCtes,
        |$duckDelayCte,
        |$w0,
        |$w1,
-       |${waveScheduleSql("canon, url, domain, n_refs, pr",
-      Seq("wcfs", "wdfs"))}""".stripMargin
+       |${carriedScheduleCtes(Seq(("wcfs", dCols), ("wdfs", dCols)))}
+       |SELECT canon, url, domain, n_refs, pr, slot, delay_s,
+       |  not_before_s, CAST(0 AS BIGINT) AS wave FROM cw0
+       |UNION ALL
+       |SELECT canon, url, domain, n_refs, pr, slot, delay_s,
+       |  not_before_s, CAST(1 AS BIGINT) AS wave FROM cw1""".stripMargin
   }
 
   /** The q205 oracle — the redirect-aware frontier replayed: chunk
@@ -5197,6 +5233,27 @@ object SparkEntry {
         extraCands = Some("rrg"))}
        |SELECT canon, url, domain, n_refs, pr, CAST(slot AS INT) AS slot
        |FROM rffs WHERE slot <= 10""".stripMargin
+  }
+
+  /** The q207 oracle — both polite waves replayed, the second's
+    * offsets derived from the first's per-domain tails through the
+    * carried-clock CTE chain.
+    */
+  private lazy val q207Sql = {
+    val w0 = frontierCtes("ca", robots = true, pagePred = "doc_id < 250")
+    val w1 = frontierCtes("cb", robots = true, pagePred = "doc_id >= 250")
+    val dCols = "canon, url, domain, n_refs, pr"
+    s"""WITH $duckRobotsRuleCtes,
+       |$duckRobotsTxtCtes,
+       |$duckDelayCte,
+       |$w0,
+       |$w1,
+       |${carriedScheduleCtes(Seq(("cafs", dCols), ("cbfs", dCols)))}
+       |SELECT canon, url, domain, n_refs, pr, slot, delay_s,
+       |  not_before_s, CAST(0 AS BIGINT) AS wave FROM cw0
+       |UNION ALL
+       |SELECT canon, url, domain, n_refs, pr, slot, delay_s,
+       |  not_before_s, CAST(1 AS BIGINT) AS wave FROM cw1""".stripMargin
   }
 
   /** The q204 oracle — every chunk's stage verdicts replayed (framing
@@ -5440,6 +5497,35 @@ object SparkEntry {
     * the Crawl-delay join exactly as q198. Expects `sdl` in the WITH
     * clause; `srcs` are the pre-cap CTE names in wave order.
     */
+  /** The CARRIED dispatch clock (q207) replayed: stage i's offsets
+    * start at the per-domain state left by stages 0..i-1 (state
+    * merge = advanced domains override, untouched carry forward),
+    * exactly [[graft.ops.HtmlOps.scheduleWaveValidated]] ∘
+    * [[graft.ops.HtmlOps.advanceSchedState]] chained in the loop's
+    * clock order. Emits `cw0..cwN` (the scheduled stages, capped) and
+    * `cst0..cstN+1` (the states); `stages` = (srcCte, cols) pairs.
+    * Expects `sdl` in the WITH clause.
+    */
+  private def carriedScheduleCtes(stages: Seq[(String, String)]): String = {
+    val sb = new StringBuilder
+    sb.append("cst0 AS (SELECT '' AS domain, CAST(0 AS BIGINT) AS nx WHERE 1=0)")
+    stages.zipWithIndex.foreach { case ((src, cols), i) =>
+      sb.append(s""",
+         |cw$i AS (SELECT $cols, CAST(slot AS INT) AS slot,
+         |  coalesce(sdl.delay_s, 30) AS delay_s,
+         |  CAST(coalesce(cst$i.nx, 0)
+         |    + (slot - 1) * coalesce(sdl.delay_s, 30) AS BIGINT)
+         |    AS not_before_s
+         |  FROM $src LEFT JOIN sdl USING (domain)
+         |  LEFT JOIN cst$i USING (domain) WHERE slot <= 10),
+         |cst${i + 1} AS (SELECT domain, coalesce(a.nx, s.nx) AS nx
+         |  FROM cst$i s FULL JOIN (SELECT domain,
+         |    max(not_before_s) + max(delay_s) AS nx FROM cw$i GROUP BY 1) a
+         |  USING (domain))""".stripMargin)
+    }
+    sb.toString
+  }
+
   private def waveScheduleSql(cols: String, srcs: Seq[String]): String = {
     val union = srcs.zipWithIndex.map { case (src, w) =>
       s"""  SELECT $cols, CAST(slot AS INT) AS slot,
@@ -5454,19 +5540,43 @@ object SparkEntry {
        |FROM wv LEFT JOIN sdl USING (domain)""".stripMargin
   }
 
-  private lazy val q192Sql = {
+  /** The q192/q202 shared CTE prelude: both discovery waves, both
+    * refetch waves, and the ONE carried dispatch clock threaded
+    * through them in the loop's execution order (discovery 0,
+    * refetch 0, discovery 1, refetch 1) — q192 reads the discovery
+    * stages (cw0/cw2), q202 the refetch stages (cw1/cw3), but each
+    * oracle must replay the WHOLE chain because every stage's offsets
+    * depend on all prior stages' tails.
+    */
+  private def loopScheduleChain: String = {
+    val ttl = 48L * 3600L
     val w0 = frontierCtes("wa", robots = true,
       pagePred = "doc_id >= 250 AND doc_id < 375", keyPred = "doc_id < 375")
     val w1 = frontierCtes("wb", robots = true,
       pagePred = "doc_id >= 375")
-    s"""WITH $duckRobotsRuleCtes,
+    val dCols = "canon, url, domain, n_refs, pr"
+    val rCols = "canon, url, domain, last_fetch_s, age_s, pr"
+    s"""$duckRobotsRuleCtes,
        |$duckRobotsTxtCtes,
        |$duckDelayCte,
+       |eranks AS (SELECT domain, pr FROM (${hostRankSql()})),
        |$w0,
        |$w1,
-       |${waveScheduleSql("canon, url, domain, n_refs, pr",
-      Seq("wafs", "wbfs"))}""".stripMargin
+       |${refetchWaveCtes("ra", "doc_id < 375",
+      "doc_id >= 250 AND doc_id < 375", ttl)},
+       |${refetchWaveCtes("rb", "true", "doc_id >= 375", ttl)},
+       |${carriedScheduleCtes(Seq(
+      ("wafs", dCols), ("rasl", rCols), ("wbfs", dCols), ("rbsl", rCols)))}"""
+      .stripMargin
   }
+
+  private lazy val q192Sql =
+    s"""WITH $loopScheduleChain
+       |SELECT canon, url, domain, n_refs, pr, slot, delay_s,
+       |  not_before_s, CAST(0 AS BIGINT) AS wave FROM cw0
+       |UNION ALL
+       |SELECT canon, url, domain, n_refs, pr, slot, delay_s,
+       |  not_before_s, CAST(1 AS BIGINT) AS wave FROM cw2""".stripMargin
 
   /** One refetch-wave CTE chain (ending in `${pfx}sl`, pre-cap): the
     * fetch log as of the wave (`logPred` bounds the docs whose fetch
@@ -5504,17 +5614,14 @@ object SparkEntry {
     * 500; each wave's "now" is its own latest fetch; the Crawl-delay
     * schedule joins exactly as q198.
     */
-  private lazy val q202Sql = {
-    val ttl = 48L * 3600L
-    s"""WITH $duckRobotsTxtCtes,
-       |$duckDelayCte,
-       |eranks AS (SELECT domain, pr FROM (${hostRankSql()})),
-       |${refetchWaveCtes("ra", "doc_id < 375",
-      "doc_id >= 250 AND doc_id < 375", ttl)},
-       |${refetchWaveCtes("rb", "true", "doc_id >= 375", ttl)},
-       |${waveScheduleSql("canon, url, domain, last_fetch_s, age_s, pr",
-      Seq("rasl", "rbsl"))}""".stripMargin
-  }
+  private lazy val q202Sql =
+    s"""WITH $loopScheduleChain
+       |SELECT canon, url, domain, last_fetch_s, age_s, pr, slot,
+       |  delay_s, not_before_s, CAST(0 AS BIGINT) AS wave FROM cw1
+       |UNION ALL
+       |SELECT canon, url, domain, last_fetch_s, age_s, pr, slot,
+       |  delay_s, not_before_s, CAST(1 AS BIGINT) AS wave FROM cw3"""
+      .stripMargin
 
   /** HtmlOps.resolvedUrl mirrored: own authority stays, a relative
     * href resolves against the inherited `$h` (root-resolved when

@@ -1619,17 +1619,95 @@ object HtmlOps {
   }
 
   /** [[scheduleWave]]'s join body over an ALREADY-validated delays
-    * table (from [[validatedDelays]]) — the per-wave work: a
-    * broadcast join plus per-row integer arithmetic, nothing else.
+    * table (from [[validatedDelays]]) — the per-wave work: broadcast
+    * joins plus per-row integer arithmetic, nothing else.
+    *
+    * `startOffsets` is the CROSS-WAVE politeness state (q207): the
+    * per-domain `next_allowed_s` carried from the previous wave's
+    * tail, so slot `n` fires at `start + (n-1) × delay` on the
+    * crawl's GLOBAL dispatch clock instead of restarting every wave
+    * at zero — without it, wave N+1's first fetch can land
+    * delay-seconds too close to wave N's last. Absent state (a
+    * domain's first wave, or no carry at all) starts at zero, the
+    * original semantics.
     */
   private[graft] def scheduleWaveValidated(wave: DataFrame, d: DataFrame,
-                                           defaultDelayS: Long): DataFrame = {
+                                           defaultDelayS: Long,
+                                           startOffsets: Option[DataFrame] =
+                                             None): DataFrame = {
     require(defaultDelayS > 0, s"defaultDelayS must be positive: $defaultDelayS")
-    wave
+    val based = wave
       .join(broadcast(d), Seq("domain"), "left")
       .withColumn("delay_s", coalesce(col("delay_s"), lit(defaultDelayS)))
-      .withColumn("not_before_s",
-        ((col("slot") - 1).cast("long") * col("delay_s")).cast("long"))
+    val withStart = startOffsets match {
+      case Some(st) => based
+        .join(broadcast(st.select(col("domain"),
+          col("next_allowed_s").cast("long").as("start_s"))),
+          Seq("domain"), "left")
+        .withColumn("start_s", coalesce(col("start_s"), lit(0L)))
+      case None => based.withColumn("start_s", lit(0L))
+    }
+    withStart
+      .withColumn("not_before_s", (col("start_s") +
+        (col("slot") - 1).cast("long") * col("delay_s")).cast("long"))
+      .drop("start_s")
+  }
+
+  /** The politeness state AFTER a scheduled wave: per domain, the
+    * next instant a fetch may fire — the wave's last offset plus one
+    * delay — merged over the prior state (domains the wave did not
+    * touch carry forward unchanged; scheduled domains always advance,
+    * since their offsets STARTED at the prior state). Both sides are
+    * domain-vocabulary-sized; the merge is a full-outer join of two
+    * tiny tables.
+    */
+  def advanceSchedState(scheduled: DataFrame, prior: DataFrame): DataFrame = {
+    val adv = scheduled.groupBy(col("domain"))
+      .agg((max(col("not_before_s")) + max(col("delay_s")))
+        .cast("long").as("adv_s"))
+    prior.select(col("domain"), col("next_allowed_s").cast("long")
+        .as("next_allowed_s"))
+      .join(adv, Seq("domain"), "full_outer")
+      .select(col("domain"),
+        coalesce(col("adv_s"), col("next_allowed_s")).as("next_allowed_s"))
+  }
+
+  /** The carried-politeness state artifact: one tiny
+    * (domain, next_allowed_s) table per wave, written under
+    * `dir/wave=<id>` with OVERWRITE so a replayed micro-batch
+    * rewrites its own state instead of double-advancing — the same
+    * idempotency-by-layout as the wave outputs themselves. A batch
+    * reads the LATEST wave strictly before its own id (wave N-1's
+    * state already folds everything earlier), so replay after a crash
+    * mid-batch never sees its own half-written advance.
+    */
+  def saveSchedState(state: DataFrame, dir: String, wave: Long): Unit =
+    state.write.mode("overwrite").parquet(s"$dir/wave=$wave")
+
+  def loadSchedState(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, beforeWave: Long): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior =
+      if (!fs.exists(p)) Seq.empty[Long]
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("wave="))
+        .flatMap(n => scala.util.Try(n.stripPrefix("wave=").toLong).toOption)
+        .filter(_ < beforeWave)
+    prior.sorted.lastOption match {
+      case Some(w) => spark.read.parquet(s"$dir/wave=$w")
+        .select(col("domain"), col("next_allowed_s").cast("long")
+          .as("next_allowed_s"))
+      case None => emptySchedState(spark)
+    }
+  }
+
+  /** The clock before any wave: no domain has a carried offset. */
+  def emptySchedState(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("domain", StringType),
+        StructField("next_allowed_s", LongType))))
   }
 
   /** Q196's fixture: the crawl's FETCH LOG — one row per completed

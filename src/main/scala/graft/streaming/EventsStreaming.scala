@@ -961,18 +961,31 @@ object EventsStreaming {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val b = batch.persist()
         try {
+          val bs = b.sparkSession
           graft.ops.HtmlOps.appendUrlKeys(
             b.select(col("doc_id"), col("url")), scope, name)
           fetchLogName.foreach { log =>
             graft.ops.HtmlOps.appendFetchLog(
               b.select(col("url"), col("fetched_at_s")), scope, log)
           }
+          // CROSS-WAVE politeness (q207): this wave's offsets start
+          // at the carried per-domain next_allowed_s, and discovery
+          // and refetch share ONE dispatch clock within the batch —
+          // wave N+1 can never schedule a domain closer to wave N's
+          // tail than its parsed Crawl-delay
+          val stateDir = scope.path("schedstate")
+          val st0 = graft.ops.HtmlOps.loadSchedState(bs, stateDir, batchId)
           graft.ops.HtmlOps.scheduleWaveValidated(
               graft.ops.HtmlOps.politeFrontier(
                 b.select(col("doc_id"), col("fetch_host"), col("html")),
                 scope, name, ranks, rules),
-              vDelays, defaultDelayS = 30L)
+              vDelays, defaultDelayS = 30L, startOffsets = Some(st0))
             .write.mode("overwrite").parquet(s"$outDir/wave=$batchId")
+          // advance from the WRITTEN wave (tiny read-back) — deriving
+          // it from the un-persisted plan would recompute the whole
+          // frontier a second time
+          var state = graft.ops.HtmlOps.advanceSchedState(
+            bs.read.parquet(s"$outDir/wave=$batchId"), st0)
           refetch.foreach { case (ttlS, refetchDir) =>
             // "now" is the batch's own latest fetch — deterministic
             // and replay-stable. Due is PURE log-clock age (≥ TTL at
@@ -988,16 +1001,21 @@ object EventsStreaming {
               // read through the BATCH's (cloned) session: the upsert
               // above refreshed ITS relation cache after rewriting
               // partitions — the outer session's cache may still list
-              // the replaced files
+              // the replaced files. The refetch schedule continues the
+              // SAME dispatch clock the discovery wave advanced.
               graft.ops.HtmlOps.scheduleWaveValidated(
-                  graft.ops.HtmlOps.refetchWaveFromLog(b.sparkSession,
+                  graft.ops.HtmlOps.refetchWaveFromLog(bs,
                     scope, fetchLogName.get, nowRow.getLong(0), ttlS,
                     ranks),
-                  vDelays, defaultDelayS = 30L)
+                  vDelays, defaultDelayS = 30L,
+                  startOffsets = Some(state))
                 .write.mode("overwrite")
                 .parquet(s"$refetchDir/wave=$batchId")
+              state = graft.ops.HtmlOps.advanceSchedState(
+                bs.read.parquet(s"$refetchDir/wave=$batchId"), state)
             }
           }
+          graft.ops.HtmlOps.saveSchedState(state, stateDir, batchId)
           ()
         } finally b.unpersist()
       }
@@ -1046,14 +1064,22 @@ object EventsStreaming {
             col("body").as("html"), col("target_uri").as("url"))
           .persist()
         try {
+          val bs = pages.sparkSession
           graft.ops.HtmlOps.appendUrlKeys(
             pages.select(col("doc_id"), col("url")), scope, name)
+          // the q192 loop's carried dispatch clock (q207)
+          val stateDir = scope.path("schedstate")
+          val st0 = graft.ops.HtmlOps.loadSchedState(bs, stateDir, batchId)
           graft.ops.HtmlOps.scheduleWaveValidated(
               graft.ops.HtmlOps.politeFrontier(
                 pages.select(col("doc_id"), col("fetch_host"), col("html")),
                 scope, name, ranks, rules),
-              vDelays, defaultDelayS = 30L)
+              vDelays, defaultDelayS = 30L, startOffsets = Some(st0))
             .write.mode("overwrite").parquet(s"$outDir/wave=$batchId")
+          graft.ops.HtmlOps.saveSchedState(
+            graft.ops.HtmlOps.advanceSchedState(
+              bs.read.parquet(s"$outDir/wave=$batchId"), st0),
+            stateDir, batchId)
           ()
         } finally pages.unpersist()
       }

@@ -220,9 +220,10 @@ class StreamingSpec extends SparkSpec {
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(keyed.nonEmpty)
       keyed.foreach(d =>
-        assert(!Set(2L, 3L, 5L, 7L, 11L).contains(d % 13), d))
+        assert(!Set(2L, 3L, 5L, 7L, 8L, 11L).contains(d % 13), d))
       // each wave equals the batch replay: gated bodies through the
-      // polite frontier + schedule, against the keys as of the wave
+      // polite frontier + schedule — on the CARRIED clock, so the
+      // replay starts from the state wave 0 left behind
       val wave1Pages = graft.ops.HtmlOps.httpFrame(
           graft.ops.HtmlOps.warcFrame(
             chunks.filter(col("doc_id") >= 375), "warc"))
@@ -230,9 +231,12 @@ class StreamingSpec extends SparkSpec {
         .select(col("doc_id"),
           graft.ops.HtmlOps.hostOf(col("target_uri")).as("fetch_host"),
           col("body").as("html"))
-      val replay1 = graft.ops.HtmlOps.scheduleWave(
+      val replay1 = graft.ops.HtmlOps.scheduleWaveValidated(
         graft.ops.HtmlOps.politeFrontier(wave1Pages, scope, "keys",
-          ranks, rules), delays)
+          ranks, rules),
+        graft.ops.HtmlOps.validatedDelays(delays), 30L,
+        Some(graft.ops.HtmlOps.loadSchedState(spark,
+          scope.path("schedstate"), 1)))
       val w1 = spark.read.parquet(scope.path("waves"))
         .filter(col("wave") === 1).drop("wave")
         .select(replay1.columns.map(col): _*)
@@ -287,17 +291,22 @@ class StreamingSpec extends SparkSpec {
         .foreach(r => assert(!allKeys.contains(r.getAs[String]("canon"))))
       // each wave equals its batch replay bit-for-bit: the stream is
       // the batch operator pipeline (polite frontier ∘ schedule)
-      // under a scheduler, nothing more
-      val replay1 = graft.ops.HtmlOps.scheduleWave(
+      // under a scheduler — on the CARRIED clock, so the replay
+      // starts from the state batch 0 left behind (q207)
+      val vd = graft.ops.HtmlOps.validatedDelays(delays)
+      val st1 = graft.ops.HtmlOps.loadSchedState(spark,
+        scope.path("schedstate"), 1)
+      val replay1 = graft.ops.HtmlOps.scheduleWaveValidated(
         graft.ops.HtmlOps.politeFrontier(
           pages.filter(col("doc_id") >= 375), scope, "keys", ranks, rules),
-        delays)
+        vd, 30L, Some(st1))
       val w1 = waves.filter(col("wave") === 1).drop("wave")
         .select(replay1.columns.map(col): _*)
       assert(w1.exceptAll(replay1).isEmpty && replay1.exceptAll(w1).isEmpty)
-      // the wave is a SCHEDULE: slot 1 fires at 0, later slots at
-      // (slot-1) x the domain's parsed delay
-      waves.collect().foreach { r =>
+      // the wave is a SCHEDULE on the global dispatch clock: slot n
+      // fires at carried_start + (n-1) x the domain's parsed delay —
+      // wave 0 carries nothing, so its slot-1 rows fire at 0
+      waves.filter(col("wave") === 0).collect().foreach { r =>
         assert(r.getAs[Long]("not_before_s") ===
           (r.getAs[Int]("slot") - 1).toLong * r.getAs[Long]("delay_s"))
       }
@@ -323,12 +332,37 @@ class StreamingSpec extends SparkSpec {
       assert(refetches.count() > 0)
       val now1 = src.filter(col("doc_id") >= 375)
         .agg(max(col("fetched_at_s"))).head().getLong(0)
-      val replayR1 = graft.ops.HtmlOps.scheduleWave(
+      // the refetch arm continues the SAME clock the discovery wave
+      // advanced: its replay starts from state@0 advanced by the
+      // written discovery wave 1
+      val stR1 = graft.ops.HtmlOps.advanceSchedState(
+        waves.filter(col("wave") === 1), st1)
+      val replayR1 = graft.ops.HtmlOps.scheduleWaveValidated(
         graft.ops.HtmlOps.refetchWaveFromLog(spark, scope, "flog",
-          now1, ttl, ranks), delays)
+          now1, ttl, ranks), vd, 30L, Some(stR1))
       val r1 = refetches.filter(col("wave") === 1).drop("wave")
         .select(replayR1.columns.map(col): _*)
       assert(r1.exceptAll(replayR1).isEmpty && replayR1.exceptAll(r1).isEmpty)
+      // the q207 politeness INVARIANT, across every wave boundary:
+      // for each domain, walk the loop's dispatch stages in clock
+      // order — no stage ever schedules a fetch earlier than the
+      // previous stage's tail plus the domain's delay
+      val stages = Seq(
+        waves.filter(col("wave") === 0), refetches.filter(col("wave") === 0),
+        waves.filter(col("wave") === 1), refetches.filter(col("wave") === 1))
+        .map(_.select("domain", "not_before_s", "delay_s").collect()
+          .groupBy(_.getString(0)))
+      stages.sliding(2).foreach { case Seq(prev, next) =>
+        next.foreach { case (dom, rows) =>
+          prev.get(dom).foreach { prevRows =>
+            val tail = prevRows.map(_.getLong(1)).max
+            val delay = prevRows.head.getLong(2)
+            val first = rows.map(_.getLong(1)).min
+            assert(first >= tail + delay,
+              s"$dom: next stage at $first inside delay of tail $tail + $delay")
+          }
+        }
+      }
       // every due key aged at least the TTL at its wave's own "now" —
       // pure log-clock staleness (this fixture's synthetic within-wave
       // spread exceeds the TTL, so some due keys WERE upserted by the
