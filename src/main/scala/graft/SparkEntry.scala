@@ -1834,6 +1834,11 @@ object SparkEntry {
     // the scheduled wave comes off the gated bodies — archive bytes
     // in, fetch schedules out
     "q203_stream_warc_loop" -> (streamWarcLoopQuery _),
+    // in-stream robots maintenance (q208): a robots.txt fetch riding
+    // wave 0 of the WARC stream flips a domain's policy — wave 1's
+    // gate blocks that domain's /p/ links and its schedule uses the
+    // NEW Crawl-delay, all from the maintained robots artifact
+    "q208_stream_robots_loop" -> (streamRobotsLoopQuery _),
     // cross-wave politeness (q207): two discovery waves on ONE
     // carried dispatch clock — wave 1's offsets start at wave 0's
     // per-domain tail plus the parsed Crawl-delay, never at zero
@@ -1962,6 +1967,45 @@ object SparkEntry {
       w1.withColumn("wave", lit(1L)))
   }
 
+  private val q208Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
+
+  /** q208: the WARC loop with IN-STREAM robots maintenance — wave 0's
+    * chunks include a `/robots.txt` fetch for `s3.example` (which the
+    * seed leaves ruleless, Crawl-delay 35) declaring `Disallow:
+    * /nav`+`/NAV` and `Crawl-delay: 7`; the maintained artifact
+    * re-parses it into wave 1's gate and scheduler, so wave 1 admits
+    * no s3 nav link (its slots go to the about/page candidates the
+    * navs outranked) and schedules s3 seven seconds apart. The oracle
+    * replays wave 1 under the FLIPPED rule/delay tables.
+    */
+  private def streamRobotsLoopQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scope = cachedScope(q208Scopes, s, dir, "graft-q208-") { sc =>
+      val chunks = HtmlOps.plantedWarcCorpus(docs)
+      val valid = HtmlOps.httpFrame(HtmlOps.warcFrame(chunks, "warc"))
+        .filter(col("length_ok") && col("http_ok"))
+        .select(col("doc_id"), col("target_uri").as("url"))
+      HtmlOps.saveUrlKeys(valid.filter(col("doc_id") < 250), sc, "urlkeys")
+      val src = chunks.select(col("doc_id"), col("warc"))
+      import s.implicits._
+      val flip = Seq((9000001L, HtmlOps.robotsWarcChunk("s3.example",
+        "User-agent: *\nDisallow: /nav\nDisallow: /NAV\n" +
+          "Crawl-delay: 7\n")))
+        .toDF("doc_id", "warc")
+      EventsStreaming.writeWaveFile(
+        src.filter(col("doc_id") >= 250 && col("doc_id") < 375)
+          .unionByName(flip),
+        sc.path("stream-src"), 0)
+      EventsStreaming.writeWaveFile(
+        src.filter(col("doc_id") >= 375), sc.path("stream-src"), 1)
+      EventsStreaming.streamingWarcCrawlLoop(s, sc.path("stream-src"),
+        sc, "urlkeys", epochRanks(s, dir), HtmlOps.plantedRobotsTxt(s),
+        sc.path("waves"), sc.path("ckpt"))
+    }
+    s.read.parquet(scope.path("waves"))
+      .withColumn("wave", col("wave").cast("long"))
+  }
+
   private val q205Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
 
   /** q205: the redirect-aware frontier over the planted archive in a
@@ -2015,9 +2059,11 @@ object SparkEntry {
         sc.path("stream-src"), 0)
       EventsStreaming.writeWaveFile(
         src.filter(col("doc_id") >= 375), sc.path("stream-src"), 1)
+      // the SEED robots bytes: parse(seed) equals the planted rules
+      // and delays (spec-pinned), so wave 0's policy is unchanged —
+      // robots fetches in the stream would update it from wave 1 on
       EventsStreaming.streamingWarcCrawlLoop(s, sc.path("stream-src"),
-        sc, "urlkeys", epochRanks(s, dir), HtmlOps.plantedRobotsRules(s),
-        HtmlOps.parseCrawlDelays(HtmlOps.plantedRobotsTxt(s)),
+        sc, "urlkeys", epochRanks(s, dir), HtmlOps.plantedRobotsTxt(s),
         sc.path("waves"), sc.path("ckpt"))
     }
     s.read.parquet(scope.path("waves"))
@@ -4667,6 +4713,9 @@ object SparkEntry {
     "q206_gzip_warc" -> q184Sql,
     // carried dispatch clock: wave 1 replayed from wave 0's tails
     "q207_carried_schedule" -> q207Sql,
+    // in-stream robots maintenance: wave 1 replayed under the policy
+    // the wave-0 robots fetch flipped
+    "q208_stream_robots_loop" -> q208Sql,
     // wave scheduling: the q191 wave joined to the regenerated delay
     // table, (slot-1) x delay with the default fallback
     "q198_wave_schedule" -> q198Sql,
@@ -5061,7 +5110,8 @@ object SparkEntry {
                            pageCtes: Option[String] = None,
                            keySrc: Option[String] = None,
                            extraCtes: Option[String] = None,
-                           extraCands: Option[String] = None): String = {
+                           extraCands: Option[String] = None,
+                           rulesCte: String = "rru"): String = {
     val gate =
       if (!robots)
         s"${pfx}g AS (SELECT doc_id, url, host, domain FROM ${pfx}b2)"
@@ -5073,7 +5123,7 @@ object SparkEntry {
            |  row_number() OVER (PARTITION BY p.rid
            |    ORDER BY coalesce(strlen(r.prefix), -1) DESC,
            |             r.allow DESC) AS rn
-           |  FROM ${pfx}pt p LEFT JOIN rru r ON r.domain = p.domain
+           |  FROM ${pfx}pt p LEFT JOIN $rulesCte r ON r.domain = p.domain
            |    AND starts_with(p.path, r.prefix)),
            |${pfx}g AS (SELECT doc_id, url, host, domain FROM ${pfx}mg
            |  WHERE rn = 1 AND coalesce(allow, true))""".stripMargin
@@ -5165,7 +5215,8 @@ object SparkEntry {
        |$duckDelayCte,
        |$w0,
        |$w1,
-       |${carriedScheduleCtes(Seq(("wcfs", dCols), ("wdfs", dCols)))}
+       |${carriedScheduleCtes(Seq(("wcfs", dCols, "sdl"),
+      ("wdfs", dCols, "sdl")))}
        |SELECT canon, url, domain, n_refs, pr, slot, delay_s,
        |  not_before_s, CAST(0 AS BIGINT) AS wave FROM cw0
        |UNION ALL
@@ -5235,6 +5286,50 @@ object SparkEntry {
        |FROM rffs WHERE slot <= 10""".stripMargin
   }
 
+  /** The q208 oracle — the WARC loop's two waves replayed with the
+    * POLICY FLIP applied where the loop applies it: wave 0 under the
+    * seed rules/delays (the riding robots chunk is not a page and not
+    * a key), wave 1 under the flipped tables the in-stream robots
+    * fetch re-parsed into the artifact (`s3.example`: `Disallow:
+    * /nav`+`/NAV`, `Crawl-delay: 7`), on the one carried dispatch
+    * clock.
+    */
+  private lazy val q208Sql = {
+    def validKeys(pred: String) =
+      s"""(SELECT concat('https://w', cast(doc_id % 7 AS varchar), '.s',
+         |  cast(doc_id % 5 AS varchar), '.example/p/',
+         |  cast(doc_id % 11 AS varchar)) AS u FROM documents
+         |  WHERE ($pred) AND doc_id % 13 NOT IN (2, 3, 5, 7, 8, 11))"""
+        .stripMargin
+    val w0 = frontierCtes("we", robots = true,
+      pageCtes = Some(duckWarcPages("we", "doc_id >= 250 AND doc_id < 375")),
+      keySrc = Some(validKeys("doc_id < 375")))
+    val w1 = frontierCtes("wf", robots = true,
+      pageCtes = Some(duckWarcPages("wf", "doc_id >= 375")),
+      keySrc = Some(validKeys("true")), rulesCte = "rru1")
+    val dCols = "canon, url, domain, n_refs, pr"
+    s"""WITH $duckRobotsRuleCtes,
+       |$duckRobotsTxtCtes,
+       |$duckDelayCte,
+       |rru1 AS (SELECT * FROM rru WHERE domain <> 's3.example'
+       |  UNION ALL SELECT 's3.example' AS domain, false AS allow,
+       |    '/nav' AS prefix
+       |  UNION ALL SELECT 's3.example' AS domain, false AS allow,
+       |    '/NAV' AS prefix),
+       |sdl1 AS (SELECT * FROM sdl WHERE domain <> 's3.example'
+       |  UNION ALL SELECT 's3.example' AS domain,
+       |    CAST(7 AS BIGINT) AS delay_s),
+       |$w0,
+       |$w1,
+       |${carriedScheduleCtes(Seq(("wefs", dCols, "sdl"),
+      ("wffs", dCols, "sdl1")))}
+       |SELECT canon, url, domain, n_refs, pr, slot, delay_s,
+       |  not_before_s, CAST(0 AS BIGINT) AS wave FROM cw0
+       |UNION ALL
+       |SELECT canon, url, domain, n_refs, pr, slot, delay_s,
+       |  not_before_s, CAST(1 AS BIGINT) AS wave FROM cw1""".stripMargin
+  }
+
   /** The q207 oracle — both polite waves replayed, the second's
     * offsets derived from the first's per-domain tails through the
     * carried-clock CTE chain.
@@ -5248,7 +5343,8 @@ object SparkEntry {
        |$duckDelayCte,
        |$w0,
        |$w1,
-       |${carriedScheduleCtes(Seq(("cafs", dCols), ("cbfs", dCols)))}
+       |${carriedScheduleCtes(Seq(("cafs", dCols, "sdl"),
+      ("cbfs", dCols, "sdl")))}
        |SELECT canon, url, domain, n_refs, pr, slot, delay_s,
        |  not_before_s, CAST(0 AS BIGINT) AS wave FROM cw0
        |UNION ALL
@@ -5506,17 +5602,18 @@ object SparkEntry {
     * `cst0..cstN+1` (the states); `stages` = (srcCte, cols) pairs.
     * Expects `sdl` in the WITH clause.
     */
-  private def carriedScheduleCtes(stages: Seq[(String, String)]): String = {
+  private def carriedScheduleCtes(
+      stages: Seq[(String, String, String)]): String = {
     val sb = new StringBuilder
     sb.append("cst0 AS (SELECT '' AS domain, CAST(0 AS BIGINT) AS nx WHERE 1=0)")
-    stages.zipWithIndex.foreach { case ((src, cols), i) =>
+    stages.zipWithIndex.foreach { case ((src, cols, sdl), i) =>
       sb.append(s""",
          |cw$i AS (SELECT $cols, CAST(slot AS INT) AS slot,
-         |  coalesce(sdl.delay_s, 30) AS delay_s,
+         |  coalesce($sdl.delay_s, 30) AS delay_s,
          |  CAST(coalesce(cst$i.nx, 0)
-         |    + (slot - 1) * coalesce(sdl.delay_s, 30) AS BIGINT)
+         |    + (slot - 1) * coalesce($sdl.delay_s, 30) AS BIGINT)
          |    AS not_before_s
-         |  FROM $src LEFT JOIN sdl USING (domain)
+         |  FROM $src LEFT JOIN $sdl USING (domain)
          |  LEFT JOIN cst$i USING (domain) WHERE slot <= 10),
          |cst${i + 1} AS (SELECT domain, coalesce(a.nx, s.nx) AS nx
          |  FROM cst$i s FULL JOIN (SELECT domain,
@@ -5565,8 +5662,9 @@ object SparkEntry {
        |${refetchWaveCtes("ra", "doc_id < 375",
       "doc_id >= 250 AND doc_id < 375", ttl)},
        |${refetchWaveCtes("rb", "true", "doc_id >= 375", ttl)},
-       |${carriedScheduleCtes(Seq(
-      ("wafs", dCols), ("rasl", rCols), ("wbfs", dCols), ("rbsl", rCols)))}"""
+       |${carriedScheduleCtes(Seq(("wafs", dCols, "sdl"),
+      ("rasl", rCols, "sdl"), ("wbfs", dCols, "sdl"),
+      ("rbsl", rCols, "sdl")))}"""
       .stripMargin
   }
 

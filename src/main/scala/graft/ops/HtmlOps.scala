@@ -1702,6 +1702,80 @@ object HtmlOps {
     }
   }
 
+  /** ROBOTS FETCHES recognized in a framed archive batch (q208): a
+    * valid (octet-verified) 200 text/plain response whose target path
+    * is exactly `/robots.txt` IS the domain's current robots file —
+    * the crawl's own traffic carries the policy updates. One row per
+    * domain (highest doc_id wins within the batch — a batch is one
+    * wave, later chunk ids are later fetches), shaped (domain,
+    * robots_txt) for [[parseRobotsRules]]/[[parseCrawlDelays]].
+    */
+  private[graft] def robotsFetches(framed: DataFrame): DataFrame =
+    framed
+      .filter(col("length_ok") && col("http_status") === 200 &&
+        col("mime") === "text/plain" &&
+        col("target_uri").rlike(
+          "^(?i)(?:https?:)?//[^/?#]+/robots\\.txt(?:[?#].*)?$"))
+      .select(PiiOps.registrableDomain(hostOf(col("target_uri")))
+          .as("domain"),
+        col("body").as("robots_txt"), col("doc_id"))
+      .groupBy(col("domain"))
+      .agg(max(struct(col("doc_id"), col("robots_txt"))).as("m"))
+      .select(col("domain"), col("m.robots_txt").as("robots_txt"))
+
+  /** The maintained ROBOTS artifact (q208): latest robots bytes per
+    * domain — domain-vocabulary-sized, versioned per wave exactly
+    * like the politeness state ([[saveSchedState]]): wave N reads the
+    * state strictly before N (seed when none), so its gate verdicts
+    * are deterministic and a replayed batch re-derives the identical
+    * artifact. A robots fetch landing in wave N changes wave N+1's
+    * gate — the next-wave contract, matching how a real crawler
+    * refreshes policy between dispatch cycles.
+    */
+  def advanceRobotsState(batchFetches: DataFrame,
+                         prior: DataFrame): DataFrame =
+    prior.select(col("domain"), col("robots_txt").as("prior_txt"))
+      .join(batchFetches.select(col("domain"),
+        col("robots_txt").as("batch_txt")), Seq("domain"), "full_outer")
+      .select(col("domain"),
+        coalesce(col("batch_txt"), col("prior_txt")).as("robots_txt"))
+
+  def saveRobotsState(state: DataFrame, dir: String, wave: Long): Unit =
+    state.write.mode("overwrite").parquet(s"$dir/wave=$wave")
+
+  def loadRobotsState(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, beforeWave: Long,
+                      seed: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior =
+      if (!fs.exists(p)) Seq.empty[Long]
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("wave="))
+        .flatMap(n => scala.util.Try(n.stripPrefix("wave=").toLong).toOption)
+        .filter(_ < beforeWave)
+    prior.sorted.lastOption match {
+      case Some(w) => spark.read.parquet(s"$dir/wave=$w")
+        .select(col("domain"), col("robots_txt"))
+      case None => seed.select(col("domain"), col("robots_txt"))
+    }
+  }
+
+  /** A robots.txt fetch as a WARC chunk — the fixture side of q208:
+    * an octet-exact response record wrapping a `200 text/plain` HTTP
+    * message whose body is the robots file. `txt` should use bare
+    * `\n` line endings (a payload ENDING in CRLF collides with the
+    * record framing strip — the warcFrame limitation, stated there).
+    */
+  def robotsWarcChunk(domain: String, txt: String): String = {
+    val payload = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + txt
+    val len = payload.getBytes("UTF-8").length
+    "WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Target-URI: https://$domain/robots.txt\r\n" +
+      "WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      s"Content-Length: $len\r\n\r\n" + payload + "\r\n\r\n"
+  }
+
   /** The clock before any wave: no domain has a carried offset. */
   def emptySchedState(spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import org.apache.spark.sql.types._

@@ -1039,34 +1039,57 @@ object EventsStreaming {
     * zero-exchange projections as q184/q186 — the stream adds no new
     * shuffle class over q192.
     */
+  /** @param robots the SEED robots bytes per domain
+    *                (domain, robots_txt) — the state before any wave.
+    *                From wave 1 on, the gate and the scheduler read
+    *                the MAINTAINED robots artifact instead
+    *                ([[graft.ops.HtmlOps.robotsFetches]] /
+    *                [[graft.ops.HtmlOps.advanceRobotsState]]): a
+    *                `/robots.txt` fetch landing in wave N re-parses
+    *                into wave N+1's rules and Crawl-delays — the
+    *                loop's LAST static input closed (the policy now
+    *                travels in the crawl's own traffic). Rules and
+    *                delays are re-derived per wave from the
+    *                vocabulary-sized state artifact — per-wave work
+    *                by necessity now, since the policy can change
+    *                every wave (the one-time pre-validation contract
+    *                only applies to static delays).
+    */
   def streamingWarcCrawlLoop(spark: SparkSession, srcDir: String,
                              scope: graft.core.Scope, name: String,
                              ranks: org.apache.spark.sql.DataFrame,
-                             rules: org.apache.spark.sql.DataFrame,
-                             delays: org.apache.spark.sql.DataFrame,
+                             robots: org.apache.spark.sql.DataFrame,
                              outDir: String,
                              checkpointDir: String): Unit = {
     val warcSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("warc", StringType)))
-    // the q192 loop's contract: validate + localize delays once,
-    // before the stream starts
-    val vDelays = graft.ops.HtmlOps.validatedDelays(delays)
     val src = spark.readStream.schema(warcSchema)
       .option("pathGlobFilter", "*.parquet")
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val q = src.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val pages = graft.ops.HtmlOps.httpFrame(
+        val framed = graft.ops.HtmlOps.httpFrame(
             graft.ops.HtmlOps.warcFrame(batch.toDF(), "warc"))
-          .filter(col("length_ok") && col("http_ok"))
-          .select(col("doc_id"),
-            graft.ops.HtmlOps.hostOf(col("target_uri")).as("fetch_host"),
-            col("body").as("html"), col("target_uri").as("url"))
           .persist()
         try {
-          val bs = pages.sparkSession
+          val bs = framed.sparkSession
+          val pages = framed
+            .filter(col("length_ok") && col("http_ok"))
+            .select(col("doc_id"),
+              graft.ops.HtmlOps.hostOf(col("target_uri")).as("fetch_host"),
+              col("body").as("html"), col("target_uri").as("url"))
           graft.ops.HtmlOps.appendUrlKeys(
             pages.select(col("doc_id"), col("url")), scope, name)
+          // this wave's POLICY: the robots state strictly before this
+          // wave (the seed before wave 0) — deterministic and
+          // replay-stable; this wave's own robots fetches take effect
+          // NEXT wave
+          val robotsDir = scope.path("robotsstate")
+          val rState = graft.ops.HtmlOps.loadRobotsState(bs, robotsDir,
+            batchId, seed = robots)
+          val rules = graft.ops.HtmlOps.parseRobotsRules(rState)
+          val vDelays = graft.ops.HtmlOps.validatedDelays(
+            graft.ops.HtmlOps.parseCrawlDelays(rState))
           // the q192 loop's carried dispatch clock (q207)
           val stateDir = scope.path("schedstate")
           val st0 = graft.ops.HtmlOps.loadSchedState(bs, stateDir, batchId)
@@ -1080,8 +1103,13 @@ object EventsStreaming {
             graft.ops.HtmlOps.advanceSchedState(
               bs.read.parquet(s"$outDir/wave=$batchId"), st0),
             stateDir, batchId)
+          // maintain the robots artifact from THIS wave's fetches
+          graft.ops.HtmlOps.saveRobotsState(
+            graft.ops.HtmlOps.advanceRobotsState(
+              graft.ops.HtmlOps.robotsFetches(framed), rState),
+            robotsDir, batchId)
           ()
-        } finally pages.unpersist()
+        } finally framed.unpersist()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow()).start()

@@ -212,7 +212,8 @@ class StreamingSpec extends SparkSpec {
       graft.streaming.EventsStreaming.writeWaveFile(
         src.filter(col("doc_id") >= 375), scope.path("stream-src"), 1)
       graft.streaming.EventsStreaming.streamingWarcCrawlLoop(spark,
-        scope.path("stream-src"), scope, "keys", ranks, rules, delays,
+        scope.path("stream-src"), scope, "keys", ranks,
+        graft.ops.HtmlOps.plantedRobotsTxt(spark),
         scope.path("waves"), scope.path("ckpt"))
       // only VALID fetches entered the key set: no %13-malformed or
       // HTTP-gated doc's target key, and every valid doc's key present
@@ -241,6 +242,77 @@ class StreamingSpec extends SparkSpec {
         .filter(col("wave") === 1).drop("wave")
         .select(replay1.columns.map(col): _*)
       assert(w1.exceptAll(replay1).isEmpty && replay1.exceptAll(w1).isEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
+  test("in-stream robots maintenance (q208): a flip in wave 0 changes wave 1's verdicts; restart-safe") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft-robotsloop-")
+    try {
+      val scope = graft.core.Scopes.create(spark, base.toString)
+      val chunks = graft.ops.HtmlOps.plantedWarcCorpus(docs)
+      val valid = graft.ops.HtmlOps.httpFrame(
+          graft.ops.HtmlOps.warcFrame(chunks, "warc"))
+        .filter(col("length_ok") && col("http_ok"))
+        .select(col("doc_id"), col("target_uri").as("url"))
+      graft.ops.HtmlOps.saveUrlKeys(
+        valid.filter(col("doc_id") < 250), scope, "keys")
+      val ranks = graft.ops.GraphOps.domainRank(graft.ops.HtmlOps
+        .domainEdges(graft.ops.HtmlOps.plantedHtmlCorpus(docs)))
+      val src = chunks.select(col("doc_id"), col("warc"))
+      val flip = Seq((9000001L, graft.ops.HtmlOps.robotsWarcChunk(
+        "s3.example",
+        "User-agent: *\nDisallow: /nav\nDisallow: /NAV\nCrawl-delay: 7\n")))
+        .toDF("doc_id", "warc")
+      graft.streaming.EventsStreaming.writeWaveFile(
+        src.filter(col("doc_id") >= 250 && col("doc_id") < 375)
+          .unionByName(flip),
+        scope.path("stream-src"), 0)
+      graft.streaming.EventsStreaming.writeWaveFile(
+        src.filter(col("doc_id") >= 375), scope.path("stream-src"), 1)
+      def run(): Unit =
+        graft.streaming.EventsStreaming.streamingWarcCrawlLoop(spark,
+          scope.path("stream-src"), scope, "keys", ranks,
+          graft.ops.HtmlOps.plantedRobotsTxt(spark),
+          scope.path("waves"), scope.path("ckpt"))
+      run()
+      val waves = spark.read.parquet(scope.path("waves"))
+      // the flip rode wave 0, whose own policy is the SEED (s3 has no
+      // rules there): wave 0 still admits s3 nav links...
+      val s3w0 = waves.filter(col("wave") === 0 &&
+        col("domain") === "s3.example").collect()
+      assert(s3w0.exists(
+        _.getAs[String]("canon").toLowerCase.contains("/nav")))
+      assert(s3w0.forall(_.getAs[Long]("delay_s") === 35L))
+      // ...and wave 1's gate runs under the FLIPPED policy: no nav
+      // link admitted, the new Crawl-delay scheduled
+      val s3w1 = waves.filter(col("wave") === 1 &&
+        col("domain") === "s3.example").collect()
+      assert(s3w1.nonEmpty)
+      assert(!s3w1.exists(
+        _.getAs[String]("canon").toLowerCase.contains("/nav")))
+      assert(s3w1.forall(_.getAs[Long]("delay_s") === 7L))
+      // every other domain's policy is untouched by the flip
+      assert(waves.filter(col("domain") =!= "s3.example" &&
+        col("delay_s") === 7L).count() === 0)
+      // the maintained artifact holds the flip after wave 0 and the
+      // seed before it
+      val st1 = graft.ops.HtmlOps.loadRobotsState(spark,
+        scope.path("robotsstate"), 1,
+        graft.ops.HtmlOps.plantedRobotsTxt(spark))
+      assert(st1.filter(col("domain") === "s3.example" &&
+        col("robots_txt").contains("Crawl-delay: 7")).count() === 1)
+      // restart on the same checkpoint replays nothing and changes
+      // nothing: waves and robots state byte-identical
+      def snap() = (waves.collect().map(_.toString).sorted.toSeq,
+        st1.collect().map(_.toString).sorted.toSeq)
+      val before = snap()
+      run()
+      assert(snap() === before)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
     }
