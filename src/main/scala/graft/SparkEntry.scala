@@ -1834,6 +1834,10 @@ object SparkEntry {
     // the scheduled wave comes off the gated bodies — archive bytes
     // in, fetch schedules out
     "q203_stream_warc_loop" -> (streamWarcLoopQuery _),
+    // artifact compaction (q209): the epoch pass that bounds the
+    // maintained log's file count — the refetch wave over a compacted
+    // log must equal q200's exactly (the shared q196 oracle)
+    "q209_compacted_fetchlog" -> (compactedFetchLogQuery _),
     // in-stream robots maintenance (q208): a robots.txt fetch riding
     // wave 0 of the WARC stream flips a domain's policy — wave 1's
     // gate blocks that domain's /p/ links and its schedule uses the
@@ -1936,6 +1940,31 @@ object SparkEntry {
         log.filter(col("log_id") >= 1000L).select("url", "fetched_at_s"),
         sc, "flog")
       ()
+    }
+    HtmlOps.refetchWaveFromLog(s, scope, "flog",
+      nowS = 1767225600L + 9L * 86400L, ttlS = 7L * 86400L,
+      ranks = epochRanks(s, dir))
+  }
+
+  private val q209Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
+
+  /** q209: the q200 maintained-log chain plus the EPOCH compaction
+    * pass ([[graft.ops.HtmlOps.compactFetchLog]]) before the read —
+    * the refetch wave must be bit-identical to q200's/q196's
+    * (compaction changes file counts, never rows), which the shared
+    * oracle enforces.
+    */
+  private def compactedFetchLogQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scope = cachedScope(q209Scopes, s, dir, "graft-q209-") { sc =>
+      val log = HtmlOps.plantedFetchLog(docs)
+      HtmlOps.saveFetchLog(
+        log.filter(col("log_id") < 1000L).select("url", "fetched_at_s"),
+        sc, "flog")
+      HtmlOps.appendFetchLog(
+        log.filter(col("log_id") >= 1000L).select("url", "fetched_at_s"),
+        sc, "flog")
+      HtmlOps.compactFetchLog(s, sc, "flog")
     }
     HtmlOps.refetchWaveFromLog(s, scope, "flog",
       nowS = 1767225600L + 9L * 86400L, ttlS = 7L * 86400L,
@@ -4716,6 +4745,8 @@ object SparkEntry {
     // in-stream robots maintenance: wave 1 replayed under the policy
     // the wave-0 robots fetch flipped
     "q208_stream_robots_loop" -> q208Sql,
+    // compaction is layout, not semantics: q196's oracle verbatim
+    "q209_compacted_fetchlog" -> q196Sql,
     // wave scheduling: the q191 wave joined to the regenerated delay
     // table, (slot-1) x delay with the default fallback
     "q198_wave_schedule" -> q198Sql,

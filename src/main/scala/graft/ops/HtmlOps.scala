@@ -1702,6 +1702,62 @@ object HtmlOps {
     }
   }
 
+  /** Q209: COMPACTION for the maintained BUCKETED artifacts. Every
+    * upsert wave lands its own task files inside the partitions it
+    * touches, so over a long crawl the fetch log's directories
+    * accumulate files without bound; this rewrites the whole table
+    * through its own bucket spec — one task per partition directory,
+    * so the file count drops to the layout floor — via `insertInto`
+    * (NOT [[graft.io.Layout.compactPartitioned]], whose plain
+    * `partitionBy` write would silently discard the bucketing
+    * metadata that makes every frontier/upsert join exchange-free).
+    * CADENCE, stated: this is a full-table rewrite, so it runs once
+    * per crawl EPOCH (beside the q188 rank recompute), never per
+    * wave — the per-wave upserts stay O(changed partitions) and this
+    * pass bounds what they accumulate. Rows are pinned with a
+    * localCheckpoint before the overwrite truncates what was read
+    * (the [[appendFetchLog]] contract); semantics-preserving by the
+    * q196 oracle (q209 replays the refetch wave over a compacted
+    * log).
+    */
+  def compactFetchLog(spark: org.apache.spark.sql.SparkSession,
+                      scope: graft.core.Scope, name: String): Unit =
+    compactBucketedArtifact(spark,
+      registerFetchLogTable(spark, scope, name),
+      Seq("canon", "url", "last_fetch_s", "bucket", "fetch_day"),
+      Seq("bucket", "fetch_day"))
+
+  /** [[compactFetchLog]] for the URL-key table — same epoch cadence,
+    * same bucket-preserving rewrite.
+    */
+  def compactUrlKeys(spark: org.apache.spark.sql.SparkSession,
+                     scope: graft.core.Scope, name: String): Unit =
+    compactBucketedArtifact(spark,
+      registerKeyTable(spark, scope, name),
+      Seq("canon", "doc_id", "bucket"), Seq("bucket"))
+
+  private def compactBucketedArtifact(
+      spark: org.apache.spark.sql.SparkSession, tbl: String,
+      cols: Seq[String], partitionCols: Seq[String]): Unit = {
+    val all = spark.table(tbl).select(cols.map(col): _*)
+      // one task per partition directory → file count at the floor
+      .repartition(partitionCols.map(col): _*)
+      .localCheckpoint(eager = true)
+    val prev =
+      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    // STATIC on purpose: truncate the whole table, rewrite every
+    // partition from the pinned snapshot
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try all.write.mode("overwrite").insertInto(tbl)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    spark.catalog.refreshTable(tbl)
+  }
+
   /** ROBOTS FETCHES recognized in a framed archive batch (q208): a
     * valid (octet-verified) 200 text/plain response whose target path
     * is exactly `/robots.txt` IS the domain's current robots file —

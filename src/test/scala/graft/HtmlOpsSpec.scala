@@ -1226,6 +1226,81 @@ class HtmlOpsSpec extends SparkSpec {
     assert(rt.count() === out.filter(col("m") === 8).count())
   }
 
+  test("artifact compaction (q209): file counts drop to the layout floor, rows and bucketing intact") {
+    val base = java.nio.file.Files.createTempDirectory("graft-compact-spec-")
+    try {
+      val sc = graft.core.Scopes.create(spark, base.toString)
+      val docs = graft.io.Tables.parquet(spark, sf, "documents")
+      val log = HtmlOps.plantedFetchLog(docs)
+      HtmlOps.saveFetchLog(log.filter(col("log_id") < 1000L)
+        .select("url", "fetched_at_s"), sc, "fl")
+      // several waves accumulate task files in the touched partitions
+      HtmlOps.appendFetchLog(log.filter(col("log_id") >= 1000L)
+        .select("url", "fetched_at_s"), sc, "fl")
+      HtmlOps.appendFetchLog(log.filter(col("log_id") >= 1000L)
+        .select(col("url"), (col("fetched_at_s") + 86400L)
+          .as("fetched_at_s")), sc, "fl")
+      def nFiles(): Int = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(sc.path("fl/rows")))
+          .count(_.getName.endsWith(".parquet"))
+      }
+      def rows() = HtmlOps.loadFetchLog(spark, sc, "fl")
+        .collect().map(_.toString).sorted.toSeq
+      val filesBefore = nFiles()
+      val rowsBefore = rows()
+      HtmlOps.compactFetchLog(spark, sc, "fl")
+      // the log's upserts REPLACE whole partitions, so its count sits
+      // near the layout floor already — compaction must not regress
+      // it, and rows are identical
+      assert(nFiles() <= filesBefore, s"$filesBefore -> ${nFiles()}")
+      assert(rows() === rowsBefore)
+      // the catalog bucketing survives: a post-compaction upsert and
+      // due-scan still run (and the merge still reads bucketed)
+      val upserted = HtmlOps.appendFetchLog(
+        log.filter(col("log_id") >= 1000L)
+          .select(col("url"), (col("fetched_at_s") + 2L * 86400L)
+            .as("fetched_at_s")), sc, "fl")
+      assert(upserted.count() > 0)
+      assert(HtmlOps.refetchWaveFromLog(spark, sc, "fl",
+        nowS = 1767225600L + 9L * 86400L, ttlS = 86400L,
+        ranks = emptyRanks, kPerDomain = Int.MaxValue).count() > 0)
+      // the key table is where files genuinely ACCUMULATE — every
+      // append wave adds its own task files to the touched buckets —
+      // so there the compaction must show a real drop
+      val urls = HtmlOps.plantedDirtyUrlCorpus(docs)
+      HtmlOps.saveUrlKeys(urls.filter(col("doc_id") < 125), sc, "uk")
+      Seq(125L, 250L, 375L).foreach { lo =>
+        HtmlOps.appendUrlKeys(
+          urls.filter(col("doc_id") >= lo && col("doc_id") < lo + 125L)
+            .select("doc_id", "url"), sc, "uk")
+      }
+      def nKeyFiles(): Int = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(sc.path("uk/rows")))
+          .count(_.getName.endsWith(".parquet"))
+      }
+      val keysBefore = HtmlOps.loadUrlKeys(spark, sc, "uk")
+        .collect().map(_.toString).sorted.toSeq
+      val keyFilesBefore = nKeyFiles()
+      HtmlOps.compactUrlKeys(spark, sc, "uk")
+      assert(nKeyFiles() < keyFilesBefore,
+        s"$keyFilesBefore -> ${nKeyFiles()}")
+      assert(HtmlOps.loadUrlKeys(spark, sc, "uk")
+        .collect().map(_.toString).sorted.toSeq === keysBefore)
+      // and the frontier's exchange-free anti-join contract survives:
+      // a fresh append against the compacted table still admits only
+      // unseen keys
+      assert(HtmlOps.appendUrlKeys(
+        urls.filter(col("doc_id") < 125).select("doc_id", "url"),
+        sc, "uk").count() === 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("gzip front door (q206): multi-member inflate is bit-identical; corrupt bytes are a verdict") {
     import spark.implicits._
     val docs = graft.io.Tables.parquet(spark, sf, "documents")
