@@ -126,6 +126,11 @@ object PlanAudit {
     "q202_steady_refetch", // per-wave artifact-read due set + schedule
     "q203_stream_warc_loop", // per-batch frame+gate projections, then q192's wave
     "q204_fetch_funnel",   // one frame+gate scan into one bounded aggregation
+    "q205_redirect_frontier", // both discovery channels under one candidate exchange
+    "q206_gzip_warc",      // mapPartitions inflate + the q184 projection chain
+    "q207_carried_schedule", // two waves + broadcast state joins, no new exchange class
+    "q208_stream_robots_loop", // q203 + vocabulary-sized per-wave robots parse
+    "q209_compacted_fetchlog", // q200 read side over the compacted layout
     "q10_event_window")   // normalized-ts scan straight into windowed agg
 
   def main(args: Array[String]): Unit = {

@@ -181,7 +181,24 @@ object ScaleProbe {
     "q203_stream_warc_loop",
     // fetch funnel: one scan, one bounded aggregation — expected
     // q184's scan-bound class
-    "q204_fetch_funnel")
+    "q204_fetch_funnel",
+    // redirect-aware frontier: two zero-exchange channels (outlinks +
+    // Location targets) under one candidate exchange — expected
+    // q191's class plus a second framed scan
+    "q205_redirect_frontier",
+    // gzip front door: per-row multi-member inflate ahead of the
+    // q184 chain — expected q184 plus the inflate CPU, still
+    // scan-bound
+    "q206_gzip_warc",
+    // carried schedule: two q191 waves + two vocabulary-sized state
+    // merges — expected 2x q191's class
+    "q207_carried_schedule",
+    // robots-maintaining WARC loop: q203's class + a per-wave
+    // vocabulary-sized robots parse/upsert
+    "q208_stream_robots_loop",
+    // compacted fetch log: q200's chain + one full-table bucketed
+    // rewrite (the epoch pass being measured)
+    "q209_compacted_fetchlog")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)
