@@ -616,21 +616,43 @@ object HtmlOps {
     chunks.select(col("doc_id"), col(gzCol)).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val buf = new Array[Byte](8192)
+        // exposes the inflater's unconsumed buffer: the JDK silently
+        // SWALLOWS a corrupt non-first member header and reports a
+        // clean end-of-stream — a chunk that ends with undigested
+        // bytes was truncated by that quirk and must become the
+        // empty-chunk verdict, not a plausible-but-partial record
+        // set. A CLEAN end legitimately leaves the 8-byte trailer
+        // (and never more than the JDK's own 26-byte more-data
+        // heuristic) in the buffer, so the corrupt signal is
+        // leftover > 26 OR bytes still un-read in the stream; a
+        // sub-member-sized trailing fragment (< the 20-byte gzip
+        // member minimum) is indistinguishable from stream end and
+        // drops silently — stated limit.
+        class ProbingGzip(s: java.io.InputStream)
+            extends java.util.zip.GZIPInputStream(s) {
+          def leftover: Int = inf.getRemaining
+        }
         it.map { case (id, gz) =>
           val text =
             if (gz == null) ""
             else {
-              val in = new java.util.zip.GZIPInputStream(
-                new java.io.ByteArrayInputStream(gz))
+              val bis = new java.io.ByteArrayInputStream(gz)
+              var in: ProbingGzip = null
+              // the constructor itself reads (and can reject) the
+              // first member header — non-gzip or empty bytes must
+              // yield the empty-chunk VERDICT, not a task failure
               try {
+                in = new ProbingGzip(bis)
                 val bos = new java.io.ByteArrayOutputStream()
                 var n = in.read(buf)
                 while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-                new String(bos.toByteArray, "ISO-8859-1")
+                if (in.leftover <= 26 && bis.available() == 0)
+                  new String(bos.toByteArray, "ISO-8859-1")
+                else "" // undigested bytes: a swallowed corrupt member
               } catch { case _: java.io.IOException => "" }
               // always end the Inflater's native buffers NOW — left to
               // the finalizer they made the 10x corpus superlinear
-              finally in.close()
+              finally if (in != null) in.close()
             }
           (id, text)
         }
@@ -1700,25 +1722,14 @@ object HtmlOps {
     * mid-batch never sees its own half-written advance.
     */
   def saveSchedState(state: DataFrame, dir: String, wave: Long): Unit =
-    state.write.mode("overwrite").parquet(s"$dir/wave=$wave")
+    saveWaveState(state, dir, wave)
 
   def loadSchedState(spark: org.apache.spark.sql.SparkSession,
-                     dir: String, beforeWave: Long): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val prior =
-      if (!fs.exists(p)) Seq.empty[Long]
-      else fs.listStatus(p).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("wave="))
-        .flatMap(n => scala.util.Try(n.stripPrefix("wave=").toLong).toOption)
-        .filter(_ < beforeWave)
-    prior.sorted.lastOption match {
-      case Some(w) => spark.read.parquet(s"$dir/wave=$w")
-        .select(col("domain"), col("next_allowed_s").cast("long")
-          .as("next_allowed_s"))
-      case None => emptySchedState(spark)
-    }
-  }
+                     dir: String, beforeWave: Long): DataFrame =
+    loadWaveState(spark, dir, beforeWave, Seq("domain", "next_allowed_s"),
+      fallback = emptySchedState(spark))
+      .select(col("domain"),
+        col("next_allowed_s").cast("long").as("next_allowed_s"))
 
   /** Q209: COMPACTION for the maintained BUCKETED artifacts. Every
     * upsert wave lands its own task files inside the partitions it
@@ -1788,8 +1799,11 @@ object HtmlOps {
     framed
       .filter(col("length_ok") && col("http_status") === 200 &&
         col("mime") === "text/plain" &&
+        // (?i) scoped to the SCHEME only: the /robots.txt PATH is
+        // case-sensitive (RFC 9309) — an ordinary page at /ROBOTS.TXT
+        // must never hijack the domain's policy artifact
         col("target_uri").rlike(
-          "^(?i)(?:https?:)?//[^/?#]+/robots\\.txt(?:[?#].*)?$"))
+          "^(?i:(?:https?:)?//)[^/?#]+/robots\\.txt(?:[?#].*)?$"))
       .select(PiiOps.registrableDomain(hostOf(col("target_uri")))
           .as("domain"),
         col("body").as("robots_txt"), col("doc_id"))
@@ -1815,11 +1829,28 @@ object HtmlOps {
         coalesce(col("batch_txt"), col("prior_txt")).as("robots_txt"))
 
   def saveRobotsState(state: DataFrame, dir: String, wave: Long): Unit =
-    state.write.mode("overwrite").parquet(s"$dir/wave=$wave")
+    saveWaveState(state, dir, wave)
 
   def loadRobotsState(spark: org.apache.spark.sql.SparkSession,
                       dir: String, beforeWave: Long,
-                      seed: DataFrame): DataFrame = {
+                      seed: DataFrame): DataFrame =
+    loadWaveState(spark, dir, beforeWave, Seq("domain", "robots_txt"),
+      fallback = seed.select(col("domain"), col("robots_txt")))
+
+  /** The ONE versioned tiny-state protocol behind the politeness and
+    * robots artifacts: full overwrite under `dir/wave=<id>`, read the
+    * LATEST wave strictly before a given id (the caller's fallback
+    * when none) — the replay contract lives here once, so the two
+    * artifacts can never diverge on it.
+    */
+  private def saveWaveState(state: DataFrame, dir: String,
+                            wave: Long): Unit =
+    state.write.mode("overwrite").parquet(s"$dir/wave=$wave")
+
+  private def loadWaveState(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, beforeWave: Long,
+                            cols: Seq[String],
+                            fallback: => DataFrame): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prior =
@@ -1830,8 +1861,8 @@ object HtmlOps {
         .filter(_ < beforeWave)
     prior.sorted.lastOption match {
       case Some(w) => spark.read.parquet(s"$dir/wave=$w")
-        .select(col("domain"), col("robots_txt"))
-      case None => seed.select(col("domain"), col("robots_txt"))
+        .select(cols.map(col): _*)
+      case None => fallback
     }
   }
 
@@ -2005,10 +2036,17 @@ object HtmlOps {
       .collect().map(_.getInt(0))
     val stored = spark.table(tbl)
       .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+    // ONE execution of the bucketed merge, pinned: the changed-part
+    // derivation AND the write set both read the checkpointed rows —
+    // an unpinned `merged` would re-run the whole touched-bucket scan
+    // + join per consumer (the round-13 review's finding), doubling
+    // the dominant cost of a steady-state wave. The pin also covers
+    // the overwrite-what-was-read hazard below.
     val merged = fetchLogMerge(stored, batchLatest)
       .select(col("canon"), col("url"), col("last_fetch_s"),
         keyBucket(col("canon"), nBuckets),
         fetchDay(col("last_fetch_s")), col("day_s"), col("batch_won"))
+      .localCheckpoint(eager = true)
     // the partitions the batch actually CHANGES: where a winning row
     // lands, plus where a beaten row must vanish from. LAYOUT-bounded
     // (≤ n_buckets × distinct fetch days), never batch- or log-sized
@@ -2037,8 +2075,6 @@ object HtmlOps {
         .join(broadcast(parts), Seq("bucket", "fetch_day"), "left_semi")
         .select(col("canon"), col("url"), col("last_fetch_s"),
           col("bucket"), col("fetch_day"))
-        // pin BEFORE the dynamic overwrite below rewrites what it read
-        .localCheckpoint(eager = true)
       val prev =
         spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       // the SESSION conf, not a writer option: insertInto ignores the

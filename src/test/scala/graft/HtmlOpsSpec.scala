@@ -1331,6 +1331,48 @@ class HtmlOpsSpec extends SparkSpec {
     val framed = HtmlOps.warcIngest(HtmlOps.gunzipWarcChunks(corrupt))
     assert(framed.filter(col("length_ok")).count() === 0)
     assert(framed.count() === plain.count())
+    // NOT-gzip-at-all (and empty) bytes are also a verdict, not a
+    // task failure — the constructor itself rejects them
+    val notGzip = Seq(
+      (1L, "WARC/1.0 plain text".getBytes("ISO-8859-1")),
+      (2L, Array.empty[Byte]),
+      (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "warc_gz")
+    assert(HtmlOps.gunzipWarcChunks(notGzip)
+      .filter(col("warc") =!= "").count() === 0)
+    // a corrupt NON-FIRST member header: the JDK swallows it and
+    // reports clean end-of-stream — the seam must detect the
+    // undigested bytes and refuse partial salvage
+    val midCorrupt = gz.as[(Long, Array[Byte])]
+      .map { case (id, b) =>
+        // flip the SECOND member's magic (find the second 1f 8b 08)
+        val idxs = (0 until b.length - 2).filter(i =>
+          b(i) == 0x1f.toByte && b(i + 1) == 0x8b.toByte &&
+            b(i + 2) == 0x08.toByte)
+        if (idxs.length >= 2) { val c = b.clone(); c(idxs(1)) = 0x00; (id, c) }
+        else (id, b)
+      }.toDF("doc_id", "warc_gz")
+    val salvaged = HtmlOps.gunzipWarcChunks(midCorrupt)
+      .join(memberCounts, "doc_id")
+      .filter(col("n_members") >= 2 && col("warc") =!= "")
+    assert(salvaged.count() === 0, "partial salvage of a corrupt member")
+  }
+
+  test("robotsFetches: only a case-exact /robots.txt 200 text/plain updates the policy") {
+    import spark.implicits._
+    def framedOf(chunk: String) = HtmlOps.httpFrame(HtmlOps.warcFrame(
+      Seq((1L, chunk)).toDF("doc_id", "warc"), "warc"))
+    val good = HtmlOps.robotsWarcChunk("s3.example",
+      "User-agent: *\nDisallow: /x\n")
+    assert(HtmlOps.robotsFetches(framedOf(good)).count() === 1)
+    // an ordinary page at /ROBOTS.TXT is NOT the robots file (paths
+    // are case-sensitive) and must never hijack the domain's policy
+    val hijack = good.replace("/robots.txt", "/ROBOTS.TXT")
+    assert(HtmlOps.robotsFetches(framedOf(hijack)).count() === 0)
+    // ...nor is an html response at the right path
+    val wrongMime = good.replace("Content-Type: text/plain",
+      "Content-Type: text/html")
+    assert(HtmlOps.robotsFetches(framedOf(wrongMime)).count() === 0)
   }
 
   test("redirectFrontier (q205): redirect targets win slots only through their channel") {
