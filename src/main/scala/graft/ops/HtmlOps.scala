@@ -1625,19 +1625,15 @@ object HtmlOps {
     */
   def scheduleWave(wave: DataFrame, delays: DataFrame,
                    defaultDelayS: Long = 30L): DataFrame =
-    scheduleWaveValidated(wave, validatedDelays(delays), defaultDelayS)
+    scheduleWaveValidated(wave, checkedDelays(delays), defaultDelayS)
 
-  /** One-time validation + LOCALIZATION of a delays table: the
-    * duplicate-domain / non-positive-delay guards run ONCE, and the
-    * surviving rows — domain-vocabulary-sized by construction — are
-    * collected into a local relation. A long-running consumer (the
-    * streaming loops) validates before the stream starts and hands
-    * the result to [[scheduleWaveValidated]] per wave, so the guard
-    * aggregation — and whatever plan (a full robots parse) produced
-    * the delays — never re-executes per micro-batch.
+  /** The delays GUARDS alone — cast + duplicate-domain +
+    * non-positive checks — returning the still-DISTRIBUTED table:
+    * what the one-shot [[scheduleWave]] uses, so a caller with a
+    * large delays table keeps the original join-side execution and
+    * never pays a driver collect.
     */
-  def validatedDelays(delays: DataFrame): DataFrame = {
-    val spark = delays.sparkSession
+  private def checkedDelays(delays: DataFrame): DataFrame = {
     // cast up front: a robots parser plausibly emits IntegerType
     // delays, and the guard below must fail with ITS message, never a
     // ClassCastException out of getLong
@@ -1654,6 +1650,22 @@ object HtmlOps {
       "delays table has duplicate domain rows")
     require(chk.isNullAt(2) || chk.getLong(2) > 0L,
       "delays table has a non-positive delay_s")
+    d
+  }
+
+  /** One-time validation + LOCALIZATION of a delays table: the
+    * [[checkedDelays]] guards run ONCE, and the surviving rows —
+    * domain-vocabulary-sized by the CALLER's contract (this collects
+    * to the driver; a corpus-sized table belongs in [[scheduleWave]]
+    * directly) — land in a local relation. A long-running consumer
+    * (the streaming loops) validates before the stream starts and
+    * hands the result to [[scheduleWaveValidated]] per wave, so the
+    * guard aggregation — and whatever plan (a full robots parse)
+    * produced the delays — never re-executes per micro-batch.
+    */
+  def validatedDelays(delays: DataFrame): DataFrame = {
+    val spark = delays.sparkSession
+    val d = checkedDelays(delays)
     val rows = d.collect()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), d.schema)
   }
@@ -1772,19 +1784,28 @@ object HtmlOps {
       // one task per partition directory → file count at the floor
       .repartition(partitionCols.map(col): _*)
       .localCheckpoint(eager = true)
-    val prev =
-      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     // STATIC on purpose: truncate the whole table, rewrite every
     // partition from the pinned snapshot
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-    try all.write.mode("overwrite").insertInto(tbl)
-    finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    insertWithOverwriteMode(all, tbl, "static")
     spark.catalog.refreshTable(tbl)
+  }
+
+  /** `INSERT OVERWRITE` under an explicit partition-overwrite mode,
+    * WITHOUT mutating the caller's session: insertInto ignores the
+    * per-writer option (probed), and flipping the session conf
+    * around the write races any concurrent writer in the same
+    * session — a compaction's `static` landing mid-upsert would
+    * truncate the whole maintained log. A throwaway cloned session
+    * (shared SparkContext + catalog, private conf) carries the mode
+    * instead; the input must be pinned (both callers checkpoint), so
+    * re-binding it by RDD is exact.
+    */
+  private def insertWithOverwriteMode(pinned: DataFrame, tbl: String,
+                                      mode: String): Unit = {
+    val s2 = pinned.sparkSession.newSession()
+    s2.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
+    s2.createDataFrame(pinned.rdd, pinned.schema)
+      .write.mode("overwrite").insertInto(tbl)
   }
 
   /** ROBOTS FETCHES recognized in a framed archive batch (q208): a
@@ -2047,18 +2068,25 @@ object HtmlOps {
         keyBucket(col("canon"), nBuckets),
         fetchDay(col("last_fetch_s")), col("day_s"), col("batch_won"))
       .localCheckpoint(eager = true)
-    // the partitions the batch actually CHANGES: where a winning row
-    // lands, plus where a beaten row must vanish from. LAYOUT-bounded
-    // (≤ n_buckets × distinct fetch days), never batch- or log-sized
-    // — safe to collect, and it is what keeps the rewrite O(changed),
-    // not O(touched buckets)
-    val changedParts = merged.filter(col("batch_won"))
-      .select(col("bucket"), col("fetch_day"))
-      .unionByName(merged
-        .filter(col("batch_won") && col("day_s").isNotNull &&
-          col("day_s") =!= col("fetch_day"))
-        .select(col("bucket"), col("day_s").as("fetch_day")))
-      .distinct().collect().map(r => (r.getInt(0), r.getInt(1)))
+    // the partition BOOK-KEEPING in two tiny jobs over the pinned
+    // rows: per-(bucket, fetch_day) occupancy + winner counts (one
+    // aggregation), plus the moved-from parts beaten rows vanish
+    // from. LAYOUT-bounded (≤ n_buckets × distinct fetch days), never
+    // batch- or log-sized — safe to collect, and it is what keeps the
+    // rewrite O(changed), not O(touched buckets). `occupied` also
+    // pre-determines which changed partitions the overwrite will
+    // populate, so no post-write pass re-derives it.
+    val partStats = merged.groupBy(col("bucket"), col("fetch_day"))
+      .agg(sum(when(col("batch_won"), 1L).otherwise(0L)).as("n_won"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+    val movedFrom = merged
+      .filter(col("batch_won") && col("day_s").isNotNull &&
+        col("day_s") =!= col("fetch_day"))
+      .select(col("bucket"), col("day_s")).distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    val occupied = partStats.map(_._1).toSet
+    val changedParts = (partStats.filter(_._2 > 0L).map(_._1) ++
+      movedFrom).distinct
     // a replay where nothing beats the stored log is a TRUE no-op:
     // no partition rewritten, not even idempotently
     val toWrite = if (changedParts.isEmpty) {
@@ -2075,25 +2103,12 @@ object HtmlOps {
         .join(broadcast(parts), Seq("bucket", "fetch_day"), "left_semi")
         .select(col("canon"), col("url"), col("last_fetch_s"),
           col("bucket"), col("fetch_day"))
-      val prev =
-        spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      // the SESSION conf, not a writer option: insertInto ignores the
-      // per-write option and would static-overwrite the whole table
-      // (probed empirically on this Spark)
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try w.write.mode("overwrite").insertInto(tbl)
-      finally prev match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None =>
-          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+      insertWithOverwriteMode(w, tbl, "dynamic")
       // a changed partition the overwrite wrote NO rows into (its
       // only keys moved to a fresher day) is not rewritten by the
       // dynamic overwrite — it must be dropped explicitly or its
       // beaten rows would survive
-      val written = w.select(col("bucket"), col("fetch_day")).distinct()
-        .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      val written = changedParts.filter(occupied).toSet
       val rowsPath = scope.path(s"$name/rows")
       val fs = new org.apache.hadoop.fs.Path(rowsPath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)

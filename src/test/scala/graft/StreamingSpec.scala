@@ -417,22 +417,27 @@ class StreamingSpec extends SparkSpec {
       assert(r1.exceptAll(replayR1).isEmpty && replayR1.exceptAll(r1).isEmpty)
       // the q207 politeness INVARIANT, across every wave boundary:
       // for each domain, walk the loop's dispatch stages in clock
-      // order — no stage ever schedules a fetch earlier than the
-      // previous stage's tail plus the domain's delay
+      // order — no later stage ever schedules a fetch earlier than
+      // the domain's OWN previous stage's tail plus its delay. Per
+      // DOMAIN sequence, not adjacent-stage pairs: a domain absent
+      // from an intermediate stage must still carry its tail across
+      // the gap (the coalesce fallback in advanceSchedState)
       val stages = Seq(
         waves.filter(col("wave") === 0), refetches.filter(col("wave") === 0),
         waves.filter(col("wave") === 1), refetches.filter(col("wave") === 1))
         .map(_.select("domain", "not_before_s", "delay_s").collect()
           .groupBy(_.getString(0)))
-      stages.sliding(2).foreach { case Seq(prev, next) =>
-        next.foreach { case (dom, rows) =>
-          prev.get(dom).foreach { prevRows =>
+      val allDomains = stages.flatMap(_.keys).toSet
+      allDomains.foreach { dom =>
+        val present = stages.flatMap(_.get(dom)) // this domain's stages
+        present.sliding(2).foreach {
+          case Seq(prevRows, rows) =>
             val tail = prevRows.map(_.getLong(1)).max
             val delay = prevRows.head.getLong(2)
             val first = rows.map(_.getLong(1)).min
             assert(first >= tail + delay,
               s"$dom: next stage at $first inside delay of tail $tail + $delay")
-          }
+          case _ => ()
         }
       }
       // every due key aged at least the TTL at its wave's own "now" —
