@@ -5236,10 +5236,14 @@ object SparkEntry {
         .stripMargin
     val w0 = frontierCtes("wc", robots = true,
       pageCtes = Some(duckWarcPages("wc", "doc_id >= 250 AND doc_id < 375")),
-      keySrc = Some(validKeys("doc_id < 375")))
+      keySrc = Some(validKeys("doc_id < 375")),
+      extraCtes = Some(duckRedirectCtes("wc", "rru")),
+      extraCands = Some("wcrrg"))
     val w1 = frontierCtes("wd", robots = true,
       pageCtes = Some(duckWarcPages("wd", "doc_id >= 375")),
-      keySrc = Some(validKeys("true")))
+      keySrc = Some(validKeys("true")),
+      extraCtes = Some(duckRedirectCtes("wd", "rru")),
+      extraCands = Some("wdrrg"))
     val dCols = "canon, url, domain, n_refs, pr"
     s"""WITH $duckRobotsRuleCtes,
        |$duckRobotsTxtCtes,
@@ -5254,6 +5258,37 @@ object SparkEntry {
        |SELECT canon, url, domain, n_refs, pr, slot, delay_s,
        |  not_before_s, CAST(1 AS BIGINT) AS wave FROM cw1""".stripMargin
   }
+
+  /** The redirect DISCOVERY channel replayed (HtmlOps.redirectTargets
+    * + blocklist + robots gate on the RESOLVED url), reading the
+    * framed+HTTP CTE `${pfx}ht` and ending in `${pfx}rrg` —
+    * (doc_id, url, host, domain) rows ready for [[frontierCtes]]'s
+    * `extraCands` union. `rulesCte` lets a wave gate under flipped
+    * robots tables (q208).
+    */
+  private def duckRedirectCtes(pfx: String, rulesCte: String): String =
+    s"""${pfx}rr0 AS (SELECT doc_id, redirect_to AS url,
+       |  regexp_extract(target_uri, '^(?i)(?:https?:)?//([^/?#]+)', 1)
+       |    AS fetch_host FROM ${pfx}ht WHERE redirect_to <> ''),
+       |${pfx}rr1 AS (SELECT doc_id, url, ${duckLinkHost("url")} AS host
+       |  FROM ${pfx}rr0),
+       |${pfx}rr2 AS (SELECT doc_id, url, host, ${duckDomainOf("host")}
+       |  AS domain FROM ${pfx}rr1 WHERE host <> ''),
+       |${pfx}rr3 AS (SELECT * FROM ${pfx}rr2 WHERE domain NOT IN
+       |  ('s2.example', 's5.example', 's11.example')),
+       |${pfx}rr4 AS (SELECT doc_id, ${duckResolvedUrl("url", "host")}
+       |  AS url, host, domain, row_number() OVER () AS rid
+       |  FROM ${pfx}rr3),
+       |${pfx}rr5 AS (SELECT *, ${duckPathOf("url")} AS path
+       |  FROM ${pfx}rr4),
+       |${pfx}rr6 AS (SELECT p.rid, p.doc_id, p.url, p.host, p.domain,
+       |  r.allow, row_number() OVER (PARTITION BY p.rid
+       |    ORDER BY coalesce(strlen(r.prefix), -1) DESC,
+       |             r.allow DESC) AS rn
+       |  FROM ${pfx}rr5 p LEFT JOIN $rulesCte r ON r.domain = p.domain
+       |    AND starts_with(p.path, r.prefix)),
+       |${pfx}rrg AS (SELECT doc_id, url, host, domain FROM ${pfx}rr6
+       |  WHERE rn = 1 AND coalesce(allow, true))""".stripMargin
 
   /** The q205 oracle — the redirect-aware frontier replayed: chunk
     * bytes regenerated and framed (q184's chain), valid pages feed
@@ -5286,33 +5321,13 @@ object SparkEntry {
          |      FROM documents
          |      WHERE doc_id % 13 NOT IN (2, 3, 5, 7, 8, 11)))
          |  WHERE host <> '')""".stripMargin
-    val redirectCtes =
-      s"""rr0 AS (SELECT doc_id, redirect_to AS url,
-         |  regexp_extract(target_uri, '^(?i)(?:https?:)?//([^/?#]+)', 1)
-         |    AS fetch_host FROM rfht WHERE redirect_to <> ''),
-         |rr1 AS (SELECT doc_id, url, ${duckLinkHost("url")} AS host
-         |  FROM rr0),
-         |rr2 AS (SELECT doc_id, url, host, ${duckDomainOf("host")}
-         |  AS domain FROM rr1 WHERE host <> ''),
-         |rr3 AS (SELECT * FROM rr2 WHERE domain NOT IN
-         |  ('s2.example', 's5.example', 's11.example')),
-         |rr4 AS (SELECT doc_id, ${duckResolvedUrl("url", "host")} AS url,
-         |  host, domain, row_number() OVER () AS rid FROM rr3),
-         |rr5 AS (SELECT *, ${duckPathOf("url")} AS path FROM rr4),
-         |rr6 AS (SELECT p.rid, p.doc_id, p.url, p.host, p.domain,
-         |  r.allow, row_number() OVER (PARTITION BY p.rid
-         |    ORDER BY coalesce(strlen(r.prefix), -1) DESC,
-         |             r.allow DESC) AS rn
-         |  FROM rr5 p LEFT JOIN rru r ON r.domain = p.domain
-         |    AND starts_with(p.path, r.prefix)),
-         |rrg AS (SELECT doc_id, url, host, domain FROM rr6
-         |  WHERE rn = 1 AND coalesce(allow, true))""".stripMargin
+    val redirectCtes = duckRedirectCtes("rf", "rru")
     s"""WITH $duckRobotsRuleCtes,
        |${frontierCtes("rf", robots = true,
         pageCtes = Some(duckWarcPages("rf", "true")),
         keySrc = Some(validKeys),
         extraCtes = Some(redirectCtes),
-        extraCands = Some("rrg"))}
+        extraCands = Some("rfrrg"))}
        |SELECT canon, url, domain, n_refs, pr, CAST(slot AS INT) AS slot
        |FROM rffs WHERE slot <= 10""".stripMargin
   }
@@ -5334,10 +5349,14 @@ object SparkEntry {
         .stripMargin
     val w0 = frontierCtes("we", robots = true,
       pageCtes = Some(duckWarcPages("we", "doc_id >= 250 AND doc_id < 375")),
-      keySrc = Some(validKeys("doc_id < 375")))
+      keySrc = Some(validKeys("doc_id < 375")),
+      extraCtes = Some(duckRedirectCtes("we", "rru")),
+      extraCands = Some("werrg"))
     val w1 = frontierCtes("wf", robots = true,
       pageCtes = Some(duckWarcPages("wf", "doc_id >= 375")),
-      keySrc = Some(validKeys("true")), rulesCte = "rru1")
+      keySrc = Some(validKeys("true")), rulesCte = "rru1",
+      extraCtes = Some(duckRedirectCtes("wf", "rru1")),
+      extraCands = Some("wfrrg"))
     val dCols = "canon, url, domain, n_refs, pr"
     s"""WITH $duckRobotsRuleCtes,
        |$duckRobotsTxtCtes,

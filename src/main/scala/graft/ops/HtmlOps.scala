@@ -1253,8 +1253,20 @@ object HtmlOps {
   def redirectFrontier(chunks: DataFrame, scope: graft.core.Scope,
                        name: String, ranks: DataFrame, rules: DataFrame,
                        kPerDomain: Int = 10,
-                       warcCol: String = "warc"): DataFrame = {
-    val framed = httpFrame(warcFrame(chunks, warcCol))
+                       warcCol: String = "warc"): DataFrame =
+    redirectFrontierFramed(httpFrame(warcFrame(chunks, warcCol)),
+      scope, name, ranks, rules, kPerDomain)
+
+  /** [[redirectFrontier]] over an ALREADY-framed archive — what the
+    * streaming WARC loop calls per wave: the loop persists the framed
+    * batch once, and both discovery channels read that cache.
+    */
+  private[graft] def redirectFrontierFramed(framed: DataFrame,
+                                            scope: graft.core.Scope,
+                                            name: String,
+                                            ranks: DataFrame,
+                                            rules: DataFrame,
+                                            kPerDomain: Int = 10): DataFrame = {
     val pages = framed.filter(col("length_ok") && col("http_ok"))
       .select(col("doc_id"), hostOf(col("target_uri")).as("fetch_host"),
         col("body").as("html"))

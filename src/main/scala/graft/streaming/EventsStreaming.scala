@@ -1093,9 +1093,12 @@ object EventsStreaming {
           // the q192 loop's carried dispatch clock (q207)
           val stateDir = scope.path("schedstate")
           val st0 = graft.ops.HtmlOps.loadSchedState(bs, stateDir, batchId)
+          // BOTH discovery channels per wave (q205): the valid pages'
+          // outlinks AND the 3xx fetches' Location targets, from the
+          // one persisted framed batch — a moved page's new address
+          // enters the frontier the wave its redirect is seen
           graft.ops.HtmlOps.scheduleWaveValidated(
-              graft.ops.HtmlOps.politeFrontier(
-                pages.select(col("doc_id"), col("fetch_host"), col("html")),
+              graft.ops.HtmlOps.redirectFrontierFramed(framed,
                 scope, name, ranks, rules),
               vDelays, defaultDelayS = 30L, startOffsets = Some(st0))
             .write.mode("overwrite").parquet(s"$outDir/wave=$batchId")

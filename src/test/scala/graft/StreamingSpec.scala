@@ -222,19 +222,16 @@ class StreamingSpec extends SparkSpec {
       assert(keyed.nonEmpty)
       keyed.foreach(d =>
         assert(!Set(2L, 3L, 5L, 7L, 8L, 11L).contains(d % 13), d))
-      // each wave equals the batch replay: gated bodies through the
-      // polite frontier + schedule — on the CARRIED clock, so the
-      // replay starts from the state wave 0 left behind
-      val wave1Pages = graft.ops.HtmlOps.httpFrame(
-          graft.ops.HtmlOps.warcFrame(
-            chunks.filter(col("doc_id") >= 375), "warc"))
-        .filter(col("length_ok") && col("http_ok"))
-        .select(col("doc_id"),
-          graft.ops.HtmlOps.hostOf(col("target_uri")).as("fetch_host"),
-          col("body").as("html"))
+      // each wave equals the batch replay: BOTH discovery channels
+      // (outlinks of gated bodies + 3xx Location targets) through the
+      // shared admission tail + schedule — on the CARRIED clock, so
+      // the replay starts from the state wave 0 left behind
+      val wave1Framed = graft.ops.HtmlOps.httpFrame(
+        graft.ops.HtmlOps.warcFrame(
+          chunks.filter(col("doc_id") >= 375), "warc"))
       val replay1 = graft.ops.HtmlOps.scheduleWaveValidated(
-        graft.ops.HtmlOps.politeFrontier(wave1Pages, scope, "keys",
-          ranks, rules),
+        graft.ops.HtmlOps.redirectFrontierFramed(wave1Framed, scope,
+          "keys", ranks, rules),
         graft.ops.HtmlOps.validatedDelays(delays), 30L,
         Some(graft.ops.HtmlOps.loadSchedState(spark,
           scope.path("schedstate"), 1)))
