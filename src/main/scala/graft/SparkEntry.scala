@@ -1838,6 +1838,11 @@ object SparkEntry {
     // maintained log's file count — the refetch wave over a compacted
     // log must equal q200's exactly (the shared q196 oracle)
     "q209_compacted_fetchlog" -> (compactedFetchLogQuery _),
+    // the gzip-fed loop (q210): the q203 loop ingesting BINARY
+    // per-record-gzip chunks — the wire format archives actually land
+    // in — inflated in-stream ahead of the identical pipeline; held
+    // to q203's oracle verbatim (inflate ∘ frame ≡ frame)
+    "q210_stream_gzip_loop" -> (streamGzipLoopQuery _),
     // in-stream robots maintenance (q208): a robots.txt fetch riding
     // wave 0 of the WARC stream flips a domain's policy — wave 1's
     // gate blocks that domain's /p/ links and its schedule uses the
@@ -1994,6 +1999,37 @@ object SparkEntry {
         scope, "urlkeys", ranks, rules), d, 30L, Some(st))
     w0.withColumn("wave", lit(0L)).unionByName(
       w1.withColumn("wave", lit(1L)))
+  }
+
+  private val q210Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
+
+  /** q210: the q203 chain with the stream carrying the WIRE format —
+    * binary per-record-gzip chunks inflated in-stream. Same key-set
+    * seeding, same waves, same everything downstream; the oracle is
+    * q203's verbatim because inflate-then-frame must be bit-identical
+    * to framing the uncompressed chunk (the q206 contract, now under
+    * Structured Streaming).
+    */
+  private def streamGzipLoopQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scope = cachedScope(q210Scopes, s, dir, "graft-q210-") { sc =>
+      val chunks = HtmlOps.plantedWarcCorpus(docs)
+      val valid = HtmlOps.httpFrame(HtmlOps.warcFrame(chunks, "warc"))
+        .filter(col("length_ok") && col("http_ok"))
+        .select(col("doc_id"), col("target_uri").as("url"))
+      HtmlOps.saveUrlKeys(valid.filter(col("doc_id") < 250), sc, "urlkeys")
+      val src = HtmlOps.plantedGzipWarcCorpus(docs)
+      EventsStreaming.writeWaveFile(
+        src.filter(col("doc_id") >= 250 && col("doc_id") < 375),
+        sc.path("stream-src"), 0)
+      EventsStreaming.writeWaveFile(
+        src.filter(col("doc_id") >= 375), sc.path("stream-src"), 1)
+      EventsStreaming.streamingWarcCrawlLoop(s, sc.path("stream-src"),
+        sc, "urlkeys", epochRanks(s, dir), HtmlOps.plantedRobotsTxt(s),
+        sc.path("waves"), sc.path("ckpt"), gzip = true)
+    }
+    s.read.parquet(scope.path("waves"))
+      .withColumn("wave", col("wave").cast("long"))
   }
 
   private val q208Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -4747,6 +4783,8 @@ object SparkEntry {
     "q208_stream_robots_loop" -> q208Sql,
     // compaction is layout, not semantics: q196's oracle verbatim
     "q209_compacted_fetchlog" -> q196Sql,
+    // gzip-fed loop: inflate ∘ frame ≡ frame — q203's oracle verbatim
+    "q210_stream_gzip_loop" -> q203Sql,
     // wave scheduling: the q191 wave joined to the regenerated delay
     // table, (slot-1) x delay with the default fallback
     "q198_wave_schedule" -> q198Sql,

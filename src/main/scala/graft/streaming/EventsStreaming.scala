@@ -1055,21 +1055,36 @@ object EventsStreaming {
     *                every wave (the one-time pre-validation contract
     *                only applies to static delays).
     */
+  /** @param gzip when true the source carries BINARY per-record-gzip
+    *              chunks (`warc_gz`, the q206 wire format real
+    *              archives land in) and each batch runs the inflate
+    *              seam ahead of framing — everything downstream is
+    *              byte-identical to the text-fed loop, which is
+    *              exactly why q210 holds this mode to q203's oracle
+    *              verbatim.
+    */
   def streamingWarcCrawlLoop(spark: SparkSession, srcDir: String,
                              scope: graft.core.Scope, name: String,
                              ranks: org.apache.spark.sql.DataFrame,
                              robots: org.apache.spark.sql.DataFrame,
                              outDir: String,
-                             checkpointDir: String): Unit = {
-    val warcSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("warc", StringType)))
+                             checkpointDir: String,
+                             gzip: Boolean = false): Unit = {
+    val warcSchema =
+      if (gzip) StructType(Seq(
+        StructField("doc_id", LongType), StructField("warc_gz", BinaryType)))
+      else StructType(Seq(
+        StructField("doc_id", LongType), StructField("warc", StringType)))
     val src = spark.readStream.schema(warcSchema)
       .option("pathGlobFilter", "*.parquet")
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val q = src.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val chunks =
+          if (gzip) graft.ops.HtmlOps.gunzipWarcChunks(batch.toDF())
+          else batch.toDF()
         val framed = graft.ops.HtmlOps.httpFrame(
-            graft.ops.HtmlOps.warcFrame(batch.toDF(), "warc"))
+            graft.ops.HtmlOps.warcFrame(chunks, "warc"))
           .persist()
         try {
           val bs = framed.sparkSession

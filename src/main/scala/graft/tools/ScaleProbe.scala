@@ -198,7 +198,9 @@ object ScaleProbe {
     "q208_stream_robots_loop",
     // compacted fetch log: q200's chain + one full-table bucketed
     // rewrite (the epoch pass being measured)
-    "q209_compacted_fetchlog")
+    "q209_compacted_fetchlog",
+    // gzip-fed loop: q203's class plus in-stream inflate per batch
+    "q210_stream_gzip_loop")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

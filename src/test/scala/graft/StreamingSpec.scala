@@ -244,6 +244,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("gzip-fed WARC loop (q210): the binary wire format yields bit-identical waves") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft-gziploop-")
+    try {
+      val chunks = graft.ops.HtmlOps.plantedWarcCorpus(docs)
+      val valid = graft.ops.HtmlOps.httpFrame(
+          graft.ops.HtmlOps.warcFrame(chunks, "warc"))
+        .filter(col("length_ok") && col("http_ok"))
+        .select(col("doc_id"), col("target_uri").as("url"))
+      val ranks = graft.ops.GraphOps.domainRank(graft.ops.HtmlOps
+        .domainEdges(graft.ops.HtmlOps.plantedHtmlCorpus(docs)))
+      val robots = graft.ops.HtmlOps.plantedRobotsTxt(spark)
+      def drive(sub: String, src: org.apache.spark.sql.DataFrame,
+                gz: Boolean): org.apache.spark.sql.DataFrame = {
+        val sc = graft.core.Scopes.create(spark, s"$base/$sub")
+        graft.ops.HtmlOps.saveUrlKeys(
+          valid.filter(col("doc_id") < 250), sc, "keys")
+        graft.streaming.EventsStreaming.writeWaveFile(
+          src.filter(col("doc_id") >= 250 && col("doc_id") < 375),
+          sc.path("stream-src"), 0)
+        graft.streaming.EventsStreaming.writeWaveFile(
+          src.filter(col("doc_id") >= 375), sc.path("stream-src"), 1)
+        graft.streaming.EventsStreaming.streamingWarcCrawlLoop(spark,
+          sc.path("stream-src"), sc, "keys", ranks, robots,
+          sc.path("waves"), sc.path("ckpt"), gzip = gz)
+        spark.read.parquet(sc.path("waves"))
+      }
+      val textWaves = drive("text", chunks.select("doc_id", "warc"),
+        gz = false).collect().map(_.toString).sorted.toSeq
+      val gzipWaves = drive("gzip",
+        graft.ops.HtmlOps.plantedGzipWarcCorpus(docs), gz = true)
+        .collect().map(_.toString).sorted.toSeq
+      assert(textWaves.nonEmpty && gzipWaves === textWaves)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("in-stream robots maintenance (q208): a flip in wave 0 changes wave 1's verdicts; restart-safe") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
