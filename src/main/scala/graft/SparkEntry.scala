@@ -1838,6 +1838,11 @@ object SparkEntry {
     // maintained log's file count — the refetch wave over a compacted
     // log must equal q200's exactly (the shared q196 oracle)
     "q209_compacted_fetchlog" -> (compactedFetchLogQuery _),
+    // the retry-gated frontier (q211): the wave defers canons whose
+    // last ATTEMPT is younger than the retry TTL — in flight or
+    // failed too recently — instead of hammering them every wave;
+    // aged-out attempts compete again on equal terms
+    "q211_retry_frontier" -> (retryFrontierQuery _),
     // the gzip-fed loop (q210): the q203 loop ingesting BINARY
     // per-record-gzip chunks — the wire format archives actually land
     // in — inflated in-stream ahead of the identical pipeline; held
@@ -1999,6 +2004,40 @@ object SparkEntry {
         scope, "urlkeys", ranks, rules), d, 30L, Some(st))
     w0.withColumn("wave", lit(0L)).unionByName(
       w1.withColumn("wave", lit(1L)))
+  }
+
+  private val q211Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
+
+  /** q211: the retry gate driven like a dispatcher would — wave 0's
+    * scheduled URLs become the ATTEMPT log (even slots stamped at T0,
+    * odd slots two TTLs earlier), and the next wave over the SAME
+    * archive defers exactly the fresh attempts: even-slot canons
+    * vanish, odd-slot canons (aged out) and the previous wave's
+    * cap losers compete for the freed slots.
+    */
+  private def retryFrontierQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val chunks = HtmlOps.plantedWarcCorpus(docs)
+    val t0 = 1767225600L
+    val ttl = 86400L
+    val scope = cachedScope(q211Scopes, s, dir, "graft-q211-") { sc =>
+      val framed = HtmlOps.httpFrame(HtmlOps.warcFrame(chunks, "warc"))
+      HtmlOps.saveUrlKeys(
+        framed.filter(col("length_ok") && col("http_ok"))
+          .filter(col("doc_id") < 250)
+          .select(col("doc_id"), col("target_uri").as("url")),
+        sc, "urlkeys")
+      val wave0 = HtmlOps.redirectFrontier(chunks, sc, "urlkeys",
+        epochRanks(s, dir), HtmlOps.plantedRobotsRules(s))
+      HtmlOps.saveFetchLog(
+        wave0.select(col("url"),
+          when(col("slot") % 2 === 0, lit(t0))
+            .otherwise(lit(t0 - 2L * ttl)).as("fetched_at_s")),
+        sc, "attempts")
+    }
+    HtmlOps.retryGatedFrontier(chunks, scope, "urlkeys", "attempts",
+      nowS = t0 + 3600L, retryTtlS = ttl, ranks = epochRanks(s, dir),
+      rules = HtmlOps.plantedRobotsRules(s))
   }
 
   private val q210Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -4785,6 +4824,8 @@ object SparkEntry {
     "q209_compacted_fetchlog" -> q196Sql,
     // gzip-fed loop: inflate ∘ frame ≡ frame — q203's oracle verbatim
     "q210_stream_gzip_loop" -> q203Sql,
+    // retry gate: the identical chain minus the still-fresh attempts
+    "q211_retry_frontier" -> q211Sql,
     // wave scheduling: the q191 wave joined to the regenerated delay
     // table, (slot-1) x delay with the default fallback
     "q198_wave_schedule" -> q198Sql,
@@ -5180,7 +5221,8 @@ object SparkEntry {
                            keySrc: Option[String] = None,
                            extraCtes: Option[String] = None,
                            extraCands: Option[String] = None,
-                           rulesCte: String = "rru"): String = {
+                           rulesCte: String = "rru",
+                           excludeCanons: Option[String] = None): String = {
     val gate =
       if (!robots)
         s"${pfx}g AS (SELECT doc_id, url, host, domain FROM ${pfx}b2)"
@@ -5230,8 +5272,10 @@ object SparkEntry {
        |  CAST(count(*) AS BIGINT) AS n_refs FROM $candSrc GROUP BY 1),
        |${pfx}stored AS (SELECT DISTINCT ${duckCanonOf("u")} AS canon
        |  FROM $keys),
-       |${pfx}fresh AS (SELECT c.* FROM ${pfx}cand c
+       |${pfx}unseen AS (SELECT c.* FROM ${pfx}cand c
        |  ANTI JOIN ${pfx}stored s USING (canon)),
+       |${pfx}fresh AS (SELECT u.* FROM ${pfx}unseen u${excludeCanons
+      .map(x => s" ANTI JOIN $x USING (canon)").getOrElse("")}),
        |${pfx}ranks AS (SELECT domain, pr FROM (${hostRankSql()})),
        |${pfx}j AS (SELECT f.canon, f.url, f.domain, f.n_refs,
        |  coalesce(r.pr, 0) AS pr FROM ${pfx}fresh f
@@ -5438,6 +5482,46 @@ object SparkEntry {
        |UNION ALL
        |SELECT canon, url, domain, n_refs, pr, slot, delay_s,
        |  not_before_s, CAST(1 AS BIGINT) AS wave FROM cw1""".stripMargin
+  }
+
+  /** The q211 oracle — wave 0 replayed through the full two-channel
+    * chain, its slots stamped into the attempt log (even @ T0, odd
+    * two TTLs earlier), the still-fresh canons collected, and the
+    * retry wave replayed as the IDENTICAL chain minus those canons.
+    * The attempt canon is wave 0's own (saveFetchLog canonicalizes
+    * the representative URL, whose canon is its group's by
+    * construction).
+    */
+  private lazy val q211Sql = {
+    val t0 = 1767225600L
+    val ttl = 86400L
+    val validKeys =
+      s"""(SELECT concat('https://w', cast(doc_id % 7 AS varchar), '.s',
+         |  cast(doc_id % 5 AS varchar), '.example/p/',
+         |  cast(doc_id % 11 AS varchar)) AS u FROM documents
+         |  WHERE doc_id % 13 NOT IN (2, 3, 5, 7, 8, 11)
+         |    AND doc_id < 250)""".stripMargin
+    val w0 = frontierCtes("ya", robots = true,
+      pageCtes = Some(duckWarcPages("ya", "true")),
+      keySrc = Some(validKeys),
+      extraCtes = Some(duckRedirectCtes("ya", "rru")),
+      extraCands = Some("yarrg"))
+    val w1 = frontierCtes("yb", robots = true,
+      pageCtes = Some(duckWarcPages("yb", "true")),
+      keySrc = Some(validKeys),
+      extraCtes = Some(duckRedirectCtes("yb", "rru")),
+      extraCands = Some("ybrrg"),
+      excludeCanons = Some("rec"))
+    s"""WITH $duckRobotsRuleCtes,
+       |$w0,
+       |att AS (SELECT canon,
+       |  CASE WHEN CAST(slot AS INT) % 2 = 0 THEN $t0
+       |       ELSE ${t0 - 2L * ttl} END AS t
+       |  FROM yafs WHERE slot <= 10),
+       |rec AS (SELECT canon FROM att WHERE ${t0 + 3600L} - t < $ttl),
+       |$w1
+       |SELECT canon, url, domain, n_refs, pr, CAST(slot AS INT) AS slot
+       |FROM ybfs WHERE slot <= 10""".stripMargin
   }
 
   /** The q204 oracle — every chunk's stage verdicts replayed (framing

@@ -1266,7 +1266,17 @@ object HtmlOps {
                                             name: String,
                                             ranks: DataFrame,
                                             rules: DataFrame,
-                                            kPerDomain: Int = 10): DataFrame = {
+                                            kPerDomain: Int = 10): DataFrame =
+    frontierFromLinks(gatedCandidates(framed, rules), scope, name,
+      ranks, kPerDomain)
+
+  /** Both gated discovery channels over a framed archive — the
+    * outlinks of the valid pages and the 3xx Location targets — as
+    * one candidate-link table, shared by [[redirectFrontierFramed]]
+    * and the retry-gated wave ([[retryGatedFrontier]]).
+    */
+  private def gatedCandidates(framed: DataFrame,
+                              rules: DataFrame): DataFrame = {
     val pages = framed.filter(col("length_ok") && col("http_ok"))
       .select(col("doc_id"), hostOf(col("target_uri")).as("fetch_host"),
         col("body").as("html"))
@@ -1278,8 +1288,49 @@ object HtmlOps {
     val gatedRedirects = robotsGate(redirects, rules)
       .filter(col("allowed"))
       .select(col("doc_id"), col("url"), col("host"), col("domain"))
-    frontierFromLinks(pageLinks.unionByName(gatedRedirects), scope, name,
-      ranks, kPerDomain)
+    pageLinks.unionByName(gatedRedirects)
+  }
+
+  /** Q211: the RETRY-GATED frontier — the missing piece between "a
+    * failed fetch stays discoverable" and "the crawler hammers the
+    * same dead URL every wave": candidates pass the standard
+    * admission chain AND an anti-join against the ATTEMPT log's
+    * recent entries. The attempt log is the fetch-log machinery
+    * verbatim over attempted (not just successful) fetches — same
+    * catalog bucketed table, same struct-max upsert, same
+    * `fetch_day` staleness partitions, which here prune the OTHER
+    * way: only partitions younger than `nowS - retryTtlS` can hold a
+    * deferring attempt, so the gate reads the recent days only. A URL
+    * attempted within the TTL is deferred (in flight, or failed too
+    * recently to retry); one whose last attempt has aged out competes
+    * again on equal terms. Admission order: key set first (fetched is
+    * forever), attempts second (deferral expires).
+    *
+    * Scale shape: q205's plan plus ONE more anti-join whose stored
+    * side is bucketed on the same canon (exchange-free, the q187
+    * contract) and partition-pruned to the TTL window.
+    */
+  def retryGatedFrontier(chunks: DataFrame, scope: graft.core.Scope,
+                         keysName: String, attemptsName: String,
+                         nowS: Long, retryTtlS: Long,
+                         ranks: DataFrame, rules: DataFrame,
+                         kPerDomain: Int = 10,
+                         warcCol: String = "warc"): DataFrame = {
+    require(retryTtlS > 0, s"retryTtlS must be positive: $retryTtlS")
+    val spark = chunks.sparkSession
+    val framed = httpFrame(warcFrame(chunks, warcCol))
+    // recent ⇒ last_attempt > now - ttl ⇒ attempt day >= floor((now -
+    // ttl)/86400): the staleness partition prunes the AGED-OUT days
+    // at listing time (mirror image of the refetch due-scan)
+    val freshDay = Math.max(Int.MinValue.toLong,
+      Math.min(Int.MaxValue.toLong,
+        Math.floorDiv(nowS - retryTtlS, 86400L))).toInt
+    val recent = loadFetchLog(spark, scope, attemptsName)
+      .filter(col("fetch_day") >= freshDay)
+      .filter(lit(nowS) - col("last_fetch_s") < retryTtlS)
+      .select(col("canon").as("canon_attempted"))
+    frontierFromLinks(gatedCandidates(framed, rules), scope, keysName,
+      ranks, kPerDomain, excludeRecent = Some(recent))
   }
 
   /** The shared q187/q191 frontier tail over a candidate LINK table
@@ -2289,7 +2340,9 @@ object HtmlOps {
 
   private def frontierFromLinks(links: DataFrame, scope: graft.core.Scope,
                                 name: String, ranks: DataFrame,
-                                kPerDomain: Int): DataFrame = {
+                                kPerDomain: Int,
+                                excludeRecent: Option[DataFrame] = None)
+      : DataFrame = {
     val cands = links
       .withColumn("url", resolvedUrl(col("url"), col("host")))
       .withColumn("canon", canonicalUrl(col("url")))
@@ -2299,7 +2352,7 @@ object HtmlOps {
         count(lit(1)).cast("long").as("n_refs"))
     frontierTail(cands, scope, name, ranks, kPerDomain,
       orderBy = Seq(col("n_refs").desc, col("canon").asc),
-      extra = Seq.empty)
+      extra = Seq.empty, excludeRecent = excludeRecent)
   }
 
   /** The shared frontier ADMISSION TAIL over an aggregated candidate
@@ -2313,13 +2366,23 @@ object HtmlOps {
   private def frontierTail(cands: DataFrame, scope: graft.core.Scope,
                            name: String, ranks: DataFrame,
                            kPerDomain: Int, orderBy: Seq[Column],
-                           extra: Seq[String]): DataFrame = {
+                           extra: Seq[String],
+                           excludeRecent: Option[DataFrame] = None)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(kPerDomain > 0, s"kPerDomain must be positive: $kPerDomain")
     val stored = loadUrlKeys(cands.sparkSession, scope, name)
       .select(col("canon").as("canon_fetched"))
-    val fresh = cands.join(stored,
+    val unseen = cands.join(stored,
       col("canon") === col("canon_fetched"), "left_anti")
+    // the q211 retry gate: canons attempted too recently to retry
+    // (a `canon_attempted` table) defer — second anti-join, same
+    // bucketed-stored-side shape as the key set's
+    val fresh = excludeRecent match {
+      case Some(recent) => unseen.join(recent,
+        col("canon") === col("canon_attempted"), "left_anti")
+      case None => unseen
+    }
     val ranked = fresh
       .join(broadcast(ranks.select(col("domain"), col("pr"))),
         Seq("domain"), "left")

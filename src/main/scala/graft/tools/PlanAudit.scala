@@ -132,6 +132,7 @@ object PlanAudit {
     "q208_stream_robots_loop", // q203 + vocabulary-sized per-wave robots parse
     "q209_compacted_fetchlog", // q200 read side over the compacted layout
     "q210_stream_gzip_loop", // binary wire format inflated in-stream
+    "q211_retry_frontier", // second bucketed anti-join, TTL-pruned attempt scan
     "q10_event_window")   // normalized-ts scan straight into windowed agg
 
   def main(args: Array[String]): Unit = {

@@ -200,7 +200,10 @@ object ScaleProbe {
     // rewrite (the epoch pass being measured)
     "q209_compacted_fetchlog",
     // gzip-fed loop: q203's class plus in-stream inflate per batch
-    "q210_stream_gzip_loop")
+    "q210_stream_gzip_loop",
+    // retry gate: q205's class + one more bucketed anti-join, with
+    // the attempt scan pruned to the TTL-fresh day partitions
+    "q211_retry_frontier")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

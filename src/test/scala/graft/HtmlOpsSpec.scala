@@ -1301,6 +1301,53 @@ class HtmlOpsSpec extends SparkSpec {
     }
   }
 
+  test("retryGatedFrontier (q211): fresh attempts defer, aged-out attempts compete again") {
+    val base = java.nio.file.Files.createTempDirectory("graft-retry-spec-")
+    try {
+      val sc = graft.core.Scopes.create(spark, base.toString)
+      val docs = graft.io.Tables.parquet(spark, sf, "documents")
+      val chunks = HtmlOps.plantedWarcCorpus(docs)
+      val framed = HtmlOps.httpFrame(HtmlOps.warcFrame(chunks, "warc"))
+      HtmlOps.saveUrlKeys(
+        framed.filter(col("length_ok") && col("http_ok") &&
+          col("doc_id") < 250)
+          .select(col("doc_id"), col("target_uri").as("url")),
+        sc, "keys")
+      val ranks = graft.ops.GraphOps.domainRank(HtmlOps.domainEdges(
+        HtmlOps.plantedHtmlCorpus(docs)))
+      val rules = HtmlOps.plantedRobotsRules(spark)
+      val t0 = 1767225600L
+      val ttl = 86400L
+      val wave0 = HtmlOps.redirectFrontier(chunks, sc, "keys", ranks,
+        rules).collect()
+      HtmlOps.saveFetchLog(
+        HtmlOps.redirectFrontier(chunks, sc, "keys", ranks, rules)
+          .select(col("url"),
+            when(col("slot") % 2 === 0, lit(t0))
+              .otherwise(lit(t0 - 2L * ttl)).as("fetched_at_s")),
+        sc, "attempts")
+      val freshCanons = wave0.filter(_.getAs[Int]("slot") % 2 == 0)
+        .map(_.getAs[String]("canon")).toSet
+      val staleCanons = wave0.filter(_.getAs[Int]("slot") % 2 == 1)
+        .map(_.getAs[String]("canon")).toSet
+      val gated = HtmlOps.retryGatedFrontier(chunks, sc, "keys",
+        "attempts", nowS = t0 + 3600L, retryTtlS = ttl, ranks, rules)
+        .collect().map(_.getAs[String]("canon")).toSet
+      // just-attempted canons defer; aged-out ones compete — and win
+      // again (they topped the ungated wave on the same ordering)
+      assert(freshCanons.nonEmpty && staleCanons.nonEmpty)
+      assert(gated.intersect(freshCanons).isEmpty)
+      assert(gated.intersect(staleCanons).nonEmpty)
+      // a TTL spanning every attempt defers the whole previous wave
+      val allGated = HtmlOps.retryGatedFrontier(chunks, sc, "keys",
+        "attempts", nowS = t0 + 3600L, retryTtlS = 10L * ttl, ranks,
+        rules).collect().map(_.getAs[String]("canon")).toSet
+      assert(allGated.intersect(freshCanons ++ staleCanons).isEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("gzip front door (q206): multi-member inflate is bit-identical; corrupt bytes are a verdict") {
     import spark.implicits._
     val docs = graft.io.Tables.parquet(spark, sf, "documents")
