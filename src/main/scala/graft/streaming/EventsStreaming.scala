@@ -1038,8 +1038,8 @@ object EventsStreaming {
     * scheduled and written per wave. Framing + gating are the same
     * zero-exchange projections as q184/q186 — the stream adds no new
     * shuffle class over q192.
-    */
-  /** @param robots the SEED robots bytes per domain
+    *
+    * @param robots the SEED robots bytes per domain
     *                (domain, robots_txt) — the state before any wave.
     *                From wave 1 on, the gate and the scheduler read
     *                the MAINTAINED robots artifact instead
@@ -1054,8 +1054,7 @@ object EventsStreaming {
     *                by necessity now, since the policy can change
     *                every wave (the one-time pre-validation contract
     *                only applies to static delays).
-    */
-  /** @param gzip when true the source carries BINARY per-record-gzip
+    * @param gzip when true the source carries BINARY per-record-gzip
     *              chunks (`warc_gz`, the q206 wire format real
     *              archives land in) and each batch runs the inflate
     *              seam ahead of framing — everything downstream is

@@ -1318,13 +1318,16 @@ class HtmlOpsSpec extends SparkSpec {
       val rules = HtmlOps.plantedRobotsRules(spark)
       val t0 = 1767225600L
       val ttl = 86400L
-      val wave0 = HtmlOps.redirectFrontier(chunks, sc, "keys", ranks,
-        rules).collect()
+      // ONE materialized wave feeds both the assertions and the
+      // attempt log — an uncached second build would re-run the whole
+      // frame+gate+anti-join pipeline
+      val wave0Df = HtmlOps.redirectFrontier(chunks, sc, "keys", ranks,
+        rules).localCheckpoint(eager = true)
+      val wave0 = wave0Df.collect()
       HtmlOps.saveFetchLog(
-        HtmlOps.redirectFrontier(chunks, sc, "keys", ranks, rules)
-          .select(col("url"),
-            when(col("slot") % 2 === 0, lit(t0))
-              .otherwise(lit(t0 - 2L * ttl)).as("fetched_at_s")),
+        wave0Df.select(col("url"),
+          when(col("slot") % 2 === 0, lit(t0))
+            .otherwise(lit(t0 - 2L * ttl)).as("fetched_at_s")),
         sc, "attempts")
       val freshCanons = wave0.filter(_.getAs[Int]("slot") % 2 == 0)
         .map(_.getAs[String]("canon")).toSet

@@ -101,7 +101,10 @@ def impl_of(snippet):
                 # over the cached artifact build or the exact baseline
                 pref = [x for x in ms if re.search(
                     r'Gate|probe|search|load|merge|audit|Frontier|Loop', x.group(2))]
-                pick = pref[0] if pref else ms[-1]
+                # the RETURNED call is the last in source order — a
+                # scope-builder earlier in the helper (e.g. q211's
+                # wave-0 redirectFrontier seeding) must not win
+                pick = pref[-1] if pref else ms[-1]
                 return f"{pick.group(1)}.{pick.group(2)}"
     return "SparkEntry (inline)"
 
