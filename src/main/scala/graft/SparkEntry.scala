@@ -145,6 +145,7 @@ object SparkEntry {
       |    cast(doc_id % 5 as varchar),
       |    case when doc_id % 2 = 0 then '.EXAMPLE:443'
       |         else '.example' end,
+      |    case when doc_id % 9 = 4 then '/x/..' else '' end,
       |    '/p/', cast(doc_id % 11 as varchar),
       |    case when doc_id % 3 = 0 then '/' else '' end,
       |    case when doc_id % 4 = 2
@@ -194,7 +195,8 @@ object SparkEntry {
        |     ELSE concat(
        |       ${duckCanonStrippedHost(u)},
        |       regexp_replace(
-       |         regexp_extract($u, '^(?i)(?:https?:)?//[^/?#]+([^?#]*)', 1),
+       |         ${duckRemoveDots(
+              s"regexp_extract($u, '^(?i)(?:https?:)?//[^/?#]+([^?#]*)', 1)")},
        |         '/+$$', '')) END""".stripMargin
 
   /** HtmlOps.canonicalUrlParams mirrored: the aggressive key plus the
@@ -1871,10 +1873,49 @@ object SparkEntry {
     // links can only be discovered through this channel
     "q205_redirect_frontier" -> (redirectFrontierQuery _),
     // the fetch funnel (q204): per target domain, chunk survival
-    // through framing -> HTTP gate -> page verdict — the archive-side
-    // twin of q195's link funnel; one scan, one bounded aggregation
+    // through framing -> HTTP gate -> wire decode -> page verdict —
+    // the archive-side twin of q195's link funnel; one scan, one
+    // bounded aggregation
     "q204_fetch_funnel" -> ((s, dir) => HtmlOps.fetchFunnel(
       HtmlOps.plantedWarcCorpus(t(s, dir, "documents")))),
+    // content-encoded bodies (q212): gzip/deflate HTTP bodies
+    // inflated per-row (structural CRC/ISIZE verification) BEFORE the
+    // charset seam — held to the uncompressed twin's extraction (the
+    // q206 bit-identical pattern); the lying-encoding leg (%17==3,
+    // declared gzip over plain bytes) is a body_ok verdict
+    "q212_content_encoding" -> ((s, dir) => HtmlOps.httpFrame(
+        HtmlOps.plantedEncodedMessages(t(s, dir, "documents")))
+      .select(col("doc_id"), col("http_status"), col("mime"),
+        col("content_encoding"), col("body_ok"),
+        HtmlOps.titleOf(col("body")).as("title"),
+        HtmlOps.extractedText(col("body")).as("text_clean"))),
+    // conditional refetch (q213): the refetch wave ships the log's
+    // stored ETag (If-None-Match); a 304 refreshes last_fetch_s and
+    // the validator via the standard struct-max upsert WITHOUT a
+    // content write, a 200 rewrites both — fetch → 304 → staleness
+    // clock reset, content hash unchanged, replayed by the oracle
+    "q213_conditional_refetch" -> (conditionalRefetchQuery _),
+    // the retry gate IN the streaming loop (q214): every dispatched
+    // slot stamps the attempt log in-wave; the next wave's frontier
+    // defers fresh attempts and re-admits aged-out ones — defer →
+    // age-out → re-compete across three streamed waves of the SAME
+    // archive slice, on the one carried dispatch clock
+    "q214_stream_retry_loop" -> (streamRetryLoopQuery _),
+    // sitemap TREE seeding (q215): <sitemapindex> roots recurse one
+    // level into GZIPPED members (inflated through the structurally
+    // verified gzip door), then the identical admission tail — held
+    // to the flat fixture's oracle verbatim (tree ∘ inflate ≡ flat)
+    "q215_sitemap_tree" -> ((s, dir) => HtmlOps.sitemapSeedsTree(
+      HtmlOps.plantedSitemapTree(s), frontierScope(s, dir), "urlkeys",
+      epochRanks(s, dir), HtmlOps.plantedRobotsRules(s))),
+    // crawl-trap guards (q216): URL length cap + repeated-path-segment
+    // verdict as pure expressions — the admission chain's cheap
+    // insurance, wired into frontier candidates on both engines
+    "q216_trap_guard" -> ((s, dir) =>
+      HtmlOps.plantedTrapUrlCorpus(t(s, dir, "documents"))
+        .select(col("doc_id"), col("url"),
+          length(col("url")).cast("long").as("n_chars"),
+          HtmlOps.urlTrapped(col("url")).as("trapped"))),
   )
 
   private val q192Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -1962,7 +2003,10 @@ object SparkEntry {
     * pass ([[graft.ops.HtmlOps.compactFetchLog]]) before the read —
     * the refetch wave must be bit-identical to q200's/q196's
     * (compaction changes file counts, never rows), which the shared
-    * oracle enforces.
+    * oracle enforces. The same epoch also PRUNES the versioned
+    * tiny-state artifacts ([[graft.ops.HtmlOps.pruneWaveStates]] —
+    * superseded `wave=<N` dirs drop, the latest carries everything
+    * forward; a pruned loop restarts identically, spec-pinned).
     */
   private def compactedFetchLogQuery(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -1975,6 +2019,20 @@ object SparkEntry {
         log.filter(col("log_id") >= 1000L).select("url", "fetched_at_s"),
         sc, "flog")
       HtmlOps.compactFetchLog(s, sc, "flog")
+      // the epoch's state-artifact prune, exercised on a carried
+      // schedstate history: waves 0..2 accumulate, the epoch keeps
+      // only the latest (wave 2 folds everything earlier)
+      val stDir = sc.path("schedstate")
+      import s.implicits._
+      (0L to 2L).foreach { w =>
+        HtmlOps.saveSchedState(
+          Seq(("s0.example", 100L * (w + 1))).toDF("domain", "next_allowed_s"),
+          stDir, w)
+      }
+      val dropped = HtmlOps.pruneWaveStates(s, stDir, keepLatest = 1)
+      require(dropped == Seq(0L, 1L), s"unexpected prune set: $dropped")
+      require(HtmlOps.loadSchedState(s, stDir, beforeWave = 99L)
+        .head().getLong(1) == 300L, "latest state must survive the prune")
     }
     HtmlOps.refetchWaveFromLog(s, scope, "flog",
       nowS = 1767225600L + 9L * 86400L, ttlS = 7L * 86400L,
@@ -2023,7 +2081,8 @@ object SparkEntry {
     val scope = cachedScope(q211Scopes, s, dir, "graft-q211-") { sc =>
       val framed = HtmlOps.httpFrame(HtmlOps.warcFrame(chunks, "warc"))
       HtmlOps.saveUrlKeys(
-        framed.filter(col("length_ok") && col("http_ok"))
+        framed.filter(col("length_ok") && col("http_ok") &&
+          col("body_ok"))
           .filter(col("doc_id") < 250)
           .select(col("doc_id"), col("target_uri").as("url")),
         sc, "urlkeys")
@@ -2040,6 +2099,99 @@ object SparkEntry {
       rules = HtmlOps.plantedRobotsRules(s))
   }
 
+  private val q213Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
+
+  /** q213: the conditional-refetch steady state driven end to end —
+    * wave 1's valid fetches seed the maintained fetch log (WITH their
+    * ETag validators) and the content store; the revalidation wave
+    * (even docs 304, odd docs 200-with-new-content) applies through
+    * [[graft.ops.HtmlOps.applyRevalidation]]: every completed outcome
+    * refreshes clock + validator (struct-max upsert — O(batch), no
+    * bookkeeping), only 200 bodies append content versions. Output:
+    * per canon, the refreshed clock, the surviving validator, and the
+    * content hash — 304-only canons keep their wave-1 bytes
+    * bit-identically (the clock moved, the corpus did not).
+    */
+  private def conditionalRefetchQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val t0 = 1767225600L
+    val t1 = t0 + 7L * 86400L
+    val scope = cachedScope(q213Scopes, s, dir, "graft-q213-") { sc =>
+      val framed1 = HtmlOps.httpFrame(HtmlOps.warcFrame(
+          HtmlOps.plantedWarcCorpus(docs), "warc"))
+        .filter(col("length_ok") && col("http_ok") && col("body_ok"))
+      HtmlOps.saveFetchLog(
+        framed1.select(col("target_uri").as("url"),
+          lit(t0).as("fetched_at_s"), col("etag")),
+        sc, "fetchlog")
+      HtmlOps.appendContentVersions(
+        framed1.select(
+          HtmlOps.canonicalUrl(col("target_uri")).as("canon"),
+          col("body"), lit(t0).as("content_fetch_s")),
+        sc.path("content"))
+      val framed2 = HtmlOps.httpFrame(HtmlOps.warcFrame(
+        HtmlOps.plantedRevalidationCorpus(docs), "warc"))
+      HtmlOps.applyRevalidation(
+        HtmlOps.revalidationOutcomes(framed2, lit(t1)),
+        sc, "fetchlog", sc.path("content"))
+    }
+    HtmlOps.loadFetchLog(s, scope, "fetchlog")
+      .join(HtmlOps.latestContent(s, scope.path("content")),
+        Seq("canon"), "left")
+      .select(col("canon"), col("url"), col("last_fetch_s"), col("etag"),
+        md5(encode(coalesce(col("body"), lit("")), "UTF-8"))
+          .as("content_md5"))
+  }
+
+  private val q214Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
+
+  /** q214: the q203 loop with the RETRY GATE on — the same archive
+    * slice [250, 375) re-presented as three waves whose WARC-Dates
+    * advance (Feb 1 / Feb 3 / Feb 8; retry TTL 3 days), so the
+    * dispatch clock the attempt log keys on actually moves. Wave 0
+    * dispatches the fresh candidates and stamps them; wave 1 (2 days
+    * later — inside the TTL) DEFERS every stamped canon, so its slots
+    * go to wave 0's politeness-cap losers (which were never
+    * dispatched — correct crawl behavior, not a leak); wave 2 (5+
+    * days after every stamp) re-admits everything aged out, and the
+    * winners are wave 0's again, offsets continuing on the carried
+    * clock. Keys never change across the waves (each re-append
+    * anti-joins to nothing), so the defer/age-out behavior is
+    * attributable to the attempt log alone.
+    */
+  private def streamRetryLoopQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scope = cachedScope(q214Scopes, s, dir, "graft-q214-") { sc =>
+      import s.implicits._
+      val chunks = HtmlOps.plantedWarcCorpus(docs)
+      val valid = HtmlOps.httpFrame(HtmlOps.warcFrame(chunks, "warc"))
+        .filter(col("length_ok") && col("http_ok") && col("body_ok"))
+        .select(col("doc_id"), col("target_uri").as("url"))
+      HtmlOps.saveUrlKeys(valid.filter(col("doc_id") < 250), sc, "urlkeys")
+      // an EMPTY attempt log: the table + meta exist before wave 0
+      HtmlOps.saveFetchLog(
+        Seq.empty[(String, Long)].toDF("url", "fetched_at_s"),
+        sc, "attempts")
+      val slice = chunks.select(col("doc_id"), col("warc"))
+        .filter(col("doc_id") >= 250 && col("doc_id") < 375)
+      def redate(d: String) = slice.withColumn("warc",
+        regexp_replace(col("warc"), "(?m)^WARC-Date: [^\\r\\n]+",
+          "WARC-Date: " + d))
+      EventsStreaming.writeWaveFile(redate("2026-02-01T00:00:00Z"),
+        sc.path("stream-src"), 0)
+      EventsStreaming.writeWaveFile(redate("2026-02-03T00:00:00Z"),
+        sc.path("stream-src"), 1)
+      EventsStreaming.writeWaveFile(redate("2026-02-08T00:00:00Z"),
+        sc.path("stream-src"), 2)
+      EventsStreaming.streamingWarcCrawlLoop(s, sc.path("stream-src"),
+        sc, "urlkeys", epochRanks(s, dir), HtmlOps.plantedRobotsTxt(s),
+        sc.path("waves"), sc.path("ckpt"),
+        attempts = Some(("attempts", 3L * 86400L)))
+    }
+    s.read.parquet(scope.path("waves"))
+      .withColumn("wave", col("wave").cast("long"))
+  }
+
   private val q210Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
 
   /** q210: the q203 chain with the stream carrying the WIRE format —
@@ -2054,7 +2206,8 @@ object SparkEntry {
     val scope = cachedScope(q210Scopes, s, dir, "graft-q210-") { sc =>
       val chunks = HtmlOps.plantedWarcCorpus(docs)
       val valid = HtmlOps.httpFrame(HtmlOps.warcFrame(chunks, "warc"))
-        .filter(col("length_ok") && col("http_ok"))
+        .filter(col("length_ok") && col("http_ok") &&
+          col("body_ok"))
         .select(col("doc_id"), col("target_uri").as("url"))
       HtmlOps.saveUrlKeys(valid.filter(col("doc_id") < 250), sc, "urlkeys")
       val src = HtmlOps.plantedGzipWarcCorpus(docs)
@@ -2087,7 +2240,8 @@ object SparkEntry {
     val scope = cachedScope(q208Scopes, s, dir, "graft-q208-") { sc =>
       val chunks = HtmlOps.plantedWarcCorpus(docs)
       val valid = HtmlOps.httpFrame(HtmlOps.warcFrame(chunks, "warc"))
-        .filter(col("length_ok") && col("http_ok"))
+        .filter(col("length_ok") && col("http_ok") &&
+          col("body_ok"))
         .select(col("doc_id"), col("target_uri").as("url"))
       HtmlOps.saveUrlKeys(valid.filter(col("doc_id") < 250), sc, "urlkeys")
       val src = chunks.select(col("doc_id"), col("warc"))
@@ -2125,16 +2279,23 @@ object SparkEntry {
     val chunks = HtmlOps.plantedWarcCorpus(docs)
     val scope = cachedScope(q205Scopes, s, dir, "graft-q205-") { sc =>
       val framed = HtmlOps.httpFrame(HtmlOps.warcFrame(chunks, "warc"))
-        .filter(col("length_ok") && col("http_ok"))
+        .filter(col("length_ok") && col("http_ok") &&
+          col("body_ok"))
       val valid = framed.select(col("doc_id"), col("target_uri").as("url"))
+      // the seed resolves links EXACTLY as the frontier channel does
+      // (base-path merge + dot removal) — a seed resolved differently
+      // would leave the outlink channel un-exhausted and break the
+      // redirect-only design of this fixture
       val linked = HtmlOps.htmlOutlinks(
           framed.select(col("doc_id"),
             HtmlOps.hostOf(col("target_uri")).as("fetch_host"),
+            HtmlOps.urlPath(col("target_uri")).as("base_path"),
             col("body").as("html")),
-          baseHostCol = Some("fetch_host"))
+          baseHostCol = Some("fetch_host"), keep = Seq("base_path"))
         .filter(col("host") =!= "")
         .select(col("doc_id"),
-          HtmlOps.resolvedUrl(col("url"), col("host")).as("url"))
+          HtmlOps.resolvedUrl(col("url"), col("host"), col("base_path"))
+            .as("url"))
       HtmlOps.saveUrlKeys(valid.unionByName(linked), sc, "urlkeys")
     }
     HtmlOps.redirectFrontier(chunks, scope, "urlkeys", epochRanks(s, dir),
@@ -2154,7 +2315,8 @@ object SparkEntry {
     val scope = cachedScope(q203Scopes, s, dir, "graft-q203-") { sc =>
       val chunks = HtmlOps.plantedWarcCorpus(docs)
       val valid = HtmlOps.httpFrame(HtmlOps.warcFrame(chunks, "warc"))
-        .filter(col("length_ok") && col("http_ok"))
+        .filter(col("length_ok") && col("http_ok") &&
+          col("body_ok"))
         .select(col("doc_id"), col("target_uri").as("url"))
       HtmlOps.saveUrlKeys(valid.filter(col("doc_id") < 250), sc, "urlkeys")
       val src = chunks.select(col("doc_id"), col("warc"))
@@ -2835,7 +2997,7 @@ object SparkEntry {
          |  $duckHtml AS html FROM cw_src),
          |${duckHttpPayload("wpage", "wpay")},
          |${duckWarcChain("wpay", "w")},
-         |${duckHttpFrame("w")},
+         |${duckHttpFrame("w", "wpay")},
          |cw_p AS (SELECT doc_id,
          |  regexp_extract(target_uri, '^(?i)(?:https?:)?//([^/?#]+)', 1)
          |    AS fetch_host,
@@ -2843,7 +3005,8 @@ object SparkEntry {
          |  FROM wht
          |  WHERE coalesce(strlen(payload) = content_length, false)
          |    AND coalesce(http_status = 200 AND mime = 'text/html',
-         |          false))""".stripMargin
+         |          false)
+         |    AND body_ok)""".stripMargin
     crawlCorpusSqlWith("", "q.quality >= 0.5", Some(warcPages))
   }
 
@@ -4809,6 +4972,19 @@ object SparkEntry {
     // fetch funnel: the regenerated chunks' stage flags counted per
     // target domain (malformed chunks roll up under '')
     "q204_fetch_funnel" -> q204Sql,
+    // the uncompressed twin's extraction verbatim — inflate ∘ deflate
+    // = id is the check (DuckDB cannot gunzip; the q206 pattern)
+    "q212_content_encoding" -> q212Sql,
+    // fetch → 304/200 → clock reset replayed closed-form per canon
+    "q213_conditional_refetch" -> q213Sql,
+    // defer → age-out → re-compete across three streamed waves
+    "q214_stream_retry_loop" -> q214Sql,
+    // the FLAT sitemap oracle verbatim (the q206 identical-result
+    // pattern): index recursion + member inflation must admit
+    // bit-identically what the flat file admits
+    "q215_sitemap_tree" -> q197Sql,
+    // the trap verdict replayed per planted row
+    "q216_trap_guard" -> q216Sql,
     // redirect-aware frontier: both discovery channels replayed from
     // the regenerated chunk bytes into one candidate aggregation
     "q205_redirect_frontier" -> q205Sql,
@@ -4914,13 +5090,32 @@ object SparkEntry {
   /** The planted HTTP response message wrapped around the page body —
     * HtmlOps.plantedWarcCorpus's payload, regenerated: status line
     * (404 on %13==2), Content-Type (text/plain on %13==5, ALL-CAPS
-    * header name on %13==4 — legal on the wire), blank
-    * line, body (non-ASCII suffix on %13==1). From `<src>` rows
-    * (doc_id, html) to (doc_id, pay).
+    * header name on %13==4 — legal on the wire; QUOTED charset on
+    * %13==10), Transfer-Encoding + chunked wire body on %13∈{6,12}
+    * (12 truncated — the malformed-chunk verdict), the ETag
+    * validator, blank line, body (non-ASCII suffix on %13∈{1,10}).
+    * From `<src>` rows (doc_id, html) to (doc_id, pay, body_plain) —
+    * `body_plain` is the LOGICAL body wire-decoding must recover
+    * (NULL for the malformed chunked leg), carried beside the payload
+    * because DuckDB cannot replay a length-driven de-chunk and the
+    * decode seam closes over the fixture (the established charset
+    * convention, [[duckHttpFrame]]).
     */
   private def duckHttpPayload(src: String, out: String): String = {
     val cr = "\r\n"
-    s"""$out AS (SELECT doc_id, concat(
+    s"""${out}0 AS (SELECT doc_id, html,
+       |  html || CASE WHEN doc_id % 13 = 1 THEN '<p>rÃ©sumÃ© cafÃ©</p>'
+       |       WHEN doc_id % 13 = 9 THEN '<p>café français</p>'
+       |       WHEN doc_id % 13 = 10 THEN '<p>rÃ©sumÃ© cafÃ©</p>'
+       |       WHEN doc_id % 13 = 6 THEN '<p>ck 1A${cr}9${cr}zz</p>'
+       |       WHEN doc_id % 13 = 0 THEN concat(
+       |         '<a href="../u/', cast(doc_id % 11 AS varchar),
+       |         '">Up</a><a href="d', cast(doc_id % 7 AS varchar),
+       |         '.html">Rel</a>')
+       |       ELSE '' END AS bp FROM $src),
+       |$out AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 13 = 12 THEN NULL ELSE bp END AS body_plain,
+       |  concat(
        |  CASE WHEN doc_id % 13 = 2 THEN 'HTTP/1.1 404 Not Found$cr'
        |       WHEN doc_id % 13 = 8
        |         THEN 'HTTP/1.1 301 Moved Permanently$cr'
@@ -4937,19 +5132,38 @@ object SparkEntry {
        |         THEN 'CONTENT-TYPE: text/html; charset=utf-8$cr'
        |       WHEN doc_id % 13 = 9
        |         THEN 'Content-Type: text/html; charset=iso-8859-1$cr'
+       |       WHEN doc_id % 13 = 10
+       |         THEN 'Content-Type: text/html; charset="utf-8"$cr'
        |       ELSE 'Content-Type: text/html; charset=utf-8$cr' END,
+       |  CASE WHEN doc_id % 13 IN (6, 12)
+       |       THEN 'Transfer-Encoding: chunked$cr' ELSE '' END,
+       |  'ETag: "v', cast(doc_id % 9 AS varchar), '"$cr',
        |  '$cr',
-       |  html || CASE WHEN doc_id % 13 = 1 THEN '<p>rÃ©sumÃ© cafÃ©</p>'
-       |       WHEN doc_id % 13 = 9 THEN '<p>café français</p>'
-       |       ELSE '' END) AS pay FROM $src)""".stripMargin
+       |  CASE WHEN doc_id % 13 = 6 THEN concat(
+       |         CASE WHEN doc_id % 2 = 1 THEN '10;x=1$cr'
+       |              ELSE '10$cr' END,
+       |         substr(bp, 1, 16), '$cr',
+       |         to_hex(strlen(bp) - 16), '$cr',
+       |         substr(bp, 17), '$cr', '0',
+       |         CASE WHEN doc_id % 2 = 0 THEN '${cr}X-Tr: 1'
+       |              ELSE '' END)
+       |       WHEN doc_id % 13 = 12
+       |       THEN concat('10$cr', substr(html, 1, 5))
+       |       ELSE bp END) AS pay FROM ${out}0)""".stripMargin
   }
 
   /** HtmlOps.httpFrame mirrored over `${pfx}fr`: status line, media
-    * type from the HEADER BLOCK only, body after the first blank
-    * line (non-HTTP payloads pass through whole), the 200+text/html
-    * verdict — ending in `${pfx}ht`.
+    * type from the HEADER BLOCK only, the charset (quote-tolerant)
+    * and ETag captures, the transfer/content codings, body after the
+    * first blank line (non-HTTP payloads pass through whole), the
+    * 200+text/html verdict, and the WIRE-DECODE stage — ending in
+    * `${pfx}ht`. `paySrc` is the [[duckHttpPayload]] CTE carrying
+    * `body_plain`: DuckDB cannot replay a length-driven de-chunk, so
+    * the chunked branch closes over the fixture (the decoded body IS
+    * the planted plain body, NULL for the malformed leg) exactly like
+    * the charset seam below.
     */
-  private def duckHttpFrame(pfx: String): String = {
+  private def duckHttpFrame(pfx: String, paySrc: String): String = {
     val cr = "\r\n"
     // MATERIALIZED, and body in a second CTE, not lateral aliases:
     // DuckDB expands same-SELECT alias references as macros AND
@@ -4957,45 +5171,101 @@ object SparkEntry {
     // referencing body_raw/charset on top of the already-huge payload
     // expression blew q186's tree up to an OOM — materialization pins
     // the header split to one expansion
-    s"""${pfx}ht0 AS MATERIALIZED (SELECT *,
-       |  CASE WHEN regexp_matches(payload, '^HTTP/1\\.[01] [0-9]{3}')
-       |    THEN TRY_CAST(regexp_extract(payload,
+    s"""${pfx}ht0 AS MATERIALIZED (SELECT f.*, ps.body_plain,
+       |  CASE WHEN regexp_matches(f.payload, '^HTTP/1\\.[01] [0-9]{3}')
+       |    THEN TRY_CAST(regexp_extract(f.payload,
        |      '^HTTP/1\\.[01] ([0-9]{3})', 1) AS INT)
        |    ELSE NULL END AS http_status,
-       |  CASE WHEN regexp_matches(payload, '^HTTP/1\\.[01] [0-9]{3}')
+       |  CASE WHEN regexp_matches(f.payload, '^HTTP/1\\.[01] [0-9]{3}')
        |    THEN lower(trim(regexp_extract(
-       |      regexp_extract(payload, '(?s)^(.*?)$cr$cr', 1),
+       |      CASE WHEN regexp_extract(f.payload, '(?s)^(.*?)$cr$cr', 1) = ''
+       AND regexp_extract(f.payload,
+         '^HTTP/1\\.[01] ([0-9]{3})', 1) IN ('204', '304')
+       THEN f.payload
+       ELSE regexp_extract(f.payload, '(?s)^(.*?)$cr$cr', 1) END,
        |      '(?m)^(?i:content-type):[ \\t]*([^;$cr]+)', 1)))
        |    ELSE '' END AS mime,
-       |  CASE WHEN TRY_CAST(regexp_extract(payload,
+       |  CASE WHEN TRY_CAST(regexp_extract(f.payload,
        |      '^HTTP/1\\.[01] ([0-9]{3})', 1) AS INT) BETWEEN 300 AND 399
        |    THEN trim(regexp_extract(
-       |      regexp_extract(payload, '(?s)^(.*?)$cr$cr', 1),
+       |      CASE WHEN regexp_extract(f.payload, '(?s)^(.*?)$cr$cr', 1) = ''
+       AND regexp_extract(f.payload,
+         '^HTTP/1\\.[01] ([0-9]{3})', 1) IN ('204', '304')
+       THEN f.payload
+       ELSE regexp_extract(f.payload, '(?s)^(.*?)$cr$cr', 1) END,
        |      '(?m)^(?i:location):[ \\t]*([^$cr]+)', 1))
        |    ELSE '' END AS redirect_to,
-       |  CASE WHEN regexp_matches(payload, '^HTTP/1\\.[01] [0-9]{3}')
+       |  CASE WHEN regexp_matches(f.payload, '^HTTP/1\\.[01] [0-9]{3}')
        |    THEN lower(trim(regexp_extract(
-       |      regexp_extract(payload, '(?s)^(.*?)$cr$cr', 1),
-       |      '(?m)^(?i:content-type):[^$cr]*;[ \\t]*(?i:charset)=([^;$cr]+)',
+       |      CASE WHEN regexp_extract(f.payload, '(?s)^(.*?)$cr$cr', 1) = ''
+       AND regexp_extract(f.payload,
+         '^HTTP/1\\.[01] ([0-9]{3})', 1) IN ('204', '304')
+       THEN f.payload
+       ELSE regexp_extract(f.payload, '(?s)^(.*?)$cr$cr', 1) END,
+       |      '(?m)^(?i:content-type):[^$cr]*;[ \\t]*(?i:charset)="?([^";$cr]+)"?',
        |      1)))
        |    ELSE '' END AS charset,
-       |  CASE WHEN regexp_matches(payload, '^HTTP/1\\.[01] [0-9]{3}')
-       |    THEN regexp_extract(payload, '(?s)$cr$cr(.*)$$', 1)
-       |    ELSE payload END AS body_raw
-       |  FROM ${pfx}fr),
+       |  CASE WHEN regexp_matches(f.payload, '^HTTP/1\\.[01] [0-9]{3}')
+       |    THEN trim(regexp_extract(
+       |      CASE WHEN regexp_extract(f.payload, '(?s)^(.*?)$cr$cr', 1) = ''
+       AND regexp_extract(f.payload,
+         '^HTTP/1\\.[01] ([0-9]{3})', 1) IN ('204', '304')
+       THEN f.payload
+       ELSE regexp_extract(f.payload, '(?s)^(.*?)$cr$cr', 1) END,
+       |      '(?m)^(?i:etag):[ \\t]*([^$cr]+)', 1))
+       |    ELSE '' END AS etag,
+       |  CASE WHEN regexp_matches(f.payload, '^HTTP/1\\.[01] [0-9]{3}')
+       |    THEN lower(trim(regexp_extract(
+       |      CASE WHEN regexp_extract(f.payload, '(?s)^(.*?)$cr$cr', 1) = ''
+       AND regexp_extract(f.payload,
+         '^HTTP/1\\.[01] ([0-9]{3})', 1) IN ('204', '304')
+       THEN f.payload
+       ELSE regexp_extract(f.payload, '(?s)^(.*?)$cr$cr', 1) END,
+       |      '(?m)^(?i:transfer-encoding):[ \\t]*([^$cr]+)', 1)))
+       |    ELSE '' END AS transfer_encoding,
+       |  CASE WHEN regexp_matches(f.payload, '^HTTP/1\\.[01] [0-9]{3}')
+       |    THEN lower(trim(regexp_extract(
+       |      CASE WHEN regexp_extract(f.payload, '(?s)^(.*?)$cr$cr', 1) = ''
+       AND regexp_extract(f.payload,
+         '^HTTP/1\\.[01] ([0-9]{3})', 1) IN ('204', '304')
+       THEN f.payload
+       ELSE regexp_extract(f.payload, '(?s)^(.*?)$cr$cr', 1) END,
+       |      '(?m)^(?i:content-encoding):[ \\t]*([^$cr]+)', 1)))
+       |    ELSE '' END AS content_encoding,
+       |  CASE WHEN regexp_matches(f.payload, '^HTTP/1\\.[01] [0-9]{3}')
+       |    THEN regexp_extract(f.payload, '(?s)$cr$cr(.*)$$', 1)
+       |    ELSE f.payload END AS body_raw
+       |  FROM ${pfx}fr f LEFT JOIN $paySrc ps USING (doc_id)),
+       |-- the WIRE-DECODE stage, closed over the fixture: the chunked
+       |-- legs' decoded body is the planted plain body (NULL for the
+       |-- truncated-chunk leg), identity codings pass through, and
+       |-- this fixture plants no Content-Encoding (the gzip-body path
+       |-- is held to its uncompressed twin's oracle instead — q212)
+       |${pfx}ht1 AS (SELECT *,
+       |  CASE WHEN NOT regexp_matches(payload, '^HTTP/1\\.[01] [0-9]{3}')
+       |      THEN body_raw
+       |    WHEN transfer_encoding = 'chunked' THEN body_plain
+       |    WHEN transfer_encoding IN ('', 'identity') THEN body_raw
+       |    ELSE NULL END AS body_framed
+       |  FROM ${pfx}ht0),
        |-- the decode seam, closed over the FIXTURE's byte vocabulary:
        |-- the only non-ASCII utf-8-declared bytes the planted corpus
        |-- ships are the C3 A9 pairs (latin-1 'Ã©'), which decode to
-       |-- 'é'; latin-1-declared bodies are already their characters
-       |-- (DuckDB cannot reinterpret arbitrary bytes, so the general
-       |-- DFA-guarded decode collapses to this replace on the legs)
+       |-- 'é'; latin-1-declared bodies are already their characters,
+       |-- and any OTHER declared charset keeps the byte-identity
+       |-- reading (DuckDB cannot reinterpret arbitrary bytes, so the
+       |-- general DFA-guarded decode collapses to this replace on the
+       |-- legs)
        |${pfx}ht AS (SELECT *,
+       |  (body_framed IS NOT NULL) AS body_ok,
        |  CASE WHEN NOT regexp_matches(payload, '^HTTP/1\\.[01] [0-9]{3}')
-       |      THEN body_raw
+       |      THEN body_framed
        |    WHEN charset IN ('iso-8859-1', 'latin1', 'latin-1')
-       |      THEN body_raw
-       |    ELSE replace(body_raw, 'Ã©', 'é') END AS body
-       |  FROM ${pfx}ht0)""".stripMargin
+       |      THEN body_framed
+       |    WHEN charset IN ('utf-8', 'utf8', '')
+       |      THEN replace(body_framed, 'Ã©', 'é')
+       |    ELSE body_framed END AS body
+       |  FROM ${pfx}ht1)""".stripMargin
   }
 
   private lazy val q184Sql = {
@@ -5003,10 +5273,10 @@ object SparkEntry {
        |  $duckHtml AS html FROM documents),
        |${duckHttpPayload("p", "pp")},
        |${duckWarcChain("pp", "")},
-       |${duckHttpFrame("")},
+       |${duckHttpFrame("", "pp")},
        |xb AS (SELECT doc_id, n_records, target_uri, warc_date,
        |  content_length, payload, http_status, mime, redirect_to,
-       |  charset, body,
+       |  charset, etag, body_ok, body,
        |  regexp_replace(regexp_replace(regexp_replace(body,
        |    '(?s)<[Hh][Ee][Aa][Dd]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Hh][Ee][Aa][Dd]>', ' ', 'g'),
        |    '(?s)<[Ss][Cc][Rr][Ii][Pp][Tt]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Ss][Cc][Rr][Ii][Pp][Tt]>', ' ', 'g'),
@@ -5022,7 +5292,7 @@ object SparkEntry {
        |  http_status, mime,
        |  coalesce(http_status = 200 AND mime = 'text/html', false)
        |    AS http_ok,
-       |  redirect_to, charset,
+       |  redirect_to, charset, etag, body_ok,
        |  regexp_extract(body, '<[Tt][Ii][Tt][Ll][Ee]>([^<]*)</[Tt][Ii][Tt][Ll][Ee]>', 1) AS title,
        |  trim(regexp_replace(de, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS text_clean
        |FROM xe""".stripMargin
@@ -5240,6 +5510,7 @@ object SparkEntry {
            |  WHERE rn = 1 AND coalesce(allow, true))""".stripMargin
     val pages = pageCtes.getOrElse(
       s"""${pfx}p AS (SELECT doc_id, $duckFetchHost AS fetch_host,
+         |  '/' AS base_path,
          |  $duckHtml AS html FROM documents WHERE $pagePred)"""
         .stripMargin)
     val keys = keySrc.getOrElse(
@@ -5253,23 +5524,26 @@ object SparkEntry {
       case None => s"${pfx}g"
     }
     s"""$pages,
-       |${pfx}l0 AS (SELECT doc_id, fetch_host,
+       |${pfx}l0 AS (SELECT doc_id, fetch_host, base_path,
        |  unnest(regexp_extract_all(html, '[Hh][Rr][Ee][Ff]="([^"]*)"', 1))
        |    AS url FROM ${pfx}p),
        |${pfx}l AS (SELECT *, row_number() OVER () AS rid FROM ${pfx}l0),
-       |${pfx}h AS (SELECT rid, doc_id, url, ${duckLinkHost("url")} AS host
+       |${pfx}h AS (SELECT rid, doc_id, url, base_path,
+       |  ${duckLinkHost("url")} AS host
        |  FROM ${pfx}l),
-       |${pfx}c AS (SELECT rid, doc_id, url, host, ${duckDomainOf("host")}
+       |${pfx}c AS (SELECT rid, doc_id, url, base_path, host,
+       |  ${duckDomainOf("host")}
        |  AS domain FROM ${pfx}h WHERE host <> ''),
        |${pfx}b AS (SELECT * FROM ${pfx}c
        |  WHERE domain NOT IN ('s2.example', 's5.example', 's11.example')),
        |${pfx}b2 AS (SELECT rid, doc_id,
-       |  ${duckResolvedUrl("url", "host")} AS url, host, domain
+       |  ${duckResolvedUrl("url", "host", "base_path")} AS url, host, domain
        |  FROM ${pfx}b),
        |$gate,
        |$extra${pfx}cand AS (SELECT ${duckCanonOf("url")} AS canon,
        |  min(url) AS url, min(domain) AS domain,
-       |  CAST(count(*) AS BIGINT) AS n_refs FROM $candSrc GROUP BY 1),
+       |  CAST(count(*) AS BIGINT) AS n_refs FROM $candSrc
+       |  WHERE NOT ${duckTrapPred("url")} GROUP BY 1),
        |${pfx}stored AS (SELECT DISTINCT ${duckCanonOf("u")} AS canon
        |  FROM $keys),
        |${pfx}unseen AS (SELECT c.* FROM ${pfx}cand c
@@ -5295,14 +5569,16 @@ object SparkEntry {
        |  WHERE $pagePred),
        |${duckHttpPayload(s"${pfx}d0", s"${pfx}hp")},
        |${duckWarcChain(s"${pfx}hp", pfx)},
-       |${duckHttpFrame(pfx)},
+       |${duckHttpFrame(pfx, s"${pfx}hp")},
        |${pfx}p AS (SELECT doc_id,
        |  regexp_extract(target_uri, '^(?i)(?:https?:)?//([^/?#]+)', 1)
        |    AS fetch_host,
+       |  ${duckPathOf("target_uri")} AS base_path,
        |  body AS html FROM ${pfx}ht
        |  WHERE coalesce(strlen(payload) = content_length, false)
        |    AND coalesce(http_status = 200 AND mime = 'text/html',
-       |          false))""".stripMargin
+       |          false)
+       |    AND body_ok)""".stripMargin
 
   /** The q203 oracle — both streamed waves replayed with pages from
     * the framed+gated chunk bytes and the key set from the VALID
@@ -5314,7 +5590,7 @@ object SparkEntry {
       s"""(SELECT concat('https://w', cast(doc_id % 7 AS varchar), '.s',
          |  cast(doc_id % 5 AS varchar), '.example/p/',
          |  cast(doc_id % 11 AS varchar)) AS u FROM documents
-         |  WHERE ($pred) AND doc_id % 13 NOT IN (2, 3, 5, 7, 8, 11))"""
+         |  WHERE ($pred) AND doc_id % 13 NOT IN (2, 3, 5, 7, 8, 11, 12))"""
         .stripMargin
     val w0 = frontierCtes("wc", robots = true,
       pageCtes = Some(duckWarcPages("wc", "doc_id >= 250 AND doc_id < 375")),
@@ -5341,6 +5617,53 @@ object SparkEntry {
        |  not_before_s, CAST(1 AS BIGINT) AS wave FROM cw1""".stripMargin
   }
 
+  /** The q214 oracle — defer → age-out → re-compete replayed: the one
+    * frontier chain (`ta`) instantiated for waves 0 and 2 (identical
+    * candidates and keys — the planted design), wave 1 as the SAME
+    * chain (`tb`) minus wave 0's dispatched canons (`rec1`: every
+    * slot ≤ 10 was stamped at Feb 1 + offset, all inside the 3-day
+    * TTL at Feb 3 — so wave 1's slots go to the cap losers), and by
+    * Feb 8 every stamp (wave 0's AND wave 1's) has aged out, so wave
+    * 2 is wave 0's chain verbatim — continuing on the one carried
+    * dispatch clock through all three stages.
+    */
+  private lazy val q214Sql = {
+    def validKeys(pred: String) =
+      s"""(SELECT concat('https://w', cast(doc_id % 7 AS varchar), '.s',
+         |  cast(doc_id % 5 AS varchar), '.example/p/',
+         |  cast(doc_id % 11 AS varchar)) AS u FROM documents
+         |  WHERE ($pred) AND doc_id % 13 NOT IN (2, 3, 5, 7, 8, 11, 12))"""
+        .stripMargin
+    val ta = frontierCtes("ta", robots = true,
+      pageCtes = Some(duckWarcPages("ta", "doc_id >= 250 AND doc_id < 375")),
+      keySrc = Some(validKeys("doc_id < 375")),
+      extraCtes = Some(duckRedirectCtes("ta", "rru")),
+      extraCands = Some("tarrg"))
+    val tb = frontierCtes("tb", robots = true,
+      pageCtes = Some(duckWarcPages("tb", "doc_id >= 250 AND doc_id < 375")),
+      keySrc = Some(validKeys("doc_id < 375")),
+      extraCtes = Some(duckRedirectCtes("tb", "rru")),
+      extraCands = Some("tbrrg"),
+      excludeCanons = Some("rec1"))
+    val dCols = "canon, url, domain, n_refs, pr"
+    s"""WITH $duckRobotsRuleCtes,
+       |$duckRobotsTxtCtes,
+       |$duckDelayCte,
+       |$ta,
+       |rec1 AS (SELECT canon FROM tafs WHERE slot <= 10),
+       |$tb,
+       |${carriedScheduleCtes(Seq(("tafs", dCols, "sdl"),
+      ("tbfs", dCols, "sdl"), ("tafs", dCols, "sdl")))}
+       |SELECT canon, url, domain, n_refs, pr, slot, delay_s,
+       |  not_before_s, CAST(0 AS BIGINT) AS wave FROM cw0
+       |UNION ALL
+       |SELECT canon, url, domain, n_refs, pr, slot, delay_s,
+       |  not_before_s, CAST(1 AS BIGINT) AS wave FROM cw1
+       |UNION ALL
+       |SELECT canon, url, domain, n_refs, pr, slot, delay_s,
+       |  not_before_s, CAST(2 AS BIGINT) AS wave FROM cw2""".stripMargin
+  }
+
   /** The redirect DISCOVERY channel replayed (HtmlOps.redirectTargets
     * + blocklist + robots gate on the RESOLVED url), reading the
     * framed+HTTP CTE `${pfx}ht` and ending in `${pfx}rrg` —
@@ -5351,14 +5674,19 @@ object SparkEntry {
   private def duckRedirectCtes(pfx: String, rulesCte: String): String =
     s"""${pfx}rr0 AS (SELECT doc_id, redirect_to AS url,
        |  regexp_extract(target_uri, '^(?i)(?:https?:)?//([^/?#]+)', 1)
-       |    AS fetch_host FROM ${pfx}ht WHERE redirect_to <> ''),
-       |${pfx}rr1 AS (SELECT doc_id, url, ${duckLinkHost("url")} AS host
+       |    AS fetch_host,
+       |  ${duckPathOf("target_uri")} AS base_path
+       |  FROM ${pfx}ht WHERE redirect_to <> ''),
+       |${pfx}rr1 AS (SELECT doc_id, url, base_path,
+       |  ${duckLinkHost("url")} AS host
        |  FROM ${pfx}rr0),
-       |${pfx}rr2 AS (SELECT doc_id, url, host, ${duckDomainOf("host")}
+       |${pfx}rr2 AS (SELECT doc_id, url, base_path, host,
+       |  ${duckDomainOf("host")}
        |  AS domain FROM ${pfx}rr1 WHERE host <> ''),
        |${pfx}rr3 AS (SELECT * FROM ${pfx}rr2 WHERE domain NOT IN
        |  ('s2.example', 's5.example', 's11.example')),
-       |${pfx}rr4 AS (SELECT doc_id, ${duckResolvedUrl("url", "host")}
+       |${pfx}rr4 AS (SELECT doc_id,
+       |  ${duckResolvedUrl("url", "host", "base_path")}
        |  AS url, host, domain, row_number() OVER () AS rid
        |  FROM ${pfx}rr3),
        |${pfx}rr5 AS (SELECT *, ${duckPathOf("url")} AS path
@@ -5391,17 +5719,22 @@ object SparkEntry {
       s"""(SELECT concat('https://w', cast(doc_id % 7 AS varchar), '.s',
          |  cast(doc_id % 5 AS varchar), '.example/p/',
          |  cast(doc_id % 11 AS varchar)) AS u FROM documents
-         |  WHERE doc_id % 13 NOT IN (2, 3, 5, 7, 8, 11)
+         |  WHERE doc_id % 13 NOT IN (2, 3, 5, 7, 8, 11, 12)
          |  UNION ALL
-         |  SELECT ${duckResolvedUrl("url", "host")} AS u FROM (
-         |    SELECT url, ${duckLinkHost("url")} AS host FROM (
+         |  SELECT ${duckResolvedUrl("url", "host", "base_path")} AS u FROM (
+         |    SELECT url, base_path, ${duckLinkHost("url")} AS host FROM (
          |      SELECT doc_id,
          |        concat('w', cast(doc_id % 7 AS varchar), '.s',
          |          cast(doc_id % 5 AS varchar), '.example') AS fetch_host,
-         |        unnest(regexp_extract_all($duckHtml,
+         |        concat('/p/', cast(doc_id % 11 AS varchar)) AS base_path,
+         |        unnest(regexp_extract_all($duckHtml ||
+         |          CASE WHEN doc_id % 13 = 0 THEN concat(
+         |            '<a href="../u/', cast(doc_id % 11 AS varchar),
+         |            '">Up</a><a href="d', cast(doc_id % 7 AS varchar),
+         |            '.html">Rel</a>') ELSE '' END,
          |          '[Hh][Rr][Ee][Ff]="([^"]*)"', 1)) AS url
          |      FROM documents
-         |      WHERE doc_id % 13 NOT IN (2, 3, 5, 7, 8, 11)))
+         |      WHERE doc_id % 13 NOT IN (2, 3, 5, 7, 8, 11, 12)))
          |  WHERE host <> '')""".stripMargin
     val redirectCtes = duckRedirectCtes("rf", "rru")
     s"""WITH $duckRobotsRuleCtes,
@@ -5427,7 +5760,7 @@ object SparkEntry {
       s"""(SELECT concat('https://w', cast(doc_id % 7 AS varchar), '.s',
          |  cast(doc_id % 5 AS varchar), '.example/p/',
          |  cast(doc_id % 11 AS varchar)) AS u FROM documents
-         |  WHERE ($pred) AND doc_id % 13 NOT IN (2, 3, 5, 7, 8, 11))"""
+         |  WHERE ($pred) AND doc_id % 13 NOT IN (2, 3, 5, 7, 8, 11, 12))"""
         .stripMargin
     val w0 = frontierCtes("we", robots = true,
       pageCtes = Some(duckWarcPages("we", "doc_id >= 250 AND doc_id < 375")),
@@ -5499,7 +5832,7 @@ object SparkEntry {
       s"""(SELECT concat('https://w', cast(doc_id % 7 AS varchar), '.s',
          |  cast(doc_id % 5 AS varchar), '.example/p/',
          |  cast(doc_id % 11 AS varchar)) AS u FROM documents
-         |  WHERE doc_id % 13 NOT IN (2, 3, 5, 7, 8, 11)
+         |  WHERE doc_id % 13 NOT IN (2, 3, 5, 7, 8, 11, 12)
          |    AND doc_id < 250)""".stripMargin
     val w0 = frontierCtes("ya", robots = true,
       pageCtes = Some(duckWarcPages("ya", "true")),
@@ -5533,7 +5866,7 @@ object SparkEntry {
     s"""WITH fq AS (SELECT doc_id, $duckHtml AS html FROM documents),
        |${duckHttpPayload("fq", "fqp")},
        |${duckWarcChain("fqp", "fz")},
-       |${duckHttpFrame("fz")},
+       |${duckHttpFrame("fz", "fqp")},
        |fzd AS (SELECT *,
        |  coalesce(regexp_extract(target_uri,
        |    '^(?i)(?:https?:)?//([^/?#]+)', 1), '') AS fetch_host
@@ -5543,6 +5876,7 @@ object SparkEntry {
        |  coalesce(strlen(payload) = content_length, false) AS ok_framed,
        |  coalesce(http_status = 200 AND mime = 'text/html', false)
        |    AS ok_http,
+       |  body_ok AS ok_decoded,
        |  len(list_filter(
        |    regexp_extract_all(body, '[Hh][Rr][Ee][Ff]="([^"]*)"', 1),
        |    u -> ${duckDomainOf(duckLinkHost("u"))}
@@ -5554,9 +5888,104 @@ object SparkEntry {
        |    AS n_framed,
        |  CAST(sum(CASE WHEN ok_framed AND ok_http THEN 1 ELSE 0 END)
        |    AS BIGINT) AS n_http_ok,
-       |  CAST(sum(CASE WHEN ok_framed AND ok_http AND nb = 0
-       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_page_ok
+       |  CAST(sum(CASE WHEN ok_framed AND ok_http AND ok_decoded
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_body_ok,
+       |  CAST(sum(CASE WHEN ok_framed AND ok_http AND ok_decoded
+       |    AND nb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_page_ok
        |FROM fze GROUP BY 1""".stripMargin
+
+  /** The q212 oracle — the UNCOMPRESSED twin replayed: the planted
+    * body regenerated (é suffix on %5==0 decoded per the utf-8
+    * declaration — the mojibake-avoidance pin: had the engine decoded
+    * before inflating, the compressed bytes would never reconstruct
+    * these characters), NULL for the lying-encoding leg, then the
+    * q184 extraction chain. The compressed bytes themselves never
+    * appear here — inflate ∘ deflate = id is the check (the q206
+    * pattern).
+    */
+  private lazy val q212Sql =
+    s"""WITH ep AS (SELECT doc_id, $duckHtml AS html FROM documents),
+       |eb AS (SELECT doc_id, html ||
+       |  CASE WHEN doc_id % 5 = 0 THEN '<p>rÃ©sumÃ© cafÃ©</p>'
+       |       ELSE '' END AS b0 FROM ep),
+       |ed AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 17 = 3 THEN NULL
+       |       ELSE replace(b0, 'Ã©', 'é') END AS body FROM eb),
+       |exb AS (SELECT doc_id, body,
+       |  regexp_replace(regexp_replace(regexp_replace(body,
+       |    '(?s)<[Hh][Ee][Aa][Dd]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Hh][Ee][Aa][Dd]>', ' ', 'g'),
+       |    '(?s)<[Ss][Cc][Rr][Ii][Pp][Tt]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Ss][Cc][Rr][Ii][Pp][Tt]>', ' ', 'g'),
+       |    '(?s)<[Ss][Tt][Yy][Ll][Ee]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Ss][Tt][Yy][Ll][Ee]>', ' ', 'g') AS nb FROM ed),
+       |ext AS (SELECT *, regexp_replace(nb, '<[^>]*>', ' ', 'g') AS nt
+       |  FROM exb),
+       |exe AS (SELECT *, regexp_replace(regexp_replace(regexp_replace(
+       |  regexp_replace(regexp_replace(regexp_replace(nt,
+       |  '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+       |  '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS de
+       |  FROM ext)
+       |SELECT doc_id, CAST(200 AS INT) AS http_status,
+       |  'text/html' AS mime,
+       |  CASE WHEN doc_id % 17 = 3 THEN 'gzip'
+       |       WHEN doc_id % 3 = 0 THEN 'gzip'
+       |       WHEN doc_id % 3 = 1 THEN 'deflate'
+       |       ELSE '' END AS content_encoding,
+       |  (doc_id % 17 <> 3) AS body_ok,
+       |  regexp_extract(body, '<[Tt][Ii][Tt][Ll][Ee]>([^<]*)</[Tt][Ii][Tt][Ll][Ee]>', 1) AS title,
+       |  trim(regexp_replace(de, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS text_clean
+       |FROM exe""".stripMargin
+
+  /** The q213 oracle — fetch → 304/200 → clock reset replayed per
+    * canon: wave 1's DECODED bodies regenerated (the planted suffixes
+    * with the utf-8 C3A9 pairs decoded — the unconditional replace is
+    * a no-op on every other leg), the log's post-revalidation state
+    * (last_fetch_s = t1 for every completed outcome; the validator =
+    * the struct-max winner among the wave-2 responses — any 200's
+    * `"w…"` beats every 304's `"v…"`), and the content argmax over
+    * wave-1 versions plus wave-2 rewrites: canons whose group
+    * revalidated 304-only keep their wave-1 bytes BIT-identically.
+    */
+  private lazy val q213Sql = {
+    val t0 = 1767225600L
+    val t1 = t0 + 7L * 86400L
+    val cr = "\r\n"
+    s"""WITH rv AS (SELECT doc_id, $duckHtml AS html,
+       |  concat('https://w', cast(doc_id % 7 AS varchar), '.s',
+       |    cast(doc_id % 5 AS varchar), '.example/p/',
+       |    cast(doc_id % 11 AS varchar)) AS url
+       |  FROM documents WHERE doc_id % 13 NOT IN (2, 3, 5, 7, 8, 11, 12)),
+       |rw1 AS (SELECT doc_id, url,
+       |  replace(html ||
+       |    CASE WHEN doc_id % 13 = 1 THEN '<p>rÃ©sumÃ© cafÃ©</p>'
+       |         WHEN doc_id % 13 = 9 THEN '<p>café français</p>'
+       |         WHEN doc_id % 13 = 10 THEN '<p>rÃ©sumÃ© cafÃ©</p>'
+       |         WHEN doc_id % 13 = 6 THEN '<p>ck 1A${cr}9${cr}zz</p>'
+       |         WHEN doc_id % 13 = 0 THEN concat(
+       |           '<a href="../u/', cast(doc_id % 11 AS varchar),
+       |           '">Up</a><a href="d', cast(doc_id % 7 AS varchar),
+       |           '.html">Rel</a>')
+       |         ELSE '' END, 'Ã©', 'é') AS body FROM rv),
+       |rkey AS (SELECT ${duckCanonOf("url")} AS canon, max(url) AS url
+       |  FROM rv GROUP BY 1),
+       |rlog AS (SELECT ${duckCanonOf("url")} AS canon,
+       |  max(CASE WHEN doc_id % 2 = 0
+       |        THEN 'v' || cast(doc_id % 9 AS varchar)
+       |        ELSE 'w' || cast(doc_id % 9 AS varchar) END) AS etag
+       |  FROM rv GROUP BY 1),
+       |rcv AS (
+       |  SELECT ${duckCanonOf("url")} AS canon,
+       |    CAST($t0 AS BIGINT) AS t, body FROM rw1
+       |  UNION ALL
+       |  SELECT ${duckCanonOf("url")} AS canon,
+       |    CAST($t1 AS BIGINT) AS t, html || '<p>rev2</p>' AS body
+       |  FROM rv WHERE doc_id % 2 = 1),
+       |rct AS (SELECT canon, (max({'t': t, 'b': body})).b AS body
+       |  FROM rcv GROUP BY 1)
+       |SELECT k.canon, k.url, CAST($t1 AS BIGINT) AS last_fetch_s,
+       |  concat('"', l.etag, '"') AS etag,
+       |  md5(coalesce(c.body, '')) AS content_md5
+       |FROM rkey k JOIN rlog l USING (canon)
+       |LEFT JOIN rct c USING (canon)""".stripMargin
+  }
 
   /** The q201 oracle — the q191 frontier chain reused up to its
     * pre-window stage (`fj`), the q194 anchor replay embedded as a
@@ -5709,19 +6138,20 @@ object SparkEntry {
        |rfu AS (SELECT * FROM rf1 UNION ALL SELECT * FROM rf2),
        |rlast AS (SELECT ${duckCanonOf("url")} AS canon,
        |  (max({'ts': fetched_at_s, 'u': url})).u AS url,
-       |  CAST(max(fetched_at_s) AS BIGINT) AS last_fetch_s
+       |  CAST(max(fetched_at_s) AS BIGINT) AS last_fetch_s,
+       |  '' AS etag
        |  FROM rfu GROUP BY 1),
        |rdue AS (SELECT *, ${duckDomainOf(
       s"regexp_extract(url, '^(?i)(?:https?:)?//([^/?#]+)', 1)")}
        |    AS domain
        |  FROM rlast WHERE $now - last_fetch_s >= $ttl),
        |rrk AS (SELECT domain, pr FROM (${hostRankSql()})),
-       |rjn AS (SELECT d.canon, d.url, d.domain, d.last_fetch_s,
+       |rjn AS (SELECT d.canon, d.url, d.domain, d.last_fetch_s, d.etag,
        |  coalesce(r.pr, 0) AS pr FROM rdue d
        |  LEFT JOIN rrk r ON r.domain = d.domain),
        |rsl AS (SELECT *, row_number() OVER (PARTITION BY domain
        |  ORDER BY last_fetch_s ASC, canon ASC) AS slot FROM rjn)
-       |SELECT canon, url, domain, last_fetch_s,
+       |SELECT canon, url, domain, last_fetch_s, etag,
        |  CAST($now - last_fetch_s AS BIGINT) AS age_s, pr,
        |  CAST(slot AS INT) AS slot
        |FROM rsl WHERE slot <= 10""".stripMargin
@@ -5824,7 +6254,7 @@ object SparkEntry {
     val w1 = frontierCtes("wb", robots = true,
       pagePred = "doc_id >= 375")
     val dCols = "canon, url, domain, n_refs, pr"
-    val rCols = "canon, url, domain, last_fetch_s, age_s, pr"
+    val rCols = "canon, url, domain, last_fetch_s, etag, age_s, pr"
     s"""$duckRobotsRuleCtes,
        |$duckRobotsTxtCtes,
        |$duckDelayCte,
@@ -5862,7 +6292,8 @@ object SparkEntry {
        |  WHERE $logPred),
        |${pfx}lt AS (SELECT ${duckCanonOf("url")} AS canon,
        |  (max({'t': t, 'u': url})).u AS url,
-       |  CAST(max(t) AS BIGINT) AS last_fetch_s FROM ${pfx}lg GROUP BY 1),
+       |  CAST(max(t) AS BIGINT) AS last_fetch_s,
+       |  '' AS etag FROM ${pfx}lg GROUP BY 1),
        |${pfx}nw AS (SELECT CAST(MAX(1767225600 + (doc_id % 97) * 3600)
        |  AS BIGINT) AS now FROM documents WHERE $nowPred),
        |${pfx}du AS (SELECT l.*, n.now, ${duckDomainOf(
@@ -5871,6 +6302,7 @@ object SparkEntry {
        |  FROM ${pfx}lt l CROSS JOIN ${pfx}nw n
        |  WHERE n.now - l.last_fetch_s >= $ttlS),
        |${pfx}rj AS (SELECT d.canon, d.url, d.domain, d.last_fetch_s,
+       |  d.etag,
        |  CAST(d.now - d.last_fetch_s AS BIGINT) AS age_s,
        |  coalesce(r.pr, 0) AS pr
        |  FROM ${pfx}du d LEFT JOIN eranks r ON r.domain = d.domain),
@@ -5886,21 +6318,79 @@ object SparkEntry {
     */
   private lazy val q202Sql =
     s"""WITH $loopScheduleChain
-       |SELECT canon, url, domain, last_fetch_s, age_s, pr, slot,
+       |SELECT canon, url, domain, last_fetch_s, etag, age_s, pr, slot,
        |  delay_s, not_before_s, CAST(0 AS BIGINT) AS wave FROM cw1
        |UNION ALL
-       |SELECT canon, url, domain, last_fetch_s, age_s, pr, slot,
+       |SELECT canon, url, domain, last_fetch_s, etag, age_s, pr, slot,
        |  delay_s, not_before_s, CAST(1 AS BIGINT) AS wave FROM cw3"""
       .stripMargin
 
-  /** HtmlOps.resolvedUrl mirrored: own authority stays, a relative
-    * href resolves against the inherited `$h` (root-resolved when
-    * path-relative).
+  /** HtmlOps.urlTrapped mirrored: char-length cap + duplicate path
+    * segments beyond the distinct set (count-based — RE2 has no
+    * backreferences, so both engines run the identical rule).
     */
-  private def duckResolvedUrl(u: String, h: String): String =
+  private def duckTrapPred(u: String): String = {
+    val segs = s"list_filter(string_split(regexp_extract($u, " +
+      "'^(?i)(?:https?:)?//[^/?#]+([^?#]*)', 1), '/'), x -> x <> '')"
+    s"(length($u) > 2048 OR (len($segs) - len(list_distinct($segs))) > 3)"
+  }
+
+  /** The q216 oracle — the planted trap corpus regenerated, the trap
+    * verdict replayed per row.
+    */
+  private lazy val q216Sql =
+    s"""WITH tu AS (SELECT doc_id,
+       |  concat('https://w', cast(doc_id % 7 AS varchar), '.example',
+       |    CASE WHEN doc_id % 7 = 0 THEN '/t/t/t/t/t/t/'
+       |         WHEN doc_id % 7 = 1 THEN concat('/', repeat('a', 2100), '/')
+       |         ELSE concat('/d/', cast(doc_id % 5 AS varchar), '/x/') END,
+       |    cast(doc_id AS varchar)) AS url FROM documents)
+       |SELECT doc_id, url, CAST(length(url) AS BIGINT) AS n_chars,
+       |  ${duckTrapPred("url")} AS trapped
+       |FROM tu""".stripMargin
+
+  /** HtmlOps.removeDotSegments mirrored — the SAME bounded regex
+    * fix-point (six passes, lookahead-free segment class, cheap
+    * `contains('/.')` guard), so Spark and DuckDB normalize
+    * identically by construction on ANY input, not just the planted
+    * legs.
+    */
+  private def duckRemoveDots(path: String): String = {
+    val seg = "(?:\\.[^/.]|\\.\\.[^/]|[^/.])[^/]*"
+    def pass(c: String): String = {
+      val p1 = s"regexp_replace($c, '/\\./', '/', 'g')"
+      val p2 = s"regexp_replace($p1, '/$seg/\\.\\./', '/', 'g')"
+      val p3 = s"regexp_replace($p2, '/$seg/\\.\\.$$', '/', 'g')"
+      val p4 = s"regexp_replace($p3, '/\\.$$', '/', 'g')"
+      val p5 = s"regexp_replace($p4, '^/(?:\\.\\./)+', '/', 'g')"
+      s"regexp_replace($p5, '^/\\.\\.$$', '/', 'g')"
+    }
+    val full = (1 to 6).foldLeft(path)((c, _) => pass(c))
+    s"CASE WHEN contains($path, '/.') THEN $full ELSE $path END"
+  }
+
+  /** HtmlOps.resolvedUrl mirrored (RFC 3986 §5.2): own authority
+    * stays; server-relative dot-normalizes onto the host;
+    * query-only/fragment-only references keep the base; everything
+    * else merges against the base path's directory and
+    * dot-normalizes. `bp` defaults to the root base the plain-HTML
+    * flows use.
+    */
+  private def duckResolvedUrl(u: String, h: String,
+                              bp: String = "'/'"): String = {
+    val dir =
+      s"""CASE WHEN coalesce(regexp_extract($bp, '^(.*/)', 1), '') = ''
+         |  THEN '/' ELSE regexp_extract($bp, '^(.*/)', 1) END""".stripMargin
     s"""CASE WHEN regexp_matches($u, '^(?i)(?:https?:)?//') THEN $u
-       |     WHEN starts_with($u, '/') THEN concat('//', $h, $u)
-       |     ELSE concat('//', $h, '/', $u) END""".stripMargin
+       |     WHEN starts_with($u, '/')
+       |       THEN concat('//', $h, ${duckRemoveDots(u)})
+       |     WHEN starts_with($u, '?')
+       |       THEN concat('//', $h, coalesce($bp, '/'), $u)
+       |     WHEN starts_with($u, '#')
+       |       THEN concat('//', $h, coalesce($bp, '/'))
+       |     ELSE concat('//', $h,
+       |       ${duckRemoveDots(s"concat($dir, $u)")}) END""".stripMargin
+  }
 
   /** HtmlOps.robotsGate's path extraction mirrored: authority URLs
     * use their own path; a server-relative href IS its path;

@@ -1,0 +1,193 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The URL algebra of the crawl suite — canonical key, RFC 3986
+  * reference resolution, trap verdict — as NATIVE single-node
+  * expressions.
+  *
+  * Each is a LITERAL transcription of the regex algebra its DuckDB
+  * oracle mirror replays (the patterns below are character-identical
+  * to the mirror's, and `java.util.regex` is the same engine Spark's
+  * own `regexp_*` functions run) — so equality with the oracle is by
+  * construction, exactly as it was for the Column-DSL forms these
+  * replace. Native rather than DSL because the planner's alias
+  * inlining (PhysicalOperation.trimAliases / filter pushdown)
+  * SUBSTITUTES projection aliases into consumers with no cost guard:
+  * the frontier compositions — resolve → trap-gate → canonicalize →
+  * re-canonicalize in the artifact writers — multiplied the regex
+  * trees to the point where ANALYSIS of q211's write plan ran for
+  * tens of minutes. One node per operation keeps every URL-touching
+  * plan tiny AND runs faster (precompiled patterns, no per-row regex
+  * re-entry through a dozen codegen'd replace calls).
+  */
+object UrlOps {
+  private val hostRe =
+    java.util.regex.Pattern.compile("^(?i)(?:https?:)?//([^/?#]+)")
+  private val authPathRe =
+    java.util.regex.Pattern.compile("^(?i)(?:https?:)?//[^/?#]+([^?#]*)")
+  private val relPathRe = java.util.regex.Pattern.compile("^([^?#]*)")
+  private val wwwRe = java.util.regex.Pattern.compile("^www\\.")
+  private val portRe = java.util.regex.Pattern.compile(":[0-9]+$")
+  private val trailSlashRe = java.util.regex.Pattern.compile("/+$")
+  private val baseDirRe = java.util.regex.Pattern.compile("^(.*/)")
+
+  /** Spark `regexp_extract(u, re, 1)` semantics: first match's group
+    * 1, '' when the regex does not match (group-null folds to '').
+    */
+  private def extract1(p: java.util.regex.Pattern, s: String): String = {
+    val m = p.matcher(s)
+    if (m.find()) { val g = m.group(1); if (g == null) "" else g }
+    else ""
+  }
+
+  /** HtmlOps.hostOf: the authority, '' when unparseable. */
+  def hostOf(u: String): String = extract1(hostRe, u)
+
+  /** HtmlOps.canonicalUrl: lowercased host minus leading `www.` and
+    * explicit port + dot-normalized path minus trailing slashes;
+    * scheme/query/fragment dropped; an unparseable URL keeps itself.
+    */
+  def canonicalUrl(u: String): String = {
+    if (u == null) return null
+    val host0 = extract1(hostRe, u).toLowerCase
+    val host = portRe.matcher(wwwRe.matcher(host0).replaceAll(""))
+      .replaceAll("")
+    if (host.isEmpty) return u
+    val path0 = extract1(authPathRe, u)
+    val path = trailSlashRe.matcher(RemoveDotsImpl.remove(path0))
+      .replaceAll("")
+    host + path
+  }
+
+  /** HtmlOps.resolvedUrl (RFC 3986 §5.2): authority stays;
+    * server-relative dot-normalizes onto the host; `?`/`#` references
+    * keep the base; page-relative merges against the base path's
+    * directory and dot-normalizes. Null propagates like the
+    * when-chain it transcribes.
+    */
+  def resolvedUrl(u: String, host: String, basePath: String): String = {
+    if (u == null) return null
+    if (hostRe.matcher(u).find()) return u // own authority (anchored re)
+    if (host == null) return null
+    if (u.startsWith("/"))
+      return "//" + host + RemoveDotsImpl.remove(u)
+    val bp = if (basePath == null) "/" else basePath
+    if (u.startsWith("?")) return "//" + host + bp + u
+    if (u.startsWith("#")) return "//" + host + bp
+    val dir0 = extract1(baseDirRe, bp)
+    val dir = if (dir0.isEmpty) "/" else dir0
+    "//" + host + RemoveDotsImpl.remove(dir + u)
+  }
+
+  /** HtmlOps.urlPath: an authority-form URL's own path, a
+    * server-relative reference AS its path, anything else none.
+    */
+  def urlPath(u: String): String = {
+    if (u == null) return null
+    if (hostRe.matcher(u).find()) extract1(authPathRe, u)
+    else if (u.startsWith("/")) extract1(relPathRe, u)
+    else ""
+  }
+
+  /** HtmlOps.urlTrapped: char-length cap OR duplicate path segments
+    * beyond the distinct set.
+    */
+  def urlTrapped(u: String, maxLen: Int, maxDupSegs: Int): Boolean = {
+    if (u.length > maxLen) return true
+    val segs = urlPath(u).split("/").filter(_.nonEmpty)
+    (segs.length - segs.distinct.length) > maxDupSegs
+  }
+}
+
+/** `canonical_url(url)` as one codegen'd node. */
+case class CanonicalUrl(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "canonical_url"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      UrlOps.canonicalUrl(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"UTF8String.fromString(" +
+        s"graft.functions.UrlOps.canonicalUrl($c.toString()))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `resolved_url(url, host, base_path)` as one codegen'd node.
+  * Standard null-intolerant ternary semantics: the link chains always
+  * supply non-null host ('' when unparseable) and base path ('' /
+  * '/'), so this matches the when-chain it transcribes on every
+  * reachable input.
+  */
+case class ResolvedUrl(first: Expression, second: Expression,
+                       third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType, StringType, StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "resolved_url"
+
+  override protected def nullSafeEval(u: Any, h: Any, b: Any): Any =
+    UTF8String.fromString(UrlOps.resolvedUrl(
+      u.asInstanceOf[UTF8String].toString,
+      h.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (u, h, b) =>
+      s"UTF8String.fromString(graft.functions.UrlOps.resolvedUrl(" +
+        s"$u.toString(), $h.toString(), $b.toString()))")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `url_trapped(url)` with the caps baked as literals. */
+case class UrlTrapped(child: Expression, maxLen: Int, maxDupSegs: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "url_trapped"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UrlOps.urlTrapped(input.asInstanceOf[UTF8String].toString,
+      maxLen, maxDupSegs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.UrlOps.urlTrapped($c.toString(), $maxLen, $maxDupSegs)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `url_path(url)` as one codegen'd node. */
+case class UrlPath(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "url_path"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      UrlOps.urlPath(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"UTF8String.fromString(graft.functions.UrlOps.urlPath($c.toString()))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -133,7 +133,31 @@ object GraftFunctions {
       (args: Seq[Expression]) => VecDot(args(0), args(1))),
     (FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
-      (args: Seq[Expression]) => RollingHash(args(0))))
+      (args: Seq[Expression]) => RollingHash(args(0))),
+    (FunctionIdentifier("chunked_decode"),
+      new ExpressionInfo(classOf[ChunkedDecode].getName, "chunked_decode"),
+      (args: Seq[Expression]) => ChunkedDecode(args(0))),
+    (FunctionIdentifier("inflate_body"),
+      new ExpressionInfo(classOf[InflateBody].getName, "inflate_body"),
+      (args: Seq[Expression]) => InflateBody(args(0), args(1))),
+    (FunctionIdentifier("gzip_transport"),
+      new ExpressionInfo(classOf[GzipTransport].getName, "gzip_transport"),
+      (args: Seq[Expression]) => GzipTransport(args(0))),
+    (FunctionIdentifier("deflate_transport"),
+      new ExpressionInfo(classOf[DeflateTransport].getName, "deflate_transport"),
+      (args: Seq[Expression]) => DeflateTransport(args(0))),
+    (FunctionIdentifier("remove_dots"),
+      new ExpressionInfo(classOf[RemoveDots].getName, "remove_dots"),
+      (args: Seq[Expression]) => RemoveDots(args(0))),
+    (FunctionIdentifier("canonical_url"),
+      new ExpressionInfo(classOf[CanonicalUrl].getName, "canonical_url"),
+      (args: Seq[Expression]) => CanonicalUrl(args(0))),
+    (FunctionIdentifier("resolved_url"),
+      new ExpressionInfo(classOf[ResolvedUrl].getName, "resolved_url"),
+      (args: Seq[Expression]) => ResolvedUrl(args(0), args(1), args(2))),
+    (FunctionIdentifier("url_path"),
+      new ExpressionInfo(classOf[UrlPath].getName, "url_path"),
+      (args: Seq[Expression]) => UrlPath(args(0))))
 
   /** Idempotent in-session registration. */
   def register(spark: SparkSession): Unit = all.foreach { case (id, info, builder) =>

@@ -845,7 +845,7 @@ object ClusterOps {
       graft.ops.PiiOps.plantedPiiCorpus(documents))
     val pages = graft.ops.HtmlOps.httpFrame(
         graft.ops.HtmlOps.warcFrame(chunks, "warc"))
-      .filter(col("length_ok") && col("http_ok"))
+      .filter(col("length_ok") && col("http_ok") && col("body_ok"))
       .select(col("doc_id"),
         graft.ops.HtmlOps.hostOf(col("target_uri")).as("fetch_host"),
         col("body").as("html"))

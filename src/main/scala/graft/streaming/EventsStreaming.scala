@@ -1061,6 +1061,20 @@ object EventsStreaming {
     *              byte-identical to the text-fed loop, which is
     *              exactly why q210 holds this mode to q203's oracle
     *              verbatim.
+    * @param attempts when set — `(attemptsName, retryTtlS)` — the
+    *              RETRY GATE (q211) runs IN the loop: each wave's
+    *              frontier anti-joins the attempt log's recent
+    *              entries (completed strictly before the wave's own
+    *              clock — replay-safe — and younger than the TTL), and
+    *              every dispatched slot is STAMPED back into the log
+    *              (the q211 table verbatim: the struct-max upsert at
+    *              `now + not_before_s`, the slot's dispatch instant) —
+    *              so a streamed crawl stops re-dispatching fresh
+    *              failures wave after wave, and an attempt that aged
+    *              out competes again (q214 pins defer → age-out →
+    *              re-compete across streamed waves). The wave's clock
+    *              is its own latest WARC-Date — deterministic and
+    *              replay-stable, like the refetch arm's log clock.
     */
   def streamingWarcCrawlLoop(spark: SparkSession, srcDir: String,
                              scope: graft.core.Scope, name: String,
@@ -1068,7 +1082,8 @@ object EventsStreaming {
                              robots: org.apache.spark.sql.DataFrame,
                              outDir: String,
                              checkpointDir: String,
-                             gzip: Boolean = false): Unit = {
+                             gzip: Boolean = false,
+                             attempts: Option[(String, Long)] = None): Unit = {
     val warcSchema =
       if (gzip) StructType(Seq(
         StructField("doc_id", LongType), StructField("warc_gz", BinaryType)))
@@ -1088,7 +1103,7 @@ object EventsStreaming {
         try {
           val bs = framed.sparkSession
           val pages = framed
-            .filter(col("length_ok") && col("http_ok"))
+            .filter(col("length_ok") && col("http_ok") && col("body_ok"))
             .select(col("doc_id"),
               graft.ops.HtmlOps.hostOf(col("target_uri")).as("fetch_host"),
               col("body").as("html"), col("target_uri").as("url"))
@@ -1107,15 +1122,49 @@ object EventsStreaming {
           // the q192 loop's carried dispatch clock (q207)
           val stateDir = scope.path("schedstate")
           val st0 = graft.ops.HtmlOps.loadSchedState(bs, stateDir, batchId)
+          // the wave's CLOCK, when the retry gate is on: its own
+          // latest WARC-Date in epoch seconds — deterministic and
+          // replay-stable (the refetch arm's log-clock convention)
+          val nowS = attempts.map { _ =>
+            // try_to_timestamp: a malformed chunk's empty/garbled
+            // WARC-Date is a null clock sample, never an ANSI parse
+            // exception killing the stream (the verdict contract)
+            val r = framed.agg(max(unix_timestamp(try_to_timestamp(
+              col("warc_date"),
+              lit("yyyy-MM-dd'T'HH:mm:ss'Z'"))))).head()
+            if (r.isNullAt(0)) 0L else r.getLong(0)
+          }
           // BOTH discovery channels per wave (q205): the valid pages'
           // outlinks AND the 3xx fetches' Location targets, from the
           // one persisted framed batch — a moved page's new address
-          // enters the frontier the wave its redirect is seen
-          graft.ops.HtmlOps.scheduleWaveValidated(
+          // enters the frontier the wave its redirect is seen. With
+          // the retry gate on (q214), candidates attempted too
+          // recently DEFER instead of re-dispatching.
+          val frontier = attempts match {
+            case Some((attName, ttlS)) =>
+              graft.ops.HtmlOps.retryGatedFrontierFramed(framed,
+                scope, name, attName, nowS.get, ttlS, ranks, rules)
+            case None =>
               graft.ops.HtmlOps.redirectFrontierFramed(framed,
-                scope, name, ranks, rules),
+                scope, name, ranks, rules)
+          }
+          graft.ops.HtmlOps.scheduleWaveValidated(frontier,
               vDelays, defaultDelayS = 30L, startOffsets = Some(st0))
             .write.mode("overwrite").parquet(s"$outDir/wave=$batchId")
+          // STAMP every dispatched slot into the attempt log — from
+          // the WRITTEN wave (tiny read-back, the advanceSchedState
+          // convention), at its dispatch instant now + offset.
+          // Idempotent under replay by max-merge algebra, like the
+          // fetch-log arm.
+          attempts.foreach { case (attName, _) =>
+            graft.ops.HtmlOps.appendFetchLog(
+              bs.read.parquet(s"$outDir/wave=$batchId")
+                .select(col("url"),
+                  (lit(nowS.get) + col("not_before_s"))
+                    .cast("long").as("fetched_at_s")),
+              scope, attName)
+            ()
+          }
           graft.ops.HtmlOps.saveSchedState(
             graft.ops.HtmlOps.advanceSchedState(
               bs.read.parquet(s"$outDir/wave=$batchId"), st0),

@@ -18,6 +18,17 @@ object GraftPlanBridge {
   def analyzed(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
 
+  /** Column ⇄ Expression for graft's native expressions used through
+    * the Column DSL (vec_dot et al. go through the SQL registry; a
+    * helper taking arbitrary Column arguments needs the direct
+    * wrap — same `private[sql]` door as [[ofRows]]).
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
   /** Idempotently install graft's planner strategy + optimizer rule on
     * an EXISTING session via `experimental` methods — the runtime
     * counterpart of configuring

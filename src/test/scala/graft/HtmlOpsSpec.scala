@@ -652,18 +652,18 @@ class HtmlOpsSpec extends SparkSpec {
     assert(!byCanon.contains(canonOf(115L)))
     // doc 116 (%5 != 0, single fetch at +19h) is due with that time
     val d116 = byCanon(canonOf(116L))
-    assert(d116.getLong(3) === base + 19L * 3600L)
-    assert(d116.getLong(4) === now - (base + 19L * 3600L))
+    assert(d116.getAs[Long]("last_fetch_s") === base + 19L * 3600L)
+    assert(d116.getAs[Long]("age_s") === now - (base + 19L * 3600L))
     // doc 194 (%97 == 0, single fetch at the epoch base) is the
     // oldest possible candidate
-    assert(byCanon(canonOf(194L)).getLong(3) === base)
+    assert(byCanon(canonOf(194L)).getAs[Long]("last_fetch_s") === base)
     // every due key is genuinely stale, and slots order oldest-first
-    out.foreach(r => assert(r.getLong(4) >= 7L * 86400L))
-    out.groupBy(_.getString(2)).foreach { case (_, g) =>
+    out.foreach(r => assert(r.getAs[Long]("age_s") >= 7L * 86400L))
+    out.groupBy(_.getAs[String]("domain")).foreach { case (_, g) =>
       assert(g.length <= 10)
-      val bySlot = g.sortBy(_.getInt(6))
-      assert(bySlot.map(_.getLong(3)).toSeq ===
-        bySlot.map(_.getLong(3)).sorted.toSeq)
+      val bySlot = g.sortBy(_.getAs[Int]("slot"))
+      assert(bySlot.map(_.getAs[Long]("last_fetch_s")).toSeq ===
+        bySlot.map(_.getAs[Long]("last_fetch_s")).sorted.toSeq)
     }
   }
 
@@ -1131,7 +1131,8 @@ class HtmlOpsSpec extends SparkSpec {
     funnel.foreach { r =>
       assert(r.getAs[Long]("n_chunks") >= r.getAs[Long]("n_framed"), r)
       assert(r.getAs[Long]("n_framed") >= r.getAs[Long]("n_http_ok"), r)
-      assert(r.getAs[Long]("n_http_ok") >= r.getAs[Long]("n_page_ok"), r)
+      assert(r.getAs[Long]("n_http_ok") >= r.getAs[Long]("n_body_ok"), r)
+      assert(r.getAs[Long]("n_body_ok") >= r.getAs[Long]("n_page_ok"), r)
     }
     // malformed chunks (no parseable target host) are VISIBLE under
     // the empty domain, with zero survivors of any stage
@@ -1145,11 +1146,18 @@ class HtmlOpsSpec extends SparkSpec {
       ing.filter(col("length_ok")).count())
     assert(funnel.map(_.getAs[Long]("n_http_ok")).sum ===
       ing.filter(col("length_ok") && col("http_ok")).count())
+    // the wire-decode stage: the malformed-chunk leg (%13==12) dies
+    // HERE — 200 text/html but an unreversible body
+    assert(funnel.map(_.getAs[Long]("n_body_ok")).sum ===
+      ing.filter(col("length_ok") && col("http_ok") && col("body_ok"))
+        .count())
+    assert(funnel.map(_.getAs[Long]("n_http_ok")).sum >
+      funnel.map(_.getAs[Long]("n_body_ok")).sum)
     // ... and the page stage equals crawlIngest's verdict over the
     // gated bodies (the warc-corpus page source)
     val pageOk = HtmlOps.crawlIngest(
         HtmlOps.httpFrame(HtmlOps.warcFrame(chunks, "warc"))
-          .filter(col("length_ok") && col("http_ok"))
+          .filter(col("length_ok") && col("http_ok") && col("body_ok"))
           .select(col("doc_id"),
             HtmlOps.hostOf(col("target_uri")).as("fetch_host"),
             col("body").as("html")),
@@ -1408,7 +1416,204 @@ class HtmlOpsSpec extends SparkSpec {
     assert(salvaged.count() === 0, "partial salvage of a corrupt member")
   }
 
-  test("robotsFetches: only a case-exact /robots.txt 200 text/plain updates the policy") {
+  test("conditional refetch (q213): 304 refreshes clock+validator with ZERO content writes; 200 rewrites") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-reval-spec-")
+    try {
+      val sc = graft.core.Scopes.create(spark, base.toString)
+      val docs = graft.io.Tables.parquet(spark, sf, "documents").limit(100)
+      val t0 = 1767225600L
+      val t1 = t0 + 7L * 86400L
+      val framed1 = HtmlOps.httpFrame(HtmlOps.warcFrame(
+          HtmlOps.plantedWarcCorpus(docs), "warc"))
+        .filter(col("length_ok") && col("http_ok") && col("body_ok"))
+      HtmlOps.saveFetchLog(
+        framed1.select(col("target_uri").as("url"),
+          lit(t0).as("fetched_at_s"), col("etag")), sc, "flog")
+      HtmlOps.appendContentVersions(
+        framed1.select(HtmlOps.canonicalUrl(col("target_uri")).as("canon"),
+          col("body"), lit(t0).as("content_fetch_s")),
+        sc.path("content"))
+      // the seeded log CARRIES the validator the dispatcher sends
+      val log0 = HtmlOps.loadFetchLog(spark, sc, "flog")
+      assert(log0.filter(col("etag").rlike("^\"v[0-9]\"$")).count() ===
+        log0.count())
+      // ...and the refetch wave ships it (If-None-Match)
+      val wave = HtmlOps.refetchWaveFromLog(spark, sc, "flog",
+        nowS = t1, ttlS = 86400L, ranks = Seq(("s0.example", 1L))
+          .toDF("domain", "pr"))
+      assert(wave.columns.contains("etag"))
+      assert(wave.filter(col("etag") === "").count() === 0)
+      val nFiles0 = org.apache.commons.io.FileUtils
+        .listFiles(new java.io.File(sc.path("content")),
+          Array("parquet"), true).size
+      // the revalidation wave: 304s (even) + 200 rewrites (odd)
+      val framed2 = HtmlOps.httpFrame(HtmlOps.warcFrame(
+        HtmlOps.plantedRevalidationCorpus(docs), "warc"))
+      // a 304 parses: status, validator, EMPTY body, body_ok
+      val f304 = framed2.filter(col("http_status") === 304)
+      assert(f304.count() > 0)
+      assert(f304.filter(!col("length_ok") || !col("body_ok") ||
+        col("body") =!= "" || !col("etag").rlike("^\"v[0-9]\"$"))
+        .count() === 0)
+      val outcomes = HtmlOps.revalidationOutcomes(framed2, lit(t1))
+      val mod = HtmlOps.applyRevalidation(outcomes, sc, "flog",
+        sc.path("content"))
+      // ONLY modified (200) rows wrote content versions
+      assert(mod.count() ===
+        outcomes.filter(!col("not_modified")).count())
+      // every completed outcome refreshed the clock
+      val log1 = HtmlOps.loadFetchLog(spark, sc, "flog")
+      assert(log1.filter(col("last_fetch_s") =!= t1).count() === 0)
+      // 304-only canons keep wave-1 content BIT-identically and the
+      // appended version count is exactly the 200 set
+      val nFiles1 = org.apache.commons.io.FileUtils
+        .listFiles(new java.io.File(sc.path("content")),
+          Array("parquet"), true).size
+      assert(nFiles1 > nFiles0) // the 200 appends landed...
+      val latest = HtmlOps.latestContent(spark, sc.path("content"))
+      val w1Bodies = framed1
+        .select(HtmlOps.canonicalUrl(col("target_uri")).as("canon"),
+          col("body"))
+        .groupBy(col("canon"))
+        .agg(max(struct(lit(t0).as("content_fetch_s"), col("body")))
+          .as("m"))
+        .select(col("canon"), col("m.body").as("b1"))
+      val onlyEvenCanons = framed2
+        .select(HtmlOps.canonicalUrl(col("target_uri")).as("canon"),
+          (col("http_status") === 304).as("is304"))
+        .groupBy("canon").agg(min(col("is304")).as("all304"))
+        .filter(col("all304"))
+      val kept = latest.join(onlyEvenCanons, "canon")
+        .join(w1Bodies, "canon")
+      assert(kept.count() > 0)
+      assert(kept.filter(col("body") =!= col("b1")).count() === 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
+  test("pruneWaveStates (q209): superseded wave dirs drop, the latest fold survives, restart-safe") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-prune-spec-")
+    try {
+      val dir = base.resolve("schedstate").toString
+      (0L to 3L).foreach { w =>
+        HtmlOps.saveSchedState(
+          Seq(("s0.example", 10L * (w + 1)), ("s1.example", 7L))
+            .toDF("domain", "next_allowed_s"), dir, w)
+      }
+      assert(HtmlOps.pruneWaveStates(spark, dir, keepLatest = 1) ===
+        Seq(0L, 1L, 2L))
+      // only wave=3 remains on disk
+      val left = new java.io.File(dir).listFiles()
+        .map(_.getName).filter(_.startsWith("wave=")).toSeq
+      assert(left === Seq("wave=3"))
+      // a RESTARTED loop (next batch id 4) reads the surviving fold —
+      // wave 3's state already folds waves 0-2, so nothing is lost
+      val st = HtmlOps.loadSchedState(spark, dir, beforeWave = 4L)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(st === Map("s0.example" -> 40L, "s1.example" -> 7L))
+      // idempotent: pruning again drops nothing
+      assert(HtmlOps.pruneWaveStates(spark, dir, keepLatest = 1).isEmpty)
+      // a missing dir is a no-op, not an error
+      assert(HtmlOps.pruneWaveStates(spark,
+        base.resolve("absent").toString).isEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
+  test("urlTrapped (q216): length cap and repeated-segment verdicts; frontier candidates gated") {
+    import spark.implicits._
+    val rows = Seq(
+      ("https://h.example/t/t/t/t/t/t/x", true), // 5 dups > 3
+      ("https://h.example/a/b/a/c", false), // one repeat: legitimate
+      ("https://h.example/" + "a/" * 4 + "b/" * 2, true), // 3+1 dups > 3
+      ("https://h.example/" + "a/" * 3 + "b/" * 2, false), // 2+1 = 3: kept
+      ("https://h.example/" + ("a" * 2101), true), // too long
+      ("https://h.example/p/3", false))
+    val got = rows.map(_._1).toDF("url")
+      .select(HtmlOps.urlTrapped(col("url"))).as[Boolean].collect()
+    rows.map(_._2).zip(got).foreach { case (want, g) =>
+      assert(g === want, rows)
+    }
+  }
+
+  test("removeDotSegments: RFC 3986 §5.2.4 on the bounded fix-point") {
+    import spark.implicits._
+    val cases = Seq(
+      "/a/b/../c" -> "/a/c",
+      "/a/./b" -> "/a/b",
+      "/../a" -> "/a",
+      "/a/.." -> "/",
+      "/a/b/../../c" -> "/c",
+      "/a/b/c/../../../x" -> "/x",
+      "/p/../u/4" -> "/u/4",
+      "/a/." -> "/a/",
+      "/././x" -> "/x",
+      "/../../y" -> "/y",
+      // dotfiles and '...' are ORDINARY segments, not dot-segments
+      "/.well-known/x" -> "/.well-known/x",
+      "/.../x" -> "/.../x",
+      "/a/.hidden/../b" -> "/a/b",
+      // clean paths take the guarded fast path untouched
+      "/p/3" -> "/p/3",
+      "" -> "")
+    val out = cases.map(_._1).toDF("p")
+      .select(HtmlOps.removeDotSegments(col("p"))).as[String].collect()
+    cases.map(_._2).zip(out).foreach { case (want, got) =>
+      assert(got === want, cases)
+    }
+  }
+
+  test("resolvedUrl: RFC 3986 §5.2 merge against the page's real path") {
+    import spark.implicits._
+    val rows = Seq(
+      // (href, basePath, expected)
+      ("d.html", "/p/3", "//h.example/p/d.html"), // page-relative merges
+      ("../u/4", "/p/3", "//h.example/u/4"), // dot segments climb
+      ("../../deep", "/a/b/c", "//h.example/deep"),
+      ("/abs/../x", "/p/3", "//h.example/x"), // server-relative normalizes
+      ("?q=1", "/p/3", "//h.example/p/3?q=1"), // query-only keeps the path
+      ("#sec", "/p/3", "//h.example/p/3"), // fragment-only IS the base
+      ("d.html", "", "//h.example/d.html"), // no base path: root merge
+      ("https://o.example/z", "/p/3", "https://o.example/z"), // authority
+      ("//o.example/z", "/p/3", "//o.example/z"))
+    val out = rows.toDF("u", "bp", "want")
+      .select(HtmlOps.resolvedUrl(col("u"), lit("h.example"),
+        col("bp")).as("got"), col("want"))
+      .collect()
+    out.foreach(r => assert(r.getString(0) === r.getString(1), r))
+    // the two-arg form is the three-arg form at root
+    val two = Seq("d.html").toDF("u")
+      .select(HtmlOps.resolvedUrl(col("u"), lit("h.example")))
+      .as[String].head()
+    assert(two === "//h.example/d.html")
+  }
+
+  test("canonicalUrl: dot-segment spellings share one canon (q12/q174 key contract)") {
+    import spark.implicits._
+    val pairs = Seq(
+      ("https://h.example/a/../b", "https://h.example/b"),
+      ("https://WWW.H.example:443/x/../p/3/", "https://h.example/p/3"),
+      ("//h.example/p/./q", "https://h.example/p/q"))
+    pairs.foreach { case (a, b) =>
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(HtmlOps.canonicalUrl(col("a")),
+          HtmlOps.canonicalUrl(col("b"))).head()
+      assert(got.getString(0) === got.getString(1), (a, b))
+    }
+    // the planted %9==4 dirty-URL leg collapses onto its plain twin
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val dirty = HtmlOps.plantedDirtyUrlCorpus(docs)
+    val withDots = dirty.filter(col("url").contains("/x/.."))
+    assert(withDots.count() > 0)
+    assert(withDots.filter(
+      HtmlOps.canonicalUrl(col("url")).contains("/x")).count() === 0)
+  }
+
+  test("robotsFetches: any case-exact /robots.txt 200 updates the policy, regardless of mime") {
     import spark.implicits._
     def framedOf(chunk: String) = HtmlOps.httpFrame(HtmlOps.warcFrame(
       Seq((1L, chunk)).toDF("doc_id", "warc"), "warc"))
@@ -1419,10 +1624,19 @@ class HtmlOpsSpec extends SparkSpec {
     // are case-sensitive) and must never hijack the domain's policy
     val hijack = good.replace("/robots.txt", "/ROBOTS.TXT")
     assert(HtmlOps.robotsFetches(framedOf(hijack)).count() === 0)
-    // ...nor is an html response at the right path
+    // the media type is NOT a gate (RFC 9309 does not condition on
+    // Content-Type, and real robots ship as text/html or
+    // octet-stream all the time — round-13 ADVICE): a length-correct
+    // response at the exact path updates the policy whatever it
+    // claims to be. 'text/htmpl' keeps the payload length identical
+    // to the chunk's declared Content-Length.
     val wrongMime = good.replace("Content-Type: text/plain",
-      "Content-Type: text/html")
-    assert(HtmlOps.robotsFetches(framedOf(wrongMime)).count() === 0)
+      "Content-Type: text/htmpl")
+    assert(HtmlOps.robotsFetches(framedOf(wrongMime)).count() === 1)
+    // ...but an octet-LYING response (truncated body) still drops:
+    // policy updates ride only verified fetches
+    val truncated = good.substring(0, good.length - 12)
+    assert(HtmlOps.robotsFetches(framedOf(truncated)).count() === 0)
   }
 
   test("redirectFrontier (q205): redirect targets win slots only through their channel") {
@@ -1435,15 +1649,21 @@ class HtmlOpsSpec extends SparkSpec {
       // the mature-crawl key set: valid fetches AND everything they
       // link — the outlink channel is exhausted, so discovery can
       // come only from redirects
-      val validPages = framed.filter(col("length_ok") && col("http_ok"))
+      val validPages = framed.filter(col("length_ok") && col("http_ok") &&
+        col("body_ok"))
+      // the seed resolves links EXACTLY like the frontier channel —
+      // base-path merge + dot removal — or the m0 relative legs would
+      // leave the outlink channel un-exhausted
       val linked = HtmlOps.htmlOutlinks(
           validPages.select(col("doc_id"),
             HtmlOps.hostOf(col("target_uri")).as("fetch_host"),
+            HtmlOps.urlPath(col("target_uri")).as("base_path"),
             col("body").as("html")),
-          baseHostCol = Some("fetch_host"))
+          baseHostCol = Some("fetch_host"), keep = Seq("base_path"))
         .filter(col("host") =!= "")
         .select(col("doc_id"),
-          HtmlOps.resolvedUrl(col("url"), col("host")).as("url"))
+          HtmlOps.resolvedUrl(col("url"), col("host"), col("base_path"))
+            .as("url"))
       HtmlOps.saveUrlKeys(
         validPages.select(col("doc_id"), col("target_uri").as("url"))
           .unionByName(linked),
@@ -1465,9 +1685,10 @@ class HtmlOpsSpec extends SparkSpec {
       val pages = validPages
         .select(col("doc_id"),
           HtmlOps.hostOf(col("target_uri")).as("fetch_host"),
+          HtmlOps.urlPath(col("target_uri")).as("base_path"),
           col("body").as("html"))
       val outlinkOnly = HtmlOps.politeFrontier(pages, sc, "keys", ranks,
-        rules).collect()
+        rules, basePathCol = Some("base_path")).collect()
       assert(outlinkOnly.isEmpty)
       // every wave row IS a redirect target
       assert(wave.nonEmpty &&

@@ -1,0 +1,246 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.HttpCodec
+import graft.ops.HtmlOps
+
+/** The wire-codec layer behind the crawl front door: RFC 9112 §7.1
+  * chunked decoding (length-driven, extension/trailer tolerant,
+  * truncation = null verdict), RFC 1952 multi-member gzip with
+  * structural CRC/ISIZE verification, and Content-Encoding reversal —
+  * plus the httpFrame seam wiring (decode order, body_ok verdict,
+  * quoted charset, legacy-charset fallback).
+  */
+class HttpCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dechunk(s: String): String = HttpCodec.dechunkString(s)
+
+  test("dechunk: length-driven decoding survives hex-looking lines in chunk data") {
+    // chunk data contains "1A\r\n" — a line-sniffing de-chunker would
+    // misread it as a size line; the declared lengths say otherwise
+    val data1 = "abc\r\n1A\r\nxyz" // 12 chars
+    val msg = "c\r\n" + data1 + "\r\n" + "3\r\n" + "def" + "\r\n0\r\n\r\n"
+    assert(dechunk(msg) === data1 + "def")
+  }
+
+  test("dechunk: chunk extensions are skipped, either hex case accepted") {
+    val msg = "A;name=\"v\"\r\n0123456789\r\n" + "a\r\nabcdefghij\r\n0\r\n\r\n"
+    assert(dechunk(msg) === "0123456789abcdefghij")
+  }
+
+  test("dechunk: trailer fields after the zero chunk are skipped") {
+    val msg = "5\r\nhello\r\n0\r\nX-Checksum: abc\r\nX-Other: 1\r\n\r\n"
+    assert(dechunk(msg) === "hello")
+  }
+
+  test("dechunk: epilogue tolerance — warcFrame's trailing-CRLF strip") {
+    // the record-framing strip eats trailing CRLFs; end-of-input is
+    // legal anywhere in the epilogue (after the terminal size line)
+    assert(dechunk("5\r\nhello\r\n0") === "hello")
+    assert(dechunk("5\r\nhello\r\n0\r\n") === "hello")
+    assert(dechunk("5\r\nhello\r\n0\r\nX-Tr: 1") === "hello")
+  }
+
+  test("dechunk: truncated data and malformed sizes are null verdicts") {
+    assert(dechunk("10\r\nshort") === null) // declares 16, has 5
+    assert(dechunk("5\r\nhello") === null) // data with no terminal chunk
+    assert(dechunk("zz\r\nhello\r\n0") === null) // not hex
+    assert(dechunk("\r\nhello") === null) // no size at all
+    assert(dechunk("5 \r\nhello\r\n0") === null) // junk after size
+    assert(dechunk("5\r\nhelloXX0\r\n\r\n") === null) // missing data CRLF
+    assert(dechunk("") === null) // no terminal chunk
+  }
+
+  test("inflateMembers: multi-member round trip and structural verification") {
+    def gz(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("ISO-8859-1")); g.close()
+      bos.toByteArray
+    }
+    val a = gz("record one\r\n")
+    val b = gz("record two\r\n")
+    assert(new String(HttpCodec.inflateMembers(a ++ b), "ISO-8859-1") ===
+      "record one\r\nrecord two\r\n")
+    // empty input is the empty chunk, not a verdict
+    assert(HttpCodec.inflateMembers(Array.emptyByteArray).length === 0)
+    // truncated FINAL member — including one shorter than the JDK's
+    // 26-byte readahead (the round-13 ADVICE case the residue
+    // heuristic read as clean): structural walk rejects both
+    assert(HttpCodec.inflateMembers(a ++ b.take(b.length - 1)) === null)
+    assert(HttpCodec.inflateMembers(a ++ b.take(12)) === null)
+    // corrupt mid-stream header
+    val mid = a ++ Array[Byte](0x1f.toByte, 0x00.toByte) ++ b
+    assert(HttpCodec.inflateMembers(mid) === null)
+    // a LYING trailer: flip a CRC byte
+    val bad = (a ++ b).clone()
+    bad(a.length + b.length - 5) = (bad(a.length + b.length - 5) ^ 0x7).toByte
+    assert(HttpCodec.inflateMembers(bad) === null)
+    // not gzip at all
+    assert(HttpCodec.inflateMembers("WARC/1.0".getBytes("ISO-8859-1")) === null)
+    // FNAME/FCOMMENT/FEXTRA optional header fields parse per RFC 1952
+    val withName = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val raw = gz("named")
+      // splice an FNAME field in: set FLG bit 3 and insert the name
+      bos.write(raw, 0, 3); bos.write(8); bos.write(raw, 4, 6)
+      bos.write("file.txt".getBytes("ISO-8859-1")); bos.write(0)
+      bos.write(raw, 10, raw.length - 10)
+      bos.toByteArray
+    }
+    assert(new String(HttpCodec.inflateMembers(withName), "ISO-8859-1") ===
+      "named")
+  }
+
+  test("inflate_body: gzip, deflate (both wrappings), identity, unknown") {
+    graft.functions.GraftFunctions.register(spark)
+    val plain = "hello <b>body</b> with bytes"
+    val rows = Seq(plain).toDF("p")
+      .withColumn("g", expr("gzip_transport(p)"))
+      .withColumn("d", expr("deflate_transport(p)"))
+      .select(
+        expr("inflate_body(g, 'gzip')").as("ig"),
+        expr("inflate_body(g, 'x-gzip')").as("ixg"),
+        expr("inflate_body(d, 'deflate')").as("id"),
+        expr("inflate_body(p, '')").as("ii"),
+        expr("inflate_body(p, 'identity')").as("iid"),
+        expr("inflate_body(p, 'br')").as("ibr"),
+        expr("inflate_body(p, 'gzip')").as("inot"))
+      .head()
+    assert(rows.getString(0) === plain)
+    assert(rows.getString(1) === plain)
+    assert(rows.getString(2) === plain)
+    assert(rows.getString(3) === plain)
+    assert(rows.getString(4) === plain)
+    assert(rows.isNullAt(5)) // undecodable coding: verdict
+    assert(rows.isNullAt(6)) // declared gzip, plain bytes: verdict
+    // bare (zlib-less) deflate — what real servers ship under the
+    // 'deflate' token — also inflates
+    val raw = {
+      val d = new java.util.zip.Deflater(-1, true)
+      d.setInput(plain.getBytes("ISO-8859-1")); d.finish()
+      val buf = new Array[Byte](1024)
+      val n = d.deflate(buf); d.end()
+      new String(buf.take(n), "ISO-8859-1")
+    }
+    val r2 = Seq(raw).toDF("r")
+      .select(expr("inflate_body(r, 'deflate')")).head()
+    assert(r2.getString(0) === plain)
+  }
+
+  test("httpFrame: chunked legs decode length-driven, malformed chunk is a body_ok verdict") {
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val out = HtmlOps.warcIngest(HtmlOps.plantedWarcCorpus(docs))
+      .withColumn("m", col("doc_id") % 13)
+    // the chunked leg frames, gates, AND decodes: its extracted text
+    // carries the planted trap tokens ("ck 1A 9 zz") as TEXT — the
+    // hex-looking line inside chunk data never became framing
+    assert(out.filter(col("m") === 6).count() > 0)
+    assert(out.filter(col("m") === 6 && (!col("length_ok") ||
+      !col("http_ok") || !col("body_ok"))).count() === 0)
+    assert(out.filter(col("m") === 6 &&
+      !col("text_clean").contains("ck 1A 9 zz")).count() === 0)
+    // chunk-size lines never leak into extracted text
+    assert(out.filter(col("m") === 6 &&
+      col("text_clean").rlike("(^|[ ])10;x=1([ ]|$)")).count() === 0)
+    // the malformed-chunk leg: framed and 200 text/html, but the body
+    // cannot be trusted — body_ok false, null body, never an exception
+    assert(out.filter(col("m") === 12).count() > 0)
+    assert(out.filter(col("m") === 12 && (!col("length_ok") ||
+      !col("http_ok") || col("body_ok"))).count() === 0)
+    assert(out.filter(col("m") === 12 && col("text_clean").isNotNull)
+      .count() === 0)
+    // every non-wire-coded leg keeps body_ok = true wherever a body
+    // exists (the missing-response leg has none)
+    assert(out.filter(!col("m").isin(3, 12) && !col("body_ok"))
+      .count() === 0)
+  }
+
+  test("httpFrame: quoted charset unquotes and decodes; unknown charset keeps byte identity") {
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val out = HtmlOps.warcIngest(HtmlOps.plantedWarcCorpus(docs))
+      .withColumn("m", col("doc_id") % 13)
+    // charset="utf-8" (quoted) extracts unquoted and decodes the C3A9
+    // pair exactly like the bare spelling
+    assert(out.filter(col("m") === 10 && col("charset") =!= "utf-8")
+      .count() === 0)
+    assert(out.filter(col("m") === 10 &&
+      !col("text_clean").contains("résumé café")).count() === 0)
+    // a DECLARED legacy charset whose bytes happen to pass the UTF-8
+    // DFA must NOT be decoded as UTF-8 — byte identity preserved
+    val legacyPay = "HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=windows-1252\r\n\r\n" +
+      "<p>cafÃ©</p>" // C3 A9 as latin-1 chars
+    val legacy = Seq((1L, legacyPay)).toDF("doc_id", "pay")
+      .withColumn("warc", concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\n" +
+          "WARC-Target-URI: https://h.example/x\r\n" +
+          "WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: "),
+        octet_length(col("pay")).cast("string"), lit("\r\n\r\n"),
+        col("pay"), lit("\r\n\r\n")))
+      .select(col("doc_id"), col("warc"))
+    val lg = HtmlOps.warcIngest(legacy).head()
+    assert(lg.getAs[String]("charset") === "windows-1252")
+    // stays the two bytes, never the single decoded é
+    assert(lg.getAs[String]("text_clean").contains("cafÃ©"))
+    // the ETag validator is captured quotes-and-all on planted legs
+    assert(out.filter(col("m") === 0 &&
+      col("etag") =!= concat(lit("\"v"), col("doc_id") % 9, lit("\"")))
+      .count() === 0)
+  }
+
+  test("httpFrame: Content-Encoding gzip/deflate bodies inflate before the charset seam") {
+    graft.functions.GraftFunctions.register(spark)
+    // a gzip body whose INFLATED bytes are the utf-8 C3A9 pair under a
+    // declared utf-8 charset: inflate must run FIRST or the charset
+    // decode sees compressed bytes (mojibake / DFA failure)
+    def chunk(enc: String, bodyExpr: String): org.apache.spark.sql.DataFrame =
+      Seq(1L).toDF("doc_id")
+        .withColumn("body_wire", expr(bodyExpr))
+        .withColumn("pay", concat(
+          lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+            s"Content-Encoding: $enc\r\n\r\n"), col("body_wire")))
+        .withColumn("warc", concat(
+          lit("WARC/1.0\r\nWARC-Type: response\r\n" +
+            "WARC-Target-URI: https://h.example/x\r\n" +
+            "WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: "),
+          octet_length(col("pay")).cast("string"), lit("\r\n\r\n"),
+          col("pay"), lit("\r\n\r\n")))
+        .select(col("doc_id"), col("warc"))
+    val plain = "'<p>caf' || chr(195) || chr(169) || '</p>'"
+    val g = HtmlOps.warcIngest(chunk("gzip", s"gzip_transport($plain)")).head()
+    assert(g.getAs[Boolean]("body_ok"))
+    assert(g.getAs[String]("text_clean") === "café")
+    val d = HtmlOps.warcIngest(
+      chunk("deflate", s"deflate_transport($plain)")).head()
+    assert(d.getAs[Boolean]("body_ok"))
+    assert(d.getAs[String]("text_clean") === "café")
+    // an undecodable coding is a verdict, not an exception
+    val u = HtmlOps.warcIngest(chunk("br", plain)).head()
+    assert(!u.getAs[Boolean]("body_ok"))
+    assert(u.isNullAt(u.fieldIndex("text_clean")))
+    // a corrupt gzip stream under a declared gzip coding: verdict
+    val c = HtmlOps.warcIngest(chunk("gzip", plain)).head()
+    assert(!c.getAs[Boolean]("body_ok"))
+  }
+
+  test("gunzipWarcChunks: structural verdicts replace the residue heuristic") {
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+      .limit(50)
+    val gz = HtmlOps.plantedGzipWarcCorpus(docs)
+    // clean round trip: decompress-then-frame ≡ frame (bit-identical)
+    val a = HtmlOps.warcIngest(HtmlOps.gunzipWarcChunks(gz))
+    val b = HtmlOps.warcIngest(HtmlOps.plantedWarcCorpus(docs))
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+    // a truncated final member SHORTER than the JDK's 26-byte
+    // readahead: the old heuristic read it as clean; the structural
+    // walk yields the empty-chunk verdict (no records, counted)
+    val truncated = gz.select(col("doc_id"),
+      expr("substring(warc_gz, 1, octet_length(warc_gz) - 8)").as("warc_gz"))
+    val t = HtmlOps.warcIngest(HtmlOps.gunzipWarcChunks(truncated))
+    assert(t.filter(col("n_records") > 0).count() === 0)
+    assert(t.count() === 50) // verdict rows, not dropped rows
+  }
+}

@@ -354,6 +354,73 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamed retry gate (q214): defer, age out, re-compete; restart is a no-op") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft-retryloop-")
+    try {
+      val scope = graft.core.Scopes.create(spark, base.toString)
+      val chunks = graft.ops.HtmlOps.plantedWarcCorpus(docs)
+      val valid = graft.ops.HtmlOps.httpFrame(
+          graft.ops.HtmlOps.warcFrame(chunks, "warc"))
+        .filter(col("length_ok") && col("http_ok") && col("body_ok"))
+        .select(col("doc_id"), col("target_uri").as("url"))
+      graft.ops.HtmlOps.saveUrlKeys(
+        valid.filter(col("doc_id") < 250), scope, "keys")
+      graft.ops.HtmlOps.saveFetchLog(
+        Seq.empty[(String, Long)].toDF("url", "fetched_at_s"),
+        scope, "attempts")
+      val ranks = graft.ops.GraphOps.domainRank(graft.ops.HtmlOps
+        .domainEdges(graft.ops.HtmlOps.plantedHtmlCorpus(docs)))
+      val slice = chunks.select(col("doc_id"), col("warc"))
+        .filter(col("doc_id") >= 250 && col("doc_id") < 375)
+      def redate(d: String) = slice.withColumn("warc",
+        regexp_replace(col("warc"), "(?m)^WARC-Date: [^\\r\\n]+",
+          "WARC-Date: " + d))
+      graft.streaming.EventsStreaming.writeWaveFile(
+        redate("2026-02-01T00:00:00Z"), scope.path("stream-src"), 0)
+      graft.streaming.EventsStreaming.writeWaveFile(
+        redate("2026-02-03T00:00:00Z"), scope.path("stream-src"), 1)
+      graft.streaming.EventsStreaming.writeWaveFile(
+        redate("2026-02-08T00:00:00Z"), scope.path("stream-src"), 2)
+      def run(): Unit =
+        graft.streaming.EventsStreaming.streamingWarcCrawlLoop(spark,
+          scope.path("stream-src"), scope, "keys", ranks,
+          graft.ops.HtmlOps.plantedRobotsTxt(spark),
+          scope.path("waves"), scope.path("ckpt"),
+          attempts = Some(("attempts", 3L * 86400L)))
+      run()
+      val waves = spark.read.parquet(scope.path("waves"))
+      def canons(w: Int) = waves.filter(col("wave") === w)
+        .select("canon").as[String].collect().toSet
+      val (c0, c1, c2) = (canons(0), canons(1), canons(2))
+      // DEFER: wave 1 (2 days later, TTL 3 days) re-dispatches NONE
+      // of wave 0's stamped canons — its slots go to the cap losers
+      assert(c0.nonEmpty)
+      assert((c0 & c1).isEmpty)
+      // AGE OUT + RE-COMPETE: by wave 2 every stamp (wave 0's at +7d,
+      // wave 1's at +5d) is stale, so the original winners are back
+      assert(c2 === c0)
+      // the attempt log carries every dispatched slot at its
+      // dispatch instant (clock = the wave's latest WARC-Date)
+      val att = graft.ops.HtmlOps.loadFetchLog(spark, scope, "attempts")
+      assert(att.count() > 0)
+      val feb1 = 1769904000L // 2026-02-01T00:00:00Z
+      assert(att.filter(col("last_fetch_s") < feb1).count() === 0)
+      // restart on the same checkpoint replays nothing: waves and
+      // attempt log byte-identical (the strictly-before-now gate is
+      // what keeps a replayed wave from deferring its own stamps)
+      def snap() = (waves.collect().map(_.toString).sorted.toSeq,
+        att.collect().map(_.toString).sorted.toSeq)
+      val before = snap()
+      run()
+      assert(snap() === before)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("streaming crawl loop (q192): waves match their batch replay; restart is a no-op") {
     import org.apache.spark.sql.functions._
     val docs = graft.io.Tables.parquet(spark, sf, "documents")
