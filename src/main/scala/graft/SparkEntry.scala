@@ -1916,6 +1916,15 @@ object SparkEntry {
         .select(col("doc_id"), col("url"),
           length(col("url")).cast("long").as("n_chars"),
           HtmlOps.urlTrapped(col("url")).as("trapped"))),
+    // post-decode length cross-check (q217): a declared Content-Length
+    // vs the framed body's wire length — the only gate that catches a
+    // TRUNCATED IDENTITY body (frames, 200 text/html, decodes: every
+    // other gate passes it); ignored under a Transfer-Encoding per
+    // RFC 9112 §6.3 (the deliberately-lying chunked leg must NOT fire)
+    "q217_body_length_check" -> ((s, dir) => HtmlOps.httpFrame(
+        HtmlOps.plantedLengthMessages(t(s, dir, "documents")))
+      .select(col("doc_id"), col("http_content_length"),
+        col("transfer_encoding"), col("body_ok"), col("body_len_ok"))),
   )
 
   private val q192Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -2117,12 +2126,18 @@ object SparkEntry {
     val t0 = 1767225600L
     val t1 = t0 + 7L * 86400L
     val scope = cachedScope(q213Scopes, s, dir, "graft-q213-") { sc =>
+      // pinned once: the seed wave feeds BOTH the fetch log and the
+      // content store (round-14 verdict #1 — q213 paid the full
+      // framing + wire decode per consumer)
       val framed1 = HtmlOps.httpFrame(HtmlOps.warcFrame(
           HtmlOps.plantedWarcCorpus(docs), "warc"))
         .filter(col("length_ok") && col("http_ok") && col("body_ok"))
+        .select(col("doc_id"), col("target_uri"), col("etag"),
+          col("last_modified"), col("body"))
+        .localCheckpoint(eager = true)
       HtmlOps.saveFetchLog(
         framed1.select(col("target_uri").as("url"),
-          lit(t0).as("fetched_at_s"), col("etag")),
+          lit(t0).as("fetched_at_s"), col("etag"), col("last_modified")),
         sc, "fetchlog")
       HtmlOps.appendContentVersions(
         framed1.select(
@@ -2139,6 +2154,7 @@ object SparkEntry {
       .join(HtmlOps.latestContent(s, scope.path("content")),
         Seq("canon"), "left")
       .select(col("canon"), col("url"), col("last_fetch_s"), col("etag"),
+        col("last_modified"),
         md5(encode(coalesce(col("body"), lit("")), "UTF-8"))
           .as("content_md5"))
   }
@@ -2278,9 +2294,15 @@ object SparkEntry {
     val docs = t(s, dir, "documents")
     val chunks = HtmlOps.plantedWarcCorpus(docs)
     val scope = cachedScope(q205Scopes, s, dir, "graft-q205-") { sc =>
+      // pinned once: the seed reads the framed archive through TWO
+      // derivations (valid target URIs + resolved outlinks) — without
+      // the pin each re-runs framing + wire decode from the scan
+      // (round-14 verdict #1)
       val framed = HtmlOps.httpFrame(HtmlOps.warcFrame(chunks, "warc"))
         .filter(col("length_ok") && col("http_ok") &&
           col("body_ok"))
+        .select(col("doc_id"), col("target_uri"), col("body"))
+        .localCheckpoint(eager = true)
       val valid = framed.select(col("doc_id"), col("target_uri").as("url"))
       // the seed resolves links EXACTLY as the frontier channel does
       // (base-path merge + dot removal) — a seed resolved differently
@@ -4985,6 +5007,7 @@ object SparkEntry {
     "q215_sitemap_tree" -> q197Sql,
     // the trap verdict replayed per planted row
     "q216_trap_guard" -> q216Sql,
+    "q217_body_length_check" -> q217Sql,
     // redirect-aware frontier: both discovery channels replayed from
     // the regenerated chunk bytes into one candidate aggregation
     "q205_redirect_frontier" -> q205Sql,
@@ -5039,29 +5062,34 @@ object SparkEntry {
     */
   /** The WARC GENERATION + FRAMING CTEs shared by q184 and q186:
     * from `<src>` rows (doc_id, pay — the payload bytes) regenerate
-    * the planted chunk byte-identically (request record; malformed
+    * the planted chunk's RESPONSE RECORD byte-identically (malformed
     * legs on doc_id%13 ∈ {3, 7, 11}; octet-exact Content-Length via
-    * strlen) and re-frame it exactly as HtmlOps.warcFrame does —
-    * ending in `${pfx}fr` (doc_id, n_records, target_uri, warc_date,
-    * content_length, payload).
+    * strlen) — ending in `${pfx}fr` (doc_id, n_records, target_uri,
+    * warc_date, content_length, payload).
+    *
+    * The record is CONSTRUCTED, not split back out of the chunk: the
+    * Spark side now frames strictly by Content-Length
+    * (graft.functions.WarcSplitImpl), under which the %19==13 trap
+    * leg — a payload QUOTING the `WARC/1.0` version line — frames as
+    * one record; a split mirror would mis-split it exactly the way
+    * the round-14 engine did. Construction equals the strict walk by
+    * definition on every planted chunk (request + response, request
+    * only on %13==3), and n_records is the same count the walk
+    * reaches: 2, or 1 for the request-only leg.
     */
   private def duckWarcChain(src: String, pfx: String): String = {
     val cr = "\r\n"
-    s"""${pfx}req AS (SELECT doc_id, pay, concat(
-       |  'WARC/1.0$cr', 'WARC-Type: request$cr',
-       |  'WARC-Target-URI: https://w', cast(doc_id % 7 as varchar), '.s',
-       |  cast(doc_id % 5 as varchar), '.example/p/',
-       |  cast(doc_id % 11 as varchar), '$cr',
-       |  'Content-Length: 0$cr', '$cr', '$cr') AS reqrec FROM $src),
-       |${pfx}wch AS (SELECT doc_id, reqrec ||
-       |  CASE WHEN doc_id % 13 = 3 THEN ''
+    s"""${pfx}resp AS (SELECT doc_id,
+       |  CAST(CASE WHEN doc_id % 13 = 3 THEN 1 ELSE 2 END AS BIGINT)
+       |    AS n_records,
+       |  CASE WHEN doc_id % 13 = 3 THEN NULL
        |       WHEN doc_id % 13 = 11 THEN concat(
-       |  'WARC/1.0$cr', 'WARC-Type: response$cr',
+       |  'WARC-Type: response$cr',
        |  'WARC-Target-URI: https://w', cast(doc_id % 7 as varchar), '.s',
        |  cast(doc_id % 5 as varchar), '.example/p/',
        |  cast(doc_id % 11 as varchar), '$cr', 'WARC-Da')
        |       ELSE concat(
-       |  'WARC/1.0$cr', 'WARC-Type: response$cr',
+       |  'WARC-Type: response$cr',
        |  'WARC-Target-URI: https://w', cast(doc_id % 7 as varchar), '.s',
        |  cast(doc_id % 5 as varchar), '.example/p/',
        |  cast(doc_id % 11 as varchar), '$cr',
@@ -5070,14 +5098,7 @@ object SparkEntry {
        |  'Content-Length: ', cast(strlen(pay)
        |    + CASE WHEN doc_id % 13 = 7 THEN 7 ELSE 0 END as varchar),
        |  '$cr', '$cr',
-       |  pay, '$cr', '$cr') END AS warc FROM ${pfx}req),
-       |${pfx}recs AS (SELECT doc_id,
-       |  list_filter(regexp_split_to_array(warc, 'WARC/1\\.0$cr'),
-       |    r -> trim(r) <> '') AS live FROM ${pfx}wch),
-       |${pfx}resp AS (SELECT doc_id, CAST(len(live) AS BIGINT) AS n_records,
-       |  list_extract(list_filter(live, r ->
-       |    regexp_extract(r, '(?m)^WARC-Type: ([^$cr]+)', 1) = 'response'), 1)
-       |    AS rec FROM ${pfx}recs),
+       |  pay, '$cr', '$cr') END AS rec FROM $src),
        |${pfx}fr AS (SELECT doc_id, n_records,
        |  regexp_extract(rec, '(?m)^WARC-Target-URI: ([^$cr]+)', 1) AS target_uri,
        |  regexp_extract(rec, '(?m)^WARC-Date: ([^$cr]+)', 1) AS warc_date,
@@ -5112,6 +5133,12 @@ object SparkEntry {
        |         '<a href="../u/', cast(doc_id % 11 AS varchar),
        |         '">Up</a><a href="d', cast(doc_id % 7 AS varchar),
        |         '.html">Rel</a>')
+       |       ELSE '' END ||
+       |    CASE WHEN doc_id % 19 = 13
+       |       THEN '<p>see WARC/1.0${cr}WARC-Type: response${cr}quoted archive</p>'
+       |       ELSE '' END ||
+       |    CASE WHEN doc_id % 13 = 4 AND doc_id % 2 = 0
+       |       THEN '<p>smart q en café</p>'
        |       ELSE '' END AS bp FROM $src),
        |$out AS (SELECT doc_id,
        |  CASE WHEN doc_id % 13 = 12 THEN NULL ELSE bp END AS body_plain,
@@ -5128,6 +5155,8 @@ object SparkEntry {
        |    ELSE concat('/r/', cast(doc_id % 11 AS varchar)) END, '$cr')
        |    ELSE '' END,
        |  CASE WHEN doc_id % 13 = 5 THEN 'Content-Type: text/plain$cr'
+       |       WHEN doc_id % 13 = 4 AND doc_id % 2 = 0
+       |         THEN 'CONTENT-TYPE: text/html; charset=windows-1252$cr'
        |       WHEN doc_id % 13 = 4
        |         THEN 'CONTENT-TYPE: text/html; charset=utf-8$cr'
        |       WHEN doc_id % 13 = 9
@@ -5137,13 +5166,18 @@ object SparkEntry {
        |       ELSE 'Content-Type: text/html; charset=utf-8$cr' END,
        |  CASE WHEN doc_id % 13 IN (6, 12)
        |       THEN 'Transfer-Encoding: chunked$cr' ELSE '' END,
-       |  'ETag: "v', cast(doc_id % 9 AS varchar), '"$cr',
+       |  CASE WHEN doc_id % 10 = 4 THEN ''
+       |       ELSE concat('ETag: "v', cast(doc_id % 9 AS varchar), '"$cr')
+       |       END,
+       |  'Last-Modified: Mon, ',
+       |  lpad(cast(doc_id % 28 + 1 AS varchar), 2, '0'),
+       |  ' Jan 2026 00:00:00 GMT$cr',
        |  '$cr',
        |  CASE WHEN doc_id % 13 = 6 THEN concat(
        |         CASE WHEN doc_id % 2 = 1 THEN '10;x=1$cr'
        |              ELSE '10$cr' END,
        |         substr(bp, 1, 16), '$cr',
-       |         to_hex(strlen(bp) - 16), '$cr',
+       |         to_hex(length(bp) - 16), '$cr',
        |         substr(bp, 17), '$cr', '0',
        |         CASE WHEN doc_id % 2 = 0 THEN '${cr}X-Tr: 1'
        |              ELSE '' END)
@@ -5165,6 +5199,11 @@ object SparkEntry {
     */
   private def duckHttpFrame(pfx: String, paySrc: String): String = {
     val cr = "\r\n"
+    // the planted windows-1252 C1 bytes as SQL literals (unicode
+    // escapes here so the invisible control chars are reviewable)
+    val cpQ91 = "'\u0091'"; val cpQ92 = "'\u0092'"
+    val cpQ93 = "'\u0093'"; val cpQ94 = "'\u0094'"
+    val cpQ96 = "'\u0096'"; val cpQ97 = "'\u0097'"
     // MATERIALIZED, and body in a second CTE, not lateral aliases:
     // DuckDB expands same-SELECT alias references as macros AND
     // inlines single-use CTEs transitively, so the decode CASE
@@ -5215,6 +5254,15 @@ object SparkEntry {
        |      '(?m)^(?i:etag):[ \\t]*([^$cr]+)', 1))
        |    ELSE '' END AS etag,
        |  CASE WHEN regexp_matches(f.payload, '^HTTP/1\\.[01] [0-9]{3}')
+       |    THEN trim(regexp_extract(
+       |      CASE WHEN regexp_extract(f.payload, '(?s)^(.*?)$cr$cr', 1) = ''
+       AND regexp_extract(f.payload,
+         '^HTTP/1\\.[01] ([0-9]{3})', 1) IN ('204', '304')
+       THEN f.payload
+       ELSE regexp_extract(f.payload, '(?s)^(.*?)$cr$cr', 1) END,
+       |      '(?m)^(?i:last-modified):[ \\t]*([^$cr]+)', 1))
+       |    ELSE '' END AS last_modified,
+       |  CASE WHEN regexp_matches(f.payload, '^HTTP/1\\.[01] [0-9]{3}')
        |    THEN lower(trim(regexp_extract(
        |      CASE WHEN regexp_extract(f.payload, '(?s)^(.*?)$cr$cr', 1) = ''
        AND regexp_extract(f.payload,
@@ -5251,11 +5299,13 @@ object SparkEntry {
        |-- the decode seam, closed over the FIXTURE's byte vocabulary:
        |-- the only non-ASCII utf-8-declared bytes the planted corpus
        |-- ships are the C3 A9 pairs (latin-1 'Ã©'), which decode to
-       |-- 'é'; latin-1-declared bodies are already their characters,
-       |-- and any OTHER declared charset keeps the byte-identity
-       |-- reading (DuckDB cannot reinterpret arbitrary bytes, so the
-       |-- general DFA-guarded decode collapses to this replace on the
-       |-- legs)
+       |-- 'é'; latin-1-declared bodies are already their characters;
+       |-- windows-1252 bodies carry exactly the six planted C1 bytes
+       |-- (smart quotes, curly apostrophes, en/em dashes), replaced to
+       |-- the codepoints the codepage means; any OTHER declared
+       |-- charset keeps the byte-identity reading (DuckDB cannot
+       |-- reinterpret arbitrary bytes, so the general decode collapses
+       |-- to these replaces on the legs)
        |${pfx}ht AS (SELECT *,
        |  (body_framed IS NOT NULL) AS body_ok,
        |  CASE WHEN NOT regexp_matches(payload, '^HTTP/1\\.[01] [0-9]{3}')
@@ -5264,6 +5314,10 @@ object SparkEntry {
        |      THEN body_framed
        |    WHEN charset IN ('utf-8', 'utf8', '')
        |      THEN replace(body_framed, 'Ã©', 'é')
+       |    WHEN charset IN ('windows-1252', 'cp1252')
+       |      THEN replace(replace(replace(replace(replace(replace(
+       |        body_framed, $cpQ91, '‘'), $cpQ92, '’'), $cpQ93, '“'),
+       |        $cpQ94, '”'), $cpQ96, '–'), $cpQ97, '—')
        |    ELSE body_framed END AS body
        |  FROM ${pfx}ht1)""".stripMargin
   }
@@ -5276,7 +5330,7 @@ object SparkEntry {
        |${duckHttpFrame("", "pp")},
        |xb AS (SELECT doc_id, n_records, target_uri, warc_date,
        |  content_length, payload, http_status, mime, redirect_to,
-       |  charset, etag, body_ok, body,
+       |  charset, etag, last_modified, body_ok, body,
        |  regexp_replace(regexp_replace(regexp_replace(body,
        |    '(?s)<[Hh][Ee][Aa][Dd]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Hh][Ee][Aa][Dd]>', ' ', 'g'),
        |    '(?s)<[Ss][Cc][Rr][Ii][Pp][Tt]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Ss][Cc][Rr][Ii][Pp][Tt]>', ' ', 'g'),
@@ -5292,7 +5346,7 @@ object SparkEntry {
        |  http_status, mime,
        |  coalesce(http_status = 200 AND mime = 'text/html', false)
        |    AS http_ok,
-       |  redirect_to, charset, etag, body_ok,
+       |  redirect_to, charset, etag, last_modified, body_ok,
        |  regexp_extract(body, '<[Tt][Ii][Tt][Ll][Ee]>([^<]*)</[Tt][Ii][Tt][Ll][Ee]>', 1) AS title,
        |  trim(regexp_replace(de, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS text_clean
        |FROM xe""".stripMargin
@@ -5963,13 +6017,25 @@ object SparkEntry {
        |           '<a href="../u/', cast(doc_id % 11 AS varchar),
        |           '">Up</a><a href="d', cast(doc_id % 7 AS varchar),
        |           '.html">Rel</a>')
+       |         ELSE '' END ||
+       |    CASE WHEN doc_id % 19 = 13
+       |         THEN '<p>see WARC/1.0${cr}WARC-Type: response${cr}quoted archive</p>'
+       |         ELSE '' END ||
+       |    CASE WHEN doc_id % 13 = 4 AND doc_id % 2 = 0
+       |         THEN '<p>“smart” ‘q’ –en— café</p>'
        |         ELSE '' END, 'Ã©', 'é') AS body FROM rv),
        |rkey AS (SELECT ${duckCanonOf("url")} AS canon, max(url) AS url
        |  FROM rv GROUP BY 1),
        |rlog AS (SELECT ${duckCanonOf("url")} AS canon,
-       |  max(CASE WHEN doc_id % 2 = 0
-       |        THEN 'v' || cast(doc_id % 9 AS varchar)
-       |        ELSE 'w' || cast(doc_id % 9 AS varchar) END) AS etag
+       |  max({'e': CASE WHEN doc_id % 2 = 0 THEN
+       |         CASE WHEN doc_id % 10 = 4 THEN ''
+       |              ELSE concat('"v', cast(doc_id % 9 AS varchar), '"')
+       |              END
+       |       ELSE concat('"w', cast(doc_id % 9 AS varchar), '"') END,
+       |     'l': CASE WHEN doc_id % 2 = 0 THEN
+       |         CASE WHEN doc_id % 10 = 4
+       |              THEN 'Wed, 08 Jan 2026 00:00:00 GMT' ELSE '' END
+       |       ELSE 'Wed, 08 Jan 2026 00:00:00 GMT' END}) AS v
        |  FROM rv GROUP BY 1),
        |rcv AS (
        |  SELECT ${duckCanonOf("url")} AS canon,
@@ -5981,7 +6047,7 @@ object SparkEntry {
        |rct AS (SELECT canon, (max({'t': t, 'b': body})).b AS body
        |  FROM rcv GROUP BY 1)
        |SELECT k.canon, k.url, CAST($t1 AS BIGINT) AS last_fetch_s,
-       |  concat('"', l.etag, '"') AS etag,
+       |  (l.v).e AS etag, (l.v).l AS last_modified,
        |  md5(coalesce(c.body, '')) AS content_md5
        |FROM rkey k JOIN rlog l USING (canon)
        |LEFT JOIN rct c USING (canon)""".stripMargin
@@ -6139,7 +6205,7 @@ object SparkEntry {
        |rlast AS (SELECT ${duckCanonOf("url")} AS canon,
        |  (max({'ts': fetched_at_s, 'u': url})).u AS url,
        |  CAST(max(fetched_at_s) AS BIGINT) AS last_fetch_s,
-       |  '' AS etag
+       |  '' AS etag, '' AS last_modified
        |  FROM rfu GROUP BY 1),
        |rdue AS (SELECT *, ${duckDomainOf(
       s"regexp_extract(url, '^(?i)(?:https?:)?//([^/?#]+)', 1)")}
@@ -6147,11 +6213,12 @@ object SparkEntry {
        |  FROM rlast WHERE $now - last_fetch_s >= $ttl),
        |rrk AS (SELECT domain, pr FROM (${hostRankSql()})),
        |rjn AS (SELECT d.canon, d.url, d.domain, d.last_fetch_s, d.etag,
+       |  d.last_modified,
        |  coalesce(r.pr, 0) AS pr FROM rdue d
        |  LEFT JOIN rrk r ON r.domain = d.domain),
        |rsl AS (SELECT *, row_number() OVER (PARTITION BY domain
        |  ORDER BY last_fetch_s ASC, canon ASC) AS slot FROM rjn)
-       |SELECT canon, url, domain, last_fetch_s, etag,
+       |SELECT canon, url, domain, last_fetch_s, etag, last_modified,
        |  CAST($now - last_fetch_s AS BIGINT) AS age_s, pr,
        |  CAST(slot AS INT) AS slot
        |FROM rsl WHERE slot <= 10""".stripMargin
@@ -6254,7 +6321,8 @@ object SparkEntry {
     val w1 = frontierCtes("wb", robots = true,
       pagePred = "doc_id >= 375")
     val dCols = "canon, url, domain, n_refs, pr"
-    val rCols = "canon, url, domain, last_fetch_s, etag, age_s, pr"
+    val rCols =
+      "canon, url, domain, last_fetch_s, etag, last_modified, age_s, pr"
     s"""$duckRobotsRuleCtes,
        |$duckRobotsTxtCtes,
        |$duckDelayCte,
@@ -6293,7 +6361,7 @@ object SparkEntry {
        |${pfx}lt AS (SELECT ${duckCanonOf("url")} AS canon,
        |  (max({'t': t, 'u': url})).u AS url,
        |  CAST(max(t) AS BIGINT) AS last_fetch_s,
-       |  '' AS etag FROM ${pfx}lg GROUP BY 1),
+       |  '' AS etag, '' AS last_modified FROM ${pfx}lg GROUP BY 1),
        |${pfx}nw AS (SELECT CAST(MAX(1767225600 + (doc_id % 97) * 3600)
        |  AS BIGINT) AS now FROM documents WHERE $nowPred),
        |${pfx}du AS (SELECT l.*, n.now, ${duckDomainOf(
@@ -6302,7 +6370,7 @@ object SparkEntry {
        |  FROM ${pfx}lt l CROSS JOIN ${pfx}nw n
        |  WHERE n.now - l.last_fetch_s >= $ttlS),
        |${pfx}rj AS (SELECT d.canon, d.url, d.domain, d.last_fetch_s,
-       |  d.etag,
+       |  d.etag, d.last_modified,
        |  CAST(d.now - d.last_fetch_s AS BIGINT) AS age_s,
        |  coalesce(r.pr, 0) AS pr
        |  FROM ${pfx}du d LEFT JOIN eranks r ON r.domain = d.domain),
@@ -6318,10 +6386,12 @@ object SparkEntry {
     */
   private lazy val q202Sql =
     s"""WITH $loopScheduleChain
-       |SELECT canon, url, domain, last_fetch_s, etag, age_s, pr, slot,
+       |SELECT canon, url, domain, last_fetch_s, etag, last_modified,
+       |  age_s, pr, slot,
        |  delay_s, not_before_s, CAST(0 AS BIGINT) AS wave FROM cw1
        |UNION ALL
-       |SELECT canon, url, domain, last_fetch_s, etag, age_s, pr, slot,
+       |SELECT canon, url, domain, last_fetch_s, etag, last_modified,
+       |  age_s, pr, slot,
        |  delay_s, not_before_s, CAST(1 AS BIGINT) AS wave FROM cw3"""
       .stripMargin
 
@@ -6348,6 +6418,24 @@ object SparkEntry {
        |SELECT doc_id, url, CAST(length(url) AS BIGINT) AS n_chars,
        |  ${duckTrapPred("url")} AS trapped
        |FROM tu""".stripMargin
+
+  /** The q217 oracle — leg-closed: the declared lengths regenerate
+    * from the same html expression; every leg's body decodes (the
+    * truncated-IDENTITY leg is precisely the one only the length
+    * check catches), and the verdict is the leg's by construction.
+    */
+  private lazy val q217Sql =
+    s"""WITH lp AS (SELECT doc_id, $duckHtml AS html FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN doc_id % 4 = 0 THEN CAST(length(html) AS BIGINT)
+       |       WHEN doc_id % 4 = 1 THEN CAST(length(html) + 5 AS BIGINT)
+       |       WHEN doc_id % 4 = 2 THEN CAST(length(html) + 7 AS BIGINT)
+       |       ELSE NULL END AS http_content_length,
+       |  CASE WHEN doc_id % 4 = 2 THEN 'chunked' ELSE '' END
+       |    AS transfer_encoding,
+       |  true AS body_ok,
+       |  (doc_id % 4 <> 1) AS body_len_ok
+       |FROM lp""".stripMargin
 
   /** HtmlOps.removeDotSegments mirrored — the SAME bounded regex
     * fix-point (six passes, lookahead-free segment class, cheap

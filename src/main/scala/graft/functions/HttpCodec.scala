@@ -168,6 +168,11 @@ object HttpCodec {
             catch { case _: java.util.zip.DataFormatException => return null }
           if (m > 0) { out.write(buf, 0, m); crc.update(buf, 0, m) }
           else if (inf.needsInput()) return null // truncated deflate stream
+          // defensive: a raw stream cannot legally demand a preset
+          // dictionary, but inflate() reports it as 0-with-needs —
+          // without this arm the loop would spin forever (see
+          // inflateZlib, where the FDICT flag makes it reachable)
+          else if (inf.needsDictionary()) return null
         }
         p += inf.getBytesRead.toInt
       } finally inf.end()
@@ -203,20 +208,26 @@ object HttpCodec {
     */
   def inflateBody(body: UTF8String, enc: UTF8String): UTF8String = {
     if (body == null) return null
-    val e = if (enc == null) "" else enc.toString
-    e match {
+    val r = inflateBodyString(body.toString,
+      if (enc == null) "" else enc.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+
+  /** [[inflateBody]] at the plain-string layer — the form the fused
+    * [[HttpFrameImpl]] calls.
+    */
+  def inflateBodyString(body: String, enc: String): String = {
+    if (body == null) return null
+    enc match {
       case "" | "identity" => body
-      case "gzip" | "x-gzip" =>
-        val r = inflateTransport(body.toString)
-        if (r == null) null else UTF8String.fromString(r)
+      case "gzip" | "x-gzip" => inflateTransport(body)
       case "deflate" =>
-        val raw = body.toString.getBytes("ISO-8859-1")
+        val raw = body.getBytes("ISO-8859-1")
         val r = inflateZlib(raw, nowrap = false) match {
           case null => inflateZlib(raw, nowrap = true)
           case ok => ok
         }
-        if (r == null) null
-        else UTF8String.fromString(new String(r, "ISO-8859-1"))
+        if (r == null) null else new String(r, "ISO-8859-1")
       case _ => null
     }
   }
@@ -234,6 +245,12 @@ object HttpCodec {
           catch { case _: java.util.zip.DataFormatException => return null }
         if (m > 0) out.write(buf, 0, m)
         else if (inf.needsInput()) return null
+        // a zlib header with the FDICT flag (e.g. 0x78 0x20) asks for
+        // a preset dictionary this engine can never have: inflate()
+        // then returns 0 with needsDictionary() set and neither
+        // needsInput() nor finished() — without this arm the loop
+        // spins at 100% CPU on two untrusted bytes. Verdict, not hang.
+        else if (inf.needsDictionary()) return null
       }
       out.toByteArray
     } finally inf.end()
@@ -248,8 +265,10 @@ object HttpCodec {
     if (s == null) return null
     val bos = new java.io.ByteArrayOutputStream()
     val g = new java.util.zip.GZIPOutputStream(bos)
-    g.write(s.toString.getBytes("ISO-8859-1"))
-    g.close() // releases the Deflater's native buffers NOW
+    // close() in a finally: if the write throws, the Deflater's
+    // native buffers must not leak to the finalizer (the exact
+    // superlinear-leak mode inflateMembers/deflateTransport guard)
+    try g.write(s.toString.getBytes("ISO-8859-1")) finally g.close()
     UTF8String.fromString(new String(bos.toByteArray, "ISO-8859-1"))
   }
 

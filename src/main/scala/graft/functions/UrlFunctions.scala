@@ -27,6 +27,14 @@ import org.apache.spark.unsafe.types.UTF8String
 object UrlOps {
   private val hostRe =
     java.util.regex.Pattern.compile("^(?i)(?:https?:)?//([^/?#]+)")
+  // the OWN-AUTHORITY gate, authority-optional: character-identical to
+  // the DuckDB mirrors (duckResolvedUrl/duckPathOf) and to robotsGate's
+  // Spark-side test, so degenerate references like '//' or '///x'
+  // classify the same way on both engines (round-14 ADVICE: hostRe's
+  // [^/?#]+ requirement made them resolve server-relative here while
+  // staying themselves in the oracle)
+  private val authRe =
+    java.util.regex.Pattern.compile("^(?i)(?:https?:)?//")
   private val authPathRe =
     java.util.regex.Pattern.compile("^(?i)(?:https?:)?//[^/?#]+([^?#]*)")
   private val relPathRe = java.util.regex.Pattern.compile("^([^?#]*)")
@@ -53,7 +61,10 @@ object UrlOps {
     */
   def canonicalUrl(u: String): String = {
     if (u == null) return null
-    val host0 = extract1(hostRe, u).toLowerCase
+    // Locale.ROOT: under a Turkish default locale 'I' would lowercase
+    // to dotless 'ı', making canonical keys JVM-locale-dependent and
+    // diverging from DuckDB's lower()
+    val host0 = extract1(hostRe, u).toLowerCase(java.util.Locale.ROOT)
     val host = portRe.matcher(wwwRe.matcher(host0).replaceAll(""))
       .replaceAll("")
     if (host.isEmpty) return u
@@ -71,7 +82,7 @@ object UrlOps {
     */
   def resolvedUrl(u: String, host: String, basePath: String): String = {
     if (u == null) return null
-    if (hostRe.matcher(u).find()) return u // own authority (anchored re)
+    if (authRe.matcher(u).find()) return u // own authority (anchored re)
     if (host == null) return null
     if (u.startsWith("/"))
       return "//" + host + RemoveDotsImpl.remove(u)
@@ -88,7 +99,7 @@ object UrlOps {
     */
   def urlPath(u: String): String = {
     if (u == null) return null
-    if (hostRe.matcher(u).find()) extract1(authPathRe, u)
+    if (authRe.matcher(u).find()) extract1(authPathRe, u)
     else if (u.startsWith("/")) extract1(relPathRe, u)
     else ""
   }

@@ -140,6 +140,12 @@ object GraftFunctions {
     (FunctionIdentifier("inflate_body"),
       new ExpressionInfo(classOf[InflateBody].getName, "inflate_body"),
       (args: Seq[Expression]) => InflateBody(args(0), args(1))),
+    (FunctionIdentifier("http_frame"),
+      new ExpressionInfo(classOf[HttpFrame].getName, "http_frame"),
+      (args: Seq[Expression]) => HttpFrame(args(0))),
+    (FunctionIdentifier("warc_records"),
+      new ExpressionInfo(classOf[WarcRecords].getName, "warc_records"),
+      (args: Seq[Expression]) => WarcRecords(args(0))),
     (FunctionIdentifier("gzip_transport"),
       new ExpressionInfo(classOf[GzipTransport].getName, "gzip_transport"),
       (args: Seq[Expression]) => GzipTransport(args(0))),

@@ -540,6 +540,11 @@ object HtmlOps {
     // (`../u/<j>` must climb to `/u/<j>`, never a literal `/../u/<j>`
     // key) — both flow into the frontier candidate chain and the
     // oracle replays the identical merge + dot removal
+    // the %19==13 suffix QUOTES A WARC RECORD inside the page body —
+    // the byte sequence that mis-split the round-14 version-line
+    // framing; only strict Content-Length walking frames it
+    // ([[warcFrame]]). Orthogonal to the %13 legs (a trap doc keeps
+    // its %13 behavior — incl. riding INSIDE the chunked wire body)
     val body = concat(col("html"),
       when(m === 1, lit("<p>rÃ©sumÃ© cafÃ©</p>"))
         .when(m === 9, lit("<p>café français</p>"))
@@ -549,6 +554,17 @@ object HtmlOps {
           lit("<a href=\"../u/"), (col("doc_id") % 11).cast("string"),
           lit("\">Up</a><a href=\"d"), (col("doc_id") % 7).cast("string"),
           lit(".html\">Rel</a>")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 19 === 13,
+        lit("<p>see WARC/1.0\r\nWARC-Type: response\r\nquoted archive</p>"))
+        .otherwise(lit("")),
+      // the windows-1252 leg (even %13==4 docs): C1-range bytes —
+      // smart quotes 93/94, curly apostrophes 91/92, en/em dashes
+      // 96/97 — that read as control chars under the latin-1 identity
+      // and MUST translate per the declared codepage (round-14
+      // Missing #1: the most common legacy declaration on the web)
+      when(m === 4 && col("doc_id") % 2 === 0,
+        lit("<p>\u0093smart\u0094 \u0091q\u0092 \u0096en\u0097 café</p>"))
         .otherwise(lit("")))
     // the %13==6 leg ships Transfer-Encoding: chunked (RFC 9112
     // §7.1): 16-octet first chunk (a chunk EXTENSION on odd ids —
@@ -567,7 +583,11 @@ object HtmlOps {
       when(col("doc_id") % 2 === 1, lit("10;x=1" + crlf))
         .otherwise(lit("10" + crlf)),
       substring(body, 1, 16), lit(crlf),
-      hex((octet_length(body) - 16).cast("long")), lit(crlf),
+      // CHAR length, not octet: the de-chunker consumes declared sizes
+      // in chars (the latin-1 transport convention) and the data is
+      // sliced with substring (chars) — a byte count would mis-frame
+      // any future non-ASCII plant on these legs (round-14 ADVICE)
+      hex((length(body) - 16).cast("long")), lit(crlf),
       substring(body, 17, 1000000), lit(crlf),
       lit("0"),
       when(col("doc_id") % 2 === 0, lit(crlf + "X-Tr: 1"))
@@ -593,8 +613,12 @@ object HtmlOps {
       when(m === 8, concat(lit("Location: "), redirTarget, lit(crlf)))
         .otherwise(lit("")),
       when(m === 5, lit("Content-Type: text/plain" + crlf))
-        // the all-caps leg: header names are case-insensitive on the
-        // wire, and this page is just as valid as its neighbours
+        // the all-caps legs: header names are case-insensitive on the
+        // wire, and these pages are just as valid as their neighbours;
+        // the even half declares the windows-1252 codepage (its body
+        // carries the planted C1 suffix above)
+        .when(m === 4 && col("doc_id") % 2 === 0,
+          lit("CONTENT-TYPE: text/html; charset=windows-1252" + crlf))
         .when(m === 4, lit("CONTENT-TYPE: text/html; charset=utf-8" + crlf))
         // the non-UTF-8 leg: a legacy-encoded page whose bytes must
         // be decoded per its DECLARED charset, not assumed UTF-8
@@ -606,10 +630,18 @@ object HtmlOps {
         .otherwise(lit("Content-Type: text/html; charset=utf-8" + crlf)),
       when(m === 6 || m === 12,
         lit("Transfer-Encoding: chunked" + crlf)).otherwise(lit("")),
-      // every response carries the validator a conditional refetch
-      // sends back as If-None-Match — captured by httpFrame, stored
-      // in the fetch log, replayed on the 304 path
-      lit("ETag: \"v"), (col("doc_id") % 9).cast("string"), lit("\"" + crlf),
+      // the validators a conditional refetch sends back (If-None-Match
+      // / If-Modified-Since) — captured by httpFrame, stored in the
+      // fetch log, replayed on the 304 path. The %10==4 legs ship
+      // Last-Modified WITHOUT an ETag (the shape real servers take
+      // most often when they omit one — round-14 Missing #3): those
+      // canons must still get the 304 path on the date validator alone
+      when(col("doc_id") % 10 === 4, lit(""))
+        .otherwise(concat(lit("ETag: \"v"),
+          (col("doc_id") % 9).cast("string"), lit("\"" + crlf))),
+      lit("Last-Modified: Mon, "),
+      lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+      lit(" Jan 2026 00:00:00 GMT" + crlf),
       lit(crlf), wireBody)
     val declaredLen =
       (octet_length(payload).cast("long") +
@@ -769,6 +801,39 @@ object HtmlOps {
         lit(crlf), col("wire")).as("payload"))
   }
 
+  /** Q217's fixture: HTTP messages that declare a `Content-Length` —
+    * the header the WIRE-LEVEL truncation check reads. Legs by
+    * `doc_id % 4`: 0 declares the true length (check passes); 1
+    * OVERSTATES by 5 — a truncated identity body, which frames, gates
+    * 200 text/html, and decodes fine (every gate the engine had
+    * passes it) but whose bytes are NOT all there — `body_len_ok`
+    * is the only gate that can catch it; 2 ships chunked WITH a
+    * deliberately wrong Content-Length — RFC 9112 §6.3 says the
+    * header must be IGNORED when a Transfer-Encoding is present, so
+    * the check must NOT fire; 3 declares nothing (trivially ok).
+    */
+  def plantedLengthMessages(documents: DataFrame): DataFrame = {
+    val crlf = "\r\n"
+    val m = col("doc_id") % 4
+    val b = col("html")
+    val chunkedWire = concat(
+      hex(length(b).cast("long")), lit(crlf), b, lit(crlf), lit("0"))
+    plantedHtmlCorpus(documents).select(col("doc_id"), concat(
+      lit("HTTP/1.1 200 OK" + crlf),
+      lit("Content-Type: text/html; charset=utf-8" + crlf),
+      when(m === 2, lit("Transfer-Encoding: chunked" + crlf))
+        .otherwise(lit("")),
+      when(m === 0, concat(lit("Content-Length: "),
+        length(b).cast("string"), lit(crlf)))
+        .when(m === 1, concat(lit("Content-Length: "),
+          (length(b) + 5).cast("string"), lit(crlf)))
+        .when(m === 2, concat(lit("Content-Length: "),
+          (length(b) + 7).cast("string"), lit(crlf)))
+        .otherwise(lit("")),
+      lit(crlf),
+      when(m === 2, chunkedWire).otherwise(b)).as("payload"))
+  }
+
   /** The WARC framing stage shared by [[warcIngest]] (q184) and the
     * WARC→corpus composition (q186): chunk → response record →
     * headers + framed payload + the octet-exact `length_ok` verdict,
@@ -777,9 +842,16 @@ object HtmlOps {
     */
   private[graft] def warcFrame(chunks: DataFrame,
                                warcCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(chunks.sparkSession)
     def header(rec: Column, name: String): Column =
       regexp_extract(rec, s"(?m)^$name: ([^\r\n]+)", 1)
-    val recs = split(coalesce(col(warcCol), lit("")), "WARC/1\\.0\r\n")
+    // STRICT Content-Length framing with the version-line-split
+    // fallback ([[graft.functions.WarcSplitImpl]]): a payload that
+    // contains the `WARC/1.0\r\n` byte sequence frames correctly
+    // (round-14 Missing #2, closed); structurally unframeable chunks
+    // keep the exact split behavior, so every malformed leg stays a
+    // length_ok verdict
+    val recs = expr(s"warc_records(coalesce($warcCol, ''))")
     val body = regexp_replace(
       regexp_extract(col("rec"), "(?s)\r\n\r\n(.*)$", 1),
       s"(\r\n)+$$", "")
@@ -836,15 +908,14 @@ object HtmlOps {
     * truncated-header legs are PLANTED by [[plantedWarcCorpus]] and
     * flow through the oracle).
     *
-    * KNOWN LIMIT, stated honestly: records are split on the
-    * `WARC/1.0\r\n` version line rather than framed strictly by the
-    * declared Content-Length, so a payload that itself contains that
-    * exact byte sequence would mis-split. Length-based framing needs
-    * stateful byte-offset scanning (a `mapPartitions` stage, no
-    * closed-form oracle); the version-line split keeps the stage a
-    * pure codegen projection, and `length_ok` flags any record whose
-    * framing the split corrupted — the mis-split halves no longer
-    * match their declared octet count.
+    * Framing is STRICT Content-Length walking (the round-14 limit,
+    * closed): a payload containing the `WARC/1.0\r\n` byte sequence —
+    * a page quoting a WARC record — frames correctly, because only
+    * the declared octet count decides where a record ends
+    * ([[graft.functions.WarcSplitImpl]], one expression node, so the
+    * stage stays a pure codegen projection). Chunks the walk cannot
+    * frame fall back to the version-line split and `length_ok` flags
+    * them, exactly as before.
     */
   def warcIngest(chunks: DataFrame, warcCol: String = "warc"): DataFrame =
     httpFrame(warcFrame(chunks, warcCol))
@@ -852,7 +923,8 @@ object HtmlOps {
         col("doc_id"), col("n_records"), col("target_uri"),
         col("warc_date"), col("content_length"), col("length_ok"),
         col("http_status"), col("mime"), col("http_ok"),
-        col("redirect_to"), col("charset"), col("etag"), col("body_ok"),
+        col("redirect_to"), col("charset"), col("etag"),
+        col("last_modified"), col("body_ok"),
         titleOf(col("body")).as("title"),
         extractedText(col("body")).as("text_clean"))
 
@@ -873,6 +945,42 @@ object HtmlOps {
     * exchanges, scan-bound at 100 TB like the framing itself.
     */
   private[graft] def httpFrame(framed: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(framed.sparkSession)
+    // ONE fused expression, not a staged alias chain: round 14 built
+    // this as body_raw → body_framed → body projections and the
+    // planner's alias inlining duplicated the regex+inflate trees
+    // into every consumer (q205/q211 27-34× slower, OOM at 8 GiB —
+    // the round-14 verdict's #1). Every field below extracts from the
+    // SAME http_frame(payload) subtree, which whole-stage codegen's
+    // subexpression elimination evaluates once per row per operator;
+    // semantics are the literal transcription, field by field
+    // ([[graft.functions.HttpFrameImpl]]), so the DuckDB mirrors hold
+    // unchanged.
+    val h = expr("http_frame(payload)")
+    framed.select(col("*"),
+      h.getField("http_status").as("http_status"),
+      h.getField("mime").as("mime"),
+      h.getField("http_ok").as("http_ok"),
+      h.getField("redirect_to").as("redirect_to"),
+      h.getField("charset").as("charset"),
+      h.getField("etag").as("etag"),
+      h.getField("last_modified").as("last_modified"),
+      h.getField("transfer_encoding").as("transfer_encoding"),
+      h.getField("content_encoding").as("content_encoding"),
+      h.getField("http_content_length").as("http_content_length"),
+      h.getField("body_raw").as("body_raw"),
+      h.getField("body_framed").as("body_framed"),
+      h.getField("body_ok").as("body_ok"),
+      h.getField("body_len_ok").as("body_len_ok"),
+      h.getField("body").as("body"))
+  }
+
+  /** The round-14 staged form of [[httpFrame]], kept ONLY as the
+    * parity witness for the fused expression: HttpCodecSpec asserts
+    * column-for-column equality between the two over every planted
+    * fixture. Never called from an operator.
+    */
+  private[graft] def httpFrameStaged(framed: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(framed.sparkSession)
     val pay = col("payload")
     val isHttp = pay.rlike("^HTTP/1\\.[01] [0-9]{3}")
@@ -1016,6 +1124,10 @@ object HtmlOps {
           .when(col("charset").isin("utf-8", "utf8", "") &&
               col("body_framed").rlike(utf8Dfa),
             decode(encode(col("body_framed"), "ISO-8859-1"), "UTF-8"))
+          .when(col("charset").isin("windows-1252", "cp1252"),
+            translate(col("body_framed"),
+              graft.functions.HttpFrameImpl.cp1252From,
+              graft.functions.HttpFrameImpl.cp1252To))
           .otherwise(col("body_framed"))
       })
   }
@@ -1249,7 +1361,7 @@ object HtmlOps {
                                     recreate: Boolean = false): String =
     registerArtifactTable(spark, scope, name, kind = "fetchlog",
       columnsDdl = "canon STRING, url STRING, last_fetch_s BIGINT, " +
-        "etag STRING, bucket INT, fetch_day INT",
+        "etag STRING, last_modified STRING, bucket INT, fetch_day INT",
       partitionedBy = "bucket, fetch_day", recreate = recreate)
 
   /** O(batch) ingest of a new fetch wave (q59's anti-join shape):
@@ -1460,8 +1572,29 @@ object HtmlOps {
                        name: String, ranks: DataFrame, rules: DataFrame,
                        kPerDomain: Int = 10,
                        warcCol: String = "warc"): DataFrame =
-    redirectFrontierFramed(httpFrame(warcFrame(chunks, warcCol)),
+    redirectFrontierFramed(pinnedFrame(chunks, warcCol),
       scope, name, ranks, rules, kPerDomain)
+
+  /** The framed archive PINNED once for the BATCH compositions whose
+    * discovery reads it through more than one channel (outlinks AND
+    * redirects, [[gatedCandidates]]) — exactly the per-wave persist
+    * the streaming loop already does. Without it each channel re-runs
+    * fixture + framing + wire decode from the scan (the round-14
+    * 27-34× regression); with it the archive is scanned and decoded
+    * ONCE and both channels read executor-local blocks. Columns are
+    * pruned to the consumer set BEFORE the pin so the materialization
+    * never carries payload/body_raw twins. At cluster scale this is
+    * the standard iterate-over-a-derived-batch pattern: the pinned
+    * wave is O(valid pages), not O(archive).
+    */
+  private def pinnedFrame(chunks: DataFrame, warcCol: String): DataFrame =
+    httpFrame(warcFrame(chunks, warcCol))
+      .select(col("doc_id"), col("n_records"), col("target_uri"),
+        col("warc_date"), col("content_length"), col("length_ok"),
+        col("http_status"), col("mime"), col("http_ok"),
+        col("redirect_to"), col("charset"), col("etag"),
+        col("last_modified"), col("body_ok"), col("body"))
+      .localCheckpoint(eager = true)
 
   /** [[redirectFrontier]] over an ALREADY-framed archive — what the
     * streaming WARC loop calls per wave: the loop persists the framed
@@ -1530,7 +1663,7 @@ object HtmlOps {
                          ranks: DataFrame, rules: DataFrame,
                          kPerDomain: Int = 10,
                          warcCol: String = "warc"): DataFrame =
-    retryGatedFrontierFramed(httpFrame(warcFrame(chunks, warcCol)),
+    retryGatedFrontierFramed(pinnedFrame(chunks, warcCol),
       scope, keysName, attemptsName, nowS, retryTtlS, ranks, rules,
       kPerDomain)
 
@@ -2180,7 +2313,8 @@ object HtmlOps {
                       scope: graft.core.Scope, name: String): Unit =
     compactBucketedArtifact(spark,
       registerFetchLogTable(spark, scope, name),
-      Seq("canon", "url", "last_fetch_s", "etag", "bucket", "fetch_day"),
+      Seq("canon", "url", "last_fetch_s", "etag", "last_modified",
+        "bucket", "fetch_day"),
       Seq("bucket", "fetch_day"))
 
   /** [[compactFetchLog]] for the URL-key table — same epoch cadence,
@@ -2407,22 +2541,27 @@ object HtmlOps {
     * key with map-side partial aggregation.
     */
   private def latestFetchPerKey(fetchLog: DataFrame): DataFrame = {
-    // the ETag VALIDATOR rides in the argmax struct (after the url
-    // tiebreak — it decides only same-instant same-url ties, where
-    // any deterministic pick is right): the latest fetch's validator
-    // is what a conditional refetch sends back as If-None-Match. A
-    // log without validators (the pre-validator fixtures, the q211
-    // attempt log) carries ''.
-    val withEtag =
-      if (fetchLog.columns.contains("etag")) fetchLog
-      else fetchLog.withColumn("etag", lit(""))
-    withEtag
+    // BOTH VALIDATORS ride in the argmax struct (after the url
+    // tiebreak — they decide only same-instant same-url ties, where
+    // any deterministic pick is right): the latest fetch's ETag is
+    // what a conditional refetch sends back as If-None-Match, its
+    // Last-Modified what it sends as If-Modified-Since — real servers
+    // frequently ship Last-Modified WITHOUT an ETag (round-14 Missing
+    // #3), and a log that only carried ETag would deny those canons
+    // the 304 path forever. A log without validators (the
+    // pre-validator fixtures, the q211 attempt log) carries ''.
+    val withValidators = Seq("etag", "last_modified")
+      .foldLeft(fetchLog) { (df, c) =>
+        if (df.columns.contains(c)) df else df.withColumn(c, lit(""))
+      }
+    withValidators
       .groupBy(canonicalUrl(col("url")).as("canon"))
-      .agg(max(struct(col("fetched_at_s"), col("url"), col("etag")))
-        .as("m"))
+      .agg(max(struct(col("fetched_at_s"), col("url"), col("etag"),
+        col("last_modified"))).as("m"))
       .select(col("canon"), col("m.url").as("url"),
         col("m.fetched_at_s").as("last_fetch_s"),
-        col("m.etag").as("etag"))
+        col("m.etag").as("etag"),
+        col("m.last_modified").as("last_modified"))
   }
 
   private def refetchTail(last: DataFrame, nowS: Long, ttlS: Long,
@@ -2430,11 +2569,12 @@ object HtmlOps {
     import org.apache.spark.sql.expressions.Window
     require(ttlS > 0, s"ttlS must be positive: $ttlS")
     require(kPerDomain > 0, s"kPerDomain must be positive: $kPerDomain")
-    val withEtag =
-      if (last.columns.contains("etag")) last
-      else last.withColumn("etag", lit(""))
-    val due = withEtag.select(col("canon"), col("url"),
-        col("last_fetch_s"), col("etag"))
+    val withValidators = Seq("etag", "last_modified")
+      .foldLeft(last) { (df, c) =>
+        if (df.columns.contains(c)) df else df.withColumn(c, lit(""))
+      }
+    val due = withValidators.select(col("canon"), col("url"),
+        col("last_fetch_s"), col("etag"), col("last_modified"))
       .filter(lit(nowS) - col("last_fetch_s") >= ttlS)
       .withColumn("domain",
         graft.ops.PiiOps.registrableDomain(hostOf(col("url"))))
@@ -2446,7 +2586,7 @@ object HtmlOps {
     due.withColumn("slot", row_number().over(w))
       .filter(col("slot") <= kPerDomain)
       .select(col("canon"), col("url"), col("domain"),
-        col("last_fetch_s"), col("etag"),
+        col("last_fetch_s"), col("etag"), col("last_modified"),
         (lit(nowS) - col("last_fetch_s")).as("age_s"),
         col("pr"), col("slot").cast("int").as("slot"))
   }
@@ -2470,6 +2610,7 @@ object HtmlOps {
     val tbl = registerFetchLogTable(spark, scope, name, recreate = true)
     latestFetchPerKey(fetchLog)
       .select(col("canon"), col("url"), col("last_fetch_s"), col("etag"),
+        col("last_modified"),
         keyBucket(col("canon"), nBuckets), fetchDay(col("last_fetch_s")))
       .write.insertInto(tbl)
   }
@@ -2515,8 +2656,8 @@ object HtmlOps {
     val tbl = registerFetchLogTable(spark, scope, name)
     val batchLatest = latestFetchPerKey(
       batch.select(col("url") +: col("fetched_at_s") +:
-        (if (batch.columns.contains("etag")) Seq(col("etag"))
-         else Seq.empty): _*))
+        Seq("etag", "last_modified").filter(batch.columns.contains)
+          .map(col): _*))
       .withColumn("bucket", keyBucket(col("canon"), nBuckets))
     // touched buckets: at most n_buckets values, model-sized
     val touched = batchLatest.select("bucket").distinct()
@@ -2531,7 +2672,7 @@ object HtmlOps {
     // the overwrite-what-was-read hazard below.
     val merged = fetchLogMerge(stored, batchLatest)
       .select(col("canon"), col("url"), col("last_fetch_s"), col("etag"),
-        keyBucket(col("canon"), nBuckets),
+        col("last_modified"), keyBucket(col("canon"), nBuckets),
         fetchDay(col("last_fetch_s")), col("day_s"), col("batch_won"))
       .localCheckpoint(eager = true)
     // the partition BOOK-KEEPING in two tiny jobs over the pinned
@@ -2558,7 +2699,8 @@ object HtmlOps {
     val toWrite = if (changedParts.isEmpty) {
       merged.filter(lit(false))
         .select(col("canon"), col("url"), col("last_fetch_s"),
-          col("etag"), col("bucket"), col("fetch_day"))
+          col("etag"), col("last_modified"), col("bucket"),
+          col("fetch_day"))
     } else {
       val parts = changedParts.toSeq.toDF("bucket", "fetch_day")
       // every SURVIVING row of a changed partition must be in the
@@ -2568,7 +2710,8 @@ object HtmlOps {
       val w = merged
         .join(broadcast(parts), Seq("bucket", "fetch_day"), "left_semi")
         .select(col("canon"), col("url"), col("last_fetch_s"),
-          col("etag"), col("bucket"), col("fetch_day"))
+          col("etag"), col("last_modified"), col("bucket"),
+          col("fetch_day"))
       insertWithOverwriteMode(w, tbl, "dynamic")
       // a changed partition the overwrite wrote NO rows into (its
       // only keys moved to a fresher day) is not rewritten by the
@@ -2618,11 +2761,13 @@ object HtmlOps {
                                    batchLatest: DataFrame): DataFrame =
     stored
       .select(col("canon"),
-        struct(col("last_fetch_s"), col("url"), col("etag")).as("m_s"),
+        struct(col("last_fetch_s"), col("url"), col("etag"),
+          col("last_modified")).as("m_s"),
         col("fetch_day").as("day_s"))
       .join(batchLatest
         .select(col("canon"),
-          struct(col("last_fetch_s"), col("url"), col("etag")).as("m_b")),
+          struct(col("last_fetch_s"), col("url"), col("etag"),
+            col("last_modified")).as("m_b")),
         Seq("canon"), "full_outer")
       .select(col("canon"), greatest(col("m_s"), col("m_b")).as("m"),
         col("day_s"),
@@ -2630,13 +2775,15 @@ object HtmlOps {
           (col("m_s").isNull || col("m_b") > col("m_s"))).as("batch_won"))
       .select(col("canon"), col("m.url").as("url"),
         col("m.last_fetch_s").as("last_fetch_s"),
-        col("m.etag").as("etag"), col("day_s"),
+        col("m.etag").as("etag"),
+        col("m.last_modified").as("last_modified"), col("day_s"),
         col("batch_won"))
 
   def loadFetchLog(spark: org.apache.spark.sql.SparkSession,
                    scope: graft.core.Scope, name: String): DataFrame =
     spark.table(registerFetchLogTable(spark, scope, name))
       .select(col("canon"), col("url"), col("last_fetch_s"), col("etag"),
+        col("last_modified"),
         col("bucket").cast("int").as("bucket"),
         col("fetch_day").cast("int").as("fetch_day"))
 
@@ -2674,10 +2821,13 @@ object HtmlOps {
     * answer `304 Not Modified` (NO body ships — the validator
     * matched; the ETag header repeats the stored value), odd doc_ids
     * answer `200` with REWRITTEN content and a NEW validator
-    * (`"w<k>"` replacing `"v<k>"`). The 304 payload ends at its ETag
-    * header with no blank line — a 304 has no body by definition, and
-    * the fixture convention forbids CRLF-terminated payloads (the
-    * warcFrame record-framing strip, stated there).
+    * (`"w<k>"` replacing `"v<k>"`, plus the refetch date as
+    * Last-Modified). Even `%10 == 4` docs confirm on the DATE alone —
+    * a Last-Modified-only 304, matching their ETag-less wave-1 fetch.
+    * The 304 payload ends at its validator header with no blank
+    * line — a 304 has no body by definition, and the fixture
+    * convention forbids CRLF-terminated payloads (the warcFrame
+    * record-framing strip, stated there).
     */
   def plantedRevalidationCorpus(documents: DataFrame): DataFrame = {
     val crlf = "\r\n"
@@ -2687,16 +2837,25 @@ object HtmlOps {
         | cast(doc_id % 5 as string), '.example/p/',
         | cast(doc_id % 11 as string))""".stripMargin.replace("\n", " "))
     val even = col("doc_id") % 2 === 0
+    // VALIDATORS per leg: even %10==4 docs revalidate on the DATE
+    // alone (Last-Modified-only 304 — their wave-1 fetch shipped no
+    // ETag either, the round-14 Missing #3 shape); other evens confirm
+    // via the stored ETag; 200s carry a NEW ETag and the refetch date
+    val lm2 = "Last-Modified: Wed, 08 Jan 2026 00:00:00 GMT"
+    val validator =
+      when(even && col("doc_id") % 10 === 4, lit(lm2))
+        .otherwise(concat(lit("ETag: \""),
+          when(even, concat(lit("v"), (col("doc_id") % 9).cast("string")))
+            .otherwise(concat(lit("w"), (col("doc_id") % 9).cast("string"))),
+          lit("\""),
+          when(!even, lit(crlf + lm2)).otherwise(lit(""))))
     val payload = concat(
       when(even, lit("HTTP/1.1 304 Not Modified" + crlf))
         .otherwise(lit("HTTP/1.1 200 OK" + crlf)),
       when(!even,
         lit("Content-Type: text/html; charset=utf-8" + crlf))
         .otherwise(lit("")),
-      lit("ETag: \""),
-      when(even, concat(lit("v"), (col("doc_id") % 9).cast("string")))
-        .otherwise(concat(lit("w"), (col("doc_id") % 9).cast("string"))),
-      lit("\""),
+      validator,
       when(!even, concat(lit(crlf + crlf), col("html"),
         lit("<p>rev2</p>"))).otherwise(lit("")))
     val responseRec = concat(
@@ -2729,6 +2888,7 @@ object HtmlOps {
           (col("http_ok") && col("body_ok"))))
       .select(col("doc_id"), col("target_uri").as("url"),
         fetchedAtS.cast("long").as("fetched_at_s"), col("etag"),
+        col("last_modified"),
         (col("http_status") === 304).as("not_modified"),
         when(col("http_status") === 304, lit(null).cast("string"))
           .otherwise(col("body")).as("body"))
@@ -2742,10 +2902,15 @@ object HtmlOps {
     * crawl's refetches confirm, and confirmations must not rewrite
     * the corpus. Returns the modified rows.
     */
-  def applyRevalidation(outcomes: DataFrame, scope: graft.core.Scope,
+  def applyRevalidation(outcomes0: DataFrame, scope: graft.core.Scope,
                         logName: String, contentDir: String): DataFrame = {
+    // the wave is consumed TWICE (log upsert + content append): pin it
+    // once so the upstream framing/decode never re-runs per consumer —
+    // the round-14 lesson applied at the writer seam
+    val outcomes = outcomes0.localCheckpoint(eager = true)
     appendFetchLog(
-      outcomes.select(col("url"), col("fetched_at_s"), col("etag")),
+      outcomes.select(col("url"), col("fetched_at_s"), col("etag"),
+        col("last_modified")),
       scope, logName)
     val modified = outcomes.filter(!col("not_modified"))
       .select(canonicalUrl(col("url")).as("canon"), col("body"),

@@ -133,6 +133,11 @@ object PlanAudit {
     "q209_compacted_fetchlog", // q200 read side over the compacted layout
     "q210_stream_gzip_loop", // binary wire format inflated in-stream
     "q211_retry_frontier", // second bucketed anti-join, TTL-pruned attempt scan
+    "q212_content_encoding", // one fused http_frame projection, zero exchanges
+    "q213_conditional_refetch", // pinned seed wave + bucketed log upsert + argmax read
+    "q214_stream_retry_loop", // per-wave framed persist + attempt-stamped frontier
+    "q215_sitemap_tree",   // vocabulary-sized walk + inflate into the frontier tail
+    "q216_trap_guard",     // frontier plan with the per-row trap predicate inline
     "q10_event_window")   // normalized-ts scan straight into windowed agg
 
   def main(args: Array[String]): Unit = {

@@ -203,7 +203,22 @@ object ScaleProbe {
     "q210_stream_gzip_loop",
     // retry gate: q205's class + one more bucketed anti-join, with
     // the attempt scan pruned to the TTL-fresh day partitions
-    "q211_retry_frontier")
+    "q211_retry_frontier",
+    // round-15: the fused wire-decode stage (chunked + gzip/deflate +
+    // charset in ONE expression) — expected q184's scan-bound class
+    "q212_content_encoding",
+    // conditional refetch: pinned seed wave + two O(batch) artifact
+    // upserts + the argmax read side — expected near-flat
+    "q213_conditional_refetch",
+    // retry gate in the loop: three streamed waves, each persisting
+    // its framed batch once — per-wave cost must track q211's
+    "q214_stream_retry_loop",
+    // sitemap tree: vocabulary-sized walk + per-member inflate —
+    // expected flat (never corpus-sized)
+    "q215_sitemap_tree",
+    // trap guard: the frontier plan + one per-row native predicate —
+    // expected q191's class exactly
+    "q216_trap_guard")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

@@ -739,6 +739,73 @@ class HtmlOpsSpec extends SparkSpec {
     }
   }
 
+  test("sitemapSeedsTree (q215): one-level walk is cycle-safe, corrupt members are verdicts, deep trees do not recurse") {
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft-smtree-")
+    try {
+      val scope = graft.core.Scopes.create(spark, base.toString)
+      HtmlOps.saveUrlKeys(HtmlOps.plantedDirtyUrlCorpus(docs), scope, "keys")
+      val pages = HtmlOps.plantedHtmlCorpus(docs)
+      val ranks = graft.ops.GraphOps.domainRank(HtmlOps.domainEdges(pages))
+      val rules = HtmlOps.plantedRobotsRules(spark)
+      val tree = HtmlOps.plantedSitemapTree(spark)
+      def seeds(t: org.apache.spark.sql.DataFrame) =
+        HtmlOps.sitemapSeedsTree(t, scope, "keys", ranks, rules)
+          .select("canon", "domain").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSet
+      val baseline = seeds(tree)
+      assert(baseline.nonEmpty)
+
+      // (a) SELF-REFERENCING index: s7's root lists ITSELF as a
+      // member. The walk is a join, not a loop — it must terminate,
+      // and the pulled-in index doc carries no <url> entries, so the
+      // admitted set is exactly the baseline
+      val cyc = tree.withColumn("xml",
+        when(col("url") === "https://s7.example/sitemap.xml",
+          regexp_replace(col("xml"), "</sitemapindex>",
+            "<sitemap><loc>https://s7.example/sitemap.xml</loc>" +
+              "</sitemap></sitemapindex>"))
+          .otherwise(col("xml")))
+      assert(seeds(cyc) === baseline)
+
+      // (b) CORRUPT gzip member: s8's a-half fails structural
+      // verification → contributes nothing (verdict, not a crash).
+      // Both of s8's admissible locs (/p/1, /p/10) live in the a-half,
+      // so s8 vanishes; every other domain is untouched
+      val corrupt = tree.withColumn("xml_gz",
+        when(col("url") === "https://s8.example/sitemap-a.xml.gz",
+          lit("not a gzip member".getBytes("ISO-8859-1")))
+          .otherwise(col("xml_gz")))
+      val corruptSeeds = seeds(corrupt)
+      assert(baseline.exists(_._2 == "s8.example"))
+      assert(!corruptSeeds.exists(_._2 == "s8.example"))
+      assert(corruptSeeds === baseline.filterNot(_._2 == "s8.example"))
+
+      // (c) DEEP tree: s10's a-half member is itself an INDEX (an
+      // index of indexes — forbidden by sitemaps.org). The documented
+      // ONE-level walk must not silently recurse: the nested index's
+      // declared child never loads, the a-half entries are lost, and
+      // only the b-half admits (no crash, no deep entries)
+      val nested = "<?xml version=\"1.0\"?><sitemapindex><sitemap>" +
+        "<loc>https://s10.example/sitemap-c.xml.gz</loc>" +
+        "</sitemap></sitemapindex>"
+      val deep = tree.withColumn("xml_gz",
+        when(col("url") === "https://s10.example/sitemap-a.xml.gz",
+          expr(s"encode(gzip_transport('$nested'), 'ISO-8859-1')"))
+          .otherwise(col("xml_gz")))
+      val deepSeeds = seeds(deep)
+      val s10Base = baseline.filter(_._2 == "s10.example")
+      val s10Deep = deepSeeds.filter(_._2 == "s10.example")
+      assert(s10Base.size === 10)
+      assert(s10Deep.size === 6, s10Deep) // b-half entries + the dup loc
+      assert(s10Deep.subsetOf(s10Base))
+      assert(deepSeeds.filterNot(_._2 == "s10.example") ===
+        baseline.filterNot(_._2 == "s10.example"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("anchorBoostedFrontier (q201): anchor terms reorder politeness slots, never admission") {
     val docs = graft.io.Tables.parquet(spark, sf, "documents")
     val base = java.nio.file.Files.createTempDirectory("graft-anchor-fr-")
@@ -1429,21 +1496,30 @@ class HtmlOpsSpec extends SparkSpec {
         .filter(col("length_ok") && col("http_ok") && col("body_ok"))
       HtmlOps.saveFetchLog(
         framed1.select(col("target_uri").as("url"),
-          lit(t0).as("fetched_at_s"), col("etag")), sc, "flog")
+          lit(t0).as("fetched_at_s"), col("etag"), col("last_modified")),
+        sc, "flog")
       HtmlOps.appendContentVersions(
         framed1.select(HtmlOps.canonicalUrl(col("target_uri")).as("canon"),
           col("body"), lit(t0).as("content_fetch_s")),
         sc.path("content"))
-      // the seeded log CARRIES the validator the dispatcher sends
+      // the seeded log CARRIES a validator the dispatcher can send:
+      // the ETag, or (the %10==4 ETag-less legs) the Last-Modified
+      // date alone
       val log0 = HtmlOps.loadFetchLog(spark, sc, "flog")
-      assert(log0.filter(col("etag").rlike("^\"v[0-9]\"$")).count() ===
+      assert(log0.filter(col("etag").rlike("^\"v[0-9]\"$") ||
+        (col("etag") === "" && col("last_modified") =!= "")).count() ===
         log0.count())
+      assert(log0.filter(col("etag") === "").count() > 0)
       // ...and the refetch wave ships it (If-None-Match)
       val wave = HtmlOps.refetchWaveFromLog(spark, sc, "flog",
         nowS = t1, ttlS = 86400L, ranks = Seq(("s0.example", 1L))
           .toDF("domain", "pr"))
       assert(wave.columns.contains("etag"))
-      assert(wave.filter(col("etag") === "").count() === 0)
+      assert(wave.columns.contains("last_modified"))
+      // every due key ships SOME validator (If-None-Match or
+      // If-Modified-Since)
+      assert(wave.filter(col("etag") === "" &&
+        col("last_modified") === "").count() === 0)
       val nFiles0 = org.apache.commons.io.FileUtils
         .listFiles(new java.io.File(sc.path("content")),
           Array("parquet"), true).size
@@ -1454,8 +1530,13 @@ class HtmlOpsSpec extends SparkSpec {
       val f304 = framed2.filter(col("http_status") === 304)
       assert(f304.count() > 0)
       assert(f304.filter(!col("length_ok") || !col("body_ok") ||
-        col("body") =!= "" || !col("etag").rlike("^\"v[0-9]\"$"))
+        col("body") =!= "" ||
+        !(col("etag").rlike("^\"v[0-9]\"$") ||
+          (col("etag") === "" && col("last_modified") =!= "")))
         .count() === 0)
+      // the Last-Modified-only 304s exist AND take the refresh path
+      assert(f304.filter(col("etag") === "" &&
+        col("last_modified") =!= "").count() > 0)
       val outcomes = HtmlOps.revalidationOutcomes(framed2, lit(t1))
       val mod = HtmlOps.applyRevalidation(outcomes, sc, "flog",
         sc.path("content"))

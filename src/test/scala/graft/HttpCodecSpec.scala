@@ -130,6 +130,146 @@ class HttpCodecSpec extends SparkSpec {
     assert(r2.getString(0) === plain)
   }
 
+  test("inflate_body: zlib FDICT stream is a verdict, not an infinite loop") {
+    graft.functions.GraftFunctions.register(spark)
+    // 0x78 0x20: CMF=0x78 (deflate, 32K window), FLG with the FDICT
+    // bit set and a valid check (0x7820 = 30752 = 961*32, divisible
+    // by 31) — inflate() on this returns 0 with needsDictionary()
+    // set, neither finished() nor needsInput(): the loop must yield
+    // the null verdict instead of spinning (round-14 ADVICE, high)
+    val fdict = new String(Array[Byte](0x78.toByte, 0x20.toByte,
+      0x01, 0x02, 0x03, 0x04, 0x05, 0x06, 0x07, 0x08), "ISO-8859-1")
+    val r = Seq(fdict).toDF("b")
+      .select(expr("inflate_body(b, 'deflate')")).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("http_frame: fused expression is column-identical to the staged round-14 chain") {
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val fixtures = Seq(
+      "warc" -> HtmlOps.warcFrame(HtmlOps.plantedWarcCorpus(docs), "warc"),
+      "reval" -> HtmlOps.warcFrame(
+        HtmlOps.plantedRevalidationCorpus(docs), "warc"),
+      "encoded" -> HtmlOps.plantedEncodedMessages(docs))
+    fixtures.foreach { case (name, f) =>
+      val fused = HtmlOps.httpFrame(f)
+      val staged = HtmlOps.httpFrameStaged(f)
+      // the staged witness carries the round-14 column set; the fused
+      // form adds last_modified/http_content_length/body_len_ok on top
+      val common = staged.columns.toSeq
+      val a = fused.select(common.map(col): _*)
+      val b = staged.select(common.map(col): _*)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"fused http_frame diverges from the staged chain on $name")
+    }
+    // the null-payload verdict row (a chunk with no response record)
+    val r = graft.functions.HttpFrameImpl.frame(null)
+    assert(r.isNullAt(0) && r.getUTF8String(1).toString === "" &&
+      !r.getBoolean(2) && !r.getBoolean(12) && r.getBoolean(13))
+  }
+
+  test("warc_records: strict framing survives a payload quoting the version line") {
+    import graft.functions.WarcSplitImpl
+    val crlf = "\r\n"
+    val quoted = "<p>see WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+      "quoted</p>"
+    val pay = "HTTP/1.1 200 OK" + crlf + crlf + quoted
+    val rec = "WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+      "WARC-Target-URI: https://t.example/p" + crlf +
+      s"Content-Length: ${pay.getBytes("UTF-8").length}" + crlf + crlf +
+      pay + crlf + crlf
+    val req = "WARC/1.0" + crlf + "WARC-Type: request" + crlf +
+      "Content-Length: 0" + crlf + crlf + crlf
+    // strict walk: TWO records, the response payload intact
+    val recs = WarcSplitImpl.strictWalk(req + rec)
+    assert(recs !== null)
+    assert(recs.size === 2)
+    assert(recs(1).contains(quoted))
+    // the round-14 version-line split would have made FOUR fragments
+    assert((req + rec).split("WARC/1\\.0\r\n", -1).length === 4)
+    // no Content-Length header → the walk declines, fallback applies
+    assert(WarcSplitImpl.strictWalk(
+      "WARC/1.0" + crlf + "WARC-Type: response" + crlf + crlf + "x") === null)
+    // end-to-end: every planted trap doc frames with length_ok on the
+    // good legs — the quoting page is as fetchable as its neighbours
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val out = HtmlOps.warcIngest(HtmlOps.plantedWarcCorpus(docs))
+      .filter(col("doc_id") % 19 === 13 &&
+        !(col("doc_id") % 13).isin(3, 7, 11, 12))
+    assert(out.count() > 0)
+    assert(out.filter(!col("length_ok")).count() === 0)
+    assert(out.filter(col("doc_id") % 13 === 4 &&
+      !col("text_clean").contains("quoted archive")).count() === 0)
+  }
+
+  test("http_frame: windows-1252 C1 range translates per the declared codepage") {
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val out = HtmlOps.warcIngest(HtmlOps.plantedWarcCorpus(docs))
+      .filter(col("doc_id") % 13 === 4 && col("doc_id") % 2 === 0)
+      .select("charset", "text_clean").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getString(0) === "windows-1252")
+      val t = r.getString(1)
+      // the planted C1 bytes read as the codepage's codepoints —
+      // smart quotes, curly apostrophes, en/em dashes — never as the
+      // latin-1 control chars
+      assert(t.contains("“smart” ‘q’ –en— café"), t)
+      assert(!t.exists(c => c >= 0x80 && c <= 0x9f), t)
+    }
+  }
+
+  test("http_frame: Last-Modified rides beside ETag; %10==4 docs are date-validator-only") {
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val out = HtmlOps.warcIngest(HtmlOps.plantedWarcCorpus(docs))
+      .filter(col("doc_id") % 13 =!= 3 && col("doc_id") % 13 =!= 11)
+      .select("doc_id", "etag", "last_modified").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(2) ===
+        f"Mon, ${id % 28 + 1}%02d Jan 2026 00:00:00 GMT", id)
+      if (id % 10 == 4) assert(r.getString(1) === "", id)
+      else assert(r.getString(1) === "\"v" + (id % 9) + "\"", id)
+    }
+  }
+
+  test("body_len_ok (q217): truncated identity bodies flagged, Transfer-Encoding exempt") {
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val out = HtmlOps.httpFrame(HtmlOps.plantedLengthMessages(docs))
+      .select(col("doc_id") % 4, col("http_content_length").isNull,
+        col("body_ok"), col("body_len_ok")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val m = r.getLong(0)
+      assert(r.getBoolean(2), s"m=$m body_ok") // every leg DECODES fine
+      assert(r.getBoolean(1) === (m == 3), s"m=$m cl-null")
+      // only the overstated-identity leg fires; the lying chunked leg
+      // is exempt (RFC 9112 §6.3: TE present → ignore Content-Length)
+      assert(r.getBoolean(3) === (m != 1), s"m=$m len_ok")
+    }
+  }
+
+  test("url algebra: own-authority gate is authority-optional, matching the oracle mirrors") {
+    import graft.functions.UrlOps
+    // degenerate references: '//' and '///x' have the authority FORM
+    // but no authority — the DuckDB mirrors (and robotsGate) classify
+    // them own-authority, so the native gate must too (round-14
+    // ADVICE, medium: they used to resolve server-relative here while
+    // staying themselves in the oracle)
+    assert(UrlOps.resolvedUrl("//", "h.example", "/") === "//")
+    assert(UrlOps.resolvedUrl("///x", "h.example", "/") === "///x")
+    assert(UrlOps.resolvedUrl("//?q", "h.example", "/") === "//?q")
+    assert(UrlOps.urlPath("//") === "")
+    assert(UrlOps.urlPath("///x") === "")
+    // real references keep their behavior
+    assert(UrlOps.resolvedUrl("//o.example/a", "h.example", "/") ===
+      "//o.example/a")
+    assert(UrlOps.resolvedUrl("/a/b", "h.example", "/") ===
+      "//h.example/a/b")
+    assert(UrlOps.urlPath("https://h.example/a/b?q") === "/a/b")
+  }
+
   test("httpFrame: chunked legs decode length-driven, malformed chunk is a body_ok verdict") {
     val docs = graft.io.Tables.parquet(spark, sf, "documents")
     val out = HtmlOps.warcIngest(HtmlOps.plantedWarcCorpus(docs))
@@ -186,7 +326,8 @@ class HttpCodecSpec extends SparkSpec {
     // stays the two bytes, never the single decoded é
     assert(lg.getAs[String]("text_clean").contains("cafÃ©"))
     // the ETag validator is captured quotes-and-all on planted legs
-    assert(out.filter(col("m") === 0 &&
+    // (the %10==4 legs ship Last-Modified only — excluded here)
+    assert(out.filter(col("m") === 0 && col("doc_id") % 10 =!= 4 &&
       col("etag") =!= concat(lit("\"v"), col("doc_id") % 9, lit("\"")))
       .count() === 0)
   }

@@ -413,8 +413,8 @@ class PlanSpec extends SparkSpec {
       try {
         import spark.implicits._
         val batchLatest = Seq(("//w1.s1.example/p/1",
-          "https://w1.s1.example/p/1", 1767225600L + 999L * 3600L, ""))
-          .toDF("canon", "url", "last_fetch_s", "etag")
+          "https://w1.s1.example/p/1", 1767225600L + 999L * 3600L, "", ""))
+          .toDF("canon", "url", "last_fetch_s", "etag", "last_modified")
         val merged = graft.ops.HtmlOps.fetchLogMerge(
           graft.ops.HtmlOps.loadFetchLog(spark, scope, "fl")
             .filter(col("bucket").isin(0 to 63: _*)), // touched-bucket shape

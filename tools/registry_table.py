@@ -88,8 +88,13 @@ def ops_of(body, seen):
     return []
 
 def impl_of(snippet):
-    m = re.search(OPS, snippet)
-    if m:
+    ms = list(re.finditer(OPS, snippet))
+    if ms:
+        # fixture builders (planted*) are INPUTS, not the operator —
+        # attribute to the first non-fixture call when one exists
+        # (round-14 verdict nit: q216 read as its fixture)
+        real = [m for m in ms if not m.group(2).startswith("planted")]
+        m = (real or ms)[0]
         return f"{m.group(1)}.{m.group(2)}"
     # helper-based entry: report the LAST op call — the returned
     # (probe/gate) expression, not the cached artifact build
