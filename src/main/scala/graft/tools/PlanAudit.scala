@@ -138,6 +138,7 @@ object PlanAudit {
     "q214_stream_retry_loop", // per-wave framed persist + attempt-stamped frontier
     "q215_sitemap_tree",   // vocabulary-sized walk + inflate into the frontier tail
     "q216_trap_guard",     // frontier plan with the per-row trap predicate inline
+    "q217_body_length_check", // one fused http_frame projection, zero exchanges
     "q10_event_window")   // normalized-ts scan straight into windowed agg
 
   def main(args: Array[String]): Unit = {
