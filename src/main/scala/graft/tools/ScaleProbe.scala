@@ -218,7 +218,10 @@ object ScaleProbe {
     "q215_sitemap_tree",
     // trap guard: the frontier plan + one per-row native predicate —
     // expected q191's class exactly
-    "q216_trap_guard")
+    "q216_trap_guard",
+    // length cross-check: one fused http_frame projection — expected
+    // q184's scan-bound class
+    "q217_body_length_check")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)
