@@ -83,8 +83,13 @@ object HttpCodec {
       }
       if (atEof) return null // size > 0 but no data can follow
       val dataStart = k + 2
-      val dataEnd = dataStart + size.toInt
-      if (dataEnd > n) return null // truncated data: verdict
+      // declared sizes count CODE POINTS (Spark `length` semantics —
+      // at the transport layer that IS the octet count, and the
+      // fixtures/oracle declare with length()); offsetByCodePoints
+      // walks them and throwing past the end is the truncation verdict
+      val dataEnd =
+        try t.offsetByCodePoints(dataStart, size.toInt)
+        catch { case _: IndexOutOfBoundsException => return null }
       sb.append(t, dataStart, dataEnd)
       // CRLF after the data (EOF tolerated only when what's missing
       // is the epilogue — i.e. nothing at all follows)

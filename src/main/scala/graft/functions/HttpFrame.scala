@@ -221,11 +221,14 @@ object HttpFrameImpl {
     b.toString
   }
 
-  /** Spark `length` over transport chars — the WIRE octet count at
-    * this layer (one char per byte), the unit the de-chunker and the
-    * HTTP Content-Length check share.
+  /** Spark `length` semantics — CODE POINTS, not UTF-16 units (a
+    * non-BMP character is one). At the transport layer (chars ≤ 0xFF)
+    * this IS the wire octet count; for any other input it stays
+    * unit-identical with the fixtures' `length()` declarations and
+    * the DuckDB mirror.
     */
-  private def charLen(s: String): Long = s.length.toLong
+  private def charLen(s: String): Long =
+    s.codePointCount(0, s.length).toLong
 
   private val utf8Set = java.util.Set.of("utf-8", "utf8", "")
   private val latinSet = java.util.Set.of("iso-8859-1", "latin1", "latin-1")
@@ -302,9 +305,14 @@ object HttpFrameImpl {
     // with a Transfer-Encoding the header must be ignored), the framed
     // body's wire length must match the declaration. False catches
     // truncated identity bodies the status/mime gates pass; absent
-    // header (all current fixtures) or a TE message is trivially true.
+    // header or a TE message is trivially true, and so are the
+    // bodiless statuses: RFC 9110 §8.6 lets a 204/304 declare the
+    // SELECTED representation's Content-Length while shipping no body
+    // at all — flagging those would call every revalidation response
+    // truncated.
     val bodyLenOk =
-      if (!isHttp || hcl == null || !(te.isEmpty || te == "identity")) true
+      if (!isHttp || hcl == null || !(te.isEmpty || te == "identity") ||
+        statusStr == "204" || statusStr == "304") true
       else bodyFramed != null &&
         charLen(bodyFramed) == hcl.asInstanceOf[java.lang.Long].longValue()
 

@@ -27,10 +27,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * leg's behavior identical: corrupt framing stays a `length_ok`
   * verdict, never an exception. Two shapes stay strict-frameable
   * without a length match: a record with NO header-terminating blank
-  * line takes the rest of the chunk (the truncated-header leg), and a
-  * declared length that overruns end-of-input takes the rest (the
-  * overstated-length leg — its `length_ok` check still fails
-  * downstream, exactly as before).
+  * line takes the rest of the chunk (the truncated-header leg —
+  * guarded: only when no further version line follows, since a
+  * boundary inside a claimed header block means a next record the
+  * take-the-rest arm would swallow; otherwise the chunk falls back),
+  * and a declared length that overruns end-of-input takes the rest
+  * (the overstated-length leg — its `length_ok` check still fails
+  * downstream, exactly as before). The overrun arm TRUSTS the
+  * declaration by design: a lying length that swallows a successor is
+  * indistinguishable from a payload legitimately quoting a version
+  * line (the %19==13 trap leg), so the walk keeps the declared span
+  * and the merged row dies at `length_ok` — the stated ambiguity of a
+  * self-contradictory archive.
   *
   * Emitted records EXCLUDE their version line and INCLUDE their
   * trailing separator CRLFs — precisely the split's output shape, so
@@ -44,8 +52,12 @@ import org.apache.spark.unsafe.types.UTF8String
 object WarcSplitImpl {
   private val version = "WARC/1.0\r\n"
   private val splitRe = java.util.regex.Pattern.compile("WARC/1\\.0\r\n")
+  // ISO 28500 field names are case-insensitive and the colon's
+  // whitespace is optional — a spec-conformant archive writing
+  // `content-length:512` must get strict framing, not a silent
+  // downgrade to the mis-splitting fallback
   private val clRe = java.util.regex.Pattern.compile(
-    "(?m)^Content-Length: ([^\r\n]+)")
+    "(?m)^(?i:content-length):[ \t]*([^\r\n]+)")
 
   def records(warc: UTF8String): ArrayData = {
     if (warc == null) return null
@@ -68,13 +80,23 @@ object WarcSplitImpl {
       if (!t.startsWith(version, i)) return null
       val start = i + version.length
       val hEnd = t.indexOf("\r\n\r\n", start)
-      if (hEnd < 0) { // truncated header block: the rest is the record
+      if (hEnd < 0) {
+        // truncated header block: legal only as the chunk's TAIL — a
+        // version line inside what claims to be headers means a next
+        // record exists, and emitting take-the-rest would swallow it
+        // (the fallback split keeps it intact instead)
+        if (t.indexOf(version, start) >= 0) return null
         out += t.substring(start)
         return out.result()
       }
-      val m = clRe.matcher(t).region(start, hEnd)
+      val header = t.substring(start, hEnd)
+      // same guard when the blank line found belongs to a LATER
+      // record (this record's own block never terminated): a header
+      // block cannot legally contain a record boundary
+      if (header.contains(version)) return null
+      val m = clRe.matcher(header)
       if (!m.find()) return null // no declared length: cannot walk
-      val clStr = m.group(1)
+      val clStr = m.group(1).trim
       if (clStr.isEmpty || !clStr.forall(c => c >= '0' && c <= '9') ||
         clStr.length > 18) return null
       val pEnd = advanceOctets(t, hEnd + 4, clStr.toLong)

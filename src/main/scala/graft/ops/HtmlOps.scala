@@ -583,10 +583,11 @@ object HtmlOps {
       when(col("doc_id") % 2 === 1, lit("10;x=1" + crlf))
         .otherwise(lit("10" + crlf)),
       substring(body, 1, 16), lit(crlf),
-      // CHAR length, not octet: the de-chunker consumes declared sizes
-      // in chars (the latin-1 transport convention) and the data is
-      // sliced with substring (chars) — a byte count would mis-frame
-      // any future non-ASCII plant on these legs (round-14 ADVICE)
+      // length(), not octet_length: the de-chunker consumes declared
+      // sizes in CODE POINTS (Spark length()'s unit, = bytes under the
+      // latin-1 transport convention) and the data is sliced with
+      // substring (same unit) — a byte count would mis-frame any
+      // future non-ASCII plant on these legs (round-14 ADVICE)
       hex((length(body) - 16).cast("long")), lit(crlf),
       substring(body, 17, 1000000), lit(crlf),
       lit("0"),

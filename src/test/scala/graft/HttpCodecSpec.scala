@@ -190,6 +190,23 @@ class HttpCodecSpec extends SparkSpec {
     // no Content-Length header → the walk declines, fallback applies
     assert(WarcSplitImpl.strictWalk(
       "WARC/1.0" + crlf + "WARC-Type: response" + crlf + crlf + "x") === null)
+    // ISO 28500 field names are case-insensitive: a spec-conformant
+    // lowercase header (no colon space) still gets strict framing
+    val lc = "WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+      s"content-length:${pay.getBytes("UTF-8").length}" + crlf + crlf +
+      pay + crlf + crlf
+    val lcRecs = WarcSplitImpl.strictWalk(lc)
+    assert(lcRecs !== null)
+    assert(lcRecs.size === 1 && lcRecs.head.contains(quoted))
+    // a TRUNCATED record followed by a valid one must FALL BACK so the
+    // valid record survives the split — take-the-rest would swallow it
+    assert(WarcSplitImpl.strictWalk(
+      "WARC/1.0" + crlf + "WARC-Type: response" + crlf + "WARC-Da" + req)
+      === null)
+    // ...but a truncated TAIL (nothing follows) stays strict-frameable
+    assert(WarcSplitImpl.strictWalk(
+      "WARC/1.0" + crlf + "WARC-Type: response" + crlf + "WARC-Da")
+      .size === 1)
     // end-to-end: every planted trap doc frames with length_ok on the
     // good legs — the quoting page is as fetchable as its neighbours
     val docs = graft.io.Tables.parquet(spark, sf, "documents")
@@ -248,6 +265,21 @@ class HttpCodecSpec extends SparkSpec {
       // is exempt (RFC 9112 §6.3: TE present → ignore Content-Length)
       assert(r.getBoolean(3) === (m != 1), s"m=$m len_ok")
     }
+    import graft.functions.HttpFrameImpl
+    def frameOf(pay: String) = HttpFrameImpl.frame(
+      org.apache.spark.unsafe.types.UTF8String.fromString(pay))
+    // a bodiless 304 may declare the SELECTED representation's
+    // Content-Length (RFC 9110 §8.6) — never a truncation verdict
+    val r304 = frameOf(
+      "HTTP/1.1 304 Not Modified\r\nContent-Length: 1234\r\nETag: \"x\"")
+    assert(r304.getBoolean(13), "304 with Content-Length is not truncated")
+    // ...while a 200 shipping fewer bytes than declared IS flagged
+    assert(!frameOf(
+      "HTTP/1.1 200 OK\r\nContent-Length: 10\r\n\r\nshort").getBoolean(13))
+    // the check counts CODE POINTS (Spark length() semantics): a
+    // non-BMP char is ONE, not two UTF-16 units
+    assert(frameOf(
+      "HTTP/1.1 200 OK\r\nContent-Length: 1\r\n\r\n😀").getBoolean(13))
   }
 
   test("url algebra: own-authority gate is authority-optional, matching the oracle mirrors") {
