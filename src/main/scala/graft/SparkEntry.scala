@@ -5100,9 +5100,12 @@ object SparkEntry {
        |  '$cr', '$cr',
        |  pay, '$cr', '$cr') END AS rec FROM $src),
        |${pfx}fr AS (SELECT doc_id, n_records,
-       |  regexp_extract(rec, '(?m)^WARC-Target-URI: ([^$cr]+)', 1) AS target_uri,
-       |  regexp_extract(rec, '(?m)^WARC-Date: ([^$cr]+)', 1) AS warc_date,
-       |  TRY_CAST(regexp_extract(rec, '(?m)^Content-Length: ([^$cr]+)', 1)
+       |  regexp_extract(rec,
+       |    '(?m)^(?i:warc-target-uri):[ \\t]*([^$cr]+)', 1) AS target_uri,
+       |  regexp_extract(rec,
+       |    '(?m)^(?i:warc-date):[ \\t]*([^$cr]+)', 1) AS warc_date,
+       |  TRY_CAST(regexp_extract(rec,
+       |    '(?m)^(?i:content-length):[ \\t]*([^$cr]+)', 1)
        |    AS BIGINT) AS content_length,
        |  regexp_replace(regexp_extract(rec, '(?s)$cr$cr(.*)$$', 1),
        |    '($cr)+$$', '') AS payload FROM ${pfx}resp)""".stripMargin

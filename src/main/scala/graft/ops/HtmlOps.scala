@@ -844,8 +844,12 @@ object HtmlOps {
   private[graft] def warcFrame(chunks: DataFrame,
                                warcCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(chunks.sparkSession)
+    // ISO 28500 named fields are case-insensitive and the colon's
+    // whitespace is optional — same treatment as the HTTP header
+    // block and the strict walk's Content-Length lookup, so a
+    // spec-conformant `warc-target-uri:` archive keeps its verdicts
     def header(rec: Column, name: String): Column =
-      regexp_extract(rec, s"(?m)^$name: ([^\r\n]+)", 1)
+      regexp_extract(rec, s"(?m)^(?i:$name):[ \t]*([^\r\n]+)", 1)
     // STRICT Content-Length framing with the version-line-split
     // fallback ([[graft.functions.WarcSplitImpl]]): a payload that
     // contains the `WARC/1.0\r\n` byte sequence frames correctly

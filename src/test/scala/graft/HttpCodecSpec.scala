@@ -207,6 +207,23 @@ class HttpCodecSpec extends SparkSpec {
     assert(WarcSplitImpl.strictWalk(
       "WARC/1.0" + crlf + "WARC-Type: response" + crlf + "WARC-Da")
       .size === 1)
+    // end to end: a spec-conformant archive writing LOWERCASE field
+    // names (ISO 28500 names are case-insensitive) frames AND keeps
+    // its verdicts — target URI, date, and the octet check all parse
+    val lcPay = "HTTP/1.1 200 OK" + crlf +
+      "Content-Type: text/html; charset=utf-8" + crlf + crlf +
+      "<html><title>lc</title>ok</html>"
+    val lcChunk = "WARC/1.0" + crlf + "warc-type: response" + crlf +
+      "warc-target-uri: https://lc.example/p" + crlf +
+      "warc-date: 2026-01-01T00:00:00Z" + crlf +
+      s"content-length:${lcPay.getBytes("UTF-8").length}" + crlf + crlf +
+      lcPay + crlf + crlf
+    val lcOut = HtmlOps.warcIngest(
+      Seq((1L, lcChunk)).toDF("doc_id", "warc")).head()
+    assert(lcOut.getAs[String]("target_uri") === "https://lc.example/p")
+    assert(lcOut.getAs[String]("warc_date") === "2026-01-01T00:00:00Z")
+    assert(lcOut.getAs[Boolean]("length_ok"))
+    assert(lcOut.getAs[Boolean]("http_ok"))
     // end-to-end: every planted trap doc frames with length_ok on the
     // good legs — the quoting page is as fetchable as its neighbours
     val docs = graft.io.Tables.parquet(spark, sf, "documents")
