@@ -1916,11 +1916,12 @@ object SparkEntry {
         .select(col("doc_id"), col("url"),
           length(col("url")).cast("long").as("n_chars"),
           HtmlOps.urlTrapped(col("url")).as("trapped"))),
-    // post-decode length cross-check (q217): a declared Content-Length
-    // vs the framed body's wire length — the only gate that catches a
-    // TRUNCATED IDENTITY body (frames, 200 text/html, decodes: every
-    // other gate passes it); ignored under a Transfer-Encoding per
-    // RFC 9112 §6.3 (the deliberately-lying chunked leg must NOT fire)
+    // wire-length cross-check (q217): a declared Content-Length vs
+    // the RECEIVED body's length (the content-coded octets RFC 9110
+    // §8.6 counts) — the only gate that catches a TRUNCATED IDENTITY
+    // body (frames, 200 text/html, decodes: every other gate passes
+    // it); ignored under a Transfer-Encoding per RFC 9112 §6.3 (the
+    // deliberately-lying chunked leg must NOT fire)
     "q217_body_length_check" -> ((s, dir) => HtmlOps.httpFrame(
         HtmlOps.plantedLengthMessages(t(s, dir, "documents")))
       .select(col("doc_id"), col("http_content_length"),

@@ -300,21 +300,22 @@ object HttpFrameImpl {
       }
     val bodyOk = bodyFramed != null
 
-    // the post-decode LENGTH cross-check: when the message declares a
+    // the WIRE-LENGTH cross-check: when the message declares a
     // Content-Length and ships un-transfer-encoded (RFC 9112 §6.3 —
-    // with a Transfer-Encoding the header must be ignored), the framed
-    // body's wire length must match the declaration. False catches
-    // truncated identity bodies the status/mime gates pass; absent
-    // header or a TE message is trivially true, and so are the
-    // bodiless statuses: RFC 9110 §8.6 lets a 204/304 declare the
-    // SELECTED representation's Content-Length while shipping no body
-    // at all — flagging those would call every revalidation response
-    // truncated.
+    // with a Transfer-Encoding the header must be ignored), the
+    // RECEIVED body's length must match the declaration. Compared
+    // against body_raw, NOT the inflated body: RFC 9110 §8.6's
+    // Content-Length counts the content-CODED octets, so a gzip body
+    // with a correct (compressed) declaration is intact, never
+    // "truncated". False catches truncated identity bodies the
+    // status/mime gates pass; absent header or a TE message is
+    // trivially true, and so are the bodiless statuses (RFC 9110 §8.6
+    // lets a 204/304 declare the SELECTED representation's length
+    // while shipping no body at all).
     val bodyLenOk =
       if (!isHttp || hcl == null || !(te.isEmpty || te == "identity") ||
         statusStr == "204" || statusStr == "304") true
-      else bodyFramed != null &&
-        charLen(bodyFramed) == hcl.asInstanceOf[java.lang.Long].longValue()
+      else charLen(bodyRaw) == hcl.asInstanceOf[java.lang.Long].longValue()
 
     // the DECODE seam — bytes become text exactly once, per the
     // DECLARED charset: latin-1 is the identity; pure-ASCII skips the

@@ -100,7 +100,10 @@ object WarcSplitImpl {
       if (clStr.isEmpty || !clStr.forall(c => c >= '0' && c <= '9') ||
         clStr.length > 18) return null
       val pEnd = advanceOctets(t, hEnd + 4, clStr.toLong)
-      if (pEnd < 0) { // declared length overruns EOF: rest is the record
+      if (pEnd == SplitsChar) return null // boundary inside a char:
+      // neither a record boundary nor EOF — fall back, so a record
+      // that FOLLOWS the mis-declared one survives the split
+      if (pEnd == PastEof) { // declared length overruns EOF: rest is the record
         out += t.substring(start)
         return out.result()
       }
@@ -117,21 +120,28 @@ object WarcSplitImpl {
     out.result()
   }
 
-  /** Char index after consuming `n` UTF-8 octets from `from`; -1 when
-    * the input ends (or a char straddles the boundary) first.
+  private val PastEof = -1
+  private val SplitsChar = -2
+
+  /** Char index after consuming `n` UTF-8 octets from `from`;
+    * [[PastEof]] when the input ends first (the take-the-rest arm),
+    * [[SplitsChar]] when the declared boundary lands INSIDE a
+    * multi-byte character — a length that is provably wrong while
+    * more input remains, which must fall back rather than swallow a
+    * following record.
     */
   private def advanceOctets(t: String, from: Int, n: Long): Int = {
     var i = from
     var rem = n
     while (rem > 0) {
-      if (i >= t.length) return -1
+      if (i >= t.length) return PastEof
       val c = t.charAt(i)
       if (c < 0x80) { rem -= 1; i += 1 }
       else if (c < 0x800) { rem -= 2; i += 1 }
       else if (Character.isHighSurrogate(c) && i + 1 < t.length &&
         Character.isLowSurrogate(t.charAt(i + 1))) { rem -= 4; i += 2 }
       else { rem -= 3; i += 1 }
-      if (rem < 0) return -1 // declared length splits a character
+      if (rem < 0) return SplitsChar
     }
     i
   }

@@ -856,7 +856,10 @@ object HtmlOps {
     // (round-14 Missing #2, closed); structurally unframeable chunks
     // keep the exact split behavior, so every malformed leg stays a
     // length_ok verdict
-    val recs = expr(s"warc_records(coalesce($warcCol, ''))")
+    // backquoted (with embedded backticks doubled): warcCol is a
+    // caller-supplied COLUMN NAME, not a SQL fragment
+    val recs = expr(
+      s"warc_records(coalesce(`${warcCol.replace("`", "``")}`, ''))")
     val body = regexp_replace(
       regexp_extract(col("rec"), "(?s)\r\n\r\n(.*)$", 1),
       s"(\r\n)+$$", "")
@@ -2234,8 +2237,14 @@ object HtmlOps {
       s"delays table has $n rows, exceeding $maxRows — not a " +
         "domain-vocabulary table; use scheduleWave (distributed join) " +
         "instead of the localized validatedDelays path")
-    spark.createDataFrame(
-      java.util.Arrays.asList(d.collect(): _*), d.schema)
+    // belt and braces: the collect itself stays HARD-bounded too — a
+    // non-deterministic or concurrently-growing source could pass the
+    // count job and then materialize more in this second job
+    val rows = d.limit(maxRows.toInt + 1).collect()
+    require(rows.length <= maxRows,
+      "delays table grew past the ceiling between validation and " +
+        "collection — the source is not a stable vocabulary table")
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), d.schema)
   }
 
   /** [[scheduleWave]]'s join body over an ALREADY-validated delays
@@ -2570,11 +2579,7 @@ object HtmlOps {
     // #3), and a log that only carried ETag would deny those canons
     // the 304 path forever. A log without validators (the
     // pre-validator fixtures, the q211 attempt log) carries ''.
-    val withValidators = Seq("etag", "last_modified")
-      .foldLeft(fetchLog) { (df, c) =>
-        if (df.columns.contains(c)) df else df.withColumn(c, lit(""))
-      }
-    withValidators
+    withValidatorCols(fetchLog)
       .groupBy(canonicalUrl(col("url")).as("canon"))
       .agg(max(struct(col("fetched_at_s"), col("url"), col("etag"),
         col("last_modified"))).as("m"))
@@ -2584,16 +2589,24 @@ object HtmlOps {
         col("m.last_modified").as("last_modified"))
   }
 
+  /** The fetch-log VALIDATOR columns, backfilled with '' when a
+    * source carries none — the single owner of the validator set: a
+    * future third validator is added HERE and every reader/writer
+    * (argmax, refetch tail, upsert batch) follows.
+    */
+  private val validatorCols = Seq("etag", "last_modified")
+
+  private def withValidatorCols(df: DataFrame): DataFrame =
+    validatorCols.foldLeft(df) { (d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(""))
+    }
+
   private def refetchTail(last: DataFrame, nowS: Long, ttlS: Long,
                           ranks: DataFrame, kPerDomain: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(ttlS > 0, s"ttlS must be positive: $ttlS")
     require(kPerDomain > 0, s"kPerDomain must be positive: $kPerDomain")
-    val withValidators = Seq("etag", "last_modified")
-      .foldLeft(last) { (df, c) =>
-        if (df.columns.contains(c)) df else df.withColumn(c, lit(""))
-      }
-    val due = withValidators.select(col("canon"), col("url"),
+    val due = withValidatorCols(last).select(col("canon"), col("url"),
         col("last_fetch_s"), col("etag"), col("last_modified"))
       .filter(lit(nowS) - col("last_fetch_s") >= ttlS)
       .withColumn("domain",
@@ -2675,9 +2688,8 @@ object HtmlOps {
       s"$name/meta")("n_buckets")
     val tbl = registerFetchLogTable(spark, scope, name)
     val batchLatest = latestFetchPerKey(
-      batch.select(col("url") +: col("fetched_at_s") +:
-        Seq("etag", "last_modified").filter(batch.columns.contains)
-          .map(col): _*))
+      withValidatorCols(batch).select(col("url") +: col("fetched_at_s") +:
+        validatorCols.map(col): _*))
       .withColumn("bucket", keyBucket(col("canon"), nBuckets))
     // touched buckets: at most n_buckets values, model-sized
     val touched = batchLatest.select("bucket").distinct()

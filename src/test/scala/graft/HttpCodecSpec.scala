@@ -297,6 +297,36 @@ class HttpCodecSpec extends SparkSpec {
     // non-BMP char is ONE, not two UTF-16 units
     assert(frameOf(
       "HTTP/1.1 200 OK\r\nContent-Length: 1\r\n\r\n😀").getBoolean(13))
+    // Content-Length counts the content-CODED octets (RFC 9110 §8.6):
+    // a gzip body with the correct COMPRESSED length is intact — the
+    // check runs against the received wire body, never the inflated one
+    val gz = HttpCodec.gzipTransport(
+      org.apache.spark.unsafe.types.UTF8String
+        .fromString("<html>a much longer inflated body</html>")).toString
+    val rGz = frameOf("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n" +
+      s"Content-Length: ${gz.length}\r\n\r\n" + gz)
+    assert(rGz.getBoolean(12), "gzip body decodes")   // body_ok
+    assert(rGz.getBoolean(13), "compressed declaration is intact")
+    assert(!frameOf("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n" +
+      s"Content-Length: ${gz.length + 9}\r\n\r\n" + gz).getBoolean(13))
+  }
+
+  test("warc_records: a length splitting a character falls back; EOF overrun takes the rest") {
+    import graft.functions.WarcSplitImpl
+    val crlf = "\r\n"
+    val req = "WARC/1.0" + crlf + "WARC-Type: request" + crlf +
+      "Content-Length: 0" + crlf + crlf + crlf
+    // 'café' = 5 octets; declaring 4 lands INSIDE the é — provably
+    // wrong while a valid record follows: must fall back so the
+    // follower survives the version-line split
+    val midChar = "WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+      "Content-Length: 4" + crlf + crlf + "café" + crlf + crlf
+    assert(WarcSplitImpl.strictWalk(midChar + req) === null)
+    // ...while a genuine EOF overrun (nothing follows) still takes
+    // the rest — the overstated-length leg's contract
+    val overrun = "WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+      "Content-Length: 999" + crlf + crlf + "short"
+    assert(WarcSplitImpl.strictWalk(overrun).size === 1)
   }
 
   test("url algebra: own-authority gate is authority-optional, matching the oracle mirrors") {
