@@ -1926,6 +1926,13 @@ object SparkEntry {
         HtmlOps.plantedLengthMessages(t(s, dir, "documents")))
       .select(col("doc_id"), col("http_content_length"),
         col("transfer_encoding"), col("body_ok"), col("body_len_ok"))),
+    // WARC revisit records (q218): the archive-side dedup convention
+    // — WARC-Type: revisit + WARC-Payload-Digest resolved against the
+    // content store's latest version; a CONFIRMED digest resets the
+    // staleness clock with zero content writes and surviving
+    // validators, an unconfirmable one is a verdict and the key
+    // stays due
+    "q218_warc_revisit" -> (warcRevisitQuery _),
   )
 
   private val q192Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -2158,6 +2165,55 @@ object SparkEntry {
         col("last_modified"),
         md5(encode(coalesce(col("body"), lit("")), "UTF-8"))
           .as("content_md5"))
+  }
+
+  private val q218Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
+
+  /** q218: WARC `revisit` records resolved through the fetch log and
+    * content store — wave 1 seeds both (the q213 seeding verbatim),
+    * then the revisit wave applies: digest-confirmed revisits reset
+    * the staleness clock WITHOUT touching validators or content;
+    * lying digests and absent revisits leave the canon untouched.
+    * Output per canon: the post-wave log state, the stored content
+    * hash (bit-identical to wave 1 in every case — a revisit never
+    * writes content), and the revisit verdict.
+    */
+  private def warcRevisitQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val t0 = 1767225600L
+    val t2 = t0 + 14L * 86400L
+    val scope = cachedScope(q218Scopes, s, dir, "graft-q218-") { sc =>
+      val framed1 = HtmlOps.httpFrame(HtmlOps.warcFrame(
+          HtmlOps.plantedWarcCorpus(docs), "warc"))
+        .filter(col("length_ok") && col("http_ok") && col("body_ok"))
+        .select(col("doc_id"), col("target_uri"), col("etag"),
+          col("last_modified"), col("body"))
+        .localCheckpoint(eager = true) // feeds log + content store
+      HtmlOps.saveFetchLog(
+        framed1.select(col("target_uri").as("url"),
+          lit(t0).as("fetched_at_s"), col("etag"), col("last_modified")),
+        sc, "fetchlog")
+      HtmlOps.appendContentVersions(
+        framed1.select(
+          HtmlOps.canonicalUrl(col("target_uri")).as("canon"),
+          col("body"), lit(t0).as("content_fetch_s")),
+        sc.path("content"))
+      HtmlOps.applyRevisits(
+        HtmlOps.warcRevisits(HtmlOps.plantedRevisitCorpus(docs), "warc"),
+        sc, "fetchlog", sc.path("content"), lit(t2))
+        .write.mode("overwrite").parquet(sc.path("revisits"))
+    }
+    val verdicts = s.read.parquet(scope.path("revisits"))
+      .select(col("canon"), col("revisit_ok"))
+    HtmlOps.loadFetchLog(s, scope, "fetchlog")
+      .join(HtmlOps.latestContent(s, scope.path("content")),
+        Seq("canon"), "left")
+      .join(verdicts, Seq("canon"), "left")
+      .select(col("canon"), col("url"), col("last_fetch_s"), col("etag"),
+        col("last_modified"),
+        md5(encode(coalesce(col("body"), lit("")), "UTF-8"))
+          .as("content_md5"),
+        coalesce(col("revisit_ok"), lit(false)).as("revisit_ok"))
   }
 
   private val q214Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -5009,6 +5065,10 @@ object SparkEntry {
     // the trap verdict replayed per planted row
     "q216_trap_guard" -> q216Sql,
     "q217_body_length_check" -> q217Sql,
+    // revisit resolution: clock reset iff the digest confirms against
+    // the stored argmax body; validators and content bit-identical to
+    // wave 1 throughout
+    "q218_warc_revisit" -> q218Sql,
     // redirect-aware frontier: both discovery channels replayed from
     // the regenerated chunk bytes into one candidate aggregation
     "q205_redirect_frontier" -> q205Sql,
@@ -5143,6 +5203,11 @@ object SparkEntry {
        |       ELSE '' END ||
        |    CASE WHEN doc_id % 13 = 4 AND doc_id % 2 = 0
        |       THEN '<p>smart q en café</p>'
+       |       ELSE '' END ||
+       |    CASE WHEN doc_id % 13 = 0 AND doc_id % 3 = 1
+       |       THEN '<p>${graft.ops.HtmlOps.sjisLeg._1}</p>'
+       |       WHEN doc_id % 13 = 0 AND doc_id % 3 = 2
+       |       THEN '<p>${graft.ops.HtmlOps.eucKrLeg._1}</p>'
        |       ELSE '' END AS bp FROM $src),
        |$out AS (SELECT doc_id,
        |  CASE WHEN doc_id % 13 = 12 THEN NULL ELSE bp END AS body_plain,
@@ -5167,6 +5232,10 @@ object SparkEntry {
        |         THEN 'Content-Type: text/html; charset=iso-8859-1$cr'
        |       WHEN doc_id % 13 = 10
        |         THEN 'Content-Type: text/html; charset="utf-8"$cr'
+       |       WHEN doc_id % 13 = 0 AND doc_id % 3 = 1
+       |         THEN 'Content-Type: text/html; charset=shift_jis$cr'
+       |       WHEN doc_id % 13 = 0 AND doc_id % 3 = 2
+       |         THEN 'Content-Type: text/html; charset=euc-kr$cr'
        |       ELSE 'Content-Type: text/html; charset=utf-8$cr' END,
        |  CASE WHEN doc_id % 13 IN (6, 12)
        |       THEN 'Transfer-Encoding: chunked$cr' ELSE '' END,
@@ -5201,13 +5270,24 @@ object SparkEntry {
     * the planted plain body, NULL for the malformed leg) exactly like
     * the charset seam below.
     */
+  /** The windows-1252 C1 decode as a DuckDB replace chain, GENERATED
+    * from the engine's own translation table
+    * ([[graft.functions.HttpFrameImpl.cp1252From]]/`cp1252To`) — all
+    * 27 defined codepage entries, not just the planted six, so a
+    * future fixture planting any other C1 byte (0x80 euro, 0x99 TM,
+    * …) stays byte-complete by construction (round-15 ADVICE #1).
+    * The five undefined bytes keep the latin-1 identity on both
+    * engines (they are filtered here exactly because the engine's
+    * table maps them to themselves).
+    */
+  private def duckCp1252Replace(inner: String): String =
+    graft.functions.HttpFrameImpl.cp1252From
+      .zip(graft.functions.HttpFrameImpl.cp1252To)
+      .filter { case (f, t) => f != t }
+      .foldLeft(inner) { case (c, (f, t)) => s"replace($c, '$f', '$t')" }
+
   private def duckHttpFrame(pfx: String, paySrc: String): String = {
     val cr = "\r\n"
-    // the planted windows-1252 C1 bytes as SQL literals (unicode
-    // escapes here so the invisible control chars are reviewable)
-    val cpQ91 = "'\u0091'"; val cpQ92 = "'\u0092'"
-    val cpQ93 = "'\u0093'"; val cpQ94 = "'\u0094'"
-    val cpQ96 = "'\u0096'"; val cpQ97 = "'\u0097'"
     // MATERIALIZED, and body in a second CTE, not lateral aliases:
     // DuckDB expands same-SELECT alias references as macros AND
     // inlines single-use CTEs transitively, so the decode CASE
@@ -5319,9 +5399,15 @@ object SparkEntry {
        |    WHEN charset IN ('utf-8', 'utf8', '')
        |      THEN replace(body_framed, 'Ã©', 'é')
        |    WHEN charset IN ('windows-1252', 'cp1252')
-       |      THEN replace(replace(replace(replace(replace(replace(
-       |        body_framed, $cpQ91, '‘'), $cpQ92, '’'), $cpQ93, '“'),
-       |        $cpQ94, '”'), $cpQ96, '–'), $cpQ97, '—')
+       |      THEN ${duckCp1252Replace("body_framed")}
+       |    WHEN charset = 'shift_jis'
+       |      THEN replace(body_framed,
+       |        '${graft.ops.HtmlOps.sjisLeg._1}',
+       |        '${graft.ops.HtmlOps.sjisLeg._2}')
+       |    WHEN charset = 'euc-kr'
+       |      THEN replace(body_framed,
+       |        '${graft.ops.HtmlOps.eucKrLeg._1}',
+       |        '${graft.ops.HtmlOps.eucKrLeg._2}')
        |    ELSE body_framed END AS body
        |  FROM ${pfx}ht1)""".stripMargin
   }
@@ -5555,7 +5641,7 @@ object SparkEntry {
       if (!robots)
         s"${pfx}g AS (SELECT doc_id, url, host, domain FROM ${pfx}b2)"
       else
-        s"""${pfx}pt AS (SELECT *, ${duckPathOf("url")} AS path
+        s"""${pfx}pt AS (SELECT *, ${duckMatchOf("url")} AS mt
            |  FROM ${pfx}b2),
            |${pfx}mg AS (SELECT p.rid, p.doc_id, p.url, p.host, p.domain,
            |  r.allow,
@@ -5563,7 +5649,7 @@ object SparkEntry {
            |    ORDER BY coalesce(strlen(r.prefix), -1) DESC,
            |             r.allow DESC) AS rn
            |  FROM ${pfx}pt p LEFT JOIN $rulesCte r ON r.domain = p.domain
-           |    AND starts_with(p.path, r.prefix)),
+           |    AND ${duckRobotsMatch("p.mt", "r")}),
            |${pfx}g AS (SELECT doc_id, url, host, domain FROM ${pfx}mg
            |  WHERE rn = 1 AND coalesce(allow, true))""".stripMargin
     val pages = pageCtes.getOrElse(
@@ -5747,14 +5833,14 @@ object SparkEntry {
        |  ${duckResolvedUrl("url", "host", "base_path")}
        |  AS url, host, domain, row_number() OVER () AS rid
        |  FROM ${pfx}rr3),
-       |${pfx}rr5 AS (SELECT *, ${duckPathOf("url")} AS path
+       |${pfx}rr5 AS (SELECT *, ${duckMatchOf("url")} AS mt
        |  FROM ${pfx}rr4),
        |${pfx}rr6 AS (SELECT p.rid, p.doc_id, p.url, p.host, p.domain,
        |  r.allow, row_number() OVER (PARTITION BY p.rid
        |    ORDER BY coalesce(strlen(r.prefix), -1) DESC,
        |             r.allow DESC) AS rn
        |  FROM ${pfx}rr5 p LEFT JOIN $rulesCte r ON r.domain = p.domain
-       |    AND starts_with(p.path, r.prefix)),
+       |    AND ${duckRobotsMatch("p.mt", "r")}),
        |${pfx}rrg AS (SELECT doc_id, url, host, domain FROM ${pfx}rr6
        |  WHERE rn = 1 AND coalesce(allow, true))""".stripMargin
 
@@ -6002,11 +6088,16 @@ object SparkEntry {
     * wave-1 versions plus wave-2 rewrites: canons whose group
     * revalidated 304-only keep their wave-1 bytes BIT-identically.
     */
-  private lazy val q213Sql = {
-    val t0 = 1767225600L
-    val t1 = t0 + 7L * 86400L
+  /** Wave-1 valid fetches, DECODED — `rv` (doc_id, html, url) and
+    * `rw1` (doc_id, url, body): the regenerated post-decode bodies of
+    * every chunk that frames, gates, and wire-decodes (the q184 chain
+    * collapsed onto the planted legs). Shared by the q213 and q218
+    * oracles so the two can never disagree on what the content store
+    * holds.
+    */
+  private lazy val duckWave1Ctes = {
     val cr = "\r\n"
-    s"""WITH rv AS (SELECT doc_id, $duckHtml AS html,
+    s"""rv AS (SELECT doc_id, $duckHtml AS html,
        |  concat('https://w', cast(doc_id % 7 AS varchar), '.s',
        |    cast(doc_id % 5 AS varchar), '.example/p/',
        |    cast(doc_id % 11 AS varchar)) AS url
@@ -6027,7 +6118,19 @@ object SparkEntry {
        |         ELSE '' END ||
        |    CASE WHEN doc_id % 13 = 4 AND doc_id % 2 = 0
        |         THEN '<p>“smart” ‘q’ –en— café</p>'
-       |         ELSE '' END, 'Ã©', 'é') AS body FROM rv),
+       |         ELSE '' END ||
+       |    CASE WHEN doc_id % 13 = 0 AND doc_id % 3 = 1
+       |         THEN '<p>${graft.ops.HtmlOps.sjisLeg._2}</p>'
+       |         WHEN doc_id % 13 = 0 AND doc_id % 3 = 2
+       |         THEN '<p>${graft.ops.HtmlOps.eucKrLeg._2}</p>'
+       |         ELSE '' END, 'Ã©', 'é') AS body FROM rv)"""
+      .stripMargin
+  }
+
+  private lazy val q213Sql = {
+    val t0 = 1767225600L
+    val t1 = t0 + 7L * 86400L
+    s"""WITH $duckWave1Ctes,
        |rkey AS (SELECT ${duckCanonOf("url")} AS canon, max(url) AS url
        |  FROM rv GROUP BY 1),
        |rlog AS (SELECT ${duckCanonOf("url")} AS canon,
@@ -6055,6 +6158,44 @@ object SparkEntry {
        |  md5(coalesce(c.body, '')) AS content_md5
        |FROM rkey k JOIN rlog l USING (canon)
        |LEFT JOIN rct c USING (canon)""".stripMargin
+  }
+
+  /** The q218 oracle — wave 1 seeded, the REVISIT wave replayed per
+    * canon: the stored body is the per-canon argmax over wave-1
+    * versions (equal timestamps ⇒ max body string, latestContent's
+    * tiebreak), the revisit legs key on the canon's trailing path
+    * number (`c%3==0` correct digest → clock t2, validators survive;
+    * `c%3==1` lying digest → verdict only; `c%3==2` no revisit), and
+    * the log state is wave-1's struct-max validators throughout —
+    * a revisit never rewrites a validator or a content version.
+    */
+  private lazy val q218Sql = {
+    val t0 = 1767225600L
+    val t2 = t0 + 14L * 86400L
+    s"""WITH $duckWave1Ctes,
+       |zkey AS (SELECT ${duckCanonOf("url")} AS canon, max(url) AS url
+       |  FROM rv GROUP BY 1),
+       |zlog AS (SELECT ${duckCanonOf("url")} AS canon,
+       |  max({'e': CASE WHEN doc_id % 10 = 4 THEN ''
+       |         ELSE concat('"v', cast(doc_id % 9 AS varchar), '"') END,
+       |     'l': concat('Mon, ',
+       |         lpad(cast(doc_id % 28 + 1 AS varchar), 2, '0'),
+       |         ' Jan 2026 00:00:00 GMT')}) AS v
+       |  FROM rv GROUP BY 1),
+       |zct AS (SELECT ${duckCanonOf("url")} AS canon,
+       |  max(body) AS body FROM rw1 GROUP BY 1),
+       |zc AS (SELECT canon,
+       |  CAST(regexp_extract(canon, '/p/([0-9]+)$$', 1) AS INT) AS c
+       |  FROM zkey)
+       |SELECT k.canon, k.url,
+       |  CAST(CASE WHEN z.c % 3 = 0 THEN $t2 ELSE $t0 END AS BIGINT)
+       |    AS last_fetch_s,
+       |  (l.v).e AS etag, (l.v).l AS last_modified,
+       |  md5(coalesce(t.body, '')) AS content_md5,
+       |  (z.c % 3 = 0) AS revisit_ok
+       |FROM zkey k JOIN zlog l USING (canon)
+       |JOIN zc z USING (canon)
+       |LEFT JOIN zct t USING (canon)""".stripMargin
   }
 
   /** The q201 oracle — the q191 frontier chain reused up to its
@@ -6161,13 +6302,13 @@ object SparkEntry {
        |  AS domain FROM sh WHERE host <> ''),
        |sb AS (SELECT * FROM sc2
        |  WHERE domain NOT IN ('s2.example', 's5.example', 's11.example')),
-       |spt AS (SELECT *, ${duckPathOf("url")} AS path FROM sb),
+       |spt AS (SELECT *, ${duckMatchOf("url")} AS mt FROM sb),
        |smg AS (SELECT p.rid, p.url, p.lastmod, p.domain, r.allow,
        |  row_number() OVER (PARTITION BY p.rid
        |    ORDER BY coalesce(strlen(r.prefix), -1) DESC,
        |             r.allow DESC) AS rn
        |  FROM spt p LEFT JOIN rru r ON r.domain = p.domain
-       |    AND starts_with(p.path, r.prefix)),
+       |    AND ${duckRobotsMatch("p.mt", "r")}),
        |sg AS (SELECT url, lastmod, domain FROM smg
        |  WHERE rn = 1 AND coalesce(allow, true)),
        |scand AS (SELECT ${duckCanonOf("url")} AS canon,
@@ -6499,6 +6640,40 @@ object SparkEntry {
        |  THEN coalesce(regexp_extract($u, '^([^?#]*)', 1), '')
        |  ELSE '' END""".stripMargin
 
+  /** robotsGate's match TARGET mirrored: path PLUS query (stop at
+    * `#` only) — `Disallow: /\*?utm_` must see the query string.
+    */
+  private def duckMatchOf(u: String): String =
+    s"""CASE
+       |  WHEN regexp_matches($u, '^(?i)(?:https?:)?//')
+       |  THEN coalesce(regexp_extract($u,
+       |    '^(?i)(?:https?:)?//[^/?#]+([^#]*)', 1), '')
+       |  WHEN starts_with($u, '/')
+       |  THEN coalesce(regexp_extract($u, '^([^#]*)', 1), '')
+       |  ELSE '' END""".stripMargin
+
+  /** The RFC 9309 §2.2.3 rule match mirrored (graft side:
+    * [[graft.functions.UrlOps.robotsMatches]], a native byte-walk):
+    * wildcard-free rules stay the plain prefix compare; a rule
+    * carrying `*` or a trailing `$` is compiled to an RE2 regex —
+    * escape the metachars, then `\\*` → `.*` and a trailing `\\$` →
+    * the end anchor — anchored at the start ((?s) so a stray control
+    * char in a target can never break the `.*` span). The explicit
+    * `<> ''` guard keeps no-path references (mailto:, bare authority)
+    * matching nothing: a leading-`*` pattern would otherwise match
+    * the empty target. PropertySpec pins this regex construction
+    * equal to the byte-walk on randomized patterns/targets.
+    */
+  private def duckRobotsMatch(mt: String, r: String): String =
+    s"""($mt <> '' AND CASE
+       |  WHEN $r.prefix LIKE '%*%' OR $r.prefix LIKE '%$$'
+       |  THEN regexp_matches($mt, '(?s)^' ||
+       |    regexp_replace(regexp_replace(regexp_replace($r.prefix,
+       |      '([.^$$|?*+()\\[\\]{}\\\\])', '\\\\\\1', 'g'),
+       |      '\\\\\\*', '.*', 'g'),
+       |      '\\\\\\$$$$', '$$', 'g'))
+       |  ELSE starts_with($mt, $r.prefix) END)""".stripMargin
+
   /** HtmlOps.plantedRobotsTxt regenerated byte-identically from
     * `generate_series`, plus the star-group body extraction — the
     * CTEs the q199 parse oracle and the q198 delay derivation share.
@@ -6522,6 +6697,9 @@ object SparkEntry {
        |    CASE WHEN $gs % 4 = 1
        |      THEN 'Disallow: /${nl}Allow: /nav$nl' ELSE '' END,
        |    CASE WHEN $gs % 4 = 2 THEN 'Allow: /p/$nl' ELSE '' END,
+       |    CASE WHEN $gs % 5 = 2 THEN 'Disallow: /*?utm_$nl' ELSE '' END,
+       |    CASE WHEN $gs % 3 = 0 THEN 'Disallow: /r/*7$$$nl' ELSE '' END,
+       |    CASE WHEN $gs = 7 THEN 'Allow: /p/*feed$$$nl' ELSE '' END,
        |    CASE WHEN $gs % 5 = 3 THEN 'Disallow:$nl' ELSE '' END,
        |    CASE WHEN $gs % 6 = 4 THEN 'Disallow: /crlf/$cr$nl'
        |      ELSE '' END,
@@ -6591,6 +6769,9 @@ object SparkEntry {
        |  UNION ALL SELECT domain, false, '/' FROM rdm WHERE k % 4 = 1
        |  UNION ALL SELECT domain, true, '/nav' FROM rdm WHERE k % 4 = 1
        |  UNION ALL SELECT domain, true, '/p/' FROM rdm WHERE k % 4 = 2
+       |  UNION ALL SELECT domain, false, '/*?utm_' FROM rdm WHERE k % 5 = 2
+       |  UNION ALL SELECT domain, false, '/r/*7$$' FROM rdm WHERE k % 3 = 0
+       |  UNION ALL SELECT domain, true, '/p/*feed$$' FROM rdm WHERE k = 7
        |  UNION ALL SELECT domain, false, '/crlf/' FROM rdm WHERE k % 6 = 4)"""
       .stripMargin
 
@@ -6613,11 +6794,12 @@ object SparkEntry {
        |  AS domain FROM rh WHERE host <> ''),
        |rb AS (SELECT *, domain IN ('s2.example', 's5.example',
        |  's11.example') AS blocked FROM rc),
-       |rpt AS (SELECT *, ${duckPathOf("url")} AS path FROM rb),
+       |rpt AS (SELECT *, ${duckPathOf("url")} AS path,
+       |  ${duckMatchOf("url")} AS mt FROM rb),
        |$duckRobotsRuleCtes,
        |rm AS (SELECT p.rid, p.doc_id, p.url, p.host, p.domain, p.blocked,
        |  p.path, r.prefix, r.allow FROM rpt p LEFT JOIN rru r
-       |  ON r.domain = p.domain AND starts_with(p.path, r.prefix)),
+       |  ON r.domain = p.domain AND ${duckRobotsMatch("p.mt", "r")}),
        |rv AS (SELECT *, row_number() OVER (PARTITION BY rid
        |  ORDER BY coalesce(strlen(prefix), -1) DESC, allow DESC) AS rn
        |  FROM rm)

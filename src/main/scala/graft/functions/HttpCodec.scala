@@ -83,9 +83,19 @@ object HttpCodec {
       }
       if (atEof) return null // size > 0 but no data can follow
       val dataStart = k + 2
-      // declared sizes count CODE POINTS (Spark `length` semantics —
-      // at the transport layer that IS the octet count, and the
-      // fixtures/oracle declare with length()); offsetByCodePoints
+      // UNIT NOTE (round-15 ADVICE #2): declared sizes here count
+      // CODE POINTS (Spark `length` semantics — at the transport
+      // layer, chars ≤ 0xFF, that IS the octet count, and the
+      // fixtures/oracle declare chunk sizes with length()), while the
+      // WARC layer one frame out (WarcSplitImpl.advanceOctets,
+      // warcFrame's length_ok) counts UTF-8 OCTETS of the same chars
+      // — ISO 28500 declares record lengths in bytes and the fixtures
+      // declare those with octet_length(). The two conventions agree
+      // on every transport-layer string that stayed bytes (≤ 0xFF ⇒
+      // 1 code point may be 2 octets — the fixtures therefore declare
+      // each layer in ITS unit); a future leg planting non-ASCII
+      // INSIDE a chunked wire body must keep declaring chunk sizes in
+      // code points or this parse mis-frames it. offsetByCodePoints
       // walks them and throwing past the end is the truncation verdict
       val dataEnd =
         try t.offsetByCodePoints(dataStart, size.toInt)
@@ -218,6 +228,45 @@ object HttpCodec {
     if (r == null) null else UTF8String.fromString(r)
   }
 
+  /** Content-Encoding DECODER PLUG POINT (round-16 directive #3): the
+    * JDK ships no brotli (RFC 7932) or zstd (RFC 8878) codec, a
+    * conforming brotli decoder needs the 122 KB static dictionary the
+    * spec embeds, and this engine vendors no third-party code — so
+    * those tokens are `body_ok = false` VERDICTS by default (the
+    * SURVEY-stated ~15%-of-responses coverage loss). A production
+    * deployment that can carry a decoder jar wires it here ONCE at
+    * bootstrap — `HttpCodec.registerDecoder("br", bytes => …)` — and
+    * every inflate seam (the fused `http_frame`, `inflate_body`, the
+    * staged witness) picks it up, because they all funnel through
+    * [[inflateBodyString]]'s single fall-through arm.
+    *
+    * Decoder contract: total over arbitrary UNTRUSTED bytes; return
+    * the decoded bytes, or null for a verdict; any throw is caught to
+    * the null verdict (the corrupt-input-as-verdict contract — a
+    * hostile body must never kill a wave). The built-in structural
+    * codings ('', identity, gzip, x-gzip, deflate) cannot be
+    * overridden — their verification stays authoritative. Tokens are
+    * matched lowercase (the frame lowercases the header value).
+    */
+  private val builtinCodings =
+    java.util.Set.of("", "identity", "gzip", "x-gzip", "deflate")
+  private val extraDecoders =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte] => Array[Byte]]()
+
+  def registerDecoder(token: String,
+                      decode: Array[Byte] => Array[Byte]): Unit = {
+    val t = token.trim.toLowerCase(java.util.Locale.ROOT)
+    require(!builtinCodings.contains(t),
+      s"built-in coding '$t' cannot be overridden")
+    extraDecoders.put(t, decode)
+    ()
+  }
+
+  def unregisterDecoder(token: String): Unit = {
+    extraDecoders.remove(token.trim.toLowerCase(java.util.Locale.ROOT))
+    ()
+  }
+
   /** [[inflateBody]] at the plain-string layer — the form the fused
     * [[HttpFrameImpl]] calls.
     */
@@ -233,7 +282,15 @@ object HttpCodec {
           case ok => ok
         }
         if (r == null) null else new String(r, "ISO-8859-1")
-      case _ => null
+      case other =>
+        val d = extraDecoders.get(other)
+        if (d == null) null // unknown coding: the verdict, as ever
+        else {
+          val r =
+            try d(body.getBytes("ISO-8859-1"))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (r == null) null else new String(r, "ISO-8859-1")
+        }
     }
   }
 

@@ -234,6 +234,61 @@ object HttpFrameImpl {
   private val latinSet = java.util.Set.of("iso-8859-1", "latin1", "latin-1")
   private val cp1252Set = java.util.Set.of("windows-1252", "cp1252")
 
+  /** The charset LONG TAIL (round-15 Missing #4): declared-charset
+    * aliases routed to the JDK decoder they mean. Every entry ships
+    * in every JRE (java.nio.charset standard + extended charsets);
+    * the alias spellings are the ones real Content-Type headers
+    * carry (the extractor lowercases). `gb2312` maps to GBK on
+    * purpose — the WHATWG encoding standard's treatment, because
+    * real pages labelled gb2312 use GBK extensions freely.
+    */
+  val longTailAliases: Seq[(String, String)] = Seq(
+    "shift_jis" -> "Shift_JIS", "shift-jis" -> "Shift_JIS",
+    "sjis" -> "Shift_JIS", "x-sjis" -> "Shift_JIS",
+    "windows-31j" -> "windows-31j", "ms932" -> "windows-31j",
+    "euc-kr" -> "EUC-KR", "euc_kr" -> "EUC-KR",
+    "ks_c_5601-1987" -> "EUC-KR",
+    "gbk" -> "GBK", "gb2312" -> "GBK",
+    "big5" -> "Big5",
+    "euc-jp" -> "EUC-JP", "euc_jp" -> "EUC-JP",
+    "iso-8859-2" -> "ISO-8859-2", "latin2" -> "ISO-8859-2",
+    "iso-8859-15" -> "ISO-8859-15", "latin9" -> "ISO-8859-15",
+    "koi8-r" -> "KOI8-R", "koi8" -> "KOI8-R",
+    "windows-1251" -> "windows-1251", "cp1251" -> "windows-1251")
+
+  private val longTail: java.util.Map[String, java.nio.charset.Charset] = {
+    val m = new java.util.HashMap[String, java.nio.charset.Charset]()
+    longTailAliases.foreach { case (alias, cs) =>
+      m.put(alias, java.nio.charset.Charset.forName(cs))
+    }
+    m
+  }
+
+  /** Strict decode of the transport bytes under `cs`: rebuild the
+    * byte array (requires every char ≤ 0xFF — anything else is not a
+    * transport string and keeps itself), decode with REPORT on both
+    * malformed and unmappable, and DEGRADE to the byte-identity
+    * reading on failure — the same mis-declared-charset contract as
+    * the UTF-8 DFA guard (a verdict-free degrade, never a throw, and
+    * never the JDK's silent U+FFFD replacement, which would destroy
+    * bytes a later better-informed decode could still use).
+    */
+  private def charsetDecode(s: String, cs: java.nio.charset.Charset): String = {
+    val b = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c > 0xFF) return s
+      b(i) = c.toByte
+      i += 1
+    }
+    val dec = cs.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try dec.decode(java.nio.ByteBuffer.wrap(b)).toString
+    catch { case _: java.nio.charset.CharacterCodingException => s }
+  }
+
   private def str(s: String): UTF8String = UTF8String.fromString(s)
 
   /** One payload in, the full frame out. NULL payload (a chunk with no
@@ -323,7 +378,10 @@ object HttpFrameImpl {
     // declared-or-absent utf-8 decodes iff the byte DFA passes (a
     // mis-declared charset degrades to the latin-1 reading, never
     // throws); windows-1252 translates its C1 range (round-14 Missing
-    // #1 — the most common legacy declaration on the real web); any
+    // #1 — the most common legacy declaration on the real web); the
+    // LONG TAIL the JDK ships (Shift_JIS, EUC-KR, GBK, Big5, EUC-JP,
+    // ISO-8859-2/15, KOI8-R, windows-1251 — round-15 Missing #4)
+    // strict-decodes with the same degrade-on-malformed contract; any
     // other declared charset keeps the byte-identity reading.
     val body: String =
       if (bodyFramed == null) null
@@ -333,7 +391,10 @@ object HttpFrameImpl {
       else if (utf8Set.contains(charset) && validUtf8Bytes(bodyFramed))
         utf8Decode(bodyFramed)
       else if (cp1252Set.contains(charset)) cp1252Decode(bodyFramed)
-      else bodyFramed
+      else {
+        val cs = longTail.get(charset)
+        if (cs != null) charsetDecode(bodyFramed, cs) else bodyFramed
+      }
 
     new GenericInternalRow(Array[Any](
       httpStatus, str(mime), httpOk, str(redirectTo), str(charset),

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -112,6 +112,51 @@ object UrlOps {
     val segs = urlPath(u).split("/").filter(_.nonEmpty)
     (segs.length - segs.distinct.length) > maxDupSegs
   }
+
+  /** RFC 9309 §2.2.3 rule-pattern match: `*` matches any run of
+    * octets (including none), a TRAILING `$` anchors the match at the
+    * end of the target, and every other octet is literal; without the
+    * anchor the pattern must match a PREFIX of the target (so a
+    * wildcard-free pattern degenerates to exactly `startsWith` — the
+    * pre-round-16 gate). A `$` anywhere but last is a literal octet,
+    * the de-facto reading every major crawler implements. Byte-wise
+    * because the RFC matches octets, not characters: a UTF-8 rule
+    * prefix must consume its own multi-byte sequences.
+    *
+    * The classic two-pointer wildcard walk with single-star
+    * backtracking — O(|target|·stars) worst case, no regex compile
+    * anywhere near the per-row path (the per-row-compile cost of
+    * `rlike` with a non-foldable pattern is what this node exists to
+    * avoid). The DuckDB oracle replays the same semantics as an RE2
+    * regex BUILT from the pattern (escape metachars, `*` → `.*`,
+    * trailing `$` → anchor); PropertySpec pins the two constructions
+    * equal on randomized patterns and targets.
+    */
+  def robotsMatches(target: UTF8String, pattern: UTF8String): Boolean = {
+    val t = target.getBytes
+    val p = pattern.getBytes
+    var pLen = p.length
+    val anchored = pLen > 0 && p(pLen - 1) == '$'
+    if (anchored) pLen -= 1
+    if (!anchored && pLen == 0) return true // empty pattern: any prefix
+    var ti = 0; var pi = 0
+    var starPi = -1; var starTi = -1
+    val n = t.length
+    while (ti < n) {
+      if (pi < pLen && p(pi) == '*') { starPi = pi; starTi = ti; pi += 1 }
+      else if (pi < pLen && p(pi) == t(ti)) { pi += 1; ti += 1 }
+      else if (starPi >= 0) { starTi += 1; ti = starTi; pi = starPi + 1 }
+      else return false
+      // unanchored prefix semantics: the pattern consumed = a prefix
+      // of the target matched — done, no need to walk the rest
+      if (!anchored && pi == pLen) return true
+    }
+    while (pi < pLen && p(pi) == '*') pi += 1
+    // target exhausted: anchored needs the pattern exhausted too (the
+    // match ends AT the end); unanchored reaches here only when the
+    // target ran out first, where trailing stars may match empty
+    pi == pLen
+  }
 }
 
 /** `canonical_url(url)` as one codegen'd node. */
@@ -201,4 +246,29 @@ case class UrlPath(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `robots_match(target, pattern)` — [[UrlOps.robotsMatches]] as one
+  * codegen'd node: the RFC 9309 wildcard rule match the robots gate
+  * evaluates per (link, rule) pair. Byte-wise directly on the
+  * UTF8Strings (no String materialization — this sits inside the
+  * gate's per-row array pipeline).
+  */
+case class RobotsMatch(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "robots_match"
+
+  override protected def nullSafeEval(t: Any, p: Any): Any =
+    UrlOps.robotsMatches(t.asInstanceOf[UTF8String],
+      p.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, p) =>
+      s"graft.functions.UrlOps.robotsMatches($t, $p)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

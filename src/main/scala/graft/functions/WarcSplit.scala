@@ -129,6 +129,15 @@ object WarcSplitImpl {
     * multi-byte character — a length that is provably wrong while
     * more input remains, which must fall back rather than swallow a
     * following record.
+    *
+    * UNIT NOTE (round-15 ADVICE #2): this layer counts UTF-8 OCTETS
+    * (ISO 28500 §4: WARC Content-Length is bytes; fixtures declare it
+    * with octet_length()), while the HTTP chunked layer one frame IN
+    * ([[HttpCodec.dechunkString]]) counts CODE POINTS (Spark
+    * `length()` — the fixtures' chunk-size unit). Identical for pure
+    * transport bytes ≤ 0x7F; a planted C1 byte is 1 code point but 2
+    * octets, so each layer's declared lengths must be authored in its
+    * OWN unit — the cross-reference lives at both call sites.
     */
   private def advanceOctets(t: String, from: Int, n: Long): Int = {
     var i = from

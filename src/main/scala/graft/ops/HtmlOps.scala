@@ -513,6 +513,18 @@ object HtmlOps {
     *    extractor must never see it; `http_ok = false`.
     * Everything else is `200 OK` + `text/html; charset=utf-8`.
     */
+  /** Round-16 charset long-tail legs: (transport bytes as latin-1
+    * chars, decoded text) per declared charset — ONE definition
+    * shared by the Spark fixture, the staged parity witness, and the
+    * DuckDB oracle mirror (which replays the decode as a replace of
+    * exactly these bytes — the cp1252 precedent), so the three can
+    * never drift. Shift_JIS `カタ` = 83 4A 83 5E; EUC-KR `한글` =
+    * C7 D1 B1 DB (verified against the JDK decoders in
+    * HttpCodecSpec).
+    */
+  val sjisLeg: (String, String) = ("\u0083J\u0083^", "カタ")
+  val eucKrLeg: (String, String) = ("\u00c7\u00d1\u00b1\u00db", "한글")
+
   def plantedWarcCorpus(documents: DataFrame): DataFrame = {
     val crlf = "\r\n"
     val m = col("doc_id") % 13
@@ -565,6 +577,18 @@ object HtmlOps {
       // Missing #1: the most common legacy declaration on the web)
       when(m === 4 && col("doc_id") % 2 === 0,
         lit("<p>\u0093smart\u0094 \u0091q\u0092 \u0096en\u0097 café</p>"))
+        .otherwise(lit("")),
+      // the charset LONG-TAIL legs (round-15 Missing #4), riding the
+      // %13==0 link-resolution docs on orthogonal %3 sub-keys: a
+      // Shift_JIS body (83 4A 83 5E — the 0x83 lead byte reads as a
+      // C1 control under latin-1 and MUST decode per the declared
+      // codepage) and an EUC-KR body (C7 D1 B1 DB). Transport/decoded
+      // pairs are the shared [[sjisLeg]]/[[eucKrLeg]] constants the
+      // oracle replays as replaces (the cp1252 precedent)
+      when(m === 0 && col("doc_id") % 3 === 1,
+        lit("<p>" + sjisLeg._1 + "</p>"))
+        .when(m === 0 && col("doc_id") % 3 === 2,
+          lit("<p>" + eucKrLeg._1 + "</p>"))
         .otherwise(lit("")))
     // the %13==6 leg ships Transfer-Encoding: chunked (RFC 9112
     // §7.1): 16-octet first chunk (a chunk EXTENSION on odd ids —
@@ -628,6 +652,11 @@ object HtmlOps {
         // the QUOTED charset parameter leg (RFC 9110 quoted-string)
         .when(m === 10,
           lit("Content-Type: text/html; charset=\"utf-8\"" + crlf))
+        // the long-tail declarations matching the planted bodies
+        .when(m === 0 && col("doc_id") % 3 === 1,
+          lit("Content-Type: text/html; charset=shift_jis" + crlf))
+        .when(m === 0 && col("doc_id") % 3 === 2,
+          lit("Content-Type: text/html; charset=euc-kr" + crlf))
         .otherwise(lit("Content-Type: text/html; charset=utf-8" + crlf)),
       when(m === 6 || m === 12,
         lit("Transfer-Encoding: chunked" + crlf)).otherwise(lit("")),
@@ -1136,6 +1165,17 @@ object HtmlOps {
             translate(col("body_framed"),
               graft.functions.HttpFrameImpl.cp1252From,
               graft.functions.HttpFrameImpl.cp1252To))
+          // the long-tail legs, FIXTURE-CLOSED like the DuckDB mirror
+          // (Spark 4's decode() no longer accepts legacy charsets, so
+          // a Column-DSL transcription of the real JDK decode does
+          // not exist): the planted transport bytes replace to their
+          // decoded text. The fused expression does the REAL
+          // CharsetDecoder walk — on the planted legs the two agree
+          // by construction of the constants
+          .when(col("charset") === "shift_jis",
+            replace(col("body_framed"), lit(sjisLeg._1), lit(sjisLeg._2)))
+          .when(col("charset") === "euc-kr",
+            replace(col("body_framed"), lit(eucKrLeg._1), lit(eucKrLeg._2)))
           .otherwise(col("body_framed"))
       })
   }
@@ -1938,8 +1978,12 @@ object HtmlOps {
     * tree walk + inflation is held to the FLAT fixture's oracle
     * verbatim (the q206 identical-result pattern): recursing an index
     * and inflating its members must admit bit-identically what the
-    * flat file admits. Rows: (url, xml, xml_gz) — exactly one of
-    * xml/xml_gz per row.
+    * flat file admits. Round-16: `s8`'s chain is DEPTH-2 — its root
+    * lists a mid-tree index (`/sitemap-idx1.xml.gz`) that lists
+    * `sitemap-a` AND the root itself (the cycle the visited set must
+    * break) — so the flat-oracle equality now proves the bounded-N
+    * walk, not just one level. Rows: (url, xml, xml_gz) — exactly one
+    * of xml/xml_gz per row.
     */
   def plantedSitemapTree(spark: org.apache.spark.sql.SparkSession): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -1950,11 +1994,17 @@ object HtmlOps {
     val plain = flat.filter(col("k") <= 6)
       .select(root.as("url"), col("xml"),
         lit(null).cast("binary").as("xml_gz"))
+    // k==8 ships a DEPTH-2 chain: the root index lists a CHILD INDEX
+    // (sitemap-idx1) in place of sitemap-a; idx1 in turn lists
+    // sitemap-a AND the root itself — the planted CYCLE the visited
+    // set must refuse to re-walk. Same declared entries, deeper tree:
+    // q215 stays held to the flat oracle verbatim.
     val index = flat.filter(col("k") >= 7)
       .select(root.as("url"), concat(
         lit("<?xml version=\"1.0\"?><sitemapindex>"),
         lit("<sitemap><loc>https://"), col("domain"),
-        lit("/sitemap-a.xml.gz</loc></sitemap>"),
+        when(col("k") === 8, lit("/sitemap-idx1.xml.gz</loc></sitemap>"))
+          .otherwise(lit("/sitemap-a.xml.gz</loc></sitemap>")),
         lit("<sitemap><loc>https://"), col("domain"),
         lit("/sitemap-b.xml.gz</loc></sitemap>"),
         lit("</sitemapindex>")).as("xml"),
@@ -1981,51 +2031,96 @@ object HtmlOps {
         .as("url"),
       lit(null).cast("string").as("xml"),
       encode(expr("gzip_transport(xml_b)"), "ISO-8859-1").as("xml_gz"))
+    // the s8 mid-tree index: gzipped like any member, pointing DOWN
+    // at sitemap-a and BACK at the root (the cycle leg)
+    val childIdx = flat.filter(col("k") === 8).select(
+      concat(lit("https://"), col("domain"), lit("/sitemap-idx1.xml.gz"))
+        .as("url"),
+      lit(null).cast("string").as("xml"),
+      encode(expr(
+        """gzip_transport(concat(
+          |  '<?xml version="1.0"?><sitemapindex>',
+          |  '<sitemap><loc>https://', domain,
+          |  '/sitemap-a.xml.gz</loc></sitemap>',
+          |  '<sitemap><loc>https://', domain,
+          |  '/sitemap.xml</loc></sitemap>',
+          |  '</sitemapindex>'))""".stripMargin), "ISO-8859-1")
+        .as("xml_gz"))
     plain.unionByName(index).unionByName(childA).unionByName(childB)
+      .unionByName(childIdx)
   }
 
   /** Q215: SITEMAP-TREE seeding — [[sitemapSeeds]] for the shape real
     * publishers serve: the per-domain ROOT (`/sitemap.xml`) is either
     * a flat `<urlset>` or a `<sitemapindex>` whose members — often
     * `.xml.gz`, inflated through the same structurally-verified gzip
-    * door as archive bodies — carry the entries; the index recurses
-    * ONE level (the sitemaps.org spec forbids indexes of indexes).
-    * Children resolve by URL against the fetched doc table (a real
-    * crawler fetches them; this engine's unit of exchange is the
-    * fetched-bytes table, the q208 convention). A member that fails
-    * to inflate contributes nothing — the corrupt-input-as-verdict
-    * contract, spec-pinned. Admission downstream is [[sitemapSeeds]]'s
-    * tail unchanged, so tree and flat spellings of the same
-    * declarations admit identically (q215 is held to q197's oracle).
+    * door as archive bodies — carry the entries. The walk is a
+    * BOUNDED-DEPTH-N recursion with a VISITED set (round-16: the
+    * sitemaps.org spec forbids indexes of indexes, but real
+    * publishers nest anyway, and a production walker needs both the
+    * depth bound and the cycle guard — a child index pointing back at
+    * the root must terminate, not loop). Children resolve by URL
+    * against the fetched doc table (a real crawler fetches them; this
+    * engine's unit of exchange is the fetched-bytes table, the q208
+    * convention). A member that fails to inflate contributes nothing
+    * — the corrupt-input-as-verdict contract, spec-pinned. Admission
+    * downstream is [[sitemapSeeds]]'s tail unchanged, so tree and
+    * flat spellings of the same declarations admit identically (q215
+    * is held to q197's oracle, with the s8 chain now depth-2 plus a
+    * planted cycle).
     *
-    * Scale shape: sitemap docs are domain-vocabulary-sized; the walk
-    * is one self-join on the child URL plus per-row inflation — no
-    * corpus-sized data anywhere.
+    * Scale shape: sitemap docs are domain-vocabulary-sized; each wave
+    * is one join on the child URL + one anti-join on the visited set,
+    * both over vocabulary-sized tables, `localCheckpoint`ed per wave
+    * so the iterated plan never compounds (the q208 streaming-loop
+    * discipline); the walk exits early when a wave resolves nothing
+    * new, so a flat corpus pays one empty wave, not `maxDepth`.
     */
   def sitemapSeedsTree(docs: DataFrame, scope: graft.core.Scope,
                        name: String, ranks: DataFrame, rules: DataFrame,
-                       kPerDomain: Int = 10): DataFrame = {
+                       kPerDomain: Int = 10, maxDepth: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val flat = docs.select(col("url"),
       when(col("xml").isNotNull, col("xml"))
         .otherwise(expr(
           "inflate_body(decode(xml_gz, 'ISO-8859-1'), 'gzip')"))
         .as("xml_all"))
+      // cached, not checkpointed: every wave joins against it, but a
+      // sitemap table is vocabulary-sized by nature — the lazy cache
+      // costs no extra job, and the walk's plan depth is bounded by
+      // maxDepth so there is no compounding lineage to cut
+      .cache()
     val isIdx =
       col("xml_all").rlike("<[Ss][Ii][Tt][Ee][Mm][Aa][Pp][Ii][Nn][Dd][Ee][Xx]")
     val roots = flat.filter(col("url").rlike("/sitemap\\.xml$"))
-    val childLocs = roots.filter(isIdx)
-      .select(explode(regexp_extract_all(col("xml_all"),
-        lit("<[Ll][Oo][Cc]>([^<]*)</[Ll][Oo][Cc]>"), lit(1)))
-        .as("child_url"))
-    val children = childLocs.join(flat,
-        childLocs("child_url") === flat("url"))
-      .select(col("xml_all"))
-    val urlsets = roots.filter(!isIdx).select(col("xml_all"))
-      .unionByName(children)
+    var urlsets = roots.filter(!isIdx).select(col("xml_all"))
+    var frontier = roots.filter(isIdx)
+    var visited = roots.select(col("url"))
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      val childLocs = frontier
+        .select(explode(regexp_extract_all(col("xml_all"),
+          lit("<[Ll][Oo][Cc]>([^<]*)</[Ll][Oo][Cc]>"), lit(1)))
+          .as("url"))
+        .distinct()
+      // one pinned wave table: the cycle guard, the urlset pick, and
+      // the next frontier all read it — the isEmpty probe above is
+      // then a metadata-cheap scan of the materialized wave
+      val next = childLocs.join(flat, Seq("url"))
+        // the cycle guard: a loc already walked (including the roots
+        // themselves) never re-enters the frontier
+        .join(visited, Seq("url"), "left_anti")
+        .localCheckpoint(eager = true)
+      urlsets = urlsets.unionByName(next.filter(!isIdx).select(col("xml_all")))
+      visited = visited.unionByName(next.select(col("url")))
+      frontier = next.filter(isIdx)
+      depth += 1
+    }
+    flat.unpersist(blocking = false)
+    val live = urlsets
       .filter(col("xml_all").isNotNull) // corrupt member: verdict, no entries
       .select(col("xml_all").as("xml"))
-    sitemapSeeds(urlsets, scope, name, ranks, rules, kPerDomain)
+    sitemapSeeds(live, scope, name, ranks, rules, kPerDomain)
   }
 
   /** Q198's fixture: per-domain crawl delays (seconds) as a parsed
@@ -2074,6 +2169,11 @@ object HtmlOps {
         lit("Disallow: /p/ # tracked section\nAllow: /p/1\n")),
       leg(col("k") % 4 === 1, lit("Disallow: /\nAllow: /nav\n")),
       leg(col("k") % 4 === 2, lit("Allow: /p/\n")),
+      // the wildcard directives (RFC 9309 §2.2.3) — same legs as
+      // [[plantedRobotsRules]] so the parse-equality pin holds
+      leg(col("k") % 5 === 2, lit("Disallow: /*?utm_\n")),
+      leg(col("k") % 3 === 0, lit("Disallow: /r/*7$\n")),
+      leg(col("k") === 7, lit("Allow: /p/*feed$\n")),
       leg(col("k") % 5 === 3, lit("Disallow:\n")),
       // a CRLF-terminated directive (%6 == 4): robots bytes come off
       // HTTP, where CRLF line endings dominate — the parse must strip
@@ -2903,6 +3003,139 @@ object HtmlOps {
       .select(col("doc_id"), responseRec.as("warc"))
   }
 
+  /** Q218: the REVISIT records of an archive chunk (WARC/1.1 §6.7.2
+    * — "identical payload digest" profile): real Common Crawl
+    * archives record an unchanged refetch as `WARC-Type: revisit`
+    * carrying `WARC-Payload-Digest` (the digest of the content it
+    * matched) and `WARC-Refers-To-Target-URI` (the capture it
+    * references) with NO payload of its own — the archive-side dedup
+    * convention (round-15 Missing #3). Framed with the same strict
+    * `warc_records` walk and case-insensitive named-field extraction
+    * as [[warcFrame]]'s response pick; a chunk may carry several
+    * revisits (explode, not element_at — unlike responses, revisits
+    * are cheap and archives batch them). Pure per-row projection,
+    * zero exchanges.
+    */
+  private[graft] def warcRevisits(chunks: DataFrame,
+                                  warcCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(chunks.sparkSession)
+    def header(rec: Column, name: String): Column =
+      regexp_extract(rec, s"(?m)^(?i:$name):[ \t]*([^\r\n]+)", 1)
+    val recs = expr(
+      s"warc_records(coalesce(`${warcCol.replace("`", "``")}`, ''))")
+    chunks
+      .select(col("doc_id"), recs.as("recs"))
+      .select(col("doc_id"), explode(filter(col("recs"),
+        r => header(r, "WARC-Type") === "revisit")).as("rec"))
+      .select(col("doc_id"),
+        header(col("rec"), "WARC-Target-URI").as("target_uri"),
+        header(col("rec"), "WARC-Date").as("warc_date"),
+        header(col("rec"), "WARC-Payload-Digest").as("payload_digest"),
+        header(col("rec"), "WARC-Refers-To-Target-URI")
+          .as("refers_to_uri"))
+  }
+
+  /** Q218: APPLY a revisit wave against the maintained fetch log and
+    * the content store. Resolution is by canonical key (the
+    * refers-to URI when the record carries one, else the revisit's
+    * own target) against the store's LATEST version, and the digest
+    * must CONFIRM — `md5:<hex>` of the stored body's UTF-8 bytes
+    * equals `WARC-Payload-Digest` — before the revisit counts:
+    *  - CONFIRMED: the fetch completed and the content is known
+    *    unchanged — the staleness clock resets to the revisit time
+    *    while the STORED validators survive (a revisit ships none;
+    *    clobbering the ETag with '' would deny the canon the 304
+    *    path forever), and NO content version is written — the whole
+    *    point of the convention: an unchanged refetch costs O(batch)
+    *    log partitions and zero corpus bytes, exactly like the 304
+    *    steady state ([[applyRevalidation]]).
+    *  - UNCONFIRMED (digest mismatch, or no stored content to match
+    *    — a revisit can never be a key's FIRST observation): a
+    *    verdict row (`revisit_ok = false`), no log refresh — the key
+    *    stays due, which is the conservative read of an archive
+    *    whose dedup claim cannot be checked.
+    *
+    * Scale shape: the batch canons broadcast into a semi-join that
+    * prunes the version store BEFORE its argmax (O(touched versions),
+    * never O(store) — bucketed layout prunes at listing time), and
+    * the log joins the same broadcast keys through its bucket layout;
+    * the upsert is the standard O(batch) [[appendFetchLog]].
+    */
+  def applyRevisits(revisits0: DataFrame, scope: graft.core.Scope,
+                    logName: String, contentDir: String,
+                    fetchedAtS: Column): DataFrame = {
+    val spark = revisits0.sparkSession
+    val revisits = revisits0
+      .withColumn("canon", canonicalUrl(
+        when(col("refers_to_uri") =!= "", col("refers_to_uri"))
+          .otherwise(col("target_uri"))))
+      .withColumn("fetched_at_s", fetchedAtS.cast("long"))
+      .localCheckpoint(eager = true) // consumed by store prune + verdict
+    val keys = revisits.select(col("canon")).distinct()
+    val touched = spark.read.parquet(contentDir)
+      .join(broadcast(keys), Seq("canon"))
+      .groupBy(col("canon"))
+      .agg(max(struct(col("content_fetch_s"), col("body"))).as("m"))
+      .select(col("canon"), col("m.body").as("stored_body"))
+    val verdicts = revisits.join(touched, Seq("canon"), "left")
+      .withColumn("revisit_ok", coalesce(
+        concat(lit("md5:"), md5(encode(col("stored_body"), "UTF-8"))) ===
+          col("payload_digest"), lit(false)))
+      .localCheckpoint(eager = true) // consumed by log refresh + output
+    // clock reset for the confirmed: the CURRENT log row supplies the
+    // surviving validators and the canonical url
+    val confirmed = loadFetchLog(spark, scope, logName)
+      .join(broadcast(verdicts.filter(col("revisit_ok"))
+        .select(col("canon"), col("fetched_at_s").as("revisit_s"))),
+        Seq("canon"))
+    appendFetchLog(
+      confirmed.select(col("url"), col("revisit_s").as("fetched_at_s"),
+        col("etag"), col("last_modified")),
+      scope, logName)
+    verdicts.select(col("canon"), col("target_uri"), col("warc_date"),
+      col("payload_digest"), col("revisit_ok"), col("fetched_at_s"))
+  }
+
+  /** Q218's fixture: the REVISIT wave an archive-side dedup writes
+    * after wave 1 — derived FROM the wave-1 corpus itself so the
+    * planted digests are md5 of exactly the bytes the content store
+    * holds (per canon, the store's argmax body). Legs by the canon's
+    * trailing path number `c`: `c%3==0` revisits with the CORRECT
+    * digest (clock must reset, validators survive); `c%3==1` revisits
+    * with a LYING digest (md5 of body+'x' — the dedup claim fails
+    * verification, verdict only); `c%3==2` canons get no revisit at
+    * all (clock stays). Records carry WARC-Refers-To-Target-URI and
+    * Content-Length: 0 — no payload, per the convention.
+    */
+  def plantedRevisitCorpus(documents: DataFrame): DataFrame = {
+    val crlf = "\r\n"
+    val framed1 = httpFrame(warcFrame(plantedWarcCorpus(documents), "warc"))
+      .filter(col("length_ok") && col("http_ok") && col("body_ok"))
+      .select(col("target_uri"), col("body"))
+    val stored = framed1
+      .groupBy(canonicalUrl(col("target_uri")).as("canon"))
+      .agg(min(col("target_uri")).as("url"),
+        // the store's argmax under equal timestamps: max body string
+        // (latestContent's struct-max tiebreak), so the correct-leg
+        // digest matches what latestContent actually serves
+        max(col("body")).as("body"))
+    val c = regexp_extract(col("canon"), "/p/([0-9]+)$", 1).cast("int")
+    val digest = concat(lit("md5:"), md5(encode(
+      when(c % 3 === 1, concat(col("body"), lit("x")))
+        .otherwise(col("body")), "UTF-8")))
+    val rec = concat(
+      lit("WARC/1.0" + crlf),
+      lit("WARC-Type: revisit" + crlf),
+      lit("WARC-Target-URI: "), col("url"), lit(crlf),
+      lit("WARC-Date: 2026-01-15T00:00:00Z" + crlf),
+      lit("WARC-Refers-To-Target-URI: "), col("url"), lit(crlf),
+      lit("WARC-Payload-Digest: "), digest, lit(crlf),
+      lit("Content-Length: 0" + crlf),
+      lit(crlf), lit(crlf))
+    stored.filter(c % 3 =!= 2)
+      .select(c.cast("long").as("doc_id"), rec.as("warc"))
+  }
+
   /** Q213: CONDITIONAL-REFETCH outcomes from a framed revalidation
     * wave (RFC 9110 §15.4.5): a `304 Not Modified` confirms the
     * stored content — the fetch COMPLETED, so the staleness clock and
@@ -3161,6 +3394,15 @@ object HtmlOps {
     * domains ALSO allow `/p/` — an exact length tie with the
     * disallow, which the RFC 9309 tie rule resolves toward allow;
     * `%4 == 3` domains publish no rules at all.
+    *
+    * WILDCARD legs (round-16: RFC 9309 §2.2.3 `*`/`$`): `%5 == 2`
+    * domains disallow `/\*?utm_` — the query-matching idiom (the
+    * match target must include the query string, and the 7-octet
+    * pattern must out-rank the 4/5-octet `/p/` prefix rules); `%3 ==
+    * 0` domains disallow `/r/\*7$` — mid-pattern `*` plus the end
+    * anchor (`/r/17` gated, `/r/70` not); domain `s7` alone allows
+    * `/p/\*feed$` — a LONGER allow wildcard that re-opens what
+    * `/\*?utm_` closed (wildcard-vs-wildcard specificity rank).
     */
   def plantedRobotsRules(spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val d = spark.range(13).select(col("id").cast("int").as("k"),
@@ -3173,6 +3415,9 @@ object HtmlOps {
       .unionByName(leg(col("k") % 4 === 1, allow = false, "/"))
       .unionByName(leg(col("k") % 4 === 1, allow = true, "/nav"))
       .unionByName(leg(col("k") % 4 === 2, allow = true, "/p/"))
+      .unionByName(leg(col("k") % 5 === 2, allow = false, "/*?utm_"))
+      .unionByName(leg(col("k") % 3 === 0, allow = false, "/r/*7$"))
+      .unionByName(leg(col("k") === 7, allow = true, "/p/*feed$"))
       // the CRLF-terminated directive leg (%6 == 4 in the raw bytes):
       // the parse must shed the '\r', so the rule arrives as a clean
       // prefix — chosen to match no planted link path, which keeps
@@ -3198,19 +3443,32 @@ object HtmlOps {
     * `/`-anchored rule — gate the fetchable form ([[resolvedUrl]]
     * first), as [[politeFrontier]] and [[crawlFunnel]] do.
     *
+    * RULE PATTERNS are RFC 9309 §2.2.3 wildcard patterns, not bare
+    * prefixes (round-15 directive #1 — prefix-only matching was the
+    * one wrong-per-spec behavior left): `*` matches any octet run,
+    * a trailing `$` anchors the match at the target's end, anything
+    * else is a literal octet — a wildcard-free rule degenerates to
+    * exactly the old `startsWith`. The MATCH TARGET is the path PLUS
+    * the query string (`Disallow: /\*?utm_` must see the query — the
+    * dominant wildcard idiom in real robots files; the de-facto spec
+    * and every major crawler match path?query), while the exposed
+    * `path` column keeps its query-free reading for consumers.
+    *
     * Scale shape: ZERO new shuffles on the corpus side. The rules
     * aggregate to one array per domain (vocabulary-sized — robots
     * files of known hosts), broadcast; the verdict is a per-row
-    * array pipeline (filter by prefix match, struct-max by
+    * array pipeline (filter by [[graft.functions.RobotsMatch]] — a
+    * native byte-walk, no per-row regex compile — then struct-max by
     * (length, allow)). The matched rule's length is kept as
     * `rule_len` (-1 = no match) so a consumer can audit WHICH rule
     * fired without re-deriving the match. The match rank is the
-    * prefix's OCTET length, not its character length — RFC 9309 §2.2.2
-    * matches byte-by-byte, so a non-ASCII rule prefix (a UTF-8 path
-    * segment) must out-rank a shorter-in-bytes competitor even when
-    * the two tie on characters (the oracle's `strlen` is byte-counted;
-    * the same octet-vs-character class as the q184 Content-Length
-    * check, pinned in HtmlOpsSpec).
+    * pattern's OCTET length (`*`/`$` count as their own octets — the
+    * de-facto specificity rank), not its character length — RFC 9309
+    * §2.2.2 matches byte-by-byte, so a non-ASCII rule prefix (a UTF-8
+    * path segment) must out-rank a shorter-in-bytes competitor even
+    * when the two tie on characters (the oracle's `strlen` is
+    * byte-counted; the same octet-vs-character class as the q184
+    * Content-Length check, pinned in HtmlOpsSpec).
     */
   def robotsGate(links: DataFrame, rules: DataFrame): DataFrame = {
     val url = col("url")
@@ -3219,20 +3477,39 @@ object HtmlOps {
       regexp_extract(url, "^(?i)(?:https?:)?//[^/?#]+([^?#]*)", 1))
       .otherwise(when(url.startsWith("/"),
         regexp_extract(url, "^([^?#]*)", 1)).otherwise(lit("")))
+    // the match TARGET: path + query (fragments never travel the
+    // wire). Same authority algebra as `path`, stopping at '#' only.
+    val mt = when(hasAuth,
+      regexp_extract(url, "^(?i)(?:https?:)?//[^/?#]+([^#]*)", 1))
+      .otherwise(when(url.startsWith("/"),
+        regexp_extract(url, "^([^#]*)", 1)).otherwise(lit("")))
     val ruleSets = rules.groupBy("domain")
       .agg(collect_list(struct(col("prefix"), col("allow"))).as("rules"))
+    // the empty-target guard is explicit now: startsWith('' , p) was
+    // false for every non-empty prefix, but a leading-'*' wildcard
+    // WOULD match '' — and a no-path reference (mailto:, fragment-
+    // only, bare authority) must keep matching nothing
     val matched = array_max(transform(
-      filter(col("rules"), r => col("path").startsWith(r.getField("prefix"))),
+      filter(col("rules"), r => col("mt") =!= "" &&
+        robotsMatch(col("mt"), r.getField("prefix"))),
       r => struct(octet_length(r.getField("prefix")).as("len"),
         r.getField("allow").as("allow"))))
     links
       .withColumn("path", path)
+      .withColumn("mt", mt)
       .join(broadcast(ruleSets), Seq("domain"), "left")
       .withColumn("m", matched)
       .withColumn("allowed", coalesce(col("m.allow"), lit(true)))
       .withColumn("rule_len", coalesce(col("m.len"), lit(-1)).cast("int"))
-      .drop("rules", "m")
+      .drop("rules", "m", "mt")
   }
+
+  /** [[graft.functions.RobotsMatch]] through the Column DSL. */
+  private def robotsMatch(target: Column, pattern: Column): Column =
+    org.apache.spark.sql.GraftPlanBridge.column(
+      graft.functions.RobotsMatch(
+        org.apache.spark.sql.GraftPlanBridge.expression(target),
+        org.apache.spark.sql.GraftPlanBridge.expression(pattern)))
 
   /** Q-url-canonical-dedup: per-URL canonical key, duplicate-group
     * size, and the keep verdict (lowest doc_id per key survives —

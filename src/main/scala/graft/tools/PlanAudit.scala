@@ -139,7 +139,48 @@ object PlanAudit {
     "q215_sitemap_tree",   // vocabulary-sized walk + inflate into the frontier tail
     "q216_trap_guard",     // frontier plan with the per-row trap predicate inline
     "q217_body_length_check", // one fused http_frame projection, zero exchanges
+    "q218_warc_revisit",  // artifact-read state + broadcast verdict join
     "q10_event_window")   // normalized-ts scan straight into windowed agg
+
+  /** The round-14 regression's machine-checkable SIGNATURE (round-16
+    * directive #6): the same expensive wire-decode subtree — a plan
+    * node whose expressions contain `warc_records` or `http_frame` —
+    * appearing MORE THAN ONCE in a single physical plan means some
+    * consumer chain re-evaluates the framing instead of reading the
+    * pinned batch (the localCheckpoint discipline). Returns the
+    * duplicated canonical subtrees with their counts; empty = clean.
+    *
+    * Reuse nodes are NOT descended: a `ReusedExchange` (and a scan of
+    * a checkpointed RDD, which canonicalizes to its own distinct leaf
+    * per slice) is exactly the fix, not the disease. Duplicates over
+    * DIFFERENT children canonicalize differently and never collide —
+    * a union framing two distinct fixture slices is legitimate.
+    */
+  def duplicateFrameSubtrees(
+      plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[(String, Int)] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case _: ReusedExchangeExec => Seq.empty
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    def hasFrame(p: SparkPlan): Boolean =
+      p.expressions.exists(_.find {
+        case _: graft.functions.HttpFrame => true
+        case _: graft.functions.WarcRecords => true
+        case _ => false
+      }.isDefined)
+    flatten(plan).filter(hasFrame)
+      .groupBy(_.canonicalized)
+      .collect { case (k, vs) if vs.size > 1 =>
+        (vs.head.nodeName + ": " + k.simpleString(120), vs.size)
+      }
+      .toSeq
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
@@ -162,12 +203,37 @@ object PlanAudit {
     sb.append("BroadcastExchanges at this tiny scale factor are AQE's runtime\n")
     sb.append("choice from measured sizes — at production scale AQE picks the\n")
     sb.append("shuffled join instead; PlanSpec asserts the plans stay hint-free\n")
-    sb.append("so that freedom is real.\n")
-    headline.foreach { name =>
+    sb.append("so that freedom is real.\n\n")
+    sb.append("Duplicate-subtree audit: EVERY registry query's executed plan\n")
+    sb.append("is checked for the round-14 regression signature (the same\n")
+    sb.append("warc_records/http_frame subtree evaluated more than once in\n")
+    sb.append("one plan — see PlanAudit.duplicateFrameSubtrees); the run\n")
+    sb.append("FAILS, and this file is not written, if any query trips it.\n")
+    // the AUDIT runs over the FULL registry (the PLANS dump stays the
+    // headline set); failures collect so one run reports them all
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    val headlineSet = headline.toSet
+    val dumped = scala.collection.mutable.Map[String, String]()
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.collect() // finalize adaptive plan
-      val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
-      sb.append(s"\n## $name\n\n```\n$plan```\n")
+      duplicateFrameSubtrees(df.queryExecution.executedPlan).foreach {
+        case (node, n) => failures += s"$name: $n× $node"
+      }
+      if (headlineSet.contains(name)) {
+        dumped(name) = df.queryExecution
+          .explainString(ExplainMode.fromString("formatted"))
+      }
+    }
+    headline.foreach { name =>
+      dumped.get(name).foreach(plan =>
+        sb.append(s"\n## $name\n\n```\n$plan```\n"))
+    }
+    if (failures.nonEmpty) {
+      System.err.println("PLAN AUDIT FAILED — duplicated frame subtrees:")
+      failures.foreach(f => System.err.println("  " + f))
+      spark.stop()
+      sys.exit(1)
     }
     Files.writeString(Paths.get(out), sb.toString)
     spark.stop()

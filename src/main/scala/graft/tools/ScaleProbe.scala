@@ -29,7 +29,13 @@ import graft.ops.TextOps
   * and the per-row cost ratio (sf1_sec / (10 × sf0.1_sec)).
   */
 object ScaleProbe {
-  private val factor = 10
+  /** Replication factor — default ×10 (the per-round sf1 probe);
+    * `SPARK_GRAFT_PROBE_FACTOR=100` runs the round-16 two-decade
+    * probe (sf10-equivalent). Each factor keeps its own dest marker,
+    * so the two corpora coexist under different dest dirs.
+    */
+  private val factor =
+    sys.env.get("SPARK_GRAFT_PROBE_FACTOR").map(_.toInt).getOrElse(10)
   private val probeQueries = Seq(
     "q57_training_corpus", "q47_dedup_apply", "q54_stream_join",
     "q15_jaccard", "q24_typed_mapreduce", "q41_dedup_clusters",
@@ -345,8 +351,11 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     // v3: regenerate from the round-6 regenerated fixtures (ts now a
-    // real timestamp; the replica rides the normalized loader output)
-    val marker = new java.io.File(s"$dest/_PROBE_READY_v3")
+    // real timestamp; the replica rides the normalized loader output);
+    // the marker is factor-qualified so a ×100 corpus never
+    // masquerades as the ×10 one
+    val marker = new java.io.File(
+      s"$dest/_PROBE_READY_v3" + (if (factor == 10) "" else s"_x$factor"))
     if (!marker.exists()) {
       println(s"[scale-probe] generating ${factor}x corpus under $dest")
       replicate(spark, src, dest)
@@ -358,7 +367,7 @@ object ScaleProbe {
     probeQueries.filter(q => only.forall(_.contains(q))).foreach { q =>
       val s01 = bench(spark, src, q)
       val s1 = bench(spark, dest, q)
-      println(f"""{"query":"$q","sf0_1_sec":$s01%.3f,"sf1_sec":$s1%.3f,"per_row_ratio":${s1 / (factor * s01)}%.3f}""")
+      println(f"""{"query":"$q","factor":$factor,"sf0_1_sec":$s01%.3f,"sf1_sec":$s1%.3f,"per_row_ratio":${s1 / (factor * s01)}%.3f}""")
     }
     spark.stop()
   }

@@ -239,6 +239,77 @@ class HtmlOpsSpec extends SparkSpec {
     }
   }
 
+  test("applyRevisits (q218): confirmed digest resets clock with surviving validators; lies and strangers are verdicts") {
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft-revisit-")
+    try {
+      val scope = graft.core.Scopes.create(spark, base.toString)
+      val t0 = 1767225600L
+      val t2 = t0 + 14L * 86400L
+      val framed1 = HtmlOps.httpFrame(HtmlOps.warcFrame(
+          HtmlOps.plantedWarcCorpus(docs), "warc"))
+        .filter(col("length_ok") && col("http_ok") && col("body_ok"))
+        .select(col("target_uri"), col("etag"), col("last_modified"),
+          col("body"))
+        .localCheckpoint(eager = true)
+      HtmlOps.saveFetchLog(
+        framed1.select(col("target_uri").as("url"),
+          lit(t0).as("fetched_at_s"), col("etag"), col("last_modified")),
+        scope, "flog")
+      HtmlOps.appendContentVersions(
+        framed1.select(HtmlOps.canonicalUrl(col("target_uri")).as("canon"),
+          col("body"), lit(t0).as("content_fetch_s")),
+        scope.path("content"))
+      val pre = HtmlOps.loadFetchLog(spark, scope, "flog").collect()
+        .map(r => r.getAs[String]("canon") ->
+          ((r.getAs[String]("etag"), r.getAs[String]("last_modified"))))
+        .toMap
+      val preContent = HtmlOps.latestContent(spark, scope.path("content"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      // a revisit for a NEVER-STORED canon rides along: unresolvable,
+      // a verdict, and it must not land in the log
+      import spark.implicits._
+      val stranger = Seq((9999L,
+        "WARC/1.0\r\nWARC-Type: revisit\r\n" +
+          "WARC-Target-URI: https://w9.s9.example/p/99\r\n" +
+          "WARC-Date: 2026-01-15T00:00:00Z\r\n" +
+          "WARC-Payload-Digest: md5:00000000000000000000000000000000\r\n" +
+          "Content-Length: 0\r\n\r\n\r\n")).toDF("doc_id", "warc")
+      val verdicts = HtmlOps.applyRevisits(
+        HtmlOps.warcRevisits(
+          HtmlOps.plantedRevisitCorpus(docs).unionByName(stranger), "warc"),
+        scope, "flog", scope.path("content"), lit(t2)).collect()
+      def cNum(canon: String) =
+        canon.replaceAll(".*/p/", "").toInt
+      // verdicts: correct-digest legs confirm, lying legs fail, the
+      // stranger fails (nothing stored to check against)
+      verdicts.foreach { r =>
+        val canon = r.getAs[String]("canon")
+        val expect = pre.contains(canon) && cNum(canon) % 3 == 0
+        assert(r.getAs[Boolean]("revisit_ok") === expect, r.toString)
+      }
+      assert(verdicts.exists(_.getAs[Boolean]("revisit_ok")))
+      assert(verdicts.exists(r => !r.getAs[Boolean]("revisit_ok")))
+      // the log: clock reset EXACTLY on confirmed canons; validators
+      // byte-identical everywhere (a revisit ships none)
+      val post = HtmlOps.loadFetchLog(spark, scope, "flog").collect()
+      post.foreach { r =>
+        val canon = r.getAs[String]("canon")
+        val expectT = if (cNum(canon) % 3 == 0) t2 else t0
+        assert(r.getAs[Long]("last_fetch_s") === expectT, r.toString)
+        assert((r.getAs[String]("etag"), r.getAs[String]("last_modified"))
+          === pre(canon), r.toString)
+      }
+      assert(!post.exists(_.getAs[String]("canon").endsWith("/p/99")))
+      // the content store: bit-identical — zero writes on any path
+      val postContent = HtmlOps.latestContent(spark, scope.path("content"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(postContent === preContent)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("fetch-log artifact (q200): O(batch) upsert keeps the latest fetch; untouched buckets intact") {
     val base = java.nio.file.Files.createTempDirectory("graft-fetchlog-spec-")
     try {
@@ -532,11 +603,28 @@ class HtmlOpsSpec extends SparkSpec {
       def k(r: org.apache.spark.sql.Row) =
         r.getAs[String]("domain").stripPrefix("s")
           .stripSuffix(".example").toInt
+      // every planted /p/ link carries '?utm_source=feed', so the
+      // %5==2 wildcard disallow (7 octets) out-ranks the /p/ prefix
+      // rules — except s7, whose 10-octet '/p/*feed$' allow re-opens
       rows.filter(r => r.getAs[String]("path").startsWith("/p/")).foreach { r =>
-        val expect = if (k(r) % 4 == 2) true // tie leg: allow wins
+        val expect = if (k(r) == 7) true // allow wildcard outranks
+          else if (k(r) % 5 == 2) false  // '/*?utm_' sees the query
+          else if (k(r) % 4 == 2) true   // tie leg: allow wins
           else if (k(r) % 2 == 0) r.getAs[String]("path").startsWith("/p/1")
           else k(r) % 4 != 1 // odd: only the '/' blanket can block
         assert(r.getAs[Boolean]("allowed") === expect, r.toString)
+      }
+      // the anchored mid-star rule: '/r/*7$' on %3==0 domains gates
+      // exactly the /r/ links whose path ends in '7'
+      rows.filter(r => k(r) % 3 == 0 &&
+          r.getAs[String]("path").startsWith("/r/")).foreach { r =>
+        if (r.getAs[String]("path").endsWith("7")) {
+          assert(!r.getAs[Boolean]("allowed"), r.toString)
+          assert(r.getAs[Int]("rule_len") === 6, r.toString)
+        } else {
+          // s9 is also a %4==1 domain: its blanket '/' still gates
+          assert(r.getAs[Boolean]("allowed") === (k(r) != 9), r.toString)
+        }
       }
       // the uppercase-nav leg: robots paths are case-sensitive, so
       // '/NAV' on a %4==1 domain falls back to the '/' disallow
@@ -548,10 +636,48 @@ class HtmlOpsSpec extends SparkSpec {
         assert(r.getAs[Boolean]("allowed") ===
           (r.getAs[String]("path") == "/nav"), r.toString)
       }
-      // a rule-less domain (%4==3) never blocks
-      rows.filter(r => k(r) % 4 == 3).foreach(r =>
+      // a rule-less domain never blocks — with the wildcard legs,
+      // only s11 is still rule-less (s3 carries '/r/*7$', s7 the
+      // utm/feed wildcards)
+      rows.filter(r => k(r) == 11).foreach(r =>
         assert(r.getAs[Boolean]("allowed") && r.getAs[Int]("rule_len") == -1))
     } finally { gated.unpersist(); () }
+  }
+
+  test("robotsGate: RFC 9309 wildcards — '*' spans octets, trailing '$' anchors, query in target") {
+    import spark.implicits._
+    val rules = Seq(
+      ("w.example", false, "/*?sess"),   // the query-matching idiom
+      ("w.example", true, "/p/*.html$"), // allow, mid-star + anchor
+      ("w.example", false, "/p/"),
+      ("w.example", false, "/dl/*.exe$"),
+      ("x.example", false, "*private*")  // leading star
+    ).toDF("domain", "allow", "prefix")
+    val links = Seq(
+      // 9-octet anchored allow out-ranks the 4-octet /p/ disallow
+      (1L, "https://w.example/p/a.html", "w.example"),
+      // the query is IN the match target: '$' no longer at the end,
+      // so the allow fails and /p/ gates it
+      (2L, "https://w.example/p/a.html?x=1", "w.example"),
+      (3L, "https://w.example/q?sessid=9", "w.example"),
+      (4L, "https://w.example/dl/tool.exe", "w.example"),
+      // anchor mismatch: one octet past '.exe'
+      (5L, "https://w.example/dl/tool.exem", "w.example"),
+      (6L, "https://x.example/a/private/b", "x.example"),
+      // no match target at all: the leading-star rule must NOT
+      // match the empty string
+      (7L, "mailto:a@x.example", "x.example")
+    ).toDF("doc_id", "url", "domain")
+    val out = HtmlOps.robotsGate(links, rules)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("allowed"), r.getAs[Int]("rule_len")))).toMap
+    assert(out(1L) === ((true, 10)))
+    assert(out(2L) === ((false, 3)))
+    assert(out(3L) === ((false, 7)))
+    assert(out(4L) === ((false, 10)))
+    assert(out(5L) === ((true, -1)))
+    assert(out(6L) === ((false, 9)))
+    assert(out(7L) === ((true, -1)))
   }
 
   test("anchorTerms (q194): per-target term counts; unattributable anchors drop") {
@@ -739,7 +865,7 @@ class HtmlOpsSpec extends SparkSpec {
     }
   }
 
-  test("sitemapSeedsTree (q215): one-level walk is cycle-safe, corrupt members are verdicts, deep trees do not recurse") {
+  test("sitemapSeedsTree (q215): bounded depth-N walk — visited set breaks cycles, corrupt members are verdicts, depth knob governs") {
     val docs = graft.io.Tables.parquet(spark, sf, "documents")
     val base = java.nio.file.Files.createTempDirectory("graft-smtree-")
     try {
@@ -757,9 +883,11 @@ class HtmlOpsSpec extends SparkSpec {
       assert(baseline.nonEmpty)
 
       // (a) SELF-REFERENCING index: s7's root lists ITSELF as a
-      // member. The walk is a join, not a loop — it must terminate,
-      // and the pulled-in index doc carries no <url> entries, so the
-      // admitted set is exactly the baseline
+      // member. The visited set (seeded with the roots) refuses the
+      // re-walk — termination by guard, not by accident — and the
+      // admitted set is exactly the baseline. (The fixture's own s8
+      // chain plants the deeper cycle: its mid-tree index points back
+      // at the root.)
       val cyc = tree.withColumn("xml",
         when(col("url") === "https://s7.example/sitemap.xml",
           regexp_replace(col("xml"), "</sitemapindex>",
@@ -781,11 +909,11 @@ class HtmlOpsSpec extends SparkSpec {
       assert(!corruptSeeds.exists(_._2 == "s8.example"))
       assert(corruptSeeds === baseline.filterNot(_._2 == "s8.example"))
 
-      // (c) DEEP tree: s10's a-half member is itself an INDEX (an
-      // index of indexes — forbidden by sitemaps.org). The documented
-      // ONE-level walk must not silently recurse: the nested index's
-      // declared child never loads, the a-half entries are lost, and
-      // only the b-half admits (no crash, no deep entries)
+      // (c) UNRESOLVABLE deep loc: s10's a-half member becomes an
+      // index whose declared child was never fetched. The walk
+      // expands it (depth 2) but the child URL resolves to no doc —
+      // the a-half entries are lost, only the b-half admits (no
+      // crash, no phantom entries)
       val nested = "<?xml version=\"1.0\"?><sitemapindex><sitemap>" +
         "<loc>https://s10.example/sitemap-c.xml.gz</loc>" +
         "</sitemap></sitemapindex>"
@@ -801,6 +929,18 @@ class HtmlOpsSpec extends SparkSpec {
       assert(s10Deep.subsetOf(s10Base))
       assert(deepSeeds.filterNot(_._2 == "s10.example") ===
         baseline.filterNot(_._2 == "s10.example"))
+
+      // (d) the DEPTH KNOB governs: s8's a-half rides behind the
+      // fixture's mid-tree index, so a depth-1 walk resolves idx1 but
+      // never expands it — s8's admissible locs (/p/1, /p/10, both in
+      // the a-half) vanish; depth>=2 restores the full baseline
+      val shallow = HtmlOps.sitemapSeedsTree(tree, scope, "keys", ranks,
+          rules, maxDepth = 1)
+        .select("canon", "domain").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(baseline.exists(_._2 == "s8.example"))
+      assert(!shallow.exists(_._2 == "s8.example"))
+      assert(shallow === baseline.filterNot(_._2 == "s8.example"))
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
     }

@@ -130,6 +130,50 @@ class HttpCodecSpec extends SparkSpec {
     assert(r2.getString(0) === plain)
   }
 
+  test("decoder plug point: a registered 'br' codec routes every inflate seam; throws and nulls stay verdicts") {
+    // a deterministic stand-in codec (byte-wise NOT) — the plumbing
+    // under test is the registry + routing, not RFC 7932 itself (the
+    // JDK ships no brotli and the spec's 122 KB static dictionary
+    // cannot be vendored here; the plug point is the sanctioned seam)
+    graft.functions.GraftFunctions.register(spark)
+    def neg(b: Array[Byte]): Array[Byte] = b.map(x => (~x).toByte)
+    val plain = "brotli-shaped body bytes"
+    val wire = new String(neg(plain.getBytes("ISO-8859-1")), "ISO-8859-1")
+    // unregistered: the verdict
+    assert(HttpCodec.inflateBodyString(wire, "br") === null)
+    HttpCodec.registerDecoder("br", neg)
+    try {
+      assert(HttpCodec.inflateBodyString(wire, "br") === plain)
+      // the fused frame picks it up end-to-end: declared br inflates
+      // BEFORE the charset seam, body_ok true
+      val payload = "HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/html; charset=utf-8\r\n" +
+        "Content-Encoding: br\r\n\r\n" + wire
+      val r = Seq(payload).toDF("payload").selectExpr(
+        "http_frame(payload).body as body",
+        "http_frame(payload).body_ok as ok").head()
+      assert(r.getBoolean(1))
+      assert(r.getString(0) === plain)
+      // a decoder THROW is caught to the verdict, never propagated
+      HttpCodec.registerDecoder("zstd",
+        _ => throw new IllegalStateException("hostile"))
+      assert(HttpCodec.inflateBodyString(wire, "zstd") === null)
+      // a decoder null IS the verdict
+      HttpCodec.registerDecoder("lz4", _ => null)
+      assert(HttpCodec.inflateBodyString(wire, "lz4") === null)
+      // built-ins stay authoritative
+      intercept[IllegalArgumentException] {
+        HttpCodec.registerDecoder("gzip", identity)
+      }
+    } finally {
+      HttpCodec.unregisterDecoder("br")
+      HttpCodec.unregisterDecoder("zstd")
+      HttpCodec.unregisterDecoder("lz4")
+    }
+    // unregistering restores the verdict
+    assert(HttpCodec.inflateBodyString(wire, "br") === null)
+  }
+
   test("inflate_body: zlib FDICT stream is a verdict, not an infinite loop") {
     graft.functions.GraftFunctions.register(spark)
     // 0x78 0x20: CMF=0x78 (deflate, 32K window), FLG with the FDICT
@@ -251,6 +295,51 @@ class HttpCodecSpec extends SparkSpec {
       assert(t.contains("“smart” ‘q’ –en— café"), t)
       assert(!t.exists(c => c >= 0x80 && c <= 0x9f), t)
     }
+  }
+
+  test("http_frame: charset long tail decodes per the declared codepage (round 16)") {
+    // the shared fixture constants ARE what the JDK decoders say —
+    // the pin that keeps the oracle's replace-chain mirror honest
+    def jdk(transport: String, cs: String): String = {
+      val b = transport.toCharArray.map(_.toByte)
+      new String(b, java.nio.charset.Charset.forName(cs))
+    }
+    assert(jdk(HtmlOps.sjisLeg._1, "Shift_JIS") === HtmlOps.sjisLeg._2)
+    assert(jdk(HtmlOps.eucKrLeg._1, "EUC-KR") === HtmlOps.eucKrLeg._2)
+    // the planted legs flow end-to-end through the fused frame
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val out = HtmlOps.warcIngest(HtmlOps.plantedWarcCorpus(docs))
+      .filter(col("doc_id") % 13 === 0 && col("doc_id") % 3 =!= 0)
+      .select("doc_id", "charset", "text_clean").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 3 == 1) {
+        assert(r.getString(1) === "shift_jis", r.toString)
+        assert(r.getString(2).contains(HtmlOps.sjisLeg._2), r.toString)
+      } else {
+        assert(r.getString(1) === "euc-kr", r.toString)
+        assert(r.getString(2).contains(HtmlOps.eucKrLeg._2), r.toString)
+      }
+      // no transport byte survives in decoded text
+      assert(!r.getString(2).exists(c => c >= 0x80 && c <= 0xff), r.toString)
+    }
+    // MIS-DECLARED long-tail charsets degrade to byte identity, never
+    // throw, never replace: 0x83 followed by an invalid Shift_JIS
+    // trail byte
+    import spark.implicits._
+    val bad = "\u0083\u00ff after" // 0x83 lead + 0xFF invalid trail
+    val payload = "HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=shift_jis\r\n\r\n" + bad
+    val row = Seq(payload).toDF("payload")
+      .selectExpr("http_frame(payload).body as body").head()
+    assert(row.getString(0) === bad)
+    // an alias spelling routes to the same decoder
+    val alias = Seq("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=sjis\r\n\r\n" +
+      HtmlOps.sjisLeg._1).toDF("payload")
+      .selectExpr("http_frame(payload).body as body").head()
+    assert(alias.getString(0) === HtmlOps.sjisLeg._2)
   }
 
   test("http_frame: Last-Modified rides beside ETag; %10==4 docs are date-validator-only") {

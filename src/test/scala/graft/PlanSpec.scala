@@ -474,6 +474,25 @@ class PlanSpec extends SparkSpec {
     Seq.empty[(String, Long)].toDF("domain", "pr")
   }
 
+  test("duplicate-frame audit: no wire-decode subtree is evaluated twice in any frame-heavy plan") {
+    // the fast in-suite lock on the round-14 regression signature —
+    // the full-registry sweep lives in graft.tools.PlanAudit (wired
+    // into the PLANS.md regeneration, which FAILS on any hit); this
+    // leg pins the frame-heaviest query classes on every test run
+    val frameHeavy = Seq("q184_warc_ingest", "q186_warc_corpus",
+      "q204_fetch_funnel", "q205_redirect_frontier", "q206_gzip_warc",
+      "q211_retry_frontier", "q212_content_encoding",
+      "q213_conditional_refetch", "q217_body_length_check",
+      "q218_warc_revisit")
+    frameHeavy.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect() // finalize the adaptive plan
+      val dups = graft.tools.PlanAudit
+        .duplicateFrameSubtrees(df.queryExecution.executedPlan)
+      assert(dups.isEmpty, s"$name re-evaluates a frame subtree: $dups")
+    }
+  }
+
   test("q169: the flagship scrub joins the broadcast topK selection — regex after the join") {
     val df = SparkEntry.queries("q169_redacted_corpus")(spark, sf)
     df.collect() // finalize the adaptive plan (the PlanAudit convention)

@@ -232,6 +232,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("robots_match ≡ the regex construction the oracle replays") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // ASCII alphabet (byte == char, so the byte-walk and the
+    // char-level java.util.regex reference are unit-identical); the
+    // alphabet is metachar-heavy on purpose — every regex special the
+    // escape chain must neutralize, plus '*'/'$' in all positions
+    val chars = Gen.oneOf('a', 'b', '/', '*', '$', '?', '.', '7',
+      '_', '(', '+', '^')
+    val str = Gen.chooseNum(0, 12)
+      .flatMap(n => Gen.listOfN(n, chars).map(_.mkString))
+    samples(Gen.zip(str, str), 120).foreach { case (pat, t) =>
+      // the duckRobotsMatch chain transcribed: escape metachars,
+      // '\*' -> '.*', a trailing '\$' -> the end anchor, '^'-anchored
+      val esc = pat.replaceAll("([.^$|?*+()\\[\\]{}\\\\])", "\\\\$1")
+        .replaceAll("\\\\\\*", ".*")
+        .replaceAll("\\\\\\$$", "\\$")
+      val ref = java.util.regex.Pattern.compile("(?s)^" + esc)
+        .matcher(t).find()
+      val got = graft.functions.UrlOps.robotsMatches(
+        UTF8String.fromString(t), UTF8String.fromString(pat))
+      assert(got === ref, s"pattern=<$pat> target=<$t>")
+    }
+    // one multi-byte pin: literal UTF-8 octets walk byte-by-byte
+    def m(t: String, p: String) = graft.functions.UrlOps.robotsMatches(
+      UTF8String.fromString(t), UTF8String.fromString(p))
+    assert(m("/café/x", "/caf*x$"))
+    assert(m("/café", "/café$"))
+    assert(!m("/café!", "/café$"))
+  }
+
   test("hash sampling: rate monotonicity and determinism for arbitrary rates") {
     val ids = (1L to 500L).toDF("doc_id")
     samples(Gen.zip(Gen.chooseNum(0.0, 1.0), Gen.chooseNum(0.0, 1.0)), 4)
