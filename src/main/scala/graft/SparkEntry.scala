@@ -1933,6 +1933,16 @@ object SparkEntry {
     // validators, an unconfirmable one is a verdict and the key
     // stays due
     "q218_warc_revisit" -> (warcRevisitQuery _),
+    // heuristic-freshness refetch (q219, RFC 9111 §4.2.2): TTL per
+    // canon = 10% of the age-since-Last-Modified at fetch time,
+    // clamped to [1d, 30d]; absent/garbage/future dates take the
+    // default — churny pages recrawl first, static ones rest
+    "q219_heuristic_refetch" -> ((s, dir) =>
+      HtmlOps.heuristicRefetchWave(
+        HtmlOps.plantedValidatorLog(s, 1767225600L),
+        nowS = 1767225600L + 3L * 86400L,
+        defaultTtlS = 7L * 86400L, minTtlS = 86400L,
+        maxTtlS = 30L * 86400L, ranks = epochRanks(s, dir))),
   )
 
   private val q192Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -5069,6 +5079,9 @@ object SparkEntry {
     // the stored argmax body; validators and content bit-identical to
     // wave 1 throughout
     "q218_warc_revisit" -> q218Sql,
+    // heuristic freshness: the date parse (weekday stripped), the
+    // 10% TTL clamp, and the stalest-first cap replayed per key
+    "q219_heuristic_refetch" -> q219Sql,
     // redirect-aware frontier: both discovery channels replayed from
     // the regenerated chunk bytes into one candidate aggregation
     "q205_redirect_frontier" -> q205Sql,
@@ -6196,6 +6209,53 @@ object SparkEntry {
        |FROM zkey k JOIN zlog l USING (canon)
        |JOIN zc z USING (canon)
        |LEFT JOIN zct t USING (canon)""".stripMargin
+  }
+
+  /** The q219 oracle — the validator log regenerated (Last-Modified
+    * strings formatted from the same epochs with strftime), the
+    * HTTP-date parse replayed weekday-stripped via try_strptime, the
+    * 10% heuristic TTL clamped to [1d, 30d] with the default for
+    * absent/garbage/future dates, due ⟺ age ≥ ttl, then the standard
+    * rank join + stalest-first per-domain cap.
+    */
+  private lazy val q219Sql = {
+    val t0 = 1767225600L
+    val now = t0 + 3L * 86400L
+    s"""WITH vl AS (SELECT generate_series AS k,
+       |  concat('https://w', cast(generate_series % 7 AS varchar), '.s',
+       |    cast(generate_series % 5 AS varchar), '.example/p/',
+       |    cast(generate_series AS varchar)) AS url,
+       |  CAST($t0 AS BIGINT) AS last_fetch_s,
+       |  CASE WHEN generate_series % 7 = 0 THEN ''
+       |       WHEN generate_series % 7 = 1 THEN 'not a date'
+       |       ELSE strftime(make_timestamp(
+       |         ($t0 - (generate_series % 90) * 86400) * 1000000),
+       |         '%a, %d %b %Y %H:%M:%S GMT') END AS last_modified
+       |  FROM generate_series(0, 199)),
+       |ve AS (SELECT *, epoch(try_strptime(
+       |    regexp_replace(last_modified, '^[A-Za-z]{3}, ', ''),
+       |    '%d %b %Y %H:%M:%S GMT')) AS lm FROM vl),
+       |vt AS (SELECT *, CASE WHEN lm IS NULL OR lm > last_fetch_s
+       |    THEN CAST(604800 AS BIGINT)
+       |    ELSE least(greatest(
+       |      CAST((last_fetch_s - CAST(lm AS BIGINT)) // 10 AS BIGINT),
+       |      CAST(86400 AS BIGINT)), CAST(2592000 AS BIGINT)) END
+       |    AS ttl_s FROM ve),
+       |vh AS (SELECT ${duckCanonOf("url")} AS canon, url,
+       |  regexp_extract(url, '^(?i)(?:https?:)?//([^/?#]+)', 1) AS host,
+       |  last_fetch_s, ttl_s FROM vt
+       |  WHERE ($now - last_fetch_s) >= ttl_s),
+       |vg AS (SELECT canon, url, ${duckDomainOf("host")} AS domain,
+       |  last_fetch_s, ttl_s FROM vh),
+       |vranks AS (SELECT domain, pr FROM (${hostRankSql()})),
+       |vj AS (SELECT g.*, coalesce(r.pr, 0) AS pr FROM vg g
+       |  LEFT JOIN vranks r USING (domain)),
+       |vfs AS (SELECT *, row_number() OVER (PARTITION BY domain
+       |  ORDER BY last_fetch_s ASC, canon ASC) AS slot FROM vj)
+       |SELECT canon, url, domain, last_fetch_s, ttl_s,
+       |  CAST($now AS BIGINT) - last_fetch_s AS age_s, pr,
+       |  CAST(slot AS INT) AS slot
+       |FROM vfs WHERE slot <= 10""".stripMargin
   }
 
   /** The q201 oracle — the q191 frontier chain reused up to its

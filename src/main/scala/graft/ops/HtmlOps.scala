@@ -2946,6 +2946,101 @@ object HtmlOps {
       nowS, ttlS, ranks, kPerDomain)
   }
 
+  /** An HTTP-date (IMF-fixdate, RFC 9110 §5.6.7) as epoch seconds,
+    * null when unparseable — the weekday prefix is STRIPPED before
+    * the parse rather than pattern-matched: real servers lie about
+    * the weekday often enough that a strict resolver would throw
+    * away otherwise-perfect validators, and the weekday carries no
+    * information the date fields don't. `try_to_timestamp` so a
+    * garbage header degrades to null under ANSI instead of killing
+    * the wave (the corrupt-input-as-verdict contract at the date
+    * layer). Session timezone is UTC everywhere in this engine, so
+    * the wall fields ARE the GMT reading.
+    */
+  def httpDateEpoch(s: Column): Column =
+    try_to_timestamp(regexp_replace(s, "^[A-Za-z]{3}, ", ""),
+      lit("dd MMM yyyy HH:mm:ss 'GMT'")).cast("long")
+
+  /** Q219: HEURISTIC-FRESHNESS refetch (RFC 9111 §4.2.2) — when a
+    * response carries no explicit expiry, a cache MAY treat a
+    * fraction of its age-since-Last-Modified as the freshness
+    * lifetime (the canonical heuristic is 10%). Applied to recrawl
+    * scheduling: a page that had not changed for a year when fetched
+    * earns a ~36-day TTL; one modified minutes before the fetch gets
+    * the floor — so the crawl's refetch budget concentrates on the
+    * pages that actually churn, instead of one flat TTL for the
+    * whole corpus. Per canon:
+    *
+    *   ttl = clamp(0.1 × (last_fetch − last_modified),
+    *               minTtl, maxTtl)
+    *
+    * falling back to `defaultTtlS` when Last-Modified is absent,
+    * unparseable, or in the future (a lying clock must not earn
+    * either instant staleness or immortality). Due ⟺ age ≥ ttl; the
+    * tail is the standard stalest-first per-domain politeness cap.
+    * Scale shape: the log scan + per-row date arithmetic + the same
+    * broadcast-rank capped window as [[refetchWave]] — no new
+    * exchange class.
+    */
+  def heuristicRefetchWave(fetchLog: DataFrame, nowS: Long,
+                           defaultTtlS: Long, minTtlS: Long,
+                           maxTtlS: Long, ranks: DataFrame,
+                           kPerDomain: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minTtlS > 0 && maxTtlS >= minTtlS && defaultTtlS > 0,
+      s"bad TTL bounds: default=$defaultTtlS min=$minTtlS max=$maxTtlS")
+    require(kPerDomain > 0, s"kPerDomain must be positive: $kPerDomain")
+    val lmEpoch = httpDateEpoch(col("last_modified"))
+    val heuristic = floor((col("last_fetch_s") - lmEpoch) / lit(10L))
+      .cast("long")
+    val ttl = when(lmEpoch.isNull || lmEpoch > col("last_fetch_s"),
+        lit(defaultTtlS))
+      .otherwise(least(greatest(heuristic, lit(minTtlS)), lit(maxTtlS)))
+    val due = latestFetchPerKey(fetchLog)
+      .select(col("canon"), col("url"), col("last_fetch_s"),
+        col("etag"), col("last_modified"))
+      .withColumn("ttl_s", ttl)
+      .filter(lit(nowS) - col("last_fetch_s") >= col("ttl_s"))
+      .withColumn("domain",
+        graft.ops.PiiOps.registrableDomain(hostOf(col("url"))))
+      .join(broadcast(ranks.select(col("domain"), col("pr"))),
+        Seq("domain"), "left")
+      .withColumn("pr", coalesce(col("pr"), lit(0L)))
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("last_fetch_s").asc, col("canon").asc)
+    due.withColumn("slot", row_number().over(w))
+      .filter(col("slot") <= kPerDomain)
+      .select(col("canon"), col("url"), col("domain"),
+        col("last_fetch_s"), col("ttl_s"),
+        (lit(nowS) - col("last_fetch_s")).as("age_s"),
+        col("pr"), col("slot").cast("int").as("slot"))
+  }
+
+  /** Q219's fixture: a reduced fetch log whose Last-Modified ages
+    * SPREAD — per planted key `k` (0-199): `k%7==0` ships no
+    * validator at all and `k%7==1` ships garbage (both must take the
+    * default TTL); everything else ships an IMF-fixdate exactly
+    * `k%90` days before the fetch, FORMATTED in-plan from the epoch
+    * (so the weekday is right by construction, and the oracle
+    * regenerates the identical string with strftime). Fetches all at
+    * `t0`, one URL per key on the standard planted hosts.
+    */
+  def plantedValidatorLog(spark: org.apache.spark.sql.SparkSession,
+                          t0: Long): DataFrame = {
+    val d = spark.range(200).select(col("id").cast("long").as("k"))
+    val lmTs = (lit(t0) - (col("k") % 90) * 86400L).cast("timestamp")
+    d.select(
+      concat(lit("https://w"), (col("k") % 7).cast("string"),
+        lit(".s"), (col("k") % 5).cast("string"),
+        lit(".example/p/"), col("k").cast("string")).as("url"),
+      lit(t0).as("fetched_at_s"),
+      lit("").as("etag"),
+      when(col("k") % 7 === 0, lit(""))
+        .when(col("k") % 7 === 1, lit("not a date"))
+        .otherwise(date_format(lmTs, "EEE, dd MMM yyyy HH:mm:ss 'GMT'"))
+        .as("last_modified"))
+  }
+
   /** Q213's fixture: the REVALIDATION wave — for every page wave 1
     * fetched validly, the conditional response a real refetch
     * dispatch (carrying the log's stored ETag as If-None-Match,

@@ -227,7 +227,13 @@ object ScaleProbe {
     "q216_trap_guard",
     // length cross-check: one fused http_frame projection — expected
     // q184's scan-bound class
-    "q217_body_length_check")
+    "q217_body_length_check",
+    // round-16: revisit resolution — artifact reads + an O(touched)
+    // store prune; expected q213's near-flat artifact class
+    "q218_warc_revisit",
+    // round-16: heuristic refetch — per-row date arithmetic over a
+    // planted fixed-size log; expected flat (input never scales)
+    "q219_heuristic_refetch")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

@@ -310,6 +310,46 @@ class HtmlOpsSpec extends SparkSpec {
     }
   }
 
+  test("heuristicRefetchWave (q219): 10% TTL clamps, date parse strips weekday, garbage takes the default") {
+    import spark.implicits._
+    val t0 = 1767225600L
+    val day = 86400L
+    // the date parse: weekday stripped (even a LYING weekday parses),
+    // garbage and '' are null
+    val parsed = Seq(
+      "Thu, 01 Jan 2026 00:00:00 GMT", // true weekday
+      "Mon, 01 Jan 2026 00:00:00 GMT", // lying weekday — must still parse
+      "not a date", "").toDF("s")
+      .select(graft.ops.HtmlOps.httpDateEpoch(col("s"))).collect()
+    assert(parsed(0).getLong(0) === t0)
+    assert(parsed(1).getLong(0) === t0)
+    assert(parsed(2).isNullAt(0) && parsed(3).isNullAt(0))
+    val ranks = Seq(("s0.example", 7L)).toDF("domain", "pr")
+    val wave = graft.ops.HtmlOps.heuristicRefetchWave(
+      graft.ops.HtmlOps.plantedValidatorLog(spark, t0),
+      nowS = t0 + 3L * day, defaultTtlS = 7L * day,
+      minTtlS = day, maxTtlS = 30L * day, ranks, kPerDomain = 1000)
+      .collect()
+    assert(wave.nonEmpty)
+    def k(r: org.apache.spark.sql.Row) =
+      r.getAs[String]("canon").replaceAll(".*/p/", "").toLong
+    // due ⟺ ttl <= 3d ⟺ a PARSED Last-Modified at most 30 days old
+    // (10% heuristic; the <10d legs clamp up to the 1d floor and stay
+    // due); the absent/garbage legs carry the 7d default — never due
+    val dueKeys = wave.map(k).toSet
+    (0L until 200L).foreach { key =>
+      val expect = key % 7 != 0 && key % 7 != 1 && key % 90 <= 30
+      assert(dueKeys.contains(key) === expect, s"key $key")
+    }
+    // the TTL column is the clamp: k%90=0 → floor 1d; k%90=25 → 2.5d
+    val byKey = wave.map(r => k(r) -> r.getAs[Long]("ttl_s")).toMap
+    byKey.get(90L).foreach(t => assert(t === day))   // 90%90=0 → floor
+    byKey.get(25L).foreach(t => assert(t === (25L * day) / 10))
+    // ranks land where planted
+    wave.filter(_.getAs[String]("domain") == "s0.example")
+      .foreach(r => assert(r.getAs[Long]("pr") === 7L))
+  }
+
   test("fetch-log artifact (q200): O(batch) upsert keeps the latest fetch; untouched buckets intact") {
     val base = java.nio.file.Files.createTempDirectory("graft-fetchlog-spec-")
     try {
