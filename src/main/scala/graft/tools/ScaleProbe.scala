@@ -329,8 +329,15 @@ object ScaleProbe {
     */
   private val force = sys.env.get("SPARK_GRAFT_PROBE_FORCE").contains("1")
 
+  /** Best-of-N timing; `SPARK_GRAFT_PROBE_RUNS` trims N for the
+    * one-off ×100 probe (its corpus makes 3 full runs per query an
+    * hour-class budget; best-of-2 keeps the warm-cache read).
+    */
+  private val probeRuns =
+    sys.env.get("SPARK_GRAFT_PROBE_RUNS").map(_.toInt).getOrElse(3)
+
   private def bench(spark: SparkSession, dir: String, q: String,
-                    runs: Int = 3): Double =
+                    runs: Int = probeRuns): Double =
     (1 to runs).map { _ =>
       time {
         val df = SparkEntry.queries(q)(spark, dir)
