@@ -1878,11 +1878,14 @@ object SparkEntry {
     // bounded aggregation
     "q204_fetch_funnel" -> ((s, dir) => HtmlOps.fetchFunnel(
       HtmlOps.plantedWarcCorpus(t(s, dir, "documents")))),
-    // content-encoded bodies (q212): gzip/deflate HTTP bodies
-    // inflated per-row (structural CRC/ISIZE verification) BEFORE the
-    // charset seam — held to the uncompressed twin's extraction (the
-    // q206 bit-identical pattern); the lying-encoding leg (%17==3,
-    // declared gzip over plain bytes) is a body_ok verdict
+    // content-encoded bodies (q212): gzip/deflate/zstd HTTP bodies
+    // inflated per-row (structural CRC/ISIZE — and for zstd the
+    // RFC 8878 frame walk of the pure-JVM decoder Spark itself
+    // ships — verification) BEFORE the charset seam — held to the
+    // uncompressed twin's extraction (the q206 bit-identical
+    // pattern); the lying-encoding legs (%17==3 declared gzip,
+    // %17==9 declared zstd, both over plain bytes) are body_ok
+    // verdicts
     "q212_content_encoding" -> ((s, dir) => HtmlOps.httpFrame(
         HtmlOps.plantedEncodedMessages(t(s, dir, "documents")))
       .select(col("doc_id"), col("http_status"), col("mime"),
@@ -1943,6 +1946,16 @@ object SparkEntry {
         nowS = 1767225600L + 3L * 86400L,
         defaultTtlS = 7L * 86400L, minTtlS = 86400L,
         maxTtlS = 30L * 86400L, ranks = epochRanks(s, dir))),
+    // sitemap discovery via robots (q220): the file-wide `Sitemap:`
+    // declarations (parsed from raw bytes, absolute-URL-only) select
+    // the tree roots instead of the conventional /sitemap.xml name —
+    // the channel real publishers actually use; the walk + admission
+    // tail are q215's verbatim
+    "q220_sitemap_discovery" -> ((s, dir) => HtmlOps.sitemapSeedsTree(
+      HtmlOps.plantedSitemapTree(s), frontierScope(s, dir), "urlkeys",
+      epochRanks(s, dir), HtmlOps.plantedRobotsRules(s),
+      rootUrls = Some(HtmlOps.parseSitemapDecls(
+        HtmlOps.plantedRobotsTxt(s)).select(col("url"))))),
   )
 
   private val q192Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -5082,6 +5095,9 @@ object SparkEntry {
     // heuristic freshness: the date parse (weekday stripped), the
     // 10% TTL clamp, and the stalest-first cap replayed per key
     "q219_heuristic_refetch" -> q219Sql,
+    // sitemap discovery: the Sitemap: decls parsed from the
+    // regenerated robots bytes select the admitted urlsets
+    "q220_sitemap_discovery" -> q220Sql,
     // redirect-aware frontier: both discovery channels replayed from
     // the regenerated chunk bytes into one candidate aggregation
     "q205_redirect_frontier" -> q205Sql,
@@ -6055,10 +6071,13 @@ object SparkEntry {
     * body regenerated (é suffix on %5==0 decoded per the utf-8
     * declaration — the mojibake-avoidance pin: had the engine decoded
     * before inflating, the compressed bytes would never reconstruct
-    * these characters), NULL for the lying-encoding leg, then the
+    * these characters), NULL for the lying-encoding legs (%17 of 3
+    * declared-gzip and 9 declared-zstd over plain bytes), then the
     * q184 extraction chain. The compressed bytes themselves never
     * appear here — inflate ∘ deflate = id is the check (the q206
-    * pattern).
+    * pattern), which round 16 extends to the zstd legs (%11==5):
+    * DuckDB cannot un-zstd any more than it can gunzip, so the
+    * decoded twin IS the verification for all three codings.
     */
   private lazy val q212Sql =
     s"""WITH ep AS (SELECT doc_id, $duckHtml AS html FROM documents),
@@ -6066,7 +6085,7 @@ object SparkEntry {
        |  CASE WHEN doc_id % 5 = 0 THEN '<p>rÃ©sumÃ© cafÃ©</p>'
        |       ELSE '' END AS b0 FROM ep),
        |ed AS (SELECT doc_id,
-       |  CASE WHEN doc_id % 17 = 3 THEN NULL
+       |  CASE WHEN doc_id % 17 IN (3, 9) THEN NULL
        |       ELSE replace(b0, 'Ã©', 'é') END AS body FROM eb),
        |exb AS (SELECT doc_id, body,
        |  regexp_replace(regexp_replace(regexp_replace(body,
@@ -6083,10 +6102,12 @@ object SparkEntry {
        |SELECT doc_id, CAST(200 AS INT) AS http_status,
        |  'text/html' AS mime,
        |  CASE WHEN doc_id % 17 = 3 THEN 'gzip'
+       |       WHEN doc_id % 17 = 9 THEN 'zstd'
+       |       WHEN doc_id % 11 = 5 THEN 'zstd'
        |       WHEN doc_id % 3 = 0 THEN 'gzip'
        |       WHEN doc_id % 3 = 1 THEN 'deflate'
        |       ELSE '' END AS content_encoding,
-       |  (doc_id % 17 <> 3) AS body_ok,
+       |  (doc_id % 17 NOT IN (3, 9)) AS body_ok,
        |  regexp_extract(body, '<[Tt][Ii][Tt][Ll][Ee]>([^<]*)</[Tt][Ii][Tt][Ll][Ee]>', 1) AS title,
        |  trim(regexp_replace(de, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS text_clean
        |FROM exe""".stripMargin
@@ -6327,9 +6348,29 @@ object SparkEntry {
     * canonical candidate aggregation, the anti-join against the full
     * fetched key set, the epoch rank, the politeness cap.
     */
-  private lazy val q197Sql =
+  private lazy val q197Sql = sitemapChainSql("", "true")
+
+  /** The q220 oracle — the q197 chain with the ROOT SET derived from
+    * the robots bytes: the file-wide `Sitemap:` declarations parsed
+    * from the regenerated rtxt (absolute URLs only — the relative
+    * decl legs drop), and the per-domain urlset admitted iff its
+    * root URL was declared.
+    */
+  private lazy val q220Sql = sitemapChainSql(
+    s"""$duckRobotsTxtCtes,
+       |sdc AS (SELECT DISTINCT rtrim(u) AS durl
+       |  FROM (SELECT unnest(regexp_extract_all(txt,
+       |    '(?m)^[Ss][Ii][Tt][Ee][Mm][Aa][Pp]:[ \\t]*([^\\r\\n#]*)', 1))
+       |    AS u FROM rtxt)
+       |  WHERE regexp_matches(rtrim(u), '^(?i)https?://')),
+       |""".stripMargin,
+    """concat('https://s', cast(generate_series AS varchar),
+      |    '.example/sitemap.xml') IN (SELECT durl FROM sdc)"""
+      .stripMargin)
+
+  private def sitemapChainSql(extraCtes: String, smPred: String) =
     s"""WITH $duckRobotsRuleCtes,
-       |sm AS (SELECT generate_series AS k, concat('<?xml version="1.0"?><urlset>',
+       |${extraCtes}sm AS (SELECT generate_series AS k, concat('<?xml version="1.0"?><urlset>',
        |  array_to_string(list_transform(range(0, 10), i -> concat(
        |    '<url><loc>https://w', cast((generate_series + 2 * i) % 7 AS varchar),
        |    '.s', cast(generate_series AS varchar), '.example/p/',
@@ -6344,7 +6385,8 @@ object SparkEntry {
        |  lpad(cast(1 + (generate_series + 14) % 28 AS varchar), 2, '0'),
        |  '</lastmod></url>',
        |  '</urlset>') AS xml
-       |  FROM generate_series(0, 12)),
+       |  FROM generate_series(0, 12)
+       |  WHERE $smPred),
        |sl0 AS (SELECT unnest(regexp_extract_all(xml,
        |  '(?s)<[Uu][Rr][Ll]>.*?</[Uu][Rr][Ll]>', 0)) AS e FROM sm),
        |sl1 AS (SELECT
@@ -6748,6 +6790,11 @@ object SparkEntry {
        |  concat('s', cast($gs AS varchar), '.example') AS domain,
        |  concat('# robots.txt for s', cast($gs AS varchar),
        |    '.example$nl',
+       |    CASE WHEN $gs % 2 = 1
+       |      THEN concat('Sitemap: https://s', cast($gs AS varchar),
+       |        '.example/sitemap.xml$nl') ELSE '' END,
+       |    CASE WHEN $gs % 4 = 0
+       |      THEN 'Sitemap: /sitemap.xml$nl' ELSE '' END,
        |    CASE WHEN $gs % 3 = 0
        |      THEN 'User-agent: badbot${nl}Disallow: /$nl$nl' ELSE '' END,
        |    'User-agent: *$nl',

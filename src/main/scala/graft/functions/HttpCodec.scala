@@ -229,27 +229,38 @@ object HttpCodec {
   }
 
   /** Content-Encoding DECODER PLUG POINT (round-16 directive #3): the
-    * JDK ships no brotli (RFC 7932) or zstd (RFC 8878) codec, a
-    * conforming brotli decoder needs the 122 KB static dictionary the
-    * spec embeds, and this engine vendors no third-party code — so
-    * those tokens are `body_ok = false` VERDICTS by default (the
-    * SURVEY-stated ~15%-of-responses coverage loss). A production
-    * deployment that can carry a decoder jar wires it here ONCE at
-    * bootstrap — `HttpCodec.registerDecoder("br", bytes => …)` — and
-    * every inflate seam (the fused `http_frame`, `inflate_body`, the
-    * staged witness) picks it up, because they all funnel through
-    * [[inflateBodyString]]'s single fall-through arm.
+    * JDK ships no brotli (RFC 7932) codec, a conforming brotli
+    * decoder needs the 122 KB static dictionary the spec embeds, and
+    * this engine vendors no third-party code — so `br` is a
+    * `body_ok = false` VERDICT by default (the SURVEY-stated
+    * coverage-loss note). `zstd` (RFC 8878) is NOT a plug-in: Spark
+    * itself ships a pure-JVM zstd codec (aircompressor, its
+    * Parquet/ORC decompression path), so the token is a BUILT-IN
+    * structural coding here ([[zstdInflate]]) — present on every
+    * executor classpath by construction, no bootstrap needed.
+    *
+    * A production deployment that can carry a brotli jar wires it
+    * here ONCE per JVM — `HttpCodec.registerDecoder("br",
+    * bytes => …)` — and every inflate seam (the fused `http_frame`,
+    * `inflate_body`, the staged witness) picks it up, because they
+    * all funnel through [[inflateBodyString]]'s single fall-through
+    * arm. NOTE the per-JVM scope: on a real cluster the registry is
+    * executor-local state, so the registration must run at EXECUTOR
+    * bootstrap (an `ExecutorPlugin`/static initializer in the
+    * deployment's jar), not just on the driver — which is exactly
+    * why the always-available zstd path is wired as a built-in
+    * `case` arm instead of through this map.
     *
     * Decoder contract: total over arbitrary UNTRUSTED bytes; return
     * the decoded bytes, or null for a verdict; any throw is caught to
     * the null verdict (the corrupt-input-as-verdict contract — a
     * hostile body must never kill a wave). The built-in structural
-    * codings ('', identity, gzip, x-gzip, deflate) cannot be
+    * codings ('', identity, gzip, x-gzip, deflate, zstd) cannot be
     * overridden — their verification stays authoritative. Tokens are
     * matched lowercase (the frame lowercases the header value).
     */
   private val builtinCodings =
-    java.util.Set.of("", "identity", "gzip", "x-gzip", "deflate")
+    java.util.Set.of("", "identity", "gzip", "x-gzip", "deflate", "zstd")
   private val extraDecoders =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Byte] => Array[Byte]]()
 
@@ -281,6 +292,9 @@ object HttpCodec {
           case null => inflateZlib(raw, nowrap = true)
           case ok => ok
         }
+        if (r == null) null else new String(r, "ISO-8859-1")
+      case "zstd" =>
+        val r = zstdInflate(body.getBytes("ISO-8859-1"))
         if (r == null) null else new String(r, "ISO-8859-1")
       case other =>
         val d = extraDecoders.get(other)
@@ -332,6 +346,77 @@ object HttpCodec {
     // superlinear-leak mode inflateMembers/deflateTransport guard)
     try g.write(s.toString.getBytes("ISO-8859-1")) finally g.close()
     UTF8String.fromString(new String(bos.toByteArray, "ISO-8859-1"))
+  }
+
+  /** Decoded-size ceiling for a zstd body (64 MiB) — the
+    * decompression-bomb guard, same order as the imaging guard
+    * ([[graft.ops.MultimodalOps.DefaultMaxPixels]]): an RFC 8878
+    * frame header may DECLARE any content size over a handful of
+    * wire bytes, so the declared size is checked BEFORE any
+    * allocation and the verdict (null) is the answer past the cap —
+    * never a 2 GB array from two bytes of hostile header.
+    */
+  val ZstdMaxDecoded: Int = 1 << 26
+
+  /** RFC 8878 zstd inflation via the pure-JVM decoder Spark itself
+    * ships (aircompressor — its Parquet/ORC codec path; on the
+    * executor classpath of every Spark deployment by construction,
+    * which is what lets `zstd` be a BUILT-IN coding while `br`
+    * remains a plug point). Structural per the decoder: magic,
+    * block structure, and the frame's XXH64 checksum when present
+    * are verified; any malformation — truncation, garbage, a
+    * declared content size over [[ZstdMaxDecoded]] — is the null
+    * verdict, never a throw. Frames whose header omits the content
+    * size (streamed producers) decompress through a doubling
+    * buffer capped at the same ceiling.
+    */
+  def zstdInflate(b: Array[Byte]): Array[Byte] = {
+    if (b.length == 0) return null
+    val declared =
+      try _root_.io.airlift.compress.zstd.ZstdDecompressor.getDecompressedSize(
+        b, 0, b.length)
+      catch { case scala.util.control.NonFatal(_) => return null }
+    if (declared > ZstdMaxDecoded) return null // the bomb verdict
+    val dec = new _root_.io.airlift.compress.zstd.ZstdDecompressor()
+    if (declared >= 0) {
+      val out = new Array[Byte](declared.toInt)
+      try {
+        val n = dec.decompress(b, 0, b.length, out, 0, out.length)
+        if (n == declared) out else null // lying header: verdict
+      } catch { case scala.util.control.NonFatal(_) => null }
+    } else {
+      // unknown content size: grow geometrically to the cap. The
+      // decoder distinguishes buffer exhaustion from corruption only
+      // by message, so every failure retries larger until the cap
+      // rules the input either a bomb or garbage — bounded at
+      // log2(cap/start) ≈ 8 attempts on hostile input.
+      var cap = math.max(64 * 1024, b.length * 4)
+      while (cap <= ZstdMaxDecoded) {
+        val out = new Array[Byte](cap)
+        try {
+          val n = dec.decompress(b, 0, b.length, out, 0, out.length)
+          return java.util.Arrays.copyOf(out, n)
+        } catch { case scala.util.control.NonFatal(_) => }
+        cap = if (cap == ZstdMaxDecoded) Int.MaxValue
+              else math.min(cap * 4, ZstdMaxDecoded)
+      }
+      null
+    }
+  }
+
+  /** FIXTURE-side zstd of a transport string (one frame, default
+    * level; the single-pass API stamps the content size into the
+    * frame header, so [[zstdInflate]] takes the exact-allocation
+    * path). Never compared byte-wise to any oracle — the check is
+    * inflate ∘ deflate = id, the q206/q212 pattern.
+    */
+  def zstdTransport(s: UTF8String): UTF8String = {
+    if (s == null) return null
+    val in = s.toString.getBytes("ISO-8859-1")
+    val c = new _root_.io.airlift.compress.zstd.ZstdCompressor()
+    val out = new Array[Byte](c.maxCompressedLength(in.length))
+    val n = c.compress(in, 0, in.length, out, 0, out.length)
+    UTF8String.fromString(new String(out, 0, n, "ISO-8859-1"))
   }
 
   /** FIXTURE-side zlib deflate of a transport string. */
@@ -492,6 +577,22 @@ case class GzipTransport(child: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HttpCodec.gzipTransport($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class ZstdTransport(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "zstd_transport"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HttpCodec.zstdTransport(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HttpCodec.zstdTransport($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -152,6 +152,9 @@ object GraftFunctions {
     (FunctionIdentifier("deflate_transport"),
       new ExpressionInfo(classOf[DeflateTransport].getName, "deflate_transport"),
       (args: Seq[Expression]) => DeflateTransport(args(0))),
+    (FunctionIdentifier("zstd_transport"),
+      new ExpressionInfo(classOf[ZstdTransport].getName, "zstd_transport"),
+      (args: Seq[Expression]) => ZstdTransport(args(0))),
     (FunctionIdentifier("remove_dots"),
       new ExpressionInfo(classOf[RemoveDots].getName, "remove_dots"),
       (args: Seq[Expression]) => RemoveDots(args(0))),

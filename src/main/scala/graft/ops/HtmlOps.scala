@@ -791,16 +791,19 @@ object HtmlOps {
   /** Q212's fixture: HTTP response MESSAGES (the payload table
     * [[httpFrame]] sees after WARC framing) whose bodies ship
     * CONTENT-ENCODED — the representation layer distinct from q206's
-    * WARC member gzip: `doc_id % 3` picks gzip / deflate / identity,
-    * compressed IN-PLAN by the fixture-side transports
-    * ([[graft.functions.GzipTransport]]) so the decoder is held to
+    * WARC member gzip: `doc_id % 3` picks gzip / deflate / identity
+    * — with `%11 == 5` carved out as RFC 8878 ZSTD (round 16: a
+    * built-in coding, decoded through the pure-JVM zstd Spark itself
+    * ships) — compressed IN-PLAN by the fixture-side transports
+    * ([[graft.functions.GzipTransport]] /
+    * [[graft.functions.ZstdTransport]]) so the decoder is held to
     * the UNCOMPRESSED twin's oracle (the q206/q210 bit-identical
     * pattern — DuckDB cannot gunzip, so equality IS the check). The
     * `%5 == 0` legs compress a NON-ASCII utf-8 body under a declared
     * utf-8 charset — the planted mojibake-avoidance proof that
-    * inflate runs BEFORE the charset seam. The `%17 == 3` leg LIES:
-    * declared gzip over plain bytes — the body_ok verdict, never an
-    * exception. Pre-framed messages deliberately (no WARC layer):
+    * inflate runs BEFORE the charset seam. The `%17 == 3` and
+    * `%17 == 9` legs LIE: declared gzip (resp. zstd) over plain
+    * bytes — the body_ok verdict, never an exception. Pre-framed messages deliberately (no WARC layer):
     * compressed bytes may legally end in CRLF, which the WARC
     * record-framing strip would corrupt — at the message layer the
     * payload arrives verbatim.
@@ -814,11 +817,19 @@ object HtmlOps {
           .otherwise(lit(""))).as("b0"))
       .withColumn("enc",
         when(col("doc_id") % 17 === 3, lit("gzip"))
+          .when(col("doc_id") % 17 === 9, lit("zstd"))
+          .when(col("doc_id") % 11 === 5, lit("zstd"))
           .when(col("doc_id") % 3 === 0, lit("gzip"))
           .when(col("doc_id") % 3 === 1, lit("deflate"))
           .otherwise(lit("")))
       .withColumn("wire",
-        when(col("doc_id") % 17 === 3, col("b0")) // the lying leg
+        // the LYING legs: declared compressed over plain bytes
+        // (%17==3 gzip, %17==9 zstd — the round-16 proof that the
+        // built-in zstd arm keeps the corrupt-input-as-verdict
+        // contract of the structural codings)
+        when(col("doc_id") % 17 === 3, col("b0"))
+          .when(col("doc_id") % 17 === 9, col("b0"))
+          .when(col("enc") === "zstd", expr("zstd_transport(b0)"))
           .when(col("enc") === "gzip", expr("gzip_transport(b0)"))
           .when(col("enc") === "deflate", expr("deflate_transport(b0)"))
           .otherwise(col("b0")))
@@ -2076,9 +2087,16 @@ object HtmlOps {
     * discipline); the walk exits early when a wave resolves nothing
     * new, so a flat corpus pays one empty wave, not `maxDepth`.
     */
+  /** @param rootUrls optional EXPLICIT root set (a one-column `url`
+    *                   table) — the `Sitemap:` declarations a robots
+    *                   file publishes ([[parseSitemapDecls]], q220);
+    *                   None keeps the conventional `/sitemap.xml`
+    *                   name probe.
+    */
   def sitemapSeedsTree(docs: DataFrame, scope: graft.core.Scope,
                        name: String, ranks: DataFrame, rules: DataFrame,
-                       kPerDomain: Int = 10, maxDepth: Int = 3): DataFrame = {
+                       kPerDomain: Int = 10, maxDepth: Int = 3,
+                       rootUrls: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val flat = docs.select(col("url"),
       when(col("xml").isNotNull, col("xml"))
@@ -2092,7 +2110,11 @@ object HtmlOps {
       .cache()
     val isIdx =
       col("xml_all").rlike("<[Ss][Ii][Tt][Ee][Mm][Aa][Pp][Ii][Nn][Dd][Ee][Xx]")
-    val roots = flat.filter(col("url").rlike("/sitemap\\.xml$"))
+    val roots = rootUrls match {
+      case Some(urls) => flat.join(
+        broadcast(urls.select(col("url")).distinct()), Seq("url"))
+      case None => flat.filter(col("url").rlike("/sitemap\\.xml$"))
+    }
     var urlsets = roots.filter(!isIdx).select(col("xml_all"))
     var frontier = roots.filter(isIdx)
     var visited = roots.select(col("url"))
@@ -2163,6 +2185,13 @@ object HtmlOps {
     def leg(pred: Column, body: Column) = when(pred, body).otherwise(lit(""))
     d.select(col("domain"), concat(
       lit("# robots.txt for s"), col("k"), lit(".example\n"),
+      // Sitemap: declarations are FILE-WIDE (outside any group, the
+      // conventional top-of-file spot): odd domains declare the
+      // absolute root; %4==0 domains publish a RELATIVE decl the
+      // parse must ignore (unfetchable from the file alone)
+      leg(col("k") % 2 === 1, concat(lit("Sitemap: https://s"),
+        col("k"), lit(".example/sitemap.xml\n"))),
+      leg(col("k") % 4 === 0, lit("Sitemap: /sitemap.xml\n")),
       leg(col("k") % 3 === 0, lit("User-agent: badbot\nDisallow: /\n\n")),
       lit("User-agent: *\n"),
       leg(col("k") % 2 === 0,
@@ -2239,6 +2268,28 @@ object HtmlOps {
       .filter(col("prefix") =!= "")
       .select(col("domain"), col("allow"), col("prefix"))
   }
+
+  /** Q220: the `Sitemap:` DECLARATIONS of a robots file — the
+    * discovery channel that links the robots parse to sitemap
+    * seeding (sitemaps.org / RFC 9309 §2.3: real publishers declare
+    * their sitemap locations here far more reliably than they serve
+    * the conventional `/sitemap.xml` name). UNLIKE the rule
+    * directives, `Sitemap:` is FILE-WIDE — it applies regardless of
+    * user-agent groups, so the extraction runs over the RAW bytes,
+    * never the star-group body; same inline-comment/CRLF tolerance
+    * as the rule parse, same vocabulary-sized projection class.
+    * Relative declarations are ignored (the de-facto spec requires
+    * an absolute URL — a loc without an authority cannot be
+    * fetched from the file alone).
+    */
+  def parseSitemapDecls(robots: DataFrame,
+                        txtCol: String = "robots_txt"): DataFrame =
+    robots.select(col("domain"),
+      explode(regexp_extract_all(coalesce(col(txtCol), lit("")),
+        lit("(?m)^[Ss][Ii][Tt][Ee][Mm][Aa][Pp]:[ \\t]*([^\\r\\n#]*)"),
+        lit(1))).as("raw"))
+      .select(col("domain"), rtrim(col("raw")).as("url"))
+      .filter(col("url").rlike("^(?i)https?://"))
 
   /** Q198's delay source, now PARSED instead of planted: the
     * `Crawl-delay` directive of our user-agent group, seconds as a

@@ -140,6 +140,8 @@ object PlanAudit {
     "q216_trap_guard",     // frontier plan with the per-row trap predicate inline
     "q217_body_length_check", // one fused http_frame projection, zero exchanges
     "q218_warc_revisit",  // artifact-read state + broadcast verdict join
+    "q219_heuristic_refetch", // per-row date arithmetic + capped window
+    "q220_sitemap_discovery", // decl-selected roots through the q215 walk
     "q10_event_window")   // normalized-ts scan straight into windowed agg
 
   /** The round-14 regression's machine-checkable SIGNATURE (round-16

@@ -986,6 +986,68 @@ class HtmlOpsSpec extends SparkSpec {
     }
   }
 
+  test("sitemap discovery (q220): Sitemap: decls are file-wide, absolute-only, and select the tree roots") {
+    import spark.implicits._
+    // the parse: file-wide (OUTSIDE the star group — a decl before
+    // any User-agent line must land), absolute-only, comment/CRLF
+    // tolerant, never leaking into the rule parse
+    val txt = Seq(("d.example",
+      "Sitemap: https://d.example/a.xml\r\n" +
+        "User-agent: bad\nDisallow: /\n" +
+        "User-agent: *\n" +
+        "sitemap: https://d.example/b.xml # mirror\n" +
+        "Sitemap: /relative.xml\n" +
+        "Disallow: /p/\n")).toDF("domain", "robots_txt")
+    val decls = HtmlOps.parseSitemapDecls(txt).collect()
+      .map(_.getString(1)).toSet
+    assert(decls === Set("https://d.example/a.xml",
+      "https://d.example/b.xml"))
+    // ... and the rule parse is unchanged by the decl lines
+    val rules = HtmlOps.parseRobotsRules(txt).collect()
+      .map(r => (r.getBoolean(1), r.getString(2))).toSet
+    assert(rules === Set((false, "/p/")))
+    // the fixture's decls: odd domains absolute, %4==0 relative
+    // (ignored) — and the parse-equality pin elsewhere proves the
+    // new lines never leak into rules/delays
+    val planted = HtmlOps.parseSitemapDecls(
+      HtmlOps.plantedRobotsTxt(spark)).collect()
+    assert(planted.length === 6)
+    planted.foreach { r =>
+      val k = r.getString(0).stripPrefix("s").stripSuffix(".example").toInt
+      assert(k % 2 === 1, r.toString)
+      assert(r.getString(1) === s"https://s$k.example/sitemap.xml")
+    }
+    // discovery end-to-end: the declared roots walk like q215, so
+    // the admitted set is exactly the name-probed walk restricted to
+    // the declaring domains
+    val docs = graft.io.Tables.parquet(spark, sf, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft-smdisc-")
+    try {
+      val scope = graft.core.Scopes.create(spark, base.toString)
+      HtmlOps.saveUrlKeys(HtmlOps.plantedDirtyUrlCorpus(docs), scope, "keys")
+      val pages = HtmlOps.plantedHtmlCorpus(docs)
+      val ranks = graft.ops.GraphOps.domainRank(HtmlOps.domainEdges(pages))
+      val rules2 = HtmlOps.plantedRobotsRules(spark)
+      val tree = HtmlOps.plantedSitemapTree(spark)
+      def seedSet(df: org.apache.spark.sql.DataFrame) = df
+        .select("canon", "domain").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val declared = seedSet(HtmlOps.sitemapSeedsTree(tree, scope, "keys",
+        ranks, rules2, rootUrls = Some(HtmlOps.parseSitemapDecls(
+          HtmlOps.plantedRobotsTxt(spark)).select(col("url")))))
+      val named = seedSet(HtmlOps.sitemapSeedsTree(tree, scope, "keys",
+        ranks, rules2))
+      val oddDomains = (0 to 12).filter(_ % 2 == 1)
+        .map(k => s"s$k.example").toSet
+      assert(declared === named.filter(p => oddDomains(p._2)))
+      assert(declared.nonEmpty)
+      // even domains' sitemaps exist but were never declared
+      assert(named.exists(p => !oddDomains(p._2)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("anchorBoostedFrontier (q201): anchor terms reorder politeness slots, never admission") {
     val docs = graft.io.Tables.parquet(spark, sf, "documents")
     val base = java.nio.file.Files.createTempDirectory("graft-anchor-fr-")

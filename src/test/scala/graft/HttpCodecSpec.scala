@@ -155,23 +155,70 @@ class HttpCodecSpec extends SparkSpec {
       assert(r.getBoolean(1))
       assert(r.getString(0) === plain)
       // a decoder THROW is caught to the verdict, never propagated
-      HttpCodec.registerDecoder("zstd",
+      HttpCodec.registerDecoder("xz",
         _ => throw new IllegalStateException("hostile"))
-      assert(HttpCodec.inflateBodyString(wire, "zstd") === null)
+      assert(HttpCodec.inflateBodyString(wire, "xz") === null)
       // a decoder null IS the verdict
       HttpCodec.registerDecoder("lz4", _ => null)
       assert(HttpCodec.inflateBodyString(wire, "lz4") === null)
-      // built-ins stay authoritative
+      // built-ins stay authoritative — including zstd, which round 16
+      // promoted from plug-in territory to a structural coding
       intercept[IllegalArgumentException] {
         HttpCodec.registerDecoder("gzip", identity)
       }
+      intercept[IllegalArgumentException] {
+        HttpCodec.registerDecoder("zstd", identity)
+      }
     } finally {
       HttpCodec.unregisterDecoder("br")
-      HttpCodec.unregisterDecoder("zstd")
+      HttpCodec.unregisterDecoder("xz")
       HttpCodec.unregisterDecoder("lz4")
     }
     // unregistering restores the verdict
     assert(HttpCodec.inflateBodyString(wire, "br") === null)
+  }
+
+  test("zstd is a built-in coding: round trip, frame verdicts, bomb guard") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val plain = "zstd body résumé café" // non-ASCII survives the transport
+    // round trip at the expression layer — inflate ∘ deflate = id
+    val r = Seq(plain).toDF("b")
+      .selectExpr("inflate_body(zstd_transport(b), 'zstd')").head()
+    assert(r.getString(0) === plain)
+    // ... and through the fused frame, before the charset seam: the
+    // compressed bytes carry the utf-8 C3A9 pairs, the decode
+    // reconstructs é only if inflation ran first
+    val wire = HttpCodec.zstdTransport(
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        new String(plain.getBytes("UTF-8"), "ISO-8859-1"))).toString
+    val payload = "HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=utf-8\r\n" +
+      "Content-Encoding: zstd\r\n\r\n" + wire
+    val f = Seq(payload).toDF("payload").selectExpr(
+      "http_frame(payload).body as body",
+      "http_frame(payload).body_ok as ok").head()
+    assert(f.getBoolean(1))
+    assert(f.getString(0) === plain)
+    // declared zstd over plain bytes: the verdict (the %17==9 leg)
+    assert(HttpCodec.inflateBodyString(plain, "zstd") === null)
+    // a truncated frame: the verdict, not a throw
+    assert(HttpCodec.inflateBodyString(wire.dropRight(3), "zstd") === null)
+    // empty body under the token: the verdict
+    assert(HttpCodec.inflateBodyString("", "zstd") === null)
+    // the bomb guard: a frame DECLARING (and containing) more than
+    // the 64 MiB ceiling is rejected from its header, before any
+    // proportional allocation
+    val big = new Array[Byte](HttpCodec.ZstdMaxDecoded + 16)
+    val c = new _root_.io.airlift.compress.zstd.ZstdCompressor()
+    val out = new Array[Byte](c.maxCompressedLength(big.length))
+    val n = c.compress(big, 0, big.length, out, 0, out.length)
+    val bombWire = new String(out, 0, n, "ISO-8859-1")
+    assert(HttpCodec.inflateBodyString(bombWire, "zstd") === null)
+    // at the raw-bytes layer a just-under-cap frame still inflates
+    val okBytes = HttpCodec.zstdInflate(
+      java.util.Arrays.copyOf(out, n)) // same frame, cap applies
+    assert(okBytes === null)
   }
 
   test("inflate_body: zlib FDICT stream is a verdict, not an infinite loop") {
