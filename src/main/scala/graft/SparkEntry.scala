@@ -1956,6 +1956,14 @@ object SparkEntry {
       epochRanks(s, dir), HtmlOps.plantedRobotsRules(s),
       rootUrls = Some(HtmlOps.parseSitemapDecls(
         HtmlOps.plantedRobotsTxt(s)).select(col("url"))))),
+    // redirect chain resolution (q221): every fetched 3xx walked to
+    // its FINAL address through bounded waves over the pinned edge
+    // table — planted 3- and 7-runs, an A→B→A cycle, and an
+    // out-of-corpus 302; loop/too_deep verdicts at the 5-hop cap,
+    // oracle-replayed as a recursive CTE with the same precedence
+    "q221_redirect_chains" -> ((s, dir) => HtmlOps.resolveRedirectChains(
+      HtmlOps.httpFrame(
+        HtmlOps.plantedRedirectMessages(t(s, dir, "documents"))))),
   )
 
   private val q192Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -5098,6 +5106,9 @@ object SparkEntry {
     // sitemap discovery: the Sitemap: decls parsed from the
     // regenerated robots bytes select the admitted urlsets
     "q220_sitemap_discovery" -> q220Sql,
+    // redirect chains: the planted runs walked by a recursive CTE
+    // with the identical loop/resolved/too_deep precedence
+    "q221_redirect_chains" -> q221Sql,
     // redirect-aware frontier: both discovery channels replayed from
     // the regenerated chunk bytes into one candidate aggregation
     "q205_redirect_frontier" -> q205Sql,
@@ -6367,6 +6378,60 @@ object SparkEntry {
     """concat('https://s', cast(generate_series AS varchar),
       |    '.example/sitemap.xml') IN (SELECT durl FROM sdc)"""
       .stripMargin)
+
+  /** The q221 oracle — the planted redirect graph regenerated from
+    * `documents` (url/status/Location by `doc_id % 31`, the fixture's
+    * exact arithmetic), then the chain walk as a RECURSIVE CTE: the
+    * path accumulates '|'-delimited URLs for the loop check, and the
+    * verdict CASE replays the resolver's precedence verbatim —
+    * loop, then resolved (target not a redirecting fetch), then
+    * too_deep at the 5-hop cap. The final LEFT JOIN back onto the
+    * fetch table nulls `final_status` exactly where the chain left
+    * the fetched set.
+    */
+  private lazy val q221Sql = {
+    def u(k: String) = s"""concat('https://s',
+       |    cast(($k) % 10 AS varchar), '.example/c/',
+       |    cast($k AS varchar))""".stripMargin
+    s"""WITH RECURSIVE f AS (SELECT
+       |  ${u("doc_id")} AS url,
+       |  CASE WHEN doc_id % 31 IN (1, 2, 3, 20, 22)
+       |         OR doc_id % 31 BETWEEN 11 AND 17 THEN 301
+       |       WHEN doc_id % 31 = 25 THEN 302
+       |       ELSE 200 END AS status,
+       |  CASE WHEN doc_id % 31 = 20 THEN ${u("doc_id + 2")}
+       |       WHEN doc_id % 31 = 22 THEN ${u("doc_id - 2")}
+       |       WHEN doc_id % 31 = 25 THEN
+       |         concat('https://ext.example/m/', cast(doc_id AS varchar))
+       |       WHEN doc_id % 31 IN (1, 2, 3)
+       |         OR doc_id % 31 BETWEEN 11 AND 17 THEN ${u("doc_id + 1")}
+       |       ELSE '' END AS redir
+       |  FROM documents),
+       |e AS (SELECT f.url AS src, f.redir AS dst,
+       |    (s2.url IS NOT NULL) AS dst_is_src
+       |  FROM f LEFT JOIN (SELECT DISTINCT url FROM f
+       |    WHERE status BETWEEN 300 AND 399 AND redir <> '') s2
+       |    ON f.redir = s2.url
+       |  WHERE f.status BETWEEN 300 AND 399 AND f.redir <> ''),
+       |walk AS (
+       |  SELECT src AS origin, src AS cur, CAST(0 AS INTEGER) AS hops,
+       |    concat('|', src, '|') AS path, CAST(NULL AS VARCHAR) AS verdict
+       |  FROM e
+       |  UNION ALL
+       |  SELECT w.origin, e.dst, w.hops + 1,
+       |    concat(w.path, e.dst, '|'),
+       |    CASE WHEN strpos(w.path, concat('|', e.dst, '|')) > 0
+       |           THEN 'loop'
+       |         WHEN NOT e.dst_is_src THEN 'resolved'
+       |         WHEN w.hops + 1 = 5 THEN 'too_deep'
+       |         ELSE NULL END
+       |  FROM walk w JOIN e ON w.cur = e.src
+       |  WHERE w.verdict IS NULL AND w.hops < 5)
+       |SELECT w.origin, w.cur AS final_url, w.hops, w.verdict,
+       |  f.status AS final_status
+       |FROM walk w LEFT JOIN f ON w.cur = f.url
+       |WHERE w.verdict IS NOT NULL""".stripMargin
+  }
 
   private def sitemapChainSql(extraCtes: String, smPred: String) =
     s"""WITH $duckRobotsRuleCtes,

@@ -1705,6 +1705,131 @@ object HtmlOps {
     pageLinks.unionByName(gatedRedirects)
   }
 
+  /** Q221's fixture: pre-framed HTTP fetch MESSAGES whose 3xx legs
+    * form REDIRECT CHAINS — runs of consecutive doc_ids each
+    * `Location`-pointing at the next — so the multi-hop resolver has
+    * real shapes to walk. Legs on `r = doc_id % 31`:
+    *   - r ∈ {1,2,3}: 301 → u(doc_id+1) — a 3-long run; the r==1
+    *     origin resolves in 3 hops onto the r==4 doc's 200.
+    *   - r ∈ 11..17: 301 → u(doc_id+1) — a 7-long run; origins at
+    *     r==11/12 EXCEED the 5-hop cap (`too_deep`), r==13 resolves
+    *     at exactly hops=5, r==14..17 inside the cap.
+    *   - r==20: 301 → u(doc_id+2) and r==22: 301 → u(doc_id-2) —
+    *     the planted A→B→A cycle; BOTH origins verdict `loop` at
+    *     hops=2 (r(k)=20 ⇔ r(k+2)=22, so the pair always co-occurs).
+    *   - r==25: 302 → an `ext.example` URL NO fetch ever covers (a
+    *     namespace disjoint from u(·) at every scale, so the probe
+    *     replicas cannot collide it into fetched space): resolves in
+    *     1 hop with `final_status` null.
+    *   - else: 200 text/html.
+    * Runs that cross the corpus boundary (u(max+1) unfetched) resolve
+    * early on both engines — the fetched set IS the documents table.
+    * URLs are planted CANONICAL and absolute (chain-key equality is
+    * exact-string; canonicalization and relative-Location resolution
+    * are the q205 admission chain's job, upstream of this resolver).
+    */
+  def plantedRedirectMessages(documents: DataFrame): DataFrame = {
+    val crlf = "\r\n"
+    val r = col("doc_id") % 31
+    def u(k: Column) = concat(lit("https://s"),
+      (k % 10).cast("string"), lit(".example/c/"), k.cast("string"))
+    val isRedir = r.isin(1, 2, 3, 20, 22) || (r >= 11 && r <= 17)
+    val dst = when(r === 20, u(col("doc_id") + 2))
+      .when(r === 22, u(col("doc_id") - 2))
+      .when(r === 25, concat(lit("https://ext.example/m/"),
+        col("doc_id").cast("string")))
+      .otherwise(u(col("doc_id") + 1))
+    documents.select(col("doc_id"), u(col("doc_id")).as("url"), concat(
+      when(isRedir, lit("HTTP/1.1 301 Moved Permanently" + crlf))
+        .when(r === 25, lit("HTTP/1.1 302 Found" + crlf))
+        .otherwise(lit("HTTP/1.1 200 OK" + crlf)),
+      when(isRedir || r === 25,
+        concat(lit("Location: "), dst, lit(crlf))).otherwise(lit("")),
+      lit("Content-Type: text/html; charset=utf-8" + crlf),
+      lit(crlf),
+      when(isRedir || r === 25, lit(""))
+        .otherwise(lit("<html><body>landed</body></html>")))
+      .as("payload"))
+  }
+
+  /** Q221: MULTI-HOP REDIRECT CHAIN RESOLUTION — the redirect map a
+    * crawler keeps beside its fetch log. q205 surfaces each 3xx's
+    * IMMEDIATE target as a discovery candidate; this resolves every
+    * redirecting fetch to its FINAL address so the canonical-URL
+    * store can collapse the whole chain onto one key (the move
+    * `/old → /tmp → /new` must count as ONE page, and its inbound
+    * links must credit `/new`). Browsers and crawlers cap the walk —
+    * `maxHops` edges, default 5 (cf. RFC 9110 §15.4's historic
+    * 5-redirect guidance) — and a chain that revisits a URL is a
+    * `loop` verdict, one that exhausts the cap `too_deep`; both stay
+    * countable rows, never an unbounded iteration.
+    *
+    * Per origin (every fetched 3xx with a Location): `final_url`
+    * where the walk stopped, `hops` edges traversed, `verdict` ∈
+    * resolved | loop | too_deep, and `final_status` (the fetched
+    * status of the final URL; null when the chain leaves the fetched
+    * set — the target a later wave must go get). When a URL was
+    * fetched more than once the LATEST fetch's status/target wins
+    * (argmax on `doc_id`, the fixtures' monotone stand-in for fetch
+    * time — the q213 struct-max convention).
+    *
+    * Scale shape: the edge table is O(3xx fetches) — a bounded
+    * fraction of the archive — pinned ONCE (`localCheckpoint`, the
+    * q205 discipline) and re-read by at most `maxHops` bounded
+    * waves. Each wave is one shuffle join of the SHRINKING active
+    * set against the pinned edges (chains are short on real crawls,
+    * so the frontier collapses geometrically; the walk exits early
+    * the moment no chain is still open). No driver-side iteration
+    * over rows — the loop variable is a DataFrame, the per-wave
+    * emptiness check moves one count. The verdict precedence is
+    * loop > resolved > too_deep, mirrored exactly by the oracle's
+    * recursive replay.
+    */
+  def resolveRedirectChains(framed: DataFrame,
+                            maxHops: Int = 5): DataFrame = {
+    // one row per fetched URL, latest fetch wins
+    val fetches = framed.filter(col("http_status").isNotNull)
+      .groupBy(col("url"))
+      .agg(max(struct(col("doc_id"), col("http_status"),
+        col("redirect_to"))).as("v"))
+      .select(col("url"), col("v.http_status").as("status"),
+        col("v.redirect_to").as("redir"))
+      .localCheckpoint(eager = true)
+    val edges = fetches
+      .filter(col("status").between(300, 399) && col("redir") =!= "")
+      .select(col("url").as("src"), col("redir").as("dst"))
+      .localCheckpoint(eager = true)
+    val srcs = edges.select(col("src")).distinct()
+    var state = edges.select(col("src").as("origin"),
+      col("src").as("cur"), lit(0).as("hops"),
+      array(col("src")).as("visited"),
+      lit(null).cast("string").as("verdict"))
+    var hop = 0
+    var open = true
+    while (open && hop < maxHops) {
+      val active = state.filter(col("verdict").isNull)
+      val settled = state.filter(col("verdict").isNotNull)
+      val stepped = active
+        .join(edges, col("cur") === col("src"))
+        .join(srcs.select(col("src").as("dst_src")),
+          col("dst") === col("dst_src"), "left")
+        .select(col("origin"), col("dst").as("cur"),
+          (col("hops") + 1).as("hops"),
+          array_union(col("visited"), array(col("dst"))).as("visited"),
+          when(array_contains(col("visited"), col("dst")), lit("loop"))
+            .when(col("dst_src").isNull, lit("resolved"))
+            .when(col("hops") + 1 === maxHops, lit("too_deep"))
+            .otherwise(lit(null).cast("string")).as("verdict"))
+      state = settled.unionByName(stepped).localCheckpoint(eager = true)
+      hop += 1
+      open = hop < maxHops && !state.filter(col("verdict").isNull).isEmpty
+    }
+    state.join(fetches.select(col("url").as("cur"),
+        col("status").as("final_status")), Seq("cur"), "left")
+      .select(col("origin"), col("cur").as("final_url"), col("hops"),
+        col("verdict"), col("final_status"))
+  }
+
   /** Q211: the RETRY-GATED frontier — the missing piece between "a
     * failed fetch stays discoverable" and "the crawler hammers the
     * same dead URL every wave": candidates pass the standard

@@ -142,6 +142,7 @@ object PlanAudit {
     "q218_warc_revisit",  // artifact-read state + broadcast verdict join
     "q219_heuristic_refetch", // per-row date arithmetic + capped window
     "q220_sitemap_discovery", // decl-selected roots through the q215 walk
+    "q221_redirect_chains", // bounded waves over the pinned 3xx edge table
     "q10_event_window")   // normalized-ts scan straight into windowed agg
 
   /** The round-14 regression's machine-checkable SIGNATURE (round-16

@@ -233,7 +233,14 @@ object ScaleProbe {
     "q218_warc_revisit",
     // round-16: heuristic refetch — per-row date arithmetic over a
     // planted fixed-size log; expected flat (input never scales)
-    "q219_heuristic_refetch")
+    "q219_heuristic_refetch",
+    // round-16: sitemap discovery — the q215 walk with decl-selected
+    // roots (one broadcast semi-join more); expected q215's flat class
+    "q220_sitemap_discovery",
+    // round-16: redirect chains — ≤5 bounded waves joining a shrinking
+    // active set against the pinned O(3xx) edges; per-wave cost is a
+    // fraction-of-archive shuffle join, expected near-linear overall
+    "q221_redirect_chains")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

@@ -986,6 +986,54 @@ class HtmlOpsSpec extends SparkSpec {
     }
   }
 
+  test("redirect chains (q221): bounded walk resolves runs, verdicts loops and over-cap chains") {
+    import spark.implicits._
+    // a hand-built frame: A→B→C→FINAL (3 hops), L1⇄L2 (loop), a
+    // 7-run T1..T7→END (origins T1/T2 exceed the 5-cap), D→ext
+    // (dangling), and a refetched URL whose LATEST fetch (doc_id
+    // argmax) turned 200 — its old 301 must not spawn a chain
+    def m(id: Long, url: String, st: Int, loc: String) =
+      (id, url, st, loc)
+    val rows = Seq(
+      m(1, "A", 301, "B"), m(2, "B", 302, "C"), m(3, "C", 301, "FINAL"),
+      m(4, "FINAL", 200, ""),
+      m(5, "L1", 301, "L2"), m(6, "L2", 301, "L1"),
+      m(10, "T1", 301, "T2"), m(11, "T2", 301, "T3"),
+      m(12, "T3", 301, "T4"), m(13, "T4", 301, "T5"),
+      m(14, "T5", 301, "T6"), m(15, "T6", 301, "T7"),
+      m(16, "T7", 301, "END"), m(17, "END", 200, ""),
+      m(20, "D", 302, "https://ext.example/x"),
+      m(21, "R", 301, "A"), m(22, "R", 200, ""))
+      .toDF("doc_id", "url", "http_status", "redirect_to")
+    val out = HtmlOps.resolveRedirectChains(rows).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getInt(2),
+        r.getString(3), if (r.isNullAt(4)) -1 else r.getInt(4))).toMap
+    assert(out("A") === (("FINAL", 3, "resolved", 200)))
+    assert(out("B") === (("FINAL", 2, "resolved", 200)))
+    assert(out("C") === (("FINAL", 1, "resolved", 200)))
+    // the loop pair: both origins verdict at hops=2, where the walk
+    // first revisits a URL
+    assert(out("L1") === (("L1", 2, "loop", 301)))
+    assert(out("L2") === (("L2", 2, "loop", 301)))
+    // the 7-run: T1/T2 exhaust the cap mid-chain; T3 lands exactly
+    // at hops=5 (resolved beats too_deep when the target terminates)
+    assert(out("T1") === (("T6", 5, "too_deep", 301)))
+    assert(out("T2") === (("T7", 5, "too_deep", 301)))
+    assert(out("T3") === (("END", 5, "resolved", 200)))
+    assert(out("T7") === (("END", 1, "resolved", 200)))
+    // dangling: resolved out of the fetched set, final_status null
+    assert(out("D") === (("https://ext.example/x", 1, "resolved", -1)))
+    // the refetched URL: its latest fetch is a 200, so no chain row
+    assert(!out.contains("R"))
+    assert(out.size === 13) // A,B,C + L1,L2 + T1..T7 + D — every 3xx an origin
+    // a custom cap: with maxHops=2 the A-chain is too_deep at C
+    val capped = HtmlOps.resolveRedirectChains(rows, maxHops = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getInt(2), r.getString(3))).toMap
+    assert(capped("A") === (("C", 2, "too_deep")))
+    assert(capped("B") === (("FINAL", 2, "resolved")))
+  }
+
   test("sitemap discovery (q220): Sitemap: decls are file-wide, absolute-only, and select the tree roots") {
     import spark.implicits._
     // the parse: file-wide (OUTSIDE the star group — a decl before
