@@ -1964,6 +1964,15 @@ object SparkEntry {
     "q221_redirect_chains" -> ((s, dir) => HtmlOps.resolveRedirectChains(
       HtmlOps.httpFrame(
         HtmlOps.plantedRedirectMessages(t(s, dir, "documents"))))),
+    // robots availability semantics (q222): the RFC 9309 §2.3.1
+    // algebra — 4xx allow-all, 5xx cached-while-fresh / disallow-all
+    // after, 3xx followed through the q221 chain resolver (loops =
+    // unavailable), all over the planted per-domain fetch outcomes
+    "q222_robots_availability" -> ((s, dir) =>
+      HtmlOps.robotsAvailabilityGate(
+        HtmlOps.plantedAvailabilityCandidates(s),
+        HtmlOps.plantedRobotsFetches(s),
+        HtmlOps.plantedRobotsRules(s))),
   )
 
   private val q192Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -5109,6 +5118,9 @@ object SparkEntry {
     // redirect chains: the planted runs walked by a recursive CTE
     // with the identical loop/resolved/too_deep precedence
     "q221_redirect_chains" -> q221Sql,
+    // robots availability: the fixture's per-domain mode algebra
+    // replayed as arithmetic CASE arms over the shared rule CTEs
+    "q222_robots_availability" -> q222Sql,
     // redirect-aware frontier: both discovery channels replayed from
     // the regenerated chunk bytes into one candidate aggregation
     "q205_redirect_frontier" -> q205Sql,
@@ -6378,6 +6390,53 @@ object SparkEntry {
     """concat('https://s', cast(generate_series AS varchar),
       |    '.example/sitemap.xml') IN (SELECT durl FROM sdc)"""
       .stripMargin)
+
+  /** The q222 oracle — the availability algebra CLOSED over the
+    * fixture: mode per domain index from the planted status
+    * arithmetic (`k%7`, the 30-day cache window at `20+2k`), the
+    * EFFECTIVE rule source (own domain, or `s(k-3)` for the
+    * redirect-followed legs — always a 200 domain by construction),
+    * the shared `rru` wildcard rules joined for parsed/cached
+    * domains only, and the allow-all/disallow-all overrides applied
+    * after the longest-match rank — the resolver's exact precedence.
+    */
+  private lazy val q222Sql =
+    s"""WITH $duckRobotsRuleCtes,
+       |av AS (SELECT generate_series AS k,
+       |  concat('s', cast(generate_series AS varchar), '.example')
+       |    AS domain FROM generate_series(0, 12)),
+       |avm AS (SELECT k, domain,
+       |  CASE WHEN k % 7 IN (0, 3) THEN 'parsed'
+       |       WHEN k % 7 IN (1, 5, 6) THEN 'allow_all'
+       |       WHEN 20 + 2 * k <= 30 THEN 'cached'
+       |       ELSE 'disallow_all' END AS mode,
+       |  CASE WHEN k % 7 = 3
+       |       THEN concat('s', cast(k - 3 AS varchar), '.example')
+       |       ELSE domain END AS src_domain
+       |  FROM av),
+       |acand AS (SELECT a.domain, a.mode, a.src_domain,
+       |  CASE t.t WHEN 0 THEN concat('/p/', cast(j.j AS varchar))
+       |       WHEN 1 THEN concat('/r/', cast(j.j AS varchar), '7')
+       |       WHEN 2 THEN concat('/p/', cast(j.j AS varchar), 'feed')
+       |       ELSE concat('/x?utm_', cast(j.j AS varchar)) END AS pth
+       |  FROM avm a, generate_series(0, 9) j(j),
+       |    generate_series(0, 3) t(t)),
+       |acu AS (SELECT domain, mode, src_domain,
+       |  concat('https://', domain, pth) AS url, pth AS mt
+       |  FROM acand),
+       |acm AS (SELECT c.*, r.prefix, r.allow FROM acu c
+       |  LEFT JOIN rru r ON c.mode IN ('parsed', 'cached')
+       |    AND r.domain = c.src_domain
+       |    AND ${duckRobotsMatch("c.mt", "r")}),
+       |acv AS (SELECT *, row_number() OVER (PARTITION BY url
+       |  ORDER BY coalesce(strlen(prefix), -1) DESC, allow DESC) AS rn
+       |  FROM acm)
+       |SELECT domain, url, mode,
+       |  CASE WHEN mode = 'allow_all' THEN true
+       |       WHEN mode = 'disallow_all' THEN false
+       |       ELSE coalesce(allow, true) END AS allowed,
+       |  CAST(coalesce(strlen(prefix), -1) AS INT) AS rule_len
+       |FROM acv WHERE rn = 1""".stripMargin
 
   /** The q221 oracle — the planted redirect graph regenerated from
     * `documents` (url/status/Location by `doc_id % 31`, the fixture's

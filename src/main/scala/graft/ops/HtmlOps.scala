@@ -2416,6 +2416,138 @@ object HtmlOps {
       .select(col("domain"), rtrim(col("raw")).as("url"))
       .filter(col("url").rlike("^(?i)https?://"))
 
+  /** Q222's fixture: per-domain robots.txt FETCH OUTCOMES — the
+    * availability dimension RFC 9309 §2.3.1 hangs the whole gate on.
+    * Status by `k % 7` over the 13 planted domains:
+    *   0 → 200 with the domain's own bytes ([[plantedRobotsTxt]]);
+    *   1 → 404 and 5 → 410 (unavailable → allow-all, §2.3.1.3);
+    *   2 → 500 and 4 → 503 (unreachable → the cached copy while
+    *     fresh, complete disallow after, §2.3.1.4);
+    *   3 → 301 to s(k-3)'s robots URL (always a 200 domain:
+    *     k%7==3 ⇒ (k-3)%7==0) — the www→apex move, followed per
+    *     §2.3.1.2 through the q221 chain resolver;
+    *   6 → 301 to ITSELF (the redirect loop §2.3.1.2 caps:
+    *     unavailable → allow-all).
+    * `cache_age_days = 20 + 2k` puts k=2/4 inside the 30-day cache
+    * window and k=9/11 beyond it — both 5xx arms exercised.
+    */
+  def plantedRobotsFetches(
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val d = spark.range(13).select(col("id").as("doc_id"),
+      col("id").cast("int").as("k"),
+      concat(lit("s"), col("id"), lit(".example")).as("domain"))
+    def rUrl(k: Column) =
+      concat(lit("https://s"), k, lit(".example/robots.txt"))
+    val m = col("k") % 7
+    d.select(col("doc_id"), col("domain"), rUrl(col("k")).as("url"),
+        when(m === 0, lit(200)).when(m === 1, lit(404))
+          .when(m === 2, lit(500)).when(m === 3, lit(301))
+          .when(m === 4, lit(503)).when(m === 5, lit(410))
+          .otherwise(lit(301)).as("http_status"),
+        when(m === 3, rUrl(col("k") - 3))
+          .when(m === 6, rUrl(col("k"))).otherwise(lit(""))
+          .as("redirect_to"),
+        (lit(20) + col("k") * 2).as("cache_age_days"))
+      .join(plantedRobotsTxt(spark), Seq("domain"), "left")
+      .withColumn("robots_txt",
+        when(col("http_status").between(200, 299), col("robots_txt"))
+          .otherwise(lit(null).cast("string")))
+  }
+
+  /** Q222's candidate URLs: every planted domain × the path shapes
+    * the rule fixtures aim at (`/p/<j>`, the `/r/<j>7` anchor leg,
+    * `/p/<j>feed`, the `/x?utm_<j>` query-wildcard leg) — a
+    * vocabulary-sized set chosen so all 13 availability modes gate
+    * OBSERVABLE links (the corpus outlinks of q190 only reach the
+    * `doc_id % 5` domains, which would leave the stale-cache and
+    * loop legs unexercised).
+    */
+  def plantedAvailabilityCandidates(
+      spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.range(13).select(col("id").as("k"))
+      .crossJoin(spark.range(10).select(col("id").as("j")))
+      .select(concat(lit("s"), col("k"), lit(".example")).as("domain"),
+        explode(array(
+          concat(lit("/p/"), col("j")),
+          concat(lit("/r/"), col("j"), lit("7")),
+          concat(lit("/p/"), col("j"), lit("feed")),
+          concat(lit("/x?utm_"), col("j")))).as("pth"))
+      .select(col("domain"),
+        concat(lit("https://"), col("domain"), col("pth")).as("url"))
+
+  /** Q222: the robots gate under RFC 9309 §2.3.1 AVAILABILITY
+    * semantics — what a crawler must do when the robots.txt fetch
+    * itself fails, the dimension every pure-parse gate (q190) takes
+    * as given. Per domain, from its fetch outcome:
+    *   - 2xx → `parsed`: the fetched bytes gate (via
+    *     [[parseRobotsRules]] — rules parsed from the EFFECTIVE
+    *     file, attributed to the gated domain).
+    *   - 3xx → followed through [[resolveRedirectChains]] (§2.3.1.2:
+    *     crawlers SHOULD follow at least five hops): a resolved
+    *     chain adopts the FINAL target's outcome (its bytes, its
+    *     4xx/5xx arm); a `loop`/`too_deep` chain means the file is
+    *     unavailable → allow-all; a chain that leaves the fetched
+    *     set entirely is unreachable → the 5xx arm.
+    *   - 4xx → `allow_all` (§2.3.1.3: unavailability means MAY
+    *     access any resources).
+    *   - 5xx → `cached` while the held copy is at most
+    *     `maxCacheDays` old (§2.3.1.4 allows a cached copy "for up
+    *     to 30 days"; `cachedRules` is the previously-parsed table —
+    *     the fetch-log shape a real crawler holds), `disallow_all`
+    *     after (unreachability means MUST assume complete disallow).
+    * A domain with NO fetch row gates on whatever rules the caller
+    * supplied (mode `unfetched`) — the gate never invents an
+    * outcome it was not given.
+    *
+    * Scale shape: the fetch table, chain walk, and rule sets are all
+    * vocabulary-sized (robots files of known hosts — the q190
+    * broadcast class); the candidate side takes ONE broadcast-join
+    * verdict pipeline and zero new exchanges. Output per link:
+    * `(domain, url, mode, allowed, rule_len)`.
+    */
+  def robotsAvailabilityGate(links: DataFrame, fetches: DataFrame,
+                             cachedRules: DataFrame,
+                             maxCacheDays: Int = 30): DataFrame = {
+    val chains = resolveRedirectChains(fetches.select(col("doc_id"),
+      col("url"), col("http_status"), col("redirect_to")))
+    val st = fetches.join(chains.select(col("origin").as("url"),
+      col("final_url"), col("verdict"), col("final_status")),
+      Seq("url"), "left")
+    val effStatus = when(col("http_status").between(300, 399),
+        when(col("verdict") === "resolved" &&
+          col("final_status").isNotNull, col("final_status"))
+          .when(col("verdict").isin("loop", "too_deep"), lit(404))
+          .otherwise(lit(503)))
+      .otherwise(col("http_status"))
+    val effUrl = when(col("http_status").between(300, 399) &&
+        col("verdict") === "resolved", col("final_url"))
+      .otherwise(col("url"))
+    val dm = st.select(col("domain"), effUrl.as("eff_url"),
+      when(effStatus.between(200, 299), lit("parsed"))
+        .when(effStatus.between(400, 499), lit("allow_all"))
+        .otherwise(when(col("cache_age_days") <= maxCacheDays,
+          lit("cached")).otherwise(lit("disallow_all"))).as("mode"))
+    val parsedRules = parseRobotsRules(
+      dm.filter(col("mode") === "parsed")
+        .join(fetches.filter(col("http_status").between(200, 299))
+          .select(col("url").as("eff_url"), col("robots_txt")),
+          Seq("eff_url"))
+        .select(col("domain"), col("robots_txt")))
+    val effRules = parsedRules.unionByName(
+      cachedRules.join(dm.filter(col("mode") === "cached")
+          .select(col("domain")), Seq("domain"))
+        .select(col("domain"), col("allow"), col("prefix")))
+    robotsGate(links, effRules)
+      .join(broadcast(dm.select(col("domain"), col("mode"))),
+        Seq("domain"), "left")
+      .select(col("domain"), col("url"),
+        coalesce(col("mode"), lit("unfetched")).as("mode"),
+        when(col("mode") === "allow_all", lit(true))
+          .when(col("mode") === "disallow_all", lit(false))
+          .otherwise(col("allowed")).as("allowed"),
+        col("rule_len"))
+  }
+
   /** Q198's delay source, now PARSED instead of planted: the
     * `Crawl-delay` directive of our user-agent group, seconds as a
     * long. A domain publishing none — or publishing `0` ("no rate

@@ -240,7 +240,10 @@ object ScaleProbe {
     // round-16: redirect chains — ≤5 bounded waves joining a shrinking
     // active set against the pinned O(3xx) edges; per-wave cost is a
     // fraction-of-archive shuffle join, expected near-linear overall
-    "q221_redirect_chains")
+    "q221_redirect_chains",
+    // round-16: robots availability — every input vocabulary-sized
+    // (13 domains); expected flat (the probe measures the fixed cost)
+    "q222_robots_availability")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

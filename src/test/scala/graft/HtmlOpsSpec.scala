@@ -986,6 +986,56 @@ class HtmlOpsSpec extends SparkSpec {
     }
   }
 
+  test("robots availability (q222): 4xx allows, 5xx serves cache then disallows, redirects adopt the final file") {
+    import spark.implicits._
+    val links = Seq(
+      ("ok.example", "https://ok.example/p/1"),
+      ("gone.example", "https://gone.example/p/1"),
+      ("err-fresh.example", "https://err-fresh.example/p/1"),
+      ("err-stale.example", "https://err-stale.example/p/1"),
+      ("moved.example", "https://moved.example/p/1"),
+      ("loopy.example", "https://loopy.example/p/1"),
+      ("silent.example", "https://silent.example/p/1"))
+      .toDF("domain", "url")
+    val fetches = Seq(
+      (1L, "ok.example", "https://ok.example/robots.txt", 200, "",
+        "User-agent: *\nDisallow: /p/\n", 0),
+      (2L, "gone.example", "https://gone.example/robots.txt", 404, "",
+        null.asInstanceOf[String], 0),
+      (3L, "err-fresh.example", "https://err-fresh.example/robots.txt",
+        500, "", null.asInstanceOf[String], 29),
+      (4L, "err-stale.example", "https://err-stale.example/robots.txt",
+        503, "", null.asInstanceOf[String], 31),
+      // moved.example 301s onto ok.example's file — whose Disallow
+      // must then gate moved.example's OWN paths
+      (5L, "moved.example", "https://moved.example/robots.txt", 301,
+        "https://ok.example/robots.txt", null.asInstanceOf[String], 0),
+      (6L, "loopy.example", "https://loopy.example/robots.txt", 301,
+        "https://loopy.example/robots.txt", null.asInstanceOf[String], 0))
+      .toDF("doc_id", "domain", "url", "http_status", "redirect_to",
+        "robots_txt", "cache_age_days")
+    // the cached copy err-*.example holds from a better day: allow /p/
+    val cached = Seq(
+      ("err-fresh.example", true, "/p/"),
+      ("err-stale.example", true, "/p/"))
+      .toDF("domain", "allow", "prefix")
+    val out = HtmlOps.robotsAvailabilityGate(links, fetches, cached)
+      .collect().map(r => r.getString(0) ->
+        (r.getString(2), r.getBoolean(3), r.getInt(4))).toMap
+    assert(out("ok.example") === (("parsed", false, 3)))
+    assert(out("gone.example") === (("allow_all", true, -1)))
+    // 5xx + fresh cache: the HELD rules apply (here an allow)
+    assert(out("err-fresh.example") === (("cached", true, 3)))
+    // 5xx + stale cache: complete disallow, whatever the cache says
+    assert(out("err-stale.example") === (("disallow_all", false, -1)))
+    // the followed redirect adopts ok.example's file for ITS paths
+    assert(out("moved.example") === (("parsed", false, 3)))
+    // a self-redirecting robots URL is unavailable → allow-all
+    assert(out("loopy.example") === (("allow_all", true, -1)))
+    // no fetch row at all: gate whatever rules were supplied (none)
+    assert(out("silent.example") === (("unfetched", true, -1)))
+  }
+
   test("redirect chains (q221): bounded walk resolves runs, verdicts loops and over-cap chains") {
     import spark.implicits._
     // a hand-built frame: A→B→C→FINAL (3 hops), L1⇄L2 (loop), a
