@@ -1973,6 +1973,14 @@ object SparkEntry {
         HtmlOps.plantedAvailabilityCandidates(s),
         HtmlOps.plantedRobotsFetches(s),
         HtmlOps.plantedRobotsRules(s))),
+    // sitemap-lastmod refetch (q223): the publisher's change feed
+    // drives the recrawl — declared entries ∩ the maintained fetch
+    // log where lastmod is strictly newer than our latest fetch;
+    // declared-unchanged keys are SKIPPED regardless of age, the
+    // bucket-pruned artifact read per the appendFetchLog discipline
+    "q223_sitemap_refetch" -> ((s, dir) => HtmlOps.sitemapRefetchWave(
+      HtmlOps.plantedSitemaps(s), s, q200Scope(s, dir), "flog",
+      epochRanks(s, dir))),
   )
 
   private val q192Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -2037,10 +2045,14 @@ object SparkEntry {
     * maintained artifact changes where the reduction lives, never
     * what it says (max-merge associativity).
     */
-  private def fetchLogWaveQuery(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val scope = cachedScope(q200Scopes, s, dir, "graft-q200-") { sc =>
-      val log = HtmlOps.plantedFetchLog(docs)
+  /** The q200 maintained-log scope — the planted raw log absorbed
+    * save+append into the bucketed "flog" artifact; built once per
+    * (process, sf dir) and shared READ-ONLY by q200's TTL wave and
+    * q223's lastmod wave (same artifact, two scheduling policies).
+    */
+  private def q200Scope(s: SparkSession, dir: String): graft.core.Scope =
+    cachedScope(q200Scopes, s, dir, "graft-q200-") { sc =>
+      val log = HtmlOps.plantedFetchLog(t(s, dir, "documents"))
       HtmlOps.saveFetchLog(
         log.filter(col("log_id") < 1000L).select("url", "fetched_at_s"),
         sc, "flog")
@@ -2049,10 +2061,11 @@ object SparkEntry {
         sc, "flog")
       ()
     }
-    HtmlOps.refetchWaveFromLog(s, scope, "flog",
+
+  private def fetchLogWaveQuery(s: SparkSession, dir: String): DataFrame =
+    HtmlOps.refetchWaveFromLog(s, q200Scope(s, dir), "flog",
       nowS = 1767225600L + 9L * 86400L, ttlS = 7L * 86400L,
       ranks = epochRanks(s, dir))
-  }
 
   private val q209Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
 
@@ -5121,6 +5134,9 @@ object SparkEntry {
     // robots availability: the fixture's per-domain mode algebra
     // replayed as arithmetic CASE arms over the shared rule CTEs
     "q222_robots_availability" -> q222Sql,
+    // sitemap-lastmod refetch: declared entries ∩ the q196 log
+    // reduction, strictly-newer filter, stalest-first cap
+    "q223_sitemap_refetch" -> q223Sql,
     // redirect-aware frontier: both discovery channels replayed from
     // the regenerated chunk bytes into one candidate aggregation
     "q205_redirect_frontier" -> q205Sql,
@@ -6390,6 +6406,74 @@ object SparkEntry {
     """concat('https://s', cast(generate_series AS varchar),
       |    '.example/sitemap.xml') IN (SELECT durl FROM sdc)"""
       .stripMargin)
+
+  /** The q223 oracle — the flat urlset entries regenerated (the
+    * q197 `sm`/`sl` chain, gates deliberately absent per the
+    * resolver's contract), per-canon MAX lastmod as epoch seconds,
+    * intersected with the q196 latest-fetch reduction (the raw-log
+    * replay the maintained artifact is pinned equal to), the
+    * strictly-newer filter, and the q196 politeness tail.
+    */
+  private lazy val q223Sql = {
+    val base = 1767225600L
+    s"""WITH tsm AS (SELECT generate_series AS k,
+       |  concat('<?xml version="1.0"?><urlset>',
+       |  array_to_string(list_transform(range(0, 10), i -> concat(
+       |    '<url><loc>https://w', cast((generate_series + 2 * i) % 7 AS varchar),
+       |    '.s', cast(generate_series AS varchar), '.example/p/',
+       |    cast((generate_series + i) % 11 AS varchar),
+       |    '</loc><lastmod>2026-01-',
+       |    lpad(cast(1 + (generate_series + i) % 28 AS varchar), 2, '0'),
+       |    '</lastmod></url>')), ''),
+       |  '<url><loc>https://w', cast(generate_series % 7 AS varchar),
+       |  '.s', cast(generate_series AS varchar), '.example/p/',
+       |  cast(generate_series % 11 AS varchar),
+       |  '</loc><lastmod>2026-01-',
+       |  lpad(cast(1 + (generate_series + 14) % 28 AS varchar), 2, '0'),
+       |  '</lastmod></url>',
+       |  '</urlset>') AS xml
+       |  FROM generate_series(0, 12)),
+       |tl0 AS (SELECT unnest(regexp_extract_all(xml,
+       |  '(?s)<[Uu][Rr][Ll]>.*?</[Uu][Rr][Ll]>', 0)) AS e FROM tsm),
+       |tl1 AS (SELECT
+       |  regexp_extract(e, '<[Ll][Oo][Cc]>([^<]*)</[Ll][Oo][Cc]>', 1)
+       |    AS url,
+       |  regexp_extract(e,
+       |    '<[Ll][Aa][Ss][Tt][Mm][Oo][Dd]>([^<]*)</[Ll][Aa][Ss][Tt][Mm][Oo][Dd]>',
+       |    1) AS lastmod FROM tl0),
+       |tlh AS (SELECT url, lastmod,
+       |  regexp_extract(url, '^(?i)(?:https?:)?//([^/?#]+)', 1) AS host
+       |  FROM tl1 WHERE url <> ''),
+       |tld AS (SELECT url, ${duckDomainOf("host")} AS domain,
+       |  CAST(epoch(try_strptime(lastmod, '%Y-%m-%d')) AS BIGINT)
+       |    AS lastmod_s
+       |  FROM tlh WHERE host <> ''),
+       |tdec AS (SELECT ${duckCanonOf("url")} AS canon,
+       |  min(domain) AS domain, max(lastmod_s) AS lastmod_s
+       |  FROM tld WHERE lastmod_s IS NOT NULL GROUP BY 1),
+       |tf1 AS (SELECT $duckDirtyUrl AS url,
+       |  $base + (doc_id % 97) * 3600 AS fetched_at_s FROM documents),
+       |tf2 AS (SELECT $duckDirtyUrl AS url,
+       |  $base + (doc_id % 97) * 3600 + 172800 AS fetched_at_s
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |tfu AS (SELECT * FROM tf1 UNION ALL SELECT * FROM tf2),
+       |tlast AS (SELECT ${duckCanonOf("url")} AS canon,
+       |  (max({'ts': fetched_at_s, 'u': url})).u AS url,
+       |  CAST(max(fetched_at_s) AS BIGINT) AS last_fetch_s
+       |  FROM tfu GROUP BY 1),
+       |tdue AS (SELECT l.canon, l.url, d.domain, d.lastmod_s,
+       |  l.last_fetch_s FROM tlast l JOIN tdec d USING (canon)
+       |  WHERE d.lastmod_s > l.last_fetch_s),
+       |trk AS (SELECT domain, pr FROM (${hostRankSql()})),
+       |tjn AS (SELECT d.*, coalesce(r.pr, 0) AS pr FROM tdue d
+       |  LEFT JOIN trk r ON r.domain = d.domain),
+       |tsl AS (SELECT *, row_number() OVER (PARTITION BY domain
+       |  ORDER BY last_fetch_s ASC, canon ASC) AS slot FROM tjn)
+       |SELECT canon, url, domain, lastmod_s, last_fetch_s,
+       |  CAST(lastmod_s - last_fetch_s AS BIGINT) AS drift_s, pr,
+       |  CAST(slot AS INT) AS slot
+       |FROM tsl WHERE slot <= 10""".stripMargin
+  }
 
   /** The q222 oracle — the availability algebra CLOSED over the
     * fixture: mode per domain index from the planted status

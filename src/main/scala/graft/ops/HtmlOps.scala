@@ -2075,19 +2075,7 @@ object HtmlOps {
   def sitemapSeeds(sitemaps: DataFrame, scope: graft.core.Scope,
                    name: String, ranks: DataFrame, rules: DataFrame,
                    kPerDomain: Int = 10): DataFrame = {
-    val locs = sitemaps
-      .select(explode(regexp_extract_all(coalesce(col("xml"), lit("")),
-        lit("(?s)<[Uu][Rr][Ll]>.*?</[Uu][Rr][Ll]>"), lit(0))).as("e"))
-      .select(
-        regexp_extract(col("e"),
-          "<[Ll][Oo][Cc]>([^<]*)</[Ll][Oo][Cc]>", 1).as("url"),
-        regexp_extract(col("e"),
-          "<[Ll][Aa][Ss][Tt][Mm][Oo][Dd]>([^<]*)</[Ll][Aa][Ss][Tt][Mm][Oo][Dd]>",
-          1).as("lastmod"))
-      .filter(col("url") =!= "")
-      .withColumn("host", hostOf(col("url")))
-      .filter(col("host") =!= "")
-      .withColumn("domain", graft.ops.PiiOps.registrableDomain(col("host")))
+    val locs = sitemapEntries(sitemaps)
     val unblocked = graft.ops.PiiOps.blocklistVerdict(locs)
       .filter(!col("blocked")).drop("blocked")
     val allowed = robotsGate(unblocked, rules)
@@ -2101,6 +2089,93 @@ object HtmlOps {
     frontierTail(cands, scope, name, ranks, kPerDomain,
       orderBy = Seq(col("lastmod").asc, col("canon").asc),
       extra = Seq("lastmod"))
+  }
+
+  /** The `<url>` entries of flat `<urlset>` documents — loc +
+    * lastmod + host/domain, the extraction [[sitemapSeeds]] (q197)
+    * and [[sitemapRefetchWave]] (q223) share so the two can never
+    * disagree about what a sitemap declares.
+    */
+  private def sitemapEntries(sitemaps: DataFrame): DataFrame =
+    sitemaps
+      .select(explode(regexp_extract_all(coalesce(col("xml"), lit("")),
+        lit("(?s)<[Uu][Rr][Ll]>.*?</[Uu][Rr][Ll]>"), lit(0))).as("e"))
+      .select(
+        regexp_extract(col("e"),
+          "<[Ll][Oo][Cc]>([^<]*)</[Ll][Oo][Cc]>", 1).as("url"),
+        regexp_extract(col("e"),
+          "<[Ll][Aa][Ss][Tt][Mm][Oo][Dd]>([^<]*)</[Ll][Aa][Ss][Tt][Mm][Oo][Dd]>",
+          1).as("lastmod"))
+      .filter(col("url") =!= "")
+      .withColumn("host", hostOf(col("url")))
+      .filter(col("host") =!= "")
+      .withColumn("domain", graft.ops.PiiOps.registrableDomain(col("host")))
+
+  /** Q223: SITEMAP-LASTMOD INCREMENTAL REFETCH — the sitemaps
+    * protocol's change feed driving the recrawl budget. q196/q202
+    * refetch on AGE (TTL heuristics: fetch old things); `<lastmod>`
+    * is the publisher SAYING what changed, so the wave here is the
+    * intersection of the declared sitemap entries with the
+    * maintained fetch log where `lastmod` is STRICTLY NEWER than our
+    * latest fetch — a declared-unchanged page is SKIPPED no matter
+    * how old its fetch (that skip is the entire point: on a real
+    * crawl the sitemap collapses the steady-state refetch rate to
+    * the publisher's actual churn). Entries WITHOUT a parseable
+    * lastmod carry no signal and ride the ordinary TTL wave instead
+    * (q196), never this one; per canon the LATEST declared lastmod
+    * wins (max — the opposite reduction from q197's seeding `min`,
+    * which measures staleness, not change). Keys absent from the log
+    * are DISCOVERY, q215's admission job, not a refetch.
+    *
+    * Admission gates are deliberately absent: every key in the log
+    * passed blocklist+robots when it was first crawled, and rule
+    * churn is [[robotsAvailabilityGate]]'s dimension.
+    *
+    * Scale shape: the sitemap side is domain-vocabulary-sized; its
+    * canons' BUCKET SET prunes the fetch-log artifact's listing
+    * (the appendFetchLog touched-bucket discipline — at most
+    * `n_buckets` values, collected model-sized) and the join itself
+    * broadcasts the sitemap side, so a wave reads O(touched buckets)
+    * of the log and shuffles nothing corpus-sized. Output ordering:
+    * the q196 politeness cap, stalest fetch first.
+    */
+  def sitemapRefetchWave(sitemaps: DataFrame,
+                         spark: org.apache.spark.sql.SparkSession,
+                         scope: graft.core.Scope, logName: String,
+                         ranks: DataFrame,
+                         kPerDomain: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(kPerDomain > 0, s"kPerDomain must be positive: $kPerDomain")
+    val nBuckets = graft.core.Scopes.readMeta(spark, scope,
+      s"$logName/meta")("n_buckets")
+    val declared = sitemapEntries(sitemaps)
+      .withColumn("lastmod_s",
+        try_to_timestamp(col("lastmod"), lit("yyyy-MM-dd")).cast("long"))
+      .filter(col("lastmod_s").isNotNull)
+      .groupBy(canonicalUrl(col("url")).as("canon"))
+      .agg(min(col("domain")).as("domain"),
+        max(col("lastmod_s")).as("lastmod_s"))
+      .withColumn("bucket", keyBucket(col("canon"), nBuckets))
+      .localCheckpoint(eager = true)
+    // touched buckets: at most n_buckets values, model-sized
+    val touched = declared.select("bucket").distinct()
+      .collect().map(_.getInt(0))
+    val due = loadFetchLog(spark, scope, logName)
+      .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+      .drop("bucket", "fetch_day", "etag", "last_modified")
+      .join(broadcast(declared.drop("bucket")), Seq("canon"))
+      .filter(col("lastmod_s") > col("last_fetch_s"))
+      .join(broadcast(ranks.select(col("domain"), col("pr"))),
+        Seq("domain"), "left")
+      .withColumn("pr", coalesce(col("pr"), lit(0L)))
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("last_fetch_s").asc, col("canon").asc)
+    due.withColumn("slot", row_number().over(w))
+      .filter(col("slot") <= kPerDomain)
+      .select(col("canon"), col("url"), col("domain"),
+        col("lastmod_s"), col("last_fetch_s"),
+        (col("lastmod_s") - col("last_fetch_s")).as("drift_s"),
+        col("pr"), col("slot").cast("int").as("slot"))
   }
 
   /** Q215's fixture: the SAME declared URLs as [[plantedSitemaps]],

@@ -243,7 +243,11 @@ object ScaleProbe {
     "q221_redirect_chains",
     // round-16: robots availability — every input vocabulary-sized
     // (13 domains); expected flat (the probe measures the fixed cost)
-    "q222_robots_availability")
+    "q222_robots_availability",
+    // round-16: sitemap-lastmod refetch — vocab-sized declared side,
+    // bucket-pruned log read; the 10× log grows the pruned buckets'
+    // contents, expected q200's near-flat artifact class
+    "q223_sitemap_refetch")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

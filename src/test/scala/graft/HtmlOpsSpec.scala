@@ -986,6 +986,51 @@ class HtmlOpsSpec extends SparkSpec {
     }
   }
 
+  test("sitemap refetch (q223): lastmod strictly newer than the latest fetch schedules; declared-unchanged skips") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-smrf-")
+    try {
+      val scope = graft.core.Scopes.create(spark, base.toString)
+      // fetch log: u1 fetched Jan 10, u2 Jan 20, u3 Jan 5 (+ a later
+      // re-fetch Jan 25 — the ARGMAX fetch must be the comparand)
+      def d(day: Int) = 1767225600L + (day - 1) * 86400L
+      HtmlOps.saveFetchLog(Seq(
+        ("https://a.example/u1", d(10)),
+        ("https://a.example/u2", d(20)),
+        ("https://a.example/u3", d(5)),
+        ("https://a.example/u3", d(25)))
+        .toDF("url", "fetched_at_s"), scope, "flog")
+      val xml = ("<urlset>" +
+        // u1: declared changed Jan 15 (> Jan 10) → due, drift 5 days
+        "<url><loc>https://a.example/u1</loc><lastmod>2026-01-15</lastmod></url>" +
+        // u1 dup entry with an OLDER lastmod — max() must keep Jan 15
+        "<url><loc>https://a.example/u1</loc><lastmod>2026-01-02</lastmod></url>" +
+        // u2: declared Jan 12 (< fetch Jan 20) → skipped though listed
+        "<url><loc>https://a.example/u2</loc><lastmod>2026-01-12</lastmod></url>" +
+        // u3: Jan 15 beats the FIRST fetch (Jan 5) but not the
+        // re-fetch (Jan 25) → skipped — latest fetch is the comparand
+        "<url><loc>https://a.example/u3</loc><lastmod>2026-01-15</lastmod></url>" +
+        // u4: not in the log → discovery, not a refetch
+        "<url><loc>https://a.example/u4</loc><lastmod>2026-01-15</lastmod></url>" +
+        // u5: no parseable lastmod → no signal, rides the TTL wave
+        "<url><loc>https://a.example/u5</loc><lastmod>recently</lastmod></url>" +
+        "</urlset>")
+      val ranks = Seq(("a.example", 7L)).toDF("domain", "pr")
+      val out = HtmlOps.sitemapRefetchWave(
+        Seq(xml).toDF("xml"), spark, scope, "flog", ranks).collect()
+      assert(out.length === 1)
+      val r = out.head
+      assert(r.getString(1) === "https://a.example/u1")
+      assert(r.getLong(3) === d(15))
+      assert(r.getLong(4) === d(10))
+      assert(r.getLong(5) === 5L * 86400L)
+      assert(r.getLong(6) === 7L)
+      assert(r.getInt(7) === 1)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("robots availability (q222): 4xx allows, 5xx serves cache then disallows, redirects adopt the final file") {
     import spark.implicits._
     val links = Seq(

@@ -356,6 +356,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q223: the lastmod wave prunes the fetch-log scan to the sitemap canons' buckets") {
+    val df = SparkEntry.queries("q223_sitemap_refetch")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val plan = planOf(df)
+    // the declared canons' bucket set reaches the artifact scan as a
+    // PARTITION filter (the appendFetchLog touched-bucket
+    // discipline) — the wave lists stale directories, never the log
+    assert("PartitionFilters: \\[[^\\]]*bucket[^\\]]*IN".r
+      .findFirstIn(plan).isDefined, plan)
+    // and the sitemap side broadcasts — no corpus-sized exchange
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q187: the stored key set joins exchange-free — bucketing reaches the planner") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.parquet(spark, sf, "documents")
