@@ -1981,6 +1981,16 @@ object SparkEntry {
     "q223_sitemap_refetch" -> ((s, dir) => HtmlOps.sitemapRefetchWave(
       HtmlOps.plantedSitemaps(s), s, q200Scope(s, dir), "flog",
       epochRanks(s, dir))),
+    // the unified refetch scheduler (q224): sitemap declaration >
+    // Last-Modified heuristic > flat TTL, one politeness tail over
+    // the merged due set, per-key reason emitted; the declared
+    // overlay both schedules and SUPPRESSES against the q219 log
+    "q224_unified_refetch" -> ((s, dir) => HtmlOps.unifiedRefetchWave(
+      HtmlOps.plantedValidatorLog(s, 1767225600L),
+      HtmlOps.plantedRefetchSitemaps(s, 1767225600L),
+      nowS = 1767225600L + 3L * 86400L,
+      defaultTtlS = 2L * 86400L, minTtlS = 86400L,
+      maxTtlS = 30L * 86400L, ranks = epochRanks(s, dir))),
   )
 
   private val q192Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -5137,6 +5147,9 @@ object SparkEntry {
     // sitemap-lastmod refetch: declared entries ∩ the q196 log
     // reduction, strictly-newer filter, stalest-first cap
     "q223_sitemap_refetch" -> q223Sql,
+    // unified scheduler: the three-signal precedence CASE over the
+    // q219 log replay, declared overlay regenerated arithmetically
+    "q224_unified_refetch" -> q224Sql,
     // redirect-aware frontier: both discovery channels replayed from
     // the regenerated chunk bytes into one candidate aggregation
     "q205_redirect_frontier" -> q205Sql,
@@ -6406,6 +6419,69 @@ object SparkEntry {
     """concat('https://s', cast(generate_series AS varchar),
       |    '.example/sitemap.xml') IN (SELECT durl FROM sdc)"""
       .stripMargin)
+
+  /** The q224 oracle — the q219 validator-log replay extended with
+    * the DECLARED overlay (regenerated arithmetically: every `k%3==0`
+    * key, lastmod `(k%20)-10` days around the fetch instant) and the
+    * three-signal precedence as one CASE pair (reason, due): a
+    * declaration decides alone in BOTH directions, the heuristic
+    * clamp replays q219's arithmetic verbatim, the flat TTL closes.
+    */
+  private lazy val q224Sql = {
+    val t0 = 1767225600L
+    val now = t0 + 3L * 86400L
+    s"""WITH uvl AS (SELECT generate_series AS k,
+       |  concat('https://w', cast(generate_series % 7 AS varchar), '.s',
+       |    cast(generate_series % 5 AS varchar), '.example/p/',
+       |    cast(generate_series AS varchar)) AS url,
+       |  CAST($t0 AS BIGINT) AS last_fetch_s,
+       |  CASE WHEN generate_series % 7 = 0 THEN ''
+       |       WHEN generate_series % 7 = 1 THEN 'not a date'
+       |       ELSE strftime(make_timestamp(
+       |         ($t0 - (generate_series % 90) * 86400) * 1000000),
+       |         '%a, %d %b %Y %H:%M:%S GMT') END AS last_modified
+       |  FROM generate_series(0, 199)),
+       |uds AS (SELECT
+       |  concat('https://w', cast(generate_series % 7 AS varchar), '.s',
+       |    cast(generate_series % 5 AS varchar), '.example/p/',
+       |    cast(generate_series AS varchar)) AS url,
+       |  CAST($t0 + ((generate_series % 20) - 10) * 86400 AS BIGINT)
+       |    AS lastmod_s
+       |  FROM generate_series(0, 199) WHERE generate_series % 3 = 0),
+       |ue AS (SELECT v.*, d.lastmod_s,
+       |  epoch(try_strptime(
+       |    regexp_replace(v.last_modified, '^[A-Za-z]{3}, ', ''),
+       |    '%d %b %Y %H:%M:%S GMT')) AS lm
+       |  FROM uvl v LEFT JOIN uds d USING (url)),
+       |ur AS (SELECT *,
+       |  CASE WHEN lastmod_s IS NOT NULL THEN 'sitemap'
+       |       WHEN lm IS NOT NULL AND lm <= last_fetch_s
+       |         THEN 'heuristic'
+       |       ELSE 'default' END AS reason FROM ue),
+       |ud AS (SELECT * FROM ur WHERE
+       |  CASE WHEN reason = 'sitemap' THEN lastmod_s > last_fetch_s
+       |       WHEN reason = 'heuristic' THEN
+       |         CAST($now AS BIGINT) - last_fetch_s >= least(greatest(
+       |           CAST((last_fetch_s - CAST(lm AS BIGINT)) // 10
+       |             AS BIGINT),
+       |           CAST(86400 AS BIGINT)), CAST(2592000 AS BIGINT))
+       |       ELSE CAST($now AS BIGINT) - last_fetch_s >= 172800
+       |       END),
+       |uh AS (SELECT ${duckCanonOf("url")} AS canon, url, reason,
+       |  regexp_extract(url, '^(?i)(?:https?:)?//([^/?#]+)', 1) AS host,
+       |  last_fetch_s FROM ud),
+       |ug AS (SELECT canon, url, ${duckDomainOf("host")} AS domain,
+       |  reason, last_fetch_s FROM uh),
+       |uranks AS (SELECT domain, pr FROM (${hostRankSql()})),
+       |uj AS (SELECT g.*, coalesce(r.pr, 0) AS pr FROM ug g
+       |  LEFT JOIN uranks r USING (domain)),
+       |ufs AS (SELECT *, row_number() OVER (PARTITION BY domain
+       |  ORDER BY last_fetch_s ASC, canon ASC) AS slot FROM uj)
+       |SELECT canon, url, domain, reason, last_fetch_s,
+       |  CAST($now AS BIGINT) - last_fetch_s AS age_s, pr,
+       |  CAST(slot AS INT) AS slot
+       |FROM ufs WHERE slot <= 10""".stripMargin
+  }
 
   /** The q223 oracle — the flat urlset entries regenerated (the
     * q197 `sm`/`sl` chain, gates deliberately absent per the

@@ -3399,6 +3399,99 @@ object HtmlOps {
         col("pr"), col("slot").cast("int").as("slot"))
   }
 
+  /** Q224: the UNIFIED REFETCH SCHEDULER — one due-set with the
+    * three freshness signals a production crawler actually holds,
+    * merged under explicit PRECEDENCE per canon:
+    *
+    *   1. `sitemap` — the publisher DECLARED a lastmod (q223's
+    *      signal): due ⟺ lastmod strictly newer than our latest
+    *      fetch. Declaration is authoritative BOTH WAYS — a
+    *      declared-unchanged page is suppressed even when its TTL
+    *      heuristics would have fired (that suppression is the
+    *      scheduler's whole value: the budget follows the
+    *      publisher's churn, not the clock).
+    *   2. `heuristic` — no declaration, but the stored Last-Modified
+    *      validator parses and is not from the future: the RFC 9111
+    *      §4.2.2 10% lifetime (q219's clamp) decides.
+    *   3. `default` — no signal at all: the flat TTL (q196).
+    *
+    * Emits `reason` per scheduled key so a wave is auditable — which
+    * signal put each URL in the queue. One politeness tail over the
+    * MERGED due set (stalest-first), so the three signals compete
+    * for the same per-domain slots instead of three waves hammering
+    * a host thrice.
+    *
+    * Scale shape: q219's log scan + per-row arithmetic, plus ONE
+    * broadcast left join of the vocabulary-sized declared set — no
+    * new exchange class over the single-signal waves it unifies.
+    */
+  def unifiedRefetchWave(fetchLog: DataFrame, sitemaps: DataFrame,
+                         nowS: Long, defaultTtlS: Long, minTtlS: Long,
+                         maxTtlS: Long, ranks: DataFrame,
+                         kPerDomain: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minTtlS > 0 && maxTtlS >= minTtlS && defaultTtlS > 0,
+      s"bad TTL bounds: default=$defaultTtlS min=$minTtlS max=$maxTtlS")
+    require(kPerDomain > 0, s"kPerDomain must be positive: $kPerDomain")
+    val declared = sitemapEntries(sitemaps)
+      .withColumn("lastmod_s",
+        try_to_timestamp(col("lastmod"), lit("yyyy-MM-dd")).cast("long"))
+      .filter(col("lastmod_s").isNotNull)
+      .groupBy(canonicalUrl(col("url")).as("canon"))
+      .agg(max(col("lastmod_s")).as("lastmod_s"))
+    val lmEpoch = httpDateEpoch(col("last_modified"))
+    val heuristic = floor((col("last_fetch_s") - lmEpoch) / lit(10L))
+      .cast("long")
+    val reason = when(col("lastmod_s").isNotNull, lit("sitemap"))
+      .when(lmEpoch.isNotNull && lmEpoch <= col("last_fetch_s"),
+        lit("heuristic"))
+      .otherwise(lit("default"))
+    val age = lit(nowS) - col("last_fetch_s")
+    val due = when(col("reason") === "sitemap",
+        col("lastmod_s") > col("last_fetch_s"))
+      .when(col("reason") === "heuristic",
+        age >= least(greatest(heuristic, lit(minTtlS)), lit(maxTtlS)))
+      .otherwise(age >= defaultTtlS)
+    val merged = latestFetchPerKey(fetchLog)
+      .join(broadcast(declared), Seq("canon"), "left")
+      .withColumn("reason", reason)
+      .filter(due)
+      .withColumn("domain",
+        graft.ops.PiiOps.registrableDomain(hostOf(col("url"))))
+      .join(broadcast(ranks.select(col("domain"), col("pr"))),
+        Seq("domain"), "left")
+      .withColumn("pr", coalesce(col("pr"), lit(0L)))
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("last_fetch_s").asc, col("canon").asc)
+    merged.withColumn("slot", row_number().over(w))
+      .filter(col("slot") <= kPerDomain)
+      .select(col("canon"), col("url"), col("domain"), col("reason"),
+        col("last_fetch_s"), age.as("age_s"), col("pr"),
+        col("slot").cast("int").as("slot"))
+  }
+
+  /** Q224's declared overlay: every `k%3==0` key of the
+    * [[plantedValidatorLog]] fixture, declared in one `<urlset>` row
+    * each with a lastmod spread `(k%20)-10` DAYS around the shared
+    * fetch instant — so declarations land strictly newer (due) and
+    * older-or-equal (suppressed) in comparable numbers, and both
+    * interact with keys whose validator legs would have said
+    * otherwise.
+    */
+  def plantedRefetchSitemaps(spark: org.apache.spark.sql.SparkSession,
+                             t0: Long): DataFrame = {
+    val d = spark.range(200).filter(col("id") % 3 === 0)
+      .select(col("id").cast("long").as("k"))
+    val lm = date_format(
+      (lit(t0) + ((col("k") % 20) - 10) * 86400L).cast("timestamp"),
+      "yyyy-MM-dd")
+    d.select(concat(
+      lit("<urlset><url><loc>https://w"), (col("k") % 7).cast("string"),
+      lit(".s"), (col("k") % 5).cast("string"), lit(".example/p/"),
+      col("k").cast("string"), lit("</loc><lastmod>"), lm,
+      lit("</lastmod></url></urlset>")).as("xml"))
+  }
+
   /** Q219's fixture: a reduced fetch log whose Last-Modified ages
     * SPREAD — per planted key `k` (0-199): `k%7==0` ships no
     * validator at all and `k%7==1` ships garbage (both must take the

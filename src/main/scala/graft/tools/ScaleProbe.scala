@@ -247,7 +247,10 @@ object ScaleProbe {
     // round-16: sitemap-lastmod refetch — vocab-sized declared side,
     // bucket-pruned log read; the 10× log grows the pruned buckets'
     // contents, expected q200's near-flat artifact class
-    "q223_sitemap_refetch")
+    "q223_sitemap_refetch",
+    // round-16: unified scheduler — q219's per-row arithmetic plus
+    // one broadcast declared join; expected q219's flat class
+    "q224_unified_refetch")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

@@ -986,6 +986,51 @@ class HtmlOpsSpec extends SparkSpec {
     }
   }
 
+  test("unified refetch (q224): declaration beats heuristic beats default, and suppresses both ways") {
+    import spark.implicits._
+    val t0 = 1767225600L
+    def lm(daysBefore: Long) = {
+      val ts = new java.sql.Timestamp((t0 - daysBefore * 86400L) * 1000L)
+      new java.text.SimpleDateFormat("EEE, dd MMM yyyy HH:mm:ss 'GMT'") {
+        setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      }.format(ts)
+    }
+    // all fetched at t0; now = t0 + 3 days; defaultTtl 2d, clamp [1d, 30d]
+    val log = Seq(
+      // declared-changed (+1d) OVER a fresh heuristic (800d-old page
+      // → 30d ttl would have said fresh): sitemap schedules anyway
+      ("https://a.example/declared-new", t0, "", lm(800)),
+      // declared-unchanged (-1d) OVER a stale heuristic (5d-old page
+      // → 1d ttl would have fired): sitemap suppresses
+      ("https://a.example/declared-old", t0, "", lm(5)),
+      // undeclared + validator 15d old → ttl 1.5d ≤ 3d: heuristic due
+      ("https://a.example/heur-due", t0, "", lm(15)),
+      // undeclared + validator 400d old → ttl 30d: heuristic fresh
+      ("https://a.example/heur-fresh", t0, "", lm(400)),
+      // undeclared, no validator: default TTL 2d ≤ 3d age → due
+      ("https://a.example/plain", t0, "", ""),
+      // a FUTURE Last-Modified is a lying clock → default arm
+      ("https://a.example/liar", t0, "", lm(-9)))
+      .toDF("url", "fetched_at_s", "etag", "last_modified")
+    val sitemaps = Seq(
+      "<urlset><url><loc>https://a.example/declared-new</loc>" +
+        "<lastmod>2026-01-02</lastmod></url>" +
+        "<url><loc>https://a.example/declared-old</loc>" +
+        "<lastmod>2025-12-31</lastmod></url></urlset>").toDF("xml")
+    val ranks = Seq(("a.example", 3L)).toDF("domain", "pr")
+    val out = HtmlOps.unifiedRefetchWave(log, sitemaps,
+        nowS = t0 + 3L * 86400L, defaultTtlS = 2L * 86400L,
+        minTtlS = 86400L, maxTtlS = 30L * 86400L, ranks = ranks)
+      .collect().map(r => r.getString(1) -> r.getString(3)).toMap
+    assert(out("https://a.example/declared-new") === "sitemap")
+    assert(!out.contains("https://a.example/declared-old")) // suppressed
+    assert(out("https://a.example/heur-due") === "heuristic")
+    assert(!out.contains("https://a.example/heur-fresh"))
+    assert(out("https://a.example/plain") === "default")
+    assert(out("https://a.example/liar") === "default")
+    assert(out.size === 4)
+  }
+
   test("sitemap refetch (q223): lastmod strictly newer than the latest fetch schedules; declared-unchanged skips") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-smrf-")
