@@ -1991,6 +1991,13 @@ object SparkEntry {
       nowS = 1767225600L + 3L * 86400L,
       defaultTtlS = 2L * 86400L, minTtlS = 86400L,
       maxTtlS = 30L * 86400L, ranks = epochRanks(s, dir))),
+    // feed discovery (q225): RSS/Atom entries as a frontier channel
+    // through the standard admission chain, newest-published-first
+    // politeness ordering — the freshness channel beside sitemaps'
+    // inventory and the link graph
+    "q225_feed_seeds" -> ((s, dir) => HtmlOps.feedSeeds(
+      HtmlOps.plantedFeeds(s, 1767225600L), frontierScope(s, dir),
+      "urlkeys", epochRanks(s, dir), HtmlOps.plantedRobotsRules(s))),
   )
 
   private val q192Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -5150,6 +5157,10 @@ object SparkEntry {
     // unified scheduler: the three-signal precedence CASE over the
     // q219 log replay, declared overlay regenerated arithmetically
     "q224_unified_refetch" -> q224Sql,
+    // feed discovery: the feeds regenerated byte-identically, the
+    // block-scoped entry parse replayed in RE2, the q197 admission
+    // tail with newest-published-first ordering
+    "q225_feed_seeds" -> q225Sql,
     // redirect-aware frontier: both discovery channels replayed from
     // the regenerated chunk bytes into one candidate aggregation
     "q205_redirect_frontier" -> q205Sql,
@@ -6419,6 +6430,109 @@ object SparkEntry {
     """concat('https://s', cast(generate_series AS varchar),
       |    '.example/sitemap.xml') IN (SELECT durl FROM sdc)"""
       .stripMargin)
+
+  /** The q225 oracle — the feeds REGENERATED byte-identically from
+    * `generate_series` (dates via strftime from the same epoch
+    * arithmetic the fixture formats in-plan), the entry parse
+    * replayed in RE2 — block scoping, the RSS text link, the Atom
+    * href filter as a lookahead-free `list_filter` over the link
+    * tags, both date grammars through try_strptime — and the q197
+    * admission chain with the newest-published-first cap.
+    */
+  private lazy val q225Sql = {
+    val t0 = 1767225600L
+    val gs = "generate_series"
+    // one <item>/<entry> per (k, i): the fixture's exact arithmetic
+    def itemSql =
+      s"""CASE WHEN k % 2 = 0 THEN concat('<item><link>', u,
+         |    '</link>', CASE WHEN i = 5 THEN '' ELSE concat(
+         |      '<pubDate>', strftime(make_timestamp(ep * 1000000),
+         |        '%a, %d %b %Y %H:%M:%S GMT'), '</pubDate>') END,
+         |    '</item>')
+         |  ELSE concat('<entry><link rel="enclosure" ',
+         |    'href="https://cdn.example/m/', cast(k AS varchar), '-',
+         |    cast(i AS varchar), '.mp3"/>',
+         |    '<link href="', u, '"/>',
+         |    '<updated>', strftime(make_timestamp(ep * 1000000),
+         |      '%Y-%m-%dT%H:%M:%SZ'), '</updated></entry>')
+         |  END""".stripMargin
+    s"""WITH fdk AS (SELECT $gs AS k FROM generate_series(0, 12)),
+       |fdi AS (SELECT k, i.i AS i,
+       |  CASE WHEN i.i = 7 THEN 0 ELSE i.i END AS ui,
+       |  CASE WHEN i.i = 7
+       |    THEN $t0 + ((k + 0) % 28) * 86400 + 0 + 432000
+       |    ELSE $t0 + ((k + 3 * i.i) % 28) * 86400 + i.i * 3600
+       |    END AS ep
+       |  FROM fdk, generate_series(0, 7) i(i)),
+       |fdu AS (SELECT k, i, ep, concat('https://w',
+       |  cast((k + 3 * ui) % 7 AS varchar), '.s', cast(k AS varchar),
+       |  '.example/', CASE WHEN ui % 2 = 0 THEN 'p/' ELSE 'f/' END,
+       |  cast((k + ui) % 11 AS varchar)) AS u FROM fdi),
+       |fdx AS (SELECT k, concat(
+       |  CASE WHEN k % 2 = 0 THEN concat('<rss><channel><link>https://s',
+       |    cast(k AS varchar), '.example/</link>')
+       |  ELSE concat('<feed><link rel="self" href="https://s',
+       |    cast(k AS varchar), '.example/feed.xml"/>') END,
+       |  string_agg($itemSql, '' ORDER BY i),
+       |  CASE WHEN k % 2 = 0 THEN '</channel></rss>'
+       |       ELSE '</feed>' END) AS xml
+       |  FROM fdu GROUP BY k),
+       |fb AS (SELECT unnest(regexp_extract_all(xml,
+       |  '(?s)<(?:[Ii][Tt][Ee][Mm]|[Ee][Nn][Tt][Rr][Yy])>.*?</(?:[Ii][Tt][Ee][Mm]|[Ee][Nn][Tt][Rr][Yy])>',
+       |  0)) AS b FROM fdx),
+       |fl AS (SELECT b,
+       |  regexp_extract(b, '<[Ll][Ii][Nn][Kk]>([^<]*)</[Ll][Ii][Nn][Kk]>', 1)
+       |    AS rss_link,
+       |  list_filter(regexp_extract_all(b,
+       |    '<[Ll][Ii][Nn][Kk][^>]*href="[^"]*"[^>]*>', 0),
+       |    t -> strpos(t, 'rel="') = 0
+       |      OR strpos(t, 'rel="alternate"') > 0) AS tags,
+       |  epoch(try_strptime(regexp_replace(regexp_extract(b,
+       |    '<[Pp][Uu][Bb][Dd][Aa][Tt][Ee]>([^<]*)</[Pp][Uu][Bb][Dd][Aa][Tt][Ee]>',
+       |    1), '^[A-Za-z]{3}, ', ''), '%d %b %Y %H:%M:%S GMT')) AS pub_s,
+       |  epoch(try_strptime(regexp_extract(b,
+       |    '<[Uu][Pp][Dd][Aa][Tt][Ee][Dd]>([^<]*)</[Uu][Pp][Dd][Aa][Tt][Ee][Dd]>',
+       |    1), '%Y-%m-%dT%H:%M:%SZ')) AS upd_s FROM fb),
+       |fu AS (SELECT CASE WHEN rss_link <> '' THEN rss_link
+       |    ELSE regexp_extract(coalesce(tags[1], ''), 'href="([^"]*)"', 1)
+       |    END AS url,
+       |  CAST(coalesce(pub_s, upd_s) AS BIGINT) AS published_s FROM fl),
+       |fh AS (SELECT url, published_s,
+       |  regexp_extract(url, '^(?i)(?:https?:)?//([^/?#]+)', 1) AS host
+       |  FROM fu WHERE url <> ''),
+       |fc AS (SELECT *, row_number() OVER () AS rid,
+       |  ${duckDomainOf("host")} AS domain FROM fh WHERE host <> ''),
+       |$duckRobotsRuleCtes,
+       |fbk AS (SELECT * FROM fc
+       |  WHERE domain NOT IN ('s2.example', 's5.example', 's11.example')),
+       |fpt AS (SELECT *, ${duckMatchOf("url")} AS mt FROM fbk),
+       |fmg AS (SELECT p.rid, p.url, p.published_s, p.domain, r.allow,
+       |  row_number() OVER (PARTITION BY p.rid
+       |    ORDER BY coalesce(strlen(r.prefix), -1) DESC,
+       |             r.allow DESC) AS rn
+       |  FROM fpt p LEFT JOIN rru r ON r.domain = p.domain
+       |    AND ${duckRobotsMatch("p.mt", "r")}),
+       |fg AS (SELECT url, published_s, domain FROM fmg
+       |  WHERE rn = 1 AND coalesce(allow, true)),
+       |fcand AS (SELECT ${duckCanonOf("url")} AS canon,
+       |  min(url) AS url, min(domain) AS domain,
+       |  CAST(count(*) AS BIGINT) AS n_refs,
+       |  max(published_s) AS published_s FROM fg GROUP BY 1),
+       |fstored AS (SELECT DISTINCT ${duckCanonOf("u")} AS canon
+       |  FROM (SELECT $duckDirtyUrl AS u FROM documents)),
+       |ffresh AS (SELECT c.* FROM fcand c
+       |  ANTI JOIN fstored s USING (canon)),
+       |franks AS (SELECT domain, pr FROM (${hostRankSql()})),
+       |fj AS (SELECT f.canon, f.url, f.domain, f.n_refs, f.published_s,
+       |  coalesce(r.pr, 0) AS pr FROM ffresh f
+       |  LEFT JOIN franks r ON r.domain = f.domain),
+       |ffs AS (SELECT *, row_number() OVER (PARTITION BY domain
+       |  ORDER BY published_s DESC NULLS LAST, canon ASC) AS slot
+       |  FROM fj)
+       |SELECT canon, url, domain, n_refs, published_s, pr,
+       |  CAST(slot AS INT) AS slot
+       |FROM ffs WHERE slot <= 10""".stripMargin
+  }
 
   /** The q224 oracle — the q219 validator-log replay extended with
     * the DECLARED overlay (regenerated arithmetically: every `k%3==0`

@@ -2178,6 +2178,142 @@ object HtmlOps {
         col("pr"), col("slot").cast("int").as("slot"))
   }
 
+  /** The per-entry (url, published_s) extraction for RSS 2.0 and
+    * Atom feeds — scoped to `<item>`/`<entry>` BLOCKS first, so
+    * channel-level links (the RSS site `<link>`, Atom's feed-level
+    * `rel="self"`) never read as content entries. RSS entries link
+    * as element text and date as RFC 822 `<pubDate>`; Atom entries
+    * link as `href` attributes — of which only the content link
+    * counts: a tag carrying `rel=` is skipped unless it says
+    * `rel="alternate"` (the planted per-entry `rel="enclosure"`
+    * media attachment must not become a crawl candidate) — and date
+    * as ISO 8601 `<updated>`. Both date grammars parse through the
+    * corrupt-input-as-verdict convention: an absent or garbage date
+    * is a null `published_s`, never a dropped entry.
+    */
+  private def feedEntries(feeds: DataFrame): DataFrame = {
+    val blocks = feeds.select(explode(regexp_extract_all(
+      coalesce(col("xml"), lit("")),
+      lit("(?s)<(?:[Ii][Tt][Ee][Mm]|[Ee][Nn][Tt][Rr][Yy])>.*?" +
+        "</(?:[Ii][Tt][Ee][Mm]|[Ee][Nn][Tt][Rr][Yy])>"),
+      lit(0))).as("b"))
+    val rssLink = regexp_extract(col("b"),
+      "<[Ll][Ii][Nn][Kk]>([^<]*)</[Ll][Ii][Nn][Kk]>", 1)
+    val linkTags = regexp_extract_all(col("b"),
+      lit("<[Ll][Ii][Nn][Kk][^>]*href=\"[^\"]*\"[^>]*>"), lit(0))
+    val contentTag = element_at(filter(linkTags, t =>
+      !t.contains("rel=\"") || t.contains("rel=\"alternate\"")), 1)
+    val atomLink = regexp_extract(coalesce(contentTag, lit("")),
+      "href=\"([^\"]*)\"", 1)
+    val pubS = httpDateEpoch(regexp_extract(col("b"),
+      "<[Pp][Uu][Bb][Dd][Aa][Tt][Ee]>([^<]*)</[Pp][Uu][Bb][Dd][Aa][Tt][Ee]>",
+      1))
+    val updS = try_to_timestamp(regexp_extract(col("b"),
+      "<[Uu][Pp][Dd][Aa][Tt][Ee][Dd]>([^<]*)</[Uu][Pp][Dd][Aa][Tt][Ee][Dd]>",
+      1), lit("yyyy-MM-dd'T'HH:mm:ss'Z'")).cast("long")
+    blocks
+      .select(when(rssLink =!= "", rssLink).otherwise(atomLink).as("url"),
+        coalesce(pubS, updS).as("published_s"))
+      .filter(col("url") =!= "")
+      .withColumn("host", hostOf(col("url")))
+      .filter(col("host") =!= "")
+      .withColumn("domain", graft.ops.PiiOps.registrableDomain(col("host")))
+  }
+
+  /** Q225: FEED DISCOVERY — RSS/Atom as a frontier channel. Next to
+    * sitemaps (bulk inventory) and page outlinks (the graph), a
+    * site's feed is the channel that surfaces NEW content fastest —
+    * publishers push fresh entries there before anything links to
+    * them. Entries pass the IDENTICAL admission chain as sitemap
+    * seeds and link candidates — blocklist, robots gate, canonical
+    * aggregation, anti-join against the maintained key set, rank
+    * priority, per-domain cap — so a feed entry competes for a wave
+    * slot on equal terms, no side door. Per canon the LATEST
+    * published claim survives (max — the change reduction, like
+    * q223), and the cap orders NEWEST-PUBLISHED-FIRST (desc, nulls
+    * last, canon tiebreak) — the freshness priority a feed channel
+    * exists for, deliberately opposite to q197's stale-first
+    * sitemap seeding; an entry with no parseable date competes last,
+    * never not at all.
+    *
+    * Scale shape: feeds are domain-vocabulary-sized inputs (the
+    * sitemap class); the extraction is block+regex projections, and
+    * everything downstream is the shared frontier tail's one canon
+    * exchange + broadcast joins.
+    */
+  def feedSeeds(feeds: DataFrame, scope: graft.core.Scope,
+                name: String, ranks: DataFrame, rules: DataFrame,
+                kPerDomain: Int = 10): DataFrame = {
+    val locs = feedEntries(feeds)
+    val unblocked = graft.ops.PiiOps.blocklistVerdict(locs)
+      .filter(!col("blocked")).drop("blocked")
+    val allowed = robotsGate(unblocked, rules)
+      .filter(col("allowed")).drop("path", "allowed", "rule_len")
+    val cands = allowed
+      .withColumn("canon", canonicalUrl(col("url")))
+      .groupBy(col("canon"))
+      .agg(min(col("url")).as("url"), min(col("domain")).as("domain"),
+        count(lit(1)).cast("long").as("n_refs"),
+        max(col("published_s")).as("published_s"))
+    frontierTail(cands, scope, name, ranks, kPerDomain,
+      orderBy = Seq(col("published_s").desc_nulls_last, col("canon").asc),
+      extra = Seq("published_s"))
+  }
+
+  /** Q225's fixture: per-domain feeds — even domains RSS 2.0, odd
+    * domains Atom, eight entries each on the planted hosts (paths
+    * alternate `/p/…`, which the robots rule legs actually govern,
+    * and `/f/…`, which they don't). Planted legs: entry 7 REPEATS
+    * entry 0's URL five days later (the max-published reduction must
+    * keep the later claim); entry 5 on RSS domains ships NO pubDate
+    * (null `published_s` — competes last, never dropped); every Atom
+    * entry carries a `rel="enclosure"` media link BEFORE its content
+    * link (must not become a candidate); the RSS channel-level site
+    * `<link>` and Atom feed-level `rel="self"` sit outside the entry
+    * blocks (scoping must exclude both). Dates are FORMATTED IN-PLAN
+    * from epoch arithmetic (weekday right by construction, the q219
+    * convention) so the oracle regenerates identical strings.
+    */
+  def plantedFeeds(spark: org.apache.spark.sql.SparkSession,
+                   t0: Long): DataFrame = {
+    val d = spark.range(13).select(col("id").cast("int").as("k"),
+      concat(lit("s"), col("id"), lit(".example")).as("domain"))
+    val even = col("k") % 2 === 0
+    def itemUrl(i: Int) = concat(lit("https://w"),
+      ((col("k") + 3 * i) % 7).cast("string"), lit(".s"),
+      col("k").cast("string"), lit(".example/"),
+      lit(if (i % 2 == 0) "p/" else "f/"),
+      ((col("k") + i) % 11).cast("string"))
+    def itemEpoch(i: Int): Column =
+      lit(t0) + ((col("k") + 3 * i) % 28) * 86400L + i * 3600L
+    def rfc822(e: Column) = date_format(e.cast("timestamp"),
+      "EEE, dd MMM yyyy HH:mm:ss 'GMT'")
+    def iso(e: Column) = date_format(e.cast("timestamp"),
+      "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    val items = (0 to 7).map { i =>
+      val u = if (i == 7) itemUrl(0) else itemUrl(i)
+      val e = if (i == 7) itemEpoch(0) + 5L * 86400L else itemEpoch(i)
+      val rssDate =
+        if (i == 5) lit("")
+        else concat(lit("<pubDate>"), rfc822(e), lit("</pubDate>"))
+      when(even, concat(lit("<item><link>"), u, lit("</link>"),
+          rssDate, lit("</item>")))
+        .otherwise(concat(
+          lit("<entry><link rel=\"enclosure\" href=\"https://cdn.example/m/"),
+          col("k").cast("string"), lit("-" + i + ".mp3\"/>"),
+          lit("<link href=\""), u, lit("\"/>"),
+          lit("<updated>"), iso(e), lit("</updated></entry>")))
+    }
+    d.select(col("domain"), when(even,
+        concat(concat(lit("<rss><channel><link>https://s"),
+          col("k").cast("string"), lit(".example/</link>")) +:
+          items :+ lit("</channel></rss>"): _*))
+      .otherwise(
+        concat(concat(lit("<feed><link rel=\"self\" href=\"https://s"),
+          col("k").cast("string"), lit(".example/feed.xml\"/>")) +:
+          items :+ lit("</feed>"): _*)).as("xml"))
+  }
+
   /** Q215's fixture: the SAME declared URLs as [[plantedSitemaps]],
     * now shipped the way large publishers actually ship them — as a
     * SITEMAP TREE: domains `s0`-`s6` keep the flat `<urlset>` at

@@ -250,7 +250,10 @@ object ScaleProbe {
     "q223_sitemap_refetch",
     // round-16: unified scheduler — q219's per-row arithmetic plus
     // one broadcast declared join; expected q219's flat class
-    "q224_unified_refetch")
+    "q224_unified_refetch",
+    // round-16: feed discovery — vocab-sized feeds through the
+    // frontier tail; the 10× corpus grows only the stored key side
+    "q225_feed_seeds")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

@@ -986,6 +986,56 @@ class HtmlOpsSpec extends SparkSpec {
     }
   }
 
+  test("feed discovery (q225): block-scoped parse, enclosure/self links excluded, newest-first cap") {
+    import spark.implicits._
+    val rss = "<rss><channel>" +
+      "<link>https://a.example/</link>" + // channel-level: NOT an entry
+      "<item><link>https://a.example/new</link>" +
+      "<pubDate>Fri, 02 Jan 2026 00:00:00 GMT</pubDate></item>" +
+      "<item><link>https://a.example/old</link>" +
+      "<pubDate>Thu, 01 Jan 2026 00:00:00 GMT</pubDate></item>" +
+      "<item><link>https://a.example/undated</link></item>" +
+      "</channel></rss>"
+    val atom = "<feed>" +
+      "<link rel=\"self\" href=\"https://b.example/feed.xml\"/>" + // feed-level
+      "<entry><link rel=\"enclosure\" href=\"https://cdn.example/x.mp3\"/>" +
+      "<link href=\"https://b.example/e1\"/>" +
+      "<updated>2026-01-03T12:00:00Z</updated></entry>" +
+      "<entry><link rel=\"alternate\" href=\"https://b.example/e2\"/>" +
+      "<updated>2026-01-04T00:00:00Z</updated></entry>" +
+      "</feed>"
+    val base = java.nio.file.Files.createTempDirectory("graft-feeds-")
+    try {
+      val scope = graft.core.Scopes.create(spark, base.toString)
+      // the key store already holds /old — the anti-join must drop it
+      HtmlOps.saveUrlKeys(
+        Seq((1L, "https://a.example/old")).toDF("doc_id", "url"),
+        scope, "keys")
+      val ranks = Seq(("a.example", 2L), ("b.example", 1L))
+        .toDF("domain", "pr")
+      val out = HtmlOps.feedSeeds(Seq(rss, atom).toDF("xml"), scope,
+        "keys", ranks, emptyRanks.select(col("domain"),
+          lit(true).as("allow"), lit("/never").as("prefix")))
+        .collect()
+        .map(r => r.getString(1) -> (if (r.isNullAt(4)) -1L else r.getLong(4),
+          r.getInt(6))).toMap
+      // channel/self/enclosure URLs never became candidates; /old
+      // was anti-joined away
+      assert(out.keySet === Set("https://a.example/new",
+        "https://a.example/undated", "https://b.example/e1",
+        "https://b.example/e2"))
+      // RFC 822 and ISO dates both parse; undated competes LAST
+      assert(out("https://a.example/new")._1 === 1767312000L)
+      assert(out("https://a.example/new")._2 === 1)
+      assert(out("https://a.example/undated") === ((-1L, 2)))
+      // newest-published-first within b.example
+      assert(out("https://b.example/e2")._2 === 1)
+      assert(out("https://b.example/e1")._2 === 2)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("unified refetch (q224): declaration beats heuristic beats default, and suppresses both ways") {
     import spark.implicits._
     val t0 = 1767225600L
