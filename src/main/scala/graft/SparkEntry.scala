@@ -1998,6 +1998,12 @@ object SparkEntry {
     "q225_feed_seeds" -> ((s, dir) => HtmlOps.feedSeeds(
       HtmlOps.plantedFeeds(s, 1767225600L), frontierScope(s, dir),
       "urlkeys", epochRanks(s, dir), HtmlOps.plantedRobotsRules(s))),
+    // WARC export (q226): the archive SINK, held to the strongest
+    // check an exporter has — its own engine re-ingests both arms
+    // (plain records + per-record gzip members) and every page must
+    // come back verdict-green and byte-identical to the direct
+    // extraction
+    "q226_warc_export" -> (warcExportQuery _),
   )
 
   private val q192Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -5161,6 +5167,9 @@ object SparkEntry {
     // block-scoped entry parse replayed in RE2, the q197 admission
     // tail with newest-published-first ordering
     "q225_feed_seeds" -> q225Sql,
+    // WARC export: the DIRECT extraction per page × arm, ok = true —
+    // the round trip's framing is verified by the hash alone
+    "q226_warc_export" -> q226Sql,
     // redirect-aware frontier: both discovery channels replayed from
     // the regenerated chunk bytes into one candidate aggregation
     "q205_redirect_frontier" -> q205Sql,
@@ -6430,6 +6439,72 @@ object SparkEntry {
     """concat('https://s', cast(generate_series AS varchar),
       |    '.example/sitemap.xml') IN (SELECT durl FROM sdc)"""
       .stripMargin)
+
+  /** The q226 oracle — the direct page extraction (the q212 chain
+    * over the regenerated html), the url/date regenerated from the
+    * same arithmetic, crossed with the two arms, `ok` uniformly
+    * true. No WARC byte appears here: export ∘ ingest = id IS the
+    * check.
+    */
+  private lazy val q226Sql = {
+    val base = 1767225600L
+    s"""WITH wp AS (SELECT doc_id, $duckHtml AS body FROM documents),
+       |wxb AS (SELECT doc_id, body,
+       |  regexp_replace(regexp_replace(regexp_replace(body,
+       |    '(?s)<[Hh][Ee][Aa][Dd]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Hh][Ee][Aa][Dd]>', ' ', 'g'),
+       |    '(?s)<[Ss][Cc][Rr][Ii][Pp][Tt]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Ss][Cc][Rr][Ii][Pp][Tt]>', ' ', 'g'),
+       |    '(?s)<[Ss][Tt][Yy][Ll][Ee]([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</[Ss][Tt][Yy][Ll][Ee]>', ' ', 'g') AS nb FROM wp),
+       |wxt AS (SELECT *, regexp_replace(nb, '<[^>]*>', ' ', 'g') AS nt
+       |  FROM wxb),
+       |wxe AS (SELECT *, regexp_replace(regexp_replace(regexp_replace(
+       |  regexp_replace(regexp_replace(regexp_replace(nt,
+       |  '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+       |  '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS de
+       |  FROM wxt)
+       |SELECT doc_id, a.arm,
+       |  concat('https://w', cast(doc_id % 7 AS varchar), '.s',
+       |    cast(doc_id % 5 AS varchar), '.example/p/',
+       |    cast(doc_id % 11 AS varchar)) AS target_uri,
+       |  strftime(make_timestamp(
+       |    ($base + (doc_id % 97) * 3600) * 1000000),
+       |    '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+       |  regexp_extract(body, '<[Tt][Ii][Tt][Ll][Ee]>([^<]*)</[Tt][Ii][Tt][Ll][Ee]>', 1) AS title,
+       |  trim(regexp_replace(de, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS text_clean,
+       |  true AS ok
+       |FROM wxe CROSS JOIN (SELECT unnest(['plain', 'gzip']) AS arm) a"""
+      .stripMargin
+  }
+
+  /** q226: export the planted page corpus as WARC (both arms), then
+    * RE-INGEST each export through the engine's own front door —
+    * plain records through the strict walk, gzip members through the
+    * q206 inflate — and emit the framed identity + verdicts + the
+    * extraction. The oracle never sees a WARC byte: it replays the
+    * DIRECT extraction per page × arm with `ok = true`, so any
+    * framing drift in the export (a mis-counted octet, a broken
+    * date, a corrupt member) flips a verdict or garbles a byte and
+    * the hash breaks.
+    */
+  private def warcExportQuery(s: SparkSession, dir: String): DataFrame = {
+    val pages = HtmlOps.plantedHtmlCorpus(t(s, dir, "documents"))
+      .withColumn("url", expr(
+        """concat('https://w', cast(doc_id % 7 as string), '.s',
+          | cast(doc_id % 5 as string), '.example/p/',
+          | cast(doc_id % 11 as string))""".stripMargin.replace("\n", " ")))
+      .withColumn("fetched_at_s",
+        lit(1767225600L) + (col("doc_id") % 97) * 3600L)
+    val plain = HtmlOps.httpFrame(HtmlOps.warcFrame(
+      HtmlOps.exportWarc(pages), "warc"))
+    val gz = HtmlOps.httpFrame(HtmlOps.warcFrame(
+      HtmlOps.gunzipWarcChunks(
+        HtmlOps.exportWarc(pages, gzip = true), "warc_gz"), "warc"))
+    def shape(df: DataFrame, arm: String) = df.select(col("doc_id"),
+      lit(arm).as("arm"), col("target_uri"), col("warc_date"),
+      HtmlOps.titleOf(col("body")).as("title"),
+      HtmlOps.extractedText(col("body")).as("text_clean"),
+      (col("length_ok") && col("http_ok") && col("body_ok")).as("ok"))
+    shape(plain, "plain").unionByName(shape(gz, "gzip"))
+  }
 
   /** The q225 oracle — the feeds REGENERATED byte-identically from
     * `generate_series` (dates via strftime from the same epoch

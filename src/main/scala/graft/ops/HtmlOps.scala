@@ -2260,6 +2260,66 @@ object HtmlOps {
       extra = Seq("published_s"))
   }
 
+  /** Q226: WARC EXPORT — the archive SINK. Everything upstream of
+    * here READS archives; a crawler must also WRITE its fetches, and
+    * the write must be octet-exact or every downstream consumer
+    * (including this engine) inherits mis-framed records. Per page:
+    * an ISO 28500 response record wrapping an HTTP/1.1 200 message —
+    * `Content-Length` counts the payload's UTF-8 OCTETS (the
+    * engine's established octet convention; the strict walk on the
+    * read side consumes exactly that), the body ships as UTF-8 under
+    * a declared `charset=utf-8`, `WARC-Date` formats from epoch
+    * seconds. `gzip = true` additionally compresses EACH record as
+    * its own gzip member (`warc_gz` binary column) — the Common
+    * Crawl per-record-member convention [[gunzipWarcChunks]] fronts.
+    *
+    * The correctness contract is ROUND-TRIP: re-ingesting an export
+    * through the engine's own front door must reproduce the source
+    * pages bit-identically (q226 holds both arms to the direct
+    * extraction's oracle — any framing drift flips a verdict or
+    * garbles a byte and the hash breaks). One stated seam: a
+    * CRLF-ENDING payload — a body ending in CRLF, or an EMPTY body,
+    * whose payload then ends at the header blank line — collides
+    * with [[warcFrame]]'s record-framing strip on the read side
+    * (the limitation documented there), so such a page round-trips
+    * to a `length_ok = false` VERDICT — never silent corruption
+    * (spec-pinned). Archive sinks hold page content, which is
+    * non-empty by construction in every corpus chain here. Pure codegen'd projection
+    * (concat + octet_length [+ the gzip transport]); zero exchanges.
+    */
+  def exportWarc(pages: DataFrame, urlCol: String = "url",
+                 bodyCol: String = "html",
+                 fetchedAtCol: String = "fetched_at_s",
+                 gzip: Boolean = false): DataFrame = {
+    graft.functions.GraftFunctions.register(pages.sparkSession)
+    val crlf = "\r\n"
+    val payload = concat(
+      lit("HTTP/1.1 200 OK" + crlf),
+      lit("Content-Type: text/html; charset=utf-8" + crlf),
+      lit(crlf), coalesce(col(bodyCol), lit("")))
+    val rec = concat(
+      lit("WARC/1.0" + crlf),
+      lit("WARC-Type: response" + crlf),
+      lit("WARC-Target-URI: "), col(urlCol), lit(crlf),
+      lit("WARC-Date: "), date_format(
+        col(fetchedAtCol).cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+      lit(crlf),
+      lit("Content-Length: "), octet_length(payload).cast("string"),
+      lit(crlf), lit(crlf),
+      payload, lit(crlf), lit(crlf))
+    if (gzip)
+      // the record chars ride the latin-1 transport identity into
+      // the compressor (the q206 convention — the member inflates
+      // back to the IDENTICAL char string, so declared lengths keep
+      // their unit); content above U+00FF is outside this arm's
+      // contract, exactly as it is outside every planted gzip chain
+      pages.select(col("doc_id"), rec.as("rec"))
+        .select(col("doc_id"),
+          encode(expr("gzip_transport(rec)"), "ISO-8859-1")
+            .as("warc_gz"))
+    else pages.select(col("doc_id"), rec.as("warc"))
+  }
+
   /** Q225's fixture: per-domain feeds — even domains RSS 2.0, odd
     * domains Atom, eight entries each on the planted hosts (paths
     * alternate `/p/…`, which the robots rule legs actually govern,

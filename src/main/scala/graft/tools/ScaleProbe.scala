@@ -253,7 +253,10 @@ object ScaleProbe {
     "q224_unified_refetch",
     // round-16: feed discovery — vocab-sized feeds through the
     // frontier tail; the 10× corpus grows only the stored key side
-    "q225_feed_seeds")
+    "q225_feed_seeds",
+    // round-16: warc export round trip — construct + (gzip) +
+    // re-frame per row, scan-bound; expected q184's class × 2 arms
+    "q226_warc_export")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

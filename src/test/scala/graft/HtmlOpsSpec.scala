@@ -986,6 +986,49 @@ class HtmlOpsSpec extends SparkSpec {
     }
   }
 
+  test("warc export (q226): round trip is identity, even for trap bodies") {
+    import spark.implicits._
+    // bodies chosen to break naive framing: one QUOTES a WARC record
+    // (version-line splitting would shatter it — only the strict
+    // octet walk survives), one ENDS in CRLF (the warcFrame
+    // record-framing strip eats it — the DOCUMENTED read-side
+    // limitation, so the round trip must yield the length_ok
+    // VERDICT, never silent corruption), one is empty
+    val trap = "<html><title>T</title><body>see WARC/1.0\r\n" +
+      "WARC-Type: response\r\nquoted</body></html>"
+    val crlfEnd = "<html><title>C</title><body>tail</body></html>\r\n"
+    val pages = Seq(
+      (1L, "https://a.example/p/1", trap),
+      (2L, "https://a.example/p/2", crlfEnd),
+      (3L, "https://a.example/p/3", ""))
+      .toDF("doc_id", "url", "html")
+      .withColumn("fetched_at_s", lit(1767225600L))
+    def ingest(chunks: org.apache.spark.sql.DataFrame) =
+      HtmlOps.httpFrame(HtmlOps.warcFrame(chunks, "warc"))
+        .select(col("doc_id"), col("target_uri"), col("warc_date"),
+          col("length_ok"), col("http_ok"), col("body_ok"), col("body"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getString(2), r.getBoolean(3) &&
+            r.getBoolean(4) && r.getBoolean(5), r.getString(6))).toMap
+    val plain = ingest(HtmlOps.exportWarc(pages))
+    val gz = ingest(HtmlOps.gunzipWarcChunks(
+      HtmlOps.exportWarc(pages, gzip = true), "warc_gz"))
+    for (m <- Seq(plain, gz)) {
+      assert(m.keySet === Set(1L, 2L, 3L))
+      assert(m(1L) === (("https://a.example/p/1",
+        "2026-01-01T00:00:00Z", true, trap)))
+      // CRLF-ending payloads (a body ending in CRLF, or an EMPTY
+      // body whose payload then ends at the header blank line): the
+      // strip shortens the payload below its declared length — the
+      // verdict is the audit trail, and the surviving bytes are
+      // exactly the stripped form
+      assert(!m(2L)._3)
+      assert(m(2L)._4 === crlfEnd.stripSuffix("\r\n"))
+      assert(!m(3L)._3)
+      assert(m(3L)._4 === "")
+    }
+  }
+
   test("feed discovery (q225): block-scoped parse, enclosure/self links excluded, newest-first cap") {
     import spark.implicits._
     val rss = "<rss><channel>" +
