@@ -2004,6 +2004,15 @@ object SparkEntry {
     // come back verdict-green and byte-identical to the direct
     // extraction
     "q226_warc_export" -> (warcExportQuery _),
+    // adaptive refetch (q227): the OBSERVED change signal — the
+    // content store's version history per canon sets the TTL at half
+    // the mean inter-change interval (integer arithmetic end to
+    // end); single-version canons take the default
+    "q227_adaptive_refetch" -> ((s, dir) => HtmlOps.adaptiveRefetchWave(
+      HtmlOps.plantedVersionHistory(s, 1767225600L),
+      nowS = 1767225600L + 3L * 86400L,
+      defaultTtlS = 2L * 86400L, minTtlS = 86400L,
+      maxTtlS = 30L * 86400L, ranks = epochRanks(s, dir))),
   )
 
   private val q192Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -5170,6 +5179,10 @@ object SparkEntry {
     // WARC export: the DIRECT extraction per page × arm, ok = true —
     // the round trip's framing is verified by the hash alone
     "q226_warc_export" -> q226Sql,
+    // adaptive refetch: the version history replayed closed-form
+    // (count/first/last from the fixture arithmetic), the same
+    // half-interval integer TTL, the q196 tail
+    "q227_adaptive_refetch" -> q227Sql,
     // redirect-aware frontier: both discovery channels replayed from
     // the regenerated chunk bytes into one candidate aggregation
     "q205_redirect_frontier" -> q205Sql,
@@ -6439,6 +6452,47 @@ object SparkEntry {
     """concat('https://s', cast(generate_series AS varchar),
       |    '.example/sitemap.xml') IN (SELECT durl FROM sdc)"""
       .stripMargin)
+
+  /** The q227 oracle — the fixture's version history in CLOSED FORM
+    * (per key: `1+k%5` versions at a `1+k%11`-day interval ending at
+    * t0, so count/first/last are arithmetic), the half-interval
+    * integer TTL (`//`, matching Spark's `div`), the default arm for
+    * single-version keys, and the q196 politeness tail.
+    */
+  private lazy val q227Sql = {
+    val t0 = 1767225600L
+    val now = t0 + 3L * 86400L
+    s"""WITH avk AS (SELECT generate_series AS k,
+       |  (generate_series % 5) + 1 AS nv,
+       |  (generate_series % 11) + 1 AS iv,
+       |  concat('https://w', cast(generate_series % 7 AS varchar), '.s',
+       |    cast(generate_series % 5 AS varchar), '.example/p/',
+       |    cast(generate_series AS varchar)) AS canon
+       |  FROM generate_series(0, 199)),
+       |avh AS (SELECT canon, CAST(nv AS BIGINT) AS n_versions,
+       |  CAST($t0 - (nv - 1) * iv * 86400 AS BIGINT) AS first_s,
+       |  CAST($t0 AS BIGINT) AS last_s FROM avk),
+       |avt AS (SELECT *, CASE WHEN n_versions <= 1
+       |    THEN CAST(172800 AS BIGINT)
+       |    ELSE least(greatest(
+       |      CAST((last_s - first_s) // ((n_versions - 1) * 2) AS BIGINT),
+       |      CAST(86400 AS BIGINT)), CAST(2592000 AS BIGINT)) END
+       |    AS ttl_s FROM avh),
+       |avd AS (SELECT * FROM avt
+       |  WHERE CAST($now AS BIGINT) - last_s >= ttl_s),
+       |avg2 AS (SELECT canon, ${duckDomainOf(
+      s"regexp_extract(canon, '^(?i)(?:https?:)?//([^/?#]+)', 1)")}
+       |    AS domain, n_versions, ttl_s, last_s FROM avd),
+       |avranks AS (SELECT domain, pr FROM (${hostRankSql()})),
+       |avj AS (SELECT g.*, coalesce(r.pr, 0) AS pr FROM avg2 g
+       |  LEFT JOIN avranks r USING (domain)),
+       |avfs AS (SELECT *, row_number() OVER (PARTITION BY domain
+       |  ORDER BY last_s ASC, canon ASC) AS slot FROM avj)
+       |SELECT canon, domain, n_versions, ttl_s, last_s,
+       |  CAST($now AS BIGINT) - last_s AS age_s, pr,
+       |  CAST(slot AS INT) AS slot
+       |FROM avfs WHERE slot <= 10""".stripMargin
+  }
 
   /** The q226 oracle — the direct page extraction (the q212 chain
     * over the regenerated html), the url/date regenerated from the

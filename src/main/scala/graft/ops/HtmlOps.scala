@@ -3974,6 +3974,91 @@ object HtmlOps {
       .select(col("canon"), col("m.body").as("body"),
         col("m.content_fetch_s").as("content_fetch_s"))
 
+  /** Q227: ADAPTIVE REFETCH from OBSERVED change history — the third
+    * vertex of the freshness triangle: q223/q224 schedule on what
+    * the publisher DECLARES, q219 on what the validator CLAIMS; this
+    * schedules on what the crawler has itself OBSERVED (the
+    * Cho/Garcia-Molina recrawl idea). The content store appends a
+    * version only when a fetch actually CHANGED a page (q213's
+    * log-structured discipline), so a canon's version history IS its
+    * change record: with `n` versions over span `last − first`, the
+    * observed mean inter-change interval is `span / (n−1)`, and the
+    * wave samples at HALF that interval (the Nyquist-style rate that
+    * bounds staleness by half an expected change period):
+    *
+    *   ttl = clamp((last − first) div (2·(n−1)), minTtl, maxTtl)
+    *
+    * — integer division end to end, so the oracle replays exactly.
+    * A single-version canon (never seen to change) has no estimate
+    * and takes `defaultTtlS`; due ⟺ now − last_version ≥ ttl. The
+    * politeness tail is the standard stalest-first cap; `n_versions`
+    * and `ttl_s` ride along so an operator can audit WHY a key was
+    * scheduled. Domains derive from the canonical key itself (a
+    * canon IS a URL form).
+    *
+    * Scale shape: one aggregation over the versions store (count +
+    * min/max — map-side partial, no body column read: column
+    * pruning keeps the scan to (canon, content_fetch_s)), then the
+    * broadcast-rank capped window. At 100 TB the store is
+    * hash-bucketed by canon (stated at [[appendContentVersions]]),
+    * making the reduction exchange-free.
+    */
+  def adaptiveRefetchWave(versions: DataFrame, nowS: Long,
+                          defaultTtlS: Long, minTtlS: Long,
+                          maxTtlS: Long, ranks: DataFrame,
+                          kPerDomain: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minTtlS > 0 && maxTtlS >= minTtlS && defaultTtlS > 0,
+      s"bad TTL bounds: default=$defaultTtlS min=$minTtlS max=$maxTtlS")
+    require(kPerDomain > 0, s"kPerDomain must be positive: $kPerDomain")
+    val hist = versions.groupBy(col("canon")).agg(
+      count(lit(1)).cast("long").as("n_versions"),
+      min(col("content_fetch_s")).as("first_s"),
+      max(col("content_fetch_s")).as("last_s"))
+    val ttl = when(col("n_versions") <= 1, lit(defaultTtlS))
+      .otherwise(least(greatest(
+        expr("(last_s - first_s) div ((n_versions - 1) * 2)"),
+        lit(minTtlS)), lit(maxTtlS)))
+    val due = hist.withColumn("ttl_s", ttl)
+      .filter(lit(nowS) - col("last_s") >= col("ttl_s"))
+      .withColumn("domain",
+        graft.ops.PiiOps.registrableDomain(hostOf(col("canon"))))
+      .join(broadcast(ranks.select(col("domain"), col("pr"))),
+        Seq("domain"), "left")
+      .withColumn("pr", coalesce(col("pr"), lit(0L)))
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("last_s").asc, col("canon").asc)
+    due.withColumn("slot", row_number().over(w))
+      .filter(col("slot") <= kPerDomain)
+      .select(col("canon"), col("domain"), col("n_versions"),
+        col("ttl_s"), col("last_s"),
+        (lit(nowS) - col("last_s")).as("age_s"), col("pr"),
+        col("slot").cast("int").as("slot"))
+  }
+
+  /** Q227's fixture: a version history per planted key `k` (0-199):
+    * `1 + k%5` versions at a regular `1 + k%11`-day inter-change
+    * interval ending at the shared instant `t0` — so the observed
+    * interval is exact by construction, single-version keys
+    * (`k%5==0`) exercise the no-estimate default arm, and the
+    * half-interval TTL splits due/fresh across the key space at
+    * `now = t0 + 3 days`.
+    */
+  def plantedVersionHistory(spark: org.apache.spark.sql.SparkSession,
+                            t0: Long): DataFrame = {
+    val d = spark.range(200).select(col("id").cast("long").as("k"))
+    d.select(
+        concat(lit("https://w"), (col("k") % 7).cast("string"),
+          lit(".s"), (col("k") % 5).cast("string"),
+          lit(".example/p/"), col("k").cast("string")).as("canon"),
+        ((col("k") % 5) + 1).as("nv"), ((col("k") % 11) + 1).as("iv"))
+      .select(col("canon"), col("iv"),
+        explode(sequence(lit(0L), col("nv") - 1)).as("i"))
+      .select(col("canon"),
+        concat(lit("v"), col("i").cast("string")).as("body"),
+        (lit(t0) - col("i") * col("iv") * 86400L).as("content_fetch_s"))
+  }
+
   /** Q195: the CRAWL FUNNEL — per target domain, how many link
     * occurrences survive each pipeline stage: attributable links →
     * blocklist → robots → candidate keys → unseen keys → scheduled

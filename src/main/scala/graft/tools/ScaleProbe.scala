@@ -256,7 +256,10 @@ object ScaleProbe {
     "q225_feed_seeds",
     // round-16: warc export round trip — construct + (gzip) +
     // re-frame per row, scan-bound; expected q184's class × 2 arms
-    "q226_warc_export")
+    "q226_warc_export",
+    // round-16: adaptive refetch — one pruned aggregation over a
+    // fixed-size planted store; expected flat (input never scales)
+    "q227_adaptive_refetch")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

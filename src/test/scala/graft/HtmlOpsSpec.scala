@@ -986,6 +986,39 @@ class HtmlOpsSpec extends SparkSpec {
     }
   }
 
+  test("adaptive refetch (q227): observed inter-change interval sets the TTL at half rate") {
+    import spark.implicits._
+    val t0 = 1767225600L
+    def v(canon: String, daysAgo: Long*) = daysAgo.map(d =>
+      (canon, s"b$d", t0 - d * 86400L))
+    val versions = (
+      // churns every 2 days (4 versions) → ttl 1d → due at now=t0+3d
+      v("https://a.example/hot", 0, 2, 4, 6) ++
+      // churns every 20 days → ttl 10d → fresh at 3d age
+      v("https://a.example/cold", 0, 20, 40) ++
+      // churned once, 1 day apart → ttl clamps UP to minTtl 1d → due
+      v("https://a.example/rapid", 0, 1) ++
+      // never changed: the default arm (2d ≤ 3d → due)
+      v("https://a.example/static", 0) ++
+      // irregular history: span 9d over 2 intervals → mean 4.5d →
+      // ttl 2.25d (integer: 194400) → due at 3d age
+      v("https://a.example/mixed", 0, 1, 9))
+      .toDF("canon", "body", "content_fetch_s")
+    val ranks = Seq(("a.example", 1L)).toDF("domain", "pr")
+    val out = HtmlOps.adaptiveRefetchWave(versions,
+        nowS = t0 + 3L * 86400L, defaultTtlS = 2L * 86400L,
+        minTtlS = 86400L, maxTtlS = 30L * 86400L, ranks = ranks)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet === Set("https://a.example/hot",
+      "https://a.example/rapid", "https://a.example/static",
+      "https://a.example/mixed"))
+    assert(out("https://a.example/hot") === ((4L, 86400L)))
+    assert(out("https://a.example/rapid") === ((2L, 86400L)))
+    assert(out("https://a.example/static") === ((1L, 172800L)))
+    assert(out("https://a.example/mixed") === ((3L, 194400L)))
+  }
+
   test("warc export (q226): round trip is identity, even for trap bodies") {
     import spark.implicits._
     // bodies chosen to break naive framing: one QUOTES a WARC record
