@@ -105,7 +105,8 @@ def impl_of(snippet):
                 # prefer the gate/probe call (what the query RETURNS)
                 # over the cached artifact build or the exact baseline
                 pref = [x for x in ms if re.search(
-                    r'Gate|probe|search|load|merge|audit|Frontier|Loop', x.group(2))]
+                    r'Gate|probe|search|load|merge|audit|Frontier|Loop|export|apply',
+                    x.group(2))]
                 # the RETURNED call is the last in source order — a
                 # scope-builder earlier in the helper (e.g. q211's
                 # wave-0 redirectFrontier seeding) must not win
@@ -118,22 +119,41 @@ spec_text = {f: open(f).read() for f in glob.glob("src/test/scala/graft/*.scala"
 
 def spec_of(name, impl):
     qnum = name.split("_")[0]
-    hits = [f for f, t in spec_text.items() if name in t or f"{qnum}:" in t or f"{qnum} " in t]
+    hits = [f for f, t in spec_text.items() if name in t or f"{qnum}:" in t
+            or f"{qnum} " in t or f"({qnum})" in t]
     if not hits and "." in impl:
         meth = impl.split(".")[1]
         hits = [f for f, t in spec_text.items() if meth in t]
     if not hits:
         return "EntrySpec (registry smoke)"
-    pick = sorted(hits, key=lambda f: ("EntrySpec" in f, len(f)))[0]
+    # a suite whose TEST TITLE names the query (a dedicated leg)
+    # outranks one that merely lists it in a sweep table (the
+    # PlanSpec frame-heavy list would otherwise shadow every
+    # dedicated HtmlOpsSpec leg, being the shorter filename)
+    def titled(f):
+        return any(re.search(rf'\b{qnum}\b', line) or name in line
+                   for line in spec_text[f].splitlines()
+                   if re.search(r'\btest\("', line))
+    pick = sorted(hits,
+                  key=lambda f: ("EntrySpec" in f, not titled(f), len(f)))[0]
     return pick.split("/")[-1].replace(".scala", "")
 
 def sort_key(n):
     return int(re.match(r"q(\d+)", n).group(1))
 
+# composite entries whose one-op heuristic undersells the chain —
+# stated explicitly rather than heuristically (the q220/q226 shapes:
+# a parse/export stage FEEDING the attributed op is the query's point)
+IMPL_OVERRIDES = {
+    "q218_warc_revisit": "HtmlOps.applyRevisits",
+    "q220_sitemap_discovery": "HtmlOps.parseSitemapDecls` → `sitemapSeedsTree",
+    "q226_warc_export": "HtmlOps.exportWarc` → re-ingest via `warcIngest",
+}
+
 print("| query | implementation | oracle | spec |")
 print("|---|---|---|---|")
 for name in sorted(entries, key=sort_key):
-    impl = impl_of(entries[name])
+    impl = IMPL_OVERRIDES.get(name) or impl_of(entries[name])
     kind = oracle_kind.get(name, "(rows-only)")
     print(f"| {name} | `{impl}` | {kind} | {spec_of(name, impl)} |")
 print()
