@@ -2013,6 +2013,15 @@ object SparkEntry {
       nowS = 1767225600L + 3L * 86400L,
       defaultTtlS = 2L * 86400L, minTtlS = 86400L,
       maxTtlS = 30L * 86400L, ranks = epochRanks(s, dir))),
+    // rank-proportional crawl budgets (q228): the q191 wave with the
+    // flat per-domain cap replaced by clamp((B·pr) div Σpr) slots —
+    // the budget-allocation knob; the chosen cap rides each row
+    "q228_budgeted_frontier" -> ((s, dir) => HtmlOps.budgetedFrontier(
+      HtmlOps.plantedHtmlCorpus(t(s, dir, "documents")),
+      frontierScope(s, dir), "urlkeys", epochRanks(s, dir),
+      HtmlOps.plantedRobotsRules(s), totalBudget = 60,
+      maxPerDomain = 15,
+      budgetRanks = Some(HtmlOps.plantedDomainWeights(s)))),
   )
 
   private val q192Scopes = new java.util.concurrent.ConcurrentHashMap[String, graft.core.Scope]()
@@ -5183,6 +5192,9 @@ object SparkEntry {
     // (count/first/last from the fixture arithmetic), the same
     // half-interval integer TTL, the q196 tail
     "q227_adaptive_refetch" -> q227Sql,
+    // rank-proportional budgets: the q191 chain with the cap filter
+    // swapped for the clamp((B*pr) // tot) budget join
+    "q228_budgeted_frontier" -> q228Sql,
     // redirect-aware frontier: both discovery channels replayed from
     // the regenerated chunk bytes into one candidate aggregation
     "q205_redirect_frontier" -> q205Sql,
@@ -6452,6 +6464,33 @@ object SparkEntry {
     """concat('https://s', cast(generate_series AS varchar),
       |    '.example/sitemap.xml') IN (SELECT durl FROM sdc)"""
       .stripMargin)
+
+  /** The q228 oracle — the q191 frontier chain reused verbatim up to
+    * its pre-cap stage (`ffs`), then the budget CTE (clamped
+    * integer-division share of Σpr, floored at 1) joined in and the
+    * cap filter swapped from the flat 10 to the per-domain budget;
+    * unranked domains take the 1-slot floor.
+    */
+  private lazy val q228Sql =
+    s"""WITH $duckRobotsRuleCtes,
+       |${frontierCtes("f", robots = true)},
+       |bw AS (SELECT concat('s', cast(generate_series AS varchar),
+       |    '.example') AS domain,
+       |  CAST(CASE WHEN generate_series = 6 THEN 500
+       |       ELSE (generate_series + 1) * (generate_series + 1)
+       |       END AS BIGINT) AS pr
+       |  FROM generate_series(0, 12)),
+       |btot AS (SELECT greatest(CAST(sum(pr) AS BIGINT), 1) AS tot
+       |  FROM bw),
+       |bbud AS (SELECT domain,
+       |  CAST(least(greatest((CAST(60 AS BIGINT) * pr) // tot, 1), 15)
+       |    AS INT) AS k_domain
+       |  FROM bw, btot)
+       |SELECT f.canon, f.url, f.domain, f.n_refs,
+       |  coalesce(b.k_domain, 1) AS k_domain, f.pr,
+       |  CAST(f.slot AS INT) AS slot
+       |FROM ffs f LEFT JOIN bbud b USING (domain)
+       |WHERE f.slot <= coalesce(b.k_domain, 1)""".stripMargin
 
   /** The q227 oracle — the fixture's version history in CLOSED FORM
     * (per key: `1+k%5` versions at a `1+k%11`-day interval ending at

@@ -1551,6 +1551,74 @@ object HtmlOps {
     frontierFromLinks(politeGatedLinks(pages, rules, basePathCol),
       scope, name, ranks, kPerDomain)
 
+  /** Q228: RANK-PROPORTIONAL crawl BUDGETS — the per-domain cap
+    * table [[budgetedFrontier]] feeds the admission tail: domain `d`
+    * gets `clamp((totalBudget · pr_d) div Σpr, min, max)` politeness
+    * slots (integer arithmetic end to end, Σpr floored at 1 so a
+    * rank table of zeros degrades to the minimum everywhere, never a
+    * division error). This is the crawl-budget allocation knob every
+    * production crawler carries: a flat per-domain cap spends as
+    * much of the wave on a spam farm as on the highest-authority
+    * host; weighting by the rank artifact concentrates fetches where
+    * the link graph says the value is, while the min floor keeps
+    * every known domain crawlable (no starvation). Vocabulary-sized
+    * input and output — always a broadcast.
+    */
+  def rankBudgets(ranks: DataFrame, totalBudget: Int,
+                  minPerDomain: Int = 1,
+                  maxPerDomain: Int = 50): DataFrame = {
+    require(totalBudget > 0, s"totalBudget must be positive: $totalBudget")
+    require(minPerDomain > 0 && maxPerDomain >= minPerDomain,
+      s"bad budget bounds: min=$minPerDomain max=$maxPerDomain")
+    val tot = ranks.agg(
+      greatest(sum(col("pr")), lit(1L)).as("tot"))
+    ranks.crossJoin(broadcast(tot))
+      .select(col("domain"),
+        least(greatest(
+          expr(s"(CAST($totalBudget AS BIGINT) * pr) div tot"),
+          lit(minPerDomain.toLong)), lit(maxPerDomain.toLong))
+          .cast("int").as("k_domain"))
+  }
+
+  /** Q228: the polite frontier under RANK-PROPORTIONAL budgets —
+    * identical admission head and tail to [[politeFrontier]] (gates,
+    * trap filter, canonical aggregation, anti-join, rank ordering),
+    * with the flat per-domain cap replaced by [[rankBudgets]]'
+    * table; unranked domains take `minPerDomain`. The chosen cap is
+    * emitted per row (`k_domain`) so the allocation is auditable.
+    */
+  /** @param budgetRanks optional SEPARATE weight table for the
+    *                     allocation (domain, pr) — a crawl often
+    *                     budgets on a business-weighted score while
+    *                     ORDERING within a domain stays the link
+    *                     rank; None budgets on `ranks` itself.
+    */
+  def budgetedFrontier(pages: DataFrame, scope: graft.core.Scope,
+                       name: String, ranks: DataFrame, rules: DataFrame,
+                       totalBudget: Int, minPerDomain: Int = 1,
+                       maxPerDomain: Int = 50,
+                       basePathCol: Option[String] = None,
+                       budgetRanks: Option[DataFrame] = None): DataFrame =
+    frontierFromLinks(politeGatedLinks(pages, rules, basePathCol),
+      scope, name, ranks, minPerDomain,
+      caps = Some(rankBudgets(budgetRanks.getOrElse(ranks), totalBudget,
+        minPerDomain, maxPerDomain)))
+
+  /** Q228's planted allocation weights: a deliberately SKEWED
+    * per-domain score (quadratic ramp `(k+1)²`, with `s6` — a domain
+    * whose candidates SURVIVE the robots gate — spiked to 500) so
+    * the budget arithmetic's floor, proportional, and ceiling arms
+    * are all observable in the scheduled wave — the epoch PageRank
+    * over the planted graph is near-uniform and would exercise none
+    * of them, and a spike on a gated-away domain would too.
+    */
+  def plantedDomainWeights(
+      spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.range(13).select(
+      concat(lit("s"), col("id"), lit(".example")).as("domain"),
+      when(col("id") === 6, lit(500L))
+        .otherwise((col("id") + 1L) * (col("id") + 1L)).as("pr"))
+
   /** The shared q191/q201 admission HEAD: attributable unblocked
     * outlinks, RESOLVED, then robots-gated. Gating the RESOLVED
     * candidate is the invariant: a path-relative href has no path of
@@ -4177,7 +4245,8 @@ object HtmlOps {
   private def frontierFromLinks(links: DataFrame, scope: graft.core.Scope,
                                 name: String, ranks: DataFrame,
                                 kPerDomain: Int,
-                                excludeRecent: Option[DataFrame] = None)
+                                excludeRecent: Option[DataFrame] = None,
+                                caps: Option[DataFrame] = None)
       : DataFrame = {
     val cands = links
       .withColumn("url", resolvedUrl(col("url"), col("host")))
@@ -4193,7 +4262,7 @@ object HtmlOps {
         count(lit(1)).cast("long").as("n_refs"))
     frontierTail(cands, scope, name, ranks, kPerDomain,
       orderBy = Seq(col("n_refs").desc, col("canon").asc),
-      extra = Seq.empty, excludeRecent = excludeRecent)
+      extra = Seq.empty, excludeRecent = excludeRecent, caps = caps)
   }
 
   /** The shared frontier ADMISSION TAIL over an aggregated candidate
@@ -4208,7 +4277,8 @@ object HtmlOps {
                            name: String, ranks: DataFrame,
                            kPerDomain: Int, orderBy: Seq[Column],
                            extra: Seq[String],
-                           excludeRecent: Option[DataFrame] = None)
+                           excludeRecent: Option[DataFrame] = None,
+                           caps: Option[DataFrame] = None)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(kPerDomain > 0, s"kPerDomain must be positive: $kPerDomain")
@@ -4228,11 +4298,24 @@ object HtmlOps {
       .join(broadcast(ranks.select(col("domain"), col("pr"))),
         Seq("domain"), "left")
       .withColumn("pr", coalesce(col("pr"), lit(0L)))
+    // the q228 budget variant: a PER-DOMAIN cap table (vocab-sized,
+    // broadcast) replaces the flat cap — kPerDomain becomes the
+    // default for domains the table omits, and the chosen cap rides
+    // the output as `k_domain` so a wave is auditable
+    val capped = caps match {
+      case Some(b) => ranked
+        .join(broadcast(b.select(col("domain"), col("k_domain"))),
+          Seq("domain"), "left")
+        .withColumn("k_domain",
+          coalesce(col("k_domain"), lit(kPerDomain)).cast("int"))
+      case None => ranked.withColumn("k_domain", lit(kPerDomain))
+    }
     val w = Window.partitionBy(col("domain")).orderBy(orderBy: _*)
-    ranked.withColumn("slot", row_number().over(w))
-      .filter(col("slot") <= kPerDomain)
-      .select((Seq("canon", "url", "domain", "n_refs") ++ extra)
-        .map(col) ++ Seq(col("pr"), col("slot").cast("int").as("slot")): _*)
+    val out = capped.withColumn("slot", row_number().over(w))
+      .filter(col("slot") <= col("k_domain"))
+    out.select((Seq("canon", "url", "domain", "n_refs") ++ extra)
+      .map(col) ++ (if (caps.isDefined) Seq(col("k_domain")) else Nil) ++
+      Seq(col("pr"), col("slot").cast("int").as("slot")): _*)
   }
 
   /** Q190's fixture: parsed robots-exclusion rules for the planted

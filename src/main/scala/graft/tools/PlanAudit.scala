@@ -149,6 +149,7 @@ object PlanAudit {
     "q225_feed_seeds",    // vocab-sized feed parse through the frontier tail
     "q226_warc_export",   // export projection + both re-ingest arms, no joins
     "q227_adaptive_refetch", // pruned version-store agg + capped window
+    "q228_budgeted_frontier", // q191's plan + one broadcast budget join
     "q10_event_window")   // normalized-ts scan straight into windowed agg
 
   /** The round-14 regression's machine-checkable SIGNATURE (round-16

@@ -259,7 +259,10 @@ object ScaleProbe {
     "q226_warc_export",
     // round-16: adaptive refetch — one pruned aggregation over a
     // fixed-size planted store; expected flat (input never scales)
-    "q227_adaptive_refetch")
+    "q227_adaptive_refetch",
+    // round-16: budgeted frontier — q191's plan + one broadcast
+    // budget join; expected q191's class
+    "q228_budgeted_frontier")
 
   private def markerSafeText(k: Int): org.apache.spark.sql.Column = {
     val markers = TextOps.langMarkers.map(_._1)

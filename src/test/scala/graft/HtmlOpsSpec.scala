@@ -986,6 +986,26 @@ class HtmlOpsSpec extends SparkSpec {
     }
   }
 
+  test("rank budgets (q228): proportional share with floor/ceiling clamps; zero-sum degrades to the floor") {
+    import spark.implicits._
+    val ranks = Seq(("big.example", 80L), ("mid.example", 15L),
+      ("small.example", 1L), ("zero.example", 0L))
+      .toDF("domain", "pr")
+    val b = HtmlOps.rankBudgets(ranks, totalBudget = 96,
+        minPerDomain = 2, maxPerDomain = 50)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // tot = 96: big 80 → 80 slots → capped 50; mid 15 → 15;
+    // small 1 → 1 → floored 2; zero → floored 2
+    assert(b === Map("big.example" -> 50, "mid.example" -> 15,
+      "small.example" -> 2, "zero.example" -> 2))
+    // an all-zero rank table must not divide by zero — every domain
+    // takes the floor
+    val z = HtmlOps.rankBudgets(
+        Seq(("a.example", 0L)).toDF("domain", "pr"), 10)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(z === Map("a.example" -> 1))
+  }
+
   test("adaptive refetch (q227): observed inter-change interval sets the TTL at half rate") {
     import spark.implicits._
     val t0 = 1767225600L
