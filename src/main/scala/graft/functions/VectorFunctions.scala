@@ -166,7 +166,31 @@ object GraftFunctions {
       (args: Seq[Expression]) => ResolvedUrl(args(0), args(1), args(2))),
     (FunctionIdentifier("url_path"),
       new ExpressionInfo(classOf[UrlPath].getName, "url_path"),
-      (args: Seq[Expression]) => UrlPath(args(0))))
+      (args: Seq[Expression]) => UrlPath(args(0))),
+    (FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinhashBands].getName, "minhash_bands"),
+      (args: Seq[Expression]) => MinhashBands(args(0),
+        GraftFunctions.intLit(args(1), "minhash_bands.numHashes"),
+        GraftFunctions.intLit(args(2), "minhash_bands.bandSize"),
+        GraftFunctions.intLit(args(3), "minhash_bands.shingleSize"))),
+    (FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[Simhash60].getName, "simhash60"),
+      (args: Seq[Expression]) => Simhash60(args(0),
+        GraftFunctions.intLit(args(1), "simhash60.bits"))),
+    (FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+      (args: Seq[Expression]) => WinnowFps(args(0),
+        GraftFunctions.intLit(args(1), "winnow_fps.k"),
+        GraftFunctions.intLit(args(2), "winnow_fps.w"))))
+
+  /** Geometry arguments of the signature functions must be integer
+    * LITERALS — they shape the expression, they are not data.
+    */
+  private[functions] def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
 
   /** Idempotent in-session registration. */
   def register(spark: SparkSession): Unit = all.foreach { case (id, info, builder) =>

@@ -51,22 +51,6 @@ object DedupOps {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "fp", "n_copies")
 
-  /** MinHash signatures, one row per doc: (doc_id, h0..h{k-1}) where
-    * hᵢ = min over shingles of md5("i:" || shingle). All k minima are
-    * aggregate columns of ONE hash aggregation — no seed explode, no
-    * k× row blowup; partial min-agg combines map-side, so the shuffle
-    * carries one (doc_id, k×32-byte) row per doc per partition.
-    */
-  private def minhashSignature(documents: DataFrame, numHashes: Int, shingleSize: Int): DataFrame =
-    par(documents)
-      .withColumn("w", expr(tokensExpr))
-      .select(col("doc_id"), explode(expr(shingleExpr(shingleSize))).as("g"))
-      .groupBy("doc_id")
-      .agg(
-        min(md5(concat(lit("0"), lit(":"), col("g")))).as("h0"),
-        (1 until numHashes).map(s =>
-          min(md5(concat(lit(s.toString), lit(":"), col("g")))).as(s"h$s")): _*)
-
   /** Q13: MinHash + LSH banding near-dup candidates. Bands of
     * `bandSize` consecutive signature slots are hashed; docs sharing
     * any (band, bandHash) bucket become a candidate pair. The band
@@ -86,14 +70,20 @@ object DedupOps {
     // the band artifact; fail fast instead
     require(numHashes % bandSize == 0,
       s"numHashes ($numHashes) must be a multiple of bandSize ($bandSize)")
-    val sig = minhashSignature(documents, numHashes, shingleSize)
-    val nBands = numHashes / bandSize
-    val bandCols = (0 until nBands).map { b =>
-      val slots = (b * bandSize until (b + 1) * bandSize).map(s => s"h$s")
-      s"struct(${b}L as b, md5(concat_ws('|', ${slots.mkString(", ")})) as bh)"
-    }
-    sig.select(col("doc_id"),
-      explode(expr(s"array(${bandCols.mkString(", ")})")).as("band"))
+    // round-16: the fused per-row native form (graft.functions
+    // MinhashBands) — same md5 seeds, same lexicographic minima, same
+    // band hashes (SignatureFunctionsSpec pins equivalence to the
+    // explode+groupBy-min shape this replaced). A document's shingles
+    // all come from its own row, so the per-document minima never
+    // needed an exchange: this removes one corpus-wide HashAggregate +
+    // Exchange per invocation AND the per-shingle hex/string churn
+    // (one reused digest, byte-compared minima).
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    par(documents)
+      .withColumn("w", expr(tokensExpr))
+      .select(col("doc_id"), explode(
+        expr(s"minhash_bands(w, $numHashes, $bandSize, $shingleSize)"))
+        .as("band"))
       .select(col("doc_id"), col("band.b").as("b"), col("band.bh").as("bh"))
   }
 
@@ -114,24 +104,19 @@ object DedupOps {
                           keep: Seq[String] = Nil): DataFrame = {
     require(numHashes % bandSize == 0, // see minhashBands
       s"numHashes ($numHashes) must be a multiple of bandSize ($bandSize)")
-    val sigCols = (0 until numHashes).map(s =>
-      expr(s"array_min(transform(sarr, g -> md5(concat('$s', ':', g))))")
-        .as(s"h$s"))
-    val nBands = numHashes / bandSize
-    val bandCols = (0 until nBands).map { b =>
-      val slots = (b * bandSize until (b + 1) * bandSize).map(s => s"h$s")
-      s"struct(${b}L as b, md5(concat_ws('|', ${slots.mkString(", ")})) as bh)"
-    }
+    // round-16: same fused native expression as the batch form — the
+    // two paths can no longer diverge because they ARE one computation
+    // (the explode of an empty band array drops shingle-less docs,
+    // replacing the explicit size(sarr) > 0 filter bit-identically).
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     // `keep` columns (e.g. the event-time column a streaming caller
     // watermarks on) ride through the stateless projection untouched
     val kept = keep.map(col)
     documents
       .withColumn("w", expr(tokensExpr))
-      .withColumn("sarr", expr(shingleExpr(shingleSize)))
-      .filter(size(col("sarr")) > 0) // shingle-less docs have no bands
-      .select(col("doc_id") +: kept ++: sigCols: _*)
-      .select(col("doc_id") +: kept :+
-        explode(expr(s"array(${bandCols.mkString(", ")})")).as("band"): _*)
+      .select(col("doc_id") +: kept :+ explode(
+        expr(s"minhash_bands(w, $numHashes, $bandSize, $shingleSize)"))
+        .as("band"): _*)
       .select(col("doc_id") +: kept :+
         col("band.b").as("b") :+ col("band.bh").as("bh"): _*)
   }
@@ -339,19 +324,20 @@ object DedupOps {
     * select assembles the signature from the vote signs.
     */
   def simhashSignatures(documents: DataFrame): DataFrame = {
-    val votes = par(documents)
-      .select(col("doc_id"), explode(expr(tokensExpr)).as("tok"))
+    // round-16: fused per-row native form (graft.functions.Simhash60)
+    // — same per-token `conv(substr(md5(tok),1,15),16,10)` hash, same
+    // ±1 vote arithmetic (exact integers, order-independent), same
+    // bit assembly; SignatureFunctionsSpec pins equivalence to the
+    // explode + 60-sum-column aggregation this replaced (which
+    // exchanged the corpus only to add up votes that all came from
+    // one input row). Token-less docs emitted no vote row there and
+    // are filtered here — same absent-row contract.
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    par(documents)
+      .withColumn("w", expr(tokensExpr))
+      .filter(size(col("w")) > 0)
       .select(col("doc_id"),
-        expr("cast(conv(substr(md5(tok), 1, 15), 16, 10) as bigint)").as("th"))
-      .groupBy("doc_id")
-      .agg(
-        sum(expr("case when ((th >> 0) & 1) = 1 then 1 else -1 end")).as("v0"),
-        (1 until simhashBits).map(j =>
-          sum(expr(s"case when ((th >> $j) & 1) = 1 then 1 else -1 end")).as(s"v$j")): _*)
-    val assemble = (0 until simhashBits)
-      .map(j => s"(case when v$j > 0 then ${1L << j}L else 0L end)")
-      .mkString(" + ")
-    votes.select(col("doc_id"), expr(s"cast($assemble as bigint)").as("simhash"))
+        expr(s"simhash60(w, $simhashBits)").as("simhash"))
   }
 
   /** Each doc's 4 (band index, 15-bit band value) rows — the bucketing
@@ -469,15 +455,21 @@ object DedupOps {
     * docs too short for one full window contribute nothing.
     */
   def winnowedFingerprints(documents: DataFrame, k: Int = 5,
-                           w: Int = 4): DataFrame =
+                           w: Int = 4): DataFrame = {
+    // round-16: fused per-row native form (graft.functions.WinnowFps)
+    // — same k-shingle md5s, same w-window minima (selected on digest
+    // BYTES, whose order lowercase hex encoding preserves), same
+    // array_distinct set; the composable transform/slice/array_min
+    // chain allocated a slice + joined string + hex string per
+    // (position × window) and is pinned equivalent in
+    // SignatureFunctionsSpec. The explode of an empty fingerprint
+    // array drops too-short docs exactly like the size filter did.
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     par(documents)
       .withColumn("w", expr(tokensExpr))
-      .filter(expr(s"size(w) >= ${k + w - 1}"))
-      .withColumn("hs", expr(
-        s"transform(sequence(0, size(w) - $k), i -> md5(concat_ws(' ', slice(w, i + 1, $k))))"))
-      .select(col("doc_id"), explode(expr(
-        s"array_distinct(transform(sequence(0, size(hs) - $w), p -> array_min(slice(hs, p + 1, $w))))"))
-        .as("fp"))
+      .select(col("doc_id"),
+        explode(expr(s"winnow_fps(w, $k, $w)")).as("fp"))
+  }
 
   /** Q85b: passage-level duplication candidates — pairs of documents
     * sharing at least one winnowed fingerprint, i.e. (by the gap

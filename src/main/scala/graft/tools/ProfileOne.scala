@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.scheduler._
+import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
+
+/** Stage-level profile of one registry query: run it like the bench
+  * does (warm once, then timed) with a listener that records every
+  * stage's wall time, task count and shuffle volume. The output is the
+  * optimization round's measurement tool — it says whether a query's
+  * seconds are a few heavy stages (compute-bound: fix the operator) or
+  * many tiny ones (latency-bound: fix the job/stage COUNT).
+  *
+  * Usage: tools/run_tool.sh graft.tools.ProfileOne <query> [sfDir]
+  */
+object ProfileOne {
+  final case class StageRow(id: Int, name: String, tasks: Int,
+                            wallMs: Long, taskMs: Long,
+                            shufReadMB: Double, shufWriteMB: Double)
+
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.io.Tables.all.foreach(t =>
+      try graft.io.Tables.parquet(spark, sfDir, t).count()
+      catch { case _: Throwable => })
+
+    // warm run (codegen/JIT) exactly like the bench
+    graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+
+    val stages = mutable.ArrayBuffer.empty[StageRow]
+    var nJobs = 0
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        synchronized { nJobs += 1 }
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        synchronized {
+          val i = s.stageInfo
+          val wall = (for {a <- i.completionTime; b <- i.submissionTime}
+            yield a - b).getOrElse(-1L)
+          val m = i.taskMetrics
+          stages += StageRow(i.stageId,
+            i.name.takeWhile(_ != '\n').take(90), i.numTasks, wall,
+            m.executorRunTime,
+            m.shuffleReadMetrics.totalBytesRead / 1e6,
+            m.shuffleWriteMetrics.bytesWritten / 1e6)
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    graft.SparkEntry.queries(name)(spark, sfDir).count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(500) // let the listener bus drain
+    println(f"TOTAL $name $dt%.3f s  jobs=$nJobs stages=${stages.size} " +
+      f"stageWallSum=${stages.map(_.wallMs).sum / 1000.0}%.2f s")
+    stages.sortBy(-_.wallMs).take(40).foreach { s =>
+      println(f"  ${s.wallMs}%6d ms wall ${s.taskMs}%7d ms task ${s.tasks}%4d t " +
+        f"r=${s.shufReadMB}%8.2f MB w=${s.shufWriteMB}%8.2f MB  [${s.id}] ${s.name}")
+    }
+    spark.stop()
+  }
+}
