@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType, StructField, StructType}
 
 /** Native Catalyst expression for the float-vector dot product — the
   * hot inner loop of similarity search (SURVEY §2.2 Q13/Q16-Q17).
@@ -122,6 +122,126 @@ object RollingHash {
   }
 }
 
+/** Shared fixed-point vector arithmetic of the q113/q114/q117/q119
+  * family (round-16 optimization): one quantization definition —
+  * `round(x.toDouble * 2^scaleBits)` with Spark's Round semantics
+  * (BigDecimal.valueOf, HALF_UP), cast to long — used by all three
+  * native expressions below so the fused forms cannot drift from the
+  * composable `transform(c, x -> round(x * s) cast long)` they
+  * replaced (VectorFixedPointSpec pins row-for-row equivalence).
+  */
+private[graft] object VecFx {
+  def quantize(x: Float, s: Long): Long =
+    java.math.BigDecimal.valueOf(x.toDouble * s)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
+  def quantizeArr(a: ArrayData, s: Long): Array[Long] = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = quantize(a.getFloat(i), s); i += 1 }
+    out
+  }
+
+  /** Σ (quantize(emb_i) − sq_i)² over min(dims) — the zip_with/
+    * aggregate chain's semantics (zip_with pads the shorter side with
+    * nulls, which the composable form would turn into a null distance;
+    * inputs here always agree on dims, and the spec pins the shared
+    * case).
+    */
+  def d2(emb: ArrayData, sq: ArrayData, s: Long): Long = {
+    val n = math.min(emb.numElements(), sq.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = quantize(emb.getFloat(i), s) - sq.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+}
+
+/** `vec_quantize_fx(embedding, scaleBits)` → array<long>: the fixed-
+  * point quantization `transform(embedding, x -> cast(round(cast(x as
+  * double) * 2^scaleBits) as long))` as one primitive loop (the
+  * interpreted higher-order form paid a lambda dispatch + BigDecimal
+  * boxing per element per row).
+  */
+case class VecQuantizeFx(child: Expression, scaleBits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "vec_quantize_fx"
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VecFx.quantizeArr(input.asInstanceOf[ArrayData], 1L << scaleBits))
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `vec_l2q(embedding, sq, scaleBits)` → long: quantize + squared-L2
+  * against a long vector in one pass — the per-row distance of the
+  * centroid-outlier gate (q119).
+  */
+case class VecL2Q(left: Expression, right: Expression, scaleBits: Int)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "vec_l2q"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecFx.d2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      1L << scaleBits)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `l2q_argmin(embedding, seeds, scaleBits)` → struct<d2: long,
+  * cid: int>: the k-means assignment argmin (q114/q117) — nearest
+  * seed by quantized squared L2, ties to the smaller cid (exactly the
+  * `element_at(array_sort(transform(seeds, struct(d2, cid))), 1)`
+  * chain it replaces, which sorted k structs per row through
+  * interpreted lambdas). Seeds are read by field ORDINAL (0: int cid,
+  * 1: array<long> sq), matching both the `typedlit(Seq[(Int,
+  * Seq[Long])])` literal and any struct<cid, sq> column.
+  */
+case class L2QArgmin(left: Expression, right: Expression, scaleBits: Int)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("d2", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("cid", org.apache.spark.sql.types.IntegerType, nullable = false)))
+  override def prettyName: String = "l2q_argmin"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val emb = a.asInstanceOf[ArrayData]
+    val seeds = b.asInstanceOf[ArrayData]
+    val s = 1L << scaleBits
+    val vq = VecFx.quantizeArr(emb, s)
+    var bestD = Long.MaxValue
+    var bestC = Int.MaxValue
+    var i = 0
+    val k = seeds.numElements()
+    while (i < k) {
+      val row = seeds.getStruct(i, 2)
+      val cid = row.getInt(0)
+      val sq = row.getArray(1)
+      val n = math.min(vq.length, sq.numElements())
+      var acc = 0L
+      var j = 0
+      while (j < n) { val d = vq(j) - sq.getLong(j); acc += d * d; j += 1 }
+      if (acc < bestD || (acc == bestD && cid < bestC)) {
+        bestD = acc; bestC = cid
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(bestD, bestC)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration of graft's native functions — both as a runtime helper
   * and as a [[SparkSessionExtensions]] hook
   * (`spark.sql.extensions=graft.functions.GraftSparkExtensions`).
@@ -181,7 +301,19 @@ object GraftFunctions {
       new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
       (args: Seq[Expression]) => WinnowFps(args(0),
         GraftFunctions.intLit(args(1), "winnow_fps.k"),
-        GraftFunctions.intLit(args(2), "winnow_fps.w"))))
+        GraftFunctions.intLit(args(2), "winnow_fps.w"))),
+    (FunctionIdentifier("vec_quantize_fx"),
+      new ExpressionInfo(classOf[VecQuantizeFx].getName, "vec_quantize_fx"),
+      (args: Seq[Expression]) => VecQuantizeFx(args(0),
+        GraftFunctions.intLit(args(1), "vec_quantize_fx.scaleBits"))),
+    (FunctionIdentifier("vec_l2q"),
+      new ExpressionInfo(classOf[VecL2Q].getName, "vec_l2q"),
+      (args: Seq[Expression]) => VecL2Q(args(0), args(1),
+        GraftFunctions.intLit(args(2), "vec_l2q.scaleBits"))),
+    (FunctionIdentifier("l2q_argmin"),
+      new ExpressionInfo(classOf[L2QArgmin].getName, "l2q_argmin"),
+      (args: Seq[Expression]) => L2QArgmin(args(0), args(1),
+        GraftFunctions.intLit(args(2), "l2q_argmin.scaleBits"))))
 
   /** Geometry arguments of the signature functions must be integer
     * LITERALS — they shape the expression, they are not data.

@@ -1102,12 +1102,17 @@ object SimilarityOps {
     */
   def labelCentroidSums(embeddings: DataFrame, scaleBits: Int = 20,
                         labelCol: String = "label"): DataFrame = {
-    val s = 1L << scaleBits
+    // round-16: quantize the whole vector in one native pass
+    // (vec_quantize_fx — Spark Round semantics per element, pinned in
+    // VectorFixedPointSpec) and explode LONGS, instead of exploding
+    // floats and paying an interpreted Round per (row × dim). Same
+    // per-element values, same aggregation, same shuffle shape.
+    GraftFunctions.register(embeddings.sparkSession)
     par(embeddings)
-      .select(col(labelCol), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col(labelCol), posexplode(
+        expr(s"vec_quantize_fx(embedding, $scaleBits)")).as(Seq("dim", "vq")))
       .groupBy(labelCol, "dim")
-      .agg(sum(round(col("v").cast("double") * s).cast("long")).as("ssum"),
-        count(lit(1)).as("n"))
+      .agg(sum(col("vq")).as("ssum"), count(lit(1)).as("n"))
   }
 
   /** Q129: merge stored sums with a fresh batch's sums — O(batch)
@@ -1195,19 +1200,21 @@ object SimilarityOps {
                    scaleBits: Int = 20): DataFrame = {
     val sp = embeddings.sparkSession
     import sp.implicits._
+    GraftFunctions.register(sp)
     val seedRows: Seq[(Int, Seq[Long])] = seeds.collect()
       .map(r => (r.getAs[Int]("cid"),
         r.getSeq[Long](r.fieldIndex("sq")).toSeq))
       .sortBy(_._1).toSeq
+    // round-16: the argmin is the native l2q_argmin (quantize + k
+    // squared-L2 scans + tie-to-smaller-cid in one primitive loop) —
+    // the transform/zip_with/array_sort chain it replaces evaluated
+    // interpreted lambdas per (row × seed × dim) and sorted k structs
+    // per row; equivalence pinned in VectorFixedPointSpec. Still a
+    // single Project: seeds ship as one plan literal, no join, no
+    // corpus shuffle.
     par(embeddings)
-      .select(col("vec_id"), col("embedding"),
-        quantFx(col("embedding"), 1L << scaleBits).as("vq"),
-        typedlit(seedRows).as("__seeds"))
-      .withColumn("m", element_at(array_sort(expr(
-        """transform(__seeds, s -> struct(
-          |  aggregate(zip_with(vq, s._2, (a, b) -> (a - b) * (a - b)),
-          |            0L, (acc, x) -> acc + x) AS d2,
-          |  s._1 AS cid))""".stripMargin)), 1))
+      .withColumn("__seeds", typedlit(seedRows))
+      .withColumn("m", expr(s"l2q_argmin(embedding, __seeds, $scaleBits)"))
       .select(col("vec_id"), col("m.cid").as("cluster"),
         col("m.d2").as("d2"), col("embedding"))
   }
@@ -1352,14 +1359,15 @@ object SimilarityOps {
       }
     val w = Window.partitionBy(labelCol)
       .orderBy(col("d2").desc, col("vec_id").asc)
+    // round-16: the per-row distance is the native vec_l2q (quantize +
+    // squared L2 in one loop; VectorFixedPointSpec) — replacing the
+    // interpreted quantFx + zip_with/aggregate chain
+    GraftFunctions.register(sp)
     par(embeddings)
-      .select(col(labelCol), col("vec_id"),
-        quantFx(col("embedding"), s).as("vq"),
+      .select(col(labelCol), col("vec_id"), col("embedding"),
         typedlit(cents).as("__cents"))
       .withColumn("d2", expr(
-        s"""aggregate(zip_with(vq, element_at(__cents, $labelCol),
-           |            (a, b) -> (a - b) * (a - b)),
-           |          0L, (acc, x) -> acc + x)""".stripMargin))
+        s"vec_l2q(embedding, element_at(__cents, $labelCol), $scaleBits)"))
       .withColumn("rnk", row_number().over(w).cast("int"))
       .filter(col("rnk") <= topK)
       .select(col(labelCol), col("rnk"), col("vec_id"), col("d2"))

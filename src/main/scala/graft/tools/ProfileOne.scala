@@ -38,6 +38,16 @@ object ProfileOne {
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
 
+    // steady-state: the bench medians measure runs 2-3, which reuse
+    // any per-(session, dir) artifact scope a query seeds on run 1 —
+    // profile run 2 unless SPARK_GRAFT_PROFILE_RUN=1
+    if (sys.env.getOrElse("SPARK_GRAFT_PROFILE_RUN", "2") == "2") {
+      graft.SparkEntry.queries(name)(spark, sfDir).count()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
     val stages = mutable.ArrayBuffer.empty[StageRow]
     var nJobs = 0
     val listener = new SparkListener {
@@ -49,8 +59,12 @@ object ProfileOne {
           val wall = (for {a <- i.completionTime; b <- i.submissionTime}
             yield a - b).getOrElse(-1L)
           val m = i.taskMetrics
-          stages += StageRow(i.stageId,
-            i.name.takeWhile(_ != '\n').take(90), i.numTasks, wall,
+          // first graft frame of the callsite stack — the attribution
+          // the default two-line stage name lacks
+          val site = i.details.linesIterator
+            .find(l => l.contains("graft.") && !l.contains("ProfileOne"))
+            .getOrElse(i.name.takeWhile(_ != '\n')).trim.take(110)
+          stages += StageRow(i.stageId, site, i.numTasks, wall,
             m.executorRunTime,
             m.shuffleReadMetrics.totalBytesRead / 1e6,
             m.shuffleWriteMetrics.bytesWritten / 1e6)
