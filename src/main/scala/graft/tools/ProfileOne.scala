@@ -50,9 +50,20 @@ object ProfileOne {
 
     val stages = mutable.ArrayBuffer.empty[StageRow]
     var nJobs = 0
+    // driver-gap accounting: wall time when NO job is running (plan
+    // optimization, collects, checkpoint coordination) vs in-job time
+    var lastEnd = 0L
+    var gapMs = 0L
+    var inJob = 0
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
-        synchronized { nJobs += 1 }
+        synchronized {
+          nJobs += 1
+          if (inJob == 0 && lastEnd > 0) gapMs += j.time - lastEnd
+          inJob += 1
+        }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        synchronized { inJob -= 1; if (inJob == 0) lastEnd = j.time }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         synchronized {
           val i = s.stageInfo
@@ -76,7 +87,8 @@ object ProfileOne {
     val dt = (System.nanoTime() - t0) / 1e9
     Thread.sleep(500) // let the listener bus drain
     println(f"TOTAL $name $dt%.3f s  jobs=$nJobs stages=${stages.size} " +
-      f"stageWallSum=${stages.map(_.wallMs).sum / 1000.0}%.2f s")
+      f"stageWallSum=${stages.map(_.wallMs).sum / 1000.0}%.2f s " +
+      f"driverGaps=${gapMs / 1000.0}%.2f s")
     stages.sortBy(-_.wallMs).take(40).foreach { s =>
       println(f"  ${s.wallMs}%6d ms wall ${s.taskMs}%7d ms task ${s.tasks}%4d t " +
         f"r=${s.shufReadMB}%8.2f MB w=${s.shufWriteMB}%8.2f MB  [${s.id}] ${s.name}")
